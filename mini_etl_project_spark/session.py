@@ -1,0 +1,74 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Defaults follow the 100 TB posture from SURVEY.md §4.3: AQE on (runtime
+join-strategy selection, skew splitting, partition coalescing), UTC session
+timezone (oracle parity with DuckDB's UTC-naive timestamps), Arrow enabled
+for any pandas interchange.
+
+Local mode is controlled by env vars so the driver/bench can steer it:
+
+- ``SPARK_GRAFT_CPUS``  — parallelism for ``local[N]`` (default ``*``)
+- ``SPARK_GRAFT_SF_DIR`` — default data dir for convenience loaders
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+#: Tables the test-data contract provides (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "mini_etl_project_spark", cpus: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    On a real cluster the ``master`` and memory settings come from
+    spark-submit; everything set here is safe cluster-side too.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one contract table as a lazy parquet scan (Q1: parquet source)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every contract table; plans stay lazy until an action runs."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all contract tables as temp views for the SQL surface."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

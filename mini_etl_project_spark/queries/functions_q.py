@@ -1,1 +1,291 @@
-"""Placeholder — populated in a later milestone."""
+"""Scalar function coverage — SURVEY.md §2.B Q20 (strings), Q21 (dates),
+Q22 (math), Q23 (arrays), Q24 (JSON), Q25 (conditional/null).
+
+Oracle-parity notes (empirically verified):
+
+- ``round()`` is intentionally absent from checked outputs — Spark rounds
+  the shortest decimal string (HALF_UP on ``BigDecimal.valueOf``), DuckDB
+  rounds the binary double; they disagree on values like 2.675.
+- libm-dependent functions (pow/exp/ln) are avoided in checked outputs;
+  ``sqrt`` is IEEE-correctly-rounded and therefore portable.
+- Array numerics go float→double (exact) with decimal-exact summation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.queries import query
+from mini_etl_project_spark.queries.helpers import DEC, dsum
+from mini_etl_project_spark.session import load_table
+
+# -- Q20 string functions --------------------------------------------------
+
+_STRING_ORACLE = """
+SELECT p_partkey,
+       UPPER(p_brand)                         AS brand_upper,
+       LOWER(p_type)                          AS type_lower,
+       LENGTH(p_name)                         AS name_len,
+       SUBSTRING(p_name, 1, 8)                AS name_prefix,
+       p_brand || '/' || p_type               AS brand_type,
+       REPLACE(p_type, ' ', '_')              AS type_snake,
+       TRIM(p_name)                           AS name_trim,
+       LPAD(CAST(p_size AS VARCHAR), 4, '0')  AS size_padded,
+       CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS has_green,
+       REGEXP_EXTRACT(p_type, '([A-Z]+)', 1)  AS first_upper_run
+FROM part
+"""
+
+
+@query("q_fn_string", _STRING_ORACLE)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim("p_name").alias("name_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("has_green"),
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_upper_run"),
+    )
+
+
+# -- Q21 date functions ----------------------------------------------------
+
+_DATE_ORACLE = """
+SELECT YEAR(o_orderdate)  AS order_year,
+       MONTH(o_orderdate) AS order_month,
+       COUNT(*) AS n_orders,
+       MIN(CAST(o_orderdate AS DATE)) AS first_day,
+       CAST(MAX(DATE_TRUNC('month', o_orderdate)) AS TIMESTAMP) AS month_start,
+       CAST(MIN(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY) AS DATE) AS first_due
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@query("q_fn_date", _DATE_ORACLE)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min(F.col("o_orderdate").cast("date")).alias("first_day"),
+            F.max(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+            F.min(F.date_add(F.col("o_orderdate").cast("date"), 30)).alias("first_due"),
+        )
+    )
+
+
+_DATEDIFF_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+         AS days_to_ship,
+       DAYOFWEEK(l_shipdate) + 1 AS ship_dow, -- DuckDB: Sun=0; Spark: Sun=1
+       DAYOFYEAR(l_shipdate) AS ship_doy,
+       LAST_DAY(CAST(l_shipdate AS DATE)) AS ship_month_end
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_linenumber = 1 AND l_orderkey % 7 = 0
+"""
+
+
+@query("q_fn_datediff", _DATEDIFF_ORACLE)
+def q_fn_datediff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        l.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 7 == 0))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")).alias(
+                "days_to_ship"
+            ),
+            F.dayofweek("l_shipdate").alias("ship_dow"),
+            F.dayofyear("l_shipdate").alias("ship_doy"),
+            F.last_day(F.col("l_shipdate").cast("date")).alias("ship_month_end"),
+        )
+    )
+
+
+# -- Q22 math functions ----------------------------------------------------
+
+_MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       ABS(l_extendedprice - 30000.0)        AS price_dev,
+       CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_bucket,
+       CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct,
+       SQRT(l_extendedprice)                 AS price_sqrt,
+       GREATEST(l_tax, l_discount)           AS max_rate,
+       LEAST(l_tax, l_discount)              AS min_rate,
+       CAST(l_partkey % 10 AS BIGINT)        AS partkey_mod,
+       CAST(SIGN(l_extendedprice - 30000.0) AS DOUBLE) AS dev_sign
+FROM lineitem
+WHERE l_orderkey % 13 = 0
+"""
+
+
+@query("q_fn_math", _MATH_ORACLE)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(F.col("l_orderkey") % 13 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 30000.0).alias("price_dev"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        (F.col("l_partkey") % 10).cast("bigint").alias("partkey_mod"),
+        F.signum(F.col("l_extendedprice") - 30000.0).alias("dev_sign"),
+    )
+
+
+# -- Q25 conditional / null functions --------------------------------------
+
+_COND_ORACLE = """
+SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END                       AS bal_tier,
+       COUNT(*)                                   AS n_customers,
+       COUNT(NULLIF(c_mktsegment, 'BUILDING'))    AS n_non_building,
+       COUNT(*) - COUNT(NULLIF(c_mktsegment, 'BUILDING')) AS n_building,
+       MIN(COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'zzz')) AS min_seg
+FROM customer
+GROUP BY 1
+"""
+
+
+@query("q_fn_conditional", _COND_ORACLE)
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    non_building = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return (
+        c.groupBy(
+            F.when(F.col("c_acctbal") < 0, "debt")
+            .when(F.col("c_acctbal") < 5000, "low")
+            .otherwise("high")
+            .alias("bal_tier")
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.count(non_building).alias("n_non_building"),
+            (F.count("*") - F.count(non_building)).alias("n_building"),
+            F.min(F.coalesce(non_building, F.lit("zzz"))).alias("min_seg"),
+        )
+    )
+
+
+# -- Q23 array functions (over embeddings) ---------------------------------
+# float32 → double is exact, so per-element access matches bit-for-bit;
+# whole-vector sums use decimal-exact accumulation via explode.
+
+_ARRAY_ORACLE = """
+SELECT vec_id,
+       LEN(embedding)                             AS dim,
+       CAST(embedding[1]  AS DOUBLE)              AS first_elem,
+       CAST(embedding[64] AS DOUBLE)              AS last_elem,
+       CAST(LIST_CONTAINS(embedding, 0.0) AS INT) AS has_zero
+FROM embeddings
+WHERE vec_id % 5 = 0
+"""
+
+
+@query("q_fn_array_access", _ARRAY_ORACLE)
+def q_fn_array_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        F.element_at("embedding", 64).cast("double").alias("last_elem"),
+        F.array_contains("embedding", 0.0).cast("int").alias("has_zero"),
+    )
+
+
+_ARRAY_AGG_ORACLE = """
+SELECT vec_id,
+       COUNT(*) AS dim,
+       CAST(SUM(CAST(CAST(elem AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE)
+         AS vec_sum,
+       CAST(SUM(CAST(CAST(elem AS DOUBLE) * CAST(elem AS DOUBLE)
+                     AS DECIMAL(38,10))) AS DOUBLE) AS vec_sqnorm,
+       CAST(MAX(CAST(elem AS DOUBLE)) AS DOUBLE) AS vec_max
+FROM (SELECT vec_id, UNNEST(embedding) AS elem FROM embeddings
+      WHERE vec_id < 100)
+GROUP BY vec_id
+"""
+
+
+@query("q_fn_array_agg", _ARRAY_AGG_ORACLE)
+def q_fn_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    elem = F.col("elem").cast("double")
+    return (
+        e.filter(F.col("vec_id") < 100)
+        .select("vec_id", F.explode("embedding").alias("elem"))
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("dim"),
+            F.sum(elem.cast("decimal(38,10)")).cast("double").alias("vec_sum"),
+            F.sum((elem * elem).cast("decimal(38,10)")).cast("double").alias("vec_sqnorm"),
+            F.max(elem).alias("vec_max"),
+        )
+    )
+
+
+# -- Q24 JSON functions (over events.props) --------------------------------
+
+_JSON_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(CASE WHEN CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) > 50
+                  THEN 1 END) AS n_high_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("q_fn_json", _JSON_ORACLE)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.when(k > 50, 1)).alias("n_high_k"),
+    )
+
+
+# -- Q24 structured JSON: from_json → typed struct -------------------------
+
+_JSON_STRUCT_ORACLE = """
+SELECT k_value, COUNT(*) AS n
+FROM (SELECT CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_value
+      FROM events)
+GROUP BY k_value
+"""
+
+
+@query("q_fn_json_struct", _JSON_STRUCT_ORACLE)
+def q_fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.groupBy(F.col("p.k").alias("k_value")).agg(F.count("*").alias("n"))

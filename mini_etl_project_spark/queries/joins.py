@@ -1,1 +1,225 @@
-"""Placeholder — populated in a later milestone."""
+"""Join operators — SURVEY.md §2.B Q4–Q9 (equi/outer/semi/anti/theta/cross)
+and Q8 (as-of join, via the scalable union+window technique in
+``operators/asof.py``).
+
+Scale notes: dimension sides are broadcast (explicitly or by AQE); the
+non-equi band join broadcasts the tiny band table (BroadcastNestedLoop over
+3 rows ≈ a map-side lookup); the as-of join is a single shuffle on the key —
+no per-group pandas, no cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.operators.asof import asof_join
+from mini_etl_project_spark.queries import query
+from mini_etl_project_spark.queries.helpers import dsum, sql_dsum
+from mini_etl_project_spark.session import load_table
+
+# -- Q5 left outer join ----------------------------------------------------
+
+_LEFT_ORACLE = f"""
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       {sql_dsum('o_totalprice', 'total_spend')}
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+@query("q_join_left", _LEFT_ORACLE)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice", "total_spend"),
+        )
+    )
+
+
+# -- Q5 right outer join ---------------------------------------------------
+
+_RIGHT_ORACLE = """
+SELECT s_suppkey, s_name, COUNT(l_orderkey) AS n_items
+FROM lineitem
+RIGHT JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+"""
+
+
+@query("q_join_right", _RIGHT_ORACLE)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"), "right")
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("l_orderkey").alias("n_items"))
+    )
+
+
+# -- Q5 full outer join ----------------------------------------------------
+
+_FULL_ORACLE = """
+WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+           FROM customer GROUP BY c_nationkey),
+     s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+           FROM supplier GROUP BY s_nationkey)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       c.n_customers, s.n_suppliers
+FROM c FULL JOIN s ON c.nationkey = s.nationkey
+"""
+
+
+@query("q_join_full", _FULL_ORACLE)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return c.join(s, "nationkey", "full").select(
+        F.col("nationkey"), "n_customers", "n_suppliers"
+    )
+
+
+# -- Q6 semi join ----------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
+@query("q_join_semi", _SEMI_ORACLE)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# -- Q6 anti join ----------------------------------------------------------
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+"""
+
+
+@query("q_join_anti", _ANTI_ORACLE)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# -- Q9 cross join ---------------------------------------------------------
+
+_CROSS_ORACLE = """
+SELECT a.r_name AS from_region, b.r_name AS to_region
+FROM region a CROSS JOIN region b
+WHERE a.r_regionkey <> b.r_regionkey
+"""
+
+
+@query("q_join_cross", _CROSS_ORACLE)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    a = r.select(F.col("r_regionkey").alias("ak"), F.col("r_name").alias("from_region"))
+    b = r.select(F.col("r_regionkey").alias("bk"), F.col("r_name").alias("to_region"))
+    return a.crossJoin(b).filter(F.col("ak") != F.col("bk")).select(
+        "from_region", "to_region"
+    )
+
+
+# -- Q7 theta (non-equi band) join ----------------------------------------
+
+_BANDS = [("small", 0.0, 150000.0), ("medium", 150000.0, 300000.0), ("large", 300000.0, 1e12)]
+
+_BAND_ORACLE = f"""
+WITH bands(band, lo, hi) AS (
+  VALUES ('small', 0.0, 150000.0),
+         ('medium', 150000.0, 300000.0),
+         ('large', 300000.0, 1e12)
+)
+SELECT band, COUNT(*) AS n_orders, {sql_dsum('o_totalprice', 'band_value')}
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+@query("q_join_band", _BAND_ORACLE)
+def q_join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "band_value"))
+    )
+
+
+# -- Q8 as-of join ---------------------------------------------------------
+# For each purchase event, the most recent prior-or-same-time signup by the
+# same user. DuckDB has a native ASOF JOIN; our engine implements the
+# union+window technique (operators/asof.py) which needs one shuffle and no
+# range explosion — the scalable form at 100 TB.
+
+_ASOF_ORACLE = """
+WITH purchases AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), signups AS (
+  SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup'
+)
+SELECT p.user_id, p.event_id, s.signup_ts
+FROM purchases p
+ASOF LEFT JOIN signups s
+  ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+"""
+
+
+@query("q_join_asof", _ASOF_ORACLE)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    return asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="signup_ts",
+    ).select("user_id", "event_id", "signup_ts")

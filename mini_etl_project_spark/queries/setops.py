@@ -1,1 +1,176 @@
-"""Placeholder — populated in a later milestone."""
+"""Set operations — SURVEY.md §2.B Q19 (union / intersect / except) and
+Q11/Q12 (distinct & approximate aggregation), Q13 (rollup / cube /
+grouping sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.queries import query
+from mini_etl_project_spark.queries.helpers import DEC, dsum, sql_dsum
+from mini_etl_project_spark.session import load_table
+
+# -- Q19 union all ---------------------------------------------------------
+
+_UNION_ORACLE = """
+SELECT custkey, COUNT(*) AS n_appearances FROM (
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+) GROUP BY custkey
+"""
+
+
+@query("q_setop_union_all", _UNION_ORACLE)
+def q_setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.unionAll(b).groupBy("custkey").agg(F.count("*").alias("n_appearances"))
+
+
+# -- Q19 intersect ---------------------------------------------------------
+
+_INTERSECT_ORACLE = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@query("q_setop_intersect", _INTERSECT_ORACLE)
+def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+# -- Q19 except ------------------------------------------------------------
+
+_EXCEPT_ORACLE = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+"""
+
+
+@query("q_setop_except", _EXCEPT_ORACLE)
+def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    # subtract = EXCEPT (set semantics), vs exceptAll = EXCEPT ALL (multiset)
+    return c.select(F.col("c_custkey").alias("custkey")).subtract(
+        o.select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+# -- Q11 distinct aggregation ----------------------------------------------
+
+_DISTINCT_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+         AS sum_distinct_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q_agg_distinct", _DISTINCT_ORACLE)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum_distinct(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_distinct_qty"),
+    )
+
+
+# -- Q12 approximate aggregation (rows-only: HLL/KLL sketches are
+#    implementation-defined, so no exact oracle exists; the unit test
+#    bounds the relative error against the exact count instead) -----------
+
+
+@query("q_agg_approx")
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# -- Q13 rollup ------------------------------------------------------------
+
+_ROLLUP_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       {sql_dsum('l_quantity', 'sum_qty')}
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("q_agg_rollup", _ROLLUP_ORACLE)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"), dsum("l_quantity", "sum_qty")
+    )
+
+
+# -- Q13 cube --------------------------------------------------------------
+
+_CUBE_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 'sum_price')}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("q_agg_cube", _CUBE_ORACLE)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price")
+    )
+
+
+# -- Q13 grouping sets (SQL surface; views registered per-call) ------------
+
+_GSETS_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       {sql_dsum('l_extendedprice', 'sum_price')}
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+@query("q_agg_grouping_sets", _GSETS_ORACLE)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )

@@ -1,1 +1,145 @@
-"""Placeholder — populated in a later milestone."""
+"""Window functions — SURVEY.md §2.B Q14 (ranking), Q15 (analytic),
+Q16 (frame-spec aggregates), Q18 (top-k per group).
+
+Determinism: every window is totally ordered (explicit tiebreakers on a
+key column) so ranks and frames are reproducible under any partitioning.
+Frame-spec sums go through the exact-decimal trick (helpers.py) because
+both Spark and DuckDB evaluate window sums in data-dependent association
+orders (DuckDB uses segment trees).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.queries import query
+from mini_etl_project_spark.queries.helpers import DEC
+from mini_etl_project_spark.session import load_table
+
+# -- Q14 ranking family ----------------------------------------------------
+
+_RANK_ORACLE = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       ROW_NUMBER()  OVER w AS rn,
+       RANK()        OVER w AS rnk,
+       DENSE_RANK()  OVER w AS drnk,
+       NTILE(4)      OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@query("q_window_rank", _RANK_ORACLE)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# -- Q18 top-k per group ---------------------------------------------------
+
+_TOPK_ORACLE = """
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+@query("q_window_topk_per_group", _TOPK_ORACLE)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+# -- Q15 lag / lead / first / last ----------------------------------------
+
+_LAG_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       LAG(o_totalprice)  OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       o_totalprice - LAG(o_totalprice) OVER w AS price_delta
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("q_window_lag_lead", _LAG_ORACLE)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        (F.col("o_totalprice") - prev).alias("price_delta"),
+    )
+
+
+# -- Q16 frame-spec aggregates: running total + moving average -------------
+
+_FRAME_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS day_rev,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT order_day, day_rev,
+       CAST(SUM(CAST(day_rev AS DECIMAL(38,6))) OVER (
+            ORDER BY order_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_rev,
+       CAST(SUM(CAST(day_rev AS DECIMAL(38,6))) OVER (
+            ORDER BY order_day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(*) OVER (ORDER BY order_day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         AS moving_avg_7d
+FROM daily
+"""
+
+
+@query("q_window_frames", _FRAME_ORACLE)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("order_day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("day_rev"),
+            F.count("*").alias("n"),
+        )
+    )
+    w_run = Window.orderBy("order_day").rowsBetween(Window.unboundedPreceding, 0)
+    w_mov = Window.orderBy("order_day").rowsBetween(-6, 0)
+    return daily.select(
+        "order_day",
+        "day_rev",
+        F.sum(F.col("day_rev").cast(DEC)).over(w_run).cast("double").alias("running_rev"),
+        (
+            F.sum(F.col("day_rev").cast(DEC)).over(w_mov).cast("double")
+            / F.count("*").over(w_mov)
+        ).alias("moving_avg_7d"),
+    )

@@ -59,7 +59,22 @@ def get_spark(app_name: str = "mini_etl_project_spark", cpus: str | None = None)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one contract table as a lazy parquet scan (Q1: parquet source)."""
+    """Read one contract table as a lazy parquet scan (Q1: parquet source).
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; read it as raw nanos and truncate to
+    microseconds (integer ``DIV`` — a double division would lose precision
+    above 2^53 ns). This matches DuckDB's own nanos→micros truncation, so
+    oracle comparisons agree.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -1,0 +1,449 @@
+"""AutoETL pipeline — the reference's engine core re-expressed Spark-first
+(reference R13–R19, R24, R25; ETL_PROJECT.py:129-302,326-368).
+
+The reference runs ~7 eager pandas passes with per-row Python loops. This
+engine instead runs a CONSTANT number of aggregation jobs (≤6, most
+conditional on column types present) to gather the data-dependent facts —
+logical types, null ratios, medians, modes, category frequencies, outlier
+stats — then compiles everything into ONE fused Project + dropDuplicates
+plan that Catalyst collapses into a single whole-stage-codegen'd pass over
+the data. Imputation values, clamp bounds, and rare-value lists enter the
+plan as literals (they are tiny), so the data plane never joins against
+driver state.
+
+Job structure (SURVEY.md §3/§4.3):
+
+1. profile        — raw frame: types (plans/profile.py) + total row count
+2. pre-stats      — cleaned-base frame: per-column null counts, text mean
+                    lengths (drives the conditional whitespace collapse),
+                    numeric medians (exact interpolating, pandas parity)
+3. category freqs — one stacked groupBy for ALL categorical columns
+4. modes          — one stacked groupBy for all columns needing mode fill
+                    (deterministic tie-break: highest count, then smallest
+                    value — pandas ``mode()[0]`` parity; Spark's ``F.mode``
+                    is tie-nondeterministic, SURVEY.md §7)
+5. outlier stats  — imputed numerics: mean, stddev_samp (= pandas ddof=1),
+                    exact percentiles 0.05/0.95, outlier counts
+6. summary        — final frame (post-dedup), with a piggybacked
+                    ``observe`` on the pre-dedup node for the duplicate
+                    count (no extra job)
+
+At 100 TB: swap ``exact_stats`` off to use approx_percentile/HLL, disable
+``eager_summary``, and the pipeline is 3 jobs + the sink write.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.functions.cleaning import (
+    clean_categorical_base,
+    clean_date,
+    clean_numeric,
+    clean_text,
+)
+from mini_etl_project_spark.plans.profile import (
+    CATEGORICAL,
+    DATE,
+    NUMERIC,
+    ColumnProfile,
+    profile_frame_and_count,
+)
+
+_V = "__etl_value"
+_C = "__etl_column"
+
+
+def _stacked(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+    """(column_name, value) pairs for a set of expressions — lets one
+    groupBy job serve every column instead of a job per column."""
+    pairs: list[Column] = []
+    for name, expr in cols.items():
+        pairs.append(F.lit(name))
+        pairs.append(expr.cast("string"))
+    n = len(cols)
+    return df.select(F.stack(F.lit(n), *pairs).alias(_C, _V))
+
+
+class AutoETLPipeline:
+    """Automatic profile→clean→impute→clamp→dedup pipeline over a Spark
+    DataFrame, with the reference's cleaning-report / data-summary
+    metadata surface (ETL_PROJECT.py:11-14).
+    """
+
+    def __init__(
+        self,
+        compat: bool = True,
+        missing_threshold: float = 0.8,
+        outlier_z: float = 3.0,
+        exact_stats: bool = True,
+        eager_summary: bool = True,
+    ) -> None:
+        self.compat = compat
+        self.missing_threshold = missing_threshold
+        self.outlier_z = outlier_z
+        self.exact_stats = exact_stats
+        self.eager_summary = eager_summary
+        self.column_types: dict[str, str] = {}
+        self.cleaning_report: dict[str, list[str]] = {"global": []}
+        self.data_summary: dict[str, Any] = {}
+
+    # -- R1–R6 / R20–R24: E and L phases + the full pipeline ---------------
+
+    def extract(self, spark, data_source) -> DataFrame:
+        from mini_etl_project_spark.sources.readers import extract as _extract
+
+        return _extract(spark, data_source)
+
+    def load(self, df: DataFrame, output_path=None, db_connection=None) -> DataFrame:
+        from mini_etl_project_spark.sources.writers import load as _load
+
+        return _load(df, output_path, db_connection)
+
+    def run_etl(
+        self, spark, data_source, output_path=None, db_connection=None
+    ) -> DataFrame:
+        """E→T→L (reference R24, ETL_PROJECT.py:326-349)."""
+        raw = self.extract(spark, data_source)
+        cleaned = self.transform(raw)
+        if output_path is not None or db_connection is not None:
+            self.load(cleaned, output_path, db_connection)
+        return cleaned
+
+    # -- phase 2 of run_etl (R19) ------------------------------------------
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        self.column_types = {}
+        self.cleaning_report = {"global": []}
+        for c in df.columns:
+            self.cleaning_report[c] = []
+        self.data_summary = {}
+
+        # Job 1: profile → logical types (+ total rows, same job).
+        profiles, n_rows = self._profile_with_count(df)
+        self.column_types = {c: profiles[c].logical_type for c in df.columns}
+        for c in df.columns:
+            self.cleaning_report[c].append(
+                f"detected column type: {self.column_types[c]}"
+            )
+
+        # Cleaned-base expressions (pre collapse/merge decisions).
+        base: dict[str, Column] = {}
+        for c in df.columns:
+            t = self.column_types[c]
+            if t == NUMERIC:
+                base[c] = clean_numeric(c, compat=self.compat)
+            elif t == DATE:
+                base[c] = clean_date(c)
+            elif t == CATEGORICAL:
+                base[c] = clean_categorical_base(c)
+            else:  # text and unknown both take the text cleaner (:255-256)
+                base[c] = clean_text(c, collapse_whitespace=False)
+
+        # Job 2: null counts + text mean lengths + numeric medians.
+        null_count, text_len, medians = self._pre_stats(df, base, profiles)
+
+        # Finalize cleaning expressions.
+        cleaned = dict(base)
+        for c in df.columns:
+            t = self.column_types[c]
+            if t in (NUMERIC, DATE, CATEGORICAL):
+                continue
+            if (text_len.get(c) or 0.0) > 20:  # conditional collapse (:88-89)
+                cleaned[c] = clean_text(c, collapse_whitespace=True)
+            self.cleaning_report[c].append("cleaned text column")
+
+        # Job 3: categorical frequencies → rare-value merge (:114-124).
+        cat_cols = [c for c in df.columns if self.column_types[c] == CATEGORICAL]
+        if cat_cols:
+            cleaned.update(
+                self._merge_rare_categories(df, {c: base[c] for c in cat_cols}, n_rows)
+            )
+        for c in cat_cols:
+            self.cleaning_report[c].append("cleaned categorical column")
+
+        # Per-type report lines that need job-2 numbers.
+        for c in df.columns:
+            t = self.column_types[c]
+            if t == NUMERIC:
+                orig_na = n_rows - profiles[c].non_null
+                self.cleaning_report[c].append(
+                    f"cleaned numeric column, invalid values: {null_count[c] - orig_na}"
+                )
+            elif t == DATE:
+                self.cleaning_report[c].append(
+                    f"converted {n_rows - null_count[c]} of {n_rows} values to dates"
+                )
+
+        # Missing-value handling (R13–R15, :129-170).
+        dropped: list[str] = []
+        fills: dict[str, Any] = {}
+        mode_needed: list[str] = []
+        for c in df.columns:
+            ratio = (null_count[c] / n_rows) if n_rows else 0.0
+            if ratio > self.missing_threshold:
+                dropped.append(c)
+                self.cleaning_report[c].append(
+                    f"dropped column: {ratio:.1%} missing values"
+                )
+            elif ratio > 0:
+                if self.column_types[c] == NUMERIC:
+                    fills[c] = medians[c]
+                    self.cleaning_report[c].append(
+                        f"filled missing values with median: {medians[c]}"
+                    )
+                else:
+                    mode_needed.append(c)
+        if dropped:
+            self.cleaning_report["global"].append(
+                f"dropped columns: {', '.join(dropped)}"
+            )
+        kept = [c for c in df.columns if c not in dropped]
+
+        # Job 4: modes for every column that needs one (single stacked job).
+        if mode_needed:
+            modes = self._modes(df, {c: cleaned[c] for c in mode_needed})
+            for c in mode_needed:
+                v = modes.get(c, "Unknown")
+                fills[c] = v
+                label = "mode" if self.column_types[c] == CATEGORICAL else "value"
+                self.cleaning_report[c].append(
+                    f"filled missing values with {label}: {v}"
+                )
+
+        imputed: dict[str, Column] = {}
+        for c in kept:
+            expr = cleaned[c]
+            if c in fills:
+                if self.column_types[c] == DATE:
+                    expr = F.coalesce(expr, F.lit(str(fills[c])).cast("date"))
+                else:
+                    expr = F.coalesce(expr, F.lit(fills[c]))
+            imputed[c] = expr
+
+        # Job 5 + clamp plan: outliers on imputed numerics (R16, :172-201).
+        num_cols = [c for c in kept if self.column_types[c] == NUMERIC]
+        if num_cols:
+            stats = self._outlier_stats(df, {c: imputed[c] for c in num_cols})
+            for c in num_cols:
+                mu, sigma, q05, q95, n_out = stats[c]
+                if n_out and sigma:
+                    z = F.abs((imputed[c] - F.lit(mu)) / F.lit(sigma))
+                    clamped = F.least(
+                        F.greatest(imputed[c], F.lit(q05)), F.lit(q95)
+                    )
+                    imputed[c] = F.when(z > self.outlier_z, clamped).otherwise(
+                        imputed[c]
+                    )
+                    self.cleaning_report[c].append(f"clamped {n_out} outlier values")
+
+        # Fused final plan: one Project + distinct (R17, :264-272).
+        projected = df.select(*[imputed[c].alias(c) for c in kept])
+        self._pre_dedup = projected
+        result = projected.dropDuplicates()
+
+        if self.eager_summary:
+            self.create_data_summary(result, pre_dedup=projected)  # job 6
+        return result
+
+    # -- helpers (one job each) --------------------------------------------
+
+    def _profile_with_count(
+        self, df: DataFrame
+    ) -> tuple[dict[str, ColumnProfile], int]:
+        return profile_frame_and_count(df, exact_distinct=self.exact_stats)
+
+    def _pre_stats(
+        self,
+        df: DataFrame,
+        base: dict[str, Column],
+        profiles: dict[str, ColumnProfile],
+    ) -> tuple[dict[str, int], dict[str, float], dict[str, float]]:
+        aggs: list[Column] = []
+        for c, expr in base.items():
+            aggs.append(F.sum(expr.isNull().cast("long")).alias(f"{c}__null"))
+            t = profiles[c].logical_type
+            if t not in (NUMERIC, DATE, CATEGORICAL):
+                aggs.append(F.avg(F.length(expr)).alias(f"{c}__len"))
+            if t == NUMERIC:
+                if self.exact_stats:
+                    aggs.append(F.median(expr).alias(f"{c}__med"))
+                else:
+                    aggs.append(
+                        F.percentile_approx(expr, 0.5).alias(f"{c}__med")
+                    )
+        row = df.agg(*aggs).collect()[0]
+        d = row.asDict()
+        null_count = {c: d[f"{c}__null"] for c in base}
+        text_len = {c: d[f"{c}__len"] for c in base if f"{c}__len" in d}
+        medians = {c: d[f"{c}__med"] for c in base if f"{c}__med" in d}
+        return null_count, text_len, medians
+
+    def _merge_rare_categories(
+        self, df: DataFrame, cat_base: dict[str, Column], n_rows: int
+    ) -> dict[str, Column]:
+        counts = (
+            _stacked(df, cat_base)
+            .filter(F.col(_V).isNotNull())
+            .groupBy(_C, _V)
+            .count()
+            .collect()
+        )
+        by_col: dict[str, list[tuple[str, int]]] = {c: [] for c in cat_base}
+        for r in counts:
+            by_col[r[_C]].append((r[_V], r["count"]))
+        threshold = max(2, 0.01 * n_rows)  # :117
+        out: dict[str, Column] = {}
+        for c, vals in by_col.items():
+            expr = cat_base[c]
+            if len(vals) < 50:  # "truly categorical" guard (:116)
+                rare = sorted(v for v, n in vals if n < threshold)
+                if rare:
+                    expr = F.when(expr.isin(rare), "Other").otherwise(expr)
+                    self.cleaning_report[c].append(
+                        f"merged {len(rare)} rare values into 'Other'"
+                    )
+            out[c] = expr
+        return out
+
+    def _modes(self, df: DataFrame, cols: dict[str, Column]) -> dict[str, str]:
+        w = Window.partitionBy(_C).orderBy(F.desc("count"), F.asc(_V))
+        rows = (
+            _stacked(df, cols)
+            .filter(F.col(_V).isNotNull())
+            .groupBy(_C, _V)
+            .count()
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .collect()
+        )
+        return {r[_C]: r[_V] for r in rows}
+
+    def _outlier_stats(
+        self, df: DataFrame, cols: dict[str, Column]
+    ) -> dict[str, tuple]:
+        pq = "percentile" if self.exact_stats else "approx_percentile"
+        named = df.select(
+            *[expr.alias(f"__etl_{c}") for c, expr in cols.items()]
+        )
+        aggs: list[Column] = []
+        for c in cols:
+            col = F.col(f"__etl_{c}")
+            aggs += [
+                F.avg(col).alias(f"{c}__mu"),
+                F.stddev_samp(col).alias(f"{c}__sd"),
+                F.expr(f"{pq}(`__etl_{c}`, array(0.05, 0.95))").alias(f"{c}__q"),
+            ]
+        row = named.agg(*aggs).collect()[0]
+        # outlier counts need mu/sigma → fold into one more tiny agg over
+        # the same projection (still constant job count: this is job 5b,
+        # only when numeric columns exist).
+        cnt_aggs = []
+        for c in cols:
+            mu, sd = row[f"{c}__mu"], row[f"{c}__sd"]
+            col = F.col(f"__etl_{c}")
+            if sd:
+                cnt_aggs.append(
+                    F.sum(
+                        (F.abs((col - F.lit(mu)) / F.lit(sd)) > self.outlier_z)
+                        .cast("long")
+                    ).alias(f"{c}__n")
+                )
+            else:
+                cnt_aggs.append(F.lit(0).alias(f"{c}__n"))
+        cnt_row = named.agg(*cnt_aggs).collect()[0]
+        out = {}
+        for c in cols:
+            q = row[f"{c}__q"]
+            out[c] = (
+                row[f"{c}__mu"],
+                row[f"{c}__sd"],
+                q[0] if q else None,
+                q[1] if q else None,
+                cnt_row[f"{c}__n"],
+            )
+        return out
+
+    # -- R18 ---------------------------------------------------------------
+
+    def create_data_summary(
+        self, df: DataFrame, pre_dedup: DataFrame | None = None
+    ) -> dict[str, Any]:
+        """Single wide aggregation (reference: one pandas pass per stat)."""
+        aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
+        for c in df.columns:
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__na"))
+            t = self.column_types.get(c)
+            if t == NUMERIC:
+                aggs += [
+                    F.avg(c).alias(f"{c}__mean"),
+                    F.stddev_samp(c).alias(f"{c}__std"),
+                    F.min(c).alias(f"{c}__min"),
+                    F.max(c).alias(f"{c}__max"),
+                ]
+            elif t == DATE:
+                aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+        row = df.agg(*aggs).collect()[0]
+        n_after = row["__rows"]
+        if pre_dedup is not None:
+            n_before = pre_dedup.count()
+            removed = n_before - n_after
+            if removed > 0:
+                self.cleaning_report["global"].append(
+                    f"removed {removed} duplicate rows"
+                )
+        self.data_summary = {
+            "total_rows": n_after,
+            "total_columns": len(df.columns),
+            "column_types": dict(self.column_types),
+            "missing_values": {c: row[f"{c}__na"] for c in df.columns},
+            "numeric_columns": {
+                c: {
+                    "mean": row[f"{c}__mean"],
+                    "std": row[f"{c}__std"],
+                    "min": row[f"{c}__min"],
+                    "max": row[f"{c}__max"],
+                }
+                for c in df.columns
+                if self.column_types.get(c) == NUMERIC
+            },
+            "date_columns": {
+                c: {"min": row[f"{c}__min"], "max": row[f"{c}__max"]}
+                for c in df.columns
+                if self.column_types.get(c) == DATE
+            },
+        }
+        return self.data_summary
+
+    # -- R25 ---------------------------------------------------------------
+
+    def generate_report(self) -> str:
+        lines = ["=" * 50, "Data Cleaning Report", "=" * 50, ""]
+        for col, notes in self.cleaning_report.items():
+            if col == "global" or not notes:
+                continue
+            lines.append(f"column: {col}")
+            lines += [f"  - {n}" for n in notes]
+            lines.append("")
+        if self.cleaning_report.get("global"):
+            lines.append("global operations:")
+            lines += [f"  - {n}" for n in self.cleaning_report["global"]]
+            lines.append("")
+        if self.data_summary:
+            s = self.data_summary
+            lines += [
+                "summary:",
+                f"  rows: {s['total_rows']}",
+                f"  columns: {s['total_columns']}",
+            ]
+            for c, st in s.get("numeric_columns", {}).items():
+                lines.append(
+                    f"  {c}: mean={st['mean']}, std={st['std']}, "
+                    f"min={st['min']}, max={st['max']}"
+                )
+            for c, st in s.get("date_columns", {}).items():
+                lines.append(f"  {c}: min={st['min']}, max={st['max']}")
+        return "\n".join(lines)

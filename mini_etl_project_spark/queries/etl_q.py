@@ -1,1 +1,325 @@
-"""Placeholder — populated in a later milestone."""
+"""AutoETL operators as oracle-checked queries (reference R7–R18 exercised
+over the star-schema tables at scale, not just the 10-row golden fixture).
+
+Each query stringifies/dirties real columns deterministically (so both
+sides see identical messy inputs), applies the engine's cleaning/imputation
+/outlier/dedup expressions, and the oracle replicates the semantics in
+DuckDB SQL — including the 16-format date chain via ``try_strptime``'s
+ordered format-list support.
+
+The full pipeline (profile → clean → impute → clamp → dedup) also runs
+end-to-end as ``q_etl_pipeline`` (rows-only: its data-dependent plan is
+driver logic, not a single SQL statement; unit + golden tests pin its
+semantics instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.functions.cleaning import clean_numeric
+from mini_etl_project_spark.functions.dates import parse_date_multi
+from mini_etl_project_spark.plans.pipeline import AutoETLPipeline
+from mini_etl_project_spark.queries import query
+from mini_etl_project_spark.queries.helpers import dsum, sql_dsum
+from mini_etl_project_spark.session import load_table
+
+# -- R9 numeric cleaning at scale ------------------------------------------
+# Messy strings built from integer columns (int→string formatting is
+# portable; float→string is not): "$<okey>.50", "<okey>,25" (decimal
+# comma), sentinels on a deterministic subset.
+
+_MESSY_NUM = """
+CASE WHEN l_linenumber = 1 THEN '$' || CAST(l_orderkey AS VARCHAR) || '.50'
+     WHEN l_linenumber = 2 THEN CAST(l_orderkey AS VARCHAR) || ',25'
+     WHEN l_linenumber = 3 THEN 'N/A'
+     WHEN l_linenumber = 4 THEN ' ' || CAST(l_partkey AS VARCHAR) || ' '
+     WHEN l_linenumber = 5 THEN 'garbage'
+     ELSE CAST(l_suppkey AS VARCHAR) || '.' || CAST(l_linenumber AS VARCHAR)
+END
+"""
+
+_CLEAN_NUM_ORACLE = f"""
+WITH messy AS (SELECT l_orderkey, l_linenumber, {_MESSY_NUM} AS raw FROM lineitem),
+cleaned AS (
+  SELECT l_orderkey, l_linenumber,
+         TRY_CAST(NULLIF(REPLACE(REGEXP_REPLACE(raw, '[^0-9.,+-]', '', 'g'),
+                                 ',', '.'), '') AS DOUBLE) AS val
+  FROM messy)
+SELECT COUNT(*) AS n_rows,
+       COUNT(val) AS n_valid,
+       {sql_dsum('val', 'sum_val')}
+FROM cleaned
+"""
+
+
+@query("q_etl_clean_numeric", _CLEAN_NUM_ORACLE)
+def q_etl_clean_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    okey = F.col("l_orderkey").cast("string")
+    messy = (
+        F.when(F.col("l_linenumber") == 1, F.concat(F.lit("$"), okey, F.lit(".50")))
+        .when(F.col("l_linenumber") == 2, F.concat(okey, F.lit(",25")))
+        .when(F.col("l_linenumber") == 3, F.lit("N/A"))
+        .when(
+            F.col("l_linenumber") == 4,
+            F.concat(F.lit(" "), F.col("l_partkey").cast("string"), F.lit(" ")),
+        )
+        .when(F.col("l_linenumber") == 5, F.lit("garbage"))
+        .otherwise(
+            F.concat(
+                F.col("l_suppkey").cast("string"),
+                F.lit("."),
+                F.col("l_linenumber").cast("string"),
+            )
+        )
+    )
+    val = clean_numeric(messy, compat=True)
+    return l.select(val.alias("val")).agg(
+        F.count("*").alias("n_rows"),
+        F.count("val").alias("n_valid"),
+        dsum("val", "sum_val"),
+    )
+
+
+# -- R8/R11 date parsing at scale ------------------------------------------
+# Dates rendered into 4 competing formats (incl. day-first ambiguity) plus
+# garbage; the oracle uses try_strptime with the same ordered format list.
+
+_MESSY_DATE = """
+CASE WHEN l_linenumber = 1 THEN strftime(l_shipdate, '%Y-%m-%d')
+     WHEN l_linenumber = 2 THEN strftime(l_shipdate, '%d/%m/%Y')
+     WHEN l_linenumber = 3 THEN strftime(l_shipdate, '%Y%m%d')
+     WHEN l_linenumber = 4 THEN strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')
+     WHEN l_linenumber = 5 THEN 'not-a-date'
+     ELSE strftime(l_shipdate, '%d.%m.%Y')
+END
+"""
+
+_CLEAN_DATE_ORACLE = f"""
+WITH messy AS (SELECT l_orderkey, l_linenumber, {_MESSY_DATE} AS raw FROM lineitem),
+parsed AS (
+  SELECT CAST(try_strptime(TRIM(raw),
+        ['%Y-%m-%d', '%Y/%m/%d', '%d-%m-%Y', '%d/%m/%Y',
+         '%m-%d-%Y', '%m/%d/%Y', '%Y.%m.%d', '%d.%m.%Y',
+         '%m.%d.%Y', '%Y%m%d', '%d%m%Y', '%m%d%Y',
+         '%Y-%m-%d %H:%M:%S', '%Y/%m/%d %H:%M:%S',
+         '%d-%m-%Y %H:%M:%S', '%d/%m/%Y %H:%M:%S']) AS DATE) AS d
+  FROM messy)
+SELECT COUNT(*) AS n_rows, COUNT(d) AS n_parsed,
+       MIN(d) AS min_date, MAX(d) AS max_date
+FROM parsed
+"""
+
+
+@query("q_etl_clean_date", _CLEAN_DATE_ORACLE)
+def q_etl_clean_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    sd = F.col("l_shipdate")
+    messy = (
+        F.when(F.col("l_linenumber") == 1, F.date_format(sd, "yyyy-MM-dd"))
+        .when(F.col("l_linenumber") == 2, F.date_format(sd, "dd/MM/yyyy"))
+        .when(F.col("l_linenumber") == 3, F.date_format(sd, "yyyyMMdd"))
+        .when(F.col("l_linenumber") == 4, F.date_format(sd, "yyyy-MM-dd HH:mm:ss"))
+        .when(F.col("l_linenumber") == 5, F.lit("not-a-date"))
+        .otherwise(F.date_format(sd, "dd.MM.yyyy"))
+    )
+    d = parse_date_multi(messy)
+    return l.select(d.alias("d")).agg(
+        F.count("*").alias("n_rows"),
+        F.count("d").alias("n_parsed"),
+        F.min("d").alias("min_date"),
+        F.max("d").alias("max_date"),
+    )
+
+
+# -- R14 median imputation at scale ----------------------------------------
+
+_IMPUTE_ORACLE = f"""
+WITH dirty AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer),
+med AS (SELECT MEDIAN(bal) AS m FROM dirty),
+filled AS (SELECT c_mktsegment, COALESCE(bal, (SELECT m FROM med)) AS bal
+           FROM dirty)
+SELECT c_mktsegment, COUNT(*) AS n, {sql_dsum('bal', 'sum_bal')},
+       MIN(bal) AS min_bal, MAX(bal) AS max_bal
+FROM filled GROUP BY c_mktsegment
+"""
+
+
+@query("q_etl_impute_median", _IMPUTE_ORACLE)
+def q_etl_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    dirty = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit(None)).otherwise(F.col("c_acctbal")).alias("bal"),
+    )
+    med = dirty.agg(F.median("bal").alias("m"))
+    filled = dirty.crossJoin(F.broadcast(med)).select(
+        "c_mktsegment", F.coalesce("bal", "m").alias("bal")
+    )
+    return filled.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        dsum("bal", "sum_bal"),
+        F.min("bal").alias("min_bal"),
+        F.max("bal").alias("max_bal"),
+    )
+
+
+# -- R16 outlier clamp at scale (z > 3 → clamp into [q05, q95]) ------------
+
+_OUTLIER_ORACLE = f"""
+WITH stats AS (
+  SELECT AVG(o_totalprice) AS mu,
+         STDDEV_SAMP(o_totalprice) AS sigma,
+         QUANTILE_CONT(o_totalprice, 0.05) AS q05,
+         QUANTILE_CONT(o_totalprice, 0.95) AS q95
+  FROM orders),
+clamped AS (
+  SELECT CASE WHEN ABS((o_totalprice - mu) / sigma) > 1.5
+              THEN LEAST(GREATEST(o_totalprice, q05), q95)
+              ELSE o_totalprice END AS price
+  FROM orders, stats)
+SELECT COUNT(*) AS n_rows, {sql_dsum('price', 'sum_clamped')},
+       MIN(price) AS min_price, MAX(price) AS max_price
+FROM clamped
+"""
+
+
+@query("q_etl_outlier_clamp", _OUTLIER_ORACLE)
+def q_etl_outlier_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_samp("o_totalprice").alias("sigma"),
+        F.expr("percentile(o_totalprice, 0.05)").alias("q05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("q95"),
+    )
+    # z-threshold 1.5 (not the pipeline's 3.0) so real clamping happens on
+    # this data — the operator semantics are what's under test.
+    price = F.when(
+        F.abs((F.col("o_totalprice") - F.col("mu")) / F.col("sigma")) > 1.5,
+        F.least(F.greatest(F.col("o_totalprice"), F.col("q05")), F.col("q95")),
+    ).otherwise(F.col("o_totalprice"))
+    return (
+        o.crossJoin(F.broadcast(stats))
+        .select(price.alias("price"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("price", "sum_clamped"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+        )
+    )
+
+
+# -- R17/X1 keyed dedup with deterministic keep-first ----------------------
+
+_DEDUP_ORACLE = f"""
+WITH ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                        l_extendedprice) AS rn
+  FROM lineitem)
+SELECT COUNT(*) AS n_orders,
+       {sql_dsum('l_extendedprice', 'sum_first_price')},
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_first_qty
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("q_etl_dedup_keyfirst", _DEDUP_ORACLE)
+def q_etl_dedup_keyfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data — a
+    # deterministic keep-first needs a total order within the key.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    return (
+        l.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("l_extendedprice", "sum_first_price"),
+            F.sum("l_quantity").cast("double").alias("sum_first_qty"),
+        )
+    )
+
+
+# -- R18 whole-table summary stats -----------------------------------------
+# stddev via the sum-of-squares identity over exact decimal sums: both
+# engines then perform the identical double arithmetic.
+
+_SUMMARY_ORACLE = """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s_qty,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS ss_qty,
+         MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+         MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+         COUNT(*) - COUNT(l_quantity) AS na_qty
+  FROM lineitem)
+SELECT n AS total_rows, na_qty,
+       s_qty / n AS mean_qty,
+       SQRT((ss_qty - s_qty * s_qty / n) / (n - 1)) AS std_qty,
+       min_qty, max_qty, min_ship, max_ship
+FROM s
+"""
+
+
+@query("q_etl_summary", _SUMMARY_ORACLE)
+def q_etl_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s = l.agg(
+        F.count("*").alias("n"),
+        F.sum(q.cast("decimal(38,6)")).cast("double").alias("s_qty"),
+        F.sum((q * q).cast("decimal(38,6)")).cast("double").alias("ss_qty"),
+        F.min(q).alias("min_qty"),
+        F.max(q).alias("max_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        (F.count("*") - F.count(q)).alias("na_qty"),
+    )
+    n = F.col("n")
+    return s.select(
+        n.alias("total_rows"),
+        "na_qty",
+        (F.col("s_qty") / n).alias("mean_qty"),
+        F.sqrt((F.col("ss_qty") - F.col("s_qty") * F.col("s_qty") / n) / (n - 1)).alias(
+            "std_qty"
+        ),
+        "min_qty",
+        "max_qty",
+        "min_ship",
+        "max_ship",
+    )
+
+
+# -- R19/R24: the full data-dependent pipeline (rows-only) -----------------
+
+
+@query("q_etl_pipeline")
+def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full AutoETL over a stringified, dirtied slice of lineitem.
+
+    The profile→plan machinery chooses types and cleaning at runtime; its
+    semantics are pinned by the golden-parity and unit tests
+    (tests/test_pipeline_golden.py, tests/test_cleaners.py).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    raw = l.select(
+        F.col("l_orderkey").cast("string").alias("okey"),
+        F.when(F.col("l_linenumber") == 3, "N/A")
+        .otherwise(F.concat(F.lit("$"), F.col("l_extendedprice").cast("string")))
+        .alias("price"),
+        F.date_format("l_shipdate", "dd/MM/yyyy").alias("ship"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    pipe = AutoETLPipeline(compat=True, eager_summary=False)
+    return pipe.transform(raw)

@@ -1,0 +1,67 @@
+"""Extract dispatch (reference R1–R6, ETL_PROJECT.py:203-226).
+
+Suffix-dispatched multi-format ingestion returning a lazy Spark DataFrame.
+CSV is read with an all-string schema on purpose: the pipeline's own
+profiler decides logical types (never ``inferSchema`` — the reference's
+type system is its own, SURVEY.md §1.2). Parquet is our scale-path
+extension (columnar, predicate pushdown).
+
+Excel has no core-Spark reader; files are inherently small/driver-side, so
+a pandas shim feeds ``createDataFrame`` (R2 — compatibility shim, not a
+scale path; SURVEY.md §7 hard-part 9).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def extract(spark: SparkSession, source: Any) -> DataFrame:
+    """Read a DataFrame from a path (.csv/.json/.xlsx/.xls/.parquet), an
+    in-memory dict (column-oriented), a pandas DataFrame, or a Spark
+    DataFrame (passthrough — Spark frames are immutable, no copy needed).
+
+    Raises ``ValueError`` for unsupported inputs (R6).
+    """
+    try:
+        import pandas as pd
+    except ImportError:  # pragma: no cover
+        pd = None
+
+    if isinstance(source, DataFrame):
+        return source
+    if pd is not None and isinstance(source, pd.DataFrame):
+        return spark.createDataFrame(source)
+    if isinstance(source, dict):
+        if pd is None:  # pragma: no cover
+            raise ValueError("dict sources need pandas available")
+        return spark.createDataFrame(pd.DataFrame(source))
+    if isinstance(source, str):
+        lower = source.lower()
+        if lower.endswith(".csv"):
+            return (
+                spark.read.option("header", True)
+                .option("inferSchema", False)
+                .csv(source)
+            )
+        if lower.endswith((".xlsx", ".xls")):
+            if pd is None:  # pragma: no cover
+                raise ValueError("Excel sources need pandas available")
+            try:
+                pdf = pd.read_excel(source)
+            except ImportError as e:  # openpyxl/xlrd missing in container
+                raise ValueError(f"Excel engine unavailable: {e}") from e
+            return spark.createDataFrame(pdf)
+        if lower.endswith(".json"):
+            # Records-array files (the reference's pd.read_json shape) need
+            # multiLine; line-delimited JSON is the Spark-native default.
+            with open(source, "rb") as f:
+                head = f.read(64).lstrip()
+            multi = head.startswith(b"[")
+            return spark.read.option("multiLine", multi).json(source)
+        if lower.endswith(".parquet"):
+            return spark.read.parquet(source)
+        raise ValueError(f"unsupported file format: {source}")
+    raise ValueError(f"unsupported data source type: {type(source).__name__}")

@@ -1,0 +1,52 @@
+"""Vector/embedding expression builders (X3–X5, SURVEY.md §2.C).
+
+All numerics use the exact-decimal accumulation trick: float32 elements
+promote to double exactly, per-element products are deterministic doubles,
+and the DECIMAL(38,10) sum is order-independent — so cosine similarity is
+bit-identical under any partitioning AND matches a sequential oracle.
+Everything stays in higher-order functions (JVM-side, no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Precision 28, not 38: Spark types decimal(38,10)+decimal(38,10) as
+# decimal(38,9) (allowPrecisionLoss), silently rounding every partial sum.
+# At (28,10) the addition widens to (29,10) — exact — and the re-cast back
+# to (28,10) is lossless for our magnitudes. DuckDB oracles may keep
+# DECIMAL(38,10): per-term values round identically at scale 10.
+_DEC = "decimal(28,10)"
+
+
+def _dec_sum(arr: Column) -> Column:
+    """Exact sum of a double-array via decimal accumulation, as double."""
+    return F.aggregate(
+        arr,
+        F.lit(0).cast(_DEC),
+        lambda acc, x: (acc + x.cast(_DEC)).cast(_DEC),
+    ).cast("double")
+
+
+def dot_exact(a: Column | str, b: Column | str) -> Column:
+    """Order-independent exact dot product of two float arrays."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return _dec_sum(prods)
+
+
+def sqnorm_exact(a: Column | str) -> Column:
+    """Exact squared L2 norm of a float array."""
+    a = F.col(a) if isinstance(a, str) else a
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return _dec_sum(sq)
+
+
+def cosine_exact(a: Column | str, b: Column | str) -> Column:
+    """Exact-deterministic cosine similarity (null on zero vectors)."""
+    d = dot_exact(a, b)
+    na, nb = F.sqrt(sqnorm_exact(a)), F.sqrt(sqnorm_exact(b))
+    denom = na * nb
+    return F.when(denom != 0, d / denom)

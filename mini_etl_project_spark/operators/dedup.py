@@ -1,0 +1,216 @@
+"""Deduplication operators at training-data scale (X1, X2; SURVEY.md §2.C).
+
+Four tiers, cheapest first — the standard LLM-corpus dedup ladder:
+
+1. **Exact** — hash-groupBy on a normalization key (``dedup_exact``): one
+   shuffle on the key; at 100 TB this is a plain aggregate.
+2. **Near-dup via MinHash + LSH banding** (``minhash_signatures``,
+   ``lsh_candidate_pairs``): shingle → k minhashes → b bands of r rows →
+   bucket-join. Only documents sharing a band bucket are compared, so the
+   candidate join is linear-ish in corpus size instead of O(n²).
+3. **SimHash** (``simhash``): 32-bit sign-aggregated token hashes; near
+   dups are pairs within small Hamming distance (bit_count(xor)).
+4. **Exact n-gram Jaccard** (``jaccard_pairs``) — the expensive verifier
+   run only on LSH candidates (or small corpora as its own oracle).
+
+All hashing routes through ``textops.hash64`` (md5-based) so every stage
+is deterministic AND reproducible in the DuckDB oracle — no Spark-private
+hash functions in semantics-bearing positions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.operators.textops import char_shingles, hash64
+
+
+def dedup_exact(
+    df: DataFrame, key, tiebreak, keep_cols: list[str] | None = None
+) -> DataFrame:
+    """X1: keep exactly one row per ``key``, deterministically — the row
+    minimizing ``tiebreak``. (``dropDuplicates`` picks an arbitrary row;
+    a window + rn=1 pins the choice, same single shuffle.)
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    order = [tiebreak] if not isinstance(tiebreak, list) else tiebreak
+    w = Window.partitionBy(*keys).orderBy(*order)
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return out.select(*(keep_cols or df.columns))
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """(id, shingle) pairs — distinct character k-shingles per document."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(char_shingles(text_col, k)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """(id, seed, minhash): k independent minhashes per document.
+
+    One explode over seeds + one groupBy — two narrow shuffles total at
+    any scale; hashes are md5-derived (oracle-portable).
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        shingles.select("id", "shingle", seeds)
+        .select("id", "seed", hash64(F.col("shingle"), F.col("seed")).alias("h"))
+        .groupBy("id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, rows_per_band: int = 4
+) -> DataFrame:
+    """X2: band the signature and bucket-join — (id_a, id_b) candidate
+    pairs (a < b) sharing at least one band bucket.
+
+    Band key = md5 of the ordered minhash list in the band. The
+    self-join is on (band, band_key) — tiny buckets, no O(n²) blowup.
+    """
+    banded = (
+        signatures.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seed", "minhash"))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+    a = banded.select(
+        F.col("band"), F.col("band_key"), F.col("id").alias("id_a")
+    )
+    b = banded.select(
+        F.col("band"), F.col("band_key"), F.col("id").alias("id_b")
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity per pair: |A∩B| / (|A|+|B|−|A∩B|).
+
+    With ``candidates`` given (the LSH output), the shingle join is
+    restricted to candidate pairs — the scale path. Without it, all pairs
+    sharing ≥1 shingle are scored (small-corpus oracle mode).
+    """
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n"))
+    a = shingles.select(F.col("id").alias("id_a"), "shingle")
+    b = shingles.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """X2 variant: 32-bit SimHash per document.
+
+    Token-hash sign aggregation: bit j of the fingerprint is 1 iff the
+    sum over tokens of ±1 (per bit j of each token's hash) is positive.
+    One explode + one groupBy; md5-derived hashes keep it oracle-portable.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", hash64(F.col("tok"), 0))
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return bit_sums.select("id", fp.alias("simhash"))
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Collapse near-dup pairs into clusters: (id, component) where
+    component is the minimum id reachable through the pair graph.
+
+    Iterative label propagation over the edge list — each round is one
+    join + one aggregate. Converges in O(graph diameter) rounds, which
+    for dedup clusters (small, dense) is a handful; ``max_iter`` bounds
+    pathological chains.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns (X3 exact, X4 approximate).
+
+- ``topk_exact``: brute-force cosine top-k — the small-SF oracle and the
+  recall yardstick. Query set × corpus via broadcast join (queries are few;
+  never materialize corpus×corpus), exact-decimal cosine, window top-k.
+- ``RandomHyperplaneLSH``: the scale path. Deterministic md5-derived
+  hyperplanes (no RNG state to ship), sign-bit bucket per table; top-k is
+  computed only within matching buckets across L tables. Sub-linear
+  candidate sets at 100 TB, tunable recall via (bits, tables).
+- ``ml_brp_lsh``: the spark.ml BucketedRandomProjectionLSH equivalent
+  (Euclidean), kept as the library-native alternative.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.functions.vectors import cosine_exact
+
+
+def topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector (self excluded).
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k,
+    deterministic tie-break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_exact("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 bytes.
+
+    Components are derived per (table, bit, dim-index) from md5, mapped to
+    [-1, 1). Deterministic across runs/machines — the signature of a
+    vector never depends on which executor computed it.
+    """
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"rhp:{table}:{bit}:{d}".encode()).digest()
+        v = int.from_bytes(h[:8], "big")
+        out.append(v / 2**63 - 1.0)
+    return out
+
+
+class RandomHyperplaneLSH:
+    """Sign-random-projection LSH for cosine similarity (X4).
+
+    P[bucket match per bit] = 1 − θ/π; with ``bits`` per table and
+    ``tables`` independent tables, near neighbors collide w.h.p. while
+    the corpus shards into ~2^bits buckets per table.
+    """
+
+    def __init__(self, dim: int, bits: int = 8, tables: int = 4) -> None:
+        self.dim, self.bits, self.tables = dim, bits, tables
+        # hyperplanes as literal arrays in the plan: tiny (tables×bits×dim)
+        self._planes = {
+            (t, b): _hyperplane(dim, t, b)
+            for t in range(tables)
+            for b in range(bits)
+        }
+
+    def bucket(self, vec_col, table: int):
+        """Bucket id (bigint) of a vector in one table: packed sign bits."""
+        vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+        acc = F.lit(0).cast("bigint")
+        for b in range(self.bits):
+            plane = F.array(*[F.lit(x) for x in self._planes[(table, b)]])
+            dot = F.aggregate(
+                F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            acc = acc + F.when(dot >= 0, F.lit(2**b).cast("bigint")).otherwise(0)
+        return acc
+
+    def add_buckets(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        """One row per (row, table) with its bucket id."""
+        tables = F.explode(
+            F.array(*[F.lit(t) for t in range(self.tables)])
+        ).alias("table")
+        out = df.select("*", tables)
+        # CASE over the table index — when-branches evaluate lazily, so
+        # each row computes exactly one table's bit signature
+        expr = F.lit(None).cast("bigint")
+        for t in range(self.tables):
+            expr = F.when(F.col("table") == t, self.bucket(vec_col, t)).otherwise(expr)
+        return out.withColumn("bucket", expr)
+
+    def topk(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 5,
+    ) -> DataFrame:
+        """ANN top-k: exact cosine, but only within shared LSH buckets."""
+        cb = self.add_buckets(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+            "c_vec",
+        )
+        qb = self.add_buckets(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+            "q_vec",
+        )
+        cand = (
+            cb.join(qb, ["table", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "q_vec", "c_vec")
+            .distinct()
+        )
+        scored = cand.withColumn("cosine", cosine_exact("q_vec", "c_vec"))
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+
+
+def ml_brp_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bucket_length: float = 2.0,
+    num_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """spark.ml BucketedRandomProjectionLSH (Euclidean) top-k via
+    approxSimilarityJoin — library-native X4 alternative."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("cid"), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    ).fit(c)
+    joined = (
+        model.approxSimilarityJoin(q, c, float("inf"), distCol="dist")
+        .select(
+            F.col("datasetA.qid").alias("query_id"),
+            F.col("datasetB.cid").alias("neighbor_id"),
+            F.col("dist"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,1 +1,135 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search queries over ``embeddings`` (X3 exact, X4 ANN).
+
+The exact top-k is fully oracle-checked: both engines compute cosine from
+exact-decimal dot products and squared norms, so scores AND rankings are
+bit-identical. The ANN variants (deterministic random-hyperplane LSH and
+spark.ml BRP-LSH) are rows-only for the driver; their recall against the
+exact top-k is asserted in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.operators.similarity import (
+    RandomHyperplaneLSH,
+    topk_exact,
+)
+from mini_etl_project_spark.queries import query
+from mini_etl_project_spark.session import load_table
+
+_DIM = 64
+_K = 5
+_NQ = 10  # query vectors: vec_id < 10
+
+_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < {_NQ}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+norms AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(CAST(embedding[t.i] AS DOUBLE)
+                       * CAST(embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS sq
+  FROM embeddings, unnest(generate_series(1, {_DIM})) t(i)
+  GROUP BY vec_id),
+dots AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM(CAST(CAST(qv[t.i] AS DOUBLE) * CAST(cv[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS dot
+  FROM q, c, unnest(generate_series(1, {_DIM})) t(i)
+  WHERE query_id <> neighbor_id
+  GROUP BY query_id, neighbor_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         dot / (SQRT(nq.sq) * SQRT(nc.sq)) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+@query("q_sim_topk_exact", _TOPK_ORACLE)
+def q_sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _NQ)
+    return topk_exact(e, queries, k=_K)
+
+
+@query("q_sim_ann_lsh")
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: deterministic random-hyperplane LSH ANN top-k (rows-only;
+    recall vs exact asserted in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _NQ)
+    lsh = RandomHyperplaneLSH(dim=_DIM, bits=3, tables=8)
+    return lsh.topk(e, queries, k=_K)
+
+
+# -- X3 threshold variant: all pairs above a cosine floor, per label -------
+# (exercises the similarity join as an aggregation feed; exact oracle)
+
+_PAIRS_ORACLE = f"""
+WITH sub AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 120),
+norms AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(CAST(embedding[t.i] AS DOUBLE)
+                       * CAST(embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS sq
+  FROM sub, unnest(generate_series(1, {_DIM})) t(i)
+  GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.label AS label_a, b.label AS label_b,
+         CAST(SUM(CAST(CAST(a.embedding[t.i] AS DOUBLE)
+                       * CAST(b.embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS dot
+  FROM sub a, sub b, unnest(generate_series(1, {_DIM})) t(i)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id, a.label, b.label),
+scored AS (
+  SELECT id_a, id_b, label_a, label_b,
+         dot / (SQRT(na.sq) * SQRT(nb.sq)) AS cosine
+  FROM dots JOIN norms na ON na.vec_id = id_a
+            JOIN norms nb ON nb.vec_id = id_b)
+SELECT CAST(label_a = label_b AS INT) AS same_label,
+       COUNT(*) AS n_pairs,
+       MIN(cosine) AS min_cos, MAX(cosine) AS max_cos
+FROM scored WHERE cosine >= 0.28
+GROUP BY CAST(label_a = label_b AS INT)
+"""
+
+
+@query("q_sim_pairs_threshold", _PAIRS_ORACLE)
+def q_sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.functions.vectors import cosine_exact
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_exact("va", "vb"))
+        .filter(F.col("cosine") >= 0.28)
+    )
+    return pairs.groupBy(
+        (F.col("label_a") == F.col("label_b")).cast("int").alias("same_label")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.min("cosine").alias("min_cos"),
+        F.max("cosine").alias("max_cos"),
+    )

@@ -1,1 +1,240 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries over ``documents`` (X6–X9).
+
+Everything is portable expression arithmetic + md5 hashing, so each
+operator is fully oracle-checked — including the language scorer and the
+order-insensitive token-bag fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.operators.textops import (
+    LANG_LEXICONS,
+    STOPWORDS,
+    fingerprint,
+    lang_scores,
+    quality_score,
+    tokens,
+    word_count,
+)
+from mini_etl_project_spark.queries import query
+from mini_etl_project_spark.session import load_table
+
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+# -- X9 text stats (validates against the golden n_chars column) -----------
+
+_STATS_ORACLE = f"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       CAST(LENGTH(text) = n_chars AS INT) AS n_chars_matches_golden,
+       LEN(string_split_regex(trim(text), '\\s+')) AS n_words,
+       LEN(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct_words,
+       CAST(LENGTH(text) AS DOUBLE)
+         / GREATEST(LEN(string_split_regex(trim(text), '\\s+')), 1) AS mean_word_len
+FROM documents
+"""
+
+
+@query("q_text_stats", _STATS_ORACLE)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        (F.length("text") == F.col("n_chars")).cast("int").alias(
+            "n_chars_matches_golden"
+        ),
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_words"),
+        (
+            F.length("text").cast("double") / F.greatest(F.size(toks), F.lit(1))
+        ).alias("mean_word_len"),
+    )
+
+
+# -- X6/X7 token frequencies (corpus-level term stats) ---------------------
+
+_TOKENS_ORACLE = """
+SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents)
+GROUP BY tok
+ORDER BY tf DESC, tok
+LIMIT 25
+"""
+
+
+@query("q_text_token_freq", _TOKENS_ORACLE)
+def q_text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("tf"), "tok")
+        .limit(25)
+    )
+
+
+# -- X7 TF-IDF top terms per source ----------------------------------------
+# ln() is libm-dependent; idf uses LN via the SAME formula on both sides —
+# java.lang.Math.log and C libm agree on these magnitudes in practice, but
+# to stay safe the checked output carries (tf, df, n_docs) and ranks by the
+# rational tf*(n_docs+1)/(df+1) (exact double arithmetic), not by ln.
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT source, doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+stats AS (
+  SELECT source, tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM tok GROUP BY source, tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT source, tok, tf, df,
+         tf * (n_docs + 1.0) / (df + 1.0) AS weight,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY tf * (n_docs + 1.0) / (df + 1.0) DESC,
+                                     tok) AS rn
+  FROM stats, n)
+SELECT source, tok, tf, df, weight FROM scored WHERE rn <= 3
+"""
+
+
+@query("q_text_tfidf_top", _TFIDF_ORACLE)
+def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", "doc_id", F.explode(tokens("text")).alias("tok"))
+    stats = tok.groupBy("source", "tok").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    weight = F.col("tf") * (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+    w = Window.partitionBy("source").orderBy(F.desc("weight"), "tok")
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .withColumn("weight", weight)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "tok", "tf", "df", "weight")
+    )
+
+
+# -- X8 language scoring (lexicon join) ------------------------------------
+
+def _sql_lang_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang])
+    return (
+        f"LEN(list_filter({_TOKS}, t -> lower(t) IN ({words}))) AS score_{lang}"
+    )
+
+
+_LANGS = list(LANG_LEXICONS)
+_PRED_SQL = "CASE " + " ".join(
+    f"WHEN score_{l} = __m THEN '{l}'" for l in _LANGS
+) + " END"
+
+_LANGID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS golden_lang,
+         {', '.join(_sql_lang_score(l) for l in _LANGS)}
+  FROM documents),
+m AS (SELECT *, GREATEST({', '.join('score_' + l for l in _LANGS)}) AS __m
+      FROM scored)
+SELECT doc_id, golden_lang, {', '.join('score_' + l for l in _LANGS)},
+       {_PRED_SQL} AS predicted_lang
+FROM m
+"""
+
+
+@query("q_text_langid", _LANGID_ORACLE)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", F.col("lang").alias("golden_lang"), *lang_scores("text")
+    )
+    m = F.greatest(*[F.col(f"score_{l}") for l in _LANGS])
+    # WHEN chain in declaration order — first max wins, mirroring the SQL
+    expr = F.lit(None).cast("string")
+    for l in reversed(_LANGS):
+        expr = F.when(F.col(f"score_{l}") == F.col("__m"), l).otherwise(expr)
+    return (
+        scored.withColumn("__m", m)
+        .select(
+            "doc_id",
+            "golden_lang",
+            *[f"score_{l}" for l in _LANGS],
+            expr.alias("predicted_lang"),
+        )
+    )
+
+
+# -- X9 quality scoring ----------------------------------------------------
+
+_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_QUALITY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars,
+         LEN(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         LEN(list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> lower(t) IN ({_STOPS}))) AS stop_hits
+  FROM documents),
+parts AS (
+  SELECT doc_id, n_chars, n_tok,
+         CAST(n_chars AS DOUBLE) / GREATEST(n_tok, 1) AS mean_word,
+         CAST(stop_hits AS DOUBLE) / GREATEST(n_tok, 1) AS stop_ratio,
+         LEAST(n_chars / 500.0, 1.0) AS len_score
+  FROM base)
+SELECT doc_id, n_chars, n_tok, stop_ratio,
+       (len_score
+        + (CASE WHEN mean_word >= 3 AND mean_word <= 10 THEN 1.0 ELSE 0.5 END)
+        + (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.6 THEN 1.0 ELSE 0.5 END)
+       ) / 3 AS quality
+FROM parts
+"""
+
+
+@query("q_text_quality", _QUALITY_ORACLE)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tok.alias("n_tok"),
+        (stop_hits.cast("double") / F.greatest(n_tok, F.lit(1))).alias("stop_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+# -- X9 fingerprinting (order-insensitive dedup key) -----------------------
+
+_FP_ORACLE = """
+SELECT md5(array_to_string(list_sort(string_split_regex(trim(text), '\\s+')), ' '))
+         AS fp,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_doc
+FROM documents
+GROUP BY fp
+HAVING COUNT(*) >= 1
+"""
+
+
+@query("q_text_fingerprint", _FP_ORACLE)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )

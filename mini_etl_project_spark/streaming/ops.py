@@ -1,0 +1,141 @@
+"""Structured Streaming operators over the events table (Q29–Q34, X10).
+
+The events parquet is replayed as a file stream (``readStream`` with an
+explicit schema — streaming requires one), transformed with event-time
+semantics (watermarks, tumbling/sliding windows, session windows,
+streaming dedup), and drained synchronously into a memory sink with an
+``availableNow`` trigger — which is exactly how a production job would
+run against a growing directory, minus the sink.
+
+Correctness: each streaming aggregation has a batch-SQL equivalent the
+DuckDB oracle runs (queries/streaming_q.py); complete output mode makes
+the drained memory table comparable (append mode would hold back windows
+newer than the final watermark).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: events.parquet physical schema — ts is TIMESTAMP(NANOS) stored as int64
+#: (read as long + DIV-truncate to micros, same as the batch loader).
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q29: file-replay stream of the events table with proper event-time.
+
+    FileStreamSource wants a directory (a growing drop-zone in production);
+    the read-only single-file fixture is staged via symlink.
+    """
+    import hashlib
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    stage = f"/tmp/mini_etl_stream_{tag}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(stage)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def drain_to_table(stream_df: DataFrame, mode: str = "complete") -> str:
+    """Run a streaming frame to completion into a memory sink; returns the
+    table name. availableNow = process-everything-then-stop."""
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+def tumbling_agg(stream: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Q30+Q31: watermarked tumbling-window aggregate per event type."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(stream: DataFrame) -> DataFrame:
+    """Q31: sliding window (1 hour wide, 30 min slide)."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_agg(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Q32/X10: session windows per user (gap-merged)."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(stream: DataFrame) -> DataFrame:
+    """Q33: streaming dedup on a business key within the watermark."""
+    return stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def stateful_running_max(stream: DataFrame) -> DataFrame:
+    """Q34: arbitrary stateful op — per-user running max of ``value`` via
+    applyInPandasWithState (GroupState survives across micro-batches)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_seen bigint, max_value double"
+    state_schema = "n bigint, mx double"
+
+    def fn(key, pdfs, state: GroupState):
+        n, mx = (state.get if state.exists else (0, float("-inf")))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_seen": [n], "max_value": [mx]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

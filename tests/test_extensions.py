@@ -1,0 +1,77 @@
+"""Extension-operator tests that go beyond the SQL oracle: ANN recall vs
+the exact top-k, near-dup clustering, streaming dedup/state, multimodal
+stub contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.operators.dedup import connected_components
+from mini_etl_project_spark.operators.multimodal import decode_image
+from mini_etl_project_spark.operators.similarity import RandomHyperplaneLSH, topk_exact
+from mini_etl_project_spark.session import load_table
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = topk_exact(e, queries, k=5)
+    ann = RandomHyperplaneLSH(dim=64, bits=3, tables=8).topk(e, queries, k=5)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"ANN recall {recall} too low"
+
+
+def test_ann_is_deterministic(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    lsh = RandomHyperplaneLSH(dim=64, bits=3, tables=2)
+    a = sorted(map(tuple, lsh.topk(e, q, k=3).collect()))
+    b = sorted(map(tuple, lsh.topk(e, q, k=3).collect()))
+    assert a == b
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
+        "id_a bigint, id_b bigint",
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_stream_dedup_and_stateful(spark, sf_dir):
+    from mini_etl_project_spark.streaming.ops import (
+        drain_to_table,
+        events_stream,
+        stateful_running_max,
+        stream_dedup,
+    )
+
+    s = events_stream(spark, sf_dir)
+    dedup_tbl = drain_to_table(stream_dedup(s), mode="append")
+    n_dedup = spark.table(dedup_tbl).count()
+    e = load_table(spark, sf_dir, "events")
+    n_keys = e.select("user_id", "event_type").distinct().count()
+    assert n_dedup == n_keys  # fixture fits inside one watermark window
+
+    state_tbl = drain_to_table(stateful_running_max(s), mode="update")
+    out = spark.table(state_tbl)
+    got = {r.user_id: (r.n_seen, r.max_value) for r in out.collect()}
+    exp = {
+        r.user_id: (r.n, r.mx)
+        for r in e.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    # update-mode emits one row per user per batch; the LAST state must
+    # match the batch aggregate
+    for uid, (n, mx) in exp.items():
+        assert got[uid] == (n, mx)
+
+
+def test_multimodal_stub_contract(spark, sf_dir):
+    with pytest.raises(NotImplementedError):
+        decode_image(load_table(spark, sf_dir, "documents"))

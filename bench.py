@@ -23,11 +23,16 @@ from mini_etl_project_spark.queries import QUERIES
 from mini_etl_project_spark.session import get_spark
 
 HEADLINE = [
-    "q01_pricing_summary",    # flagship grouped aggregation
-    "q03_shipping_priority",  # join-heavy + top-k
-    "q05_region_revenue",     # 6-way join
-    "q06_revenue_change",     # selective scan
-    "q10_returned_items",     # join + group + top-k
+    "q01_pricing_summary",     # flagship grouped aggregation
+    "q03_shipping_priority",   # join-heavy + top-k
+    "q05_region_revenue",      # 6-way join
+    "q06_revenue_change",      # selective scan
+    "q10_returned_items",      # join + group + top-k
+    "q_window_topk_per_group", # window ranking
+    "q_etl_pipeline",          # full AutoETL (profile→clean→impute→dedup)
+    "q_dedup_minhash_lsh",     # MinHash+LSH near-dup pipeline
+    "q_sim_topk_exact",        # brute-force cosine top-k
+    "q_stream_tumbling",       # structured streaming windowed agg
 ]
 
 

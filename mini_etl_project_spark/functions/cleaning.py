@@ -45,6 +45,20 @@ TEXT_SENTINELS: tuple[str, ...] = ("", "nan", "None", "NULL", "N/A", "n/a", "nul
 CATEGORICAL_SENTINELS: tuple[str, ...] = ("", "none", "n/a")
 
 
+#: Superset of string shapes Spark's string→double cast accepts.
+#: ``try_cast`` signals failure via caught JVM exceptions; on a mostly
+#: non-numeric string column that's an exception per row. The guard makes
+#: garbage skip the attempt entirely (same null result, no throw).
+NUMERIC_SHAPE = (
+    r"^[+-]?((\d+\.?\d*|\.\d+)([eEdD][+-]?\d+)?|[iI]nf(inity)?|[nN]a[nN])$"
+)
+
+
+def guarded_try_double(s: Column) -> Column:
+    """null-on-mismatch string→double without exception overhead."""
+    return F.when(s.rlike(NUMERIC_SHAPE), s.try_cast("double"))
+
+
 def _nullify(c: Column, sentinels: tuple[str, ...]) -> Column:
     out = c
     for s in sentinels:
@@ -62,10 +76,10 @@ def clean_numeric(col: Column | str, compat: bool = True) -> Column:
     c = (F.col(col) if isinstance(col, str) else col).cast("string")
     stripped = F.regexp_replace(c, r"[^\d\.,\-+]", "")
     sanitized = F.nullif(F.replace(stripped, F.lit(","), F.lit(".")), F.lit(""))
-    via_regex = sanitized.try_cast("double")
+    via_regex = guarded_try_double(sanitized)
     if compat:
         return via_regex
-    return F.coalesce(F.trim(c).try_cast("double"), via_regex)
+    return F.coalesce(guarded_try_double(F.trim(c)), via_regex)
 
 
 def clean_text(col: Column | str, collapse_whitespace: bool) -> Column:

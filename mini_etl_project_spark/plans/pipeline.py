@@ -81,12 +81,18 @@ class AutoETLPipeline:
         outlier_z: float = 3.0,
         exact_stats: bool = True,
         eager_summary: bool = True,
+        cache_intermediate: bool = True,
     ) -> None:
         self.compat = compat
         self.missing_threshold = missing_threshold
         self.outlier_z = outlier_z
         self.exact_stats = exact_stats
         self.eager_summary = eager_summary
+        # The stats jobs (2–5) all re-evaluate the raw scan + cleaning
+        # expressions; persisting the input across them trades memory/disk
+        # for repeated parse work. MEMORY_AND_DISK, so it degrades to
+        # spill (not OOM) at scale; switch off for one-pass-budget runs.
+        self.cache_intermediate = cache_intermediate
         self.column_types: dict[str, str] = {}
         self.cleaning_report: dict[str, list[str]] = {"global": []}
         self.data_summary: dict[str, Any] = {}
@@ -130,37 +136,49 @@ class AutoETLPipeline:
                 f"detected column type: {self.column_types[c]}"
             )
 
-        # Cleaned-base expressions (pre collapse/merge decisions).
-        base: dict[str, Column] = {}
+        # Cleaned-base expressions (pre collapse/merge decisions), evaluated
+        # ONCE into a persisted projection — every downstream stats job and
+        # the final plan read plain columns from it instead of re-running
+        # the parse/regex pipeline per job.
+        base_exprs: dict[str, Column] = {}
         for c in df.columns:
             t = self.column_types[c]
             if t == NUMERIC:
-                base[c] = clean_numeric(c, compat=self.compat)
+                base_exprs[c] = clean_numeric(c, compat=self.compat)
             elif t == DATE:
-                base[c] = clean_date(c)
+                base_exprs[c] = clean_date(c)
             elif t == CATEGORICAL:
-                base[c] = clean_categorical_base(c)
+                base_exprs[c] = clean_categorical_base(c)
             else:  # text and unknown both take the text cleaner (:255-256)
-                base[c] = clean_text(c, collapse_whitespace=False)
+                base_exprs[c] = clean_text(c, collapse_whitespace=False)
+        base_df = df.select(*[expr.alias(c) for c, expr in base_exprs.items()])
+        if self.cache_intermediate:
+            from pyspark import StorageLevel
+
+            base_df = base_df.persist(StorageLevel.MEMORY_AND_DISK)
+        base: dict[str, Column] = {c: F.col(c) for c in df.columns}
 
         # Job 2: null counts + text mean lengths + numeric medians.
-        null_count, text_len, medians = self._pre_stats(df, base, profiles)
+        null_count, text_len, medians = self._pre_stats(base_df, base, profiles)
 
-        # Finalize cleaning expressions.
+        # Finalize cleaning expressions (on top of the cleaned base:
+        # whitespace collapse after trim/nullify ≡ the reference's order).
         cleaned = dict(base)
         for c in df.columns:
             t = self.column_types[c]
             if t in (NUMERIC, DATE, CATEGORICAL):
                 continue
             if (text_len.get(c) or 0.0) > 20:  # conditional collapse (:88-89)
-                cleaned[c] = clean_text(c, collapse_whitespace=True)
+                cleaned[c] = F.regexp_replace(base[c], r"\s+", " ")
             self.cleaning_report[c].append("cleaned text column")
 
         # Job 3: categorical frequencies → rare-value merge (:114-124).
         cat_cols = [c for c in df.columns if self.column_types[c] == CATEGORICAL]
         if cat_cols:
             cleaned.update(
-                self._merge_rare_categories(df, {c: base[c] for c in cat_cols}, n_rows)
+                self._merge_rare_categories(
+                    base_df, {c: base[c] for c in cat_cols}, n_rows
+                )
             )
         for c in cat_cols:
             self.cleaning_report[c].append("cleaned categorical column")
@@ -205,7 +223,7 @@ class AutoETLPipeline:
 
         # Job 4: modes for every column that needs one (single stacked job).
         if mode_needed:
-            modes = self._modes(df, {c: cleaned[c] for c in mode_needed})
+            modes = self._modes(base_df, {c: cleaned[c] for c in mode_needed})
             for c in mode_needed:
                 v = modes.get(c, "Unknown")
                 fills[c] = v
@@ -227,7 +245,7 @@ class AutoETLPipeline:
         # Job 5 + clamp plan: outliers on imputed numerics (R16, :172-201).
         num_cols = [c for c in kept if self.column_types[c] == NUMERIC]
         if num_cols:
-            stats = self._outlier_stats(df, {c: imputed[c] for c in num_cols})
+            stats = self._outlier_stats(base_df, {c: imputed[c] for c in num_cols})
             for c in num_cols:
                 mu, sigma, q05, q95, n_out = stats[c]
                 if n_out and sigma:
@@ -241,12 +259,17 @@ class AutoETLPipeline:
                     self.cleaning_report[c].append(f"clamped {n_out} outlier values")
 
         # Fused final plan: one Project + distinct (R17, :264-272).
-        projected = df.select(*[imputed[c].alias(c) for c in kept])
+        projected = base_df.select(*[imputed[c].alias(c) for c in kept])
         self._pre_dedup = projected
         result = projected.dropDuplicates()
 
         if self.eager_summary:
             self.create_data_summary(result, pre_dedup=projected)  # job 6
+        if self.cache_intermediate and self.eager_summary:
+            # stats + summary are gathered; later actions on `result`
+            # recompute one clean pass from source. When summary is lazy
+            # the cache stays hot for the caller's write job.
+            base_df.unpersist(blocking=False)
         return result
 
     # -- helpers (one job each) --------------------------------------------

@@ -69,27 +69,58 @@ class ColumnProfile:
 def profile_frame_and_count(
     df: DataFrame, exact_distinct: bool = True
 ) -> tuple[dict[str, ColumnProfile], int]:
-    """Profile every column AND the total row count in one aggregation job."""
+    """Profile every column; two jobs when ``exact_distinct``.
+
+    Multi-column COUNT(DISTINCT) compiles to an Expand (one replicated
+    stream per distinct column) that re-evaluates every other aggregate's
+    input expression per replica — with the parse-heavy profile exprs that
+    doubled the job's cost (measured). Exact distincts therefore run in
+    their own expression-free job; approx (HLL) distincts are partial-
+    aggregable and stay in the main job.
+    """
+    if exact_distinct:
+        drow = df.agg(
+            *[F.count_distinct(F.col(c)).alias(f"{c}__dc") for c in df.columns]
+        ).collect()[0]
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in df.columns:
         raw = F.col(c)
         s = raw.cast("string")
         distinct = (
-            F.count_distinct(raw) if exact_distinct else F.approx_count_distinct(raw)
+            F.lit(None).cast("long") if exact_distinct else F.approx_count_distinct(raw)
         )
+        # Typed fast paths — semantically equal to the string-scan rules,
+        # minus the work. float/double stringify with a fractional part
+        # (".0" at minimum) so no date format can match → date_ok = 0 and
+        # numeric_ok = non_null. date/timestamp stringify as
+        # "yyyy-MM-dd[ HH:mm:ss]" → date_ok = non_null, numeric_ok = 0.
+        # Integer columns KEEP the date scan: 8-digit ints parse under
+        # yyyyMMdd, which the reference would detect as dates.
+        kind = df.schema[c].dataType.typeName()
+        if kind in ("double", "float", "decimal"):
+            date_ok = F.lit(0).cast("long")
+            num_ok = F.count(raw)
+        elif kind in ("date", "timestamp", "timestamp_ntz"):
+            date_ok = F.count(raw)
+            num_ok = F.lit(0).cast("long")
+        else:
+            from mini_etl_project_spark.functions.cleaning import guarded_try_double
+
+            date_ok = F.count(parse_date_multi(s))
+            num_ok = F.count(guarded_try_double(F.trim(s)))
         aggs += [
             F.count(raw).alias(f"{c}__nn"),
             distinct.alias(f"{c}__dc"),
             F.avg(F.length(s)).alias(f"{c}__len"),
-            F.count(parse_date_multi(s)).alias(f"{c}__date"),
-            F.count(F.trim(s).try_cast("double")).alias(f"{c}__num"),
+            date_ok.alias(f"{c}__date"),
+            num_ok.alias(f"{c}__num"),
         ]
     row = df.agg(*aggs).collect()[0]
     profiles = {
         c: ColumnProfile(
             name=c,
             non_null=row[f"{c}__nn"],
-            distinct=row[f"{c}__dc"],
+            distinct=drow[f"{c}__dc"] if exact_distinct else row[f"{c}__dc"],
             avg_len=row[f"{c}__len"],
             date_ok=row[f"{c}__date"],
             numeric_ok=row[f"{c}__num"],

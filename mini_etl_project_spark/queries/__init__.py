@@ -46,7 +46,9 @@ def _load_all() -> None:
         etl_q,
         functions_q,
         joins,
+        misc_q,
         setops,
+        udf_q,
         similarity_q,
         streaming_q,
         text_q,

@@ -1,0 +1,241 @@
+"""Remaining relational surface: pivot/unpivot, subqueries, the SQL API
+end-to-end, embedding-cosine near-dup representatives, sliding windows,
+streaming dedup counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.functions.vectors import cosine_exact
+from mini_etl_project_spark.queries import query
+from mini_etl_project_spark.queries.helpers import dsum, sql_dsum
+from mini_etl_project_spark.session import load_table
+
+# -- Pivot (wide aggregation) ----------------------------------------------
+
+_PIVOT_ORACLE = f"""
+SELECT l_returnflag,
+       {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'qty_f')},
+       {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'qty_o')},
+       COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+       COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q_pivot_status", _PIVOT_ORACLE)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            dsum("l_quantity", "qty"),
+            F.count(F.lit(1)).alias("n"),  # count("*") doesn't resolve under pivot
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_qty").alias("qty_o"),
+        F.col("F_n").alias("n_f"),
+        F.col("O_n").alias("n_o"),
+    )
+
+
+# -- Unpivot / melt --------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT metric, COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v
+FROM (
+  SELECT 'acctbal' AS metric, c_acctbal AS value FROM customer
+  UNION ALL
+  SELECT 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
+)
+GROUP BY metric
+"""
+
+
+@query("q_unpivot_metrics", _UNPIVOT_ORACLE)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    melted = c.select(
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot([], ["acctbal", "nationkey"], "metric", "value")
+    return melted.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+# -- Scalar + correlated subqueries ----------------------------------------
+
+_SUBQUERY_ORACLE = f"""
+WITH avg_price AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           / COUNT(o_totalprice) AS m
+  FROM orders)
+SELECT o_orderstatus,
+       COUNT(*) AS n_above_avg,
+       {sql_dsum('o_totalprice', 'sum_above')}
+FROM orders WHERE o_totalprice > (SELECT m FROM avg_price)
+GROUP BY o_orderstatus
+"""
+
+
+@query("q_subquery_scalar", _SUBQUERY_ORACLE)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    return spark.sql(
+        """
+        WITH avg_price AS (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(o_totalprice) AS m
+          FROM sq_orders)
+        SELECT o_orderstatus,
+               COUNT(*) AS n_above_avg,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sum_above
+        FROM sq_orders WHERE o_totalprice > (SELECT m FROM avg_price)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+# -- SQL API end-to-end (CTEs + join + window through spark.sql) -----------
+
+_SQL_SHARED = """
+WITH cust_orders AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM {orders} JOIN {customer} ON o_custkey = c_custkey)
+SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+FROM cust_orders WHERE rn <= 5
+"""
+
+
+@query(
+    "q_sql_api_topn",
+    _SQL_SHARED.format(orders="orders", customer="customer"),
+)
+def q_sql_api_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sqlapi_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sqlapi_customer")
+    return spark.sql(
+        _SQL_SHARED.format(orders="sqlapi_orders", customer="sqlapi_customer")
+    )
+
+
+# -- X2/X4: embedding-cosine near-dup representatives ----------------------
+# One-hop canonicalization: each vector's representative is the smallest
+# vec_id among itself and its ≥τ cosine neighbors (full transitive closure
+# lives in operators/dedup.connected_components, exercised in tests).
+
+_EMB_REP_ORACLE = """
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120),
+norms AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(CAST(embedding[t.i] AS DOUBLE)
+                       * CAST(embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS sq
+  FROM sub, unnest(generate_series(1, 64)) t(i) GROUP BY vec_id),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(SUM(CAST(CAST(a.embedding[t.i] AS DOUBLE)
+                       * CAST(b.embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS dot
+  FROM sub a, sub b, unnest(generate_series(1, 64)) t(i)
+  WHERE a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id),
+neighbors AS (
+  SELECT id_a, id_b
+  FROM pairs JOIN norms na ON na.vec_id = id_a
+             JOIN norms nb ON nb.vec_id = id_b
+  WHERE dot / (SQRT(na.sq) * SQRT(nb.sq)) >= 0.28)
+SELECT s.vec_id,
+       LEAST(s.vec_id, COALESCE(MIN(n.id_b), s.vec_id)) AS rep
+FROM sub s LEFT JOIN neighbors n ON n.id_a = s.vec_id
+GROUP BY s.vec_id
+"""
+
+
+@query("q_dedup_embedding_rep", _EMB_REP_ORACLE)
+def q_dedup_embedding_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    neighbors = (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .withColumn("cosine", cosine_exact("va", "vb"))
+        .filter(F.col("cosine") >= 0.28)
+        .select("id_a", "id_b")
+    )
+    return (
+        e.select(F.col("vec_id"))
+        .join(neighbors, F.col("vec_id") == F.col("id_a"), "left")
+        .groupBy("vec_id")
+        .agg(
+            F.least(
+                F.col("vec_id"), F.coalesce(F.min("id_b"), F.col("vec_id"))
+            ).alias("rep")
+        )
+    )
+
+
+# -- Q31 sliding windows (batch-checked) -----------------------------------
+# A 1h-wide / 30m-slide window ⇒ each event belongs to exactly two
+# windows: starts at floor30(ts) and floor30(ts) − 30m.
+
+_SLIDING_ORACLE = """
+WITH starts AS (
+  SELECT ts, value,
+         UNNEST([
+           time_bucket(INTERVAL 30 MINUTE, ts),
+           time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+         ]) AS window_start
+  FROM events)
+SELECT window_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM starts
+GROUP BY window_start
+"""
+
+
+@query("q_window_sliding", _SLIDING_ORACLE)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+# -- Q33 streaming dedup, checked by count ---------------------------------
+# The kept row per key is arrival-order dependent; the KEY SET is not.
+
+_STREAM_DEDUP_ORACLE = """
+SELECT COUNT(*) AS n_deduped FROM (
+  SELECT DISTINCT user_id, event_type FROM events)
+"""
+
+
+@query("q_stream_dedup_count", _STREAM_DEDUP_ORACLE)
+def q_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.streaming.ops import (
+        drain_to_table,
+        events_stream,
+        stream_dedup,
+    )
+
+    tbl = drain_to_table(stream_dedup(events_stream(spark, sf_dir)), mode="append")
+    return spark.table(tbl).agg(F.count("*").alias("n_deduped"))

@@ -1,0 +1,84 @@
+"""Source/sink dispatch tests (R1–R6, R20–R23)."""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+import pytest
+
+from mini_etl_project_spark.sources.readers import extract
+from mini_etl_project_spark.sources.writers import load
+
+
+@pytest.fixture()
+def tiny(spark):
+    return spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, name string"
+    )
+
+
+def test_csv_roundtrip(spark, tiny, tmp_path):
+    p = str(tmp_path / "t.csv")
+    load(tiny, p)
+    back = extract(spark, p)
+    assert back.columns == ["id", "name"]
+    assert back.count() == 3
+    assert dict(back.dtypes)["id"] == "string"  # all-string by design (R1)
+
+
+def test_json_roundtrip_records_array(spark, tiny, tmp_path):
+    p = str(tmp_path / "t.json")
+    load(tiny, p)  # pandas records-array shape, like the reference
+    back = extract(spark, p)
+    assert back.count() == 3
+    assert set(back.columns) == {"id", "name"}
+
+
+def test_parquet_roundtrip(spark, tiny, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    load(tiny, p)
+    back = extract(spark, p)
+    assert back.count() == 3
+    assert dict(back.dtypes)["id"] == "bigint"  # typed, unlike CSV
+
+
+def test_sqlite_sink(spark, tiny, tmp_path):
+    conn = sqlite3.connect(str(tmp_path / "t.db"))
+    load(tiny, db_connection=conn)
+    rows = conn.execute("SELECT id, name FROM cleaned_data ORDER BY id").fetchall()
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    load(tiny, db_connection=conn)  # overwrite semantics (if_exists=replace)
+    assert conn.execute("SELECT COUNT(*) FROM cleaned_data").fetchone()[0] == 3
+
+
+def test_dict_and_pandas_sources(spark):
+    import pandas as pd
+
+    d = extract(spark, {"x": [1, 2], "y": ["u", "v"]})
+    assert d.count() == 2
+    p = extract(spark, pd.DataFrame({"x": [1.5]}))
+    assert p.collect()[0]["x"] == 1.5
+
+
+def test_unsupported_sources_raise(spark):
+    with pytest.raises(ValueError, match="unsupported file format"):
+        extract(spark, "nope.xml")
+    with pytest.raises(ValueError, match="unsupported data source type"):
+        extract(spark, 42)
+
+
+def test_excel_gated_when_engine_missing(spark, tiny, tmp_path):
+    try:
+        import openpyxl  # noqa: F401
+
+        have = True
+    except ImportError:
+        have = False
+    p = str(tmp_path / "t.xlsx")
+    if have:  # pragma: no cover - engine not in this container
+        load(tiny, p)
+        assert extract(spark, p).count() == 3
+    else:
+        with pytest.raises((ValueError, ImportError, ModuleNotFoundError)):
+            load(tiny, p)

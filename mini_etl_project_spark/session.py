@@ -49,6 +49,7 @@ def get_spark(app_name: str = "mini_etl_project_spark", cpus: str | None = None)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.warehouse.dir", "/tmp/mini_etl_warehouse")
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):

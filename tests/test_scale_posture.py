@@ -1,0 +1,90 @@
+"""Scale-posture tests: salting equivalence, bucketed co-located joins,
+plan-shape assertions (pushdown + broadcast) — the 100 TB design claims,
+checked mechanically.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.operators.skew import salted_aggregate, salted_join
+from mini_etl_project_spark.session import load_table
+
+
+def test_salted_aggregate_equals_direct(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    direct = {
+        r["l_returnflag"]: (r["n"], r["s"])
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.count("l_quantity").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (r["l_quantity_count"], r["l_quantity_sum"])
+        for r in salted_aggregate(
+            l, ["l_returnflag"], n_salts=16, counts=["l_quantity"], sums=["l_quantity"]
+        ).collect()
+    }
+    assert direct == salted
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = l.join(o, "l_orderkey").count()
+    salted = salted_join(l, o, "l_orderkey", n_salts=8).count()
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key co-locates the join — the plan
+    must contain a SortMergeJoin with NO Exchange above either scan."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("b_lineitem")
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("b_orders")
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_flagship_plan_shape(spark, sf_dir):
+    """Filter pushed to the parquet scan; only needed columns read."""
+    from mini_etl_project_spark.queries import QUERIES
+
+    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    plan = df._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]  # pruned
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    from mini_etl_project_spark.queries import QUERIES
+
+    df = QUERIES["q05_region_revenue"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

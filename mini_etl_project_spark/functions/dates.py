@@ -66,16 +66,44 @@ FORMAT_GUARDS: dict[str, str] = {
 }
 
 
+#: Shape families, mutually exclusive by construction (anchored, distinct
+#: separators / time suffix). Formats within a family keep their relative
+#: precedence order; cross-family order is irrelevant because a value can
+#: match at most one family — so the family regrouping below is
+#: semantically identical to the flat 16-format chain while evaluating
+#: ≤6 family regexes (instead of 16 guards) per non-matching value.
+_FAMILIES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    (rf"^{_G_Y}-{_G_D}-{_G_Y}$", ("yyyy-MM-dd", "dd-MM-yyyy", "MM-dd-yyyy")),
+    (rf"^{_G_Y}/{_G_D}/{_G_Y}$", ("yyyy/MM/dd", "dd/MM/yyyy", "MM/dd/yyyy")),
+    (rf"^{_G_Y}\.{_G_D}\.{_G_Y}$", ("yyyy.MM.dd", "dd.MM.yyyy", "MM.dd.yyyy")),
+    (r"^\d{8}$", ("yyyyMMdd", "ddMMyyyy", "MMddyyyy")),
+    (
+        rf"^{_G_Y}-{_G_D}-{_G_Y}{_G_TIME}$",
+        ("yyyy-MM-dd HH:mm:ss", "dd-MM-yyyy HH:mm:ss"),
+    ),
+    (
+        rf"^{_G_Y}/{_G_D}/{_G_Y}{_G_TIME}$",
+        ("yyyy/MM/dd HH:mm:ss", "dd/MM/yyyy HH:mm:ss"),
+    ),
+)
+
+
 def parse_date_multi(col: Column | str) -> Column:
     """Best-effort date parse over the 16-format chain; null if none match.
 
     The input is trimmed first (the reference strips before strptime).
+    Structured as family-dispatch (see ``_FAMILIES``) purely for speed;
+    results are identical to the flat precedence chain.
     """
     c = F.col(col) if isinstance(col, str) else col
     s = F.trim(c.cast("string"))
-    return F.coalesce(
-        *[
-            F.when(s.rlike(FORMAT_GUARDS[fmt]), F.try_to_date(s, fmt))
-            for fmt in DATE_FORMATS
-        ]
-    )
+    expr = F.lit(None).cast("date")
+    for family_rx, fmts in reversed(_FAMILIES):
+        inner = F.coalesce(
+            *[
+                F.when(s.rlike(FORMAT_GUARDS[fmt]), F.try_to_date(s, fmt))
+                for fmt in fmts
+            ]
+        )
+        expr = F.when(s.rlike(family_rx), inner).otherwise(expr)
+    return expr

@@ -72,6 +72,17 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.topk(e, queries, k=_K)
 
 
+@query("q_sim_ann_ml_brp")
+def q_sim_ann_ml_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 (library-native): spark.ml BucketedRandomProjectionLSH top-k by
+    Euclidean distance (rows-only; seeded model, deterministic)."""
+    from mini_etl_project_spark.operators.similarity import ml_brp_lsh
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _NQ)
+    return ml_brp_lsh(e, queries, k=_K)
+
+
 # -- X3 threshold variant: all pairs above a cosine floor, per label -------
 # (exercises the similarity join as an aggregation feed; exact oracle)
 

@@ -63,6 +63,28 @@ def test_parse_date_multi(spark):
     assert got == [c[1] for c in DATE_CASES]
 
 
+def test_parse_date_roundtrip_all_16_formats(spark):
+    """Every format in the chain parses its own rendering of a probe date
+    (day ≤ 12 cases resolve by precedence, day > 12 disambiguate)."""
+    from pyspark.sql import functions as F
+
+    from mini_etl_project_spark.functions.dates import DATE_FORMATS
+
+    df = spark.createDataFrame(
+        [("2023-03-07",), ("2023-11-28",)], "d string"
+    ).select(F.col("d").cast("date").alias("d"))
+    for fmt in DATE_FORMATS:
+        out = df.select(
+            "d", parse_date_multi(F.date_format("d", fmt)).alias("p")
+        ).collect()
+        for r in out:
+            assert r["p"] is not None, fmt
+            # day ≤ 12 renderings are genuinely ambiguous and resolve by
+            # precedence (day-first); day > 12 must roundtrip exactly
+            if r["d"].day > 12:
+                assert r["p"] == r["d"], (fmt, r)
+
+
 # -- R10 text cleaner ------------------------------------------------------
 
 def test_clean_text_sentinels_and_collapse(spark):

@@ -97,12 +97,18 @@ def profile_frame_and_count(
         # Integer columns KEEP the date scan: 8-digit ints parse under
         # yyyyMMdd, which the reference would detect as dates.
         kind = df.schema[c].dataType.typeName()
+        # avg_len only matters for the text-type rule, which numeric/date
+        # typed columns can never reach (they pass an earlier rule at
+        # 100 %) — skip the cast-to-string length scan for them.
+        length_agg = F.avg(F.length(s))
         if kind in ("double", "float", "decimal"):
             date_ok = F.lit(0).cast("long")
             num_ok = F.count(raw)
+            length_agg = F.lit(None).cast("double")
         elif kind in ("date", "timestamp", "timestamp_ntz"):
             date_ok = F.count(raw)
             num_ok = F.lit(0).cast("long")
+            length_agg = F.lit(None).cast("double")
         else:
             from mini_etl_project_spark.functions.cleaning import guarded_try_double
 
@@ -111,7 +117,7 @@ def profile_frame_and_count(
         aggs += [
             F.count(raw).alias(f"{c}__nn"),
             distinct.alias(f"{c}__dc"),
-            F.avg(F.length(s)).alias(f"{c}__len"),
+            length_agg.alias(f"{c}__len"),
             date_ok.alias(f"{c}__date"),
             num_ok.alias(f"{c}__num"),
         ]

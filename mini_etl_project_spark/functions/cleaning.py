@@ -59,6 +59,14 @@ def guarded_try_double(s: Column) -> Column:
     return F.when(s.rlike(NUMERIC_SHAPE), s.try_cast("double"))
 
 
+def ws_trim(c: Column) -> Column:
+    """Strip ALL leading/trailing whitespace. Spark's ``F.trim`` removes
+    only ASCII spaces, but the reference's ``str.strip()`` removes tabs,
+    newlines, etc. — found by the idempotence property test on ``"\\ta"``.
+    """
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def _nullify(c: Column, sentinels: tuple[str, ...]) -> Column:
     out = c
     for s in sentinels:
@@ -91,7 +99,7 @@ def clean_text(col: Column | str, collapse_whitespace: bool) -> Column:
     holds there too; trim-then-nullify gives the same result.
     """
     c = (F.col(col) if isinstance(col, str) else col).cast("string")
-    out = _nullify(F.trim(c), TEXT_SENTINELS)
+    out = _nullify(ws_trim(c), TEXT_SENTINELS)
     if collapse_whitespace:
         out = F.regexp_replace(out, r"\s+", " ")
     return out
@@ -112,7 +120,7 @@ def clean_categorical_base(col: Column | str) -> Column:
     ``AutoETLPipeline`` (it composes this expression with a counts join).
     """
     c = (F.col(col) if isinstance(col, str) else col).cast("string")
-    t = F.trim(F.coalesce(c, F.lit("nan")))
+    t = ws_trim(F.coalesce(c, F.lit("nan")))
     return F.when(F.lower(t).isin(*CATEGORICAL_SENTINELS), F.lit(None)).otherwise(
         F.initcap(t)
     )

@@ -96,7 +96,9 @@ def parse_date_multi(col: Column | str) -> Column:
     results are identical to the flat precedence chain.
     """
     c = F.col(col) if isinstance(col, str) else col
-    s = F.trim(c.cast("string"))
+    # strip ALL whitespace like the reference's str.strip() (F.trim only
+    # strips ASCII spaces — tabs/newlines would defeat the shape guards)
+    s = F.regexp_replace(c.cast("string"), r"^\s+|\s+$", "")
     expr = F.lit(None).cast("date")
     for family_rx, fmts in reversed(_FAMILIES):
         inner = F.coalesce(

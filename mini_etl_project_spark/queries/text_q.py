@@ -217,6 +217,162 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- X9 BPE-ish token counting ----------------------------------------------
+# Whitespace tokens vs a BPE-ish lexical split (letter runs / digit runs /
+# single punctuation) — the class-based pattern is portable between Java
+# regex (Spark) and RE2 (DuckDB).
+
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+_BPE_ORACLE = f"""
+SELECT doc_id,
+       LEN(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+       LEN(regexp_extract_all(text, '{_BPE_PATTERN}')) AS bpe_tokens,
+       CAST(LEN(regexp_extract_all(text, '{_BPE_PATTERN}')) AS DOUBLE)
+         / GREATEST(LEN(string_split_regex(trim(text), '\\s+')), 1)
+         AS fertility
+FROM documents
+"""
+
+
+@query("q_text_bpe_tokens", _BPE_ORACLE)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(tokens("text"))
+    bpe = F.regexp_count("text", F.lit(_BPE_PATTERN))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (bpe.cast("double") / F.greatest(ws, F.lit(1))).alias("fertility"),
+    )
+
+
+# -- X2 word-bigram Jaccard pairs (exact n-gram Jaccard tier) ---------------
+
+_BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents WHERE doc_id < 150),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, GREATEST(len(ws) - 1, 1)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS gram
+  FROM toks),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.05
+"""
+
+
+@query("q_text_bigram_jaccard", _BIGRAM_ORACLE)
+def q_text_bigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    ws = tokens("text")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(1)))
+    grams = d.select(
+        F.col("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat(
+                        F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = grams.select(F.col("doc_id").alias("id_a"), "gram")
+    b = grams.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n": "n_b"}), "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.05)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- X9 winnowing fingerprints (rolling-hash document sketch) ---------------
+# Classic winnowing: hash every k-gram (rolling/polynomial hash ≡ our
+# md5-derived hash64), slide a window of w positions, keep each window's
+# minimum — the retained set is a position-robust document sketch.
+
+_WINNOW_K = 5
+_WINNOW_W = 8
+
+_WINNOW_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, text, GREATEST(length(text) - {_WINNOW_K - 1}, 1) AS n_grams
+  FROM documents WHERE doc_id < 150),
+hashes AS (
+  SELECT doc_id, i.i AS p,
+         CAST(('0x' || substr(md5('0:' || substring(text, i.i, {_WINNOW_K})), 1, 15))
+              AS BIGINT) AS h
+  FROM pos, LATERAL (SELECT unnest(generate_series(1, n_grams)) AS i) i),
+winmin AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN 0 PRECEDING AND {_WINNOW_W - 1} FOLLOWING) AS wm,
+         p, doc_id AS d2
+  FROM hashes),
+sketch AS (SELECT DISTINCT doc_id, wm FROM winmin),
+out AS (
+  SELECT doc_id, COUNT(*) AS sketch_size, MIN(wm) AS min_fp, MAX(wm) AS max_fp
+  FROM sketch GROUP BY doc_id)
+SELECT * FROM out
+"""
+
+
+@query("q_text_winnow_fingerprint", _WINNOW_ORACLE)
+def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mini_etl_project_spark.operators.textops import char_shingles, hash64
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    # positions matter for winnowing → posexplode the NON-distinct shingles
+    n = F.length("text")
+    idx = F.sequence(F.lit(1), F.greatest(n - (_WINNOW_K - 1), F.lit(1)))
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(idx, lambda i: F.substring(F.col("text"), i, _WINNOW_K))
+        ).alias("p", "gram"),
+    ).withColumn("h", hash64(F.col("gram"), 0))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    sketch = (
+        grams.withColumn("wm", F.min("h").over(w))
+        .select("doc_id", "wm")
+        .distinct()
+    )
+    return sketch.groupBy("doc_id").agg(
+        F.count("*").alias("sketch_size"),
+        F.min("wm").alias("min_fp"),
+        F.max("wm").alias("max_fp"),
+    )
+
+
 # -- X9 fingerprinting (order-insensitive dedup key) -----------------------
 
 _FP_ORACLE = """

@@ -41,9 +41,16 @@ def extract(spark: SparkSession, source: Any) -> DataFrame:
     if isinstance(source, str):
         lower = source.lower()
         if lower.endswith(".csv"):
+            # pandas-parity parsing: quoted fields may contain newlines
+            # (multiLine) and escape quotes by doubling (escape='"').
+            # multiLine disables record-level file splitting — fine for
+            # the compat reader; bulk ingestion at scale should use
+            # parquet or line-delimited formats anyway.
             return (
                 spark.read.option("header", True)
                 .option("inferSchema", False)
+                .option("multiLine", True)
+                .option("escape", '"')
                 .csv(source)
             )
         if lower.endswith((".xlsx", ".xls")):

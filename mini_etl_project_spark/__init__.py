@@ -20,3 +20,23 @@ Layout (see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+from mini_etl_project_spark.plans.pipeline import AutoETLPipeline  # noqa: E402
+from mini_etl_project_spark.session import (  # noqa: E402
+    get_spark,
+    load_table,
+    load_tables,
+    register_views,
+)
+from mini_etl_project_spark.sources.readers import extract  # noqa: E402
+from mini_etl_project_spark.sources.writers import load  # noqa: E402
+
+__all__ = [
+    "AutoETLPipeline",
+    "extract",
+    "get_spark",
+    "load",
+    "load_table",
+    "load_tables",
+    "register_views",
+]

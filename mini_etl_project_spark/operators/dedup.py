@@ -169,6 +169,48 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return bit_sums.select("id", fp.alias("simhash"))
 
 
+def ml_minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 16,
+    jaccard_distance_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """X2, library-native alternative: spark.ml MinHashLSH
+    ``approxSimilarityJoin`` over hashed shingle vectors.
+
+    Kept alongside the expression-based pipeline above because the ml
+    implementation's hash family is Spark-private (not oracle-checkable);
+    tests compare its candidate pairs against the portable pipeline's.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = df.select(
+        F.col(id_col).alias("id"), char_shingles(text_col, k).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(shingled)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed
+    ).fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, jaccard_distance_threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.col("jaccard_dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Collapse near-dup pairs into clusters: (id, component) where
     component is the minimum id reachable through the pair graph.

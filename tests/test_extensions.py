@@ -72,6 +72,53 @@ def test_stream_dedup_and_stateful(spark, sf_dir):
         assert got[uid] == (n, mx)
 
 
+def test_approx_agg_error_bounds(spark, sf_dir):
+    """q_agg_approx is rows-only for the driver; here the sketches are
+    bounded against the exact answers (HLL++ default rsd = 5 %)."""
+    from mini_etl_project_spark.queries import QUERIES
+    from pyspark.sql import functions as F
+
+    l = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: (r["n"], r["m"])
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("m"),
+        )
+        .collect()
+    }
+    approx = QUERIES["q_agg_approx"](spark, sf_dir).collect()
+    for r in approx:
+        n_exact, med_exact = exact[r["l_returnflag"]]
+        assert abs(r["approx_parts"] - n_exact) / n_exact < 0.15
+        assert abs(r["approx_median_price"] - med_exact) / med_exact < 0.05
+
+
+def test_ml_minhash_agrees_with_portable_pipeline(spark, sf_dir):
+    """spark.ml MinHashLSH candidates vs the portable md5 pipeline on the
+    planted corpus: the high-similarity planted pairs must be found by
+    both (hash families differ, exact candidate sets need not)."""
+    from mini_etl_project_spark.operators.dedup import ml_minhash_lsh_pairs
+    from mini_etl_project_spark.queries.dedup_q import _planted_corpus
+
+    corpus = _planted_corpus(spark, sf_dir)
+    ml_pairs = {
+        (r.id_a, r.id_b)
+        for r in ml_minhash_lsh_pairs(
+            corpus, "id", "text", jaccard_distance_threshold=0.5
+        ).collect()
+    }
+    from mini_etl_project_spark.queries import QUERIES
+
+    portable = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["q_dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    overlap = len(ml_pairs & portable) / max(len(portable), 1)
+    assert overlap >= 0.8, (len(ml_pairs), len(portable), overlap)
+
+
 def test_multimodal_stub_contract(spark, sf_dir):
     with pytest.raises(NotImplementedError):
         decode_image(load_table(spark, sf_dir, "documents"))

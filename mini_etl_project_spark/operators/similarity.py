@@ -181,6 +181,87 @@ class RandomHyperplaneLSH:
         )
 
 
+class IVFIndex:
+    """IVF-style ANN (X4 second scale path): k-means coarse quantization,
+    then exact search within the ``nprobe`` closest cells.
+
+    At 100 TB the corpus is written partitioned by ``cell`` so a query
+    touches only ``nprobe`` partitions (partition pruning at the scan).
+    Seeded KMeans keeps centroid assignment reproducible for a fixed
+    corpus + partitioning.
+    """
+
+    def __init__(self, n_cells: int = 16, nprobe: int = 4, seed: int = 42) -> None:
+        self.n_cells, self.nprobe, self.seed = n_cells, nprobe, seed
+        self._model = None
+
+    def fit(self, corpus: DataFrame, vec_col: str = "embedding") -> "IVFIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+        self._model = KMeans(
+            k=self.n_cells, seed=self.seed, featuresCol="features"
+        ).fit(feats)
+        return self
+
+    def _assign(self, df: DataFrame, vec_col: str, out: str) -> DataFrame:
+        from pyspark.ml.functions import array_to_vector
+
+        assigned = self._model.transform(
+            df.withColumn("features", array_to_vector(F.col(vec_col)))
+        )
+        return assigned.withColumnRenamed("prediction", out).drop("features")
+
+    def topk(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 5,
+    ) -> DataFrame:
+        """Exact cosine top-k within each query's ``nprobe`` nearest cells."""
+        import numpy as np
+
+        c = self._assign(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+            ),
+            "c_vec",
+            "cell",
+        )
+        # close over plain Python values only — capturing `self` would drag
+        # the unpicklable JVM-backed KMeans model into the UDF closure
+        centers = [list(map(float, ctr)) for ctr in self._model.clusterCenters()]
+        nprobe = self.nprobe
+
+        @F.pandas_udf("array<int>")
+        def probe_cells(vecs):
+            import pandas as pd
+
+            ctrs = np.array(centers)
+            out = []
+            for v in vecs:
+                d = ((ctrs - np.asarray(v, dtype="float64")) ** 2).sum(axis=1)
+                out.append(np.argsort(d, kind="stable")[:nprobe].astype("int32"))
+            return pd.Series(out)
+
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ).withColumn("cell", F.explode(probe_cells(F.col("q_vec"))))
+        cand = c.join(F.broadcast(q), "cell").filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        scored = cand.withColumn("cosine", cosine_exact("q_vec", "c_vec"))
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+
+
 def ml_brp_lsh(
     corpus: DataFrame,
     queries: DataFrame,

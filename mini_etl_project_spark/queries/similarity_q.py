@@ -72,6 +72,17 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.topk(e, queries, k=_K)
 
 
+@query("q_sim_ann_ivf")
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 (IVF path): k-means coarse quantization + exact search in the
+    nprobe nearest cells (rows-only; recall asserted in tests)."""
+    from mini_etl_project_spark.operators.similarity import IVFIndex
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _NQ)
+    return IVFIndex(n_cells=8, nprobe=3).fit(e).topk(e, queries, k=_K)
+
+
 @query("q_sim_ann_ml_brp")
 def q_sim_ann_ml_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 (library-native): spark.ml BucketedRandomProjectionLSH top-k by

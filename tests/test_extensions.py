@@ -119,6 +119,20 @@ def test_ml_minhash_agrees_with_portable_pipeline(spark, sf_dir):
     assert overlap >= 0.8, (len(ml_pairs), len(portable), overlap)
 
 
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    from mini_etl_project_spark.operators.similarity import IVFIndex
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in topk_exact(e, queries, k=5).collect()
+    }
+    ivf = IVFIndex(n_cells=8, nprobe=3).fit(e)
+    got = {(r.query_id, r.neighbor_id) for r in ivf.topk(e, queries, k=5).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.6, recall
+
+
 def test_multimodal_stub_contract(spark, sf_dir):
     with pytest.raises(NotImplementedError):
         decode_image(load_table(spark, sf_dir, "documents"))

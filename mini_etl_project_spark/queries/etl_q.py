@@ -301,6 +301,79 @@ def q_etl_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- R19 fully oracle-checked: the ENTIRE pipeline vs one SQL statement ----
+# For this input the data-dependent plan resolves deterministically
+# (okey→numeric, price→numeric — plain numeric strings with an N/A
+# minority so RAW detection stays >70 % — ship→date, flag→
+# categorical with no rare values), so profile→clean→impute→clamp→dedup
+# is expressible as a single DuckDB statement. Messy strings derive from
+# INTEGER columns only (float→varchar formatting is engine-specific).
+
+_DATE_LIST = """['%Y-%m-%d', '%Y/%m/%d', '%d-%m-%Y', '%d/%m/%Y',
+ '%m-%d-%Y', '%m/%d/%Y', '%Y.%m.%d', '%d.%m.%Y',
+ '%m.%d.%Y', '%Y%m%d', '%d%m%Y', '%m%d%Y',
+ '%Y-%m-%d %H:%M:%S', '%Y/%m/%d %H:%M:%S',
+ '%d-%m-%Y %H:%M:%S', '%d/%m/%Y %H:%M:%S']"""
+
+_PIPE_ORACLE = f"""
+WITH messy AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS okey,
+         CASE WHEN l_linenumber = 3 THEN 'N/A'
+              ELSE CAST(l_partkey AS VARCHAR) || '.'
+                   || CAST(l_linenumber * 25 AS VARCHAR) END AS price,
+         strftime(l_shipdate, '%d/%m/%Y') AS ship,
+         l_returnflag AS flag
+  FROM lineitem),
+cleaned AS (
+  SELECT TRY_CAST(NULLIF(REPLACE(REGEXP_REPLACE(okey, '[^0-9.,+-]', '', 'g'),
+                                 ',', '.'), '') AS DOUBLE) AS okey,
+         TRY_CAST(NULLIF(REPLACE(REGEXP_REPLACE(price, '[^0-9.,+-]', '', 'g'),
+                                 ',', '.'), '') AS DOUBLE) AS price,
+         CAST(try_strptime(TRIM(ship), {_DATE_LIST}) AS DATE) AS ship,
+         flag  -- initcap of single uppercase letters is identity
+  FROM messy),
+med AS (SELECT MEDIAN(price) AS m FROM cleaned),
+imputed AS (
+  SELECT okey, COALESCE(price, (SELECT m FROM med)) AS price, ship, flag
+  FROM cleaned),
+stats AS (
+  SELECT AVG(okey) AS mu_o, STDDEV_SAMP(okey) AS sd_o,
+         QUANTILE_CONT(okey, 0.05) AS q5_o, QUANTILE_CONT(okey, 0.95) AS q95_o,
+         AVG(price) AS mu_p, STDDEV_SAMP(price) AS sd_p,
+         QUANTILE_CONT(price, 0.05) AS q5_p, QUANTILE_CONT(price, 0.95) AS q95_p
+  FROM imputed),
+clamped AS (
+  SELECT CASE WHEN sd_o > 0 AND ABS((okey - mu_o) / sd_o) > 3
+              THEN LEAST(GREATEST(okey, q5_o), q95_o) ELSE okey END AS okey,
+         CASE WHEN sd_p > 0 AND ABS((price - mu_p) / sd_p) > 3
+              THEN LEAST(GREATEST(price, q5_p), q95_p) ELSE price END AS price,
+         ship, flag
+  FROM imputed, stats)
+SELECT DISTINCT okey, price, ship, flag FROM clamped
+"""
+
+
+@query("q_etl_pipeline_full", _PIPE_ORACLE)
+def q_etl_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    raw = l.select(
+        F.col("l_orderkey").cast("string").alias("okey"),
+        F.when(F.col("l_linenumber") == 3, "N/A")
+        .otherwise(
+            F.concat(
+                F.col("l_partkey").cast("string"),
+                F.lit("."),
+                (F.col("l_linenumber") * 25).cast("string"),
+            )
+        )
+        .alias("price"),
+        F.date_format("l_shipdate", "dd/MM/yyyy").alias("ship"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    pipe = AutoETLPipeline(compat=True, eager_summary=False)
+    return pipe.transform(raw)
+
+
 # -- R19/R24: the full data-dependent pipeline (rows-only) -----------------
 
 

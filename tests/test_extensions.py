@@ -136,3 +136,41 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
 def test_multimodal_stub_contract(spark, sf_dir):
     with pytest.raises(NotImplementedError):
         decode_image(load_table(spark, sf_dir, "documents"))
+
+
+def test_binary_file_ingestion(spark, tmp_path):
+    """X5 ingestion path: spark.read.format('binaryFile') yields (path,
+    modificationTime, length, content) rows with the raw bytes."""
+    payload = b"\x89PNG fake-bytes \x00\x01\x02"
+    f = tmp_path / "img.bin"
+    f.write_bytes(payload)
+    df = spark.read.format("binaryFile").load(str(tmp_path))
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 1
+    assert rows[0]["length"] == len(payload)
+    assert bytes(rows[0]["content"]) == payload
+
+
+def test_streaming_foreach_batch_sink(spark, sf_dir, tmp_path):
+    """Q29 sink side: foreachBatch gives exactly-once-style custom sinks;
+    drain the events stream into parquet via batch writes."""
+    from mini_etl_project_spark.streaming.ops import events_stream, tumbling_agg
+
+    out = str(tmp_path / "agg_parquet")
+    agg = tumbling_agg(events_stream(spark, sf_dir))
+
+    def write_batch(batch_df, epoch_id):
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    e = load_table(spark, sf_dir, "events")
+    assert back.count() == (
+        e.selectExpr("date_trunc('hour', ts) AS h", "event_type").distinct().count()
+    )

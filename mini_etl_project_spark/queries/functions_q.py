@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mini_etl_project_spark.queries import query
-from mini_etl_project_spark.queries.helpers import DEC, dsum
+from mini_etl_project_spark.queries.helpers import DEC
 from mini_etl_project_spark.session import load_table
 
 # -- Q20 string functions --------------------------------------------------

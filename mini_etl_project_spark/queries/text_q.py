@@ -17,7 +17,6 @@ from mini_etl_project_spark.operators.textops import (
     lang_scores,
     quality_score,
     tokens,
-    word_count,
 )
 from mini_etl_project_spark.queries import query
 from mini_etl_project_spark.session import load_table
@@ -344,7 +343,7 @@ SELECT * FROM out
 def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from mini_etl_project_spark.operators.textops import char_shingles, hash64
+    from mini_etl_project_spark.operators.textops import hash64
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     # positions matter for winnowing → posexplode the NON-distinct shingles

@@ -138,6 +138,50 @@ def test_multimodal_stub_contract(spark, sf_dir):
         decode_image(load_table(spark, sf_dir, "documents"))
 
 
+def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
+    """Q30: with a 10-minute watermark, events arriving whole days late
+    (second micro-batch) must be dropped by streaming dedup. Two files,
+    maxFilesPerTrigger=1 → recent batch advances the watermark, late
+    batch falls entirely below it."""
+    import time
+
+    from mini_etl_project_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events").select("ts", "user_id", "event_type")
+    recent = e.filter(F.col("ts") >= "2024-01-15")
+    late = e.filter(F.col("ts") < "2024-01-10")
+    stage = tmp_path / "stream_in"
+    recent.coalesce(1).write.parquet(str(stage / "batch_a"))
+    time.sleep(1.1)  # file mod-time ordering decides batch order
+    late.coalesce(1).write.parquet(str(stage / "batch_b"))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(stage) + "/*")
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    import uuid
+
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name).count()
+    expected = recent.select("user_id", "event_type").distinct().count()
+    late_keys = late.select("user_id", "event_type").distinct().count()
+    assert late_keys > 0  # the late batch would add keys if not dropped
+    assert got == expected, (got, expected)
+
+
 def test_binary_file_ingestion(spark, tmp_path):
     """X5 ingestion path: spark.read.format('binaryFile') yields (path,
     modificationTime, length, content) rows with the raw bytes."""

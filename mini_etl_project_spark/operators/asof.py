@@ -27,14 +27,22 @@ def asof_join(
     on: str | list[str],
     left_ts: str,
     right_ts: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of left join: for each left row, the latest right row
-    with ``right_ts <= left_ts`` and equal key(s).
+    """As-of left join: for each left row, the nearest right row with
+    equal key(s) and ``right_ts <= left_ts`` (``backward``, default) or
+    ``right_ts >= left_ts`` (``forward``).
 
     Column names (other than ``on``) must be disjoint between the inputs.
     Right-side payload columns (everything except the keys) are appended
     to the left schema; unmatched left rows get nulls.
+
+    ``forward`` reuses the backward machinery on a mirrored time axis
+    (order DESC, first-following becomes last-preceding) — same single
+    shuffle + sort cost.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys]
     overlap = set(payload) & set(left.columns)
@@ -54,9 +62,10 @@ def asof_join(
 
     # Right rows sort before left rows at the same timestamp (asc on _SIDE),
     # so an exactly-simultaneous right row is visible to the left row.
+    ts_order = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
+        .orderBy(ts_order, F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned

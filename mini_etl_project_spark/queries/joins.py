@@ -207,6 +207,36 @@ ASOF LEFT JOIN signups s
 """
 
 
+_ASOF_FWD_ORACLE = """
+WITH purchases AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), errors AS (
+  SELECT user_id, ts AS error_ts FROM events WHERE event_type = 'error'
+)
+SELECT p.user_id, p.event_id, e.error_ts
+FROM purchases p
+ASOF LEFT JOIN errors e
+  ON p.user_id = e.user_id AND p.ts <= e.error_ts
+"""
+
+
+@query("q_join_asof_forward", _ASOF_FWD_ORACLE)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 forward direction: each purchase's NEXT error by the same user
+    (vs DuckDB's forward ASOF: p.ts <= e.error_ts picks the earliest)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("error_ts")
+    )
+    return asof_join(
+        purchases, errors, on="user_id", left_ts="ts", right_ts="error_ts",
+        direction="forward",
+    ).select("user_id", "event_id", "error_ts")
+
+
 @query("q_join_asof", _ASOF_ORACLE)
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")

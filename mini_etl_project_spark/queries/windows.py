@@ -122,6 +122,35 @@ FROM daily
 """
 
 
+_RANGE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+              AS BIGINT) AS day_idx,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1)
+SELECT day_idx, n,
+       SUM(n) OVER (ORDER BY day_idx
+                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d
+FROM daily
+"""
+
+
+@query("q_window_range_frame", _RANGE_ORACLE)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 RANGE frame: value-based 7-day trailing count — unlike a ROWS
+    frame, missing days don't stretch the window."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day_idx")
+    ).agg(F.count("*").alias("n"))
+    w = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    return daily.select("day_idx", "n", F.sum("n").over(w).alias("n_7d"))
+
+
 @query("q_window_frames", _FRAME_ORACLE)
 def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

@@ -52,6 +52,7 @@ def _load_all() -> None:
         similarity_q,
         streaming_q,
         text_q,
+        tpch_extra,
         windows,
     )
 

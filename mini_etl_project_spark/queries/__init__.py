@@ -57,4 +57,72 @@ def _load_all() -> None:
     )
 
 
+# The driver's correctness harness walks entries in registration order with
+# a finite per-round budget (~50 observed in round 1), so ordering is part
+# of the contract: entries that most need fresh driver evidence go first —
+# ones without a prior CORRECTNESS row, then ones whose implementation or
+# oracle changed this round, then new queries — and the long tail of
+# already-proven entries follows in stable registration order.
+_CHECK_FIRST: list[str] = [
+    # Unchecked in round 1 (no CORRECTNESS_r01 row).
+    "q_window_rank",
+    "q_window_topk_per_group",
+    "q_window_lag_lead",
+    "q_window_frames",
+    "q_window_range_frame",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_udf_pandas_scalar",
+    "q_udf_grouped_agg",
+    "q_udtf_split_words",
+    "q_sim_topk_exact",
+    "q_sim_pairs_threshold",
+    "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
+    "q_sim_ann_ml_brp",
+    "q_stream_tumbling",
+    "q_stream_sessions",
+    "q_stream_funnel",
+    "q_multimodal_bytes",
+    "q_text_stats",
+    "q_text_token_freq",
+    "q_text_tfidf_top",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_bpe_tokens",
+    "q_text_bigram_jaccard",
+    "q_text_winnow_fingerprint",
+    "q_text_fingerprint",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q15_top_supplier",
+    "q22_idle_balances",
+    # Round-2 oracle/implementation changes needing re-verification.
+    "q12_shipmode_priority",
+    "q_fn_json",
+    "q_join_asof",
+    "q_join_asof_forward",
+    "q_dedup_minhash_lsh",
+    # Round-2 new queries.
+    "q_join_asof_nearest",
+    "q_join_interval",
+    "q_stream_late_drop",
+    # Pipeline family — profiler/pipeline perf work this round.
+    "q_etl_pipeline_full",
+    "q_etl_pipeline",
+    "q01_pricing_summary",
+]
+
+
+def _reorder() -> None:
+    front = [n for n in _CHECK_FIRST if n in QUERIES]
+    tail = [n for n in QUERIES if n not in set(front)]
+    for registry in (QUERIES, ORACLES):
+        ordered = {n: registry[n] for n in front + tail if n in registry}
+        registry.clear()
+        registry.update(ordered)
+
+
 _load_all()
+_reorder()

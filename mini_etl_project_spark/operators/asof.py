@@ -14,7 +14,7 @@ Skewed keys behave like any other window (AQE/salting applies).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _TS = "__asof_ts"
@@ -30,18 +30,25 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of left join: for each left row, the nearest right row with
-    equal key(s) and ``right_ts <= left_ts`` (``backward``, default) or
-    ``right_ts >= left_ts`` (``forward``).
+    equal key(s) and ``right_ts <= left_ts`` (``backward``, default),
+    ``right_ts >= left_ts`` (``forward``), or the smaller ``|Δt|`` of the
+    two (``nearest``; ties break backward — pandas ``merge_asof`` parity).
 
     Column names (other than ``on``) must be disjoint between the inputs.
     Right-side payload columns (everything except the keys) are appended
     to the left schema; unmatched left rows get nulls.
 
+    The entire right row travels as ONE struct filled with
+    ``last(ignorenulls)``, so a matched right row carries its own NULL
+    payload values (row-level ``merge_asof``/DuckDB ASOF semantics) —
+    per-column filling would stitch values from different right rows.
+
     ``forward`` reuses the backward machinery on a mirrored time axis
-    (order DESC, first-following becomes last-preceding) — same single
-    shuffle + sort cost.
+    (order DESC, first-following becomes last-preceding); ``nearest``
+    evaluates both fills over ONE sort (two frames of the same window
+    spec). All directions cost a single shuffle + sort.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join: unknown direction {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys]
@@ -60,15 +67,61 @@ def asof_join(
     cols = keys + [c for c in left.columns if c not in keys] + payload + [_TS, _SIDE]
     unioned = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
 
-    # Right rows sort before left rows at the same timestamp (asc on _SIDE),
-    # so an exactly-simultaneous right row is visible to the left row.
-    ts_order = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(ts_order, F.col(_SIDE).asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # The whole right row as one nullable struct (null on left-side rows):
+    # carrying (ts, payload...) together keeps row-level match semantics
+    # and lets `nearest` compare candidate distances.
+    right_row = F.when(
+        F.col(_SIDE) == 0, F.struct(F.col(_TS).alias("__ts"), *payload)
     )
-    filled = unioned
+
+    if direction == "nearest":
+        # One sort; backward = last right-row struct in the preceding
+        # frame, forward = first in the following frame. Right rows sort
+        # before left rows at equal timestamps, so a simultaneous right row
+        # lands in the backward frame with Δt = 0 (and wins every tie).
+        w = Window.partitionBy(*keys).orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
+        prev = F.last(right_row, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        nxt = F.first(right_row, ignorenulls=True).over(
+            w.rowsBetween(0, Window.unboundedFollowing)
+        )
+        filled = unioned.withColumn("__prev", prev).withColumn("__next", nxt)
+
+        # Sub-second-safe numeric time: timestamps → fractional epoch
+        # seconds (double), dates via timestamp; numerics cast directly.
+        ts_kind = dict(unioned.dtypes)[_TS]
+
+        def _num(c: Column) -> Column:
+            if ts_kind == "date" or ts_kind.startswith("timestamp"):
+                # date and TIMESTAMP_NTZ lack a direct double cast; hop
+                # through TIMESTAMP (session TZ pinned UTC).
+                return c.cast("timestamp").cast("double")
+            return c.cast("double")
+
+        back_dt = _num(F.col(_TS)) - _num(F.col("__prev.__ts"))
+        fwd_dt = _num(F.col("__next.__ts")) - _num(F.col(_TS))
+        chosen = (
+            F.when(F.col("__prev").isNull(), F.col("__next"))
+            .when(F.col("__next").isNull(), F.col("__prev"))
+            .when(back_dt <= fwd_dt, F.col("__prev"))
+            .otherwise(F.col("__next"))
+        )
+        matched = filled.withColumn("__match", chosen).drop("__prev", "__next")
+    else:
+        # Right rows sort before left rows at the same timestamp (asc on
+        # _SIDE), so an exactly-simultaneous right row is visible.
+        ts_order = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(ts_order, F.col(_SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        matched = unioned.withColumn(
+            "__match", F.last(right_row, ignorenulls=True).over(w)
+        )
+
+    out = matched.filter(F.col(_SIDE) == 1)
     for c in payload:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return filled.filter(F.col(_SIDE) == 1).drop(_TS, _SIDE)
+        out = out.withColumn(c, F.col(f"__match.{c}"))
+    return out.drop("__match", _TS, _SIDE)

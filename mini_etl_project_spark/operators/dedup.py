@@ -42,6 +42,11 @@ def dedup_exact(
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
     """(id, shingle) pairs — distinct character k-shingles per document."""
+    from mini_etl_project_spark.session import ensure_parallelism
+
+    # Shingling + hashing is the map-side hot path; don't let a single
+    # row-group input serialize it (no-op at scale).
+    df = ensure_parallelism(df)
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(char_shingles(text_col, k)).alias("shingle"),
@@ -51,17 +56,23 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataF
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
-    """(id, seed, minhash): k independent minhashes per document.
+    """(id, minhashes): the k per-seed minhashes as one array, ONE groupBy.
 
-    One explode over seeds + one groupBy — two narrow shuffles total at
-    any scale; hashes are md5-derived (oracle-portable).
+    Each minhash is a min-aggregate column over the same (id, shingle)
+    rows — no seed explode, so the map side evaluates k hashes per shingle
+    in place and the shuffle carries k partial mins per (id, partition)
+    instead of k× the shingle rows. Hash values are identical to the
+    per-seed formulation (``hash64(shingle, seed)``), so the DuckDB oracle
+    reproduces them bit-for-bit.
     """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (
-        shingles.select("id", "shingle", seeds)
-        .select("id", "seed", hash64(F.col("shingle"), F.col("seed")).alias("h"))
-        .groupBy("id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    aggs = [
+        F.min(hash64(F.col("shingle"), s)).alias(f"__mh{s}")
+        for s in range(num_hashes)
+    ]
+    wide = shingles.groupBy("id").agg(*aggs)
+    return wide.select(
+        "id",
+        F.array(*[F.col(f"__mh{s}") for s in range(num_hashes)]).alias("minhashes"),
     )
 
 
@@ -71,25 +82,31 @@ def lsh_candidate_pairs(
     """X2: band the signature and bucket-join — (id_a, id_b) candidate
     pairs (a < b) sharing at least one band bucket.
 
-    Band key = md5 of the ordered minhash list in the band. The
-    self-join is on (band, band_key) — tiny buckets, no O(n²) blowup.
+    Banding is a pure projection over the signature array (band key = md5
+    of the comma-joined band slice, array order = seed order), then one
+    explode to (id, band, band_key) rows. The self-join is on
+    (band, band_key) — tiny buckets, no O(n²) blowup.
     """
-    banded = (
-        signatures.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(
+    nb = (F.size("minhashes") / rows_per_band).cast("int")
+    bands = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda b: F.struct(
+            b.alias("band"),
             F.md5(
                 F.array_join(
                     F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed", "minhash"))
+                        F.slice(
+                            F.col("minhashes"), b * rows_per_band + 1, rows_per_band
                         ),
-                        lambda s: s["minhash"].cast("string"),
+                        lambda m: m.cast("string"),
                     ),
                     ",",
                 )
-            ).alias("band_key")
-        )
+            ).alias("band_key"),
+        ),
+    )
+    banded = signatures.select("id", F.explode(bands).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
     a = banded.select(
         F.col("band"), F.col("band_key"), F.col("id").alias("id_a")
@@ -147,6 +164,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     sum over tokens of ±1 (per bit j of each token's hash) is positive.
     One explode + one groupBy; md5-derived hashes keep it oracle-portable.
     """
+    from mini_etl_project_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),

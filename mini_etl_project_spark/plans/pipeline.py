@@ -13,7 +13,8 @@ driver state.
 
 Job structure (SURVEY.md §3/§4.3):
 
-1. profile        — raw frame: types (plans/profile.py) + total row count
+1. profile        — raw frame: types (plans/profile.py, HLL distincts —
+                    the type rules never need exact counts) + total rows
 2. pre-stats      — cleaned-base frame: per-column null counts, text mean
                     lengths (drives the conditional whitespace collapse),
                     numeric medians (exact interpolating, pandas parity)
@@ -21,15 +22,27 @@ Job structure (SURVEY.md §3/§4.3):
 4. modes          — one stacked groupBy for all columns needing mode fill
                     (deterministic tie-break: highest count, then smallest
                     value — pandas ``mode()[0]`` parity; Spark's ``F.mode``
-                    is tie-nondeterministic, SURVEY.md §7)
+                    is tie-nondeterministic, SURVEY.md §7) — only when a
+                    non-numeric column has nulls
 5. outlier stats  — imputed numerics: mean, stddev_samp (= pandas ddof=1),
-                    exact percentiles 0.05/0.95, outlier counts
-6. summary        — final frame (post-dedup), with a piggybacked
-                    ``observe`` on the pre-dedup node for the duplicate
-                    count (no extra job)
+                    exact percentiles 0.05/0.95. Outlier COUNTS ride an
+                    ``observe`` on the pre-dedup node (filled by the first
+                    downstream action — the clamp itself is a no-op when a
+                    column has no outliers, so the plan never needs the
+                    count, only the report does); the same observation
+                    carries the pre-dedup row count for the duplicate-
+                    removed report line.
+6. summary        — final frame (post-dedup), eager mode only; its single
+                    agg action also materializes the observation.
 
-At 100 TB: swap ``exact_stats`` off to use approx_percentile/HLL, disable
-``eager_summary``, and the pipeline is 3 jobs + the sink write.
+So: ≤5 stats jobs eager, ≤4 lazy (``eager_summary=False``), + the
+caller's terminal action. At 100 TB additionally switch ``exact_stats``
+off — medians/percentiles go approximate (partial-aggregable, no exact
+sort-based percentile state) — and the data plane is unchanged.
+
+The persisted cleaned-base projection is tracked class-level: a new
+``transform()`` releases the previous pipeline's cache, and ``release()``
+frees it explicitly, so repeated runs never accumulate cached plans.
 """
 
 from __future__ import annotations
@@ -96,6 +109,25 @@ class AutoETLPipeline:
         self.column_types: dict[str, str] = {}
         self.cleaning_report: dict[str, list[str]] = {"global": []}
         self.data_summary: dict[str, Any] = {}
+        self._cached_base: DataFrame | None = None
+        self._observation = None
+        self._obs_filled = False
+
+    # Cached cleaned-base projections live here so sequential pipelines
+    # (bench loops, notebook re-runs) never accumulate cached plans: each
+    # transform() releases every earlier pipeline's cache. Concurrent
+    # pipelines on one session should set cache_intermediate=False.
+    _LIVE_CACHES: list[DataFrame] = []
+
+    def release(self) -> None:
+        """Unpersist the cleaned-base cache (call after the terminal
+        action on the returned frame; the plan stays valid — downstream
+        actions simply recompute the cleaning pass)."""
+        if self._cached_base is not None:
+            self._cached_base.unpersist(blocking=False)
+            if self._cached_base in AutoETLPipeline._LIVE_CACHES:
+                AutoETLPipeline._LIVE_CACHES.remove(self._cached_base)
+            self._cached_base = None
 
     # -- R1–R6 / R20–R24: E and L phases + the full pipeline ---------------
 
@@ -122,6 +154,11 @@ class AutoETLPipeline:
     # -- phase 2 of run_etl (R19) ------------------------------------------
 
     def transform(self, df: DataFrame) -> DataFrame:
+        from mini_etl_project_spark.session import ensure_parallelism
+
+        # Regex-heavy profiling/cleaning must not run single-threaded just
+        # because the input is one parquet row group (no-op at scale).
+        df = ensure_parallelism(df)
         self.column_types = {}
         self.cleaning_report = {"global": []}
         for c in df.columns:
@@ -155,7 +192,12 @@ class AutoETLPipeline:
         if self.cache_intermediate:
             from pyspark import StorageLevel
 
+            for cached in AutoETLPipeline._LIVE_CACHES:
+                cached.unpersist(blocking=False)
+            AutoETLPipeline._LIVE_CACHES.clear()
             base_df = base_df.persist(StorageLevel.MEMORY_AND_DISK)
+            AutoETLPipeline._LIVE_CACHES.append(base_df)
+            self._cached_base = base_df
         base: dict[str, Column] = {c: F.col(c) for c in df.columns}
 
         # Job 2: null counts + text mean lengths + numeric medians.
@@ -243,12 +285,17 @@ class AutoETLPipeline:
             imputed[c] = expr
 
         # Job 5 + clamp plan: outliers on imputed numerics (R16, :172-201).
+        # The clamp is gated per ROW (z > threshold), so applying it to a
+        # column with zero outliers is the identity — the plan never needs
+        # the outlier COUNT, only the report does. The counts therefore
+        # ride the pre-dedup observation (below) instead of a second agg.
+        obs_metrics: list[Column] = [F.count(F.lit(1)).alias("__rows_pre")]
         num_cols = [c for c in kept if self.column_types[c] == NUMERIC]
         if num_cols:
             stats = self._outlier_stats(base_df, {c: imputed[c] for c in num_cols})
             for c in num_cols:
-                mu, sigma, q05, q95, n_out = stats[c]
-                if n_out and sigma:
+                mu, sigma, q05, q95 = stats[c]
+                if sigma and q05 is not None:
                     z = F.abs((imputed[c] - F.lit(mu)) / F.lit(sigma))
                     clamped = F.least(
                         F.greatest(imputed[c], F.lit(q05)), F.lit(q95)
@@ -256,28 +303,60 @@ class AutoETLPipeline:
                     imputed[c] = F.when(z > self.outlier_z, clamped).otherwise(
                         imputed[c]
                     )
-                    self.cleaning_report[c].append(f"clamped {n_out} outlier values")
+                    obs_metrics.append(
+                        F.sum((z > self.outlier_z).cast("long")).alias(
+                            f"{c}__n_out"
+                        )
+                    )
 
-        # Fused final plan: one Project + distinct (R17, :264-272).
-        projected = base_df.select(*[imputed[c].alias(c) for c in kept])
+        # Fused final plan: one Project + distinct (R17, :264-272), with an
+        # observation (row + outlier counts, filled for free by the first
+        # downstream action). The observe node sits BELOW the projection —
+        # its z-score metrics reference the UNclamped imputed expressions,
+        # which only resolve against base_df's columns.
+        from pyspark.sql import Observation
+
+        self._observation = Observation()
+        self._obs_filled = False
+        observed = base_df.observe(self._observation, *obs_metrics)
+        projected = observed.select(*[imputed[c].alias(c) for c in kept])
         self._pre_dedup = projected
         result = projected.dropDuplicates()
 
         if self.eager_summary:
-            self.create_data_summary(result, pre_dedup=projected)  # job 6
-        if self.cache_intermediate and self.eager_summary:
-            # stats + summary are gathered; later actions on `result`
-            # recompute one clean pass from source. When summary is lazy
-            # the cache stays hot for the caller's write job.
-            base_df.unpersist(blocking=False)
+            self.create_data_summary(result)  # job 6; also fills the observation
         return result
+
+    def _fill_observed_report(self, n_after: int | None = None) -> None:
+        """Fold the pre-dedup observation (filled by the first action on
+        the result frame) into the cleaning report. Blocks if no action has
+        run yet — callers ensure one has."""
+        if self._obs_filled or self._observation is None:
+            return
+        got = self._observation.get
+        self._obs_filled = True
+        for key, v in got.items():
+            if key.endswith("__n_out") and v:
+                self.cleaning_report[key[: -len("__n_out")]].append(
+                    f"clamped {v} outlier values"
+                )
+        if n_after is not None:
+            removed = got["__rows_pre"] - n_after
+            if removed > 0:
+                self.cleaning_report["global"].append(
+                    f"removed {removed} duplicate rows"
+                )
 
     # -- helpers (one job each) --------------------------------------------
 
     def _profile_with_count(
         self, df: DataFrame
     ) -> tuple[dict[str, ColumnProfile], int]:
-        return profile_frame_and_count(df, exact_distinct=self.exact_stats)
+        # HLL distincts always: the type rules compare the distinct count
+        # against coarse thresholds (50 / 30 % ratio), where HLL's ~2 %
+        # error is immaterial — and the exact path costs a whole extra
+        # expression-free job (multi-column COUNT(DISTINCT) → Expand).
+        return profile_frame_and_count(df, exact_distinct=False)
 
     def _pre_stats(
         self,
@@ -361,23 +440,6 @@ class AutoETLPipeline:
                 F.expr(f"{pq}(`__etl_{c}`, array(0.05, 0.95))").alias(f"{c}__q"),
             ]
         row = named.agg(*aggs).collect()[0]
-        # outlier counts need mu/sigma → fold into one more tiny agg over
-        # the same projection (still constant job count: this is job 5b,
-        # only when numeric columns exist).
-        cnt_aggs = []
-        for c in cols:
-            mu, sd = row[f"{c}__mu"], row[f"{c}__sd"]
-            col = F.col(f"__etl_{c}")
-            if sd:
-                cnt_aggs.append(
-                    F.sum(
-                        (F.abs((col - F.lit(mu)) / F.lit(sd)) > self.outlier_z)
-                        .cast("long")
-                    ).alias(f"{c}__n")
-                )
-            else:
-                cnt_aggs.append(F.lit(0).alias(f"{c}__n"))
-        cnt_row = named.agg(*cnt_aggs).collect()[0]
         out = {}
         for c in cols:
             q = row[f"{c}__q"]
@@ -386,16 +448,18 @@ class AutoETLPipeline:
                 row[f"{c}__sd"],
                 q[0] if q else None,
                 q[1] if q else None,
-                cnt_row[f"{c}__n"],
             )
         return out
 
     # -- R18 ---------------------------------------------------------------
 
-    def create_data_summary(
-        self, df: DataFrame, pre_dedup: DataFrame | None = None
-    ) -> dict[str, Any]:
-        """Single wide aggregation (reference: one pandas pass per stat)."""
+    def create_data_summary(self, df: DataFrame) -> dict[str, Any]:
+        """Single wide aggregation (reference: one pandas pass per stat).
+
+        The agg action also materializes the pre-dedup observation, which
+        supplies the duplicate-removed and outlier-clamped report counts —
+        no separate ``count()`` job.
+        """
         aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
         for c in df.columns:
             aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__na"))
@@ -411,13 +475,7 @@ class AutoETLPipeline:
                 aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
         row = df.agg(*aggs).collect()[0]
         n_after = row["__rows"]
-        if pre_dedup is not None:
-            n_before = pre_dedup.count()
-            removed = n_before - n_after
-            if removed > 0:
-                self.cleaning_report["global"].append(
-                    f"removed {removed} duplicate rows"
-                )
+        self._fill_observed_report(n_after=n_after)
         self.data_summary = {
             "total_rows": n_after,
             "total_columns": len(df.columns),

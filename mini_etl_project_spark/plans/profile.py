@@ -110,10 +110,16 @@ def profile_frame_and_count(
             num_ok = F.lit(0).cast("long")
             length_agg = F.lit(None).cast("double")
         else:
-            from mini_etl_project_spark.functions.cleaning import guarded_try_double
+            from mini_etl_project_spark.functions.cleaning import (
+                guarded_try_double,
+                ws_trim,
+            )
 
+            # ws_trim (regexp \s strip), not F.trim (ASCII space only):
+            # pd.to_numeric accepts tab/newline-padded numerics, and the
+            # date branch already strips all whitespace.
             date_ok = F.count(parse_date_multi(s))
-            num_ok = F.count(guarded_try_double(F.trim(s)))
+            num_ok = F.count(guarded_try_double(ws_trim(s)))
         aggs += [
             F.count(raw).alias(f"{c}__nn"),
             distinct.alias(f"{c}__dc"),

@@ -383,7 +383,12 @@ def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The profile→plan machinery chooses types and cleaning at runtime; its
     semantics are pinned by the golden-parity and unit tests
-    (tests/test_pipeline_golden.py, tests/test_cleaners.py).
+    (tests/test_pipeline_golden.py, tests/test_cleaners.py); per-SF row
+    counts are pinned by tests/test_cleaners.py::test_pipeline_sf_rowcounts.
+
+    ``exact_stats=False`` is the 100 TB posture: approx medians/percentiles
+    are partial-aggregable, so every stats job is a straight map-side-
+    combine aggregation with no exact-percentile sort state.
     """
     l = load_table(spark, sf_dir, "lineitem")
     raw = l.select(
@@ -394,5 +399,5 @@ def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("l_shipdate", "dd/MM/yyyy").alias("ship"),
         F.col("l_returnflag").alias("flag"),
     )
-    pipe = AutoETLPipeline(compat=True, eager_summary=False)
+    pipe = AutoETLPipeline(compat=True, eager_summary=False, exact_stats=False)
     return pipe.transform(raw)

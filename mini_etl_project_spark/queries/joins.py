@@ -253,3 +253,91 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="signup_ts",
     ).select("user_id", "event_id", "signup_ts")
+
+
+# -- Q8 nearest-direction as-of join ---------------------------------------
+# DuckDB has no nearest ASOF: the oracle runs BOTH directions natively and
+# picks the smaller |Δt| (tie → backward), which is exactly the semantics
+# of our one-sort two-frame implementation (operators/asof.py).
+
+_ASOF_NEAREST_ORACLE = """
+WITH purchases AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), errors AS (
+  SELECT user_id, ts AS error_ts FROM events WHERE event_type = 'error'
+), b AS (
+  SELECT p.user_id, p.event_id, p.ts, e.error_ts AS b_ts
+  FROM purchases p
+  ASOF LEFT JOIN errors e ON p.user_id = e.user_id AND p.ts >= e.error_ts
+), f AS (
+  SELECT p.user_id, p.event_id, e.error_ts AS f_ts
+  FROM purchases p
+  ASOF LEFT JOIN errors e ON p.user_id = e.user_id AND p.ts <= e.error_ts
+)
+SELECT b.user_id, b.event_id,
+       CASE WHEN b.b_ts IS NULL THEN f.f_ts
+            WHEN f.f_ts IS NULL THEN b.b_ts
+            WHEN (b.ts - b.b_ts) <= (f.f_ts - b.ts) THEN b.b_ts
+            ELSE f.f_ts END AS error_ts
+FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id
+"""
+
+
+@query("q_join_asof_nearest", _ASOF_NEAREST_ORACLE)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 nearest direction: each purchase's closest error by the same
+    user in either time direction (ties break backward)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("error_ts")
+    )
+    return asof_join(
+        purchases, errors, on="user_id", left_ts="ts", right_ts="error_ts",
+        direction="nearest",
+    ).select("user_id", "event_id", "error_ts")
+
+
+# -- Q7 interval-overlap join ----------------------------------------------
+# Two order samples with synthetic validity windows; pairs whose windows
+# overlap. DuckDB plans the raw range predicate with IEJoin; our engine
+# uses the range-bucket join (operators/interval.py) — an equi-shuffle on
+# the bucket key, the 100 TB-safe shape.
+
+_INTERVAL_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey AS a_key, o_orderdate AS a_start,
+         o_orderdate + INTERVAL 10 DAY AS a_end
+  FROM orders WHERE o_orderkey % 97 = 0
+), b AS (
+  SELECT o_orderkey AS b_key, o_orderdate AS b_start,
+         o_orderdate + INTERVAL 5 DAY AS b_end
+  FROM orders WHERE o_orderkey % 89 = 0
+)
+SELECT a_key, b_key
+FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+"""
+
+
+@query("q_join_interval", _INTERVAL_ORACLE)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.interval import interval_join
+
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_orderdate").alias("a_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAY")).alias("a_end"),
+    )
+    b = o.filter(F.col("o_orderkey") % 89 == 0).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderdate").alias("b_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 5 DAY")).alias("b_end"),
+    )
+    paired = interval_join(
+        a, b, "a_start", "a_end", "b_start", "b_end",
+        bucket_width=16 * 86400.0,
+    )
+    return paired.select("a_key", "b_key")

@@ -4,7 +4,8 @@ The exact top-k is fully oracle-checked: both engines compute cosine from
 exact-decimal dot products and squared norms, so scores AND rankings are
 bit-identical. The ANN variants (deterministic random-hyperplane LSH and
 spark.ml BRP-LSH) are rows-only for the driver; their recall against the
-exact top-k is asserted in tests/test_similarity.py.
+exact top-k is asserted in tests/test_extensions.py
+(test_ann_recall_vs_exact, test_ivf_recall_vs_exact).
 """
 
 from __future__ import annotations

@@ -21,6 +21,7 @@ from mini_etl_project_spark.session import load_table
 from mini_etl_project_spark.streaming.ops import (
     drain_to_table,
     events_stream,
+    late_split_stream,
     session_agg,
     tumbling_agg,
 )
@@ -47,6 +48,44 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         "sum_value",
+    )
+
+
+# -- Q30: watermark late-data dropping, made observable --------------------
+# Three micro-batches (recent file, empty bridge, stale file — the bridge
+# burns Spark's one-batch late-event watermark lag, see
+# streaming/ops.py::late_split_stream). The stale rows are all > 50 min
+# past the active watermark and get dropped, so the drained result equals
+# a batch aggregate over ONLY the recent slice. Removing withWatermark
+# makes the stale rows aggregate and this oracle fail — the watermark is
+# load-bearing, not decorative. epoch_us on both sides pins the cutoff to
+# Spark's microsecond timeline (events.parquet is TIMESTAMP(NANOS)).
+
+_LATE_DROP_ORACLE = """
+WITH mx AS (SELECT MAX(ts) AS m FROM events)
+SELECT DATE_TRUNC('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events, mx
+WHERE epoch_us(ts) >= epoch_us(m) - 3600000000
+GROUP BY 1, 2
+"""
+
+
+@query("q_stream_late_drop", _LATE_DROP_ORACLE)
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = late_split_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    out = drain_to_table(agg, mode="update")
+    return spark.table(out).select(
+        F.col("window_start").cast("timestamp"), "event_type", "n_events"
     )
 
 

@@ -79,6 +79,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition ONLY when the input's partitioning is degenerate.
+
+    Single-row-group parquet files scan as one task regardless of
+    ``maxPartitionBytes`` (a row group is the minimum split unit), which
+    silently serializes expression-heavy operators (regex profiling,
+    shingling, vector math) on small inputs. At scale this is a no-op: a
+    100 TB table scans as thousands of splits ≥ cores, so the guard never
+    triggers and no shuffle is added. The repartition cost on the small
+    side (where it does trigger) is bounded by the input being small.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read every contract table; plans stay lazy until an action runs."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}

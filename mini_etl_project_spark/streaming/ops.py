@@ -52,6 +52,63 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
+def late_split_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q30 tripwire source: the events table staged as THREE files —
+    recent events (ts within 1 hour of the max), an empty bridge file,
+    then the stale bulk — replayed one file per micro-batch.
+
+    Batch 0 advances the watermark to ``max(ts) - 10 minutes``. Spark's
+    late-event filter uses the watermark as of the START of the previous
+    batch (lagged one batch since the 3.4 watermark-propagation rework,
+    SPARK-42376) — hence the empty bridge batch: it burns the lag, so
+    when the stale file arrives in batch 2 every row is > 50 minutes past
+    the active late-event watermark and MUST be dropped. A correctness
+    check on this stream fails if ``withWatermark`` is removed (the stale
+    rows would then aggregate).
+    """
+    import datetime
+    import hashlib
+    import os
+    import shutil
+    import time as _time
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    stage = f"/tmp/mini_etl_stream_late_{tag}"
+    ready = os.path.join(stage, "_READY")
+    if not os.path.exists(ready):
+        from mini_etl_project_spark.session import load_table
+
+        os.makedirs(stage, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events")
+        mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        cutoff = mx - datetime.timedelta(hours=1)
+
+        def write_one(df: DataFrame, name: str, mtime: float) -> None:
+            tmp = os.path.join(stage, f"__tmp_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = os.path.join(stage, name)
+            os.replace(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (mtime, mtime))
+
+        now = _time.time()
+        # File order = modification time; recent slice replays first.
+        write_one(ev.filter(F.col("ts") >= F.lit(cutoff)), "a_ontime.parquet", now - 180)
+        write_one(ev.limit(0), "b_bridge.parquet", now - 120)
+        write_one(ev.filter(F.col("ts") < F.lit(cutoff)), "c_stale.parquet", now - 60)
+        open(ready, "w").close()
+    return (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(stage)
+    )
+
+
 def drain_to_table(stream_df: DataFrame, mode: str = "complete") -> str:
     """Run a streaming frame to completion into a memory sink; returns the
     table name. availableNow = process-everything-then-stop."""

@@ -260,6 +260,72 @@ class IVFIndex:
         )
 
 
+    # -- the 100 TB layout: corpus on disk partitioned by cell -------------
+
+    def write_partitioned(
+        self,
+        corpus: DataFrame,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Materialize the corpus partitioned by ``cell`` — the layout that
+        makes a query touch only its ``nprobe`` cells' files."""
+        c = self._assign(
+            corpus.select(F.col(id_col), F.col(vec_col)), vec_col, "cell"
+        )
+        c.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+    def probe_cells_local(self, vec: list[float]) -> list[int]:
+        """Driver-side nprobe-nearest cells for one query vector (query
+        batches at serving time are tiny; the corpus is what's at scale)."""
+        import numpy as np
+
+        ctrs = np.array([list(map(float, c)) for c in self._model.clusterCenters()])
+        d = ((ctrs - np.asarray(vec, dtype="float64")) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d, kind="stable")[: self.nprobe]]
+
+    def topk_partitioned(
+        self,
+        spark,
+        path: str,
+        queries: list[tuple],
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 5,
+    ) -> DataFrame:
+        """Exact top-k against a cell-partitioned corpus: the ``cell IN
+        (...)`` predicate is a PARTITION filter, so the scan reads only the
+        probed cells' files — demonstrated by plan assertion in
+        tests/test_scale_posture.py::test_ivf_partition_pruning.
+
+        ``queries``: [(query_id, vector)] — small, shipped as literals.
+        """
+        probe = {qid: self.probe_cells_local(vec) for qid, vec in queries}
+        all_cells = sorted({c for cells in probe.values() for c in cells})
+        scan = spark.read.parquet(path).filter(F.col("cell").isin(all_cells))
+        qdf = spark.createDataFrame(
+            [(qid, list(map(float, vec)), probe[qid]) for qid, vec in queries],
+            "query_id long, q_vec array<double>, q_cells array<int>",
+        )
+        cand = (
+            scan.withColumnRenamed(id_col, "neighbor_id")
+            .withColumnRenamed(vec_col, "c_vec")
+            .join(
+                F.broadcast(qdf),
+                F.array_contains(F.col("q_cells"), F.col("cell")),
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
+        scored = cand.withColumn("cosine", cosine_exact("q_vec", "c_vec"))
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+
+
 def ml_brp_lsh(
     corpus: DataFrame,
     queries: DataFrame,

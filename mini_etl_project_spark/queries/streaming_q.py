@@ -90,6 +90,10 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- Q32/X10: streaming session windows vs gaps-and-islands oracle ---------
+# Boundary semantics verified empirically (Spark 4.1.2): two events exactly
+# `gap` apart MERGE into one session (session_window extends the window to
+# ts+gap and a next event AT that end still merges) — so "new session"
+# requires gap STRICTLY > 30 minutes, exactly what this oracle encodes.
 
 _SESSION_ORACLE = """
 WITH marked AS (

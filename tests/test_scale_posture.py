@@ -88,3 +88,28 @@ def test_dim_joins_broadcast(spark, sf_dir):
     df.write.format("noop").mode("overwrite").save()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_partition_pruning(spark, sf_dir, tmp_path):
+    """The cell-partitioned IVF corpus layout: a query's scan must read
+    ONLY its probed cells' files (partition pruning, VERDICT r1 item 6)."""
+    from mini_etl_project_spark.operators.similarity import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex(n_cells=8, nprobe=2, seed=42).fit(emb, "embedding")
+    path = str(tmp_path / "ivf_corpus")
+    idx.write_partitioned(emb, path)
+
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    queries = [(int(qrow["vec_id"]), list(qrow["embedding"]))]
+    out = idx.topk_partitioned(spark, path, queries, k=3)
+
+    import re
+
+    plan = out._jdf.queryExecution().toString()
+    pf = re.search(r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)", plan)
+    assert pf is not None, plan[:2000]
+    cells = set(idx.probe_cells_local(queries[0][1]))
+    assert {int(c) for c in pf.group(1).split(",")} == cells
+    rows = out.collect()
+    assert 0 < len(rows) <= 3 and all(r["query_id"] == queries[0][0] for r in rows)

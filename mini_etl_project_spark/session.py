@@ -73,10 +73,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        raw = _maybe_widen(raw, os.path.join(sf_dir, "events.parquet"))
         return raw.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return _maybe_widen(spark.read.parquet(path), path)
+
+
+def _maybe_widen(df: DataFrame, path: str) -> DataFrame:
+    """Fact tables written as a single parquet row group scan as ~1 task no
+    matter what (a row group is the minimum split). When that happens AND
+    the file is big enough to matter, repartition to restore parallelism.
+    Catalyst still pushes filters/pruning through the repartition to the
+    scan, and the guard never fires on a properly-chunked (i.e., at-scale)
+    layout. Tiny dimension files stay single-partition (they broadcast)."""
+    try:
+        if os.path.getsize(path) < 4 << 20:
+            return df
+    except OSError:
+        return df
+    return ensure_parallelism(df)
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:

@@ -108,4 +108,7 @@ def parse_date_multi(col: Column | str) -> Column:
             ]
         )
         expr = F.when(s.rlike(family_rx), inner).otherwise(expr)
-    return expr
+    # Every family starts with a digit: one 1-char prefilter short-circuits
+    # the 6 family regexes for '$1.23', 'N/A', free text, … (identity on
+    # results — a non-digit start can never match any family).
+    return F.when(s.rlike(r"^\d"), expr)

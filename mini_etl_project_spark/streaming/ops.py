@@ -166,6 +166,55 @@ def session_agg(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def click_purchase_join(stream: DataFrame) -> DataFrame:
+    """Stream-stream INNER join: purchases attributed to a same-user click
+    within the preceding 30 minutes.
+
+    Both sides are watermarked and the join condition carries the
+    event-time range, so Spark bounds the join state (clicks older than
+    watermark − 30 min are evicted) — the production-correct shape for an
+    unbounded attribution join. Inner join only: outer stream-stream
+    emission waits for the watermark to pass the time bound, so rows near
+    the end of a bounded replay would be withheld and a batch oracle
+    could not match.
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "delay_us"
+        ),
+    )
+
+
 def stream_dedup(stream: DataFrame) -> DataFrame:
     """Q33: streaming dedup on a business key within the watermark."""
     return stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(

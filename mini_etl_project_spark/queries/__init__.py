@@ -42,6 +42,7 @@ def _load_all() -> None:
     # Import for side effects: each module registers its queries.
     from mini_etl_project_spark.queries import (  # noqa: F401
         core,
+        corpus_q,
         dedup_q,
         etl_q,
         functions_q,
@@ -81,7 +82,6 @@ _CHECK_FIRST: list[str] = [
     "q_sim_pairs_threshold",
     "q_sim_ann_lsh",
     "q_sim_ann_ivf",
-    "q_sim_ann_ml_brp",
     "q_stream_tumbling",
     "q_stream_sessions",
     "q_stream_funnel",
@@ -107,6 +107,7 @@ _CHECK_FIRST: list[str] = [
     "q_join_interval",
     "q_stream_late_drop",
     "q_stream_join",
+    "q_corpus_pretrain",
     "q02_min_cost_supplier",
     "q07_nation_volume",
     "q08_market_share",
@@ -120,6 +121,7 @@ _CHECK_FIRST: list[str] = [
     # Implementation changed after the round-1 check ran.
     "q_etl_pipeline_full",
     # ---- ~50-entry budget boundary (observed round 1) ----
+    "q_sim_ann_ml_brp",  # rows-only; weakest marginal evidence
     "q_dedup_minhash_lsh",
     "q_join_asof",
     "q_join_asof_forward",

@@ -1,0 +1,173 @@
+"""X-composite: the full LLM pretraining-corpus preparation pipeline as
+ONE declarative plan — quality filter → exact dedup → MinHash/LSH
+near-dup removal → per-(lang, source) corpus stats.
+
+This is the shape a 100 TB training-data job actually takes, built from
+the engine's own operators (operators/textops.py, operators/dedup.py) and
+checked end-to-end against a single DuckDB statement. The corpus is the
+documents table plus planted exact copies (doc_id+20000) and truncated
+near-copies (doc_id+10000), so every stage provably removes something.
+
+Scale posture: the quality scorer is pure expression arithmetic (one
+pass, no shuffle); exact dedup is one window over the text hash; near-dup
+is the banded-LSH ladder (no all-pairs — candidates come from band-bucket
+joins, exact Jaccard only on candidates); the final drop is a broadcast
+anti-join on the (tiny) near-dup id set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.operators.dedup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_rows,
+)
+from mini_etl_project_spark.operators.textops import quality_score, tokens
+from mini_etl_project_spark.queries import query
+from mini_etl_project_spark.queries.helpers import sql_davg
+from mini_etl_project_spark.session import load_table
+
+# Portable 60-bit hash (see operators/textops.py::hash64).
+_HASH64 = (
+    "CAST(('0x' || substr(md5(CAST({seed} AS VARCHAR) || ':' || {v}), 1, 15)) "
+    "AS BIGINT)"
+)
+
+_STOPS_SQL = "'the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'"
+
+_PRETRAIN_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 20000 AS id, text, lang, source
+  FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 10000 AS id, substring(text, 21) AS text, lang, source
+  FROM documents WHERE doc_id < 100),
+scored AS (
+  SELECT id, text, lang, source,
+         LENGTH(text) AS n_chars,
+         LEN(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         LEN(list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> lower(t) IN ({_STOPS_SQL}))) AS stop_hits
+  FROM corpus),
+quality AS (
+  SELECT id, text, lang, source, n_tok,
+         (LEAST(n_chars / 500.0, 1.0)
+          + (CASE WHEN CAST(n_chars AS DOUBLE) / GREATEST(n_tok, 1) >= 3
+                   AND CAST(n_chars AS DOUBLE) / GREATEST(n_tok, 1) <= 10
+                  THEN 1.0 ELSE 0.5 END)
+          + (CASE WHEN CAST(stop_hits AS DOUBLE) / GREATEST(n_tok, 1) >= 0.01
+                   AND CAST(stop_hits AS DOUBLE) / GREATEST(n_tok, 1) <= 0.6
+                  THEN 1.0 ELSE 0.5 END)) / 3 AS quality
+  FROM scored),
+kept AS (
+  SELECT * FROM quality WHERE quality >= 0.6 AND n_tok >= 5),
+exact_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY md5(lower(trim(text))) ORDER BY id) AS rn
+  FROM kept),
+uniq AS (SELECT id, text, lang, source, n_tok, quality
+         FROM exact_ranked WHERE rn = 1),
+sh AS (
+  SELECT DISTINCT id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(length(text)-4, 1)),
+             i -> substring(text, i, 5)))) AS shingle
+  FROM uniq),
+hashes AS (
+  SELECT id, seed.s AS seed,
+         {_HASH64.format(seed='seed.s', v='shingle')} AS h
+  FROM sh, (SELECT unnest(generate_series(0, 15)) AS s) seed),
+sig AS (SELECT id, seed, MIN(h) AS minhash FROM hashes GROUP BY id, seed),
+banded AS (
+  SELECT id, CAST(FLOOR(seed / 4) AS INT) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
+           AS band_key
+  FROM sig GROUP BY id, CAST(FLOOR(seed / 4) AS INT)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+neardup AS (
+  SELECT DISTINCT b.id AS id
+  FROM cand
+  JOIN sizes sa ON sa.id = cand.id_a
+  JOIN sizes sb ON sb.id = cand.id_b
+  JOIN (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id) i ON i.ia = cand.id_a AND i.ib = cand.id_b
+  JOIN uniq b ON b.id = cand.id_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       {sql_davg('quality', 'mean_quality')}
+FROM uniq
+WHERE id NOT IN (SELECT id FROM neardup)
+GROUP BY lang, source
+"""
+
+
+@query("q_corpus_pretrain", _PRETRAIN_ORACLE)
+def q_corpus_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus = (
+        d.select(F.col("doc_id").alias("id"), "text", "lang", "source")
+        .unionByName(
+            d.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 20000).alias("id"), "text", "lang", "source"
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") < 100).select(
+                (F.col("doc_id") + 10000).alias("id"),
+                F.substring(F.col("text"), 21, 1 << 30).alias("text"),
+                "lang",
+                "source",
+            )
+        )
+    )
+
+    # Stage 1: quality scoring + filter (pure expressions, no shuffle).
+    kept = corpus.select(
+        "id",
+        "text",
+        "lang",
+        "source",
+        F.size(tokens("text")).alias("n_tok"),
+        quality_score("text").alias("quality"),
+    ).filter((F.col("quality") >= 0.6) & (F.col("n_tok") >= 5))
+
+    # Stage 2: exact dedup, deterministic keep-first (one window over the
+    # text hash — single shuffle).
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("id")
+    uniq = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    # Stage 3: MinHash → LSH bands → exact Jaccard on candidates only;
+    # drop the higher id of each confirmed pair.
+    sh = shingle_rows(uniq, "id", "text", k=5)
+    sig = minhash_signatures(sh, num_hashes=16)
+    cand = lsh_candidate_pairs(sig, rows_per_band=4)
+    pairs = jaccard_pairs(sh, candidates=cand, threshold=0.5)
+    neardup = pairs.select(F.col("id_b").alias("id")).distinct()
+    final = uniq.join(F.broadcast(neardup), "id", "left_anti")
+
+    # Stage 4: corpus stats per (lang, source).
+    return final.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        (
+            F.sum(F.col("quality").cast("decimal(38,6)")).cast("double")
+            / F.count(F.col("quality"))
+        ).alias("mean_quality"),
+    )

@@ -108,6 +108,7 @@ _CHECK_FIRST: list[str] = [
     "q_stream_late_drop",
     "q_stream_join",
     "q_corpus_pretrain",
+    "q_source_python_ds",
     "q02_min_cost_supplier",
     "q07_nation_volume",
     "q08_market_share",
@@ -116,11 +117,11 @@ _CHECK_FIRST: list[str] = [
     "q13_customer_distribution",
     "q16_supplier_counts",
     "q17_small_quantity",
-    "q20_promotion_suppliers",
     "q21_sole_blame_suppliers",
     # Implementation changed after the round-1 check ran.
     "q_etl_pipeline_full",
     # ---- ~50-entry budget boundary (observed round 1) ----
+    "q20_promotion_suppliers",  # shape-redundant with q18 (IN over HAVING)
     "q_sim_ann_ml_brp",  # rows-only; weakest marginal evidence
     "q_dedup_minhash_lsh",
     "q_join_asof",

@@ -239,3 +239,26 @@ def q_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tbl = drain_to_table(stream_dedup(events_stream(spark, sf_dir)), mode="append")
     return spark.table(tbl).agg(F.count("*").alias("n_deduped"))
+
+
+# -- R1+/Q1: custom Python DataSource (Spark 4 DataSource API) -------------
+# The synthetic-corpus source generates rows as pure functions of the row
+# id (sources/pyds.py), so DuckDB's generate_series reproduces the scan
+# exactly — including the pushed-down id range (the source narrows its
+# generated range in pushFilters; dropped rows are never materialized).
+
+_PYDS_ORACLE = """
+SELECT i AS id,
+       md5(CAST(i AS VARCHAR)) AS doc,
+       CAST(i % 97 AS DOUBLE) / 97.0 AS score
+FROM generate_series(500, 1499) t(i)
+"""
+
+
+@query("q_source_python_ds", _PYDS_ORACLE)
+def q_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.sources.pyds import register
+
+    register(spark)
+    df = spark.read.format("synthetic_corpus").option("rows", 2000).load()
+    return df.filter((F.col("id") >= 500) & (F.col("id") < 1500))

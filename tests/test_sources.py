@@ -82,3 +82,46 @@ def test_excel_gated_when_engine_missing(spark, tiny, tmp_path):
     else:
         with pytest.raises((ValueError, ImportError, ModuleNotFoundError)):
             load(tiny, p)
+
+
+def test_python_datasource_pushdown_and_values(spark):
+    """Custom Python DataSource (sources/pyds.py): filter pushdown narrows
+    the generated range (reader-level) and the scan values are the
+    documented pure functions of id (e2e)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mini_etl_project_spark.sources.pyds import (
+        GreaterThanOrEqual,
+        LessThan,
+        SyntheticCorpusReader,
+        register,
+    )
+
+    # Reader-level: pushFilters consumes id-range filters and partitions
+    # cover exactly the narrowed range.
+    r = SyntheticCorpusReader({"rows": "2000", "partitions": "4"})
+    leftover = list(
+        r.pushFilters(
+            [GreaterThanOrEqual(("id",), 500), LessThan(("id",), 1500)]
+        )
+    )
+    assert leftover == []  # both consumed
+    parts = r.partitions()
+    assert parts[0].start == 500 and parts[-1].end == 1500
+    assert sum(p.end - p.start for p in parts) == 1000
+
+    # End-to-end through Spark.
+    register(spark)
+    rows = (
+        spark.read.format("synthetic_corpus")
+        .option("rows", 100)
+        .load()
+        .filter(F.col("id") >= 95)
+        .orderBy("id")
+        .collect()
+    )
+    assert [x.id for x in rows] == [95, 96, 97, 98, 99]
+    assert rows[0].doc == hashlib.md5(b"95").hexdigest()
+    assert rows[0].score == (95 % 97) / 97.0

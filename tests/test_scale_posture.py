@@ -113,3 +113,25 @@ def test_ivf_partition_pruning(spark, sf_dir, tmp_path):
     assert {int(c) for c in pf.group(1).split(",")} == cells
     rows = out.collect()
     assert 0 < len(rows) <= 3 and all(r["query_id"] == queries[0][0] for r in rows)
+
+
+def test_tpch_full_plan_shapes(spark, sf_dir):
+    """New TPC-H shapes keep the scale posture: dimension joins broadcast,
+    EXISTS/NOT EXISTS compile to semi/anti hash joins on the order key
+    (never a cartesian), and the correlated-MIN window stays partitioned."""
+    from mini_etl_project_spark.queries import QUERIES
+
+    p9 = QUERIES["q09_product_profit"](spark, sf_dir)
+    p9.write.format("noop").mode("overwrite").save()
+    plan9 = p9._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan9
+
+    p21 = QUERIES["q21_sole_blame_suppliers"](spark, sf_dir)
+    plan21 = p21._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan21
+    assert "LeftSemi" in plan21 and "LeftAnti" in plan21
+
+    p2 = QUERIES["q02_min_cost_supplier"](spark, sf_dir)
+    plan2 = p2._jdf.queryExecution().toString()
+    # correlated MIN compiled to a window partitioned by the part key
+    assert "windowspecdefinition(p_partkey" in plan2

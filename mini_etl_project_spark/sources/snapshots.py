@@ -1,0 +1,157 @@
+"""Manifest-based snapshot table format — Delta/Iceberg-style semantics
+(atomic commits, snapshot isolation, time travel, optimistic concurrency,
+vacuum) in pure PySpark + parquet, no external jars.
+
+Layout::
+
+    <root>/data/<uuid>.parquet          immutable data files
+    <root>/_manifests/v%08d.json        file list + schema per version
+    <root>/_LATEST                      pointer to the current version
+
+Why this shape scales:
+
+- A manifest is the COMPLETE file list for its version, so readers plan
+  a scan from one small JSON read — no directory listing of the (at
+  100 TB, enormous) data tree, and no torn reads: a reader that loaded
+  manifest vN keeps a consistent snapshot even while writers commit
+  vN+1, because data files are immutable and never rewritten in place.
+- Commits are O(1) metadata: stage data files, then create the next
+  manifest with an exclusive create (``open(..., 'x')``) — two writers
+  racing to commit the same version collide on that create and exactly
+  one wins (optimistic concurrency). On an object store the equivalent
+  primitive is a conditional PUT (if-none-match), as used by Delta's
+  commit protocol on S3/GCS.
+- ``vacuum`` deletes files unreachable from the retained manifests —
+  the same contract as ``VACUUM`` in Delta.
+
+This is a faithful miniature, not a toy: append/overwrite, readers of
+old versions unaffected by later commits, concurrent-commit conflict,
+and time travel are all real and tested (tests/test_sources.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first — retry on latest."""
+
+
+class SnapshotTable:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "_manifests")
+
+    # -- creation ----------------------------------------------------------
+
+    @classmethod
+    def create(cls, root: str) -> "SnapshotTable":
+        t = cls(root)
+        os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.manifest_dir, exist_ok=True)
+        return t
+
+    # -- metadata ----------------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{version:08d}.json")
+
+    def latest_version(self) -> int:
+        """0 = empty table (no commits yet)."""
+        try:
+            with open(os.path.join(self.root, "_LATEST")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    # -- write path --------------------------------------------------------
+
+    def _stage(self, df: DataFrame) -> list[str]:
+        """Write df's rows as immutable data files; return their names."""
+        tmp = os.path.join(self.root, f"_staging_{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        names = []
+        for f in sorted(os.listdir(tmp)):
+            if f.endswith(".parquet"):
+                name = f"{uuid.uuid4().hex}.parquet"
+                os.replace(os.path.join(tmp, f), os.path.join(self.data_dir, name))
+                names.append(name)
+        shutil.rmtree(tmp)
+        return names
+
+    def _commit(self, files: list[str], schema_json: str, base_version: int) -> int:
+        """Atomically publish ``files`` as version ``base_version + 1``.
+
+        The exclusive manifest create is the commit point: it fails if a
+        concurrent writer already claimed the version (→ CommitConflict,
+        nothing published, staged files are unreferenced garbage for
+        vacuum). The _LATEST pointer is advisory fast-path state and is
+        written via rename AFTER the commit point.
+        """
+        version = base_version + 1
+        manifest = {"version": version, "files": files, "schema": schema_json}
+        try:
+            with open(self._manifest_path(version), "x") as f:
+                json.dump(manifest, f)
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {version} already committed by another writer"
+            ) from e
+        tmp = os.path.join(self.root, f"_latest_{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(self.root, "_LATEST"))
+        return version
+
+    def append(self, df: DataFrame) -> int:
+        base = self.latest_version()
+        prev = self._read_manifest(base)["files"] if base else []
+        return self._commit(prev + self._stage(df), df.schema.json(), base)
+
+    def overwrite(self, df: DataFrame) -> int:
+        return self._commit(self._stage(df), df.schema.json(), self.latest_version())
+
+    # -- read path ---------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read; ``version`` = time travel. The returned frame is
+        pinned to its manifest's file list — later commits don't move it."""
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            raise ValueError("empty table (no commits)")
+        m = self._read_manifest(v)
+        paths = [os.path.join(self.data_dir, f) for f in m["files"]]
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
+        return spark.read.parquet(*paths)
+
+    # -- maintenance -------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Drop data files unreachable from the ``keep_last`` most recent
+        manifests (older versions stop being time-travelable, exactly like
+        Delta's VACUUM retention trade-off). Returns deleted file names."""
+        latest = self.latest_version()
+        keep_versions = range(max(1, latest - keep_last + 1), latest + 1)
+        live = set()
+        for v in keep_versions:
+            live.update(self._read_manifest(v)["files"])
+        deleted = []
+        for f in os.listdir(self.data_dir):
+            if f not in live:
+                os.remove(os.path.join(self.data_dir, f))
+                deleted.append(f)
+        return deleted

@@ -125,3 +125,53 @@ def test_python_datasource_pushdown_and_values(spark):
     assert [x.id for x in rows] == [95, 96, 97, 98, 99]
     assert rows[0].doc == hashlib.md5(b"95").hexdigest()
     assert rows[0].score == (95 % 97) / 97.0
+
+
+def test_snapshot_table_acid_semantics(spark, tmp_path):
+    """sources/snapshots.py: atomic commits, snapshot isolation, time
+    travel, optimistic-concurrency conflict, vacuum."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from mini_etl_project_spark.sources.snapshots import (
+        CommitConflict,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(str(tmp_path / "tbl"))
+    df1 = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    df2 = spark.range(100, 150).withColumn("v", F.col("id") * 2)
+
+    assert t.append(df1) == 1
+    snap_v1 = t.read(spark)  # pinned to v1's file list
+    assert t.append(df2) == 2
+
+    # Snapshot isolation: the v1 frame still sees 100 rows post-commit.
+    assert snap_v1.count() == 100
+    assert t.read(spark).count() == 150
+    # Time travel.
+    assert t.read(spark, version=1).count() == 100
+    assert t.read(spark, version=2).count() == 150
+
+    # Overwrite replaces the file set; old versions stay readable.
+    assert t.overwrite(df2) == 3
+    assert t.read(spark).count() == 50
+    assert t.read(spark, version=2).count() == 150
+
+    # Optimistic concurrency: a writer that staged against a stale base
+    # collides on the exclusive manifest create and publishes nothing.
+    files = t._stage(df1)
+    stale_base = t.latest_version() - 1
+    with _pytest.raises(CommitConflict):
+        t._commit(files, df1.schema.json(), stale_base)
+    assert t.latest_version() == 3
+    assert t.read(spark).count() == 50
+
+    # Vacuum: keeping only the latest version drops v<=2-only files (and
+    # the conflicted writer's orphans); latest still reads fine.
+    deleted = t.vacuum(keep_last=1)
+    assert deleted  # something unreachable existed
+    assert t.read(spark).count() == 50
+    with _pytest.raises(Exception):
+        t.read(spark, version=1).count()

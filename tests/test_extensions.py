@@ -218,3 +218,16 @@ def test_streaming_foreach_batch_sink(spark, sf_dir, tmp_path):
     assert back.count() == (
         e.selectExpr("date_trunc('hour', ts) AS h", "event_type").distinct().count()
     )
+
+
+def test_connected_components_chain_log_depth(spark):
+    """Path compression: a 64-node chain (diameter 63) must collapse to
+    one component within 10 rounds — pure propagation would need 63."""
+    from mini_etl_project_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a bigint, id_b bigint"
+    )
+    rows = connected_components(pairs, max_iter=10).collect()
+    assert len(rows) == 64
+    assert {r["component"] for r in rows} == {0}

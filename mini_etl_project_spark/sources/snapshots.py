@@ -48,6 +48,7 @@ class SnapshotTable:
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.manifest_dir = os.path.join(root, "_manifests")
+        self._pending_meta: dict = {}
 
     # -- creation ----------------------------------------------------------
 
@@ -101,6 +102,9 @@ class SnapshotTable:
         """
         version = base_version + 1
         manifest = {"version": version, "files": files, "schema": schema_json}
+        if self._pending_meta:
+            manifest.update(self._pending_meta)
+            self._pending_meta = {}
         try:
             with open(self._manifest_path(version), "x") as f:
                 json.dump(manifest, f)
@@ -155,3 +159,51 @@ class SnapshotTable:
                 os.remove(os.path.join(self.data_dir, f))
                 deleted.append(f)
         return deleted
+
+    # -- streaming sink integration ---------------------------------------
+
+    def last_txn(self, app_id: str) -> int:
+        """Highest streaming batch id committed under ``app_id``
+        (−1 = none). Walks manifests newest-first; the first txn entry for
+        the app wins, exactly like Delta's per-application txn action."""
+        for v in range(self.latest_version(), 0, -1):
+            m = self._read_manifest(v)
+            txn = m.get("txn") or {}
+            if txn.get("app_id") == app_id:
+                return int(txn["batch_id"])
+        return -1
+
+    def append_txn(self, df: DataFrame, app_id: str, batch_id: int) -> int | None:
+        """Idempotent transactional append: a batch id at or below the
+        last committed one for this app is a REPLAY (foreachBatch retry /
+        checkpoint recovery) and commits nothing."""
+        if batch_id <= self.last_txn(app_id):
+            return None
+        self._pending_meta = {"txn": {"app_id": app_id, "batch_id": batch_id}}
+        try:
+            return self.append(df)
+        finally:
+            self._pending_meta = {}
+
+
+def stream_to_snapshot_table(
+    stream_df, table: SnapshotTable, checkpoint_dir: str, app_id: str = "stream"
+) -> None:
+    """Exactly-once streaming sink: foreachBatch + transactional append.
+
+    Spark's checkpoint gives at-least-once batch delivery; the table's
+    (app_id, batch_id) txn record turns replays into no-ops — together
+    that is the standard exactly-once sink recipe (same contract as
+    Delta's ``txnAppId``/``txnVersion`` writer options).
+    """
+
+    def _write(batch_df, batch_id: int) -> None:
+        table.append_txn(batch_df, app_id, batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -175,3 +175,36 @@ def test_snapshot_table_acid_semantics(spark, tmp_path):
     assert t.read(spark).count() == 50
     with _pytest.raises(Exception):
         t.read(spark, version=1).count()
+
+
+def test_stream_to_snapshot_table_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch → SnapshotTable transactional append: a finished
+    stream lands every row exactly once; re-running on the same
+    checkpoint adds nothing; a replayed batch id is a no-op."""
+    from mini_etl_project_spark.sources.snapshots import (
+        SnapshotTable,
+        stream_to_snapshot_table,
+    )
+    from mini_etl_project_spark.streaming.ops import events_stream
+
+    t = SnapshotTable.create(str(tmp_path / "sink_tbl"))
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_stream(spark, sf_dir).select("event_id", "ts", "event_type")
+
+    stream_to_snapshot_table(stream, t, ckpt, app_id="e2e")
+    n_expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert t.read(spark).count() == n_expected
+    v_after = t.latest_version()
+
+    # Restart on the same checkpoint: no new input → no new version.
+    stream_to_snapshot_table(stream, t, ckpt, app_id="e2e")
+    assert t.latest_version() == v_after
+    assert t.read(spark).count() == n_expected
+
+    # A replayed (stale) batch id commits nothing.
+    some = t.read(spark).limit(5)
+    assert t.append_txn(some, "e2e", batch_id=0) is None
+    assert t.read(spark).count() == n_expected
+    # A NEW batch id commits normally.
+    assert t.append_txn(some, "e2e", batch_id=t.last_txn("e2e") + 1) is not None
+    assert t.read(spark).count() == n_expected + 5

@@ -160,6 +160,48 @@ class SnapshotTable:
                 deleted.append(f)
         return deleted
 
+    # -- merge (upsert) ----------------------------------------------------
+
+    def merge(
+        self, spark: SparkSession, updates: DataFrame, key_cols: list[str]
+    ) -> int:
+        """Copy-on-write MERGE: update rows whose keys match, insert the
+        rest — rewriting ONLY the data files that contain a matched key.
+
+        File pruning is what makes this scale: a merge touching 0.1 % of
+        keys rewrites ~0.1 % of files (plus the update itself); every
+        untouched file is carried into the new manifest by name. The
+        touched-file discovery is one semi-join grouped by
+        ``input_file_name`` — file COUNT scale, never row scale, on the
+        driver.
+        """
+        import pyspark.sql.functions as F
+
+        base = self.latest_version()
+        if base == 0:
+            return self.append(updates)
+        manifest = self._read_manifest(base)
+        cur = self.read(spark, base).withColumn(
+            "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        keys = updates.select(*key_cols).distinct()
+        touched = {
+            r["__file"]
+            for r in cur.join(keys, key_cols, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        }
+        untouched = [f for f in manifest["files"] if f not in touched]
+        kept_rows = (
+            cur.filter(F.col("__file").isin(list(touched)))
+            .drop("__file")
+            .join(keys, key_cols, "left_anti")
+        )
+        staged = self._stage(kept_rows.unionByName(updates))
+        return self._commit(untouched + staged, updates.schema.json(), base)
+
+
     # -- streaming sink integration ---------------------------------------
 
     def last_txn(self, app_id: str) -> int:

@@ -208,3 +208,35 @@ def test_stream_to_snapshot_table_exactly_once(spark, sf_dir, tmp_path):
     # A NEW batch id commits normally.
     assert t.append_txn(some, "e2e", batch_id=t.last_txn("e2e") + 1) is not None
     assert t.read(spark).count() == n_expected + 5
+
+
+def test_snapshot_table_merge_rewrites_only_touched_files(spark, tmp_path):
+    """merge(): matched keys updated, new keys inserted, and data files
+    without any matched key carried into the new manifest BY NAME (file-
+    pruned copy-on-write)."""
+    from pyspark.sql import functions as F
+
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable.create(str(tmp_path / "m_tbl"))
+    base = spark.range(0, 100).withColumn("v", F.lit("old")).repartition(10, "id")
+    t.append(base)
+    files_v1 = set(t._read_manifest(1)["files"])
+    assert len(files_v1) == 10
+
+    updates = spark.createDataFrame(
+        [(3, "new"), (250, "new")], "id bigint, v string"
+    )
+    t.merge(spark, updates, ["id"])
+
+    out = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert len(out) == 101  # 100 originals, id=3 updated in place, id=250 added
+    assert out[3] == "new" and out[250] == "new" and out[4] == "old"
+
+    files_v2 = set(t._read_manifest(2)["files"])
+    carried = files_v1 & files_v2
+    # id=3 lives in exactly one of the 10 hash-partitioned files; the
+    # other 9 must be carried over untouched.
+    assert len(carried) == 9
+    # Time travel still sees the pre-merge state.
+    assert {r["v"] for r in t.read(spark, version=1).collect()} == {"old"}

@@ -91,6 +91,33 @@ class SnapshotTable:
         shutil.rmtree(tmp)
         return names
 
+    def _collect_stats(self, names: list[str], cols: list[str]) -> dict:
+        """Per-file min/max for ``cols`` from the parquet FOOTERS (pyarrow
+        metadata — no Spark job, no data read). The manifest carries them
+        so reads can skip whole files, Delta/Iceberg data-skipping style."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for name in names:
+            md = pq.ParquetFile(os.path.join(self.data_dir, name)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            per_col = {}
+            for c in cols:
+                if c not in idx:
+                    continue
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        mins = []
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if mins:
+                    per_col[c] = [min(mins), max(maxs)]
+            out[name] = per_col
+        return out
+
     def _commit(self, files: list[str], schema_json: str, base_version: int) -> int:
         """Atomically publish ``files`` as version ``base_version + 1``.
 
@@ -118,24 +145,55 @@ class SnapshotTable:
         os.replace(tmp, os.path.join(self.root, "_LATEST"))
         return version
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, stats_cols: list[str] | None = None) -> int:
         base = self.latest_version()
-        prev = self._read_manifest(base)["files"] if base else []
-        return self._commit(prev + self._stage(df), df.schema.json(), base)
+        prev_m = self._read_manifest(base) if base else {}
+        prev = prev_m.get("files", [])
+        staged = self._stage(df)
+        if stats_cols:
+            stats = dict(prev_m.get("stats", {}))
+            stats.update(self._collect_stats(staged, stats_cols))
+            self._pending_meta = {**self._pending_meta, "stats": stats}
+        return self._commit(prev + staged, df.schema.json(), base)
 
     def overwrite(self, df: DataFrame) -> int:
         return self._commit(self._stage(df), df.schema.json(), self.latest_version())
 
     # -- read path ---------------------------------------------------------
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: tuple | None = None,
+    ) -> DataFrame:
         """Snapshot read; ``version`` = time travel. The returned frame is
-        pinned to its manifest's file list — later commits don't move it."""
+        pinned to its manifest's file list — later commits don't move it.
+
+        ``where=(col, lo, hi)`` enables FILE SKIPPING: files whose
+        manifest min/max range for ``col`` is disjoint from [lo, hi] are
+        dropped from the scan before Spark ever lists them. This is a
+        may-contain filter — the caller still applies the row-level
+        predicate; skipping only removes provably-irrelevant I/O.
+        """
         v = self.latest_version() if version is None else version
         if v == 0:
             raise ValueError("empty table (no commits)")
         m = self._read_manifest(v)
-        paths = [os.path.join(self.data_dir, f) for f in m["files"]]
+        files = m["files"]
+        if where is not None:
+            col, lo, hi = where
+            stats = m.get("stats", {})
+
+            def may_match(f: str) -> bool:
+                rng = stats.get(f, {}).get(col)
+                if rng is None:
+                    return True  # no stats → cannot skip
+                fmin, fmax = rng
+                return not (fmax < lo or fmin > hi)
+
+            files = [f for f in files if may_match(f)]
+        paths = [os.path.join(self.data_dir, f) for f in files]
         if not paths:
             from pyspark.sql.types import StructType
 

@@ -240,3 +240,29 @@ def test_snapshot_table_merge_rewrites_only_touched_files(spark, tmp_path):
     assert len(carried) == 9
     # Time travel still sees the pre-merge state.
     assert {r["v"] for r in t.read(spark, version=1).collect()} == {"old"}
+
+
+def test_snapshot_table_file_skipping(spark, tmp_path):
+    """Manifest min/max stats prune provably-irrelevant files from the
+    scan (data skipping): a narrow id range reads 1 of 10 range-
+    partitioned files and still returns exactly the filtered rows."""
+    from pyspark.sql import functions as F
+
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable.create(str(tmp_path / "skip_tbl"))
+    df = (
+        spark.range(0, 1000)
+        .withColumn("v", F.col("id") % 7)
+        .repartitionByRange(10, "id")
+    )
+    t.append(df, stats_cols=["id"])
+    assert len(t._read_manifest(1)["files"]) == 10
+
+    pruned = t.read(spark, where=("id", 150, 160))
+    assert len(pruned.inputFiles()) < 10  # files skipped via manifest stats
+    rows = pruned.filter(F.col("id").between(150, 160)).collect()
+    assert sorted(r["id"] for r in rows) == list(range(150, 161))
+
+    # Unpruned read still sees everything.
+    assert t.read(spark).count() == 1000

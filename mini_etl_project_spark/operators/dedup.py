@@ -136,14 +136,26 @@ def jaccard_pairs(
     sizes = shingles.groupBy("id").agg(F.count("*").alias("n"))
     a = shingles.select(F.col("id").alias("id_a"), "shingle")
     b = shingles.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        # Restrict BEFORE the shingle join: expand each candidate pair by
+        # id_a's shingles, then equi-join on (id_b, shingle). Work is
+        # |candidates| × shingles-per-doc — never the all-pairs blowup of
+        # joining on raw shingle (common shingles make that bucket² and
+        # it OOMs long before 100 TB; measured at sf0.1 already).
+        inter = (
+            candidates.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        # Small-corpus oracle mode: all pairs sharing ≥1 shingle.
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     out = (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")

@@ -231,3 +231,37 @@ def test_connected_components_chain_log_depth(spark):
     rows = connected_components(pairs, max_iter=10).collect()
     assert len(rows) == 64
     assert {r["component"] for r in rows} == {0}
+
+
+def test_jaccard_candidates_path_equals_allpairs(spark, sf_dir):
+    """The candidate-restricted Jaccard path (scale path: expand candidate
+    pairs by shingles, never join on raw shingle) must agree exactly with
+    the all-pairs path filtered to the same candidates."""
+    from pyspark.sql import functions as F
+
+    from mini_etl_project_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_rows,
+    )
+    from mini_etl_project_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    corpus = d.select(F.col("doc_id").alias("id"), "text").unionByName(
+        d.select((F.col("doc_id") + 5000).alias("id"),
+                 F.substring("text", 15, 1 << 30).alias("text"))
+    )
+    sh = shingle_rows(corpus, "id", "text", k=5)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, 16), 4)
+
+    fast = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["jaccard"])
+        for r in jaccard_pairs(sh, candidates=cand, threshold=0.3).collect()
+    }
+    slow_all = jaccard_pairs(sh, candidates=None, threshold=0.3)
+    slow = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["jaccard"])
+        for r in slow_all.join(cand, ["id_a", "id_b"], "left_semi").collect()
+    }
+    assert fast == slow and fast

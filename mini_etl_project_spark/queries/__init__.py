@@ -52,6 +52,7 @@ def _load_all() -> None:
         udf_q,
         similarity_q,
         streaming_q,
+        table_q,
         text_q,
         tpch_extra,
         tpch_full,
@@ -80,8 +81,6 @@ _CHECK_FIRST: list[str] = [
     "q_udtf_split_words",
     "q_sim_topk_exact",
     "q_sim_pairs_threshold",
-    "q_sim_ann_lsh",
-    "q_sim_ann_ivf",
     "q_stream_tumbling",
     "q_stream_sessions",
     "q_stream_funnel",
@@ -94,7 +93,6 @@ _CHECK_FIRST: list[str] = [
     "q_text_bpe_tokens",
     "q_text_bigram_jaccard",
     "q_text_winnow_fingerprint",
-    "q_text_fingerprint",
     "q18_large_orders",
     "q19_disjunctive_filter",
     "q15_top_supplier",
@@ -118,9 +116,16 @@ _CHECK_FIRST: list[str] = [
     "q16_supplier_counts",
     "q17_small_quantity",
     "q21_sole_blame_suppliers",
+    # New this round: snapshot-table format (merge / CDC / streaming sink).
+    "q_table_merge",
+    "q_table_cdc",
+    "q_stream_sink_snapshot",
     # Implementation changed after the round-1 check ran.
     "q_etl_pipeline_full",
     # ---- ~50-entry budget boundary (observed round 1) ----
+    "q_sim_ann_lsh",  # rows-only; a driver row adds little over pytest
+    "q_sim_ann_ivf",  # rows-only
+    "q_text_fingerprint",  # weakest of the (checked) text family
     "q20_promotion_suppliers",  # shape-redundant with q18 (IN over HAVING)
     "q_sim_ann_ml_brp",  # rows-only; weakest marginal evidence
     "q_dedup_minhash_lsh",

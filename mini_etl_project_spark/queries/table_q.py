@@ -1,0 +1,181 @@
+"""Snapshot-table queries — MERGE, change feed, and the streaming
+exactly-once sink, each checked against a DuckDB oracle.
+
+The table format itself (sources/snapshots.py) is exercised end-to-end:
+every query below BUILDS a table in /tmp from the round's parquet
+fixtures, runs the table operation, and returns an aggregate whose value
+the oracle reproduces from the raw fixtures with plain SQL. A wrong
+manifest, a lost file, a survivor row dropped by MERGE, or a change feed
+that leaks copied rows all surface as a hash mismatch.
+
+Scale notes: MERGE's cost is proportional to the files that contain a
+matched key (file-pruned copy-on-write), the change feed reads only the
+changed files of each commit (I/O scales with the delta, not the table),
+and the streaming sink commits each micro-batch transactionally so a
+replayed batch is a no-op — all of which is what the same operations do
+on a 1000-executor cluster over object storage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.queries import query
+from mini_etl_project_spark.queries.helpers import dsum, sql_dsum
+from mini_etl_project_spark.session import load_table
+
+
+def _fresh_root(sf_dir: str, tag: str) -> str:
+    """Deterministic per-fixture scratch dir, rebuilt on every call so
+    repeated driver invocations see identical content."""
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/mini_etl_snap_{tag}_{h}"
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def _customer_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+
+
+# -- MERGE (upsert) --------------------------------------------------------
+# Table = customer; updates bump acctbal for keys % 97 == 0; inserts add
+# synthetic keys offset by 10M for keys % 191 == 0. The oracle rebuilds
+# the merged table arithmetically from the raw customer fixture.
+
+_MERGE_ORACLE = f"""
+WITH merged AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 97 = 0 THEN c_acctbal + 1000.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 10000000, 'SYNTH', 1.0
+  FROM customer WHERE c_custkey % 191 = 0
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       {sql_dsum('c_acctbal', 'sum_acctbal')}
+FROM merged
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("q_table_merge", _MERGE_ORACLE)
+def q_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable.create(_fresh_root(sf_dir, "merge"))
+    cust = _customer_slim(spark, sf_dir)
+    t.append(cust.repartitionByRange(8, "c_custkey"), stats_cols=["c_custkey"])
+
+    updates = cust.filter(F.col("c_custkey") % 97 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0
+    )
+    inserts = cust.filter(F.col("c_custkey") % 191 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.lit("SYNTH").alias("c_mktsegment"),
+        F.lit(1.0).alias("c_acctbal"),
+    )
+    t.merge(spark, updates.unionByName(inserts), key_cols=["c_custkey"])
+
+    return (
+        t.read(spark)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_rows"), dsum("c_acctbal", "sum_acctbal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# -- change feed (CDC) -----------------------------------------------------
+# v1 = customers with even keys; v2 appends the odd keys; v3 merges an
+# update set. read_changes(since=1) must carry exactly v2's inserts and
+# v3's changed rows — copied-over survivors leaking into the feed, or a
+# compaction polluting it, breaks the hash.
+
+_CDC_ORACLE = f"""
+WITH v2 AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 1
+), v3 AS (
+  SELECT c_custkey, c_acctbal - 50.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 97 = 0
+)
+SELECT * FROM (
+  SELECT CAST(2 AS INTEGER) AS _commit_version, 'insert' AS _change_type,
+         COUNT(*) AS n_rows, {sql_dsum('c_acctbal', 'sum_acctbal')}
+  FROM v2
+  UNION ALL
+  SELECT CAST(3 AS INTEGER), 'upsert',
+         COUNT(*), CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+  FROM v3
+) ORDER BY _commit_version
+"""
+
+
+@query("q_table_cdc", _CDC_ORACLE)
+def q_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable.create(_fresh_root(sf_dir, "cdc"))
+    cust = _customer_slim(spark, sf_dir)
+    t.append(cust.filter(F.col("c_custkey") % 2 == 0))  # v1
+    t.append(cust.filter(F.col("c_custkey") % 2 == 1))  # v2
+    updates = cust.filter(F.col("c_custkey") % 97 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") - 50.0
+    )
+    t.merge(spark, updates, key_cols=["c_custkey"])  # v3
+    t.compact(spark, small_threshold=1 << 30)  # v4: physical only, no feed rows
+
+    return (
+        t.read_changes(spark, since_version=1)
+        .groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n_rows"), dsum("c_acctbal", "sum_acctbal"))
+        .orderBy("_commit_version")
+    )
+
+
+# -- streaming exactly-once sink ------------------------------------------
+# events replayed as a file stream -> streaming dedup on event_id ->
+# foreachBatch transactional append into a snapshot table -> compact ->
+# batch aggregate of the table. The oracle aggregates the raw events
+# directly (event_id is unique in the fixture, so the dedup is
+# semantically transparent and the whole sink path must be lossless).
+
+_STREAM_SINK_ORACLE = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       {sql_dsum('value', 'sum_value')}
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q_stream_sink_snapshot", _STREAM_SINK_ORACLE)
+def q_stream_sink_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.sources.snapshots import (
+        SnapshotTable,
+        stream_to_snapshot_table,
+    )
+    from mini_etl_project_spark.streaming.ops import events_stream
+
+    root = _fresh_root(sf_dir, "sink")
+    t = SnapshotTable.create(os.path.join(root, "tbl"))
+    deduped = events_stream(spark, sf_dir).dropDuplicates(["event_id"])
+    stream_to_snapshot_table(
+        deduped, t, os.path.join(root, "ckpt"), app_id="q_stream_sink"
+    )
+    t.compact(spark)  # fold micro-batch files; logical no-op
+
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .orderBy("event_type")
+    )

@@ -23,6 +23,17 @@ Why this shape scales:
   commit protocol on S3/GCS.
 - ``vacuum`` deletes files unreachable from the retained manifests —
   the same contract as ``VACUUM`` in Delta.
+- Additive SCHEMA EVOLUTION: each manifest carries the table schema;
+  reads apply it explicitly, so parquet files written before a column
+  existed surface NULL for it (Delta's ``mergeSchema`` semantics)
+  without any footer merging at read time.
+- ``compact`` (OPTIMIZE): bin-packs small data files into fewer large
+  ones and commits the rewrite as a new version — a metadata swap with
+  zero logical change, so the change feed for that commit is empty.
+- CHANGE FEED: every commit records which staged files carry NEW OR
+  CHANGED rows (``change_files``); ``read_changes`` unions them across
+  a version range. ``merge`` stages its updated/inserted rows apart
+  from the copied-over rows, so the feed is exact, not approximate.
 
 This is a faithful miniature, not a toy: append/overwrite, readers of
 old versions unaffected by later commits, concurrent-commit conflict,
@@ -37,10 +48,35 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 
 class CommitConflict(Exception):
     """Another writer committed this version first — retry on latest."""
+
+
+class SchemaMismatch(Exception):
+    """Append schema differs from the table schema and merge_schema=False."""
+
+
+def _union_schema(base: StructType, new: StructType) -> StructType:
+    """Additive evolution: keep base field order, append new fields as
+    nullable. A same-named field must keep its type (no in-place type
+    changes — that is a rewrite, not an evolution)."""
+    by_name = {f.name: f for f in base.fields}
+    for f in new.fields:
+        old = by_name.get(f.name)
+        if old is not None and old.dataType != f.dataType:
+            raise SchemaMismatch(
+                f"column {f.name!r}: table has {old.dataType.simpleString()}, "
+                f"append has {f.dataType.simpleString()}"
+            )
+    added = [
+        StructField(f.name, f.dataType, nullable=True)
+        for f in new.fields
+        if f.name not in by_name
+    ]
+    return StructType(list(base.fields) + added)
 
 
 class SnapshotTable:
@@ -118,7 +154,14 @@ class SnapshotTable:
             out[name] = per_col
         return out
 
-    def _commit(self, files: list[str], schema_json: str, base_version: int) -> int:
+    def _commit(
+        self,
+        files: list[str],
+        schema_json: str,
+        base_version: int,
+        op: str = "append",
+        change_files: list[str] | None = None,
+    ) -> int:
         """Atomically publish ``files`` as version ``base_version + 1``.
 
         The exclusive manifest create is the commit point: it fails if a
@@ -126,9 +169,19 @@ class SnapshotTable:
         nothing published, staged files are unreferenced garbage for
         vacuum). The _LATEST pointer is advisory fast-path state and is
         written via rename AFTER the commit point.
+
+        ``change_files`` is the commit's CHANGE-FEED payload: exactly the
+        staged files that carry new or changed rows (empty for a
+        compaction — a physical rewrite with no logical change).
         """
         version = base_version + 1
-        manifest = {"version": version, "files": files, "schema": schema_json}
+        manifest = {
+            "version": version,
+            "files": files,
+            "schema": schema_json,
+            "op": op,
+            "change_files": [] if change_files is None else change_files,
+        }
         if self._pending_meta:
             manifest.update(self._pending_meta)
             self._pending_meta = {}
@@ -145,19 +198,53 @@ class SnapshotTable:
         os.replace(tmp, os.path.join(self.root, "_LATEST"))
         return version
 
-    def append(self, df: DataFrame, stats_cols: list[str] | None = None) -> int:
+    def schema(self, version: int | None = None) -> StructType:
+        v = self.latest_version() if version is None else version
+        return StructType.fromJson(json.loads(self._read_manifest(v)["schema"]))
+
+    def append(
+        self,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+        merge_schema: bool = False,
+    ) -> int:
+        """Append rows. With ``merge_schema=True`` new columns evolve the
+        table schema additively (old files read back NULL for them); with
+        the default, a shape mismatch is an error, never silent data loss.
+        """
         base = self.latest_version()
         prev_m = self._read_manifest(base) if base else {}
         prev = prev_m.get("files", [])
+        schema = df.schema
+        if base:
+            table_schema = self.schema(base)
+            if [(f.name, f.dataType) for f in schema.fields] != [
+                (f.name, f.dataType) for f in table_schema.fields
+            ]:
+                if not merge_schema:
+                    raise SchemaMismatch(
+                        "append schema differs from table schema; pass "
+                        "merge_schema=True for additive evolution"
+                    )
+                schema = _union_schema(table_schema, df.schema)
         staged = self._stage(df)
         if stats_cols:
             stats = dict(prev_m.get("stats", {}))
             stats.update(self._collect_stats(staged, stats_cols))
             self._pending_meta = {**self._pending_meta, "stats": stats}
-        return self._commit(prev + staged, df.schema.json(), base)
+        return self._commit(
+            prev + staged, schema.json(), base, op="append", change_files=staged
+        )
 
     def overwrite(self, df: DataFrame) -> int:
-        return self._commit(self._stage(df), df.schema.json(), self.latest_version())
+        staged = self._stage(df)
+        return self._commit(
+            staged,
+            df.schema.json(),
+            self.latest_version(),
+            op="overwrite",
+            change_files=staged,
+        )
 
     # -- read path ---------------------------------------------------------
 
@@ -193,14 +280,108 @@ class SnapshotTable:
                 return not (fmax < lo or fmin > hi)
 
             files = [f for f in files if may_match(f)]
+        schema = StructType.fromJson(json.loads(m["schema"]))
         paths = [os.path.join(self.data_dir, f) for f in files]
         if not paths:
-            from pyspark.sql.types import StructType
+            return spark.createDataFrame([], schema)
+        # Explicit manifest schema: no footer inference pass, and files
+        # written before an evolved column existed read back NULL for it.
+        return spark.read.schema(schema).parquet(*paths)
 
-            return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
-        return spark.read.parquet(*paths)
+    # -- change feed -------------------------------------------------------
+
+    def read_changes(
+        self, spark: SparkSession, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Rows added or changed in versions ``(since_version, to_version]``
+        — Delta's Change Data Feed contract, minus before-images (this
+        format stages changed rows apart from copied rows, so the feed is
+        exact without writing extra CDC files).
+
+        Output = table columns + ``_commit_version`` + ``_change_type``
+        (``insert`` for append commits, ``upsert`` for merge, ``overwrite``
+        for full rewrites; compactions contribute nothing). Incremental
+        consumers (a downstream pipeline tailing the table) read only the
+        changed files — I/O scales with the delta, not the table.
+        """
+        import pyspark.sql.functions as F
+
+        to_v = self.latest_version() if to_version is None else to_version
+        schema = self.schema(to_v)
+        op_to_type = {"append": "insert", "merge": "upsert", "overwrite": "overwrite"}
+        parts: list[DataFrame] = []
+        for v in range(since_version + 1, to_v + 1):
+            m = self._read_manifest(v)
+            changed = m.get("change_files", [])
+            if not changed:
+                continue
+            paths = [os.path.join(self.data_dir, f) for f in changed]
+            parts.append(
+                spark.read.schema(schema)
+                .parquet(*paths)
+                .withColumn("_commit_version", F.lit(v))
+                .withColumn(
+                    "_change_type", F.lit(op_to_type.get(m.get("op", "append"), "insert"))
+                )
+            )
+        if not parts:
+            empty = StructType(
+                list(schema.fields)
+                + [
+                    StructField("_commit_version", IntegerType(), False),
+                    StructField("_change_type", StringType(), False),
+                ]
+            )
+            return spark.createDataFrame([], empty)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- maintenance -------------------------------------------------------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 << 20,
+        small_threshold: int | None = None,
+    ) -> int:
+        """OPTIMIZE: bin-pack data files smaller than ``small_threshold``
+        (default ``target_bytes // 2``) into ~``target_bytes`` files and
+        commit the swap as a new version.
+
+        Streaming sinks and trickle appends produce many tiny files; at
+        100 TB that is the classic small-files problem (every file costs a
+        task + an open). Compaction rewrites ONLY the small files — large
+        files are carried by name — and the commit's change feed is empty
+        because no logical row changed. Old versions still time-travel to
+        the pre-compaction files until ``vacuum``.
+        """
+        base = self.latest_version()
+        if base == 0:
+            return 0
+        m = self._read_manifest(base)
+        thr = target_bytes // 2 if small_threshold is None else small_threshold
+        sizes = {
+            f: os.path.getsize(os.path.join(self.data_dir, f)) for f in m["files"]
+        }
+        small = [f for f in m["files"] if sizes[f] < thr]
+        if len(small) < 2:
+            return base  # nothing to gain
+        keep = [f for f in m["files"] if f not in set(small)]
+        schema = self.schema(base)
+        paths = [os.path.join(self.data_dir, f) for f in small]
+        n_out = max(1, -(-sum(sizes[f] for f in small) // target_bytes))
+        packed = spark.read.schema(schema).parquet(*paths).repartition(n_out)
+        staged = self._stage(packed)
+        stats = m.get("stats")
+        if stats:
+            new_stats = {f: s for f, s in stats.items() if f in set(keep)}
+            new_stats.update(self._collect_stats(staged, list(schema.names)))
+            self._pending_meta = {**self._pending_meta, "stats": new_stats}
+        return self._commit(
+            keep + staged, m["schema"], base, op="compact", change_files=[]
+        )
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Drop data files unreachable from the ``keep_last`` most recent
@@ -256,8 +437,17 @@ class SnapshotTable:
             .drop("__file")
             .join(keys, key_cols, "left_anti")
         )
-        staged = self._stage(kept_rows.unionByName(updates))
-        return self._commit(untouched + staged, updates.schema.json(), base)
+        # Copied-over survivors and the actual upserts are staged APART so
+        # the commit's change feed carries exactly the changed rows.
+        staged_kept = self._stage(kept_rows) if touched else []
+        staged_changed = self._stage(updates)
+        return self._commit(
+            untouched + staged_kept + staged_changed,
+            manifest["schema"],
+            base,
+            op="merge",
+            change_files=staged_changed,
+        )
 
 
     # -- streaming sink integration ---------------------------------------

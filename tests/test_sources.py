@@ -266,3 +266,112 @@ def test_snapshot_table_file_skipping(spark, tmp_path):
 
     # Unpruned read still sees everything.
     assert t.read(spark).count() == 1000
+
+
+def test_snapshot_table_schema_evolution(spark, tmp_path):
+    """Additive schema evolution: an append with a new column evolves the
+    table schema; files written before the column existed read back NULL
+    for it, and a shape mismatch without merge_schema=True is an error."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from mini_etl_project_spark.sources.snapshots import (
+        SchemaMismatch,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable.create(str(tmp_path / "evo_tbl"))
+    t.append(spark.range(0, 10).withColumn("v", F.col("id") * 2))
+
+    widened = (
+        spark.range(10, 15)
+        .withColumn("v", F.col("id") * 2)
+        .withColumn("tag", F.lit("new"))
+    )
+    with _pytest.raises(SchemaMismatch):
+        t.append(widened)
+    t.append(widened, merge_schema=True)
+
+    cur = t.read(spark)
+    assert cur.columns == ["id", "v", "tag"]
+    assert cur.count() == 15
+    assert cur.filter(F.col("tag").isNull()).count() == 10  # pre-evolution files
+    assert cur.filter(F.col("tag") == "new").count() == 5
+
+    # Type change on an existing column is a rewrite, not an evolution.
+    retyped = spark.range(15, 16).withColumn("v", F.lit("oops"))
+    with _pytest.raises(SchemaMismatch):
+        t.append(retyped, merge_schema=True)
+
+    # Time travel predates the evolution: v1 keeps the narrow schema.
+    assert t.read(spark, version=1).columns == ["id", "v"]
+
+
+def test_snapshot_table_compaction(spark, tmp_path):
+    """OPTIMIZE bin-packs small files into fewer large ones with zero
+    logical change: same rows, fewer files, empty change feed, and old
+    versions still time-travel to the pre-compaction layout."""
+    from pyspark.sql import functions as F
+
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable.create(str(tmp_path / "opt_tbl"))
+    # Trickle appends -> many tiny files (the streaming-sink pathology).
+    for lo in range(0, 100, 10):
+        t.append(
+            spark.range(lo, lo + 10).withColumn("v", F.col("id") % 3).coalesce(2),
+            stats_cols=["id"],
+        )
+    before = t._read_manifest(t.latest_version())["files"]
+    assert len(before) >= 10
+
+    v = t.compact(spark)
+    m = t._read_manifest(v)
+    assert m["op"] == "compact" and m["change_files"] == []
+    assert len(m["files"]) < len(before)
+    # Stats were recomputed for the packed files: skipping still works.
+    assert len(t.read(spark, where=("id", 5, 6)).inputFiles()) <= len(m["files"])
+
+    after = t.read(spark)
+    assert after.count() == 100
+    assert after.agg(F.sum("id")).collect()[0][0] == sum(range(100))
+    # Pre-compaction version unchanged.
+    assert t.read(spark, version=v - 1).count() == 100
+
+
+def test_snapshot_table_change_feed(spark, tmp_path):
+    """read_changes returns exactly the rows added/changed per commit:
+    appends as inserts, merge upserts WITHOUT the copied-over survivors,
+    compactions contribute nothing."""
+    from pyspark.sql import functions as F
+
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable.create(str(tmp_path / "cdc_tbl"))
+    t.append(spark.range(0, 100).withColumn("v", F.col("id") * 2))  # v1
+    t.append(spark.range(100, 120).withColumn("v", F.col("id") * 2))  # v2
+    ups = spark.range(50, 55).withColumn("v", F.lit(-1)).union(
+        spark.range(200, 203).withColumn("v", F.lit(-1))
+    )
+    t.merge(spark, ups, key_cols=["id"])  # v3: 5 updates + 3 inserts
+    t.compact(spark, small_threshold=1 << 30)  # v4: physical only
+
+    feed = t.read_changes(spark, since_version=1)
+    by_ver = {
+        (r["_commit_version"], r["_change_type"]): r["cnt"]
+        for r in feed.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert by_ver == {(2, "insert"): 20, (3, "upsert"): 8}
+
+    # The upsert payload is the changed rows themselves, not survivors.
+    v3 = feed.filter(F.col("_commit_version") == 3)
+    assert sorted(r["id"] for r in v3.collect()) == [50, 51, 52, 53, 54, 200, 201, 202]
+    assert v3.filter(F.col("v") != -1).count() == 0
+
+    # Tailing from latest yields an empty, correctly-typed frame.
+    empty = t.read_changes(spark, since_version=t.latest_version())
+    assert empty.count() == 0
+    assert empty.columns == ["id", "v", "_commit_version", "_change_type"]

@@ -326,6 +326,207 @@ class IVFIndex:
         )
 
 
+class PQIndex:
+    """Product quantization (X4 third scale path — the memory-bound one).
+
+    A D-dim float vector (D×8 bytes) compresses to ``m`` one-byte-ish
+    codes: the vector is split into ``m`` subvectors, each mapped to its
+    nearest centroid in a per-subspace codebook of ``k_codes`` entries
+    (trained with seeded Lloyd's iterations on a bounded sample). Search
+    uses ADC (asymmetric distance computation): per query, an m×k_codes
+    lookup table of partial squared L2 distances is built once, and each
+    corpus row's approximate distance is ``sum_j LUT[j][code_j]`` — a pure
+    table-lookup scan, no float math per dimension.
+
+    Why this is the 100 TB shape: the scan reads the CODES column
+    (m bytes/row) instead of the embedding (D×8 bytes/row) — a 64×
+    I/O + memory reduction at (D=64, m=8) — and the ADC sum runs
+    JVM-side via ``F.aggregate`` over the broadcast LUT, whole-stage
+    codegen'd, no Python in the per-row path. ``rerank`` re-scores the
+    top ADC candidates with exact distances (the standard two-stage
+    recipe) so recall approaches exact search while the exact pass
+    touches only candidates.
+
+    Training is driver-side numpy on ≤ ``sample`` vectors — codebook size
+    is O(m·k_codes·D/m) floats regardless of corpus scale, and a bounded
+    sample is how FAISS-style systems train too.
+    """
+
+    def __init__(
+        self,
+        m: int = 16,
+        k_codes: int = 64,
+        seed: int = 42,
+        iters: int = 10,
+        sample: int = 4096,
+    ) -> None:
+        self.m, self.k_codes, self.seed, self.iters = m, k_codes, seed, iters
+        self.sample = sample
+        self._codebooks = None  # list[np.ndarray k_codes × D/m]
+
+    def fit(
+        self, corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> "PQIndex":
+        import numpy as np
+
+        rows = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .sort(id_col)  # deterministic sample for a fixed corpus
+            .limit(self.sample)
+            .collect()
+        )
+        X = np.array([r[1] for r in rows], dtype="float64")
+        d = X.shape[1]
+        if d % self.m:
+            raise ValueError(f"dim {d} not divisible by m={self.m}")
+        # A codebook can't have more entries than training vectors.
+        self.k_codes = min(self.k_codes, len(X))
+        sub = d // self.m
+        self._codebooks = []
+        for j in range(self.m):
+            Xj = X[:, j * sub : (j + 1) * sub]
+            rng = np.random.RandomState(self.seed + j)
+            centers = Xj[rng.choice(len(Xj), size=self.k_codes, replace=False)].copy()
+            for _ in range(self.iters):
+                dist = ((Xj[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+                assign = dist.argmin(axis=1)
+                for c in range(self.k_codes):
+                    mask = assign == c
+                    if mask.any():
+                        centers[c] = Xj[mask].mean(axis=0)
+            self._codebooks.append(centers)
+        return self
+
+    def encode(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        """Add a ``codes`` column (array<int>, length m) — the distributed
+        Arrow-batched compression pass; the codebooks ship in the closure
+        (m·k_codes·D/m floats, tiny)."""
+        import numpy as np
+
+        books = [b.copy() for b in self._codebooks]
+        sub = books[0].shape[1]
+        m = self.m
+
+        @F.pandas_udf("array<int>")
+        def pq_encode(vecs):
+            import pandas as pd
+
+            out = []
+            for v in vecs:
+                x = np.asarray(v, dtype="float64")
+                code = [
+                    int(
+                        (((x[j * sub : (j + 1) * sub] - books[j]) ** 2).sum(axis=1))
+                        .argmin()
+                    )
+                    for j in range(m)
+                ]
+                out.append(code)
+            return pd.Series(out)
+
+        return df.withColumn("codes", pq_encode(F.col(vec_col)))
+
+    def _lut(self, vec) -> list[float]:
+        """Flat m·k_codes LUT of partial squared distances for one query."""
+        import numpy as np
+
+        x = np.asarray(vec, dtype="float64")
+        sub = self._codebooks[0].shape[1]
+        flat: list[float] = []
+        for j in range(self.m):
+            q = x[j * sub : (j + 1) * sub]
+            flat.extend(float(v) for v in ((self._codebooks[j] - q) ** 2).sum(axis=1))
+        return flat
+
+    def topk(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 5,
+        rerank: int = 0,
+    ) -> DataFrame:
+        """ANN top-k by ADC over PQ codes; ``rerank > 0`` re-scores that
+        many ADC candidates per query with exact L2 (two-stage search).
+
+        Output: (query_id, neighbor_id, approx_dist, rank) — or exact
+        ``dist`` instead of ``approx_dist`` when reranking.
+        """
+        codes = self.encode(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+            vec_col,
+        ).select("neighbor_id", "codes")
+        # Query batches are small at serving time; LUTs are built driver-
+        # side and broadcast (same posture as topk_partitioned above).
+        q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+        kc = self.k_codes
+        qdf = F.broadcast(
+            corpus.sparkSession.createDataFrame(
+                [(int(r[0]), self._lut(r[1])) for r in q_rows],
+                "query_id long, lut array<double>",
+            )
+        )
+        adc = (
+            codes.join(qdf)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "approx_dist",
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(self.m - 1)),
+                    F.lit(0.0),
+                    lambda acc, j: acc
+                    + F.element_at(
+                        F.col("lut"), (j * kc + F.element_at(F.col("codes"), j + 1) + 1)
+                    ),
+                ),
+            )
+            .select("query_id", "neighbor_id", "approx_dist")
+        )
+        w = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+        if not rerank:
+            return (
+                adc.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "approx_dist", "rank")
+            )
+        cand = (
+            adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= rerank)
+            .select("query_id", "neighbor_id")
+        )
+        q_full = F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"),
+                sqnorm_exact(vec_col).alias("q_sq"),
+            )
+        )
+        c_full = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            sqnorm_exact(vec_col).alias("c_sq"),
+        )
+        # ||q−c||² = ||q||² − 2·q·c + ||c||², every term an exact-decimal
+        # sum — bit-deterministic under any partitioning (and matchable by
+        # a SQL oracle computing the same three sums).
+        exact = (
+            cand.join(q_full, "query_id")
+            .join(c_full, "neighbor_id")
+            .withColumn(
+                "dist",
+                (F.col("q_sq") - F.lit(2.0) * dot_exact("q_vec", "c_vec"))
+                + F.col("c_sq"),
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+        return (
+            exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dist", "rank")
+        )
+
+
 def ml_brp_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -123,6 +123,7 @@ _CHECK_FIRST: list[str] = [
     # Implementation changed after the round-1 check ran.
     "q_etl_pipeline_full",
     # ---- ~50-entry budget boundary (observed round 1) ----
+    "q_sim_topk_pq_rerank",  # first in line if the budget stretches
     "q_sim_ann_lsh",  # rows-only; a driver row adds little over pytest
     "q_sim_ann_ivf",  # rows-only
     "q_text_fingerprint",  # weakest of the (checked) text family

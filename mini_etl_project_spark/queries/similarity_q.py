@@ -84,6 +84,67 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IVFIndex(n_cells=8, nprobe=3).fit(e).topk(e, queries, k=_K)
 
 
+@query("q_sim_ann_pq")
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 (PQ path): product-quantized codes + ADC scan + exact rerank of
+    the top-25 candidates (rows-only; recall + determinism asserted in
+    tests/test_extensions.py::test_pq_recall_and_compression)."""
+    from mini_etl_project_spark.operators.similarity import PQIndex
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _NQ)
+    return PQIndex(m=16, k_codes=64).fit(e).topk(e, queries, k=_K, rerank=25)
+
+
+# PQ with rerank >= corpus degenerates to EXACT L2 top-k — which makes the
+# whole encode→ADC→candidate→rerank path oracle-checkable: the ADC stage
+# only selects candidates (all of them, here), and the rerank distance is
+# built from three exact-decimal sums (||q||² − 2q·c + ||c||²) the oracle
+# recomputes bit-for-bit.
+
+_PQ_RERANK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < {_NQ}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+norms AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(CAST(embedding[t.i] AS DOUBLE)
+                       * CAST(embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS sq
+  FROM embeddings, unnest(generate_series(1, {_DIM})) t(i)
+  GROUP BY vec_id),
+dots AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM(CAST(CAST(qv[t.i] AS DOUBLE) * CAST(cv[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS dot
+  FROM q, c, unnest(generate_series(1, {_DIM})) t(i)
+  WHERE query_id <> neighbor_id
+  GROUP BY query_id, neighbor_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         (nq.sq - 2.0 * dot) + nc.sq AS dist
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY dist, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, dist, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+@query("q_sim_topk_pq_rerank", _PQ_RERANK_ORACLE)
+def q_sim_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.similarity import PQIndex
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _NQ)
+    return PQIndex(m=16, k_codes=64).fit(e).topk(
+        e, queries, k=_K, rerank=1_000_000
+    )
+
+
 @query("q_sim_ann_ml_brp")
 def q_sim_ann_ml_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 (library-native): spark.ml BucketedRandomProjectionLSH top-k by

@@ -265,3 +265,43 @@ def test_jaccard_candidates_path_equals_allpairs(spark, sf_dir):
         for r in slow_all.join(cand, ["id_a", "id_b"], "left_semi").collect()
     }
     assert fast == slow and fast
+
+
+def test_pq_recall_and_compression(spark, sf_dir):
+    """PQIndex: ADC over PQ codes with exact rerank recovers the exact
+    top-k (two-stage search); codes are the compressed representation
+    (m small ints per vector, each < k_codes)."""
+    from mini_etl_project_spark.operators.similarity import PQIndex, topk_exact
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    pq = PQIndex(m=16, k_codes=64).fit(e)
+
+    enc = pq.encode(e).select("vec_id", "codes").collect()
+    assert all(len(r.codes) == 16 for r in enc)
+    assert all(0 <= c < pq.k_codes for r in enc for c in r.codes)
+
+    # Exact-L2 truth == exact-cosine truth would not hold in general, so
+    # build L2 truth with the same rerank machinery at rerank >= corpus.
+    n = e.count()
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in pq.topk(e, queries, k=5, rerank=n).collect()
+    }
+    two_stage = {
+        (r.query_id, r.neighbor_id)
+        for r in pq.topk(e, queries, k=5, rerank=25).collect()
+    }
+    raw_adc = {
+        (r.query_id, r.neighbor_id)
+        for r in pq.topk(e, queries, k=5).collect()
+    }
+    assert len(truth & two_stage) / len(truth) >= 0.85
+    assert len(truth & raw_adc) / len(truth) >= 0.25  # pre-rerank floor
+
+    # Deterministic: seeded training + stable tie-breaks.
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in PQIndex(m=16, k_codes=64).fit(e).topk(e, queries, k=5, rerank=25).collect()
+    }
+    assert again == two_stage

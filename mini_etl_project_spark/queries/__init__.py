@@ -48,6 +48,7 @@ def _load_all() -> None:
         functions_q,
         joins,
         misc_q,
+        sampling_q,
         setops,
         udf_q,
         similarity_q,
@@ -123,7 +124,13 @@ _CHECK_FIRST: list[str] = [
     # Implementation changed after the round-1 check ran.
     "q_etl_pipeline_full",
     # ---- ~50-entry budget boundary (observed round 1) ----
-    "q_sim_topk_pq_rerank",  # first in line if the budget stretches
+    # First in line if the budget stretches: new-round oracle queries.
+    "q_sim_topk_pq_rerank",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_split_train_test",
+    "q_agg_histogram",
+    "q_agg_percentile",
     "q_sim_ann_lsh",  # rows-only; a driver row adds little over pytest
     "q_sim_ann_ivf",  # rows-only
     "q_text_fingerprint",  # weakest of the (checked) text family

@@ -1,0 +1,184 @@
+"""Deterministic sampling & split operators (training-data pipeline ops).
+
+Seeded RNG sampling (``df.sample``) is reproducible only for a fixed
+partitioning — repartition the input and the sample changes, which is
+useless for a 100 TB pipeline that must re-run identically. The portable
+primitive is HASH-GATED sampling: a row is in the sample iff a stable
+60-bit hash of its key lands under the rate threshold. That is
+partitioning-independent, re-runnable, needs no sampling state, and both
+engines compute it bit-identically (the md5/conv trick used across this
+repo, memory: spark-duckdb-parity-traps).
+
+The same primitive gives stratified sampling (per-stratum thresholds) and
+train/validation/test splits (disjoint hash ranges — a row can never leak
+across splits, the property that matters for training pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.queries import query
+from mini_etl_project_spark.queries.helpers import dsum, sql_dsum
+from mini_etl_project_spark.session import load_table
+
+
+def hash60(col: F.Column) -> F.Column:
+    """Stable 60-bit hash of a string column (same value in DuckDB via
+    CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _sql_hash60(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# -- deterministic Bernoulli sample (5 % of lineitem) ----------------------
+# Returns the sampled rows themselves: the oracle must agree on MEMBERSHIP,
+# not just on aggregate moments.
+
+_KEY = "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+
+_HASH_SAMPLE_ORACLE = f"""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE {_sql_hash60(_KEY)} % 100 < 5
+"""
+
+
+@query("q_sample_hash", _HASH_SAMPLE_ORACLE)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        ":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    return l.filter(hash60(key) % 100 < 5).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+# -- stratified sample: per-stratum rates over orders ----------------------
+# Urgent orders kept at 20 %, the rest at 5 % — the class-rebalancing
+# pattern. Checked as per-stratum counts + exact sums.
+
+_STRAT_ORACLE = f"""
+WITH sampled AS (
+  SELECT o_orderpriority, o_totalprice
+  FROM orders
+  WHERE {_sql_hash60("CAST(o_orderkey AS VARCHAR)")} % 1000
+        < CASE WHEN o_orderpriority = '1-URGENT' THEN 200 ELSE 50 END
+)
+SELECT o_orderpriority, COUNT(*) AS n_sampled,
+       {sql_dsum('o_totalprice', 'sum_price')}
+FROM sampled
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q_sample_stratified", _STRAT_ORACLE)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    thr = F.when(F.col("o_orderpriority") == "1-URGENT", 200).otherwise(50)
+    return (
+        o.filter(hash60(F.col("o_orderkey").cast("string")) % 1000 < thr)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_sampled"), dsum("o_totalprice", "sum_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# -- train/validation/test split (80/10/10, leak-proof) --------------------
+# Disjoint hash ranges: membership is a pure function of the key, so no
+# row can appear in two splits across re-runs or re-partitionings.
+
+_SPLIT_ORACLE = f"""
+WITH tagged AS (
+  SELECT CASE WHEN h < 80 THEN 'train'
+              WHEN h < 90 THEN 'validation'
+              ELSE 'test' END AS split,
+         o_totalprice
+  FROM (SELECT {_sql_hash60("CAST(o_orderkey AS VARCHAR)")} % 100 AS h,
+               o_totalprice
+        FROM orders)
+)
+SELECT split, COUNT(*) AS n_rows, {sql_dsum('o_totalprice', 'sum_price')}
+FROM tagged
+GROUP BY split
+ORDER BY split
+"""
+
+
+@query("q_split_train_test", _SPLIT_ORACLE)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    h = hash60(F.col("o_orderkey").cast("string")) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "validation").otherwise("test")
+    )
+    return (
+        o.withColumn("split", split)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_rows"), dsum("o_totalprice", "sum_price"))
+        .orderBy("split")
+    )
+
+
+# -- histogram: fixed-width buckets over a measure -------------------------
+# FLOOR on both sides (DuckDB CAST-to-INT rounds, Spark truncates); the
+# last bucket clamps the tail.
+
+_HIST_ORACLE = f"""
+SELECT CAST(LEAST(FLOOR(l_extendedprice / 10000.0), 9.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n_rows,
+       {sql_dsum('l_extendedprice', 'sum_price')}
+FROM lineitem
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query("q_agg_histogram", _HIST_ORACLE)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(F.floor(F.col("l_extendedprice") / 10000.0), F.lit(9).cast("bigint"))
+    return (
+        l.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_rows"), dsum("l_extendedprice", "sum_price"))
+        .orderBy("bucket")
+    )
+
+
+# -- exact grouped percentiles ---------------------------------------------
+# Spark percentile()/median() and DuckDB quantile_cont/median share the
+# same linear-interpolation arithmetic — verified bit-exact on doubles
+# (memory: spark-duckdb-parity-traps).
+
+_PCTL_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       median(l_extendedprice) AS med_price,
+       quantile_cont(l_extendedprice, 0.25) AS p25_price,
+       quantile_cont(l_extendedprice, 0.75) AS p75_price,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_agg_percentile", _PCTL_ORACLE)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.median("l_extendedprice").alias("med_price"),
+            F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
+            F.expr("percentile(l_extendedprice, 0.75)").alias("p75_price"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -46,6 +46,7 @@ def _load_all() -> None:
         dedup_q,
         etl_q,
         functions_q,
+        iterative_q,
         joins,
         misc_q,
         sampling_q,
@@ -131,6 +132,11 @@ _CHECK_FIRST: list[str] = [
     "q_split_train_test",
     "q_agg_histogram",
     "q_agg_percentile",
+    "q_window_distribution",
+    "q_window_value_fns",
+    "q_join_lateral",
+    "q_hierarchy_levels",
+    "q_ts_gapfill",
     "q_sim_ann_lsh",  # rows-only; a driver row adds little over pytest
     "q_sim_ann_ivf",  # rows-only
     "q_text_fingerprint",  # weakest of the (checked) text family

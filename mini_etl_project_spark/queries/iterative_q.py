@@ -1,0 +1,136 @@
+"""Iterative / recursive query shapes Spark lacks natively.
+
+Spark has no WITH RECURSIVE; the standard re-expression is a bounded
+driver loop of DataFrame joins — one join per hierarchy LEVEL (not per
+row), which is exactly how recursive CTEs execute on MPP engines too
+(each recursion step is a distributed join). Depth is logarithmic in the
+key domain here, so the loop is O(log n) joins at any scale.
+
+The time-series gap-fill is the other classically-missing operator:
+resample to a dense daily spine (``sequence`` + explode — generated, not
+shuffled), left-join the observed days, then forward-fill with
+``last(ignorenulls)`` over an ordered window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.queries import query
+from mini_etl_project_spark.queries.helpers import dsum, sql_dsum
+from mini_etl_project_spark.session import load_table
+
+# -- recursive hierarchy traversal ----------------------------------------
+# Synthetic org-chart over customer keys: parent(k) = k div 10, roots are
+# k < 10 — a forest with depth ~log10(max key). The oracle is a real
+# WITH RECURSIVE; our engine iterates level-by-level joins until the
+# frontier empties (checked per-iteration, so depth needn't be known).
+
+_HIER_ORACLE = """
+WITH RECURSIVE h AS (
+  SELECT c_custkey AS id, c_custkey AS root, CAST(0 AS INTEGER) AS depth
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, h.root, h.depth + 1
+  FROM customer c JOIN h ON h.id = c.c_custkey // 10
+  WHERE c.c_custkey >= 10
+)
+SELECT depth, COUNT(*) AS n_nodes, CAST(SUM(root) AS BIGINT) AS sum_roots
+FROM h GROUP BY depth ORDER BY depth
+"""
+
+
+@query("q_hierarchy_levels", _HIER_ORACLE)
+def q_hierarchy_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    nodes = c.select(
+        F.col("c_custkey").alias("id"),
+        F.expr("c_custkey div 10").alias("parent"),
+    )
+    frontier = (
+        nodes.filter(F.col("id") < 10)
+        .select("id", F.col("id").alias("root"), F.lit(0).alias("depth"))
+        .localCheckpoint(eager=True)
+    )
+    children = nodes.filter(F.col("id") >= 10)
+    levels = [frontier]
+    while True:
+        nxt = (
+            children.join(
+                frontier.select(F.col("id").alias("parent"), "root", "depth"),
+                "parent",
+            )
+            .select("id", "root", (F.col("depth") + 1).alias("depth"))
+            # Cut the lineage each level: without this, level d's plan
+            # re-derives levels 0..d-1 (quadratic work), the same reason
+            # connected-components checkpoints (operators/dedup.py).
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        frontier = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return (
+        out.groupBy("depth")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("root").cast("bigint").alias("sum_roots"),
+        )
+        .orderBy("depth")
+    )
+
+
+# -- time-series resample + gap-fill ---------------------------------------
+# Sparse series: high-value purchase events (45 events over 23 of 30
+# days at sf0.01 — real gaps to fill). The
+# dense day spine comes from sequence(min, max) — generated in-plan from
+# one 1-row aggregate, no collect, no shuffle of the spine itself.
+
+_GAPFILL_ORACLE = f"""
+WITH obs AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_events,
+         {sql_dsum('value', 'sum_value')}
+  FROM events
+  WHERE event_type = 'purchase' AND value > 180.0
+  GROUP BY 1
+), bounds AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi FROM obs
+), spine AS (
+  SELECT CAST(s.d AS DATE) AS day
+  FROM bounds, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) s(d)
+)
+SELECT spine.day,
+       COALESCE(obs.n_events, 0) AS n_events,
+       LAST_VALUE(obs.sum_value IGNORE NULLS) OVER (
+         ORDER BY spine.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+FROM spine LEFT JOIN obs ON spine.day = obs.day
+"""
+
+
+@query("q_ts_gapfill", _GAPFILL_ORACLE)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 180.0))
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+    )
+    bounds = obs.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(obs, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("ffill_value"),
+        )
+    )

@@ -341,3 +341,38 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width=16 * 86400.0,
     )
     return paired.select("a_key", "b_key")
+
+
+# -- Q4+ LATERAL join (correlated subquery in FROM) ------------------------
+# Spark 3.2+ supports LATERAL natively; Catalyst rewrites the correlated
+# limit into a partitioned window (DecorrelateInnerQuery), so this is a
+# window-topk shuffle at scale, not a nested loop.
+
+_LATERAL_ORACLE = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) t
+"""
+
+
+@query("q_join_lateral", _LATERAL_ORACLE)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM lat_nation n, LATERAL (
+          SELECT c_custkey, c_acctbal
+          FROM lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) t
+        """
+    )

@@ -172,3 +172,60 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").over(w_mov)
         ).alias("moving_avg_7d"),
     )
+
+
+# -- Q14+ distribution family (percent_rank / cume_dist) -------------------
+# Pure rank arithmetic over a total order — (rank-1)/(n-1) and rank/n in
+# double — so both engines produce identical bits.
+
+_DIST_ORACLE = """
+SELECT o_orderpriority, o_orderkey,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@query("q_window_distribution", _DIST_ORACLE)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# -- Q15+ value functions (first/last/nth over explicit frames) ------------
+# last_value needs the full-partition frame (the default frame ends at
+# CURRENT ROW — the classic trap); nth_value(2) gets the second-smallest.
+
+_VALUE_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       FIRST_VALUE(l_extendedprice) OVER w AS cheapest,
+       LAST_VALUE(l_extendedprice)
+         OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS priciest,
+       NTH_VALUE(l_extendedprice, 2) OVER w AS second_cheapest
+FROM lineitem
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_extendedprice, l_linenumber)
+"""
+
+
+@query("q_window_value_fns", _VALUE_ORACLE)
+def q_window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_extendedprice", "l_linenumber")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.first("l_extendedprice").over(w).alias("cheapest"),
+        F.last("l_extendedprice").over(w_full).alias("priciest"),
+        F.nth_value("l_extendedprice", 2).over(w).alias("second_cheapest"),
+    )

@@ -97,8 +97,9 @@ def parse_date_multi(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     # strip ALL whitespace like the reference's str.strip() (F.trim only
-    # strips ASCII spaces — tabs/newlines would defeat the shape guards)
-    s = F.regexp_replace(c.cast("string"), r"^\s+|\s+$", "")
+    # strips ASCII spaces — tabs/newlines would defeat the shape guards);
+    # btrim over the Java-\s char set == the regex strip, minus the regex
+    s = F.btrim(c.cast("string"), F.lit(" \t\n\x0b\x0c\r"))
     expr = F.lit(None).cast("date")
     for family_rx, fmts in reversed(_FAMILIES):
         inner = F.coalesce(

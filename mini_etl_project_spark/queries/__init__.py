@@ -137,6 +137,10 @@ _CHECK_FIRST: list[str] = [
     "q_join_lateral",
     "q_hierarchy_levels",
     "q_ts_gapfill",
+    "q_fn_array_hof",
+    "q_fn_map",
+    "q_fn_regexp",
+    "q_stream_stateful",
     "q_sim_ann_lsh",  # rows-only; a driver row adds little over pytest
     "q_sim_ann_ivf",  # rows-only
     "q_text_fingerprint",  # weakest of the (checked) text family

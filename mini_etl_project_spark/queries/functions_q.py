@@ -289,3 +289,93 @@ def q_fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json("props", "k BIGINT").alias("p")
     )
     return parsed.groupBy(F.col("p.k").alias("k_value")).agg(F.count("*").alias("n"))
+
+
+# -- Q23+ array higher-order functions (transform/filter/exists/aggregate) --
+# The HOFs run JVM-side inside codegen; the oracle recomputes each result
+# relationally (unnest + conditional aggregation) — no reliance on DuckDB
+# list-lambda parity.
+
+_HOF_ORACLE = """
+SELECT e.vec_id,
+       CAST(SUM(CASE WHEN CAST(x.v AS DOUBLE) > 0 THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_pos,
+       BOOL_OR(ABS(CAST(x.v AS DOUBLE)) > 2.0) AS any_big,
+       CAST(SUM(CAST(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE)
+                AS DECIMAL(38,10))) AS DOUBLE) AS sum_sq
+FROM embeddings e, unnest(e.embedding) x(v)
+GROUP BY e.vec_id
+"""
+
+
+@query("q_fn_array_hof", _HOF_ORACLE)
+def q_fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.functions.vectors import sqnorm_exact
+
+    e = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(arr, lambda x: x.cast("double") > 0)).alias("n_pos"),
+        F.exists(arr, lambda x: F.abs(x.cast("double")) > 2.0).alias("any_big"),
+        sqnorm_exact("embedding").alias("sum_sq"),
+    )
+
+
+# -- Q24+ MapType operators -------------------------------------------------
+# Build a map per row, filter it by value, explode to (key, value) rows —
+# the map itself never crosses the comparison boundary (map iteration
+# order is engine-defined), only its relational image does.
+
+_MAP_ORACLE = """
+SELECT p_partkey, kv.k AS metric, kv.v AS val
+FROM (
+  SELECT p_partkey, unnest([
+    struct_pack(k := 'size',  v := CAST(p_size AS DOUBLE)),
+    struct_pack(k := 'price', v := p_retailprice),
+    struct_pack(k := 'half',  v := p_retailprice / 2.0)
+  ]) AS kv
+  FROM part
+)
+WHERE kv.v > 10.0
+"""
+
+
+@query("q_fn_map", _MAP_ORACLE)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    m = F.map_from_arrays(
+        F.array(F.lit("size"), F.lit("price"), F.lit("half")),
+        F.array(
+            F.col("p_size").cast("double"),
+            F.col("p_retailprice"),
+            F.col("p_retailprice") / 2.0,
+        ),
+    )
+    kept = F.map_filter(m, lambda k, v: v > 10.0)
+    return p.select("p_partkey", F.explode(kept).alias("metric", "val"))
+
+
+# -- Q20+ regexp family (extract_all / count via size / global replace) ----
+# DuckDB regexp_replace needs the 'g' flag for replace-all parity with
+# Spark; both engines use RE2-compatible character classes here.
+
+_REGEXP_ORACLE = """
+SELECT p_partkey,
+       len(regexp_extract_all(p_name, '[a-z]+')) AS n_words,
+       regexp_extract_all(p_name, '[a-z]+')[1] AS first_word,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels
+FROM part
+"""
+
+
+@query("q_fn_regexp", _REGEXP_ORACLE)
+def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    words = F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]+"), 0)
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.get(words, 0).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
+    )

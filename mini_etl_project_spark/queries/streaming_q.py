@@ -194,3 +194,37 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # head_hex is the first 8 BYTES; ascii token text → first 8 chars too,
     # so the oracle can express it with substring+encode
     return feats.select("doc_id", "n_bytes", "head_hex")
+
+
+# -- Q34 stateful op, oracle-checked ---------------------------------------
+# applyInPandasWithState emits each user's CUMULATIVE (count, max) once
+# per micro-batch; the final cumulative row per user equals the batch
+# aggregate, so max-reducing the drained emissions is batching-invariant —
+# the oracle holds whether the replay ran as 1 micro-batch or 50.
+
+_STATEFUL_ORACLE = """
+SELECT user_id, COUNT(*) AS n_seen, MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("q_stream_stateful", _STATEFUL_ORACLE)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.streaming.ops import (
+        drain_to_table,
+        events_stream,
+        stateful_running_max,
+    )
+
+    tbl = drain_to_table(
+        stateful_running_max(events_stream(spark, sf_dir)), mode="update"
+    )
+    return (
+        spark.table(tbl)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_seen").alias("n_seen"),
+            F.max("max_value").alias("max_value"),
+        )
+    )

@@ -172,3 +172,49 @@ def test_aqe_splits_skewed_join(spark):
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
         spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+
+
+def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
+    """Z-order layout vs linear sort, measured through manifest min/max
+    skipping: linear-by-x prunes x-predicates only; the Z-ordered layout
+    prunes files for narrow predicates on EITHER clustered column."""
+    from mini_etl_project_spark.operators.zorder import cluster_by_zorder
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    n, files = 40_000, 16
+    base = spark.range(n).select(
+        (F.col("id") % 200).alias("x"),
+        # independent second dimension (stable hash, not correlated with x)
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+         .cast("bigint") % 200).alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+    linear = SnapshotTable.create(str(tmp_path / "linear"))
+    linear.append(
+        base.repartitionByRange(files, "x").sortWithinPartitions("x"),
+        stats_cols=["x", "y"],
+    )
+    zed = SnapshotTable.create(str(tmp_path / "zorder"))
+    zed.append(cluster_by_zorder(base, ["x", "y"], n_files=files), stats_cols=["x", "y"])
+
+    def files_read(t, col, lo, hi):
+        return len(t.read(spark, where=(col, lo, hi)).inputFiles())
+
+    # Linear layout: x-predicates prune hard, y-predicates read everything.
+    assert files_read(linear, "x", 10, 20) <= 2
+    assert files_read(linear, "y", 10, 20) == files
+
+    # Z-order: BOTH dimensions prune (each file covers a small rectangle).
+    zx, zy = files_read(zed, "x", 10, 20), files_read(zed, "y", 10, 20)
+    assert zx < files / 2, f"x-pruning too weak: {zx}/{files}"
+    assert zy < files / 2, f"y-pruning too weak: {zy}/{files}"
+
+    # And the data survives intact with predicates applied row-level.
+    got = (
+        zed.read(spark, where=("y", 10, 20))
+        .filter(F.col("y").between(10, 20))
+        .count()
+    )
+    want = base.filter(F.col("y").between(10, 20)).count()
+    assert got == want

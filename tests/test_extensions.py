@@ -305,3 +305,46 @@ def test_pq_recall_and_compression(spark, sf_dir):
         for r in PQIndex(m=16, k_codes=64).fit(e).topk(e, queries, k=5, rerank=25).collect()
     }
     assert again == two_stage
+
+
+def test_multimodal_resize_frames_audio(spark, sf_dir):
+    """X5 plumbing beyond byte features: strided resize (binary→binary),
+    1→N frame sampling (Arrow explode inside mapInPandas), and windowed
+    audio features — all deterministic on byte payloads, all checked
+    against driver-side recomputation on the same bytes."""
+    from mini_etl_project_spark.operators.multimodal import (
+        attach_binary,
+        audio_window_features,
+        resize_bytes,
+        sample_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    mm = attach_binary(d, "doc_id", "text")
+    raw = {r["doc_id"]: bytes(r["payload"]) for r in mm.collect()}
+
+    thumbs = {r["doc_id"]: r for r in resize_bytes(mm, 4, 4).collect()}
+    assert set(thumbs) == set(raw)
+    for doc_id, r in thumbs.items():
+        assert len(bytes(r["thumb"])) == 16 and (r["out_w"], r["out_h"]) == (4, 4)
+        n = len(raw[doc_id])
+        expect = bytes(raw[doc_id][min(i * n // 16, n - 1)] for i in range(16))
+        assert bytes(r["thumb"]) == expect
+
+    frames = sample_frames(mm, frame_bytes=16, every_k=2).collect()
+    by_doc: dict = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        want_idx = list(range(0, len(raw[doc_id]) // 16, 2))
+        assert sorted(r["frame_idx"] for r in rows) == want_idx
+        for r in rows:
+            fi = r["frame_idx"]
+            assert bytes(r["frame"]) == raw[doc_id][fi * 16 : (fi + 1) * 16]
+
+    aud = audio_window_features(mm, window=32).collect()
+    assert aud, "no audio windows emitted"
+    for r in aud[:50]:
+        seg = raw[r["doc_id"]][r["window_idx"] * 32 : (r["window_idx"] + 1) * 32]
+        assert r["peak_amp"] == max(seg)
+        assert abs(r["mean_amp"] - sum(seg) / len(seg)) < 1e-9

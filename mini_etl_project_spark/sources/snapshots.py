@@ -291,18 +291,25 @@ class SnapshotTable:
     # -- change feed -------------------------------------------------------
 
     def read_changes(
-        self, spark: SparkSession, since_version: int, to_version: int | None = None
+        self,
+        spark: SparkSession,
+        since_version: int,
+        to_version: int | None = None,
+        include_preimages: bool = False,
     ) -> DataFrame:
         """Rows added or changed in versions ``(since_version, to_version]``
-        — Delta's Change Data Feed contract, minus before-images (this
-        format stages changed rows apart from copied rows, so the feed is
-        exact without writing extra CDC files).
+        — Delta's Change Data Feed contract (this format stages changed
+        rows apart from copied rows, so the feed is exact).
 
         Output = table columns + ``_commit_version`` + ``_change_type``
         (``insert`` for append commits, ``upsert`` for merge, ``overwrite``
-        for full rewrites; compactions contribute nothing). Incremental
-        consumers (a downstream pipeline tailing the table) read only the
-        changed files — I/O scales with the delta, not the table.
+        for full rewrites; compactions contribute nothing). With
+        ``include_preimages=True``, each merge commit also yields the
+        REPLACED old rows as ``upsert_preimage`` — enough for a consumer to
+        maintain any decomposable aggregate incrementally:
+        ``new = old + f(postimage) − f(preimage)``. Incremental consumers
+        read only the changed files — I/O scales with the delta, not the
+        table.
         """
         import pyspark.sql.functions as F
 
@@ -312,18 +319,19 @@ class SnapshotTable:
         parts: list[DataFrame] = []
         for v in range(since_version + 1, to_v + 1):
             m = self._read_manifest(v)
-            changed = m.get("change_files", [])
-            if not changed:
-                continue
-            paths = [os.path.join(self.data_dir, f) for f in changed]
-            parts.append(
-                spark.read.schema(schema)
-                .parquet(*paths)
-                .withColumn("_commit_version", F.lit(v))
-                .withColumn(
-                    "_change_type", F.lit(op_to_type.get(m.get("op", "append"), "insert"))
+            groups = [(m.get("change_files", []), op_to_type.get(m.get("op", "append"), "insert"))]
+            if include_preimages:
+                groups.append((m.get("before_files", []), "upsert_preimage"))
+            for files, ctype in groups:
+                if not files:
+                    continue
+                paths = [os.path.join(self.data_dir, f) for f in files]
+                parts.append(
+                    spark.read.schema(schema)
+                    .parquet(*paths)
+                    .withColumn("_commit_version", F.lit(v))
+                    .withColumn("_change_type", F.lit(ctype))
                 )
-            )
         if not parts:
             empty = StructType(
                 list(schema.fields)
@@ -391,7 +399,11 @@ class SnapshotTable:
         keep_versions = range(max(1, latest - keep_last + 1), latest + 1)
         live = set()
         for v in keep_versions:
-            live.update(self._read_manifest(v)["files"])
+            m = self._read_manifest(v)
+            live.update(m["files"])
+            # CDC-only artifacts of retained versions stay readable too.
+            live.update(m.get("before_files", []))
+            live.update(m.get("change_files", []))
         deleted = []
         for f in os.listdir(self.data_dir):
             if f not in live:
@@ -432,15 +444,23 @@ class SnapshotTable:
             .collect()
         }
         untouched = [f for f in manifest["files"] if f not in touched]
-        kept_rows = (
-            cur.filter(F.col("__file").isin(list(touched)))
-            .drop("__file")
-            .join(keys, key_cols, "left_anti")
-        )
+        touched_rows = cur.filter(F.col("__file").isin(list(touched))).drop("__file")
+        kept_rows = touched_rows.join(keys, key_cols, "left_anti")
         # Copied-over survivors and the actual upserts are staged APART so
-        # the commit's change feed carries exactly the changed rows.
+        # the commit's change feed carries exactly the changed rows; the
+        # REPLACED old rows (before-images) are staged as CDC-only files —
+        # never part of the table, but read_changes can serve them, which
+        # is what lets a downstream consumer maintain aggregates
+        # incrementally (new = old + f(post) − f(pre), Delta CDF's
+        # update_preimage contract).
         staged_kept = self._stage(kept_rows) if touched else []
+        staged_before = (
+            self._stage(touched_rows.join(keys, key_cols, "left_semi"))
+            if touched
+            else []
+        )
         staged_changed = self._stage(updates)
+        self._pending_meta = {**self._pending_meta, "before_files": staged_before}
         return self._commit(
             untouched + staged_kept + staged_changed,
             manifest["schema"],

@@ -375,3 +375,48 @@ def test_snapshot_table_change_feed(spark, tmp_path):
     empty = t.read_changes(spark, since_version=t.latest_version())
     assert empty.count() == 0
     assert empty.columns == ["id", "v", "_commit_version", "_change_type"]
+
+
+def test_snapshot_table_cdc_preimages_enable_ivm(spark, tmp_path):
+    """Before-images: merge commits expose the REPLACED rows as
+    upsert_preimage, so a consumer can maintain an aggregate incrementally
+    (new = old + post − pre) and land exactly on the table's true state;
+    vacuum keeps CDC artifacts of retained versions readable."""
+    from pyspark.sql import functions as F
+
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable.create(str(tmp_path / "ivm_tbl"))
+    t.append(spark.range(0, 100).withColumn("v", F.col("id").cast("double")))  # v1
+    ups = spark.range(40, 50).withColumn("v", F.lit(1000.0)).union(
+        spark.range(200, 205).withColumn("v", F.lit(7.0))
+    )
+    t.merge(spark, ups, key_cols=["id"])  # v2: 10 updates + 5 inserts
+
+    feed = t.read_changes(spark, 1, include_preimages=True)
+    pre = feed.filter(F.col("_change_type") == "upsert_preimage")
+    post = feed.filter(F.col("_change_type") == "upsert")
+    assert pre.count() == 10  # only the matched keys have before-images
+    assert sorted(r["id"] for r in pre.collect()) == list(range(40, 50))
+    assert {r["v"] for r in pre.collect()} == set(map(float, range(40, 50)))
+    assert post.count() == 15
+
+    # Incremental maintenance: v1 aggregate + (post − pre) == v2 aggregate.
+    def agg(df):
+        r = df.agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()[0]
+        return r["n"], float(r["s"])
+
+    n1, s1 = agg(t.read(spark, version=1))
+    np_, sp = agg(post)
+    nq, sq = agg(pre)
+    n2, s2 = agg(t.read(spark))
+    assert (n1 + np_ - nq, s1 + sp - sq) == (n2, s2)
+
+    # Default feed shape is unchanged (no preimages unless asked).
+    assert t.read_changes(spark, 1).filter(
+        F.col("_change_type") == "upsert_preimage"
+    ).count() == 0
+
+    # Vacuum to latest-only keeps the retained version's CDC artifacts.
+    t.vacuum(keep_last=1)
+    assert t.read_changes(spark, 1, include_preimages=True).count() == 25

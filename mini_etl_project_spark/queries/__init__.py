@@ -69,88 +69,68 @@ def _load_all() -> None:
 # oracle changed this round, then new queries — and the long tail of
 # already-proven entries follows in stable registration order.
 _CHECK_FIRST: list[str] = [
-    # Unchecked in round 1 (no CORRECTNESS_r01 row).
+    # Round-3 front: the 21 entries with no driver CORRECTNESS row ever
+    # (all verified oracle-exact or recall-green locally in round 2).
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_split_train_test",
+    "q_agg_histogram",
+    "q_agg_percentile",
+    "q_fn_array_hof",
+    "q_fn_map",
+    "q_fn_regexp",
+    "q_join_lateral",
+    "q_hierarchy_levels",
+    "q_ts_gapfill",
+    "q_window_distribution",
+    "q_window_value_fns",
+    "q_sim_topk_pq_rerank",
+    "q_text_fingerprint",
+    "q20_promotion_suppliers",
+    "q_stream_stateful",
+    "q_sim_ann_lsh",  # rows-only by design
+    "q_sim_ann_ivf",  # rows-only by design
+    "q_sim_ann_ml_brp",  # rows-only by design
+    # Oracle changed this round (round-2's only red: HUGEINT vs BIGINT).
+    "q_window_range_frame",
+    # New queries this round.
+    "q_multimodal_meta",
+    "q_sim_lsh_recall",
+    "q_join_asof_nullpayload",
+    # Implementation touched this round — needs a fresh green row.
+    "q_join_asof",
+    "q_join_asof_forward",
+    "q_join_asof_nearest",
+    "q_etl_pipeline_full",
+    # ---- ~50-entry budget boundary (observed rounds 1-2) ----
+    # Long tail: proven-green entries in rough flagship order.
+    "q01_pricing_summary",
+    "q_etl_pipeline",
+    "q_dedup_minhash_lsh",
+    "q_dedup_exact",
+    "q_corpus_pretrain",
+    "q_sim_topk_exact",
+    "q_sim_pairs_threshold",
+    "q_stream_tumbling",
+    "q_stream_sessions",
+    "q_stream_funnel",
+    "q_stream_late_drop",
+    "q_stream_join",
+    "q_stream_sink_snapshot",
+    "q_table_merge",
+    "q_table_cdc",
+    "q_source_python_ds",
+    "q_multimodal_bytes",
     "q_window_rank",
     "q_window_topk_per_group",
     "q_window_lag_lead",
     "q_window_frames",
-    "q_window_range_frame",
     "q_agg_rollup",
     "q_agg_cube",
     "q_agg_grouping_sets",
     "q_udf_pandas_scalar",
     "q_udf_grouped_agg",
     "q_udtf_split_words",
-    "q_sim_topk_exact",
-    "q_sim_pairs_threshold",
-    "q_stream_tumbling",
-    "q_stream_sessions",
-    "q_stream_funnel",
-    "q_multimodal_bytes",
-    "q_text_stats",
-    "q_text_token_freq",
-    "q_text_tfidf_top",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_bpe_tokens",
-    "q_text_bigram_jaccard",
-    "q_text_winnow_fingerprint",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q15_top_supplier",
-    "q22_idle_balances",
-    # Oracle-typing fixes needing a fresh hash-match row.
-    "q12_shipmode_priority",
-    "q_fn_json",
-    # New queries with no driver row yet.
-    "q_join_asof_nearest",
-    "q_join_interval",
-    "q_stream_late_drop",
-    "q_stream_join",
-    "q_corpus_pretrain",
-    "q_source_python_ds",
-    "q02_min_cost_supplier",
-    "q07_nation_volume",
-    "q08_market_share",
-    "q09_product_profit",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q16_supplier_counts",
-    "q17_small_quantity",
-    "q21_sole_blame_suppliers",
-    # New this round: snapshot-table format (merge / CDC / streaming sink).
-    "q_table_merge",
-    "q_table_cdc",
-    "q_stream_sink_snapshot",
-    # Implementation changed after the round-1 check ran.
-    "q_etl_pipeline_full",
-    # ---- ~50-entry budget boundary (observed round 1) ----
-    # First in line if the budget stretches: new-round oracle queries.
-    "q_sim_topk_pq_rerank",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_split_train_test",
-    "q_agg_histogram",
-    "q_agg_percentile",
-    "q_window_distribution",
-    "q_window_value_fns",
-    "q_join_lateral",
-    "q_hierarchy_levels",
-    "q_ts_gapfill",
-    "q_fn_array_hof",
-    "q_fn_map",
-    "q_fn_regexp",
-    "q_stream_stateful",
-    "q_sim_ann_lsh",  # rows-only; a driver row adds little over pytest
-    "q_sim_ann_ivf",  # rows-only
-    "q_text_fingerprint",  # weakest of the (checked) text family
-    "q20_promotion_suppliers",  # shape-redundant with q18 (IN over HAVING)
-    "q_sim_ann_ml_brp",  # rows-only; weakest marginal evidence
-    "q_dedup_minhash_lsh",
-    "q_join_asof",
-    "q_join_asof_forward",
-    "q_etl_pipeline",
-    "q01_pricing_summary",
 ]
 
 

@@ -300,6 +300,47 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "error_ts")
 
 
+# -- Q8 as-of join, NULL-payload row-level semantics -----------------------
+# Regression gate for row-level match semantics: every third click carries a
+# NULL payload value. A matched right row must contribute its OWN NULLs —
+# per-column last(ignorenulls) filling would stitch the value from an older
+# click onto the matched click's timestamp (the bug class the struct-fill in
+# operators/asof.py prevents). DuckDB's native ASOF is row-level, so the
+# oracle exercises exactly this.
+
+_ASOF_NULLPAYLOAD_ORACLE = """
+WITH purchases AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts AS click_ts,
+         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.event_id, c.click_ts, c.click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+
+@query("q_join_asof_nullpayload", _ASOF_NULLPAYLOAD_ORACLE)
+def q_join_asof_nullpayload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("click_value"),
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts"
+    ).select("user_id", "event_id", "click_ts", "click_value")
+
+
 # -- Q7 interval-overlap join ----------------------------------------------
 # Two order samples with synthetic validity windows; pairs whose windows
 # overlap. DuckDB plans the raw range predicate with IEJoin; our engine

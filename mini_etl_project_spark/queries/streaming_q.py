@@ -59,7 +59,8 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a batch aggregate over ONLY the recent slice. Removing withWatermark
 # makes the stale rows aggregate and this oracle fail — the watermark is
 # load-bearing, not decorative. epoch_us on both sides pins the cutoff to
-# Spark's microsecond timeline (events.parquet is TIMESTAMP(NANOS)).
+# Spark's microsecond timeline regardless of the parquet file's physical
+# timestamp unit (nanos or micros — see session.load_table).
 
 _LATE_DROP_ORACLE = """
 WITH mx AS (SELECT MAX(ts) AS m FROM events)
@@ -194,6 +195,71 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # head_hex is the first 8 BYTES; ascii token text → first 8 chars too,
     # so the oracle can express it with substring+encode
     return feats.select("doc_id", "n_bytes", "head_hex")
+
+
+# -- X5 multimodal: container-header metadata parse (PNG/JPEG/WAV) ---------
+# Both engines synthesize the same spec-shaped headers from doc_id, then
+# parse them INDEPENDENTLY at the byte level: Spark walks JPEG segments
+# generically (operators/multimodal.py::parse_media_meta, pure binary
+# expressions); the oracle slices the hex image of the same payload at the
+# offsets the container specs dictate. Agreement means the byte layout,
+# endianness handling, and segment walk are all right.
+
+_MEDIA_META_ORACLE = """
+WITH synth AS (
+  SELECT doc_id,
+    CASE doc_id % 3
+      WHEN 0 THEN '89504E470D0A1A0A' || '0000000D' || '49484452'
+                  || printf('%08X', 16 + doc_id % 2048)
+                  || printf('%08X', 16 + (doc_id * 7) % 1152)
+      WHEN 1 THEN '52494646' || '24000000' || '57415645' || '666D7420'
+                  || '10000000' || '0100'
+                  || printf('%02X', 1 + doc_id % 2) || '00'
+                  || printf('%02X', (8000 * (1 + doc_id % 5)) % 256)
+                  || printf('%02X', (8000 * (1 + doc_id % 5)) // 256)
+                  || '0000'
+      ELSE 'FFD8' || 'FFE0' || '0010' || '4A46494600' || repeat('00', 9)
+           || 'FFC0' || '0011' || '08'
+           || printf('%04X', 8 + (doc_id * 5) % 2160)
+           || printf('%04X', 8 + (doc_id * 3) % 4096)
+    END AS h
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+       WHEN substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+         THEN 'wav'
+       WHEN substr(h, 1, 4) = 'FFD8' THEN 'jpeg' END AS media_kind,
+  CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+         THEN ('0x' || substr(h, 33, 8))::BIGINT           -- IHDR width, bytes 17-20
+       WHEN substr(h, 1, 4) = 'FFD8'
+         THEN ('0x' || substr(h, 55, 4))::BIGINT           -- SOF0 width, bytes 28-29
+       END AS width,
+  CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+         THEN ('0x' || substr(h, 41, 8))::BIGINT           -- IHDR height, bytes 21-24
+       WHEN substr(h, 1, 4) = 'FFD8'
+         THEN ('0x' || substr(h, 51, 4))::BIGINT           -- SOF0 height, bytes 26-27
+       END AS height,
+  CASE WHEN substr(h, 1, 8) = '52494646'
+         THEN ('0x' || substr(h, 47, 2) || substr(h, 45, 2))::BIGINT
+       END AS channels,                                    -- fmt LE16, bytes 23-24
+  CASE WHEN substr(h, 1, 8) = '52494646'
+         THEN ('0x' || substr(h, 55, 2) || substr(h, 53, 2)
+                    || substr(h, 51, 2) || substr(h, 49, 2))::BIGINT
+       END AS sample_rate                                  -- fmt LE32, bytes 25-28
+FROM synth
+"""
+
+
+@query("q_multimodal_meta", _MEDIA_META_ORACLE)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.multimodal import (
+        parse_media_meta,
+        synth_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return parse_media_meta(synth_media(d, "doc_id"))
 
 
 # -- Q34 stateful op, oracle-checked ---------------------------------------

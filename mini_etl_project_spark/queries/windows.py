@@ -129,10 +129,14 @@ WITH daily AS (
          COUNT(*) AS n
   FROM orders GROUP BY 1)
 SELECT day_idx, n,
-       SUM(n) OVER (ORDER BY day_idx
-                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d
+       CAST(SUM(n) OVER (ORDER BY day_idx
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_7d
 FROM daily
 """
+# DuckDB SUM(BIGINT) yields HUGEINT (int128); Spark's window sum over bigint
+# stays bigint.  Without the CAST above the driver's value-hash sees two
+# different integer widths for identical values (round 2's one red row).
 
 
 @query("q_window_range_frame", _RANGE_ORACLE)
@@ -147,6 +151,12 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("day_idx")
     ).agg(F.count("*").alias("n"))
+    # BOUNDED-INPUT INVARIANT: this unpartitioned Window runs single-
+    # partition (WindowExec with no PARTITION BY).  That is safe ONLY
+    # because the input is the post-aggregate daily frame — cardinality
+    # = distinct calendar days (~2.4k rows at any sf, ~10k rows even for
+    # a 30-year corpus).  Never copy this pattern onto raw rows; there,
+    # partition by a coarse time bucket and stitch boundaries.
     w = Window.orderBy("day_idx").rangeBetween(-6, 0)
     return daily.select("day_idx", "n", F.sum("n").over(w).alias("n_7d"))
 
@@ -161,6 +171,8 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+    # BOUNDED-INPUT INVARIANT: unpartitioned windows over the per-day
+    # aggregate only (cardinality = calendar days) — see q_window_range_frame.
     w_run = Window.orderBy("order_day").rowsBetween(Window.unboundedPreceding, 0)
     w_mov = Window.orderBy("order_day").rowsBetween(-6, 0)
     return daily.select(

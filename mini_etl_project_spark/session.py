@@ -62,21 +62,28 @@ def get_spark(app_name: str = "mini_etl_project_spark", cpus: str | None = None)
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one contract table as a lazy parquet scan (Q1: parquet source).
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; read it as raw nanos and truncate to
-    microseconds (integer ``DIV`` — a double division would lose precision
-    above 2^53 ns). This matches DuckDB's own nanos→micros truncation, so
-    oracle comparisons agree.
+    ``events.parquet``'s ``ts`` physical type has varied across testdata
+    generations — parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    rejects; readable only as raw longs under ``nanosAsLong``) and plain
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Normalize either to a
+    session-TZ TIMESTAMP so every downstream plan and oracle sees identical
+    values: nanos truncate to micros with integer ``DIV`` (double division
+    would lose precision above 2^53 ns — matches DuckDB's truncation), and
+    NTZ micros cast 1:1 under the pinned UTC session timezone.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         raw = _maybe_widen(raw, os.path.join(sf_dir, "events.parquet"))
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+        ts_type = raw.schema["ts"].dataType
+        if isinstance(ts_type, LongType):  # TIMESTAMP(NANOS) as raw nanos
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if isinstance(ts_type, TimestampNTZType):  # TIMESTAMP(MICROS)
+            return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw
     path = os.path.join(sf_dir, f"{name}.parquet")
     return _maybe_widen(spark.read.parquet(path), path)
 

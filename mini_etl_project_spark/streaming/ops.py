@@ -20,12 +20,26 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: events.parquet physical schema — ts is TIMESTAMP(NANOS) stored as int64
-#: (read as long + DIV-truncate to micros, same as the batch loader).
+#: events.parquet schema for the NANOS generation — ts is TIMESTAMP(NANOS)
+#: stored as int64 (read as long + DIV-truncate to micros, same as the
+#: batch loader).
 EVENTS_RAW_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
 )
+
+
+def _stage_tag(sf_dir: str) -> str:
+    """Cache key for /tmp staging dirs: changes when the testdata file is
+    regenerated (size/mtime), so a stale stage is never replayed against a
+    fresh oracle."""
+    import hashlib
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    return hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,17 +47,38 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     FileStreamSource wants a directory (a growing drop-zone in production);
     the read-only single-file fixture is staged via symlink.
+
+    Streaming requires an explicit schema, so the ``ts`` physical-type
+    drift across testdata generations (TIMESTAMP(NANOS) vs
+    TIMESTAMP(MICROS), see ``session.load_table``) must be resolved
+    HERE: declaring ``bigint`` against a micros file silently reads the
+    raw int64 micros and a later ns→us truncate would compress event time
+    1000×. Inspect the parquet footer once and declare the right schema.
     """
-    import hashlib
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    stage = f"/tmp/mini_etl_stream_{tag}"
+    import pyarrow.parquet as pq
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    ts_type = str(pq.read_schema(events_path).field("ts").type)
+    stage = f"/tmp/mini_etl_stream_{_stage_tag(sf_dir)}"
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(events_path, link)
+    if ts_type.startswith("timestamp"):  # micros generation → NTZ column
+        raw = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp_ntz, user_id bigint, "
+                "event_type string, value double, props string"
+            )
+            .format("parquet")
+            .load(stage)
+        )
+        # 1:1 under the pinned UTC session timezone.
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # nanos generation → raw int64 nanos; integer-DIV truncate to micros.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
@@ -67,13 +102,11 @@ def late_split_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows would then aggregate).
     """
     import datetime
-    import hashlib
     import os
     import shutil
     import time as _time
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    stage = f"/tmp/mini_etl_stream_late_{tag}"
+    stage = f"/tmp/mini_etl_stream_late_{_stage_tag(sf_dir)}"
     ready = os.path.join(stage, "_READY")
     if not os.path.exists(ready):
         from mini_etl_project_spark.session import load_table

@@ -90,8 +90,18 @@ class RandomHyperplaneLSH:
     the corpus shards into ~2^bits buckets per table.
     """
 
-    def __init__(self, dim: int, bits: int = 8, tables: int = 4) -> None:
+    def __init__(
+        self, dim: int, bits: int = 8, tables: int = 4, exact_sign: bool = False
+    ) -> None:
         self.dim, self.bits, self.tables = dim, bits, tables
+        #: exact_sign=True routes the sign-bit dot product through the
+        #: order-independent decimal accumulator (functions/vectors.py)
+        #: instead of sequential double adds. Marginally slower, but the
+        #: bucket of a vector is then bit-reproducible by ANY engine that
+        #: follows the md5 derivation — which makes the whole ANN pipeline
+        #: oracle-checkable in SQL (q_sim_lsh_topk) and partitioning-proof
+        #: even for dots within one ulp of zero.
+        self.exact_sign = exact_sign
         # hyperplanes as literal arrays in the plan: tiny (tables×bits×dim)
         self._planes = {
             (t, b): _hyperplane(dim, t, b)
@@ -105,11 +115,14 @@ class RandomHyperplaneLSH:
         acc = F.lit(0).cast("bigint")
         for b in range(self.bits):
             plane = F.array(*[F.lit(x) for x in self._planes[(table, b)]])
-            dot = F.aggregate(
-                F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
+            if self.exact_sign:
+                dot = dot_exact(vec, plane)
+            else:
+                dot = F.aggregate(
+                    F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
             acc = acc + F.when(dot >= 0, F.lit(2**b).cast("bigint")).otherwise(0)
         return acc
 

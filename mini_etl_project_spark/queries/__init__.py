@@ -95,7 +95,7 @@ _CHECK_FIRST: list[str] = [
     "q_window_range_frame",
     # New queries this round.
     "q_multimodal_meta",
-    "q_sim_lsh_recall",
+    "q_sim_lsh_topk",
     "q_join_asof_nullpayload",
     # Implementation touched this round — needs a fresh green row.
     "q_join_asof",

@@ -73,6 +73,84 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.topk(e, queries, k=_K)
 
 
+# -- X4 LSH, fully oracle-checked ------------------------------------------
+# The hyperplanes are md5-derived (operators/similarity.py::_hyperplane),
+# so DuckDB can re-derive every plane component bit-for-bit: first 8 md5
+# bytes as UBIGINT → /2^63 − 1 (integer→double rounding is IEEE
+# round-half-even in both engines, and /2^63 only scales the exponent).
+# With exact_sign=True the sign-bit dots go through the same decimal
+# accumulation both sides, so bucket ids — and therefore the CANDIDATE
+# SETS — are reproducible, not just the scoring. This converts the LSH
+# path from rows-only to hash-checked end-to-end.
+
+_LSH_BITS, _LSH_TABLES = 3, 4
+
+_LSH_TOPK_ORACLE = f"""
+WITH planes AS (
+  SELECT t.t AS tbl, b.b AS bit, d.d AS dim,
+         (('0x' || substr(md5('rhp:' || t.t || ':' || b.b || ':' || d.d),
+                          1, 16))::UBIGINT::DOUBLE
+          / 9223372036854775808.0 - 1.0) AS w
+  FROM unnest(generate_series(0, {_LSH_TABLES - 1})) t(t),
+       unnest(generate_series(0, {_LSH_BITS - 1})) b(b),
+       unnest(generate_series(0, {_DIM - 1})) d(d)),
+bitdots AS (
+  SELECT e.vec_id, p.tbl, p.bit,
+         SUM(CAST(CAST(e.embedding[p.dim + 1] AS DOUBLE) * p.w
+                  AS DECIMAL(38,10))) AS dot
+  FROM embeddings e, planes p
+  GROUP BY e.vec_id, p.tbl, p.bit),
+sigs AS (
+  SELECT vec_id, tbl,
+         SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << bit) ELSE 0 END) AS bucket
+  FROM bitdots GROUP BY vec_id, tbl),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < {_NQ} AND q.vec_id <> c.vec_id),
+norms AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(CAST(embedding[t.i] AS DOUBLE)
+                       * CAST(embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS sq
+  FROM embeddings, unnest(generate_series(1, {_DIM})) t(i)
+  GROUP BY vec_id),
+dots AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         CAST(SUM(CAST(CAST(q.embedding[t.i] AS DOUBLE)
+                       * CAST(c.embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS dot
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id,
+       unnest(generate_series(1, {_DIM})) t(i)
+  GROUP BY cand.query_id, cand.neighbor_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         dot / (SQRT(nq.sq) * SQRT(nc.sq)) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+@query("q_sim_lsh_topk", _LSH_TOPK_ORACLE)
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 hash-checked: LSH ANN top-k with exact-sign bucketing — the
+    oracle re-derives the md5 hyperplanes and the candidate sets in SQL."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _NQ)
+    lsh = RandomHyperplaneLSH(
+        dim=_DIM, bits=_LSH_BITS, tables=_LSH_TABLES, exact_sign=True
+    )
+    return lsh.topk(e, queries, k=_K)
+
+
 @query("q_sim_ann_ivf")
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 (IVF path): k-means coarse quantization + exact search in the

@@ -60,12 +60,28 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     events_path = os.path.join(sf_dir, "events.parquet")
-    ts_type = str(pq.read_schema(events_path).field("ts").type)
+    schema_file = events_path
+    if os.path.isdir(events_path):
+        schema_file = next(
+            os.path.join(events_path, p)
+            for p in sorted(os.listdir(events_path))
+            if p.endswith(".parquet")
+        )
+    ts_type = str(pq.read_schema(schema_file).field("ts").type)
     stage = f"/tmp/mini_etl_stream_{_stage_tag(sf_dir)}"
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(events_path, link)
+    if os.path.isdir(events_path):
+        # Multi-file table (e.g. tools/make_scale_data.py output): stage
+        # each part — FileStreamSource lists the drop-zone flat.
+        for part in sorted(os.listdir(events_path)):
+            if part.endswith(".parquet"):
+                link = os.path.join(stage, part)
+                if not os.path.exists(link):
+                    os.symlink(os.path.join(events_path, part), link)
+    else:
+        link = os.path.join(stage, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(events_path, link)
     if ts_type.startswith("timestamp"):  # micros generation → NTZ column
         raw = (
             spark.readStream.schema(

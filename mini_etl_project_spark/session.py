@@ -53,7 +53,14 @@ def get_spark(app_name: str = "mini_etl_project_spark", cpus: str | None = None)
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
-        builder = builder.master(f"local[{cpus}]")
+        # Local mode = driver JVM hosts all executor threads, but Spark's
+        # default heap is 1g — fine at sf0.1, OOM at sf1.0 on a 128 GiB
+        # box. Size it explicitly (env-overridable; ignored on a real
+        # cluster where spark-submit owns memory).
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

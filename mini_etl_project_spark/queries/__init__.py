@@ -48,6 +48,7 @@ def _load_all() -> None:
         functions_q,
         iterative_q,
         joins,
+        llm_q,
         misc_q,
         sampling_q,
         setops,
@@ -97,6 +98,9 @@ _CHECK_FIRST: list[str] = [
     "q_multimodal_meta",
     "q_sim_lsh_topk",
     "q_join_asof_nullpayload",
+    "q_corpus_pack",
+    "q_text_repetition",
+    "q_embed_quantize",
     # Implementation touched this round — needs a fresh green row.
     "q_join_asof",
     "q_join_asof_forward",

@@ -1,0 +1,209 @@
+"""Training-data pipeline operators, round 3 (brief: "operations a
+large-scale training-data pipeline would need"):
+
+- sequence packing: GPT-style concat-and-chunk of documents into fixed
+  token-budget context windows, per source shard;
+- repetition filtering: Gopher-style duplicate-n-gram fraction, the
+  standard low-quality-document signal;
+- embedding quantization: symmetric int8 with per-vector scale, the
+  storage layout ANN serving systems actually ship.
+
+All three are pure-expression plans (no UDFs) with exact DuckDB oracles.
+
+Scale notes: packing windows partition by the shard column — the global
+concat order a single-node packer would use is replaced by per-shard
+order, which is what a distributed writer does anyway (each output shard
+is packed independently). Repetition and quantization are stateless
+per-row projections — scan-parallel at any size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.operators.textops import tokens
+from mini_etl_project_spark.queries import query
+from mini_etl_project_spark.session import load_table
+
+# -- sequence packing -------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM t)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+       CAST(start % {_PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM c
+"""
+
+
+def pack_sequences(
+    df: DataFrame,
+    shard_col: str,
+    order_col: str,
+    text_col: str,
+    budget: int = _PACK_BUDGET,
+) -> DataFrame:
+    """Concat-and-chunk packing: documents are laid end-to-end in a
+    deterministic per-shard order and cut into ``budget``-token context
+    windows (documents may straddle window boundaries — exactly what a
+    pretraining data loader does). Returns each doc's window id and
+    offset; a writer keyed on (shard, bin_id) then emits fixed-size
+    training rows.
+
+    One shuffle (the per-shard window); no single global order — each
+    shard packs independently, which is also how a multi-writer job lays
+    out files at 100 TB.
+    """
+    n_tokens = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(tokens(text_col))).cast("bigint")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = df.select(
+        F.col(order_col), F.col(shard_col), n_tokens.alias("n_tokens")
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start")
+    c = t.select("*", start)
+    return c.select(
+        order_col,
+        shard_col,
+        "n_tokens",
+        F.floor(F.col("start") / budget).cast("bigint").alias("bin_id"),
+        (F.col("start") % budget).cast("bigint").alias("bin_offset"),
+    )
+
+
+@query("q_corpus_pack", _PACK_ORACLE)
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, "source", "doc_id", "text")
+
+
+# -- repetition filter ------------------------------------------------------
+
+_REP_THRESHOLD = 0.2
+
+_REP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents),
+b AS (
+  SELECT doc_id, len(w) AS n_words,
+         CASE WHEN len(w) >= 2 THEN
+           list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i + 1])
+         END AS bg
+  FROM t)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CASE WHEN bg IS NULL THEN NULL
+            ELSE 1.0 - len(list_distinct(bg))::DOUBLE / len(bg) END
+         AS dup_bigram_frac,
+       CASE WHEN bg IS NULL THEN 0
+            WHEN 1.0 - len(list_distinct(bg))::DOUBLE / len(bg)
+                 > {_REP_THRESHOLD} THEN 1 ELSE 0 END AS flagged
+FROM b
+"""
+
+
+def duplicate_bigram_fraction(text_col: Column | str) -> Column:
+    """Gopher-style repetition signal: fraction of word bigrams that are
+    duplicates (1 − distinct/total). NULL for documents under 2 words.
+    Pure higher-order expressions; the integer ratio divides exactly the
+    same in any engine."""
+    w = tokens(text_col)
+    n = F.size(w)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(
+            F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+        ),
+    )
+    return F.when(
+        n >= 2,
+        F.lit(1.0)
+        - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams),
+    )
+
+
+@query("q_text_repetition", _REP_ORACLE)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    frac = duplicate_bigram_fraction("text")
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_words"),
+        frac.alias("dup_bigram_frac"),
+        F.when(frac > _REP_THRESHOLD, 1).otherwise(0).alias("flagged"),
+    )
+
+
+# -- int8 embedding quantization -------------------------------------------
+
+_QUANT_ORACLE = """
+WITH m AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS mx,
+         embedding
+  FROM embeddings)
+SELECT vec_id,
+       mx / 127.0 AS scale,
+       CASE WHEN mx = 0
+            THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(
+                   embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5)
+                             AS INTEGER))
+       END AS qvec
+FROM m
+"""
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization with per-vector scale: q = round(x /
+    scale), scale = max|x| / 127. Rounding is floor(v + 0.5) — identical
+    half-up behavior in every engine (library ``round`` functions differ
+    on ties). 4× storage reduction for float32 embeddings; the dequantized
+    dot is within 1/127 relative error, standard for ANN candidate scans.
+    """
+    mx = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    staged = df.withColumn("__mx", mx)
+    qvec = F.when(
+        F.col("__mx") == 0,
+        F.transform(F.col(vec_col), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * 127.0 / F.col("__mx") + F.lit(0.5)
+            ).cast("int"),
+        )
+    )
+    return staged.select(
+        "vec_id",
+        (F.col("__mx") / 127.0).alias("scale"),
+        qvec.alias("qvec"),
+    )
+
+
+@query("q_embed_quantize", _QUANT_ORACLE)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(e)

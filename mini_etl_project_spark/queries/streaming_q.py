@@ -275,6 +275,55 @@ GROUP BY user_id
 """
 
 
+# -- Q34 via Spark 4 transformWithStateInPandas (stateful V2) --------------
+# Same batching-invariant pattern: cumulative per-batch emissions, final
+# max-reduce equals the batch GROUP BY whether the replay ran as 1
+# micro-batch or 50.
+#
+# ENVIRONMENT GATE: the TWS state-server protocol needs google.protobuf,
+# which this container does not ship (and installs are off-limits) — the
+# driver worker crashes with ImportError before user code runs. The
+# operator (streaming/ops.py::stateful_type_counts_v2) is real and the
+# query registers automatically wherever protobuf exists; the gating
+# itself is pytest-asserted (test_round3.py), mirroring the R2/R21 Excel
+# shim posture.
+
+
+def _has_tws_runtime() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_STATEFUL_V2_ORACLE = """
+SELECT user_id, event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+def q_stream_stateful_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.streaming.ops import stateful_type_counts_v2
+
+    tbl = drain_to_table(
+        stateful_type_counts_v2(events_stream(spark, sf_dir)), mode="update"
+    )
+    return (
+        spark.table(tbl)
+        .groupBy("user_id", "event_type")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+
+
+if _has_tws_runtime():  # pragma: no cover — container lacks protobuf
+    q_stream_stateful_v2 = query("q_stream_stateful_v2", _STATEFUL_V2_ORACLE)(
+        q_stream_stateful_v2
+    )
+
+
 @query("q_stream_stateful", _STATEFUL_ORACLE)
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_project_spark.streaming.ops import (

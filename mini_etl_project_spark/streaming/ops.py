@@ -271,6 +271,58 @@ def stream_dedup(stream: DataFrame) -> DataFrame:
     )
 
 
+def stateful_type_counts_v2(stream: DataFrame) -> DataFrame:
+    """Q34, Spark 4 stateful V2: per-(user, event_type) running counts via
+    ``transformWithStateInPandas`` with a MapState keyed by event type —
+    the typed-composite-state API that ``applyInPandasWithState`` (v1,
+    ``stateful_running_max``) lacks. Requires the RocksDB state store
+    (local disk at any scale; changelog-checkpointed on a cluster).
+
+    Emissions are CUMULATIVE per micro-batch, so max-reducing the drained
+    update-mode output per (user, event_type) equals the batch GROUP BY —
+    the same batching-invariant oracle pattern as v1."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            for pdf in rows:
+                for et, n in pdf.groupby("event_type").size().items():
+                    prev = self._counts.getValue((et,))
+                    self._counts.updateValue(
+                        (et,), ((prev[0] if prev else 0) + int(n),)
+                    )
+            out = [
+                {"user_id": key[0], "event_type": k[0], "n_events": v[0]}
+                for k, v in self._counts.iterator()
+            ]
+            yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    spark = stream.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        TypeCounts(),
+        "user_id bigint, event_type string, n_events bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stateful_running_max(stream: DataFrame) -> DataFrame:
     """Q34: arbitrary stateful op — per-user running max of ``value`` via
     applyInPandasWithState (GroupState survives across micro-batches)."""

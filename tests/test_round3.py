@@ -145,6 +145,15 @@ def test_lsh_exact_sign_buckets_partitioning_invariant(spark):
     assert ra == rb
 
 
+def test_stateful_v2_gating():
+    """transformWithStateInPandas needs google.protobuf (absent here):
+    the query must register exactly when the runtime supports it."""
+    from mini_etl_project_spark.queries import QUERIES
+    from mini_etl_project_spark.queries.streaming_q import _has_tws_runtime
+
+    assert ("q_stream_stateful_v2" in QUERIES) == _has_tws_runtime()
+
+
 @pytest.mark.parametrize("table", ["events"])
 def test_events_loader_normalizes_ts(spark, sf_dir, table):
     """Whatever the parquet generation stores (nanos-as-long or micros

@@ -96,7 +96,10 @@ def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- repetition filter ------------------------------------------------------
 
-_REP_THRESHOLD = 0.2
+# Gopher uses ~0.2 for duplicate-line fraction on web text; the synthetic
+# corpus tops out near 0.14 duplicate bigrams, so 0.1 keeps the flag
+# column live (both branches exercised) in the oracle comparison.
+_REP_THRESHOLD = 0.1
 
 _REP_ORACLE = f"""
 WITH t AS (

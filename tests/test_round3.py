@@ -145,6 +145,55 @@ def test_lsh_exact_sign_buckets_partitioning_invariant(spark):
     assert ra == rb
 
 
+def test_quantize_int8_bounds_and_roundtrip(spark):
+    """qvec ∈ [-127, 127]; dequantization error ≤ scale/2 per element."""
+    from mini_etl_project_spark.queries.llm_q import quantize_int8
+    from mini_etl_project_spark.session import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+    orig = {r["vec_id"]: r["embedding"] for r in e.collect()}
+    for r in quantize_int8(e).collect():
+        s, q = r["scale"], r["qvec"]
+        assert all(-127 <= v <= 127 for v in q)
+        for x, qv in zip(orig[r["vec_id"]], q):
+            assert abs(qv * s - float(x)) <= s / 2 + 1e-12
+
+
+def test_pack_sequences_invariants(spark):
+    """Offsets stay inside the budget; bins fill contiguously per shard;
+    token mass is conserved."""
+    from mini_etl_project_spark.queries.llm_q import pack_sequences
+    from mini_etl_project_spark.session import load_table
+
+    budget = 512
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    packed = pack_sequences(d, "source", "doc_id", "text", budget=budget)
+    rows = packed.orderBy("source", "doc_id").collect()
+    assert all(0 <= r["bin_offset"] < budget for r in rows)
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, docs in by_src.items():
+        # cumulative reconstruction: each doc starts where the previous ended
+        cum = 0
+        for r in docs:
+            assert r["bin_id"] * budget + r["bin_offset"] == cum
+            cum += r["n_tokens"]
+
+
+def test_repetition_fraction_range(spark):
+    from mini_etl_project_spark.queries.llm_q import q_text_repetition
+
+    rows = q_text_repetition(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        f = r["dup_bigram_frac"]
+        if f is not None:
+            assert 0.0 <= f <= 1.0
+            assert r["flagged"] == (1 if f > 0.1 else 0)
+    # the synthetic docs repeat heavily — the signal must actually fire
+    assert any(r["flagged"] == 1 for r in rows)
+
+
 def test_stateful_v2_gating():
     """transformWithStateInPandas needs google.protobuf (absent here):
     the query must register exactly when the runtime supports it."""

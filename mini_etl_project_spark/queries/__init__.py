@@ -101,6 +101,7 @@ _CHECK_FIRST: list[str] = [
     "q_corpus_pack",
     "q_text_repetition",
     "q_embed_quantize",
+    "q_text_pii_scrub",
     "q_stream_stateful_v2",
     # Implementation touched this round — needs a fresh green row.
     "q_join_asof",

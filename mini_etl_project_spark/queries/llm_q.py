@@ -155,6 +155,66 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- PII scrubbing ----------------------------------------------------------
+# Classic pre-training scrub pass: regex-redact emails and IPv4s, count
+# redactions. The synthetic corpus contains no PII, so both engines plant
+# the same deterministic contact line per doc first — the redaction
+# machinery (global replace, match counting) then runs on live matches.
+# Patterns use only syntax with identical semantics in Java regex (Spark)
+# and RE2 (DuckDB); DuckDB needs the explicit 'g' flag to match Spark's
+# replace-all behavior.
+
+_EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z0-9]"
+_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@example.com from 10.0.' || (doc_id % 256) || '.7' AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}'))
+            + len(regexp_extract_all(t, '{_IP_RE}')) AS BIGINT)
+         AS n_redactions,
+       regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_IP_RE}', '<IP>', 'g') AS scrubbed
+FROM aug
+"""
+
+
+def scrub_pii(df: DataFrame, text_col: str) -> DataFrame:
+    """Redact emails and IPv4 addresses; returns the scrubbed text and a
+    per-doc redaction count. Stateless projection — scan-parallel."""
+    t = F.col(text_col)
+    n = (
+        F.regexp_count(t, F.lit(_EMAIL_RE)) + F.regexp_count(t, F.lit(_IP_RE))
+    ).cast("bigint")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+    )
+    return df.select(
+        "doc_id", n.alias("n_redactions"), scrubbed.alias("scrubbed")
+    )
+
+
+@query("q_text_pii_scrub", _PII_ORACLE)
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256),
+            F.lit(".7"),
+        ).alias("t"),
+    )
+    return scrub_pii(aug, "t")
+
+
 # -- int8 embedding quantization -------------------------------------------
 
 _QUANT_ORACLE = """

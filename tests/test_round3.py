@@ -194,6 +194,92 @@ def test_repetition_fraction_range(spark):
     assert any(r["flagged"] == 1 for r in rows)
 
 
+def _asof_vs_pandas(spark, direction, left_rows, right_rows):
+    import pandas as pd
+
+    lpdf = pd.DataFrame(left_rows, columns=["k", "lts"]).astype("int64")
+    rpdf = pd.DataFrame(
+        right_rows, columns=["k", "rts", "tag", "score"]
+    ).astype({"k": "int64", "rts": "int64", "score": "float64"})
+    expected = pd.merge_asof(
+        lpdf.sort_values(["lts", "k"], kind="mergesort"),
+        rpdf.sort_values(["rts", "k"], kind="mergesort"),
+        left_on="lts",
+        right_on="rts",
+        by="k",
+        direction=direction,
+    )
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    got = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", direction=direction
+    ).toPandas()
+    key = ["k", "lts"]
+    expected = expected.sort_values(key, kind="mergesort").reset_index(drop=True)
+    got = got.sort_values(key, kind="mergesort").reset_index(drop=True)
+    for col in ("tag", "score", "rts"):
+        e = expected[col].tolist()
+        g = got[col].tolist()
+        for ev, gv in zip(e, g):
+            e_null = ev is None or (isinstance(ev, float) and ev != ev)
+            g_null = gv is None or (isinstance(gv, float) and gv != gv)
+            assert e_null == g_null and (e_null or ev == gv), (
+                direction, col, expected, got
+            )
+
+
+def test_asof_property_vs_pandas_merge_asof(spark):
+    """Randomized check of backward/forward as-of against pandas
+    merge_asof (an independent implementation), including NULL payloads.
+    Right timestamps are unique per key — equal-ts right rows are
+    tie-nondeterministic in both engines."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(6):
+        n_keys = rng.randint(1, 3)
+        left_rows = [
+            (rng.randrange(n_keys), rng.randrange(100))
+            for _ in range(rng.randint(1, 25))
+        ]
+        right_rows = []
+        used = set()
+        for _ in range(rng.randint(1, 25)):
+            k, t = rng.randrange(n_keys), rng.randrange(100)
+            if (k, t) in used:
+                continue
+            used.add((k, t))
+            tag = None if rng.random() < 0.3 else f"t{t}"
+            right_rows.append((k, t, tag, float(rng.randrange(1000))))
+        for direction in ("backward", "forward"):
+            _asof_vs_pandas(spark, direction, left_rows, right_rows)
+
+
+def test_new_ops_plan_shapes(spark):
+    """Scale posture of the round-3 operators: packing shuffles once on
+    the shard key; repetition/quantize/scrub are shuffle-free projections."""
+    from mini_etl_project_spark.queries.llm_q import (
+        pack_sequences,
+        q_embed_quantize,
+        q_text_pii_scrub,
+        q_text_repetition,
+    )
+    from mini_etl_project_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+
+    plan = pack_sequences(d, "source", "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # shard hash-partitioning (+input widen)
+    assert "Window" in plan
+
+    for q in (q_text_repetition, q_embed_quantize, q_text_pii_scrub):
+        plan = q(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        # repartition of degenerate single-split input is allowed; no
+        # aggregation/join shuffles
+        assert "SortMergeJoin" not in plan and "Aggregate" not in plan
+
+
 def test_stateful_v2_gating():
     """transformWithStateInPandas needs google.protobuf (absent here):
     the query must register exactly when the runtime supports it."""

@@ -2,10 +2,14 @@
 
 The exact top-k is fully oracle-checked: both engines compute cosine from
 exact-decimal dot products and squared norms, so scores AND rankings are
-bit-identical. The ANN variants (deterministic random-hyperplane LSH and
-spark.ml BRP-LSH) are rows-only for the driver; their recall against the
-exact top-k is asserted in tests/test_extensions.py
-(test_ann_recall_vs_exact, test_ivf_recall_vs_exact).
+bit-identical. The LSH ANN path is ALSO hash-checked end-to-end
+(``q_sim_lsh_topk``: md5 hyperplanes + candidate sets re-derived in SQL
+under exact-sign bucketing). The remaining ANN variants (double-
+accumulation LSH, IVF, PQ, spark.ml BRP-LSH) are rows-only for the
+driver; their recall against the exact top-k is asserted in
+tests/test_extensions.py (test_ann_recall_vs_exact,
+test_ivf_recall_vs_exact) and PQ's full-rerank degenerate case is
+oracle-exact (``q_sim_topk_pq_rerank``).
 """
 
 from __future__ import annotations
@@ -66,7 +70,8 @@ def q_sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_sim_ann_lsh")
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: deterministic random-hyperplane LSH ANN top-k (rows-only;
-    recall vs exact asserted in tests)."""
+    recall vs exact asserted in tests). Production variant with plain
+    double sign-dots; the hash-checked sibling is q_sim_lsh_topk."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < _NQ)
     lsh = RandomHyperplaneLSH(dim=_DIM, bits=3, tables=8)

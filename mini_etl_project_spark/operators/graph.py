@@ -1,0 +1,77 @@
+"""Iterative graph algorithms as unrolled DataFrame plans (X23 family).
+
+``pagerank`` — the canonical iterative numeric algorithm — as a chain of
+join + decimal-exact aggregation rounds. Complements the label-propagation
+connected components in ``operators/dedup.py``: that one iterates to
+convergence with lineage cuts; this one runs a fixed iteration count, so
+the whole computation is ONE declarative plan (no checkpoints needed at
+small depth) and — because every per-node contribution sum goes through
+the order-independent DECIMAL accumulator — bit-reproducible under any
+partitioning and by any engine that unrolls the same recurrence.
+
+At 100 TB: each iteration costs one shuffle on dst (contribution agg) and
+a broadcast-or-shuffle join of ranks onto edges. For deep iteration counts
+add ``localCheckpoint`` every ~5 rounds (as connected components does) to
+bound lineage; the fixed 3-iteration shape used by the oracle query keeps
+the plan shallow on purpose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,10)"
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an edge list (dedup'd by caller), returning
+    ``(node, rank)``.
+
+    Semantics: uniform init 1/N; per round
+    ``r'(v) = (1-d)/N + d * Σ_{u→v} r(u)/outdeg(u)``.
+    Nodes without out-edges leak mass (standard simplification — no
+    dangling-mass redistribution), nodes without in-edges settle at
+    ``(1-d)/N``. N is the count of distinct endpoint nodes; it is the one
+    driver-side scalar (a tiny count job), inlined as a literal so every
+    iteration stays a pure plan.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    base = (1 - damping) / n_nodes
+    outdeg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["e_src"] == ranks["node"])
+            .join(outdeg.withColumnRenamed("node", "d_node"),
+                  F.col("e_src") == F.col("d_node"))
+            .select(
+                F.col("e_dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+        )
+        insum = contribs.groupBy("node").agg(
+            F.sum(F.col("c").cast(_DEC)).cast("double").alias("insum")
+        )
+        ranks = nodes.join(insum, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("insum"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks

@@ -102,6 +102,8 @@ _CHECK_FIRST: list[str] = [
     "q_text_repetition",
     "q_embed_quantize",
     "q_text_pii_scrub",
+    "q_corpus_mix",
+    "q_graph_pagerank",
     "q_stream_stateful_v2",
     # Implementation touched this round — needs a fresh green row.
     "q_join_asof",

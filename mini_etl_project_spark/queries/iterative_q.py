@@ -134,3 +134,78 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(w).alias("ffill_value"),
         )
     )
+
+
+# -- X23+ PageRank: fixed-iteration numeric graph algorithm ----------------
+# Trade graph: supplier-nation → customer-nation edges mined from
+# lineitem⋈orders. Every per-node contribution sum is decimal-exact, the
+# base/damping arithmetic is written identically on both sides, and the
+# iteration count is fixed — so the oracle unrolls the same 3 rounds in
+# SQL and the DOUBLE ranks match bit-for-bit. (operators/graph.py)
+
+_PR_EDGES_SQL = """
+  SELECT DISTINCT ns.n_name AS src, nc.n_name AS dst
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  WHERE ns.n_name <> nc.n_name
+"""
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT nodes.node,
+         (1 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * COALESCE(s.insum, 0.0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(r.rank / d.outdeg AS DECIMAL(38,10))) AS DOUBLE)
+             AS insum
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN deg d ON e.src = d.node
+    GROUP BY e.dst) s ON nodes.node = s.node)"""
+
+
+_PAGERANK_ORACLE = f"""
+WITH edges AS ({_PR_EDGES_SQL}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{_pr_iter_sql('r0', 'i1')},
+{_pr_iter_sql('i1', 'i2')},
+{_pr_iter_sql('i2', 'i3')}
+SELECT node, rank FROM i3
+"""
+
+
+@query("q_graph_pagerank", _PAGERANK_ORACLE)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.graph import pagerank
+
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("src")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(ns, F.col("s_nationkey") == F.col("ns_key"))
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nc, F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return pagerank(edges, iterations=3)

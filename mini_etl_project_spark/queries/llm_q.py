@@ -155,6 +155,85 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- weighted corpus mixing -------------------------------------------------
+# Data mixing for training: sample documents with probability increasing
+# in their source's weight, deterministically. Priority = min of w
+# independent 60-bit hashes (the "min of w uniforms" race: between two
+# docs with weights w and v, the lower minimum goes to the heavier source
+# with probability w/(w+v)) — integer-only, so the oracle reproduces every
+# draw exactly; no transcendental functions whose last-ulp behavior could
+# differ between engines. Selection = global top-k by priority, which
+# Spark executes as a distributed TakeOrdered (no single-partition sort).
+
+_MIX_W_SEED = 7
+_MIX_P_SEEDS = (101, 102, 103, 104)
+_MIX_K = 100
+
+
+def weighted_mix(
+    df: DataFrame,
+    id_col: str,
+    shard_col: str,
+    k: int = _MIX_K,
+) -> DataFrame:
+    """Deterministic weighted corpus sample of ``k`` docs; weight 1-4 is
+    hash-derived from the shard (stand-in for a supplied mixing table)."""
+    from mini_etl_project_spark.operators.textops import hash64
+
+    w = 1 + hash64(F.col(shard_col), _MIX_W_SEED) % 4
+    hs = [
+        hash64(F.col(id_col).cast("string"), seed) for seed in _MIX_P_SEEDS
+    ]
+    priority = F.least(
+        hs[0],
+        F.when(w >= 2, hs[1]).otherwise(hs[0]),
+        F.when(w >= 3, hs[2]).otherwise(hs[0]),
+        F.when(w >= 4, hs[3]).otherwise(hs[0]),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(shard_col),
+            w.alias("weight"),
+            priority.alias("priority"),
+        )
+        .orderBy("priority", id_col)
+        .limit(k)
+    )
+
+
+def _h_sql(seed: int, expr: str) -> str:
+    return (
+        f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
+    )
+
+
+_MIX_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         1 + ({_h_sql(_MIX_W_SEED, 'source')} % 4) AS weight,
+         {_h_sql(_MIX_P_SEEDS[0], 'doc_id')} AS h1,
+         {_h_sql(_MIX_P_SEEDS[1], 'doc_id')} AS h2,
+         {_h_sql(_MIX_P_SEEDS[2], 'doc_id')} AS h3,
+         {_h_sql(_MIX_P_SEEDS[3], 'doc_id')} AS h4
+  FROM documents)
+SELECT doc_id, source, CAST(weight AS BIGINT) AS weight,
+       LEAST(h1,
+             CASE WHEN weight >= 2 THEN h2 ELSE h1 END,
+             CASE WHEN weight >= 3 THEN h3 ELSE h1 END,
+             CASE WHEN weight >= 4 THEN h4 ELSE h1 END) AS priority
+FROM t
+ORDER BY priority, doc_id
+LIMIT {_MIX_K}
+"""
+
+
+@query("q_corpus_mix", _MIX_ORACLE)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_mix(d, "doc_id", "source")
+
+
 # -- PII scrubbing ----------------------------------------------------------
 # Classic pre-training scrub pass: regex-redact emails and IPv4s, count
 # redactions. The synthetic corpus contains no PII, so both engines plant

@@ -103,6 +103,7 @@ _CHECK_FIRST: list[str] = [
     "q_embed_quantize",
     "q_text_pii_scrub",
     "q_corpus_mix",
+    "q_corpus_decontaminate",
     "q_graph_pagerank",
     "q_stream_stateful_v2",
     # Implementation touched this round — needs a fresh green row.

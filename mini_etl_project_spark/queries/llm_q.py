@@ -155,6 +155,66 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- eval-set decontamination ----------------------------------------------
+# The standard pre-training decontamination pass: flag training documents
+# sharing any exact word n-gram with a held-out evaluation set. The eval
+# side's distinct-gram set is tiny relative to the corpus and broadcasts;
+# the training side streams through the scan + one broadcast-hash join —
+# no all-pairs anything, which is what makes this shape hold at 100 TB
+# (eval sets are MBs even when the corpus is 100 TB).
+
+_DECON_K = 3  # n-gram width; 3 keeps live signal on the synthetic corpus
+_DECON_EVAL = 20  # doc_id < 20 plays the held-out eval set
+
+
+def ngram_hits(
+    train: DataFrame, eval_set: DataFrame, text_col: str, k: int = _DECON_K
+) -> DataFrame:
+    """Per-training-doc count of distinct word ``k``-grams that also occur
+    anywhere in the eval set. Docs with ``n_hit_grams > 0`` are
+    decontamination candidates."""
+    toks = tokens(text_col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    t = train.select("doc_id", F.explode(grams).alias("gram"))
+    e = eval_set.select(F.explode(grams).alias("gram")).distinct()
+    return (
+        t.join(F.broadcast(e), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").cast("bigint").alias("n_hit_grams"))
+    )
+
+
+_DECON_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(w) - {_DECON_K - 1}),
+           i -> array_to_string(w[i:i + {_DECON_K - 1}], ' ')))) AS gram
+  FROM d),
+e AS (SELECT DISTINCT gram FROM g WHERE doc_id < {_DECON_EVAL}),
+t AS (SELECT doc_id, gram FROM g WHERE doc_id >= {_DECON_EVAL})
+SELECT t.doc_id, CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_hit_grams
+FROM t JOIN e USING (gram)
+GROUP BY t.doc_id
+"""
+
+
+@query("q_corpus_decontaminate", _DECON_ORACLE)
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") >= _DECON_EVAL)
+    eval_set = d.filter(F.col("doc_id") < _DECON_EVAL)
+    return ngram_hits(train, eval_set, "text")
+
+
 # -- weighted corpus mixing -------------------------------------------------
 # Data mixing for training: sample documents with probability increasing
 # in their source's weight, deterministically. Priority = min of w

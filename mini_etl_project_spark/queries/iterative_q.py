@@ -125,6 +125,10 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
     )
+    # BOUNDED-INPUT INVARIANT: unpartitioned window over the per-day
+    # aggregate spine only (cardinality = calendar days) — never put this
+    # on raw rows; see q_window_range_frame and
+    # test_round3.py::test_unpartitioned_windows_sit_on_aggregates.
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return (
         spine.join(obs, "day", "left")

@@ -280,6 +280,28 @@ def test_new_ops_plan_shapes(spark):
         assert "SortMergeJoin" not in plan and "Aggregate" not in plan
 
 
+def test_unpartitioned_windows_sit_on_aggregates(spark):
+    """The three unpartitioned (single-partition) windows in the registry
+    are safe ONLY because they consume post-aggregate inputs of bounded
+    cardinality. Assert the plan shape so the pattern can't silently
+    migrate onto raw rows: every global WindowExec must sit above an
+    aggregation."""
+    from mini_etl_project_spark.queries.iterative_q import q_ts_gapfill
+    from mini_etl_project_spark.queries.windows import (
+        q_window_frames,
+        q_window_range_frame,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for q in (q_window_range_frame, q_window_frames, q_ts_gapfill):
+        plan = q(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan, q.__name__
+        # top-down plan text: the Window node must appear ABOVE (before)
+        # an aggregate it consumes
+        assert "HashAggregate" in plan, q.__name__
+        assert plan.index("Window") < plan.rindex("HashAggregate"), q.__name__
+
+
 def test_stateful_v2_gating():
     """transformWithStateInPandas needs google.protobuf (absent here):
     the query must register exactly when the runtime supports it."""

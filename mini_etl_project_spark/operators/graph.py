@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_DEC = "decimal(38,10)"
+# (28,10) not (38,10): Spark types decimal(38,10) additions as (38,9)
+# under allowPrecisionLoss, silently rounding partial sums — the same
+# pitfall functions/vectors.py documents. At (28,10) the sum widens
+# losslessly; DuckDB oracles keep DECIMAL(38,10), whose per-term rounding
+# at scale 10 is identical.
+_DEC = "decimal(28,10)"
 
 
 def pagerank(

@@ -160,10 +160,14 @@ _PR_EDGES_SQL = """
 
 
 def _pr_iter_sql(prev: str, cur: str) -> str:
+    # Every literal cast to DOUBLE: DuckDB otherwise parses 0.85/1.0 as
+    # DECIMAL and carries exact-decimal arithmetic through the recurrence,
+    # while Spark (and the Python-computed base literal) work in doubles —
+    # 1-0.85 is 0.15 exactly in decimal but 0.15000000000000002 in binary.
     return f"""{cur} AS (
   SELECT nodes.node,
-         (1 - 0.85) / (SELECT n FROM nn)
-         + 0.85 * COALESCE(s.insum, 0.0) AS rank
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE) * COALESCE(s.insum, CAST(0 AS DOUBLE)) AS rank
   FROM nodes LEFT JOIN (
     SELECT e.dst AS node,
            CAST(SUM(CAST(r.rank / d.outdeg AS DECIMAL(38,10))) AS DOUBLE)
@@ -179,7 +183,7 @@ WITH edges AS ({_PR_EDGES_SQL}),
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 nn AS (SELECT COUNT(*) AS n FROM nodes),
 deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
-r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
 {_pr_iter_sql('r0', 'i1')},
 {_pr_iter_sql('i1', 'i2')},
 {_pr_iter_sql('i2', 'i3')}

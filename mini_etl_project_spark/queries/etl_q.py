@@ -408,3 +408,67 @@ def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         assume_partitioned=True,  # load_table already widened the scan
     )
     return pipe.transform(raw)
+
+
+# -- R16+ robust outlier detection (MAD) ------------------------------------
+# The reference clamps at z>3 (mean/stddev — both corrupted by the very
+# outliers being hunted). The robust upgrade: flag |x − median| >
+# 3·1.4826·MAD, where MAD = median(|x − median|). Exact interpolating
+# percentiles on both sides (the R14 convention), all arithmetic in
+# doubles, so group medians, MADs, and flag counts are oracle-exact.
+# Cost: two grouped exact-percentile aggregations + one broadcast-sized
+# join of per-group scalars — no window over raw rows.
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY o_orderpriority),
+dev AS (
+  SELECT o.o_orderpriority, o.o_totalprice, m.med,
+         ABS(o.o_totalprice - m.med) AS adev
+  FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority),
+mad AS (
+  SELECT o_orderpriority, ANY_VALUE(med) AS med,
+         quantile_cont(adev, 0.5) AS mad, COUNT(*) AS n_rows
+  FROM dev GROUP BY o_orderpriority)
+SELECT d.o_orderpriority, ANY_VALUE(m.n_rows) AS n_rows,
+       ANY_VALUE(m.med) AS med, ANY_VALUE(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.o_orderpriority = m.o_orderpriority
+GROUP BY d.o_orderpriority
+"""
+
+
+@query("q_etl_outlier_mad", _MAD_ORACLE)
+def q_etl_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.first("med").alias("g_med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+        F.count("*").alias("n_rows"),
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.first("g_med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

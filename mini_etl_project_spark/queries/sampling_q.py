@@ -182,3 +182,55 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# -- equi-depth histogram ----------------------------------------------------
+# The scale-correct construction: ONE exact-percentile aggregate yields the
+# 7 interior cutpoints (a 1-row broadcast), then bucket assignment is a
+# pure scan-parallel projection (1 + count of cutpoints below the value).
+# The naive alternative — ntile() over an unpartitioned window — drags
+# every raw row through a single partition and is exactly the anti-pattern
+# test_round3.py::test_unpartitioned_windows_sit_on_aggregates guards
+# against. Exact interpolating percentiles both sides → bit-equal
+# boundaries → identical bucket assignment.
+
+_EQUIDEPTH_FRACS = [i / 8 for i in range(1, 8)]
+
+_EQUIDEPTH_ORACLE = f"""
+WITH cuts AS (
+  SELECT quantile_cont(o_totalprice,
+                       {_EQUIDEPTH_FRACS}) AS c
+  FROM orders)
+SELECT 1 + (o_totalprice > c[1])::INT + (o_totalprice > c[2])::INT
+         + (o_totalprice > c[3])::INT + (o_totalprice > c[4])::INT
+         + (o_totalprice > c[5])::INT + (o_totalprice > c[6])::INT
+         + (o_totalprice > c[7])::INT AS bucket,
+       COUNT(*) AS n_rows,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM orders, cuts
+GROUP BY 1
+"""
+
+
+@query("q_agg_histogram_equidepth", _EQUIDEPTH_ORACLE)
+def q_agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    fracs = ", ".join(str(f) for f in _EQUIDEPTH_FRACS)
+    cuts = o.agg(
+        F.expr(f"percentile(o_totalprice, array({fracs}))").alias("c")
+    )
+    bucket = F.lit(1)
+    for i in range(1, 8):
+        bucket = bucket + (
+            F.col("o_totalprice") > F.element_at("c", i)
+        ).cast("int")
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

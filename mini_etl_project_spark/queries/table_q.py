@@ -179,3 +179,96 @@ def q_stream_sink_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
         .orderBy("event_type")
     )
+
+
+# -- incremental view maintenance over the change feed ----------------------
+# The capability CDC exists FOR: maintain a materialized aggregate from
+# deltas without rescanning the table. v1 = full base aggregate; then each
+# commit's feed (postimages + upsert PREIMAGES) folds in as
+# ``new = old + f(post) − f(pre)``. All sums stay in DECIMAL(28,6) until
+# one final cast, so base + delta is EXACTLY the full recompute the oracle
+# runs — a wrong feed (missed preimage, leaked copied row, double-counted
+# file) breaks the hash. I/O for the fold scales with the delta, not the
+# table: that is the 100 TB argument for maintaining views this way.
+
+_DEC28 = "decimal(28,6)"
+
+_INCR_VIEW_ORACLE = """
+WITH final AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 83 = 0 THEN c_acctbal + 500.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 20000000, 'SYNTH', 2.0
+  FROM customer WHERE c_custkey % 157 = 0
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_acctbal
+FROM final
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("q_table_incr_view", _INCR_VIEW_ORACLE)
+def q_table_incr_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable.create(_fresh_root(sf_dir, "incrview"))
+    cust = _customer_slim(spark, sf_dir)
+    t.append(cust.repartitionByRange(8, "c_custkey"), stats_cols=["c_custkey"])
+
+    # Materialize the view at v1 — sums stay DECIMAL until the end.
+    base = (
+        t.read(spark, 1)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("b_n"),
+            F.sum(F.col("c_acctbal").cast(_DEC28)).alias("b_sum"),
+        )
+    )
+
+    # v2: merge (upserts with preimages recorded by the format).
+    updates = cust.filter(F.col("c_custkey") % 83 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 500.0
+    )
+    t.merge(spark, updates, ["c_custkey"])
+    # v3: append (pure inserts).
+    inserts = (
+        cust.filter(F.col("c_custkey") % 157 == 0)
+        .select(
+            (F.col("c_custkey") + 20000000).alias("c_custkey"),
+            F.lit("SYNTH").alias("c_mktsegment"),
+            F.lit(2.0).alias("c_acctbal"),
+        )
+    )
+    t.append(inserts)
+
+    # Fold the feed: +post, −pre. Upserts net to 0 rows / Δvalue; inserts
+    # net to +1 row / +value.
+    feed = t.read_changes(spark, since_version=1, include_preimages=True)
+    signed = F.when(
+        F.col("_change_type") == "upsert_preimage",
+        -F.col("c_acctbal"),
+    ).otherwise(F.col("c_acctbal"))
+    n_sign = F.when(F.col("_change_type") == "upsert_preimage", -1).otherwise(1)
+    deltas = feed.groupBy("c_mktsegment").agg(
+        F.sum(n_sign).alias("d_n"),
+        F.sum(signed.cast(_DEC28)).alias("d_sum"),
+    )
+
+    zero = F.lit(0).cast(_DEC28)
+    return (
+        base.join(deltas, "c_mktsegment", "full")
+        .select(
+            "c_mktsegment",
+            (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+            .cast("bigint")
+            .alias("n_rows"),
+            (F.coalesce("b_sum", zero) + F.coalesce("d_sum", zero))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

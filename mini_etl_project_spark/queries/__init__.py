@@ -108,6 +108,7 @@ _CHECK_FIRST: list[str] = [
     "q_etl_outlier_mad",
     "q_agg_histogram_equidepth",
     "q_table_incr_view",
+    "q_stream_sliding",
     "q_stream_stateful_v2",
     # Implementation touched this round — needs a fresh green row.
     "q_join_asof",

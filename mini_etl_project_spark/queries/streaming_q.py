@@ -51,6 +51,43 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Q31: streaming SLIDING window (1 h wide, 30 min slide) ----------------
+# Every event lands in exactly two windows; the oracle enumerates both
+# memberships per event (bucket(ts) and bucket(ts) − 30 min) and must
+# reproduce the drained streaming state exactly.
+
+_SLIDING_ORACLE = """
+WITH m AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, event_type
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type
+  FROM events)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM m
+GROUP BY 1, 2
+"""
+
+
+@query("q_stream_sliding", _SLIDING_ORACLE)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    out = drain_to_table(agg)
+    return spark.table(out).select(
+        F.col("window_start").cast("timestamp"), "event_type", "n_events"
+    )
+
+
 # -- Q30: watermark late-data dropping, made observable --------------------
 # Three micro-batches (recent file, empty bridge, stale file — the bridge
 # burns Spark's one-batch late-event watermark lag, see

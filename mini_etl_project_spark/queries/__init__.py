@@ -109,6 +109,7 @@ _CHECK_FIRST: list[str] = [
     "q_agg_histogram_equidepth",
     "q_table_incr_view",
     "q_stream_sliding",
+    "q_stream_static_join",
     "q_stream_stateful_v2",
     # Implementation touched this round — needs a fresh green row.
     "q_join_asof",

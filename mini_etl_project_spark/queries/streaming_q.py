@@ -88,6 +88,34 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Q29+Q4: stream-static join (dimension enrichment) ---------------------
+# The production pattern q_stream_join doesn't cover: an unbounded stream
+# enriched by a STATIC dimension (broadcast to every micro-batch, no
+# state, no watermark requirement for inner joins). Users map onto
+# customer keys; the drained per-segment counts must equal the batch join.
+
+_STREAM_STATIC_ORACLE = """
+SELECT c.c_mktsegment, COUNT(*) AS n_events
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id + 1
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("q_stream_static_join", _STREAM_STATIC_ORACLE)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream.join(
+        F.broadcast(dim), dim["c_custkey"] == stream["user_id"] + 1
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(F.count("*").alias("n_events"))
+    out = drain_to_table(agg)
+    return spark.table(out)
+
+
 # -- Q30: watermark late-data dropping, made observable --------------------
 # Three micro-batches (recent file, empty bridge, stale file — the bridge
 # burns Spark's one-batch late-event watermark lag, see

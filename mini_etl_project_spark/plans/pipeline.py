@@ -202,8 +202,13 @@ class AutoETLPipeline:
         if self.cache_intermediate:
             from pyspark import StorageLevel
 
+            # blocking=True: a lazily-evicted predecessor cache competes
+            # for executor memory with THIS run's jobs — measured 5-15 s
+            # run-to-run jitter at sf0.1 from the resulting GC churn;
+            # blocking eviction holds a steady ~5 s. The wait itself is
+            # block-drop bookkeeping, not I/O.
             for cached in AutoETLPipeline._LIVE_CACHES:
-                cached.unpersist(blocking=False)
+                cached.unpersist(blocking=True)
             AutoETLPipeline._LIVE_CACHES.clear()
             base_df = base_df.persist(StorageLevel.MEMORY_AND_DISK)
             AutoETLPipeline._LIVE_CACHES.append(base_df)

@@ -80,3 +80,75 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks
+
+
+def pagerank_dangling(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Textbook PageRank: like :func:`pagerank` but the rank mass of
+    dangling nodes (no out-edges) is redistributed uniformly each round
+    instead of leaking —
+    ``r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/outdeg(u) + DM/N)`` with
+    ``DM = Σ_{outdeg(u)=0} r(u)``, so total rank stays 1.
+
+    The dangling mass is a one-row aggregate subplan cross-joined
+    (broadcast — it is a single row) into each round's rank update: the
+    whole computation remains ONE declarative plan with no driver-side
+    collects beyond the N scalar. Per round that adds one anti-join agg
+    over the rank table (N rows, not edges), negligible next to the
+    edge-shuffle; the decimal accumulator keeps both sums
+    order-independent, so the unrolled oracle matches bit-for-bit.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    base = (1 - damping) / n_nodes
+    outdeg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iterations):
+        dm = (
+            ranks.join(outdeg, "node", "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast(_DEC)).cast("double"), F.lit(0.0)
+                ).alias("dm")
+            )
+        )
+        contribs = (
+            e.join(ranks, e["e_src"] == ranks["node"])
+            .join(outdeg.withColumnRenamed("node", "d_node"),
+                  F.col("e_src") == F.col("d_node"))
+            .select(
+                F.col("e_dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+        )
+        insum = contribs.groupBy("node").agg(
+            F.sum(F.col("c").cast(_DEC)).cast("double").alias("insum")
+        )
+        ranks = (
+            nodes.join(insum, "node", "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("insum"), F.lit(0.0))
+                        + F.col("dm") / F.lit(n_nodes)
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks

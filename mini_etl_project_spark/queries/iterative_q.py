@@ -191,10 +191,52 @@ SELECT node, rank FROM i3
 """
 
 
-@query("q_graph_pagerank", _PAGERANK_ORACLE)
-def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mini_etl_project_spark.operators.graph import pagerank
+# -- dangling-mass PageRank: the textbook (mass-conserving) variant --------
+# Same trade graph DAG-ified by name order (src < dst): the lexicographic
+# maximum nation then has no out-edges, so dangling nodes exist
+# STRUCTURALLY — the redistribution term is live on any data generation,
+# not by luck of the fixture. Oracle unrolls the identical recurrence
+# with the per-round dangling-mass scalar as its own CTE.
 
+_PRD_EDGES_SQL = _PR_EDGES_SQL + "    AND ns.n_name < nc.n_name\n"
+
+
+def _prd_iter_sql(prev: str, cur: str, dm: str) -> str:
+    return f"""{dm} AS (
+  SELECT CAST(COALESCE(SUM(CAST(r.rank AS DECIMAL(38,10))), 0) AS DOUBLE)
+           AS dm
+  FROM {prev} r LEFT JOIN deg d ON r.node = d.node
+  WHERE d.node IS NULL),
+{cur} AS (
+  SELECT nodes.node,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE)
+           * (COALESCE(s.insum, CAST(0 AS DOUBLE))
+              + (SELECT dm FROM {dm}) / (SELECT n FROM nn)) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(r.rank / d.outdeg AS DECIMAL(38,10))) AS DOUBLE)
+             AS insum
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN deg d ON e.src = d.node
+    GROUP BY e.dst) s ON nodes.node = s.node)"""
+
+
+_PAGERANK_DANGLING_ORACLE = f"""
+WITH edges AS ({_PRD_EDGES_SQL}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+{_prd_iter_sql('r0', 'i1', 'dm1')},
+{_prd_iter_sql('i1', 'i2', 'dm2')},
+{_prd_iter_sql('i2', 'i3', 'dm3')}
+SELECT node, rank FROM i3
+"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
@@ -206,7 +248,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = n.select(
         F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("dst")
     )
-    edges = (
+    return (
         l.join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(ns, F.col("s_nationkey") == F.col("ns_key"))
         .join(o, l["l_orderkey"] == o["o_orderkey"])
@@ -216,4 +258,18 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    return pagerank(edges, iterations=3)
+
+
+@query("q_graph_pagerank_dangling", _PAGERANK_DANGLING_ORACLE)
+def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.graph import pagerank_dangling
+
+    edges = _trade_edges(spark, sf_dir).filter(F.col("src") < F.col("dst"))
+    return pagerank_dangling(edges, iterations=3)
+
+
+@query("q_graph_pagerank", _PAGERANK_ORACLE)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.graph import pagerank
+
+    return pagerank(_trade_edges(spark, sf_dir), iterations=3)

@@ -174,11 +174,18 @@ def ngram_hits(
     anywhere in the eval set. Docs with ``n_hit_grams > 0`` are
     decontamination candidates."""
     toks = tokens(text_col)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
+    # Guard docs shorter than k tokens: F.sequence(1, n-(k-1)) DESCENDS
+    # when n-(k-1) < 1 and F.slice then throws on start 0 — short docs
+    # must yield no grams (NULL → explode drops the row), matching the
+    # oracle's generate_series, which is empty for stop < start.
+    grams = F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ),
     )
     t = train.select("doc_id", F.explode(grams).alias("gram"))
     e = eval_set.select(F.explode(grams).alias("gram")).distinct()
@@ -356,23 +363,30 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- int8 embedding quantization -------------------------------------------
 
+# The query surface explodes the quantized vector to scalar rows
+# (vec_id, scale, idx, q): the comparison harness canonicalizes via pandas
+# and cannot hash array cells (repo convention at functions_q.py — arrays
+# never cross the comparison boundary; round-3's one red row was this
+# query returning array<int> directly).
 _QUANT_ORACLE = """
 WITH m AS (
   SELECT vec_id,
          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
            AS mx,
          embedding
-  FROM embeddings)
+  FROM embeddings),
+c AS (
+  SELECT vec_id, mx, embedding,
+         unnest(generate_series(1, len(embedding))) AS idx
+  FROM m)
 SELECT vec_id,
        mx / 127.0 AS scale,
-       CASE WHEN mx = 0
-            THEN list_transform(embedding, x -> 0)
-            ELSE list_transform(
-                   embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5)
-                             AS INTEGER))
-       END AS qvec
-FROM m
+       CAST(idx AS BIGINT) AS idx,
+       CASE WHEN mx = 0 THEN 0
+            ELSE CAST(floor(CAST(embedding[CAST(idx AS INT)] AS DOUBLE)
+                            * 127.0 / mx + 0.5) AS INTEGER)
+       END AS q
+FROM c
 """
 
 
@@ -408,4 +422,12 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 @query("q_embed_quantize", _QUANT_ORACLE)
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return quantize_int8(e)
+    q = quantize_int8(e)
+    # posexplode so only scalar columns reach the hash compare; idx is
+    # 1-based to match the oracle's generate_series.
+    return q.select("vec_id", "scale", F.posexplode("qvec")).select(
+        "vec_id",
+        "scale",
+        (F.col("pos") + 1).cast("bigint").alias("idx"),
+        F.col("col").alias("q"),
+    )

@@ -56,14 +56,44 @@ def get_spark(app_name: str = "mini_etl_project_spark", cpus: str | None = None)
         # Local mode = driver JVM hosts all executor threads, but Spark's
         # default heap is 1g — fine at sf0.1, OOM at sf1.0 on a 128 GiB
         # box. Size it explicitly (env-overridable; ignored on a real
-        # cluster where spark-submit owns memory).
+        # cluster where spark-submit owns memory). Cap at ~half of
+        # physical RAM so smaller hosts overcommit to the OS killer —
+        # the JVM heap is not the only consumer (pyarrow, pandas, page
+        # cache); half leaves room to spill gracefully instead.
         builder = builder.master(f"local[{cpus}]").config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
         )
     spark = builder.getOrCreate()
+    if (
+        not os.environ.get("SPARK_GRAFT_ON_CLUSTER")
+        and spark.sparkContext.getConf().get("spark.driver.memory", "1g")
+        == "1g"
+    ):
+        # getOrCreate reused an already-started JVM; our memory config
+        # silently no-ops there. Surface it instead of failing later.
+        import warnings
+
+        warnings.warn(
+            "get_spark: existing SparkSession has a 1g driver heap; "
+            "SPARK_GRAFT_DRIVER_MEM was ignored (JVM already started)",
+            stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def _default_driver_mem() -> str:
+    """min(32g, ~half of MemTotal), floor 2g — see heap comment above."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1 << 20)  # kB→GiB
+                    return f"{max(2, min(32, total_gb // 2))}g"
+    except OSError:
+        pass
+    return "4g"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -42,6 +42,33 @@ def _stage_tag(sf_dir: str) -> str:
     ).hexdigest()[:10]
 
 
+def _stage_root(prefix: str, sf_dir: str) -> str:
+    """Staging dir ``/tmp/{prefix}_{sf-hash}_{content-tag}`` for this
+    fixture generation; prunes this fixture's dirs from PRIOR generations
+    (testdata regenerates between rounds — without pruning, dead stage
+    dirs full of dangling symlinks accumulate in /tmp forever). Dirs of
+    OTHER sf_dirs have a different sf-hash and are left alone."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    sfh = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _stage_tag(sf_dir)
+    root = f"/tmp/{prefix}_{sfh}_{tag}"
+    for old in glob.glob(f"/tmp/{prefix}_{sfh}_*"):
+        if old != root:
+            shutil.rmtree(old, ignore_errors=True)
+    # Legacy pre-round-4 naming was {prefix}_{10-hex-tag} with no sf-hash;
+    # those can never match the current scheme — sweep them once.
+    import re
+
+    for old in glob.glob(f"/tmp/{prefix}_*"):
+        if re.fullmatch(rf"/tmp/{prefix}_[0-9a-f]{{10}}", old):
+            shutil.rmtree(old, ignore_errors=True)
+    return root
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q29: file-replay stream of the events table with proper event-time.
 
@@ -68,7 +95,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             if p.endswith(".parquet")
         )
     ts_type = str(pq.read_schema(schema_file).field("ts").type)
-    stage = f"/tmp/mini_etl_stream_{_stage_tag(sf_dir)}"
+    stage = _stage_root("mini_etl_stream", sf_dir)
     os.makedirs(stage, exist_ok=True)
     if os.path.isdir(events_path):
         # Multi-file table (e.g. tools/make_scale_data.py output): stage
@@ -122,7 +149,7 @@ def late_split_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import time as _time
 
-    stage = f"/tmp/mini_etl_stream_late_{_stage_tag(sf_dir)}"
+    stage = _stage_root("mini_etl_stream_late", sf_dir)
     ready = os.path.join(stage, "_READY")
     if not os.path.exists(ready):
         from mini_etl_project_spark.session import load_table

@@ -15,18 +15,23 @@ Job structure (SURVEY.md §3/§4.3):
 
 1. profile        — raw frame: types (plans/profile.py, HLL distincts —
                     the type rules never need exact counts) + total rows
-2. pre-stats      — cleaned-base frame: per-column null counts, text mean
-                    lengths (drives the conditional whitespace collapse),
-                    numeric medians (exact interpolating, pandas parity)
-3. category freqs + modes — ONE stacked groupBy serving both: full value
-                    counts for every categorical column (drives the rare-
-                    value merge AND, driver-side over the merged counts,
-                    the post-merge categorical mode) and windowed top-1
-                    rows for non-categorical columns needing mode fill
-                    (deterministic tie-break: highest count, then smallest
+2. fused stats    — ONE action over the cleaned base serving both former
+                    jobs 2 and 3: the stacked category/speculative-mode
+                    groupBy is the collected plan (full value counts for
+                    every categorical column — rare merge + post-merge
+                    categorical mode — plus windowed top-1 rows for every
+                    bounded-cardinality non-numeric column, SPECULATED
+                    because mode need isn't known until null counts land;
+                    deterministic tie-break: highest count, then smallest
                     value — pandas ``mode()[0]`` parity; Spark's ``F.mode``
-                    is tie-nondeterministic, SURVEY.md §7)
-4. outlier stats  — imputed numerics: mean, stddev_samp (= pandas ddof=1),
+                    is tie-nondeterministic, SURVEY.md §7); the global
+                    pre-stats aggregates (per-column null counts, text
+                    mean lengths driving the conditional whitespace
+                    collapse, numeric medians — exact interpolating,
+                    pandas parity) ride the same scan as an ``observe``.
+                    A rare dedicated mode job covers columns whose
+                    cardinality exceeded the speculation bound.
+3. outlier stats  — imputed numerics: mean, stddev_samp (= pandas ddof=1),
                     exact percentiles 0.05/0.95. Outlier COUNTS ride an
                     ``observe`` on the pre-dedup node (filled by the first
                     downstream action — the clamp itself is a no-op when a
@@ -34,10 +39,10 @@ Job structure (SURVEY.md §3/§4.3):
                     count, only the report does); the same observation
                     carries the pre-dedup row count for the duplicate-
                     removed report line.
-5. summary        — final frame (post-dedup), eager mode only; its single
+4. summary        — final frame (post-dedup), eager mode only; its single
                     agg action also materializes the observation.
 
-So: ≤4 stats jobs eager, ≤3 lazy (``eager_summary=False``), + the
+So: ≤3 stats jobs eager, ≤2 lazy (``eager_summary=False``), + the
 caller's terminal action. At 100 TB additionally switch ``exact_stats``
 off — medians/percentiles go approximate (partial-aggregable, no exact
 sort-based percentile state) — and the data plane is unchanged.
@@ -70,6 +75,12 @@ from mini_etl_project_spark.plans.profile import (
 
 _V = "__etl_value"
 _C = "__etl_column"
+
+#: Speculative-mode stack labels: ``<col>\x1fr`` = raw cleaned value,
+#: ``<col>\x1fw`` = whitespace-collapsed variant (\x1f never appears in a
+#: real column name).
+_RAW_VARIANT = "\x1fr"
+_WS_VARIANT = "\x1fw"
 
 
 def _stacked(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
@@ -121,6 +132,13 @@ class AutoETLPipeline:
         self._cached_base: DataFrame | None = None
         self._observation = None
         self._obs_filled = False
+
+    #: Columns with more profiled distincts than this are not speculated
+    #: into the fused stats job (their value counts would dominate its
+    #: shuffle); they get a dedicated mode job only if they truly need
+    #: a mode fill. 100k (col,value) partial counts per column is noise
+    #: at any scale.
+    _SPECULATE_MAX_DISTINCT = 100_000
 
     # Cached cleaned-base projections live here so sequential pipelines
     # (bench loops, notebook re-runs) never accumulate cached plans: each
@@ -215,25 +233,52 @@ class AutoETLPipeline:
             self._cached_base = base_df
         base: dict[str, Column] = {c: F.col(c) for c in df.columns}
 
-        # Job 2: null counts + text mean lengths + numeric medians.
-        null_count, text_len, medians = self._pre_stats(base_df, base, profiles)
+        # Jobs 2+3 FUSED into one action: the stacked category/mode groupBy
+        # is the action; job 2's global aggregates (null counts, text mean
+        # lengths, numeric medians) ride it as an ``observe`` on the same
+        # scan — computed map-side on the rows already flowing into the
+        # stack, so the cleaned base is traversed ONCE for both.
+        #
+        # Mode columns aren't knowable before the null counts arrive, so
+        # they are SPECULATED: every non-numeric, non-categorical column
+        # whose profiled cardinality is bounded contributes top-1 rows
+        # (text columns in both raw and whitespace-collapsed variants —
+        # the collapse decision needs job-2's lengths and is resolved
+        # driver-side after the fact); unused results are discarded. The
+        # cardinality bound keeps the speculation scale-safe: a 100 TB
+        # high-distinct text column never ships its value counts unless it
+        # actually needs a mode (rare; dedicated fallback job below).
+        cat_cols = [c for c in df.columns if self.column_types[c] == CATEGORICAL]
+        spec_date: list[str] = []
+        spec_text: list[str] = []
+        for c in df.columns:
+            t = self.column_types[c]
+            if t in (NUMERIC, CATEGORICAL):
+                continue
+            if profiles[c].distinct > self._SPECULATE_MAX_DISTINCT:
+                continue
+            (spec_date if t == DATE else spec_text).append(c)
+        null_count, text_len, medians, cat_counts, spec_top1 = (
+            self._fused_stats(
+                base_df, base, profiles, cat_cols, spec_date, spec_text
+            )
+        )
 
         # Finalize cleaning expressions (on top of the cleaned base:
         # whitespace collapse after trim/nullify ≡ the reference's order).
         cleaned = dict(base)
+        collapsed: set[str] = set()
         for c in df.columns:
             t = self.column_types[c]
             if t in (NUMERIC, DATE, CATEGORICAL):
                 continue
             if (text_len.get(c) or 0.0) > 20:  # conditional collapse (:88-89)
                 cleaned[c] = F.regexp_replace(base[c], r"\s+", " ")
+                collapsed.add(c)
             self.cleaning_report[c].append("cleaned text column")
 
-        # Missing-value classification (R13–R15, :129-170) — decided here
-        # (null counts and medians are already in hand) so the category
-        # and mode scans can share ONE job below; the report lines are
-        # emitted further down in the reference's order.
-        cat_cols = [c for c in df.columns if self.column_types[c] == CATEGORICAL]
+        # Missing-value classification (R13–R15, :129-170); the report
+        # lines are emitted further down in the reference's order.
         dropped: list[str] = []
         fills: dict[str, Any] = {}
         mode_needed: list[str] = []
@@ -247,19 +292,28 @@ class AutoETLPipeline:
                 else:
                     mode_needed.append(c)
 
-        # Job 3 (fused freqs + modes): full value counts for categorical
-        # columns (rare merge + post-merge categorical mode, both derived
-        # driver-side) and windowed top-1 rows for non-categorical columns
-        # needing mode fill — one stacked groupBy instead of two.
-        cat_counts, top1 = self._category_and_mode_stats(
-            base_df,
-            {c: base[c] for c in cat_cols},
-            {
-                c: cleaned[c]
-                for c in mode_needed
-                if self.column_types[c] != CATEGORICAL
-            },
-        )
+        # Resolve speculated top-1 rows into the modes actually needed;
+        # columns that dodged speculation (cardinality above the bound)
+        # get the dedicated stacked job as before.
+        top1: dict[str, str] = {}
+        leftover: list[str] = []
+        for c in mode_needed:
+            if self.column_types[c] == CATEGORICAL:
+                continue
+            variant = (
+                c
+                if self.column_types[c] == DATE
+                else c + (_WS_VARIANT if c in collapsed else _RAW_VARIANT)
+            )
+            if variant in spec_top1:
+                top1[c] = spec_top1[variant]
+            else:
+                leftover.append(c)
+        if leftover:
+            _, extra = self._category_and_mode_stats(
+                base_df, {}, {c: cleaned[c] for c in leftover}
+            )
+            top1.update(extra)
 
         # Rare-value merge (:114-124) over the collected counts.
         threshold = max(2, 0.01 * n_rows)  # :117
@@ -417,12 +471,9 @@ class AutoETLPipeline:
         # expression-free job (multi-column COUNT(DISTINCT) → Expand).
         return profile_frame_and_count(df, exact_distinct=False)
 
-    def _pre_stats(
-        self,
-        df: DataFrame,
-        base: dict[str, Column],
-        profiles: dict[str, ColumnProfile],
-    ) -> tuple[dict[str, int], dict[str, float], dict[str, float]]:
+    def _pre_stats_aggs(
+        self, base: dict[str, Column], profiles: dict[str, ColumnProfile]
+    ) -> list[Column]:
         aggs: list[Column] = []
         for c, expr in base.items():
             aggs.append(F.sum(expr.isNull().cast("long")).alias(f"{c}__null"))
@@ -436,12 +487,88 @@ class AutoETLPipeline:
                     aggs.append(
                         F.percentile_approx(expr, 0.5).alias(f"{c}__med")
                     )
-        row = df.agg(*aggs).collect()[0]
-        d = row.asDict()
+        return aggs
+
+    @staticmethod
+    def _split_pre_stats(
+        row, base: dict[str, Column]
+    ) -> tuple[dict[str, int], dict[str, float], dict[str, float]]:
+        d = dict(row) if isinstance(row, dict) else row.asDict()
         null_count = {c: d[f"{c}__null"] for c in base}
         text_len = {c: d[f"{c}__len"] for c in base if f"{c}__len" in d}
         medians = {c: d[f"{c}__med"] for c in base if f"{c}__med" in d}
         return null_count, text_len, medians
+
+    def _pre_stats(
+        self,
+        df: DataFrame,
+        base: dict[str, Column],
+        profiles: dict[str, ColumnProfile],
+    ) -> tuple[dict[str, int], dict[str, float], dict[str, float]]:
+        row = df.agg(*self._pre_stats_aggs(base, profiles)).collect()[0]
+        return self._split_pre_stats(row, base)
+
+    def _fused_stats(
+        self,
+        df: DataFrame,
+        base: dict[str, Column],
+        profiles: dict[str, ColumnProfile],
+        cat_cols: list[str],
+        spec_date: list[str],
+        spec_text: list[str],
+    ) -> tuple[
+        dict[str, int],
+        dict[str, float],
+        dict[str, float],
+        dict[str, list[tuple[str, int]]],
+        dict[str, str],
+    ]:
+        """Jobs 2+3 as ONE action: the stacked category/speculative-mode
+        groupBy is the collected plan; the global pre-stats aggregates
+        (null counts, text lengths, medians) ride an ``observe`` below the
+        stack — both are computed in the same traversal of the cleaned
+        base. Returns (null_count, text_len, medians, cat_counts,
+        spec_top1) where ``spec_top1`` is keyed by stack label (column
+        name, with the raw/ws variant suffix for text columns)."""
+        aggs = self._pre_stats_aggs(base, profiles)
+        stacked_cols: dict[str, Column] = {c: base[c] for c in cat_cols}
+        for c in spec_date:
+            stacked_cols[c] = base[c]
+        for c in spec_text:
+            stacked_cols[c + _RAW_VARIANT] = base[c]
+            stacked_cols[c + _WS_VARIANT] = F.regexp_replace(
+                base[c], r"\s+", " "
+            )
+        if not stacked_cols:
+            row = df.agg(*aggs).collect()[0]
+            null_count, text_len, medians = self._split_pre_stats(row, base)
+            return null_count, text_len, medians, {}, {}
+
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = df.observe(obs, *aggs)
+        w = Window.partitionBy(_C).orderBy(F.desc("count"), F.asc(_V))
+        grouped = (
+            _stacked(observed, stacked_cols)
+            .filter(F.col(_V).isNotNull())
+            .groupBy(_C, _V)
+            .count()
+            .withColumn("__rn", F.row_number().over(w))
+        )
+        keep = F.col("__rn") == 1
+        if cat_cols:
+            keep = keep | F.col(_C).isin(cat_cols)
+        rows = grouped.filter(keep).collect()
+        null_count, text_len, medians = self._split_pre_stats(obs.get, base)
+        by_col: dict[str, list[tuple[str, int]]] = {c: [] for c in cat_cols}
+        spec_top1: dict[str, str] = {}
+        for r in rows:
+            if r[_C] in by_col:
+                by_col[r[_C]].append((r[_V], r["count"]))
+            if r["__rn"] == 1 and r[_C] not in by_col:
+                spec_top1[r[_C]] = r[_V]
+        return null_count, text_len, medians, by_col, spec_top1
 
     def _category_and_mode_stats(
         self,

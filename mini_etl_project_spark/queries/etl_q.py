@@ -376,6 +376,98 @@ def q_etl_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.transform(raw)
 
 
+# -- R19 on a second table shape: events (timestamps + JSON props + a
+# mostly-null column). Proves at driver level the paths the lineitem
+# fixture can't reach: R13 drop (junk: 90 % null post-clean numeric),
+# R12 rare-value merge (a synthesized sub-1 % category → 'Other'), date
+# MODE fill (bogus minority in a datetime column → top-1 date, tie →
+# smallest — pandas mode()[0] parity), and the unknown/text passthrough
+# (props JSON strings). DuckDB has no initcap; single-word categories
+# make upper(head)||lower(tail) equivalent.
+
+_PIPE_EVENTS_ORACLE = f"""
+WITH messy AS (
+  SELECT CAST(event_id AS VARCHAR) AS eid,
+         CASE WHEN event_id % 7 = 0 THEN 'N/A'
+              ELSE CAST(user_id AS VARCHAR) END AS val,
+         CASE WHEN event_id % 11 = 0 THEN 'bogus'
+              ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS seen_date,
+         CASE WHEN event_id % 211 = 0 THEN 'rarecat'
+              ELSE event_type END AS etype,
+         props
+  FROM events),
+cleaned AS (
+  SELECT TRY_CAST(NULLIF(REPLACE(REGEXP_REPLACE(eid, '[^0-9.,+-]', '', 'g'),
+                                 ',', '.'), '') AS DOUBLE) AS eid,
+         TRY_CAST(NULLIF(REPLACE(REGEXP_REPLACE(val, '[^0-9.,+-]', '', 'g'),
+                                 ',', '.'), '') AS DOUBLE) AS val,
+         CAST(try_strptime(TRIM(seen_date), {_DATE_LIST}) AS DATE)
+           AS seen_date,
+         upper(substr(etype, 1, 1)) || lower(substr(etype, 2)) AS etype,
+         props
+  FROM messy),
+tot AS (SELECT COUNT(*) AS n FROM cleaned),
+freq AS (SELECT etype, COUNT(*) AS c FROM cleaned GROUP BY etype),
+merged AS (
+  SELECT eid, val, seen_date,
+         CASE WHEN f.c < GREATEST(2, 0.01 * (SELECT n FROM tot))
+              THEN 'Other' ELSE cleaned.etype END AS etype,
+         props
+  FROM cleaned JOIN freq f ON cleaned.etype = f.etype),
+med AS (SELECT MEDIAN(val) AS m FROM merged),
+dmode AS (
+  SELECT seen_date FROM merged WHERE seen_date IS NOT NULL
+  GROUP BY seen_date ORDER BY COUNT(*) DESC, seen_date ASC LIMIT 1),
+imputed AS (
+  SELECT eid, COALESCE(val, (SELECT m FROM med)) AS val,
+         COALESCE(seen_date, (SELECT seen_date FROM dmode)) AS seen_date,
+         etype, props
+  FROM merged),
+stats AS (
+  SELECT AVG(eid) AS mu_e, STDDEV_SAMP(eid) AS sd_e,
+         QUANTILE_CONT(eid, 0.05) AS q5_e, QUANTILE_CONT(eid, 0.95) AS q95_e,
+         AVG(val) AS mu_v, STDDEV_SAMP(val) AS sd_v,
+         QUANTILE_CONT(val, 0.05) AS q5_v, QUANTILE_CONT(val, 0.95) AS q95_v
+  FROM imputed),
+clamped AS (
+  SELECT CASE WHEN sd_e > 0 AND ABS((eid - mu_e) / sd_e) > 3
+              THEN LEAST(GREATEST(eid, q5_e), q95_e) ELSE eid END AS eid,
+         CASE WHEN sd_v > 0 AND ABS((val - mu_v) / sd_v) > 3
+              THEN LEAST(GREATEST(val, q5_v), q95_v) ELSE val END AS val,
+         seen_date, etype, props
+  FROM imputed, stats)
+SELECT DISTINCT eid, val, seen_date, etype, props FROM clamped
+"""
+
+
+@query("q_etl_pipeline_events", _PIPE_EVENTS_ORACLE)
+def q_etl_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    raw = e.select(
+        F.col("event_id").cast("string").alias("eid"),
+        F.when(F.col("event_id") % 7 == 0, "N/A")
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("val"),
+        F.when(F.col("event_id") % 11 == 0, "bogus")
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .alias("seen_date"),
+        F.when(F.col("event_id") % 211 == 0, "rarecat")
+        .otherwise(F.col("event_type"))
+        .alias("etype"),
+        F.col("props"),
+        # 90 % null, numeric remainder → typed NUMERIC, then dropped by
+        # the missing-threshold rule (R13). A categorical-typed column
+        # could never exercise the drop: the reference's astype(str)
+        # turns its nulls into the surviving 'Nan' category.
+        F.when(F.col("event_id") % 10 == 0, F.col("event_id").cast("string"))
+        .alias("junk"),
+    )
+    pipe = AutoETLPipeline(
+        compat=True, eager_summary=False, assume_partitioned=True
+    )
+    return pipe.transform(raw)
+
+
 # -- R19/R24: the full data-dependent pipeline (rows-only) -----------------
 
 

@@ -370,6 +370,30 @@ GROUP BY user_id, event_type
 """
 
 
+# The SAME per-(user, event_type) semantics through the V1 engine, which
+# runs in this container: both operators fold batches with the shared
+# _type_count_transition, so a green driver row here pins the V2
+# processor's logic — only its state-plumbing remains env-gated.
+
+
+@query("q_stream_stateful_types", _STATEFUL_V2_ORACLE)
+def q_stream_stateful_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.streaming.ops import (
+        drain_to_table,
+        events_stream,
+        stateful_type_counts_v1,
+    )
+
+    tbl = drain_to_table(
+        stateful_type_counts_v1(events_stream(spark, sf_dir)), mode="update"
+    )
+    return (
+        spark.table(tbl)
+        .groupBy("user_id", "event_type")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+
+
 def q_stream_stateful_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_project_spark.streaming.ops import stateful_type_counts_v2
 

@@ -298,6 +298,52 @@ def stream_dedup(stream: DataFrame) -> DataFrame:
     )
 
 
+def _type_count_transition(counts: dict, pdf) -> dict:
+    """State transition shared by the stateful-V2 processor and its V1
+    equivalence harness: fold one micro-batch's rows into the per-user
+    ``{event_type: n}`` map. Keeping this a plain function is what lets
+    the container pin V2's semantics (tests/test_round4.py) even though
+    the TWS runtime itself is env-gated on protobuf: both engines run
+    THIS code, only the state plumbing differs."""
+    for et, n in pdf.groupby("event_type").size().items():
+        counts[et] = counts.get(et, 0) + int(n)
+    return counts
+
+
+def stateful_type_counts_v1(stream: DataFrame) -> DataFrame:
+    """The V2 ``stateful_type_counts_v2`` semantics through the V1
+    ``applyInPandasWithState`` engine (which has no protobuf dependency):
+    per-(user, event_type) running counts, state as parallel arrays —
+    the composite-state shape V2's MapState gives for free. Cumulative
+    per-batch emissions, so the max-reduce-drained oracle is identical."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, event_type string, n_events bigint"
+    state_schema = "types array<string>, ns array<bigint>"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            types, ns = state.get
+            counts = dict(zip(types, ns))
+        else:
+            counts = {}
+        for pdf in pdfs:
+            counts = _type_count_transition(counts, pdf)
+        state.update((list(counts.keys()), list(counts.values())))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(counts),
+                "event_type": list(counts.keys()),
+                "n_events": list(counts.values()),
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stateful_type_counts_v2(stream: DataFrame) -> DataFrame:
     """Q34, Spark 4 stateful V2: per-(user, event_type) running counts via
     ``transformWithStateInPandas`` with a MapState keyed by event type —
@@ -321,15 +367,14 @@ def stateful_type_counts_v2(stream: DataFrame) -> DataFrame:
             )
 
         def handleInputRows(self, key, rows, timer_values):
+            counts = {k[0]: v[0] for k, v in self._counts.iterator()}
             for pdf in rows:
-                for et, n in pdf.groupby("event_type").size().items():
-                    prev = self._counts.getValue((et,))
-                    self._counts.updateValue(
-                        (et,), ((prev[0] if prev else 0) + int(n),)
-                    )
+                counts = _type_count_transition(counts, pdf)
+            for et, n in counts.items():
+                self._counts.updateValue((et,), (n,))
             out = [
-                {"user_id": key[0], "event_type": k[0], "n_events": v[0]}
-                for k, v in self._counts.iterator()
+                {"user_id": key[0], "event_type": et, "n_events": n}
+                for et, n in counts.items()
             ]
             yield pd.DataFrame(out)
 

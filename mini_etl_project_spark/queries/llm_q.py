@@ -361,6 +361,276 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_pii(aug, "t")
 
 
+# -- boilerplate chunk removal (CCNet-style) --------------------------------
+# The classic web-corpus cleanup: split documents into paragraph-granular
+# chunks, count each chunk's document frequency across the corpus, and
+# drop chunks that recur in many documents (navigation, legal footers,
+# subscribe prompts). The synthetic corpus has no natural paragraph
+# boundaries, so chunks are fixed 12-word windows and a 12-word
+# boilerplate line is planted on every 5th document — the removal
+# machinery (corpus-wide chunk DF, relative threshold) runs live.
+#
+# 100 TB posture: one explode to chunk rows, one groupBy(chunk) for DF
+# (map-side combined), one join back on chunk, one groupBy(doc). The DF
+# table is orders of magnitude smaller than the corpus; no all-pairs
+# anything.
+
+_BP_K = 12
+_BP_TEXT = (
+    "subscribe to our newsletter for updates terms of service apply every day"
+)
+_BP_DF_FRAC = 0.05  # chunk appears in >5 % of docs → boilerplate
+
+_BOILER_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN '{_BP_TEXT} ' || text
+              ELSE text END AS t
+  FROM documents),
+tok AS (
+  SELECT doc_id, string_split_regex(trim(t), '\\s+') AS w FROM aug),
+chunks AS (
+  SELECT doc_id,
+         array_to_string(w[(i * {_BP_K} + 1):((i + 1) * {_BP_K})], ' ')
+           AS chunk
+  FROM tok,
+       unnest(CASE WHEN len(w) > 0 THEN generate_series(
+                0, CAST(ceil(len(w) / {_BP_K}.0) AS INT) - 1) END) AS u(i)),
+dfreq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk),
+nd AS (SELECT COUNT(*) AS n FROM aug)
+SELECT c.doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN f.df >= CAST({_BP_DF_FRAC} AS DOUBLE)
+                          * (SELECT n FROM nd)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM chunks c JOIN dfreq f USING (chunk)
+GROUP BY c.doc_id
+"""
+
+
+def remove_boilerplate_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = _BP_K,
+    df_frac: float = _BP_DF_FRAC,
+) -> DataFrame:
+    """Per-doc chunk counts after corpus-DF boilerplate removal: chunks
+    (fixed ``chunk_words``-word windows) occurring in more than
+    ``df_frac`` of documents are flagged removed. Returns
+    ``(id, n_chunks, n_removed)``; a writer keeps the unflagged chunks."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.ceil(n / chunk_words).cast("int") - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * chunk_words + 1, chunk_words)
+            ),
+        ),
+    )
+    chunked = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("chunk")
+    )
+    dfreq = chunked.groupBy("chunk").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    nd = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    return (
+        chunked.join(dfreq, "chunk")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                (
+                    F.col("df")
+                    >= F.lit(df_frac) * F.col("__n_docs")
+                ).cast("long")
+            ).alias("n_removed"),
+        )
+    )
+
+
+@query("q_corpus_boilerplate", _BOILER_ORACLE)
+def q_corpus_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(_BP_TEXT + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    return remove_boilerplate_chunks(aug, "doc_id", "t")
+
+
+# -- unigram-frequency quality score ----------------------------------------
+# CCNet filters web text with a KenLM perplexity score; the in-container
+# stand-in is the corpus's own unigram model. To stay bit-reproducible we
+# avoid transcendental log (last-ulp behavior is not pinned across
+# engines): the score is the mean relative frequency of the document's
+# tokens — Σ count(token) stays in exact BIGINT, and the single double
+# division at the end is IEEE-exact in every engine. Low commonness =
+# rare-token-heavy documents (same ranking direction as high perplexity).
+#
+# 100 TB posture: vocab is a groupBy orders of magnitude smaller than the
+# corpus; the score join is token→count equi-join, map-side combinable.
+
+_UNIGRAM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents),
+vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(v.cnt) AS BIGINT) AS sum_freq,
+       CAST(SUM(v.cnt) AS DOUBLE) / COUNT(*) / (SELECT n FROM tot)
+         AS commonness
+FROM tok t JOIN vocab v USING (token)
+GROUP BY t.doc_id
+"""
+
+
+@query("q_text_unigram_score", _UNIGRAM_ORACLE)
+def q_text_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("bigint").alias("__total"))
+    return (
+        tok.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("sum_freq"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_freq",
+            (
+                F.col("sum_freq").cast("double")
+                / F.col("n_tokens")
+                / F.col("__total")
+            ).alias("commonness"),
+        )
+    )
+
+
+# -- per-source token-budget subsampling ------------------------------------
+# Data mixing under a hard token budget: walk each source's documents in
+# deterministic order, keep documents while the running token count fits
+# the per-source budget. One per-shard window cumsum — the same
+# partition-local shape as sequence packing; no global state.
+
+_BUDGET = 2000
+
+_BUDGET_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM t)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {_BUDGET}
+"""
+
+
+@query("q_corpus_token_budget", _BUDGET_ORACLE)
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(tokens("text"))).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    return (
+        t.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= _BUDGET)
+    )
+
+
+# -- vocabulary induction with coverage -------------------------------------
+# Tokenizer-prep step: rank the corpus vocabulary by frequency
+# (deterministic tie-break: smaller token first) and report each
+# candidate's cumulative corpus coverage — the curve that picks a vocab
+# size. The unpartitioned window runs over the AGGREGATED vocab (bounded,
+# orders of magnitude smaller than the corpus), per the repo's
+# windows-sit-on-aggregates invariant.
+
+_VOCAB_N = 30
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents),
+vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab),
+ranked AS (
+  SELECT token, CAST(cnt AS BIGINT) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM vocab)
+SELECT token, cnt, CAST(rank AS BIGINT) AS rank,
+       CAST(cum AS DOUBLE) / (SELECT n FROM tot) AS coverage
+FROM ranked WHERE rank <= {_VOCAB_N}
+"""
+
+
+@query("q_corpus_vocab_coverage", _VOCAB_ORACLE)
+def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = vocab.agg(F.sum("cnt").cast("bigint").alias("__total"))
+    # BOUNDED-INPUT INVARIANT: unpartitioned windows over the aggregated
+    # vocab only (see iterative_q.py gap-fill note).
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        vocab.select(
+            "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            F.sum("cnt").over(wc).cast("bigint").alias("cum"),
+        )
+        .filter(F.col("rank") <= _VOCAB_N)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "cnt",
+            "rank",
+            (F.col("cum").cast("double") / F.col("__total")).alias("coverage"),
+        )
+    )
+
+
 # -- int8 embedding quantization -------------------------------------------
 
 # The query surface explodes the quantized vector to scalar rows

@@ -234,3 +234,108 @@ def q_agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+# -- portable approximate-distinct (KMV sketch), oracle-exact ---------------
+# Q12 upgrade: Spark's native HLL/approx_percentile sketches are
+# implementation-defined, so their queries can only be rows-only. The KMV
+# (k-minimum-values) estimator is sketch-math over a PORTABLE hash — the
+# kth-smallest 60-bit hash of the distinct values — so the estimate itself
+# is bit-reproducible in any engine: est = (k-1) * 2^60 / h_k (exact-count
+# fallback below k). Estimation error ~ 1/sqrt(k-2) ≈ 13 % at k=64,
+# asserted in tests/test_round4.py.
+#
+# Scale note: the window formulation sorts each group's distinct hashes to
+# rank them; at 100 TB replace with a per-partition bounded k-smallest
+# merge (same estimate, same hashes — the sketch property that makes KMV
+# mergeable). The distinct + window here keeps the oracle strict.
+
+_KMV_K = 64
+
+_KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT l_returnflag,
+         {_sql_hash60("CAST(l_partkey AS VARCHAR)")} AS h
+  FROM lineitem),
+ranked AS (
+  SELECT l_returnflag, h,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM h),
+n AS (SELECT l_returnflag, COUNT(*) AS nd FROM h GROUP BY l_returnflag),
+kth AS (SELECT l_returnflag, h AS hk FROM ranked WHERE rn = {_KMV_K})
+SELECT n.l_returnflag,
+       CAST(n.nd AS BIGINT) AS exact_distinct,
+       CASE WHEN n.nd < {_KMV_K} THEN CAST(n.nd AS DOUBLE)
+            ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                 * CAST(1152921504606846976 AS DOUBLE) / kth.hk
+       END AS est_distinct
+FROM n LEFT JOIN kth ON n.l_returnflag = kth.l_returnflag
+"""
+
+
+@query("q_agg_kmv_distinct", _KMV_ORACLE)
+def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    h = l.select(
+        "l_returnflag",
+        hash60(F.col("l_partkey").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    ranked = h.withColumn("rn", F.row_number().over(w))
+    kth = ranked.filter(F.col("rn") == _KMV_K).select(
+        "l_returnflag", F.col("h").alias("hk")
+    )
+    n = h.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("nd"))
+    est = F.when(
+        F.col("nd") < _KMV_K, F.col("nd").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1))
+        * F.lit(float(1 << 60))
+        / F.col("hk")
+    )
+    return n.join(kth, "l_returnflag", "left").select(
+        "l_returnflag",
+        F.col("nd").cast("bigint").alias("exact_distinct"),
+        est.alias("est_distinct"),
+    )
+
+
+# -- approximate quantiles via deterministic hash sample, oracle-exact ------
+# Same portability idea for quantiles: exact interpolating percentiles
+# over a 10 % hash-gated sample. The sample is partitioning-independent
+# (membership is a pure hash predicate), so both engines see the SAME
+# sample and the "approximate" quantile is bit-reproducible — unlike
+# t-digest/GK sketches, whose merge order leaks into the result. At
+# 100 TB the exact percentile runs over 10 % of the data; tighten or
+# loosen the rate per column cardinality.
+
+_QSAMPLE_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_sample,
+       QUANTILE_CONT(l_extendedprice, 0.5) AS p50,
+       QUANTILE_CONT(l_extendedprice, 0.9) AS p90
+FROM lineitem
+WHERE {_sql_hash60(_KEY)} % 100 < 10
+GROUP BY l_returnflag
+"""
+
+
+@query("q_agg_quantile_hash_sample", _QSAMPLE_ORACLE)
+def q_agg_quantile_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        ":",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return (
+        l.filter(hash60(key) % 100 < 10)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        )
+    )

@@ -102,6 +102,33 @@ def test_stateful_v2_live_equals_v1(spark, sf_dir):
     assert v1 == v2
 
 
+# -- KMV sketch accuracy ---------------------------------------------------
+
+
+def test_kmv_estimate_within_error_bound(spark, sf_dir):
+    """KMV's standard error is ~1/sqrt(k-2); at k=64 a 4-sigma band is
+    ~51 %. Assert every group's estimate lands inside it (the oracle
+    already pins bit-reproducibility; this pins that the sketch MATH is
+    right, not just portable)."""
+    from mini_etl_project_spark.queries.sampling_q import (
+        _KMV_K,
+        q_agg_kmv_distinct,
+    )
+
+    rows = q_agg_kmv_distinct(spark, sf_dir).collect()
+    assert rows
+    band = 4.0 / (_KMV_K - 2) ** 0.5
+    for r in rows:
+        exact, est = r["exact_distinct"], r["est_distinct"]
+        if exact < _KMV_K:
+            assert est == float(exact)  # exact-count fallback
+        else:
+            assert abs(est - exact) / exact <= band, (
+                f"{r['l_returnflag']}: est {est:.0f} vs exact {exact} "
+                f"(rel err {abs(est - exact) / exact:.2%} > {band:.0%})"
+            )
+
+
 # -- MinHash-LSH recall/precision ------------------------------------------
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz "

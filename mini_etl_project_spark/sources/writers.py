@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 DEFAULT_MAX_DRIVER_ROWS = 5_000_000
 
@@ -74,3 +75,31 @@ def load(
             "cleaned_data", db_connection, if_exists="replace", index=False
         )
     return df
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-style partitioned parquet layout — the standard at-scale table
+    layout (one directory per partition value; readers prune directories
+    via ``PartitionFilters`` before any file I/O).
+
+    The pre-write ``repartition(partition_cols)`` is what makes this hold
+    at 100 TB: without it every task holds an open writer per partition
+    value and emits #tasks × #partitions small files; with it each
+    partition's rows land in one task (AQE coalesces skewed/empty ones).
+    ``sort_cols`` orders within files so min/max row-group stats prune on
+    a secondary column too (the poor man's Z-order for one column);
+    ``max_records_per_file`` bounds file size for object-store-friendly
+    rewrites."""
+    staged = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        staged = staged.sortWithinPartitions(*sort_cols)
+    w = staged.write.mode("overwrite").partitionBy(*partition_cols)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)

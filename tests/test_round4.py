@@ -102,6 +102,100 @@ def test_stateful_v2_live_equals_v1(spark, sf_dir):
     assert v1 == v2
 
 
+# -- hive-style partitioned layout -----------------------------------------
+
+
+def test_write_partitioned_prunes_directories(spark, sf_dir, tmp_path):
+    """Partitioned parquet layout: a filter on the partition column must
+    show up as a PartitionFilter (directory pruning, zero data I/O for
+    non-matching partitions) and values must round-trip."""
+    import os
+
+    from mini_etl_project_spark.session import load_table
+    from mini_etl_project_spark.sources.writers import write_partitioned
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(
+        ev, out, ["event_type"], sort_cols=["ts"], max_records_per_file=50_000
+    )
+    # one directory per event type
+    dirs = {d for d in os.listdir(out) if d.startswith("event_type=")}
+    types = {r[0] for r in ev.select("event_type").distinct().collect()}
+    assert dirs == {f"event_type={t}" for t in types}
+
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    got = {r["event_id"] for r in back.collect()}
+    want = {
+        r["event_id"]
+        for r in ev.filter(F.col("event_type") == "click").collect()
+    }
+    assert got == want
+
+
+# -- runtime bloom-filter join pruning --------------------------------------
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Spark's runtime bloom filter (on by default) pre-filters the probe
+    side of a shuffle join with a bloom filter built from the filtered
+    build side — at 100 TB this cuts the lineitem shuffle to rows whose
+    orderkey can match. It self-gates on a 10 GB probe-scan threshold, so
+    at test scale we lower the threshold to prove the machinery injects
+    (`bloom_filter` agg + `might_contain` probe) and stays correct."""
+    from mini_etl_project_spark.session import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        l = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter" in plan and "might_contain" in plan
+        got = {(r[0], r[1]) for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    want = {
+        (r[0], r[1])
+        for r in load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders").filter(
+                F.col("o_totalprice") > 400000
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    }
+    assert got == want
+
+
 # -- KMV sketch accuracy ---------------------------------------------------
 
 

@@ -108,3 +108,71 @@ def q_udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p_partkey % 29 = 0
         """
     )
+
+
+# -- Q27+ cogrouped applyInPandas ------------------------------------------
+# The two-sided grouped-pandas API (cogroup): each orderkey's orders rows
+# and lineitem rows arrive as ALIGNED pandas frames — the shape custom
+# reconciliation/merge logic needs when one side isn't joinable row-wise
+# (here: per-order fill stats against the order's own date). Exact
+# integer/count outputs keep it order-independent, so the oracle is plain
+# SQL. One shuffle per side on the cogroup key — same cost as the
+# equivalent join at any scale.
+
+_COGROUP_ORACLE = """
+SELECT o.o_orderkey,
+       COUNT(l.l_orderkey) AS n_lines,
+       CAST(COALESCE(SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_shipped_30d
+FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 61 = 0
+GROUP BY o.o_orderkey
+"""
+
+
+@query("q_udf_cogrouped", _COGROUP_ORACLE)
+def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    def fill_stats(key, orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame):
+        if orders_pdf.empty:  # lineitem for an order outside the filter
+            return pd.DataFrame(
+                columns=["o_orderkey", "n_lines", "n_shipped_30d"]
+            )
+        cutoff = orders_pdf["o_orderdate"].iloc[0] + datetime.timedelta(
+            days=30
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "n_lines": [len(lines_pdf)],
+                "n_shipped_30d": [
+                    int((lines_pdf["l_shipdate"] <= cutoff).sum())
+                ],
+            }
+        )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 61 == 0)
+        .select("o_orderkey", "o_orderdate")
+    )
+    # Mirror the key predicate on the lineitem side: cogroup invokes the
+    # Python fn once per key on EITHER side, so an unfiltered right side
+    # pays a Python call per excluded order (measured 42s -> 3s at
+    # sf0.01). Same trick a runtime filter applies at scale; pushed to
+    # the parquet scan here.
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 61 == 0)
+        .select("l_orderkey", "l_shipdate")
+    )
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(l.groupBy("l_orderkey"))
+        .applyInPandas(
+            fill_stats,
+            "o_orderkey bigint, n_lines bigint, n_shipped_30d bigint",
+        )
+    )

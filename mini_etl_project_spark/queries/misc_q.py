@@ -262,3 +262,51 @@ def q_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     df = spark.read.format("synthetic_corpus").option("rows", 2000).load()
     return df.filter((F.col("id") >= 500) & (F.col("id") < 1500))
+
+
+# -- X14+ Python STREAMING DataSource (Spark 4) ----------------------------
+# The streaming half of the custom-source path: a SimpleDataSourceStream-
+# Reader replay of a deterministic bounded event stream, aggregated with
+# a streaming groupBy in complete mode. The reader's values are pure
+# functions of the row position, so the drained result is oracle-exact.
+
+_PYDS_STREAM_ROWS = 2000
+
+_PYDS_STREAM_ORACLE = f"""
+SELECT i % 5 AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM((i * 37) % 100) AS BIGINT) AS sum_v
+FROM generate_series(0, {_PYDS_STREAM_ROWS - 1}) t(i)
+GROUP BY 1
+"""
+
+
+@query("q_source_python_ds_stream", _PYDS_STREAM_ORACLE)
+def q_source_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from mini_etl_project_spark.sources.pyds import register_stream
+
+    register_stream(spark)
+    stream = (
+        spark.readStream.format("synthetic_stream")
+        .option("rows", _PYDS_STREAM_ROWS)
+        .load()
+    )
+    agg = stream.groupBy((F.col("id") % 5).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("bigint").alias("sum_v"),
+    )
+    # processAllAvailable (not availableNow): the bounded reader signals
+    # exhaustion with an unchanged offset, which is what this drain keys
+    # on; offsets/commits exercise the full micro-batch protocol.
+    name = f"pyds_stream_{_uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

@@ -120,3 +120,69 @@ def register(spark) -> None:
     """
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticCorpusDataSource)
+
+
+# -- Spark 4 Python STREAMING DataSource -----------------------------------
+# The streaming half of the source-extension path: a bounded deterministic
+# event stream via SimpleDataSourceStreamReader. Offsets are plain row
+# positions; readBetweenOffsets regenerates any committed range
+# deterministically, which is exactly the replayability contract a
+# recovering micro-batch needs. After `rows` the reader returns empty
+# batches with an unchanged offset, so processAllAvailable() terminates —
+# a bounded replay, like the file-stream fixtures in streaming/ops.py.
+
+try:  # pragma: no cover — import shape varies across Spark 4 minors
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+except ImportError:  # pragma: no cover
+    SimpleDataSourceStreamReader = None  # type: ignore[assignment]
+
+STREAM_SCHEMA = "id bigint, v bigint"
+
+
+def _stream_rows(lo: int, hi: int):
+    return iter([(i, (i * 37) % 100) for i in range(lo, hi)])
+
+
+if SimpleDataSourceStreamReader is not None:
+
+    class SyntheticStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options: dict) -> None:
+            self.rows = int(options.get("rows", 2000))
+            self.chunk = int(options.get("chunk", 512))
+
+        def initialOffset(self) -> dict:
+            return {"pos": 0}
+
+        def read(self, start: dict):
+            lo = start["pos"]
+            hi = min(lo + self.chunk, self.rows)
+            return _stream_rows(lo, hi), {"pos": hi}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return _stream_rows(start["pos"], end["pos"])
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    class SyntheticStreamDataSource(DataSource):
+        """``spark.readStream.format("synthetic_stream").option("rows", N)``."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_stream"
+
+        def schema(self) -> str:
+            return STREAM_SCHEMA
+
+        def simpleStreamReader(self, schema) -> "SyntheticStreamReader":
+            return SyntheticStreamReader(self.options)
+
+    def register_stream(spark) -> None:
+        spark.dataSource.register(SyntheticStreamDataSource)
+
+else:  # pragma: no cover
+
+    def register_stream(spark) -> None:
+        raise NotImplementedError(
+            "SimpleDataSourceStreamReader unavailable in this Spark build"
+        )

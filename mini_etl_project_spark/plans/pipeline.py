@@ -499,15 +499,6 @@ class AutoETLPipeline:
         medians = {c: d[f"{c}__med"] for c in base if f"{c}__med" in d}
         return null_count, text_len, medians
 
-    def _pre_stats(
-        self,
-        df: DataFrame,
-        base: dict[str, Column],
-        profiles: dict[str, ColumnProfile],
-    ) -> tuple[dict[str, int], dict[str, float], dict[str, float]]:
-        row = df.agg(*self._pre_stats_aggs(base, profiles)).collect()[0]
-        return self._split_pre_stats(row, base)
-
     def _fused_stats(
         self,
         df: DataFrame,

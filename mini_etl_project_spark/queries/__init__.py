@@ -70,64 +70,82 @@ def _load_all() -> None:
 # oracle changed this round, then new queries — and the long tail of
 # already-proven entries follows in stable registration order.
 _CHECK_FIRST: list[str] = [
-    # Round-3 front: the 21 entries with no driver CORRECTNESS row ever
-    # (all verified oracle-exact or recall-green locally in round 2).
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_split_train_test",
-    "q_agg_histogram",
-    "q_agg_percentile",
-    "q_fn_array_hof",
-    "q_fn_map",
-    "q_fn_regexp",
-    "q_join_lateral",
-    "q_hierarchy_levels",
-    "q_ts_gapfill",
-    "q_window_distribution",
-    "q_window_value_fns",
-    "q_sim_topk_pq_rerank",
-    "q_text_fingerprint",
-    "q20_promotion_suppliers",
-    "q_stream_stateful",
-    "q_sim_ann_lsh",  # rows-only by design
-    "q_sim_ann_ivf",  # rows-only by design
-    "q_sim_ann_ml_brp",  # rows-only by design
-    # Oracle changed this round (round-2's only red: HUGEINT vs BIGINT).
-    "q_window_range_frame",
-    # New queries this round.
-    "q_multimodal_meta",
-    "q_sim_lsh_topk",
-    "q_join_asof_nullpayload",
-    "q_corpus_pack",
-    "q_text_repetition",
+    # Round-4 front, slot 1: round-3's ONLY red row — output reshaped to
+    # scalar (vec_id, scale, idx, q) rows; must re-prove green.
     "q_embed_quantize",
-    "q_text_pii_scrub",
-    "q_corpus_mix",
+    # New this round (no driver row ever), plus q_sim_ann_pq which slipped
+    # every prior rotation.
+    "q_etl_pipeline_events",
+    "q_graph_pagerank_dangling",
+    "q_stream_stateful_types",
+    "q_corpus_boilerplate",
+    "q_text_unigram_score",
+    "q_corpus_token_budget",
+    "q_corpus_vocab_coverage",
+    "q_agg_kmv_distinct",
+    "q_agg_quantile_hash_sample",
+    "q_udf_cogrouped",
+    "q_source_python_ds_stream",
+    "q_sim_ann_pq",  # rows-only by design
+    # Implementation touched this round — needs a fresh green row:
+    # short-doc n-gram guard; fused pipeline stats jobs; shared
+    # trade-edge builder.
     "q_corpus_decontaminate",
-    "q_graph_pagerank",
-    "q_etl_outlier_mad",
-    "q_agg_histogram_equidepth",
-    "q_table_incr_view",
-    "q_stream_sliding",
-    "q_stream_static_join",
-    "q_stream_stateful_v2",
-    # Implementation touched this round — needs a fresh green row.
-    "q_join_asof",
-    "q_join_asof_forward",
-    "q_join_asof_nearest",
     "q_etl_pipeline_full",
-    # ---- ~50-entry budget boundary (observed rounds 1-2) ----
+    "q_etl_pipeline",
+    "q_graph_pagerank",
+    # r1-only evidence block (not sampled since round 1): ETL cleaners,
+    # function families, joins, setops, windows, dedup variants.
+    "q_etl_clean_numeric",
+    "q_etl_clean_date",
+    "q_etl_impute_median",
+    "q_etl_outlier_clamp",
+    "q_etl_dedup_keyfirst",
+    "q_etl_summary",
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_datediff",
+    "q_fn_math",
+    "q_fn_conditional",
+    "q_fn_array_access",
+    "q_fn_array_agg",
+    "q_fn_json_struct",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_band",
+    "q_setop_union_all",
+    "q_setop_intersect",
+    "q_setop_except",
+    "q_agg_distinct",
+    "q_agg_approx",  # rows-only by design
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
+    "q_dedup_embedding_rep",
+    "q_pivot_status",
+    "q_unpivot_metrics",
+    "q_subquery_scalar",
+    "q_sql_api_topn",
+    # ---- ~50-entry budget boundary (observed rounds 1-3) ----
+    # r1-only remainder rolls to the round-5 front.
+    "q_window_sliding",
+    "q_stream_dedup_count",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_region_revenue",
+    "q06_revenue_change",
+    "q10_returned_items",
+    "q14_promo_revenue",
     # Long tail: proven-green entries in rough flagship order.
     "q01_pricing_summary",
-    "q_etl_pipeline",
     "q_dedup_minhash_lsh",
     "q_dedup_exact",
     "q_corpus_pretrain",
     "q_sim_topk_exact",
-    "q_sim_pairs_threshold",
     "q_stream_tumbling",
-    "q_stream_sessions",
-    "q_stream_funnel",
     "q_stream_late_drop",
     "q_stream_join",
     "q_stream_sink_snapshot",
@@ -135,16 +153,7 @@ _CHECK_FIRST: list[str] = [
     "q_table_cdc",
     "q_source_python_ds",
     "q_multimodal_bytes",
-    "q_window_rank",
-    "q_window_topk_per_group",
-    "q_window_lag_lead",
-    "q_window_frames",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_udf_pandas_scalar",
-    "q_udf_grouped_agg",
-    "q_udtf_split_words",
+    "q_multimodal_meta",
 ]
 
 

@@ -5,8 +5,12 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line: ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}``.
 
-Protocol: warm SparkSession, 1 warm-up run then median of 3 timed runs per
-query; per-query seconds reported; ``value`` is the sum of medians.
+Protocol: warm SparkSession, 1 warm-up run then median of 5 timed runs per
+query; per-query seconds reported; ``value`` is the sum of medians. (5,
+not 3: the host shows sporadic multi-second whole-JVM stalls — verified
+external, GC time is <100 ms during an 8 s spike — and a median of 3
+flips high when two land in one query's window; 5 keeps one spike from
+moving any median.)
 """
 
 from __future__ import annotations
@@ -53,7 +57,7 @@ def main() -> None:
     results: dict[str, float] = {}
     for name in names:
         run_once(spark, name, sf_dir)  # warm-up (also warms file/metadata caches)
-        results[name] = round(statistics.median(run_once(spark, name, sf_dir) for _ in range(3)), 4)
+        results[name] = round(statistics.median(run_once(spark, name, sf_dir) for _ in range(5)), 4)
     total = round(sum(results.values()), 4)
     print(
         json.dumps(

@@ -339,3 +339,91 @@ def q_agg_quantile_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
         )
     )
+
+
+# -- portable count-min sketch, oracle-exact --------------------------------
+# The mergeable frequency sketch: d hash rows × w buckets of EXACT counter
+# aggregates; the estimate for a value is the min of its d counters —
+# always ≥ the true count, with collisions inflating, never deflating.
+# Like KMV above, the hashes are the repo's portable md5-derived family,
+# so the sketch CONTENTS (and therefore every estimate) are
+# bit-reproducible in any engine — counters are plain groupBy counts.
+# w is deliberately tiny (8) so collisions occur live and the min-of-rows
+# logic is exercised, not vacuous. One explode(d) + one groupBy; counter
+# table is d×w rows — broadcast-sized at any corpus scale.
+
+_CMS_D_SEEDS = (11, 12, 13)
+_CMS_W = 8
+
+
+def _sql_cms_bucket(expr: str, seed: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{seed}:' || {expr}), 1, 15)) AS BIGINT)"
+        f" % {_CMS_W}"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH hashed AS (
+  SELECT event_type,
+         {_sql_cms_bucket('event_type', 11)} AS b11,
+         {_sql_cms_bucket('event_type', 12)} AS b12,
+         {_sql_cms_bucket('event_type', 13)} AS b13
+  FROM events),
+counters AS (
+  SELECT seed, bucket, COUNT(*) AS c
+  FROM (
+    SELECT 11 AS seed, b11 AS bucket FROM hashed
+    UNION ALL SELECT 12, b12 FROM hashed
+    UNION ALL SELECT 13, b13 FROM hashed)
+  GROUP BY seed, bucket),
+cand AS (
+  SELECT event_type, MIN(b11) AS b11, MIN(b12) AS b12, MIN(b13) AS b13,
+         COUNT(*) AS exact_n
+  FROM hashed GROUP BY event_type),
+probes AS (
+  SELECT event_type, exact_n, 11 AS seed, b11 AS bucket FROM cand
+  UNION ALL SELECT event_type, exact_n, 12, b12 FROM cand
+  UNION ALL SELECT event_type, exact_n, 13, b13 FROM cand)
+SELECT p.event_type, CAST(MIN(p.exact_n) AS BIGINT) AS exact_n,
+       CAST(MIN(c.c) AS BIGINT) AS cms_estimate
+FROM probes p JOIN counters c USING (seed, bucket)
+GROUP BY p.event_type
+"""
+
+
+@query("q_agg_countmin", _CMS_ORACLE)
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.textops import hash64
+
+    e = load_table(spark, sf_dir, "events")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"),
+                (hash64(F.col("event_type"), s) % _CMS_W).alias("bucket"),
+            )
+            for s in _CMS_D_SEEDS
+        ]
+    )
+    counters = (
+        e.select(F.explode(rows).alias("sb"))
+        .groupBy(F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cand = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = cand.select("event_type", "exact_n", F.explode(rows).alias("sb"))
+    return (
+        probes.select(
+            "event_type",
+            "exact_n",
+            F.col("sb.seed").alias("seed"),
+            F.col("sb.bucket").alias("bucket"),
+        )
+        .join(F.broadcast(counters), ["seed", "bucket"])
+        .groupBy("event_type")
+        .agg(
+            F.min("exact_n").cast("bigint").alias("exact_n"),
+            F.min("c").cast("bigint").alias("cms_estimate"),
+        )
+    )

@@ -272,3 +272,78 @@ def q_table_incr_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# -- SCD Type-2 history derivation ------------------------------------------
+# The classic warehouse op: turn a mutation stream into a
+# slowly-changing-dimension history — one row per (key, attribute-value
+# period) with valid_from / valid_to / is_current. Gaps-and-islands over
+# the per-key event order: a period starts where the tracked attribute
+# differs from its predecessor; valid_to = next period's start (open for
+# the current row). Every window is partitioned by the key — per-key
+# state only, no global ordering, so the shape holds at any scale.
+# Deterministic total order inside a key: (ts, event_id).
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+periods AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS period_id
+  FROM ordered),
+collapsed AS (
+  SELECT user_id, event_type, CAST(period_id AS BIGINT) AS period_id,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM periods GROUP BY user_id, event_type, period_id),
+hist AS (
+  SELECT user_id, event_type, period_id, valid_from,
+         CAST(n_events AS BIGINT) AS n_events,
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to
+  FROM collapsed)
+SELECT user_id, event_type, period_id, valid_from, valid_to,
+       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current,
+       n_events
+FROM hist
+"""
+
+
+@query("q_table_scd2", _SCD2_ORACLE)
+def q_table_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    periods = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        chg.alias("chg"),
+    ).withColumn("period_id", F.sum("chg").over(wcum))
+    collapsed = periods.groupBy(
+        "user_id", "event_type", F.col("period_id").cast("bigint").alias("period_id")
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wlead = Window.partitionBy("user_id").orderBy("valid_from")
+    return collapsed.select(
+        "user_id",
+        "event_type",
+        "period_id",
+        "valid_from",
+        F.lead("valid_from").over(wlead).alias("valid_to"),
+        F.when(
+            F.lead("valid_from").over(wlead).isNull(), 1
+        ).otherwise(0).alias("is_current"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )

@@ -310,3 +310,92 @@ def q_source_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+# -- data-quality constraint checking (Deequ-style expectations) ------------
+# The validation pass every production pipeline runs before publishing a
+# table: a rule set (completeness, uniqueness, accepted values, value
+# ranges, referential integrity) evaluated in a CONSTANT number of jobs —
+# here one aggregate per rule family, unioned into a (rule, n_violations,
+# passed) report. Each rule is a plain aggregate (map-side combinable);
+# the FK check is one anti-join. No per-rule passes over the data — the
+# single-table rules share one wide aggregation.
+
+_QUALITY_ORACLE = """
+WITH single AS (
+  SELECT
+    COUNT(*) - COUNT(l_quantity) AS null_qty,
+    COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup_keys,
+    SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+      AS bad_qty_range,
+    SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+      AS bad_flag,
+    SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+      AS bad_discount
+  FROM lineitem),
+fk AS (
+  SELECT COUNT(*) AS orphans
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey IS NULL)
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+       CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+FROM (
+  SELECT 'complete_l_quantity' AS rule, null_qty AS n_violations FROM single
+  UNION ALL SELECT 'unique_orderkey_linenumber', dup_keys FROM single
+  UNION ALL SELECT 'range_l_quantity_1_50', bad_qty_range FROM single
+  UNION ALL SELECT 'accepted_values_returnflag', bad_flag FROM single
+  UNION ALL SELECT 'range_l_discount_0_0.1', bad_discount FROM single
+  UNION ALL SELECT 'fk_lineitem_orders', orphans FROM fk)
+"""
+
+
+@query("q_quality_constraints", _QUALITY_ORACLE)
+def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    q = F.col("l_quantity")
+    single = l.agg(
+        (F.count(F.lit(1)) - F.count(q)).alias("null_qty"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.struct("l_orderkey", "l_linenumber"))
+        ).alias("dup_keys"),
+        F.sum(((q < 1) | (q > 50)).cast("long")).alias("bad_qty_range"),
+        F.sum(
+            (~F.col("l_returnflag").isin("A", "N", "R")).cast("long")
+        ).alias("bad_flag"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast(
+                "long"
+            )
+        ).alias("bad_discount"),
+    )
+    orphans = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    rules = single.crossJoin(orphans).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col(col).cast("bigint").alias("n_violations"),
+                    )
+                    for name, col in [
+                        ("complete_l_quantity", "null_qty"),
+                        ("unique_orderkey_linenumber", "dup_keys"),
+                        ("range_l_quantity_1_50", "bad_qty_range"),
+                        ("accepted_values_returnflag", "bad_flag"),
+                        ("range_l_discount_0_0.1", "bad_discount"),
+                        ("fk_lineitem_orders", "orphans"),
+                    ]
+                ]
+            )
+        ).alias("r")
+    )
+    return rules.select(
+        F.col("r.rule").alias("rule"),
+        F.col("r.n_violations").alias("n_violations"),
+        F.when(F.col("r.n_violations") == 0, 1).otherwise(0).alias("passed"),
+    )

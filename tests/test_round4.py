@@ -102,6 +102,47 @@ def test_stateful_v2_live_equals_v1(spark, sf_dir):
     assert v1 == v2
 
 
+# -- pipeline fused-stats speculation fallback ------------------------------
+
+
+def test_fused_stats_leftover_path_matches_speculation(spark):
+    """A mode-needing column whose cardinality exceeds the speculation
+    bound takes the dedicated fallback job; forcing EVERY column down
+    that path (bound = 0) must not change any output or report line —
+    speculative and dedicated mode computation are the same math."""
+    from mini_etl_project_spark.plans.pipeline import AutoETLPipeline
+
+    rows = []
+    for i in range(200):
+        # high-cardinality TEXT column (distinct >= 50, len > 10, unique
+        # ratio > 0.5 -> not categorical, so nulls SURVIVE cleaning and a
+        # mode fill fires); 'value_string_modal' planted as the mode
+        if i % 5 == 0:
+            tag = None
+        elif i % 3 == 0:
+            tag = "value_string_modal"
+        else:
+            tag = f"value_string_{i}"
+        rows.append((i, tag))
+    df = spark.createDataFrame(rows, "id bigint, tag string")
+
+    def run(bound):
+        saved = AutoETLPipeline._SPECULATE_MAX_DISTINCT
+        AutoETLPipeline._SPECULATE_MAX_DISTINCT = bound
+        try:
+            p = AutoETLPipeline(eager_summary=False, cache_intermediate=False)
+            out = {tuple(r) for r in p.transform(df).collect()}
+            return out, p.cleaning_report
+        finally:
+            AutoETLPipeline._SPECULATE_MAX_DISTINCT = saved
+
+    spec_out, spec_report = run(100_000)
+    fall_out, fall_report = run(0)
+    assert spec_out == fall_out
+    assert spec_report == fall_report
+    assert any("filled missing values" in n for n in spec_report["tag"])
+
+
 # -- hive-style partitioned layout -----------------------------------------
 
 

@@ -88,6 +88,8 @@ _CHECK_FIRST: list[str] = [
     "q_source_python_ds_stream",
     "q_table_scd2",
     "q_agg_countmin",
+    "q_quality_constraints",
+    "q_graph_triangles",
     "q_sim_ann_pq",  # rows-only by design
     # Implementation touched this round — needs a fresh green row:
     # short-doc n-gram guard; fused pipeline stats jobs; shared

@@ -273,3 +273,53 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_project_spark.operators.graph import pagerank
 
     return pagerank(_trade_edges(spark, sf_dir), iterations=3)
+
+
+# -- triangle counting ------------------------------------------------------
+# The standard graph-motif primitive, in its distributed-join form:
+# canonicalize each undirected edge to (lo, hi), then two self-joins
+# enumerate (a<b<c) wedges and close them — per-edge work bounded by
+# degree, no adjacency matrix. Per-node counts = how many triangles each
+# vertex participates in (each triangle credits all three).
+
+_TRIANGLE_ORACLE = f"""
+WITH raw AS ({_PR_EDGES_SQL}),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM raw),
+tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM e e1
+  JOIN e e2 ON e2.lo = e1.hi
+  JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+member AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT node, COUNT(*) AS n_triangles
+FROM member GROUP BY node
+"""
+
+
+@query("q_graph_triangles", _TRIANGLE_ORACLE)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _trade_edges(spark, sf_dir)
+    e = (
+        raw.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .distinct()
+    )
+    e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    member = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return member.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

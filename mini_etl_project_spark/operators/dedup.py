@@ -307,3 +307,54 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if not obs.get["changed"]:
             break
     return labels
+
+
+def prefix_filter_pairs(
+    shingles: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """AllPairs/PPJoin-style prefix-filtered candidate pairs (a < b).
+
+    Exact (non-probabilistic) alternative to LSH banding for set-similarity
+    self-joins: order each document's elements by a global canonical order
+    (ascending document frequency, ties by value — rarest first), keep only
+    the first ``|A| - ceil(t*|A|) + 1`` elements, and join on those. Any
+    pair with Jaccard >= t must share its globally-smallest common element
+    inside BOTH prefixes (Bayardo et al., WWW'07), so the filter is
+    lossless: verification of candidates with exact Jaccard returns the
+    same pairs brute force would.
+
+    Scale posture: the join touches prefix rows only (~(1-t) of the
+    shingle rows), and rare-first ordering makes prefix buckets small —
+    hot shingles land in prefixes only for documents where nothing rarer
+    exists. A length filter (``t*max(|A|,|B|) <= min``) prunes candidates
+    before the distinct. Input is ``(id, shingle)`` rows from
+    :func:`shingle_rows`.
+    """
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n"))
+    doc_freq = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    prefix = (
+        shingles.join(doc_freq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "id")
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
+        )
+        .select("id", "shingle", "n")
+    )
+    a = prefix.select(F.col("id").alias("id_a"), "shingle", F.col("n").alias("n_a"))
+    b = prefix.select(F.col("id").alias("id_b"), "shingle", F.col("n").alias("n_b"))
+    # Length filter: J >= t implies t*max(|A|,|B|) <= min(|A|,|B|); the
+    # epsilon keeps the bound conservative under float rounding (pruning
+    # must stay lossless — candidates are exactly verified afterwards).
+    fits = (
+        F.least("n_a", "n_b").cast("double")
+        >= F.greatest("n_a", "n_b") * F.lit(threshold) - F.lit(1e-9)
+    )
+    return (
+        a.join(b, "shingle")
+        .filter((F.col("id_a") < F.col("id_b")) & fits)
+        .select("id_a", "id_b")
+        .distinct()
+    )

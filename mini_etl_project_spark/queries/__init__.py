@@ -57,6 +57,7 @@ def _load_all() -> None:
         streaming_q,
         table_q,
         text_q,
+        timeseries_q,
         tpch_extra,
         tpch_full,
         windows,
@@ -91,6 +92,18 @@ _CHECK_FIRST: list[str] = [
     "q_quality_constraints",
     "q_graph_triangles",
     "q_sim_ann_pq",  # rows-only by design
+    # New in round-4 session 2 (no driver row ever): time-series rollups,
+    # prefix-filtered set-similarity join, moment statistics, salted
+    # aggregation, URL/bitwise function families.
+    "q_dedup_prefix_join",
+    "q_ts_ohlc",
+    "q_ts_interval_coverage",
+    "q_ts_twa",
+    "q_ts_streak",
+    "q_agg_moments_corr",
+    "q_agg_salted",
+    "q_fn_url",
+    "q_fn_bitwise",
     # Implementation touched this round — needs a fresh green row:
     # short-doc n-gram guard; fused pipeline stats jobs; shared
     # trade-edge builder.

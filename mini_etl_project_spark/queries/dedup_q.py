@@ -198,3 +198,45 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# -- X2 exact set-similarity self-join via prefix filtering (AllPairs) -----
+#
+# The oracle is BRUTE FORCE (all pairs sharing >= 1 shingle, no filter):
+# the prefix+length filters must be lossless, so the filtered Spark plan
+# has to reproduce the unfiltered ground truth exactly.
+
+_PREFIX_JOIN_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 10000 AS id, substring(text, 21) AS text
+  FROM documents WHERE doc_id < 150),
+sh AS (
+  SELECT DISTINCT id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(length(text)-4, 1)),
+             i -> substring(text, i, 5)))) AS shingle
+  FROM corpus),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+       CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+"""
+
+
+@query("q_dedup_prefix_join", _PREFIX_JOIN_ORACLE)
+def q_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.dedup import prefix_filter_pairs
+
+    corpus = _planted_corpus(spark, sf_dir)
+    sh = shingle_rows(corpus, "id", "text", k=5)
+    cand = prefix_filter_pairs(sh, threshold=0.5)
+    return jaccard_pairs(sh, candidates=cand, threshold=0.5)

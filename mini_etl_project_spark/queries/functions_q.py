@@ -379,3 +379,89 @@ def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get(words, 0).alias("first_word"),
         F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
     )
+
+
+# -- Q20+ URL functions (web-corpus normalization: host/path/query parts) --
+#
+# Spark side uses the native parse_url expression; the oracle decomposes
+# the same (deterministic, synthesized) URLs with regexes. Domain-level
+# grouping is the first step of every web-scale corpus filter.
+
+_URL_ORACLE = """
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || lang || '/'
+           || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&n='
+           || CAST(n_chars AS VARCHAR) AS url
+  FROM documents)
+SELECT doc_id,
+       regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+FROM urls
+"""
+
+
+@query("q_fn_url", _URL_ORACLE)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+# -- Q22+ bitwise scalar expressions and bit-aggregates --------------------
+#
+# bit_and/bit_or/bit_xor aggregates are order- and partitioning-
+# independent by construction (commutative + associative on int64), so
+# they need no decimal trick.
+
+_BITWISE_ORACLE = """
+WITH masked AS (
+  SELECT event_type,
+         event_id & 1023 AS low10,
+         (event_id >> 3) & 255 AS mid8
+  FROM events)
+SELECT event_type,
+       COUNT(*) AS n,
+       BIT_AND(low10) AS all_and,
+       BIT_OR(low10) AS any_or,
+       BIT_XOR(low10) AS parity,
+       BIT_OR(mid8) AS mid_or
+FROM masked GROUP BY event_type
+"""
+
+
+@query("q_fn_bitwise", _BITWISE_ORACLE)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    masked = e.select(
+        "event_type",
+        F.col("event_id").bitwiseAND(F.lit(1023)).alias("low10"),
+        F.shiftright("event_id", 3).bitwiseAND(F.lit(255)).alias("mid8"),
+    )
+    return masked.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.bit_and("low10").alias("all_and"),
+        F.bit_or("low10").alias("any_or"),
+        F.bit_xor("low10").alias("parity"),
+        F.bit_or("mid8").alias("mid_or"),
+    )

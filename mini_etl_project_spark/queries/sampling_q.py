@@ -427,3 +427,100 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c").cast("bigint").alias("cms_estimate"),
         )
     )
+
+
+# -- Second-moment statistics: covariance / correlation / regression -------
+#
+# One pass, map-side-combinable: the six raw moments (n, Sx, Sy, Sxx, Syy,
+# Sxy) aggregate as plain sums, so the shuffle carries six numbers per
+# group — the textbook distributed-corr plan. Inputs are scaled to exact
+# int64 units first (quantity is integer-valued; discount has ≤3 decimals
+# → milli-units), so every sum is exact integer arithmetic and the final
+# int64→double conversions are single-rounded identically in both engines
+# (decimal→double would double-round in DuckDB past 2^53, memory:
+# spark-duckdb-parity-traps). Bounds: |qty|≤1e2, |disc_m|≤1e3 keep all six
+# sums under int64 to ~1e13 rows per group.
+
+_MOMENTS_ORACLE = """
+WITH scaled AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l_discount * 1000) AS BIGINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM scaled GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       CAST(sx AS DOUBLE) / n AS mean_qty,
+       CAST(sy AS DOUBLE) / n / 1000.0 AS mean_disc,
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         / (n - 1) / 1000.0 AS covar_samp,
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+         AS corr,
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+         / 1000.0 AS slope
+FROM m
+"""
+
+
+@query("q_agg_moments_corr", _MOMENTS_ORACLE)
+def q_agg_moments_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    scaled = li.select(
+        "l_returnflag",
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 1000).cast("bigint").alias("y"),
+    )
+    m = scaled.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cxy = sxy - sx * sy / n
+    cxx = sxx - sx * sx / n
+    cyy = syy - sy * sy / n
+    return m.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        (sy / n / F.lit(1000.0)).alias("mean_disc"),
+        (cxy / (n - 1) / F.lit(1000.0)).alias("covar_samp"),
+        (cxy / F.sqrt(cxx * cyy)).alias("corr"),
+        (cxy / cxx / F.lit(1000.0)).alias("slope"),
+    )
+
+
+# -- Salted aggregation (X22: skew-safe two-phase aggregate) ---------------
+#
+# The oracle is the PLAIN one-phase GROUP BY: salting must be invisible in
+# the result. Counts are exact; sums go through decimal partials, so the
+# two-phase combine is order-independent (see operators/skew.py).
+
+_SALTED_ORACLE = """
+SELECT event_type,
+       COUNT(value) AS value_count,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
+FROM events GROUP BY event_type
+"""
+
+
+@query("q_agg_salted", _SALTED_ORACLE)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.skew import salted_aggregate
+
+    e = load_table(spark, sf_dir, "events")
+    return salted_aggregate(
+        e, keys=["event_type"], n_salts=16, counts=["value"], sums=["value"]
+    )

@@ -1,0 +1,257 @@
+"""Time-series operators over ``events`` and ``orders`` — the shapes a
+hypertable/rollup engine provides (OHLC downsampling, interval coverage,
+time-weighted averages, streak detection), expressed as window + aggregate
+plans that shuffle once on the series key.
+
+Determinism notes (driver hash-compares values):
+
+- All time arithmetic is integer microseconds (``unix_micros`` /
+  ``epoch_us``); double→bigint conversions go through explicit ``floor``
+  because Spark truncates while DuckDB rounds on a bare cast.
+- Window orderings always include ``event_id`` so ties on ``ts`` are
+  pinned.
+- Double sums go through the exact-decimal trick (see ``helpers``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.queries import query
+from mini_etl_project_spark.queries.helpers import dsum, sql_dsum
+from mini_etl_project_spark.session import load_table
+
+# -- OHLC downsampling (open/high/low/close per series per bucket) ---------
+#
+# The classic hypertable rollup: first/last are pinned by (ts, event_id)
+# row_number, not arbitrary first()/last() — those are partition-order
+# dependent and would not survive a re-partitioning, let alone an oracle.
+
+_OHLC_ORACLE = f"""
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_asc,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_desc
+  FROM events)
+SELECT event_type, bucket,
+       COUNT(*) AS n_events,
+       MAX(CASE WHEN rn_asc = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_desc = 1 THEN value END) AS close,
+       {sql_dsum("value", "vsum")}
+FROM ranked
+GROUP BY event_type, bucket
+"""
+
+
+@query("q_ts_ohlc", _OHLC_ORACLE)
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucketed = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    asc = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    desc = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = bucketed.withColumns(
+        {"rn_asc": F.row_number().over(asc), "rn_desc": F.row_number().over(desc)}
+    )
+    return ranked.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n_events"),
+        F.max(F.when(F.col("rn_asc") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_desc") == 1, F.col("value"))).alias("close"),
+        dsum("value", "vsum"),
+    )
+
+
+# -- Interval union / coverage (merge overlapping intervals) ---------------
+#
+# Each event opens an interval [ts, ts + value minutes]; per user, compute
+# total covered time with overlaps merged — the gaps-and-islands sweep:
+# running max of interval-end over preceding rows marks island starts, a
+# running sum of starts numbers the islands, one aggregate per island,
+# one per user. Two window passes + two aggregates, all on the user key —
+# a single shuffle at scale.
+
+_COVERAGE_ORACLE = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(FLOOR(value * 60000000) AS BIGINT) AS e
+  FROM events),
+marked AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   >= s
+              THEN 0 ELSE 1 END AS new_island
+  FROM iv),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM marked),
+per_island AS (
+  SELECT user_id, island, COUNT(*) AS n_iv, MAX(e) - MIN(s) AS covered
+  FROM islands GROUP BY user_id, island)
+SELECT user_id,
+       CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+       COUNT(*) AS n_islands,
+       CAST(SUM(covered) AS BIGINT) AS covered_us
+FROM per_island GROUP BY user_id
+"""
+
+
+@query("q_ts_interval_coverage", _COVERAGE_ORACLE)
+def q_ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * F.lit(60000000.0)).cast("bigint")
+        ).alias("e"),
+    )
+    sweep = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_end = F.max("e").over(
+        sweep.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(prev_max_end >= F.col("s"), F.lit(0)).otherwise(F.lit(1)).alias(
+            "new_island"
+        ),
+    )
+    number = Window.partitionBy("user_id").orderBy("s", "event_id")
+    islands = marked.withColumn(
+        "island",
+        F.sum("new_island").over(
+            number.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("n_iv"),
+        (F.max("e") - F.min("s")).alias("covered"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.sum("n_iv").cast("bigint").alias("n_intervals"),
+        F.count("*").alias("n_islands"),
+        F.sum("covered").cast("bigint").alias("covered_us"),
+    )
+
+
+# -- Time-weighted average (LOCF integration) ------------------------------
+#
+# Sensor-style TWA: each value holds until the next observation; the
+# average weights each value by its holding time. One lead() window + one
+# aggregate on the user key; the integral sums exactly in decimal space.
+#
+# The integral is pure int64 arithmetic (value in cents × dt in micros):
+# a double product rounds differently into decimal across engines (Spark
+# decimalizes via the double's shortest representation, DuckDB via its
+# exact expansion), and decimal→double is double-rounded in DuckDB once
+# the scaled integer exceeds 2^53. int64 sums are exact and their
+# int→double conversion plus the two divisions below are each correctly
+# rounded IEEE ops in both engines — bit-identical end to end. Bound:
+# cents(≤1e4) × span(us) stays under int64 for spans up to ~decades.
+
+_TWA_ORACLE = """
+WITH obs AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS s
+  FROM events),
+stepped AS (
+  SELECT user_id, cents, s,
+         LEAD(s) OVER (PARTITION BY user_id ORDER BY s, event_id) - s AS dt
+  FROM obs)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MAX(s) - MIN(s) AS span_us,
+       CAST(SUM(cents * dt) AS DOUBLE) / 100.0 / (MAX(s) - MIN(s)) AS twa
+FROM stepped
+GROUP BY user_id
+HAVING MAX(s) - MIN(s) > 0
+"""
+
+
+@query("q_ts_twa", _TWA_ORACLE)
+def q_ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_micros("ts").alias("s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    stepped = obs.select(
+        "user_id", "cents", "s", (F.lead("s").over(w) - F.col("s")).alias("dt")
+    )
+    agg = stepped.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("s") - F.min("s")).alias("span_us"),
+        (
+            F.sum(F.col("cents") * F.col("dt")).cast("double")
+            / F.lit(100.0)
+            / (F.max("s") - F.min("s"))
+        ).alias("twa"),
+    )
+    return agg.filter(F.col("span_us") > 0)
+
+
+# -- Longest consecutive-day streak (gaps-and-islands on dates) ------------
+
+_STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+grp AS (
+  SELECT o_custkey, d,
+         datediff('day', DATE '1970-01-01', d)
+           - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d) AS g
+  FROM days),
+runs AS (
+  SELECT o_custkey, g, COUNT(*) AS run_len FROM grp GROUP BY o_custkey, g)
+SELECT o_custkey,
+       CAST(SUM(run_len) AS BIGINT) AS n_days,
+       CAST(MAX(run_len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY o_custkey
+"""
+
+
+@query("q_ts_streak", _STREAK_ORACLE)
+def q_ts_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    days = o.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    grp = days.select(
+        "o_custkey",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("g"),
+    )
+    runs = grp.groupBy("o_custkey", "g").agg(F.count("*").alias("run_len"))
+    return runs.groupBy("o_custkey").agg(
+        F.sum("run_len").cast("bigint").alias("n_days"),
+        F.max("run_len").cast("bigint").alias("longest_streak"),
+    )

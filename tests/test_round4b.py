@@ -1,0 +1,160 @@
+"""Round-4 session-2 operators: prefix-filtered set-similarity join
+(losslessness + pruning), time-series rollups (OHLC tie-break pinning,
+interval coverage on known geometry, TWA hand-integration, streaks).
+
+The DuckDB oracle proves engine parity; these tests pin the *semantics*
+against hand-computed answers on tiny inputs, and the pruning claims the
+docstrings make (prefix join must touch fewer rows than brute force).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.operators.dedup import (
+    jaccard_pairs,
+    prefix_filter_pairs,
+    shingle_rows,
+)
+
+
+# -- prefix filtering ------------------------------------------------------
+
+
+def test_prefix_filter_lossless_and_pruning(spark, sf_dir):
+    """Candidates from the prefix join must (a) contain every true pair at
+    the threshold (lossless) and (b) be generated from strictly fewer join
+    rows than the raw shingle self-join would use (pruning)."""
+    from mini_etl_project_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    corpus = d.select(F.col("doc_id").alias("id"), "text").unionByName(
+        d.select(
+            (F.col("doc_id") + 5000).alias("id"),
+            F.substring("text", 15, 1 << 30).alias("text"),
+        )
+    )
+    sh = shingle_rows(corpus, "id", "text", k=5)
+    t = 0.5
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(sh, candidates=None, threshold=t).collect()
+    }
+    cand = prefix_filter_pairs(sh, threshold=t)
+    cand_set = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert truth <= cand_set, "prefix filter dropped a true pair"
+    verified = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(sh, candidates=cand, threshold=t).collect()
+    }
+    assert verified == truth
+
+    # Pruning: the prefix projection must keep < 70% of shingle rows at
+    # t=0.5 (theory: ~(1-t) plus the +1 per doc).
+    n_sh = sh.count()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    n_prefix = (
+        sh.join(doc_freq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "id")
+        .filter(F.col("pos") <= F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1)
+        .count()
+    )
+    assert n_prefix < 0.7 * n_sh, (n_prefix, n_sh)
+
+
+# -- hand-computed time-series fixtures ------------------------------------
+
+
+@pytest.fixture()
+def tiny_events(spark):
+    # (event_id, ts, user_id, value): crafted so every operator has a
+    # hand-checkable answer. user 1: overlapping + disjoint intervals;
+    # user 2: a tie on ts resolved by event_id.
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, 10.0),  # [0, 600s]
+        (2, "2024-01-01 00:05:00", 1, 10.0),  # [300, 900] overlaps 1
+        (3, "2024-01-01 01:00:00", 1, 1.0),  # [3600, 3660] island 2
+        (4, "2024-01-01 00:00:00", 2, 4.0),  # tie on ts with id 5
+        (5, "2024-01-01 00:00:00", 2, 8.0),
+        (6, "2024-01-01 00:10:00", 2, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, value double"
+    )
+    return df.select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id",
+        "value", F.lit("x").alias("event_type"),
+    )
+
+
+def _run_on(df, fn, spark, monkeypatch):
+    import mini_etl_project_spark.queries.timeseries_q as tsq
+
+    monkeypatch.setattr(tsq, "load_table", lambda s, d, t: df)
+    return fn(spark, "unused")
+
+
+def test_interval_coverage_hand_checked(spark, tiny_events, monkeypatch):
+    from mini_etl_project_spark.queries.timeseries_q import (
+        q_ts_interval_coverage,
+    )
+
+    out = {
+        r["user_id"]: (r["n_intervals"], r["n_islands"], r["covered_us"])
+        for r in _run_on(tiny_events, q_ts_interval_coverage, spark, monkeypatch).collect()
+    }
+    # user 1: [0,600]+[300,900] merge -> 900s; [3600,3660] -> 60s
+    assert out[1] == (3, 2, 960 * 1_000_000)
+    # user 2: [0,240]+[0,480] merge -> 480s; [600,720] -> 120s
+    assert out[2] == (3, 2, 600 * 1_000_000)
+
+
+def test_twa_hand_checked(spark, tiny_events, monkeypatch):
+    from mini_etl_project_spark.queries.timeseries_q import q_ts_twa
+
+    out = {
+        r["user_id"]: r for r in _run_on(tiny_events, q_ts_twa, spark, monkeypatch).collect()
+    }
+    # user 1: 10 for 300s, 10 for 3300s, last value excluded; span 3600s
+    assert out[1]["twa"] == pytest.approx((10 * 300 + 10 * 3300) / 3600)
+    # user 2: ties ordered by event_id -> 4 holds 0s, 8 holds 600s
+    assert out[2]["twa"] == pytest.approx(8.0)
+    assert out[2]["span_us"] == 600 * 1_000_000
+
+
+def test_ohlc_tiebreak_pinned(spark, tiny_events, monkeypatch):
+    from mini_etl_project_spark.queries.timeseries_q import q_ts_ohlc
+
+    rows = _run_on(tiny_events, q_ts_ohlc, spark, monkeypatch).collect()
+    by_bucket = {(r["event_type"], str(r["bucket"])): r for r in rows}
+    r = by_bucket[("x", "2024-01-01 00:00:00")]
+    # open: ts tie at 00:00 between ids 1/4/5 -> smallest event_id (1)
+    assert r["open"] == 10.0 and r["close"] == 2.0
+    assert r["high"] == 10.0 and r["low"] == 2.0 and r["n_events"] == 5
+
+
+def test_streak_hand_checked(spark, monkeypatch):
+    import mini_etl_project_spark.queries.timeseries_q as tsq
+    from mini_etl_project_spark.queries.timeseries_q import q_ts_streak
+
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-02"), (1, "2024-01-03"),
+        (1, "2024-01-10"),
+        (2, "2024-02-01"), (2, "2024-02-01"),  # dup day counts once
+    ]
+    df = spark.createDataFrame(rows, "o_custkey long, d string").select(
+        "o_custkey", F.col("d").cast("timestamp").alias("o_orderdate")
+    )
+    monkeypatch.setattr(tsq, "load_table", lambda s, dd, t: df)
+    out = {
+        r["o_custkey"]: (r["n_days"], r["longest_streak"])
+        for r in q_ts_streak(spark, "unused").collect()
+    }
+    assert out[1] == (4, 3)
+    assert out[2] == (1, 1)

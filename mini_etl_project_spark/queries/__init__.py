@@ -50,6 +50,7 @@ def _load_all() -> None:
         joins,
         llm_q,
         misc_q,
+        ml_q,
         sampling_q,
         setops,
         udf_q,
@@ -104,6 +105,9 @@ _CHECK_FIRST: list[str] = [
     "q_agg_salted",
     "q_fn_url",
     "q_fn_bitwise",
+    "q_ml_kmeans",
+    "q_ts_anomaly",
+    "q_fn_levenshtein",
     # Implementation touched this round — needs a fresh green row:
     # short-doc n-gram guard; fused pipeline stats jobs; shared
     # trade-edge builder.

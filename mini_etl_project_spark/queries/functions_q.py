@@ -465,3 +465,32 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("low10").alias("parity"),
         F.bit_or("mid8").alias("mid_or"),
     )
+
+
+# -- Q20+ edit distance (fuzzy matching for entity resolution) -------------
+
+_LEVENSHTEIN_ORACLE = """
+SELECT p_partkey,
+       levenshtein(p_name, p_type) AS d_name_type,
+       levenshtein(p_name, reverse(p_name)) AS d_palindrome,
+       CASE WHEN levenshtein(p_brand, 'Brand#33') <= 2 THEN 1 ELSE 0 END
+         AS near_brand33
+FROM part
+"""
+
+
+@query("q_fn_levenshtein", _LEVENSHTEIN_ORACLE)
+def q_fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_type").alias("d_name_type"),
+        F.levenshtein(F.col("p_name"), F.reverse(F.col("p_name"))).alias(
+            "d_palindrome"
+        ),
+        F.when(
+            F.levenshtein(F.col("p_brand"), F.lit("Brand#33")) <= 2, 1
+        )
+        .otherwise(0)
+        .alias("near_brand33"),
+    )

@@ -1,0 +1,100 @@
+"""Iterative ML queries: fixed-point k-means over the embeddings table.
+
+The oracle replays every Lloyd iteration relationally in DuckDB —
+quantized coordinates, integer distances, argmin with cid tie-break,
+floor-divided centroid updates, empty-cluster fallback — so the driver
+hash-checks the clustering end to end (counts, inertia, AND the final
+centroid coordinates via their per-cluster sums), not just row counts.
+See ``operators/kmeans.py`` for the portability/scale design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.operators.kmeans import lloyd_fixed_point
+from mini_etl_project_spark.queries import query
+from mini_etl_project_spark.session import load_table
+
+_K = 4
+_ITERS = 2
+_DIM = 64
+
+
+def _assign_sql(pts: str, cents: str, tag: str) -> str:
+    """One assignment round: exact int64 distances, ties to smaller cid."""
+    return f"""
+d{tag} AS (
+  SELECT p.id, c.cid, SUM((p.vmic - c.c) * (p.vmic - c.c)) AS dist
+  FROM {pts} p JOIN {cents} c ON p.i = c.i
+  GROUP BY p.id, c.cid),
+a{tag} AS (
+  SELECT d{tag}.id, MIN(cid) AS cid, MIN(dist) AS dist
+  FROM d{tag}
+  JOIN (SELECT id AS id2, MIN(dist) AS md FROM d{tag} GROUP BY id) m
+    ON d{tag}.id = m.id2 AND d{tag}.dist = m.md
+  GROUP BY d{tag}.id)"""
+
+
+def _update_sql(pts: str, assign: str, prev: str, tag: str) -> str:
+    """One centroid update; clusters with no members keep old centroids."""
+    return f"""
+s{tag} AS (
+  SELECT {assign}.cid, p.i,
+         CAST(FLOOR(SUM(p.x) * 1000.0 / COUNT(*)) AS BIGINT) AS c
+  FROM {assign} JOIN {pts} p ON {assign}.id = p.id
+  GROUP BY {assign}.cid, p.i),
+c{tag} AS (
+  SELECT {prev}.cid, {prev}.i, COALESCE(s{tag}.c, {prev}.c) AS c
+  FROM {prev} LEFT JOIN s{tag}
+    ON {prev}.cid = s{tag}.cid AND {prev}.i = s{tag}.i)"""
+
+
+def _kmeans_oracle() -> str:
+    parts = [
+        f"""
+WITH pts AS (
+  SELECT vec_id AS id, i,
+         CAST(ROUND(embedding[i] * 1000) AS BIGINT) AS x,
+         CAST(ROUND(embedding[i] * 1000) AS BIGINT) * 1000 AS vmic
+  FROM embeddings, generate_series(1, {_DIM}) g(i)),
+c0 AS (
+  SELECT CAST(id AS INT) AS cid, i, vmic AS c FROM pts WHERE id < {_K})"""
+    ]
+    prev = "c0"
+    for it in range(1, _ITERS + 1):
+        parts.append("," + _assign_sql("pts", prev, str(it)))
+        parts.append("," + _update_sql("pts", f"a{it}", prev, str(it)))
+        prev = f"c{it}"
+    final = _ITERS + 1
+    parts.append("," + _assign_sql("pts", prev, str(final)))
+    parts.append(
+        f""",
+csum AS (SELECT cid, SUM(c) AS centroid_sum FROM {prev} GROUP BY cid)
+SELECT a.cid, COUNT(*) AS n_members, SUM(a.dist) AS inertia,
+       MIN(csum.centroid_sum) AS centroid_sum
+FROM a{final} a JOIN csum ON a.cid = csum.cid
+GROUP BY a.cid"""
+    )
+    return "".join(parts)
+
+
+@query("q_ml_kmeans", _kmeans_oracle())
+def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, cents = lloyd_fixed_point(
+        emb, "vec_id", "embedding", k=_K, iters=_ITERS
+    )
+    csum = cents.select(
+        "cid",
+        F.aggregate(
+            "carr", F.lit(0).cast("bigint"), lambda acc, c: acc + c
+        ).alias("centroid_sum"),
+    )
+    stats = assign.groupBy("cid").agg(
+        F.count("*").alias("n_members"), F.sum("dist").alias("inertia")
+    )
+    return stats.join(csum, "cid").select(
+        "cid", "n_members", "inertia", "centroid_sum"
+    )

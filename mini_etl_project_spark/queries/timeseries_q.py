@@ -255,3 +255,75 @@ def q_ts_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("run_len").cast("bigint").alias("n_days"),
         F.max("run_len").cast("bigint").alias("longest_streak"),
     )
+
+
+# -- Trailing-window anomaly detection (z-score vs rolling baseline) -------
+#
+# Monitoring-style outlier flagging: each observation is scored against
+# the mean/std of its own trailing 20-observation window. The rolling
+# moments are int64 sums over the frame (value in cents), so the window
+# aggregation is exact and the final mean/std/z doubles come from
+# identical expression trees in both engines. One window pass on the
+# series key — a single shuffle at scale.
+
+_ANOMALY_ORACLE = """
+WITH obs AS (
+  SELECT user_id, event_id, value,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS s
+  FROM events),
+rolled AS (
+  SELECT user_id, event_id, value, cents,
+         COUNT(*) OVER w AS n,
+         SUM(cents) OVER w AS sw,
+         SUM(cents * cents) OVER w AS sww
+  FROM obs
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+scored AS (
+  SELECT user_id, event_id, value,
+         (cents - CAST(sw AS DOUBLE) / n)
+           / sqrt((CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / n)
+                  / (n - 1)) AS z
+  FROM rolled
+  WHERE n >= 10
+    AND (CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / n) > 0)
+SELECT user_id, event_id, value, z
+FROM scored WHERE abs(z) > 2.5
+"""
+
+
+@query("q_ts_anomaly", _ANOMALY_ORACLE)
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_micros("ts").alias("s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    rolled = obs.select(
+        "user_id",
+        "event_id",
+        "value",
+        "cents",
+        F.count("*").over(w).alias("n"),
+        F.sum("cents").over(w).alias("sw"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("sww"),
+    )
+    n = F.col("n")
+    sw, sww = F.col("sw").cast("double"), F.col("sww").cast("double")
+    var_num = sww - sw * sw / n
+    scored = rolled.filter((n >= 10) & (var_num > 0)).select(
+        "user_id",
+        "event_id",
+        "value",
+        ((F.col("cents") - sw / n) / F.sqrt(var_num / (n - 1))).alias("z"),
+    )
+    return scored.filter(F.abs(F.col("z")) > 2.5)

@@ -158,3 +158,31 @@ def test_streak_hand_checked(spark, monkeypatch):
     }
     assert out[1] == (4, 3)
     assert out[2] == (1, 1)
+
+
+# -- fixed-point k-means ---------------------------------------------------
+
+
+def test_kmeans_invariants(spark, sf_dir):
+    """Partitions the corpus, inertia decreases across iterations, and the
+    result is invariant to input repartitioning (the fixed-point design's
+    whole purpose)."""
+    from mini_etl_project_spark.operators.kmeans import lloyd_fixed_point
+    from mini_etl_project_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+
+    a1, _ = lloyd_fixed_point(emb, "vec_id", "embedding", k=4, iters=1)
+    a2, _ = lloyd_fixed_point(emb, "vec_id", "embedding", k=4, iters=2)
+    i1 = a1.agg(F.sum("dist")).collect()[0][0]
+    i2 = a2.agg(F.sum("dist")).collect()[0][0]
+    assert a2.count() == n_total
+    assert i2 <= i1, (i1, i2)
+
+    a2r, _ = lloyd_fixed_point(
+        emb.repartition(7), "vec_id", "embedding", k=4, iters=2
+    )
+    got = {(r["id"], r["cid"], r["dist"]) for r in a2.collect()}
+    got_r = {(r["id"], r["cid"], r["dist"]) for r in a2r.collect()}
+    assert got == got_r, "assignment depends on partitioning"

@@ -108,6 +108,14 @@ _CHECK_FIRST: list[str] = [
     "q_ml_kmeans",
     "q_ts_anomaly",
     "q_fn_levenshtein",
+    "q_join_nullsafe",
+    "q_fn_variant",
+    "q_agg_kmv_merge",
+    "q_window_count_distinct",
+    "q_ts_cohort_retention",
+    "q_text_posting_lists",
+    "q_ts_transition_matrix",
+    "q_table_diff",
     # Implementation touched this round — needs a fresh green row:
     # short-doc n-gram guard; fused pipeline stats jobs; shared
     # trade-edge builder.

@@ -494,3 +494,34 @@ def q_fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("near_brand33"),
     )
+
+
+# -- Q24+ VARIANT type (semi-structured data without a schema) -------------
+#
+# Spark 4's open variant type: parse once, extract typed paths lazily —
+# the engine-native way to hold heterogenous JSON at scale (no per-row
+# schema inference, columnar-shreddable). The oracle reads the same JSON
+# with DuckDB's json functions.
+
+_VARIANT_ORACLE = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+       json_extract_string(props, '$.k') AS k_str,
+       CASE WHEN json_extract(props, '$.missing') IS NULL THEN 1 ELSE 0 END
+         AS missing_is_null
+FROM events
+"""
+
+
+@query("q_fn_variant", _VARIANT_ORACLE)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "int").alias("k_int"),
+        F.variant_get("v", "$.k", "string").alias("k_str"),
+        F.when(F.variant_get("v", "$.missing", "string").isNull(), 1)
+        .otherwise(0)
+        .alias("missing_is_null"),
+    )

@@ -417,3 +417,49 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+# -- Q4+ null-safe equi join (<=> / IS NOT DISTINCT FROM) ------------------
+#
+# NULL join keys silently drop rows in a plain equi join; the null-safe
+# operator treats NULL as a joinable value. Planted NULLs on both sides
+# make the semantic difference observable (the oracle fails if <=> is
+# swapped for =). Spark executes eqNullSafe as a hash join on the
+# null-wrapped key — same single shuffle as a plain equi join.
+
+_NULLSAFE_ORACLE = """
+WITH l AS (
+  SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderstatus END AS k,
+         o_totalprice
+  FROM orders),
+r AS (
+  SELECT DISTINCT o_orderstatus AS k FROM orders
+  UNION ALL SELECT NULL)
+SELECT l.k AS k, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+GROUP BY l.k
+"""
+
+
+@query("q_join_nullsafe", _NULLSAFE_ORACLE)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    left = o.select(
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("lk"),
+        "o_totalprice",
+    )
+    right = (
+        o.select(F.col("o_orderstatus").alias("rk"))
+        .distinct()
+        .unionByName(o.sparkSession.createDataFrame([(None,)], "rk string"))
+    )
+    joined = left.join(right, F.col("lk").eqNullSafe(F.col("rk")))
+    return joined.groupBy(F.col("lk").alias("k")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("price_sum"),
+    )

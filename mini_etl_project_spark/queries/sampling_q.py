@@ -524,3 +524,59 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_aggregate(
         e, keys=["event_type"], n_salts=16, counts=["value"], sums=["value"]
     )
+
+
+# -- KMV sketch MERGE (the property that makes sketches matter at scale) ---
+#
+# Two-level aggregation: a per-source KMV sketch (k smallest distinct
+# hashes), then a cross-source merge (k smallest of the sketch union).
+# Min-k of a union of per-partition min-k sets equals min-k of the whole
+# set, so the merged estimate is provably identical to the flat one — and
+# the oracle computes the FLAT global sketch, making the merge's
+# losslessness the thing under test. This is exactly how a 1000-executor
+# cluster summarizes per-partition state with bounded shuffle.
+
+_KMV_MERGE_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT {_sql_hash60("text")} AS h FROM documents),
+ranked AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM h),
+stats AS (
+  SELECT COUNT(*) AS nd,
+         MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
+  FROM ranked)
+SELECT {_KMV_K} AS k, nd AS exact_distinct,
+       CASE WHEN nd < {_KMV_K} THEN CAST(nd AS DOUBLE)
+            ELSE {float(_KMV_K - 1)} * {float(1 << 60)} / hk END
+         AS est_distinct
+FROM stats
+"""
+
+
+@query("q_agg_kmv_merge", _KMV_MERGE_ORACLE)
+def q_agg_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("source", hash60(F.col("text")).alias("h")).distinct()
+    # Stage 1: per-source sketches (k smallest hashes within each source).
+    per_src = Window.partitionBy("source").orderBy("h")
+    sketches = h.withColumn("rn", F.row_number().over(per_src)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    # Stage 2: merge = k smallest distinct hashes across all sketches.
+    merged = (
+        sketches.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+    )
+    kth = merged.filter(F.col("rn") == _KMV_K).select(F.col("h").alias("hk"))
+    # Exact global distinct (for the comparison column only).
+    nd = h.select("h").distinct().agg(F.count(F.lit(1)).alias("nd"))
+    est = F.when(F.col("nd") < _KMV_K, F.col("nd").cast("double")).otherwise(
+        F.lit(float(_KMV_K - 1)) * F.lit(float(1 << 60)) / F.col("hk")
+    )
+    return nd.crossJoin(F.broadcast(kth)).select(
+        F.lit(_KMV_K).alias("k"),
+        F.col("nd").cast("bigint").alias("exact_distinct"),
+        est.alias("est_distinct"),
+    )

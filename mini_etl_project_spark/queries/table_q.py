@@ -347,3 +347,91 @@ def q_table_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0).alias("is_current"),
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+# -- Version diff via time travel ------------------------------------------
+#
+# "What changed between v1 and v2?" computed from two time-travel reads of
+# the same snapshot table (not the change feed — this is the reconstruction
+# path for tables whose history predates CDC): one full outer join on the
+# key, rows classified added/removed/changed/unchanged. The oracle builds
+# both versions declaratively and classifies the same way.
+
+_DIFF_ORACLE = """
+WITH v1 AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+v2 AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 97 = 0 THEN c_acctbal + 1000.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 13 <> 0
+  UNION ALL
+  SELECT c_custkey + 10000000, 'SYNTH', 1.0
+  FROM customer WHERE c_custkey % 191 = 0),
+classified AS (
+  SELECT COALESCE(v1.c_custkey, v2.c_custkey) AS key,
+         CASE WHEN v1.c_custkey IS NULL THEN 'added'
+              WHEN v2.c_custkey IS NULL THEN 'removed'
+              WHEN v1.c_acctbal <> v2.c_acctbal
+                   OR v1.c_mktsegment <> v2.c_mktsegment THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey)
+SELECT change_type, COUNT(*) AS n,
+       CAST(SUM(key) AS BIGINT) AS key_checksum
+FROM classified GROUP BY change_type
+"""
+
+
+@query("q_table_diff", _DIFF_ORACLE)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable.create(_fresh_root(sf_dir, "diff"))
+    cust = _customer_slim(spark, sf_dir)
+    t.append(cust.repartitionByRange(8, "c_custkey"), stats_cols=["c_custkey"])
+    v2_frame = (
+        cust.filter(F.col("c_custkey") % 13 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 97 == 0, F.col("c_acctbal") + 1000.0
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 191 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.lit("SYNTH").alias("c_mktsegment"),
+                F.lit(1.0).alias("c_acctbal"),
+            )
+        )
+    )
+    t.overwrite(v2_frame)
+
+    v1 = t.read(spark, version=1)
+    v2 = t.read(spark, version=2)
+    a = v1.select(*(F.col(c).alias(f"a_{c}") for c in v1.columns))
+    b = v2.select(*(F.col(c).alias(f"b_{c}") for c in v2.columns))
+    joined = a.join(
+        b, a["a_c_custkey"] == b["b_c_custkey"], "full_outer"
+    )
+    change = (
+        F.when(F.col("a_c_custkey").isNull(), "added")
+        .when(F.col("b_c_custkey").isNull(), "removed")
+        .when(
+            (F.col("a_c_acctbal") != F.col("b_c_acctbal"))
+            | (F.col("a_c_mktsegment") != F.col("b_c_mktsegment")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce("a_c_custkey", "b_c_custkey").alias("key"),
+            change.alias("change_type"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("key").cast("bigint").alias("key_checksum"),
+        )
+    )

@@ -393,3 +393,41 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
     )
+
+
+# -- Inverted-index construction (search posting lists) --------------------
+#
+# The core of building a distributed search index: one explode + one
+# groupBy on token — the posting list for each token is its group. Lists
+# themselves never cross the comparison boundary (arrays crash the
+# driver's canonicalizer); the query emits per-token summary columns that
+# pin the exact posting-list CONTENT: document frequency, total term
+# frequency, min/max doc, and the doc-id checksum.
+
+_POSTINGS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+tf AS (SELECT tok, doc_id, COUNT(*) AS f FROM toks GROUP BY tok, doc_id)
+SELECT tok, COUNT(*) AS df,
+       CAST(SUM(f) AS BIGINT) AS total_tf,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
+FROM tf GROUP BY tok
+"""
+
+
+@query("q_text_posting_lists", _POSTINGS_ORACLE)
+def q_text_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("f"))
+    return tf.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        F.sum("f").cast("bigint").alias("total_tf"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum("doc_id").cast("bigint").alias("doc_checksum"),
+    )

@@ -327,3 +327,93 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("cents") - sw / n) / F.sqrt(var_num / (n - 1))).alias("z"),
     )
     return scored.filter(F.abs(F.col("z")) > 2.5)
+
+
+# -- Cohort retention (weekly cohorts × week offset) -----------------------
+#
+# The standard product-analytics matrix: users grouped by first-activity
+# week, counted in each subsequent week they stay active. Two keyed
+# aggregations (first-touch per user, then distinct users per cell) — the
+# user-level distinct is the only shuffle that grows with data.
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(date_trunc('week', ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         datediff('week', f.cohort_week, date_trunc('week', e.ts)) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id)
+SELECT cohort_week, week_offset, COUNT(*) AS n_users
+FROM activity GROUP BY cohort_week, week_offset
+"""
+
+
+@query("q_ts_cohort_retention", _COHORT_ORACLE)
+def q_ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+# -- Markov transition matrix over event sequences -------------------------
+#
+# P(next event type | current type) per-user sequences: one lead() window
+# on the user key, one count aggregate, one broadcast-sized denominator
+# join. The probability is a single division of exact counts — identical
+# doubles in both engines.
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS nxt
+  FROM events),
+pairs AS (
+  SELECT cur, nxt, COUNT(*) AS n FROM seq WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt),
+totals AS (SELECT cur, SUM(n) AS tot FROM pairs GROUP BY cur)
+SELECT p.cur, p.nxt, p.n,
+       CAST(p.n AS DOUBLE) / t.tot AS prob
+FROM pairs p JOIN totals t ON p.cur = t.cur
+"""
+
+
+@query("q_ts_transition_matrix", _TRANSITION_ORACLE)
+def q_ts_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    pairs = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("cur").agg(F.sum("n").alias("tot"))
+    return pairs.join(F.broadcast(totals), "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        (F.col("n").cast("double") / F.col("tot")).alias("prob"),
+    )

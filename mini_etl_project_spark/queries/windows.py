@@ -241,3 +241,43 @@ def q_window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("l_extendedprice").over(w_full).alias("priciest"),
         F.nth_value("l_extendedprice", 2).over(w).alias("second_cheapest"),
     )
+
+
+# -- Q14+ COUNT(DISTINCT) OVER — the rewrite Spark doesn't ship ------------
+#
+# Spark rejects DISTINCT aggregates in window frames; the standard rewrite
+# is first-occurrence flagging: a value contributes 1 only at its first
+# row within (partition, value), and the running sum of flags is the
+# cumulative distinct count. DuckDB supports COUNT(DISTINCT …) OVER
+# natively, so the oracle is the real operator — the rewrite has to
+# reproduce it exactly. Both windows shuffle once on user_id.
+
+_WCD_ORACLE = """
+WITH obs AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS s FROM events)
+SELECT user_id, event_id,
+       COUNT(DISTINCT event_type)
+         OVER (PARTITION BY user_id ORDER BY s, event_id) AS n_types_seen
+FROM obs
+"""
+
+
+@query("q_window_count_distinct", _WCD_ORACLE)
+def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("s"))
+    first_seen = Window.partitionBy("user_id", "event_type").orderBy("s", "event_id")
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = obs.withColumn(
+        "is_first",
+        F.when(F.row_number().over(first_seen) == 1, 1).otherwise(0),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("is_first").over(running).alias("n_types_seen"),
+    )

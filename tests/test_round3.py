@@ -287,13 +287,14 @@ def test_unpartitioned_windows_sit_on_aggregates(spark):
     migrate onto raw rows: every global WindowExec must sit above an
     aggregation."""
     from mini_etl_project_spark.queries.iterative_q import q_ts_gapfill
+    from mini_etl_project_spark.queries.sampling_q import q_agg_kmv_merge
     from mini_etl_project_spark.queries.windows import (
         q_window_frames,
         q_window_range_frame,
     )
 
     sf = "/root/testdata/sf0.001"
-    for q in (q_window_range_frame, q_window_frames, q_ts_gapfill):
+    for q in (q_window_range_frame, q_window_frames, q_ts_gapfill, q_agg_kmv_merge):
         plan = q(spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "Window" in plan, q.__name__
         # top-down plan text: the Window node must appear ABOVE (before)

@@ -116,6 +116,10 @@ _CHECK_FIRST: list[str] = [
     "q_text_posting_lists",
     "q_ts_transition_matrix",
     "q_table_diff",
+    "q_ml_nearest_centroid",
+    "q_join_cooccurrence",
+    "q_ts_paths",
+    "q_setop_union_reconcile",
     # Implementation touched this round — needs a fresh green row:
     # short-doc n-gram guard; fused pipeline stats jobs; shared
     # trade-edge builder.

@@ -463,3 +463,41 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("price_sum"),
     )
+
+
+# -- Market-basket co-occurrence (item-item self-join within baskets) ------
+#
+# The recommender primitive: parts appearing in the same order, counted
+# across orders. The self-join is keyed on the basket id, so each basket
+# expands only within itself (quadratic in basket size, linear in
+# baskets) — never a global cross product. Pairs are canonicalized a < b.
+
+_COOCCUR_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT part_a, part_b, COUNT(*) AS n_baskets
+FROM pairs GROUP BY part_a, part_b
+HAVING COUNT(*) >= 2
+"""
+
+
+@query("q_join_cooccurrence", _COOCCUR_ORACLE)
+def q_join_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    pairs = a.join(b, "l_orderkey").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_baskets"))
+        .filter(F.col("n_baskets") >= 2)
+    )

@@ -98,3 +98,77 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(csum, "cid").select(
         "cid", "n_members", "inertia", "centroid_sum"
     )
+
+
+# -- Nearest-class-mean classifier (label centroids + confusion matrix) ----
+#
+# Supervised twin of the k-means operator: per-label integer centroids
+# (same fixed-point micro-unit scheme), every vector classified to its
+# nearest label centroid, and the confusion matrix (label × predicted)
+# with exact integer distances. Centroids are k×dim rows — broadcast; the
+# classification is one pass over the corpus.
+
+_NCM_ORACLE = """
+WITH pts AS (
+  SELECT vec_id AS id, label, i,
+         CAST(ROUND(embedding[i] * 1000) AS BIGINT) AS x,
+         CAST(ROUND(embedding[i] * 1000) AS BIGINT) * 1000 AS vmic
+  FROM embeddings, generate_series(1, 64) g(i)),
+cents AS (
+  SELECT label AS clabel, i,
+         CAST(FLOOR(SUM(x) * 1000.0 / COUNT(*)) AS BIGINT) AS c
+  FROM pts GROUP BY label, i),
+d AS (
+  SELECT p.id, p.label, c.clabel,
+         SUM((p.vmic - c.c) * (p.vmic - c.c)) AS dist
+  FROM pts p JOIN cents c ON p.i = c.i
+  GROUP BY p.id, p.label, c.clabel),
+best AS (
+  SELECT d.id, d.label, MIN(clabel) AS pred
+  FROM d
+  JOIN (SELECT id AS id2, MIN(dist) AS md FROM d GROUP BY id) m
+    ON d.id = m.id2 AND d.dist = m.md
+  GROUP BY d.id, d.label)
+SELECT label, pred, COUNT(*) AS n
+FROM best GROUP BY label, pred
+"""
+
+
+@query("q_ml_nearest_centroid", _NCM_ORACLE)
+def q_ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.kmeans import quantize_points
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = quantize_points(emb, "vec_id", "embedding").join(
+        emb.select(F.col("vec_id").alias("id"), "label"), "id"
+    )
+    dims = pts.select(
+        "label", F.posexplode("varr").alias("i", "vmic")
+    ).withColumn("x", (F.col("vmic") / 1000).cast("bigint"))
+    cent_dims = dims.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.floor(F.sum("x") * 1000 / F.count("*")).alias("c")
+    )
+    cents = cent_dims.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))),
+            lambda s: s["c"],
+        ).alias("carr")
+    )
+    scored = pts.crossJoin(F.broadcast(cents)).select(
+        "id",
+        "label",
+        "clabel",
+        F.aggregate(
+            F.zip_with(
+                F.col("varr"), F.col("carr"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dist"),
+    )
+    best = scored.groupBy("id", "label").agg(
+        F.min(F.struct("dist", "clabel")).alias("best")
+    )
+    return best.select("label", F.col("best.clabel").alias("pred")).groupBy(
+        "label", "pred"
+    ).agg(F.count("*").alias("n"))

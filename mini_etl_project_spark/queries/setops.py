@@ -174,3 +174,57 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
     )
+
+
+# -- Q19+ union with schema reconciliation ---------------------------------
+#
+# Heterogenous-source union: frames with different column sets merged by
+# NAME with missing columns null-filled (unionByName allowMissingColumns)
+# — the multi-source ingestion primitive. Position-based unionAll would
+# silently misalign; the oracle fills the same NULLs explicitly.
+
+_UNION_RECONCILE_ORACLE = """
+WITH u AS (
+  SELECT c_custkey AS key, c_mktsegment AS segment, c_acctbal AS bal,
+         NULL AS price
+  FROM customer
+  UNION ALL
+  SELECT o_custkey AS key, NULL AS segment, NULL AS bal,
+         o_totalprice AS price
+  FROM orders WHERE o_orderkey % 5 = 0)
+SELECT COALESCE(segment, 'FROM_ORDERS') AS segment,
+       COUNT(*) AS n,
+       COUNT(bal) AS n_bal,
+       COUNT(price) AS n_price,
+       CAST(SUM(CAST(COALESCE(bal, price) AS DECIMAL(38,6))) AS DOUBLE)
+         AS amount_sum
+FROM u GROUP BY COALESCE(segment, 'FROM_ORDERS')
+"""
+
+
+@query("q_setop_union_reconcile", _UNION_RECONCILE_ORACLE)
+def q_setop_union_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.col("o_custkey").alias("key"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    u = c.unionByName(o, allowMissingColumns=True)
+    return u.groupBy(
+        F.coalesce("segment", F.lit("FROM_ORDERS")).alias("segment")
+    ).agg(
+        F.count("*").alias("n"),
+        F.count("bal").alias("n_bal"),
+        F.count("price").alias("n_price"),
+        F.sum(F.coalesce("bal", "price").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("amount_sum"),
+    )

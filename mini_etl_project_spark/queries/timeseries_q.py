@@ -417,3 +417,43 @@ def q_ts_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("tot")).alias("prob"),
     )
+
+
+# -- Top session paths (first-k event-type sequences) ----------------------
+#
+# Path analysis: each user's first three event types, in event order,
+# concatenated into a path string and counted across users. The in-order
+# concat is an array_sort over (rn, type) structs — collect_list order is
+# partition-dependent and must never carry meaning on its own.
+
+_PATHS_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS rn
+  FROM events),
+paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 3 GROUP BY user_id)
+SELECT path, COUNT(*) AS n_users
+FROM paths GROUP BY path
+"""
+
+
+@query("q_ts_paths", _PATHS_ORACLE)
+def q_ts_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    ranked = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count("*").alias("n_users"))

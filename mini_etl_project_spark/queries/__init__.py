@@ -120,6 +120,9 @@ _CHECK_FIRST: list[str] = [
     "q_join_cooccurrence",
     "q_ts_paths",
     "q_setop_union_reconcile",
+    "q_join_temporal",
+    "q_ml_feature_hash",
+    "q_ml_target_encode",
     # Implementation touched this round — needs a fresh green row:
     # short-doc n-gram guard; fused pipeline stats jobs; shared
     # trade-edge builder.

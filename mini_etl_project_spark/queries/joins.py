@@ -501,3 +501,68 @@ def q_join_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_baskets"))
         .filter(F.col("n_baskets") >= 2)
     )
+
+
+# -- Point-in-time (temporal validity) join --------------------------------
+#
+# The temporal-warehouse primitive: each fact row joins the dimension
+# VERSION that was valid at its event time (key equality + ts within
+# [valid_from, valid_to)). A deterministic three-version SCD2 dimension is
+# derived from customer; Spark executes the key-equality part as a plain
+# hash join with the validity range as residual predicates — one shuffle,
+# no interval blowup.
+
+_TEMPORAL_ORACLE = """
+WITH versions AS (
+  SELECT c_custkey AS key, v.v AS version,
+         TIMESTAMP '2024-01-01' + INTERVAL (10 * (v.v - 1)) DAY AS valid_from,
+         CASE WHEN v.v = 3 THEN TIMESTAMP '2100-01-01'
+              ELSE TIMESTAMP '2024-01-01' + INTERVAL (10 * v.v) DAY END
+           AS valid_to,
+         c_acctbal + 100.0 * v.v AS bal
+  FROM customer, (SELECT unnest(generate_series(1, 3)) AS v) v),
+matched AS (
+  SELECT d.version, e.value, d.bal
+  FROM events e JOIN versions d
+    ON e.user_id + 1 = d.key
+   AND e.ts >= d.valid_from AND e.ts < d.valid_to)
+SELECT version, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum,
+       CAST(SUM(CAST(bal AS DECIMAL(38,6))) AS DOUBLE) AS bal_sum
+FROM matched GROUP BY version
+"""
+
+
+@query("q_join_temporal", _TEMPORAL_ORACLE)
+def q_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    v = spark.range(1, 4).select(F.col("id").cast("int").alias("version"))
+    versions = c.crossJoin(F.broadcast(v)).select(
+        F.col("c_custkey").alias("key"),
+        "version",
+        F.timestamp_add(
+            "DAY", 10 * (F.col("version") - 1), F.lit("2024-01-01").cast("timestamp")
+        ).alias("valid_from"),
+        F.when(
+            F.col("version") == 3, F.lit("2100-01-01").cast("timestamp")
+        )
+        .otherwise(
+            F.timestamp_add(
+                "DAY", 10 * F.col("version"), F.lit("2024-01-01").cast("timestamp")
+            )
+        )
+        .alias("valid_to"),
+        (F.col("c_acctbal") + 100.0 * F.col("version")).alias("bal"),
+    )
+    matched = e.join(
+        versions,
+        (e["user_id"] + 1 == versions["key"])
+        & (e["ts"] >= versions["valid_from"])
+        & (e["ts"] < versions["valid_to"]),
+    )
+    return matched.groupBy("version").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("value_sum"),
+        F.sum(F.col("bal").cast("decimal(38,6)")).cast("double").alias("bal_sum"),
+    )

@@ -172,3 +172,84 @@ def q_ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select("label", F.col("best.clabel").alias("pred")).groupBy(
         "label", "pred"
     ).agg(F.count("*").alias("n"))
+
+
+# -- Feature hashing (the hashing trick) -----------------------------------
+#
+# Fixed-width token features without a vocabulary: every token maps to
+# hash(token) mod n_buckets. One explode + one groupBy — no vocabulary
+# broadcast, no fit step, which is why the trick scales to unbounded
+# token spaces. The portable 60-bit hash keeps both engines bit-aligned.
+
+_FEATURE_HASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents)
+SELECT doc_id,
+       CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 16 AS bucket,
+       COUNT(*) AS n
+FROM toks GROUP BY doc_id, bucket
+"""
+
+
+@query("q_ml_feature_hash", _FEATURE_HASH_ORACLE)
+def q_ml_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.textops import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint") % 16
+    )
+    return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
+
+
+# -- Leave-one-out target encoding -----------------------------------------
+#
+# Category → mean target with the row's own target excluded (the standard
+# leakage-safe encoder for tree/linear models). Per-category totals are a
+# tiny broadcast; the encoding is (S_cat − y) / (n_cat − 1) on exact
+# integer cents, so the single terminal division is bit-identical across
+# engines.
+
+_TARGET_ENCODE_ORACLE = """
+WITH obs AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+totals AS (
+  SELECT event_type, SUM(cents) AS s, COUNT(*) AS n
+  FROM obs GROUP BY event_type)
+SELECT o.event_id, o.event_type,
+       CAST(t.s - o.cents AS DOUBLE) / (t.n - 1) / 100.0 AS loo_mean
+FROM obs o JOIN totals t ON o.event_type = t.event_type
+WHERE t.n > 1
+"""
+
+
+@query("q_ml_target_encode", _TARGET_ENCODE_ORACLE)
+def q_ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    totals = obs.groupBy("event_type").agg(
+        F.sum("cents").alias("s"), F.count("*").alias("n")
+    )
+    return (
+        obs.join(F.broadcast(totals), "event_type")
+        .filter(F.col("n") > 1)
+        .select(
+            "event_id",
+            "event_type",
+            (
+                (F.col("s") - F.col("cents")).cast("double")
+                / (F.col("n") - 1)
+                / F.lit(100.0)
+            ).alias("loo_mean"),
+        )
+    )

@@ -250,7 +250,9 @@ def q_window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row within (partition, value), and the running sum of flags is the
 # cumulative distinct count. DuckDB supports COUNT(DISTINCT …) OVER
 # natively, so the oracle is the real operator — the rewrite has to
-# reproduce it exactly. Both windows shuffle once on user_id.
+# reproduce it exactly. Cost: two shuffles (the flag window partitions on
+# (user, value), the running sum on user) — the standard price of this
+# rewrite; a native implementation would pay one sort-based pass.
 
 _WCD_ORACLE = """
 WITH obs AS (

@@ -123,6 +123,8 @@ _CHECK_FIRST: list[str] = [
     "q_join_temporal",
     "q_ml_feature_hash",
     "q_ml_target_encode",
+    "q_ts_cusum",
+    "q_agg_mode",
     # Implementation touched this round — needs a fresh green row:
     # short-doc n-gram guard; fused pipeline stats jobs; shared
     # trade-edge builder.

@@ -580,3 +580,42 @@ def q_agg_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nd").cast("bigint").alias("exact_distinct"),
         est.alias("est_distinct"),
     )
+
+
+# -- Deterministic grouped mode --------------------------------------------
+#
+# MODE() with a PINNED tie-break (smallest value) — engines' native mode
+# picks an arbitrary winner on ties, which can never pass a hash gate.
+# Two aggregates: value counts, then lexicographic min over
+# (−count, value). Same pattern the AutoETL mode imputer uses (R15).
+
+_MODE_ORACLE = """
+WITH counts AS (
+  SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS q,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag, q)
+SELECT l_returnflag,
+       MIN(CASE WHEN rnk = 1 THEN q END) AS mode_qty,
+       MAX(n) AS mode_count
+FROM (
+  SELECT *, RANK() OVER (PARTITION BY l_returnflag ORDER BY n DESC) AS rnk
+  FROM counts)
+GROUP BY l_returnflag
+"""
+
+
+@query("q_agg_mode", _MODE_ORACLE)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag", F.round("l_quantity").cast("bigint").alias("q")
+    ).agg(F.count("*").alias("n"))
+    best = counts.groupBy("l_returnflag").agg(
+        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("q").alias("q"))).alias(
+            "b"
+        ),
+        F.max("n").alias("mode_count"),
+    )
+    return best.select(
+        "l_returnflag", F.col("b.q").alias("mode_qty"), "mode_count"
+    )

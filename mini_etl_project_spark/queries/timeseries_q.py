@@ -457,3 +457,70 @@ def q_ts_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path")
     )
     return paths.groupBy("path").agg(F.count("*").alias("n_users"))
+
+
+# -- CUSUM changepoint detection -------------------------------------------
+#
+# Per-series cumulative sum of deviations from the series mean; the
+# |CUSUM| peak marks the most likely level-shift point. Determinism trap
+# avoided: float running sums are NOT portable (DuckDB evaluates window
+# aggregates over a segment tree, so float addition order differs from
+# Spark's running accumulation) — the deviation is scaled to integers
+# (cents*n − S per row) so the cumulative sum is exact int64 in any
+# association order. One window pass + two small aggregates on the key.
+
+_CUSUM_ORACLE = """
+WITH obs AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS s
+  FROM events),
+stats AS (
+  SELECT user_id, SUM(cents) AS tot, COUNT(*) AS n
+  FROM obs GROUP BY user_id),
+dev AS (
+  SELECT o.user_id, o.event_id,
+         SUM(o.cents * t.n - t.tot)
+           OVER (PARTITION BY o.user_id ORDER BY o.s, o.event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM obs o JOIN stats t ON o.user_id = t.user_id),
+peaks AS (
+  SELECT user_id, MAX(abs(cusum)) AS peak FROM dev GROUP BY user_id)
+SELECT d.user_id, p.peak AS max_abs_cusum,
+       MIN(d.event_id) AS changepoint_event
+FROM dev d JOIN peaks p
+  ON d.user_id = p.user_id AND abs(d.cusum) = p.peak
+GROUP BY d.user_id, p.peak
+"""
+
+
+@query("q_ts_cusum", _CUSUM_ORACLE)
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_micros("ts").alias("s"),
+    )
+    stats = obs.groupBy("user_id").agg(
+        F.sum("cents").alias("tot"), F.count("*").alias("n")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = obs.join(F.broadcast(stats), "user_id").select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("cents") * F.col("n") - F.col("tot")).over(w).alias("cusum"),
+    )
+    peaks = dev.groupBy("user_id").agg(F.max(F.abs("cusum")).alias("peak"))
+    return (
+        dev.join(peaks, "user_id")
+        .filter(F.abs(F.col("cusum")) == F.col("peak"))
+        .groupBy("user_id", F.col("peak").alias("max_abs_cusum"))
+        .agg(F.min("event_id").alias("changepoint_event"))
+        .select("user_id", "max_abs_cusum", "changepoint_event")
+    )

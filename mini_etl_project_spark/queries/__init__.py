@@ -125,6 +125,9 @@ _CHECK_FIRST: list[str] = [
     "q_ml_target_encode",
     "q_ts_cusum",
     "q_agg_mode",
+    "q_agg_kmv_intersect",
+    "q_join_bloom_portable",
+    "q_fn_json_keys",
     # Implementation touched this round — needs a fresh green row:
     # short-doc n-gram guard; fused pipeline stats jobs; shared
     # trade-edge builder.

@@ -525,3 +525,39 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("missing_is_null"),
     )
+
+
+# -- Q24+ JSON key profiling (schema-drift detection) ----------------------
+#
+# Which keys exist in a semi-structured column, how often: explode
+# json_object_keys and count. Every third event gets a planted extra key
+# so drift is actually present. The monitoring query that catches producer
+# schema changes before they break a pipeline.
+
+_JSON_KEYS_ORACLE = """
+WITH drifted AS (
+  SELECT CASE WHEN event_id % 3 = 0
+              THEN replace(props, '}', ',"extra": 1}')
+              ELSE props END AS props
+  FROM events),
+keyed AS (SELECT unnest(json_keys(props)) AS key FROM drifted)
+SELECT key, COUNT(*) AS n_events
+FROM keyed GROUP BY key
+"""
+
+
+@query("q_fn_json_keys", _JSON_KEYS_ORACLE)
+def q_fn_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    drifted = e.select(
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.regexp_replace("props", "\\}", ',"extra": 1}'),
+        )
+        .otherwise(F.col("props"))
+        .alias("props")
+    )
+    keyed = drifted.select(
+        F.explode(F.json_object_keys("props")).alias("key")
+    )
+    return keyed.groupBy("key").agg(F.count("*").alias("n_events"))

@@ -566,3 +566,97 @@ def q_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("value_sum"),
         F.sum(F.col("bal").cast("decimal(38,6)")).cast("double").alias("bal_sum"),
     )
+
+
+# -- Portable bloom-filter semi-join semantics -----------------------------
+#
+# An in-plan bloom pre-filter over the PORTABLE hash family: the build
+# side's keys mark k=3 positions in an m=4096 slot space; a probe key
+# passes iff all three of its positions are marked. The query proves the
+# bloom contract — zero false negatives (every true match passes) and an
+# exactly reproducible false-positive count — which an opaque bitmap
+# never could. (Spark's own runtime bloom join is exercised in
+# test_runtime_bloom_filter_injects_on_selective_join; this is the
+# engine-portable, oracle-checkable formulation. The position set is
+# ~3·|build| rows — broadcast, like the bitmap would be.)
+
+_BLOOM_M = 4096
+_BLOOM_SEEDS = (0, 1, 2)
+
+_BLOOM_HASH = (
+    "CAST(('0x' || substr(md5(CAST({seed} AS VARCHAR) || ':' "
+    "|| CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT) % 4096"
+)
+
+
+def _bloom_oracle() -> str:
+    build_pos = " UNION ".join(
+        "SELECT DISTINCT "
+        + _BLOOM_HASH.format(seed=s, key="o_orderkey")
+        + " AS pos FROM build"
+        for s in _BLOOM_SEEDS
+    )
+    probe_pos = ", ".join(
+        _BLOOM_HASH.format(seed=s, key="l_orderkey") + f" AS p{s}"
+        for s in _BLOOM_SEEDS
+    )
+    return f"""
+WITH build AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 0),
+bits AS ({build_pos}),
+probe AS (SELECT l_orderkey, {probe_pos} FROM lineitem),
+passed AS (
+  SELECT p.l_orderkey FROM probe p
+  WHERE EXISTS (SELECT 1 FROM bits WHERE pos = p.p0)
+    AND EXISTS (SELECT 1 FROM bits WHERE pos = p.p1)
+    AND EXISTS (SELECT 1 FROM bits WHERE pos = p.p2)),
+truth AS (
+  SELECT l.l_orderkey FROM lineitem l
+  WHERE EXISTS (SELECT 1 FROM build b WHERE b.o_orderkey = l.l_orderkey))
+SELECT (SELECT COUNT(*) FROM lineitem) AS n_probe,
+       (SELECT COUNT(*) FROM truth) AS n_true,
+       (SELECT COUNT(*) FROM passed) AS n_pass,
+       (SELECT COUNT(*) FROM passed) - (SELECT COUNT(*) FROM truth)
+         AS n_false_pos
+"""
+
+
+@query("q_join_bloom_portable", _bloom_oracle())
+def q_join_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.sampling_q import hash60
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = o.filter(F.col("o_orderkey") % 100 == 0).select("o_orderkey")
+
+    def pos(key_col, seed: int):
+        return hash60(
+            F.concat(F.lit(f"{seed}:"), key_col.cast("string"))
+        ) % _BLOOM_M
+
+    bits = None
+    for s in _BLOOM_SEEDS:
+        part = build.select(pos(F.col("o_orderkey"), s).alias("pos")).distinct()
+        bits = part if bits is None else bits.unionByName(part).distinct()
+
+    probe = li.select("l_orderkey")
+    passed = probe
+    for s in _BLOOM_SEEDS:
+        passed = passed.join(
+            F.broadcast(bits),
+            pos(F.col("l_orderkey"), s) == F.col("pos"),
+            "left_semi",
+        )
+    truth = probe.join(
+        build, probe["l_orderkey"] == build["o_orderkey"], "left_semi"
+    )
+    return (
+        probe.agg(F.count(F.lit(1)).alias("n_probe"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true")))
+        .crossJoin(passed.agg(F.count(F.lit(1)).alias("n_pass")))
+        .select(
+            "n_probe",
+            "n_true",
+            "n_pass",
+            (F.col("n_pass") - F.col("n_true")).alias("n_false_pos"),
+        )
+    )

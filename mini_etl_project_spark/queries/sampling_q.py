@@ -619,3 +619,105 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select(
         "l_returnflag", F.col("b.q").alias("mode_qty"), "mode_count"
     )
+
+
+# -- KMV set-intersection estimate (theta-sketch style) --------------------
+#
+# Distinct-intersection cardinality WITHOUT joining the raw sets: keep
+# each side's k smallest distinct hashes, cut both at
+# theta = min(kth_A, kth_B), and scale the surviving common hashes by
+# 2^60/theta. Sketches are k rows per side — the intersection of two
+# billion-key sets becomes a join of two 64-row tables. Deterministic
+# hashes make even the ESTIMATE oracle-exact; the exact intersection is
+# emitted alongside for error inspection.
+
+_KMV_INTERSECT_ORACLE = f"""
+WITH a AS (
+  SELECT DISTINCT {_sql_hash60("CAST(l_partkey AS VARCHAR)")} AS h
+  FROM lineitem WHERE l_suppkey % 2 = 0),
+b AS (
+  SELECT DISTINCT {_sql_hash60("CAST(l_partkey AS VARCHAR)")} AS h
+  FROM lineitem WHERE l_suppkey % 3 = 0),
+ka AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) rn FROM a)
+       WHERE rn <= {_KMV_K}),
+kb AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) rn FROM b)
+       WHERE rn <= {_KMV_K}),
+thetas AS (
+  SELECT LEAST(
+    CASE WHEN (SELECT COUNT(*) FROM a) >= {_KMV_K}
+         THEN (SELECT MAX(h) FROM ka) ELSE {1 << 60} END,
+    CASE WHEN (SELECT COUNT(*) FROM b) >= {_KMV_K}
+         THEN (SELECT MAX(h) FROM kb) ELSE {1 << 60} END) AS theta),
+common AS (
+  SELECT COUNT(*) AS c FROM ka JOIN kb ON ka.h = kb.h, thetas
+  WHERE ka.h < thetas.theta)
+SELECT (SELECT COUNT(*) FROM a) AS n_a,
+       (SELECT COUNT(*) FROM b) AS n_b,
+       (SELECT COUNT(*) FROM a JOIN b ON a.h = b.h) AS exact_intersect,
+       common.c AS sketch_common,
+       CAST(common.c AS DOUBLE) * {float(1 << 60)} / thetas.theta
+         AS est_intersect
+FROM common, thetas
+"""
+
+
+@query("q_agg_kmv_intersect", _KMV_INTERSECT_ORACLE)
+def q_agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def side(mod: int) -> DataFrame:
+        return (
+            li.filter(F.col("l_suppkey") % mod == 0)
+            .select(hash60(F.col("l_partkey").cast("string")).alias("h"))
+            .distinct()
+        )
+
+    a, b = side(2), side(3)
+
+    def sketch(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("h"))
+        ).filter(F.col("rn") <= _KMV_K)
+
+    ka, kb = sketch(a), sketch(b)
+
+    def theta_of(df: DataFrame, sk: DataFrame) -> DataFrame:
+        n = df.agg(F.count(F.lit(1)).alias("n"))
+        mx = sk.agg(F.max("h").alias("mx"))
+        return n.crossJoin(mx).select(
+            F.when(F.col("n") >= _KMV_K, F.col("mx"))
+            .otherwise(F.lit(1 << 60))
+            .alias("th")
+        )
+
+    theta = (
+        theta_of(a, ka)
+        .crossJoin(theta_of(b, kb).withColumnRenamed("th", "th2"))
+        .select(F.least("th", "th2").alias("theta"))
+    )
+    common = (
+        ka.select("h")
+        .join(kb.select("h"), "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("theta")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    counts = (
+        a.agg(F.count(F.lit(1)).alias("n_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("n_b")))
+        .crossJoin(
+            a.join(b, "h").agg(F.count(F.lit(1)).alias("exact_intersect"))
+        )
+    )
+    return counts.crossJoin(F.broadcast(common)).select(
+        "n_a",
+        "n_b",
+        "exact_intersect",
+        F.col("c").alias("sketch_common"),
+        (
+            F.col("c").cast("double") * F.lit(float(1 << 60)) / F.col("theta")
+        ).alias("est_intersect"),
+    )

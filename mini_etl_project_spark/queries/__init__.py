@@ -128,6 +128,7 @@ _CHECK_FIRST: list[str] = [
     "q_agg_kmv_intersect",
     "q_join_bloom_portable",
     "q_fn_json_keys",
+    "q_stream_join_outer",
     # Implementation touched this round — needs a fresh green row:
     # short-doc n-gram guard; fused pipeline stats jobs; shared
     # trade-edge builder.

@@ -432,3 +432,48 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+# -- Q29+Q5: stream-stream LEFT OUTER join (watermark-driven NULL rows) ----
+# The hard half of streaming joins: a NULL-padded row may only be emitted
+# once the watermark PROVES no match can still arrive. The oracle encodes
+# that contract exactly: every matched pair (inner results emit
+# immediately), plus NULL rows for unmatched clicks strictly older than
+# final_watermark − 30 min, where final_watermark =
+# min(max click ts, max purchase ts) − 10 min — the value a bounded
+# replay ends on. Unmatched clicks inside that band MUST stay withheld
+# (emitting them would be wrong: a purchase could still arrive); the
+# hash gate fails in both directions.
+
+_STREAM_JOIN_OUTER_ORACLE = """
+WITH wm AS (
+  SELECT LEAST(
+           (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+           (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+         - INTERVAL 10 MINUTE AS w)
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS delay_us
+FROM events c
+LEFT JOIN events p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+CROSS JOIN wm
+WHERE c.event_type = 'click'
+  AND (p.event_id IS NOT NULL OR c.ts < wm.w - INTERVAL 30 MINUTE)
+"""
+
+
+@query("q_stream_join_outer", _STREAM_JOIN_OUTER_ORACLE)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.streaming.ops import (
+        click_purchase_outer,
+        flush_split_stream,
+    )
+
+    out = drain_to_table(
+        click_purchase_outer(flush_split_stream(spark, sf_dir)), mode="append"
+    )
+    return spark.table(out)

@@ -418,3 +418,102 @@ def stateful_running_max(stream: DataFrame) -> DataFrame:
     return stream.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def flush_split_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join source: the events table staged as the full table plus
+    two empty bridge files, replayed one file per micro-batch.
+
+    Outer stream-stream joins emit a NULL-padded row only when the
+    watermark PROVES no match can still arrive. The global watermark of a
+    bounded replay freezes at min(max_click, max_purchase) − 10 min after
+    the data batch (measured: even far-future sentinel rows in a later
+    batch do not move it further before the drain stops), so the bridge
+    batches exist to run the eviction with that final watermark (burning
+    the SPARK-42376 one-batch lag). Clicks inside the last
+    watermark + 30 min band stay correctly withheld — the oracle encodes
+    the same contract.
+    """
+    import os
+    import shutil
+    import time as _time
+
+    stage = _stage_root("mini_etl_stream_flush", sf_dir)
+    ready = os.path.join(stage, "_READY")
+    if not os.path.exists(ready):
+        from mini_etl_project_spark.session import load_table
+
+        os.makedirs(stage, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events")
+
+        def write_one(df: DataFrame, name: str, mtime: float) -> None:
+            tmp = os.path.join(stage, f"__tmp_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = os.path.join(stage, name)
+            os.replace(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (mtime, mtime))
+
+        now = _time.time()
+        write_one(ev.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ), "a_main.parquet", now - 180)
+        write_one(ev.limit(0), "b_bridge.parquet", now - 120)
+        write_one(ev.limit(0), "c_bridge2.parquet", now - 60)
+        open(ready, "w").close()
+    return (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(stage)
+    )
+
+
+def click_purchase_outer(stream: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER attribution join: every click, matched to
+    same-user purchases within 30 minutes after it, or NULL-padded once
+    the watermark proves no purchase can still arrive. Same bounded state
+    as the inner variant; requires a flush-staged source (see
+    flush_split_stream) for the tail to emit."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            "left_outer",
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+                "delay_us"
+            ),
+        )
+    )

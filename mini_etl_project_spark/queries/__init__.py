@@ -129,6 +129,12 @@ _CHECK_FIRST: list[str] = [
     "q_join_bloom_portable",
     "q_fn_json_keys",
     "q_stream_join_outer",
+    "q_window_ignore_nulls",
+    "q_fn_try",
+    "q_agg_boolean",
+    "q_ts_time_to_convert",
+    "q_ml_lift_table",
+    "q_agg_percentile_disc",
     # Implementation touched this round — needs a fresh green row:
     # short-doc n-gram guard; fused pipeline stats jobs; shared
     # trade-edge builder.

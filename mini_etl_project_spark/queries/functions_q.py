@@ -561,3 +561,37 @@ def q_fn_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.json_object_keys("props")).alias("key")
     )
     return keyed.groupBy("key").agg(F.count("*").alias("n_events"))
+
+
+# -- Q25+ try_* error-safe expressions (ANSI-mode survival) ----------------
+#
+# Spark 4 runs ANSI mode by default: bare division by zero or bad casts
+# THROW. The try_* family returns NULL instead — the posture every
+# pipeline expression in this repo uses so plans survive dirty data under
+# any session config. The oracle mirrors with NULLIF/TRY_CAST.
+
+_TRY_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice / l_quantity AS unit_price,
+       l_extendedprice / NULLIF(l_quantity - l_quantity, 0) AS div_zero,
+       TRY_CAST(l_returnflag AS INTEGER) AS bad_cast,
+       TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS good_cast
+FROM lineitem
+"""
+
+
+@query("q_fn_try", _TRY_ORACLE)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", "l_quantity").alias("unit_price"),
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")
+        ).alias("div_zero"),
+        F.try_to_number("l_returnflag", F.lit("9")).cast("int").alias("bad_cast"),
+        F.try_to_number(
+            F.col("l_linenumber").cast("string"), F.lit("9")
+        ).cast("int").alias("good_cast"),
+    )

@@ -253,3 +253,53 @@ def q_ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("loo_mean"),
         )
     )
+
+
+# -- Decile lift table (model-evaluation primitive) ------------------------
+#
+# Users ranked by a score (total spend in cents — exact), cut into
+# deciles by ntile over a UNIQUE ordering (score, user_id — ntile over a
+# non-unique ordering is partition-order dependent and would never pass a
+# hash gate), then per-decile conversion rate against "has a purchase
+# event". The standard lift/gains analysis, all in two keyed passes.
+
+_LIFT_ORACLE = """
+WITH scored AS (
+  SELECT user_id,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS score,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id),
+ranked AS (
+  SELECT *, NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+  FROM scored)
+SELECT decile, COUNT(*) AS n_users,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conversion_rate
+FROM ranked GROUP BY decile
+"""
+
+
+@query("q_ml_lift_table", _LIFT_ORACLE)
+def q_ml_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    scored = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    # ntile over the post-aggregate user table (bounded: one row per user
+    # per the unpartitioned-window convention asserted in test_round3).
+    ranked = scored.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.col("score").desc(), "user_id")),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count("*")).alias(
+            "conversion_rate"
+        ),
+    )

@@ -721,3 +721,81 @@ def q_agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("double") * F.lit(float(1 << 60)) / F.col("theta")
         ).alias("est_intersect"),
     )
+
+
+# -- Boolean / conditional aggregates --------------------------------------
+
+_BOOL_AGG_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (value > 50) AS n_high,
+       BOOL_AND(value > 0) AS all_positive,
+       BOOL_OR(value > 99) AS any_extreme
+FROM events GROUP BY event_type
+"""
+
+
+@query("q_agg_boolean", _BOOL_AGG_ORACLE)
+def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("value") > 50).alias("n_high"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 99).alias("any_extreme"),
+    )
+
+
+# -- Discrete percentile (percentile_disc) ---------------------------------
+#
+# The actual-element percentile: value at row ceil(p*n) of the sorted
+# group — no interpolation, so the result is always a real observation.
+# Both engines use the identical row_number formulation (engines' native
+# quantile_disc implementations disagree on selection conventions).
+
+_PCTL_DISC_ORACLE = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem)
+SELECT l_returnflag,
+       MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                THEN l_extendedprice END) AS p50_disc,
+       MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                THEN l_extendedprice END) AS p90_disc,
+       MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+                THEN l_extendedprice END) AS p99_disc
+FROM ranked GROUP BY l_returnflag
+"""
+
+
+@query("q_agg_percentile_disc", _PCTL_DISC_ORACLE)
+def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def pick(p: float, alias: str):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("l_extendedprice"),
+            )
+        ).alias(alias)
+
+    return ranked.groupBy("l_returnflag").agg(
+        pick(0.5, "p50_disc"), pick(0.9, "p90_disc"), pick(0.99, "p99_disc")
+    )

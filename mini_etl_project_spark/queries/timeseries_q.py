@@ -524,3 +524,52 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("event_id").alias("changepoint_event"))
         .select("user_id", "max_abs_cusum", "changepoint_event")
     )
+
+
+# -- Time-to-event (first click → first subsequent purchase) ---------------
+#
+# Survival-style funnel timing: per user, the delay from the first click
+# to the first purchase at or after it; users who never convert surface
+# with NULL delay (censored), not dropped. Two keyed min-aggregates and
+# one join — no window over raw events needed.
+
+_TTC_ORACLE = """
+WITH first_click AS (
+  SELECT user_id, MIN(ts) AS c_ts FROM events
+  WHERE event_type = 'click' GROUP BY user_id),
+first_purchase AS (
+  SELECT f.user_id, MIN(e.ts) AS p_ts
+  FROM first_click f JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = 'purchase' AND e.ts >= f.c_ts
+  GROUP BY f.user_id)
+SELECT f.user_id,
+       CAST(epoch_us(p.p_ts) - epoch_us(f.c_ts) AS BIGINT) AS delay_us,
+       CASE WHEN p.user_id IS NULL THEN 1 ELSE 0 END AS censored
+FROM first_click f LEFT JOIN first_purchase p ON f.user_id = p.user_id
+"""
+
+
+@query("q_ts_time_to_convert", _TTC_ORACLE)
+def q_ts_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    first_click = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    first_purchase = (
+        first_click.join(
+            e.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("p_raw")
+            ),
+            "user_id",
+        )
+        .filter(F.col("p_raw") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_raw").alias("p_ts"))
+    )
+    return first_click.join(first_purchase, "user_id", "left").select(
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delay_us"),
+        F.when(F.col("p_ts").isNull(), 1).otherwise(0).alias("censored"),
+    )

@@ -283,3 +283,50 @@ def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("is_first").over(running).alias("n_types_seen"),
     )
+
+
+# -- Q15+ IGNORE NULLS window navigation (LOCF forward fill) ---------------
+#
+# Every 7th reading is nulled; last_value(... IGNORE NULLS) carries the
+# previous observation forward — the canonical sensor forward-fill. Spark
+# spells it last(col, ignorenulls=True) over a running frame; the
+# trailing variant (frame ending at 1 PRECEDING) is the portable
+# replacement for LAG ... IGNORE NULLS, which Spark doesn't ship.
+
+_IGNORE_NULLS_ORACLE = """
+WITH obs AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events)
+SELECT user_id, event_id, v,
+       LAST_VALUE(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY s, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+       LAST_VALUE(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY s, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_obs
+FROM obs
+"""
+
+
+@query("q_window_ignore_nulls", _IGNORE_NULLS_ORACLE)
+def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    base = Window.partitionBy("user_id").orderBy("s", "event_id")
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trailing = base.rowsBetween(Window.unboundedPreceding, -1)
+    return obs.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.last("v", ignorenulls=True).over(running).alias("filled"),
+        F.last("v", ignorenulls=True).over(trailing).alias("prev_obs"),
+    )

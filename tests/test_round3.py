@@ -294,7 +294,10 @@ def test_unpartitioned_windows_sit_on_aggregates(spark):
     )
 
     sf = "/root/testdata/sf0.001"
-    for q in (q_window_range_frame, q_window_frames, q_ts_gapfill, q_agg_kmv_merge):
+    from mini_etl_project_spark.queries.ml_q import q_ml_lift_table
+
+    for q in (q_window_range_frame, q_window_frames, q_ts_gapfill,
+              q_agg_kmv_merge, q_ml_lift_table):
         plan = q(spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "Window" in plan, q.__name__
         # top-down plan text: the Window node must appear ABOVE (before)

@@ -186,3 +186,41 @@ def test_kmeans_invariants(spark, sf_dir):
     got = {(r["id"], r["cid"], r["dist"]) for r in a2.collect()}
     got_r = {(r["id"], r["cid"], r["dist"]) for r in a2r.collect()}
     assert got == got_r, "assignment depends on partitioning"
+
+
+# -- plan posture of the session's new operators ---------------------------
+
+
+def _plan(spark, name, sf="/root/testdata/sf0.001"):
+    from mini_etl_project_spark.queries import QUERIES
+
+    return QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_timeseries_ops_single_shuffle(spark):
+    """OHLC / anomaly / TWA / interval coverage each claim ONE keyed
+    shuffle: the windows and the final aggregate reuse the same hash
+    partitioning, so exactly one Exchange may appear in the plan."""
+    for name in ("q_ts_ohlc", "q_ts_anomaly", "q_ts_twa", "q_ts_interval_coverage"):
+        n = _plan(spark, name).count("Exchange")
+        assert n == 1, f"{name}: {n} exchanges"
+
+
+def test_broadcast_posture_of_new_ops(spark):
+    """Tiny sides must broadcast: transition-matrix denominators, target-
+    encoding category totals, bloom position sets, k-means centroids."""
+    for name in ("q_ts_transition_matrix", "q_ml_target_encode",
+                 "q_join_bloom_portable", "q_ml_kmeans"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_cooccurrence_no_cartesian(spark):
+    """The basket self-join must stay keyed on the basket id — a cartesian
+    (or broadcast nested loop over the whole fact table) means the join
+    key was lost and the plan would explode at scale."""
+    plan = _plan(spark, "q_join_cooccurrence")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )

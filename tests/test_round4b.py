@@ -224,3 +224,91 @@ def test_cooccurrence_no_cartesian(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     )
+
+
+# -- property tests: random inputs vs in-Python brute force ----------------
+
+
+def _coverage_brute(intervals):
+    """Union length of [s, e] intervals, overlap-or-touch merged."""
+    total, islands = 0, 0
+    cur_s = cur_e = None
+    for s, e in sorted(intervals):
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                total += cur_e - cur_s
+            cur_s, cur_e = s, e
+            islands += 1
+        else:
+            cur_e = max(cur_e, e)
+    if cur_e is not None:
+        total += cur_e - cur_s
+    return total, islands
+
+
+def test_interval_coverage_matches_brute_force(spark, monkeypatch):
+    """Random interval geometries: the distributed sweep must equal the
+    sequential merge for every user."""
+    import random
+
+    import mini_etl_project_spark.queries.timeseries_q as tsq
+    from mini_etl_project_spark.queries.timeseries_q import (
+        q_ts_interval_coverage,
+    )
+
+    rng = random.Random(42)
+    rows, truth = [], {}
+    eid = 0
+    for user in range(6):
+        ivs = []
+        for _ in range(rng.randint(1, 25)):
+            start_s = rng.randint(0, 5000)
+            dur_min = rng.randint(0, 40)  # value is minutes in the operator
+            ivs.append((start_s * 1_000_000, start_s * 1_000_000 + dur_min * 60_000_000))
+            rows.append((eid, f"2024-01-01 00:00:{0:02d}", user, float(dur_min), start_s))
+            eid += 1
+        truth[user] = _coverage_brute(ivs)
+    df = spark.createDataFrame(
+        rows, "event_id long, base string, user_id long, value double, off long"
+    ).select(
+        "event_id",
+        (F.col("base").cast("timestamp") + F.make_dt_interval(secs=F.col("off"))).alias("ts"),
+        "user_id",
+        "value",
+    )
+    monkeypatch.setattr(tsq, "load_table", lambda s, d, t: df)
+    out = {
+        r["user_id"]: (r["covered_us"], r["n_islands"])
+        for r in q_ts_interval_coverage(spark, "unused").collect()
+    }
+    for user, (cov, isl) in truth.items():
+        assert out[user] == (cov, isl), (user, out[user], (cov, isl))
+
+
+def test_prefix_filter_lossless_on_random_corpus(spark):
+    """Adversarial random corpus (tiny alphabet → heavy shingle sharing):
+    prefix-filtered pairs must equal unfiltered brute force at several
+    thresholds."""
+    import random
+
+    rng = random.Random(7)
+    docs = []
+    for i in range(40):
+        base = "".join(rng.choice("abcd") for _ in range(rng.randint(6, 30)))
+        docs.append((i, base))
+        if rng.random() < 0.5:  # planted near-dup
+            docs.append((1000 + i, base[rng.randint(0, 3):] + rng.choice("abcd")))
+    df = spark.createDataFrame(docs, "id long, text string")
+    sh = shingle_rows(df, "id", "text", k=3)
+    for t in (0.4, 0.7):
+        truth = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_pairs(sh, candidates=None, threshold=t).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_pairs(
+                sh, candidates=prefix_filter_pairs(sh, threshold=t), threshold=t
+            ).collect()
+        }
+        assert got == truth, f"t={t}: {truth ^ got}"

@@ -135,6 +135,8 @@ _CHECK_FIRST: list[str] = [
     "q_ts_time_to_convert",
     "q_ml_lift_table",
     "q_agg_percentile_disc",
+    "q_agg_weighted_avg",
+    "q_agg_skew_kurtosis",
     # Implementation touched this round — needs a fresh green row:
     # short-doc n-gram guard; fused pipeline stats jobs; shared
     # trade-edge builder.

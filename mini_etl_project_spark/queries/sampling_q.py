@@ -799,3 +799,108 @@ def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("l_returnflag").agg(
         pick(0.5, "p50_disc"), pick(0.9, "p90_disc"), pick(0.99, "p99_disc")
     )
+
+
+# -- Weighted average (exact integer numerator/denominator) ----------------
+
+_WAVG_ORACLE = """
+WITH scaled AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(ROUND(l_quantity) AS BIGINT) AS w
+  FROM lineitem)
+SELECT l_returnflag,
+       CAST(SUM(w) AS BIGINT) AS total_w,
+       CAST(SUM(price_c * w) AS DOUBLE) / SUM(w) / 100.0 AS weighted_avg_price
+FROM scaled GROUP BY l_returnflag
+"""
+
+
+@query("q_agg_weighted_avg", _WAVG_ORACLE)
+def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    scaled = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        F.round("l_quantity").cast("bigint").alias("w"),
+    )
+    return scaled.groupBy("l_returnflag").agg(
+        F.sum("w").cast("bigint").alias("total_w"),
+        (
+            F.sum(F.col("price_c") * F.col("w")).cast("double")
+            / F.sum("w")
+            / F.lit(100.0)
+        ).alias("weighted_avg_price"),
+    )
+
+
+# -- Skewness / kurtosis from raw integer moments --------------------------
+#
+# Third and fourth standardized moments in the same one-pass map-
+# combinable shape as q_agg_moments_corr: five exact int64 sums per
+# group, then one mirrored double expression. (Engines' native skewness/
+# kurtosis aggregates differ in bias correction AND accumulate in floats;
+# the raw-moment form is exact and convention-pinned: population moments,
+# kurtosis excess-free. pow() is avoided — libm pow isn't correctly
+# rounded and differs across runtimes; var*sqrt(var) and var*var are.)
+
+_SKEW_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS x
+  FROM lineitem),
+m AS (
+  SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS s1,
+         SUM(x*x) AS s2, SUM(x*x*x) AS s3, SUM(x*x*x*x) AS s4
+  FROM s GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       CAST(s1 AS DOUBLE) / n AS mean,
+       (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+         AS variance_pop,
+       (CAST(s3 AS DOUBLE) / n
+         - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+         + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+         / ((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) * sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+         AS skewness,
+       (CAST(s4 AS DOUBLE) / n
+         - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+         + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+         - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+         / ((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) * (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+         AS kurtosis
+FROM m
+"""
+
+
+@query("q_agg_skew_kurtosis", _SKEW_ORACLE)
+def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        "l_returnflag", F.round("l_quantity").cast("bigint").alias("x")
+    )
+    x = F.col("x")
+    m = s.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n
+    m3 = F.col("s3").cast("double") / n
+    m4 = F.col("s4").cast("double") / n
+    var = m2 - m1 * m1
+    return m.select(
+        "l_returnflag",
+        "n",
+        m1.alias("mean"),
+        var.alias("variance_pop"),
+        ((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (var * F.sqrt(var))).alias(
+            "skewness"
+        ),
+        (
+            (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
+            / (var * var)
+        ).alias("kurtosis"),
+    )

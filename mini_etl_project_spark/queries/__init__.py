@@ -179,8 +179,10 @@ _CHECK_FIRST: list[str] = [
     "q_unpivot_metrics",
     "q_subquery_scalar",
     "q_sql_api_topn",
-    # ---- ~50-entry budget boundary (observed rounds 1-3) ----
-    # r1-only remainder rolls to the round-5 front.
+    # ---- NOTE: the ~50-entry budget (observed rounds 1-3) is consumed
+    # by the never-checked round-4 entries above; everything below keeps
+    # its prior green row and rolls toward the round-5 front, where the
+    # still-unchecked tail of the session-2 additions goes first. ----
     "q_window_sliding",
     "q_stream_dedup_count",
     "q03_shipping_priority",

@@ -137,6 +137,7 @@ _CHECK_FIRST: list[str] = [
     "q_agg_percentile_disc",
     "q_agg_weighted_avg",
     "q_agg_skew_kurtosis",
+    "q_stream_ohlc",
     # Implementation touched this round — needs a fresh green row:
     # short-doc n-gram guard; fused pipeline stats jobs; shared
     # trade-edge builder.

@@ -477,3 +477,62 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         click_purchase_outer(flush_split_stream(spark, sf_dir)), mode="append"
     )
     return spark.table(out)
+
+
+# -- X50 streaming OHLC (stateful min_by/max_by rollup) --------------------
+# The hypertable rollup running incrementally: open/close are
+# min_by/max_by over a UNIQUE (ts, event_id) struct ordering, so the
+# streamed state result is deterministic and equals the batch rollup no
+# matter how micro-batches slice the input. Complete mode; one watermark.
+
+_STREAM_OHLC_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_asc,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_desc
+  FROM events)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       MAX(CASE WHEN rn_asc = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_desc = 1 THEN value END) AS close
+FROM ranked GROUP BY window_start, event_type
+"""
+
+
+@query("q_stream_ohlc", _STREAM_OHLC_ORACLE)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min_by("value", F.struct("ts", "event_id")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
+    out = drain_to_table(agg)
+    return spark.table(out).select(
+        F.col("window_start").cast("timestamp"),
+        "event_type",
+        "n_events",
+        "open",
+        "high",
+        "low",
+        "close",
+    )

@@ -138,6 +138,8 @@ _CHECK_FIRST: list[str] = [
     "q_agg_weighted_avg",
     "q_agg_skew_kurtosis",
     "q_stream_ohlc",
+    "q_sql_recursive_cte",
+    "q_text_collocations",
     # Implementation touched this round — needs a fresh green row:
     # short-doc n-gram guard; fused pipeline stats jobs; shared
     # trade-edge builder.

@@ -399,3 +399,45 @@ def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.n_violations").alias("n_violations"),
         F.when(F.col("r.n_violations") == 0, 1).otherwise(0).alias("passed"),
     )
+
+
+# -- Spark 4 native recursive CTE (WITH RECURSIVE) -------------------------
+#
+# The same div-10 customer tree q_hierarchy_levels walks with manual
+# level-wise joins, traversed by the engine's OWN recursive-CTE executor
+# (new in Spark 4) — declared once in SQL, iterated by the engine, depth
+# and root carried through the recursion. Complementary evidence: the
+# manual unrolling and the native recursion must both match DuckDB's
+# recursive CTE.
+
+_RECURSIVE_CTE_ORACLE = """
+WITH RECURSIVE h(id, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, h.root, h.depth + 1
+  FROM customer c JOIN h ON c.c_custkey // 10 = h.id
+  WHERE c.c_custkey >= 10)
+SELECT depth, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS id_checksum,
+       CAST(SUM(root) AS BIGINT) AS root_checksum
+FROM h GROUP BY depth
+"""
+
+
+@query("q_sql_recursive_cte", _RECURSIVE_CTE_ORACLE)
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_rcte"
+    )
+    return spark.sql(
+        """
+WITH RECURSIVE h(id, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer_rcte WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, h.root, h.depth + 1
+  FROM customer_rcte c JOIN h ON c.c_custkey DIV 10 = h.id
+  WHERE c.c_custkey >= 10)
+SELECT depth, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS id_checksum,
+       CAST(SUM(root) AS BIGINT) AS root_checksum
+FROM h GROUP BY depth
+"""
+    )

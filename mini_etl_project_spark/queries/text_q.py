@@ -431,3 +431,72 @@ def q_text_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("last_doc"),
         F.sum("doc_id").cast("bigint").alias("doc_checksum"),
     )
+
+
+# -- Bigram collocation detection (lift instead of log-PMI) ----------------
+#
+# Which word pairs co-occur more than chance: lift = P(xy)/(P(x)P(y)) =
+# n_xy·N / (n_x·n_y) on exact integer counts — the log-PMI ranking
+# monotone-transformed to avoid transcendental log (libm vs Java Math
+# differ in ulps; a ratio of exact ints is bit-identical). One window
+# pass for adjacency, two keyed aggregates, broadcast unigram counts.
+
+_COLLOCATION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+  FROM documents),
+bigrams AS (
+  SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS n_xy
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.tok, b.tok),
+uni AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS nn FROM bigrams)
+SELECT w1, w2, n_xy,
+       CAST(n_xy AS DOUBLE) * nn / (u1.n * u2.n) AS lift
+FROM bigrams
+JOIN uni u1 ON u1.tok = w1
+JOIN uni u2 ON u2.tok = w2
+CROSS JOIN tot
+WHERE n_xy >= 5
+"""
+
+
+@query("q_text_collocations", _COLLOCATION_ORACLE)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("w2", F.lead("tok").over(w))
+        .filter(F.col("w2").isNotNull())
+        .groupBy(F.col("tok").alias("w1"), "w2")
+        .agg(F.count("*").alias("n_xy"))
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = bigrams.agg(F.sum("n_xy").cast("bigint").alias("nn"))
+    return (
+        bigrams.filter(F.col("n_xy") >= 5)
+        .join(
+            F.broadcast(uni.withColumnsRenamed({"tok": "w1", "n": "n1"})), "w1"
+        )
+        .join(
+            F.broadcast(uni.withColumnsRenamed({"tok": "w2", "n": "n2"})), "w2"
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            (
+                F.col("n_xy").cast("double")
+                * F.col("nn")
+                / (F.col("n1") * F.col("n2"))
+            ).alias("lift"),
+        )
+    )

@@ -32,7 +32,12 @@ def quantize_points(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         F.transform(
             F.col(vec_col),
-            lambda e: F.round(e * 1000).cast("bigint") * 1000,
+            # explicit double BEFORE the multiply: float32×int stays
+            # float32 in some engines, and a value like 0.3195f*1000
+            # snaps to exactly 319.5 in float32 (ulp ~3e-5) — rounding
+            # the wrong way vs the double product. Both engines must
+            # widen first.
+            lambda e: F.round(e.cast("double") * 1000).cast("bigint") * 1000,
         ).alias("varr"),
     )
 

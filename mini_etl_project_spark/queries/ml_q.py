@@ -56,8 +56,8 @@ def _kmeans_oracle() -> str:
         f"""
 WITH pts AS (
   SELECT vec_id AS id, i,
-         CAST(ROUND(embedding[i] * 1000) AS BIGINT) AS x,
-         CAST(ROUND(embedding[i] * 1000) AS BIGINT) * 1000 AS vmic
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS x,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) * 1000 AS vmic
   FROM embeddings, generate_series(1, {_DIM}) g(i)),
 c0 AS (
   SELECT CAST(id AS INT) AS cid, i, vmic AS c FROM pts WHERE id < {_K})"""
@@ -111,8 +111,8 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NCM_ORACLE = """
 WITH pts AS (
   SELECT vec_id AS id, label, i,
-         CAST(ROUND(embedding[i] * 1000) AS BIGINT) AS x,
-         CAST(ROUND(embedding[i] * 1000) AS BIGINT) * 1000 AS vmic
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS x,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) * 1000 AS vmic
   FROM embeddings, generate_series(1, 64) g(i)),
 cents AS (
   SELECT label AS clabel, i,

@@ -330,3 +330,48 @@ def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(running).alias("filled"),
         F.last("v", ignorenulls=True).over(trailing).alias("prev_obs"),
     )
+
+
+# -- Q16+ keyed time-RANGE frame (trailing 1 hour per event) ---------------
+#
+# The per-row sliding time window a rate-limiter or rolling-exposure
+# query needs: RANGE BETWEEN 1 HOUR PRECEDING AND CURRENT ROW on the
+# microsecond timeline, partitioned by user — unlike the day-level
+# unpartitioned variant above, this one runs keyed and scales. RANGE
+# frames are tie-safe by construction (peers share the frame), so no
+# event_id tie-break is needed; sums stay in exact cents.
+
+_TIME_RANGE_ORACLE = """
+WITH obs AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(cents) OVER w AS BIGINT) AS cents_last_hour
+FROM obs
+WINDOW w AS (PARTITION BY user_id ORDER BY s
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("q_window_time_range", _TIME_RANGE_ORACLE)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return obs.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum("cents").over(w).cast("bigint").alias("cents_last_hour"),
+    )

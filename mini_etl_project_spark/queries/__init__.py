@@ -140,6 +140,7 @@ _CHECK_FIRST: list[str] = [
     "q_stream_ohlc",
     "q_sql_recursive_cte",
     "q_text_collocations",
+    "q_window_time_range",
     # Implementation touched this round — needs a fresh green row:
     # short-doc n-gram guard; fused pipeline stats jobs; shared
     # trade-edge builder.

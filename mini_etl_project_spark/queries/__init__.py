@@ -72,63 +72,9 @@ def _load_all() -> None:
 # oracle changed this round, then new queries — and the long tail of
 # already-proven entries follows in stable registration order.
 _CHECK_FIRST: list[str] = [
-    # Round-4 front, slot 1: round-3's ONLY red row — output reshaped to
-    # scalar (vec_id, scale, idx, q) rows; must re-prove green.
-    "q_embed_quantize",
-    # New this round (no driver row ever), plus q_sim_ann_pq which slipped
-    # every prior rotation.
-    "q_etl_pipeline_events",
-    "q_graph_pagerank_dangling",
-    "q_stream_stateful_types",
-    "q_corpus_boilerplate",
-    "q_text_unigram_score",
-    "q_corpus_token_budget",
-    "q_corpus_vocab_coverage",
-    "q_agg_kmv_distinct",
-    "q_agg_quantile_hash_sample",
-    "q_udf_cogrouped",
-    "q_source_python_ds_stream",
-    "q_table_scd2",
-    "q_agg_countmin",
-    "q_quality_constraints",
-    "q_graph_triangles",
-    "q_sim_ann_pq",  # rows-only by design
-    # New in round-4 session 2 (no driver row ever): time-series rollups,
-    # prefix-filtered set-similarity join, moment statistics, salted
-    # aggregation, URL/bitwise function families.
-    "q_dedup_prefix_join",
-    "q_ts_ohlc",
-    "q_ts_interval_coverage",
-    "q_ts_twa",
-    "q_ts_streak",
-    "q_agg_moments_corr",
-    "q_agg_salted",
-    "q_fn_url",
-    "q_fn_bitwise",
-    "q_ml_kmeans",
-    "q_ts_anomaly",
-    "q_fn_levenshtein",
-    "q_join_nullsafe",
-    "q_fn_variant",
-    "q_agg_kmv_merge",
-    "q_window_count_distinct",
-    "q_ts_cohort_retention",
-    "q_text_posting_lists",
-    "q_ts_transition_matrix",
-    "q_table_diff",
-    "q_ml_nearest_centroid",
-    "q_join_cooccurrence",
-    "q_ts_paths",
-    "q_setop_union_reconcile",
-    "q_join_temporal",
-    "q_ml_feature_hash",
-    "q_ml_target_encode",
-    "q_ts_cusum",
-    "q_agg_mode",
-    "q_agg_kmv_intersect",
-    "q_join_bloom_portable",
-    "q_fn_json_keys",
-    "q_stream_join_outer",
+    # Round-5 front, block 1: the 12 queries with ZERO driver evidence
+    # (registered after the r4 correctness run; all pass the stricter
+    # local exact-value check).
     "q_window_ignore_nulls",
     "q_fn_try",
     "q_agg_boolean",
@@ -141,15 +87,39 @@ _CHECK_FIRST: list[str] = [
     "q_sql_recursive_cte",
     "q_text_collocations",
     "q_window_time_range",
-    # Implementation touched this round — needs a fresh green row:
-    # short-doc n-gram guard; fused pipeline stats jobs; shared
-    # trade-edge builder.
-    "q_corpus_decontaminate",
-    "q_etl_pipeline_full",
-    "q_etl_pipeline",
-    "q_graph_pagerank",
-    # r1-only evidence block (not sampled since round 1): ETL cleaners,
-    # function families, joins, setops, windows, dedup variants.
+    # Block 2: round-4's two red rows — oracle HUGEINT outputs now CAST to
+    # BIGINT (engine values were already exactly equal); must re-prove.
+    "q_ml_kmeans",
+    "q_ts_cusum",
+    # Block 3: implementation touched this round (scale-posture rewrites:
+    # sketch top-k instead of global row_number; vocab pre-prune; lift
+    # table cutpoint bucketing) — need fresh green rows.
+    "q_agg_kmv_intersect",
+    "q_corpus_vocab_coverage",
+    # --- NEW ROUND-5 QUERIES are appended here as they are added ---
+    "q_ts_ema",
+    "q_ts_holt_linear",
+    "q_ts_resample_interp",
+    "q_ml_roc_auc",
+    "q_ml_confusion_threshold",
+    "q_ml_minmax_scale",
+    "q_agg_hll_portable",
+    "q_agg_tdigest_quantile",
+    "q_agg_reservoir_sample",
+    "q_fn_phonetic",
+    "q_fn_format",
+    "q_text_keyword_extract",
+    "q_text_lang_mix",
+    "q_dedup_spotsigs",
+    "q_join_range_bucket",
+    "q_window_session_gap",
+    "q_graph_label_prop",
+    "q_table_upsert_dedupe",
+    "q_ts_calendar_heatmap",
+    "q_agg_grouped_topk",
+    # Block 4: stalest driver evidence (r1 only, never re-sampled since).
+    # The ~50/round budget cuts somewhere in this block; the remainder
+    # rolls to the round-6 front.
     "q_etl_clean_numeric",
     "q_etl_clean_date",
     "q_etl_impute_median",
@@ -183,10 +153,6 @@ _CHECK_FIRST: list[str] = [
     "q_unpivot_metrics",
     "q_subquery_scalar",
     "q_sql_api_topn",
-    # ---- NOTE: the ~50-entry budget (observed rounds 1-3) is consumed
-    # by the never-checked round-4 entries above; everything below keeps
-    # its prior green row and rolls toward the round-5 front, where the
-    # still-unchecked tail of the session-2 additions goes first. ----
     "q_window_sliding",
     "q_stream_dedup_count",
     "q03_shipping_priority",

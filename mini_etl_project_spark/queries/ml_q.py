@@ -71,8 +71,10 @@ c0 AS (
     parts.append("," + _assign_sql("pts", prev, str(final)))
     parts.append(
         f""",
-csum AS (SELECT cid, SUM(c) AS centroid_sum FROM {prev} GROUP BY cid)
-SELECT a.cid, COUNT(*) AS n_members, SUM(a.dist) AS inertia,
+csum AS (SELECT cid, CAST(SUM(c) AS BIGINT) AS centroid_sum
+         FROM {prev} GROUP BY cid)
+SELECT a.cid, COUNT(*) AS n_members,
+       CAST(SUM(a.dist) AS BIGINT) AS inertia,
        MIN(csum.centroid_sum) AS centroid_sum
 FROM a{final} a JOIN csum ON a.cid = csum.cid
 GROUP BY a.cid"""

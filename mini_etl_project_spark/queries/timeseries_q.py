@@ -485,7 +485,8 @@ dev AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
   FROM obs o JOIN stats t ON o.user_id = t.user_id),
 peaks AS (
-  SELECT user_id, MAX(abs(cusum)) AS peak FROM dev GROUP BY user_id)
+  SELECT user_id, CAST(MAX(abs(cusum)) AS BIGINT) AS peak
+  FROM dev GROUP BY user_id)
 SELECT d.user_id, p.peak AS max_abs_cusum,
        MIN(d.event_id) AS changepoint_event
 FROM dev d JOIN peaks p

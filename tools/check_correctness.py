@@ -46,6 +46,18 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
 
 def duck_run(con: duckdb.DuckDBPyConnection, sql: str):
     rel = con.sql(sql)
+    # The driver canonicalizes DuckDB output through pandas, where HUGEINT
+    # (e.g. SUM over BIGINT) degrades to float64 and hash-mismatches Spark's
+    # int64 even when values are identical.  Our fetchall() path uses Python
+    # ints and provably cannot catch that divergence — so fail at bind time
+    # on any HUGEINT-typed output column.
+    for col, typ in zip(rel.columns, rel.types):
+        if "HUGEINT" in str(typ).upper():
+            raise TypeError(
+                f"oracle output column {col!r} has DuckDB type {typ} — "
+                "pandas canonicalization degrades it to float64; "
+                "CAST it to BIGINT in the oracle SQL"
+            )
     return list(rel.columns), rel.fetchall()
 
 

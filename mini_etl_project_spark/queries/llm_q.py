@@ -609,12 +609,17 @@ def q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     tot = vocab.agg(F.sum("cnt").cast("bigint").alias("__total"))
-    # BOUNDED-INPUT INVARIANT: unpartitioned windows over the aggregated
-    # vocab only (see iterative_q.py gap-fill note).
+    # Vocabulary grows with corpus size, so pre-prune to the top N with a
+    # distributed orderBy+limit (TakeOrdered) BEFORE the rank/cumsum
+    # window. The query filters rank <= N anyway, and rank/cumsum over the
+    # deterministic (cnt desc, token) order depend only on rows at or
+    # above each survivor — so the prune is lossless and the window now
+    # touches a bounded N-row input instead of the full vocab.
+    top = vocab.orderBy(F.desc("cnt"), F.asc("token")).limit(_VOCAB_N)
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
     wc = w.rowsBetween(Window.unboundedPreceding, 0)
     return (
-        vocab.select(
+        top.select(
             "token",
             F.col("cnt").cast("bigint").alias("cnt"),
             F.row_number().over(w).cast("bigint").alias("rank"),

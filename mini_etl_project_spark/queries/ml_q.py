@@ -265,6 +265,29 @@ def q_ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash gate), then per-decile conversion rate against "has a purchase
 # event". The standard lift/gains analysis, all in two keyed passes.
 
+def ntile_from_rank(k: int, rank_col: str, n_col: str) -> F.Column:
+    """NTILE(k) computed arithmetically from a 1-based global rank and the
+    total row count — the distributed replacement for an unpartitioned
+    ntile window. The first (n mod k) tiles hold floor(n/k)+1 rows, the
+    rest floor(n/k); ceil division via (x + d - 1) DIV d, all in exact
+    integer space (greatest(..,1) guards n < k, where the CASE's first
+    branch already covers every row)."""
+    return F.expr(
+        f"""
+        CASE WHEN {rank_col}
+                  <= ({n_col} % {k}) * (({n_col} DIV {k}) + 1)
+             THEN ({rank_col} + ({n_col} DIV {k}))
+                  DIV (({n_col} DIV {k}) + 1)
+             ELSE ({n_col} % {k})
+                  + ({rank_col}
+                     - ({n_col} % {k}) * (({n_col} DIV {k}) + 1)
+                     + greatest({n_col} DIV {k}, 1) - 1)
+                    DIV greatest({n_col} DIV {k}, 1)
+        END
+        """
+    )
+
+
 _LIFT_ORACLE = """
 WITH scored AS (
   SELECT user_id,
@@ -292,11 +315,45 @@ def q_ml_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("converted"),
     )
-    # ntile over the post-aggregate user table (bounded: one row per user
-    # per the unpartitioned-window convention asserted in test_round3).
-    ranked = scored.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy(F.col("score").desc(), "user_id")),
+    # The user table grows with the data, so a global ntile window (single-
+    # partition sort of all users) is the wrong plan at scale. Exact-parity
+    # distributed form: range-repartition on the unique (score desc,
+    # user_id) ordering, derive each partition's rank offset from a tiny
+    # per-partition count table (bounded by the partition count — the only
+    # unpartitioned window sits on that aggregate), then global rank =
+    # offset + keyed local row_number. Because the ordering is total and
+    # unique, the rank — and therefore the NTILE(10) tile, computed
+    # arithmetically from (rank, n) — is identical to the oracle's no
+    # matter where the sampled range boundaries land. localCheckpoint pins
+    # one partitioning so the count pass and the rank pass agree on pids.
+    parts = scored.repartitionByRange(
+        32, F.col("score").desc(), F.col("user_id")
+    )
+    pid_df = parts.withColumn("pid", F.spark_partition_id()).localCheckpoint()
+    counts = pid_df.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    w_prev = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("c").over(w_prev), F.lit(0))
+        .cast("bigint")
+        .alias("off"),
+        F.sum("c").over(w_all).cast("bigint").alias("n_total"),
+    )
+    local_rank = F.row_number().over(
+        Window.partitionBy("pid").orderBy(F.col("score").desc(), "user_id")
+    )
+    ranked_rows = (
+        pid_df.withColumn("lr", local_rank)
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("rank", (F.col("off") + F.col("lr")).cast("bigint"))
+    )
+    ranked = ranked_rows.withColumn(
+        "decile", ntile_from_rank(10, "rank", "n_total").cast("int")
     )
     return ranked.groupBy("decile").agg(
         F.count("*").alias("n_users"),

@@ -564,12 +564,14 @@ def q_agg_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn") <= _KMV_K
     )
     # Stage 2: merge = k smallest distinct hashes across all sketches.
-    merged = (
-        sketches.select("h")
-        .distinct()
-        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+    # orderBy+limit is a distributed TakeOrdered (no global sort), and the
+    # follow-up global agg always emits exactly one row: hk is NULL when
+    # there are fewer than k distinct hashes, matching the oracle's
+    # MAX(CASE WHEN rn = k ...) contract (the est falls back to nd there).
+    merged = sketches.select("h").distinct().orderBy("h").limit(_KMV_K)
+    kth = merged.agg(
+        F.when(F.count("h") == _KMV_K, F.max("h")).alias("hk")
     )
-    kth = merged.filter(F.col("rn") == _KMV_K).select(F.col("h").alias("hk"))
     # Exact global distinct (for the comparison column only).
     nd = h.select("h").distinct().agg(F.count(F.lit(1)).alias("nd"))
     est = F.when(F.col("nd") < _KMV_K, F.col("nd").cast("double")).otherwise(
@@ -663,8 +665,6 @@ FROM common, thetas
 
 @query("q_agg_kmv_intersect", _KMV_INTERSECT_ORACLE)
 def q_agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem")
 
     def side(mod: int) -> DataFrame:
@@ -677,9 +677,11 @@ def q_agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = side(2), side(3)
 
     def sketch(df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            "rn", F.row_number().over(Window.orderBy("h"))
-        ).filter(F.col("rn") <= _KMV_K)
+        # orderBy+limit compiles to TakeOrderedAndProject — a distributed
+        # per-partition top-k then a k-sized merge, never a global sort.
+        # (Min-k is order-insensitive, so this is value-identical to the
+        # oracle's ROW_NUMBER formulation.)
+        return df.orderBy("h").limit(_KMV_K)
 
     ka, kb = sketch(a), sketch(b)
 
@@ -697,12 +699,14 @@ def q_agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(theta_of(b, kb).withColumnRenamed("th", "th2"))
         .select(F.least("th", "th2").alias("theta"))
     )
+    # Global agg (no groupBy) always yields exactly one row, so the final
+    # result keeps the oracle's one-row contract even when no common hash
+    # survives the theta cut (c = 0).
     common = (
         ka.select("h")
         .join(kb.select("h"), "h")
         .crossJoin(F.broadcast(theta))
         .filter(F.col("h") < F.col("theta"))
-        .groupBy("theta")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     counts = (
@@ -712,7 +716,9 @@ def q_agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             a.join(b, "h").agg(F.count(F.lit(1)).alias("exact_intersect"))
         )
     )
-    return counts.crossJoin(F.broadcast(common)).select(
+    return counts.crossJoin(F.broadcast(theta)).crossJoin(
+        F.broadcast(common)
+    ).select(
         "n_a",
         "n_b",
         "exact_intersect",

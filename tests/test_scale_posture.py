@@ -218,3 +218,69 @@ def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
     )
     want = base.filter(F.col("y").between(10, 20)).count()
     assert got == want
+
+
+def test_kmv_sketches_use_takeordered_not_global_window(spark, sf_dir):
+    """Round-5 de-scale-kill (VERDICT r4 #4): the KMV sketch builders must
+    compile to a distributed TakeOrderedAndProject, never a row_number
+    window over the full distinct-key set (single-partition global sort)."""
+    from mini_etl_project_spark.queries import QUERIES
+
+    for name in ("q_agg_kmv_intersect", "q_agg_kmv_merge"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, name
+    # intersect builds both sketches purely via top-k — no window at all
+    plan = (
+        QUERIES["q_agg_kmv_intersect"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+
+
+def test_vocab_coverage_prunes_before_window(spark, sf_dir):
+    """VERDICT r4 #5: the rank/cumsum window must sit on the top-N pruned
+    vocab (TakeOrdered), not on the full corpus vocabulary."""
+    from mini_etl_project_spark.queries import QUERIES
+
+    df = QUERIES["q_corpus_vocab_coverage"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lift_table_has_no_global_ntile(spark, sf_dir):
+    """VERDICT r4 #6: deciles come from range partitions + offset ranks,
+    never an unpartitioned ntile window over all users."""
+    from mini_etl_project_spark.queries import QUERIES
+
+    df = QUERIES["q_ml_lift_table"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan.lower()
+    # the rank window is keyed by the range-partition id (the checkpointed
+    # repartitionByRange shows as Scan ExistingRDD), never unpartitioned
+    assert "windowspecdefinition(pid#" in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_ntile_from_rank_matches_spark_ntile(spark):
+    """Exact-parity proof of the arithmetic NTILE over tricky sizes: n<k,
+    n=k, n%k=0, and every remainder class."""
+    from pyspark.sql import Window
+
+    from mini_etl_project_spark.queries.ml_q import ntile_from_rank
+
+    for n in [1, 3, 7, 10, 20, 23, 29, 97]:
+        df = spark.range(1, n + 1).select(
+            F.col("id").alias("rank"), F.lit(n).cast("bigint").alias("n_total")
+        )
+        got = df.select(
+            "rank", ntile_from_rank(10, "rank", "n_total").alias("d")
+        )
+        want = df.select(
+            "rank", F.ntile(10).over(Window.orderBy("rank")).alias("d")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), n

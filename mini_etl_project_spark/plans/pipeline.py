@@ -193,30 +193,22 @@ class AutoETLPipeline:
             self.cleaning_report[c] = []
         self.data_summary = {}
 
-        # Job 1: profile → logical types (+ total rows, same job).
-        profiles, n_rows = self._profile_with_count(df)
-        self.column_types = {c: profiles[c].logical_type for c in df.columns}
-        for c in df.columns:
-            self.cleaning_report[c].append(
-                f"detected column type: {self.column_types[c]}"
-            )
+        # Single-scan layout (round 5): the profile's expensive parse
+        # expressions ARE the cleaners' values, so both read one persisted
+        # wide projection — raw columns plus per-string-column parse
+        # layers (__pd__ date chain / __pn__ numeric mirror / __nc__ full
+        # numeric cleaner, the last speculative). The profile aggregation
+        # doubles as the cache materializer; the cleaned base re-selects
+        # parsed columns from cache. Net at scale: ONE scan of the source
+        # instead of two, and the 16-format date chain runs once.
+        from mini_etl_project_spark.plans.profile import (
+            NC_PREFIX,
+            PD_PREFIX,
+            prepare_parse_frame,
+            profile_prepared_and_count,
+        )
 
-        # Cleaned-base expressions (pre collapse/merge decisions), evaluated
-        # ONCE into a persisted projection — every downstream stats job and
-        # the final plan read plain columns from it instead of re-running
-        # the parse/regex pipeline per job.
-        base_exprs: dict[str, Column] = {}
-        for c in df.columns:
-            t = self.column_types[c]
-            if t == NUMERIC:
-                base_exprs[c] = clean_numeric(c, compat=self.compat)
-            elif t == DATE:
-                base_exprs[c] = clean_date(c)
-            elif t == CATEGORICAL:
-                base_exprs[c] = clean_categorical_base(c)
-            else:  # text and unknown both take the text cleaner (:255-256)
-                base_exprs[c] = clean_text(c, collapse_whitespace=False)
-        base_df = df.select(*[expr.alias(c) for c, expr in base_exprs.items()])
+        wide, parsed = prepare_parse_frame(df, compat=self.compat)
         if self.cache_intermediate:
             from pyspark import StorageLevel
 
@@ -228,9 +220,42 @@ class AutoETLPipeline:
             for cached in AutoETLPipeline._LIVE_CACHES:
                 cached.unpersist(blocking=True)
             AutoETLPipeline._LIVE_CACHES.clear()
-            base_df = base_df.persist(StorageLevel.MEMORY_AND_DISK)
-            AutoETLPipeline._LIVE_CACHES.append(base_df)
-            self._cached_base = base_df
+            wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
+            AutoETLPipeline._LIVE_CACHES.append(wide)
+            self._cached_base = wide
+
+        # Job 1: profile → logical types (+ total rows, same job); the
+        # action also materializes the persisted wide frame.
+        profiles, n_rows = profile_prepared_and_count(wide, df.columns, parsed)
+        self.column_types = {c: profiles[c].logical_type for c in df.columns}
+        for c in df.columns:
+            self.cleaning_report[c].append(
+                f"detected column type: {self.column_types[c]}"
+            )
+
+        # Cleaned-base expressions over the wide frame: date/numeric
+        # columns read their precomputed parse layer; text/categorical
+        # cleaners are cheap char scans (btrim/nullif/initcap) evaluated
+        # per downstream read of the cache.
+        pset = set(parsed)
+        base_exprs: dict[str, Column] = {}
+        for c in df.columns:
+            t = self.column_types[c]
+            if t == NUMERIC:
+                base_exprs[c] = (
+                    F.col(NC_PREFIX + c)
+                    if c in pset
+                    else clean_numeric(c, compat=self.compat)
+                )
+            elif t == DATE:
+                base_exprs[c] = (
+                    F.col(PD_PREFIX + c) if c in pset else clean_date(c)
+                )
+            elif t == CATEGORICAL:
+                base_exprs[c] = clean_categorical_base(c)
+            else:  # text and unknown both take the text cleaner (:255-256)
+                base_exprs[c] = clean_text(c, collapse_whitespace=False)
+        base_df = wide.select(*[expr.alias(c) for c, expr in base_exprs.items()])
         base: dict[str, Column] = {c: F.col(c) for c in df.columns}
 
         # Jobs 2+3 FUSED into one action: the stacked category/mode groupBy

@@ -96,27 +96,28 @@ _CHECK_FIRST: list[str] = [
     # table cutpoint bucketing) — need fresh green rows.
     "q_agg_kmv_intersect",
     "q_corpus_vocab_coverage",
-    # --- NEW ROUND-5 QUERIES are appended here as they are added ---
+    # --- New round-5 queries (no driver row yet) ---
     "q_ts_ema",
-    "q_ts_holt_linear",
+    "q_ts_autocorr",
     "q_ts_resample_interp",
+    "q_ts_seasonality",
+    "q_ts_session_gap",
     "q_ml_roc_auc",
-    "q_ml_confusion_threshold",
+    "q_ml_confusion",
     "q_ml_minmax_scale",
+    "q_ml_linreg",
     "q_agg_hll_portable",
-    "q_agg_tdigest_quantile",
-    "q_agg_reservoir_sample",
-    "q_fn_phonetic",
-    "q_fn_format",
-    "q_text_keyword_extract",
-    "q_text_lang_mix",
-    "q_dedup_spotsigs",
+    "q_agg_kmv_union",
+    "q_agg_argminmax",
+    "q_agg_heavy_hitters",
+    "q_fn_binary_codec",
+    "q_fn_string_advanced",
+    "q_fn_calendar",
+    "q_text_readability",
+    "q_text_source_diversity",
+    "q_dedup_url_canonical",
     "q_join_range_bucket",
-    "q_window_session_gap",
     "q_graph_label_prop",
-    "q_table_upsert_dedupe",
-    "q_ts_calendar_heatmap",
-    "q_agg_grouped_topk",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

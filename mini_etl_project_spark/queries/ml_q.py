@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mini_etl_project_spark.operators.kmeans import lloyd_fixed_point
+from mini_etl_project_spark.operators.rank import global_rank
 from mini_etl_project_spark.queries import query
 from mini_etl_project_spark.session import load_table
 
@@ -306,8 +307,6 @@ FROM ranked GROUP BY decile
 
 @query("q_ml_lift_table", _LIFT_ORACLE)
 def q_ml_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events")
     scored = e.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("score"),
@@ -316,41 +315,13 @@ def q_ml_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("converted"),
     )
     # The user table grows with the data, so a global ntile window (single-
-    # partition sort of all users) is the wrong plan at scale. Exact-parity
-    # distributed form: range-repartition on the unique (score desc,
-    # user_id) ordering, derive each partition's rank offset from a tiny
-    # per-partition count table (bounded by the partition count — the only
-    # unpartitioned window sits on that aggregate), then global rank =
-    # offset + keyed local row_number. Because the ordering is total and
-    # unique, the rank — and therefore the NTILE(10) tile, computed
-    # arithmetically from (rank, n) — is identical to the oracle's no
-    # matter where the sampled range boundaries land. localCheckpoint pins
-    # one partitioning so the count pass and the rank pass agree on pids.
-    parts = scored.repartitionByRange(
-        32, F.col("score").desc(), F.col("user_id")
-    )
-    pid_df = parts.withColumn("pid", F.spark_partition_id()).localCheckpoint()
-    counts = pid_df.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
-    w_prev = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    w_all = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offsets = counts.select(
-        "pid",
-        F.coalesce(F.sum("c").over(w_prev), F.lit(0))
-        .cast("bigint")
-        .alias("off"),
-        F.sum("c").over(w_all).cast("bigint").alias("n_total"),
-    )
-    local_rank = F.row_number().over(
-        Window.partitionBy("pid").orderBy(F.col("score").desc(), "user_id")
-    )
-    ranked_rows = (
-        pid_df.withColumn("lr", local_rank)
-        .join(F.broadcast(offsets), "pid")
-        .withColumn("rank", (F.col("off") + F.col("lr")).cast("bigint"))
+    # partition sort of all users) is the wrong plan at scale. Distributed
+    # exact form: global_rank (range partitions + broadcast offsets +
+    # keyed row_number; operators/rank.py) over the unique (score desc,
+    # user_id) ordering, then NTILE(10) computed arithmetically from
+    # (rank, n) — value-identical to the oracle's window ntile.
+    ranked_rows = global_rank(
+        scored, [F.col("score").desc(), F.col("user_id").asc()]
     )
     ranked = ranked_rows.withColumn(
         "decile", ntile_from_rank(10, "rank", "n_total").cast("int")

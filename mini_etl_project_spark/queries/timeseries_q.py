@@ -574,3 +574,355 @@ def q_ts_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delay_us"),
         F.when(F.col("p_ts").isNull(), 1).otherwise(0).alias("censored"),
     )
+
+
+# -- Truncated EMA (exponential moving average, fixed-point) ----------------
+#
+# A true EMA is an order-recursive float fold — unreproducible across
+# partitionings and engines. The portable operator: an 8-term truncated
+# EMA with alpha=1/4, all weights scaled to the common denominator 4^7 so
+# the smoothed value is an exact int64 numerator (cents space) divided
+# once at the end. Terms: sum_{i=0..6} 3^i*4^(6-i)*c_{t-i} + 3^7*c_{t-7}
+# (the tail term absorbs the remaining geometric mass, so the weights sum
+# to exactly 4^7). Only rows with a full 8-event history emit. One keyed
+# window per user — scale-safe.
+
+_EMA_DEN = 4**7  # 16384
+_EMA_COEF = [3**i * 4 ** (6 - i) for i in range(7)] + [3**7]
+
+
+def _ema_sql() -> str:
+    terms = []
+    for i, coef in enumerate(_EMA_COEF):
+        src = "cents" if i == 0 else f"LAG(cents, {i}) OVER w"
+        terms.append(f"{coef} * {src}")
+    return f"""
+WITH obs AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS s
+  FROM events),
+lagged AS (
+  SELECT user_id, event_id, {' + '.join(terms)} AS num
+  FROM obs
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id))
+SELECT user_id, event_id, num AS ema_num,
+       CAST(num AS DOUBLE) / {_EMA_DEN * 100}.0 AS ema
+FROM lagged WHERE num IS NOT NULL
+"""
+
+
+@query("q_ts_ema", _ema_sql())
+def q_ts_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_micros("ts").alias("s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    num = F.lit(None).cast("bigint")
+    total = None
+    for i, coef in enumerate(_EMA_COEF):
+        term = F.lit(coef) * (
+            F.col("cents") if i == 0 else F.lag("cents", i).over(w)
+        )
+        total = term if total is None else total + term
+    return (
+        obs.withColumn("num", total)
+        .filter(F.col("num").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.col("num").alias("ema_num"),
+            (F.col("num").cast("double") / F.lit(float(_EMA_DEN * 100))).alias(
+                "ema"
+            ),
+        )
+    )
+
+
+# -- Lag-1 autocorrelation (per series, exact) ------------------------------
+#
+# r1 = sum_{t>=2} (c_t*n - S)(c_{t-1}*n - S) / sum_t (c_t*n - S)^2 — the
+# scaled-integer deviation trick (cents*n - S is exact int64) makes both
+# sums order-independent; products can exceed int64 at large n, so they
+# accumulate in DECIMAL(38,0) (exact in any order in both engines) with
+# ONE double division at the end. One keyed lag window + one grouped agg.
+
+_AUTOCORR_ORACLE = """
+WITH obs AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS s
+  FROM events),
+stats AS (
+  SELECT user_id, SUM(cents) AS tot, COUNT(*) AS n
+  FROM obs GROUP BY user_id),
+dev AS (
+  SELECT o.user_id,
+         o.cents * t.n - t.tot AS d,
+         LAG(o.cents * t.n - t.tot)
+           OVER (PARTITION BY o.user_id ORDER BY o.s, o.event_id) AS dprev
+  FROM obs o JOIN stats t ON o.user_id = t.user_id)
+SELECT user_id,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(d * dprev AS DECIMAL(38,0))) AS DOUBLE)
+            / CAST(SUM(CAST(d * d AS DECIMAL(38,0))) AS DOUBLE)
+            AS DOUBLE) AS r1
+FROM dev
+GROUP BY user_id
+HAVING SUM(CAST(d * d AS DECIMAL(38,0))) <> 0
+"""
+
+
+@query("q_ts_autocorr", _AUTOCORR_ORACLE)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_micros("ts").alias("s"),
+    )
+    stats = obs.groupBy("user_id").agg(
+        F.sum("cents").alias("tot"), F.count("*").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    dev = (
+        obs.join(stats, "user_id")
+        .withColumn("d", F.col("cents") * F.col("n") - F.col("tot"))
+        .withColumn("dprev", F.lag("d").over(w))
+    )
+    dec = "decimal(38,0)"
+    num = F.sum((F.col("d") * F.col("dprev")).cast(dec))
+    den = F.sum((F.col("d") * F.col("d")).cast(dec))
+    return (
+        dev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            (num.cast("double") / den.cast("double")).alias("r1"),
+            den.alias("__den"),
+        )
+        .filter(F.col("__den") != 0)
+        .drop("__den")
+    )
+
+
+# -- Hourly resample with linear interpolation ------------------------------
+#
+# Each user's irregular value series resampled to an hourly grid strictly
+# inside [min_ts, max_ts]: union the grid points with the observations,
+# bracket every grid point with its neighbors via last/first IGNORE NULLS
+# over two keyed windows, and interpolate with a single fixed expression
+# tree (int64 microsecond gaps; one divide — bit-identical both engines).
+# Grid size is bounded by the series' time span, never by row count.
+
+_RESAMPLE_ORACLE = """
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+spans AS (
+  SELECT user_id, MIN(s) AS lo, MAX(s) AS hi FROM obs GROUP BY user_id),
+grid AS (
+  SELECT user_id, g AS s
+  FROM spans,
+       LATERAL unnest(generate_series(
+         (lo // 3600000000 + 1) * 3600000000,
+         (hi // 3600000000) * 3600000000,
+         3600000000)) t(g)),
+u AS (
+  SELECT user_id, s, cents, 0 AS is_grid FROM obs
+  UNION ALL
+  SELECT user_id, s, NULL, 1 FROM grid),
+br AS (
+  SELECT user_id, s, is_grid,
+         LAST_VALUE(cents IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY s, is_grid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+         LAST_VALUE(CASE WHEN cents IS NOT NULL THEN s END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY s, is_grid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+         FIRST_VALUE(cents IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY s, is_grid
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+         FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN s END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY s, is_grid
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ns
+  FROM u)
+SELECT user_id, s AS grid_us,
+       CASE WHEN ns = ps THEN CAST(pc AS DOUBLE)
+            ELSE CAST(pc AS DOUBLE)
+                 + (CAST(nc AS DOUBLE) - CAST(pc AS DOUBLE))
+                   * (CAST(s - ps AS DOUBLE) / CAST(ns - ps AS DOUBLE))
+       END / 100.0 AS v
+FROM br WHERE is_grid = 1
+"""
+
+_HOUR_US = 3_600_000_000
+
+
+@query("q_ts_resample_interp", _RESAMPLE_ORACLE)
+def q_ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    spans = obs.groupBy("user_id").agg(
+        F.min("s").alias("lo"), F.max("s").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                (F.col("lo") / _HOUR_US).cast("bigint") * _HOUR_US + _HOUR_US,
+                (F.col("hi") / _HOUR_US).cast("bigint") * _HOUR_US,
+                F.lit(_HOUR_US),
+            )
+        ).alias("s"),
+    )
+    u = obs.withColumn("is_grid", F.lit(0)).unionByName(
+        grid.select(
+            "user_id",
+            "s",
+            F.lit(None).cast("bigint").alias("cents"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "is_grid")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_s = F.when(F.col("cents").isNotNull(), F.col("s"))
+    br = u.select(
+        "user_id",
+        "s",
+        "is_grid",
+        F.last("cents", ignorenulls=True).over(wb).alias("pc"),
+        F.last(obs_s, ignorenulls=True).over(wb).alias("ps"),
+        F.first("cents", ignorenulls=True).over(wf).alias("nc"),
+        F.first(obs_s, ignorenulls=True).over(wf).alias("ns"),
+    )
+    interp = F.when(
+        F.col("ns") == F.col("ps"), F.col("pc").cast("double")
+    ).otherwise(
+        F.col("pc").cast("double")
+        + (F.col("nc").cast("double") - F.col("pc").cast("double"))
+        * (
+            (F.col("s") - F.col("ps")).cast("double")
+            / (F.col("ns") - F.col("ps")).cast("double")
+        )
+    )
+    return br.filter(F.col("is_grid") == 1).select(
+        "user_id",
+        F.col("s").alias("grid_us"),
+        (interp / F.lit(100.0)).alias("v"),
+    )
+
+
+# -- Hour-of-day seasonality profile ----------------------------------------
+#
+# Per (event_type, hour-of-day): event count, exact-decimal mean value,
+# and the hour's share of the type's total — the seasonal-index /
+# diurnal-profile primitive. Two keyed aggregations (hour stats + type
+# totals) and a broadcast-sized join; output bounded at 24 x #types.
+
+_SEASONALITY_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+         COUNT(*) AS n,
+         {sql_dsum('value', 'sum_value')}
+  FROM events GROUP BY event_type, hour),
+tot AS (
+  SELECT event_type, SUM(n) AS tn FROM hourly GROUP BY event_type)
+SELECT h.event_type, h.hour, h.n, h.sum_value,
+       CAST(h.sum_value / h.n AS DOUBLE) AS mean_value,
+       CAST(h.n AS DOUBLE) / t.tn AS hour_share
+FROM hourly h JOIN tot t ON h.event_type = t.event_type
+"""
+
+
+@query("q_ts_seasonality", _SEASONALITY_ORACLE)
+def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.hour("ts").alias("hour")
+    ).agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+    tot = hourly.groupBy("event_type").agg(F.sum("n").alias("tn"))
+    return hourly.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hour",
+        "n",
+        "sum_value",
+        (F.col("sum_value") / F.col("n")).alias("mean_value"),
+        (F.col("n").cast("double") / F.col("tn")).alias("hour_share"),
+    )
+
+
+# -- Gap-rule sessionization (batch) ----------------------------------------
+#
+# The batch twin of the streaming session window (Q32): a new session
+# starts when the gap since the previous event exceeds 30 minutes; the
+# session id is the user's session ordinal (keyed lag + keyed running
+# sum); per-session aggregates follow. Everything is keyed by user —
+# scale-safe at any row count.
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_SESSION_GAP_ORACLE = f"""
+WITH obs AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+flagged AS (
+  SELECT *, CASE WHEN s - LAG(s) OVER w > {_SESSION_GAP_US}
+                   OR LAG(s) OVER w IS NULL
+                 THEN 1 ELSE 0 END AS is_new
+  FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+sessions AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+  FROM flagged)
+SELECT user_id, CAST(sess AS BIGINT) AS sess,
+       COUNT(*) AS n_events,
+       MIN(s) AS start_us, MAX(s) AS end_us,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM sessions GROUP BY user_id, sess
+"""
+
+
+@query("q_ts_session_gap", _SESSION_GAP_ORACLE)
+def q_ts_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("s").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("s") - prev) > _SESSION_GAP_US), 1
+    ).otherwise(0)
+    sess = (
+        obs.withColumn("is_new", is_new)
+        .withColumn("sess", F.sum("is_new").over(wsum).cast("bigint"))
+    )
+    return sess.groupBy("user_id", "sess").agg(
+        F.count("*").alias("n_events"),
+        F.min("s").alias("start_us"),
+        F.max("s").alias("end_us"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )

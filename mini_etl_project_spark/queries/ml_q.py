@@ -333,3 +333,256 @@ def q_ml_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_rate"
         ),
     )
+
+
+# -- ROC AUC (exact, distributed rank-sum) ----------------------------------
+#
+# AUC via the Mann-Whitney U statistic with exact tie handling: rank all
+# scores ascending with a UNIQUE (score, user_id) ordering through the
+# distributed global_rank operator (range partitions + offsets — no
+# global sort), then collapse ties per score group: the tie-average rank
+# times the group's positives is exactly pos_g*(min_rank+max_rank)/2.
+# Everything stays integer until the single final division:
+# AUC = (2*R+ - n_pos*(n_pos+1)) / (2*n_pos*n_neg).
+
+_AUC_ORACLE = """
+WITH scored AS (
+  SELECT user_id,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS score,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 12 THEN 1 ELSE 0 END AS pos
+  FROM events GROUP BY user_id),
+ranked AS (
+  SELECT score, pos,
+         ROW_NUMBER() OVER (ORDER BY score, user_id) AS r
+  FROM scored),
+grp AS (
+  SELECT score, MIN(r) AS minr, MAX(r) AS maxr, SUM(pos) AS pos_g
+  FROM ranked GROUP BY score),
+agg AS (
+  SELECT CAST(SUM(pos_g * (minr + maxr)) AS BIGINT) AS r2,
+         CAST(SUM(pos_g) AS BIGINT) AS n_pos,
+         CAST(SUM(maxr - minr + 1) - SUM(pos_g) AS BIGINT) AS n_neg
+  FROM grp)
+SELECT n_pos, n_neg,
+       CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+         / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+FROM agg
+"""
+
+
+@query("q_ml_roc_auc", _AUC_ORACLE)
+def q_ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    scored = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("score"),
+        F.when(
+            F.sum((F.col("event_type") == "purchase").cast("long")) >= 12, 1
+        )
+        .otherwise(0)
+        .alias("pos"),
+    )
+    ranked = global_rank(
+        scored, [F.col("score").asc(), F.col("user_id").asc()], rank_col="r"
+    )
+    grp = ranked.groupBy("score").agg(
+        F.min("r").alias("minr"),
+        F.max("r").alias("maxr"),
+        F.sum("pos").alias("pos_g"),
+    )
+    agg = grp.agg(
+        F.sum(F.col("pos_g") * (F.col("minr") + F.col("maxr")))
+        .cast("bigint")
+        .alias("r2"),
+        F.sum("pos_g").cast("bigint").alias("n_pos"),
+        (F.sum(F.col("maxr") - F.col("minr") + 1) - F.sum("pos_g"))
+        .cast("bigint")
+        .alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+                "double"
+            )
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
+# -- Threshold confusion matrix + precision/recall/F1 -----------------------
+#
+# The standard binary-classification evaluation at a fixed decision
+# threshold over the per-user spend score. Pure aggregates: one keyed
+# groupBy to score users, one global agg for the four cells, ratios as
+# single divisions (deterministic). F1 computed from integer cells:
+# 2TP / (2TP + FP + FN) — one division, no chained float ratios.
+
+_CONFUSION_THRESHOLD = 500_000  # cents
+
+_CONFUSION_ORACLE = f"""
+WITH scored AS (
+  SELECT user_id,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS score,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 12 THEN 1 ELSE 0 END AS y
+  FROM events GROUP BY user_id),
+cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN score >= {_CONFUSION_THRESHOLD} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN score >= {_CONFUSION_THRESHOLD} AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN score < {_CONFUSION_THRESHOLD} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN score < {_CONFUSION_THRESHOLD} AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM scored)
+SELECT tp, fp, fn, tn,
+       CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0) AS precision,
+       CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0) AS recall,
+       CAST(2 * tp AS DOUBLE) / NULLIF(2 * tp + fp + fn, 0) AS f1
+FROM cells
+"""
+
+
+@query("q_ml_confusion", _CONFUSION_ORACLE)
+def q_ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    scored = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("score"),
+        F.when(
+            F.sum((F.col("event_type") == "purchase").cast("long")) >= 12, 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    hit = F.col("score") >= _CONFUSION_THRESHOLD
+    cells = scored.agg(
+        F.sum((hit & (F.col("y") == 1)).cast("long")).alias("tp"),
+        F.sum((hit & (F.col("y") == 0)).cast("long")).alias("fp"),
+        F.sum((~hit & (F.col("y") == 1)).cast("long")).alias("fn"),
+        F.sum((~hit & (F.col("y") == 0)).cast("long")).alias("tn"),
+    )
+    nz = lambda c: F.when(c != 0, c)  # noqa: E731
+    return cells.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (F.col("tp").cast("double") / nz(F.col("tp") + F.col("fp"))).alias(
+            "precision"
+        ),
+        (F.col("tp").cast("double") / nz(F.col("tp") + F.col("fn"))).alias(
+            "recall"
+        ),
+        (
+            (2 * F.col("tp")).cast("double")
+            / nz(2 * F.col("tp") + F.col("fp") + F.col("fn"))
+        ).alias("f1"),
+    )
+
+
+# -- Grouped min-max feature scaling ----------------------------------------
+#
+# (x - min) / (max - min) per market segment — the feature-normalization
+# primitive. One keyed agg for the per-group extrema (broadcast-sized),
+# one broadcast join, one projection; a single division per row keeps the
+# scaled value bit-identical in both engines.
+
+_MINMAX_ORACLE = """
+WITH ext AS (
+  SELECT c_mktsegment, MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+  FROM customer GROUP BY c_mktsegment)
+SELECT c.c_custkey, c.c_mktsegment,
+       CASE WHEN e.hi = e.lo THEN 0.5
+            ELSE (c.c_acctbal - e.lo) / (e.hi - e.lo) END AS scaled
+FROM customer c JOIN ext e ON c.c_mktsegment = e.c_mktsegment
+"""
+
+
+@query("q_ml_minmax_scale", _MINMAX_ORACLE)
+def q_ml_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    ext = c.groupBy("c_mktsegment").agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    scaled = F.when(F.col("hi") == F.col("lo"), F.lit(0.5)).otherwise(
+        (F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    )
+    return c.join(F.broadcast(ext), "c_mktsegment").select(
+        "c_custkey", "c_mktsegment", scaled.alias("scaled")
+    )
+
+
+# -- Grouped closed-form OLS (slope/intercept/R^2) --------------------------
+#
+# Simple linear regression of price (cents) on quantity (units) per
+# return flag, via the closed-form normal equations. Determinism trap
+# avoided: casting SQUARED doubles to DECIMAL rounds differently across
+# engines (half-up vs half-even at the 6th decimal) — so both variables
+# are quantized to exact int64 FIRST (units, cents) and every power sum
+# accumulates integer products in DECIMAL(38,0), exact in any order.
+# slope/intercept/R^2 are then fixed double expression trees over those
+# exact sums. One grouped aggregate, no iteration — pure map-side
+# combine, the shape a 100 TB regression needs.
+
+_LINREG_ORACLE = """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+  FROM q GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         AS slope,
+       (CAST(sy AS DOUBLE)
+        - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * CAST(sx AS DOUBLE)) / n AS intercept,
+       ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+         / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS r2
+FROM s
+"""
+
+
+@query("q_ml_linreg", _LINREG_ORACLE)
+def q_ml_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    q = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    dec = "decimal(38,0)"
+    s = q.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum((F.col("y").cast(dec) * F.col("y").cast(dec))).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return s.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        ((cov_n * cov_n) / (var_x * var_y)).alias("r2"),
+    )

@@ -910,3 +910,297 @@ def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (var * var)
         ).alias("kurtosis"),
     )
+
+
+# -- Portable HyperLogLog (64 registers, integer-exact harmonic sum) -------
+#
+# A from-scratch HLL whose ESTIMATE is oracle-exact: bucket = top 6 bits
+# of the portable 60-bit hash, rho = leading-zero rank of the remaining
+# 54 bits (via the binary-string length — both engines print bigints
+# without leading zeros), register = max rho per bucket. The harmonic
+# denominator sum(2^-M_j) is scaled by 2^55 so it accumulates as an exact
+# int64 (64 buckets x 2^55 = 2^61), leaving ONE double division in the
+# estimate. Empty buckets ride a 64-row spine (right join + M=0).
+# Register build is one keyed groupBy over distinct hashes — at 100 TB
+# the sketch is still 64 rows.
+
+_HLL_P = 6
+_HLL_M = 1 << _HLL_P  # 64
+_HLL_WBITS = 60 - _HLL_P  # 54
+_HLL_ALPHA = 0.709  # standard alpha_m for m = 64
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT {_sql_hash60("CAST(l_partkey AS VARCHAR)")} AS h
+  FROM lineitem),
+reg AS (
+  SELECT h // {1 << _HLL_WBITS} AS bucket,
+         MAX(CASE WHEN h % {1 << _HLL_WBITS} = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(h % {1 << _HLL_WBITS}))
+             END) AS m
+  FROM h GROUP BY bucket),
+spine AS (
+  SELECT g AS bucket FROM generate_series(0, {_HLL_M - 1}) t(g)),
+regs AS (
+  SELECT s.bucket, COALESCE(reg.m, 0) AS m
+  FROM spine s LEFT JOIN reg ON s.bucket = reg.bucket),
+den AS (
+  SELECT CAST(SUM(CAST(2 AS BIGINT) ** ({_HLL_WBITS + 1} - m)) AS BIGINT)
+           AS s2,
+         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_empty
+  FROM regs)
+SELECT {_HLL_M} AS m,
+       (SELECT COUNT(*) FROM h) AS exact_distinct,
+       n_empty,
+       {_HLL_ALPHA} * {_HLL_M * _HLL_M} * {float(1 << (_HLL_WBITS + 1))}
+         / CAST(s2 AS DOUBLE) AS raw_est
+FROM den
+"""
+
+
+@query("q_agg_hll_portable", _HLL_ORACLE)
+def q_agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        li.select(hash60(F.col("l_partkey").cast("string")).alias("h"))
+        .distinct()
+    )
+    w = F.col("h") % (1 << _HLL_WBITS)
+    rho = F.when(w == 0, _HLL_WBITS + 1).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    reg = h.groupBy(
+        (F.col("h") / (1 << _HLL_WBITS)).cast("bigint").alias("bucket")
+    ).agg(F.max(rho).alias("m"))
+    spine = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    regs = spine.join(F.broadcast(reg), "bucket", "left").select(
+        "bucket", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    den = regs.agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - m)")
+        )
+        .cast("bigint")
+        .alias("s2"),
+        F.sum((F.col("m") == 0).cast("long")).cast("bigint").alias("n_empty"),
+    )
+    exact = h.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    return den.crossJoin(F.broadcast(exact)).select(
+        F.lit(_HLL_M).alias("m"),
+        "exact_distinct",
+        "n_empty",
+        (
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_WBITS + 1)))
+            / F.col("s2").cast("double")
+        ).alias("raw_est"),
+    )
+
+
+# -- KMV sketch UNION estimate (theta-sketch style) -------------------------
+#
+# Distinct |A ∪ B| from two 64-row sketches: cut the union of sketch
+# hashes at theta = min(theta_A, theta_B) and scale by 2^60/theta. The
+# companion of q_agg_kmv_intersect — together they give sketch-space
+# set algebra (|A ∩ B|, |A ∪ B|, Jaccard) with bounded state. Sketches
+# build via distributed TakeOrdered (orderBy+limit), never a global
+# window.
+
+_KMV_UNION_ORACLE = f"""
+WITH a AS (
+  SELECT DISTINCT {_sql_hash60("CAST(l_partkey AS VARCHAR)")} AS h
+  FROM lineitem WHERE l_suppkey % 2 = 0),
+b AS (
+  SELECT DISTINCT {_sql_hash60("CAST(l_partkey AS VARCHAR)")} AS h
+  FROM lineitem WHERE l_suppkey % 3 = 0),
+ka AS (SELECT h FROM a ORDER BY h LIMIT {_KMV_K}),
+kb AS (SELECT h FROM b ORDER BY h LIMIT {_KMV_K}),
+thetas AS (
+  SELECT LEAST(
+    CASE WHEN (SELECT COUNT(*) FROM a) >= {_KMV_K}
+         THEN (SELECT MAX(h) FROM ka) ELSE {1 << 60} END,
+    CASE WHEN (SELECT COUNT(*) FROM b) >= {_KMV_K}
+         THEN (SELECT MAX(h) FROM kb) ELSE {1 << 60} END) AS theta),
+uni AS (
+  SELECT COUNT(*) AS c FROM (
+    SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)),
+    thetas
+  WHERE h < theta)
+SELECT (SELECT COUNT(*) FROM (SELECT h FROM a UNION SELECT h FROM b))
+         AS exact_union,
+       uni.c AS sketch_c,
+       CAST(uni.c AS DOUBLE) * {float(1 << 60)} / thetas.theta AS est_union
+FROM uni, thetas
+"""
+
+
+@query("q_agg_kmv_union", _KMV_UNION_ORACLE)
+def q_agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def side(mod: int) -> DataFrame:
+        return (
+            li.filter(F.col("l_suppkey") % mod == 0)
+            .select(hash60(F.col("l_partkey").cast("string")).alias("h"))
+            .distinct()
+        )
+
+    a, b = side(2), side(3)
+    ka, kb = a.orderBy("h").limit(_KMV_K), b.orderBy("h").limit(_KMV_K)
+
+    def theta_of(df: DataFrame, sk: DataFrame) -> DataFrame:
+        n = df.agg(F.count(F.lit(1)).alias("n"))
+        mx = sk.agg(F.max("h").alias("mx"))
+        return n.crossJoin(mx).select(
+            F.when(F.col("n") >= _KMV_K, F.col("mx"))
+            .otherwise(F.lit(1 << 60))
+            .alias("th")
+        )
+
+    theta = (
+        theta_of(a, ka)
+        .crossJoin(theta_of(b, kb).withColumnRenamed("th", "th2"))
+        .select(F.least("th", "th2").alias("theta"))
+    )
+    uni = (
+        ka.unionByName(kb)
+        .distinct()
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("sketch_c"))
+    )
+    exact = a.unionByName(b).distinct().agg(
+        F.count(F.lit(1)).alias("exact_union")
+    )
+    return (
+        exact.crossJoin(F.broadcast(uni))
+        .crossJoin(F.broadcast(theta))
+        .select(
+            "exact_union",
+            "sketch_c",
+            (
+                F.col("sketch_c").cast("double")
+                * F.lit(float(1 << 60))
+                / F.col("theta")
+            ).alias("est_union"),
+        )
+    )
+
+
+# -- Deterministic arg-min/arg-max aggregates -------------------------------
+#
+# min_by/max_by with PINNED tie-breaks (native arg aggregates pick an
+# arbitrary winner on ties and can never pass a hash gate): the winner is
+# the lexicographic min/max of a (measure, tie-key) struct — one grouped
+# aggregate, order-independent. Emits, per event type: the top/bottom
+# event by value and the first/last event by time.
+
+_ARGMINMAX_ORACLE = """
+WITH obs AS (
+  SELECT event_type, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS s
+  FROM events),
+mx AS (
+  SELECT o.event_type, MAX(cents) AS max_cents
+  FROM obs o GROUP BY o.event_type),
+mxid AS (
+  SELECT o.event_type, MIN(o.event_id) AS max_event_id
+  FROM obs o JOIN mx ON o.event_type = mx.event_type
+                    AND o.cents = mx.max_cents
+  GROUP BY o.event_type),
+mn AS (
+  SELECT o.event_type, MIN(cents) AS min_cents
+  FROM obs o GROUP BY o.event_type),
+mnid AS (
+  SELECT o.event_type, MIN(o.event_id) AS min_event_id
+  FROM obs o JOIN mn ON o.event_type = mn.event_type
+                    AND o.cents = mn.min_cents
+  GROUP BY o.event_type),
+ft AS (
+  SELECT event_type, MIN(s) AS first_s, MAX(s) AS last_s
+  FROM obs GROUP BY event_type),
+fid AS (
+  SELECT o.event_type, MIN(o.event_id) AS first_event_id
+  FROM obs o JOIN ft ON o.event_type = ft.event_type AND o.s = ft.first_s
+  GROUP BY o.event_type),
+lid AS (
+  SELECT o.event_type, MIN(o.event_id) AS last_event_id
+  FROM obs o JOIN ft ON o.event_type = ft.event_type AND o.s = ft.last_s
+  GROUP BY o.event_type)
+SELECT mx.event_type, mx.max_cents, mxid.max_event_id,
+       mn.min_cents, mnid.min_event_id,
+       fid.first_event_id, lid.last_event_id
+FROM mx
+JOIN mxid ON mx.event_type = mxid.event_type
+JOIN mn ON mx.event_type = mn.event_type
+JOIN mnid ON mx.event_type = mnid.event_type
+JOIN fid ON mx.event_type = fid.event_type
+JOIN lid ON mx.event_type = lid.event_type
+"""
+
+
+@query("q_agg_argminmax", _ARGMINMAX_ORACLE)
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_micros("ts").alias("s"),
+    )
+    # struct extrema: ties on the measure resolve by the SECOND field;
+    # negating the tie key flips min<->max so the winner is always the
+    # smallest event_id, matching the oracle's MIN() pin.
+    return obs.groupBy("event_type").agg(
+        F.max("cents").alias("max_cents"),
+        (-F.max(F.struct(F.col("cents"), (-F.col("event_id")).alias("neg")))[
+            "neg"
+        ]).alias("max_event_id"),
+        F.min("cents").alias("min_cents"),
+        F.min(F.struct(F.col("cents"), F.col("event_id")))["event_id"].alias(
+            "min_event_id"
+        ),
+        F.min(F.struct(F.col("s"), F.col("event_id")))["event_id"].alias(
+            "first_event_id"
+        ),
+        (-F.max(F.struct(F.col("s"), (-F.col("event_id")).alias("neg")))[
+            "neg"
+        ]).alias("last_event_id"),
+    )
+
+
+# -- Exact phi-heavy hitters -------------------------------------------------
+#
+# Keys whose frequency exceeds 1.02x the mean — the exact two-aggregate
+# form (per-key counts, then a broadcast global total) that a space-
+# saving/CMS sketch approximates. Map-side combine + one 1-row broadcast;
+# no sort, no window.
+
+_HEAVY_ORACLE = """
+WITH c AS (
+  SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey),
+t AS (SELECT SUM(n) AS tot, COUNT(*) AS k FROM c)
+SELECT c.l_suppkey, c.n,
+       CAST(c.n AS DOUBLE) * t.k / t.tot AS lift
+FROM c, t
+WHERE c.n * t.k > t.tot * 1.02
+"""
+
+
+@query("q_agg_heavy_hitters", _HEAVY_ORACLE)
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_suppkey").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("tot"), F.count(F.lit(1)).alias("k"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(F.col("n") * F.col("k") > F.col("tot") * 1.02)
+        .select(
+            "l_suppkey",
+            "n",
+            (F.col("n").cast("double") * F.col("k") / F.col("tot")).alias(
+                "lift"
+            ),
+        )
+    )

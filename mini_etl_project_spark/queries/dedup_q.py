@@ -240,3 +240,114 @@ def q_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_rows(corpus, "id", "text", k=5)
     cand = prefix_filter_pairs(sh, threshold=0.5)
     return jaccard_pairs(sh, candidates=cand, threshold=0.5)
+
+
+# -- URL canonicalization dedup ---------------------------------------------
+#
+# Web-crawl dedup's first line of defense: two syntactic variants of the
+# same resource (case-shifted scheme/host, tracking params, fragments,
+# unordered query strings) must collapse to ONE canonical key before any
+# content hashing. Canonicalization is a stateless expression chain —
+# lowercase scheme+host, drop the fragment, strip utm_* params, sort the
+# survivors — so the dedup is a single keyed groupBy at any scale. The
+# messy variants are built deterministically from the part table (two
+# per part), and the oracle re-derives the same canonical form in SQL:
+# the collapse 2->1 per part is the property under test.
+
+_URL_CANON_ORACLE = """
+WITH variants AS (
+  SELECT p_partkey, 0 AS variant,
+         'https://shop.example.com/p/' || p_partkey || '?color='
+           || lower(split_part(p_name, ' ', 1)) AS url
+  FROM part
+  UNION ALL
+  SELECT p_partkey, 1,
+         'HTTPS://Shop.Example.COM/p/' || p_partkey
+           || '?utm_source=mail&color=' || lower(split_part(p_name, ' ', 1))
+           || '&utm_campaign=x#frag'
+  FROM part),
+parsed AS (
+  SELECT p_partkey, variant,
+         regexp_replace(url, '#.*$', '') AS nofrag
+  FROM variants),
+split_q AS (
+  SELECT p_partkey, variant,
+         regexp_extract(nofrag, '^([^?]*)', 1) AS base,
+         regexp_extract(nofrag, '\\?(.*)$', 1) AS q
+  FROM parsed),
+canon AS (
+  SELECT p_partkey, variant,
+         lower(regexp_extract(base, '^([a-zA-Z]+://[^/]*)', 1))
+           || substr(base,
+                     length(regexp_extract(base, '^([a-zA-Z]+://[^/]*)', 1))
+                     + 1)
+           || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon_url
+  FROM (
+    SELECT *, array_to_string(
+                list_sort(list_filter(string_split(q, '&'),
+                                      x -> x NOT LIKE 'utm_%')), '&') AS cq
+    FROM split_q))
+SELECT canon_url, COUNT(*) AS n_variants,
+       CAST(MIN(variant) AS INT) AS kept_variant
+FROM canon GROUP BY canon_url
+"""
+
+
+@query("q_dedup_url_canonical", _URL_CANON_ORACLE)
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    color = F.lower(F.split_part("p_name", F.lit(" "), F.lit(1)))
+    clean = F.concat(
+        F.lit("https://shop.example.com/p/"),
+        F.col("p_partkey").cast("string"),
+        F.lit("?color="),
+        color,
+    )
+    messy = F.concat(
+        F.lit("HTTPS://Shop.Example.COM/p/"),
+        F.col("p_partkey").cast("string"),
+        F.lit("?utm_source=mail&color="),
+        color,
+        F.lit("&utm_campaign=x#frag"),
+    )
+    variants = p.select(
+        "p_partkey", F.lit(0).alias("variant"), clean.alias("url")
+    ).unionByName(
+        p.select("p_partkey", F.lit(1).alias("variant"), messy.alias("url"))
+    )
+    nofrag = F.regexp_replace("url", r"#.*$", "")
+    parsed = variants.select(
+        "p_partkey", "variant", nofrag.alias("nofrag")
+    ).select(
+        "p_partkey",
+        "variant",
+        F.regexp_extract("nofrag", r"^([^?]*)", 1).alias("base"),
+        F.regexp_extract("nofrag", r"\?(.*)$", 1).alias("q"),
+    )
+    hostp = F.regexp_extract("base", r"^([a-zA-Z]+://[^/]*)", 1)
+    cq = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split("q", "&"),
+                lambda x: ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canon = parsed.select(
+        "p_partkey",
+        "variant",
+        F.concat(
+            F.lower(hostp),
+            F.expr(
+                "substr(base,"
+                " length(regexp_extract(base, '^([a-zA-Z]+://[^/]*)', 1))"
+                " + 1)"
+            ),
+            F.when(cq == "", F.lit("")).otherwise(F.concat(F.lit("?"), cq)),
+        ).alias("canon_url"),
+    )
+    return canon.groupBy("canon_url").agg(
+        F.count("*").alias("n_variants"),
+        F.min("variant").cast("int").alias("kept_variant"),
+    )

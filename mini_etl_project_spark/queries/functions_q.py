@@ -595,3 +595,105 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").cast("string"), F.lit("9")
         ).cast("int").alias("good_cast"),
     )
+
+
+# -- Binary codecs: base64 / hex roundtrips ---------------------------------
+#
+# Stateless projections (perfectly scan-parallel); the roundtrip column
+# proves decode(unbase64(base64(x))) is the identity inside the engine,
+# not just that two encoders happen to agree.
+
+_BINARY_CODEC_ORACLE = """
+SELECT p_partkey,
+       base64(encode(p_name)) AS b64,
+       hex(p_name) AS hx,
+       decode(from_base64(base64(encode(p_name)))) = p_name AS roundtrip_ok
+FROM part
+"""
+
+
+@query("q_fn_binary_codec", _BINARY_CODEC_ORACLE)
+def q_fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    enc = F.encode("p_name", "UTF-8")
+    return p.select(
+        "p_partkey",
+        F.base64(enc).alias("b64"),
+        F.hex("p_name").alias("hx"),
+        (F.decode(F.unbase64(F.base64(enc)), "UTF-8") == F.col("p_name")).alias(
+            "roundtrip_ok"
+        ),
+    )
+
+
+# -- Advanced string functions ----------------------------------------------
+#
+# split_part / translate / lpad / rpad / repeat / reverse — the string-
+# manipulation surface beyond the basic trim/case family (q_fn_string).
+# All stateless JVM-side expressions.
+
+_STRING_ADV_ORACLE = """
+SELECT p_partkey,
+       split_part(p_type, ' ', 2) AS type_mid,
+       translate(p_brand, '#', '-') AS brand_dash,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+       rpad(p_mfgr_short, 6, '.') AS mfgr_pad,
+       repeat(substr(p_name, 1, 2), 2) AS name2x2,
+       reverse(p_brand) AS brand_rev
+FROM (SELECT *, substr(p_brand, 1, 5) AS p_mfgr_short FROM part)
+"""
+
+
+@query("q_fn_string_advanced", _STRING_ADV_ORACLE)
+def q_fn_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "p_mfgr_short", F.substring("p_brand", 1, 5)
+    )
+    return p.select(
+        "p_partkey",
+        F.split_part("p_type", F.lit(" "), F.lit(2)).alias("type_mid"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.rpad("p_mfgr_short", 6, ".").alias("mfgr_pad"),
+        F.repeat(F.substring("p_name", 1, 2), 2).alias("name2x2"),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
+# -- Calendar arithmetic -----------------------------------------------------
+#
+# month truncation, last-day, quarter, ISO week / ISO weekday, and
+# month-shift with end-of-month clamping — the calendar surface a
+# time-partitioned warehouse leans on. (Engine parity notes: Spark
+# weekday()+1 == DuckDB isodow; DATE + INTERVAL in DuckDB yields a
+# timestamp, cast back to DATE; both engines clamp Jan 31 + 1 month to
+# Feb 28.)
+
+_CALENDAR_ORACLE = """
+SELECT o_orderkey,
+       date_trunc('month', o_orderdate) AS month_start,
+       last_day(o_orderdate) AS month_end,
+       quarter(o_orderdate) AS qtr,
+       weekofyear(o_orderdate) AS iso_week,
+       isodow(o_orderdate) AS iso_dow,
+       CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+       datediff('day', DATE '2020-01-01', o_orderdate) AS days_since_2020
+FROM orders
+"""
+
+
+@query("q_fn_calendar", _CALENDAR_ORACLE)
+def q_fn_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.add_months("o_orderdate", 1).alias("next_month"),
+        F.datediff("o_orderdate", F.lit("2020-01-01").cast("date")).alias(
+            "days_since_2020"
+        ),
+    )

@@ -323,3 +323,97 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return member.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+# -- Label propagation (community detection, 3 synchronous rounds) ----------
+#
+# Min-label propagation over the bipartite customer—supplier trade graph
+# (distinct (cust, supp) pairs from orders x lineitem; node ids disjoint
+# via 2k / 2k+1). Each round every node takes the min of its own and its
+# neighbors' labels — a keyed join + groupBy per round, the same
+# shuffle-bounded shape as the connected-components operator
+# (operators/dedup.py) but with a FIXED round count so the oracle can
+# replay it as unrolled SQL. localCheckpoint between rounds cuts lineage
+# the way a long-running 100 TB iteration must.
+
+_LP_ROUNDS = 3
+
+
+def _label_prop_oracle() -> str:
+    parts = [
+        """
+WITH e0 AS (
+  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_linenumber = 1 AND l.l_quantity <= 3),
+edges AS (
+  SELECT u AS src, v AS dst FROM e0
+  UNION ALL SELECT v, u FROM e0),
+l0 AS (
+  SELECT DISTINCT src AS id, src AS lbl FROM edges)"""
+    ]
+    for k in range(1, _LP_ROUNDS + 1):
+        parts.append(
+            f""",
+l{k} AS (
+  SELECT l.id, LEAST(l.lbl, COALESCE(MIN(ln.lbl), l.lbl)) AS lbl
+  FROM l{k - 1} l
+  LEFT JOIN edges e ON e.src = l.id
+  LEFT JOIN l{k - 1} ln ON ln.id = e.dst
+  GROUP BY l.id, l.lbl)"""
+        )
+    parts.append(
+        f"""
+SELECT lbl AS label, COUNT(*) AS n_nodes
+FROM l{_LP_ROUNDS} GROUP BY lbl"""
+    )
+    return "".join(parts)
+
+
+@query("q_graph_label_prop", _label_prop_oracle())
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(
+            li.filter(
+                (F.col("l_linenumber") == 1) & (F.col("l_quantity") <= 3)
+            ),
+            o.o_orderkey == li.l_orderkey,
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    for _ in range(_LP_ROUNDS):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("lbl").alias("nlbl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlbl").alias("nl"))
+        )
+        labels = (
+            labels.join(
+                neigh.select(F.col("src").alias("id"), "nl"), "id", "left"
+            )
+            .select(
+                "id",
+                F.least("lbl", F.coalesce("nl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("lbl").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )

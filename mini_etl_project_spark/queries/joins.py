@@ -660,3 +660,59 @@ def q_join_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_pass") - F.col("n_true")).alias("n_false_pos"),
         )
     )
+
+
+# -- Range-bucketed band join ------------------------------------------------
+#
+# The scale-safe plan for a band join with NO equi key: |a.v - b.v| <= w
+# becomes an EQUI join on bucket = v DIV w after exploding each left row
+# into its 3 adjacent buckets, then an exact band filter on the matched
+# candidates. Candidates per row are bounded by the band's data density
+# (never the table size), versus the broadcast-nested-loop a raw theta
+# join degenerates to. The oracle is the plain theta band join, so the
+# bucketing's losslessness is the thing under test.
+
+_BAND_W = 10  # cents
+
+_RANGE_BUCKET_ORACLE = f"""
+WITH p AS (
+  SELECT event_id AS a_id, CAST(ROUND(value * 100) AS BIGINT) AS a_cents
+  FROM events WHERE event_type = 'purchase'),
+e AS (
+  SELECT event_id AS b_id, CAST(ROUND(value * 100) AS BIGINT) AS b_cents
+  FROM events WHERE event_type = 'error')
+SELECT a_id, b_id, a_cents - b_cents AS diff
+FROM p JOIN e ON b_cents BETWEEN a_cents - {_BAND_W} AND a_cents + {_BAND_W}
+"""
+
+
+@query("q_join_range_bucket", _RANGE_BUCKET_ORACLE)
+def q_join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("a_id"), cents.alias("a_cents")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"), cents.alias("b_cents")
+    )
+    probe = p.select(
+        "a_id",
+        "a_cents",
+        F.explode(
+            F.array(
+                F.expr(f"a_cents DIV {_BAND_W} - 1"),
+                F.expr(f"a_cents DIV {_BAND_W}"),
+                F.expr(f"a_cents DIV {_BAND_W} + 1"),
+            )
+        ).alias("bucket"),
+    )
+    build = e.withColumn("bucket", F.expr(f"b_cents DIV {_BAND_W}"))
+    return (
+        probe.join(build, "bucket")
+        .filter(
+            (F.col("b_cents") >= F.col("a_cents") - _BAND_W)
+            & (F.col("b_cents") <= F.col("a_cents") + _BAND_W)
+        )
+        .select("a_id", "b_id", (F.col("a_cents") - F.col("b_cents")).alias("diff"))
+    )

@@ -500,3 +500,103 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# -- Readability scoring (Flesch-style, deterministic) ----------------------
+#
+# Per-document sentence / word / vowel-group counts (regexp_count — a
+# stateless scan both engines evaluate identically) combined into the
+# Flesch reading-ease formula. The two ratios are single divisions over
+# exact integers, so the score is bit-identical cross-engine. The
+# quality-filtering primitive for pretraining corpora beyond the
+# length/punct heuristics of q_text_quality.
+
+_READABILITY_ORACLE = """
+WITH counts AS (
+  SELECT doc_id,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+         len(regexp_extract_all(trim(text), '\\S+')) AS words,
+         GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+           AS vgroups
+  FROM documents)
+SELECT doc_id, sents, words, vgroups,
+       206.835
+       - 1.015 * (CAST(words AS DOUBLE) / sents)
+       - 84.6 * (CAST(vgroups AS DOUBLE) / GREATEST(words, 1))
+         AS flesch
+FROM counts
+"""
+
+
+@query("q_text_readability", _READABILITY_ORACLE)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id",
+        F.greatest(F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)).alias(
+            "sents"
+        ),
+        F.regexp_count(F.trim("text"), F.lit(r"\S+")).alias("words"),
+        F.greatest(
+            F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+")), F.lit(1)
+        ).alias("vgroups"),
+    )
+    return counts.select(
+        "doc_id",
+        "sents",
+        "words",
+        "vgroups",
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("words").cast("double") / F.col("sents"))
+            - F.lit(84.6)
+            * (
+                F.col("vgroups").cast("double")
+                / F.greatest(F.col("words"), F.lit(1))
+            )
+        ).alias("flesch"),
+    )
+
+
+# -- Source language diversity (Gini impurity) ------------------------------
+#
+# Per-source language mix summarized as Gini impurity, computed in exact
+# integer space: 1 - sum(p_l^2) = (n^2 - sum(n_l^2)) / n^2 — one division
+# at the end, no transcendental entropy. Two keyed aggregations; output
+# bounded by the source count. The corpus-mixing diagnostic for
+# multilingual pretraining data.
+
+_SOURCE_DIVERSITY_ORACLE = """
+WITH lc AS (
+  SELECT source, lang, COUNT(*) AS nl
+  FROM documents GROUP BY source, lang),
+s AS (
+  SELECT source, CAST(SUM(nl) AS BIGINT) AS n,
+         COUNT(*) AS n_langs,
+         CAST(SUM(nl * nl) AS BIGINT) AS sq
+  FROM lc GROUP BY source)
+SELECT source, n AS n_docs, n_langs,
+       CAST(n * n - sq AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+FROM s
+"""
+
+
+@query("q_text_source_diversity", _SOURCE_DIVERSITY_ORACLE)
+def q_text_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lc = d.groupBy("source", "lang").agg(F.count("*").alias("nl"))
+    s = lc.groupBy("source").agg(
+        F.sum("nl").cast("bigint").alias("n"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(F.col("nl") * F.col("nl")).cast("bigint").alias("sq"),
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        "n_langs",
+        (
+            (F.col("n") * F.col("n") - F.col("sq")).cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+        ).alias("gini"),
+    )

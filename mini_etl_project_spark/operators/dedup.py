@@ -338,8 +338,15 @@ def prefix_filter_pairs(
         .withColumn("pos", F.row_number().over(w))
         .join(sizes, "id")
         .filter(
+            # epsilon inside the ceil: when n*t is mathematically integral
+            # but the double product rounds UP (e.g. 20*0.55 →
+            # 11.000000000000002), an unguarded ceil would shrink the
+            # prefix by one element and silently drop true pairs; the
+            # epsilon can only lengthen the prefix (lossless direction)
             F.col("pos")
-            <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
+            <= F.col("n")
+            - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9))
+            + 1
         )
         .select("id", "shingle", "n")
     )

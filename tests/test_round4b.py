@@ -312,3 +312,88 @@ def test_prefix_filter_lossless_on_random_corpus(spark):
             ).collect()
         }
         assert got == truth, f"t={t}: {truth ^ got}"
+
+
+def test_prefix_filter_lossless_at_rounding_hostile_threshold(spark, sf_dir):
+    """ADVICE r4: thresholds where n*t is mathematically integral but the
+    double product rounds up (t=0.56, n=25 -> ceil(14.000000000000002))
+    used to shrink the prefix by one element. The epsilon-guarded cutoff
+    must stay lossless there too."""
+    from mini_etl_project_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    corpus = d.select(F.col("doc_id").alias("id"), "text").unionByName(
+        d.select(
+            (F.col("doc_id") + 5000).alias("id"),
+            F.substring("text", 12, 1 << 30).alias("text"),
+        )
+    )
+    sh = shingle_rows(corpus, "id", "text", k=5)
+    t = 0.56
+    # sanity: the hostile rounding actually occurs in doubles
+    import math
+
+    assert math.ceil(25 * t) == 15 and 25 * t > 14
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(sh, candidates=None, threshold=t).collect()
+    }
+    cand = prefix_filter_pairs(sh, threshold=t)
+    cand_set = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert truth <= cand_set, "prefix filter dropped a true pair at t=0.56"
+
+
+# -- streaming outer-join watermark contract (ADVICE r4 #5) ----------------
+
+
+def test_outer_join_final_watermark_matches_oracle_contract(spark, sf_dir):
+    """The q_stream_join_outer oracle hard-codes the runtime's watermark
+    behavior: the final committed watermark of the bounded replay must be
+    min(max_click_ts, max_purchase_ts) - 10 min. If a Spark upgrade
+    changes the freeze point (SPARK-42376 lag, file-source ordering), this
+    assert fails loudly at the assumption instead of at the driver's hash
+    gate."""
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from mini_etl_project_spark.session import load_table
+    from mini_etl_project_spark.streaming.ops import (
+        click_purchase_outer,
+        flush_split_stream,
+    )
+
+    joined = click_purchase_outer(flush_split_stream(spark, sf_dir))
+    name = f"wm_probe_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final_wm = None
+    for p in q.recentProgress:
+        wm = (p["eventTime"] or {}).get("watermark")
+        if wm:
+            final_wm = wm
+    assert final_wm is not None, "no watermark reported in progress"
+
+    ev = load_table(spark, sf_dir, "events")
+    expected = (
+        ev.agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).alias("m")
+        )
+        .select(
+            F.date_format(
+                (F.col("m").cast("long") - 600).cast("timestamp"),
+                "yyyy-MM-dd'T'HH:mm:ss",
+            ).alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    assert final_wm.startswith(expected), (final_wm, expected)

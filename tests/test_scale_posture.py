@@ -260,7 +260,7 @@ def test_lift_table_has_no_global_ntile(spark, sf_dir):
     assert "ntile" not in plan.lower()
     # the rank window is keyed by the range-partition id (the checkpointed
     # repartitionByRange shows as Scan ExistingRDD), never unpartitioned
-    assert "windowspecdefinition(pid#" in plan
+    assert "windowspecdefinition(__pid#" in plan
     assert "Scan ExistingRDD" in plan
 
 

@@ -118,6 +118,11 @@ _CHECK_FIRST: list[str] = [
     "q_dedup_url_canonical",
     "q_join_range_bucket",
     "q_graph_label_prop",
+    "q_udf_arrow",
+    "q_window_rolling_median",
+    "q_etl_winsorize",
+    "q_agg_chi_square",
+    "q_graph_degree_stats",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

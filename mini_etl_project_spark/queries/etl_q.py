@@ -564,3 +564,57 @@ def q_etl_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# -- Grouped winsorization ---------------------------------------------------
+#
+# The gentler sibling of the R16 clamp: ALL values outside the group's
+# exact [p05, p95] interpolating percentiles are pulled to the fence
+# (not just z>3 outliers). Fences come from one grouped exact-percentile
+# aggregate (broadcast-sized), the clamp is a scan-parallel projection,
+# and the per-group clamp counts ride the same final aggregate — no
+# second pass. Interpolating percentiles are bit-equal in both engines
+# (the R14 convention), so fences and clamped sums hash-match.
+
+_WINSORIZE_ORACLE = """
+WITH fences AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.05) AS lo,
+         quantile_cont(o_totalprice, 0.95) AS hi
+  FROM orders GROUP BY o_orderpriority)
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o.o_totalprice < f.lo
+                       OR o.o_totalprice > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped,
+       ANY_VALUE(f.lo) AS lo, ANY_VALUE(f.hi) AS hi,
+       CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, f.lo), f.hi)
+                     AS DECIMAL(38,6))) AS DOUBLE) AS winsorized_sum
+FROM orders o JOIN fences f ON o.o_orderpriority = f.o_orderpriority
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("q_etl_winsorize", _WINSORIZE_ORACLE)
+def q_etl_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    fences = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+    )
+    j = o.join(F.broadcast(fences), "o_orderpriority")
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    out = F.when(
+        (F.col("o_totalprice") < F.col("lo"))
+        | (F.col("o_totalprice") > F.col("hi")),
+        1,
+    ).otherwise(0)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(out).cast("bigint").alias("n_clamped"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+        F.sum(clamped.cast("decimal(38,6)"))
+        .cast("double")
+        .alias("winsorized_sum"),
+    )

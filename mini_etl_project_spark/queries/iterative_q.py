@@ -417,3 +417,44 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("lbl").alias("label")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+# -- Degree statistics of the trade graph -----------------------------------
+#
+# Per-side degree distribution of the customer—supplier bipartite graph:
+# node degree via one keyed groupBy, then a bounded degree histogram.
+# The standard first look at any production graph (skew detection for
+# the iterative operators that follow it).
+
+_DEGREE_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+cdeg AS (SELECT cust, COUNT(*) AS deg FROM e0 GROUP BY cust),
+sdeg AS (SELECT supp, COUNT(*) AS deg FROM e0 GROUP BY supp)
+SELECT 'customer' AS side, deg, COUNT(*) AS n_nodes
+FROM cdeg GROUP BY deg
+UNION ALL
+SELECT 'supplier', deg, COUNT(*) FROM sdeg GROUP BY deg
+"""
+
+
+@query("q_graph_degree_stats", _DEGREE_ORACLE)
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+
+    def hist(df: DataFrame, key: str, side: str) -> DataFrame:
+        deg = df.groupBy(key).agg(F.count("*").alias("deg"))
+        return deg.groupBy("deg").agg(F.count("*").alias("n_nodes")).select(
+            F.lit(side).alias("side"), "deg", "n_nodes"
+        )
+
+    return hist(e0, "cust", "customer").unionByName(
+        hist(e0, "supp", "supplier")
+    )

@@ -1204,3 +1204,62 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- Chi-square independence (per-cell contributions) -----------------------
+#
+# Independence test of event_type x 6-hour time bucket. The chi-square
+# TOTAL is a float sum over cells whose accumulation order differs across
+# engines — so the query emits the bounded PER-CELL contributions
+# instead, each an exact-integer formula with one division:
+# (obs*n - row*col)^2 / (n*row*col), scaled x n for integer exactness.
+# The caller (or oracle reader) sums the bounded cell set driver-side.
+
+_CHI2_ORACLE = """
+WITH obs AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) // 6 AS INT) AS bucket,
+         COUNT(*) AS o
+  FROM events GROUP BY event_type, bucket),
+rows_ AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY event_type),
+cols_ AS (SELECT bucket, SUM(o) AS c FROM obs GROUP BY bucket),
+tot AS (SELECT SUM(o) AS n FROM obs)
+SELECT o.event_type, o.bucket, o.o AS observed,
+       CAST(r.r * c.c AS DOUBLE) / t.n AS expected,
+       CAST((o.o * t.n - r.r * c.c) * (o.o * t.n - r.r * c.c) AS DOUBLE)
+         / CAST(t.n AS DOUBLE) / CAST(r.r * c.c AS DOUBLE) AS chi2_term
+FROM obs o
+JOIN rows_ r ON o.event_type = r.event_type
+JOIN cols_ c ON o.bucket = c.bucket
+CROSS JOIN tot t
+"""
+
+
+@query("q_agg_chi_square", _CHI2_ORACLE)
+def q_agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type",
+        (F.hour("ts") / 6).cast("int").alias("bucket"),
+    ).agg(F.count("*").alias("o"))
+    rows_ = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_ = obs.groupBy("bucket").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    j = (
+        obs.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "bucket")
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    return j.select(
+        "event_type",
+        "bucket",
+        F.col("o").alias("observed"),
+        ((F.col("r") * F.col("c")).cast("double") / F.col("n")).alias(
+            "expected"
+        ),
+        (
+            (dev * dev).cast("double")
+            / F.col("n").cast("double")
+            / (F.col("r") * F.col("c")).cast("double")
+        ).alias("chi2_term"),
+    )

@@ -176,3 +176,43 @@ def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey bigint, n_lines bigint, n_shipped_30d bigint",
         )
     )
+
+
+# -- Arrow-native batch UDF (mapInArrow) ------------------------------------
+#
+# The fourth Python-UDF tier after scalar pandas_udf / applyInPandas /
+# UDTF: mapInArrow hands the function raw ``pyarrow.RecordBatch``es with
+# NO pandas conversion on either side — the cheapest possible
+# Python-side hop for columnar math (one Arrow buffer in, one out). The
+# computation (integer cents + a min-max style ratio) uses pyarrow
+# compute kernels only, so results are bit-identical to the SQL oracle.
+
+_ARROW_ORACLE = """
+SELECT event_id,
+       CAST(ROUND(value * 100) AS BIGINT) AS cents,
+       value / 100.0 AS frac
+FROM events
+"""
+
+
+@query("q_udf_arrow", _ARROW_ORACLE)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batches(it):
+        for batch in it:
+            v = batch.column("value")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("event_id"),
+                    pc.cast(pc.round(pc.multiply(v, 100.0)), pa.int64()),
+                    pc.divide(v, 100.0),
+                ],
+                names=["event_id", "cents", "frac"],
+            )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return e.mapInArrow(
+        batches, "event_id bigint, cents bigint, frac double"
+    )

@@ -375,3 +375,55 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_last_hour"),
         F.sum("cents").over(w).cast("bigint").alias("cents_last_hour"),
     )
+
+
+# -- Exact rolling median (bounded frame) -----------------------------------
+#
+# Robust rolling statistic: the exact median of the trailing 5 values per
+# user. The frame is CONSTANT-SIZED, so collecting it as an array and
+# sorting is O(1) per row and fully keyed — this is the scale-safe way to
+# get exact small-window order statistics (contrast: percentile over a
+# growing frame). Integer cents keep the even-count midpoint (.5) exact.
+
+_ROLLING_MEDIAN_ORACLE = """
+WITH obs AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+arrs AS (
+  SELECT user_id, event_id,
+         list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY s, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+  FROM obs)
+SELECT user_id, event_id,
+       len(arr) AS k,
+       (arr[CAST((len(arr) + 1) // 2 AS INT)]
+        + arr[CAST(len(arr) // 2 + 1 AS INT)]) / 2.0 / 100.0 AS roll_med
+FROM arrs
+"""
+
+
+@query("q_window_rolling_median", _ROLLING_MEDIAN_ORACLE)
+def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.array_sort(F.collect_list("cents").over(w))
+    k = F.size(arr)
+    lo = F.element_at(arr, ((k + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (k / 2).cast("int") + 1)
+    return obs.select(
+        "user_id",
+        "event_id",
+        k.cast("bigint").alias("k"),
+        ((lo + hi) / F.lit(2.0) / F.lit(100.0)).alias("roll_med"),
+    )

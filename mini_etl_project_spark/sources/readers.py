@@ -70,5 +70,13 @@ def extract(spark: SparkSession, source: Any) -> DataFrame:
             return spark.read.option("multiLine", multi).json(source)
         if lower.endswith(".parquet"):
             return spark.read.parquet(source)
+        if lower.endswith(".orc"):
+            # columnar alternative with the same pushdown/pruning story as
+            # parquet (Spark-native ORC reader; predicate pushdown on)
+            return spark.read.orc(source)
+        if lower.endswith((".txt", ".text")):
+            # one string column ("value") per line — the raw-corpus
+            # ingestion shape; pair with functions/cleaning for parsing
+            return spark.read.text(source)
         raise ValueError(f"unsupported file format: {source}")
     raise ValueError(f"unsupported data source type: {type(source).__name__}")

@@ -68,6 +68,11 @@ def load(
             _to_pandas_guarded(df, max_driver_rows).to_excel(
                 output_path, index=False
             )
+        elif lower.endswith(".orc"):
+            df.write.mode("overwrite").orc(output_path)
+        elif lower.endswith((".txt", ".text")):
+            # text sink takes exactly one string column per Spark contract
+            df.write.mode("overwrite").text(output_path)
         else:
             raise ValueError(f"unsupported output format: {output_path}")
     if db_connection is not None:

@@ -420,3 +420,39 @@ def test_snapshot_table_cdc_preimages_enable_ivm(spark, tmp_path):
     # Vacuum to latest-only keeps the retained version's CDC artifacts.
     t.vacuum(keep_last=1)
     assert t.read_changes(spark, 1, include_preimages=True).count() == 25
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """R1+ ORC: columnar sibling of parquet — values roundtrip and filters
+    reach the ORC scan (PushedFilters), same scale story as parquet."""
+    from pyspark.sql import functions as F
+
+    from mini_etl_project_spark.sources.readers import extract
+    from mini_etl_project_spark.sources.writers import load
+
+    path = str(tmp_path / "t.orc")
+    df = spark.range(1000).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS grp", "id * 1.5 AS v"
+    )
+    load(df, path)
+    back = extract(spark, path)
+    assert back.count() == 1000
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+    filtered = back.filter(F.col("id") > 990)
+    plan = filtered._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "GreaterThan(id,990" in plan
+    assert filtered.count() == 9
+
+
+def test_text_roundtrip(spark, tmp_path):
+    """R1+ text source/sink: one string column per line."""
+    from mini_etl_project_spark.sources.readers import extract
+    from mini_etl_project_spark.sources.writers import load
+
+    path = str(tmp_path / "t.txt")
+    df = spark.range(50).selectExpr("CAST(id AS STRING) AS value")
+    load(df, path)
+    back = extract(spark, path)
+    assert sorted(r["value"] for r in back.collect()) == sorted(
+        str(i) for i in range(50)
+    )

@@ -123,6 +123,11 @@ _CHECK_FIRST: list[str] = [
     "q_etl_winsorize",
     "q_agg_chi_square",
     "q_graph_degree_stats",
+    "q_ts_vwap",
+    "q_ts_gap_detect",
+    "q_ts_bollinger",
+    "q_fn_struct_ops",
+    "q_fn_array_setops",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

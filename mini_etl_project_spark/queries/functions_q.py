@@ -697,3 +697,108 @@ def q_fn_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_2020"
         ),
     )
+
+
+# -- Struct (nested row) operations -----------------------------------------
+#
+# named_struct construction, field access, nested structs, and struct
+# COMPARISON as a grouped min/max (the tuple-extremum idiom the arg-agg
+# family builds on). Output is flattened to scalars — nested values never
+# cross the comparison harness (repo convention for arrays/structs).
+
+_STRUCT_OPS_ORACLE = """
+WITH s AS (
+  SELECT o_orderkey,
+         {'pri': o_orderpriority, 'price_c':
+           CAST(ROUND(o_totalprice * 100) AS BIGINT)} AS meta
+  FROM orders)
+SELECT meta.pri AS pri,
+       COUNT(*) AS n,
+       MIN(meta.price_c) AS min_price_c,
+       MAX(meta.price_c) AS max_price_c
+FROM s GROUP BY meta.pri
+"""
+
+
+@query("q_fn_struct_ops", _STRUCT_OPS_ORACLE)
+def q_fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        "o_orderkey",
+        F.named_struct(
+            F.lit("pri"),
+            F.col("o_orderpriority"),
+            F.lit("price_c"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint"),
+        ).alias("meta"),
+    )
+    return s.groupBy(F.col("meta.pri").alias("pri")).agg(
+        F.count("*").alias("n"),
+        F.min("meta.price_c").alias("min_price_c"),
+        F.max("meta.price_c").alias("max_price_c"),
+    )
+
+
+# -- Array set algebra -------------------------------------------------------
+#
+# array_union / array_intersect / array_except between each document's
+# token set and a reference vocabulary, exploded to scalar (doc, op,
+# pos, token) rows — the harness never hashes array cells (repo
+# convention), and array_sort pins the order set operations leave
+# undefined in both engines.
+
+_ARRAY_SETOPS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_sort(list_distinct(string_split_regex(trim(text), '\\s+')))
+           AS t
+  FROM documents WHERE doc_id < 40),
+ref AS (SELECT ['data', 'the', 'model', 'training'] AS v),
+ops AS (
+  SELECT doc_id,
+         list_sort(list_distinct(t || v)) AS u,
+         list_sort(list_intersect(t, v)) AS i,
+         list_sort(list_filter(t, x -> NOT list_contains(v, x))) AS e
+  FROM toks, ref),
+stacked AS (
+  SELECT doc_id, 'union' AS op, u AS arr FROM ops
+  UNION ALL SELECT doc_id, 'intersect', i FROM ops
+  UNION ALL SELECT doc_id, 'except', e FROM ops)
+SELECT doc_id, op, CAST(g.pos AS INT) AS pos, arr[CAST(g.pos AS INT)] AS token
+FROM stacked, LATERAL unnest(generate_series(1, len(arr))) g(pos)
+"""
+
+
+@query("q_fn_array_setops", _ARRAY_SETOPS_ORACLE)
+def q_fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.textops import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    ref = F.array(*[F.lit(x) for x in ["data", "the", "model", "training"]])
+    toks = d.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(tokens("text"))).alias("t"),
+        ref.alias("v"),
+    )
+    ops = toks.select(
+        "doc_id",
+        F.array_sort(F.array_union("t", "v")).alias("u"),
+        F.array_sort(F.array_intersect("t", "v")).alias("i"),
+        F.array_sort(F.array_except("t", "v")).alias("e"),
+    )
+    stacked = (
+        ops.select("doc_id", F.lit("union").alias("op"), F.col("u").alias("arr"))
+        .unionByName(
+            ops.select(
+                "doc_id", F.lit("intersect").alias("op"), F.col("i").alias("arr")
+            )
+        )
+        .unionByName(
+            ops.select(
+                "doc_id", F.lit("except").alias("op"), F.col("e").alias("arr")
+            )
+        )
+    )
+    return stacked.select(
+        "doc_id", "op", F.posexplode("arr").alias("pos0", "token")
+    ).select("doc_id", "op", (F.col("pos0") + 1).cast("int").alias("pos"), "token")

@@ -926,3 +926,205 @@ def q_ts_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s").alias("end_us"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+# -- VWAP (volume-weighted average price per hour) --------------------------
+#
+# The finance-standard rollup: per (event_type, hour), sum(price*qty)/
+# sum(qty) with both sums exact int64 (cents x unit weights) and ONE
+# division at the end. Pure map-side-combine aggregation. Here "volume"
+# is the event count weight and "price" the cents value — the shape, not
+# the ticker, is the operator.
+
+_VWAP_ORACLE = """
+WITH obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(1 + user_id % 5 AS BIGINT) AS vol
+  FROM events)
+SELECT event_type, hour,
+       CAST(SUM(vol) AS BIGINT) AS total_vol,
+       CAST(SUM(cents * vol) AS BIGINT) AS turnover_cents,
+       CAST(SUM(cents * vol) AS DOUBLE) / SUM(vol) / 100.0 AS vwap
+FROM obs GROUP BY event_type, hour
+"""
+
+
+@query("q_ts_vwap", _VWAP_ORACLE)
+def q_ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (1 + F.col("user_id") % 5).cast("bigint").alias("vol"),
+    )
+    return obs.groupBy("event_type", "hour").agg(
+        F.sum("vol").cast("bigint").alias("total_vol"),
+        F.sum(F.col("cents") * F.col("vol"))
+        .cast("bigint")
+        .alias("turnover_cents"),
+        (
+            F.sum(F.col("cents") * F.col("vol")).cast("double")
+            / F.sum("vol")
+            / 100.0
+        ).alias("vwap"),
+    )
+
+
+# -- Coverage-gap detection --------------------------------------------------
+#
+# The dual of gap-filling: per user, which hourly slots between the
+# series' first and last observation have NO event. Calendar spine via
+# sequence (bounded by the time span), anti-joined against observed
+# hours — both keyed by user. Emits per-user gap counts plus the longest
+# gap run (keyed window over the bounded spine).
+
+_GAP_DETECT_ORACLE = """
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS h
+  FROM events GROUP BY user_id, h),
+spans AS (
+  SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM obs GROUP BY user_id),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM spans),
+flagged AS (
+  SELECT s.user_id, s.h,
+         CASE WHEN o.h IS NULL THEN 1 ELSE 0 END AS missing
+  FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.h = o.h),
+runs AS (
+  SELECT user_id, h, missing,
+         SUM(1 - missing) OVER (PARTITION BY user_id ORDER BY h
+                                ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged)
+SELECT user_id,
+       CAST(SUM(missing) AS BIGINT) AS n_missing_hours,
+       CAST(COUNT(*) AS BIGINT) AS n_slots,
+       CAST(COALESCE(MAX(run_len), 0) AS BIGINT) AS longest_gap
+FROM runs
+LEFT JOIN (
+  SELECT user_id AS u2, grp AS g2, COUNT(*) AS run_len
+  FROM runs WHERE missing = 1 GROUP BY u2, g2
+) r ON runs.user_id = r.u2 AND runs.grp = r.g2 AND runs.missing = 1
+GROUP BY user_id
+"""
+
+
+@query("q_ts_gap_detect", _GAP_DETECT_ORACLE)
+def q_ts_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = (
+        e.select("user_id", F.date_trunc("hour", "ts").alias("h")).distinct()
+    )
+    spans = obs.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    flagged = spine.join(
+        obs.withColumn("seen", F.lit(1)), ["user_id", "h"], "left"
+    ).select(
+        "user_id",
+        "h",
+        F.when(F.col("seen").isNull(), 1).otherwise(0).alias("missing"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = flagged.withColumn("grp", F.sum(1 - F.col("missing")).over(w))
+    run_lens = (
+        runs.filter(F.col("missing") == 1)
+        .groupBy(F.col("user_id").alias("u2"), F.col("grp").alias("g2"))
+        .agg(F.count("*").alias("run_len"))
+    )
+    joined = runs.join(
+        run_lens,
+        (runs.user_id == run_lens.u2)
+        & (runs.grp == run_lens.g2)
+        & (runs.missing == 1),
+        "left",
+    )
+    return joined.groupBy("user_id").agg(
+        F.sum("missing").cast("bigint").alias("n_missing_hours"),
+        F.count(F.lit(1)).cast("bigint").alias("n_slots"),
+        F.coalesce(F.max("run_len"), F.lit(0))
+        .cast("bigint")
+        .alias("longest_gap"),
+    )
+
+
+# -- Bollinger bands (trailing mean ± 2σ, exact-integer moments) ------------
+#
+# Rolling mean and population stddev of the trailing 8 observations per
+# user, from EXACT integer rolling sums (sum, sum-of-squares over a
+# constant frame): mean = s/k, sigma = sqrt(k*sq - s^2)/k. sqrt is
+# IEEE-correctly-rounded in both engines (unlike pow/exp/log), so the
+# bands hash-match. Keyed constant-size frames — scale-safe.
+
+_BOLLINGER_ORACLE = """
+WITH obs AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+roll AS (
+  SELECT user_id, event_id,
+         SUM(cents) OVER w AS rs,
+         SUM(cents * cents) OVER w AS rsq,
+         COUNT(*) OVER w AS k
+  FROM obs
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id, CAST(k AS BIGINT) AS k,
+       CAST(rs AS DOUBLE) / k / 100.0 AS mid,
+       CAST(rs AS DOUBLE) / k / 100.0
+         + 2.0 * (sqrt(CAST(k * rsq - rs * rs AS DOUBLE)) / k) / 100.0
+         AS upper_band,
+       CAST(rs AS DOUBLE) / k / 100.0
+         - 2.0 * (sqrt(CAST(k * rsq - rs * rs AS DOUBLE)) / k) / 100.0
+         AS lower_band
+FROM roll
+"""
+
+
+@query("q_ts_bollinger", _BOLLINGER_ORACLE)
+def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    roll = obs.select(
+        "user_id",
+        "event_id",
+        F.sum("cents").over(w).alias("rs"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("rsq"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    mid = F.col("rs").cast("double") / F.col("k") / 100.0
+    sigma = (
+        F.sqrt((F.col("k") * F.col("rsq") - F.col("rs") * F.col("rs")).cast("double"))
+        / F.col("k")
+        / 100.0
+    )
+    return roll.select(
+        "user_id",
+        "event_id",
+        F.col("k").cast("bigint").alias("k"),
+        mid.alias("mid"),
+        (mid + 2.0 * sigma).alias("upper_band"),
+        (mid - 2.0 * sigma).alias("lower_band"),
+    )

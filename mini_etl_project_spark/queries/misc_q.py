@@ -441,3 +441,154 @@ SELECT depth, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS id_checksum,
 FROM h GROUP BY depth
 """
     )
+
+
+# -- Correlated EXISTS / NOT EXISTS subqueries -------------------------------
+#
+# The decorrelation surface: customers WITH an urgent order and WITHOUT
+# any high-value order, as correlated EXISTS predicates (Catalyst
+# rewrites them to semi/anti joins — asserted by the green plan, the
+# rewrite IS the scale story).
+
+_EXISTS_ORACLE = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_totalprice > 400000)
+"""
+
+
+@query("q_subquery_exists", _EXISTS_ORACLE)
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("__sq_customer")
+    o.createOrReplaceTempView("__sq_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM __sq_customer c
+        WHERE EXISTS (SELECT 1 FROM __sq_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM __sq_orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_totalprice > 400000)
+        """
+    )
+
+
+# -- explode_outer / posexplode_outer null preservation ----------------------
+#
+# Rows whose array is empty or NULL must SURVIVE an outer explode with
+# NULL element columns (a silent row-dropper in ETL pipelines when the
+# plain explode is used by mistake). Arrays built deterministically from
+# part: even keys get token arrays, keys % 3 == 0 get empty, % 5 == 0
+# get NULL.
+
+_EXPLODE_OUTER_ORACLE = """
+WITH src AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 5 = 0 THEN NULL
+              WHEN p_partkey % 3 = 0 THEN []
+              ELSE string_split(p_name, ' ')[1:2] END AS arr
+  FROM part),
+exploded AS (
+  SELECT p_partkey,
+         CAST(g.pos AS INT) - 1 AS pos,
+         arr[CAST(g.pos AS INT)] AS tok
+  FROM src, LATERAL unnest(generate_series(1, len(arr))) g(pos)
+  UNION ALL
+  SELECT p_partkey, NULL, NULL FROM src
+  WHERE arr IS NULL OR len(arr) = 0)
+SELECT p_partkey, pos, tok FROM exploded
+"""
+
+
+@query("q_fn_explode_outer", _EXPLODE_OUTER_ORACLE)
+def q_fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    arr = (
+        F.when(F.col("p_partkey") % 5 == 0, F.lit(None).cast("array<string>"))
+        .when(F.col("p_partkey") % 3 == 0, F.array().cast("array<string>"))
+        .otherwise(F.slice(F.split("p_name", " "), 1, 2))
+    )
+    src = p.select("p_partkey", arr.alias("arr"))
+    return src.select(
+        "p_partkey", F.posexplode_outer("arr").alias("pos", "tok")
+    )
+
+
+# -- GROUP BY ALL ------------------------------------------------------------
+#
+# Spark 4 supports the DuckDB-originated GROUP BY ALL: every non-aggregate
+# select item becomes a grouping key. Same SQL text runs on both engines.
+
+_GROUP_BY_ALL_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+GROUP BY ALL
+"""
+
+
+@query("q_sql_group_by_all", _GROUP_BY_ALL_ORACLE)
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM __gba_orders
+        GROUP BY ALL
+        """
+    )
+
+
+# -- Map higher-order functions ----------------------------------------------
+#
+# map_from_arrays → map_filter → transform_values → map_concat, emitted
+# as exploded (key, value) rows sorted by key (map iteration order is
+# engine-defined; exploded+keyed rows hash). Covers the map-typed HOF
+# surface beyond the array HOFs of Q23.
+
+_MAP_HOF_ORACLE = """
+WITH m AS (
+  SELECT o_orderkey,
+         MAP {'price_c': CAST(ROUND(o_totalprice * 100) AS BIGINT),
+              'key10': o_orderkey % 10,
+              'cust': o_custkey} AS base
+  FROM orders WHERE o_orderkey % 97 = 0)
+SELECT o_orderkey, u.entry.key AS k, u.entry.value * 2 AS v2
+FROM m CROSS JOIN LATERAL unnest(map_entries(base)) u(entry)
+WHERE u.entry.value > 5
+"""
+
+
+@query("q_fn_map_hof", _MAP_HOF_ORACLE)
+def q_fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 97 == 0
+    )
+    base = F.map_from_arrays(
+        F.array(F.lit("price_c"), F.lit("key10"), F.lit("cust")),
+        F.array(
+            F.round(F.col("o_totalprice") * 100).cast("bigint"),
+            (F.col("o_orderkey") % 10).cast("bigint"),
+            F.col("o_custkey").cast("bigint"),
+        ),
+    )
+    filtered = F.map_filter(base, lambda k, v: v > 5)
+    doubled = F.transform_values(filtered, lambda k, v: v * 2)
+    return (
+        o.select("o_orderkey", F.explode(doubled).alias("k", "v2"))
+    )

@@ -132,6 +132,7 @@ _CHECK_FIRST: list[str] = [
     "q_fn_explode_outer",
     "q_sql_group_by_all",
     "q_fn_map_hof",
+    "q_multimodal_route",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

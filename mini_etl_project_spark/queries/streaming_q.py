@@ -536,3 +536,94 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low",
         "close",
     )
+
+
+# -- X5+ modality routing: dispatch by magic bytes to per-modality plans ---
+# The mixed-corpus pattern: ONE binary column carrying different container
+# formats, routed by sniffed media_kind into modality-specific
+# sub-pipelines (images → megapixel binning over parsed dims; audio →
+# channel layout + sample-rate extrema), then unioned back under a
+# common schema. Each branch is a filter + keyed aggregate over the same
+# parsed scan — Catalyst shares the parse via column pruning, and no
+# Python touches the bytes.
+
+_MEDIA_ROUTE_ORACLE = """
+WITH synth AS (
+  SELECT doc_id,
+    CASE doc_id % 3
+      WHEN 0 THEN '89504E470D0A1A0A' || '0000000D' || '49484452'
+                  || printf('%08X', 16 + doc_id % 2048)
+                  || printf('%08X', 16 + (doc_id * 7) % 1152)
+      WHEN 1 THEN '52494646' || '24000000' || '57415645' || '666D7420'
+                  || '10000000' || '0100'
+                  || printf('%02X', 1 + doc_id % 2) || '00'
+                  || printf('%02X', (8000 * (1 + doc_id % 5)) % 256)
+                  || printf('%02X', (8000 * (1 + doc_id % 5)) // 256)
+                  || '0000'
+      ELSE 'FFD8' || 'FFE0' || '0010' || '4A46494600' || repeat('00', 9)
+           || 'FFC0' || '0011' || '08'
+           || printf('%04X', 8 + (doc_id * 5) % 2160)
+           || printf('%04X', 8 + (doc_id * 3) % 4096)
+    END AS h
+  FROM documents),
+parsed AS (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END
+      AS media_kind,
+    CASE doc_id % 3
+      WHEN 0 THEN 16 + doc_id % 2048
+      WHEN 2 THEN 8 + (doc_id * 3) % 4096 END AS w,
+    CASE doc_id % 3
+      WHEN 0 THEN 16 + (doc_id * 7) % 1152
+      WHEN 2 THEN 8 + (doc_id * 5) % 2160 END AS ht,
+    CASE doc_id % 3 WHEN 1 THEN 1 + doc_id % 2 END AS ch,
+    CASE doc_id % 3 WHEN 1 THEN 8000 * (1 + doc_id % 5) END AS rate
+  FROM synth)
+SELECT media_kind,
+       CAST(w * ht // 1000000 AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       CAST(MIN(w) AS BIGINT) AS lo, CAST(MAX(w) AS BIGINT) AS hi
+FROM parsed WHERE media_kind IN ('png', 'jpeg')
+GROUP BY media_kind, bin
+UNION ALL
+SELECT 'wav', CAST(ch AS BIGINT), COUNT(*),
+       CAST(MIN(rate) AS BIGINT), CAST(MAX(rate) AS BIGINT)
+FROM parsed WHERE media_kind = 'wav'
+GROUP BY ch
+"""
+
+
+@query("q_multimodal_route", _MEDIA_ROUTE_ORACLE)
+def q_multimodal_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.multimodal import (
+        parse_media_meta,
+        synth_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    parsed = parse_media_meta(synth_media(d, "doc_id"))
+    images = (
+        parsed.filter(F.col("media_kind").isin("png", "jpeg"))
+        .groupBy(
+            "media_kind",
+            F.expr("width * height DIV 1000000").cast("bigint").alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("width").cast("bigint").alias("lo"),
+            F.max("width").cast("bigint").alias("hi"),
+        )
+    )
+    audio = (
+        parsed.filter(F.col("media_kind") == "wav")
+        .groupBy(
+            F.lit("wav").alias("media_kind"),
+            F.col("channels").cast("bigint").alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("sample_rate").cast("bigint").alias("lo"),
+            F.max("sample_rate").cast("bigint").alias("hi"),
+        )
+    )
+    return images.unionByName(audio)

@@ -133,6 +133,8 @@ _CHECK_FIRST: list[str] = [
     "q_sql_group_by_all",
     "q_fn_map_hof",
     "q_multimodal_route",
+    "q_agg_hll_merge",
+    "q_ml_pr_curve",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

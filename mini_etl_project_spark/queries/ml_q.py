@@ -586,3 +586,77 @@ def q_ml_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((sy - slope * sx) / n).alias("intercept"),
         ((cov_n * cov_n) / (var_x * var_y)).alias("r2"),
     )
+
+
+# -- Precision-recall curve at decile thresholds ----------------------------
+#
+# The lift table's evaluation twin: sweep the decision threshold down the
+# score deciles (predict positive = top-d deciles) and emit cumulative
+# precision / recall / F1 per step. Builds on the same distributed
+# global_rank + arithmetic ntile; the curve itself is a 10-row cumulative
+# window over the per-decile aggregate (bounded by construction).
+
+_PR_CURVE_ORACLE = """
+WITH scored AS (
+  SELECT user_id,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS score,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 12 THEN 1 ELSE 0 END AS y
+  FROM events GROUP BY user_id),
+ranked AS (
+  SELECT *, NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+  FROM scored),
+per_d AS (
+  SELECT decile, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM ranked GROUP BY decile),
+tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS all_pos FROM per_d),
+cum AS (
+  SELECT decile,
+         CAST(SUM(n) OVER w AS BIGINT) AS n_pred,
+         CAST(SUM(pos) OVER w AS BIGINT) AS tp
+  FROM per_d WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+SELECT c.decile, c.n_pred, c.tp,
+       CAST(c.tp AS DOUBLE) / c.n_pred AS precision,
+       CAST(c.tp AS DOUBLE) / t.all_pos AS recall,
+       CAST(2 * c.tp AS DOUBLE) / (c.n_pred + t.all_pos) AS f1
+FROM cum c, tot t
+"""
+
+
+@query("q_ml_pr_curve", _PR_CURVE_ORACLE)
+def q_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    scored = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("score"),
+        F.when(
+            F.sum((F.col("event_type") == "purchase").cast("long")) >= 12, 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    ranked = global_rank(
+        scored, [F.col("score").desc(), F.col("user_id").asc()]
+    ).withColumn("decile", ntile_from_rank(10, "rank", "n_total").cast("int"))
+    per_d = ranked.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("y").cast("bigint").alias("pos")
+    )
+    tot = per_d.agg(F.sum("pos").cast("bigint").alias("all_pos"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_d.select(
+        "decile",
+        F.sum("n").over(w).cast("bigint").alias("n_pred"),
+        F.sum("pos").over(w).cast("bigint").alias("tp"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_pred",
+        "tp",
+        (F.col("tp").cast("double") / F.col("n_pred")).alias("precision"),
+        (F.col("tp").cast("double") / F.col("all_pos")).alias("recall"),
+        (
+            (2 * F.col("tp")).cast("double")
+            / (F.col("n_pred") + F.col("all_pos"))
+        ).alias("f1"),
+    )

@@ -1263,3 +1263,75 @@ def q_agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("r") * F.col("c")).cast("double")
         ).alias("chi2_term"),
     )
+
+
+# -- HLL register MERGE (two-level, the mergeability property) --------------
+#
+# Per-source HLL register sets (keyed groupBy) merged by taking the MAX
+# register per bucket across sources. max-of-maxes == flat max, so the
+# merged estimate is provably identical to the single-pass sketch — and
+# the oracle computes the FLAT registers, making mergeability itself the
+# thing under test. This is how 1000 executors each summarize their
+# shard with 64 rows of state and one tiny shuffle.
+
+_HLL_MERGE_ORACLE = f"""
+WITH h AS (
+  SELECT source, {_sql_hash60("text")} AS h
+  FROM (SELECT DISTINCT source, text FROM documents)),
+reg AS (
+  SELECT h // {1 << _HLL_WBITS} AS bucket,
+         MAX(CASE WHEN h % {1 << _HLL_WBITS} = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(h % {1 << _HLL_WBITS}))
+             END) AS m
+  FROM h GROUP BY bucket),
+spine AS (SELECT g AS bucket FROM generate_series(0, {_HLL_M - 1}) t(g)),
+regs AS (
+  SELECT s.bucket, COALESCE(reg.m, 0) AS m
+  FROM spine s LEFT JOIN reg ON s.bucket = reg.bucket),
+den AS (
+  SELECT CAST(SUM(CAST(2 AS BIGINT) ** ({_HLL_WBITS + 1} - m)) AS BIGINT)
+           AS s2
+  FROM regs)
+SELECT {_HLL_M} AS m,
+       (SELECT COUNT(DISTINCT text) FROM documents) AS exact_distinct,
+       {_HLL_ALPHA} * {_HLL_M * _HLL_M} * {float(1 << (_HLL_WBITS + 1))}
+         / CAST(s2 AS DOUBLE) AS raw_est
+FROM den
+"""
+
+
+@query("q_agg_hll_merge", _HLL_MERGE_ORACLE)
+def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("source", hash60(F.col("text")).alias("h")).distinct()
+    w = F.col("h") % (1 << _HLL_WBITS)
+    rho = F.when(w == 0, _HLL_WBITS + 1).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    # Level 1: per-source registers (the per-executor state at scale).
+    per_src = h.groupBy(
+        "source",
+        (F.col("h") / (1 << _HLL_WBITS)).cast("bigint").alias("bucket"),
+    ).agg(F.max(rho).alias("m"))
+    # Level 2: merge = max register per bucket across sources.
+    merged = per_src.groupBy("bucket").agg(F.max("m").alias("m"))
+    spine = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    regs = spine.join(F.broadcast(merged), "bucket", "left").select(
+        F.coalesce("m", F.lit(0)).alias("m")
+    )
+    den = regs.agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - m)")
+        )
+        .cast("bigint")
+        .alias("s2")
+    )
+    exact = d.agg(F.count_distinct("text").alias("exact_distinct"))
+    return den.crossJoin(F.broadcast(exact)).select(
+        F.lit(_HLL_M).alias("m"),
+        "exact_distinct",
+        (
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_WBITS + 1)))
+            / F.col("s2").cast("double")
+        ).alias("raw_est"),
+    )

@@ -108,6 +108,48 @@ class SnapshotTable:
         except FileNotFoundError:
             return 0
 
+    # -- named refs (tags) -------------------------------------------------
+    #
+    # Iceberg-style tags: an immutable name -> version pointer, stored as
+    # one small json. Tags survive compaction (they pin a manifest, and
+    # compaction never deletes manifests) but a tagged version's data
+    # files can be reclaimed by vacuum — vacuum refuses to drop versions
+    # that are tag targets for exactly that reason.
+
+    def _tags_path(self) -> str:
+        return os.path.join(self.root, "_TAGS.json")
+
+    def tags(self) -> dict[str, int]:
+        try:
+            with open(self._tags_path()) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Create an immutable tag at ``version`` (default: latest).
+        Re-tagging an existing name to a different version raises."""
+        v = self.latest_version() if version is None else version
+        if v < 1 or v > self.latest_version():
+            raise ValueError(f"cannot tag nonexistent version {v}")
+        t = self.tags()
+        if name in t and t[name] != v:
+            raise ValueError(
+                f"tag {name!r} already points at v{t[name]} (tags are immutable)"
+            )
+        t[name] = v
+        tmp = self._tags_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(t, f)
+        os.replace(tmp, self._tags_path())
+        return v
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        t = self.tags()
+        if name not in t:
+            raise ValueError(f"unknown tag: {name!r}")
+        return self.read(spark, version=t[name])
+
     def _read_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
@@ -396,9 +438,11 @@ class SnapshotTable:
         manifests (older versions stop being time-travelable, exactly like
         Delta's VACUUM retention trade-off). Returns deleted file names."""
         latest = self.latest_version()
-        keep_versions = range(max(1, latest - keep_last + 1), latest + 1)
+        keep_versions = set(range(max(1, latest - keep_last + 1), latest + 1))
+        # tag targets stay reachable regardless of retention age
+        keep_versions.update(self.tags().values())
         live = set()
-        for v in keep_versions:
+        for v in sorted(keep_versions):
             m = self._read_manifest(v)
             live.update(m["files"])
             # CDC-only artifacts of retained versions stay readable too.

@@ -397,3 +397,33 @@ def test_outer_join_final_watermark_matches_oracle_contract(spark, sf_dir):
         .collect()[0]["s"]
     )
     assert final_wm.startswith(expected), (final_wm, expected)
+
+
+# -- snapshot tags (round 5) ------------------------------------------------
+
+
+def test_snapshot_tags_pin_versions_and_survive_vacuum(spark, tmp_path):
+    """Tags are immutable named refs; vacuum must keep a tagged version's
+    files alive even past the retention horizon, and read_tag must return
+    the tagged snapshot exactly."""
+    import pytest as _pytest
+
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable.create(str(tmp_path / "tbl"))
+    t.append(spark.range(10).selectExpr("id", "id * 2 AS v"))      # v1
+    t.tag("baseline")                                              # -> v1
+    t.append(spark.range(10, 20).selectExpr("id", "id * 2 AS v"))  # v2
+    t.append(spark.range(20, 25).selectExpr("id", "id * 2 AS v"))  # v3
+    assert t.tags() == {"baseline": 1}
+    # immutability
+    with _pytest.raises(ValueError):
+        t.tag("baseline", 2)
+    # vacuum with retention 1 would normally drop v1's files
+    t.vacuum(keep_last=1)
+    got = sorted(r["id"] for r in t.read_tag(spark, "baseline").collect())
+    assert got == list(range(10))
+    # untagged middle version is no longer guaranteed; latest still reads
+    assert t.read(spark).count() == 25
+    with _pytest.raises(ValueError):
+        t.read_tag(spark, "nope")

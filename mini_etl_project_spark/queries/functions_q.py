@@ -802,3 +802,95 @@ def q_fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked.select(
         "doc_id", "op", F.posexplode("arr").alias("pos0", "token")
     ).select("doc_id", "op", (F.col("pos0") + 1).cast("int").alias("pos"), "token")
+
+
+# -- XML parsing (from_xml, Spark 4 built-in) --------------------------------
+#
+# A deterministic XML document is built per order from its columns, then
+# parsed back with from_xml against an explicit schema. The oracle
+# computes the expected parsed fields straight from the base columns —
+# so the check pins that Spark's XML parser inverts the construction
+# exactly (element order, nesting, numeric casts).
+
+_XML_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority AS pri,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+       o_custkey AS cust
+FROM orders WHERE o_orderkey % 31 = 0
+"""
+
+
+@query("q_fn_xml", _XML_ORACLE)
+def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 31 == 0
+    )
+    xml = F.concat(
+        F.lit("<o><pri>"),
+        F.col("o_orderpriority"),
+        F.lit("</pri><cents>"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.lit("</cents><cust>"),
+        F.col("o_custkey").cast("string"),
+        F.lit("</cust></o>"),
+    )
+    schema = StructType(
+        [
+            StructField("pri", StringType()),
+            StructField("cents", LongType()),
+            StructField("cust", LongType()),
+        ]
+    )
+    parsed = o.select(
+        "o_orderkey", F.from_xml(xml, schema).alias("x")
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("x.pri").alias("pri"),
+        F.col("x.cents").alias("cents"),
+        F.col("x.cust").alias("cust"),
+    )
+
+
+# -- CSV line parsing (from_csv / to_csv roundtrip) -------------------------
+#
+# to_csv serializes a struct to one CSV line; from_csv parses it back
+# under an explicit schema — the embedded-delimiter quoting path is
+# exercised via part names containing spaces (and a planted comma).
+
+_CSV_INLINE_ORACLE = """
+SELECT p_partkey,
+       p_name || ',x' AS name_out,
+       CAST(p_size AS BIGINT) AS size_out
+FROM part WHERE p_partkey % 17 = 0
+"""
+
+
+@query("q_fn_csv_inline", _CSV_INLINE_ORACLE)
+def q_fn_csv_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % 17 == 0
+    )
+    line = F.to_csv(
+        F.struct(
+            F.concat(F.col("p_name"), F.lit(",x")).alias("n"),
+            F.col("p_size").cast("long").alias("s"),
+        )
+    )
+    parsed = p.select(
+        "p_partkey",
+        F.from_csv(line, "n string, s bigint").alias("c"),
+    )
+    return parsed.select(
+        "p_partkey",
+        F.col("c.n").alias("name_out"),
+        F.col("c.s").alias("size_out"),
+    )

@@ -592,3 +592,73 @@ def q_fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.select("o_orderkey", F.explode(doubled).alias("k", "v2"))
     )
+
+
+# -- Parameterized SQL (Spark 4 named arguments) -----------------------------
+#
+# spark.sql(..., args={...}) binds named parameters server-side — the
+# injection-safe templating surface. The oracle inlines the same
+# literals; agreement pins that binding semantics match inlining.
+
+_PARAM_SQL_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+WHERE o_totalprice > 250000 AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_sql_parameterized", _PARAM_SQL_ORACLE)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM __param_orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 250000, "status": "F"},
+    )
+
+
+# -- SQL table-valued functions: stack + inline ------------------------------
+#
+# stack() reshapes wide → long inside SQL (the TVF complement of the
+# DataFrame unpivot), and inline() explodes an array-of-structs — both
+# in one statement over lineitem aggregates.
+
+_TVF_ORACLE = """
+WITH agg AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, metric, val FROM (
+  SELECT l_returnflag, 'qty' AS metric, qty AS val FROM agg
+  UNION ALL
+  SELECT l_returnflag, 'cnt', cnt FROM agg)
+"""
+
+
+@query("q_sql_tvf_stack", _TVF_ORACLE)
+def q_sql_tvf_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__tvf_lineitem")
+    return spark.sql(
+        """
+        WITH agg AS (
+          SELECT l_returnflag,
+                 CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM __tvf_lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, metric, val
+        FROM agg
+        LATERAL VIEW stack(2, 'qty', qty, 'cnt', cnt) AS metric, val
+        """
+    )

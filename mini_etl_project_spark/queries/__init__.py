@@ -135,6 +135,10 @@ _CHECK_FIRST: list[str] = [
     "q_multimodal_route",
     "q_agg_hll_merge",
     "q_ml_pr_curve",
+    "q_fn_xml",
+    "q_fn_csv_inline",
+    "q_sql_parameterized",
+    "q_sql_tvf_stack",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

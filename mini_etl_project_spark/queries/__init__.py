@@ -139,6 +139,8 @@ _CHECK_FIRST: list[str] = [
     "q_fn_csv_inline",
     "q_sql_parameterized",
     "q_sql_tvf_stack",
+    "q_ps_pandas_api",
+    "q_dedup_cluster_stats",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

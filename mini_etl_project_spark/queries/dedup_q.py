@@ -351,3 +351,44 @@ def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_variants"),
         F.min("variant").cast("int").alias("kept_variant"),
     )
+
+
+# -- Duplicate-cluster size distribution ------------------------------------
+#
+# The dedup diagnostic a corpus owner reads first: group documents by
+# exact content hash, and report how many clusters exist of each size
+# plus how many rows deduplication would remove. Two keyed aggregations;
+# the histogram is bounded by the max cluster size.
+
+_DUP_CLUSTER_ORACLE = f"""
+WITH corpus AS (
+  SELECT text FROM documents
+  UNION ALL SELECT text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL SELECT text FROM documents WHERE doc_id % 21 = 0),
+clusters AS (
+  SELECT md5(text) AS h, COUNT(*) AS sz
+  FROM corpus GROUP BY md5(text))
+SELECT sz AS cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+FROM clusters GROUP BY sz
+"""
+
+
+@query("q_dedup_cluster_stats", _DUP_CLUSTER_ORACLE)
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus = (
+        d.select("text")
+        .unionAll(d.filter(F.col("doc_id") % 7 == 0).select("text"))
+        .unionAll(d.filter(F.col("doc_id") % 21 == 0).select("text"))
+    )
+    clusters = corpus.groupBy(F.md5("text").alias("h")).agg(
+        F.count("*").alias("sz")
+    )
+    return clusters.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        F.sum(F.col("sz") - 1).cast("bigint").alias("n_removable"),
+    )

@@ -662,3 +662,42 @@ def q_sql_tvf_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL VIEW stack(2, 'qty', qty, 'cnt', cnt) AS metric, val
         """
     )
+
+
+# -- Pandas API on Spark (pyspark.pandas) ------------------------------------
+#
+# The third client API after DataFrame and SQL: pandas-shaped code
+# compiled onto the same engine. The query is written entirely in
+# pyspark.pandas (groupby/agg/assign) and converted back to a Spark
+# frame at the boundary; the oracle is plain SQL — agreement pins that
+# the ps layer lowers to the same semantics.
+
+_PS_API_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(MAX(ROUND(l_extendedprice * 100)) AS BIGINT) AS max_cents
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("q_ps_pandas_api", _PS_API_ORACLE)
+def q_ps_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.pandas as ps
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    psdf = li.pandas_api()
+    out = psdf.groupby("l_returnflag").agg(
+        n=("qty", "count"), total_qty=("qty", "sum"), max_cents=("cents", "max")
+    )
+    sdf = out.reset_index().to_spark()
+    return sdf.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total_qty").cast("bigint").alias("total_qty"),
+        F.col("max_cents").cast("bigint").alias("max_cents"),
+    )

@@ -427,3 +427,30 @@ def test_snapshot_tags_pin_versions_and_survive_vacuum(spark, tmp_path):
     assert t.read(spark).count() == 25
     with _pytest.raises(ValueError):
         t.read_tag(spark, "nope")
+
+
+def test_global_rank_invariant_to_partition_count(spark, sf_dir):
+    """global_rank must produce identical ranks no matter how many range
+    partitions it uses (the ordering is total+unique, so boundary
+    placement cannot matter) — the property that makes it safe at any
+    cluster size."""
+    import pyspark.sql.functions as F
+
+    from mini_etl_project_spark.operators.rank import global_rank
+    from mini_etl_project_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    scored = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("score")
+    )
+    order = [F.col("score").desc(), F.col("user_id").asc()]
+    a = {
+        r["user_id"]: r["rank"]
+        for r in global_rank(scored, order, num_partitions=3).collect()
+    }
+    b = {
+        r["user_id"]: r["rank"]
+        for r in global_rank(scored, order, num_partitions=32).collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(1, len(a) + 1))

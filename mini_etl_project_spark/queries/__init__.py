@@ -141,6 +141,7 @@ _CHECK_FIRST: list[str] = [
     "q_sql_tvf_stack",
     "q_ps_pandas_api",
     "q_dedup_cluster_stats",
+    "q_stream_chained_windows",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

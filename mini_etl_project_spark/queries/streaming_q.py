@@ -627,3 +627,70 @@ def q_multimodal_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return images.unionByName(audio)
+
+
+# -- Chained stateful operators: window-on-window rollup --------------------
+#
+# Two tumbling aggregations CHAINED in one streaming query (Spark 3.4+
+# multiple-stateful-operator support): events → hourly per-type sums →
+# 6-hour rollup of the hourly results. The second window aggregates the
+# FIRST's window-start event time, exercising the watermark propagation
+# between stateful operators. Oracle = the same two-level rollup in
+# batch SQL (integer cents, so both levels are exact).
+
+_STREAM_CHAINED_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, h)
+SELECT event_type,
+       CAST(to_timestamp(epoch(h) - epoch(h) % 21600) AS TIMESTAMP) AS window6_start,
+       CAST(SUM(cents) AS BIGINT) AS cents6,
+       COUNT(*) AS n_hours
+FROM hourly, (SELECT MAX(ts) AS mx FROM events) wm
+GROUP BY event_type, window6_start, wm.mx
+-- append-mode emission contract: a 6-hour window emits iff the final
+-- watermark (max event time - 10 min) passed its END; the trailing
+-- window per type is correctly withheld and the oracle says so
+HAVING epoch(window6_start) + 21600 <= epoch(wm.mx) - 600
+"""
+
+
+@query("q_stream_chained_windows", _STREAM_CHAINED_ORACLE)
+def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.streaming.ops import (
+        drain_to_table,
+        events_stream,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    hourly = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    six = (
+        hourly.groupBy(
+            # window-on-window: passing the WINDOW STRUCT (not its start
+            # column) is what propagates event time + watermark through
+            # the second stateful operator (SPARK-40925 chained windows)
+            F.window(F.col("w1"), "6 hours").alias("w6"),
+            "event_type",
+        )
+        .agg(
+            F.sum("cents").cast("bigint").alias("cents6"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .select(
+            "event_type",
+            F.col("w6.start").alias("window6_start"),
+            "cents6",
+            "n_hours",
+        )
+    )
+    out = drain_to_table(six, mode="append")
+    return spark.table(out)

@@ -456,3 +456,49 @@ def test_text_roundtrip(spark, tmp_path):
     assert sorted(r["value"] for r in back.collect()) == sorted(
         str(i) for i in range(50)
     )
+
+
+def test_parquet_schema_drift_merge(spark, tmp_path):
+    """Schema evolution on read: two parquet batches with drifted schemas
+    (added column, widened coverage) union under mergeSchema=true; the
+    missing column backfills NULL. The everyday ETL drift case."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "drift")
+    spark.range(5).selectExpr("id", "id * 2 AS a").write.parquet(root + "/b1")
+    spark.range(5, 10).selectExpr(
+        "id", "id * 2 AS a", "CAST(id AS STRING) AS b"
+    ).write.parquet(root + "/b2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        root + "/b1", root + "/b2"
+    )
+    assert set(merged.columns) == {"id", "a", "b"}
+    assert merged.count() == 10
+    assert merged.filter(F.col("b").isNull()).count() == 5
+    assert merged.filter(F.col("b") == "7").count() == 1
+
+
+def test_catalog_ddl_roundtrip(spark, tmp_path):
+    """Catalog surface: saveAsTable → spark.catalog listing → INSERT INTO →
+    CREATE VIEW → DROP. The managed-table lifecycle on the session
+    catalog."""
+    name = "t_cat_roundtrip"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"DROP VIEW IF EXISTS v_{name}")
+    spark.range(3).selectExpr("id", "id * 10 AS v").write.mode(
+        "overwrite"
+    ).saveAsTable(name)
+    try:
+        assert any(t.name == name for t in spark.catalog.listTables())
+        spark.sql(f"INSERT INTO {name} VALUES (100, 1000)")
+        assert spark.table(name).count() == 4
+        spark.sql(
+            f"CREATE OR REPLACE VIEW v_{name} AS "
+            f"SELECT SUM(v) AS s FROM {name}"
+        )
+        assert spark.table(f"v_{name}").collect()[0]["s"] == 1030
+        cols = {c.name for c in spark.catalog.listColumns(name)}
+        assert cols == {"id", "v"}
+    finally:
+        spark.sql(f"DROP VIEW IF EXISTS v_{name}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

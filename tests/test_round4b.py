@@ -454,3 +454,46 @@ def test_global_rank_invariant_to_partition_count(spark, sf_dir):
     }
     assert a == b
     assert sorted(a.values()) == list(range(1, len(a) + 1))
+
+
+def test_streaming_checkpoint_resume_no_reprocessing(spark, tmp_path):
+    """Exactly-once file-source semantics across RESTARTS: a second
+    availableNow run sharing the checkpoint must process ONLY files that
+    arrived after the first run — nothing is double-counted. The
+    durability contract a production drop-zone pipeline leans on."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    spark.range(10).selectExpr("id", "id * 2 AS v").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id bigint, v bigint")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == 10
+    # second run with NO new data: nothing reprocessed
+    run_once()
+    assert spark.read.parquet(out).count() == 10
+    # drop one more file; only it is processed
+    spark.range(100, 105).selectExpr("id", "id * 2 AS v").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 15
+    assert got.filter(F.col("id") >= 100).count() == 5

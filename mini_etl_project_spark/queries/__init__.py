@@ -142,6 +142,10 @@ _CHECK_FIRST: list[str] = [
     "q_ps_pandas_api",
     "q_dedup_cluster_stats",
     "q_stream_chained_windows",
+    "q_agg_bitmap_distinct",
+    "q_fn_collation",
+    "q_udtf_analyze",
+    "q_agg_hll_native",  # rows-only by design (Datasketches internals)
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -894,3 +894,36 @@ def q_fn_csv_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.n").alias("name_out"),
         F.col("c.s").alias("size_out"),
     )
+
+
+# -- Collation-aware comparison (Spark 4 COLLATE) ----------------------------
+#
+# Case-insensitive grouping via the UTF8_LCASE collation — Spark 4's
+# collation engine — checked against the explicit lower() rewrite the
+# oracle (and any collation-less engine) uses. Mixed-case keys are
+# planted so the collation actually merges groups.
+
+_COLLATION_ORACLE = """
+WITH src AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+              ELSE lower(p_brand) END AS brand_mixed
+  FROM part)
+SELECT lower(brand_mixed) AS brand_ci, COUNT(*) AS n
+FROM src GROUP BY brand_ci
+"""
+
+
+@query("q_fn_collation", _COLLATION_ORACLE)
+def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    mixed = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper("p_brand")
+    ).otherwise(F.lower("p_brand"))
+    src = p.select(mixed.alias("brand_mixed"))
+    ci = F.expr("brand_mixed COLLATE UTF8_LCASE")
+    return src.groupBy(ci.alias("k")).agg(F.count("*").alias("n")).select(
+        # normalize the emitted key for the comparison boundary (collation
+        # groups preserve an arbitrary representative's case)
+        F.lower("k").alias("brand_ci"),
+        "n",
+    )

@@ -1335,3 +1335,61 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("s2").cast("double")
         ).alias("raw_est"),
     )
+
+
+# -- Bitmap-based exact distinct (Spark 4 bitmap aggregates) ----------------
+#
+# bitmap_construct_agg builds a 4 KB bitmap per (key, bucket) with one
+# bit per value position; bitmap_or_agg merges buckets mergeably and
+# bitmap_count reads the cardinality — Spark 4's native exact-distinct-
+# at-scale machinery (bounded state per group, no Expand). The oracle is
+# plain COUNT(DISTINCT): the whole bitmap path must agree with it
+# exactly.
+
+_BITMAP_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("q_agg_bitmap_distinct", _BITMAP_ORACLE)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag",
+        F.bitmap_bucket_number(F.col("l_partkey")).alias("bkt"),
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col("l_partkey"))
+        ).alias("bm")
+    )
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("nd_parts")
+    )
+
+
+# -- Native Datasketches HLL (Spark 4 hll_sketch_agg family) ----------------
+#
+# The engine-native complement of the portable HLL (q_agg_hll_portable):
+# hll_sketch_agg builds per-source sketches, hll_union merges them, and
+# hll_sketch_estimate reads the union's cardinality. Estimates are
+# implementation-defined (Datasketches internals), so the query is
+# registered ROWS-ONLY and the accuracy bound lives in
+# tests/test_round4b.py::test_native_hll_estimate_within_tolerance.
+
+@query("q_agg_hll_native", None)
+def q_agg_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.hll_sketch_agg("text", 12).alias("sk"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    merged = per_src.agg(
+        F.hll_union_agg("sk").alias("u"),
+        F.sum("n_docs").alias("n_docs"),
+    )
+    return merged.select(
+        F.hll_sketch_estimate("u").alias("est_distinct"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )

@@ -216,3 +216,67 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.mapInArrow(
         batches, "event_id bigint, cents bigint, frac double"
     )
+
+
+# -- Polymorphic UDTF (Spark 4 analyze-time schema) -------------------------
+#
+# A UDTF whose output schema is computed at ANALYSIS time from its
+# literal argument (`analyze` static method) — the dynamic-schema table
+# function Spark 4 added. The function unpivots a fixed number of
+# trailing value columns chosen by the literal; the oracle is the
+# equivalent static UNION ALL.
+
+_UDTF_ANALYZE_ORACLE = """
+SELECT o_orderkey, 'cents' AS metric,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS val
+FROM orders WHERE o_orderkey % 53 = 0
+UNION ALL
+SELECT o_orderkey, 'cust', o_custkey FROM orders WHERE o_orderkey % 53 = 0
+"""
+
+
+@query("q_udtf_analyze", _UDTF_ANALYZE_ORACLE)
+def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class Unpivot2:
+        @staticmethod
+        def analyze(n: AnalyzeArgument, *cols: AnalyzeArgument) -> AnalyzeResult:
+            # schema depends on the literal: id + (metric, val)
+            schema = (
+                StructType()
+                .add("o_orderkey", LongType())
+                .add("metric", StringType())
+                .add("val", LongType())
+            )
+            assert n.value == len(cols) - 1  # first col is the key
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, n, *args):
+            key = args[0]
+            names = ["cents", "cust"]
+            for i in range(n):
+                yield key, names[i], args[1 + i]
+
+    spark.udtf.register("unpivot2", udtf(Unpivot2))
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 53 == 0
+    )
+    o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_custkey").cast("bigint").alias("cust"),
+    ).createOrReplaceTempView("udtf_analyze_src")
+    return spark.sql(
+        """
+        SELECT t.o_orderkey, t.metric, t.val
+        FROM udtf_analyze_src,
+             LATERAL unpivot2(2, o_orderkey, cents, cust) t
+        """
+    )

@@ -497,3 +497,22 @@ def test_streaming_checkpoint_resume_no_reprocessing(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 15
     assert got.filter(F.col("id") >= 100).count() == 5
+
+
+def test_native_hll_estimate_within_tolerance(spark, sf_dir):
+    """The Datasketches HLL union estimate must land within 5% of the
+    exact distinct count (lgK=12 → ~1.6% standard error)."""
+    import pyspark.sql.functions as F
+
+    from mini_etl_project_spark.queries import QUERIES
+    from mini_etl_project_spark.session import load_table
+
+    est = QUERIES["q_agg_hll_native"](spark, sf_dir).collect()[0][
+        "est_distinct"
+    ]
+    exact = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count_distinct("text").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert abs(est - exact) / exact < 0.05, (est, exact)

@@ -146,6 +146,8 @@ _CHECK_FIRST: list[str] = [
     "q_fn_collation",
     "q_udtf_analyze",
     "q_agg_hll_native",  # rows-only by design (Datasketches internals)
+    "q_etl_audit_columns",
+    "q_quality_k_anonymity",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

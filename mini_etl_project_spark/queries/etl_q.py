@@ -618,3 +618,88 @@ def q_etl_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("winsorized_sum"),
     )
+
+
+# -- Audit / lineage columns -------------------------------------------------
+#
+# The ingestion-metadata projection every warehouse table carries: a
+# deterministic row fingerprint (md5 over a canonical null-tagged
+# column concatenation), the source tag, and a batch id — all pure
+# expressions. The fingerprint doubles as the exact-dedup key and the
+# CDC join key downstream; nondeterministic inputs (ingest wall-clock,
+# input_file_name) deliberately stay OUT of the fingerprint.
+
+_AUDIT_ORACLE = """
+SELECT o_orderkey,
+       md5('orders' || '|' || CAST(o_orderkey AS VARCHAR)
+           || '|' || COALESCE(o_orderstatus, '<null>')
+           || '|' || CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR))
+         AS row_fp,
+       'orders' AS src_table,
+       CAST(o_orderkey % 16 AS BIGINT) AS ingest_shard
+FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
+@query("q_etl_audit_columns", _AUDIT_ORACLE)
+def q_etl_audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 11 == 0
+    )
+    fp = F.md5(
+        F.concat_ws(
+            "|",
+            F.lit("orders"),
+            F.col("o_orderkey").cast("string"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("<null>")),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        )
+    )
+    return o.select(
+        "o_orderkey",
+        fp.alias("row_fp"),
+        F.lit("orders").alias("src_table"),
+        (F.col("o_orderkey") % 16).cast("bigint").alias("ingest_shard"),
+    )
+
+
+# -- k-anonymity audit -------------------------------------------------------
+#
+# Privacy QA for training-data exports: group by the quasi-identifier
+# tuple and report equivalence classes smaller than k (the rows a
+# re-identification attack can isolate). One keyed aggregate + bounded
+# histogram — the privacy twin of the dup-cluster stats.
+
+_K_ANON_ORACLE = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         COUNT(*) AS sz
+  FROM customer GROUP BY c_nationkey, c_mktsegment, bal_band)
+SELECT CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_exposed_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(sz) AS BIGINT) AS min_class_size
+FROM classes
+"""
+
+
+@query("q_quality_k_anonymity", _K_ANON_ORACLE)
+def q_quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(F.count("*").alias("sz"))
+    small = F.col("sz") < 5
+    return classes.agg(
+        F.sum(small.cast("long")).cast("bigint").alias("n_violating_classes"),
+        F.sum(F.when(small, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_exposed_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("sz").cast("bigint").alias("min_class_size"),
+    )

@@ -148,6 +148,8 @@ _CHECK_FIRST: list[str] = [
     "q_agg_hll_native",  # rows-only by design (Datasketches internals)
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
+    "q_dedup_substring_spans",
+    "q_corpus_quality_gate",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

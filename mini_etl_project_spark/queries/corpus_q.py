@@ -171,3 +171,89 @@ def q_corpus_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.col("quality"))
         ).alias("mean_quality"),
     )
+
+
+# -- Quality gate: multi-signal filter decision + survival accounting -------
+#
+# The composed filtering step a pretraining pipeline actually ships:
+# three independent quality signals (length band, alpha-token ratio,
+# max-line-repetition) combined into one keep/drop decision, with
+# per-source survival rates and per-signal rejection counts so corpus
+# owners can see WHICH gate bites. One pass of stateless expressions +
+# one keyed aggregate.
+
+_QUALITY_GATE_ORACLE = """
+WITH sig AS (
+  SELECT source,
+         n_chars BETWEEN 120 AND 20000 AS ok_len,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]{2,}')) AS DOUBLE)
+           / GREATEST(len(regexp_extract_all(trim(text), '\\S+')), 1)
+           >= 0.6 AS ok_alpha,
+         COALESCE((
+           SELECT MAX(cnt) FROM (
+             SELECT COUNT(*) AS cnt
+             FROM unnest(string_split(text, chr(10))) AS t(line)
+             WHERE trim(line) <> ''
+             GROUP BY line)
+         ), 0) <= 2 AS ok_rep
+  FROM documents)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN ok_len AND ok_alpha AND ok_rep
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT)
+         AS rej_len,
+       CAST(SUM(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT)
+         AS rej_alpha,
+       CAST(SUM(CASE WHEN NOT ok_rep THEN 1 ELSE 0 END) AS BIGINT)
+         AS rej_rep,
+       CAST(SUM(CASE WHEN ok_len AND ok_alpha AND ok_rep
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS survival_rate
+FROM sig GROUP BY source
+"""
+
+
+@query("q_corpus_quality_gate", _QUALITY_GATE_ORACLE)
+def q_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ok_len = F.col("n_chars").between(120, 20000)
+    ok_alpha = (
+        F.regexp_count("text", F.lit(r"[A-Za-z]{2,}")).cast("double")
+        / F.greatest(
+            F.regexp_count(F.trim("text"), F.lit(r"\S+")), F.lit(1)
+        )
+    ) >= 0.6
+    # max repetition of any non-empty line within the doc, expression-only
+    lines = F.filter(
+        F.split("text", "\n"), lambda x: F.trim(x) != ""
+    )
+    max_rep = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(lines),
+                lambda u: F.size(F.filter(lines, lambda x: x == u)),
+            )
+        ),
+        F.lit(0),
+    )
+    ok_rep = max_rep <= 2
+    sig = d.select(
+        "source",
+        ok_len.alias("ok_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_rep.alias("ok_rep"),
+    )
+    keep = F.col("ok_len") & F.col("ok_alpha") & F.col("ok_rep")
+    return sig.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(keep.cast("long")).cast("bigint").alias("n_kept"),
+        F.sum((~F.col("ok_len")).cast("long")).cast("bigint").alias("rej_len"),
+        F.sum((~F.col("ok_alpha")).cast("long"))
+        .cast("bigint")
+        .alias("rej_alpha"),
+        F.sum((~F.col("ok_rep")).cast("long")).cast("bigint").alias("rej_rep"),
+        (F.sum(keep.cast("long")).cast("double") / F.count("*")).alias(
+            "survival_rate"
+        ),
+    )

@@ -392,3 +392,113 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz").cast("bigint").alias("n_docs"),
         F.sum(F.col("sz") - 1).cast("bigint").alias("n_removable"),
     )
+
+
+# -- Cross-document duplicated-substring spans (ExactSubstr-style) ----------
+#
+# The training-data dedup insight behind suffix-array ExactSubstr
+# (Lee et al., "Deduplicating Training Data Makes Language Models
+# Better"), reshaped for a distributed engine: every 40-char gram of
+# every document, hashed; grams appearing in >= 2 DISTINCT documents
+# mark duplicated spans [pos, pos+39]; per document, overlapping spans
+# merge via the keyed island pattern (lag + running max of span end) and
+# the query reports how much of each document is covered by cross-doc
+# duplicated text. Explode is linear in corpus chars; everything after
+# is keyed by gram hash or doc — no pairwise comparisons anywhere.
+
+_SUBSTR_L = 40
+
+_SUBSTR_SPANS_ORACLE = f"""
+WITH docs AS (SELECT doc_id, text, len(text) AS n FROM documents),
+sh AS (
+  SELECT doc_id, n, g.p AS pos,
+         md5(substr(text, g.p, {_SUBSTR_L})) AS h
+  FROM docs, LATERAL unnest(generate_series(1, n - {_SUBSTR_L - 1})) g(p)
+  WHERE n >= {_SUBSTR_L}),
+dup AS (
+  SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+marks AS (
+  SELECT s.doc_id, s.n, s.pos,
+         s.pos + {_SUBSTR_L - 1} AS fin
+  FROM sh s JOIN dup ON s.h = dup.h),
+islands AS (
+  SELECT doc_id, n, pos, fin,
+         CASE WHEN pos > COALESCE(MAX(fin) OVER (
+                PARTITION BY doc_id ORDER BY pos, fin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+              THEN 1 ELSE 0 END AS is_new
+  FROM marks),
+grp AS (
+  SELECT doc_id, n, pos, fin,
+         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos, fin
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM islands),
+merged AS (
+  SELECT doc_id, MAX(n) AS n, island,
+         MIN(pos) AS s, MAX(fin) AS e
+  FROM grp GROUP BY doc_id, island)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+       CAST(SUM(e - s + 1) AS DOUBLE) / MAX(n) AS dup_frac
+FROM merged GROUP BY doc_id
+"""
+
+
+@query("q_dedup_substring_spans", _SUBSTR_SPANS_ORACLE)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "text", F.length("text").alias("n")).filter(
+        F.col("n") >= _SUBSTR_L
+    )
+    sh = docs.select(
+        "doc_id",
+        "n",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, n - {_SUBSTR_L - 1}),"
+                f" p -> md5(substr(text, p, {_SUBSTR_L})))"
+            )
+        ).alias("pos0", "h"),
+    ).select(
+        "doc_id", "n", (F.col("pos0") + 1).alias("pos"), "h"
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    marks = sh.join(dup, "h").select(
+        "doc_id", "n", "pos", (F.col("pos") + _SUBSTR_L - 1).alias("fin")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos", "fin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos", "fin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marks.withColumn(
+        "is_new",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max("fin").over(w_prev), F.lit(0)) + 1,
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("is_new").over(w_run))
+    merged = islands.groupBy("doc_id", "island").agg(
+        F.max("n").alias("n"), F.min("pos").alias("s"), F.max("fin").alias("e")
+    )
+    return merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_chars"),
+        (
+            F.sum(F.col("e") - F.col("s") + 1).cast("double") / F.max("n")
+        ).alias("dup_frac"),
+    )

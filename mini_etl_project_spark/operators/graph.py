@@ -152,3 +152,44 @@ def pagerank_dangling(
             )
         )
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Multi-source BFS shortest hop counts, frontier-style (X154).
+
+    ``edges`` is a DIRECTED edge list (pass both directions for an
+    undirected graph); ``sources`` is a one-column ``node`` DataFrame of
+    BFS roots (distance 0).  Returns ``(node, d)`` for every node
+    reachable within ``max_hops``.
+
+    Scale posture: the textbook distributed frontier expansion — each
+    round is one keyed equi-join (frontier × edges), a distinct, and a
+    LEFT ANTI join against the visited set; no per-node driver loop, no
+    collect, and ``localCheckpoint`` after each round cuts the growing
+    lineage so round k's plan does not replay rounds 1..k-1.  Rounds are
+    fixed (``max_hops``), so there is no driver-side emptiness probe; an
+    empty frontier makes the remaining rounds no-op map jobs.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    visited = sources.select("node", F.lit(0).alias("d")).localCheckpoint(
+        eager=True
+    )
+    frontier = visited.select("node")
+    for r in range(1, max_hops + 1):
+        cand = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new = cand.join(visited, "node", "left_anti").select(
+            "node", F.lit(r).alias("d")
+        )
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return visited

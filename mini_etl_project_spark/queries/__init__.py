@@ -146,6 +146,10 @@ _CHECK_FIRST: list[str] = [
     "q_fn_collation",
     "q_udtf_analyze",
     "q_agg_hll_native",  # rows-only by design (Datasketches internals)
+    "q_corpus_chunk_overlap",
+    "q_graph_bfs_dist",
+    "q_split_leakage_safe",
+    "q_join_spatial_grid",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

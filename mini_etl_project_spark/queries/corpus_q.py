@@ -257,3 +257,72 @@ def q_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival_rate"
         ),
     )
+
+
+# -- X154 fixed-size overlapping chunking (training-sample windowing) ------
+#
+# The standard pretraining preprocessing step the reference's single-node
+# pipeline cannot express at scale: split every document into fixed-size
+# token windows (size 24, stride 16) so long documents become multiple
+# training samples with overlap for context continuity.
+#
+# Scale posture: the whole operator is ONE stateless projection — the
+# chunk list is built with sequence/transform/slice (JVM higher-order
+# functions), per-chunk hashes and the per-doc signature fold with
+# transform + concat_ws, and the token accounting with aggregate().  No
+# explode, no shuffle, no UDF: at 100 TB this is a map-only stage that
+# rides whatever partitioning the scan already has.
+
+_CHUNK_SIZE = 24
+_CHUNK_STRIDE = 16
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         LEN(string_split_regex(trim(text), '\\s+')) AS n
+  FROM documents),
+idx AS (
+  SELECT doc_id, n, toks,
+         UNNEST(range(0, CAST(FLOOR((n-1)/{_CHUNK_STRIDE}) AS BIGINT)+1)) AS i
+  FROM t),
+chunks AS (
+  SELECT doc_id, n, i,
+         toks[i*{_CHUNK_STRIDE}+1 : i*{_CHUNK_STRIDE}+{_CHUNK_SIZE}] AS chunk
+  FROM idx)
+SELECT doc_id,
+       MAX(n) AS n_tokens,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(LEN(chunk)) AS BIGINT) AS sum_chunk_tokens,
+       md5(string_agg(md5(array_to_string(chunk, ' ')), '' ORDER BY i))
+         AS chunks_sig
+FROM chunks GROUP BY doc_id
+"""
+
+
+@query("q_corpus_chunk_overlap", _CHUNK_ORACLE)
+def q_corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", tokens("text").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    chunked = t.withColumn(
+        "chunks",
+        F.expr(
+            f"transform(sequence(0, int(floor((n-1)/{_CHUNK_STRIDE}))),"
+            f" i -> slice(toks, i*{_CHUNK_STRIDE}+1, {_CHUNK_SIZE}))"
+        ),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.size("chunks").cast("bigint").alias("n_chunks"),
+        F.expr(
+            "cast(aggregate(chunks, 0L, (acc, c) -> acc + size(c)) as bigint)"
+        ).alias("sum_chunk_tokens"),
+        F.md5(
+            F.concat_ws(
+                "", F.expr("transform(chunks, c -> md5(array_join(c, ' ')))")
+            )
+        ).alias("chunks_sig"),
+    )

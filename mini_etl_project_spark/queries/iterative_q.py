@@ -458,3 +458,71 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist(e0, "cust", "customer").unionByName(
         hist(e0, "supp", "supplier")
     )
+
+
+# -- X155 multi-source BFS shortest hops -----------------------------------
+#
+# Frontier BFS over the undirected bipartite customer—supplier trade graph
+# (edge when a supplier supplied a line of a customer's order), rooted at
+# supplier 1.  Spark runs the distributed frontier expansion
+# (operators/graph.py::bfs_distances); the oracle is DuckDB's native
+# WITH RECURSIVE — two entirely different evaluation strategies that must
+# agree on every (node, dist).  Customers are offset into a disjoint id
+# space (+1_000_000) so one BIGINT node column covers both sides.
+
+_BFS_CAP = 6
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE ed AS (
+  SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+e AS (
+  SELECT s AS u, 1000000 + c AS v FROM ed
+  UNION ALL
+  SELECT 1000000 + c AS u, s AS v FROM ed),
+bfs(node, d) AS (
+  SELECT CAST(1 AS BIGINT) AS node, 0 AS d
+  UNION
+  SELECT e.v, bfs.d + 1
+  FROM bfs JOIN e ON e.u = bfs.node
+  WHERE bfs.d < {_BFS_CAP}
+)
+SELECT CASE WHEN node >= 1000000 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       CAST(CASE WHEN node >= 1000000 THEN node - 1000000 ELSE node END
+         AS BIGINT) AS node_id,
+       CAST(MIN(d) AS BIGINT) AS dist
+FROM bfs GROUP BY 1, 2
+"""
+
+
+@query("q_graph_bfs_dist", _BFS_ORACLE)
+def q_graph_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.graph import bfs_distances
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ed = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    e = ed.select(
+        F.col("s").alias("u"), (F.lit(1000000) + F.col("c")).alias("v")
+    ).unionByName(
+        ed.select(
+            (F.lit(1000000) + F.col("c")).alias("u"), F.col("s").alias("v")
+        )
+    )
+    sources = spark.range(1, 2).select(F.col("id").alias("node"))
+    dist = bfs_distances(e, sources, max_hops=_BFS_CAP)
+    return dist.select(
+        F.when(F.col("node") >= 1000000, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.when(F.col("node") >= 1000000, F.col("node") - 1000000)
+        .otherwise(F.col("node"))
+        .cast("bigint")
+        .alias("node_id"),
+        F.col("d").cast("bigint").alias("dist"),
+    )

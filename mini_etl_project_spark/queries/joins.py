@@ -716,3 +716,102 @@ def q_join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a_id", "b_id", (F.col("a_cents") - F.col("b_cents")).alias("diff"))
     )
+
+
+# -- X157 grid-bucketed spatial neighbor join ------------------------------
+#
+# The 2-D analogue of the 1-D range-bucket band join above: synthetic
+# integer point coordinates (microdegrees, derived deterministically from
+# c_custkey so both engines build the identical point set), bucketed into
+# a square grid whose cell edge (100 000 µ°) exceeds the search radius
+# (80 000 µ°) — so every true neighbor pair lives in the same or an
+# adjacent cell, and a 9-cell candidate join is provably lossless.  The
+# oracle is the BRUTE-FORCE all-pairs quadratic join; the engine runs the
+# pruned plan.  All distance math is exact int64 (squared Euclidean in
+# µ°²) — no trig, no float divergence.
+#
+# Scale posture: explode side A to its 9 neighbor cells (fixed 9× map-side
+# amplification), equi-join on the cell key (one keyed shuffle), exact
+# filter on candidates only.  At 100 TB the cell key is also the natural
+# partitioning for co-located storage; the quadratic oracle shape never
+# runs on the engine side.
+
+_GRID_CELL = 100_000
+_GRID_R2 = 80_000 * 80_000  # radius 80 000 µ° squared
+
+_SPATIAL_SQL_PTS = """
+  SELECT c_custkey AS id,
+         (c_custkey * 7919) % 2000001 AS x,
+         (c_custkey * 104729) % 2000001 AS y
+  FROM customer
+"""
+
+_SPATIAL_ORACLE = f"""
+WITH pts AS ({_SPATIAL_SQL_PTS}),
+pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2,
+         LEAST(a.x, b.x) // {_GRID_CELL} AS cell_x,
+         LEAST(a.y, b.y) // {_GRID_CELL} AS cell_y
+  FROM pts a JOIN pts b ON a.id < b.id)
+SELECT cell_x, cell_y,
+       COUNT(*) AS n_pairs,
+       CAST(MIN(d2) AS BIGINT) AS min_d2,
+       CAST(SUM(d2) AS BIGINT) AS sum_d2
+FROM pairs
+WHERE d2 <= {_GRID_R2}
+GROUP BY cell_x, cell_y
+"""
+
+
+@query("q_join_spatial_grid", _SPATIAL_ORACLE)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919) % 2000001).alias("x"),
+        ((F.col("c_custkey") * 104729) % 2000001).alias("y"),
+    )
+    a = pts.select(
+        F.col("id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+    ).select(
+        "*",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dx ->"
+                f" transform(sequence(-1, 1), dy ->"
+                f" struct(ax DIV {_GRID_CELL} + dx AS cx,"
+                f"        ay DIV {_GRID_CELL} + dy AS cy))))"
+            )
+        ).alias("cell"),
+    )
+    b = pts.select(
+        F.col("id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.expr(f"struct(bx DIV {_GRID_CELL} AS cx, by DIV {_GRID_CELL} AS cy)").alias(
+            "cell"
+        ),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            d2.alias("d2"),
+            F.expr(f"least(ax, bx) DIV {_GRID_CELL}").alias("cell_x"),
+            F.expr(f"least(ay, by) DIV {_GRID_CELL}").alias("cell_y"),
+        )
+        .filter(F.col("d2") <= _GRID_R2)
+    )
+    return pairs.groupBy("cell_x", "cell_y").agg(
+        F.count("*").alias("n_pairs"),
+        F.min("d2").cast("bigint").alias("min_d2"),
+        F.sum("d2").cast("bigint").alias("sum_d2"),
+    )

@@ -1393,3 +1393,84 @@ def q_agg_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("u").alias("est_distinct"),
         F.col("n_docs").cast("bigint").alias("n_docs"),
     )
+
+
+# -- X156 leakage-safe split (dup-cluster-aware train/test) ----------------
+#
+# The contamination-control variant of the hash split above: membership is
+# a pure function of the duplicate-CLUSTER key (md5 of normalized text),
+# not the row key, so exact copies of the same document can never land on
+# both sides of the train/eval boundary — the standard decontamination
+# requirement for pretraining corpora.  Planted copies (doc_id + 20000,
+# same convention as corpus_q) guarantee multi-member clusters exist, and
+# the n_leaky_clusters output column proves the invariant (always 0).
+#
+# Scale posture: one stateless projection computes the cluster key and
+# split tag per row (the split needs NO join against a cluster table —
+# the key itself is the cluster identity), one groupBy per split for the
+# counts, and the leak audit is a second small aggregate cross-joined in
+# as a broadcast 1-row literal.
+
+_LEAK_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000 AS id, text FROM documents WHERE doc_id % 7 = 0),
+keyed AS (
+  SELECT id, LENGTH(text) AS n_chars,
+         md5(lower(trim(text))) AS ckey
+  FROM corpus),
+tagged AS (
+  SELECT id, n_chars, ckey,
+         CASE WHEN h < 80 THEN 'train'
+              WHEN h < 90 THEN 'validation'
+              ELSE 'test' END AS split
+  FROM (SELECT *, {_sql_hash60("ckey")} % 100 AS h FROM keyed)),
+leak AS (
+  SELECT COUNT(*) AS n_leaky_clusters
+  FROM (SELECT ckey FROM tagged GROUP BY ckey
+        HAVING COUNT(DISTINCT split) > 1))
+SELECT split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT ckey) AS n_clusters,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MAX(n_leaky_clusters) AS BIGINT) AS n_leaky_clusters
+FROM tagged CROSS JOIN leak
+GROUP BY split
+"""
+
+
+@query("q_split_leakage_safe", _LEAK_ORACLE)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select(F.col("doc_id").alias("id"), "text").unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 20000).alias("id"), "text"
+        )
+    )
+    keyed = corpus.select(
+        "id",
+        F.length("text").alias("n_chars"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("ckey"),
+    )
+    h = hash60(F.col("ckey")) % 100
+    tagged = keyed.withColumn(
+        "split",
+        F.when(h < 80, "train").when(h < 90, "validation").otherwise("test"),
+    )
+    leak = (
+        tagged.groupBy("ckey")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").alias("n_leaky_clusters"))
+    )
+    return (
+        tagged.crossJoin(F.broadcast(leak))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("ckey").alias("n_clusters"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.max("n_leaky_clusters").cast("bigint").alias("n_leaky_clusters"),
+        )
+    )

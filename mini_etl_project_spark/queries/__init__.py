@@ -150,6 +150,10 @@ _CHECK_FIRST: list[str] = [
     "q_graph_bfs_dist",
     "q_split_leakage_safe",
     "q_join_spatial_grid",
+    "q_ml_knn_classify",
+    "q_fn_interval_arith",
+    "q_sql_unpivot_native",
+    "q_fn_lateral_alias",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

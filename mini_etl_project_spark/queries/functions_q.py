@@ -927,3 +927,45 @@ def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("k").alias("brand_ci"),
         "n",
     )
+
+
+# -- X159 ANSI interval arithmetic -----------------------------------------
+#
+# Day-time INTERVAL literals in timestamp arithmetic, plus epoch-grid
+# snapping, all at full microsecond precision: the timestamp algebra a
+# time-series warehouse leans on.  Microsecond integers (unix_micros /
+# epoch_us) keep every derived column integer-exact across engines — no
+# float epoch, no timezone ambiguity (session TZ pinned UTC).
+
+_INTERVAL_ORACLE = """
+SELECT event_id,
+       ts + INTERVAL 90 MINUTE AS plus_90m,
+       ts - INTERVAL 1 DAY AS minus_1d,
+       ts + INTERVAL '26:30:00' AS plus_dts,
+       make_timestamp(epoch_us(ts) - epoch_us(ts) % 900000000)
+         AS snapped_15m,
+       CAST((epoch_us(ts)
+             - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 3600000000
+         AS BIGINT) AS hours_since_anchor
+FROM events
+"""
+
+
+@query("q_fn_interval_arith", _INTERVAL_ORACLE)
+def q_fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    anchor_us = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    return e.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTE")).alias("plus_90m"),
+        (F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("minus_1d"),
+        (F.col("ts") + F.expr("INTERVAL '1 02:30:00' DAY TO SECOND")).alias(
+            "plus_dts"
+        ),
+        F.timestamp_micros(
+            F.unix_micros("ts") - F.unix_micros("ts") % 900000000
+        ).alias("snapped_15m"),
+        ((F.unix_micros("ts") - anchor_us) / 3600000000)
+        .cast("bigint")
+        .alias("hours_since_anchor"),
+    )

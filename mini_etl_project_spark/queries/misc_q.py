@@ -701,3 +701,85 @@ def q_ps_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_qty").cast("bigint").alias("total_qty"),
         F.col("max_cents").cast("bigint").alias("max_cents"),
     )
+
+
+# -- X160 native SQL UNPIVOT clause ----------------------------------------
+#
+# Spark 3.4+'s first-class UNPIVOT relation (not the stack() TVF used by
+# q_unpivot_metrics / q_sql_tvf_stack): a wide per-priority aggregate is
+# reshaped wide→long by the parser itself.  The oracle reproduces the
+# reshape with plain UNION ALL — same rows, different formalism.  All
+# measures are integer cents so the value column unions losslessly.
+
+_UNPIVOT_NATIVE_ORACLE = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS max_cents
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS val FROM wide
+UNION ALL
+SELECT o_orderpriority, 'sum_cents', sum_cents FROM wide
+UNION ALL
+SELECT o_orderpriority, 'max_cents', max_cents FROM wide
+"""
+
+
+@query("q_sql_unpivot_native", _UNPIVOT_NATIVE_ORACLE)
+def q_sql_unpivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "unpivot_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority, metric, val
+        FROM (
+          SELECT o_orderpriority,
+                 COUNT(*) AS n_orders,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+                 MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS max_cents
+          FROM unpivot_orders GROUP BY o_orderpriority)
+        UNPIVOT (val FOR metric IN (n_orders, sum_cents, max_cents))
+        """
+    )
+
+
+# -- X161 lateral column aliases -------------------------------------------
+#
+# Spark 3.4+ lets a SELECT expression reference an alias defined earlier
+# in the SAME select list — the warehouse-SQL ergonomics feature that
+# removes nested subqueries for derived-from-derived columns.  The oracle
+# expands the chain manually, proving the lateral references bind to the
+# aliased expressions and not to shadowed input columns.  Integer cents
+# keep the three-deep derivation chain exact.
+
+_LATERAL_ALIAS_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS net_c4,
+       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) // 100
+         AS net_cents
+FROM lineitem
+"""
+
+
+@query("q_fn_lateral_alias", _LATERAL_ALIAS_ORACLE)
+def q_fn_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lateral_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               cents * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                 AS net_c4,
+               net_c4 DIV 100 AS net_cents
+        FROM lateral_lineitem
+        """
+    )

@@ -660,3 +660,103 @@ def q_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_pred") + F.col("all_pos"))
         ).alias("f1"),
     )
+
+
+# -- X158 k-NN majority-vote classifier ------------------------------------
+#
+# Brute-force exact k-nearest-neighbours (k=5) of a bounded query batch
+# (vec_id < 20) against the training rest, integer-exact: coordinates
+# quantized to milli-units (same fixed-point scheme as k-means above), so
+# squared L2 distances, the (dist, tid) ranking, and the majority vote
+# are all bit-identical across engines.  Ties in the vote break to the
+# smallest label; ties in distance break to the smallest train id.
+#
+# Scale posture: the bounded query batch is BROADCAST (the standard
+# "score a small probe set against a huge corpus" shape — one map-side
+# pass over training vectors, no shuffle of the big side); top-k per
+# query is a keyed window over qid.  For corpus-scale query sets the
+# IVF/LSH ANN operators in operators/similarity.py are the scale path;
+# this query is the exact-evaluation harness.
+
+_KNN_K = 5
+_KNN_NQ = 20
+
+_KNN_ORACLE = f"""
+WITH pts AS (
+  SELECT vec_id AS id, label, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS x
+  FROM embeddings, generate_series(1, {_DIM}) g(i)),
+d AS (
+  SELECT q.id AS qid, MIN(q.label) AS true_label,
+         t.id AS tid, MIN(t.label) AS tlabel,
+         CAST(SUM((q.x - t.x) * (q.x - t.x)) AS BIGINT) AS d2
+  FROM pts q JOIN pts t ON q.i = t.i
+  WHERE q.id < {_KNN_NQ} AND t.id >= {_KNN_NQ}
+  GROUP BY q.id, t.id),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, tid) AS rn
+    FROM d)
+  WHERE rn <= {_KNN_K}),
+votes AS (
+  SELECT qid, MIN(true_label) AS true_label, tlabel, COUNT(*) AS n_votes
+  FROM topk GROUP BY qid, tlabel),
+best AS (
+  SELECT qid, CAST(MIN(d2) AS BIGINT) AS min_d2 FROM topk GROUP BY qid),
+pred AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY n_votes DESC, tlabel) AS pr
+    FROM votes)
+  WHERE pr = 1)
+SELECT p.qid, p.true_label, p.tlabel AS pred_label, p.n_votes, b.min_d2
+FROM pred p JOIN best b ON p.qid = b.qid
+"""
+
+
+@query("q_ml_knn_classify", _KNN_ORACLE)
+def q_ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        F.col("embedding"),
+        lambda e: F.round(e.cast("double") * 1000).cast("bigint"),
+    )
+    qv = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        quant.alias("qa"),
+    )
+    tv = emb.filter(F.col("vec_id") >= _KNN_NQ).select(
+        F.col("vec_id").alias("tid"),
+        F.col("label").alias("tlabel"),
+        quant.alias("ta"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("ta"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    pairs = tv.join(F.broadcast(qv)).select(
+        "qid", "true_label", "tid", "tlabel", d2.alias("d2")
+    )
+    wk = Window.partitionBy("qid").orderBy("d2", "tid")
+    topk = pairs.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= _KNN_K
+    )
+    votes = topk.groupBy("qid", "true_label", "tlabel").agg(
+        F.count("*").alias("n_votes")
+    )
+    best = topk.groupBy("qid").agg(F.min("d2").alias("min_d2"))
+    wv = Window.partitionBy("qid").orderBy(F.desc("n_votes"), "tlabel")
+    pred = votes.withColumn("pr", F.row_number().over(wv)).filter(
+        F.col("pr") == 1
+    )
+    return pred.join(best, "qid").select(
+        "qid",
+        "true_label",
+        F.col("tlabel").alias("pred_label"),
+        "n_votes",
+        "min_d2",
+    )

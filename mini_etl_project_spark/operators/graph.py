@@ -161,7 +161,7 @@ def bfs_distances(
     src: str = "u",
     dst: str = "v",
 ) -> DataFrame:
-    """Multi-source BFS shortest hop counts, frontier-style (X154).
+    """Multi-source BFS shortest hop counts, frontier-style (X155).
 
     ``edges`` is a DIRECTED edge list (pass both directions for an
     undirected graph); ``sources`` is a one-column ``node`` DataFrame of

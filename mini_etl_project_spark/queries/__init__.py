@@ -154,6 +154,9 @@ _CHECK_FIRST: list[str] = [
     "q_fn_interval_arith",
     "q_sql_unpivot_native",
     "q_fn_lateral_alias",
+    "q_ts_rollup_cascade",
+    "q_ts_attribution",
+    "q_agg_hist_quantile",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

@@ -1474,3 +1474,88 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_leaky_clusters").cast("bigint").alias("n_leaky_clusters"),
         )
     )
+
+
+# -- X164 mergeable histogram quantile estimation --------------------------
+#
+# The classic "approximate percentiles from pre-aggregated partials"
+# pattern: a fixed-width integer histogram (width 5000.00 → ≤ ~25
+# buckets over lineitem prices) is the only state — it merges by simple
+# addition across partitions/partials, unlike exact sort-based
+# percentiles — and p50/p90/p99 are estimated by linear interpolation
+# inside the covering bucket.  All arithmetic is integer (cents, DIV),
+# so the estimate is bit-identical across engines; the window cumsum
+# runs over the BOUNDED bucket set, never the raw rows.
+
+_HQ_WIDTH = 500_000  # 5000.00 in cents
+
+_HIST_QUANTILE_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+hist AS (
+  SELECT c // {_HQ_WIDTH} AS bucket, COUNT(*) AS cnt
+  FROM cents GROUP BY 1),
+cum AS (
+  SELECT bucket, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (ORDER BY bucket) - cnt AS BIGINT) AS cum_before,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM hist),
+targets AS (
+  SELECT p, (n_all - 1) * p // 100 + 1 AS rank
+  FROM (SELECT UNNEST([50, 90, 99]) AS p),
+       (SELECT CAST(SUM(cnt) AS BIGINT) AS n_all FROM hist)),
+covering AS (
+  SELECT t.p, t.rank, c.bucket, c.cnt, c.cum_before,
+         ROW_NUMBER() OVER (PARTITION BY t.p ORDER BY c.bucket) AS rn
+  FROM targets t JOIN cum c ON c.cum >= t.rank)
+SELECT p, CAST(rank AS BIGINT) AS rank, bucket,
+       CAST(bucket * {_HQ_WIDTH}
+            + (rank - cum_before - 1) * {_HQ_WIDTH} // cnt AS BIGINT)
+         AS est_cents
+FROM covering WHERE rn = 1
+"""
+
+
+@query("q_agg_hist_quantile", _HIST_QUANTILE_ORACLE)
+def q_agg_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    hist = (
+        l.select(
+            (F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("c")
+        )
+        .select(F.expr(f"c DIV {_HQ_WIDTH}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(wb).alias("cum"),
+        (F.sum("cnt").over(wb) - F.col("cnt")).alias("cum_before"),
+    )
+    n_all = hist.agg(F.sum("cnt").cast("bigint").alias("n_all"))
+    targets = (
+        spark.range(1)
+        .select(F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("p"))
+        .crossJoin(F.broadcast(n_all))
+        .select("p", F.expr("(n_all - 1) * p DIV 100 + 1").alias("rank"))
+    )
+    wp = Window.partitionBy("p").orderBy("bucket")
+    covering = (
+        targets.join(cum, cum["cum"] >= targets["rank"])
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+    )
+    return covering.select(
+        "p",
+        F.col("rank").cast("bigint").alias("rank"),
+        "bucket",
+        F.expr(
+            f"cast(bucket * {_HQ_WIDTH}"
+            f" + (rank - cum_before - 1) * {_HQ_WIDTH} DIV cnt as bigint)"
+        ).alias("est_cents"),
+    )

@@ -1128,3 +1128,124 @@ def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mid + 2.0 * sigma).alias("upper_band"),
         (mid - 2.0 * sigma).alias("lower_band"),
     )
+
+
+# -- X162 cascading time-bucket rollup (continuous-aggregate pattern) ------
+#
+# The hypertable/continuous-aggregate maintenance pattern: minutely
+# aggregates roll up into hourly, hourly into daily — and the driver
+# check proves the CASCADE equals a direct daily aggregation of the raw
+# stream, i.e. that (count, sum, min, max) compose losslessly through
+# re-aggregation.  That mergeability is exactly what lets a 100 TB
+# deployment maintain cheap incremental minutely partials and answer
+# coarse-grained queries from them instead of rescanning raw events.
+# Values are integer cents so every level is bit-exact.
+
+_ROLLUP_CASCADE_ORACLE = """
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(CAST(ROUND(value * 100) AS BIGINT)) AS min_cents,
+       MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_cents
+FROM events
+GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+"""
+
+
+@query("q_ts_rollup_cascade", _ROLLUP_CASCADE_ORACLE)
+def q_ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    minutely = e.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+    hourly = minutely.groupBy(
+        "event_type", F.date_trunc("hour", "minute").alias("hour")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_cents").alias("sum_cents"),
+        F.min("min_cents").alias("min_cents"),
+        F.max("max_cents").alias("max_cents"),
+    )
+    return hourly.groupBy(
+        "event_type", F.date_trunc("day", "hour").cast("date").alias("day")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        F.min("min_cents").alias("min_cents"),
+        F.max("max_cents").alias("max_cents"),
+    )
+
+
+# -- X163 first/last-touch attribution -------------------------------------
+#
+# Marketing-style conversion attribution: every 'purchase' is attributed
+# to the FIRST and the LAST 'click' of the same user in the 72 h window
+# before the purchase.  One as-of-style shape expressed as a keyed
+# band join + min/max_by aggregation — per-user partitioning, no global
+# state.  Timestamps compare at native µs precision; the attribution gap
+# is exact µs.
+
+_ATTRIB_WINDOW_US = 72 * 3600 * 1000000
+
+_ATTRIBUTION_ORACLE = f"""
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT event_id AS c_id, user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'),
+joined AS (
+  SELECT p.p_id, p.user_id, p.p_ts, c.c_id, c.c_ts
+  FROM purchases p JOIN clicks c
+    ON p.user_id = c.user_id
+   AND c.c_ts <= p.p_ts
+   AND epoch_us(p.p_ts) - epoch_us(c.c_ts) <= {_ATTRIB_WINDOW_US})
+SELECT p_id, user_id,
+       MIN(c_ts) AS first_touch_ts,
+       MAX(c_ts) AS last_touch_ts,
+       CAST(MIN(epoch_us(p_ts) - epoch_us(c_ts)) AS BIGINT)
+         AS last_touch_gap_us,
+       COUNT(*) AS n_touches
+FROM joined
+GROUP BY p_id, user_id
+"""
+
+
+@query("q_ts_attribution", _ATTRIBUTION_ORACLE)
+def q_ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.unix_micros("p_ts") - F.unix_micros("c_ts")
+            <= F.lit(_ATTRIB_WINDOW_US)
+        ),
+    )
+    return joined.groupBy("p_id", "user_id").agg(
+        F.min("c_ts").alias("first_touch_ts"),
+        F.max("c_ts").alias("last_touch_ts"),
+        F.min(F.unix_micros("p_ts") - F.unix_micros("c_ts"))
+        .cast("bigint")
+        .alias("last_touch_gap_us"),
+        F.count("*").alias("n_touches"),
+    )

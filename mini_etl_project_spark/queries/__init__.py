@@ -157,6 +157,7 @@ _CHECK_FIRST: list[str] = [
     "q_ts_rollup_cascade",
     "q_ts_attribution",
     "q_agg_hist_quantile",
+    "q_text_bpe_merges",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

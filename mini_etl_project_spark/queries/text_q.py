@@ -600,3 +600,141 @@ def q_text_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("n")).cast("double")
         ).alias("gini"),
     )
+
+
+# -- X165 BPE merge learning (3 unrolled iterations) -----------------------
+#
+# Byte-pair-encoding vocabulary induction — THE tokenizer-training
+# primitive for LLM data pipelines — as a distributed computation: build
+# the word-frequency table once, then per round count adjacent symbol
+# pairs (weighted by word frequency), pick the most frequent pair
+# (lexicographic tie-break), and merge it corpus-wide.  The merge is the
+# classic delimiter-string trick — symbols joined with '|' and the pair
+# merged via non-regex replace('l|r|' → 'lr|'), which both engines apply
+# greedily left-to-right, so overlapping runs ('a|a|a|') merge
+# identically.  The oracle unrolls all 3 rounds in one SQL statement
+# (kmeans-style); Spark runs the same rounds as a driver loop of pure
+# plans with the 1-row best-pair broadcast — nothing is collected.
+#
+# Scale posture: pair counting is one explode + one groupBy over the
+# WORD VOCABULARY (not the corpus — frequencies weight the counts), the
+# best-pair pick is a distributed TakeOrdered(1), and each merge is a
+# stateless map over the vocab.
+
+_BPE_ITERS = 3
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        """
+WITH toks AS (
+  SELECT lower(UNNEST(string_split_regex(trim(text), '\\s+'))) AS tok
+  FROM documents),
+w0 AS (
+  SELECT regexp_replace(tok, '(.)', '\\1|', 'g') AS seq, COUNT(*) AS freq
+  FROM toks WHERE regexp_full_match(tok, '[a-z]+') GROUP BY 1)"""
+    ]
+    for i in range(_BPE_ITERS):
+        parts.append(
+            f""",
+e{i} AS (
+  SELECT freq, syms, UNNEST(range(1, len(syms))) AS j
+  FROM (SELECT freq, list_filter(string_split(seq, '|'), x -> x <> '') AS syms
+        FROM w{i})),
+p{i} AS (
+  SELECT syms[j] AS l, syms[j+1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM e{i} GROUP BY 1, 2),
+b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+w{i + 1} AS (
+  SELECT replace(w.seq, b.l || '|' || b.r || '|', b.l || b.r || '|') AS seq,
+         w.freq
+  FROM w{i} w CROSS JOIN b{i} b),
+t{i + 1} AS (
+  SELECT CAST(SUM(freq * (LENGTH(seq) - LENGTH(replace(seq, '|', ''))))
+         AS BIGINT) AS tokens_after
+  FROM w{i + 1})"""
+        )
+    selects = [
+        f"""SELECT {i + 1} AS it, b{i}.l AS left_sym, b{i}.r AS right_sym,
+       b{i}.cnt AS pair_cnt, t{i + 1}.tokens_after
+FROM b{i} CROSS JOIN t{i + 1}"""
+        for i in range(_BPE_ITERS)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("q_text_bpe_merges", _bpe_oracle())
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(tokens("text")).alias("tok0")
+    ).select(F.lower("tok0").alias("tok"))
+    w = (
+        toks.filter(F.col("tok").rlike("^[a-z]+$"))
+        .select(
+            F.regexp_replace("tok", "(.)", "$1|").alias("seq")
+        )
+        .groupBy("seq")
+        .agg(F.count("*").alias("freq"))
+        # the word vocabulary is orders of magnitude smaller than the
+        # corpus — a handful of partitions keeps the per-round job at a
+        # few tasks instead of 32 near-empty ones
+        .coalesce(4)
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for i in range(_BPE_ITERS):
+        pairs = (
+            w.select(
+                "freq",
+                F.expr("filter(split(seq, '\\\\|'), x -> x <> '')").alias(
+                    "syms"
+                ),
+            )
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(syms, 1, size(syms) - 1),"
+                        " slice(syms, 2, size(syms) - 1),"
+                        " (a, b) -> struct(a AS l, b AS r))"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1)
+        w = (
+            w.crossJoin(F.broadcast(best))
+            .select(
+                F.replace(
+                    F.col("seq"),
+                    F.concat(F.col("l"), F.lit("|"), F.col("r"), F.lit("|")),
+                    F.concat(F.col("l"), F.col("r"), F.lit("|")),
+                ).alias("seq"),
+                "freq",
+            )
+            .coalesce(4)
+            .localCheckpoint(eager=True)
+        )
+        t_after = w.agg(
+            F.sum(
+                F.col("freq")
+                * (
+                    F.length("seq")
+                    - F.length(F.replace(F.col("seq"), F.lit("|"), F.lit("")))
+                )
+            )
+            .cast("bigint")
+            .alias("tokens_after")
+        )
+        row = best.crossJoin(F.broadcast(t_after)).select(
+            F.lit(i + 1).alias("it"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.col("cnt").alias("pair_cnt"),
+            "tokens_after",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

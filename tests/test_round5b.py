@@ -1,0 +1,229 @@
+"""Round-5 session-2 operators: overlapping chunking, frontier BFS,
+leakage-safe splits, grid spatial join, k-NN, BPE merge learning,
+histogram quantiles, rollup cascade.
+
+The DuckDB oracle proves cross-engine parity; these tests pin the
+SEMANTICS against hand-computed answers on tiny inputs and the scale
+claims the docstrings make (BFS partition invariance, spatial-join
+losslessness vs brute force, histogram-estimate error bound).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.operators.graph import bfs_distances
+
+
+# -- frontier BFS ----------------------------------------------------------
+
+
+def _mk_edges(spark, pairs):
+    df = spark.createDataFrame(pairs, "u bigint, v bigint")
+    return df.unionByName(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def test_bfs_hand_graph(spark):
+    """Path 1-2-3-4 plus a detached 9: distances 0,1,2,3 and no row for 9."""
+    e = _mk_edges(spark, [(1, 2), (2, 3), (3, 4), (9, 9)])
+    src = spark.createDataFrame([(1,)], "node bigint")
+    got = {r["node"]: r["d"] for r in bfs_distances(e, src, max_hops=5).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 9 unreachable → absent
+
+
+def test_bfs_shortest_wins_over_longer_path(spark):
+    """Diamond 1-2-4 and 1-3-4 plus long tail 1-5-6-4: node 4 at d=2."""
+    e = _mk_edges(spark, [(1, 2), (2, 4), (1, 3), (3, 4), (1, 5), (5, 6), (6, 4)])
+    src = spark.createDataFrame([(1,)], "node bigint")
+    got = {r["node"]: r["d"] for r in bfs_distances(e, src, max_hops=4).collect()}
+    assert got[4] == 2 and got[6] == 2
+
+
+def test_bfs_hop_cap_truncates(spark):
+    e = _mk_edges(spark, [(1, 2), (2, 3), (3, 4)])
+    src = spark.createDataFrame([(1,)], "node bigint")
+    got = {r["node"]: r["d"] for r in bfs_distances(e, src, max_hops=2).collect()}
+    assert 4 not in got and got[3] == 2
+
+
+def test_bfs_partition_invariance(spark):
+    """Same distances whether the edge list arrives in 1 or 13 partitions."""
+    pairs = [(i, i + 1) for i in range(1, 40)] + [(1, 20)]
+    e1 = _mk_edges(spark, pairs).coalesce(1)
+    e2 = _mk_edges(spark, pairs).repartition(13)
+    src = spark.createDataFrame([(1,)], "node bigint")
+    d1 = sorted(map(tuple, bfs_distances(e1, src, max_hops=8).collect()))
+    d2 = sorted(map(tuple, bfs_distances(e2, src, max_hops=8).collect()))
+    assert d1 == d2
+
+
+# -- overlapping chunking --------------------------------------------------
+
+
+def test_chunk_overlap_counts(spark, sf_dir):
+    """n_chunks = floor((n-1)/stride)+1 and token accounting reconstructs:
+    every token index in [0, n) is covered; overlap tokens counted once per
+    covering chunk."""
+    from mini_etl_project_spark.queries.corpus_q import q_corpus_chunk_overlap
+
+    rows = q_corpus_chunk_overlap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n, k = r["n_tokens"], r["n_chunks"]
+        assert k == (n - 1) // 16 + 1
+        # sum over chunks of min(24, n - 16*i), i in [0, k)
+        expect = sum(min(24, n - 16 * i) for i in range(k))
+        assert r["sum_chunk_tokens"] == expect
+
+
+# -- leakage-safe split ----------------------------------------------------
+
+
+def test_leakage_safe_split_invariant(spark, sf_dir):
+    from mini_etl_project_spark.queries.sampling_q import q_split_leakage_safe
+
+    rows = q_split_leakage_safe(spark, sf_dir).collect()
+    assert {r["split"] for r in rows} <= {"train", "validation", "test"}
+    assert all(r["n_leaky_clusters"] == 0 for r in rows)
+    # planted copies mean docs > clusters somewhere
+    assert sum(r["n_docs"] for r in rows) > sum(r["n_clusters"] for r in rows)
+
+
+# -- grid spatial join -----------------------------------------------------
+
+
+def test_spatial_grid_lossless_vs_brute_force(spark, sf_dir):
+    """The 9-cell candidate join must reproduce the brute-force pair set
+    exactly (radius < cell edge makes the pruning provably lossless):
+    total pair count AND total squared distance match a python O(n^2)."""
+    from mini_etl_project_spark.queries.joins import q_join_spatial_grid
+    from mini_etl_project_spark.session import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    pts = [
+        (
+            r["c_custkey"],
+            (r["c_custkey"] * 7919) % 2000001,
+            (r["c_custkey"] * 104729) % 2000001,
+        )
+        for r in c.collect()
+    ]
+    r2 = 80_000 * 80_000
+    brute = [
+        (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2
+        for i, a in enumerate(pts)
+        for b in pts[i + 1 :]
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= r2
+    ]
+    rows = q_join_spatial_grid(spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in rows) == len(brute)
+    assert sum(r["sum_d2"] for r in rows) == sum(brute)
+
+
+# -- histogram quantile estimate ------------------------------------------
+
+
+def test_hist_quantile_error_bound(spark, sf_dir):
+    """The histogram estimate must land within one bucket width of the
+    exact discrete percentile."""
+    from mini_etl_project_spark.queries.sampling_q import (
+        _HQ_WIDTH,
+        q_agg_hist_quantile,
+    )
+    from mini_etl_project_spark.session import load_table
+
+    est = {r["p"]: r["est_cents"] for r in q_agg_hist_quantile(spark, sf_dir).collect()}
+    l = load_table(spark, sf_dir, "lineitem")
+    cents = sorted(
+        r["c"]
+        for r in l.select(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+        ).collect()
+    )
+    n = len(cents)
+    for p in (50, 90, 99):
+        exact = cents[((n - 1) * p) // 100]
+        assert abs(est[p] - exact) <= _HQ_WIDTH, (p, est[p], exact)
+
+
+# -- rollup cascade --------------------------------------------------------
+
+
+def test_rollup_cascade_equals_direct(spark, sf_dir):
+    """Cascade (min→hour→day) must equal a direct daily aggregation."""
+    from mini_etl_project_spark.queries.timeseries_q import q_ts_rollup_cascade
+    from mini_etl_project_spark.session import load_table
+
+    got = {
+        (r["event_type"], r["day"]): (r["n_events"], r["sum_cents"], r["min_cents"], r["max_cents"])
+        for r in q_ts_rollup_cascade(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    direct = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s"),
+        F.min(F.round(F.col("value") * 100).cast("bigint")).alias("mn"),
+        F.max(F.round(F.col("value") * 100).cast("bigint")).alias("mx"),
+    )
+    want = {
+        (r["event_type"], r["day"]): (r["n"], r["s"], r["mn"], r["mx"])
+        for r in direct.collect()
+    }
+    assert got == want
+
+
+# -- BPE merges ------------------------------------------------------------
+
+
+def test_bpe_hand_corpus(spark):
+    """Crafted corpus: 'aaab' x3, 'ab' x2.  Pair counts round 1:
+    (a,a): 2*3=6 (greedy left-to-right in 'aaa' gives 1 merge... counts
+    BEFORE merging: 'a|a|a|b|' has pairs (a,a),(a,a),(a,b) → weighted
+    (a,a)=6, (a,b)=5, plus 'a|b|' → (a,b)+2 = 5.  So round 1 merges
+    (a,a) with count 6; 'a|a|a|b|' → 'aa|a|b|' (greedy, non-overlapping)."""
+    from mini_etl_project_spark.queries.text_q import _BPE_ITERS
+
+    assert _BPE_ITERS == 3
+    # replicate the engine's merge primitive on a tiny frame
+    df = spark.createDataFrame(
+        [("a|a|a|b|", 3), ("a|b|", 2)], "seq string, freq long"
+    )
+    pairs = (
+        df.select(
+            "freq",
+            F.expr("filter(split(seq, '\\\\|'), x -> x <> '')").alias("syms"),
+        )
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(syms, 1, size(syms) - 1),"
+                    " slice(syms, 2, size(syms) - 1),"
+                    " (a, b) -> struct(a AS l, b AS r))"
+                )
+            ).alias("pr"),
+        )
+        .groupBy("pr.l", "pr.r")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    got = {(r["l"], r["r"]): r["cnt"] for r in pairs.collect()}
+    assert got == {("a", "a"): 6, ("a", "b"): 5}
+    merged = df.select(
+        F.replace(F.col("seq"), F.lit("a|a|"), F.lit("aa|")).alias("seq")
+    ).collect()
+    assert {r["seq"] for r in merged} == {"aa|a|b|", "a|b|"}
+
+
+# -- k-NN ------------------------------------------------------------------
+
+
+def test_knn_vote_tiebreak(spark, sf_dir):
+    """Every query gets exactly one prediction; votes are within [1, k]."""
+    from mini_etl_project_spark.queries.ml_q import _KNN_K, _KNN_NQ, q_ml_knn_classify
+
+    rows = q_ml_knn_classify(spark, sf_dir).collect()
+    assert len(rows) == _KNN_NQ
+    assert all(1 <= r["n_votes"] <= _KNN_K for r in rows)
+    assert all(r["min_d2"] >= 0 for r in rows)

@@ -158,6 +158,9 @@ _CHECK_FIRST: list[str] = [
     "q_ts_attribution",
     "q_agg_hist_quantile",
     "q_text_bpe_merges",
+    "q_sql_pivot_native",
+    "q_join_salted",
+    "q_ts_lttb_downsample",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

@@ -815,3 +815,41 @@ def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d2").cast("bigint").alias("min_d2"),
         F.sum("d2").cast("bigint").alias("sum_d2"),
     )
+
+
+# -- X167 salted skew join as a query surface ------------------------------
+#
+# operators/skew.py::salted_join (previously pytest-only) promoted to an
+# oracle-checked query: lineitem joins supplier on the (skew-prone)
+# suppkey THROUGH the salted path — dim rows replicated per salt, fact
+# rows spread by a row-position salt, equi-join on (key, salt) — and the
+# oracle is the PLAIN join, proving salting never changes results.  The
+# MERGE hint pins the sort-merge-join shape salting exists for (a
+# broadcast join needs no salt; at 100 TB the dim side may not fit).
+
+_SALTED_ORACLE = """
+SELECT s.s_nationkey,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+"""
+
+
+@query("q_join_salted", _SALTED_ORACLE)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    ).hint("merge")
+    joined = salted_join(l, s, "s_suppkey", n_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )

@@ -783,3 +783,51 @@ def q_fn_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lateral_lineitem
         """
     )
+
+
+# -- X166 native SQL PIVOT clause ------------------------------------------
+#
+# The parser-level PIVOT relation (DataFrame .pivot() is covered by
+# q_pivot_status; this exercises the SQL surface): order counts and cent
+# sums per priority, columns keyed by o_orderstatus.  The oracle builds
+# the same wide shape with CASE aggregation.
+
+_PIVOT_NATIVE_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_orders,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_orders,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_orders,
+       COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+           AS BIGINT), 0) AS f_cents,
+       COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                 THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+           AS BIGINT), 0) AS o_cents,
+       COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                 THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+           AS BIGINT), 0) AS p_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_sql_pivot_native", _PIVOT_NATIVE_ORACLE)
+def q_sql_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pivot_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               coalesce(`F_n`, 0L) AS f_orders,
+               coalesce(`O_n`, 0L) AS o_orders,
+               coalesce(`P_n`, 0L) AS p_orders,
+               coalesce(`F_c`, 0L) AS f_cents,
+               coalesce(`O_c`, 0L) AS o_cents,
+               coalesce(`P_c`, 0L) AS p_cents
+        FROM (
+          SELECT o_orderpriority, o_orderstatus,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM pivot_orders)
+        PIVOT (COUNT(*) AS n, SUM(cents) AS c
+               FOR o_orderstatus IN ('F', 'O', 'P'))
+        """
+    )

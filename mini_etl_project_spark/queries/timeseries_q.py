@@ -1249,3 +1249,145 @@ def q_ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("last_touch_gap_us"),
         F.count("*").alias("n_touches"),
     )
+
+
+# -- X168 max-triangle visual downsampling (LTTB-style) --------------------
+#
+# Largest-Triangle downsampling for time-series visualization: each
+# series (event_type) is reduced to 8 points — the first, the last, and
+# for each of 6 equal-count middle buckets the point whose triangle with
+# the NEIGHBOR BUCKET MEANS has maximal area.  This is the parallel
+# variant of LTTB (anchoring on bucket means instead of the previously
+# selected point), which drops LTTB's sequential left-to-right dependency
+# so every bucket's argmax computes independently — one keyed window +
+# two keyed joins, no cross-bucket chain.  All arithmetic is integer:
+# seconds since a fixed anchor, cents, floored integer bucket means, and
+# the |cross product| area score (≤ ~1.5e11, overflow-safe at any scale);
+# area ties break to the earliest point.
+
+_LTTB_B = 8
+
+_LTTB_ORACLE = f"""
+WITH pts AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+              AS BIGINT) // 1000000 AS t,
+         CAST(ROUND(value * 100) AS BIGINT) AS v,
+         event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+bucketed AS (
+  SELECT *, (rn - 1) * {_LTTB_B} // n AS bucket FROM pts),
+stats AS (
+  SELECT event_type, bucket,
+         CAST(SUM(t) // COUNT(*) AS BIGINT) AS mt,
+         CAST(SUM(v) // COUNT(*) AS BIGINT) AS mv
+  FROM bucketed GROUP BY event_type, bucket),
+scored AS (
+  SELECT b.event_type, b.bucket, b.t, b.v, b.event_id,
+         abs((p.mt - b.t) * (n.mv - b.v) - (n.mt - b.t) * (p.mv - b.v))
+           AS area2,
+         ROW_NUMBER() OVER (
+           PARTITION BY b.event_type, b.bucket
+           ORDER BY abs((p.mt - b.t) * (n.mv - b.v)
+                        - (n.mt - b.t) * (p.mv - b.v)) DESC,
+                    b.t, b.event_id) AS pick
+  FROM bucketed b
+  JOIN stats p ON p.event_type = b.event_type AND p.bucket = b.bucket - 1
+  JOIN stats n ON n.event_type = b.event_type AND n.bucket = b.bucket + 1
+  WHERE b.bucket BETWEEN 1 AND {_LTTB_B} - 2),
+endpoints AS (
+  SELECT event_type, bucket, t, v, event_id, CAST(0 AS BIGINT) AS area2
+  FROM bucketed WHERE rn = 1 OR rn = n)
+SELECT event_type, bucket, t, v, event_id, CAST(area2 AS BIGINT) AS area2
+FROM scored WHERE pick = 1
+UNION ALL
+SELECT * FROM endpoints
+"""
+
+
+@query("q_ts_lttb_downsample", _LTTB_ORACLE)
+def q_ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    anchor = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wn = Window.partitionBy("event_type")
+    pts = (
+        e.select(
+            "event_type",
+            "ts",
+            F.expr(
+                "(unix_micros(ts)"
+                " - unix_micros(timestamp'2024-01-01 00:00:00'))"
+                " DIV 1000000"
+            ).alias("t"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn("n", F.count("*").over(wn))
+        .drop("ts")
+    )
+    bucketed = pts.withColumn(
+        "bucket", F.expr(f"(rn - 1) * {_LTTB_B} DIV n")
+    )
+    stats = bucketed.groupBy("event_type", "bucket").agg(
+        F.expr("sum(t) DIV count(*)").alias("mt"),
+        F.expr("sum(v) DIV count(*)").alias("mv"),
+    )
+    p = stats.select(
+        F.col("event_type").alias("p_et"),
+        (F.col("bucket") + 1).alias("p_bk"),
+        F.col("mt").alias("pmt"),
+        F.col("mv").alias("pmv"),
+    )
+    nx = stats.select(
+        F.col("event_type").alias("n_et"),
+        (F.col("bucket") - 1).alias("n_bk"),
+        F.col("mt").alias("nmt"),
+        F.col("mv").alias("nmv"),
+    )
+    mid = (
+        bucketed.filter(
+            (F.col("bucket") >= 1) & (F.col("bucket") <= _LTTB_B - 2)
+        )
+        .join(
+            p,
+            (F.col("event_type") == F.col("p_et"))
+            & (F.col("bucket") == F.col("p_bk")),
+        )
+        .join(
+            nx,
+            (F.col("event_type") == F.col("n_et"))
+            & (F.col("bucket") == F.col("n_bk")),
+        )
+        .withColumn(
+            "area2",
+            F.abs(
+                (F.col("pmt") - F.col("t")) * (F.col("nmv") - F.col("v"))
+                - (F.col("nmt") - F.col("t")) * (F.col("pmv") - F.col("v"))
+            ),
+        )
+    )
+    wpick = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("area2"), "t", "event_id"
+    )
+    picked = (
+        mid.withColumn("pick", F.row_number().over(wpick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "event_type", "bucket", "t", "v", "event_id",
+            F.col("area2").cast("bigint").alias("area2"),
+        )
+    )
+    ends = bucketed.filter(
+        (F.col("rn") == 1) | (F.col("rn") == F.col("n"))
+    ).select(
+        "event_type", "bucket", "t", "v", "event_id",
+        F.lit(0).cast("bigint").alias("area2"),
+    )
+    return picked.unionByName(ends)

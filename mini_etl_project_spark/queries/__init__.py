@@ -161,6 +161,7 @@ _CHECK_FIRST: list[str] = [
     "q_sql_pivot_native",
     "q_join_salted",
     "q_ts_lttb_downsample",
+    "q_layout_zorder",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

@@ -831,3 +831,65 @@ def q_sql_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                FOR o_orderstatus IN ('F', 'O', 'P'))
         """
     )
+
+
+# -- X169 Z-order (Morton) layout key as a query surface -------------------
+#
+# operators/zorder.py (pytest-plan-asserted X24) exposed through the
+# oracle gate: the same synthetic integer point grid the spatial join
+# uses (cells 0..20, 5 bits per axis) is interleaved into a Morton key,
+# and the output aggregates per 64-key Z-BLOCK — count plus the cell
+# bounding box.  The bounding boxes demonstrate the property Z-ordering
+# exists for: consecutive key ranges cover spatially compact regions, so
+# min/max file statistics prune both dimensions at once.  Bit surgery is
+# identical integer ops in both engines.
+
+_ZBITS = 5
+
+
+def _z_interleave_sql(x: str, y: str) -> str:
+    terms = []
+    for j in range(_ZBITS):
+        terms.append(f"((({x} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({y} >> {j}) & 1) << {2 * j + 1})")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         ((c_custkey * 7919) % 2000001) // 100000 AS cx,
+         ((c_custkey * 104729) % 2000001) // 100000 AS cy
+  FROM customer),
+keyed AS (
+  SELECT id, cx, cy,
+         CAST({_z_interleave_sql("cx", "cy")} AS BIGINT) AS zkey
+  FROM pts)
+SELECT zkey // 64 AS zblock,
+       COUNT(*) AS n_points,
+       MIN(cx) AS min_cx, MAX(cx) AS max_cx,
+       MIN(cy) AS min_cy, MAX(cy) AS max_cy
+FROM keyed GROUP BY 1
+"""
+
+
+@query("q_layout_zorder", _ZORDER_ORACLE)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        F.expr("((c_custkey * 7919) % 2000001) DIV 100000").alias("cx"),
+        F.expr("((c_custkey * 104729) % 2000001) DIV 100000").alias("cy"),
+    )
+    zterms = " + ".join(
+        f"(((cx >> {j}) & 1) << {2 * j}) + (((cy >> {j}) & 1) << {2 * j + 1})"
+        for j in range(_ZBITS)
+    )
+    keyed = pts.withColumn("zkey", F.expr(f"cast({zterms} as bigint)"))
+    return keyed.groupBy(F.expr("zkey DIV 64").alias("zblock")).agg(
+        F.count("*").alias("n_points"),
+        F.min("cx").alias("min_cx"),
+        F.max("cx").alias("max_cx"),
+        F.min("cy").alias("min_cy"),
+        F.max("cy").alias("max_cy"),
+    )

@@ -186,3 +186,73 @@ else:  # pragma: no cover
         raise NotImplementedError(
             "SimpleDataSourceStreamReader unavailable in this Spark build"
         )
+
+
+# -- Spark 4 Python DataSource WRITE path (X170) ---------------------------
+# The third leg of the source-extension API: a batch SINK.  Each task
+# serializes its partition to one JSON-lines part file and returns a
+# commit message (file, row count); the driver-side commit() writes a
+# _MANIFEST only after every task succeeded — the standard two-phase
+# file-sink contract (no reader sees a partial write, failed attempts
+# leave only uncommitted part files).  abort() records the failure.
+
+import json as _json
+import os as _os
+import uuid as _uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclasses.dataclass
+class _PartFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class JsonLinesSinkWriter(DataSourceWriter):
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> _PartFile:
+        _os.makedirs(self.path, exist_ok=True)
+        part = _os.path.join(self.path, f"part-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _PartFile(path=part, rows=n)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "files": sorted(
+                [{"path": m.path, "rows": m.rows} for m in messages],
+                key=lambda d: d["path"],
+            ),
+            "total_rows": sum(m.rows for m in messages),
+        }
+        with open(
+            _os.path.join(self.path, "_MANIFEST"), "w", encoding="utf-8"
+        ) as fh:
+            _json.dump(manifest, fh)
+
+    def abort(self, messages) -> None:  # pragma: no cover — failure path
+        with open(
+            _os.path.join(self.path, "_ABORTED"), "w", encoding="utf-8"
+        ) as fh:
+            fh.write("aborted\n")
+
+
+class JsonLinesSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", dir).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonLinesSinkWriter:
+        return JsonLinesSinkWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonLinesSinkDataSource)

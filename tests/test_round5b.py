@@ -227,3 +227,32 @@ def test_knn_vote_tiebreak(spark, sf_dir):
     assert len(rows) == _KNN_NQ
     assert all(1 <= r["n_votes"] <= _KNN_K for r in rows)
     assert all(r["min_d2"] >= 0 for r in rows)
+
+
+# -- Python DataSource write path ------------------------------------------
+
+
+def test_pyds_sink_two_phase_commit(spark, tmp_path):
+    """Every task's part file is listed in the manifest, the manifest row
+    total equals the input, and re-reading the part files reconstructs the
+    rows exactly."""
+    import json
+    import os
+
+    from mini_etl_project_spark.sources.pyds import register_sink
+
+    register_sink(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 7).alias("v")
+    ).repartition(4)
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    assert manifest["total_rows"] == 100
+    assert len(manifest["files"]) == 4
+    got = []
+    for f in manifest["files"]:
+        with open(f["path"]) as fh:
+            got += [json.loads(line) for line in fh]
+    assert sorted((r["id"], r["v"]) for r in got) == [(i, 7 * i) for i in range(100)]
+    assert not os.path.exists(os.path.join(out, "_ABORTED"))

@@ -162,6 +162,8 @@ _CHECK_FIRST: list[str] = [
     "q_join_salted",
     "q_ts_lttb_downsample",
     "q_layout_zorder",
+    "q_sql_scripting",
+    "q_sql_udf",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

@@ -893,3 +893,102 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cy").alias("min_cy"),
         F.max("cy").alias("max_cy"),
     )
+
+
+# -- X171 SQL scripting (BEGIN/END, variables, WHILE) ----------------------
+#
+# Spark 4's SQL-scripting surface: a compound statement DECLAREs a
+# session variable and doubles it in a WHILE loop until at most 100
+# orders exceed the 1000×mult threshold; the final SELECT reports the
+# fixpoint and the surviving-order aggregate.  The oracle has no
+# procedural engine — it computes the same fixpoint DECLARATIVELY as the
+# minimal power of two satisfying the loop exit condition, proving the
+# imperative and declarative formulations agree.
+
+_SCRIPTING_ORACLE = """
+WITH ms AS (SELECT UNNEST([1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024])
+              AS m),
+cnt AS (
+  SELECT m, (SELECT COUNT(*) FROM orders WHERE o_totalprice > 1000 * m)
+           AS c
+  FROM ms),
+pick AS (SELECT CAST(MIN(m) AS INT) AS mult FROM cnt WHERE c <= 100)
+SELECT p.mult,
+       COUNT(o.o_orderkey) AS n_orders,
+       COALESCE(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT), 0) AS sum_cents
+FROM pick p LEFT JOIN orders o ON o.o_totalprice > 1000 * p.mult
+GROUP BY p.mult
+"""
+
+
+@query("q_sql_scripting", _SCRIPTING_ORACLE)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "script_orders"
+    )
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE mult INT DEFAULT 1;
+          WHILE (SELECT COUNT(*) FROM script_orders
+                 WHERE o_totalprice > 1000 * mult) > 100 DO
+            SET mult = mult * 2;
+          END WHILE;
+          SELECT mult,
+                 COUNT(*) AS n_orders,
+                 coalesce(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)), 0L)
+                   AS sum_cents
+          FROM script_orders WHERE o_totalprice > 1000 * mult;
+        END
+        """
+    )
+
+
+# -- X172 SQL-defined functions (scalar + table) ---------------------------
+#
+# Spark 4 CREATE FUNCTION ... RETURN: a scalar SQL UDF (pure expression —
+# Catalyst inlines it, so it costs nothing at 100 TB, unlike a Python
+# UDF) and a table-valued SQL UDF parameterized by a threshold.  The
+# oracle inlines both bodies manually.
+
+_SQL_UDF_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                + CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10)
+            AS BIGINT) AS taxed_cents
+FROM orders
+WHERE o_totalprice > 250000.0
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_sql_udf", _SQL_UDF_ORACLE)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sqlf_orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION add_tax(cents BIGINT)
+        RETURNS BIGINT RETURN cents + cents DIV 10
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION big_orders(thr DOUBLE)
+        RETURNS TABLE (o_orderpriority STRING, cents BIGINT)
+        RETURN SELECT o_orderpriority,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               FROM sqlf_orders WHERE o_totalprice > thr
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(add_tax(cents)) AS taxed_cents
+        FROM big_orders(250000.0)
+        GROUP BY o_orderpriority
+        """
+    )

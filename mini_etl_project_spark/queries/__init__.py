@@ -164,6 +164,8 @@ _CHECK_FIRST: list[str] = [
     "q_layout_zorder",
     "q_sql_scripting",
     "q_sql_udf",
+    "q_window_session_native",
+    "q_ml_kfold_cv",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

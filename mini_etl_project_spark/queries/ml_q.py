@@ -760,3 +760,104 @@ def q_ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_votes",
         "min_d2",
     )
+
+
+# -- X174 k-fold cross-validation ------------------------------------------
+#
+# 5-fold CV of the nearest-class-mean classifier, formulated SET-BASED:
+# instead of unrolling one pipeline per fold, a tiny folds dimension
+# (0..4) cross-joins the training side, so "centroids excluding fold f"
+# for ALL folds compute in one groupBy — the same shape a 100 TB CV job
+# wants (one pass over the data per stage, folds as a key, never a
+# driver loop).  Fold assignment is id % 5; all distances use the
+# integer micro-unit scheme shared with k-means/NCM; vote ties break to
+# the smallest label.  Output: per-fold test size and correct count.
+
+_KFOLD = 5
+
+_KFOLD_ORACLE = f"""
+WITH pts AS (
+  SELECT vec_id AS id, label, vec_id % {_KFOLD} AS fold, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS x,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) * 1000
+           AS vmic
+  FROM embeddings, generate_series(1, {_DIM}) g(i)),
+folds AS (SELECT UNNEST(range(0, {_KFOLD})) AS f),
+cents AS (
+  SELECT folds.f, p.label AS clabel, p.i,
+         CAST(FLOOR(SUM(p.x) * 1000.0 / COUNT(*)) AS BIGINT) AS c
+  FROM folds JOIN pts p ON p.fold <> folds.f
+  GROUP BY folds.f, p.label, p.i),
+d AS (
+  SELECT p.id, p.fold, p.label, c.clabel,
+         CAST(SUM((p.vmic - c.c) * (p.vmic - c.c)) AS BIGINT) AS dist
+  FROM pts p JOIN cents c ON c.f = p.fold AND c.i = p.i
+  GROUP BY p.id, p.fold, p.label, c.clabel),
+best AS (
+  SELECT d.id, d.fold, d.label, MIN(d.clabel) AS pred
+  FROM d
+  JOIN (SELECT id AS id2, MIN(dist) AS md FROM d GROUP BY id) m
+    ON d.id = m.id2 AND d.dist = m.md
+  GROUP BY d.id, d.fold, d.label)
+SELECT fold, COUNT(*) AS n_test,
+       CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM best GROUP BY fold
+"""
+
+
+@query("q_ml_kfold_cv", _KFOLD_ORACLE)
+def q_ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        "label",
+        (F.col("vec_id") % _KFOLD).alias("fold"),
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " e -> cast(round(cast(e as double) * 1000) as bigint))"
+            )
+        ).alias("i0", "x"),
+    ).select(
+        "id", "label", "fold", (F.col("i0") + 1).alias("i"), "x",
+        (F.col("x") * 1000).alias("vmic"),
+    )
+    folds = spark.range(_KFOLD).select(F.col("id").alias("f"))
+    cents = (
+        F.broadcast(folds)
+        .join(pts, pts["fold"] != F.col("f"))
+        .groupBy("f", F.col("label").alias("clabel"), "i")
+        .agg(
+            F.expr("cast(floor(sum(x) * 1000.0 / count(*)) as bigint)").alias(
+                "c"
+            )
+        )
+    )
+    d = (
+        pts.join(
+            cents,
+            (cents["f"] == pts["fold"]) & (cents["i"] == pts["i"]),
+        )
+        .groupBy("id", "fold", "label", "clabel")
+        .agg(
+            F.sum((F.col("vmic") - F.col("c")) * (F.col("vmic") - F.col("c")))
+            .cast("bigint")
+            .alias("dist")
+        )
+    )
+    wmin = Window.partitionBy("id")
+    best = (
+        d.withColumn("md", F.min("dist").over(wmin))
+        .filter(F.col("dist") == F.col("md"))
+        .groupBy("id", "fold", "label")
+        .agg(F.min("clabel").alias("pred"))
+    )
+    return best.groupBy("fold").agg(
+        F.count("*").alias("n_test"),
+        F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+    )

@@ -427,3 +427,67 @@ def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.cast("bigint").alias("k"),
         ((lo + hi) / F.lit(2.0) / F.lit(100.0)).alias("roll_med"),
     )
+
+
+# -- X173 native batch session_window --------------------------------------
+#
+# Spark's built-in session_window(ts, gap) used in a BATCH aggregation
+# (the streaming twin is q_stream_sessions): per-user sessions close
+# after 30 idle minutes.  The oracle derives identical sessions from
+# first principles — gaps-and-islands with a LAG > gap boundary flag and
+# a running session counter — proving the native operator implements
+# exactly that semantics.  Session start/end at native µs precision;
+# event counts and integer cent sums per session.
+
+_SESSION_NATIVE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN epoch_us(ts)
+                   - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id))
+                   > 1800000000
+              OR LAG(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events),
+sess AS (
+  SELECT user_id, ts, cents,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM sess
+GROUP BY user_id, sess_id
+"""
+
+
+@query("q_window_session_native", _SESSION_NATIVE_ORACLE)
+def q_window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    agg = (
+        e.select(
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("sw"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+        "sum_cents",
+    )

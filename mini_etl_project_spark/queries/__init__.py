@@ -166,6 +166,10 @@ _CHECK_FIRST: list[str] = [
     "q_sql_udf",
     "q_window_session_native",
     "q_ml_kfold_cv",
+    "q_join_asof_tolerance",
+    "q_agg_listagg",
+    "q_dedup_containment",
+    "q_agg_kmv_anotb",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

@@ -502,3 +502,113 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("e") - F.col("s") + 1).cast("double") / F.max("n")
         ).alias("dup_frac"),
     )
+
+
+# -- X177 shingle containment join (sub-document duplication) --------------
+#
+# Containment C(A,B) = |A∩B| / |A| is the asymmetric cousin of Jaccard:
+# it catches a document EMBEDDED in another (quotes, boilerplate
+# wrappers, truncated reposts) that resemblance misses when sizes
+# differ.  Candidates come from RARE-SHINGLE BLOCKING — only shingles
+# with document frequency ≤ 5 generate pairs, so the self-join fan-out
+# is bounded by df² per rare shingle instead of corpus² (hot shingles
+# like common words never explode); the planted truncated copies share
+# almost all their (df=2) shingles, so recall on the true pairs is
+# intact.  Exact intersection sizes then come from one array_intersect
+# per surviving pair.  Both containment directions output in exact
+# milli-units.
+
+_CONTAIN_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 10000 AS id, substring(text, 21) AS text
+  FROM documents WHERE doc_id < 150),
+sh AS (
+  SELECT DISTINCT id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(length(text)-4, 1)),
+             i -> substring(text, i, 5)))) AS shingle
+  FROM corpus),
+dfreq AS (
+  SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+rare AS (SELECT shingle FROM dfreq WHERE df <= 5),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sh a
+  JOIN rare r ON r.shingle = a.shingle
+  JOIN sh b ON b.shingle = a.shingle AND a.id < b.id),
+sets AS (
+  SELECT id, list(shingle) AS shset, COUNT(*) AS n
+  FROM sh GROUP BY id),
+pairs AS (
+  SELECT c.id_a, c.id_b, sa.n AS n_a, sb.n AS n_b,
+         CAST(len(list_intersect(sa.shset, sb.shset)) AS BIGINT) AS inter
+  FROM cand c
+  JOIN sets sa ON sa.id = c.id_a
+  JOIN sets sb ON sb.id = c.id_b)
+SELECT id_a, id_b, n_a, n_b, inter,
+       inter * 1000 // n_a AS cont_a_milli,
+       inter * 1000 // n_b AS cont_b_milli
+FROM pairs
+WHERE inter * 1000 >= 500 * LEAST(n_a, n_b)
+"""
+
+
+@query("q_dedup_containment", _CONTAIN_ORACLE)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _planted_corpus(spark, sf_dir)
+    sh = shingle_rows(corpus, "id", "text", k=5)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 5)
+        .select("shingle")
+    )
+    a = sh.join(rare, "shingle").select(
+        F.col("id").alias("id_a"), "shingle"
+    )
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = sh.groupBy("id").agg(
+        F.collect_set("shingle").alias("shset"), F.count("*").alias("n")
+    )
+    sa = sets.select(
+        F.col("id").alias("id_a"),
+        F.col("shset").alias("set_a"),
+        F.col("n").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("id").alias("id_b"),
+        F.col("shset").alias("set_b"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("set_a", "set_b"))
+            .cast("bigint")
+            .alias("inter"),
+        )
+    )
+    return pairs.filter(
+        F.col("inter") * 1000 >= 500 * F.least("n_a", "n_b")
+    ).select(
+        "id_a",
+        "id_b",
+        "n_a",
+        "n_b",
+        "inter",
+        F.expr("inter * 1000 DIV n_a").alias("cont_a_milli"),
+        F.expr("inter * 1000 DIV n_b").alias("cont_b_milli"),
+    )

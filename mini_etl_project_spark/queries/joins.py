@@ -853,3 +853,89 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
     )
+
+
+# -- X175 as-of join with tolerance ----------------------------------------
+#
+# pandas merge_asof(tolerance=...) semantics on the backward as-of: a
+# match only counts if the matched signup is within 24 h of the
+# purchase; staler matches null out (the row survives — LEFT semantics).
+# Engine = the single-shuffle asof_join + a conditional null; oracle =
+# DuckDB native ASOF with a CASE on the gap.  The gap itself is an
+# output column (µs, exact).
+
+_ASOF_TOL_US = 24 * 3600 * 1000000
+
+_ASOF_TOL_ORACLE = f"""
+WITH purchases AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), signups AS (
+  SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup'
+)
+SELECT p.user_id, p.event_id,
+       CASE WHEN epoch_us(p.ts) - epoch_us(s.signup_ts) <= {_ASOF_TOL_US}
+            THEN s.signup_ts END AS signup_ts,
+       CASE WHEN epoch_us(p.ts) - epoch_us(s.signup_ts) <= {_ASOF_TOL_US}
+            THEN CAST(epoch_us(p.ts) - epoch_us(s.signup_ts) AS BIGINT)
+       END AS gap_us
+FROM purchases p
+ASOF LEFT JOIN signups s
+  ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+"""
+
+
+@query("q_join_asof_tolerance", _ASOF_TOL_ORACLE)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    j = asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="signup_ts"
+    )
+    gap = F.unix_micros("ts") - F.unix_micros("signup_ts")
+    within = gap <= F.lit(_ASOF_TOL_US)
+    return j.select(
+        "user_id",
+        "event_id",
+        F.when(within, F.col("signup_ts")).alias("signup_ts"),
+        F.when(within, gap).cast("bigint").alias("gap_us"),
+    )
+
+
+# -- X176 ordered string aggregation (listagg) -----------------------------
+#
+# Spark 4's listagg / string_agg as a first-class ordered aggregate: the
+# keys of the few very large orders concatenate deterministically
+# (ORDER BY the element itself).  Bounded by the selective filter — the
+# pattern for "collect a small ordered digest per group" without
+# collect_list + UDF.
+
+_LISTAGG_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_big,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+         AS keys_csv
+FROM orders
+WHERE o_totalprice > 450000.0
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_agg_listagg", _LISTAGG_ORACLE)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 450000.0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_big"),
+            F.expr(
+                "listagg(cast(o_orderkey as string), ',')"
+                " within group (order by o_orderkey)"
+            ).alias("keys_csv"),
+        )
+    )

@@ -1559,3 +1559,106 @@ def q_agg_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + (rank - cum_before - 1) * {_HQ_WIDTH} DIV cnt as bigint)"
         ).alias("est_cents"),
     )
+
+
+# -- X178 KMV A-not-B difference estimate ----------------------------------
+#
+# The third theta-sketch set operation (union: q_agg_kmv_merge,
+# intersection: q_agg_kmv_intersect): |A \ B| estimated as the count of
+# A-sketch hashes below the common theta that do NOT appear in B's
+# sketch, scaled by 2^60/theta.  Same scale posture as the intersect:
+# per-side sketches via distributed TakeOrdered, everything downstream
+# operates on ≤ 2k sketch rows; the exact difference rides along for
+# error accounting.
+
+_KMV_ANOTB_ORACLE = f"""
+WITH a AS (
+  SELECT DISTINCT {_sql_hash60("CAST(l_partkey AS VARCHAR)")} AS h
+  FROM lineitem WHERE l_suppkey % 2 = 0),
+b AS (
+  SELECT DISTINCT {_sql_hash60("CAST(l_partkey AS VARCHAR)")} AS h
+  FROM lineitem WHERE l_suppkey % 3 = 0),
+ka AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) rn FROM a)
+       WHERE rn <= {_KMV_K}),
+kb AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) rn FROM b)
+       WHERE rn <= {_KMV_K}),
+thetas AS (
+  SELECT LEAST(
+    CASE WHEN (SELECT COUNT(*) FROM a) >= {_KMV_K}
+         THEN (SELECT MAX(h) FROM ka) ELSE {1 << 60} END,
+    CASE WHEN (SELECT COUNT(*) FROM b) >= {_KMV_K}
+         THEN (SELECT MAX(h) FROM kb) ELSE {1 << 60} END) AS theta),
+diff AS (
+  SELECT COUNT(*) AS c FROM ka, thetas
+  WHERE ka.h < thetas.theta
+    AND NOT EXISTS (SELECT 1 FROM kb WHERE kb.h = ka.h))
+SELECT (SELECT COUNT(*) FROM a) AS n_a,
+       (SELECT COUNT(*) FROM b) AS n_b,
+       (SELECT COUNT(*) FROM a
+        WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.h = a.h))
+         AS exact_anotb,
+       diff.c AS sketch_anotb,
+       CAST(diff.c AS DOUBLE) * {float(1 << 60)} / thetas.theta
+         AS est_anotb
+FROM diff, thetas
+"""
+
+
+@query("q_agg_kmv_anotb", _KMV_ANOTB_ORACLE)
+def q_agg_kmv_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def side(mod: int) -> DataFrame:
+        return (
+            li.filter(F.col("l_suppkey") % mod == 0)
+            .select(hash60(F.col("l_partkey").cast("string")).alias("h"))
+            .distinct()
+        )
+
+    a, b = side(2), side(3)
+
+    def sketch(df: DataFrame) -> DataFrame:
+        return df.orderBy("h").limit(_KMV_K)
+
+    ka, kb = sketch(a), sketch(b)
+
+    def theta_of(df: DataFrame, sk: DataFrame) -> DataFrame:
+        n = df.agg(F.count(F.lit(1)).alias("n"))
+        mx = sk.agg(F.max("h").alias("mx"))
+        return n.crossJoin(mx).select(
+            F.when(F.col("n") >= _KMV_K, F.col("mx"))
+            .otherwise(F.lit(1 << 60))
+            .alias("th")
+        )
+
+    theta = (
+        theta_of(a, ka)
+        .crossJoin(theta_of(b, kb).withColumnRenamed("th", "th2"))
+        .select(F.least("th", "th2").alias("theta"))
+    )
+    diff = (
+        ka.join(kb, "h", "left_anti")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    counts = (
+        a.agg(F.count(F.lit(1)).alias("n_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("n_b")))
+        .crossJoin(
+            a.join(b, "h", "left_anti").agg(
+                F.count(F.lit(1)).alias("exact_anotb")
+            )
+        )
+    )
+    return counts.crossJoin(F.broadcast(theta)).crossJoin(
+        F.broadcast(diff)
+    ).select(
+        "n_a",
+        "n_b",
+        "exact_anotb",
+        F.col("c").alias("sketch_anotb"),
+        (
+            F.col("c").cast("double") * F.lit(float(1 << 60)) / F.col("theta")
+        ).alias("est_anotb"),
+    )

@@ -256,3 +256,43 @@ def test_pyds_sink_two_phase_commit(spark, tmp_path):
             got += [json.loads(line) for line in fh]
     assert sorted((r["id"], r["v"]) for r in got) == [(i, 7 * i) for i in range(100)]
     assert not os.path.exists(os.path.join(out, "_ABORTED"))
+
+
+# -- dynamic partition pruning ---------------------------------------------
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """A hive-partitioned fact joined to a selectively-filtered dim must
+    plan a dynamicpruning# subquery on the partition column — the runtime
+    partition skip that keeps a 100 TB star join from scanning every
+    partition."""
+    from mini_etl_project_spark.session import load_table
+
+    fact_dir = str(tmp_path / "fact_part")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_extendedprice",
+        F.month("l_shipdate").alias("ship_month"),
+    )
+    l.write.partitionBy("ship_month").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    # DPP requires a materialized (statistics-bearing) filter side with a
+    # non-trivial predicate on a NON-join column — a filtered in-memory
+    # range doesn't qualify
+    dim_dir = str(tmp_path / "dim")
+    spark.range(1, 13).select(
+        F.col("id").cast("int").alias("ship_month"),
+        (F.col("id") * 10).alias("payload"),
+    ).write.parquet(dim_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("payload") == 30)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    joined = fact.join(dim, "ship_month").agg(
+        F.count("*").alias("n"), F.sum("l_extendedprice").alias("s")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the result is correct vs a plain filter
+    direct = fact.filter(F.col("ship_month") == 3).agg(
+        F.count("*").alias("n"), F.sum("l_extendedprice").alias("s")
+    )
+    assert joined.collect() == direct.collect()

@@ -992,3 +992,74 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# -- X180 data-quality quarantine (multi-output row routing) ---------------
+#
+# The splitter every production ETL needs: rows failing any rule are
+# ROUTED OUT with the full list of violated rules (not just counted, as
+# q_quality_constraints does) so a downstream repair job can triage by
+# reason.  Rules: value ≤ 100, JSON payload key k ≤ 80, event_type in
+# the known vocabulary.  Reasons concatenate in fixed rule order — one
+# stateless projection + filter; the clean path is the same scan with
+# the predicate negated (Catalyst shares the scan).
+
+_QUARANTINE_ORACLE = """
+WITH checked AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+         value > 100 AS bad_value,
+         CAST(json_extract(props, '$.k') AS BIGINT) > 80 AS bad_k,
+         event_type NOT IN ('click', 'error', 'purchase', 'signup', 'view')
+           AS bad_type
+  FROM events)
+SELECT event_id, event_type, cents, k,
+       concat_ws(',',
+         CASE WHEN bad_value THEN 'value_gt_100' END,
+         CASE WHEN bad_k THEN 'k_gt_80' END,
+         CASE WHEN bad_type THEN 'unknown_type' END) AS reasons,
+       CAST(bad_value AS INT) + CAST(bad_k AS INT) + CAST(bad_type AS INT)
+         AS n_violations
+FROM checked
+WHERE bad_value OR bad_k OR bad_type
+"""
+
+
+@query("q_quality_quarantine", _QUARANTINE_ORACLE)
+def q_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    bad_value = F.col("value") > 100
+    bad_k = k > 80
+    bad_type = ~F.col("event_type").isin(
+        "click", "error", "purchase", "signup", "view"
+    )
+    checked = e.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        k.alias("k"),
+        bad_value.alias("bad_value"),
+        bad_k.alias("bad_k"),
+        bad_type.alias("bad_type"),
+    )
+    return checked.filter(
+        F.col("bad_value") | F.col("bad_k") | F.col("bad_type")
+    ).select(
+        "event_id",
+        "event_type",
+        "cents",
+        "k",
+        F.concat_ws(
+            ",",
+            F.when(F.col("bad_value"), "value_gt_100"),
+            F.when(F.col("bad_k"), "k_gt_80"),
+            F.when(F.col("bad_type"), "unknown_type"),
+        ).alias("reasons"),
+        (
+            F.col("bad_value").cast("int")
+            + F.col("bad_k").cast("int")
+            + F.col("bad_type").cast("int")
+        ).alias("n_violations"),
+    )

@@ -694,3 +694,48 @@ def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = drain_to_table(six, mode="append")
     return spark.table(out)
+
+
+# -- X179 streaming windowed top-k (two-phase) -----------------------------
+#
+# Rank is not expressible inside an unbounded stream (no append-mode
+# window-functions), so the production pattern is two-phase: the STREAM
+# maintains per-(window, event_type) counts (incremental state, the
+# heavy lifting), and the cheap rank runs BATCH over the drained state.
+# The oracle replays the same two phases in SQL.  Top-2 per hourly
+# window by (count desc, event_type) — fully deterministic.
+
+_STREAM_TOPK_ORACLE = """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type) AS rnk
+  FROM agg)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+       n_events, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 2
+"""
+
+
+@query("q_stream_topk_windowed", _STREAM_TOPK_ORACLE)
+def q_stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    out = drain_to_table(tumbling_agg(events_stream(spark, sf_dir)))
+    df = spark.table(out)
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        df.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            F.col("window_start").cast("timestamp"),
+            "event_type",
+            "n_events",
+            "rnk",
+        )
+    )

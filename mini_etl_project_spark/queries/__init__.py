@@ -172,6 +172,8 @@ _CHECK_FIRST: list[str] = [
     "q_agg_kmv_anotb",
     "q_stream_topk_windowed",
     "q_quality_quarantine",
+    "q_text_sentences",
+    "q_fn_aes_roundtrip",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

@@ -969,3 +969,40 @@ def q_fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hours_since_anchor"),
     )
+
+
+# -- X182 AES column encryption roundtrip ----------------------------------
+#
+# Column-level encryption (the PII-at-rest pattern): every document body
+# encrypts with AES-128-ECB (the deterministic mode — GCM's random IV
+# would break both the oracle and any equality-joinable ciphertext) and
+# must decrypt back byte-identically.  DuckDB has no AES, so the oracle
+# pins the INVARIANTS instead: roundtrip equality always holds and the
+# PKCS#7 ciphertext length is exactly 16·(⌊n/16⌋+1) for the pure-ASCII
+# corpus.  Stateless projection; the JVM does the crypto.
+
+_AES_KEY = "0123456789abcdef"
+
+_AES_ORACLE = """
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       1 AS roundtrip_ok,
+       CAST(16 * ((LENGTH(text) // 16) + 1) AS BIGINT) AS cipher_bytes
+FROM documents
+"""
+
+
+@query("q_fn_aes_roundtrip", _AES_ORACLE)
+def q_fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    enc = F.expr(f"aes_encrypt(text, '{_AES_KEY}', 'ECB')")
+    dec = F.expr(
+        f"cast(aes_decrypt(aes_encrypt(text, '{_AES_KEY}', 'ECB'),"
+        f" '{_AES_KEY}', 'ECB') as string)"
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        (dec == F.col("text")).cast("int").alias("roundtrip_ok"),
+        F.octet_length(enc).cast("bigint").alias("cipher_bytes"),
+    )

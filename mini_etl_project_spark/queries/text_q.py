@@ -738,3 +738,67 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# -- X181 sentence segmentation --------------------------------------------
+#
+# Rule-based sentence splitting (the preprocessing step before
+# sentence-level dedup/quality filters): sentences are maximal runs of
+# non-terminator characters followed by terminator punctuation,
+# extracted with the SAME regexp_extract_all pattern in both engines
+# (RE2 has no lookbehind, so the extract formulation replaces a split —
+# a trailing unterminated fragment is dropped on both sides by
+# construction).  Per-doc stats plus an order-sensitive digest of the
+# trimmed sentences.  Stateless projection.
+
+_SENT_RE = "[^.!?]+[.!?]+"
+
+_SENT_ORACLE = f"""
+WITH punctuated AS (
+  -- the synthetic corpus carries no punctuation; plant terminators
+  -- deterministically (after every 'the') so segmentation is exercised
+  SELECT doc_id, replace(text, ' the ', ' the. ') AS text2 FROM documents),
+s AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text2, '{_SENT_RE}'),
+                        x -> trim(x)) AS sents
+  FROM punctuated)
+SELECT doc_id,
+       LEN(sents) AS n_sentences,
+       CAST(COALESCE(list_sum(list_transform(sents, x -> LENGTH(x))), 0)
+            AS BIGINT) AS sum_sent_chars,
+       CAST(COALESCE(list_max(list_transform(sents, x -> LENGTH(x))), 0)
+            AS BIGINT) AS max_sent_chars,
+       md5(COALESCE(array_to_string(sents, '\x1f'), '')) AS sent_sig
+FROM s
+"""
+
+
+@query("q_text_sentences", _SENT_ORACLE)
+def q_text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" the "), F.lit(" the. ")).alias(
+            "text2"
+        ),
+    )
+    sents = F.expr(
+        f"transform(regexp_extract_all(text2, '{_SENT_RE}', 0), x -> trim(x))"
+    )
+    t = d.select("doc_id", sents.alias("sents"))
+    return t.select(
+        "doc_id",
+        F.size("sents").cast("bigint").alias("n_sentences"),
+        F.coalesce(
+            F.expr("aggregate(sents, 0L, (a, x) -> a + length(x))"),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("sum_sent_chars"),
+        F.coalesce(
+            F.array_max(F.expr("transform(sents, x -> length(x))")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("max_sent_chars"),
+        F.md5(F.array_join("sents", "\x1f")).alias("sent_sig"),
+    )

@@ -157,9 +157,22 @@ class SnapshotTable:
     # -- write path --------------------------------------------------------
 
     def _stage(self, df: DataFrame) -> list[str]:
-        """Write df's rows as immutable data files; return their names."""
+        """Write df's rows as immutable data files; return their names.
+
+        Timestamps are written as TIMESTAMP_MICROS (not Spark's default
+        INT96): INT96 carries NO parquet min/max statistics, which would
+        silently disable file skipping on every time column.
+        """
+        spark = df.sparkSession
+        prev_tt = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         tmp = os.path.join(self.root, f"_staging_{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(tmp)
+        try:
+            df.write.mode("overwrite").parquet(tmp)
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev_tt)
         names = []
         for f in sorted(os.listdir(tmp)):
             if f.endswith(".parquet"):
@@ -192,7 +205,13 @@ class SnapshotTable:
                     mins.append(st.min)
                     maxs.append(st.max)
                 if mins:
-                    per_col[c] = [min(mins), max(maxs)]
+                    lo, hi = min(mins), max(maxs)
+                    # datetime stats → epoch µs so the manifest stays
+                    # plain JSON and comparisons are integer-exact
+                    if hasattr(lo, "timestamp"):
+                        lo = int(lo.timestamp() * 1_000_000)
+                        hi = int(hi.timestamp() * 1_000_000)
+                    per_col[c] = [lo, hi]
             out[name] = per_col
         return out
 
@@ -249,11 +268,25 @@ class SnapshotTable:
         df: DataFrame,
         stats_cols: list[str] | None = None,
         merge_schema: bool = False,
+        cluster_by: str | None = None,
+        n_files: int = 8,
     ) -> int:
         """Append rows. With ``merge_schema=True`` new columns evolve the
         table schema additively (old files read back NULL for them); with
         the default, a shape mismatch is an error, never silent data loss.
+
+        ``cluster_by`` is a SQL expression (e.g. ``"month(ts)"``,
+        ``"day(ts)"``) — Iceberg-style HIDDEN PARTITIONING: the staged
+        files are range-clustered on the transform (repartitionByRange +
+        sortWithinPartitions), so their footer min/max on the SOURCE
+        column are tight and ``read(where=...)`` skips them without the
+        query ever naming the transform.  The spec is recorded on the
+        COMMIT, not the table: later appends may use a different
+        transform (partition-spec EVOLUTION) — old files keep their
+        layout, reads prune both generations through the same stats.
         """
+        from pyspark.sql import functions as _F
+
         base = self.latest_version()
         prev_m = self._read_manifest(base) if base else {}
         prev = prev_m.get("files", [])
@@ -269,6 +302,14 @@ class SnapshotTable:
                         "merge_schema=True for additive evolution"
                     )
                 schema = _union_schema(table_schema, df.schema)
+        if cluster_by is not None:
+            df = df.repartitionByRange(
+                n_files, _F.expr(cluster_by)
+            ).sortWithinPartitions(_F.expr(cluster_by))
+            self._pending_meta = {
+                **self._pending_meta,
+                "spec": {"cluster_by": cluster_by, "n_files": n_files},
+            }
         staged = self._stage(df)
         if stats_cols:
             stats = dict(prev_m.get("stats", {}))
@@ -290,6 +331,34 @@ class SnapshotTable:
 
     # -- read path ---------------------------------------------------------
 
+    def plan_files(
+        self, version: int | None = None, where: tuple | None = None
+    ) -> list[str]:
+        """The pruned file list a read would scan — the data-skipping
+        planner, exposed so tests (and cost estimates) can count skipped
+        files without running the scan.  ``where=(col, lo, hi)`` drops
+        files whose manifest min/max for ``col`` is disjoint from
+        [lo, hi]; files without stats are conservatively kept."""
+        v = self.latest_version() if version is None else version
+        m = self._read_manifest(v)
+        files = m["files"]
+        if where is not None:
+            col, lo, hi = where
+            if hasattr(lo, "timestamp"):  # datetime bounds → epoch µs
+                lo = int(lo.timestamp() * 1_000_000)
+                hi = int(hi.timestamp() * 1_000_000)
+            stats = m.get("stats", {})
+
+            def may_match(f: str) -> bool:
+                rng = stats.get(f, {}).get(col)
+                if rng is None:
+                    return True  # no stats → cannot skip
+                fmin, fmax = rng
+                return not (fmax < lo or fmin > hi)
+
+            files = [f for f in files if may_match(f)]
+        return files
+
     def read(
         self,
         spark: SparkSession,
@@ -309,19 +378,7 @@ class SnapshotTable:
         if v == 0:
             raise ValueError("empty table (no commits)")
         m = self._read_manifest(v)
-        files = m["files"]
-        if where is not None:
-            col, lo, hi = where
-            stats = m.get("stats", {})
-
-            def may_match(f: str) -> bool:
-                rng = stats.get(f, {}).get(col)
-                if rng is None:
-                    return True  # no stats → cannot skip
-                fmin, fmax = rng
-                return not (fmax < lo or fmin > hi)
-
-            files = [f for f in files if may_match(f)]
+        files = self.plan_files(version=v, where=where)
         schema = StructType.fromJson(json.loads(m["schema"]))
         paths = [os.path.join(self.data_dir, f) for f in files]
         if not paths:

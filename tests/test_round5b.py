@@ -296,3 +296,40 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
         F.count("*").alias("n"), F.sum("l_extendedprice").alias("s")
     )
     assert joined.collect() == direct.collect()
+
+
+# -- partition-spec evolution (hidden partitioning) ------------------------
+
+
+def test_snapshot_partition_spec_evolution(spark, sf_dir, tmp_path):
+    """Gen-1 files clustered by month(ts), gen-2 by day(ts) — the spec
+    changed between commits without rewriting gen-1.  A one-day filter
+    must (a) skip most files via manifest stats alone, (b) scan fewer
+    files than a no-filter read, and (c) return exactly the right rows."""
+    import datetime
+
+    from mini_etl_project_spark.session import load_table
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    gen1 = e.filter(F.dayofmonth("ts") <= 15)
+    gen2 = e.filter(F.dayofmonth("ts") > 15)
+    t = SnapshotTable.create(str(tmp_path / "tbl"))
+    v1 = t.append(gen1, stats_cols=["ts"], cluster_by="day(ts)", n_files=6)
+    v2 = t.append(gen2, stats_cols=["ts"], cluster_by="month(ts)", n_files=2)
+    assert v2 == v1 + 1
+    # per-commit specs recorded independently (evolution, not rewrite)
+    assert t._read_manifest(v1)["spec"]["cluster_by"] == "day(ts)"
+    assert t._read_manifest(v2)["spec"]["cluster_by"] == "month(ts)"
+    lo = datetime.datetime(2024, 1, 3, 0, 0, 0)
+    hi = datetime.datetime(2024, 1, 3, 23, 59, 59, 999999)
+    all_files = t.plan_files(where=None)
+    pruned = t.plan_files(where=("ts", lo, hi))
+    assert len(pruned) < len(all_files), (len(pruned), len(all_files))
+    got = t.read(spark, where=("ts", lo, hi)).filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    )
+    want = e.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    assert sorted(r["event_id"] for r in got.collect()) == sorted(
+        r["event_id"] for r in want.collect()
+    )

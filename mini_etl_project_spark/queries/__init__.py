@@ -174,6 +174,8 @@ _CHECK_FIRST: list[str] = [
     "q_quality_quarantine",
     "q_text_sentences",
     "q_fn_aes_roundtrip",
+    "q_setop_multiset",
+    "q_sample_systematic",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

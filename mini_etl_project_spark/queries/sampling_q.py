@@ -1662,3 +1662,44 @@ def q_agg_kmv_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("double") * F.lit(float(1 << 60)) / F.col("theta")
         ).alias("est_anotb"),
     )
+
+
+# -- X186 systematic (every k-th) sampling ---------------------------------
+#
+# The third sampling design next to Bernoulli (q_sample_hash) and
+# stratified (q_sample_stratified): order each stratum by a stable hash
+# and keep every 20th row — fixed sampling fraction with LOWER VARIANCE
+# than Bernoulli (exactly ⌈n/20⌉ rows per stratum, never a lucky or
+# unlucky draw).  The rank is a keyed window per stratum — no global
+# sort.
+
+_SYSTEMATIC_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY {_sql_hash60("CAST(o_orderkey AS VARCHAR)")}, o_orderkey
+         ) AS rn
+  FROM orders)
+SELECT o_orderpriority,
+       COUNT(*) AS n_sampled,
+       {sql_dsum('o_totalprice', 'sum_price')}
+FROM ranked WHERE rn % 20 = 1
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_sample_systematic", _SYSTEMATIC_ORACLE)
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        hash60(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") % 20 == 1)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_sampled"), dsum("o_totalprice", "sum_price"))
+    )

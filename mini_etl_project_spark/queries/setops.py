@@ -228,3 +228,48 @@ def q_setop_union_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("amount_sum"),
     )
+
+
+# -- X185 multiset set operations (EXCEPT ALL / INTERSECT ALL) -------------
+#
+# Bag semantics — the version of EXCEPT/INTERSECT that respects
+# multiplicities (a key appearing 5 times on the left and 2 on the
+# right survives EXCEPT ALL 3 times, INTERSECT ALL 2 times).  Left bag =
+# every order's custkey; right bag = custkeys of the high-value orders.
+# Aggregated output (count / distinct / sum) keeps the row volume
+# bounded while still pinning multiplicities exactly.
+
+_MULTISET_ORACLE = """
+WITH a AS (SELECT o_custkey AS k FROM orders),
+b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000.0),
+ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+SELECT 'except_all' AS op, COUNT(*) AS n_rows,
+       COUNT(DISTINCT k) AS n_distinct, CAST(SUM(k) AS BIGINT) AS sum_k
+FROM ea
+UNION ALL
+SELECT 'intersect_all', COUNT(*), COUNT(DISTINCT k),
+       CAST(SUM(k) AS BIGINT)
+FROM ia
+"""
+
+
+@query("q_setop_multiset", _MULTISET_ORACLE)
+def q_setop_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_totalprice") > 200000.0).select(
+        F.col("o_custkey").alias("k")
+    )
+
+    def agg(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.lit(op).alias("op"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct("k").alias("n_distinct"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        ).select("op", "n_rows", "n_distinct", "sum_k")
+
+    return agg(a.exceptAll(b), "except_all").unionByName(
+        agg(a.intersectAll(b), "intersect_all")
+    )

@@ -176,6 +176,7 @@ _CHECK_FIRST: list[str] = [
     "q_fn_aes_roundtrip",
     "q_setop_multiset",
     "q_sample_systematic",
+    "q_udtf_table_arg",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

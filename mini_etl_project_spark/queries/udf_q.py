@@ -280,3 +280,69 @@ def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL unpivot2(2, o_orderkey, cents, cust) t
         """
     )
+
+
+# -- X187 UDTF with TABLE argument (partitioned custom aggregator) ---------
+#
+# Spark 4's polymorphic-input surface: a Python UDTF consumes
+# ``TABLE(v) PARTITION BY event_type`` and emits ONE row per partition
+# from ``terminate()`` — a custom aggregate expressed as a table
+# function, the escape hatch for aggregation logic SQL can't write
+# (here deliberately simple so the oracle CAN check it: count, integer
+# cent sum, and min/max event id per type).  Partitioning is handled by
+# the engine — the UDTF instance sees exactly one group, so the
+# operator distributes like any keyed aggregation.
+
+_UDTF_TABLE_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("q_udtf_table_arg", _UDTF_TABLE_ORACLE)
+def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "event_type string, n bigint, sum_cents bigint,"
+            " min_id bigint, max_id bigint"
+        )
+    )
+    class GroupSummarizer:
+        def __init__(self) -> None:
+            self._key = None
+            self._n = 0
+            self._sum = 0
+            self._min = None
+            self._max = None
+
+        def eval(self, row):
+            self._key = row["event_type"]
+            self._n += 1
+            self._sum += row["cents"]
+            eid = row["event_id"]
+            self._min = eid if self._min is None else min(self._min, eid)
+            self._max = eid if self._max is None else max(self._max, eid)
+
+        def terminate(self):
+            if self._key is not None:
+                yield self._key, self._n, self._sum, self._min, self._max
+
+    spark.udtf.register("group_summarizer", GroupSummarizer)
+    load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).createOrReplaceTempView("udtf_events")
+    return spark.sql(
+        """
+        SELECT * FROM group_summarizer(
+          TABLE(udtf_events) PARTITION BY event_type)
+        """
+    )

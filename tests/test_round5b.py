@@ -333,3 +333,51 @@ def test_snapshot_partition_spec_evolution(spark, sf_dir, tmp_path):
     assert sorted(r["event_id"] for r in got.collect()) == sorted(
         r["event_id"] for r in want.collect()
     )
+
+
+# -- cost-based join reordering --------------------------------------------
+
+
+def test_cbo_join_reorder_uses_stats(spark, sf_dir):
+    """With ANALYZE-computed column stats and CBO on, a query written in
+    the worst order (big⋈big first, selective tiny dim last) must be
+    reordered so the selective dim joins FIRST — the optimizer decision
+    that keeps a 100 TB star join from materializing the big⋈big
+    intermediate.  Assert by relation positions in the optimized plan,
+    and that CBO-on and CBO-off agree on the answer."""
+    from mini_etl_project_spark.session import load_table
+
+    import shutil
+
+    for t in ("cbo_l", "cbo_o", "cbo_n"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{loc}/{t}", ignore_errors=True)
+    load_table(spark, sf_dir, "lineitem").write.mode("overwrite").saveAsTable("cbo_l")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable("cbo_o")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable("cbo_n")
+    for t in ("cbo_l", "cbo_o", "cbo_n"):
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+    q = """
+    SELECT count(*) AS n
+    FROM cbo_l l
+    JOIN cbo_o o ON l.l_orderkey = o.o_orderkey
+    JOIN cbo_n n ON o.o_custkey % 25 = n.n_nationkey
+    WHERE n.n_name = 'FRANCE'
+    """
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        on_df = spark.sql(q)
+        opt = on_df._jdf.queryExecution().optimizedPlan().toString()
+        n_on = on_df.collect()[0]["n"]
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        n_off = spark.sql(q).collect()[0]["n"]
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        for t in ("cbo_l", "cbo_o", "cbo_n"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # reordered: the filtered nation relation must sit INSIDE (before)
+    # the lineitem relation in the join tree text
+    assert opt.index("default.cbo_n") < opt.index("default.cbo_l"), opt[:1500]
+    assert n_on == n_off

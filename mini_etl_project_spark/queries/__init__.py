@@ -177,6 +177,9 @@ _CHECK_FIRST: list[str] = [
     "q_setop_multiset",
     "q_sample_systematic",
     "q_udtf_table_arg",
+    "q_text_rake_keywords",
+    "q_ts_pattern_vshape",
+    "q_ml_ab_ztest",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

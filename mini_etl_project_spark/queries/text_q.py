@@ -802,3 +802,104 @@ def q_text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_sent_chars"),
         F.md5(F.array_join("sents", "\x1f")).alias("sent_sig"),
     )
+
+
+# -- X189 RAKE keyword extraction ------------------------------------------
+#
+# Rapid Automatic Keyword Extraction: candidate phrases are maximal
+# stopword-free token runs; each word scores deg(w)/freq(w) (degree =
+# total length of phrases containing it), a phrase scores the sum of
+# its word scores, and the corpus keeps the top 15 phrases.  Scores are
+# exact milli-units (deg*1000 DIV freq) so ranking is bit-stable.  The
+# phrase segmentation reuses the delimiter trick: stopwords map to a
+# marker token, then one portable regexp split on marker runs.  Plan:
+# two explodes + two keyed groupBys + one TakeOrdered — no UDF.
+
+_RAKE_TOP = 15
+_RAKE_STOPS = "'the','a','an','and','or','of','to','in','is','it'"
+
+_RAKE_ORACLE = f"""
+WITH marked AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       t -> t <> ''),
+           t -> CASE WHEN t IN ({_RAKE_STOPS}) THEN chr(31) ELSE t END)
+           AS toks
+  FROM documents),
+phr AS (
+  SELECT doc_id, trim(p) AS phrase
+  FROM (SELECT doc_id,
+               UNNEST(string_split_regex(array_to_string(toks, ' '),
+                                         '[ ]*\x1f[\x1f ]*')) AS p
+        FROM marked)
+  WHERE trim(p) <> ''),
+pw AS (
+  SELECT phrase,
+         UNNEST(string_split(phrase, ' ')) AS w,
+         LEN(string_split(phrase, ' ')) AS plen
+  FROM phr),
+ws AS (
+  SELECT w, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) AS deg
+  FROM pw GROUP BY w),
+wscore AS (SELECT w, deg * 1000 // freq AS score_milli FROM ws),
+pscore AS (
+  SELECT pw.phrase, CAST(SUM(wscore.score_milli) AS BIGINT) AS score_sum
+  FROM pw JOIN wscore ON pw.w = wscore.w
+  GROUP BY pw.phrase),
+occ AS (SELECT phrase, COUNT(*) AS n_occ FROM phr GROUP BY phrase),
+final AS (
+  SELECT p.phrase, o.n_occ,
+         p.score_sum // o.n_occ AS score_milli
+  FROM pscore p JOIN occ o ON p.phrase = o.phrase)
+SELECT phrase, n_occ, score_milli
+FROM final
+ORDER BY score_milli DESC, phrase
+LIMIT {_RAKE_TOP}
+"""
+
+
+@query("q_text_rake_keywords", _RAKE_ORACLE)
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stops = [s.strip("'") for s in _RAKE_STOPS.split(",")]
+    marked = d.select(
+        "doc_id",
+        F.expr(
+            "transform(filter(split(trim(lower(text)), '\\\\s+'),"
+            " t -> t <> ''),"
+            f" t -> CASE WHEN t IN ({_RAKE_STOPS}) THEN '\x1f' ELSE t END)"
+        ).alias("toks"),
+    )
+    phr = (
+        marked.select(
+            "doc_id",
+            F.explode(
+                F.split(F.array_join("toks", " "), "[ ]*\x1f[\x1f ]*")
+            ).alias("p"),
+        )
+        .select("doc_id", F.trim(F.col("p")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    pw = phr.select(
+        "phrase",
+        F.explode(F.split("phrase", " ")).alias("w"),
+        F.size(F.split("phrase", " ")).alias("plen"),
+    )
+    ws = pw.groupBy("w").agg(
+        F.count("*").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    wscore = ws.select("w", F.expr("deg * 1000 DIV freq").alias("score_milli"))
+    pscore = (
+        pw.join(wscore, "w")
+        .groupBy("phrase")
+        .agg(F.sum("score_milli").cast("bigint").alias("score_sum"))
+    )
+    occ = phr.groupBy("phrase").agg(F.count("*").alias("n_occ"))
+    final = pscore.join(occ, "phrase").select(
+        "phrase",
+        "n_occ",
+        F.expr("score_sum DIV n_occ").alias("score_milli"),
+    )
+    return final.orderBy(F.desc("score_milli"), "phrase").limit(_RAKE_TOP)

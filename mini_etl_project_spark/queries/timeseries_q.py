@@ -1391,3 +1391,133 @@ def q_ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("area2"),
     )
     return picked.unionByName(ends)
+
+
+# -- X190 sequential pattern detection (MATCH_RECOGNIZE-lite) --------------
+#
+# Spark has no MATCH_RECOGNIZE; the equivalent fixed-length pattern
+# compiles to LEAD windows: a V-shape is two strict drops followed by a
+# strict rise in a user's consecutive event values (integer cents).
+# One keyed window, pattern predicate as a plain boolean — at any scale
+# this is a single per-user sort, the same cost as any session
+# analysis.  Output: users with at least one V and their match count.
+
+_VSHAPE_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS v0,
+         LEAD(CAST(ROUND(value * 100) AS BIGINT), 1)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v1,
+         LEAD(CAST(ROUND(value * 100) AS BIGINT), 2)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v2,
+         LEAD(CAST(ROUND(value * 100) AS BIGINT), 3)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v3
+  FROM events)
+SELECT user_id, COUNT(*) AS n_vshapes
+FROM seq
+WHERE v0 > v1 AND v1 > v2 AND v2 < v3
+GROUP BY user_id
+"""
+
+
+@query("q_ts_pattern_vshape", _VSHAPE_ORACLE)
+def q_ts_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    seq = e.select(
+        "user_id",
+        cents.alias("v0"),
+        F.lead(cents, 1).over(w).alias("v1"),
+        F.lead(cents, 2).over(w).alias("v2"),
+        F.lead(cents, 3).over(w).alias("v3"),
+    )
+    return (
+        seq.filter(
+            (F.col("v0") > F.col("v1"))
+            & (F.col("v1") > F.col("v2"))
+            & (F.col("v2") < F.col("v3"))
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_vshapes"))
+    )
+
+
+# -- X191 A/B test two-proportion z-statistic ------------------------------
+#
+# Experimentation analytics: users hash-bucketed into A/B, conversion =
+# a heavy purchaser (≥ 14 purchase events — the corpus median, so both
+# outcomes occur in every bucket at every SF).  The pooled two-proportion z-statistic
+# derives from exact integer counts through one fixed expression tree
+# (divisions + one sqrt — IEEE-correctly-rounded operations, so both
+# engines produce the identical double).  One keyed aggregation; the
+# z-score math runs on a 2-row frame.
+
+_ABTEST_ORACLE = """
+WITH users AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS bucket,
+         CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) >= 14
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id),
+sides AS (
+  SELECT bucket, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS k
+  FROM users GROUP BY bucket),
+wide AS (
+  SELECT MAX(CASE WHEN bucket = 0 THEN n END) AS n_a,
+         MAX(CASE WHEN bucket = 0 THEN k END) AS k_a,
+         MAX(CASE WHEN bucket = 1 THEN n END) AS n_b,
+         MAX(CASE WHEN bucket = 1 THEN k END) AS k_b
+  FROM sides)
+SELECT n_a, k_a, n_b, k_b,
+       (CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b)
+       / sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+              * (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+              * (1.0 / n_a + 1.0 / n_b)) AS z
+FROM wide
+"""
+
+
+@query("q_ml_ab_ztest", _ABTEST_ORACLE)
+def q_ml_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 2
+    )
+    users = (
+        e.groupBy("user_id")
+        .agg(
+            (
+                F.count(F.when(F.col("event_type") == "purchase", 1)) >= 14
+            )
+            .cast("int")
+            .alias("conv")
+        )
+        .withColumn("bucket", bucket)
+    )
+    sides = users.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("conv").cast("bigint").alias("k")
+    )
+    wide = sides.agg(
+        F.max(F.when(F.col("bucket") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("bucket") == 0, F.col("k"))).alias("k_a"),
+        F.max(F.when(F.col("bucket") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("bucket") == 1, F.col("k"))).alias("k_b"),
+    )
+    p_pool = (F.col("k_a") + F.col("k_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (
+        F.col("k_a").cast("double") / F.col("n_a")
+        - F.col("k_b").cast("double") / F.col("n_b")
+    ) / F.sqrt(
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return wide.select("n_a", "k_a", "n_b", "k_b", z.alias("z"))

@@ -180,6 +180,9 @@ _CHECK_FIRST: list[str] = [
     "q_text_rake_keywords",
     "q_ts_pattern_vshape",
     "q_ml_ab_ztest",
+    "q_graph_kcore",
+    "q_join_fuzzy_fastss",
+    "q_fn_luhn",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

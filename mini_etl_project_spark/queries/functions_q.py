@@ -1006,3 +1006,55 @@ def q_fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dec == F.col("text")).cast("int").alias("roundtrip_ok"),
         F.octet_length(enc).cast("bigint").alias("cipher_bytes"),
     )
+
+
+# -- X194 Luhn checksum validation -----------------------------------------
+#
+# Spark's built-in luhn_check against a from-first-principles oracle:
+# 16-digit account numbers derive deterministically from order keys
+# (≈10 % carry a valid check digit by construction), Spark validates
+# with the native function, and the oracle re-implements the Luhn
+# algorithm as pure digit arithmetic — doubling every second digit from
+# the right, folding >9 to digit-sum, total ≡ 0 (mod 10).
+
+_LUHN_DIGIT_SQL = " + ".join(
+    (
+        f"CAST(substring(card, {17 - i}, 1) AS INT)"
+        if i % 2 == 1
+        else (
+            f"CASE WHEN 2 * CAST(substring(card, {17 - i}, 1) AS INT) > 9"
+            f" THEN 2 * CAST(substring(card, {17 - i}, 1) AS INT) - 9"
+            f" ELSE 2 * CAST(substring(card, {17 - i}, 1) AS INT) END"
+        )
+    )
+    for i in range(1, 17)
+)
+
+_LUHN_ORACLE = f"""
+WITH cards AS (
+  SELECT o_orderkey,
+         lpad(CAST((o_orderkey * 7919) % 1000000000000000 AS VARCHAR),
+              15, '0') || CAST(o_orderkey % 10 AS VARCHAR) AS card
+  FROM orders)
+SELECT o_orderkey, card,
+       CAST(({_LUHN_DIGIT_SQL}) % 10 = 0 AS INT) AS is_valid
+FROM cards
+"""
+
+
+@query("q_fn_luhn", _LUHN_ORACLE)
+def q_fn_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    card = F.concat(
+        F.lpad(
+            ((F.col("o_orderkey") * 7919) % 1000000000000000).cast("string"),
+            15,
+            "0",
+        ),
+        (F.col("o_orderkey") % 10).cast("string"),
+    )
+    return o.select(
+        "o_orderkey",
+        card.alias("card"),
+        F.expr("cast(luhn_check(card) as int)").alias("is_valid"),
+    ).select("o_orderkey", "card", "is_valid")

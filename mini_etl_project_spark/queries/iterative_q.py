@@ -526,3 +526,87 @@ def q_graph_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_id"),
         F.col("d").cast("bigint").alias("dist"),
     )
+
+
+# -- X192 k-core decomposition (3 peeling rounds) --------------------------
+#
+# Iterative graph peeling: repeatedly delete nodes of degree < k until
+# the k-core remains.  Three synchronous rounds unroll in the oracle
+# (kmeans-style); Spark runs the same rounds as a loop of keyed
+# degree-aggregate + semi-join — each round one shuffle, lineage cut by
+# localCheckpoint.  The graph is the bipartite customer—supplier trade
+# graph (same node encoding as BFS above): customer degrees spread from
+# 1 to ~100, so k=10 peels a real fraction each round AND the removals
+# CASCADE onto supplier degrees — the behavior k-core exists to expose.
+# Output = surviving nodes with their final within-core degree.
+
+_KCORE_K = 10
+_KCORE_ROUNDS = 3
+
+_KCORE_EDGES_SQL = """
+  SELECT DISTINCT l.l_suppkey AS a, 1000000 + o.o_custkey AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        f"""
+WITH e0 AS ({_KCORE_EDGES_SQL})"""
+    ]
+    prev = "e0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+d{r} AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+  GROUP BY node),
+keep{r} AS (SELECT node FROM d{r} WHERE deg >= {_KCORE_K}),
+e{r} AS (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN keep{r} ka ON e.a = ka.node
+  JOIN keep{r} kb ON e.b = kb.node)"""
+        )
+        prev = f"e{r}"
+    parts.append(
+        f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM (SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+GROUP BY node"""
+    )
+    return "".join(parts)
+
+
+@query("q_graph_kcore", _kcore_oracle())
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    e = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("a"),
+            (F.lit(1000000) + F.col("o_custkey")).alias("b"),
+        )
+        .distinct()
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )

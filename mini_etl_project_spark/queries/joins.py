@@ -939,3 +939,89 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keys_csv"),
         )
     )
+
+
+# -- X193 fuzzy join via deletion-neighborhood blocking (FastSS) -----------
+#
+# Edit-distance-≤1 join WITHOUT the quadratic compare: every name emits
+# its FastSS 1-deletion neighborhood {s} ∪ {s minus one char}; two
+# strings within edit distance 1 (insert/delete/substitute) provably
+# share a neighborhood key, so the equi-join on keys generates a
+# candidate superset and exact levenshtein verifies only candidates.
+# Right side = planted corruptions of supplier names (one char deleted
+# at a key-dependent position).  At scale this is one explode (≈ |s|
+# keys per row) + one keyed join — the standard spell-matching shape.
+
+_FASTSS_ORACLE = """
+WITH lhs AS (
+  SELECT s_suppkey AS a_key, s_name AS a_name FROM supplier),
+rhs AS (
+  SELECT s_suppkey AS b_key,
+         substring(s_name, 1, 9 + CAST(s_suppkey % 8 AS INT))
+           || substring(s_name, 11 + CAST(s_suppkey % 8 AS INT)) AS b_name
+  FROM supplier),
+lk AS (
+  SELECT a_key, a_name,
+         UNNEST(list_append(
+           list_transform(generate_series(1, LENGTH(a_name)),
+             i -> substring(a_name, 1, i - 1) || substring(a_name, i + 1)),
+           a_name)) AS k
+  FROM lhs),
+rk AS (
+  SELECT b_key, b_name,
+         UNNEST(list_append(
+           list_transform(generate_series(1, LENGTH(b_name)),
+             i -> substring(b_name, 1, i - 1) || substring(b_name, i + 1)),
+           b_name)) AS k
+  FROM rhs),
+cand AS (
+  SELECT DISTINCT a_key, a_name, b_key, b_name
+  FROM lk JOIN rk USING (k))
+SELECT a_key, b_key, a_name, b_name,
+       CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
+FROM cand
+WHERE levenshtein(a_name, b_name) <= 1
+"""
+
+
+@query("q_join_fuzzy_fastss", _FASTSS_ORACLE)
+def q_join_fuzzy_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    lhs = s.select(
+        F.col("s_suppkey").alias("a_key"), F.col("s_name").alias("a_name")
+    )
+    rhs = s.select(
+        F.col("s_suppkey").alias("b_key"),
+        F.expr(
+            "concat(substring(s_name, 1, 9 + cast(s_suppkey % 8 as int)),"
+            " substring(s_name, 11 + cast(s_suppkey % 8 as int)))"
+        ).alias("b_name"),
+    )
+
+    def keys(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.expr(
+                    f"array_append(transform(sequence(1, length({name})),"
+                    f" i -> concat(substring({name}, 1, i - 1),"
+                    f" substring({name}, i + 1))), {name})"
+                )
+            ).alias("k"),
+        )
+
+    cand = (
+        keys(lhs, "a_name")
+        .join(keys(rhs, "b_name"), "k")
+        .select("a_key", "a_name", "b_key", "b_name")
+        .distinct()
+    )
+    return cand.filter(
+        F.levenshtein("a_name", "b_name") <= 1
+    ).select(
+        "a_key",
+        "b_key",
+        "a_name",
+        "b_name",
+        F.levenshtein("a_name", "b_name").cast("bigint").alias("dist"),
+    )

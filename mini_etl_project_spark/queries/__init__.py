@@ -183,6 +183,7 @@ _CHECK_FIRST: list[str] = [
     "q_graph_kcore",
     "q_join_fuzzy_fastss",
     "q_fn_luhn",
+    "q_subquery_not_in_nulls",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

@@ -1063,3 +1063,54 @@ def q_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("bad_type").cast("int")
         ).alias("n_violations"),
     )
+
+
+# -- X195 NOT IN vs NOT EXISTS null semantics ------------------------------
+#
+# The classic three-valued-logic trap, pinned as behavior: a NOT IN
+# subquery whose result contains a NULL returns NO rows (x <> NULL is
+# UNKNOWN for every x), while the NOT EXISTS formulation returns the
+# expected anti-join.  Both engines must agree on both branches — an
+# engine that "fixes" NOT IN silently corrupts migrated workloads.
+# The subquery plants one NULL via a CASE over real keys.
+
+_NOTIN_ORACLE = """
+WITH sub AS (
+  SELECT CASE WHEN o_orderkey % 1000 = 7 THEN NULL
+              ELSE o_custkey END AS k
+  FROM orders),
+not_in AS (
+  SELECT COUNT(*) AS n FROM customer
+  WHERE c_custkey NOT IN (SELECT k FROM sub)),
+not_exists AS (
+  SELECT COUNT(*) AS n FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = c.c_custkey))
+SELECT 'not_in' AS variant, n FROM not_in
+UNION ALL
+SELECT 'not_exists', n FROM not_exists
+"""
+
+
+@query("q_subquery_not_in_nulls", _NOTIN_ORACLE)
+def q_subquery_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ni_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "ni_customer"
+    )
+    return spark.sql(
+        """
+        WITH sub AS (
+          SELECT CASE WHEN o_orderkey % 1000 = 7 THEN NULL
+                      ELSE o_custkey END AS k
+          FROM ni_orders),
+        not_in AS (
+          SELECT COUNT(*) AS n FROM ni_customer
+          WHERE c_custkey NOT IN (SELECT k FROM sub)),
+        not_exists AS (
+          SELECT COUNT(*) AS n FROM ni_customer c
+          WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = c.c_custkey))
+        SELECT 'not_in' AS variant, n FROM not_in
+        UNION ALL
+        SELECT 'not_exists', n FROM not_exists
+        """
+    )

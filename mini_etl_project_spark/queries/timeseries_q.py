@@ -1521,3 +1521,134 @@ def q_ml_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
     )
     return wide.select("n_a", "k_a", "n_b", "k_b", z.alias("z"))
+
+
+# -- X196 XmR control chart (statistical process control) ------------------
+#
+# Individuals/moving-range chart: per event_type, the moving range
+# MR_i = |x_i − x_{i-1}| (one LAG window), control limits at
+# mean ± 2.66·MR̄ computed in exact integer micro-cents (2.66 = 266/100,
+# all sums exact, one final DIV), and the out-of-control count.  The
+# whole chart is two keyed aggregations over one sorted pass.
+
+_XMR_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS c,
+         ABS(CAST(ROUND(value * 100) AS BIGINT)
+             - LAG(CAST(ROUND(value * 100) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id)) AS mr
+  FROM events),
+stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(c) AS BIGINT) AS sum_c,
+         CAST(SUM(mr) AS BIGINT) AS sum_mr,
+         COUNT(mr) AS n_mr
+  FROM seq GROUP BY event_type),
+limits AS (
+  SELECT event_type, n, sum_c, sum_mr,
+         sum_c * 100 // n AS mean_centi,
+         (sum_c * 100 // n) + 266 * sum_mr // n_mr AS ucl_centi,
+         (sum_c * 100 // n) - 266 * sum_mr // n_mr AS lcl_centi
+  FROM stats)
+SELECT l.event_type, l.n, l.mean_centi, l.ucl_centi, l.lcl_centi,
+       CAST(SUM(CASE WHEN s.c * 100 > l.ucl_centi
+                       OR s.c * 100 < l.lcl_centi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_control
+FROM limits l JOIN seq s ON s.event_type = l.event_type
+GROUP BY l.event_type, l.n, l.mean_centi, l.ucl_centi, l.lcl_centi
+"""
+
+
+@query("q_ts_xmr_control", _XMR_ORACLE)
+def q_ts_xmr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    c = F.round(F.col("value") * 100).cast("bigint")
+    seq = e.select(
+        "event_type",
+        c.alias("c"),
+        F.abs(c - F.lag(c).over(w)).alias("mr"),
+    )
+    stats = seq.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").cast("bigint").alias("sum_c"),
+        F.sum("mr").cast("bigint").alias("sum_mr"),
+        F.count("mr").alias("n_mr"),
+    )
+    limits = stats.select(
+        "event_type",
+        "n",
+        "sum_c",
+        "sum_mr",
+        F.expr("sum_c * 100 DIV n").alias("mean_centi"),
+        F.expr("(sum_c * 100 DIV n) + 266 * sum_mr DIV n_mr").alias(
+            "ucl_centi"
+        ),
+        F.expr("(sum_c * 100 DIV n) - 266 * sum_mr DIV n_mr").alias(
+            "lcl_centi"
+        ),
+    )
+    joined = seq.join(F.broadcast(limits), "event_type")
+    return joined.groupBy(
+        "event_type", "n", "mean_centi", "ucl_centi", "lcl_centi"
+    ).agg(
+        F.sum(
+            F.when(
+                (F.col("c") * 100 > F.col("ucl_centi"))
+                | (F.col("c") * 100 < F.col("lcl_centi")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_out_of_control")
+    )
+
+
+# -- X197 index-100 series rebasing ----------------------------------------
+#
+# The BI normalization: every series rebased so its first observation
+# reads 100, later points as exact per-mille of the base
+# (value*100000 DIV base) — comparable trajectories across series with
+# different absolute levels.  first_value over a keyed window; output
+# thinned to every 100th event for bounded rows.
+
+_REBASE_ORACLE = """
+WITH seq AS (
+  SELECT event_type, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS c,
+         FIRST_VALUE(CAST(ROUND(value * 100) AS BIGINT))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS base,
+         ROW_NUMBER()
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT event_type, event_id, c, base,
+       c * 100000 // GREATEST(base, 1) AS index_milli
+FROM seq WHERE rn % 100 = 1
+"""
+
+
+@query("q_ts_rebase_index", _REBASE_ORACLE)
+def q_ts_rebase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    c = F.round(F.col("value") * 100).cast("bigint")
+    seq = e.select(
+        "event_type",
+        "event_id",
+        c.alias("c"),
+        F.first_value(c).over(w).alias("base"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return seq.filter(F.col("rn") % 100 == 1).select(
+        "event_type",
+        "event_id",
+        "c",
+        "base",
+        F.expr("c * 100000 DIV greatest(base, 1)").alias("index_milli"),
+    )

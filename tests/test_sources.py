@@ -502,3 +502,46 @@ def test_catalog_ddl_roundtrip(spark, tmp_path):
     finally:
         spark.sql(f"DROP VIEW IF EXISTS v_{name}")
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_csv_malformed_row_modes(spark, tmp_path):
+    """The three ingestion postures for dirty CSV: PERMISSIVE captures the
+    broken row in _corrupt_record (others parse), DROPMALFORMED silently
+    drops it, FAILFAST raises.  At 100 TB the difference is whether one
+    bad row quarantines, disappears, or kills the job."""
+    import pytest as _pytest
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,qty\n1,10\n2,not_a_number\n3,30\n")
+    schema = "id int, qty int, _corrupt_record string"
+
+    permissive = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+    )
+    rows = {r["id"]: r for r in permissive.collect()}
+    assert rows[1]["qty"] == 10 and rows[1]["_corrupt_record"] is None
+    assert rows[3]["qty"] == 30
+    corrupt = [r for r in rows.values() if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and "not_a_number" in corrupt[0]["_corrupt_record"]
+
+    dropped = (
+        spark.read.schema("id int, qty int")
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+
+    failfast = (
+        spark.read.schema("id int, qty int")
+        .option("header", True)
+        .option("mode", "FAILFAST")
+        .csv(str(p))
+    )
+    with _pytest.raises(Exception) as exc:
+        failfast.collect()
+    assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)

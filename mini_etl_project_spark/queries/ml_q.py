@@ -861,3 +861,96 @@ def q_ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_correct"),
     )
+
+
+# -- X198 deterministic subsample confidence interval ----------------------
+#
+# Uncertainty quantification without RNG state: 16 overlapping
+# half-samples defined by the BITS of a stable row hash (row ∈ replica b
+# iff bit b of hash60(orderkey) is set — each replica holds ≈ half the
+# rows, deterministically, on any cluster at any partitioning).  The
+# replica means' spread gives a subsample CI for the mean order value.
+# Sums stay exact integers; the final mean/σ/CI are fixed expression
+# trees over 16 exact (sum, count) pairs.
+#
+# Scale posture: one explode (≤ 16×, average 8×) + one 16-group
+# aggregate; replica membership needs no shuffle of its own.
+
+_SUBSAMPLE_B = 16
+
+_SUBSAMPLE_CI_ORACLE = f"""
+WITH rows_ AS (
+  SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+membership AS (
+  SELECT b.b, r.cents
+  FROM rows_ r, (SELECT UNNEST(range(0, {_SUBSAMPLE_B})) AS b) b
+  WHERE (r.h >> b.b) & 1 = 1),
+reps AS (
+  SELECT b, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s
+  FROM membership GROUP BY b),
+means AS (
+  -- deci-cent fixed-point replica means: summing DOUBLES would be
+  -- accumulation-order-dependent; integers sum exactly on any plan
+  SELECT b, s * 10 // n AS m FROM reps),
+agg AS (
+  SELECT COUNT(*) AS nb,
+         CAST(SUM(m) AS BIGINT) AS s1,
+         CAST(SUM(m * m) AS BIGINT) AS s2
+  FROM means)
+SELECT CAST(nb AS BIGINT) AS n_replicas,
+       CAST(s1 AS DOUBLE) / nb AS mean_deci,
+       sqrt(CAST(s2 AS DOUBLE) / nb
+            - (CAST(s1 AS DOUBLE) / nb) * (CAST(s1 AS DOUBLE) / nb))
+         AS sigma_deci,
+       CAST(s1 AS DOUBLE) / nb
+         - 2 * sqrt(CAST(s2 AS DOUBLE) / nb
+                    - (CAST(s1 AS DOUBLE) / nb)
+                      * (CAST(s1 AS DOUBLE) / nb)) AS ci_lo,
+       CAST(s1 AS DOUBLE) / nb
+         + 2 * sqrt(CAST(s2 AS DOUBLE) / nb
+                    - (CAST(s1 AS DOUBLE) / nb)
+                      * (CAST(s1 AS DOUBLE) / nb)) AS ci_hi
+FROM agg
+"""
+
+
+@query("q_ml_subsample_ci", _SUBSAMPLE_CI_ORACLE)
+def q_ml_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    rows_ = o.select(
+        h.alias("h"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    membership = rows_.select(
+        "cents",
+        F.explode(
+            F.expr(
+                f"filter(sequence(0, {_SUBSAMPLE_B - 1}),"
+                f" b -> (h >> b) & 1 = 1)"
+            )
+        ).alias("b"),
+    )
+    reps = membership.groupBy("b").agg(
+        F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("s")
+    )
+    means = reps.select("b", F.expr("s * 10 DIV n").alias("m"))
+    agg = means.agg(
+        F.count("*").alias("nb"),
+        F.sum("m").cast("bigint").alias("s1"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("s2"),
+    )
+    grand = F.col("s1").cast("double") / F.col("nb")
+    sigma = F.sqrt(F.col("s2").cast("double") / F.col("nb") - grand * grand)
+    return agg.select(
+        F.col("nb").cast("bigint").alias("n_replicas"),
+        grand.alias("mean_deci"),
+        sigma.alias("sigma_deci"),
+        (grand - 2 * sigma).alias("ci_lo"),
+        (grand + 2 * sigma).alias("ci_hi"),
+    )

@@ -187,6 +187,7 @@ _CHECK_FIRST: list[str] = [
     "q_ts_xmr_control",
     "q_ts_rebase_index",
     "q_ml_subsample_ci",
+    "q_stream_join_full",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

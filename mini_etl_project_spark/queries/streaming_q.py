@@ -739,3 +739,70 @@ def q_stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# -- X199 stream-stream FULL OUTER join ------------------------------------
+#
+# Completes the stream-stream join matrix (inner / left outer / full
+# outer): both sides NULL-pad under watermark proof.  The oracle adds
+# the symmetric right-side contract to the LEFT OUTER one above:
+# unmatched PURCHASES emit once the final watermark passes purchase_ts
+# (the latest possible matching click carries click_ts = purchase_ts),
+# unmatched CLICKS once it passes click_ts + 30 min.  Rows inside
+# either band must stay withheld — the hash gate fails in both
+# directions if the engine's eviction timing drifts.
+
+_STREAM_JOIN_FULL_ORACLE = """
+WITH wm AS (
+  SELECT LEAST(
+           (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+           (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+         - INTERVAL 10 MINUTE AS w),
+matched AS (
+  SELECT c.user_id AS user_id, c.event_id AS click_id,
+         p.event_id AS purchase_id,
+         CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS delay_us
+  FROM events c JOIN events p
+    ON c.user_id = p.user_id
+   AND c.event_type = 'click' AND p.event_type = 'purchase'
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+unmatched_clicks AS (
+  SELECT c.user_id, c.event_id AS click_id,
+         CAST(NULL AS BIGINT) AS purchase_id,
+         CAST(NULL AS BIGINT) AS delay_us
+  FROM events c CROSS JOIN wm
+  WHERE c.event_type = 'click'
+    AND c.ts < wm.w - INTERVAL 30 MINUTE
+    AND NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)),
+unmatched_purchases AS (
+  SELECT p.user_id, CAST(NULL AS BIGINT) AS click_id,
+         p.event_id AS purchase_id,
+         CAST(NULL AS BIGINT) AS delay_us
+  FROM events p CROSS JOIN wm
+  WHERE p.event_type = 'purchase'
+    AND p.ts < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM events c
+      WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE))
+SELECT * FROM matched
+UNION ALL SELECT * FROM unmatched_clicks
+UNION ALL SELECT * FROM unmatched_purchases
+"""
+
+
+@query("q_stream_join_full", _STREAM_JOIN_FULL_ORACLE)
+def q_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.streaming.ops import (
+        click_purchase_full_outer,
+        flush_split_stream,
+    )
+
+    out = drain_to_table(
+        click_purchase_full_outer(flush_split_stream(spark, sf_dir)),
+        mode="append",
+    )
+    return spark.table(out)

@@ -517,3 +517,51 @@ def click_purchase_outer(stream: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def click_purchase_full_outer(stream: DataFrame) -> DataFrame:
+    """Stream-stream FULL OUTER attribution join — both sides NULL-pad on
+    watermark-proven absence: clicks with no purchase in their +30 min
+    window (evicted once wm > click_ts + 30 min, as in the LEFT OUTER
+    variant) AND purchases with no click in their −30 min lookback
+    (evicted once wm > purchase_ts — the latest matching click would
+    carry click_ts = purchase_ts).  Same bounded state; same
+    flush-staged source requirement."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+                "delay_us"
+            ),
+        )
+    )

@@ -188,6 +188,8 @@ _CHECK_FIRST: list[str] = [
     "q_ts_rebase_index",
     "q_ml_subsample_ci",
     "q_stream_join_full",
+    "q_ts_funnel_batch",
+    "q_ts_cumulative_users",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

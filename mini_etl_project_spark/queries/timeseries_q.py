@@ -1652,3 +1652,100 @@ def q_ts_rebase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "base",
         F.expr("c * 100000 DIV greatest(base, 1)").alias("index_milli"),
     )
+
+
+# -- X200 ordered batch funnel ---------------------------------------------
+#
+# Product-analytics funnel with STRICT ordering: a user reaches step 2
+# only with a click AFTER their first view, step 3 only with a purchase
+# AFTER that first qualifying click.  Three keyed aggregations chained
+# by joins (each pass conditions on the previous step's timestamp) —
+# never a per-user sort of all events.  Output: per-step user counts.
+
+_FUNNEL_BATCH_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id)
+SELECT 'step1_view' AS step, COUNT(*) AS n_users FROM v
+UNION ALL SELECT 'step2_click', COUNT(*) FROM c
+UNION ALL SELECT 'step3_purchase', COUNT(*) FROM p
+"""
+
+
+@query("q_ts_funnel_batch", _FUNNEL_BATCH_ORACLE)
+def q_ts_funnel_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def n(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("step"), F.count("*").alias("n_users")
+        ).select("step", "n_users")
+
+    return (
+        n(v, "step1_view")
+        .unionByName(n(c, "step2_click"))
+        .unionByName(n(p, "step3_purchase"))
+    )
+
+
+# -- X201 cumulative distinct users (growth curve) -------------------------
+#
+# Running COUNT(DISTINCT user) per arrival hour — computed the
+# scale-safe way: distinct-by-first-seen (one keyed aggregate finds
+# each user's first hour), then a cumulative sum over the BOUNDED hour
+# series, never a distinct-over-window across raw events.
+
+_CUM_USERS_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS d
+  FROM events GROUP BY user_id),
+per_day AS (
+  SELECT d, COUNT(*) AS n_new FROM first_seen GROUP BY d)
+SELECT CAST(d AS TIMESTAMP) AS d, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY d) AS BIGINT) AS cum_users
+FROM per_day
+"""
+
+
+@query("q_ts_cumulative_users", _CUM_USERS_ORACLE)
+def q_ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("d")
+    )
+    per_day = first_seen.groupBy("d").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "d", "n_new", F.sum("n_new").over(w).cast("bigint").alias("cum_users")
+    )

@@ -190,6 +190,8 @@ _CHECK_FIRST: list[str] = [
     "q_stream_join_full",
     "q_ts_funnel_batch",
     "q_ts_cumulative_users",
+    "q_sim_maxsim",
+    "q_agg_benford",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

@@ -1703,3 +1703,72 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_sampled"), dsum("o_totalprice", "sum_price"))
     )
+
+
+# -- X203 Benford first-digit audit ----------------------------------------
+#
+# Fraud/auditing analytics: the leading-digit distribution of order
+# totals against Benford expectations.  Digit extraction is string
+# arithmetic on exact cents (never float log); the expected per-mille
+# shares are the fixed Benford constants, and the chi-square statistic
+# folds exact counts with those constants through one deterministic
+# expression.
+
+_BENFORD_MILLI = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79,
+                  6: 67, 7: 58, 8: 51, 9: 46}
+
+_BENFORD_CASES = " ".join(
+    f"WHEN d = {k} THEN {v}" for k, v in _BENFORD_MILLI.items()
+)
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS d
+  FROM orders),
+counts AS (
+  SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+SELECT c.d, c.n,
+       CAST(c.n * 1000 // t.total AS BIGINT) AS observed_milli,
+       CAST(CASE {_BENFORD_CASES} END AS BIGINT) AS benford_milli,
+       CAST((c.n * 1000 - (CASE {_BENFORD_CASES} END) * t.total)
+            * (c.n * 1000 - (CASE {_BENFORD_CASES} END) * t.total)
+            // ((CASE {_BENFORD_CASES} END) * t.total) AS BIGINT)
+         AS chi2_contrib_scaled
+FROM counts c CROSS JOIN tot t
+"""
+
+
+@query("q_agg_benford", _BENFORD_ORACLE)
+def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    bm = F.lit(None).cast("bigint")
+    for k in sorted(_BENFORD_MILLI, reverse=True):
+        bm = F.when(F.col("d") == k, F.lit(_BENFORD_MILLI[k])).otherwise(bm)
+    joined = counts.crossJoin(F.broadcast(tot)).withColumn("bm", bm)
+    return joined.select(
+        "d",
+        "n",
+        F.expr("n * 1000 DIV total").cast("bigint").alias("observed_milli"),
+        F.col("bm").cast("bigint").alias("benford_milli"),
+        # integer DIV end-to-end: the squared deviation approaches 2^61 at
+        # large SF — double division would round above 2^53
+        F.expr(
+            "(n * 1000 - bm * total) * (n * 1000 - bm * total)"
+            " DIV (bm * total)"
+        )
+        .cast("bigint")
+        .alias("chi2_contrib_scaled"),
+    )

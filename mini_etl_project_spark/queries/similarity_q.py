@@ -300,3 +300,91 @@ def q_sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cosine").alias("min_cos"),
         F.max("cosine").alias("max_cos"),
     )
+
+
+# -- X202 late-interaction MaxSim scoring (ColBERT-style) ------------------
+#
+# Modern multi-vector retrieval: a "document" is a BAG of vectors (here
+# 4 consecutive embedding rows), and relevance of query bag Q to doc
+# bag D is MaxSim = Σ_{q∈Q} max_{d∈D} q·d — late interaction, the
+# middle ground between single-vector ANN and full cross-attention.
+# Dot products are exact int64 (milli-unit quantization); per (query
+# vector, doc bag) the max, then the sum per (query bag, doc bag);
+# top-3 docs per query by (score desc, doc id).
+#
+# Scale posture: the bounded query bags broadcast; one map-side pass
+# computes all pairwise dots (zip_with fold, JVM-side), then two keyed
+# aggregations.  For corpus-scale query sets the ANN operators provide
+# candidate pruning first.
+
+_MAXSIM_NQ = 2  # query bags (of 4 vectors each)
+_MAXSIM_TOP = 3
+
+_MAXSIM_ORACLE = f"""
+WITH pts AS (
+  SELECT vec_id // 4 AS bag, vec_id, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS x
+  FROM embeddings, generate_series(1, 64) g(i)),
+dots AS (
+  SELECT q.bag AS qbag, q.vec_id AS qv, d.bag AS dbag, d.vec_id AS dv,
+         CAST(SUM(q.x * d.x) AS BIGINT) AS dot
+  FROM pts q JOIN pts d ON q.i = d.i
+  WHERE q.bag < {_MAXSIM_NQ} AND d.bag >= {_MAXSIM_NQ}
+  GROUP BY q.bag, q.vec_id, d.bag, d.vec_id),
+best AS (
+  SELECT qbag, qv, dbag, MAX(dot) AS mx
+  FROM dots GROUP BY qbag, qv, dbag),
+scores AS (
+  SELECT qbag, dbag, CAST(SUM(mx) AS BIGINT) AS maxsim
+  FROM best GROUP BY qbag, dbag),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qbag
+                               ORDER BY maxsim DESC, dbag) AS rk
+  FROM scores)
+SELECT qbag, dbag, maxsim, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_MAXSIM_TOP}
+"""
+
+
+@query("q_sim_maxsim", _MAXSIM_ORACLE)
+def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        F.col("embedding"),
+        lambda e: F.round(e.cast("double") * 1000).cast("bigint"),
+    )
+    bags = emb.select(
+        F.expr("vec_id DIV 4").alias("bag"),
+        F.col("vec_id"),
+        quant.alias("qa"),
+    )
+    q = bags.filter(F.col("bag") < _MAXSIM_NQ).select(
+        F.col("bag").alias("qbag"),
+        F.col("vec_id").alias("qv"),
+        F.col("qa").alias("qvec"),
+    )
+    d = bags.filter(F.col("bag") >= _MAXSIM_NQ).select(
+        F.col("bag").alias("dbag"),
+        F.col("vec_id").alias("dv"),
+        F.col("qa").alias("dvec"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("dvec"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    dots = d.join(F.broadcast(q)).select(
+        "qbag", "qv", "dbag", "dv", dot.alias("dot")
+    )
+    best = dots.groupBy("qbag", "qv", "dbag").agg(F.max("dot").alias("mx"))
+    scores = best.groupBy("qbag", "dbag").agg(
+        F.sum("mx").cast("bigint").alias("maxsim")
+    )
+    w = Window.partitionBy("qbag").orderBy(F.desc("maxsim"), "dbag")
+    return (
+        scores.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _MAXSIM_TOP)
+        .select("qbag", "dbag", "maxsim", "rk")
+    )

@@ -192,6 +192,7 @@ _CHECK_FIRST: list[str] = [
     "q_ts_cumulative_users",
     "q_sim_maxsim",
     "q_agg_benford",
+    "q_agg_gini",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

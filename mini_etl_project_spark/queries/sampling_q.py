@@ -1772,3 +1772,70 @@ def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chi2_contrib_scaled"),
     )
+
+
+# -- X204 Gini coefficient (inequality of order values) --------------------
+#
+# G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over values sorted ascending — the
+# rank-weighted formulation.  The global rank comes from
+# operators/rank.py::global_rank (range partitions + broadcast offsets
+# — NO single-partition sort), the rank-weighted sum accumulates in
+# DECIMAL(38,0) (i·x reaches ~2^60 per row; the SUM would overflow
+# int64 at sf ≥ 1), and the final Gini emerges in exact milli-units via
+# integer DIV on the decimal aggregates.
+
+_GINI_ORACLE = """
+WITH vals AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+         o_orderkey
+  FROM orders),
+ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_orderkey) AS i,
+         COUNT(*) OVER () AS n
+  FROM vals),
+agg AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(CAST(i AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS swx,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx
+  FROM ranked)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(sx AS BIGINT) AS sum_cents,
+       -- single non-negative division; floor() because DuckDB // on
+       -- DECIMAL is TRUE division (Spark-side DIV truncates — equal
+       -- for the provably non-negative numerator)
+       CAST(floor((2000 * swx - 1000 * (n + 1) * sx) / (n * sx))
+            AS BIGINT) AS gini_milli
+FROM agg
+"""
+
+
+@query("q_agg_gini", _GINI_ORACLE)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.rank import global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+        "o_orderkey",
+    )
+    ranked = global_rank(
+        vals, [F.col("x"), F.col("o_orderkey")], rank_col="i", n_col="n"
+    )
+    agg = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("swx"),
+        F.sum(F.col("x").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sx"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sx").cast("bigint").alias("sum_cents"),
+        F.expr(
+            "cast((cast(2000 as decimal(38,0)) * swx"
+            " - 1000 * (cast(n as bigint) + 1) * sx)"
+            " DIV (n * sx) as bigint)"
+        ).alias("gini_milli"),
+    )

@@ -903,3 +903,163 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("score_sum DIV n_occ").alias("score_milli"),
     )
     return final.orderBy(F.desc("score_milli"), "phrase").limit(_RAKE_TOP)
+
+
+# -- X205 BPE encoding (apply learned merges to the corpus) ----------------
+#
+# The second half of the tokenizer loop (X165 trains; this ENCODES):
+# re-learn the 3 merges, apply them to the word vocabulary, then join
+# every document's words against the encoded vocab to get exact per-doc
+# token counts before/after — the compression the merges bought,
+# reported per source.  The join-against-vocab design is the scale
+# shape: documents never re-run the merge scan; only the (small) vocab
+# does, and the corpus pass is one explode + one keyed join.
+
+def _bpe_encode_oracle() -> str:
+    parts = [
+        """
+WITH toks AS (
+  SELECT doc_id, lower(UNNEST(string_split_regex(trim(text), '\\s+'))) AS tok
+  FROM documents),
+wtoks AS (
+  SELECT doc_id, tok FROM toks WHERE regexp_full_match(tok, '[a-z]+')),
+w0 AS (
+  SELECT tok AS word, regexp_replace(tok, '(.)', '\\1|', 'g') AS seq,
+         COUNT(*) AS freq
+  FROM wtoks GROUP BY 1, 2)"""
+    ]
+    prev = "w0"
+    for i in range(_BPE_ITERS):
+        parts.append(
+            f""",
+e{i} AS (
+  SELECT freq, syms, UNNEST(range(1, len(syms))) AS j
+  FROM (SELECT freq, list_filter(string_split(seq, '|'), x -> x <> '') AS syms
+        FROM {prev})),
+p{i} AS (
+  SELECT syms[j] AS l, syms[j+1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM e{i} GROUP BY 1, 2),
+b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+w{i + 1} AS (
+  SELECT w.word,
+         replace(w.seq, b.l || '|' || b.r || '|', b.l || b.r || '|') AS seq,
+         w.freq
+  FROM {prev} w CROSS JOIN b{i} b)"""
+        )
+        prev = f"w{i + 1}"
+    parts.append(
+        f""",
+vocab AS (
+  SELECT word,
+         LENGTH(replace(seq, '|', '')) AS chars_before,
+         LENGTH(seq) - LENGTH(replace(seq, '|', '')) AS toks_after
+  FROM {prev}),
+per_doc AS (
+  SELECT wt.doc_id,
+         CAST(SUM(v.chars_before) AS BIGINT) AS chars_before,
+         CAST(SUM(v.toks_after) AS BIGINT) AS toks_after
+  FROM wtoks wt JOIN vocab v ON wt.tok = v.word
+  GROUP BY wt.doc_id)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(p.chars_before) AS BIGINT) AS sum_chars,
+       CAST(SUM(p.toks_after) AS BIGINT) AS sum_tokens,
+       CAST(SUM(p.toks_after) AS BIGINT) * 1000
+         // CAST(SUM(p.chars_before) AS BIGINT) AS compression_milli
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.source"""
+    )
+    return "".join(parts)
+
+
+@query("q_corpus_bpe_encode", _bpe_encode_oracle())
+def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wtoks = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok0"))
+        .select("doc_id", F.lower("tok0").alias("tok"))
+        .filter(F.col("tok").rlike("^[a-z]+$"))
+    )
+    w = (
+        wtoks.groupBy(F.col("tok").alias("word"))
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "word",
+            F.regexp_replace("word", "(.)", "$1|").alias("seq"),
+            "freq",
+        )
+        .coalesce(4)
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_BPE_ITERS):
+        pairs = (
+            w.select(
+                "freq",
+                F.expr("filter(split(seq, '\\\\|'), x -> x <> '')").alias(
+                    "syms"
+                ),
+            )
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(syms, 1, size(syms) - 1),"
+                        " slice(syms, 2, size(syms) - 1),"
+                        " (a, b) -> struct(a AS l, b AS r))"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1)
+        w = (
+            w.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(F.col("l"), F.lit("|"), F.col("r"), F.lit("|")),
+                    F.concat(F.col("l"), F.col("r"), F.lit("|")),
+                ).alias("seq"),
+                "freq",
+            )
+            .coalesce(4)
+            .localCheckpoint(eager=True)
+        )
+    vocab = w.select(
+        "word",
+        F.length(F.replace(F.col("seq"), F.lit("|"), F.lit(""))).alias(
+            "chars_before"
+        ),
+        (
+            F.length("seq")
+            - F.length(F.replace(F.col("seq"), F.lit("|"), F.lit("")))
+        ).alias("toks_after"),
+    )
+    per_doc = (
+        wtoks.join(vocab, wtoks["tok"] == vocab["word"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("chars_before").cast("bigint").alias("chars_before"),
+            F.sum("toks_after").cast("bigint").alias("toks_after"),
+        )
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("chars_before").cast("bigint").alias("sum_chars"),
+            F.sum("toks_after").cast("bigint").alias("sum_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sum_chars",
+            "sum_tokens",
+            F.expr("sum_tokens * 1000 DIV sum_chars").alias(
+                "compression_milli"
+            ),
+        )
+    )

@@ -194,6 +194,7 @@ _CHECK_FIRST: list[str] = [
     "q_agg_benford",
     "q_agg_gini",
     "q_corpus_bpe_encode",
+    "q_sim_mmr_select",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

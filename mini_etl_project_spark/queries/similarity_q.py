@@ -388,3 +388,127 @@ def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _MAXSIM_TOP)
         .select("qbag", "dbag", "maxsim", "rk")
     )
+
+
+# -- X206 MMR diverse selection (greedy, 5 unrolled rounds) ----------------
+#
+# Maximal Marginal Relevance — the dedup-aware selection step between
+# retrieval and context assembly (and the diversity heuristic for
+# training-subset curation): greedily pick the candidate maximizing
+# 0.7·relevance − 0.3·max-similarity-to-already-selected.  All scores
+# are exact int64 (milli-quantized dots, integer λ weights), ties break
+# to the smallest vec id, and 5 greedy rounds unroll in the oracle
+# (kmeans-style).  The ENGINE never does all-pairs: each round joins
+# candidates against the ≤5-row broadcast selected set; only the
+# oracle brute-forces candidate×candidate.
+
+_MMR_K = 5
+_MMR_QID = 0
+_MMR_MIN_TID = 20
+
+
+def _mmr_oracle() -> str:
+    parts = [
+        f"""
+WITH pts AS MATERIALIZED (
+  SELECT vec_id AS id, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS x
+  FROM embeddings, generate_series(1, 64) g(i)),
+rel AS MATERIALIZED (
+  SELECT t.id, CAST(SUM(q.x * t.x) AS BIGINT) AS r
+  FROM pts q JOIN pts t ON q.i = t.i
+  WHERE q.id = {_MMR_QID} AND t.id >= {_MMR_MIN_TID}
+  GROUP BY t.id),
+alld AS MATERIALIZED (
+  SELECT a.id AS ia, b.id AS ib, CAST(SUM(a.x * b.x) AS BIGINT) AS d
+  FROM pts a JOIN pts b ON a.i = b.i
+  WHERE a.id >= {_MMR_MIN_TID} AND b.id >= {_MMR_MIN_TID}
+  GROUP BY a.id, b.id),
+s1 AS MATERIALIZED (
+  SELECT id, r, 700 * r AS score, 1 AS rk
+  FROM rel ORDER BY 700 * r DESC, id LIMIT 1)"""
+    ]
+    prev_sel = "s1"
+    sels = ["s1"]
+    for k in range(2, _MMR_K + 1):
+        union = " UNION ALL ".join(f"SELECT id FROM {s}" for s in sels)
+        parts.append(
+            f""",
+c{k} AS MATERIALIZED (
+  SELECT rel.id, rel.r,
+         700 * rel.r - 300 * (SELECT MAX(alld.d) FROM alld
+                              WHERE alld.ia = rel.id
+                                AND alld.ib IN ({union})) AS score
+  FROM rel WHERE rel.id NOT IN ({union})),
+s{k} AS MATERIALIZED (
+  SELECT id, r, score, {k} AS rk
+  FROM c{k} ORDER BY score DESC, id LIMIT 1)"""
+        )
+        sels.append(f"s{k}")
+    parts.append(
+        "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST(rk AS BIGINT) AS rk, id, r, CAST(score AS BIGINT)"
+            f" AS score FROM {s}"
+            for s in sels
+        )
+    )
+    return "".join(parts)
+
+
+@query("q_sim_mmr_select", _mmr_oracle())
+def q_sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        F.col("embedding"),
+        lambda e: F.round(e.cast("double") * 1000).cast("bigint"),
+    )
+    pts = emb.select(F.col("vec_id").alias("id"), quant.alias("v"))
+    qv = pts.filter(F.col("id") == _MMR_QID).select(
+        F.col("v").alias("qvec")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        pts.filter(F.col("id") >= _MMR_MIN_TID)
+        .crossJoin(F.broadcast(qv))
+        .select("id", "v", dot("v", "qvec").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    first = (
+        cand.orderBy(F.desc(F.col("r") * 700), "id")
+        .limit(1)
+        .select("id", "v", "r", (F.col("r") * 700).alias("score"),
+                F.lit(1).alias("rk"))
+    )
+    selected = first.localCheckpoint(eager=True)
+    for k in range(2, _MMR_K + 1):
+        sel_v = selected.select(
+            F.col("id").alias("sid"), F.col("v").alias("sv")
+        )
+        scored = (
+            cand.join(selected.select("id"), "id", "left_anti")
+            .crossJoin(F.broadcast(sel_v))
+            .select("id", "v", "r", dot("v", "sv").alias("d"))
+            .groupBy("id", "v", "r")
+            .agg(F.max("d").alias("maxd"))
+            .select(
+                "id", "v", "r",
+                (F.col("r") * 700 - F.col("maxd") * 300).alias("score"),
+            )
+        )
+        pick = (
+            scored.orderBy(F.desc("score"), "id")
+            .limit(1)
+            .select("id", "v", "r", "score", F.lit(k).alias("rk"))
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        F.col("rk").cast("bigint").alias("rk"),
+        "id",
+        "r",
+        F.col("score").cast("bigint").alias("score"),
+    )

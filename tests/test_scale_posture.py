@@ -284,3 +284,90 @@ def test_ntile_from_rank_matches_spark_ntile(spark):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), n
+
+
+# -- round-5 session-2 plan shapes -----------------------------------------
+
+
+def test_spatial_grid_join_is_hash_not_cartesian(spark, sf_dir):
+    """The 9-cell candidate join must plan as an equi-join on the cell key
+    (hash/broadcast), never a CartesianProduct / BroadcastNestedLoop."""
+    from mini_etl_project_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["q_join_spatial_grid"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_broadcasts_probe_batch(spark, sf_dir):
+    """The bounded query batch must be the broadcast side — the training
+    corpus streams map-side."""
+    from mini_etl_project_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["q_ml_knn_classify"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_salted_join_plans_sort_merge_on_salted_key(spark, sf_dir):
+    """The MERGE hint + salt must yield a SortMergeJoin whose keys include
+    the salt column — the shape salting exists for."""
+    from mini_etl_project_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["q_join_salted"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan
+    assert "__salt" in plan
+
+
+def test_bfs_round_is_keyed_join_plus_anti(spark, sf_dir):
+    """One BFS round = equi-join on the frontier node key + LEFT ANTI
+    against visited; no nested-loop anywhere."""
+    from pyspark.sql import functions as F
+
+    from mini_etl_project_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "u bigint, v bigint")
+    src = spark.createDataFrame([(1,)], "node bigint")
+    out = bfs_distances(e, src, max_hops=2)
+    # the final visited frame is checkpointed; assert shape on a fresh
+    # single round instead
+    visited = src.select("node", F.lit(0).alias("d"))
+    cand = (
+        src.join(e, src["node"] == e["u"])
+        .select(F.col("v").alias("node"))
+        .distinct()
+    )
+    new = cand.join(visited, "node", "left_anti")
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert out.count() >= 1
+
+
+def test_chunking_plan_has_no_shuffle_or_explode(spark, sf_dir):
+    """The chunking operator is ONE stateless projection: no Exchange, no
+    Generate (explode) anywhere in its plan."""
+    from mini_etl_project_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["q_corpus_chunk_overlap"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Generate" not in plan

@@ -195,6 +195,8 @@ _CHECK_FIRST: list[str] = [
     "q_agg_gini",
     "q_corpus_bpe_encode",
     "q_sim_mmr_select",
+    "q_ts_sax",
+    "q_etl_unit_harmonize",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

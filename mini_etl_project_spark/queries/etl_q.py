@@ -703,3 +703,82 @@ def q_quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_classes"),
         F.min("sz").cast("bigint").alias("min_class_size"),
     )
+
+
+# -- X208 unit harmonization -----------------------------------------------
+#
+# Classic ingestion cleanup: quantity strings carrying heterogeneous
+# units ("12.5 kg" / "12500 g" / "0.0125 t") normalize to one canonical
+# unit.  The dirty column derives deterministically from lineitem (unit
+# by key mod 3, magnitude scaled to keep the physical quantity
+# identical), so harmonized values must agree EXACTLY with the original
+# integer gram count — a provable round-trip, not a heuristic.  Pure
+# expressions: regexp extraction, CASE multipliers, integer arithmetic.
+
+_UNIT_ORACLE = """
+WITH dirty AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) * 1000 AS true_grams,
+         CASE l_orderkey % 3
+           WHEN 0 THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || ' kg'
+           WHEN 1 THEN CAST(CAST(l_quantity AS BIGINT) * 1000 AS VARCHAR)
+                       || ' g'
+           ELSE CAST(CAST(l_quantity AS BIGINT) * 1000000 AS VARCHAR)
+                || ' mg'
+         END AS qty_str
+  FROM lineitem),
+parsed AS (
+  SELECT l_orderkey, l_linenumber, true_grams, qty_str,
+         CAST(regexp_extract(qty_str, '^([0-9]+)', 1) AS BIGINT) AS mag,
+         regexp_extract(qty_str, '(kg|mg|g)$', 1) AS unit
+  FROM dirty)
+SELECT l_orderkey, l_linenumber, qty_str,
+       CASE unit WHEN 'kg' THEN mag * 1000
+                 WHEN 'g' THEN mag
+                 ELSE mag // 1000 END AS grams,
+       CAST(CASE unit WHEN 'kg' THEN mag * 1000
+                      WHEN 'g' THEN mag
+                      ELSE mag // 1000 END = true_grams AS INT)
+         AS roundtrip_ok
+FROM parsed
+"""
+
+
+@query("q_etl_unit_harmonize", _UNIT_ORACLE)
+def q_etl_unit_harmonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    qint = F.col("l_quantity").cast("bigint")
+    dirty = l.select(
+        "l_orderkey",
+        "l_linenumber",
+        (qint * 1000).alias("true_grams"),
+        F.when(
+            F.col("l_orderkey") % 3 == 0,
+            F.concat(qint.cast("string"), F.lit(" kg")),
+        )
+        .when(
+            F.col("l_orderkey") % 3 == 1,
+            F.concat((qint * 1000).cast("string"), F.lit(" g")),
+        )
+        .otherwise(F.concat((qint * 1000000).cast("string"), F.lit(" mg")))
+        .alias("qty_str"),
+    )
+    parsed = dirty.select(
+        "*",
+        F.regexp_extract("qty_str", r"^([0-9]+)", 1).cast("bigint").alias(
+            "mag"
+        ),
+        F.regexp_extract("qty_str", r"(kg|mg|g)$", 1).alias("unit"),
+    )
+    grams = (
+        F.when(F.col("unit") == "kg", F.col("mag") * 1000)
+        .when(F.col("unit") == "g", F.col("mag"))
+        .otherwise(F.expr("mag DIV 1000"))
+    )
+    return parsed.select(
+        "l_orderkey",
+        "l_linenumber",
+        "qty_str",
+        grams.alias("grams"),
+        (grams == F.col("true_grams")).cast("int").alias("roundtrip_ok"),
+    )

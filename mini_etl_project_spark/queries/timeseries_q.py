@@ -1749,3 +1749,93 @@ def q_ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.select(
         "d", "n_new", F.sum("n_new").over(w).cast("bigint").alias("cum_users")
     )
+
+
+# -- X207 SAX symbolic discretization --------------------------------------
+#
+# Symbolic Aggregate approXimation, rank-based and fully integer: each
+# series' hourly mean (exact cents via DIV) is mapped to one of 4
+# symbols by the series' own quartile cutpoints (percentile_disc on the
+# hourly means — actual elements, no interpolation), and consecutive
+# symbols concatenate into the series' SAX word.  Downstream, equal
+# words = candidate similar series; here the word and its symbol
+# histogram are the checked output.  Two keyed aggregations + one
+# bounded per-series window.
+
+_SAX_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           // COUNT(*) AS mean_cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+cuts AS (
+  SELECT event_type,
+         quantile_disc(mean_cents, 0.25) AS q1,
+         quantile_disc(mean_cents, 0.50) AS q2,
+         quantile_disc(mean_cents, 0.75) AS q3
+  FROM hourly GROUP BY event_type),
+symbols AS (
+  SELECT h.event_type, h.h,
+         CASE WHEN h.mean_cents <= c.q1 THEN 'a'
+              WHEN h.mean_cents <= c.q2 THEN 'b'
+              WHEN h.mean_cents <= c.q3 THEN 'c'
+              ELSE 'd' END AS sym
+  FROM hourly h JOIN cuts c ON h.event_type = c.event_type)
+SELECT event_type,
+       string_agg(sym, '' ORDER BY h) AS sax_word,
+       CAST(COUNT(CASE WHEN sym = 'a' THEN 1 END) AS BIGINT) AS n_a,
+       CAST(COUNT(CASE WHEN sym = 'b' THEN 1 END) AS BIGINT) AS n_b,
+       CAST(COUNT(CASE WHEN sym = 'c' THEN 1 END) AS BIGINT) AS n_c,
+       CAST(COUNT(CASE WHEN sym = 'd' THEN 1 END) AS BIGINT) AS n_d
+FROM symbols GROUP BY event_type
+"""
+
+
+@query("q_ts_sax", _SAX_ORACLE)
+def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.expr(
+                "cast(sum(cast(round(value * 100) as bigint)) as bigint)"
+                " DIV count(*)"
+            ).alias("mean_cents")
+        )
+    )
+    cuts = hourly.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY mean_cents)")
+        .alias("q1"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY mean_cents)")
+        .alias("q2"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY mean_cents)")
+        .alias("q3"),
+    )
+    sym = (
+        hourly.join(cuts, "event_type")
+        .select(
+            "event_type",
+            "h",
+            F.when(F.col("mean_cents") <= F.col("q1"), "a")
+            .when(F.col("mean_cents") <= F.col("q2"), "b")
+            .when(F.col("mean_cents") <= F.col("q3"), "c")
+            .otherwise("d")
+            .alias("sym"),
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("h")
+    word = sym.withColumn("rn", F.row_number().over(wo)).groupBy(
+        "event_type"
+    ).agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(rn, sym))),"
+            " x -> x.sym), '')"
+        ).alias("sax_word"),
+        F.count(F.when(F.col("sym") == "a", 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(F.col("sym") == "b", 1)).cast("bigint").alias("n_b"),
+        F.count(F.when(F.col("sym") == "c", 1)).cast("bigint").alias("n_c"),
+        F.count(F.when(F.col("sym") == "d", 1)).cast("bigint").alias("n_d"),
+    )
+    return word

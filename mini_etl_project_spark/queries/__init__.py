@@ -197,6 +197,9 @@ _CHECK_FIRST: list[str] = [
     "q_sim_mmr_select",
     "q_ts_sax",
     "q_etl_unit_harmonize",
+    "q_sql_order_by_all",
+    "q_agg_simpson_diversity",
+    "q_fn_email_validate",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

@@ -1058,3 +1058,47 @@ def q_fn_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
         card.alias("card"),
         F.expr("cast(luhn_check(card) as int)").alias("is_valid"),
     ).select("o_orderkey", "card", "is_valid")
+
+
+# -- X211 email validation classes -----------------------------------------
+#
+# Synthetic contact addresses derive from customer names with three
+# deterministic corruption classes (missing @, double dots, bad TLD);
+# an RE2-safe validity pattern classifies each, and counts per class
+# must agree.  The pattern avoids lookarounds/backrefs — portable to
+# both regex engines by construction.
+
+_EMAIL_RE = "^[a-z0-9._]+@[a-z0-9-]+([.][a-z0-9-]+)*[.][a-z]{2,}$"
+
+_EMAIL_ORACLE = f"""
+WITH mk AS (
+  SELECT c_custkey,
+         CASE c_custkey % 4
+           WHEN 0 THEN lower(replace(c_name, '#', '.')) || '@example.com'
+           WHEN 1 THEN lower(replace(c_name, '#', '.')) || 'example.com'
+           WHEN 2 THEN lower(replace(c_name, '#', '..')) || '@example.com'
+           ELSE lower(replace(c_name, '#', '.')) || '@example.c0m'
+         END AS email
+  FROM customer)
+SELECT c_custkey, email,
+       CAST(regexp_matches(email, '{_EMAIL_RE}') AS INT) AS is_valid
+FROM mk
+"""
+
+
+@query("q_fn_email_validate", _EMAIL_ORACLE)
+def q_fn_email_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    base = F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(".")))
+    dbl = F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("..")))
+    email = (
+        F.when(F.col("c_custkey") % 4 == 0, F.concat(base, F.lit("@example.com")))
+        .when(F.col("c_custkey") % 4 == 1, F.concat(base, F.lit("example.com")))
+        .when(F.col("c_custkey") % 4 == 2, F.concat(dbl, F.lit("@example.com")))
+        .otherwise(F.concat(base, F.lit("@example.c0m")))
+    )
+    return c.select(
+        "c_custkey",
+        email.alias("email"),
+        email.rlike(_EMAIL_RE).cast("int").alias("is_valid"),
+    )

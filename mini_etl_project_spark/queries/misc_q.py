@@ -1114,3 +1114,34 @@ def q_subquery_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'not_exists', n FROM not_exists
         """
     )
+
+
+# -- X209 ORDER BY ALL + LIMIT ---------------------------------------------
+#
+# Spark 4 adopted DuckDB's ORDER BY ALL shorthand; with LIMIT it is
+# semantically load-bearing (the kept rows depend on the full column
+# ordering).  Both engines run the same SQL text.
+
+_ORDER_ALL_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+       o_orderkey
+FROM orders
+ORDER BY ALL
+LIMIT 20
+"""
+
+
+@query("q_sql_order_by_all", _ORDER_ALL_ORACLE)
+def q_sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("oba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM oba_orders
+        ORDER BY ALL
+        LIMIT 20
+        """
+    )

@@ -1839,3 +1839,43 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (n * sx) as bigint)"
         ).alias("gini_milli"),
     )
+
+
+# -- X210 Simpson diversity index ------------------------------------------
+#
+# The log-free diversity measure (1 − Σ pᵢ², a.k.a. Gini impurity):
+# per document source, how evenly the language labels distribute.
+# Entirely integer-exact — impurity_milli = (n² − Σ nᵢ²)·1000 // n² —
+# where Shannon entropy would drag in libm logs.
+
+_SIMPSON_ORACLE = """
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS ni
+  FROM documents GROUP BY source, lang),
+s AS (
+  SELECT source,
+         CAST(SUM(ni) AS BIGINT) AS n,
+         CAST(SUM(ni * ni) AS BIGINT) AS sq,
+         COUNT(*) AS n_langs
+  FROM c GROUP BY source)
+SELECT source, n, CAST(n_langs AS BIGINT) AS n_langs,
+       (n * n - sq) * 1000 // (n * n) AS impurity_milli
+FROM s
+"""
+
+
+@query("q_agg_simpson_diversity", _SIMPSON_ORACLE)
+def q_agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count("*").alias("ni"))
+    s = c.groupBy("source").agg(
+        F.sum("ni").cast("bigint").alias("n"),
+        F.sum(F.col("ni") * F.col("ni")).cast("bigint").alias("sq"),
+        F.count("*").cast("bigint").alias("n_langs"),
+    )
+    return s.select(
+        "source",
+        "n",
+        "n_langs",
+        F.expr("(n * n - sq) * 1000 DIV (n * n)").alias("impurity_milli"),
+    )

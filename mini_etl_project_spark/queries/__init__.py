@@ -200,6 +200,7 @@ _CHECK_FIRST: list[str] = [
     "q_sql_order_by_all",
     "q_agg_simpson_diversity",
     "q_fn_email_validate",
+    "q_ts_forecast_eval",
     "q_etl_audit_columns",
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",

@@ -1839,3 +1839,62 @@ def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("sym") == "d", 1)).cast("bigint").alias("n_d"),
     )
     return word
+
+
+# -- X212 forecast evaluation (persistence baseline, WAPE/MAE/bias) --------
+#
+# The metrics layer every forecasting pipeline needs, over the
+# persistence ("naive last-value") baseline: forecast(h) = actual(h−1)
+# per series, then WAPE = Σ|err|/Σ|actual|, MAE, and signed bias — all
+# from exact integer cent sums, ratios in milli-units via single DIVs.
+# One keyed window (the lag) + one keyed aggregate.
+
+_FORECAST_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+paired AS (
+  SELECT event_type, h, c,
+         LAG(c) OVER (PARTITION BY event_type ORDER BY h) AS f
+  FROM hourly)
+SELECT event_type,
+       COUNT(*) AS n_points,
+       CAST(SUM(ABS(c - f)) AS BIGINT) AS sum_abs_err,
+       CAST(SUM(c - f) AS BIGINT) AS sum_err,
+       CAST(SUM(ABS(c - f)) * 1000 // SUM(ABS(c)) AS BIGINT) AS wape_milli,
+       CAST(SUM(ABS(c - f)) // COUNT(*) AS BIGINT) AS mae_cents
+FROM paired WHERE f IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("q_ts_forecast_eval", _FORECAST_ORACLE)
+def q_ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    paired = hourly.withColumn("f", F.lag("c").over(w)).filter(
+        F.col("f").isNotNull()
+    )
+    return paired.groupBy("event_type").agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.abs(F.col("c") - F.col("f"))).cast("bigint").alias(
+            "sum_abs_err"
+        ),
+        F.sum(F.col("c") - F.col("f")).cast("bigint").alias("sum_err"),
+        F.expr(
+            "cast(sum(abs(c - f)) * 1000 DIV sum(abs(c)) as bigint)"
+        ).alias("wape_milli"),
+        F.expr("cast(sum(abs(c - f)) DIV count(*) as bigint)").alias(
+            "mae_cents"
+        ),
+    )

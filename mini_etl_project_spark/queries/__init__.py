@@ -205,6 +205,12 @@ _CHECK_FIRST: list[str] = [
     "q_quality_k_anonymity",
     "q_dedup_substring_spans",
     "q_corpus_quality_gate",
+    # --- Session-3 additions (no driver row yet) ---
+    "q_ml_ks_test",
+    "q_ml_calibration",
+    "q_ml_decision_stump",
+    "q_ts_drawdown",
+    "q_ts_pop_growth",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -10,7 +10,7 @@ See ``operators/kmeans.py`` for the portability/scale design.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mini_etl_project_spark.operators.kmeans import lloyd_fixed_point
@@ -953,4 +953,285 @@ def q_ml_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigma.alias("sigma_deci"),
         (grand - 2 * sigma).alias("ci_lo"),
         (grand + 2 * sigma).alias("ci_hi"),
+    )
+
+
+# -- X213 two-sample Kolmogorov-Smirnov test -------------------------------
+#
+# D = max_v |ECDF_1(v) − ECDF_2(v)| between the order-value distributions
+# of finished ('F') vs open ('O') orders, computed entirely in integers:
+# the ECDF difference at v is |c1(v)·n2 − c2(v)·n1| / (n1·n2), so the
+# maximum is found on the cross-multiplied numerators and only the final
+# report divides (truncating fixed-point ppm — positive, so Spark DIV and
+# DuckDB // agree).
+#
+# Scale posture: the cumulative counts use a TWO-LEVEL prefix sum — fixed
+# $10k-wide value buckets (bounded by the price range, not the row count)
+# give per-bucket totals whose cumulative offsets are a bounded window;
+# the within-bucket cumsum window is KEYED by bucket. No unpartitioned
+# window touches the unbounded distinct-value set (the pattern
+# operators/rank.py documents). Numerator bound: c·n ≤ n1·n2 < 2^63 up
+# to ~3e9 rows per group.
+
+_KS_BUCKET_W = 1_000_000  # cents → $10k buckets
+
+_KS_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g1
+  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+tot AS (
+  SELECT CAST(SUM(g1) AS BIGINT) AS n1,
+         CAST(SUM(1 - g1) AS BIGINT) AS n2 FROM base),
+vals AS (
+  SELECT v, CAST(SUM(g1) AS BIGINT) AS c1,
+         CAST(SUM(1 - g1) AS BIGINT) AS c2
+  FROM base GROUP BY v),
+cum AS (
+  SELECT v,
+         CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS c1c,
+         CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS c2c
+  FROM vals),
+d AS (
+  SELECT CAST(MAX(ABS(c1c * t.n2 - c2c * t.n1)) AS BIGINT) AS d_num
+  FROM cum, tot t)
+SELECT t.n1 AS n1, t.n2 AS n2, d.d_num AS d_num,
+       CAST(d.d_num * 1000000 // (t.n1 * t.n2) AS BIGINT) AS d_ppm
+FROM d, tot t
+"""
+
+
+@query("q_ml_ks_test", _KS_ORACLE)
+def q_ml_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderstatus").isin("F", "O")).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("g1"),
+    )
+    tot = base.agg(
+        F.sum("g1").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("g1")).cast("bigint").alias("n2"),
+    )
+    vals = base.groupBy("v").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("g1")).cast("bigint").alias("c2"),
+    )
+    vals = vals.withColumn("b", F.expr(f"v DIV {_KS_BUCKET_W}"))
+    # Level 1: bounded per-bucket totals -> cumulative offsets (window
+    # over the bounded bucket table only).
+    bt = vals.groupBy("b").agg(
+        F.sum("c1").alias("t1"), F.sum("c2").alias("t2")
+    )
+    w_prev = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = bt.select(
+        "b",
+        F.coalesce(F.sum("t1").over(w_prev), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("t2").over(w_prev), F.lit(0)).alias("o2"),
+    )
+    # Level 2: keyed within-bucket cumsum.
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vals.join(F.broadcast(offs), "b").select(
+        (F.col("o1") + F.sum("c1").over(w_in)).cast("bigint").alias("c1c"),
+        (F.col("o2") + F.sum("c2").over(w_in)).cast("bigint").alias("c2c"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(F.col("c1c") * F.col("n2") - F.col("c2c") * F.col("n1"))
+        )
+        .cast("bigint")
+        .alias("d_num")
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            F.expr("d_num * 1000000 DIV (n1 * n2)")
+            .cast("bigint")
+            .alias("d_ppm"),
+        )
+    )
+
+
+# -- X214 calibration / reliability bins -----------------------------------
+#
+# Reliability-diagram input for a probabilistic classifier: rows carry a
+# score in [0, 1) and a binary outcome; per decile-of-score bin report
+# count, positives, mean predicted score and observed rate. The "model"
+# score is a deterministic 60-bit-hash pseudo-probability (ppm), so both
+# engines rebuild it bit-for-bit; everything downstream is one groupBy —
+# a single keyed shuffle at any scale. Fixed-point ppm outputs divide
+# positives only (Spark DIV == DuckDB // on non-negatives).
+
+_CALIBRATION_ORACLE = """
+WITH scored AS (
+  SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000000 AS s_ppm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events)
+SELECT CAST(s_ppm // 100000 AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(s_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm,
+       CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm
+FROM scored GROUP BY bin
+"""
+
+
+@query("q_ml_calibration", _CALIBRATION_ORACLE)
+def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    scored = e.select(
+        (h % 1000000).alias("s_ppm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "pos"
+        ),
+    )
+    return scored.groupBy(
+        F.expr("s_ppm DIV 100000").cast("bigint").alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.expr("SUM(s_ppm) DIV COUNT(*)")
+        .cast("bigint")
+        .alias("mean_score_ppm"),
+        F.expr("SUM(pos) * 1000000 DIV COUNT(*)")
+        .cast("bigint")
+        .alias("pos_rate_ppm"),
+    )
+
+
+# -- X215 decision stump (best Gini split) ---------------------------------
+#
+# One round of CART: the single threshold on c_acctbal that minimizes
+# weighted Gini impurity of the 5-class c_mktsegment label. Minimizing
+# n_L·Gini_L + n_R·Gini_R is equivalent to maximizing
+#   S = (Σ c_{L,i}² · n_R + Σ c_{R,i}² · n_L) / (n_L · n_R),
+# so candidates are compared on S built from exact integer class counts.
+# Candidate thresholds are the FIXED $500-wide bucket edges (bounded by
+# the balance range, not the row count): bucket-class counts are one
+# groupBy on the raw table, and every window after that runs over the
+# ~22×5-row bounded bucket table. Σc² stays int64 (< 5·(3e9/5)² at 100
+# TB-scale class counts would overflow — hence counts enter S as exact
+# ints but the two products combine in ONE double expression tree,
+# identical in both engines, no double SUM whose order could vary).
+# Ties on the double score break to the smaller threshold in both
+# engines, so the output is deterministic either way.
+
+_STUMP_SHIFT = 100_000  # cents; makes shifted balances non-negative
+_STUMP_W = 50_000  # $500 buckets
+
+_STUMP_ORACLE = f"""
+WITH pts AS (
+  SELECT (CAST(ROUND(c_acctbal * 100) AS BIGINT) + {_STUMP_SHIFT})
+           // {_STUMP_W} AS b,
+         c_mktsegment AS cls
+  FROM customer),
+bc AS (
+  SELECT b, cls, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY b, cls),
+-- densified cumulative: every (candidate bucket x class) pair, else
+-- classes absent from a bucket would silently drop out of that
+-- candidate's left-side counts
+cum AS (
+  SELECT cb.b, ct.cls, ct.ct,
+         CAST(COALESCE(SUM(bc.c), 0) AS BIGINT) AS cl
+  FROM (SELECT DISTINCT b FROM bc) cb
+  CROSS JOIN (SELECT cls, CAST(SUM(c) AS BIGINT) AS ct
+              FROM bc GROUP BY cls) ct
+  LEFT JOIN bc ON bc.cls = ct.cls AND bc.b <= cb.b
+  GROUP BY cb.b, ct.cls, ct.ct),
+cand AS (
+  SELECT b,
+         CAST(SUM(cl) AS BIGINT) AS n_l,
+         CAST(SUM(ct - cl) AS BIGINT) AS n_r,
+         CAST(SUM(cl * cl) AS BIGINT) AS sq_l,
+         CAST(SUM((ct - cl) * (ct - cl)) AS BIGINT) AS sq_r
+  FROM cum GROUP BY b),
+scored AS (
+  SELECT b, n_l, n_r,
+         (CAST(sq_l AS DOUBLE) * CAST(n_r AS DOUBLE)
+          + CAST(sq_r AS DOUBLE) * CAST(n_l AS DOUBLE))
+           / (CAST(n_l AS DOUBLE) * CAST(n_r AS DOUBLE)) AS score
+  FROM cand WHERE n_l > 0 AND n_r > 0),
+best AS (
+  SELECT b, n_l, n_r, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, b) AS rk
+  FROM scored)
+SELECT CAST((b + 1) * {_STUMP_W} - {_STUMP_SHIFT} AS BIGINT)
+         AS threshold_cents,
+       n_l, n_r, score
+FROM best WHERE rk = 1
+"""
+
+
+@query("q_ml_decision_stump", _STUMP_ORACLE)
+def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.expr(
+            f"(CAST(ROUND(c_acctbal * 100) AS BIGINT) + {_STUMP_SHIFT})"
+            f" DIV {_STUMP_W}"
+        ).alias("b"),
+        F.col("c_mktsegment").alias("cls"),
+    )
+    bc = pts.groupBy("b", "cls").agg(F.count("*").cast("bigint").alias("c"))
+    # Everything below runs on the bounded bucket-class table; the cross
+    # join densifies (bucket x class) so absent classes still contribute
+    # their cumulative count to every candidate.
+    cand_b = bc.select("b").distinct()
+    cls_t = bc.groupBy("cls").agg(F.sum("c").cast("bigint").alias("ct"))
+    bc2 = bc.select(
+        F.col("b").alias("b2"), F.col("cls").alias("cls2"), "c"
+    )
+    cum = (
+        cand_b.crossJoin(cls_t)
+        .join(
+            bc2,
+            (F.col("cls2") == F.col("cls")) & (F.col("b2") <= F.col("b")),
+            "left",
+        )
+        .groupBy("b", "cls", "ct")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("cl"))
+    )
+    cand = cum.groupBy("b").agg(
+        F.sum("cl").cast("bigint").alias("n_l"),
+        F.sum(F.col("ct") - F.col("cl")).cast("bigint").alias("n_r"),
+        F.sum(F.col("cl") * F.col("cl")).cast("bigint").alias("sq_l"),
+        F.sum((F.col("ct") - F.col("cl")) * (F.col("ct") - F.col("cl")))
+        .cast("bigint")
+        .alias("sq_r"),
+    )
+    scored = cand.filter((F.col("n_l") > 0) & (F.col("n_r") > 0)).select(
+        "b",
+        "n_l",
+        "n_r",
+        (
+            (
+                F.col("sq_l").cast("double") * F.col("n_r").cast("double")
+                + F.col("sq_r").cast("double") * F.col("n_l").cast("double")
+            )
+            / (F.col("n_l").cast("double") * F.col("n_r").cast("double"))
+        ).alias("score"),
+    )
+    best = scored.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("b"))),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.expr(f"(b + 1) * {_STUMP_W} - {_STUMP_SHIFT}")
+        .cast("bigint")
+        .alias("threshold_cents"),
+        "n_l",
+        "n_r",
+        "score",
     )

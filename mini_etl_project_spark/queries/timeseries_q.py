@@ -1898,3 +1898,147 @@ def q_ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mae_cents"
         ),
     )
+
+
+# -- X216 maximum drawdown -------------------------------------------------
+#
+# Per event-type series: treat the running total of event values within a
+# day as an equity curve; drawdown at a point is (running peak − equity),
+# and the headline number is each series' worst drawdown with the day it
+# happened. Arithmetic is integer cents end-to-end; the intraday
+# cumsum/running-max windows are KEYED by (event_type, day) — the
+# hypertable segment granularity every other ts query here uses — so no
+# unbounded unpartitioned window appears at any scale. Ties (same worst
+# drawdown on several days) pin to the earliest day.
+
+_DRAWDOWN_ORACLE = """
+WITH pts AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+equity_t AS (
+  SELECT event_type, day, ts, event_id,
+         CAST(SUM(cents) OVER (PARTITION BY event_type, day
+                               ORDER BY ts, event_id) AS BIGINT) AS equity
+  FROM pts),
+curve AS (
+  SELECT event_type, day, equity,
+         CAST(MAX(equity) OVER (PARTITION BY event_type, day
+                                ORDER BY ts, event_id) AS BIGINT) AS peak
+  FROM equity_t),
+daily AS (
+  SELECT event_type, day,
+         CAST(MAX(peak - equity) AS BIGINT) AS dd
+  FROM curve GROUP BY event_type, day)
+SELECT event_type,
+       CAST(MAX(dd) AS BIGINT) AS max_drawdown_cents,
+       MIN(CASE WHEN dd = mx THEN day END) AS worst_day
+FROM (SELECT *, MAX(dd) OVER (PARTITION BY event_type) AS mx FROM daily) t
+GROUP BY event_type
+"""
+
+
+@query("q_ts_drawdown", _DRAWDOWN_ORACLE)
+def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # Running max follows the SAME (ts, event_id) order as the cumsum, so
+    # both ride one sort within the keyed partition.
+    curve = (
+        pts.withColumn(
+            "equity", F.sum("cents").over(w).cast("bigint")
+        )
+        .withColumn("peak", F.max("equity").over(w).cast("bigint"))
+        .select("event_type", "day", "equity", "peak")
+    )
+    daily = curve.groupBy("event_type", "day").agg(
+        F.max(F.col("peak") - F.col("equity")).cast("bigint").alias("dd")
+    )
+    w_mx = Window.partitionBy("event_type")
+    return (
+        daily.withColumn("mx", F.max("dd").over(w_mx))
+        .groupBy("event_type")
+        .agg(
+            F.max("dd").cast("bigint").alias("max_drawdown_cents"),
+            F.min(
+                F.when(F.col("dd") == F.col("mx"), F.col("day"))
+            ).alias("worst_day"),
+        )
+    )
+
+
+# -- X217 period-over-period growth ------------------------------------------
+#
+# Period-over-period reporting: daily revenue per event type joined to
+# the previous calendar day (an equi join on the shifted day key — no
+# window at all, so consecutive periods need not be adjacent rows and the
+# plan is one keyed shuffle; the same shape serves weekly or monthly
+# periods). Growth is signed per-mille fixed point with
+# SIGN·(ABS·1000 DIV prev) so Spark's truncating DIV and DuckDB's //
+# agree on negative deltas too.
+
+_POP_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day)
+SELECT cur.event_type, cur.day,
+       cur.cents AS rev_cents,
+       prev.cents AS prev_cents,
+       CAST(CASE WHEN cur.cents >= prev.cents THEN 1 ELSE -1 END
+            * (ABS(cur.cents - prev.cents) * 1000 // prev.cents)
+            AS BIGINT) AS growth_pml
+FROM daily cur
+JOIN daily prev
+  ON prev.event_type = cur.event_type
+ AND cur.day = prev.day + INTERVAL 1 DAY
+WHERE prev.cents > 0
+"""
+
+
+@query("q_ts_pop_growth", _POP_ORACLE)
+def q_ts_pop_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    cur = daily.select(
+        "event_type", "day", F.col("cents").alias("rev_cents")
+    )
+    prev = daily.select(
+        F.col("event_type").alias("p_type"),
+        F.date_add(F.col("day"), 1).alias("p_next"),
+        F.col("cents").alias("prev_cents"),
+    ).filter(F.col("prev_cents") > 0)
+    j = cur.join(
+        prev,
+        (F.col("p_type") == F.col("event_type"))
+        & (F.col("p_next") == F.col("day")),
+    )
+    growth = F.when(
+        F.col("rev_cents") >= F.col("prev_cents"), F.lit(1)
+    ).otherwise(F.lit(-1)) * F.expr(
+        "ABS(rev_cents - prev_cents) * 1000 DIV prev_cents"
+    )
+    return j.select(
+        "event_type",
+        "day",
+        "rev_cents",
+        "prev_cents",
+        growth.cast("bigint").alias("growth_pml"),
+    )

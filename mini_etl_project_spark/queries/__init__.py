@@ -211,6 +211,11 @@ _CHECK_FIRST: list[str] = [
     "q_ml_decision_stump",
     "q_ts_drawdown",
     "q_ts_pop_growth",
+    "q_fn_ipv4",
+    "q_join_cidr",
+    "q_quality_freshness",
+    "q_ml_assoc_rules",
+    "q_agg_ams_f2",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -1102,3 +1102,109 @@ def q_fn_email_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         email.alias("email"),
         email.rlike(_EMAIL_RE).cast("int").alias("is_valid"),
     )
+
+
+# -- X218 IPv4 functions ---------------------------------------------------
+#
+# Network-log enrichment primitives: int<->dotted-quad conversion, subnet
+# masking, RFC-1918 private-range classification — all integer bit
+# arithmetic (shiftright/AND), so both engines agree bit-for-bit. The
+# "log" IPs are deterministic 32-bit values derived from the stable
+# 60-bit row hash. One groupBy on the first octet (bounded 256 groups)
+# keeps the output small at any scale; a conversion round-trip count
+# proves the string codec both ways.
+
+_IPV4_ORACLE = """
+WITH ips AS (
+  SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 4294967296 AS ip
+  FROM events),
+parts AS (
+  SELECT ip,
+         (ip >> 24) & 255 AS o1, (ip >> 16) & 255 AS o2,
+         (ip >> 8) & 255 AS o3, ip & 255 AS o4
+  FROM ips),
+fmt AS (
+  SELECT ip, o1,
+         CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+           || CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR) AS dotted,
+         CASE WHEN o1 = 10 THEN 1
+              WHEN o1 = 172 AND o2 >= 16 AND o2 <= 31 THEN 1
+              WHEN o1 = 192 AND o2 = 168 THEN 1
+              ELSE 0 END AS is_private,
+         (ip >> 16) << 16 AS net16
+  FROM parts),
+back AS (
+  SELECT o1, is_private, ip, net16,
+         CAST(string_split(dotted, '.')[1] AS BIGINT) * 16777216
+           + CAST(string_split(dotted, '.')[2] AS BIGINT) * 65536
+           + CAST(string_split(dotted, '.')[3] AS BIGINT) * 256
+           + CAST(string_split(dotted, '.')[4] AS BIGINT) AS ip_back
+  FROM fmt)
+SELECT CAST(o1 AS BIGINT) AS octet1,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(is_private) AS BIGINT) AS n_private,
+       CAST(COUNT(DISTINCT net16) AS BIGINT) AS n_net16,
+       CAST(SUM(CASE WHEN ip_back = ip THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_roundtrip
+FROM back GROUP BY o1
+"""
+
+
+@query("q_fn_ipv4", _IPV4_ORACLE)
+def q_fn_ipv4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    ips = e.select((h % F.lit(4294967296)).alias("ip"))
+    parts = ips.select(
+        "ip",
+        F.shiftright("ip", 24).bitwiseAND(F.lit(255)).alias("o1"),
+        F.shiftright("ip", 16).bitwiseAND(F.lit(255)).alias("o2"),
+        F.shiftright("ip", 8).bitwiseAND(F.lit(255)).alias("o3"),
+        F.col("ip").bitwiseAND(F.lit(255)).alias("o4"),
+    )
+    fmt = parts.select(
+        "ip",
+        "o1",
+        F.concat_ws(
+            ".",
+            F.col("o1").cast("string"),
+            F.col("o2").cast("string"),
+            F.col("o3").cast("string"),
+            F.col("o4").cast("string"),
+        ).alias("dotted"),
+        F.when(F.col("o1") == 10, 1)
+        .when(
+            (F.col("o1") == 172)
+            & (F.col("o2") >= 16)
+            & (F.col("o2") <= 31),
+            1,
+        )
+        .when((F.col("o1") == 192) & (F.col("o2") == 168), 1)
+        .otherwise(0)
+        .alias("is_private"),
+        F.expr("shiftleft(shiftright(ip, 16), 16)").alias("net16"),
+    )
+    sp = F.split(F.col("dotted"), "\\.")
+    back = fmt.select(
+        "o1",
+        "is_private",
+        "ip",
+        "net16",
+        (
+            sp.getItem(0).cast("bigint") * 16777216
+            + sp.getItem(1).cast("bigint") * 65536
+            + sp.getItem(2).cast("bigint") * 256
+            + sp.getItem(3).cast("bigint")
+        ).alias("ip_back"),
+    )
+    return back.groupBy(F.col("o1").cast("bigint").alias("octet1")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("is_private").cast("bigint").alias("n_private"),
+        F.countDistinct("net16").cast("bigint").alias("n_net16"),
+        F.sum(F.when(F.col("ip_back") == F.col("ip"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_roundtrip"),
+    )

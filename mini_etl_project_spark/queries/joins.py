@@ -1025,3 +1025,103 @@ def q_join_fuzzy_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_name",
         F.levenshtein("a_name", "b_name").cast("bigint").alias("dist"),
     )
+
+
+# -- X219 CIDR longest-prefix-match join -----------------------------------
+#
+# Log-to-network enrichment: each event-derived 32-bit IP is matched to a
+# small CIDR table with MIXED prefix lengths (/8, /12, /16) and the
+# longest matching prefix wins (ties cannot occur across distinct
+# lengths; equal-length duplicates pin to the smallest network key).
+# Plan shape at scale: the CIDR dim is joined on the IP's FIRST OCTET
+# (every prefix here is >= /8, so the first octet of the network is a
+# valid equi key) — a broadcast hash join, never a cartesian range scan;
+# the per-IP longest-prefix argmax is a keyed aggregate. Output is the
+# bounded per-network match profile.
+
+_CIDR_ORACLE = """
+WITH cidrs AS (
+  SELECT n_nationkey AS netkey,
+         8 + 4 * (n_nationkey % 3) AS plen,
+         (CAST((n_nationkey * 41) % 256 AS BIGINT) << 24)
+           + (CASE WHEN n_nationkey % 3 >= 1
+                   THEN CAST((n_nationkey * 7) % 16 AS BIGINT) << 20
+                   ELSE 0 END)
+           + (CASE WHEN n_nationkey % 3 = 2
+                   THEN CAST((n_nationkey * 13) % 16 AS BIGINT) << 16
+                   ELSE 0 END)
+           AS net
+  FROM nation),
+ips AS (
+  SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 4294967296 AS ip
+  FROM events),
+matched AS (
+  SELECT i.ip, c.netkey, c.plen
+  FROM ips i JOIN cidrs c
+    ON (i.ip >> 24) = (c.net >> 24)
+   AND (i.ip >> (32 - c.plen)) = (c.net >> (32 - c.plen))),
+best AS (
+  SELECT ip, netkey, plen,
+         ROW_NUMBER() OVER (PARTITION BY ip
+                            ORDER BY plen DESC, netkey) AS rk
+  FROM matched)
+SELECT CAST(netkey AS BIGINT) AS netkey,
+       CAST(MIN(plen) AS BIGINT) AS plen,
+       CAST(COUNT(*) AS BIGINT) AS n_ips
+FROM best WHERE rk = 1
+GROUP BY netkey
+"""
+
+
+@query("q_join_cidr", _CIDR_ORACLE)
+def q_join_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n = load_table(spark, sf_dir, "nation")
+    cidrs = n.select(
+        F.col("n_nationkey").alias("netkey"),
+        (8 + 4 * (F.col("n_nationkey") % 3)).alias("plen"),
+        (
+            F.expr(
+                "shiftleft(CAST((n_nationkey * 41) % 256 AS BIGINT), 24)"
+            )
+            + F.when(
+                F.col("n_nationkey") % 3 >= 1,
+                F.expr(
+                    "shiftleft(CAST((n_nationkey * 7) % 16 AS BIGINT), 20)"
+                ),
+            ).otherwise(0)
+            + F.when(
+                F.col("n_nationkey") % 3 == 2,
+                F.expr(
+                    "shiftleft(CAST((n_nationkey * 13) % 16 AS BIGINT), 16)"
+                ),
+            ).otherwise(0)
+        ).alias("net"),
+    )
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    ips = e.select((h % F.lit(4294967296)).alias("ip"))
+    matched = ips.join(
+        F.broadcast(cidrs),
+        (F.shiftright("ip", 24) == F.expr("shiftright(net, 24)"))
+        & (
+            F.expr("shiftright(ip, 32 - plen)")
+            == F.expr("shiftright(net, 32 - plen)")
+        ),
+    )
+    best = matched.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("ip").orderBy(
+                F.desc("plen"), F.asc("netkey")
+            )
+        ),
+    ).filter(F.col("rk") == 1)
+    return best.groupBy(F.col("netkey").cast("bigint").alias("netkey")).agg(
+        F.min("plen").cast("bigint").alias("plen"),
+        F.count("*").cast("bigint").alias("n_ips"),
+    )

@@ -1145,3 +1145,101 @@ def q_sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+# -- X220 data-freshness / completeness audit ------------------------------
+#
+# Pipeline-health check a warehouse runs nightly: build the expected
+# calendar spine (min..max day, from a 1-row broadcast aggregate), left
+# join each series' daily counts, and flag days that are MISSING entirely
+# or LOW (count under half the series' average daily volume — compared
+# cross-multiplied, cnt·n_days·2 < total, so no division ever rounds).
+# One groupBy over the facts + a bounded spine join: scale-safe.
+
+_FRESHNESS_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, day),
+span AS (
+  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+spine AS (
+  SELECT et.event_type, CAST(gs.d AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM daily) et
+  CROSS JOIN (SELECT UNNEST(generate_series(
+                (SELECT d0 FROM span), (SELECT d1 FROM span),
+                INTERVAL 1 DAY)) AS d) gs),
+tot AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_present
+  FROM daily GROUP BY event_type),
+joined AS (
+  SELECT s.event_type, s.day, COALESCE(d.cnt, 0) AS cnt, t.total
+  FROM spine s
+  LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day
+  JOIN tot t ON t.event_type = s.event_type),
+sized AS (
+  SELECT event_type, day, cnt, total,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+  FROM joined)
+SELECT event_type,
+       CAST(MAX(n_days) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing,
+       CAST(SUM(CASE WHEN cnt > 0 AND cnt * n_days * 2 < total
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       MIN(CASE WHEN cnt = 0 OR cnt * n_days * 2 < total THEN day END)
+         AS first_bad_day
+FROM sized GROUP BY event_type
+"""
+
+
+@query("q_quality_freshness", _FRESHNESS_ORACLE)
+def q_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    span = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.explode(F.expr("sequence(d0, d1, INTERVAL 1 DAY)")).alias("day"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("total")
+    )
+    joined = (
+        spine.join(daily, ["event_type", "day"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        .join(F.broadcast(tot), "event_type")
+    )
+    from pyspark.sql import Window
+
+    sized = joined.withColumn(
+        "n_days",
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .cast("bigint"),
+    )
+    bad = (F.col("cnt") == 0) | (
+        F.col("cnt") * F.col("n_days") * 2 < F.col("total")
+    )
+    return sized.groupBy("event_type").agg(
+        F.max("n_days").cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("cnt") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing"),
+        F.sum(
+            F.when(
+                (F.col("cnt") > 0)
+                & (F.col("cnt") * F.col("n_days") * 2 < F.col("total")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_low"),
+        F.min(F.when(bad, F.col("day"))).alias("first_bad_day"),
+    )

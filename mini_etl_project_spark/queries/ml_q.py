@@ -1235,3 +1235,96 @@ def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_r",
         "score",
     )
+
+
+# -- X221 association rules (support / confidence / lift) ------------------
+#
+# Market-basket rules over order baskets: items are coarsened part keys
+# (l_partkey % 100), pairs come from a SELF-JOIN KEYED ON THE BASKET ID
+# (never a cross join — ~k² pairs per basket, one shuffle), and each
+# directed rule A→B reports support count, confidence and lift in ppm
+# fixed point. Fixed-point semantics are the NESTED floor
+#   lift = (conf_ppm · N) DIV n_B  with  conf_ppm = n_AB·10⁶ DIV n_A
+# — both engines evaluate the identical tree, and every intermediate
+# stays under 2^63 even at 3e9 baskets (conf_ppm ≤ 10⁶, ·N ≤ 3e15).
+# A RELATIVE min-support filter (>= 0.2% of baskets, compared
+# cross-multiplied so nothing divides) keeps the rule set bounded and
+# the query meaningful at every scale factor.
+
+_ASSOC_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS bid, l_partkey % 100 AS item
+  FROM lineitem),
+nb AS (SELECT CAST(COUNT(DISTINCT bid) AS BIGINT) AS n FROM items),
+freq AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+  FROM items GROUP BY item),
+pairs AS (
+  SELECT a.item AS ia, b.item AS ib, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b ON a.bid = b.bid AND a.item < b.item
+  GROUP BY a.item, b.item),
+rules AS (
+  SELECT ia AS ante, ib AS cons, n_ab FROM pairs
+  UNION ALL
+  SELECT ib AS ante, ia AS cons, n_ab FROM pairs)
+SELECT CAST(r.ante AS BIGINT) AS ante, CAST(r.cons AS BIGINT) AS cons,
+       r.n_ab AS support_cnt,
+       CAST(r.n_ab * 1000000 // fa.n_item AS BIGINT) AS conf_ppm,
+       CAST((r.n_ab * 1000000 // fa.n_item) * nb.n // fc.n_item
+            AS BIGINT) AS lift_ppm
+FROM rules r
+JOIN freq fa ON fa.item = r.ante
+JOIN freq fc ON fc.item = r.cons
+CROSS JOIN nb
+WHERE r.n_ab * 500 >= nb.n
+"""
+
+
+@query("q_ml_assoc_rules", _ASSOC_ORACLE)
+def q_ml_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select(
+        F.col("l_orderkey").alias("bid"),
+        (F.col("l_partkey") % 100).alias("item"),
+    ).distinct()
+    nb = items.agg(F.countDistinct("bid").cast("bigint").alias("n"))
+    freq = items.groupBy("item").agg(
+        F.count("*").cast("bigint").alias("n_item")
+    )
+    a = items.select("bid", F.col("item").alias("ia"))
+    b = items.select("bid", F.col("item").alias("ib"))
+    pairs = (
+        a.join(b, "bid")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    rules = pairs.select(
+        F.col("ia").alias("ante"), F.col("ib").alias("cons"), "n_ab"
+    ).unionAll(
+        pairs.select(
+            F.col("ib").alias("ante"), F.col("ia").alias("cons"), "n_ab"
+        )
+    )
+    fa = freq.select(
+        F.col("item").alias("ante"), F.col("n_item").alias("n_a")
+    )
+    fc = freq.select(
+        F.col("item").alias("cons"), F.col("n_item").alias("n_c")
+    )
+    out = (
+        rules.crossJoin(F.broadcast(nb)).filter(
+            F.col("n_ab") * 500 >= F.col("n")
+        )
+        .join(F.broadcast(fa), "ante")
+        .join(F.broadcast(fc), "cons")
+    )
+    return out.select(
+        F.col("ante").cast("bigint").alias("ante"),
+        F.col("cons").cast("bigint").alias("cons"),
+        F.col("n_ab").alias("support_cnt"),
+        F.expr("n_ab * 1000000 DIV n_a").cast("bigint").alias("conf_ppm"),
+        F.expr("(n_ab * 1000000 DIV n_a) * n DIV n_c")
+        .cast("bigint")
+        .alias("lift_ppm"),
+    )

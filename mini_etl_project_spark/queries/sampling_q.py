@@ -1879,3 +1879,81 @@ def q_agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         F.expr("(n * n - sq) * 1000 DIV (n * n)").alias("impurity_milli"),
     )
+
+
+# -- X222 AMS (tug-of-war) second-moment sketch ----------------------------
+#
+# Estimates the self-join size F2 = Σ_v f_v² of the part-key frequency
+# vector from 60 deterministic ±1 "tug-of-war" replicas: replica r's
+# sign for key v is bit r of the stable 60-bit hash, Z_r = Σ_v s_rv·f_v,
+# and E[Z²] = F2. The estimate (mean of Z_r² — truncating integer mean,
+# both engines) rides next to the EXACT F2 so the oracle pins both the
+# sketch machinery and its target. Plan shape: one groupBy builds the
+# bounded frequency table; the ×60 replica explode runs on DISTINCT keys
+# (not raw rows); the final aggregate is 60 rows. |Z| ≤ Σf = N keeps
+# Z² under 2^63 through ~3e9 rows.
+
+_AMS_R = 60
+
+_AMS_ORACLE = f"""
+WITH freq AS (
+  SELECT l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS f
+  FROM lineitem GROUP BY l_partkey),
+signs AS (
+  SELECT r.r,
+         CAST(SUM(CASE WHEN (CAST(('0x' || substr(md5(CAST(v AS VARCHAR)),
+                                     1, 15)) AS BIGINT) >> r.r) & 1 = 1
+                       THEN f ELSE -f END) AS BIGINT) AS z
+  FROM freq, (SELECT UNNEST(range(0, {_AMS_R})) AS r) r
+  GROUP BY r.r),
+est AS (
+  SELECT CAST(SUM(z * z) // COUNT(*) AS BIGINT) AS f2_est FROM signs),
+exact AS (
+  SELECT CAST(SUM(f * f) AS BIGINT) AS f2_exact,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM freq)
+SELECT CAST({_AMS_R} AS BIGINT) AS n_replicas,
+       exact.n_keys, exact.f2_exact, est.f2_est
+FROM est, exact
+"""
+
+
+@query("q_agg_ams_f2", _AMS_ORACLE)
+def q_agg_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    freq = l.groupBy(F.col("l_partkey").alias("v")).agg(
+        F.count("*").cast("bigint").alias("f")
+    )
+    h = hash60(F.col("v").cast("string"))
+    signs = (
+        freq.select(
+            "f",
+            h.alias("h"),
+            F.explode(F.expr(f"sequence(0, {_AMS_R - 1})")).alias("r"),
+        )
+        .groupBy("r")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("(h >> r) & 1 = 1"), F.col("f")
+                ).otherwise(-F.col("f"))
+            )
+            .cast("bigint")
+            .alias("z")
+        )
+    )
+    est = signs.agg(
+        F.expr("SUM(z * z) DIV COUNT(*)").cast("bigint").alias("f2_est")
+    )
+    exact = freq.agg(
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("f2_exact"),
+        F.count("*").cast("bigint").alias("n_keys"),
+    )
+    return (
+        est.crossJoin(F.broadcast(exact)).select(
+            F.lit(_AMS_R).cast("bigint").alias("n_replicas"),
+            "n_keys",
+            "f2_exact",
+            "f2_est",
+        )
+    )

@@ -216,6 +216,10 @@ _CHECK_FIRST: list[str] = [
     "q_quality_freshness",
     "q_ml_assoc_rules",
     "q_agg_ams_f2",
+    "q_table_delete",
+    "q_graph_link_predict",
+    "q_ml_item_cf",
+    "q_text_accent_fold",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -610,3 +610,116 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("deg"))
     )
+
+
+# -- X224 link prediction (common neighbors / Jaccard / Adamic-Adar) -------
+#
+# Classic graph link-prediction scores for NON-adjacent node pairs of the
+# undirected trade graph: common-neighbor count, Jaccard =
+# |N(a)∩N(b)| / |N(a)∪N(b)| in ppm fixed point, and a log-free
+# Adamic-Adar variant Σ_z 10⁶ DIV deg(z) (resource allocation index,
+# integer-exact — the ln-based weighting would hash-drift across libm
+# versions). Plan shape: candidate pairs come from the two-hop join
+# THROUGH shared neighbors (never all-pairs), adjacency is removed with
+# an anti join, degrees broadcast. On big graphs the two-hop join is the
+# standard hub bottleneck and would be capped per node; the trade graph
+# is nation-level so every stage is bounded. The dense trade graph is
+# first SPARSIFIED by a deterministic edge-hash filter (keep ~1/3 of
+# edges) — at fuller scale factors every nation pair trades, and a
+# complete graph has no links left to predict.
+
+_LINKPRED_ORACLE = f"""
+WITH dir AS ({_PR_EDGES_SQL}),
+edges0 AS (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM dir GROUP BY 1, 2),
+edges AS (
+  SELECT a, b FROM edges0
+  WHERE CAST(('0x' || substr(md5(a || '|' || b), 1, 15)) AS BIGINT)
+          % 3 = 0),
+nbr AS (
+  SELECT a AS node, b AS nb FROM edges
+  UNION ALL
+  SELECT b AS node, a AS nb FROM edges),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM nbr GROUP BY node),
+cand AS (
+  SELECT x.node AS u, y.node AS v, x.nb AS z
+  FROM nbr x JOIN nbr y ON x.nb = y.nb AND x.node < y.node),
+open_pairs AS (
+  SELECT c.u, c.v, c.z FROM cand c
+  LEFT JOIN edges e ON e.a = c.u AND e.b = c.v
+  WHERE e.a IS NULL),
+scored AS (
+  SELECT u, v,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(1000000 // dz.d) AS BIGINT) AS ra_ppm
+  FROM open_pairs o JOIN deg dz ON dz.node = o.z
+  GROUP BY u, v)
+SELECT s.u, s.v, s.cn,
+       CAST(s.cn * 1000000 // (du.d + dv.d - s.cn) AS BIGINT)
+         AS jaccard_ppm,
+       s.ra_ppm
+FROM scored s
+JOIN deg du ON du.node = s.u
+JOIN deg dv ON dv.node = s.v
+"""
+
+
+@query("q_graph_link_predict", _LINKPRED_ORACLE)
+def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _trade_edges(spark, sf_dir)
+    edges = (
+        raw.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", "a", "b")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 3
+            == 0
+        )
+    )
+    nbr = edges.select(
+        F.col("a").alias("node"), F.col("b").alias("nb")
+    ).unionAll(edges.select(F.col("b").alias("node"), F.col("a").alias("nb")))
+    deg = nbr.groupBy("node").agg(F.count("*").cast("bigint").alias("d"))
+    x = nbr.select(F.col("node").alias("u"), F.col("nb").alias("z"))
+    y = nbr.select(F.col("node").alias("v"), F.col("nb").alias("z"))
+    cand = x.join(y, "z").filter(F.col("u") < F.col("v"))
+    open_pairs = cand.join(
+        edges,
+        (edges["a"] == cand["u"]) & (edges["b"] == cand["v"]),
+        "left_anti",
+    )
+    dz = deg.select(F.col("node").alias("z"), F.col("d").alias("dz"))
+    scored = (
+        open_pairs.join(F.broadcast(dz), "z")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("bigint").alias("cn"),
+            F.sum(F.expr("1000000 DIV dz")).cast("bigint").alias("ra_ppm"),
+        )
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        scored.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.expr("cn * 1000000 DIV (du + dv - cn)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+            "ra_ppm",
+        )
+    )

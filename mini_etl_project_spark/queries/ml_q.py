@@ -1328,3 +1328,107 @@ def q_ml_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lift_ppm"),
     )
+
+
+# -- X225 item-item collaborative filtering --------------------------------
+#
+# Item-based recommender core: for every catalog item, the top-3 most
+# similar items by co-occurrence cosine over order baskets. The score is
+# fixed-point cosine² — (n_AB·10⁶ DIV n_A)·(n_AB·10⁶ DIV n_B) DIV 10⁶ —
+# a nested-floor tree both engines evaluate identically, bounded by 10⁶
+# so nothing overflows at any count (each factor ≤ 10⁶ because
+# n_AB ≤ min(n_A, n_B)). Pairs come from the basket-keyed self-join (one
+# shuffle); the top-3 window is KEYED per item and the item catalog
+# bounds its width. Ties pin to the smaller neighbor id.
+
+_ITEM_CF_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS bid, l_partkey % 100 AS item
+  FROM lineitem),
+freq AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+  FROM items GROUP BY item),
+pairs AS (
+  SELECT a.item AS ia, b.item AS ib, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b ON a.bid = b.bid AND a.item < b.item
+  GROUP BY a.item, b.item),
+sym AS (
+  SELECT ia AS item, ib AS nb, n_ab FROM pairs
+  UNION ALL
+  SELECT ib AS item, ia AS nb, n_ab FROM pairs),
+scored AS (
+  SELECT s.item, s.nb,
+         CAST((s.n_ab * 1000000 // fi.n_item)
+              * (s.n_ab * 1000000 // fn.n_item) // 1000000
+              AS BIGINT) AS cos2_ppm
+  FROM sym s
+  JOIN freq fi ON fi.item = s.item
+  JOIN freq fn ON fn.item = s.nb),
+ranked AS (
+  SELECT item, nb, cos2_ppm,
+         ROW_NUMBER() OVER (PARTITION BY item
+                            ORDER BY cos2_ppm DESC, nb) AS rk
+  FROM scored)
+SELECT CAST(item AS BIGINT) AS item, CAST(rk AS BIGINT) AS rk,
+       CAST(nb AS BIGINT) AS neighbor, cos2_ppm
+FROM ranked WHERE rk <= 3
+"""
+
+
+@query("q_ml_item_cf", _ITEM_CF_ORACLE)
+def q_ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select(
+        F.col("l_orderkey").alias("bid"),
+        (F.col("l_partkey") % 100).alias("item"),
+    ).distinct()
+    freq = items.groupBy("item").agg(
+        F.count("*").cast("bigint").alias("n_item")
+    )
+    a = items.select("bid", F.col("item").alias("ia"))
+    b = items.select("bid", F.col("item").alias("ib"))
+    pairs = (
+        a.join(b, "bid")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    sym = pairs.select(
+        F.col("ia").alias("item"), F.col("ib").alias("nb"), "n_ab"
+    ).unionAll(
+        pairs.select(
+            F.col("ib").alias("item"), F.col("ia").alias("nb"), "n_ab"
+        )
+    )
+    fi = freq.select(F.col("item"), F.col("n_item").alias("n_i"))
+    fn = freq.select(
+        F.col("item").alias("nb"), F.col("n_item").alias("n_n")
+    )
+    scored = (
+        sym.join(F.broadcast(fi), "item")
+        .join(F.broadcast(fn), "nb")
+        .select(
+            "item",
+            "nb",
+            F.expr(
+                "(n_ab * 1000000 DIV n_i)"
+                " * (n_ab * 1000000 DIV n_n) DIV 1000000"
+            )
+            .cast("bigint")
+            .alias("cos2_ppm"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("item").orderBy(
+                F.desc("cos2_ppm"), F.asc("nb")
+            )
+        ),
+    ).filter(F.col("rk") <= 3)
+    return ranked.select(
+        F.col("item").cast("bigint").alias("item"),
+        F.col("rk").cast("bigint").alias("rk"),
+        F.col("nb").cast("bigint").alias("neighbor"),
+        "cos2_ppm",
+    )

@@ -435,3 +435,53 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("key").cast("bigint").alias("key_checksum"),
         )
     )
+
+
+# -- X223 row-level DELETE (copy-on-write, file-pruned) --------------------
+#
+# DELETE FROM table WHERE acctbal < 0, on a snapshot table laid out in
+# many small files so the pruning is observable: the commit rewrites
+# only files containing a matching row, and the change feed carries the
+# deleted rows as 'delete' events. The output joins three proofs the
+# oracle rebuilds arithmetically from the raw fixture: per-segment
+# survivor counts/sums, the deleted-row count from the CDC feed, and
+# the file-pruning ratio is asserted separately in tests.
+
+_DELETE_ORACLE = f"""
+WITH survivors AS (
+  SELECT * FROM customer WHERE NOT (c_acctbal < 0)),
+agg AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         {sql_dsum('c_acctbal', 'sum_acctbal')}
+  FROM survivors GROUP BY c_mktsegment),
+dels AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted
+  FROM customer WHERE c_acctbal < 0)
+SELECT a.c_mktsegment, a.n_rows, a.sum_acctbal, d.n_deleted
+FROM agg a CROSS JOIN dels d
+"""
+
+
+@query("q_table_delete", _DELETE_ORACLE)
+def q_table_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    root = _fresh_root(sf_dir, "delete")
+    t = SnapshotTable.create(root)
+    base = _customer_slim(spark, sf_dir).repartition(8)
+    v0 = t.append(base)
+    v1 = t.delete_where(spark, F.col("c_acctbal") < 0)
+    dels = (
+        t.read_changes(spark, since_version=v0, to_version=v1)
+        .filter(F.col("_change_type") == "delete")
+        .agg(F.count("*").cast("bigint").alias("n_deleted"))
+    )
+    agg = (
+        t.read(spark)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum("c_acctbal", "sum_acctbal"),
+        )
+    )
+    return agg.crossJoin(F.broadcast(dels))

@@ -1063,3 +1063,67 @@ def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- X226 accent folding / unicode normalization ---------------------------
+#
+# Diacritic-insensitive matching, the standard pre-index normalization:
+# accented text is folded to its ASCII skeleton with translate() (both
+# engines are UTF-8 code-point-aware). The fixture has no native accents,
+# so the query first APPLIES a deterministic accenting map to customer
+# names (a→á, e→é, i→í, o→ó, u→ú on odd keys) and then proves the fold
+# recovers the original exactly — a round-trip invariant the oracle
+# checks per market segment alongside the fold's distinct-collision
+# count. Stateless projections + one groupBy: scale-trivial.
+
+_ACCENTS = "áéíóú"
+_PLAIN = "aeiou"
+
+_ACCENT_FOLD_ORACLE = f"""
+WITH named AS (
+  SELECT c_mktsegment, lower(c_name) AS base,
+         CASE WHEN c_custkey % 2 = 1
+              THEN translate(lower(c_name), '{_PLAIN}', '{_ACCENTS}')
+              ELSE lower(c_name) END AS display
+  FROM customer),
+folded AS (
+  SELECT c_mktsegment, base, display,
+         translate(display, '{_ACCENTS}', '{_PLAIN}') AS folded
+  FROM named)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN display <> base THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_accented,
+       CAST(SUM(CASE WHEN folded = base THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_roundtrip,
+       CAST(COUNT(DISTINCT folded) AS BIGINT) AS n_distinct_folded
+FROM folded GROUP BY c_mktsegment
+"""
+
+
+@query("q_text_accent_fold", _ACCENT_FOLD_ORACLE)
+def q_text_accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    base = F.lower(F.col("c_name"))
+    display = F.when(
+        F.col("c_custkey") % 2 == 1,
+        F.translate(base, _PLAIN, _ACCENTS),
+    ).otherwise(base)
+    named = c.select(
+        "c_mktsegment",
+        base.alias("base"),
+        display.alias("display"),
+    )
+    folded = named.withColumn(
+        "folded", F.translate(F.col("display"), _ACCENTS, _PLAIN)
+    )
+    return folded.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("display") != F.col("base"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_accented"),
+        F.sum(F.when(F.col("folded") == F.col("base"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_roundtrip"),
+        F.countDistinct("folded").cast("bigint").alias("n_distinct_folded"),
+    )

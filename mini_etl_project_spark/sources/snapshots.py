@@ -414,7 +414,7 @@ class SnapshotTable:
 
         to_v = self.latest_version() if to_version is None else to_version
         schema = self.schema(to_v)
-        op_to_type = {"append": "insert", "merge": "upsert", "overwrite": "overwrite"}
+        op_to_type = {"append": "insert", "merge": "upsert", "overwrite": "overwrite", "delete": "delete"}
         parts: list[DataFrame] = []
         for v in range(since_version + 1, to_v + 1):
             m = self._read_manifest(v)
@@ -568,6 +568,45 @@ class SnapshotTable:
             base,
             op="merge",
             change_files=staged_changed,
+        )
+
+
+    def delete_where(self, spark: SparkSession, predicate) -> int:
+        """Copy-on-write row-level DELETE: rewrite ONLY the data files
+        that contain a matching row, dropping matches; untouched files
+        carry into the new manifest by name (same pruning contract as
+        :meth:`merge` — cost scales with the files hit, not the table).
+        The deleted rows are staged as the commit's change files with
+        op='delete', so ``read_changes`` serves exact delete events to
+        incremental consumers (Delta CDF's delete contract)."""
+        import pyspark.sql.functions as F
+
+        base = self.latest_version()
+        if base == 0:
+            raise ValueError("delete_where on empty table")
+        manifest = self._read_manifest(base)
+        cur = self.read(spark, base).withColumn(
+            "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        hit = cur.filter(predicate)
+        touched = {
+            r["__file"]
+            for r in hit.select("__file").distinct().collect()
+        }
+        untouched = [f for f in manifest["files"] if f not in touched]
+        survivors = (
+            cur.filter(F.col("__file").isin(list(touched)))
+            .filter(~predicate)
+            .drop("__file")
+        )
+        staged_kept = self._stage(survivors) if touched else []
+        staged_deleted = self._stage(hit.drop("__file")) if touched else []
+        return self._commit(
+            untouched + staged_kept,
+            manifest["schema"],
+            base,
+            op="delete",
+            change_files=staged_deleted,
         )
 
 

@@ -220,6 +220,9 @@ _CHECK_FIRST: list[str] = [
     "q_graph_link_predict",
     "q_ml_item_cf",
     "q_text_accent_fold",
+    "q_dedup_incremental",
+    "q_text_bigram_lm",
+    "q_udf_debounce",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -612,3 +612,198 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("inter * 1000 DIV n_a").alias("cont_a_milli"),
         F.expr("inter * 1000 DIV n_b").alias("cont_b_milli"),
     )
+
+
+# -- X227 incremental dedup (new batch vs existing corpus) -----------------
+#
+# The continual-crawl shape: an INCOMING batch is deduplicated against
+# the EXISTING corpus without ever re-deduping the corpus against
+# itself. Layer 1 drops incoming docs whose exact normalized-text hash
+# already exists (anti join on the key — one keyed shuffle). Layer 2
+# runs MinHash/LSH banding ASYMMETRICALLY: band signatures on both
+# sides, join existing-bands × survivor-bands only (never self-join
+# either side), verify candidates with exact Jaccard ≥ 0.5. Planted
+# exact copies (id%7=1 → +50000) and near-mutations (id%11=2 → +60000,
+# first 20 chars sliced off) make every layer's counts non-trivial at
+# any scale factor. Output: the four-way disposition of the batch.
+
+_INCR_DEDUP_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < 300),
+existing AS (SELECT id, text FROM base WHERE id % 3 <> 0),
+incoming AS (
+  SELECT id, text FROM base WHERE id % 3 = 0
+  UNION ALL
+  SELECT id + 50000, text FROM existing WHERE id % 7 = 1
+  UNION ALL
+  SELECT id + 60000, substring(text, 21) FROM existing WHERE id % 11 = 2),
+ek AS (SELECT DISTINCT md5(lower(trim(text))) AS k FROM existing),
+ik AS (SELECT id, md5(lower(trim(text))) AS k, text FROM incoming),
+exact_dup AS (SELECT ik.id FROM ik JOIN ek ON ik.k = ek.k),
+surv AS (SELECT id, text FROM ik WHERE k NOT IN (SELECT k FROM ek)),
+sh_e AS (
+  SELECT DISTINCT id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(length(text)-4, 1)),
+             i -> substring(text, i, 5)))) AS shingle
+  FROM existing),
+sh_s AS (
+  SELECT DISTINCT id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(length(text)-4, 1)),
+             i -> substring(text, i, 5)))) AS shingle
+  FROM surv),
+sig_e AS (
+  SELECT id, seed.s AS seed, MIN({_HASH64.format(seed='seed.s', v='shingle')}) AS mh
+  FROM sh_e, (SELECT unnest(generate_series(0, 15)) AS s) seed
+  GROUP BY id, seed.s),
+sig_s AS (
+  SELECT id, seed.s AS seed, MIN({_HASH64.format(seed='seed.s', v='shingle')}) AS mh
+  FROM sh_s, (SELECT unnest(generate_series(0, 15)) AS s) seed
+  GROUP BY id, seed.s),
+band_e AS (
+  SELECT id, CAST(FLOOR(seed / 4) AS INT) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_key
+  FROM sig_e GROUP BY id, CAST(FLOOR(seed / 4) AS INT)),
+band_s AS (
+  SELECT id, CAST(FLOOR(seed / 4) AS INT) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_key
+  FROM sig_s GROUP BY id, CAST(FLOOR(seed / 4) AS INT)),
+cand AS (
+  SELECT DISTINCT s.id AS inc_id, e.id AS ex_id
+  FROM band_s s JOIN band_e e
+    ON s.band = e.band AND s.band_key = e.band_key),
+sizes_e AS (SELECT id, COUNT(*) AS n FROM sh_e GROUP BY id),
+sizes_s AS (SELECT id, COUNT(*) AS n FROM sh_s GROUP BY id),
+inter AS (
+  SELECT c.inc_id, c.ex_id, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh_s a ON a.id = c.inc_id
+  JOIN sh_e b ON b.id = c.ex_id AND b.shingle = a.shingle
+  GROUP BY c.inc_id, c.ex_id),
+near AS (
+  SELECT DISTINCT i.inc_id
+  FROM inter i
+  JOIN sizes_s sa ON sa.id = i.inc_id
+  JOIN sizes_e sb ON sb.id = i.ex_id
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5)
+SELECT CAST((SELECT COUNT(*) FROM incoming) AS BIGINT) AS n_incoming,
+       CAST((SELECT COUNT(*) FROM exact_dup) AS BIGINT) AS n_exact_dup,
+       CAST((SELECT COUNT(*) FROM near) AS BIGINT) AS n_near_dup,
+       CAST((SELECT COUNT(*) FROM surv) AS BIGINT)
+         - CAST((SELECT COUNT(*) FROM near) AS BIGINT) AS n_clean
+"""
+
+
+@query("q_dedup_incremental", _INCR_DEDUP_ORACLE)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_rows,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    existing = base.filter(F.col("id") % 3 != 0)
+    incoming = (
+        base.filter(F.col("id") % 3 == 0)
+        .unionByName(
+            existing.filter(F.col("id") % 7 == 1).select(
+                (F.col("id") + 50000).alias("id"), "text"
+            )
+        )
+        .unionByName(
+            existing.filter(F.col("id") % 11 == 2).select(
+                (F.col("id") + 60000).alias("id"),
+                F.substring(F.col("text"), 21, 1 << 30).alias("text"),
+            )
+        )
+    )
+    key = F.md5(F.lower(F.trim(F.col("text"))))
+    ek = existing.select(key.alias("k")).distinct()
+    ik = incoming.select("id", key.alias("k"), "text")
+    exact_dup = ik.join(ek, "k", "left_semi")
+    surv = ik.join(ek, "k", "left_anti").select("id", "text")
+
+    def banded(sigs):
+        nb = (F.size("minhashes") / 4).cast("int")
+        bands = F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("minhashes"), b * 4 + 1, 4),
+                            lambda m: m.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("band_key"),
+            ),
+        )
+        return sigs.select("id", F.explode(bands).alias("bk")).select(
+            "id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+
+    sh_e = shingle_rows(existing, "id", "text")
+    sh_s = shingle_rows(surv, "id", "text")
+    band_e = banded(minhash_signatures(sh_e)).select(
+        "band", "band_key", F.col("id").alias("ex_id")
+    )
+    band_s = banded(minhash_signatures(sh_s)).select(
+        "band", "band_key", F.col("id").alias("inc_id")
+    )
+    cand = (
+        band_s.join(band_e, ["band", "band_key"])
+        .select("inc_id", "ex_id")
+        .distinct()
+    )
+    sizes_e = sh_e.groupBy("id").agg(F.count("*").alias("n_e"))
+    sizes_s = sh_s.groupBy("id").agg(F.count("*").alias("n_s"))
+    inter = (
+        cand.join(
+            sh_s.select(F.col("id").alias("inc_id"), "shingle"), "inc_id"
+        )
+        .join(
+            sh_e.select(F.col("id").alias("ex_id"), "shingle"),
+            ["ex_id", "shingle"],
+        )
+        .groupBy("inc_id", "ex_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    near = (
+        inter.join(
+            sizes_s.select(F.col("id").alias("inc_id"), "n_s"), "inc_id"
+        )
+        .join(sizes_e.select(F.col("id").alias("ex_id"), "n_e"), "ex_id")
+        .filter(
+            F.col("n_inter").cast("double")
+            / (F.col("n_s") + F.col("n_e") - F.col("n_inter"))
+            >= 0.5
+        )
+        .select("inc_id")
+        .distinct()
+    )
+    n_inc = incoming.agg(F.count("*").cast("bigint").alias("n_incoming"))
+    n_ex = exact_dup.agg(F.count("*").cast("bigint").alias("n_exact_dup"))
+    n_near = near.agg(F.count("*").cast("bigint").alias("n_near_dup"))
+    n_surv = surv.agg(F.count("*").cast("bigint").alias("n_surv"))
+    return (
+        n_inc.crossJoin(F.broadcast(n_ex))
+        .crossJoin(F.broadcast(n_near))
+        .crossJoin(F.broadcast(n_surv))
+        .select(
+            "n_incoming",
+            "n_exact_dup",
+            "n_near_dup",
+            (F.col("n_surv") - F.col("n_near_dup"))
+            .cast("bigint")
+            .alias("n_clean"),
+        )
+    )

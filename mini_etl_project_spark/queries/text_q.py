@@ -1127,3 +1127,85 @@ def q_text_accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_roundtrip"),
         F.countDistinct("folded").cast("bigint").alias("n_distinct_folded"),
     )
+
+
+# -- X228 bigram language-model scoring ------------------------------------
+#
+# Fluency scoring with a corpus-trained bigram LM, log-free: each doc's
+# score is the MEAN CONDITIONAL PROBABILITY of its bigrams in ppm fixed
+# point — Σ floor(c(w1,w2)·10⁶ / c(w1)) DIV n_bigrams — which both
+# engines evaluate identically (no ln, no float sums). Training and
+# scoring are the same corpus (leave-one-in, standard for quality
+# filtering). Plan shape: one explode to (doc, bigram), one groupBy each
+# for unigram/bigram counts, two keyed joins back — all shuffles on
+# token keys, the same shape FastText-style quality filters use at web
+# scale. Low-scoring docs are the repetitive/disfluent tail.
+
+_BIGRAM_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'),
+                             1) AS pos
+  FROM documents),
+bigrams AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+uni AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM bigrams GROUP BY w1),
+big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM bigrams GROUP BY w1, w2),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(b.c2 * 1000000 // u.c1) AS BIGINT) AS s
+  FROM bigrams bg
+  JOIN big b ON b.w1 = bg.w1 AND b.w2 = bg.w2
+  JOIN uni u ON u.w1 = bg.w1
+  GROUP BY bg.doc_id)
+SELECT doc_id, n_bigrams,
+       CAST(s // n_bigrams AS BIGINT) AS mean_cond_ppm
+FROM scored
+"""
+
+
+@query("q_text_bigram_lm", _BIGRAM_LM_ORACLE)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col("text"))), "\\s+")
+        ).alias("pos", "tok"),
+    )
+    w_next = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("w2", F.lead("tok").over(w_next))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), "w2")
+    )
+    uni = bigrams.groupBy("w1").agg(
+        F.count("*").cast("bigint").alias("c1")
+    )
+    big = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c2")
+    )
+    scored = (
+        bigrams.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(F.expr("c2 * 1000000 DIV c1")).cast("bigint").alias("s"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("s DIV n_bigrams").cast("bigint").alias("mean_cond_ppm"),
+    )

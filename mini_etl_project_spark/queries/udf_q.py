@@ -346,3 +346,81 @@ def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
           TABLE(udtf_events) PARTITION BY event_type)
         """
     )
+
+
+# -- X229 event debounce (chained stateful logic, applyInPandas) -----------
+#
+# Debounce with a 5-minute refractory period: an event is ACCEPTED iff it
+# is its user's first event or ≥5 min have passed since that user's last
+# ACCEPTED event. The acceptance chain depends on prior decisions, so no
+# window/aggregate expresses it — this is the canonical per-key
+# sequential operator, run as applyInPandas (each user's few events in
+# one Arrow batch; keyed parallelism across users is what scales it).
+# The oracle replays the chain with a recursive CTE stepping through
+# each user's row_number sequence. Output: per-user event/accepted
+# counts plus first-accepted/last-accepted timestamps.
+
+_DEBOUNCE_GAP_US = 300_000_000  # 5 minutes
+
+_DEBOUNCE_ORACLE = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+chain AS (
+  SELECT user_id, rn, ts AS last_acc, ts, 1 AS is_acc
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn,
+         CASE WHEN epoch_us(s.ts) - epoch_us(c.last_acc)
+                   >= {_DEBOUNCE_GAP_US}
+              THEN s.ts ELSE c.last_acc END,
+         s.ts,
+         CASE WHEN epoch_us(s.ts) - epoch_us(c.last_acc)
+                   >= {_DEBOUNCE_GAP_US}
+              THEN 1 ELSE 0 END
+  FROM chain c JOIN seq s
+    ON s.user_id = c.user_id AND s.rn = c.rn + 1)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(is_acc) AS BIGINT) AS n_accepted,
+       MIN(CASE WHEN is_acc = 1 THEN ts END) AS first_accepted,
+       MAX(CASE WHEN is_acc = 1 THEN ts END) AS last_accepted
+FROM chain GROUP BY user_id
+"""
+
+
+@query("q_udf_debounce", _DEBOUNCE_ORACLE)
+def q_udf_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def debounce(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = pdf["ts"].astype("int64").to_numpy()  # ns since epoch
+        gap_ns = _DEBOUNCE_GAP_US * 1000
+        accepted = []
+        last = None
+        for t in ts_us:
+            if last is None or t - last >= gap_ns:
+                accepted.append(True)
+                last = t
+            else:
+                accepted.append(False)
+        acc_ts = pdf["ts"][accepted]
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "n_accepted": [int(sum(accepted))],
+                "first_accepted": [acc_ts.iloc[0]],
+                "last_accepted": [acc_ts.iloc[-1]],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    return e.groupBy("user_id").applyInPandas(
+        debounce,
+        "user_id bigint, n_events bigint, n_accepted bigint, "
+        "first_accepted timestamp, last_accepted timestamp",
+    )

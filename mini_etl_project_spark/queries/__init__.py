@@ -223,6 +223,8 @@ _CHECK_FIRST: list[str] = [
     "q_dedup_incremental",
     "q_text_bigram_lm",
     "q_udf_debounce",
+    "q_ml_pca_power",
+    "q_stream_alerts",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -1432,3 +1432,129 @@ def q_ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").cast("bigint").alias("neighbor"),
         "cos2_ppm",
     )
+
+
+# -- X230 distributed PCA (covariance Gramian + power iteration) -----------
+#
+# Top principal direction of the embedding cloud, computed the way a
+# cluster computes it: ONE distributed pass builds the exact integer
+# covariance Gramian (64×64 — bounded), then power iteration runs on
+# that bounded table; nothing iterative ever touches row-scale data.
+# Exactness engineering:
+#   - milli-quantized coordinates; centering is n-SCALED (c = n·x − Σx)
+#     so the mean needs no division and stays integer-exact;
+#   - Gramian entries sum c_i·c_j into DECIMAL(38,0) (order-independent;
+#     bigint would overflow past ~10⁵ rows — at 10⁹-row scale the same
+#     plan runs with the E[xy]−E[x]E[y] decomposition, noted here);
+#   - each iteration renormalizes by the ∞-norm in 10⁶ fixed point via
+#     SIGN·FLOOR(ABS·10⁶/max) — DuckDB replays the matvec in HUGEINT,
+#     Spark in DECIMAL(38,0); both are exact integers, so the final
+#     double division + floor is bit-identical.
+# Output: the 64 fixed-point eigenvector components after 2 iterations
+# plus the ∞-norm Rayleigh estimate, one row per dimension.
+
+_PCA_DIM = 64
+
+
+def _pca_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+w_{cur} AS (
+  SELECT cov.j, SUM(CAST(cov.s AS HUGEINT) * {prev}.v) AS w
+  FROM cov JOIN {prev} ON {prev}.i = cov.i
+  GROUP BY cov.j),
+mx_{cur} AS (SELECT MAX(ABS(w)) AS mx FROM w_{cur}),
+{cur} AS (
+  SELECT w.j AS i,
+         CAST(CASE WHEN w.w >= 0 THEN 1 ELSE -1 END
+              * FLOOR(CAST(ABS(w.w) AS DOUBLE) * 1000000
+                      / CAST(m.mx AS DOUBLE)) AS BIGINT) AS v
+  FROM w_{cur} w CROSS JOIN mx_{cur} m)"""
+
+
+_PCA_ORACLE = f"""
+WITH pts AS (
+  SELECT vec_id AS id, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS x
+  FROM embeddings, generate_series(1, {_PCA_DIM}) g(i)),
+nn AS (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n FROM pts),
+sums AS (SELECT i, CAST(SUM(x) AS BIGINT) AS sx FROM pts GROUP BY i),
+cdims AS (
+  SELECT p.id, p.i, nn.n * p.x - s.sx AS c
+  FROM pts p JOIN sums s ON s.i = p.i CROSS JOIN nn),
+cov AS (
+  SELECT a.i, b.i AS j,
+         SUM(CAST(a.c * b.c AS DECIMAL(38,0))) AS s
+  FROM cdims a JOIN cdims b ON a.id = b.id
+  GROUP BY a.i, b.i),
+v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM sums),
+{_pca_iter_sql('v0', 'v1')},
+{_pca_iter_sql('v1', 'v2')}
+SELECT v2.i AS dim, v2.v AS v_ppm,
+       CAST(FLOOR(CAST((SELECT mx FROM mx_v2) AS DOUBLE) / 1000000)
+            AS BIGINT) AS lambda_scaled
+FROM v2
+"""
+
+
+@query("q_ml_pca_power", _PCA_ORACLE)
+def q_ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000).cast("bigint"),
+            )
+        ).alias("i0", "x"),
+    ).select("id", (F.col("i0") + 1).alias("i"), "x")
+    nn = pts.agg(F.countDistinct("id").cast("bigint").alias("n"))
+    sums = pts.groupBy("i").agg(F.sum("x").cast("bigint").alias("sx"))
+    cdims = (
+        pts.crossJoin(F.broadcast(nn))
+        .join(F.broadcast(sums), "i")
+        .select(
+            "id", "i", (F.col("n") * F.col("x") - F.col("sx")).alias("c")
+        )
+    )
+    a = cdims.select("id", "i", "c")
+    b = cdims.select("id", F.col("i").alias("j"), F.col("c").alias("cj"))
+    cov = (
+        a.join(b, "id")
+        .groupBy("i", "j")
+        .agg(
+            F.sum((F.col("c") * F.col("cj")).cast("decimal(38,0)")).alias(
+                "s"
+            )
+        )
+    )
+    v = sums.select("i", F.lit(1000000).cast("bigint").alias("v"))
+    mx = None
+    for _ in range(2):
+        w = (
+            cov.join(v, "i")
+            .groupBy("j")
+            .agg(F.sum(F.col("s") * F.col("v")).alias("w"))
+        )
+        mx = w.agg(F.max(F.abs("w")).alias("mx"))
+        v = w.crossJoin(F.broadcast(mx)).select(
+            F.col("j").alias("i"),
+            (
+                F.when(F.col("w") >= 0, 1).otherwise(-1)
+                * F.floor(
+                    F.abs("w").cast("double")
+                    * 1000000
+                    / F.col("mx").cast("double")
+                )
+            )
+            .cast("bigint")
+            .alias("v"),
+        )
+    lam = mx.select(
+        F.floor(F.col("mx").cast("double") / 1000000)
+        .cast("bigint")
+        .alias("lambda_scaled")
+    )
+    return v.crossJoin(F.broadcast(lam)).select(
+        F.col("i").alias("dim"), F.col("v").alias("v_ppm"), "lambda_scaled"
+    )

@@ -806,3 +806,42 @@ def q_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     return spark.table(out)
+
+
+# -- X231 streaming threshold alerts (filter -> windowed dedup) ------------
+#
+# The alerting shape: raise at most ONE alert per (user, hour) when any
+# event value crosses the threshold — a streaming filter followed by
+# dropDuplicatesWithinWatermark on the (user, window-start) alert key,
+# drained in append mode and aggregated per hour. The bounded replay
+# delivers every row within the watermark, so the oracle is the exact
+# batch dedup: DISTINCT (user, hour) among crossing events. State per
+# key expires with the watermark — bounded state at any rate.
+
+_ALERT_THRESHOLD = 250.0
+
+_STREAM_ALERTS_ORACLE = f"""
+WITH crossings AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour_start
+  FROM events WHERE value > {_ALERT_THRESHOLD})
+SELECT hour_start, CAST(COUNT(*) AS BIGINT) AS n_alerts
+FROM crossings GROUP BY hour_start
+"""
+
+
+@query("q_stream_alerts", _STREAM_ALERTS_ORACLE)
+def q_stream_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    alerts = (
+        stream.filter(F.col("value") > _ALERT_THRESHOLD)
+        .withColumn("hour_start", F.date_trunc("hour", "ts"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "hour_start"])
+        .select("user_id", "hour_start")
+    )
+    out = drain_to_table(alerts, mode="append")
+    return (
+        spark.table(out)
+        .groupBy(F.col("hour_start").cast("timestamp").alias("hour_start"))
+        .agg(F.count("*").cast("bigint").alias("n_alerts"))
+    )

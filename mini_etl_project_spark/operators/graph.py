@@ -193,3 +193,72 @@ def bfs_distances(
         visited = visited.unionByName(new).localCheckpoint(eager=True)
         frontier = new
     return visited
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seed: str,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to ``seed`` instead of
+    spreading uniformly —
+    ``r'(v) = (1-d)·[v = seed] + d·(Σ_{u→v} r(u)/outdeg(u) + DM·[v = seed])``
+    with dangling mass DM also routed to the seed, so total rank stays 1
+    and ranks measure proximity to the seed node.
+
+    Same scale posture as :func:`pagerank_dangling`: per round one keyed
+    edge-shuffle plus a one-row broadcast aggregate; DECIMAL partial sums
+    keep every contribution order-independent so the unrolled relational
+    oracle reproduces the recurrence bit-for-bit.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    base = 1 - damping
+    outdeg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    is_seed = F.when(F.col("node") == seed, F.lit(1.0)).otherwise(F.lit(0.0))
+    ranks = nodes.select("node", is_seed.alias("rank"))
+    for _ in range(iterations):
+        dm = ranks.join(outdeg, "node", "left_anti").agg(
+            F.coalesce(
+                F.sum(F.col("rank").cast(_DEC)).cast("double"), F.lit(0.0)
+            ).alias("dm")
+        )
+        contribs = (
+            e.join(ranks, e["e_src"] == ranks["node"])
+            .join(
+                outdeg.withColumnRenamed("node", "d_node"),
+                F.col("e_src") == F.col("d_node"),
+            )
+            .select(
+                F.col("e_dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+        )
+        insum = contribs.groupBy("node").agg(
+            F.sum(F.col("c").cast(_DEC)).cast("double").alias("insum")
+        )
+        ranks = (
+            nodes.join(insum, "node", "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "node",
+                (
+                    F.lit(base) * is_seed
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("insum"), F.lit(0.0))
+                        + F.col("dm") * is_seed
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks

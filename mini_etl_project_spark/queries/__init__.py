@@ -225,6 +225,12 @@ _CHECK_FIRST: list[str] = [
     "q_udf_debounce",
     "q_ml_pca_power",
     "q_stream_alerts",
+    # --- Session-4 additions (no driver row yet) ---
+    "q_agg_corr_matrix",
+    "q_ml_naive_bayes",
+    "q_ts_theil_sen",
+    "q_ts_seasonal_decompose",
+    "q_graph_ppr",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -723,3 +723,72 @@ def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ra_ppm",
         )
     )
+
+
+# -- X235 personalized PageRank (seed-teleport proximity ranking) -----------
+#
+# Random-walk-with-restart proximity to a seed node over the DAG-ified
+# trade graph (same edges as the dangling variant, so dangling mass is
+# structurally live and must be routed to the seed). The seed is the
+# lexicographic minimum node — a deterministic bounded scalar in both
+# engines. Oracle unrolls the identical recurrence with DECIMAL partial
+# sums; all double literals are CAST so DuckDB does not carry exact
+# decimals where Spark computes binary doubles.
+
+
+def _ppr_iter_sql(prev: str, cur: str, dm: str) -> str:
+    return f"""{dm} AS (
+  SELECT CAST(COALESCE(SUM(CAST(r.rank AS DECIMAL(38,10))), 0) AS DOUBLE)
+           AS dm
+  FROM {prev} r LEFT JOIN deg d ON r.node = d.node
+  WHERE d.node IS NULL),
+{cur} AS (
+  SELECT nodes.node,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           * (CASE WHEN nodes.node = (SELECT s FROM seed)
+                   THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+         + CAST(0.85 AS DOUBLE)
+           * (COALESCE(s.insum, CAST(0 AS DOUBLE))
+              + (SELECT dm FROM {dm})
+                * (CASE WHEN nodes.node = (SELECT s FROM seed)
+                        THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END))
+           AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(r.rank / d.outdeg AS DECIMAL(38,10))) AS DOUBLE)
+             AS insum
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN deg d ON e.src = d.node
+    GROUP BY e.dst) s ON nodes.node = s.node)"""
+
+
+_PPR_ORACLE = f"""
+WITH edges AS ({_PRD_EDGES_SQL}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+seed AS (SELECT MIN(node) AS s FROM nodes),
+deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (
+  SELECT node,
+         CASE WHEN node = (SELECT s FROM seed)
+              THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS rank
+  FROM nodes),
+{_ppr_iter_sql('r0', 'i1', 'dm1')},
+{_ppr_iter_sql('i1', 'i2', 'dm2')},
+{_ppr_iter_sql('i2', 'i3', 'dm3')}
+SELECT node, rank FROM i3
+"""
+
+
+@query("q_graph_ppr", _PPR_ORACLE)
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.graph import personalized_pagerank
+
+    edges = _trade_edges(spark, sf_dir).filter(F.col("src") < F.col("dst"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed = nodes.agg(F.min("node")).collect()[0][0]  # bounded scalar
+    return personalized_pagerank(edges, seed, iterations=3)

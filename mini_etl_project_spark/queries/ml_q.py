@@ -1558,3 +1558,104 @@ def q_ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.crossJoin(F.broadcast(lam)).select(
         F.col("i").alias("dim"), F.col("v").alias("v_ppm"), "lambda_scaled"
     )
+
+
+# -- X232 multinomial naive Bayes (integer-exact smoothed scores) ----------
+#
+# The classic count-based classifier as pure distributed aggregation:
+# class priors and per-class feature-value counts are three tiny keyed
+# groupBys over ONE scan of the facts; scoring joins those bounded count
+# tables (broadcast) onto the distinct feature combinations — training
+# never materializes anything row-scale, so the identical plan trains on
+# 100 TB of facts with the shuffle carrying only count partials.
+# Exactness: log-free scoring. With Laplace smoothing,
+#   P(c | f1, f2) ∝ Nc·(C1+1)·(C2+1) / ((Nc+V1)·(Nc+V2))
+# and the score is kept as an exact integer:
+#   score_ppb = Nc·(C1+1)·(C2+1)·10⁹ DIV ((Nc+V1)·(Nc+V2)·N)
+# computed in DECIMAL(38,0) (DuckDB: HUGEINT) — products stay < 10³⁶
+# through ~10⁷-row classes, and integral division on positive operands is
+# floor in both engines. Argmax tie-breaks to the smallest class label.
+
+_NB_ORACLE = """
+WITH facts AS (
+  SELECT l_returnflag AS cls, l_linestatus AS f1,
+         CAST(ROUND(l_quantity) AS BIGINT) // 10 AS f2
+  FROM lineitem),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM facts),
+prior AS (SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_c FROM facts GROUP BY cls),
+c1 AS (SELECT cls, f1, CAST(COUNT(*) AS BIGINT) AS cnt1
+       FROM facts GROUP BY cls, f1),
+c2 AS (SELECT cls, f2, CAST(COUNT(*) AS BIGINT) AS cnt2
+       FROM facts GROUP BY cls, f2),
+v AS (SELECT (SELECT CAST(COUNT(DISTINCT f1) AS BIGINT) FROM facts) AS v1,
+             (SELECT CAST(COUNT(DISTINCT f2) AS BIGINT) FROM facts) AS v2),
+combos AS (SELECT DISTINCT f1, f2 FROM facts),
+scored AS (
+  SELECT co.f1, co.f2, p.cls,
+         CAST(CAST(p.n_c AS HUGEINT) * (COALESCE(c1.cnt1, 0) + 1)
+              * (COALESCE(c2.cnt2, 0) + 1) * 1000000000
+              // (CAST(p.n_c + v.v1 AS HUGEINT) * (p.n_c + v.v2) * nn.n)
+              AS BIGINT) AS score_ppb
+  FROM combos co
+  CROSS JOIN prior p CROSS JOIN v CROSS JOIN nn
+  LEFT JOIN c1 ON c1.cls = p.cls AND c1.f1 = co.f1
+  LEFT JOIN c2 ON c2.cls = p.cls AND c2.f2 = co.f2),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY f1, f2
+                               ORDER BY score_ppb DESC, cls) AS rk
+  FROM scored)
+SELECT f1, f2, cls AS predicted, score_ppb
+FROM ranked WHERE rk = 1
+"""
+
+
+@query("q_ml_naive_bayes", _NB_ORACLE)
+def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    facts = li.select(
+        F.col("l_returnflag").alias("cls"),
+        F.col("l_linestatus").alias("f1"),
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT) DIV 10").alias("f2"),
+    )
+    nn = facts.agg(F.count("*").cast("bigint").alias("n"))
+    prior = facts.groupBy("cls").agg(F.count("*").cast("bigint").alias("n_c"))
+    c1 = facts.groupBy("cls", "f1").agg(
+        F.count("*").cast("bigint").alias("cnt1")
+    )
+    c2 = facts.groupBy("cls", "f2").agg(
+        F.count("*").cast("bigint").alias("cnt2")
+    )
+    v = facts.agg(
+        F.countDistinct("f1").cast("bigint").alias("v1"),
+        F.countDistinct("f2").cast("bigint").alias("v2"),
+    )
+    combos = facts.select("f1", "f2").distinct()
+    scored = (
+        combos.crossJoin(F.broadcast(prior))
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(nn))
+        .join(F.broadcast(c1), ["cls", "f1"], "left")
+        .join(F.broadcast(c2), ["cls", "f2"], "left")
+        .select(
+            "f1",
+            "f2",
+            "cls",
+            F.expr(
+                "CAST(CAST(n_c AS DECIMAL(38,0)) * (COALESCE(cnt1, 0) + 1)"
+                " * (COALESCE(cnt2, 0) + 1) * 1000000000"
+                " DIV (CAST(n_c + v1 AS DECIMAL(38,0)) * (n_c + v2) * n)"
+                " AS BIGINT)"
+            ).alias("score_ppb"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("f1", "f2").orderBy(
+                F.desc("score_ppb"), F.asc("cls")
+            )
+        ),
+    ).filter(F.col("rk") == 1)
+    return ranked.select(
+        "f1", "f2", F.col("cls").alias("predicted"), "score_ppb"
+    )

@@ -1957,3 +1957,105 @@ def q_agg_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f2_est",
         )
     )
+
+
+# -- X231 pairwise correlation matrix (single-pass, all pairs) --------------
+#
+# The distributed correlation MATRIX: every pairwise Pearson corr among 3
+# scaled measures from ONE aggregation — 10 integer sums ride a single
+# scan/shuffle (map-side combinable), then the bounded 1-row result is
+# exploded into pair rows. This is the plan shape a 100 TB feature-stats
+# job needs: the matrix costs the same scan as a single corr.
+# Exactness: inputs quantized to int64 (qty integer, discount milli,
+# price deka-dollars — keeps every sum < 2^53 through ~1e9 rows so the
+# int64→double conversions single-round identically), then both engines
+# evaluate the IDENTICAL double expression tree (IEEE ops are correctly
+# rounded → bit-equal results, the q_agg_moments_corr convention).
+
+_CORR_MATRIX_ORACLE = """
+WITH scaled AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 1000) AS BIGINT) AS x2,
+         CAST(ROUND(l_extendedprice) AS BIGINT) // 10 AS x3
+  FROM lineitem),
+m AS (
+  SELECT COUNT(*) AS n,
+         SUM(x1) AS s1, SUM(x2) AS s2, SUM(x3) AS s3,
+         SUM(x1*x1) AS s11, SUM(x2*x2) AS s22, SUM(x3*x3) AS s33,
+         SUM(x1*x2) AS s12, SUM(x1*x3) AS s13, SUM(x2*x3) AS s23
+  FROM scaled)
+SELECT pair, n,
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+         AS corr,
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         / (n - 1) AS covar_samp
+FROM (
+  SELECT 'qty_disc' AS pair, n, s1 AS sx, s2 AS sy,
+         s11 AS sxx, s22 AS syy, s12 AS sxy FROM m
+  UNION ALL
+  SELECT 'qty_price', n, s1, s3, s11, s33, s13 FROM m
+  UNION ALL
+  SELECT 'disc_price', n, s2, s3, s22, s33, s23 FROM m)
+"""
+
+
+@query("q_agg_corr_matrix", _CORR_MATRIX_ORACLE)
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    scaled = li.select(
+        F.round("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 1000).cast("bigint").alias("x2"),
+        F.expr("CAST(ROUND(l_extendedprice) AS BIGINT) DIV 10").alias("x3"),
+    )
+    m = scaled.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("x3").alias("s3"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x3") * F.col("x3")).alias("s33"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("x3")).alias("s13"),
+        F.sum(F.col("x2") * F.col("x3")).alias("s23"),
+    )
+    pairs = m.select(
+        "n",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("qty_disc").alias("pair"),
+                    F.col("s1").alias("sx"), F.col("s2").alias("sy"),
+                    F.col("s11").alias("sxx"), F.col("s22").alias("syy"),
+                    F.col("s12").alias("sxy"),
+                ),
+                F.struct(
+                    F.lit("qty_price").alias("pair"),
+                    F.col("s1").alias("sx"), F.col("s3").alias("sy"),
+                    F.col("s11").alias("sxx"), F.col("s33").alias("syy"),
+                    F.col("s13").alias("sxy"),
+                ),
+                F.struct(
+                    F.lit("disc_price").alias("pair"),
+                    F.col("s2").alias("sx"), F.col("s3").alias("sy"),
+                    F.col("s22").alias("sxx"), F.col("s33").alias("syy"),
+                    F.col("s23").alias("sxy"),
+                ),
+            )
+        ).alias("p"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("p.sx").cast("double"), F.col("p.sy").cast("double")
+    sxx, syy = F.col("p.sxx").cast("double"), F.col("p.syy").cast("double")
+    sxy = F.col("p.sxy").cast("double")
+    cxy = sxy - sx * sy / n
+    cxx = sxx - sx * sx / n
+    cyy = syy - sy * sy / n
+    return pairs.select(
+        F.col("p.pair").alias("pair"),
+        "n",
+        (cxy / F.sqrt(cxx * cyy)).alias("corr"),
+        (cxy / (n - 1)).alias("covar_samp"),
+    )

@@ -2042,3 +2042,177 @@ def q_ts_pop_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_cents",
         growth.cast("bigint").alias("growth_pml"),
     )
+
+
+# -- X233 Theil–Sen robust trend (median of pairwise slopes) ----------------
+#
+# The robust regression slope: per key, the lower median of all pairwise
+# slopes of the daily series. The pairwise self-join is KEYED (event_type)
+# and each key's series is calendar-bounded (one row per day), so the
+# quadratic blowup is per-key-bounded — the canonical way to run Theil–Sen
+# distributed: O(days²) per key, never O(rows²) global. Slopes are exact
+# integers: sign-split floor division (Spark DIV truncates, DuckDB //
+# floors — splitting sign makes both compute sign·(|Δy|·10⁶ div Δx)), and
+# the lower median is a deterministic row_number pick over a keyed window.
+
+_THEIL_SEN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+           AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+slopes AS (
+  SELECT a.event_type,
+         CASE WHEN b.y >= a.y THEN 1 ELSE -1 END
+           * (ABS(b.y - a.y) * 1000000 // (b.x - a.x)) AS slope_ppm
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.x > a.x),
+ranked AS (
+  SELECT event_type, slope_ppm,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope_ppm) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM slopes)
+SELECT event_type, CAST(m AS BIGINT) AS n_slopes,
+       CAST(slope_ppm AS BIGINT) AS median_slope_ppm
+FROM ranked WHERE rn = (m + 1) // 2
+"""
+
+
+@query("q_ts_theil_sen", _THEIL_SEN_ORACLE)
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("bigint")
+        .alias("x"),
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    a = daily.select(
+        "event_type", F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        "event_type", F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("xb") > F.col("xa"))
+        .select(
+            "event_type",
+            (
+                F.when(F.col("yb") >= F.col("ya"), F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+                * F.expr("ABS(yb - ya) * 1000000 DIV (xb - xa)")
+            ).alias("slope_ppm"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_ppm")
+    wc = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope_ppm",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("m"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(m + 1) DIV 2")
+    ).select(
+        "event_type",
+        F.col("m").cast("bigint").alias("n_slopes"),
+        F.col("slope_ppm").cast("bigint").alias("median_slope_ppm"),
+    )
+
+
+# -- X234 seasonal decomposition (trend / seasonal / residual) --------------
+#
+# Classical additive decomposition with a known period (weekly, 7): trend
+# is a centered 7-observation moving average (full frames only), seasonal
+# is the per-phase mean of the detrended series, residual is the rest.
+# Every window is KEYED by (event_type) and ordered by day — at 100 TB the
+# per-key series stays calendar-bounded, so no unpartitioned window
+# appears anywhere. Arithmetic: cents-integer sums; the two divisions
+# (trend by 7, phase mean by its count) run as mirrored IEEE double
+# FLOORs — identical operand bits in both engines → identical results.
+
+_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+           AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+win AS (
+  SELECT event_type, day, cents,
+         SUM(cents) OVER w AS s7, COUNT(*) OVER w AS c7
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+trended AS (
+  SELECT event_type, day, cents,
+         CAST(FLOOR(CAST(s7 AS DOUBLE) / 7) AS BIGINT) AS trend,
+         cents - CAST(FLOOR(CAST(s7 AS DOUBLE) / 7) AS BIGINT) AS detr
+  FROM win WHERE c7 = 7),
+seasonal AS (
+  SELECT event_type, day % 7 AS phase,
+         CAST(FLOOR(CAST(SUM(detr) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           AS seas
+  FROM trended GROUP BY 1, 2)
+SELECT t.event_type, t.day, t.cents, t.trend, s.seas AS seasonal,
+       t.detr - s.seas AS residual
+FROM trended t
+JOIN seasonal s ON s.event_type = t.event_type AND s.phase = t.day % 7
+"""
+
+
+@query("q_ts_seasonal_decompose", _SEASONAL_ORACLE)
+def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("bigint")
+        .alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("s7"),
+        F.count("*").over(w).alias("c7"),
+    )
+    trend = F.floor(F.col("s7").cast("double") / F.lit(7)).cast("bigint")
+    trended = win.filter(F.col("c7") == 7).select(
+        "event_type",
+        "day",
+        "cents",
+        trend.alias("trend"),
+        (F.col("cents") - trend).alias("detr"),
+    )
+    seasonal = trended.groupBy(
+        F.col("event_type").alias("s_et"), (F.col("day") % 7).alias("phase")
+    ).agg(
+        F.floor(F.sum("detr").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("seas")
+    )
+    out = trended.join(
+        F.broadcast(seasonal),
+        (F.col("event_type") == F.col("s_et"))
+        & (F.col("day") % 7 == F.col("phase")),
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "cents",
+        "trend",
+        F.col("seas").alias("seasonal"),
+        (F.col("detr") - F.col("seas")).alias("residual"),
+    )

@@ -231,6 +231,14 @@ _CHECK_FIRST: list[str] = [
     "q_ts_theil_sen",
     "q_ts_seasonal_decompose",
     "q_graph_ppr",
+    "q_text_bm25",
+    "q_text_soundex",
+    "q_text_stem_light",
+    "q_table_update",
+    "q_ml_dbscan_grid",
+    "q_join_point_in_polygon",
+    "q_corpus_lang_balance",
+    "q_etl_schema_drift",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

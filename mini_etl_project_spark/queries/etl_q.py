@@ -782,3 +782,117 @@ def q_etl_unit_harmonize(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.alias("grams"),
         (grams == F.col("true_grams")).cast("int").alias("roundtrip_ok"),
     )
+
+
+# -- X243 schema drift detection over semi-structured payloads --------------
+#
+# Production ETL watches upstream JSON payloads for drift: keys appearing,
+# disappearing, or changing type between snapshots. The corpus carries a
+# single stable key, so drift is PLANTED deterministically (the
+# q_fn_json_keys convention): in the "new" half (odd event_id), every
+# 3rd event re-types k to a quoted string and every 5th gains a key "v".
+# Detection itself is the real operator: explode observed keys per half,
+# profile presence + numeric-parse rate per key (try_cast — no schema
+# assumed), and classify ADDED / REMOVED / TYPE_CHANGED / STABLE. Two
+# keyed aggregations over one scan; the key inventory is bounded, the
+# classification join is a broadcast.
+
+_DRIFT_ORACLE = """
+WITH halves AS (
+  SELECT event_id % 2 AS half,
+         CASE
+           WHEN event_id % 2 = 1 AND event_id % 3 = 0
+             THEN '{"k": "' || json_extract_string(props, '$.k') || '"}'
+           WHEN event_id % 2 = 1 AND event_id % 5 = 0
+             THEN '{"k": ' || json_extract_string(props, '$.k')
+                  || ', "v": "x"}'
+           ELSE props
+         END AS p
+  FROM events),
+keyed AS (
+  SELECT half, UNNEST(json_keys(p)) AS key, p FROM halves),
+prof AS (
+  SELECT half, key,
+         CAST(COUNT(*) AS BIGINT) AS n_present,
+         CAST(COUNT(TRY_CAST(json_extract_string(p, '$."' || key || '"')
+                             AS DOUBLE)) AS BIGINT) AS n_numeric
+  FROM keyed GROUP BY half, key),
+pivoted AS (
+  SELECT key,
+         MAX(CASE WHEN half = 0 THEN n_present END) AS old_present,
+         MAX(CASE WHEN half = 0 THEN n_numeric END) AS old_numeric,
+         MAX(CASE WHEN half = 1 THEN n_present END) AS new_present,
+         MAX(CASE WHEN half = 1 THEN n_numeric END) AS new_numeric
+  FROM prof GROUP BY key)
+SELECT key,
+       COALESCE(old_present, 0) AS old_present,
+       COALESCE(new_present, 0) AS new_present,
+       CASE
+         WHEN old_present IS NULL THEN 'added'
+         WHEN new_present IS NULL THEN 'removed'
+         WHEN (old_numeric = old_present) <> (new_numeric = new_present)
+           THEN 'type_changed'
+         ELSE 'stable'
+       END AS status
+FROM pivoted
+"""
+
+
+@query("q_etl_schema_drift", _DRIFT_ORACLE)
+def q_etl_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k_val = F.get_json_object("props", "$.k")
+    p = (
+        F.when(
+            (F.col("event_id") % 2 == 1) & (F.col("event_id") % 3 == 0),
+            F.concat(F.lit('{"k": "'), k_val, F.lit('"}')),
+        )
+        .when(
+            (F.col("event_id") % 2 == 1) & (F.col("event_id") % 5 == 0),
+            F.concat(F.lit('{"k": '), k_val, F.lit(', "v": "x"}')),
+        )
+        .otherwise(F.col("props"))
+    )
+    halves = ev.select((F.col("event_id") % 2).alias("half"), p.alias("p"))
+    keyed = halves.select(
+        "half", F.explode(F.json_object_keys("p")).alias("key"), "p"
+    )
+    prof = keyed.groupBy("half", "key").agg(
+        F.count("*").cast("bigint").alias("n_present"),
+        F.count(
+            F.expr(
+                "try_cast(get_json_object(p, concat('$.\"', key, '\"'))"
+                " AS DOUBLE)"
+            )
+        ).cast("bigint").alias("n_numeric"),
+    )
+    pivoted = prof.groupBy("key").agg(
+        F.max(F.when(F.col("half") == 0, F.col("n_present"))).alias(
+            "old_present"
+        ),
+        F.max(F.when(F.col("half") == 0, F.col("n_numeric"))).alias(
+            "old_numeric"
+        ),
+        F.max(F.when(F.col("half") == 1, F.col("n_present"))).alias(
+            "new_present"
+        ),
+        F.max(F.when(F.col("half") == 1, F.col("n_numeric"))).alias(
+            "new_numeric"
+        ),
+    )
+    status = (
+        F.when(F.col("old_present").isNull(), "added")
+        .when(F.col("new_present").isNull(), "removed")
+        .when(
+            (F.col("old_numeric") == F.col("old_present"))
+            != (F.col("new_numeric") == F.col("new_present")),
+            "type_changed",
+        )
+        .otherwise("stable")
+    )
+    return pivoted.select(
+        "key",
+        F.coalesce("old_present", F.lit(0)).alias("old_present"),
+        F.coalesce("new_present", F.lit(0)).alias("new_present"),
+        status.alias("status"),
+    )

@@ -1125,3 +1125,112 @@ def q_join_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("plen").cast("bigint").alias("plen"),
         F.count("*").cast("bigint").alias("n_ips"),
     )
+
+
+# -- X241 point-in-polygon join (integer ray casting) -----------------------
+#
+# Spatial containment as a JOIN: five deterministic concave quads (one
+# per region, derived from r_regionkey) against a point cloud derived
+# from customer keys. The polygon edge table is bounded (5 polys × 4
+# edges) → broadcast; each point evaluates the ray-cast crossing count
+# per polygon as a pure expression aggregate — no shuffle carries
+# geometry, which is exactly how a 100 TB point set joins a bounded
+# polygon layer. Arithmetic is all-integer: vertices sit on even
+# coordinates and points on odd, so the strict crossing inequalities
+# never tie (the one diagonal-edge tangency class is mirrored
+# identically in both engines). Crossing rule, division-free:
+#   cross ⟺ (y1 > py) ≠ (y2 > py)  AND
+#           ((px−x1)(y2−y1) − (py−y1)(x2−x1) < 0) ≠ (y2 < y1)
+
+_PIP_ORACLE = """
+WITH poly AS (
+  SELECT r_regionkey AS pid, v.i,
+         100 * r_regionkey + v.dx AS x, v.dy AS y
+  FROM region,
+       (VALUES (1, 0, 0), (2, 20, 60), (3, 40, 0), (4, 20, 20))
+         v(i, dx, dy)),
+edges AS (
+  SELECT a.pid, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM poly a JOIN poly b
+    ON a.pid = b.pid AND b.i = a.i % 4 + 1),
+pts AS (
+  SELECT c_custkey AS id,
+         2 * ((c_custkey * 13) % 250) + 1 AS px,
+         2 * ((c_custkey * 7) % 40) + 1 AS py
+  FROM customer),
+crossings AS (
+  SELECT p.id, e.pid,
+         SUM(CASE WHEN ((e.y1 > p.py) <> (e.y2 > p.py))
+                   AND (((p.px - e.x1) * (e.y2 - e.y1)
+                         - (p.py - e.y1) * (e.x2 - e.x1) < 0)
+                        <> (e.y2 < e.y1))
+                  THEN 1 ELSE 0 END) AS n_cross
+  FROM pts p CROSS JOIN edges e
+  GROUP BY p.id, e.pid)
+SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_inside,
+       CAST(SUM(id) AS BIGINT) AS id_checksum
+FROM crossings WHERE n_cross % 2 = 1
+GROUP BY pid
+"""
+
+
+@query("q_join_point_in_polygon", _PIP_ORACLE)
+def q_join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    c = load_table(spark, sf_dir, "customer")
+    verts = r.select(
+        F.col("r_regionkey").alias("pid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.lit(dx).alias("dx"),
+                        F.lit(dy).alias("dy"),
+                    )
+                    for i, dx, dy in [(1, 0, 0), (2, 20, 60), (3, 40, 0), (4, 20, 20)]
+                ]
+            )
+        ).alias("v"),
+    ).select(
+        "pid",
+        F.col("v.i").alias("i"),
+        (F.lit(100) * F.col("pid") + F.col("v.dx")).alias("x"),
+        F.col("v.dy").alias("y"),
+    )
+    a = verts.select("pid", "i", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = verts.select(
+        F.col("pid").alias("bpid"),
+        F.col("i").alias("bi"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    edges = a.join(
+        b,
+        (F.col("pid") == F.col("bpid")) & (F.col("bi") == F.col("i") % 4 + 1),
+    ).select("pid", "x1", "y1", "x2", "y2")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.lit(2) * ((F.col("c_custkey") * 13) % 250) + 1).alias("px"),
+        (F.lit(2) * ((F.col("c_custkey") * 7) % 40) + 1).alias("py"),
+    )
+    t = (F.col("px") - F.col("x1")) * (F.col("y2") - F.col("y1")) - (
+        F.col("py") - F.col("y1")
+    ) * (F.col("x2") - F.col("x1"))
+    crossing = (
+        ((F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py")))
+        & ((t < 0) != (F.col("y2") < F.col("y1")))
+    ).cast("long")
+    crossings = (
+        pts.crossJoin(F.broadcast(edges))
+        .groupBy("id", "pid")
+        .agg(F.sum(crossing).alias("n_cross"))
+    )
+    return (
+        crossings.filter(F.col("n_cross") % 2 == 1)
+        .groupBy("pid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_inside"),
+            F.sum("id").cast("bigint").alias("id_checksum"),
+        )
+    )

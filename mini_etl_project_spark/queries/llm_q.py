@@ -706,3 +706,122 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("bigint").alias("idx"),
         F.col("col").alias("q"),
     )
+
+
+# -- X242 multilingual corpus balancing (capped quota + redistribution) -----
+#
+# Training mixes over-sample head languages unless rebalanced. One-shot
+# water-filling in two bounded steps: every language first gets
+# min(supply, B/n_langs); the unclaimed remainder is then redistributed
+# across unsaturated languages proportional to their remaining supply
+# (integer floor-division — deterministic, no iteration). Selection is
+# greedy per language by (n_chars DESC, doc_id) with a keyed cumsum
+# window — the same per-key posture as q_corpus_token_budget. All counts
+# integer; the language stat table is bounded (→ broadcast).
+
+_LB_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(LEN(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         n_chars
+  FROM documents),
+supply AS (
+  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS sup FROM t GROUP BY lang),
+tot AS (
+  SELECT CAST(SUM(sup) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_langs,
+         CAST(SUM(sup) // 2 AS BIGINT) AS budget
+  FROM supply),
+base AS (
+  SELECT s.lang, s.sup,
+         LEAST(s.sup, tot.budget // tot.n_langs) AS q0
+  FROM supply s CROSS JOIN tot),
+leftover AS (
+  SELECT CAST((SELECT budget FROM tot) - SUM(q0) AS BIGINT) AS rem,
+         CAST(SUM(CASE WHEN q0 < sup THEN sup - q0 ELSE 0 END) AS BIGINT)
+           AS cap
+  FROM base),
+quota AS (
+  SELECT b.lang,
+         CAST(b.q0 + CASE WHEN b.sup > b.q0 AND l.cap > 0
+                          THEN l.rem * (b.sup - b.q0) // l.cap
+                          ELSE 0 END AS BIGINT) AS quota
+  FROM base b CROSS JOIN leftover l),
+ranked AS (
+  SELECT t.doc_id, t.lang, t.n_tokens,
+         CAST(SUM(t.n_tokens) OVER (PARTITION BY t.lang
+                                    ORDER BY t.n_chars DESC, t.doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum
+  FROM t)
+SELECT r.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(r.n_tokens) AS BIGINT) AS n_tokens_kept,
+       MIN(q.quota) AS quota
+FROM ranked r JOIN quota q ON q.lang = r.lang
+WHERE r.cum <= q.quota
+GROUP BY r.lang
+"""
+
+
+@query("q_corpus_lang_balance", _LB_ORACLE)
+def q_corpus_lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(tokens("text"))).cast("bigint")
+    t = d.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"), "n_chars"
+    )
+    supply = t.groupBy("lang").agg(
+        F.sum("n_tokens").cast("bigint").alias("sup")
+    )
+    tot = supply.agg(
+        F.sum("sup").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_langs"),
+        F.expr("SUM(sup) DIV 2").alias("budget"),
+    )
+    base = supply.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "sup",
+        F.least(F.col("sup"), F.expr("budget DIV n_langs")).alias("q0"),
+        "budget",
+    )
+    leftover = base.agg(
+        (F.min("budget") - F.sum("q0")).cast("bigint").alias("rem"),
+        F.sum(
+            F.when(F.col("q0") < F.col("sup"), F.col("sup") - F.col("q0"))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("cap"),
+    )
+    quota = base.crossJoin(F.broadcast(leftover)).select(
+        "lang",
+        (
+            F.col("q0")
+            + F.when(
+                (F.col("sup") > F.col("q0")) & (F.col("cap") > 0),
+                F.expr("rem * (sup - q0) DIV cap"),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("quota"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum"),
+    )
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .filter(F.col("cum") <= F.col("quota"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_kept"),
+            F.min("quota").alias("quota"),
+        )
+    )

@@ -1659,3 +1659,148 @@ def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "f1", "f2", F.col("cls").alias("predicted"), "score_ppb"
     )
+
+
+# -- X240 DBSCAN via grid-bucketed neighbor join + label propagation -------
+#
+# Density clustering the distributed way: the O(n²) neighborhood search
+# is replaced by a GRID join — each point lands in one eps-sized cell,
+# probes explode to the 3×3 neighborhood, and candidate pairs exist only
+# within adjacent cells (the standard spatial-join pruning; candidate
+# count scales with local density, not n²). Core points (≥ minPts
+# neighbors incl. self), core-core edges → connected components (the
+# repo's path-compressed min-label operator), border points attach to
+# the min adjacent core component, everything else is noise (-1).
+# Coordinates are milli-quantized ints, distances exact integer L²; the
+# oracle replays the brute-force O(n²) definition with a recursive-CTE
+# min-label closure — the grid pruning must be LOSSLESS to match.
+
+_DBSCAN_EPS = 60  # milli-units
+_DBSCAN_MINPTS = 6
+
+
+_DBSCAN_ORACLE = f"""
+WITH pts AS (
+  SELECT vec_id AS id,
+         CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS x,
+         CAST(ROUND(CAST(embedding[3] AS DOUBLE) * 1000) AS BIGINT) AS y
+  FROM embeddings),
+nbrs AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM pts a JOIN pts b
+    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= {_DBSCAN_EPS} * {_DBSCAN_EPS}),
+deg AS (SELECT ia AS id, COUNT(*) AS n_nbrs FROM nbrs GROUP BY ia),
+core AS (SELECT id FROM deg WHERE n_nbrs >= {_DBSCAN_MINPTS}),
+core_edges AS (
+  SELECT n.ia AS a, n.ib AS b FROM nbrs n
+  JOIN core ca ON ca.id = n.ia JOIN core cb ON cb.id = n.ib
+  WHERE n.ia <> n.ib),
+closure AS (
+  WITH RECURSIVE reach(node, lab) AS (
+    SELECT id, id FROM core
+    UNION
+    SELECT e.b, r.lab FROM reach r JOIN core_edges e ON e.a = r.node)
+  SELECT node AS id, MIN(lab) AS comp FROM reach GROUP BY node),
+border AS (
+  SELECT n.ia AS id, MIN(c.comp) AS comp
+  FROM nbrs n JOIN closure c ON c.id = n.ib
+  WHERE n.ia NOT IN (SELECT id FROM core)
+  GROUP BY n.ia)
+SELECT p.id,
+       CASE WHEN cl.id IS NOT NULL THEN 'core'
+            WHEN bo.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(cl.comp, bo.comp, -1) AS BIGINT) AS cluster
+FROM pts p
+LEFT JOIN closure cl ON cl.id = p.id
+LEFT JOIN border bo ON bo.id = p.id
+"""
+
+
+@query("q_ml_dbscan_grid", _DBSCAN_ORACLE)
+def q_ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.dedup import connected_components
+
+    eps, minpts = _DBSCAN_EPS, _DBSCAN_MINPTS
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.round(F.element_at("embedding", 2).cast("double") * 1000)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.element_at("embedding", 3).cast("double") * 1000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    # Grid join: build side keyed by its own cell, probe side exploded to
+    # the 3×3 neighborhood — every true eps-pair shares a probe cell.
+    cell = lambda c: F.floor(c / F.lit(eps)).cast("long")  # noqa: E731
+    build = pts.select(
+        F.col("id").alias("ib"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        cell(F.col("x")).alias("cx"),
+        cell(F.col("y")).alias("cy"),
+    )
+    probe = (
+        pts.select(
+            F.col("id").alias("ia"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            F.explode(
+                F.array(*[F.lit(d) for d in (-1, 0, 1)])
+            ).alias("dx"),
+            cell(F.col("x")).alias("pcx"),
+            cell(F.col("y")).alias("pcy"),
+        )
+        .select(
+            "ia", "xa", "ya",
+            (F.col("pcx") + F.col("dx")).alias("cx"),
+            F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("dy"),
+            "pcy",
+        )
+        .select("ia", "xa", "ya", "cx", (F.col("pcy") + F.col("dy")).alias("cy"))
+    )
+    dx, dy = F.col("xa") - F.col("xb"), F.col("ya") - F.col("yb")
+    nbrs = (
+        probe.join(build, ["cx", "cy"])
+        .filter(dx * dx + dy * dy <= eps * eps)
+        .select("ia", "ib")
+    )
+    deg = nbrs.groupBy(F.col("ia").alias("id")).agg(
+        F.count("*").alias("n_nbrs")
+    )
+    core = deg.filter(F.col("n_nbrs") >= minpts).select("id")
+    core_edges = (
+        nbrs.filter(F.col("ia") != F.col("ib"))
+        .join(core.withColumnRenamed("id", "ia"), "ia")
+        .join(core.withColumnRenamed("id", "ib"), "ib")
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+    )
+    comp = connected_components(core_edges)  # (id, component)
+    # Isolated cores (no core neighbor) keep their own id as component.
+    closure = core.join(comp, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("comp")
+    )
+    border = (
+        nbrs.join(closure.withColumnRenamed("id", "ib"), "ib")
+        .join(core.withColumnRenamed("id", "ia"), "ia", "left_anti")
+        .groupBy(F.col("ia").alias("id"))
+        .agg(F.min("comp").alias("bcomp"))
+    )
+    out = (
+        pts.join(closure, "id", "left")
+        .join(border, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("comp").isNotNull(), "core")
+            .when(F.col("bcomp").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("comp", "bcomp", F.lit(-1))
+            .cast("bigint")
+            .alias("cluster"),
+        )
+    )
+    return out

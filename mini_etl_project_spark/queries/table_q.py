@@ -485,3 +485,85 @@ def q_table_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.crossJoin(F.broadcast(dels))
+
+
+# -- X239 row-level UPDATE (copy-on-write, both CDC images) ----------------
+#
+# UPDATE ... SET c_acctbal = c_acctbal + 1000 WHERE c_acctbal < 0 on the
+# snapshot table: only files containing a match are rewritten, and the
+# change feed carries the mutation as exact update_preimage /
+# update_postimage row pairs (Delta CDF's update contract). The output
+# fuses three proofs the oracle rebuilds arithmetically from the raw
+# fixture: per-segment post-update aggregates, the updated-row count,
+# and the pre→post balance delta recovered FROM THE FEED (sum(post) −
+# sum(pre) must equal 1000·n_updated — the incremental-maintenance
+# identity a downstream consumer would apply).
+
+_UPDATE_ORACLE = f"""
+WITH updated AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN c_acctbal + 1000
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer),
+agg AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         {sql_dsum('c_acctbal', 'sum_acctbal')}
+  FROM updated GROUP BY c_mktsegment),
+feed AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_updated,
+         {sql_dsum('c_acctbal + 1000', 'post_sum')},
+         {sql_dsum('c_acctbal', 'pre_sum')}
+  FROM customer WHERE c_acctbal < 0)
+SELECT a.c_mktsegment, a.n_rows, a.sum_acctbal,
+       f.n_updated, f.post_sum, f.pre_sum
+FROM agg a CROSS JOIN feed f
+"""
+
+
+@query("q_table_update", _UPDATE_ORACLE)
+def q_table_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    root = _fresh_root(sf_dir, "update")
+    t = SnapshotTable.create(root)
+    base = _customer_slim(spark, sf_dir).repartition(8)
+    v0 = t.append(base)
+    v1 = t.update_where(
+        spark,
+        F.col("c_acctbal") < 0,
+        {"c_acctbal": F.col("c_acctbal") + 1000},
+    )
+    feed = t.read_changes(
+        spark, since_version=v0, to_version=v1, include_preimages=True
+    )
+    proofs = (
+        feed.groupBy()
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "update_postimage", 1)
+            ).cast("bigint").alias("n_updated"),
+            dsum(
+                F.when(
+                    F.col("_change_type") == "update_postimage",
+                    F.col("c_acctbal"),
+                ),
+                "post_sum",
+            ),
+            dsum(
+                F.when(
+                    F.col("_change_type") == "update_preimage",
+                    F.col("c_acctbal"),
+                ),
+                "pre_sum",
+            ),
+        )
+    )
+    agg = (
+        t.read(spark)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum("c_acctbal", "sum_acctbal"),
+        )
+    )
+    return agg.crossJoin(F.broadcast(proofs))

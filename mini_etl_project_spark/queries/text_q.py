@@ -1209,3 +1209,240 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.expr("s DIV n_bigrams").cast("bigint").alias("mean_cond_ppm"),
     )
+
+
+# -- X236 BM25 ranking (integer fixed-point, log-free idf) ------------------
+#
+# Full-text relevance scoring the way a distributed search index computes
+# it: postings are built by exploding tokens WITH the query-term filter
+# applied before the shuffle (only matching terms ever move), document
+# stats (N docs, total length S) are one-row broadcast aggregates, and
+# the final top-20 is a distributed TakeOrdered — no global sort, no
+# unpartitioned window. Scoring is exact integer arithmetic end to end:
+# with k1 = 1.2, b = 0.75,
+#   wtf = 2.2·tf / (tf + 0.3 + 0.9·dl·N/S)
+#       → wtf_ppm = 22·10⁶·tf·S DIV (10·S·tf + 3·S + 9·dl·N)
+# and the saturating-idf replaces ln((N−df+.5)/(df+.5)) with the monotone
+# rational ((2N−2df+1)·10⁶) DIV (2df+1). Products run in DECIMAL(38,0)
+# (DuckDB: HUGEINT) so nothing overflows even at web-corpus S ~ 10¹².
+
+_BM25_TERMS = ("hash", "join", "scan", "filter")
+
+
+def _bm25_terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS s
+  FROM dl),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE tok IN ({_bm25_terms_sql()})
+  GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT t.doc_id,
+         CAST(((2 * c.n - 2 * f.df + 1) * 1000000 // (2 * f.df + 1))
+              * (CAST(22000000 AS HUGEINT) * t.tf * c.s
+                 // (10 * c.s * t.tf + 3 * c.s + 9 * d.dl * c.n))
+              // 1000000 AS BIGINT) AS contrib
+  FROM tf t
+  JOIN dl d ON d.doc_id = t.doc_id
+  JOIN df f ON f.tok = t.tok
+  CROSS JOIN corpus c)
+SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_ppm
+FROM scored GROUP BY doc_id
+ORDER BY score_ppm DESC, doc_id LIMIT 20
+"""
+
+
+@query("q_text_bm25", _BM25_ORACLE)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")
+        ).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("s"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(((2 * n - 2 * df + 1) * 1000000 DIV (2 * df + 1))"
+                " * (CAST(22000000 AS DECIMAL(38,0)) * tf * s"
+                "    DIV (10 * s * tf + 3 * s + 9 * dl * n))"
+                " DIV 1000000 AS BIGINT)"
+            ).alias("contrib"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("contrib").cast("bigint").alias("score_ppm"))
+        .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# -- X237 Soundex phonetic bucketing (built-in vs reimplemented oracle) -----
+#
+# Spark side: the JVM built-in ``F.soundex`` (whole-stage codegen, no
+# Python). Oracle side: American Soundex re-derived in portable SQL —
+# per-word code string via translate (H/W → the transparent class '7'),
+# consecutive-duplicate collapse via a Python-GENERATED nested replace
+# chain (RE2 has no backreferences, so the classic regex collapse is not
+# portable; log₂-depth pair replaces are), then vowel-class removal and
+# zero padding. The vocabulary is the bounded distinct-token set, so the
+# phonetic join is a tiny keyed aggregate at any corpus size.
+
+_SDX_MAP = "01230127022455012623017202"  # A..Z; H/W → '7' (transparent)
+
+
+def _sql_collapse_runs(expr: str) -> str:
+    # Collapse runs of each code digit 0-6: replace dd→d applied ⌈log₂ L⌉
+    # times per digit handles any run length ≤ 2^5 = 32 > max token len.
+    out = expr
+    for d in "0123456":
+        for _ in range(5):
+            out = f"replace({out}, '{d}{d}', '{d}')"
+    return out
+
+
+_SOUNDEX_ORACLE = f"""
+WITH words AS (
+  SELECT DISTINCT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents),
+coded AS (
+  SELECT w,
+         translate(upper(w), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SDX_MAP}')
+           AS codes
+  FROM words),
+collapsed AS (
+  SELECT w,
+         {_sql_collapse_runs("replace(codes, '7', '')")} AS coll,
+         substr(translate(upper(w), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                          '{_SDX_MAP}'), 1, 1) AS first_code
+  FROM coded),
+digits AS (
+  SELECT w,
+         replace(CASE WHEN first_code = '7' THEN coll
+                      ELSE substr(coll, 2) END, '0', '') AS ds
+  FROM collapsed),
+sdx AS (
+  SELECT w, upper(substr(w, 1, 1)) || substr(ds || '000', 1, 3) AS code
+  FROM digits)
+SELECT code, CAST(COUNT(*) AS BIGINT) AS n_words,
+       MIN(w) AS first_word, MAX(w) AS last_word
+FROM sdx GROUP BY code
+"""
+
+
+@query("q_text_soundex", _SOUNDEX_ORACLE)
+def q_text_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")
+        ).alias("w")
+    ).distinct()
+    sdx = words.select("w", F.soundex(F.col("w")).alias("code"))
+    return sdx.groupBy("code").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.min("w").alias("first_word"),
+        F.max("w").alias("last_word"),
+    )
+
+
+# -- X238 suffix-stripping stemmer (Porter step-1 subset, RE2-portable) -----
+#
+# Lightweight stemming as a pure expression chain — the rule ORDER is the
+# semantics (sses→ss before s-drop; ing/ed only when a vowel remains), so
+# both engines evaluate the identical CASE/regexp cascade. No backrefs,
+# no lookarounds: every pattern is RE2-safe and runs inside whole-stage
+# codegen on the Spark side. Output: stem → distinct surface forms +
+# occurrence count over the corpus vocabulary (bounded aggregate).
+
+
+def _stem_sql(col: str) -> str:
+    s1 = (
+        f"CASE WHEN {col} LIKE '%sses' THEN substr({col}, 1, len({col}) - 2) "
+        f"WHEN {col} LIKE '%ies' THEN substr({col}, 1, len({col}) - 2) "
+        f"WHEN {col} LIKE '%ss' THEN {col} "
+        f"WHEN {col} LIKE '%s' AND len({col}) > 2 "
+        f"THEN substr({col}, 1, len({col}) - 1) "
+        f"ELSE {col} END"
+    )
+    return (
+        f"CASE WHEN regexp_matches({s1}, '[aeiou].*ing$') "
+        f"AND len({s1}) > 5 THEN regexp_replace({s1}, 'ing$', '') "
+        f"WHEN regexp_matches({s1}, '[aeiou].*ed$') AND len({s1}) > 4 "
+        f"THEN regexp_replace({s1}, 'ed$', '') "
+        f"ELSE {s1} END"
+    )
+
+
+_STEM_ORACLE = f"""
+WITH toks AS (
+  SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents),
+stemmed AS (SELECT w, {_stem_sql('w')} AS stem FROM toks)
+SELECT stem, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_forms,
+       MIN(w) AS sample_form
+FROM stemmed GROUP BY stem
+"""
+
+
+def _stem_spark(col: str) -> str:
+    # Spark's regexp_matches equivalent is rlike; same rule cascade.
+    s1 = (
+        f"CASE WHEN {col} LIKE '%sses' THEN substr({col}, 1, length({col}) - 2) "
+        f"WHEN {col} LIKE '%ies' THEN substr({col}, 1, length({col}) - 2) "
+        f"WHEN {col} LIKE '%ss' THEN {col} "
+        f"WHEN {col} LIKE '%s' AND length({col}) > 2 "
+        f"THEN substr({col}, 1, length({col}) - 1) "
+        f"ELSE {col} END"
+    )
+    return (
+        f"CASE WHEN {s1} RLIKE '[aeiou].*ing$' "
+        f"AND length({s1}) > 5 THEN regexp_replace({s1}, 'ing$', '') "
+        f"WHEN {s1} RLIKE '[aeiou].*ed$' AND length({s1}) > 4 "
+        f"THEN regexp_replace({s1}, 'ed$', '') "
+        f"ELSE {s1} END"
+    )
+
+
+@query("q_text_stem_light", _STEM_ORACLE)
+def q_text_stem_light(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")
+        ).alias("w")
+    )
+    stemmed = toks.select("w", F.expr(_stem_spark("w")).alias("stem"))
+    return stemmed.groupBy("stem").agg(
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.countDistinct("w").cast("bigint").alias("n_forms"),
+        F.min("w").alias("sample_form"),
+    )

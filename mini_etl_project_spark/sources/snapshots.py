@@ -414,13 +414,18 @@ class SnapshotTable:
 
         to_v = self.latest_version() if to_version is None else to_version
         schema = self.schema(to_v)
-        op_to_type = {"append": "insert", "merge": "upsert", "overwrite": "overwrite", "delete": "delete"}
+        op_to_type = {"append": "insert", "merge": "upsert", "overwrite": "overwrite", "delete": "delete", "update": "update_postimage"}
         parts: list[DataFrame] = []
         for v in range(since_version + 1, to_v + 1):
             m = self._read_manifest(v)
             groups = [(m.get("change_files", []), op_to_type.get(m.get("op", "append"), "insert"))]
             if include_preimages:
-                groups.append((m.get("before_files", []), "upsert_preimage"))
+                pre_type = (
+                    "update_preimage"
+                    if m.get("op") == "update"
+                    else "upsert_preimage"
+                )
+                groups.append((m.get("before_files", []), pre_type))
             for files, ctype in groups:
                 if not files:
                     continue
@@ -609,6 +614,55 @@ class SnapshotTable:
             change_files=staged_deleted,
         )
 
+
+    def update_where(
+        self, spark: SparkSession, predicate, set_exprs: dict
+    ) -> int:
+        """Copy-on-write row-level UPDATE: rewrite ONLY the data files
+        containing a matching row, applying ``set_exprs`` (column →
+        Column) to matches; untouched files carry into the new manifest
+        by name. The change feed carries BOTH images — matched rows
+        pre-mutation as ``update_preimage`` (via ``before_files``) and
+        post-mutation as ``update_postimage`` — Delta CDF's update
+        contract, enough for exact incremental aggregate maintenance."""
+        import pyspark.sql.functions as F
+
+        base = self.latest_version()
+        if base == 0:
+            raise ValueError("update_where on empty table")
+        manifest = self._read_manifest(base)
+        cur = self.read(spark, base).withColumn(
+            "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        hit = cur.filter(predicate)
+        touched = {
+            r["__file"] for r in hit.select("__file").distinct().collect()
+        }
+        data_cols = [c for c in cur.columns if c != "__file"]
+        upd = {c: set_exprs.get(c, F.col(c)) for c in data_cols}
+        touched_rows = cur.filter(F.col("__file").isin(list(touched)))
+        rewritten = touched_rows.select(
+            *[
+                F.when(predicate, upd[c]).otherwise(F.col(c)).alias(c)
+                for c in data_cols
+            ]
+        )
+        post = hit.select(*[upd[c].alias(c) for c in data_cols])
+        staged_kept = self._stage(rewritten) if touched else []
+        staged_post = self._stage(post) if touched else []
+        staged_pre = self._stage(hit.drop("__file")) if touched else []
+        untouched = [f for f in manifest["files"] if f not in touched]
+        self._pending_meta = {
+            **self._pending_meta,
+            "before_files": staged_pre,
+        }
+        return self._commit(
+            untouched + staged_kept,
+            manifest["schema"],
+            base,
+            op="update",
+            change_files=staged_post,
+        )
 
     # -- streaming sink integration ---------------------------------------
 

@@ -239,6 +239,9 @@ _CHECK_FIRST: list[str] = [
     "q_join_point_in_polygon",
     "q_corpus_lang_balance",
     "q_etl_schema_drift",
+    "q_ts_holt_linear",
+    "q_ts_cross_correlation",
+    "q_ml_perceptron",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -1804,3 +1804,129 @@ def q_ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# -- X246 batch perceptron (unrolled integer gradient rounds) --------------
+#
+# The minimal distributed learner: batch perceptron on two quantized
+# embedding coordinates + bias, label y = ±1. Each round is ONE
+# aggregation — Δw = Σ over misclassified points of y·x (margin test
+# y·(w·x) ≤ 0 uses the PREVIOUS round's weights, which are a broadcast
+# 1-row table) — then w' = w + Δw. Three unrolled rounds keep the whole
+# computation one declarative plan: per round the shuffle carries 3
+# integer partial sums, nothing else; at 100 TB each round is a
+# map-side-combined scan, the textbook full-batch update. All arithmetic
+# is exact int64 (coords ≤ 2¹⁰ milli-units, so even web-scale Δw sums
+# stay < 2⁵³... < 2⁶³).
+
+_PCT_ROUND_SQL = """
+w_{cur} AS (
+  SELECT w.w1 + COALESCE(SUM(CASE WHEN p.y * (w.w1 * p.x1 + w.w2 * p.x2
+                                             + w.w0) <= 0
+                                  THEN p.y * p.x1 END), 0) AS w1,
+         w.w2 + COALESCE(SUM(CASE WHEN p.y * (w.w1 * p.x1 + w.w2 * p.x2
+                                              + w.w0) <= 0
+                                  THEN p.y * p.x2 END), 0) AS w2,
+         w.w0 + COALESCE(SUM(CASE WHEN p.y * (w.w1 * p.x1 + w.w2 * p.x2
+                                              + w.w0) <= 0
+                                  THEN p.y END), 0) AS w0,
+         COUNT(CASE WHEN p.y * (w.w1 * p.x1 + w.w2 * p.x2 + w.w0) <= 0
+                    THEN 1 END) AS n_miscl
+  FROM pts p CROSS JOIN w_{prev} w
+  GROUP BY w.w1, w.w2, w.w0)
+"""
+
+
+_PERCEPTRON_ORACLE = f"""
+WITH pts AS (
+  SELECT CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS x1,
+         CAST(ROUND(CAST(embedding[3] AS DOUBLE) * 1000) AS BIGINT) AS x2,
+         CAST(2 * (label % 2) - 1 AS BIGINT) AS y
+  FROM embeddings),
+w_0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+               CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS n_miscl),
+{_PCT_ROUND_SQL.format(cur=1, prev=0)},
+{_PCT_ROUND_SQL.format(cur=2, prev=1)},
+{_PCT_ROUND_SQL.format(cur=3, prev=2)}
+SELECT 1 AS round, CAST(w1 AS BIGINT) AS w1, CAST(w2 AS BIGINT) AS w2,
+       CAST(w0 AS BIGINT) AS w0, CAST(n_miscl AS BIGINT) AS n_miscl
+FROM w_1
+UNION ALL SELECT 2, CAST(w1 AS BIGINT), CAST(w2 AS BIGINT),
+       CAST(w0 AS BIGINT), CAST(n_miscl AS BIGINT) FROM w_2
+UNION ALL SELECT 3, CAST(w1 AS BIGINT), CAST(w2 AS BIGINT),
+       CAST(w0 AS BIGINT), CAST(n_miscl AS BIGINT) FROM w_3
+"""
+
+
+@query("q_ml_perceptron", _PERCEPTRON_ORACLE)
+def q_ml_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.round(F.element_at("embedding", 2).cast("double") * 1000)
+        .cast("bigint")
+        .alias("x1"),
+        F.round(F.element_at("embedding", 3).cast("double") * 1000)
+        .cast("bigint")
+        .alias("x2"),
+        (2 * (F.col("label") % 2) - 1).cast("bigint").alias("y"),
+    )
+    w = pts.sparkSession.range(1).select(
+        F.lit(0).cast("bigint").alias("w1"),
+        F.lit(0).cast("bigint").alias("w2"),
+        F.lit(0).cast("bigint").alias("w0"),
+        F.lit(0).cast("bigint").alias("n_miscl"),
+    )
+    outs = []
+    for rnd in (1, 2, 3):
+        margin = F.col("y") * (
+            F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+            + F.col("w0")
+        )
+        mis = margin <= 0
+        w = (
+            pts.crossJoin(F.broadcast(w))
+            .groupBy("w1", "w2", "w0")
+            .agg(
+                (
+                    F.first("w1")
+                    + F.coalesce(
+                        F.sum(F.when(mis, F.col("y") * F.col("x1"))),
+                        F.lit(0),
+                    )
+                ).alias("nw1"),
+                (
+                    F.first("w2")
+                    + F.coalesce(
+                        F.sum(F.when(mis, F.col("y") * F.col("x2"))),
+                        F.lit(0),
+                    )
+                ).alias("nw2"),
+                (
+                    F.first("w0")
+                    + F.coalesce(F.sum(F.when(mis, F.col("y"))), F.lit(0))
+                ).alias("nw0"),
+                F.count(F.when(mis, F.lit(1))).cast("bigint").alias(
+                    "n_miscl"
+                ),
+            )
+            .select(
+                F.col("nw1").cast("bigint").alias("w1"),
+                F.col("nw2").cast("bigint").alias("w2"),
+                F.col("nw0").cast("bigint").alias("w0"),
+                "n_miscl",
+            )
+        )
+        outs.append(
+            w.select(
+                F.lit(rnd).cast("int").alias("round"),
+                "w1",
+                "w2",
+                "w0",
+                "n_miscl",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

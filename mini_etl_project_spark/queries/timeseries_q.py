@@ -2216,3 +2216,176 @@ def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seas").alias("seasonal"),
         (F.col("detr") - F.col("seas")).alias("residual"),
     )
+
+
+# -- X244 Holt linear exponential smoothing (stateful recurrence) -----------
+#
+# Double exponential smoothing (level + trend) is a SEQUENTIAL per-key
+# recurrence — the one shape declarative plans cannot express. The
+# Spark-idiomatic escape hatch: ``applyInPandas`` per key, Arrow-batched,
+# with the keyed partitioning doing the distribution (each key's
+# calendar-bounded series fits one task; 100 TB of keys parallelize
+# across executors). α = β = ½ keeps the recurrence EXACT in integers:
+#   l_t = trunc((y_t + l_{t−1} + b_{t−1}) / 2)
+#   b_t = trunc((b_{t−1} + l_t − l_{t−1}) / 2)
+# The halving is sign-split TRUNCATING division (DuckDB ``//``
+# truncates on integers; Python mirrors with sign·(|x|//2)), so the
+# recursive-CTE oracle replays the recurrence bit-for-bit — a rows-only
+# check would have proven nothing about the state evolution.
+
+_HOLT_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, day, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily),
+rec AS (
+  WITH RECURSIVE h(event_type, rn, day, cents, l, b) AS (
+    SELECT event_type, rn, day, cents, cents, CAST(0 AS BIGINT)
+    FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT r.event_type, r.rn, r.day, r.cents,
+           (r.cents + h.l + h.b) // 2,
+           (h.b + ((r.cents + h.l + h.b) // 2) - h.l) // 2
+    FROM h JOIN ranked r
+      ON r.event_type = h.event_type AND r.rn = h.rn + 1)
+  SELECT * FROM h)
+SELECT event_type, day, cents, l AS level, b AS trend,
+       l + b AS forecast_next
+FROM rec
+"""
+
+
+@query("q_ts_holt_linear", _HOLT_ORACLE)
+def q_ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("bigint")
+        .alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        ls: list[int] = []
+        bs: list[int] = []
+        l = b = 0
+        for i, y in enumerate(int(v) for v in pdf["cents"]):
+            if i == 0:
+                l, b = y, 0
+            else:
+                half = lambda x: abs(x) // 2 * (1 if x >= 0 else -1)  # noqa: E731
+                l_new = half(y + l + b)
+                b = half(b + l_new - l)
+                l = l_new
+            ls.append(l)
+            bs.append(b)
+        pdf["level"] = pd.Series(ls, dtype="int64")
+        pdf["trend"] = pd.Series(bs, dtype="int64")
+        pdf["forecast_next"] = pdf["level"] + pdf["trend"]
+        return pdf
+
+    return daily.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type string, day bigint, cents bigint, "
+        "level bigint, trend bigint, forecast_next bigint",
+    )
+
+
+# -- X245 lagged cross-correlation between two event streams ----------------
+#
+# Lead/lag analysis: Pearson correlation of the click and purchase daily
+# series at lags −3..+3. The lag table is a 7-element literal explode;
+# each lag's pairing is one keyed equi-join on (day + lag), and every
+# per-lag correlation reduces to the 6 integer moments (map-side
+# combinable). Mirrored IEEE double tree on exact int64 sums — the
+# q_agg_moments_corr convention.
+
+_XCORR_ORACLE = """
+WITH a AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE event_type = 'click' GROUP BY 1),
+b AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+lags AS (SELECT UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+paired AS (
+  SELECT l.lag, a.y AS x, b.y AS y
+  FROM lags l
+  JOIN a ON TRUE
+  JOIN b ON b.day = a.day + l.lag),
+m AS (
+  SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM paired GROUP BY lag)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+         AS xcorr
+FROM m
+"""
+
+
+@query("q_ts_cross_correlation", _XCORR_ORACLE)
+def q_ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("bigint")
+        .alias("day")
+    )
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(day)
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(F.count("*").cast("bigint").alias("y"))
+        .withColumnRenamed("day", "bday")
+    )
+    lags = a.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in (-3, -2, -1, 0, 1, 2, 3)])).alias(
+            "lag"
+        )
+    )
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bday") == F.col("day") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    m = paired.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cxy = sxy - sx * sy / n
+    cxx = sxx - sx * sx / n
+    cyy = syy - sy * sy / n
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        n.cast("bigint").alias("n"),
+        (cxy / F.sqrt(cxx * cyy)).alias("xcorr"),
+    )

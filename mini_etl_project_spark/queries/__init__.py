@@ -242,6 +242,11 @@ _CHECK_FIRST: list[str] = [
     "q_ts_holt_linear",
     "q_ts_cross_correlation",
     "q_ml_perceptron",
+    "q_graph_cycle_detect",
+    "q_ml_linreg_multi",
+    "q_ts_binary_seg",
+    "q_window_groups_frame",
+    "q_ts_rescaled_range",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -792,3 +792,85 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seed = nodes.agg(F.min("node")).collect()[0][0]  # bounded scalar
     return personalized_pagerank(edges, seed, iterations=3)
+
+
+# -- X247 functional-graph cycle detection (pointer doubling) ---------------
+#
+# Every node has ONE successor (succ(v) = (7v + 3) mod n over the
+# supplier key space); classify each node as on-cycle vs tail and name
+# its cycle. The scale pattern is POINTER DOUBLING with a carried min:
+#   s_{2k}(v) = s_k(s_k(v));  m_{2k}(v) = min(m_k(v), m_k(s_k(v)))
+# so ⌈log₂ 2n⌉ keyed self-joins compose the walk to depth D ≥ 2n —
+# logarithmic rounds where the naive walk is O(n), the parallel
+# list-ranking trick. After D steps every walk has entered its cycle and
+# the carried min has seen the WHOLE cycle, hence:
+#   land(v) = s_D(v) is on a cycle; on-cycle ⟺ v ∈ image(s_D);
+#   cycle_id(v) = m_D(land(v)) (min member of the cycle v drains into).
+# The oracle replays the same walk as a LINEAR recursive CTE carrying
+# the path min — fine at oracle scale, wrong at cluster scale; the
+# log-depth plan is the point. The two sides run DIFFERENT depths
+# (Spark 2^(rounds−1), oracle 2^rounds) and still agree because the
+# OUTPUT is depth-invariant for any D ≥ n: land(v) moves around its
+# cycle as D grows, but image(s_D), and the cycle-min looked up at the
+# landing node, are properties of the cycle itself.
+
+_CYCLE_ORACLE = """
+WITH nodes AS (SELECT s_suppkey AS v FROM supplier),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+dd AS (
+  SELECT CAST(POWER(2, CEIL(LOG2(2 * n))) AS BIGINT) AS d FROM nn),
+succ AS (SELECT v, (7 * v + 3) % (SELECT n FROM nn) AS s FROM nodes),
+walk AS (
+  WITH RECURSIVE w(v, cur, pmin, step) AS (
+    SELECT v, v, v, 0 FROM nodes
+    UNION ALL
+    SELECT w.v, s.s, LEAST(w.pmin, s.s), w.step + 1
+    FROM w JOIN succ s ON s.v = w.cur
+    WHERE w.step < (SELECT d FROM dd))
+  SELECT v, cur AS land, pmin
+  FROM w WHERE step = (SELECT d FROM dd)),
+img AS (SELECT DISTINCT land AS v FROM walk)
+SELECT w.v,
+       w.v IN (SELECT v FROM img) AS is_on_cycle,
+       CAST(w2.pmin AS BIGINT) AS cycle_id
+FROM walk w JOIN walk w2 ON w2.v = w.land
+"""
+
+
+@query("q_graph_cycle_detect", _CYCLE_ORACLE)
+def q_graph_cycle_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    sup = load_table(spark, sf_dir, "supplier")
+    nodes = sup.select(F.col("s_suppkey").alias("v"))
+    n = nodes.count()  # bounded scalar (drives the round count)
+    rounds = max(1, math.ceil(math.log2(2 * n)))
+    succ = nodes.select("v", ((7 * F.col("v") + 3) % n).alias("s"))
+    # state: v → (s = k-step successor, m = min over first k successors)
+    state = succ.select("v", "s", F.col("s").alias("m"))
+    for _ in range(rounds - 1):
+        hop = state.select(
+            F.col("v").alias("hv"),
+            F.col("s").alias("hs"),
+            F.col("m").alias("hm"),
+        )
+        state = (
+            state.join(hop, state["s"] == hop["hv"])
+            .select(
+                "v",
+                F.col("hs").alias("s"),
+                F.least(F.col("m"), F.col("hm")).alias("m"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    walk = state.select("v", F.col("s").alias("land"), F.col("m").alias("pmin"))
+    img = walk.select(F.col("land").alias("iv")).distinct()
+    on_cycle = (
+        walk.join(img, walk["v"] == img["iv"], "left")
+        .select("v", "land", F.col("iv").isNotNull().alias("is_on_cycle"))
+    )
+    cyc = walk.select(F.col("v").alias("cv"), F.col("pmin").alias("cycle_id"))
+    return (
+        on_cycle.join(cyc, F.col("land") == F.col("cv"))
+        .select("v", "is_on_cycle", F.col("cycle_id").cast("bigint"))
+    )

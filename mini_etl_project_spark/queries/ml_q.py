@@ -1930,3 +1930,94 @@ def q_ml_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# -- X248 multivariate linear regression (normal equations + Cramer) -------
+#
+# Two-feature OLS with intercept, fit the distributed way: the 3×3
+# normal-equation system is assembled from NINE integer moment sums in
+# ONE map-side-combinable aggregation per group (the shuffle carries 9
+# numbers per group, never rows), then solved per group by Cramer's
+# rule. Moments are exact int64 (quantized features, bounds documented
+# per q_agg_corr_matrix); every determinant/division runs in the
+# mirrored IEEE double tree, so both engines produce bit-identical
+# coefficients. price ≈ β0 + β1·qty + β2·disc per returnflag.
+
+_LINREG2_ORACLE = """
+WITH scaled AS (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 1000) AS BIGINT) AS x2,
+         CAST(ROUND(l_extendedprice) AS BIGINT) // 10 AS y
+  FROM lineitem),
+m AS (
+  SELECT grp, COUNT(*) AS n,
+         SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+         SUM(x1*x1) AS s11, SUM(x2*x2) AS s22, SUM(x1*x2) AS s12,
+         SUM(x1*y) AS s1y, SUM(x2*y) AS s2y
+  FROM scaled GROUP BY grp),
+d AS (
+  SELECT grp, CAST(n AS BIGINT) AS n,
+         CAST(n AS DOUBLE) AS a, CAST(s1 AS DOUBLE) AS b,
+         CAST(s2 AS DOUBLE) AS c, CAST(s11 AS DOUBLE) AS e,
+         CAST(s12 AS DOUBLE) AS f, CAST(s22 AS DOUBLE) AS g,
+         CAST(sy AS DOUBLE) AS p, CAST(s1y AS DOUBLE) AS q,
+         CAST(s2y AS DOUBLE) AS r
+  FROM m)
+SELECT grp, n,
+       (p * (e*g - f*f) - b * (q*g - f*r) + c * (q*f - e*r))
+         / (a * (e*g - f*f) - b * (b*g - c*f) + c * (b*f - c*e)) AS beta0,
+       (a * (q*g - f*r) - p * (b*g - c*f) + c * (b*r - c*q))
+         / (a * (e*g - f*f) - b * (b*g - c*f) + c * (b*f - c*e)) AS beta1,
+       (a * (e*r - f*q) - b * (b*r - c*q) + p * (b*f - c*e))
+         / (a * (e*g - f*f) - b * (b*g - c*f) + c * (b*f - c*e)) AS beta2
+FROM d
+"""
+
+
+@query("q_ml_linreg_multi", _LINREG2_ORACLE)
+def q_ml_linreg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    scaled = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 1000).cast("bigint").alias("x2"),
+        F.expr("CAST(ROUND(l_extendedprice) AS BIGINT) DIV 10").alias("y"),
+    )
+    m = scaled.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    a, b, c = (
+        F.col("n").cast("double"),
+        F.col("s1").cast("double"),
+        F.col("s2").cast("double"),
+    )
+    e, f_, g = (
+        F.col("s11").cast("double"),
+        F.col("s12").cast("double"),
+        F.col("s22").cast("double"),
+    )
+    p, q, r = (
+        F.col("sy").cast("double"),
+        F.col("s1y").cast("double"),
+        F.col("s2y").cast("double"),
+    )
+    det = a * (e * g - f_ * f_) - b * (b * g - c * f_) + c * (b * f_ - c * e)
+    det0 = p * (e * g - f_ * f_) - b * (q * g - f_ * r) + c * (q * f_ - e * r)
+    det1 = a * (q * g - f_ * r) - p * (b * g - c * f_) + c * (b * r - c * q)
+    det2 = a * (e * r - f_ * q) - b * (b * r - c * q) + p * (b * f_ - c * e)
+    return m.select(
+        "grp",
+        F.col("n").cast("bigint").alias("n"),
+        (det0 / det).alias("beta0"),
+        (det1 / det).alias("beta1"),
+        (det2 / det).alias("beta2"),
+    )

@@ -2389,3 +2389,227 @@ def q_ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n"),
         (cxy / F.sqrt(cxx * cyy)).alias("xcorr"),
     )
+
+
+# -- X249 binary-segmentation changepoint (argmin split SSE) ----------------
+#
+# The other classic changepoint detector (complement to CUSUM): per key,
+# the split k that minimizes SSE(prefix) + SSE(suffix) of the daily
+# series. Prefix sums/sumsqs come from KEYED cumulative windows (the
+# series is calendar-bounded per key), suffixes from the per-key totals
+# minus the prefix — one window pass, one argmin, no self-join over
+# candidate splits. Integer sums exact; SSE = Q − S²/m and the argmin
+# comparison run in the mirrored IEEE double tree (identical operand
+# bits → identical ordering), tie → earliest day.
+
+_BINSEG_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, day, cents,
+         SUM(cents) OVER w AS ps, SUM(cents * cents) OVER w AS pq,
+         COUNT(*) OVER w AS pm,
+         SUM(cents) OVER t AS ts_, SUM(cents * cents) OVER t AS tq,
+         COUNT(*) OVER t AS tn
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING),
+         t AS (PARTITION BY event_type)),
+cost AS (
+  SELECT event_type, day,
+         (CAST(pq AS DOUBLE) - CAST(ps AS DOUBLE) * CAST(ps AS DOUBLE) / pm)
+         + (CAST(tq - pq AS DOUBLE)
+            - CAST(ts_ - ps AS DOUBLE) * CAST(ts_ - ps AS DOUBLE)
+              / (tn - pm)) AS sse,
+         CAST(ps AS DOUBLE) / pm AS mean_before,
+         CAST(ts_ - ps AS DOUBLE) / (tn - pm) AS mean_after
+  FROM cum WHERE pm < tn),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY sse, day) AS rk
+  FROM cost)
+SELECT event_type, day AS split_day, sse, mean_before, mean_after
+FROM ranked WHERE rk = 1
+"""
+
+
+@query("q_ts_binary_seg", _BINSEG_ORACLE)
+def q_ts_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("bigint")
+        .alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("cents").over(w).alias("ps"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("pq"),
+        F.count("*").over(w).alias("pm"),
+        F.sum("cents").over(t).alias("ts_"),
+        F.sum(F.col("cents") * F.col("cents")).over(t).alias("tq"),
+        F.count("*").over(t).alias("tn"),
+    )
+    ps, pq, pm = (
+        F.col("ps").cast("double"),
+        F.col("pq").cast("double"),
+        F.col("pm"),
+    )
+    ss, sq, sm = (
+        (F.col("ts_") - F.col("ps")).cast("double"),
+        (F.col("tq") - F.col("pq")).cast("double"),
+        F.col("tn") - F.col("pm"),
+    )
+    cost = cum.filter(F.col("pm") < F.col("tn")).select(
+        "event_type",
+        "day",
+        ((pq - ps * ps / pm) + (sq - ss * ss / sm)).alias("sse"),
+        (ps / pm).alias("mean_before"),
+        (ss / sm).alias("mean_after"),
+    )
+    ranked = cost.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("sse", "day")
+        ),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("day").alias("split_day"),
+        "sse",
+        "mean_before",
+        "mean_after",
+    )
+
+
+# -- X250b rescaled range (R/S) statistic -----------------------------------
+#
+# The Hurst-exponent workhorse: chunk each key's daily series into
+# consecutive blocks of 8 and 16 observations, compute per-block
+# R/S = (max cumdev − min cumdev) / population_std, and report the
+# cross-block mean per (key, block size). Everything reduces to keyed
+# windows over the calendar-bounded series plus per-block integer
+# moments; cumulative deviation cd_i = prefix_i − i·mean needs only the
+# integer prefix sum and the (mirrored-double) mean. Per-block R and S
+# are IEEE-mirrored (sqrt is correctly rounded); the cross-block mean
+# goes through the DECIMAL(38,6) order-independent sum (the repo's
+# float-aggregation convention).
+
+_RS_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+sized AS (
+  SELECT d.*, sz.sz,
+         (ROW_NUMBER() OVER (PARTITION BY d.event_type, sz.sz
+                             ORDER BY d.day) - 1) // sz.sz AS blk,
+         ROW_NUMBER() OVER (PARTITION BY d.event_type, sz.sz
+                            ORDER BY d.day) AS rn
+  FROM daily d CROSS JOIN (SELECT UNNEST([8, 16]) AS sz) sz),
+pre AS (
+  SELECT *,
+         SUM(cents) OVER (PARTITION BY event_type, sz, blk ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS ps,
+         ROW_NUMBER() OVER (PARTITION BY event_type, sz, blk
+                            ORDER BY day) AS i,
+         COUNT(*) OVER (PARTITION BY event_type, sz, blk) AS m,
+         SUM(cents) OVER (PARTITION BY event_type, sz, blk) AS s,
+         SUM(cents * cents) OVER (PARTITION BY event_type, sz, blk) AS q
+  FROM sized),
+dev AS (
+  SELECT event_type, sz, blk, m,
+         CAST(ps AS DOUBLE) - i * (CAST(s AS DOUBLE) / m) AS cd,
+         CAST(q AS DOUBLE) / m
+           - (CAST(s AS DOUBLE) / m) * (CAST(s AS DOUBLE) / m) AS var_p
+  FROM pre WHERE m = sz),
+blocks AS (
+  SELECT event_type, sz, blk,
+         (MAX(cd) - MIN(cd)) / sqrt(ANY_VALUE(var_p)) AS rs
+  FROM dev GROUP BY event_type, sz, blk),
+out AS (
+  SELECT event_type, CAST(sz AS BIGINT) AS chunk_size,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(CAST(rs AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS mean_rs
+  FROM blocks GROUP BY event_type, sz)
+SELECT * FROM out
+"""
+
+
+@query("q_ts_rescaled_range", _RS_ORACLE)
+def q_ts_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("bigint")
+        .alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    sizes = daily.sparkSession.range(1).select(
+        F.explode(F.array(F.lit(8), F.lit(16))).alias("sz")
+    )
+    sized = daily.crossJoin(F.broadcast(sizes)).withColumn(
+        "blk", F.expr("(ROW_NUMBER() OVER (PARTITION BY event_type, sz "
+                      "ORDER BY day) - 1) DIV sz")
+    )
+    wblk = Window.partitionBy("event_type", "sz", "blk").orderBy("day")
+    wtot = Window.partitionBy("event_type", "sz", "blk")
+    pre = sized.select(
+        "event_type",
+        "sz",
+        "blk",
+        "day",
+        "cents",
+        F.sum("cents").over(
+            wblk.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("ps"),
+        F.row_number().over(wblk).alias("i"),
+        F.count("*").over(wtot).alias("m"),
+        F.sum("cents").over(wtot).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(wtot).alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("m")
+    dev = pre.filter(F.col("m") == F.col("sz")).select(
+        "event_type",
+        "sz",
+        "blk",
+        (F.col("ps").cast("double") - F.col("i") * mean).alias("cd"),
+        (F.col("q").cast("double") / F.col("m") - mean * mean).alias(
+            "var_p"
+        ),
+    )
+    blocks = dev.groupBy("event_type", "sz", "blk").agg(
+        (
+            (F.max("cd") - F.min("cd")) / F.sqrt(F.first("var_p"))
+        ).alias("rs")
+    )
+    return blocks.groupBy(
+        "event_type", F.col("sz").cast("bigint").alias("chunk_size")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        (
+            F.sum(F.col("rs").cast("decimal(38,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean_rs"),
+    )

@@ -491,3 +491,65 @@ def q_window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_cents",
     )
+
+
+# -- X250 GROUPS window frame, emulated ------------------------------------
+#
+# SQL:2011 GROUPS frames (peer-group-counted) exist in DuckDB but not in
+# Spark 4. The lossless re-expression: a GROUPS frame over ORDER BY k is
+# EXACTLY a RANGE frame over dense_rank(k) — peers share a dense rank,
+# and "N groups preceding" = "dense ranks in [r−N, r]". Two keyed
+# windows (the dense_rank, then the RANGE aggregate over it) replace the
+# missing frame type with identical semantics. DuckDB lacks GROUPS mode
+# too, so the oracle certifies through an INDEPENDENT formulation: an
+# explicit peer-group self-join on dense-rank distance ≤ 1 — three
+# different evaluation strategies, one answer.
+
+_GROUPS_FRAME_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority AS pri,
+         CAST(o_orderdate AS DATE) AS d,
+         CAST(ROUND(o_totalprice) AS BIGINT) AS cents
+  FROM orders),
+g AS (
+  SELECT pri, d, CAST(SUM(cents) AS BIGINT) AS day_total
+  FROM daily GROUP BY pri, d),
+r AS (
+  SELECT *, DENSE_RANK() OVER (PARTITION BY pri ORDER BY day_total) AS dr
+  FROM g)
+SELECT a.pri, a.d, a.day_total,
+       CAST(SUM(b.day_total) AS BIGINT) AS grp_frame_sum,
+       CAST(COUNT(*) AS BIGINT) AS grp_frame_n
+FROM r a JOIN r b
+  ON b.pri = a.pri AND b.dr BETWEEN a.dr - 1 AND a.dr
+GROUP BY a.pri, a.d, a.day_total
+"""
+
+
+@query("q_window_groups_frame", _GROUPS_FRAME_ORACLE)
+def q_window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(
+        F.sum(F.round("o_totalprice").cast("bigint"))
+        .cast("bigint")
+        .alias("day_total")
+    )
+    dr = F.dense_rank().over(
+        Window.partitionBy("pri").orderBy("day_total")
+    )
+    ranked = g.select("pri", "d", "day_total", dr.alias("dr"))
+    frame = (
+        Window.partitionBy("pri")
+        .orderBy("dr")
+        .rangeBetween(-1, 0)
+    )
+    return ranked.select(
+        "pri",
+        "d",
+        "day_total",
+        F.sum("day_total").over(frame).cast("bigint").alias("grp_frame_sum"),
+        F.count("*").over(frame).cast("bigint").alias("grp_frame_n"),
+    )

@@ -2497,7 +2497,7 @@ def q_ts_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- X250b rescaled range (R/S) statistic -----------------------------------
+# -- X251 rescaled range (R/S) statistic -----------------------------------
 #
 # The Hurst-exponent workhorse: chunk each key's daily series into
 # consecutive blocks of 8 and 16 observations, compute per-block

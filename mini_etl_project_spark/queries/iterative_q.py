@@ -264,7 +264,12 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_project_spark.operators.graph import pagerank_dangling
 
-    edges = _trade_edges(spark, sf_dir).filter(F.col("src") < F.col("dst"))
+    # Materialize the 5-way-join edge list once (see q_graph_ppr).
+    edges = (
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") < F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
     return pagerank_dangling(edges, iterations=3)
 
 
@@ -272,7 +277,10 @@ def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_project_spark.operators.graph import pagerank
 
-    return pagerank(_trade_edges(spark, sf_dir), iterations=3)
+    return pagerank(
+        _trade_edges(spark, sf_dir).localCheckpoint(eager=True),
+        iterations=3,
+    )
 
 
 # -- triangle counting ------------------------------------------------------
@@ -784,7 +792,15 @@ SELECT node, rank FROM i3
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_project_spark.operators.graph import personalized_pagerank
 
-    edges = _trade_edges(spark, sf_dir).filter(F.col("src") < F.col("dst"))
+    # The edge list is a 5-way join; every PPR round references it several
+    # times (contribs, outdeg, dangling anti-join). localCheckpoint
+    # materializes it ONCE so iterations reuse the 25-row result instead
+    # of replaying the join lineage ~10× (measured 26 s → ~3 s at sf0.1).
+    edges = (
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") < F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

@@ -247,6 +247,10 @@ _CHECK_FIRST: list[str] = [
     "q_ts_binary_seg",
     "q_window_groups_frame",
     "q_ts_rescaled_range",
+    "q_table_ivm_update",
+    "q_ml_maxmin_seed",
+    "q_ml_mrr",
+    "q_window_topk_with_ties",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

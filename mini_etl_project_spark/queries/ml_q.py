@@ -2021,3 +2021,187 @@ def q_ml_linreg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (det1 / det).alias("beta1"),
         (det2 / det).alias("beta2"),
     )
+
+
+# -- X253 max-min (farthest-point) k-means seeding -------------------------
+#
+# The deterministic k-means++ cousin: seed 1 is the minimum id; each of
+# the next k−1 seeds is the point whose distance to its NEAREST chosen
+# seed is MAXIMUM (argmax with id tie-break). Each round is one
+# broadcast join (points × ≤k seed rows) + one argmax aggregate — the
+# iterative structure mirrors Lloyd but with k−1 bounded rounds, so the
+# whole selection is a shallow declarative plan. Distances are exact
+# integer L² over milli-quantized coordinates (the kmeans convention);
+# the oracle unrolls the identical argmax recurrence.
+
+_MAXMIN_DIM = 4
+
+
+def _mm_round_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT p.id, p.x1, p.x2, p.x3, p.x4 FROM pts p
+  JOIN (
+    SELECT pp.id,
+           ROW_NUMBER() OVER (
+             ORDER BY MIN((pp.x1 - s.x1) * (pp.x1 - s.x1)
+                        + (pp.x2 - s.x2) * (pp.x2 - s.x2)
+                        + (pp.x3 - s.x3) * (pp.x3 - s.x3)
+                        + (pp.x4 - s.x4) * (pp.x4 - s.x4)) DESC,
+             pp.id) AS rk
+    FROM pts pp CROSS JOIN (SELECT * FROM {prev}) s
+    GROUP BY pp.id) r ON r.id = p.id AND r.rk = 1)"""
+
+
+_MAXMIN_ORACLE = f"""
+WITH pts AS (
+  SELECT vec_id AS id,
+         CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS x1,
+         CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS x2,
+         CAST(ROUND(CAST(embedding[3] AS DOUBLE) * 1000) AS BIGINT) AS x3,
+         CAST(ROUND(CAST(embedding[4] AS DOUBLE) * 1000) AS BIGINT) AS x4
+  FROM embeddings),
+s1 AS (SELECT id, x1, x2, x3, x4 FROM pts
+       WHERE id = (SELECT MIN(id) FROM pts)),
+{_mm_round_sql('s1', 's2')},
+{_mm_round_sql('(SELECT * FROM s1 UNION ALL SELECT * FROM s2)', 's3')},
+{_mm_round_sql(
+    '(SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)',
+    's4')}
+SELECT 1 AS seed_rank, id, x1, x2, x3, x4 FROM s1
+UNION ALL SELECT 2, id, x1, x2, x3, x4 FROM s2
+UNION ALL SELECT 3, id, x1, x2, x3, x4 FROM s3
+UNION ALL SELECT 4, id, x1, x2, x3, x4 FROM s4
+"""
+
+
+@query("q_ml_maxmin_seed", _MAXMIN_ORACLE)
+def q_ml_maxmin_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        *[
+            F.round(F.element_at("embedding", i + 1).cast("double") * 1000)
+            .cast("bigint")
+            .alias(f"x{i + 1}")
+            for i in range(_MAXMIN_DIM)
+        ],
+    ).localCheckpoint(eager=True)
+    cols = [f"x{i + 1}" for i in range(_MAXMIN_DIM)]
+    first = pts.orderBy("id").limit(1)
+    seeds = [first]
+    for _ in range(3):
+        chosen = seeds[0]
+        for s in seeds[1:]:
+            chosen = chosen.unionByName(s)
+        sd = chosen.select(
+            F.col("id").alias("sid"),
+            *[F.col(c).alias(f"s{c}") for c in cols],
+        )
+        dist = sum(
+            (F.col(c) - F.col(f"s{c}")) * (F.col(c) - F.col(f"s{c}"))
+            for c in cols
+        )
+        mind = (
+            pts.crossJoin(F.broadcast(sd))
+            .groupBy("id")
+            .agg(F.min(dist).alias("d"))
+        )
+        nxt = (
+            pts.join(
+                mind.orderBy(F.desc("d"), F.asc("id")).limit(1).select("id"),
+                "id",
+            )
+        )
+        seeds.append(nxt.localCheckpoint(eager=True))
+    out = None
+    for i, s in enumerate(seeds, start=1):
+        part = s.select(
+            F.lit(i).alias("seed_rank"), "id", *cols
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# -- X254 ranking-quality metrics: MRR + precision@k (log-free) ------------
+#
+# Recommender/search eval over grouped rankings: each order is a "query",
+# its lineitems ranked by (extendedprice DESC, linenumber) in a KEYED
+# window; a line is "relevant" iff returnflag = 'R'. Reciprocal rank is
+# kept exact-integer (10⁶ DIV rank); MRR and precision@3 aggregate those
+# integers per order priority and divide once, in the mirrored double
+# tree. No logs (NDCG's discount is deliberately replaced by RR — same
+# eval family, exactly reproducible).
+
+_MRR_ORACLE = """
+WITH ranked AS (
+  SELECT l_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber)
+           AS rk,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS rel
+  FROM lineitem),
+per_q AS (
+  SELECT l_orderkey,
+         COALESCE(MAX(CASE WHEN rel = 1 AND rk = first_rel
+                           THEN 1000000 // rk END), 0) AS rr_ppm,
+         CAST(SUM(CASE WHEN rel = 1 AND rk <= 3 THEN 1 ELSE 0 END)
+              AS BIGINT) AS hits3
+  FROM (
+    SELECT *, MIN(CASE WHEN rel = 1 THEN rk END)
+                OVER (PARTITION BY l_orderkey) AS first_rel
+    FROM ranked)
+  GROUP BY l_orderkey),
+joined AS (
+  SELECT o.o_orderpriority AS pri, p.rr_ppm, p.hits3
+  FROM per_q p JOIN orders o ON o.o_orderkey = p.l_orderkey)
+SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(rr_ppm) AS DOUBLE) / COUNT(*) / 1000000 AS mrr,
+       CAST(SUM(hits3) AS DOUBLE) / COUNT(*) / 3 AS precision_at_3
+FROM joined GROUP BY pri
+"""
+
+
+@query("q_ml_mrr", _MRR_ORACLE)
+def q_ml_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    ranked = li.select(
+        "l_orderkey",
+        F.row_number().over(w).alias("rk"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("rel"),
+    )
+    wq = Window.partitionBy("l_orderkey")
+    with_first = ranked.withColumn(
+        "first_rel",
+        F.min(F.when(F.col("rel") == 1, F.col("rk"))).over(wq),
+    )
+    per_q = with_first.groupBy("l_orderkey").agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("rel") == 1) & (F.col("rk") == F.col("first_rel")),
+                    F.expr("1000000 DIV rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("rr_ppm"),
+        F.sum(
+            F.when((F.col("rel") == 1) & (F.col("rk") <= 3), 1).otherwise(0)
+        ).cast("bigint").alias("hits3"),
+    )
+    joined = per_q.join(
+        o.select("o_orderkey", F.col("o_orderpriority").alias("pri")),
+        per_q["l_orderkey"] == F.col("o_orderkey"),
+    )
+    return joined.groupBy("pri").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        (
+            F.sum("rr_ppm").cast("double") / F.count("*") / F.lit(1000000)
+        ).alias("mrr"),
+        (F.sum("hits3").cast("double") / F.count("*") / F.lit(3)).alias(
+            "precision_at_3"
+        ),
+    )

@@ -567,3 +567,80 @@ def q_table_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.crossJoin(F.broadcast(proofs))
+
+
+# -- X252 UPDATE-aware incremental view maintenance ------------------------
+#
+# The IVM identity extended to row-level UPDATE commits: fold the change
+# feed as +postimage − preimage, where a copy-on-write UPDATE contributes
+# matched rows under BOTH images (update_preimage / update_postimage).
+# The maintained per-segment (count, balance-sum) view after
+# append → update → delete must equal a from-scratch rebuild — the oracle
+# recomputes the final state arithmetically from the raw fixture. Sums
+# stay DECIMAL end-to-end (order-independent), counts fold as ±1.
+
+_IVM_UPDATE_ORACLE = f"""
+WITH final AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN c_acctbal + 1000
+              ELSE c_acctbal END AS bal
+  FROM customer
+  WHERE NOT (c_custkey % 131 = 0)),
+agg AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         {sql_dsum('bal', 'sum_bal')}
+  FROM final GROUP BY c_mktsegment)
+SELECT * FROM agg
+"""
+
+
+@query("q_table_ivm_update", _IVM_UPDATE_ORACLE)
+def q_table_ivm_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable.create(_fresh_root(sf_dir, "ivmupd"))
+    cust = _customer_slim(spark, sf_dir)
+    v1 = t.append(cust.repartition(8))
+    # Materialized view at v1.
+    base = (
+        t.read(spark, v1)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("b_n"),
+            F.sum(F.col("c_acctbal").cast(_DEC28)).alias("b_sum"),
+        )
+    )
+    # v2: row-level UPDATE; v3: row-level DELETE.
+    t.update_where(
+        spark, F.col("c_acctbal") < 0, {"c_acctbal": F.col("c_acctbal") + 1000}
+    )
+    t.delete_where(spark, F.col("c_custkey") % 131 == 0)
+    feed = t.read_changes(spark, since_version=v1, include_preimages=True)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "upsert", "update_postimage"),
+        F.lit(1),
+    ).when(
+        F.col("_change_type").isin(
+            "delete", "upsert_preimage", "update_preimage"
+        ),
+        F.lit(-1),
+    )
+    delta = feed.groupBy("c_mktsegment").agg(
+        F.sum(sign).cast("bigint").alias("d_n"),
+        F.sum(sign * F.col("c_acctbal").cast(_DEC28)).alias("d_sum"),
+    )
+    merged = (
+        base.join(delta, "c_mktsegment", "full")
+        .select(
+            "c_mktsegment",
+            (
+                F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))
+            ).cast("bigint").alias("n_rows"),
+            (
+                F.coalesce(F.col("b_sum"), F.lit(0).cast(_DEC28))
+                + F.coalesce(F.col("d_sum"), F.lit(0).cast(_DEC28))
+            ).cast("double").alias("sum_bal"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    return merged

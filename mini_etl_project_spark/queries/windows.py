@@ -553,3 +553,43 @@ def q_window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("day_total").over(frame).cast("bigint").alias("grp_frame_sum"),
         F.count("*").over(frame).cast("bigint").alias("grp_frame_n"),
     )
+
+
+# -- X255 top-k WITH TIES (rank, not row_number) ---------------------------
+#
+# SQL:2008 FETCH FIRST k WITH TIES semantics per group: rank() admits
+# every peer of the k-th row, so result size is data-dependent — the
+# semantic difference from row_number top-k is the point (and the reason
+# the oracle's row count is not 3·groups). Tie potential is real: the
+# ranking key is a COUNT. Keyed window over a bounded aggregate.
+
+_TOPK_TIES_ORACLE = """
+WITH counts AS (
+  SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2),
+ranked AS (
+  SELECT *, RANK() OVER (PARTITION BY l_returnflag
+                         ORDER BY cnt DESC) AS rk
+  FROM counts)
+SELECT l_returnflag, CAST(rk AS BIGINT) AS rk, qty, cnt
+FROM ranked WHERE rk <= 3
+"""
+
+
+@query("q_window_topk_with_ties", _TOPK_TIES_ORACLE)
+def q_window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag",
+        F.round("l_quantity").cast("bigint").alias("qty"),
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    ranked = counts.withColumn(
+        "rk",
+        F.rank().over(
+            Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"))
+        ),
+    )
+    return ranked.filter(F.col("rk") <= 3).select(
+        "l_returnflag", F.col("rk").cast("bigint").alias("rk"), "qty", "cnt"
+    )

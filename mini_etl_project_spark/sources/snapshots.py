@@ -414,7 +414,7 @@ class SnapshotTable:
 
         to_v = self.latest_version() if to_version is None else to_version
         schema = self.schema(to_v)
-        op_to_type = {"append": "insert", "merge": "upsert", "overwrite": "overwrite", "delete": "delete", "update": "update_postimage"}
+        op_to_type = {"append": "insert", "merge": "upsert", "overwrite": "overwrite", "delete": "delete", "update": "update_postimage", "restore": "overwrite"}
         parts: list[DataFrame] = []
         for v in range(since_version + 1, to_v + 1):
             m = self._read_manifest(v)
@@ -493,6 +493,57 @@ class SnapshotTable:
             self._pending_meta = {**self._pending_meta, "stats": new_stats}
         return self._commit(
             keep + staged, m["schema"], base, op="compact", change_files=[]
+        )
+
+    def clone_shallow(self, dest_root: str) -> "SnapshotTable":
+        """Zero-copy shallow clone (Delta SHALLOW CLONE): the clone's v1
+        manifest references the source's CURRENT data files by absolute
+        path — no bytes move. Because file resolution joins relative
+        names against the owning table's data dir (and passes absolute
+        names through untouched), the clone reads the shared files
+        directly, while its own subsequent commits stage new files into
+        its OWN data dir: histories diverge immediately and the source
+        never sees clone writes. Clone-side ``vacuum`` only scans the
+        clone's data dir, so shared source files are structurally safe
+        from clone retention. (Source-side vacuum CAN still reclaim them
+        — same caveat as Delta shallow clones.)"""
+        src_v = self.latest_version()
+        if src_v == 0:
+            raise ValueError("clone_shallow on empty table")
+        m = self._read_manifest(src_v)
+        dest = SnapshotTable.create(dest_root)
+        abs_files = [
+            f if os.path.isabs(f) else os.path.join(self.data_dir, f)
+            for f in m["files"]
+        ]
+        stats = m.get("stats", {})
+        abs_stats = {
+            (f if os.path.isabs(f) else os.path.join(self.data_dir, f)): s
+            for f, s in stats.items()
+        }
+        dest._pending_meta = {
+            **dest._pending_meta,
+            "stats": abs_stats,
+            "cloned_from": {"root": self.root, "version": src_v},
+        }
+        dest._commit(abs_files, m["schema"], 0, op="clone", change_files=[])
+        return dest
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION: commit a NEW version whose file list
+        (and schema) equal the target's — a forward-written rollback, so
+        history is preserved and the restore itself is time-travelable
+        (Delta RESTORE semantics). The restored rows re-enter the change
+        feed as an overwrite commit."""
+        latest = self.latest_version()
+        if version < 1 or version > latest:
+            raise ValueError(f"cannot restore to nonexistent v{version}")
+        m = self._read_manifest(version)
+        if m.get("stats"):
+            self._pending_meta = {**self._pending_meta, "stats": m["stats"]}
+        return self._commit(
+            m["files"], m["schema"], latest, op="restore",
+            change_files=m["files"],
         )
 
     def vacuum(self, keep_last: int = 1) -> list[str]:

@@ -267,3 +267,61 @@ def test_naive_bayes_broadcasts_count_tables(spark):
         .toString()
     )
     assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+# -- shallow clone + restore -----------------------------------------------
+
+
+def test_clone_shallow_zero_copy_divergence(spark, tmp_path):
+    import os
+
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    src = SnapshotTable.create(str(tmp_path / "src"))
+    df = spark.range(50).select(
+        F.col("id").cast("bigint").alias("k"),
+        (F.col("id") * 3).cast("bigint").alias("v"),
+    )
+    src.append(df)
+    clone = src.clone_shallow(str(tmp_path / "clone"))
+    # zero copy: clone's data dir holds no files yet
+    assert os.listdir(clone.data_dir) == []
+    assert clone.read(spark).count() == 50
+    # divergence: clone append is invisible to source and vice versa
+    clone.append(
+        spark.range(5).select(
+            (F.col("id") + 1000).cast("bigint").alias("k"),
+            F.lit(0).cast("bigint").alias("v"),
+        )
+    )
+    src.append(
+        spark.range(7).select(
+            (F.col("id") + 2000).cast("bigint").alias("k"),
+            F.lit(1).cast("bigint").alias("v"),
+        )
+    )
+    assert clone.read(spark).count() == 55
+    assert src.read(spark).count() == 57
+    # clone vacuum never touches shared source files
+    clone.vacuum(keep_last=1)
+    assert src.read(spark, 1).count() == 50
+
+
+def test_restore_is_forward_rollback(spark, tmp_path):
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable.create(str(tmp_path / "t"))
+    base = spark.range(20).select(
+        F.col("id").cast("bigint").alias("k"),
+        (F.col("id") * 2).cast("bigint").alias("v"),
+    )
+    v1 = t.append(base)
+    t.delete_where(spark, F.col("k") % 2 == 0)
+    assert t.read(spark).count() == 10
+    v3 = t.restore(v1)
+    assert v3 == 3  # history preserved, not rewritten
+    assert t.read(spark).count() == 20
+    assert t.read(spark, 2).count() == 10  # pre-restore still travelable
+    # restore surfaces in the feed as an overwrite
+    feed = t.read_changes(spark, since_version=2, to_version=v3)
+    assert feed.filter(F.col("_change_type") == "overwrite").count() == 20

@@ -251,6 +251,8 @@ _CHECK_FIRST: list[str] = [
     "q_ml_maxmin_seed",
     "q_ml_mrr",
     "q_window_topk_with_ties",
+    "q_ml_grid_isolation",
+    "q_ts_peaks",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -2205,3 +2205,86 @@ def q_ml_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision_at_3"
         ),
     )
+
+
+# -- X257 grid-isolation anomaly scoring (deterministic iForest cousin) ----
+#
+# Isolation-forest intuition without RNG: a point is anomalous if it
+# becomes ALONE in its cell at a coarse grid resolution. Six dyadic
+# levels (cell width 2048/2^L over the ±1024 milli-unit embedding
+# plane); per level one keyed (level, cell) count aggregate, then each
+# point's isolation level = MIN level where its cell count is 1 (6 =
+# never alone). The level explode is a 6-way literal — cost is 6 keyed
+# aggregates over the points, no pairwise work anywhere; at 100 TB this
+# is the partition-friendly outlier scan shape. Integer arithmetic only.
+
+_ISO_ORACLE = """
+WITH pts AS (
+  SELECT vec_id AS id,
+         CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) + 1024
+           AS x,
+         CAST(ROUND(CAST(embedding[3] AS DOUBLE) * 1000) AS BIGINT) + 1024
+           AS y
+  FROM embeddings),
+lv AS (SELECT UNNEST([0, 1, 2, 3, 4, 5]) AS l),
+cells AS (
+  SELECT p.id, lv.l,
+         p.x // (2048 // CAST(POWER(2, lv.l) AS BIGINT)) AS cx,
+         p.y // (2048 // CAST(POWER(2, lv.l) AS BIGINT)) AS cy
+  FROM pts p CROSS JOIN lv),
+counts AS (
+  SELECT l, cx, cy, COUNT(*) AS n FROM cells GROUP BY l, cx, cy),
+scored AS (
+  SELECT c.id,
+         COALESCE(MIN(CASE WHEN k.n = 1 THEN c.l END), 6) AS iso_level
+  FROM cells c JOIN counts k
+    ON k.l = c.l AND k.cx = c.cx AND k.cy = c.cy
+  GROUP BY c.id)
+SELECT CAST(iso_level AS BIGINT) AS iso_level,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(id) AS BIGINT) AS first_id
+FROM scored GROUP BY iso_level
+"""
+
+
+@query("q_ml_grid_isolation", _ISO_ORACLE)
+def q_ml_grid_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        (
+            F.round(F.element_at("embedding", 2).cast("double") * 1000)
+            .cast("bigint")
+            + 1024
+        ).alias("x"),
+        (
+            F.round(F.element_at("embedding", 3).cast("double") * 1000)
+            .cast("bigint")
+            + 1024
+        ).alias("y"),
+    )
+    lv = pts.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(i) for i in range(6)])).alias("l")
+    )
+    cells = pts.crossJoin(F.broadcast(lv)).select(
+        "id",
+        "l",
+        F.expr("x DIV (2048 DIV CAST(POWER(2, l) AS BIGINT))").alias("cx"),
+        F.expr("y DIV (2048 DIV CAST(POWER(2, l) AS BIGINT))").alias("cy"),
+    )
+    counts = cells.groupBy("l", "cx", "cy").agg(F.count("*").alias("n"))
+    scored = (
+        cells.join(counts, ["l", "cx", "cy"])
+        .groupBy("id")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("n") == 1, F.col("l"))), F.lit(6)
+            ).alias("iso_level")
+        )
+    )
+    return scored.groupBy(
+        F.col("iso_level").cast("bigint").alias("iso_level")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.min("id").cast("bigint").alias("first_id"),
+    )

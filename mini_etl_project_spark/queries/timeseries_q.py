@@ -2613,3 +2613,66 @@ def q_ts_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("mean_rs"),
     )
+
+
+# -- X258 peak detection (local maxima above level) -------------------------
+#
+# Peaks of each key's daily series: strictly above both neighbors AND
+# 20 % above the key's mean, the latter tested by integer
+# cross-multiplication (5·cents·n > 6·total — no division, no floats).
+# One keyed lag/lead window + one per-key total rides the same
+# partitioning; series are calendar-bounded per key.
+
+_PEAKS_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+nbrs AS (
+  SELECT *,
+         LAG(cents) OVER w AS prev,
+         LEAD(cents) OVER w AS next,
+         SUM(cents) OVER (PARTITION BY event_type) AS total,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+SELECT event_type, day, cents, prev, next
+FROM nbrs
+WHERE prev IS NOT NULL AND next IS NOT NULL
+  AND cents > prev AND cents > next
+  AND 5 * cents * n > 6 * total
+"""
+
+
+@query("q_ts_peaks", _PEAKS_ORACLE)
+def q_ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("bigint")
+        .alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wt = Window.partitionBy("event_type")
+    nbrs = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.lag("cents").over(w).alias("prev"),
+        F.lead("cents").over(w).alias("next"),
+        F.sum("cents").over(wt).alias("total"),
+        F.count("*").over(wt).alias("n"),
+    )
+    return nbrs.filter(
+        F.col("prev").isNotNull()
+        & F.col("next").isNotNull()
+        & (F.col("cents") > F.col("prev"))
+        & (F.col("cents") > F.col("next"))
+        & (5 * F.col("cents") * F.col("n") > 6 * F.col("total"))
+    ).select("event_type", "day", "cents", "prev", "next")

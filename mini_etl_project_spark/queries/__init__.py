@@ -253,6 +253,9 @@ _CHECK_FIRST: list[str] = [
     "q_window_topk_with_ties",
     "q_ml_grid_isolation",
     "q_ts_peaks",
+    "q_quality_ref_integrity",
+    "q_etl_profile_columns",
+    "q_graph_assortativity",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -890,3 +890,74 @@ def q_graph_cycle_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         on_cycle.join(cyc, F.col("land") == F.col("cv"))
         .select("v", "is_on_cycle", F.col("cycle_id").cast("bigint"))
     )
+
+
+# -- X261 degree assortativity ---------------------------------------------
+#
+# Newman's degree-assortativity coefficient: the Pearson correlation of
+# endpoint degrees over edges (both directions, so the estimator is the
+# standard undirected one). Degrees are one keyed aggregate; the edge ×
+# degree joins broadcast the bounded degree table; the correlation
+# reduces to the 6 integer moments in the mirrored double tree. Edges =
+# the trade graph (distinct nation pairs).
+
+_ASSORT_ORACLE = f"""
+WITH edges AS ({_PR_EDGES_SQL}),
+und AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION ALL SELECT dst, src FROM edges),
+deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM und GROUP BY a),
+pairs AS (
+  SELECT da.d AS x, db.d AS y
+  FROM und e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM pairs)
+SELECT CAST(n AS BIGINT) AS n_edge_ends,
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+         AS assortativity
+FROM m
+"""
+
+
+@query("q_graph_assortativity", _ASSORT_ORACLE)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionByName(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    da = deg.select(F.col("node").alias("na"), F.col("d").alias("x"))
+    db = deg.select(F.col("node").alias("nb"), F.col("d").alias("y"))
+    pairs = (
+        und.join(F.broadcast(da), und["a"] == F.col("na"))
+        .join(F.broadcast(db), und["b"] == F.col("nb"))
+        .select("x", "y")
+    )
+    m = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cxy = sxy - sx * sy / n
+    cxx = sxx - sx * sx / n
+    cyy = syy - sy * sy / n
+    return m.select(
+        n.cast("bigint").alias("n_edge_ends"),
+        (cxy / F.sqrt(cxx * cyy)).alias("assortativity"),
+    )

@@ -1243,3 +1243,165 @@ def q_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_low"),
         F.min(F.when(bad, F.col("day"))).alias("first_bad_day"),
     )
+
+
+# -- X259 referential-integrity audit --------------------------------------
+#
+# The warehouse FK health check: for each declared relationship, count
+# orphans (child keys with no parent) via LEFT ANTI joins — the join
+# that ships only the child's key column through the shuffle and
+# short-circuits per match. Orders→customer is clean by construction;
+# lineitem→part gains PLANTED orphans (keys offset past the dimension
+# domain on a deterministic subset) so the detector's positive path is
+# exercised, not just the empty result. One summary row per
+# relationship: total children, distinct child keys, orphan rows,
+# distinct orphan keys.
+
+_REF_INTEGRITY_ORACLE = """
+WITH l_dirty AS (
+  SELECT CASE WHEN l_orderkey % 97 = 0
+              THEN l_partkey + 90000000 ELSE l_partkey END AS fk
+  FROM lineitem),
+rel1 AS (
+  SELECT 'orders->customer' AS relationship,
+         CAST(COUNT(*) AS BIGINT) AS n_children,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_child_keys,
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orphan_rows,
+         CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL
+                                  THEN o_custkey END) AS BIGINT)
+           AS n_orphan_keys
+  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey),
+rel2 AS (
+  SELECT 'lineitem->part' AS relationship,
+         CAST(COUNT(*) AS BIGINT) AS n_children,
+         CAST(COUNT(DISTINCT fk) AS BIGINT) AS n_child_keys,
+         CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orphan_rows,
+         CAST(COUNT(DISTINCT CASE WHEN p.p_partkey IS NULL THEN fk END)
+              AS BIGINT) AS n_orphan_keys
+  FROM l_dirty l LEFT JOIN part p ON p.p_partkey = l.fk)
+SELECT * FROM rel1 UNION ALL SELECT * FROM rel2
+"""
+
+
+@query("q_quality_ref_integrity", _REF_INTEGRITY_ORACLE)
+def q_quality_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rel1 = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o["o_custkey"] == c["c_custkey"],
+            "left",
+        )
+        .agg(
+            F.lit("orders->customer").alias("relationship"),
+            F.count("*").cast("bigint").alias("n_children"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_child_keys"),
+            F.sum(
+                F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_orphan_rows"),
+            F.countDistinct(
+                F.when(F.col("c_custkey").isNull(), F.col("o_custkey"))
+            ).cast("bigint").alias("n_orphan_keys"),
+        )
+    )
+    l_dirty = li.select(
+        F.when(
+            F.col("l_orderkey") % 97 == 0, F.col("l_partkey") + 90000000
+        )
+        .otherwise(F.col("l_partkey"))
+        .alias("fk")
+    )
+    rel2 = (
+        l_dirty.join(
+            F.broadcast(p.select("p_partkey")),
+            l_dirty["fk"] == p["p_partkey"],
+            "left",
+        )
+        .agg(
+            F.lit("lineitem->part").alias("relationship"),
+            F.count("*").cast("bigint").alias("n_children"),
+            F.countDistinct("fk").cast("bigint").alias("n_child_keys"),
+            F.sum(
+                F.when(F.col("p_partkey").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_orphan_rows"),
+            F.countDistinct(
+                F.when(F.col("p_partkey").isNull(), F.col("fk"))
+            ).cast("bigint").alias("n_orphan_keys"),
+        )
+    )
+    return rel1.unionByName(rel2)
+
+
+# -- X260 column-profile table (stacked single-scan profiling) -------------
+#
+# The profiling PRIMITIVE as a first-class query: per column of orders —
+# rows, non-nulls, exact distincts, min/max as strings — emitted as one
+# tidy (column, metric...) table. All non-distinct stats stack into ONE
+# scan via a literal column-name explode; exact distincts run in the
+# dedicated expression-free job shape the AutoETL profiler uses
+# (multi-column COUNT DISTINCT expands the stream per column — measured
+# pathology, plans/profile.py:74-81). Strings via CAST mirror pandas'
+# str() profiling.
+
+_PROFILE_COLS = ["o_orderpriority", "o_orderstatus", "o_custkey", "o_totalprice"]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+  SELECT '{c}' AS col_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT({c}) AS BIGINT) AS n_non_null,
+         CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+         MIN(CAST({c} AS VARCHAR)) AS min_str,
+         MAX(CAST({c} AS VARCHAR)) AS max_str
+  FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@query("q_etl_profile_columns", _profile_oracle())
+def q_etl_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    stacked = o.agg(
+        *[
+            agg
+            for c in _PROFILE_COLS
+            for agg in (
+                F.count("*").cast("bigint").alias(f"{c}__rows"),
+                F.count(c).cast("bigint").alias(f"{c}__nn"),
+                F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+                F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            )
+        ]
+    )
+    distincts = o.agg(
+        *[
+            F.countDistinct(c).cast("bigint").alias(f"{c}__dc")
+            for c in _PROFILE_COLS
+        ]
+    )
+    stacked = stacked.crossJoin(F.broadcast(distincts))
+    rows = stacked.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(f"{c}__rows").alias("n_rows"),
+                        F.col(f"{c}__nn").alias("n_non_null"),
+                        F.col(f"{c}__dc").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_str"),
+                        F.col(f"{c}__max").alias("max_str"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    )
+    return rows.select("p.*")

@@ -899,13 +899,22 @@ def q_graph_cycle_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # standard undirected one). Degrees are one keyed aggregate; the edge ×
 # degree joins broadcast the bounded degree table; the correlation
 # reduces to the 6 integer moments in the mirrored double tree. Edges =
-# the trade graph (distinct nation pairs).
+# the trade graph, hash-SPARSIFIED exactly as X224 does — at fuller SFs
+# every nation pair trades and a complete graph has zero degree variance
+# (the coefficient degenerates to 0/0).
 
 _ASSORT_ORACLE = f"""
-WITH edges AS ({_PR_EDGES_SQL}),
+WITH dir AS ({_PR_EDGES_SQL}),
+edges0 AS (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM dir GROUP BY 1, 2),
+edges AS (
+  SELECT a, b FROM edges0
+  WHERE CAST(('0x' || substr(md5(a || '|' || b), 1, 15)) AS BIGINT)
+          % 3 = 0),
 und AS (
-  SELECT src AS a, dst AS b FROM edges
-  UNION ALL SELECT dst, src FROM edges),
+  SELECT a, b FROM edges
+  UNION ALL SELECT b, a FROM edges),
 deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
         FROM und GROUP BY a),
 pairs AS (
@@ -926,11 +935,20 @@ FROM m
 
 @query("q_graph_assortativity", _ASSORT_ORACLE)
 def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
-    und = edges.select(
-        F.col("src").alias("a"), F.col("dst").alias("b")
-    ).unionByName(
-        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    dir_edges = _trade_edges(spark, sf_dir)
+    edges0 = dir_edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    keep = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", "a", "b")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 3
+        == 0
+    )
+    edges = edges0.filter(keep).localCheckpoint(eager=True)
+    und = edges.select("a", "b").unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     deg = und.groupBy(F.col("a").alias("node")).agg(
         F.count("*").cast("bigint").alias("d")

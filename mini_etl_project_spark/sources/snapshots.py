@@ -263,6 +263,79 @@ class SnapshotTable:
         v = self.latest_version() if version is None else version
         return StructType.fromJson(json.loads(self._read_manifest(v)["schema"]))
 
+    #: per-file bloom index geometry (bits per filter / probes per value).
+    #: m/k chosen for ~1 % FP at ≤200 distinct keys per file; the filter
+    #: is stored SPARSE (sorted set-bit list) so manifests stay small.
+    BLOOM_M = 2048
+    BLOOM_K = 3
+
+    def _collect_blooms(
+        self, spark: SparkSession, names: list[str], cols: list[str]
+    ) -> dict:
+        """Per-file bloom filters for ``cols`` in ONE Spark job (grouped
+        by ``input_file_name`` — never a job per file). Hash family is
+        the repo's portable md5 scheme, so any engine (and the driver's
+        Python lookup) derives identical bit positions."""
+        import pyspark.sql.functions as F
+
+        paths = [os.path.join(self.data_dir, n) for n in names]
+        df = (
+            spark.read.parquet(*paths)
+            .withColumn(
+                "__file",
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            )
+        )
+        out: dict[str, dict] = {n: {} for n in names}
+        for c in cols:
+            pos = F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.col(c).cast("string"),
+                                        F.lit(f"|bloom{k}"),
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint")
+                        % self.BLOOM_M
+                    )
+                    for k in range(self.BLOOM_K)
+                ]
+            )
+            rows = (
+                df.select("__file", F.explode(pos).alias("p"))
+                .groupBy("__file")
+                .agg(F.collect_set("p").alias("bits"))
+                .collect()
+            )
+            for r in rows:
+                out[r["__file"]][c] = sorted(int(b) for b in r["bits"])
+        return out
+
+    @classmethod
+    def _bloom_positions(cls, value) -> list[int]:
+        """Driver-side twin of the Spark-side hash family."""
+        import hashlib
+
+        return [
+            int(
+                hashlib.md5(
+                    f"{value}|bloom{k}".encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            % cls.BLOOM_M
+            for k in range(cls.BLOOM_K)
+        ]
+
     def append(
         self,
         df: DataFrame,
@@ -270,6 +343,7 @@ class SnapshotTable:
         merge_schema: bool = False,
         cluster_by: str | None = None,
         n_files: int = 8,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """Append rows. With ``merge_schema=True`` new columns evolve the
         table schema additively (old files read back NULL for them); with
@@ -315,6 +389,12 @@ class SnapshotTable:
             stats = dict(prev_m.get("stats", {}))
             stats.update(self._collect_stats(staged, stats_cols))
             self._pending_meta = {**self._pending_meta, "stats": stats}
+        if bloom_cols:
+            blooms = dict(prev_m.get("blooms", {}))
+            blooms.update(
+                self._collect_blooms(df.sparkSession, staged, bloom_cols)
+            )
+            self._pending_meta = {**self._pending_meta, "blooms": blooms}
         return self._commit(
             prev + staged, schema.json(), base, op="append", change_files=staged
         )
@@ -332,16 +412,36 @@ class SnapshotTable:
     # -- read path ---------------------------------------------------------
 
     def plan_files(
-        self, version: int | None = None, where: tuple | None = None
+        self,
+        version: int | None = None,
+        where: tuple | None = None,
+        bloom_eq: tuple | None = None,
     ) -> list[str]:
         """The pruned file list a read would scan — the data-skipping
         planner, exposed so tests (and cost estimates) can count skipped
         files without running the scan.  ``where=(col, lo, hi)`` drops
         files whose manifest min/max for ``col`` is disjoint from
-        [lo, hi]; files without stats are conservatively kept."""
+        [lo, hi]; ``bloom_eq=(col, value)`` drops files whose bloom
+        filter proves the point-lookup value absent (Delta bloom-index
+        semantics: may-contain only — zero false negatives by
+        construction, the caller still applies the row predicate). Files
+        without stats/blooms are conservatively kept."""
         v = self.latest_version() if version is None else version
         m = self._read_manifest(v)
         files = m["files"]
+        if bloom_eq is not None:
+            bcol, bval = bloom_eq
+            blooms = m.get("blooms", {})
+            want = self._bloom_positions(bval)
+
+            def bloom_may(f: str) -> bool:
+                bits = blooms.get(f, {}).get(bcol)
+                if bits is None:
+                    return True  # unindexed file → cannot skip
+                s = set(bits)
+                return all(p in s for p in want)
+
+            files = [f for f in files if bloom_may(f)]
         if where is not None:
             col, lo, hi = where
             if hasattr(lo, "timestamp"):  # datetime bounds → epoch µs
@@ -364,6 +464,7 @@ class SnapshotTable:
         spark: SparkSession,
         version: int | None = None,
         where: tuple | None = None,
+        bloom_eq: tuple | None = None,
     ) -> DataFrame:
         """Snapshot read; ``version`` = time travel. The returned frame is
         pinned to its manifest's file list — later commits don't move it.
@@ -378,7 +479,7 @@ class SnapshotTable:
         if v == 0:
             raise ValueError("empty table (no commits)")
         m = self._read_manifest(v)
-        files = self.plan_files(version=v, where=where)
+        files = self.plan_files(version=v, where=where, bloom_eq=bloom_eq)
         schema = StructType.fromJson(json.loads(m["schema"]))
         paths = [os.path.join(self.data_dir, f) for f in files]
         if not paths:

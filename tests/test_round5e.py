@@ -125,3 +125,52 @@ def test_grid_isolation_partitions_points(spark):
     n_emb = spark.read.parquet(f"{SF}/embeddings.parquet").count()
     assert sum(r["n_points"] for r in rows) == n_emb
     assert all(0 <= r["iso_level"] <= 6 for r in rows)
+
+
+# -- per-file bloom index: pruning + zero false negatives ------------------
+
+
+def test_bloom_file_index_prunes_without_false_negatives(spark, tmp_path):
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable.create(str(tmp_path / "bt"))
+    # 8 disjoint key ranges → 8 files, keys dense within each file
+    df = spark.range(800).select(
+        F.col("id").cast("bigint").alias("k"),
+        (F.col("id") % 8).cast("int").alias("shard"),
+        (F.col("id") * 7).cast("bigint").alias("v"),
+    )
+    t.append(
+        df.repartitionByRange(8, "shard"), bloom_cols=["k"], n_files=8
+    )
+    all_files = t.plan_files()
+    assert len(all_files) == 8
+    # every present key must survive pruning AND be found (no false negs)
+    for k in (0, 137, 799):
+        planned = t.plan_files(bloom_eq=("k", k))
+        got = (
+            t.read(spark, bloom_eq=("k", k))
+            .filter(F.col("k") == k)
+            .count()
+        )
+        assert got == 1, f"bloom pruning lost key {k}"
+        assert len(planned) >= 1
+    # an absent key should prune most files (m/k sized for ~1% FP/file)
+    absent_plans = [
+        len(t.plan_files(bloom_eq=("k", k))) for k in range(100000, 100050)
+    ]
+    assert sum(absent_plans) <= 50 * 2, (
+        f"bloom should prune nearly all files for absent keys: {absent_plans}"
+    )
+    # files without a bloom stay conservatively readable
+    t.append(
+        spark.range(5).select(
+            (F.col("id") + 5000).cast("bigint").alias("k"),
+            F.lit(9).cast("int").alias("shard"),
+            F.lit(0).cast("bigint").alias("v"),
+        )
+    )  # no bloom_cols on this commit
+    assert (
+        t.read(spark, bloom_eq=("k", 5003)).filter(F.col("k") == 5003).count()
+        == 1
+    )

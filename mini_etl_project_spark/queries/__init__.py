@@ -256,6 +256,9 @@ _CHECK_FIRST: list[str] = [
     "q_quality_ref_integrity",
     "q_etl_profile_columns",
     "q_graph_assortativity",
+    "q_graph_clustering_coeff",
+    "q_ts_hampel",
+    "q_ml_ndcg",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -979,3 +979,92 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_edge_ends"),
         (cxy / F.sqrt(cxx * cyy)).alias("assortativity"),
     )
+
+
+# -- X263 local clustering coefficient -------------------------------------
+#
+# Per-node clustering coefficient on the sparsified trade graph:
+# cc(v) = 2·T(v)·10⁶ DIV (d(v)·(d(v)−1)) in exact ppm. Triangles per
+# node come from the ordered wedge join (the X48 shape — each triangle
+# counted once, then credited to all three corners); degrees are one
+# keyed aggregate. Both joins are on the bounded sparsified edge set;
+# at web scale the wedge join is capped per hub exactly as X224 notes.
+
+_CLUSTER_COEFF_ORACLE = f"""
+WITH dir AS ({_PR_EDGES_SQL}),
+edges0 AS (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM dir GROUP BY 1, 2),
+edges AS (
+  SELECT a, b FROM edges0
+  WHERE CAST(('0x' || substr(md5(a || '|' || b), 1, 15)) AS BIGINT)
+          % 3 = 0),
+und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY a),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+corner AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri),
+tcount AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+           FROM corner GROUP BY node)
+SELECT d.node, d.d AS degree,
+       CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.d >= 2
+                 THEN 2 * COALESCE(t.t, 0) * 1000000 // (d.d * (d.d - 1))
+                 ELSE 0 END AS BIGINT) AS cc_ppm
+FROM deg d LEFT JOIN tcount t ON t.node = d.node
+"""
+
+
+@query("q_graph_clustering_coeff", _CLUSTER_COEFF_ORACLE)
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dir_edges = _trade_edges(spark, sf_dir)
+    edges0 = dir_edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    keep = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", "a", "b")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 3
+        == 0
+    )
+    edges = edges0.filter(keep).localCheckpoint(eager=True)
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    e1 = edges.select("a", "b")
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corner = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    tcount = corner.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("t")
+    )
+    return (
+        deg.join(tcount, "node", "left")
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.expr("2 * COALESCE(t, 0) * 1000000 DIV (d * (d - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("cc_ppm"),
+        )
+    )

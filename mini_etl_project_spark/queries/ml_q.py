@@ -2288,3 +2288,112 @@ def q_ml_grid_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_points"),
         F.min("id").cast("bigint").alias("first_id"),
     )
+
+
+# -- X265 NDCG@10 (literal discount table — no runtime logs) ---------------
+#
+# The ranking metric that "needs" logarithms, made hash-exact: the rank
+# discounts 1/log₂(i+1), i = 1..10, are PRECOMPUTED as integer ppm
+# literals (the same constants in both engines — runtime libm log2
+# would risk last-ulp drift). Per order: predicted ranking by price,
+# ideal ranking by relevance; DCG and IDCG are integer dot products
+# with the literal table; NDCG = DCG·10⁶ DIV IDCG. Keyed windows only;
+# the per-priority mean divides two exact integers.
+
+_NDCG_DISCOUNTS = [
+    (1, 1000000), (2, 630929), (3, 500000), (4, 430676), (5, 386852),
+    (6, 356207), (7, 333333), (8, 315464), (9, 301029), (10, 289064),
+]
+
+
+def _ndcg_disc_sql() -> str:
+    return ", ".join(f"({i}, {d})" for i, d in _NDCG_DISCOUNTS)
+
+
+_NDCG_ORACLE = f"""
+WITH rel AS (
+  SELECT l_orderkey,
+         l_linenumber,
+         CAST(ROUND(l_quantity) AS BIGINT) // 10 AS rel,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber)
+           AS pred_rk,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY CAST(ROUND(l_quantity) AS BIGINT) // 10
+                              DESC, l_linenumber) AS ideal_rk
+  FROM lineitem),
+disc AS (SELECT * FROM (VALUES {_ndcg_disc_sql()}) d(rk, w)),
+per_q AS (
+  SELECT l_orderkey,
+         CAST(SUM(CASE WHEN dp.w IS NOT NULL THEN r.rel * dp.w
+                       ELSE 0 END) AS BIGINT) AS dcg,
+         CAST(SUM(CASE WHEN di.w IS NOT NULL THEN r.rel * di.w
+                       ELSE 0 END) AS BIGINT) AS idcg
+  FROM rel r
+  LEFT JOIN disc dp ON dp.rk = r.pred_rk
+  LEFT JOIN disc di ON di.rk = r.ideal_rk
+  GROUP BY l_orderkey),
+scored AS (
+  SELECT l_orderkey, dcg * 1000000 // idcg AS ndcg_ppm
+  FROM per_q WHERE idcg > 0),
+joined AS (
+  SELECT o.o_orderpriority AS pri, s.ndcg_ppm
+  FROM scored s JOIN orders o ON o.o_orderkey = s.l_orderkey)
+SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(ndcg_ppm) AS DOUBLE) / COUNT(*) / 1000000 AS mean_ndcg
+FROM joined GROUP BY pri
+"""
+
+
+@query("q_ml_ndcg", _NDCG_ORACLE)
+def q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    rel = F.expr("CAST(ROUND(l_quantity) AS BIGINT) DIV 10")
+    wp = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    wi = Window.partitionBy("l_orderkey").orderBy(
+        F.desc(rel), F.asc("l_linenumber")
+    )
+    r = li.select(
+        "l_orderkey",
+        rel.alias("rel"),
+        F.row_number().over(wp).alias("pred_rk"),
+        F.row_number().over(wi).alias("ideal_rk"),
+    )
+    disc = r.sparkSession.createDataFrame(
+        _NDCG_DISCOUNTS, ["rk", "w"]
+    )
+    dp = disc.select(F.col("rk").alias("pred_rk"), F.col("w").alias("wp"))
+    di = disc.select(F.col("rk").alias("ideal_rk"), F.col("w").alias("wi"))
+    per_q = (
+        r.join(F.broadcast(dp), "pred_rk", "left")
+        .join(F.broadcast(di), "ideal_rk", "left")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("wp").isNotNull(), F.col("rel") * F.col("wp")
+                ).otherwise(0)
+            ).cast("bigint").alias("dcg"),
+            F.sum(
+                F.when(
+                    F.col("wi").isNotNull(), F.col("rel") * F.col("wi")
+                ).otherwise(0)
+            ).cast("bigint").alias("idcg"),
+        )
+    )
+    scored = per_q.filter(F.col("idcg") > 0).select(
+        "l_orderkey", F.expr("dcg * 1000000 DIV idcg").alias("ndcg_ppm")
+    )
+    joined = scored.join(
+        o.select("o_orderkey", F.col("o_orderpriority").alias("pri")),
+        scored["l_orderkey"] == F.col("o_orderkey"),
+    )
+    return joined.groupBy("pri").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        (
+            F.sum("ndcg_ppm").cast("double") / F.count("*") / F.lit(1000000)
+        ).alias("mean_ndcg"),
+    )

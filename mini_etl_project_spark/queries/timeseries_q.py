@@ -2676,3 +2676,82 @@ def q_ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("cents") > F.col("next"))
         & (5 * F.col("cents") * F.col("n") > 6 * F.col("total"))
     ).select("event_type", "day", "cents", "prev", "next")
+
+
+# -- X264 Hampel filter (rolling-median outliers, one pass) -----------------
+#
+# The robust rolling outlier detector: a day is anomalous if it deviates
+# from the ±3-day neighborhood MEDIAN by more than 3·1.4826·MAD. The
+# whole two-level median runs in ONE grouped pass: collect the (≤7)
+# neighborhood values into a sorted array, take the lower median by
+# index, then derive the deviation array with a higher-order transform
+# and index its sorted form for the MAD — no second shuffle, and both
+# engines mirror the list operations exactly. The neighborhood join is
+# keyed (event_type) with a ±3-day band; the outlier test is the
+# integer cross-multiplication 10⁴·|x − med| > 44478·mad.
+
+_HAMPEL_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+hood AS (
+  SELECT a.event_type, a.day, a.cents,
+         list_sort(list(b.cents)) AS arr
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND abs(b.day - a.day) <= 3
+  GROUP BY a.event_type, a.day, a.cents),
+med AS (
+  SELECT *, arr[(len(arr) + 1) // 2] AS med FROM hood),
+mad AS (
+  SELECT event_type, day, cents, med,
+         list_sort(list_transform(arr, x -> abs(x - med)))
+           [(len(arr) + 1) // 2] AS mad
+  FROM med)
+SELECT event_type, day, cents, med, mad
+FROM mad
+WHERE 10000 * abs(cents - med) > 44478 * mad
+"""
+
+
+@query("q_ts_hampel", _HAMPEL_ORACLE)
+def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("bigint")
+        .alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    b = daily.select(
+        F.col("event_type").alias("b_et"),
+        F.col("day").alias("b_day"),
+        F.col("cents").alias("b_cents"),
+    )
+    hood = (
+        daily.join(
+            b,
+            (F.col("b_et") == F.col("event_type"))
+            & (F.abs(F.col("b_day") - F.col("day")) <= 3),
+        )
+        .groupBy("event_type", "day", "cents")
+        .agg(F.array_sort(F.collect_list("b_cents")).alias("arr"))
+    )
+    med = F.element_at("arr", F.expr("CAST((size(arr) + 1) DIV 2 AS INT)"))
+    stage = hood.withColumn("med", med).withColumn(
+        "mad",
+        F.element_at(
+            F.array_sort(
+                F.expr("transform(arr, x -> abs(x - med))")
+            ),
+            F.expr("CAST((size(arr) + 1) DIV 2 AS INT)"),
+        ),
+    )
+    return stage.filter(
+        10000 * F.abs(F.col("cents") - F.col("med")) > 44478 * F.col("mad")
+    ).select("event_type", "day", "cents", "med", "mad")

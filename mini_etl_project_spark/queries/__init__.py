@@ -259,6 +259,8 @@ _CHECK_FIRST: list[str] = [
     "q_graph_clustering_coeff",
     "q_ts_hampel",
     "q_ml_ndcg",
+    "q_ml_kaplan_meier",
+    "q_ml_boosted_stumps",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -2397,3 +2397,256 @@ def q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ndcg_ppm").cast("double") / F.count("*") / F.lit(1000000)
         ).alias("mean_ndcg"),
     )
+
+
+# -- X266 Kaplan-Meier survival estimator ----------------------------------
+#
+# Time-to-event analysis on user conversion: duration = days from a
+# user's first activity to first purchase (event) or to the horizon
+# (censored). The risk table (distinct durations, at-risk counts, event
+# counts) is pure keyed aggregation; the survival curve is the ordered
+# product Π (1 − d/n), which no declarative plan expresses — so the
+# BOUNDED risk table (≤ calendar days rows) goes through the same
+# applyInPandas-recurrence / recursive-CTE-oracle pairing as Holt
+# (X244), in exact fixed point: s_ppm ← s_ppm·(n−d) DIV n per event
+# time. Row-scale data never touches the recurrence — the sequential
+# part runs on the ~30-row aggregate, which is the correct 100 TB
+# split of parallel risk-set math vs sequential curve folding.
+
+_KM_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(MIN(CAST(ts AS DATE)) - DATE '2024-01-01' AS BIGINT)
+           AS first_day,
+         CAST(MIN(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ts AS DATE) END) - DATE '2024-01-01'
+              AS BIGINT) AS first_purchase
+  FROM events GROUP BY user_id),
+durations AS (
+  SELECT user_id,
+         CASE WHEN first_purchase IS NOT NULL
+              THEN first_purchase - first_day ELSE 29 - first_day END AS t,
+         CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END AS d
+  FROM per_user),
+risk AS (
+  SELECT t,
+         CAST(SUM(d) AS BIGINT) AS d_events,
+         CAST((SELECT COUNT(*) FROM durations du WHERE du.t >= r.t)
+              AS BIGINT) AS n_at_risk
+  FROM durations r GROUP BY t HAVING SUM(d) > 0),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY t) AS rn FROM risk),
+curve AS (
+  WITH RECURSIVE k(rn, t, n_at_risk, d_events, s_ppm) AS (
+    SELECT rn, t, n_at_risk, d_events,
+           CAST(1000000 AS BIGINT) * (n_at_risk - d_events) // n_at_risk
+    FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT r.rn, r.t, r.n_at_risk, r.d_events,
+           k.s_ppm * (r.n_at_risk - r.d_events) // r.n_at_risk
+    FROM k JOIN ranked r ON r.rn = k.rn + 1)
+  SELECT * FROM k)
+SELECT t, n_at_risk, d_events, CAST(s_ppm AS BIGINT) AS surv_ppm
+FROM curve
+"""
+
+
+@query("q_ml_kaplan_meier", _KM_ORACLE)
+def q_ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")).cast(
+        "bigint"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(day).alias("first_day"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", day)
+        ).alias("first_purchase"),
+    )
+    durations = per_user.select(
+        F.when(
+            F.col("first_purchase").isNotNull(),
+            F.col("first_purchase") - F.col("first_day"),
+        )
+        .otherwise(F.lit(29) - F.col("first_day"))
+        .alias("t"),
+        F.when(F.col("first_purchase").isNotNull(), 1)
+        .otherwise(0)
+        .alias("d"),
+    ).localCheckpoint(eager=True)
+    counts = durations.groupBy("t").agg(
+        F.sum("d").cast("bigint").alias("d_events"),
+        F.count("*").cast("bigint").alias("ct"),
+    )
+    # at-risk = suffix sum of per-duration counts (keyed-free window over
+    # the BOUNDED risk table only)
+    w = (
+        Window.orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = (
+        counts.select(
+            "t",
+            "d_events",
+            F.sum("ct").over(w).cast("bigint").alias("n_at_risk"),
+        )
+        .filter(F.col("d_events") > 0)
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        s = 1000000
+        out = []
+        for n, d in zip(pdf["n_at_risk"], pdf["d_events"]):
+            s = s * (int(n) - int(d)) // int(n)
+            out.append(s)
+        pdf["surv_ppm"] = pd.Series(out, dtype="int64")
+        return pdf
+
+    return (
+        risk.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            fold,
+            "t bigint, d_events bigint, n_at_risk bigint, g int, "
+            "surv_ppm bigint",
+        )
+        .select("t", "n_at_risk", "d_events", "surv_ppm")
+    )
+
+
+# -- X267 residual-boosted stumps (2 rounds, exact integer residuals) ------
+#
+# Gradient boosting's skeleton in relational form: round 1 fits the best
+# SSE split of price on quantity (candidate splits = the BOUNDED
+# distinct-x table; prefix sums via a window over that aggregate, argmin
+# deterministic with smallest-split tie-break); predictions are FLOOR
+# means so residuals stay exact integers; round 2 refits on the
+# residuals. Each round is one grouped aggregate + one bounded window +
+# one broadcast join — the shuffle never carries more than the distinct
+# feature values, which is how a 100 TB booster builds its histogram
+# splits. SSE comparisons run in the mirrored IEEE double tree.
+
+_BOOST_ORACLE = """
+WITH pts AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice) AS BIGINT) // 10 AS y
+  FROM lineitem),
+h1 AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(y) AS BIGINT) AS s
+       FROM pts GROUP BY x),
+p1 AS (
+  SELECT x, c, s,
+         SUM(c) OVER w AS cl, SUM(s) OVER w AS sl,
+         SUM(c) OVER () AS ct, SUM(s) OVER () AS st
+  FROM h1 WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)),
+sse1 AS (
+  SELECT x AS split,
+         - (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / cl)
+         - (CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE) / (ct - cl))
+           AS neg_gain,
+         CAST(sl AS BIGINT) // cl AS pl,
+         CAST(st - sl AS BIGINT) // (ct - cl) AS pr
+  FROM p1 WHERE cl < ct),
+b1 AS (SELECT * FROM sse1 ORDER BY neg_gain, split LIMIT 1),
+res AS (
+  SELECT p.x,
+         p.y - (CASE WHEN p.x <= b.split THEN b.pl ELSE b.pr END) AS r
+  FROM pts p CROSS JOIN b1 b),
+h2 AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(r) AS BIGINT) AS s
+       FROM res GROUP BY x),
+p2 AS (
+  SELECT x, c, s,
+         SUM(c) OVER w AS cl, SUM(s) OVER w AS sl,
+         SUM(c) OVER () AS ct, SUM(s) OVER () AS st
+  FROM h2 WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)),
+sse2 AS (
+  SELECT x AS split,
+         - (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / cl)
+         - (CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE) / (ct - cl))
+           AS neg_gain,
+         CASE WHEN sl >= 0 THEN sl // cl
+              ELSE -((-sl) // cl) END AS pl,
+         CASE WHEN st - sl >= 0 THEN (st - sl) // (ct - cl)
+              ELSE -((sl - st) // (ct - cl)) END AS pr
+  FROM p2 WHERE cl < ct),
+b2 AS (SELECT * FROM sse2 ORDER BY neg_gain, split LIMIT 1)
+SELECT 1 AS round, CAST(b.split AS BIGINT) AS split_x,
+       CAST(b.pl AS BIGINT) AS pred_left, CAST(b.pr AS BIGINT) AS pred_right
+FROM b1 b
+UNION ALL
+SELECT 2, CAST(b.split AS BIGINT), CAST(b.pl AS BIGINT), CAST(b.pr AS BIGINT)
+FROM b2 b
+"""
+
+
+@query("q_ml_boosted_stumps", _BOOST_ORACLE)
+def q_ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.expr("CAST(ROUND(l_extendedprice) AS BIGINT) DIV 10").alias("y"),
+    )
+
+    def best_split(data: DataFrame, target: str) -> DataFrame:
+        h = data.groupBy("x").agg(
+            F.count("*").cast("bigint").alias("c"),
+            F.sum(target).cast("bigint").alias("s"),
+        )
+        w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+        wt = Window.orderBy("x").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        p = h.select(
+            "x",
+            F.sum("c").over(w).alias("cl"),
+            F.sum("s").over(w).alias("sl"),
+            F.sum("c").over(wt).alias("ct"),
+            F.sum("s").over(wt).alias("st"),
+        )
+        sl, cl = F.col("sl").cast("double"), F.col("cl")
+        sr, cr = (F.col("st") - F.col("sl")).cast("double"), (
+            F.col("ct") - F.col("cl")
+        )
+        # floor division that mirrors DuckDB's sign-split (residual sums
+        # can be negative in round 2)
+        pl = F.expr(
+            "CASE WHEN sl >= 0 THEN sl DIV cl ELSE -((-sl) DIV cl) END"
+        )
+        pr = F.expr(
+            "CASE WHEN st - sl >= 0 THEN (st - sl) DIV (ct - cl) "
+            "ELSE -((sl - st) DIV (ct - cl)) END"
+        )
+        cand = p.filter(F.col("cl") < F.col("ct")).select(
+            F.col("x").alias("split"),
+            (-(sl * sl / cl) - (sr * sr / cr)).alias("neg_gain"),
+            pl.cast("bigint").alias("pl"),
+            pr.cast("bigint").alias("pr"),
+        )
+        return cand.orderBy("neg_gain", "split").limit(1)
+
+    b1 = best_split(pts, "y")
+    res = pts.crossJoin(F.broadcast(b1)).select(
+        "x",
+        (
+            F.col("y")
+            - F.when(F.col("x") <= F.col("split"), F.col("pl")).otherwise(
+                F.col("pr")
+            )
+        ).alias("r"),
+    )
+    b2 = best_split(res, "r")
+    out1 = b1.select(
+        F.lit(1).alias("round"),
+        F.col("split").cast("bigint").alias("split_x"),
+        F.col("pl").cast("bigint").alias("pred_left"),
+        F.col("pr").cast("bigint").alias("pred_right"),
+    )
+    out2 = b2.select(
+        F.lit(2).alias("round"),
+        F.col("split").cast("bigint").alias("split_x"),
+        F.col("pl").cast("bigint").alias("pred_left"),
+        F.col("pr").cast("bigint").alias("pred_right"),
+    )
+    return out1.unionByName(out2)

@@ -261,6 +261,9 @@ _CHECK_FIRST: list[str] = [
     "q_ml_ndcg",
     "q_ml_kaplan_meier",
     "q_ml_boosted_stumps",
+    "q_join_scd2_asof",
+    "q_fn_uuid5",
+    "q_etl_json_flatten",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -896,3 +896,69 @@ def q_etl_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("new_present", F.lit(0)).alias("new_present"),
         status.alias("status"),
     )
+
+
+# -- X270 nested-JSON flattening --------------------------------------------
+#
+# Semi-structured ingestion: nested objects and arrays flattened into
+# typed columns. The nesting is PLANTED deterministically from the flat
+# fixture (both engines build the identical payload), then Spark parses
+# with an explicit from_json schema — struct field access and array
+# indexing stay whole-stage-codegen — while the oracle walks the same
+# paths with json_extract. Aggregated per event_type so the comparison
+# pins sums of every extracted field.
+
+_JSON_FLATTEN_ORACLE = """
+WITH nested AS (
+  SELECT event_type,
+         '{"a": {"b": ' || json_extract_string(props, '$.k')
+           || ', "c": "u' || CAST(user_id % 10 AS VARCHAR)
+           || '"}, "d": [' || CAST(event_id % 100 AS VARCHAR) || ', '
+           || CAST(event_id % 7 AS VARCHAR) || ']}' AS payload
+  FROM events),
+flat AS (
+  SELECT event_type,
+         CAST(json_extract(payload, '$.a.b') AS BIGINT) AS ab,
+         json_extract_string(payload, '$.a.c') AS ac,
+         CAST(json_extract(payload, '$.d[0]') AS BIGINT) AS d0,
+         CAST(json_array_length(payload, '$.d') AS BIGINT) AS dn
+  FROM nested)
+SELECT event_type,
+       CAST(SUM(ab) AS BIGINT) AS ab_sum,
+       CAST(COUNT(DISTINCT ac) AS BIGINT) AS ac_distinct,
+       CAST(SUM(d0) AS BIGINT) AS d0_sum,
+       CAST(SUM(dn) AS BIGINT) AS dn_sum
+FROM flat GROUP BY event_type
+"""
+
+
+@query("q_etl_json_flatten", _JSON_FLATTEN_ORACLE)
+def q_etl_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"a": {"b": '),
+        F.get_json_object("props", "$.k"),
+        F.lit(', "c": "u'),
+        (F.col("user_id") % 10).cast("string"),
+        F.lit('"}, "d": ['),
+        (F.col("event_id") % 100).cast("string"),
+        F.lit(", "),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit("]}"),
+    )
+    schema = "a struct<b: bigint, c: string>, d array<bigint>"
+    flat = ev.select(
+        "event_type", F.from_json(payload, schema).alias("j")
+    ).select(
+        "event_type",
+        F.col("j.a.b").alias("ab"),
+        F.col("j.a.c").alias("ac"),
+        F.element_at("j.d", 1).alias("d0"),
+        F.size("j.d").cast("bigint").alias("dn"),
+    )
+    return flat.groupBy("event_type").agg(
+        F.sum("ab").cast("bigint").alias("ab_sum"),
+        F.countDistinct("ac").cast("bigint").alias("ac_distinct"),
+        F.sum("d0").cast("bigint").alias("d0_sum"),
+        F.sum("dn").cast("bigint").alias("dn_sum"),
+    )

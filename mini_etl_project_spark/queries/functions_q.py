@@ -1208,3 +1208,64 @@ def q_fn_ipv4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_roundtrip"),
     )
+
+
+# -- X269 deterministic name-based UUIDs (v3, RFC 4122) --------------------
+#
+# Surrogate-key generation that is reproducible across engines and runs:
+# UUIDv3 = md5(namespace ‖ name) with the version nibble forced to 3 and
+# the variant nibble to (n & 3) | 8 — both re-expressed as pure string
+# ops (translate does the variant arithmetic), so DuckDB derives the
+# identical key. The uniqueness proof (distinct UUIDs = distinct names)
+# rides the same aggregate.
+
+_UUID5_ORACLE = """
+WITH h AS (
+  SELECT c_custkey,
+         md5('mini-etl-ns:' || CAST(c_custkey AS VARCHAR)) AS x
+  FROM customer),
+u AS (
+  SELECT c_custkey,
+         substr(x, 1, 8) || '-' || substr(x, 9, 4) || '-3'
+           || substr(x, 15, 3) || '-'
+           || translate(substr(x, 17, 1),
+                        '0123456789abcdef', '89ab89ab89ab89ab')
+           || substr(x, 19, 2) || '-' || substr(x, 21, 12) AS uuid
+  FROM h)
+SELECT substr(uuid, 1, 1) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT uuid) AS BIGINT) AS n_distinct,
+       MIN(uuid) AS first_uuid
+FROM u GROUP BY bucket
+"""
+
+
+@query("q_fn_uuid5", _UUID5_ORACLE)
+def q_fn_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    x = F.md5(
+        F.concat(F.lit("mini-etl-ns:"), F.col("c_custkey").cast("string"))
+    )
+    u = c.select(
+        F.concat(
+            F.substring(x, 1, 8),
+            F.lit("-"),
+            F.substring(x, 9, 4),
+            F.lit("-3"),
+            F.substring(x, 15, 3),
+            F.lit("-"),
+            F.translate(
+                F.substring(x, 17, 1),
+                "0123456789abcdef",
+                "89ab89ab89ab89ab",
+            ),
+            F.substring(x, 19, 2),
+            F.lit("-"),
+            F.substring(x, 21, 12),
+        ).alias("uuid")
+    )
+    return u.groupBy(F.substring("uuid", 1, 1).alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("uuid").cast("bigint").alias("n_distinct"),
+        F.min("uuid").alias("first_uuid"),
+    )

@@ -1234,3 +1234,98 @@ def q_join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("id").cast("bigint").alias("id_checksum"),
         )
     )
+
+
+# -- X268 fact → SCD2 dimension AS-OF join ---------------------------------
+#
+# The warehouse join every star schema with versioned dimensions needs:
+# each fact row (a purchase event) picks the dimension VERSION valid at
+# its timestamp. Dimension history = per-user event_type periods (the
+# X45 SCD2 derivation: change flags → cumulative period ids →
+# [valid_from, valid_to) intervals — built from the user's NON-purchase
+# activity, so the fact's own event never defines its version). The
+# join is keyed on user_id plus
+# the half-open interval containment — Spark executes it as a keyed
+# equi-join with interval residual (facts never cross user partitions).
+# Facts BEFORE the user's first version stay NULL (left join) — the
+# contract a PIT-correct feature store must honor.
+
+_SCD2_ASOF_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+periods AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS period_id
+  FROM ordered),
+dim AS (
+  SELECT user_id, event_type AS state, CAST(period_id AS BIGINT) AS version,
+         MIN(ts) AS valid_from,
+         LEAD(MIN(ts)) OVER (PARTITION BY user_id
+                             ORDER BY MIN(ts)) AS valid_to
+  FROM periods GROUP BY user_id, event_type, period_id),
+facts AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+joined AS (
+  SELECT f.user_id, f.event_id, f.cents, d.state, d.version
+  FROM facts f
+  LEFT JOIN dim d
+    ON d.user_id = f.user_id
+   AND f.ts >= d.valid_from
+   AND (d.valid_to IS NULL OR f.ts < d.valid_to))
+SELECT state, CAST(COUNT(*) AS BIGINT) AS n_facts,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM joined GROUP BY state
+"""
+
+
+@query("q_join_scd2_asof", _SCD2_ASOF_ORACLE)
+def q_join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    periods = (
+        e.filter(F.col("event_type") != "purchase")
+        .select("user_id", "event_type", "ts", "event_id", chg.alias("chg"))
+        .withColumn("period_id", F.sum("chg").over(wcum))
+    )
+    grouped = periods.groupBy(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        F.col("period_id").cast("bigint").alias("version"),
+    ).agg(F.min("ts").alias("valid_from"))
+    dim = grouped.withColumn(
+        "valid_to",
+        F.lead("valid_from").over(
+            Window.partitionBy("d_user").orderBy("valid_from")
+        ),
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    joined = facts.join(
+        dim,
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "left",
+    )
+    return joined.groupBy("state").agg(
+        F.count("*").cast("bigint").alias("n_facts"),
+        F.sum("cents").cast("bigint").alias("cents_sum"),
+        F.sum("event_id").cast("bigint").alias("id_checksum"),
+    )

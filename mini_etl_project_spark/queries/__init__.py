@@ -264,6 +264,8 @@ _CHECK_FIRST: list[str] = [
     "q_join_scd2_asof",
     "q_fn_uuid5",
     "q_etl_json_flatten",
+    "q_ml_fairness",
+    "q_fn_business_days",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -1269,3 +1269,72 @@ def q_fn_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("uuid").cast("bigint").alias("n_distinct"),
         F.min("uuid").alias("first_uuid"),
     )
+
+
+# -- X272 business-day arithmetic (closed form, no calendar explode) -------
+#
+# Weekday counting between dates WITHOUT generating a row per day (the
+# tempting sequence-explode is a 7× row blowup at scale): business days
+# in [start, start+n) = 5·(n DIV 7) + partial(dow(start), n MOD 7),
+# where the partial-week term is the split CASE over the Monday-indexed
+# start weekday — pure integer arithmetic on epoch days, mirrored
+# exactly. Spans derive deterministically from order keys; the result
+# aggregates per span length so every (dow × rem) combination in the
+# data is pinned.
+
+_BIZDAYS_ORACLE = """
+WITH spans AS (
+  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS s,
+         o_orderkey % 20 AS n
+  FROM orders),
+calc AS (
+  SELECT n, (s + 3) % 7 AS dow0, n // 7 AS weeks, n % 7 AS rem
+  FROM spans),
+biz AS (
+  SELECT n,
+         5 * weeks
+         + (CASE WHEN dow0 <= 4 THEN LEAST(rem, 5 - dow0) ELSE 0 END)
+         + GREATEST(0, rem - (7 - dow0)) AS bdays
+  FROM calc)
+SELECT CAST(n AS BIGINT) AS span_days,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(bdays) AS BIGINT) AS business_days_sum,
+       CAST(MIN(bdays) AS BIGINT) AS min_bdays,
+       CAST(MAX(bdays) AS BIGINT) AS max_bdays
+FROM biz GROUP BY n
+"""
+
+
+@query("q_fn_business_days", _BIZDAYS_ORACLE)
+def q_fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    spans = o.select(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("s"),
+        (F.col("o_orderkey") % 20).alias("n"),
+    )
+    calc = spans.select(
+        "n",
+        ((F.col("s") + 3) % 7).alias("dow0"),
+        F.expr("n DIV 7").alias("weeks"),
+        (F.col("n") % 7).alias("rem"),
+    )
+    bdays = (
+        5 * F.col("weeks")
+        + F.when(
+            F.col("dow0") <= 4,
+            F.least(F.col("rem"), 5 - F.col("dow0")),
+        ).otherwise(F.lit(0))
+        + F.greatest(F.lit(0), F.col("rem") - (7 - F.col("dow0")))
+    )
+    return (
+        calc.select("n", bdays.alias("bdays"))
+        .groupBy(F.col("n").cast("bigint").alias("span_days"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("bdays").cast("bigint").alias("business_days_sum"),
+            F.min("bdays").cast("bigint").alias("min_bdays"),
+            F.max("bdays").cast("bigint").alias("max_bdays"),
+        )
+    )

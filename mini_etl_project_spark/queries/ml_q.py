@@ -2650,3 +2650,89 @@ def q_ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pr").cast("bigint").alias("pred_right"),
     )
     return out1.unionByName(out2)
+
+
+# -- X271 group-fairness metrics (selection rate / TPR parity) -------------
+#
+# Model-audit table: per demographic group (deterministic customer-key
+# bucket), the confusion counts of a deterministic classifier plus the
+# fairness rates in exact ppm — selection rate (demographic parity) and
+# true-positive rate (equal opportunity) — and every group row carries
+# the across-group max−min parity gaps (a 3-row broadcast self-
+# aggregate). Pure integer arithmetic; one scan + one bounded agg.
+
+_FAIRNESS_ORACLE = """
+WITH scored AS (
+  SELECT o_custkey % 3 AS grp,
+         CASE WHEN CAST(ROUND(o_totalprice) AS BIGINT) % 2 = 0
+              THEN 1 ELSE 0 END AS y,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS pred
+  FROM orders),
+conf AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y * pred) AS BIGINT) AS tp,
+         CAST(SUM((1 - y) * pred) AS BIGINT) AS fp,
+         CAST(SUM(y * (1 - pred)) AS BIGINT) AS fn,
+         CAST(SUM((1 - y) * (1 - pred)) AS BIGINT) AS tn
+  FROM scored GROUP BY grp),
+rates AS (
+  SELECT grp, n, tp, fp, fn, tn,
+         CAST((tp + fp) * 1000000 // n AS BIGINT) AS sel_ppm,
+         CAST(CASE WHEN tp + fn > 0
+                   THEN tp * 1000000 // (tp + fn) ELSE 0 END
+              AS BIGINT) AS tpr_ppm
+  FROM conf),
+gaps AS (
+  SELECT CAST(MAX(sel_ppm) - MIN(sel_ppm) AS BIGINT) AS parity_gap_ppm,
+         CAST(MAX(tpr_ppm) - MIN(tpr_ppm) AS BIGINT) AS tpr_gap_ppm
+  FROM rates)
+SELECT CAST(r.grp AS BIGINT) AS grp, r.n, r.tp, r.fp, r.fn, r.tn,
+       r.sel_ppm, r.tpr_ppm, g.parity_gap_ppm, g.tpr_gap_ppm
+FROM rates r CROSS JOIN gaps g
+"""
+
+
+@query("q_ml_fairness", _FAIRNESS_ORACLE)
+def q_ml_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        (F.col("o_custkey") % 3).alias("grp"),
+        F.when(
+            F.expr("CAST(ROUND(o_totalprice) AS BIGINT) % 2") == 0, 1
+        ).otherwise(0).alias("y"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("pred"),
+    )
+    conf = scored.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("y") * F.col("pred")).cast("bigint").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("pred")).cast("bigint").alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("pred"))).cast("bigint").alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("pred")))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    rates = conf.select(
+        "*",
+        F.expr("CAST((tp + fp) * 1000000 DIV n AS BIGINT)").alias("sel_ppm"),
+        F.expr(
+            "CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 DIV (tp + fn) "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("tpr_ppm"),
+    )
+    gaps = rates.agg(
+        (F.max("sel_ppm") - F.min("sel_ppm"))
+        .cast("bigint")
+        .alias("parity_gap_ppm"),
+        (F.max("tpr_ppm") - F.min("tpr_ppm"))
+        .cast("bigint")
+        .alias("tpr_gap_ppm"),
+    )
+    return rates.crossJoin(F.broadcast(gaps)).select(
+        F.col("grp").cast("bigint").alias("grp"),
+        "n", "tp", "fp", "fn", "tn",
+        "sel_ppm", "tpr_ppm", "parity_gap_ppm", "tpr_gap_ppm",
+    )

@@ -174,3 +174,20 @@ def test_bloom_file_index_prunes_without_false_negatives(spark, tmp_path):
         t.read(spark, bloom_eq=("k", 5003)).filter(F.col("k") == 5003).count()
         == 1
     )
+
+
+# -- business days: closed form == day-by-day count ∀ (dow, span) ----------
+
+
+def test_business_days_closed_form_exhaustive():
+    for s in range(7):          # start epoch-day offset → all weekdays
+        dow0 = (s + 3) % 7      # Monday-indexed
+        for n in range(0, 30):  # span lengths incl. multi-week
+            brute = sum(
+                1 for i in range(n) if (dow0 + i) % 7 < 5
+            )
+            weeks, rem = n // 7, n % 7
+            partial = (
+                min(rem, 5 - dow0) if dow0 <= 4 else 0
+            ) + max(0, rem - (7 - dow0))
+            assert 5 * weeks + partial == brute, (s, n)

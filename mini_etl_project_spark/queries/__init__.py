@@ -266,6 +266,9 @@ _CHECK_FIRST: list[str] = [
     "q_etl_json_flatten",
     "q_ml_fairness",
     "q_fn_business_days",
+    "q_agg_weighted_median",
+    "q_etl_survivorship",
+    "q_text_zipf",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -962,3 +962,99 @@ def q_etl_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d0").cast("bigint").alias("d0_sum"),
         F.sum("dn").cast("bigint").alias("dn_sum"),
     )
+
+
+# -- X274 golden-record survivorship (MDM merge) ----------------------------
+#
+# Master-data dedup's second half: after clustering duplicates, pick ONE
+# surviving value per attribute under explicit rules. Duplicate clusters
+# are planted deterministically (each customer key < 500 gains two
+# degraded copies: one with a truncated name + stale balance, one with a
+# NULL segment), then per cluster the survivors are chosen by rule:
+#   name    → longest, tie → lexicographically first   (completeness)
+#   balance → value from the most recent version        (recency)
+#   segment → first non-null by version                 (first-known)
+# Each rule is one deterministic keyed aggregate (max_by-style structs);
+# no window over raw rows. The oracle replays the identical planting
+# and rules.
+
+_SURVIVOR_ORACLE = """
+WITH copies AS (
+  SELECT c_custkey AS k, 0 AS ver, c_name AS name,
+         c_acctbal AS bal, c_mktsegment AS seg
+  FROM customer WHERE c_custkey < 500
+  UNION ALL
+  SELECT c_custkey, 1, substr(c_name, 1, 10),
+         c_acctbal - 100.0, c_mktsegment
+  FROM customer WHERE c_custkey < 500
+  UNION ALL
+  SELECT c_custkey, 2, c_name || ' jr', c_acctbal + 50.0, NULL
+  FROM customer WHERE c_custkey < 500),
+name_pick AS (
+  SELECT k, MIN(name) AS s_name FROM copies c1
+  WHERE LEN(name) = (SELECT MAX(LEN(name)) FROM copies c2 WHERE c2.k = c1.k)
+  GROUP BY k),
+bal_pick AS (
+  SELECT k, MAX_BY(bal, ver) AS s_bal FROM copies GROUP BY k),
+seg_pick AS (
+  SELECT k, MIN_BY(seg, CASE WHEN seg IS NOT NULL THEN ver END) AS s_seg
+  FROM copies WHERE seg IS NOT NULL GROUP BY k),
+golden AS (
+  SELECT n.k, n.s_name, b.s_bal, s.s_seg
+  FROM name_pick n JOIN bal_pick b ON b.k = n.k
+  LEFT JOIN seg_pick s ON s.k = n.k)
+SELECT s_seg, CAST(COUNT(*) AS BIGINT) AS n_golden,
+       CAST(SUM(LEN(s_name)) AS BIGINT) AS name_len_sum,
+       {dsum}
+FROM golden GROUP BY s_seg
+""".format(dsum=sql_dsum("s_bal", "bal_sum"))
+
+
+@query("q_etl_survivorship", _SURVIVOR_ORACLE)
+def q_etl_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 500
+    )
+    base = c.select(
+        F.col("c_custkey").alias("k"),
+        F.lit(0).alias("ver"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    v1 = c.select(
+        F.col("c_custkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.substring("c_name", 1, 10).alias("name"),
+        (F.col("c_acctbal") - 100.0).alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    v2 = c.select(
+        F.col("c_custkey").alias("k"),
+        F.lit(2).alias("ver"),
+        F.concat(F.col("c_name"), F.lit(" jr")).alias("name"),
+        (F.col("c_acctbal") + 50.0).alias("bal"),
+        F.lit(None).cast("string").alias("seg"),
+    )
+    copies = base.unionByName(v1).unionByName(v2)
+    # completeness rule: longest name, lexicographic tie-break — one
+    # aggregate via min over (−len, name) ordering encoded as a struct
+    name_pick = copies.groupBy("k").agg(
+        F.min(
+            F.struct((-F.length("name")).alias("neg"), F.col("name"))
+        )["name"].alias("s_name")
+    )
+    bal_pick = copies.groupBy("k").agg(
+        F.max_by("bal", "ver").alias("s_bal")
+    )
+    seg_pick = (
+        copies.filter(F.col("seg").isNotNull())
+        .groupBy("k")
+        .agg(F.min_by("seg", "ver").alias("s_seg"))
+    )
+    golden = name_pick.join(bal_pick, "k").join(seg_pick, "k", "left")
+    return golden.groupBy("s_seg").agg(
+        F.count("*").cast("bigint").alias("n_golden"),
+        F.sum(F.length("s_name")).cast("bigint").alias("name_len_sum"),
+        dsum("s_bal", "bal_sum"),
+    )

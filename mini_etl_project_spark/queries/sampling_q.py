@@ -2059,3 +2059,71 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cxy / F.sqrt(cxx * cyy)).alias("corr"),
         (cxy / (n - 1)).alias("covar_samp"),
     )
+
+
+# -- X273 weighted median (cumulative-weight selection) --------------------
+#
+# The weighted generalization of the exact median: per group, the
+# smallest value whose cumulative weight reaches half the total —
+# integer weights (quantity), integer cross-multiplication for the
+# half test (2·cumw ≥ totw — no division), selection via one keyed
+# window over the per-(group, value) aggregate (bounded by distinct
+# values per group, never raw rows).
+
+_WMEDIAN_ORACLE = """
+WITH vw AS (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_extendedprice) AS BIGINT) // 100 AS v,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+cum AS (
+  SELECT grp, v, w,
+         SUM(w) OVER (PARTITION BY grp ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY grp) AS tw
+  FROM vw),
+hit AS (
+  SELECT grp, v, cw, tw,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rk
+  FROM cum WHERE 2 * cw >= tw)
+SELECT grp, CAST(v AS BIGINT) AS weighted_median,
+       CAST(cw AS BIGINT) AS cum_weight_at, CAST(tw AS BIGINT) AS total_weight
+FROM hit WHERE rk = 1
+"""
+
+
+@query("q_agg_weighted_median", _WMEDIAN_ORACLE)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vw = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.expr("CAST(ROUND(l_extendedprice) AS BIGINT) DIV 100").alias("v"),
+    ).agg(
+        F.sum(F.round("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("w")
+    )
+    wc = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("grp")
+    cum = vw.select(
+        "grp",
+        "v",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    hit = cum.filter(2 * F.col("cw") >= F.col("tw")).withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("grp").orderBy("v")),
+    )
+    return hit.filter(F.col("rk") == 1).select(
+        "grp",
+        F.col("v").cast("bigint").alias("weighted_median"),
+        F.col("cw").cast("bigint").alias("cum_weight_at"),
+        F.col("tw").cast("bigint").alias("total_weight"),
+    )

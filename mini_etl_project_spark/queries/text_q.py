@@ -1446,3 +1446,62 @@ def q_text_stem_light(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("w").cast("bigint").alias("n_forms"),
         F.min("w").alias("sample_form"),
     )
+
+
+# -- X275 Zipf's-law diagnostic (log-free rank×frequency) ------------------
+#
+# Corpus health check: under Zipf, rank·frequency is near-constant. The
+# log-log slope needs runtime logarithms (libm drift), so the
+# diagnostic reports the EXACT integer products r·f for the top ranks
+# plus their ppm ratio to the rank-1 frequency — the same curve, hash-
+# stable. The vocab is pre-pruned by a distributed TakeOrdered before
+# the rank window (the q_corpus_vocab_coverage posture).
+
+_ZIPF_N = 30
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents),
+vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+          FROM tok GROUP BY token),
+ranked AS (
+  SELECT token, f,
+         ROW_NUMBER() OVER (ORDER BY f DESC, token) AS r
+  FROM vocab),
+top AS (SELECT * FROM ranked WHERE r <= {_ZIPF_N}),
+c1 AS (SELECT f AS f1 FROM top WHERE r = 1)
+SELECT CAST(t.r AS BIGINT) AS r, t.token, t.f,
+       CAST(t.r * t.f AS BIGINT) AS rf,
+       CAST(t.r * t.f * 1000000 // c1.f1 AS BIGINT) AS rf_over_f1_ppm
+FROM top t CROSS JOIN c1
+"""
+
+
+@query("q_text_zipf", _ZIPF_ORACLE)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")
+        ).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("f"))
+    # distributed pre-prune, THEN the rank window over the survivors
+    top = vocab.orderBy(F.desc("f"), F.asc("token")).limit(_ZIPF_N)
+    ranked = top.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.desc("f"), F.asc("token"))),
+    )
+    c1 = ranked.filter(F.col("r") == 1).select(F.col("f").alias("f1"))
+    return ranked.crossJoin(F.broadcast(c1)).select(
+        F.col("r").cast("bigint").alias("r"),
+        "token",
+        "f",
+        (F.col("r") * F.col("f")).cast("bigint").alias("rf"),
+        F.expr("CAST(r * f * 1000000 DIV f1 AS BIGINT)").alias(
+            "rf_over_f1_ppm"
+        ),
+    )

@@ -269,6 +269,9 @@ _CHECK_FIRST: list[str] = [
     "q_agg_weighted_median",
     "q_etl_survivorship",
     "q_text_zipf",
+    "q_ml_pinball",
+    "q_ts_cumsum_reset",
+    "q_corpus_interleave",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

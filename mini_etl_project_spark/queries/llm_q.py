@@ -825,3 +825,44 @@ def q_corpus_lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("quota").alias("quota"),
         )
     )
+
+
+# -- X278 deterministic training-order interleave ---------------------------
+#
+# Epoch shuffling that is reproducible AND source-balanced: documents
+# are hash-shuffled within each source (md5 order — no RNG), numbered
+# per source with a keyed window, then globally interleaved by
+# (per-source position, source) so every k-source prefix contains ≈k
+# docs per source — the round-robin data-order a multi-corpus trainer
+# wants. The global order materializes only through a distributed
+# TakeOrdered of the first 60 positions; nothing global-sorts the
+# corpus.
+
+_INTERLEAVE_ORACLE = """
+WITH shuffled AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR) || '|epoch0') AS h,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)
+                                         || '|epoch0')) AS pos
+  FROM documents)
+SELECT doc_id, source, CAST(pos AS BIGINT) AS pos
+FROM shuffled
+ORDER BY pos, source, doc_id LIMIT 60
+"""
+
+
+@query("q_corpus_interleave", _INTERLEAVE_ORACLE)
+def q_corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|epoch0")))
+    shuffled = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(h))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    return shuffled.orderBy("pos", "source", "doc_id").limit(60)

@@ -2736,3 +2736,75 @@ def q_ml_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "tp", "fp", "fn", "tn",
         "sel_ppm", "tpr_ppm", "parity_gap_ppm", "tpr_gap_ppm",
     )
+
+
+# -- X276 quantile-regression evaluation (pinball loss, τ = 0.9) -----------
+#
+# The loss that scores quantile forecasts: pinball(y, q) =
+# max(τ(y−q), (τ−1)(y−q)). With τ = 9/10 and integer cents the
+# 10×-scaled loss is exactly integer: 9·(y−q) when y > q else (q−y).
+# The predictor under test is the exact per-group discrete 0.9-quantile
+# (deterministic percentile_disc twin); one grouped quantile + one
+# broadcast join + one integer aggregate.
+
+_PINBALL_ORACLE = """
+WITH pts AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice) AS BIGINT) AS y
+  FROM orders),
+ranked AS (
+  SELECT grp, y,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY y) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM pts),
+q AS (
+  SELECT grp, MIN(y) AS q90
+  FROM ranked
+  WHERE rn = CAST(CEIL(0.9 * n) AS BIGINT)
+  GROUP BY grp),
+loss AS (
+  SELECT p.grp, q.q90,
+         CASE WHEN p.y > q.q90 THEN 9 * (p.y - q.q90)
+              ELSE q.q90 - p.y END AS pb10
+  FROM pts p JOIN q ON q.grp = p.grp)
+SELECT grp, CAST(MIN(q90) AS BIGINT) AS q90,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(pb10) AS BIGINT) AS pinball_x10_sum
+FROM loss GROUP BY grp
+"""
+
+
+@query("q_ml_pinball", _PINBALL_ORACLE)
+def q_ml_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round("o_totalprice").cast("bigint").alias("y"),
+    )
+    w = Window.partitionBy("grp").orderBy("y")
+    wt = Window.partitionBy("grp")
+    ranked = pts.select(
+        "grp",
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wt).alias("n"),
+    )
+    q = (
+        ranked.filter(
+            F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")).cast("bigint")
+        )
+        .groupBy(F.col("grp").alias("qgrp"))
+        .agg(F.min("y").alias("q90"))
+    )
+    loss = pts.join(F.broadcast(q), pts["grp"] == F.col("qgrp")).select(
+        "grp",
+        "q90",
+        F.when(
+            F.col("y") > F.col("q90"), 9 * (F.col("y") - F.col("q90"))
+        ).otherwise(F.col("q90") - F.col("y")).alias("pb10"),
+    )
+    return loss.groupBy("grp").agg(
+        F.min("q90").cast("bigint").alias("q90"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pb10").cast("bigint").alias("pinball_x10_sum"),
+    )

@@ -2755,3 +2755,74 @@ def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage.filter(
         10000 * F.abs(F.col("cents") - F.col("med")) > 44478 * F.col("mad")
     ).select("event_type", "day", "cents", "med", "mad")
+
+
+# -- X277 resetting cumulative sum (gap-triggered restart) ------------------
+#
+# The running total that restarts after an inactivity gap — the classic
+# two-window trick with NO iterative logic: flag rows whose gap from
+# the previous event exceeds the threshold, cumulative-sum the flags
+# into segment ids, then cumulative-sum the measure WITHIN (key,
+# segment). Both windows are keyed; segments emerge in one pass.
+
+_CUMSUM_RESET_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+flagged AS (
+  SELECT *,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 3600000000
+                OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_seg
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+seg AS (
+  SELECT *, SUM(new_seg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM flagged),
+run AS (
+  SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id, event_id,
+         SUM(cents) OVER (PARTITION BY user_id, seg_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS running
+  FROM seg)
+SELECT user_id, seg_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(running) AS BIGINT) AS segment_total,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM run GROUP BY user_id, seg_id
+"""
+
+
+@query("q_ts_cumsum_reset", _CUMSUM_RESET_ORACLE)
+def q_ts_cumsum_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev_ts = F.lag("ts").over(w)
+    new_seg = F.when(
+        prev_ts.isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(prev_ts)
+            > 3600 * 1000 * 1000
+        ),
+        1,
+    ).otherwise(0)
+    seg = ev.withColumn("new_seg", new_seg).withColumn(
+        "seg_id", F.sum("new_seg").over(wcum).cast("bigint")
+    )
+    wrun = Window.partitionBy("user_id", "seg_id").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    run = seg.withColumn("running", F.sum("cents").over(wrun))
+    return run.groupBy("user_id", "seg_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("running").cast("bigint").alias("segment_total"),
+        F.sum("event_id").cast("bigint").alias("id_checksum"),
+    )

@@ -272,6 +272,7 @@ _CHECK_FIRST: list[str] = [
     "q_ml_pinball",
     "q_ts_cumsum_reset",
     "q_corpus_interleave",
+    "q_ml_best_f1",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -2808,3 +2808,100 @@ def q_ml_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("pb10").cast("bigint").alias("pinball_x10_sum"),
     )
+
+
+# -- X279 classification-threshold tuning (best F1 over a sweep) -----------
+#
+# Operating-point selection: sweep ten candidate score thresholds (a
+# broadcast literal table), compute each threshold's confusion counts in
+# ONE conditional aggregation pass (no per-threshold scan — the
+# threshold explode rides the same shuffle), then pick the argmax-F1
+# row. F1 compares as exact ppm (2·tp·10⁶ DIV (2·tp+fp+fn)); ties pin
+# to the smaller threshold. Score and label derive deterministically
+# from order columns.
+
+_BEST_F1_ORACLE = """
+WITH scored AS (
+  SELECT CAST(ROUND(o_totalprice) AS BIGINT) % 1000 AS score,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders),
+th AS (SELECT UNNEST([100, 200, 300, 400, 500, 600, 700, 800, 900, 950])
+         AS t),
+conf AS (
+  SELECT th.t,
+         CAST(SUM(CASE WHEN s.score >= th.t AND s.y = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN s.score >= th.t AND s.y = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN s.score < th.t AND s.y = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM scored s CROSS JOIN th GROUP BY th.t),
+f1 AS (
+  SELECT t, tp, fp, fn,
+         CAST(CASE WHEN 2 * tp + fp + fn > 0
+                   THEN 2 * tp * 1000000 // (2 * tp + fp + fn)
+                   ELSE 0 END AS BIGINT) AS f1_ppm
+  FROM conf),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY f1_ppm DESC, t) AS rk FROM f1)
+SELECT CAST(t AS BIGINT) AS best_threshold, tp, fp, fn, f1_ppm
+FROM best WHERE rk = 1
+"""
+
+
+@query("q_ml_best_f1", _BEST_F1_ORACLE)
+def q_ml_best_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        (F.expr("CAST(ROUND(o_totalprice) AS BIGINT)") % 1000).alias(
+            "score"
+        ),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+    )
+    th = scored.sparkSession.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.lit(v)
+                    for v in (100, 200, 300, 400, 500, 600, 700, 800, 900, 950)
+                ]
+            )
+        ).alias("t")
+    )
+    conf = (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when((F.col("score") >= F.col("t")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("tp"),
+            F.sum(
+                F.when((F.col("score") >= F.col("t")) & (F.col("y") == 0), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("fp"),
+            F.sum(
+                F.when((F.col("score") < F.col("t")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("fn"),
+        )
+    )
+    f1 = conf.select(
+        "*",
+        F.expr(
+            "CAST(CASE WHEN 2 * tp + fp + fn > 0 "
+            "THEN 2 * tp * 1000000 DIV (2 * tp + fp + fn) "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("f1_ppm"),
+    )
+    return (
+        f1.orderBy(F.desc("f1_ppm"), F.asc("t"))
+        .limit(1)
+        .select(
+            F.col("t").cast("bigint").alias("best_threshold"),
+            "tp", "fp", "fn", "f1_ppm",
+        )
+    )

@@ -273,6 +273,12 @@ _CHECK_FIRST: list[str] = [
     "q_ts_cumsum_reset",
     "q_corpus_interleave",
     "q_ml_best_f1",
+    # --- Session-5 additions (no driver row yet) ---
+    "q_quality_fd_violations",
+    "q_quality_l_diversity",
+    "q_sql_qualify",
+    "q_ml_cohens_kappa",
+    "q_ml_drift_tvd",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -1405,3 +1405,164 @@ def q_etl_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     return rows.select("p.*")
+
+
+# -- X280 functional-dependency violation audit ----------------------------
+#
+# Data-profiling primitive (Tane/Metanome family): for a candidate FD
+# A -> B, a violating LHS value is one mapping to more than one distinct
+# RHS value, and the minority rows are those outside the LHS group's
+# modal RHS. Both audited FDs run as keyed (lhs, rhs) counts followed by
+# a keyed lhs rollup — two shuffles on the FD's own key, no windows, so
+# the plan is the same at 100 TB. The reference (ETL_PROJECT.py:238-243)
+# profiles single columns only; this is the cross-column analogue.
+
+_FD_ORACLE = """
+WITH fd1 AS (
+  SELECT p_brand AS lhs, p_type AS rhs, COUNT(*) AS cnt
+  FROM part GROUP BY 1, 2),
+fd1g AS (
+  SELECT lhs, SUM(cnt) AS n_rows, MAX(cnt) AS modal_cnt,
+         COUNT(*) AS n_rhs
+  FROM fd1 GROUP BY lhs),
+fd2 AS (
+  SELECT CAST(c_nationkey AS VARCHAR) AS lhs, c_mktsegment AS rhs,
+         COUNT(*) AS cnt
+  FROM customer GROUP BY 1, 2),
+fd2g AS (
+  SELECT lhs, SUM(cnt) AS n_rows, MAX(cnt) AS modal_cnt,
+         COUNT(*) AS n_rhs
+  FROM fd2 GROUP BY lhs)
+SELECT 'part: brand->type' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_lhs,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_lhs,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(n_rows - modal_cnt) AS BIGINT) AS n_minority_rows
+FROM fd1g
+UNION ALL
+SELECT 'customer: nation->segment' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_lhs,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_lhs,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(n_rows - modal_cnt) AS BIGINT) AS n_minority_rows
+FROM fd2g
+"""
+
+
+def _fd_audit(df: DataFrame, fd_name: str, lhs, rhs) -> DataFrame:
+    pair = df.groupBy(lhs.alias("lhs"), rhs.alias("rhs")).agg(
+        F.count("*").alias("cnt")
+    )
+    per_lhs = pair.groupBy("lhs").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("modal_cnt"),
+        F.count("*").alias("n_rhs"),
+    )
+    return per_lhs.agg(
+        F.lit(fd_name).alias("fd"),
+        F.count("*").cast("bigint").alias("n_lhs"),
+        F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_lhs"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum(F.col("n_rows") - F.col("modal_cnt"))
+        .cast("bigint")
+        .alias("n_minority_rows"),
+    ).select("fd", "n_lhs", "n_violating_lhs", "n_rows", "n_minority_rows")
+
+
+@query("q_quality_fd_violations", _FD_ORACLE)
+def q_quality_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    c = load_table(spark, sf_dir, "customer")
+    return _fd_audit(
+        p, "part: brand->type", F.col("p_brand"), F.col("p_type")
+    ).unionAll(
+        _fd_audit(
+            c,
+            "customer: nation->segment",
+            F.col("c_nationkey").cast("string"),
+            F.col("c_mktsegment"),
+        )
+    )
+
+
+# -- X281 l-diversity audit ------------------------------------------------
+#
+# Privacy companion to the k-anonymity audit (q_quality_k_anonymity): for
+# each quasi-identifier group (nation, market segment), l = number of
+# distinct sensitive values (account-balance band of width 1000). The
+# result is the l-histogram: how many QI groups, and how many rows, sit
+# at each diversity level — the l < 2 rows are the re-identifiable ones.
+# Two keyed aggregations, no windows.
+
+_LDIV_ORACLE = """
+WITH grp AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) AS l,
+         COUNT(*) AS k
+  FROM customer GROUP BY 1, 2)
+SELECT CAST(l AS BIGINT) AS l,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       CAST(MIN(k) AS BIGINT) AS min_group_size,
+       CAST(MAX(k) AS BIGINT) AS max_group_size
+FROM grp GROUP BY l ORDER BY l
+"""
+
+
+@query("q_quality_l_diversity", _LDIV_ORACLE)
+def q_quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    grp = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+        ).alias("l"),
+        F.count("*").alias("k"),
+    )
+    return grp.groupBy(F.col("l").cast("bigint").alias("l")).agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+        F.min("k").cast("bigint").alias("min_group_size"),
+        F.max("k").cast("bigint").alias("max_group_size"),
+    )
+
+
+# -- X282 QUALIFY-style window filtering -----------------------------------
+#
+# DuckDB/Snowflake/BigQuery expose QUALIFY as first-class syntax; Spark
+# expresses the same thing as a window + outer filter. Both engines plan
+# it identically: rank within the partition, keep rank <= k — top-2
+# orders per customer by price. The oracle uses the native QUALIFY
+# clause so the engines' window-filter semantics are pinned against each
+# other (ties broken by orderkey for a unique ordering).
+
+_QUALIFY_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT) AS rn
+FROM orders
+QUALIFY rn <= 2
+"""
+
+
+@query("q_sql_qualify", _QUALIFY_ORACLE)
+def q_sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "qualify_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC,
+                                             o_orderkey) AS rn
+          FROM qualify_orders)
+        WHERE rn <= 2
+        """
+    )

@@ -2905,3 +2905,164 @@ def q_ml_best_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tp", "fp", "fn", "f1_ppm",
         )
     )
+
+
+# -- X283 Cohen's kappa inter-rater agreement ------------------------------
+#
+# Agreement between two binary "raters" corrected for chance: rater A is
+# the spend-score rule (score >= 500k cents, as in q_ml_confusion) and
+# rater B a frequency rule (>= 25 events). kappa = (po - pe) / (1 - pe)
+# with po = agreement rate and pe the marginal-product chance rate. The
+# whole statistic reduces to one keyed per-user aggregate plus one global
+# fold; the division is done in exact integer cross-multiplication then
+# floored to ppm, so both engines land on the identical BIGINT
+# (N <= ~1e5 users per shard keeps every product far below 2^53).
+
+_KAPPA_ORACLE = f"""
+WITH rated AS (
+  SELECT user_id,
+         CASE WHEN SUM(CAST(ROUND(value * 100) AS BIGINT))
+                   >= {_CONFUSION_THRESHOLD} THEN 1 ELSE 0 END AS ra,
+         CASE WHEN COUNT(*) >= 25 THEN 1 ELSE 0 END AS rb
+  FROM events GROUP BY user_id),
+folds AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+         CAST(SUM(ra) AS BIGINT) AS a1,
+         CAST(SUM(rb) AS BIGINT) AS b1
+  FROM rated)
+SELECT n, agree, a1, b1,
+       CAST(FLOOR(agree * 1000000.0 / n) AS BIGINT) AS po_ppm,
+       CAST(FLOOR((a1 * b1 + (n - a1) * (n - b1)) * 1000000.0 / (n * n))
+            AS BIGINT) AS pe_ppm,
+       CAST(FLOOR((agree * n - (a1 * b1 + (n - a1) * (n - b1)))
+                  * 1000000.0
+                  / (n * n - (a1 * b1 + (n - a1) * (n - b1))))
+            AS BIGINT) AS kappa_ppm
+FROM folds
+"""
+
+
+@query("q_ml_cohens_kappa", _KAPPA_ORACLE)
+def q_ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    rated = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            >= _CONFUSION_THRESHOLD,
+            1,
+        )
+        .otherwise(0)
+        .alias("ra"),
+        F.when(F.count("*") >= 25, 1).otherwise(0).alias("rb"),
+    )
+    folds = rated.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+        F.sum("ra").cast("bigint").alias("a1"),
+        F.sum("rb").cast("bigint").alias("b1"),
+    )
+    n, agree, a1, b1 = (F.col(c) for c in ("n", "agree", "a1", "b1"))
+    pe_num = a1 * b1 + (n - a1) * (n - b1)
+    return folds.select(
+        "n",
+        "agree",
+        "a1",
+        "b1",
+        F.floor(agree * 1000000.0 / n).cast("bigint").alias("po_ppm"),
+        F.floor(pe_num * 1000000.0 / (n * n)).cast("bigint").alias("pe_ppm"),
+        F.floor((agree * n - pe_num) * 1000000.0 / (n * n - pe_num))
+        .cast("bigint")
+        .alias("kappa_ppm"),
+    )
+
+
+# -- X284 distribution-drift audit (total variation distance) --------------
+#
+# The ML-monitoring staple, in its log-free form: compare the per-type
+# distribution of event values between two periods (even vs odd day of
+# month) over 10 fixed value bands. PSI's log-ratio term would hinge on
+# cross-engine libm bit-equality, so the drift score is the total
+# variation distance instead — TVD = 1/2 * sum |p - q| — computed by
+# integer cross-multiplication: |c1*T2 - c2*T1| summed, then floored to
+# ppm against 2*T1*T2. One (type, bin, period) count plus one keyed
+# rollup per type; counts are <= 1e5 at sf0.01 and the cross products
+# stay below 2^53 at any per-shard scale the bench runs.
+
+_DRIFT_ORACLE = """
+WITH binned AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bin,
+         DAY(ts) % 2 AS period,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2, 3),
+wide AS (
+  SELECT event_type, bin,
+         SUM(CASE WHEN period = 0 THEN cnt ELSE 0 END) AS c1,
+         SUM(CASE WHEN period = 1 THEN cnt ELSE 0 END) AS c2
+  FROM binned GROUP BY 1, 2),
+tots AS (
+  SELECT event_type, SUM(c1) AS t1, SUM(c2) AS t2 FROM wide GROUP BY 1),
+scored AS (
+  SELECT w.event_type,
+         CAST(SUM(ABS(w.c1 * t.t2 - w.c2 * t.t1)) AS BIGINT) AS raw,
+         MAX(t.t1) AS t1, MAX(t.t2) AS t2,
+         CAST(COUNT(*) AS BIGINT) AS n_bins
+  FROM wide w JOIN tots t ON t.event_type = w.event_type
+  GROUP BY w.event_type)
+SELECT event_type,
+       CAST(t1 AS BIGINT) AS n_period0,
+       CAST(t2 AS BIGINT) AS n_period1,
+       n_bins,
+       CAST(FLOOR(raw * 1000000.0 / (2.0 * t1 * t2)) AS BIGINT)
+         AS tvd_ppm
+FROM scored ORDER BY event_type
+"""
+
+
+@query("q_ml_drift_tvd", _DRIFT_ORACLE)
+def q_ml_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    binned = e.groupBy(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(9)
+        ).alias("bin"),
+        (F.dayofmonth("ts") % 2).alias("period"),
+    ).agg(F.count("*").alias("cnt"))
+    wide = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == 0, F.col("cnt")).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("period") == 1, F.col("cnt")).otherwise(0)).alias(
+            "c2"
+        ),
+    )
+    tots = wide.groupBy("event_type").agg(
+        F.sum("c1").alias("t1"), F.sum("c2").alias("t2")
+    )
+    scored = (
+        wide.join(F.broadcast(tots), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.abs(F.col("c1") * F.col("t2") - F.col("c2") * F.col("t1"))
+            )
+            .cast("bigint")
+            .alias("raw"),
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.count("*").cast("bigint").alias("n_bins"),
+        )
+    )
+    return scored.select(
+        "event_type",
+        F.col("t1").cast("bigint").alias("n_period0"),
+        F.col("t2").cast("bigint").alias("n_period1"),
+        "n_bins",
+        F.floor(F.col("raw") * 1000000.0 / (2.0 * F.col("t1") * F.col("t2")))
+        .cast("bigint")
+        .alias("tvd_ppm"),
+    )

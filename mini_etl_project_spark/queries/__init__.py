@@ -279,6 +279,9 @@ _CHECK_FIRST: list[str] = [
     "q_sql_qualify",
     "q_ml_cohens_kappa",
     "q_ml_drift_tvd",
+    "q_graph_sssp",
+    "q_ts_dtw",
+    "q_er_blocking",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -807,3 +807,141 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_clean"),
         )
     )
+
+
+# -- X287 entity-resolution blocking pipeline ------------------------------
+#
+# The record-linkage workflow over a dirtied mention table: every
+# customer yields a clean mention plus a typo'd one (one digit of the
+# name bumped at a custkey-determined position — both engines synthesize
+# the identical corruption), candidate pairs come ONLY from a blocking
+# join on (nation, name-digit prefix) — never all-pairs across the
+# corpus — an edit-distance ≤ 1 verifier prunes them, and each mention's
+# cluster representative is its one-hop minimum (full closure lives in
+# operators/dedup.connected_components). Blocking bounds the quadratic
+# term by block size, which is the property that survives at 100 TB; a
+# digit bumped inside the blocking prefix knocks the mention out of its
+# block, so the pipeline's miss path is exercised too, deterministically.
+# Output: per-nation linkage accounting.
+
+_ER_ORACLE = """
+WITH mentions AS (
+  SELECT c_custkey * 2 AS mention_id, c_nationkey, c_name AS nm
+  FROM customer
+  UNION ALL
+  SELECT c_custkey * 2 + 1 AS mention_id, c_nationkey,
+         substr(c_name, 1, 9 + (c_custkey % 8))
+           || CAST((CAST(substr(c_name, 10 + (c_custkey % 8), 1) AS BIGINT)
+                    + 1) % 10 AS VARCHAR)
+           || substr(c_name, 11 + (c_custkey % 8)) AS nm
+  FROM customer),
+blocked AS (
+  SELECT mention_id, c_nationkey, nm,
+         substr(nm, 10, 5) AS blk
+  FROM mentions),
+pairs AS (
+  SELECT a.c_nationkey, a.mention_id AS ma, b.mention_id AS mb
+  FROM blocked a JOIN blocked b
+    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+   AND a.mention_id < b.mention_id
+  WHERE levenshtein(a.nm, b.nm) <= 1),
+reps AS (
+  SELECT m.c_nationkey, m.mention_id,
+         LEAST(m.mention_id,
+               COALESCE(MIN(p.ma), m.mention_id)) AS rep
+  FROM mentions m
+  LEFT JOIN pairs p ON p.mb = m.mention_id
+                   AND p.c_nationkey = m.c_nationkey
+  GROUP BY m.c_nationkey, m.mention_id)
+SELECT r.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST((SELECT COUNT(*) FROM pairs p
+             WHERE p.c_nationkey = r.c_nationkey) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN rep <> mention_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_merged
+FROM reps r GROUP BY r.c_nationkey ORDER BY r.c_nationkey
+"""
+
+
+@query("q_er_blocking", _ER_ORACLE)
+def q_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    clean = c.select(
+        (F.col("c_custkey") * 2).alias("mention_id"),
+        "c_nationkey",
+        F.col("c_name").alias("nm"),
+    )
+    pos = F.lit(10) + F.col("c_custkey") % 8  # 1-based digit position
+    dirty = c.select(
+        (F.col("c_custkey") * 2 + 1).alias("mention_id"),
+        "c_nationkey",
+        F.concat(
+            F.expr("substr(c_name, 1, 9 + c_custkey % 8)"),
+            (
+                (F.expr("substr(c_name, 10 + c_custkey % 8, 1)").cast(
+                    "bigint"
+                ) + 1)
+                % 10
+            ).cast("string"),
+            F.expr("substr(c_name, 11 + c_custkey % 8)"),
+        ).alias("nm"),
+    )
+    mentions = clean.unionByName(dirty)
+    blocked = mentions.withColumn("blk", F.expr("substr(nm, 10, 5)"))
+    a = blocked.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("blk").alias("bk"),
+        F.col("mention_id").alias("ma"),
+        F.col("nm").alias("nma"),
+    )
+    b = blocked.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("blk").alias("bk"),
+        F.col("mention_id").alias("mb"),
+        F.col("nm").alias("nmb"),
+    )
+    pairs = (
+        a.join(b, ["nk", "bk"])
+        .filter(F.col("ma") < F.col("mb"))
+        .filter(F.levenshtein("nma", "nmb") <= 1)
+        .select("nk", "ma", "mb")
+    )
+    reps = (
+        mentions.join(
+            pairs,
+            (pairs["mb"] == mentions["mention_id"])
+            & (pairs["nk"] == mentions["c_nationkey"]),
+            "left",
+        )
+        .groupBy("c_nationkey", "mention_id")
+        .agg(
+            F.least(
+                F.col("mention_id"),
+                F.coalesce(F.min("ma"), F.col("mention_id")),
+            ).alias("rep")
+        )
+    )
+    pair_counts = pairs.groupBy(F.col("nk").alias("c_nationkey")).agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    return (
+        reps.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_mentions"),
+            F.countDistinct("rep").cast("bigint").alias("n_clusters"),
+            F.sum(
+                F.when(F.col("rep") != F.col("mention_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_merged"),
+        )
+        .join(F.broadcast(pair_counts), "c_nationkey", "left")
+        .select(
+            "c_nationkey",
+            "n_mentions",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            "n_clusters",
+            "n_merged",
+        )
+    )

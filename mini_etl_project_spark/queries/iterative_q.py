@@ -1068,3 +1068,85 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cc_ppm"),
         )
     )
+
+
+# -- X285 weighted single-source shortest paths ----------------------------
+#
+# Bellman-Ford on the nation trade graph with deterministic portable edge
+# weights (1 + md5-hash % 9): six relaxation rounds, each one
+# broadcast-join of the ≤|V|-row distance frontier against the
+# checkpointed edge list plus a keyed min — the classic Pregel step as
+# pure DataFrame ops. Spark and the oracle unroll the SAME number of
+# rounds, so the result is pinned even if 6 rounds were not yet the fixed
+# point (they are here: the trade graph's hop-diameter is ≤ 3). The
+# source is data-derived (MIN over edge sources) so the query is
+# non-degenerate at every scale factor — the sf0.001 fixture has no
+# NATION_0 supplier. All arithmetic is BIGINT; no floats anywhere.
+
+_SSSP_ROUNDS = 6
+
+_SSSP_W_SQL = (
+    "1 + (CAST(('0x' || substr(md5(src || '>' || dst), 1, 15)) AS BIGINT)"
+    " % 9)"
+)
+
+
+def _sssp_round_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM {prev} d JOIN edges e ON e.src = d.node) u
+  GROUP BY node)"""
+
+
+_SSSP_ORACLE = (
+    f"""
+WITH trade AS ({_PR_EDGES_SQL}),
+edges AS (SELECT src, dst, {_SSSP_W_SQL} AS w FROM trade),
+d0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist FROM edges),
+"""
+    + ",\n".join(
+        _sssp_round_sql(f"d{i}", f"d{i + 1}") for i in range(_SSSP_ROUNDS)
+    )
+    + f"""
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d{_SSSP_ROUNDS}
+"""
+)
+
+
+@query("q_graph_sssp", _SSSP_ORACLE)
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.sampling_q import hash60
+
+    edges = (
+        _trade_edges(spark, sf_dir)
+        .select(
+            "src",
+            "dst",
+            (
+                F.lit(1)
+                + hash60(F.concat_ws(">", F.col("src"), F.col("dst"))) % 9
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = edges.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relax = (
+            F.broadcast(dist)
+            .join(edges, dist["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select("node", F.col("dist").cast("bigint").alias("dist"))

@@ -2826,3 +2826,86 @@ def q_ts_cumsum_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("running").cast("bigint").alias("segment_total"),
         F.sum("event_id").cast("bigint").alias("id_checksum"),
     )
+
+
+# -- X286 dynamic time warping distance ------------------------------------
+#
+# DTW of each user's daily-activity series against a fixed 4-point query
+# pattern — the time-series motif primitive Spark has no operator for, so
+# it takes the documented custom-operator path: ``applyInPandas`` per
+# key, Arrow-batched, integer |x - p| cell costs so every engine lands on
+# the same BIGINT. The oracle replays the identical DP in a recursive
+# CTE that walks the series row by row carrying the 4-wide DP frontier as
+# columns (lateral column aliases give the in-row sequential min chain).
+# Per-key series are bounded (≤ 31 days); keys fan out across the
+# cluster, so the plan is one shuffle by user + an embarrassingly
+# parallel bounded kernel — the right shape at any corpus scale.
+
+_DTW_PATTERN = (1, 3, 5, 3)
+_DTW_INF = 1 << 40
+
+_DTW_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+series AS (
+  SELECT user_id, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+              AS BIGINT) AS i
+  FROM daily),
+lens AS (SELECT user_id, MAX(i) AS n FROM series GROUP BY user_id),
+dp AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS i,
+         CAST({_DTW_INF} AS BIGINT) AS q1, CAST({_DTW_INF} AS BIGINT) AS q2,
+         CAST({_DTW_INF} AS BIGINT) AS q3, CAST({_DTW_INF} AS BIGINT) AS q4
+  FROM lens
+  UNION ALL
+  SELECT s.user_id, dp.i + 1,
+         ABS(s.x - {_DTW_PATTERN[0]})
+           + LEAST(dp.q1, CASE WHEN dp.i = 0 THEN 0
+                               ELSE CAST({_DTW_INF} AS BIGINT) END) AS c1,
+         ABS(s.x - {_DTW_PATTERN[1]}) + LEAST(dp.q2, c1, dp.q1) AS c2,
+         ABS(s.x - {_DTW_PATTERN[2]}) + LEAST(dp.q3, c2, dp.q2) AS c3,
+         ABS(s.x - {_DTW_PATTERN[3]}) + LEAST(dp.q4, c3, dp.q3) AS c4
+  FROM dp JOIN series s ON s.user_id = dp.user_id AND s.i = dp.i + 1)
+SELECT d.user_id, l.n AS n_points, d.q4 AS dtw
+FROM dp d JOIN lens l ON l.user_id = d.user_id AND d.i = l.n
+"""
+
+
+@query("q_ts_dtw", _DTW_ORACLE)
+def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+
+    pattern = _DTW_PATTERN
+    inf = _DTW_INF
+
+    def dtw(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf.sort_values("day")["x"].tolist()
+        m = len(pattern)
+        prev = [inf] * m  # D(0, 1..m); D(0,0)=0 enters via the i==1 case
+        for i, x in enumerate(xs, start=1):
+            cur = [0] * m
+            left0 = 0 if i == 1 else inf
+            cur[0] = abs(x - pattern[0]) + min(prev[0], left0)
+            for j in range(1, m):
+                cur[j] = abs(x - pattern[j]) + min(
+                    prev[j], cur[j - 1], prev[j - 1]
+                )
+            prev = cur
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_points": [len(xs)],
+                "dtw": [int(prev[-1])],
+            }
+        )
+
+    return daily.groupBy("user_id").applyInPandas(
+        dtw, "user_id long, n_points long, dtw long"
+    )

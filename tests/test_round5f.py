@@ -102,3 +102,81 @@ def test_drift_tvd_bounds_and_recompute(spark):
         assert (got["n_period0"], got["n_period1"]) == (t1, t2)
         assert got["tvd_ppm"] == want
         assert 0 <= got["tvd_ppm"] <= 1_000_000
+
+
+def test_sssp_is_relaxation_fixpoint(spark):
+    from mini_etl_project_spark.queries.iterative_q import (
+        _trade_edges,
+        q_graph_sssp,
+    )
+    from mini_etl_project_spark.queries.sampling_q import hash60
+
+    dist = {r["node"]: r["dist"] for r in q_graph_sssp(spark, SF).collect()}
+    edges = (
+        _trade_edges(spark, SF)
+        .select(
+            "src",
+            "dst",
+            (
+                F.lit(1)
+                + hash60(F.concat_ws(">", F.col("src"), F.col("dst"))) % 9
+            ).alias("w"),
+        )
+        .collect()
+    )
+    src0 = min(e["src"] for e in edges)
+    assert dist[src0] == 0
+    # 6 rounds >= the trade graph's weighted-path hop count, so the output
+    # must already be a fixed point of the relaxation step.
+    for e in edges:
+        if e["src"] in dist:
+            assert dist.get(e["dst"], 1 << 60) <= dist[e["src"]] + e["w"]
+
+
+def test_dtw_matches_full_matrix_dp(spark):
+    from mini_etl_project_spark.queries.timeseries_q import (
+        _DTW_PATTERN,
+        q_ts_dtw,
+    )
+    from mini_etl_project_spark.session import load_table
+
+    out = {r["user_id"]: r for r in q_ts_dtw(spark, SF).collect()}
+    e = load_table(spark, SF, "events")
+    daily = (
+        e.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("x"))
+        .collect()
+    )
+    series: dict[int, list[tuple]] = {}
+    for r in daily:
+        series.setdefault(r["user_id"], []).append((r["day"], r["x"]))
+    inf = float("inf")
+    for uid, pts in series.items():
+        xs = [x for _, x in sorted(pts)]
+        p = _DTW_PATTERN
+        n, m = len(xs), len(p)
+        D = [[inf] * (m + 1) for _ in range(n + 1)]
+        D[0][0] = 0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                D[i][j] = abs(xs[i - 1] - p[j - 1]) + min(
+                    D[i - 1][j], D[i][j - 1], D[i - 1][j - 1]
+                )
+        assert out[uid]["dtw"] == D[n][m]
+        assert out[uid]["n_points"] == n
+
+
+def test_er_blocking_in_block_typos_all_merge(spark):
+    from mini_etl_project_spark.queries.dedup_q import q_er_blocking
+    from mini_etl_project_spark.session import load_table
+
+    out = q_er_blocking(spark, SF).collect()
+    c = load_table(spark, SF, "customer")
+    # A typo at digit offset >= 5 lands OUTSIDE the blocking prefix, so the
+    # dirty mention stays in its block and MUST pair with its clean twin
+    # (levenshtein == 1) — each such customer contributes a merged mention.
+    n_safe = c.filter(F.col("c_custkey") % 8 >= 5).count()
+    assert sum(r["n_merged"] for r in out) >= n_safe
+    for r in out:
+        assert r["n_clusters"] + r["n_merged"] >= r["n_mentions"] // 2
+        assert r["n_pairs"] >= r["n_merged"] // 2

@@ -282,6 +282,9 @@ _CHECK_FIRST: list[str] = [
     "q_graph_sssp",
     "q_ts_dtw",
     "q_er_blocking",
+    "q_ml_isotonic_pava",
+    "q_ml_stratified_ate",
+    "q_ts_mann_kendall",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from mini_etl_project_spark.operators.kmeans import lloyd_fixed_point
 from mini_etl_project_spark.operators.rank import global_rank
 from mini_etl_project_spark.queries import query
+from mini_etl_project_spark.queries.helpers import DEC
 from mini_etl_project_spark.session import load_table
 
 _K = 4
@@ -3065,4 +3066,238 @@ def q_ml_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("raw") * 1000000.0 / (2.0 * F.col("t1") * F.col("t2")))
         .cast("bigint")
         .alias("tvd_ppm"),
+    )
+
+
+# -- X288 isotonic calibration (PAVA by minimax closed form) ---------------
+#
+# Isotonic regression of the purchase rate on 10 fixed spend bands —
+# fitted via the MINIMAX identity f(i) = max_{j<=i} min_{k>=i}
+# mean(y[j..k]), which turns the sequential pool-adjacent-violators loop
+# into three set-oriented steps: prefix sums over the 10-row bin
+# aggregate, an interval self-join (55 rows), and a grouped minimax.
+# Interval means are ppm-floored BIGINTs before the minimax; floor is
+# monotone, so both engines take max/min over identical integers. The
+# windows/self-joins run on the 10-row aggregate (bounded by the band
+# count, not the data), so the plan is one keyed shuffle + driver-scale
+# algebra at any corpus size.
+
+_ISO_ORACLE = """
+WITH scored AS (
+  SELECT user_id,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS score,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 12 THEN 1 ELSE 0 END AS y
+  FROM events GROUP BY user_id),
+bins AS (
+  SELECT LEAST(CAST(FLOOR(score / 100000.0) AS BIGINT), 9) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sum_y
+  FROM scored GROUP BY 1),
+pref AS (
+  SELECT bin, n, sum_y,
+         CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS pn,
+         CAST(SUM(sum_y) OVER (ORDER BY bin) AS BIGINT) AS py
+  FROM bins),
+intervals AS (
+  SELECT lo.bin AS j, hi.bin AS k,
+         CAST(FLOOR((hi.py - lo.py + lo.sum_y) * 1000000.0
+                    / (hi.pn - lo.pn + lo.n)) AS BIGINT) AS avg_ppm
+  FROM pref lo JOIN pref hi ON lo.bin <= hi.bin),
+inner_min AS (
+  SELECT b.bin, iv.j, MIN(iv.avg_ppm) AS m
+  FROM bins b JOIN intervals iv ON iv.j <= b.bin AND iv.k >= b.bin
+  GROUP BY b.bin, iv.j)
+SELECT b.bin, b.n, b.sum_y,
+       CAST(FLOOR(b.sum_y * 1000000.0 / b.n) AS BIGINT) AS raw_ppm,
+       CAST(MAX(im.m) AS BIGINT) AS fitted_ppm
+FROM bins b JOIN inner_min im ON im.bin = b.bin
+GROUP BY b.bin, b.n, b.sum_y ORDER BY b.bin
+"""
+
+
+@query("q_ml_isotonic_pava", _ISO_ORACLE)
+def q_ml_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    scored = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("score"),
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 12,
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    bins = scored.groupBy(
+        F.least(
+            F.floor(F.col("score") / 100000.0).cast("bigint"), F.lit(9)
+        ).alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+    )
+    # Bounded-input window: <= 10 rows (one per spend band) by construction.
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pref = bins.select(
+        "bin",
+        "n",
+        "sum_y",
+        F.sum("n").over(w).cast("bigint").alias("pn"),
+        F.sum("sum_y").over(w).cast("bigint").alias("py"),
+    )
+    lo = pref.select(
+        F.col("bin").alias("j"),
+        F.col("n").alias("n_lo"),
+        F.col("sum_y").alias("sy_lo"),
+        F.col("pn").alias("pn_lo"),
+        F.col("py").alias("py_lo"),
+    )
+    hi = pref.select(
+        F.col("bin").alias("k"),
+        F.col("pn").alias("pn_hi"),
+        F.col("py").alias("py_hi"),
+    )
+    intervals = (
+        lo.join(hi, F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            F.floor(
+                (F.col("py_hi") - F.col("py_lo") + F.col("sy_lo"))
+                * 1000000.0
+                / (F.col("pn_hi") - F.col("pn_lo") + F.col("n_lo"))
+            )
+            .cast("bigint")
+            .alias("avg_ppm"),
+        )
+    )
+    inner_min = (
+        bins.select("bin")
+        .join(
+            intervals,
+            (F.col("j") <= F.col("bin")) & (F.col("k") >= F.col("bin")),
+        )
+        .groupBy("bin", "j")
+        .agg(F.min("avg_ppm").alias("m"))
+    )
+    return (
+        bins.join(inner_min, "bin")
+        .groupBy("bin", "n", "sum_y")
+        .agg(F.max("m").cast("bigint").alias("fitted_ppm"))
+        .select(
+            "bin",
+            "n",
+            "sum_y",
+            F.floor(F.col("sum_y") * 1000000.0 / F.col("n"))
+            .cast("bigint")
+            .alias("raw_ppm"),
+            "fitted_ppm",
+        )
+    )
+
+
+# -- X289 stratified average treatment effect ------------------------------
+#
+# The causal-inference workhorse: ATE of market segment BUILDING on
+# customer spend, stratified by nation to remove nation-level
+# confounding. Per-stratum arm means use the davg double-division
+# pattern (exact-DECIMAL sums, IEEE-deterministic division); the
+# stratum term floor((m1 - m0) * n_s) is a BIGINT, so the cross-stratum
+# sum is exact and order-free — no floating accumulation ever crosses a
+# partition boundary. Strata missing either arm drop out (standard
+# overlap requirement), and the counts report how much support remains.
+
+_ATE_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey),
+units AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+         COALESCE(s.cents, 0) AS y
+  FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey),
+strata AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_s,
+         CAST(SUM(t) AS BIGINT) AS c1,
+         CAST(SUM(1 - t) AS BIGINT) AS c0,
+         CAST(SUM(CAST(CASE WHEN t = 1 THEN y ELSE 0 END
+                  AS DECIMAL(38,6))) AS DOUBLE) AS sy1,
+         CAST(SUM(CAST(CASE WHEN t = 0 THEN y ELSE 0 END
+                  AS DECIMAL(38,6))) AS DOUBLE) AS sy0
+  FROM units GROUP BY c_nationkey),
+terms AS (
+  SELECT n_s,
+         CAST(FLOOR((sy1 / c1 - sy0 / c0) * n_s) AS BIGINT) AS term
+  FROM strata WHERE c1 > 0 AND c0 > 0)
+SELECT CAST((SELECT SUM(n_s) FROM strata) AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_strata_used,
+       CAST(SUM(n_s) AS BIGINT) AS n_supported,
+       CAST(SUM(term) AS BIGINT) AS sum_term,
+       CAST(FLOOR(CAST(SUM(term) AS DOUBLE) / SUM(n_s)) AS BIGINT)
+         AS ate_cents
+FROM terms
+"""
+
+
+@query("q_ml_stratified_ate", _ATE_ORACLE)
+def q_ml_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    units = c.join(
+        spend, c["c_custkey"] == spend["o_custkey"], "left"
+    ).select(
+        "c_nationkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .alias("t"),
+        F.coalesce("cents", F.lit(0)).alias("y"),
+    )
+    strata = units.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_s"),
+        F.sum("t").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("t")).cast("bigint").alias("c0"),
+        F.sum(
+            F.when(F.col("t") == 1, F.col("y")).otherwise(0).cast(DEC)
+        )
+        .cast("double")
+        .alias("sy1"),
+        F.sum(
+            F.when(F.col("t") == 0, F.col("y")).otherwise(0).cast(DEC)
+        )
+        .cast("double")
+        .alias("sy0"),
+    )
+    n_total = strata.agg(F.sum("n_s").cast("bigint").alias("n_total"))
+    terms = strata.filter((F.col("c1") > 0) & (F.col("c0") > 0)).select(
+        "n_s",
+        F.floor(
+            (F.col("sy1") / F.col("c1") - F.col("sy0") / F.col("c0"))
+            * F.col("n_s")
+        )
+        .cast("bigint")
+        .alias("term"),
+    )
+    folded = terms.agg(
+        F.count("*").cast("bigint").alias("n_strata_used"),
+        F.sum("n_s").cast("bigint").alias("n_supported"),
+        F.sum("term").cast("bigint").alias("sum_term"),
+    )
+    return folded.crossJoin(F.broadcast(n_total)).select(
+        "n_total",
+        "n_strata_used",
+        "n_supported",
+        "sum_term",
+        F.floor(F.col("sum_term").cast("double") / F.col("n_supported"))
+        .cast("bigint")
+        .alias("ate_cents"),
     )

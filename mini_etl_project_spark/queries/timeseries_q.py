@@ -2909,3 +2909,110 @@ def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("user_id").applyInPandas(
         dtw, "user_id long, n_points long, dtw long"
     )
+
+
+# -- X290 Mann-Kendall trend test ------------------------------------------
+#
+# The nonparametric monotone-trend statistic per event type: S = sum over
+# day pairs i<j of sign(x_j - x_i) on the daily revenue-cents series,
+# plus the tie-corrected variance numerator kept EXACTLY integer by
+# reporting 18*Var(S) = n(n-1)(2n+5) - sum_t t(t-1)(2t+5) (the /18 and
+# the z-score's sqrt would leave integer space). The pair join is per
+# key over the bounded daily aggregate (<= 31 rows/key) — quadratic in
+# days-per-key, never in raw rows, so the shape holds at any event
+# volume.
+
+_MK_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY a.event_type),
+lens AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+ties AS (
+  SELECT event_type,
+         CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+        FROM daily GROUP BY event_type, x) g
+  WHERE t > 1 GROUP BY event_type)
+SELECT l.event_type, l.n AS n_days, p.s AS s_stat,
+       CAST(l.n * (l.n - 1) * (2 * l.n + 5)
+            - COALESCE(t.tie_term, 0) AS BIGINT) AS var18
+FROM lens l
+JOIN pairs p ON p.event_type = l.event_type
+LEFT JOIN ties t ON t.event_type = l.event_type
+ORDER BY l.event_type
+"""
+
+
+@query("q_ts_mann_kendall", _MK_ORACLE)
+def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("x"))
+    a = daily.select(
+        "event_type", F.col("day").alias("da"), F.col("x").alias("xa")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("db"),
+        F.col("x").alias("xb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (F.col("da") < F.col("db")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    lens = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    n = F.col("n_days")
+    return (
+        lens.join(pairs, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            (
+                n * (n - 1) * (2 * n + 5)
+                - F.coalesce("tie_term", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("var18"),
+        )
+    )

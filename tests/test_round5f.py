@@ -180,3 +180,109 @@ def test_er_blocking_in_block_typos_all_merge(spark):
     for r in out:
         assert r["n_clusters"] + r["n_merged"] >= r["n_mentions"] // 2
         assert r["n_pairs"] >= r["n_merged"] // 2
+
+
+def test_isotonic_monotone_and_matches_minimax(spark):
+    from mini_etl_project_spark.queries.ml_q import q_ml_isotonic_pava
+    from mini_etl_project_spark.session import load_table
+
+    out = sorted(
+        q_ml_isotonic_pava(spark, SF).collect(), key=lambda r: r["bin"]
+    )
+    fitted = [r["fitted_ppm"] for r in out]
+    assert fitted == sorted(fitted), "isotonic fit must be nondecreasing"
+    raws = [r["raw_ppm"] for r in out]
+    assert min(raws) <= fitted[0] and fitted[-1] <= max(raws)
+    # independent recompute of the floored minimax from the bin table
+    ns = [r["n"] for r in out]
+    sy = [r["sum_y"] for r in out]
+    m = len(out)
+
+    def avg_ppm(j, k):
+        return math.floor(
+            sum(sy[j : k + 1]) * 1_000_000.0 / sum(ns[j : k + 1])
+        )
+
+    for i in range(m):
+        want = max(
+            min(avg_ppm(j, k) for k in range(i, m)) for j in range(i + 1)
+        )
+        assert fitted[i] == want
+
+
+def test_stratified_ate_recompute(spark):
+    from mini_etl_project_spark.queries.ml_q import q_ml_stratified_ate
+    from mini_etl_project_spark.session import load_table
+
+    r = q_ml_stratified_ate(spark, SF).collect()[0]
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    spend = {
+        x["o_custkey"]: x["cents"]
+        for x in o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+        .collect()
+    }
+    strata: dict[int, list] = {}
+    for cust in c.collect():
+        s = strata.setdefault(cust["c_nationkey"], [0, 0, 0.0, 0.0])
+        t = 1 if cust["c_mktsegment"] == "BUILDING" else 0
+        y = spend.get(cust["c_custkey"], 0)
+        s[t] += 1
+        s[2 + t] += y
+    total = sum(s[0] + s[1] for s in strata.values())
+    terms = []
+    for s in strata.values():
+        c0, c1 = s[0], s[1]
+        if c0 > 0 and c1 > 0:
+            terms.append(
+                (
+                    c0 + c1,
+                    math.floor((s[3] / c1 - s[2] / c0) * (c0 + c1)),
+                )
+            )
+    assert r["n_total"] == total
+    assert r["n_strata_used"] == len(terms)
+    assert r["sum_term"] == sum(t for _, t in terms)
+    assert r["ate_cents"] == math.floor(
+        sum(t for _, t in terms) / sum(n for n, _ in terms)
+    )
+
+
+def test_mann_kendall_bruteforce(spark):
+    from mini_etl_project_spark.queries.timeseries_q import q_ts_mann_kendall
+    from mini_etl_project_spark.session import load_table
+
+    out = {r["event_type"]: r for r in q_ts_mann_kendall(spark, SF).collect()}
+    e = load_table(spark, SF, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("x"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["x"]))
+    for et, pts in series.items():
+        xs = [x for _, x in sorted(pts)]
+        n = len(xs)
+        s = sum(
+            (xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        tie = sum(
+            t * (t - 1) * (2 * t + 5)
+            for t in Counter(xs).values()
+            if t > 1
+        )
+        got = out[et]
+        assert got["n_days"] == n
+        assert got["s_stat"] == s
+        assert got["var18"] == n * (n - 1) * (2 * n + 5) - tie

@@ -285,6 +285,9 @@ _CHECK_FIRST: list[str] = [
     "q_ml_isotonic_pava",
     "q_ml_stratified_ate",
     "q_ts_mann_kendall",
+    "q_corpus_passage_dedup",
+    "q_sql_filter_clause",
+    "q_ts_wavelet_haar",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -326,3 +326,104 @@ def q_corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunks_sig"),
     )
+
+
+# -- X291 first-occurrence passage dedup -----------------------------------
+#
+# RefinedWeb-style sub-document dedup: every document is cut into 3-word
+# passages (shuffle-free — ``slice`` over the split array, one generated
+# index per passage, no explode of words), each passage keeps only its
+# globally FIRST occurrence (minimum packed (doc_id, seg) over the
+# corpus), and the survivors are reassembled in order. The global argmin
+# is one groupBy on the passage text + one join back — the only
+# corpus-wide exchange, keyed by content hash, exactly the shape that
+# scales. Output pins both the accounting and the reassembled bytes
+# (md5), so a wrong keep/drop or a wrong order fails the gate.
+
+_PASSAGE_W = 3
+
+_PASSAGE_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+segs AS (
+  SELECT doc_id, t.k AS seg,
+         array_to_string(
+           list_slice(arr, t.k * {_PASSAGE_W} + 1,
+                      t.k * {_PASSAGE_W} + {_PASSAGE_W}), ' ') AS s
+  FROM docs, unnest(generate_series(
+        0, CAST(CEIL(len(arr) / {_PASSAGE_W}.0) AS BIGINT) - 1)) t(k)),
+firsts AS (
+  SELECT s, MIN(doc_id * 1000 + seg) AS first_packed FROM segs GROUP BY s),
+flagged AS (
+  SELECT g.doc_id, g.seg, g.s,
+         CASE WHEN g.doc_id * 1000 + g.seg = f.first_packed
+              THEN 1 ELSE 0 END AS kept
+  FROM segs g JOIN firsts f ON f.s = g.s)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped,
+       md5(COALESCE(string_agg(CASE WHEN kept = 1 THEN s END, ' '
+                               ORDER BY seg), '')) AS kept_md5
+FROM flagged GROUP BY doc_id
+"""
+
+
+@query("q_corpus_passage_dedup", _PASSAGE_ORACLE)
+def q_corpus_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = _PASSAGE_W
+    docs = d.select("doc_id", F.split("text", " ").alias("arr"))
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("arr") / float(w)).cast("bigint")
+                    - F.lit(1),
+                ),
+                lambda k: F.concat_ws(
+                    " ", F.slice(F.col("arr"), k * w + 1, w)
+                ),
+            )
+        ).alias("seg", "s"),
+    )
+    firsts = segs.groupBy("s").agg(
+        F.min(F.col("doc_id") * 1000 + F.col("seg")).alias("first_packed")
+    )
+    flagged = segs.join(firsts, "s").select(
+        "doc_id",
+        "seg",
+        "s",
+        F.when(
+            F.col("doc_id") * 1000 + F.col("seg") == F.col("first_packed"),
+            1,
+        )
+        .otherwise(0)
+        .alias("kept"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_segs"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        (F.count("*") - F.sum("kept")).cast("bigint").alias("n_dropped"),
+        F.md5(
+            F.coalesce(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("kept") == 1,
+                                    F.struct("seg", "s"),
+                                )
+                            )
+                        ),
+                        lambda x: x["s"],
+                    ),
+                ),
+                F.lit(""),
+            )
+        ).alias("kept_md5"),
+    )

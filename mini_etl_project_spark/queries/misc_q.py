@@ -1566,3 +1566,44 @@ def q_sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rn <= 2
         """
     )
+
+
+# -- X292 aggregate FILTER clause ------------------------------------------
+#
+# ANSI SQL:2003 filtered aggregation — one pass over orders computing
+# differently-predicated aggregates side by side, written with the
+# native FILTER (WHERE ...) syntax on BOTH engines (Spark has supported
+# it since 3.0). Same single-scan shape as a CASE-WHEN pivot but
+# declared at the aggregate, where the optimizer sees the predicates.
+
+_FILTER_CLAUSE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+         AS cents_large
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("q_sql_filter_clause", _FILTER_CLAUSE_ORACLE)
+def q_sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "filter_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                 AS n_f,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+                 AS n_o,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+                 AS cents_large
+        FROM filter_orders GROUP BY o_orderpriority
+        """
+    )

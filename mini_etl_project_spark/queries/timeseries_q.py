@@ -3016,3 +3016,127 @@ def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("var18"),
         )
     )
+
+
+# -- X293 Haar wavelet energy decomposition --------------------------------
+#
+# Multi-resolution energy profile of each event type's daily revenue:
+# the series is laid on a fixed 32-slot spine (zeros for silent days),
+# then 5 unrolled Haar levels fold adjacent pairs — a_k = left + right,
+# d_k = left - right — each level one keyed groupBy over at most
+# 32/2^k rows per key. Detail energies sum d^2 in DECIMAL(38,0) (exact,
+# order-free; DuckDB's SUM(BIGINT)->HUGEINT promotion never reaches the
+# output) and level 0 reports the final approximation coefficient's
+# energy. Everything is integer cents; no floats.
+
+_HAAR_LEVELS = 5  # 2^5 = 32 slots
+
+
+def _haar_level_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT event_type, CAST(FLOOR(i / 2) AS BIGINT) AS i,
+         SUM(a) AS a,
+         SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END) AS d
+  FROM {prev} GROUP BY 1, 2)"""
+
+
+_HAAR_ORACLE = (
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) - DATE '2024-01-01' AS i,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (
+  SELECT t.event_type, g.i, CAST(COALESCE(d.cents, 0) AS BIGINT) AS a
+  FROM types t
+  CROSS JOIN (SELECT CAST(x AS BIGINT) AS i
+              FROM unnest(generate_series(0, 31)) s(x)) g
+  LEFT JOIN daily d ON d.event_type = t.event_type AND d.i = g.i),
+l0 AS (SELECT event_type, i, a, CAST(0 AS BIGINT) AS d FROM spine),
+"""
+    + ",\n".join(
+        _haar_level_sql(f"l{i}", f"l{i + 1}")
+        for i in range(_HAAR_LEVELS)
+    )
+    + """,
+details AS (
+"""
+    + "\n  UNION ALL\n".join(
+        f"""  SELECT event_type, CAST({i + 1} AS BIGINT) AS level,
+         CAST(SUM(CAST(d * d AS DECIMAL(38,0))) AS BIGINT) AS energy,
+         CAST(COUNT(*) AS BIGINT) AS n_coeffs
+  FROM l{i + 1} GROUP BY event_type"""
+        for i in range(_HAAR_LEVELS)
+    )
+    + f"""
+  UNION ALL
+  SELECT event_type, CAST(0 AS BIGINT) AS level,
+         CAST(SUM(CAST(a * a AS DECIMAL(38,0))) AS BIGINT) AS energy,
+         CAST(COUNT(*) AS BIGINT) AS n_coeffs
+  FROM l{_HAAR_LEVELS} GROUP BY event_type)
+SELECT event_type, level, energy, n_coeffs
+FROM details ORDER BY event_type, level
+"""
+)
+
+
+@query("q_ts_wavelet_haar", _HAAR_ORACLE)
+def q_ts_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("bigint")
+        .alias("i"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(
+            F.broadcast(
+                ev.sparkSession.range(0, 32).select(
+                    F.col("id").cast("bigint").alias("i")
+                )
+            )
+        )
+        .join(daily, ["event_type", "i"], "left")
+        .select(
+            "event_type", "i", F.coalesce("cents", F.lit(0)).alias("a")
+        )
+    )
+    level = spine
+    outs = []
+    for lv in range(1, _HAAR_LEVELS + 1):
+        folded = level.groupBy(
+            "event_type", F.floor(F.col("i") / 2).cast("bigint").alias("i")
+        ).agg(
+            F.sum("a").alias("a"),
+            F.sum(
+                F.when(F.col("i") % 2 == 0, F.col("a")).otherwise(
+                    -F.col("a")
+                )
+            ).alias("d"),
+        )
+        outs.append(
+            folded.groupBy("event_type").agg(
+                F.lit(lv).cast("bigint").alias("level"),
+                F.sum((F.col("d") * F.col("d")).cast("decimal(38,0)"))
+                .cast("bigint")
+                .alias("energy"),
+                F.count("*").cast("bigint").alias("n_coeffs"),
+            )
+        )
+        level = folded.select("event_type", "i", "a")
+    approx = level.groupBy("event_type").agg(
+        F.lit(0).cast("bigint").alias("level"),
+        F.sum((F.col("a") * F.col("a")).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("energy"),
+        F.count("*").cast("bigint").alias("n_coeffs"),
+    )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.unionByName(approx).select(
+        "event_type", "level", "energy", "n_coeffs"
+    )

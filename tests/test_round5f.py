@@ -286,3 +286,66 @@ def test_mann_kendall_bruteforce(spark):
         assert got["n_days"] == n
         assert got["s_stat"] == s
         assert got["var18"] == n * (n - 1) * (2 * n + 5) - tie
+
+
+def test_passage_dedup_accounting_and_first_doc_keeps_all(spark):
+    from mini_etl_project_spark.queries.corpus_q import (
+        q_corpus_passage_dedup,
+    )
+
+    out = q_corpus_passage_dedup(spark, SF).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    for r in out:
+        assert r["n_kept"] + r["n_dropped"] == r["n_segs"]
+        assert r["n_kept"] >= 0 and r["n_segs"] >= 1
+    # Some duplication must actually fire on the fixture corpus.
+    assert sum(r["n_dropped"] for r in out) > 0
+    # doc 0 is the globally first document: its first passage can never
+    # be dropped (doc_id*1000+seg = 0 is the global minimum for its text).
+    assert by_id[0]["n_kept"] >= 1
+
+
+def test_haar_energy_conservation(spark):
+    from mini_etl_project_spark.queries.timeseries_q import q_ts_wavelet_haar
+    from mini_etl_project_spark.session import load_table
+
+    out = q_ts_wavelet_haar(spark, SF).collect()
+    e = load_table(spark, SF, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+            .cast("bigint")
+            .alias("i"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+        .collect()
+    )
+    series: dict[str, list[int]] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], [0] * 32)[r["i"]] = r["cents"]
+    # Unnormalized Haar (a=l+r, d=l-r) scales energy by 2 per level:
+    # sum(a^2)+sum(d^2) at level k+1 equals 2*sum(a^2) at level k. So
+    # E0 + sum_k 2^-(L-k+1)... — check directly per level instead.
+    got: dict[tuple, int] = {
+        (r["event_type"], r["level"]): r["energy"] for r in out
+    }
+    for et, xs in series.items():
+        a = list(xs)
+        for lv in range(1, 6):
+            d = [a[2 * i] - a[2 * i + 1] for i in range(len(a) // 2)]
+            a = [a[2 * i] + a[2 * i + 1] for i in range(len(a) // 2)]
+            assert got[(et, lv)] == sum(v * v for v in d)
+        assert got[(et, 0)] == sum(v * v for v in a)
+
+
+def test_filter_clause_partitions_counts(spark):
+    from mini_etl_project_spark.queries.misc_q import q_sql_filter_clause
+
+    for r in q_sql_filter_clause(spark, SF).collect():
+        assert r["n_f"] + r["n_o"] <= r["n_orders"]
+        assert r["n_orders"] > 0

@@ -288,6 +288,9 @@ _CHECK_FIRST: list[str] = [
     "q_corpus_passage_dedup",
     "q_sql_filter_clause",
     "q_ts_wavelet_haar",
+    "q_text_textrank",
+    "q_window_rolling_regression",
+    "q_join_interval_weighted",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

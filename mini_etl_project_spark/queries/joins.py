@@ -1329,3 +1329,75 @@ def q_join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("cents_sum"),
         F.sum("event_id").cast("bigint").alias("id_checksum"),
     )
+
+
+# -- X296 overlap-weighted interval join -----------------------------------
+#
+# Interval join where the MEASURE is the overlap itself: each user's
+# daily activity span [first event, last event] joins the day's fixed
+# promo window [08:00, 16:00), and the contribution is the overlap in
+# exact microseconds — greatest(0, min(ends) - max(starts)). The join
+# key is the calendar day (pure equi-join; the interval arithmetic rides
+# as projection), so there is no band/theta blowup to contain at scale.
+# Output: per-user totals over the month.
+
+_OVERLAP_JOIN_ORACLE = """
+WITH spans AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM events GROUP BY 1, 2),
+promo AS (
+  SELECT day,
+         day + INTERVAL 8 HOUR AS p_start,
+         day + INTERVAL 16 HOUR AS p_end
+  FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)),
+weighted AS (
+  SELECT s.user_id, s.day,
+         GREATEST(CAST(0 AS BIGINT),
+                  epoch_us(LEAST(s.s_end, p.p_end))
+                  - epoch_us(GREATEST(s.s_start, p.p_start)))
+           AS overlap_us
+  FROM spans s JOIN promo p ON p.day = s.day)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN overlap_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlapping,
+       CAST(SUM(overlap_us) AS BIGINT) AS total_overlap_us
+FROM weighted GROUP BY user_id
+"""
+
+
+@query("q_join_interval_weighted", _OVERLAP_JOIN_ORACLE)
+def q_join_interval_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    promo = (
+        ev.select(F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .select(
+            "day",
+            (F.col("day").cast("timestamp") + F.expr("INTERVAL 8 HOURS"))
+            .alias("p_start"),
+            (F.col("day").cast("timestamp") + F.expr("INTERVAL 16 HOURS"))
+            .alias("p_end"),
+        )
+    )
+    us = lambda c: F.unix_micros(c)  # noqa: E731
+    weighted = spans.join(F.broadcast(promo), "day").select(
+        "user_id",
+        "day",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            us(F.least("s_end", "p_end"))
+            - us(F.greatest("s_start", "p_start")),
+        ).alias("overlap_us"),
+    )
+    return weighted.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("overlap_us") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_overlapping"),
+        F.sum("overlap_us").cast("bigint").alias("total_overlap_us"),
+    )

@@ -1505,3 +1505,91 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rf_over_f1_ppm"
         ),
     )
+
+
+# -- X294 TextRank keyword extraction --------------------------------------
+#
+# Graph-based keyword scoring (Mihalcea & Tarau 2004): co-occurrence
+# edges between ADJACENT words across the corpus (distinct undirected
+# pairs, built shuffle-free by zipping each split array against its own
+# tail), then 3 PageRank rounds via the shared operators/graph.pagerank
+# recurrence — the same decimal-summed, literal-damped iteration the
+# nation-graph queries pin — and the final ranks reported for every
+# vocabulary word. The oracle unrolls the identical recurrence; rank
+# division stays IEEE-double on both engines, cross-partition sums in
+# DECIMAL(38,10).
+
+_TEXTRANK_EDGES_SQL = """
+  SELECT DISTINCT LEAST(w1, w2) AS src, GREATEST(w1, w2) AS dst
+  FROM (
+    SELECT string_split(text, ' ')[t.i] AS w1,
+           string_split(text, ' ')[t.i + 1] AS w2
+    FROM documents,
+         unnest(generate_series(1, len(string_split(text, ' ')) - 1)) t(i))
+  WHERE w1 <> w2
+"""
+
+
+def _tr_iter_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT nodes.node,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE) * COALESCE(s.insum, CAST(0 AS DOUBLE))
+           AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(r.rank / d.outdeg AS DECIMAL(38,10))) AS DOUBLE)
+             AS insum
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN deg d ON e.src = d.node
+    GROUP BY e.dst) s ON nodes.node = s.node)"""
+
+
+_TEXTRANK_ORACLE = f"""
+WITH undirected AS ({_TEXTRANK_EDGES_SQL}),
+edges AS (
+  SELECT src, dst FROM undirected
+  UNION ALL SELECT dst AS src, src AS dst FROM undirected),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
+       FROM nodes),
+{_tr_iter_sql('r0', 'i1')},
+{_tr_iter_sql('i1', 'i2')},
+{_tr_iter_sql('i2', 'i3')}
+SELECT node AS word, rank FROM i3
+"""
+
+
+@query("q_text_textrank", _TEXTRANK_ORACLE)
+def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.graph import pagerank
+
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    pairs = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(arr, 1, F.size(arr) - 1).alias("w1"),
+                F.slice(arr, 2, F.size(arr) - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    undirected = (
+        pairs.filter(F.col("w1") != F.col("w2"))
+        .select(
+            F.least("w1", "w2").alias("src"),
+            F.greatest("w1", "w2").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = undirected.unionByName(
+        undirected.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    ).localCheckpoint(eager=True)
+    return pagerank(edges, iterations=3).select(
+        F.col("node").alias("word"), "rank"
+    )

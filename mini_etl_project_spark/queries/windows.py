@@ -593,3 +593,73 @@ def q_window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rk") <= 3).select(
         "l_returnflag", F.col("rk").cast("bigint").alias("rk"), "qty", "cnt"
     )
+
+
+# -- X295 rolling OLS slope (windowed regression) --------------------------
+#
+# Trend detection as a frame aggregate: per event type, the least-squares
+# slope of daily revenue over the trailing 7 calendar slots, computed
+# entirely from integer window sums (n, Σx, Σy, Σxy, Σx²) — the closed
+# form needs nothing else, so the whole thing is one keyed ROWS-frame
+# window with no UDF. The slope is scaled to per-mille and floored while
+# every intermediate still fits double's exact-integer range; rows with a
+# degenerate frame (fewer than 2 points) report NULL via NULLIF.
+
+_ROLLREG_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2),
+framed AS (
+  SELECT event_type, x, CAST(y AS BIGINT) AS y,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY x
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT event_type, x, y, n,
+       CAST(FLOOR((n * sxy - sx * sy) * 1000.0
+                  / NULLIF(n * sxx - sx * sx, 0)) AS BIGINT) AS slope_pm
+FROM framed ORDER BY event_type, x
+"""
+
+
+@query("q_window_rolling_regression", _ROLLREG_ORACLE)
+def q_window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("bigint")
+        .alias("x"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    framed = daily.select(
+        "event_type",
+        "x",
+        "y",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return framed.select(
+        "event_type",
+        "x",
+        "y",
+        "n",
+        F.floor(num * 1000.0 / F.nullif(den, F.lit(0)))
+        .cast("bigint")
+        .alias("slope_pm"),
+    )

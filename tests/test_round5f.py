@@ -349,3 +349,55 @@ def test_filter_clause_partitions_counts(spark):
     for r in q_sql_filter_clause(spark, SF).collect():
         assert r["n_f"] + r["n_o"] <= r["n_orders"]
         assert r["n_orders"] > 0
+
+
+def test_textrank_mass_and_positivity(spark):
+    from mini_etl_project_spark.queries.text_q import q_text_textrank
+
+    out = q_text_textrank(spark, SF).collect()
+    assert len(out) > 5
+    for r in out:
+        assert r["rank"] > 0
+    # With the symmetric edge set every node has out-edges, so no mass
+    # leaks: total rank stays ~1 after every iteration.
+    assert abs(sum(r["rank"] for r in out) - 1.0) < 1e-6
+
+
+def test_rolling_regression_slope_recompute(spark):
+    from mini_etl_project_spark.queries.windows import (
+        q_window_rolling_regression,
+    )
+
+    rows = q_window_rolling_regression(spark, SF).collect()
+    series: dict[str, list] = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append(r)
+    for et, rs in series.items():
+        rs.sort(key=lambda r: r["x"])
+        for idx, r in enumerate(rs):
+            frame = rs[max(0, idx - 6) : idx + 1]
+            n = len(frame)
+            sx = sum(f["x"] for f in frame)
+            sy = sum(f["y"] for f in frame)
+            sxy = sum(f["x"] * f["y"] for f in frame)
+            sxx = sum(f["x"] * f["x"] for f in frame)
+            den = n * sxx - sx * sx
+            want = (
+                None
+                if den == 0
+                else math.floor((n * sxy - sx * sy) * 1000.0 / den)
+            )
+            assert r["n"] == n
+            assert r["slope_pm"] == want
+
+
+def test_interval_weighted_overlap_bounds(spark):
+    from mini_etl_project_spark.queries.joins import q_join_interval_weighted
+
+    out = q_join_interval_weighted(spark, SF).collect()
+    eight_hours_us = 8 * 3600 * 1_000_000
+    for r in out:
+        assert 0 <= r["n_overlapping"] <= r["n_days"]
+        # Per day the overlap cannot exceed the promo window length.
+        assert r["total_overlap_us"] <= r["n_days"] * eight_hours_us
+    assert sum(r["total_overlap_us"] for r in out) > 0

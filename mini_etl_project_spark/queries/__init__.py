@@ -291,6 +291,9 @@ _CHECK_FIRST: list[str] = [
     "q_text_textrank",
     "q_window_rolling_regression",
     "q_join_interval_weighted",
+    "q_ts_ema_crossover",
+    "q_etl_reconcile",
+    "q_join_bitemporal",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

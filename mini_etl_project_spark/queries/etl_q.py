@@ -1058,3 +1058,82 @@ def q_etl_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("s_name")).cast("bigint").alias("name_len_sum"),
         dsum("s_bal", "bal_sum"),
     )
+
+
+# -- X298 multi-source reconciliation audit --------------------------------
+#
+# The warehouse closing-the-books check: the same economic fact from two
+# independent feeds — the order header's total vs the sum of its line
+# items — full-outer-joined on the business key and classified into
+# match / tolerated (within 1%) / mismatch / missing-on-either-side,
+# with planted feed gaps (every 50th header, every 77th line-item order)
+# so both missing classes are provably non-empty. One keyed aggregate
+# per side + one shuffle join on the key; cents are exact BIGINTs and
+# the 1% tolerance is integer cross-multiplied.
+
+_RECONCILE_ORACLE = """
+WITH side_a AS (
+  SELECT o_orderkey AS k, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS a
+  FROM orders WHERE o_orderkey % 50 <> 0),
+side_b AS (
+  SELECT l_orderkey AS k,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS b
+  FROM lineitem WHERE l_orderkey % 77 <> 0 GROUP BY l_orderkey),
+joined AS (
+  SELECT COALESCE(a.k, b.k) AS k, a.a, b.b,
+         CASE WHEN a.k IS NULL THEN 'missing_a'
+              WHEN b.k IS NULL THEN 'missing_b'
+              WHEN a.a = b.b THEN 'match'
+              WHEN ABS(a.a - b.b) * 100 <= a.a THEN 'tolerated'
+              ELSE 'mismatch' END AS class
+  FROM side_a a FULL OUTER JOIN side_b b ON a.k = b.k)
+SELECT class,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(ABS(COALESCE(a, 0) - COALESCE(b, 0))) AS BIGINT)
+         AS total_abs_diff_cents
+FROM joined GROUP BY class ORDER BY class
+"""
+
+
+@query("q_etl_reconcile", _RECONCILE_ORACLE)
+def q_etl_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    side_a = o.filter(F.col("o_orderkey") % 50 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("a"),
+    )
+    side_b = (
+        li.filter(F.col("l_orderkey") % 77 != 0)
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("b")
+        )
+    )
+    a, b = side_a.alias("a"), side_b.alias("b")
+    joined = a.join(b, F.col("a.k") == F.col("b.k"), "full").select(
+        F.col("a.a").alias("a"),
+        F.col("b.b").alias("b"),
+        F.when(F.col("a.k").isNull(), "missing_a")
+        .when(F.col("b.k").isNull(), "missing_b")
+        .when(F.col("a.a") == F.col("b.b"), "match")
+        .when(
+            F.abs(F.col("a.a") - F.col("b.b")) * 100 <= F.col("a.a"),
+            "tolerated",
+        )
+        .otherwise("mismatch")
+        .alias("class"),
+    )
+    return joined.groupBy("class").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.abs(
+                F.coalesce("a", F.lit(0)) - F.coalesce("b", F.lit(0))
+            )
+        )
+        .cast("bigint")
+        .alias("total_abs_diff_cents"),
+    )

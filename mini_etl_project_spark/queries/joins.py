@@ -1401,3 +1401,114 @@ def q_join_interval_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_overlapping"),
         F.sum("overlap_us").cast("bigint").alias("total_overlap_us"),
     )
+
+
+# -- X299 bitemporal as-of join --------------------------------------------
+#
+# Two time axes at once: each part carries 3 price versions on a VALID
+# axis (800-day regimes from 1995-01-01, +v% price steps) that were
+# RECORDED late on the transaction axis (tx = valid_from + partkey%400
+# days — deterministic late arrival). The join answers "what price did
+# we believe applied on the ship date, as of the 1998-01-01 snapshot":
+# versions are filtered to tx <= T, then the fact takes the max
+# valid_from <= ship date — at most 3 candidates per part, so the
+# fan-out is bounded and the argmax is a keyed aggregate, never a
+# window over facts. Output: per chosen version, line count and exact
+# believed-price cents; lines whose applicable regime was not yet
+# recorded at T fall back to the newest earlier regime, and that
+# fallback population is the interesting audit number.
+
+_BITEMPORAL_ORACLE = """
+WITH versions AS (
+  SELECT p_partkey, v,
+         DATE '1995-01-01' + INTERVAL (v * 800) DAY AS valid_from,
+         DATE '1995-01-01' + INTERVAL (v * 800 + (p_partkey * 7 % 400)) DAY
+           AS tx_time,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) * (100 + v) AS price_c
+  FROM part, unnest([0, 1, 2]) t(v)),
+known AS (
+  SELECT * FROM versions WHERE tx_time <= DATE '1998-01-01'),
+facts AS (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         CAST(l_shipdate AS DATE) AS d
+  FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1998-01-01'),
+pit AS (
+  SELECT f.l_orderkey, f.l_linenumber, f.d, f.l_partkey,
+         MAX(k.valid_from) AS vf
+  FROM facts f JOIN known k
+    ON k.p_partkey = f.l_partkey AND k.valid_from <= f.d
+  GROUP BY 1, 2, 3, 4),
+resolved AS (
+  SELECT a.l_orderkey, k.v, k.price_c,
+         CASE WHEN a.d >= DATE '1995-01-01'
+                          + INTERVAL ((k.v + 1) * 800) DAY
+              THEN 1 ELSE 0 END AS stale
+  FROM pit a JOIN known k
+    ON k.p_partkey = a.l_partkey AND k.valid_from = a.vf)
+SELECT CAST(v AS BIGINT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(stale) AS BIGINT) AS n_stale,
+       CAST(SUM(price_c) AS BIGINT) AS believed_cents
+FROM resolved GROUP BY v ORDER BY v
+"""
+
+
+@query("q_join_bitemporal", _BITEMPORAL_ORACLE)
+def q_join_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    t_snap = F.lit("1998-01-01").cast("date")
+    versions = p.select(
+        "p_partkey",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("v"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("pc"),
+    ).select(
+        "p_partkey",
+        "v",
+        F.date_add(F.lit("1995-01-01").cast("date"), F.col("v") * 800)
+        .alias("valid_from"),
+        F.date_add(
+            F.lit("1995-01-01").cast("date"),
+            (F.col("v") * 800 + F.col("p_partkey") * 7 % 400).cast("int"),
+        ).alias("tx_time"),
+        (F.col("pc") * (F.col("v") + 100)).alias("price_c"),
+    )
+    known = versions.filter(F.col("tx_time") <= t_snap)
+    facts = li.filter(F.col("l_shipdate").cast("date") < t_snap).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.col("l_shipdate").cast("date").alias("d"),
+    )
+    asof = (
+        facts.join(
+            F.broadcast(known),
+            (F.col("p_partkey") == F.col("l_partkey"))
+            & (F.col("valid_from") <= F.col("d")),
+        )
+        .groupBy("l_orderkey", "l_linenumber", "d", "l_partkey")
+        .agg(F.max("valid_from").alias("vf"))
+    )
+    resolved = asof.join(
+        F.broadcast(known),
+        (F.col("p_partkey") == F.col("l_partkey"))
+        & (F.col("valid_from") == F.col("vf")),
+    ).select(
+        "v",
+        "price_c",
+        F.when(
+            F.col("d")
+            >= F.date_add(
+                F.lit("1995-01-01").cast("date"),
+                ((F.col("v") + 1) * 800).cast("int"),
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("stale"),
+    )
+    return resolved.groupBy(F.col("v").cast("bigint").alias("version")).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum("stale").cast("bigint").alias("n_stale"),
+        F.sum("price_c").cast("bigint").alias("believed_cents"),
+    )

@@ -3140,3 +3140,109 @@ def q_ts_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.unionByName(approx).select(
         "event_type", "level", "energy", "n_coeffs"
     )
+
+
+# -- X297 EMA crossover signals --------------------------------------------
+#
+# The fast/slow moving-average crossover detector on each event type's
+# daily revenue: a fast truncated EMA (alpha=1/4, the q_ts_ema weight
+# family, denominator 4^7) against a slow one (alpha=1/8, denominator
+# 8^7), compared WITHOUT ever leaving integer space — fast_num * 8^7 vs
+# slow_num * 4^7 (both < 2^60 in cents space) — and a crossover fires
+# where the sign of the spread changes vs the previous day. Two LAG
+# chains + one LAG of the sign, all in a single keyed window; only rows
+# with a full 8-day history participate.
+
+_XOVER_FAST = [3**i * 4 ** (6 - i) for i in range(7)] + [3**7]  # den 4^7
+_XOVER_SLOW = [7**i * 8 ** (6 - i) for i in range(7)] + [7**7]  # den 8^7
+
+
+def _xover_sql() -> str:
+    fast = " + ".join(
+        f"{c} * {'cents' if i == 0 else f'LAG(cents, {i}) OVER w'}"
+        for i, c in enumerate(_XOVER_FAST)
+    )
+    slow = " + ".join(
+        f"{c} * {'cents' if i == 0 else f'LAG(cents, {i}) OVER w'}"
+        for i, c in enumerate(_XOVER_SLOW)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+nums AS (
+  SELECT event_type, day,
+         {fast} AS fast_num,
+         {slow} AS slow_num
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+signs AS (
+  SELECT event_type, day,
+         CASE WHEN fast_num * {8**7} > slow_num * {4**7} THEN 1
+              WHEN fast_num * {8**7} < slow_num * {4**7} THEN -1
+              ELSE 0 END AS sign
+  FROM nums WHERE fast_num IS NOT NULL AND slow_num IS NOT NULL),
+flagged AS (
+  SELECT event_type, day, sign,
+         CASE WHEN LAG(sign) OVER (PARTITION BY event_type ORDER BY day)
+                   IS NOT NULL
+               AND LAG(sign) OVER (PARTITION BY event_type ORDER BY day)
+                   <> sign
+              THEN 1 ELSE 0 END AS crossed
+  FROM signs)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       CAST(sign AS BIGINT) AS sign, CAST(crossed AS BIGINT) AS crossed
+FROM flagged ORDER BY event_type, day
+"""
+
+
+@query("q_ts_ema_crossover", _xover_sql())
+def q_ts_ema_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("bigint")
+        .alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+
+    def chain(coefs):
+        total = F.lit(coefs[0]) * F.col("cents")
+        for i, c in enumerate(coefs[1:], start=1):
+            total = total + F.lit(c) * F.lag("cents", i).over(w)
+        return total
+
+    nums = daily.select(
+        "event_type",
+        "day",
+        chain(_XOVER_FAST).alias("fast_num"),
+        chain(_XOVER_SLOW).alias("slow_num"),
+    )
+    signs = nums.filter(
+        F.col("fast_num").isNotNull() & F.col("slow_num").isNotNull()
+    ).select(
+        "event_type",
+        "day",
+        F.when(
+            F.col("fast_num") * (8**7) > F.col("slow_num") * (4**7), 1
+        )
+        .when(F.col("fast_num") * (8**7) < F.col("slow_num") * (4**7), -1)
+        .otherwise(0)
+        .alias("sign"),
+    )
+    prev = F.lag("sign").over(w)
+    return signs.select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        F.col("sign").cast("bigint").alias("sign"),
+        F.when(prev.isNotNull() & (prev != F.col("sign")), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("crossed"),
+    )

@@ -401,3 +401,64 @@ def test_interval_weighted_overlap_bounds(spark):
         # Per day the overlap cannot exceed the promo window length.
         assert r["total_overlap_us"] <= r["n_days"] * eight_hours_us
     assert sum(r["total_overlap_us"] for r in out) > 0
+
+
+def test_ema_crossover_sign_consistency(spark):
+    from mini_etl_project_spark.queries.timeseries_q import (
+        q_ts_ema_crossover,
+    )
+
+    rows = q_ts_ema_crossover(spark, SF).collect()
+    series: dict[str, list] = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append(r)
+    n_crossings = 0
+    for et, rs in series.items():
+        rs.sort(key=lambda r: r["day"])
+        for prev, cur in zip(rs, rs[1:]):
+            want = 1 if prev["sign"] != cur["sign"] else 0
+            assert cur["crossed"] == want
+            n_crossings += want
+        assert rs[0]["crossed"] == 0  # first emitted row can't cross
+    assert n_crossings == sum(r["crossed"] for r in rows)
+
+
+def test_reconcile_classes_account_for_all_keys(spark):
+    from mini_etl_project_spark.queries.etl_q import q_etl_reconcile
+    from mini_etl_project_spark.session import load_table
+
+    out = {r["class"]: r for r in q_etl_reconcile(spark, SF).collect()}
+    o = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    keys_a = {
+        r["o_orderkey"]
+        for r in o.filter(F.col("o_orderkey") % 50 != 0).collect()
+    }
+    keys_b = {
+        r["l_orderkey"]
+        for r in li.filter(F.col("l_orderkey") % 77 != 0)
+        .select("l_orderkey")
+        .distinct()
+        .collect()
+    }
+    assert out["missing_a"]["n"] == len(keys_b - keys_a)
+    assert out["missing_b"]["n"] == len(keys_a - keys_b)
+    assert sum(r["n"] for r in out.values()) == len(keys_a | keys_b)
+    # planted gaps guarantee both missing classes fire
+    assert out["missing_a"]["n"] > 0 and out["missing_b"]["n"] > 0
+
+
+def test_bitemporal_stale_only_in_older_versions(spark):
+    from mini_etl_project_spark.queries.joins import q_join_bitemporal
+
+    out = sorted(
+        q_join_bitemporal(spark, SF).collect(), key=lambda r: r["version"]
+    )
+    assert [r["version"] for r in out] == [0, 1]
+    # regime 2 starts after the snapshot, so only v0/v1 can be chosen;
+    # stale fallbacks exist (late-arriving v1 facts served by v0) and can
+    # only appear in the non-latest version.
+    assert out[0]["n_stale"] > 0
+    assert out[1]["n_stale"] == 0
+    for r in out:
+        assert r["n_lines"] >= r["n_stale"]

@@ -294,6 +294,9 @@ _CHECK_FIRST: list[str] = [
     "q_ts_ema_crossover",
     "q_etl_reconcile",
     "q_join_bitemporal",
+    "q_etl_late_arriving_dim",
+    "q_fn_geohash",
+    "q_quality_key_discovery",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -1137,3 +1137,93 @@ def q_etl_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_abs_diff_cents"),
     )
+
+
+# -- X300 late-arriving dimension members ----------------------------------
+#
+# The Kimball late-arriving-dimension pattern: facts stream in referencing
+# dimension keys the warehouse has not loaded yet.  The engine must (a)
+# keep the facts, attributing them to an INFERRED placeholder member, and
+# (b) re-attribute them once the late dimension feed lands.  Simulated
+# deterministically: the dim snapshot is `part` minus every 10th key; the
+# late feed is exactly those keys.  Both phases come out of ONE fact scan
+# and ONE broadcast join — facts pre-aggregate per partkey (map-side
+# combine), join the full dim carrying an `is_late` flag, and a 2-element
+# explode derives the snapshot-phase attribution (late → INFERRED) and the
+# backfilled attribution from the same joined row.  At 100 TB the dim side
+# broadcasts and the only shuffle is the keyed fact pre-aggregate.
+
+_LATE_DIM_ORACLE = """
+WITH facts AS (
+  SELECT l_partkey AS k, COUNT(*) AS nf,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM lineitem GROUP BY l_partkey),
+dim AS (
+  SELECT p_partkey AS k, p_brand, (p_partkey % 10 = 0) AS is_late
+  FROM part),
+j AS (
+  SELECT f.k, f.nf, f.rev, d.p_brand, d.is_late
+  FROM facts f JOIN dim d ON f.k = d.k),
+phases AS (
+  SELECT 'snapshot' AS phase,
+         CASE WHEN is_late THEN 'INFERRED' ELSE p_brand END AS brand,
+         nf, rev
+  FROM j
+  UNION ALL
+  SELECT 'backfill' AS phase, p_brand AS brand, nf, rev FROM j)
+SELECT phase, brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(nf) AS BIGINT) AS n_facts,
+       CAST(SUM(rev) AS BIGINT) AS rev_cents
+FROM phases GROUP BY phase, brand ORDER BY phase, brand
+"""
+
+
+@query("q_etl_late_arriving_dim", _LATE_DIM_ORACLE)
+def q_etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    facts = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count("*").alias("nf"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev"),
+    )
+    dim = part.select(
+        F.col("p_partkey").alias("k"),
+        "p_brand",
+        (F.col("p_partkey") % 10 == 0).alias("is_late"),
+    )
+    j = facts.join(broadcast(dim), "k")
+    phased = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("snapshot").alias("phase"),
+                    F.when(F.col("is_late"), "INFERRED")
+                    .otherwise(F.col("p_brand"))
+                    .alias("brand"),
+                ),
+                F.struct(
+                    F.lit("backfill").alias("phase"),
+                    F.col("p_brand").alias("brand"),
+                ),
+            )
+        ).alias("ph"),
+        "nf",
+        "rev",
+    )
+    return (
+        phased.groupBy(
+            F.col("ph.phase").alias("phase"), F.col("ph.brand").alias("brand")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("nf").cast("bigint").alias("n_facts"),
+            F.sum("rev").cast("bigint").alias("rev_cents"),
+        )
+        .orderBy("phase", "brand")
+    )

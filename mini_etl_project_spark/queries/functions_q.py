@@ -1338,3 +1338,86 @@ def q_fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("bdays").cast("bigint").alias("max_bdays"),
         )
     )
+
+
+# -- X301 geohash encoding -------------------------------------------------
+#
+# Standard geohash (Niemeyer): quantize lon/lat to 15 bits each against
+# their world ranges, interleave starting with longitude, emit the 30-bit
+# word as 6 base-32 characters.  Coordinates derive deterministically from
+# supplier keys in centi-degrees so both engines start from identical
+# integers; quantization and bit interleave are pure integer DIV/%
+# arithmetic (no floats anywhere), generated as the same expression tree
+# for Spark and the DuckDB oracle.  Stateless projection — embarrassingly
+# parallel at any scale; the prefix column is the bucketing key a
+# proximity join would shuffle on.
+
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _gh_bits_sql(div: str) -> str:
+    terms = []
+    for j in range(15):
+        nb = 1 << (14 - j)
+        terms.append(f"((lon_i {div} {nb}) % 2) * {1 << (29 - 2 * j)}")
+        terms.append(f"((lat_i {div} {nb}) % 2) * {1 << (28 - 2 * j)}")
+    return " + ".join(terms)
+
+
+def _gh_chars_sql(div: str) -> str:
+    return " || ".join(
+        f"substring('{_B32}', CAST((gh_bits {div} {1 << (25 - 5 * c)}) % 32"
+        f" AS INT) + 1, 1)"
+        for c in range(6)
+    )
+
+
+_GEOHASH_ORACLE = f"""
+WITH pts AS (
+  SELECT s_suppkey,
+         (s_suppkey * 37) % 18000 AS lat_c,
+         (s_suppkey * 73) % 36000 AS lon_c
+  FROM supplier),
+quant AS (
+  SELECT s_suppkey, lat_c, lon_c,
+         (lat_c * 32768) // 18000 AS lat_i,
+         (lon_c * 32768) // 36000 AS lon_i
+  FROM pts),
+bits AS (
+  SELECT s_suppkey, lat_c, lon_c, {_gh_bits_sql('//')} AS gh_bits
+  FROM quant),
+enc AS (
+  SELECT s_suppkey, lat_c, lon_c, {_gh_chars_sql('//')} AS geohash6
+  FROM bits)
+SELECT s_suppkey,
+       CAST(lat_c - 9000 AS BIGINT) AS lat_e2,
+       CAST(lon_c - 18000 AS BIGINT) AS lon_e2,
+       geohash6,
+       substring(geohash6, 1, 4) AS prefix4
+FROM enc
+"""
+
+
+@query("q_fn_geohash", _GEOHASH_ORACLE)
+def q_fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    df = sup.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 37) % 18000).alias("lat_c"),
+        ((F.col("s_suppkey") * 73) % 36000).alias("lon_c"),
+    ).selectExpr(
+        "s_suppkey",
+        "lat_c",
+        "lon_c",
+        "(lat_c * 32768) DIV 18000 AS lat_i",
+        "(lon_c * 32768) DIV 36000 AS lon_i",
+    )
+    df = df.withColumn("gh_bits", F.expr(_gh_bits_sql("DIV")))
+    df = df.withColumn("geohash6", F.expr(_gh_chars_sql("DIV")))
+    return df.select(
+        "s_suppkey",
+        (F.col("lat_c") - 9000).cast("bigint").alias("lat_e2"),
+        (F.col("lon_c") - 18000).cast("bigint").alias("lon_e2"),
+        "geohash6",
+        F.substring("geohash6", 1, 4).alias("prefix4"),
+    )

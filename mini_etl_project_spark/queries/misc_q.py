@@ -1607,3 +1607,162 @@ def q_sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM filter_orders GROUP BY o_orderpriority
         """
     )
+
+
+# -- X302 candidate-key and foreign-key discovery --------------------------
+#
+# Schema-profiling a warehouse nobody documented: for each candidate
+# column, measure uniqueness (distinct/total); for each candidate
+# relationship, measure inclusion (fraction of child distinct values
+# present in the parent key set) — the two statistics key/FK discovery
+# tools rank on.  Scores are integer parts-per-million (exact in both
+# engines).  Each uniqueness row is one stacked count_distinct aggregate
+# per table (single scan each); each inclusion row is a distinct-project
+# plus a broadcast-able semi join on the parent key — no all-pairs work,
+# and every statistic is a keyed aggregate that scales linearly.
+
+_KEY_DISCOVERY_ORACLE = """
+WITH uniq AS (
+  SELECT 'key' AS kind, 'orders.o_orderkey' AS item,
+         COUNT(DISTINCT o_orderkey) AS num, COUNT(*) AS den FROM orders
+  UNION ALL
+  SELECT 'key', 'orders.o_custkey',
+         COUNT(DISTINCT o_custkey), COUNT(*) FROM orders
+  UNION ALL
+  SELECT 'key', 'customer.c_custkey',
+         COUNT(DISTINCT c_custkey), COUNT(*) FROM customer
+  UNION ALL
+  SELECT 'key', 'customer.c_mktsegment',
+         COUNT(DISTINCT c_mktsegment), COUNT(*) FROM customer
+  UNION ALL
+  SELECT 'key', 'lineitem.(l_orderkey,l_linenumber)',
+         COUNT(DISTINCT l_orderkey * 128 + l_linenumber), COUNT(*)
+  FROM lineitem),
+incl AS (
+  SELECT 'fk' AS kind, 'lineitem.l_orderkey->orders.o_orderkey' AS item,
+         (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) c
+          WHERE c.l_orderkey IN (SELECT o_orderkey FROM orders)) AS num,
+         (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS den
+  UNION ALL
+  SELECT 'fk', 'lineitem.l_partkey->part.p_partkey',
+         (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey FROM lineitem) c
+          WHERE c.l_partkey IN (SELECT p_partkey FROM part)),
+         (SELECT COUNT(DISTINCT l_partkey) FROM lineitem)
+  UNION ALL
+  SELECT 'fk', 'orders.o_custkey->customer.c_custkey',
+         (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders) c
+          WHERE c.o_custkey IN (SELECT c_custkey FROM customer)),
+         (SELECT COUNT(DISTINCT o_custkey) FROM orders)
+  UNION ALL
+  SELECT 'fk', 'orders.o_orderkey->lineitem.l_orderkey',
+         (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey FROM orders) c
+          WHERE c.o_orderkey IN (SELECT l_orderkey FROM lineitem)),
+         (SELECT COUNT(DISTINCT o_orderkey) FROM orders)),
+scored AS (SELECT * FROM uniq UNION ALL SELECT * FROM incl)
+SELECT kind, item, CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+       CAST((1000000 * num) // den AS BIGINT) AS score_ppm
+FROM scored ORDER BY kind, item
+"""
+
+
+@query("q_quality_key_discovery", _KEY_DISCOVERY_ORACLE)
+def q_quality_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def uniq(df: DataFrame, table: str, pairs: list[tuple[str, F.Column]]):
+        # One scan per table: all count_distincts stacked in a single agg.
+        aggs = []
+        for name, col in pairs:
+            aggs.append(F.count_distinct(col).alias(f"u_{name}"))
+        aggs.append(F.count("*").alias("den"))
+        row = df.agg(*aggs)
+        out = None
+        for name, _ in pairs:
+            piece = row.select(
+                F.lit("key").alias("kind"),
+                F.lit(f"{table}.{name}").alias("item"),
+                F.col(f"u_{name}").alias("num"),
+                F.col("den"),
+            )
+            out = piece if out is None else out.unionAll(piece)
+        return out
+
+    uniq_rows = (
+        uniq(
+            o,
+            "orders",
+            [
+                ("o_orderkey", F.col("o_orderkey")),
+                ("o_custkey", F.col("o_custkey")),
+            ],
+        )
+        .unionAll(
+            uniq(
+                c,
+                "customer",
+                [
+                    ("c_custkey", F.col("c_custkey")),
+                    ("c_mktsegment", F.col("c_mktsegment")),
+                ],
+            )
+        )
+        .unionAll(
+            uniq(
+                li,
+                "lineitem",
+                [
+                    (
+                        "(l_orderkey,l_linenumber)",
+                        F.col("l_orderkey") * 128 + F.col("l_linenumber"),
+                    )
+                ],
+            )
+        )
+    )
+
+    def incl(child: DataFrame, ck: str, parent: DataFrame, pk: str, item: str):
+        ckeys = child.select(F.col(ck).alias("k")).distinct()
+        pkeys = parent.select(F.col(pk).alias("k")).distinct()
+        hit = ckeys.join(pkeys, "k", "left_semi")
+        return (
+            hit.agg(F.count("*").alias("num"))
+            .crossJoin(ckeys.agg(F.count("*").alias("den")))
+            .select(
+                F.lit("fk").alias("kind"),
+                F.lit(item).alias("item"),
+                "num",
+                "den",
+            )
+        )
+
+    incl_rows = (
+        incl(li, "l_orderkey", o, "o_orderkey",
+             "lineitem.l_orderkey->orders.o_orderkey")
+        .unionAll(
+            incl(li, "l_partkey", part, "p_partkey",
+                 "lineitem.l_partkey->part.p_partkey")
+        )
+        .unionAll(
+            incl(o, "o_custkey", c, "c_custkey",
+                 "orders.o_custkey->customer.c_custkey")
+        )
+        .unionAll(
+            incl(o, "o_orderkey", li, "l_orderkey",
+                 "orders.o_orderkey->lineitem.l_orderkey")
+        )
+    )
+
+    return (
+        uniq_rows.unionAll(incl_rows)
+        .select(
+            "kind",
+            "item",
+            F.col("num").cast("bigint").alias("num"),
+            F.col("den").cast("bigint").alias("den"),
+            F.expr("(1000000 * num) DIV den").cast("bigint").alias("score_ppm"),
+        )
+        .orderBy("kind", "item")
+    )

@@ -297,6 +297,9 @@ _CHECK_FIRST: list[str] = [
     "q_etl_late_arriving_dim",
     "q_fn_geohash",
     "q_quality_key_discovery",
+    "q_ts_kalman",
+    "q_window_skyline",
+    "q_ts_match_recognize",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

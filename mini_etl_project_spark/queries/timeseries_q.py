@@ -3246,3 +3246,166 @@ def q_ts_ema_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("crossed"),
     )
+
+
+# -- X303 1-D Kalman filter in fixed point ---------------------------------
+#
+# Adaptive-gain filtering of the per-type daily revenue series — unlike
+# the fixed-α EMA/Holt recurrences, the Kalman gain K = P/(P+R) adapts
+# as the error covariance P converges. The whole recursion runs in
+# integer micro-units with truncating division so Spark and the DuckDB
+# recursive-CTE oracle replay it bit-for-bit:
+#   Pp = P + Q
+#   x' = x + tdiv(Pp * (z - x), Pp + R)
+#   P' = tdiv(Pp * R, Pp + R)
+# (tdiv = sign-split truncating division; DuckDB ``//`` truncates on
+# integers, Python mirrors with sign·(|a|//b).)  Same execution shape as
+# Holt: keyed applyInPandas, Arrow-batched, each key's calendar-bounded
+# series in one task, keys parallelized across executors.
+
+_KALMAN_Q = 250_000  # process noise (micro-units)
+_KALMAN_R = 1_000_000  # measurement noise (micro-units)
+
+_KALMAN_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, day, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily),
+rec AS (
+  WITH RECURSIVE k(event_type, rn, day, cents, x, p) AS (
+    SELECT event_type, rn, day, cents, cents,
+           CAST({_KALMAN_R} AS BIGINT)
+    FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT r.event_type, r.rn, r.day, r.cents,
+           k.x + ((k.p + {_KALMAN_Q}) * (r.cents - k.x))
+                 // (k.p + {_KALMAN_Q} + {_KALMAN_R}),
+           ((k.p + {_KALMAN_Q}) * {_KALMAN_R})
+                 // (k.p + {_KALMAN_Q} + {_KALMAN_R})
+    FROM k JOIN ranked r
+      ON r.event_type = k.event_type AND r.rn = k.rn + 1)
+  SELECT * FROM k)
+SELECT event_type, day, cents, x AS x_filtered, p AS p_state,
+       cents - x AS innovation
+FROM rec
+"""
+
+
+@query("q_ts_kalman", _KALMAN_ORACLE)
+def q_ts_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("bigint")
+        .alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+
+    def kalman(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+
+        def tdiv(a: int, b: int) -> int:
+            return abs(a) // b * (1 if a >= 0 else -1)
+
+        xs: list[int] = []
+        ps: list[int] = []
+        x = p = 0
+        for i, z in enumerate(int(v) for v in pdf["cents"]):
+            if i == 0:
+                x, p = z, _KALMAN_R
+            else:
+                pp = p + _KALMAN_Q
+                x = x + tdiv(pp * (z - x), pp + _KALMAN_R)
+                p = tdiv(pp * _KALMAN_R, pp + _KALMAN_R)
+            xs.append(x)
+            ps.append(p)
+        pdf["x_filtered"] = pd.Series(xs, dtype="int64")
+        pdf["p_state"] = pd.Series(ps, dtype="int64")
+        pdf["innovation"] = pdf["cents"] - pdf["x_filtered"]
+        return pdf
+
+    return daily.groupBy("event_type").applyInPandas(
+        kalman,
+        "event_type string, day bigint, cents bigint, "
+        "x_filtered bigint, p_state bigint, innovation bigint",
+    )
+
+
+# -- X305 event-sequence pattern matching (CEP / MATCH_RECOGNIZE style) ----
+#
+# Flink-CEP / SQL MATCH_RECOGNIZE territory: per user, symbolize the
+# time-ordered event stream (one char per event type) and run regex
+# patterns over the sequence — 'v+p' counts view-streak→purchase funnel
+# completions, 'v+' extracts the longest browse streak. One keyed
+# aggregate builds each user's bounded sequence (array_sort on the
+# (ts, event_id) struct makes the order total and deterministic); the
+# regex scan is a stateless projection. Leftmost-greedy matching of these
+# patterns is identical in Java regex and RE2, so the DuckDB oracle's
+# regexp_extract_all agrees exactly.
+
+_CEP_ORACLE = """
+WITH sym AS (
+  SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS s
+  FROM events),
+seqs AS (
+  SELECT user_id,
+         string_agg(s, '' ORDER BY ts, event_id) AS seq,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sym GROUP BY user_id)
+SELECT user_id, n_events,
+       CAST(length(seq) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, 'v+p')) AS BIGINT) AS n_funnels,
+       CAST(COALESCE(list_max(list_transform(
+              regexp_extract_all(seq, 'v+'), x -> length(x))), 0) AS BIGINT)
+         AS max_view_run,
+       len(regexp_extract_all(seq, 'v+p')) > 0 AS converted
+FROM seqs
+"""
+
+
+@query("q_ts_match_recognize", _CEP_ORACLE)
+def q_ts_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sym = ev.select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("s"),
+    )
+    seqs = sym.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "s"))),
+                lambda r: r["s"],
+            ),
+            "",
+        ).alias("seq"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    return seqs.select(
+        "user_id",
+        "n_events",
+        F.length("seq").cast("bigint").alias("seq_len"),
+        F.expr("regexp_count(seq, 'v+p')").cast("bigint").alias("n_funnels"),
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.expr("regexp_extract_all(seq, 'v+', 0)"),
+                    lambda x: F.length(x),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("max_view_run"),
+        (F.expr("regexp_count(seq, 'v+p')") > 0).alias("converted"),
+    )

@@ -663,3 +663,66 @@ def q_window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("slope_pm"),
     )
+
+
+# -- X304 per-group skyline (Pareto frontier) ------------------------------
+#
+# The skyline operator (Börzsönyi et al., ICDE'01): within each brand,
+# keep the parts no other part dominates — here minimize price, maximize
+# size; a dominates b iff price_a <= price_b AND size_a >= size_b with at
+# least one strict. The quadratic NOT-EXISTS definition (the oracle)
+# collapses to two keyed window maxima after sorting by price: a point
+# survives iff no strictly-cheaper point has size >= mine (RANGE frame up
+# to price−1) and no same-price point has size > mine. Both windows
+# partition by brand — per-key sorts, no global ordering, scales with the
+# number of groups.
+
+_SKYLINE_ORACLE = """
+WITH pts AS (
+  SELECT p_brand, p_partkey,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS size
+  FROM part)
+SELECT p_brand, p_partkey, price_c, size
+FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts d
+  WHERE d.p_brand = a.p_brand
+    AND d.price_c <= a.price_c AND d.size >= a.size
+    AND (d.price_c < a.price_c OR d.size > a.size))
+ORDER BY p_brand, price_c, p_partkey
+"""
+
+
+@query("q_window_skyline", _SKYLINE_ORACLE)
+def q_window_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        "p_brand",
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_c"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("p_brand", "price_c")
+    flagged = pts.select(
+        "p_brand",
+        "p_partkey",
+        "price_c",
+        "size",
+        F.max("size").over(w_cheaper).alias("best_cheaper"),
+        F.max("size").over(w_same).alias("best_same"),
+    )
+    return (
+        flagged.filter(
+            (F.col("best_cheaper").isNull()
+             | (F.col("best_cheaper") < F.col("size")))
+            & (F.col("best_same") <= F.col("size"))
+        )
+        .select("p_brand", "p_partkey", "price_c", "size")
+        .orderBy("p_brand", "price_c", "p_partkey")
+    )

@@ -300,6 +300,9 @@ _CHECK_FIRST: list[str] = [
     "q_ts_kalman",
     "q_window_skyline",
     "q_ts_match_recognize",
+    "q_multimodal_audio_vad",
+    "q_multimodal_patchify",
+    "q_corpus_span_corruption",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

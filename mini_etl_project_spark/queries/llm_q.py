@@ -866,3 +866,92 @@ def q_corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pos"),
     )
     return shuffled.orderBy("pos", "source", "doc_id").limit(60)
+
+
+# -- X308 span-corruption statistics (T5/UL2 denoising objective) ----------
+#
+# The seq2seq denoising preprocessor's bookkeeping: mask ~15% of token
+# positions (position-hashed, content-free, so the plan is a pure
+# projection), coalesce adjacent masked positions into spans, and emit
+# the resulting encoder/decoder sequence lengths — input keeps unmasked
+# tokens plus one sentinel per span, target is the masked tokens plus the
+# same sentinels. Everything runs as higher-order array expressions over
+# a position sequence (no explode, no shuffle, no Python); the oracle
+# replays the identical lambdas in DuckDB list functions.
+
+_SPAN_HASH = 2_654_435_761  # Knuth multiplicative constant
+_SPAN_PCT = 15
+
+_SPAN_CORRUPT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+  FROM documents),
+stats AS (
+  SELECT doc_id, n,
+    CASE WHEN n = 0 THEN 0 ELSE len(list_filter(range(0, n),
+      i -> (i * {_SPAN_HASH}) % 100 < {_SPAN_PCT})) END AS n_masked,
+    CASE WHEN n = 0 THEN 0 ELSE len(list_filter(range(0, n),
+      i -> (i * {_SPAN_HASH}) % 100 < {_SPAN_PCT}
+           AND (i = 0 OR NOT (((i - 1) * {_SPAN_HASH}) % 100
+                              < {_SPAN_PCT})))) END AS n_spans
+  FROM toks)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(n_masked AS BIGINT) AS n_masked,
+       CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(n - n_masked + n_spans AS BIGINT) AS input_len,
+       CAST(n_masked + n_spans AS BIGINT) AS target_len,
+       CAST(CASE WHEN n = 0 THEN 0
+                 ELSE (1000000 * n_masked) // n END AS BIGINT) AS mask_ppm
+FROM stats
+"""
+
+
+@query("q_corpus_span_corruption", _SPAN_CORRUPT_ORACLE)
+def q_corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = F.when(
+        F.trim(F.col("text")) == "", F.lit(0)
+    ).otherwise(F.size(tokens("text")))
+    base = d.select("doc_id", n.alias("n"))
+
+    def pred(i):
+        return (i * F.lit(_SPAN_HASH)) % 100 < _SPAN_PCT
+
+    seq = F.sequence(F.lit(0), F.col("n") - 1)
+    n_masked = F.when(F.col("n") == 0, F.lit(0)).otherwise(
+        F.size(F.filter(seq, pred))
+    )
+    n_spans = F.when(F.col("n") == 0, F.lit(0)).otherwise(
+        F.size(
+            F.filter(
+                seq,
+                lambda i: pred(i) & ((i == 0) | ~pred(i - 1)),
+            )
+        )
+    )
+    stats = base.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        n_masked.cast("bigint").alias("n_masked"),
+        n_spans.cast("bigint").alias("n_spans"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_masked",
+        "n_spans",
+        (F.col("n_tokens") - F.col("n_masked") + F.col("n_spans"))
+        .cast("bigint")
+        .alias("input_len"),
+        (F.col("n_masked") + F.col("n_spans")).cast("bigint").alias(
+            "target_len"
+        ),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(
+            F.expr("(1000000 * n_masked) DIV n_tokens")
+        )
+        .cast("bigint")
+        .alias("mask_ppm"),
+    )

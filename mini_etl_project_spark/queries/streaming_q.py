@@ -845,3 +845,199 @@ def q_stream_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("hour_start").cast("timestamp").alias("hour_start"))
         .agg(F.count("*").cast("bigint").alias("n_alerts"))
     )
+
+
+# -- X306 audio voice-activity detection (energy VAD) ----------------------
+#
+# The codec-free slice of an audio pipeline: 16-bit little-endian PCM
+# payloads (synthesized deterministically per doc — bursty: every third
+# 128-sample block is 16× louder) are packed to REAL bytes and decoded
+# back through numpy inside an Arrow-batched mapInPandas, then framed
+# (64 samples), energy-thresholded, and run-length segmented — all the
+# plumbing a real VAD needs minus the codec. The oracle never sees
+# bytes: it regenerates the same samples arithmetically and replays the
+# frame/threshold/segment logic in SQL, so the byte pack/unpack layer is
+# proven by agreement. Per-doc work is bounded; docs parallelize freely.
+
+_VAD_FRAME = 64
+_VAD_THRESHOLD = 1 << 20
+
+
+def _vad_expr_sql() -> str:
+    return """
+samples AS (
+  SELECT doc_id, i,
+         CAST(((doc_id * 31 + i * 17) % 256 - 128) *
+              (CASE WHEN ((i // 128) + doc_id) % 3 = 0 THEN 16 ELSE 1 END)
+           AS BIGINT) AS x
+  FROM docs, LATERAL UNNEST(range(0, n_samples)) AS t(i)),
+frames AS (
+  SELECT doc_id, i // 64 AS f, SUM(x * x) AS energy
+  FROM samples GROUP BY doc_id, i // 64),
+flags AS (
+  SELECT doc_id, f, CASE WHEN energy > 1048576 THEN 1 ELSE 0 END AS active,
+         LAG(CASE WHEN energy > 1048576 THEN 1 ELSE 0 END, 1, 0)
+           OVER (PARTITION BY doc_id ORDER BY f) AS prev_active
+  FROM frames)
+"""
+
+
+_VAD_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, CAST(1024 + (doc_id % 4) * 256 AS BIGINT) AS n_samples
+  FROM documents),
+{_vad_expr_sql()}
+SELECT doc_id,
+       CAST(MAX(f) + 1 AS BIGINT) AS n_frames,
+       CAST(SUM(active) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN active = 1 AND prev_active = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_segments,
+       CAST((1000000 * SUM(active)) // (MAX(f) + 1) AS BIGINT)
+         AS active_ppm
+FROM flags GROUP BY doc_id
+"""
+
+
+@query("q_multimodal_audio_vad", _VAD_ORACLE)
+def q_multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 1024 + (doc_id % 4) * 256
+                i = np.arange(n, dtype=np.int64)
+                gain = np.where(((i // 128) + doc_id) % 3 == 0, 16, 1)
+                x = ((doc_id * 31 + i * 17) % 256 - 128) * gain
+                # pack to real 16-bit LE PCM bytes and decode back — the
+                # byte layer a codec would hand us
+                pcm = x.astype("<i2").tobytes()
+                decoded = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                frames = decoded.reshape(-1, _VAD_FRAME)
+                energy = (frames * frames).sum(axis=1)
+                active = (energy > _VAD_THRESHOLD).astype(np.int64)
+                rises = int(
+                    (np.diff(np.concatenate(([0], active))) == 1).sum()
+                )
+                out.append(
+                    (
+                        doc_id,
+                        int(active.size),
+                        int(active.sum()),
+                        rises,
+                        (1_000_000 * int(active.sum())) // int(active.size),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "n_active",
+                    "n_segments",
+                    "active_ppm",
+                ],
+            )
+
+    return d.mapInPandas(
+        vad,
+        "doc_id bigint, n_frames bigint, n_active bigint, "
+        "n_segments bigint, active_ppm bigint",
+    )
+
+
+# -- X307 image patch extraction (ViT-style patchify) ----------------------
+#
+# Vision-transformer preprocessing minus the codec: each doc carries a
+# synthetic H×W 8-bit grayscale raster (H, W vary per doc, both multiples
+# of the 16-px patch size). The Spark path materializes the REAL byte
+# buffer, reshapes it in numpy inside mapInPandas, slices the 16×16 patch
+# grid, and emits per-patch statistics (sum/min/max) — one output row per
+# patch, exactly the token layout a ViT embeds. The oracle regenerates
+# pixels arithmetically and aggregates per patch cell in SQL; agreement
+# proves the buffer layout (row-major, stride W) and the grid arithmetic.
+
+_PATCH = 16
+
+_PATCHIFY_ORACLE = """
+WITH docs AS (
+  SELECT doc_id,
+         CAST(32 + (doc_id % 3) * 16 AS BIGINT) AS h,
+         CAST(32 + (doc_id % 5) * 16 AS BIGINT) AS w
+  FROM documents WHERE doc_id < 200),
+px AS (
+  SELECT doc_id, h, w, i // w AS y, i % w AS x,
+         CAST((doc_id + (i // w) * 31 + (i % w) * 17) % 256 AS BIGINT) AS v
+  FROM docs, LATERAL UNNEST(range(0, h * w)) AS t(i))
+SELECT doc_id, CAST(y // 16 AS BIGINT) AS py, CAST(x // 16 AS BIGINT) AS px,
+       CAST(SUM(v) AS BIGINT) AS p_sum,
+       CAST(MIN(v) AS BIGINT) AS p_min,
+       CAST(MAX(v) AS BIGINT) AS p_max
+FROM px GROUP BY doc_id, y // 16, x // 16
+"""
+
+
+@query("q_multimodal_patchify", _PATCHIFY_ORACLE)
+def q_multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = _PATCH
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                h = 32 + (doc_id % 3) * 16
+                w = 32 + (doc_id % 5) * 16
+                y, x = np.mgrid[0:h, 0:w]
+                img = ((doc_id + y * 31 + x * 17) % 256).astype(np.uint8)
+                # round-trip through the flat byte buffer a decoder yields
+                buf = img.tobytes()
+                raster = np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
+                # patch grid: (h//p, p, w//p, p) → per-patch axes last
+                grid = (
+                    raster.reshape(h // p, p, w // p, p)
+                    .transpose(0, 2, 1, 3)
+                    .astype(np.int64)
+                )
+                sums = grid.sum(axis=(2, 3))
+                mins = grid.min(axis=(2, 3))
+                maxs = grid.max(axis=(2, 3))
+                for py in range(h // p):
+                    for px_ in range(w // p):
+                        out.append(
+                            (
+                                doc_id,
+                                py,
+                                px_,
+                                int(sums[py, px_]),
+                                int(mins[py, px_]),
+                                int(maxs[py, px_]),
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "py", "px", "p_sum", "p_min", "p_max"],
+            )
+
+    return d.mapInPandas(
+        patchify,
+        "doc_id bigint, py bigint, px bigint, "
+        "p_sum bigint, p_min bigint, p_max bigint",
+    )

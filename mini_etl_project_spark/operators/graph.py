@@ -262,3 +262,47 @@ def personalized_pagerank(
             )
         )
     return ranks
+
+
+def longest_path_layers(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_rounds: int = 40,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """DAG topological layering: layer(v) = longest path from any source
+    (node with no incoming edge), i.e. the level a topological scheduler
+    would run v at (X311).
+
+    Max-plus frontier relaxation: start every node at layer 0; each round
+    pushes ``layer+1`` across out-edges of the IMPROVED nodes only, takes
+    the per-node max, and stops when a round improves nothing.  Layers
+    only grow and are bounded by the longest path, so termination is the
+    DAG depth, not the node count.  Same scale posture as
+    :func:`bfs_distances`: keyed joins + keyed max-aggregates, frontier
+    shrinks to the still-improving set, ``localCheckpoint`` cuts lineage
+    per round; the one driver-side emptiness probe per round is how the
+    data-dependent depth is detected (DAG depth rounds total).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    lay = nodes.select("node", F.lit(0).alias("l")).localCheckpoint(eager=True)
+    frontier = lay
+    for _ in range(max_rounds):
+        cand = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .groupBy(F.col("v").alias("node"))
+            .agg((F.max("l") + 1).alias("cl"))
+        )
+        merged = lay.join(cand, "node", "left").localCheckpoint(eager=True)
+        improved = merged.filter(
+            F.col("cl").isNotNull() & (F.col("cl") > F.col("l"))
+        )
+        if improved.isEmpty():
+            break
+        lay = merged.select(
+            "node",
+            F.greatest("l", F.coalesce("cl", F.lit(0))).alias("l"),
+        ).localCheckpoint(eager=True)
+        frontier = improved.select("node", F.col("cl").alias("l"))
+    return lay

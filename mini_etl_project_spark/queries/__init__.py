@@ -303,6 +303,9 @@ _CHECK_FIRST: list[str] = [
     "q_multimodal_audio_vad",
     "q_multimodal_patchify",
     "q_corpus_span_corruption",
+    "q_graph_topo_layers",
+    "q_ml_embedding_audit",
+    "q_ml_conformal_interval",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

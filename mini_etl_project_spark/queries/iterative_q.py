@@ -1150,3 +1150,67 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
         )
     return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+# -- X311 DAG topological layering (longest-path levels) -------------------
+#
+# Scheduling depth for a DAG: layer(v) = longest chain ending at v = the
+# wave a topological executor would run v in. The graph is the doubling/
+# tripling DAG on part keys (u -> 2u, u -> 3u while in range) — every
+# node except 2-3-smooth-free keys has multiple ancestors, so this is a
+# real DAG, not a tree. Spark runs the generic max-plus frontier
+# relaxation (operators/graph.py::longest_path_layers); the oracle takes
+# a COMPLETELY different route — the closed form layer(v) = v2(v)+v3(v)
+# (each relaxation step strips exactly one factor of 2 or 3), summed as
+# pure divisibility CASE terms — so agreement cross-checks the iterative
+# algorithm against independent number theory, not a replay of itself.
+
+_TOPO_ORACLE = (
+    "WITH lay AS (\n"
+    "  SELECT p_partkey AS v,\n"
+    "         CAST("
+    + " + ".join(
+        f"CASE WHEN p_partkey % {2**a} = 0 THEN 1 ELSE 0 END"
+        for a in range(1, 31)
+    )
+    + "\n        + "
+    + " + ".join(
+        f"CASE WHEN p_partkey % {3**b} = 0 THEN 1 ELSE 0 END"
+        for b in range(1, 20)
+    )
+    + " AS BIGINT) AS layer\n"
+    "  FROM part WHERE p_partkey > 0)\n"
+    "SELECT layer, CAST(COUNT(*) AS BIGINT) AS n_nodes,\n"
+    "       CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v\n"
+    "FROM lay GROUP BY layer ORDER BY layer"
+)
+
+
+@query("q_graph_topo_layers", _TOPO_ORACLE)
+def q_graph_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.graph import longest_path_layers
+
+    # key 0 is excluded: 0*2 = 0 is a self-loop, which breaks the DAG
+    # contract (and the closed form) — both sides drop it.
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") > 0)
+    keys = part.select(F.col("p_partkey").alias("node"))
+    k2 = part.select(F.col("p_partkey").alias("k2"))
+    edges = (
+        keys.join(k2, F.col("k2") == F.col("node") * 2)
+        .select(F.col("node").alias("u"), F.col("k2").alias("v"))
+        .unionByName(
+            keys.join(k2, F.col("k2") == F.col("node") * 3).select(
+                F.col("node").alias("u"), F.col("k2").alias("v")
+            )
+        )
+    )
+    lay = longest_path_layers(edges, keys)
+    return (
+        lay.groupBy(F.col("l").cast("bigint").alias("layer"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_v"),
+            F.max("node").cast("bigint").alias("max_v"),
+        )
+        .orderBy("layer")
+    )

@@ -3301,3 +3301,212 @@ def q_ml_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ate_cents"),
     )
+
+
+# -- X309 embedding-table quality audit ------------------------------------
+#
+# The health check run before anyone trains on an embedding table:
+# per-dimension moments (mean via exact integer sums), value range, dead
+# entries (exact zeros), and the anisotropy census — for each vector,
+# which dimension carries its largest |value| (first dim on ties), then
+# how many vectors each dimension dominates. A heavily dominated
+# dimension is the classic rogue-feature smell. Values enter fixed point
+# once (micro-units, the embed_quantize convention) and everything after
+# is integer: one posexplode + one keyed aggregate for the per-dim
+# stats, one array-lambda argmax + keyed count for dominance — JVM-side
+# throughout, shuffles keyed by the 64 dims.
+
+_EMB_AUDIT_ORACLE = """
+WITH vals AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS m
+  FROM embeddings, range(1, 65) t(i)),
+dims AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(m) AS BIGINT) AS sum_micro,
+         CAST(MIN(m) AS BIGINT) AS min_micro,
+         CAST(MAX(m) AS BIGINT) AS max_micro,
+         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+  FROM vals GROUP BY dim),
+dom AS (
+  SELECT list_position(am, list_max(am)) - 1 AS dim,
+         COUNT(*) AS n_dominant
+  FROM (SELECT list_transform(embedding,
+          x -> abs(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+          AS am
+        FROM embeddings)
+  GROUP BY 1)
+SELECT d.dim, d.n, d.sum_micro, d.min_micro, d.max_micro, d.n_zero,
+       CAST(COALESCE(dom.n_dominant, 0) AS BIGINT) AS n_dominant
+FROM dims d LEFT JOIN dom ON dom.dim = d.dim
+ORDER BY d.dim
+"""
+
+
+@query("q_ml_embedding_audit", _EMB_AUDIT_ORACLE)
+def q_ml_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    micro = F.round(F.col("x").cast("double") * 1000000).cast("bigint")
+    vals = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select("vec_id", "dim", micro.alias("m"))
+    dims = vals.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("m").cast("bigint").alias("sum_micro"),
+        F.min("m").cast("bigint").alias("min_micro"),
+        F.max("m").cast("bigint").alias("max_micro"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+    am = F.transform(
+        F.col("embedding"),
+        lambda x: F.abs(F.round(x.cast("double") * 1000000).cast("bigint")),
+    )
+    dom = (
+        emb.select(am.alias("am"))
+        .select(
+            (F.array_position(F.col("am"), F.array_max("am")) - 1).alias(
+                "dim"
+            )
+        )
+        .groupBy("dim")
+        .agg(F.count("*").alias("n_dominant"))
+    )
+    return (
+        dims.join(dom, "dim", "left")
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            "n",
+            "sum_micro",
+            "min_micro",
+            "max_micro",
+            "n_zero",
+            F.coalesce("n_dominant", F.lit(0))
+            .cast("bigint")
+            .alias("n_dominant"),
+        )
+        .orderBy("dim")
+    )
+
+
+# -- X310 split-conformal prediction intervals -----------------------------
+#
+# Distribution-free uncertainty: deterministically split orders into
+# train/calibration/test thirds by key; fit the trivial per-priority
+# mean-price model on train; on calibration, take the k-th smallest
+# absolute residual with k = ceil((n_cal + 1) * 0.9) — the finite-sample
+# 90% conformal quantile — and measure the guaranteed coverage on test.
+# Everything is integer cents; the order statistic comes from a keyed
+# rank window (per-priority partitions, never a global sort), and the
+# model join broadcasts 5 rows. Conformal theory says empirical coverage
+# lands near 90% — the pytest asserts the finite-sample lower bound.
+
+_CONFORMAL_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pri,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey % 3 AS fold
+  FROM orders),
+model AS (
+  SELECT pri, CAST(SUM(cents) // COUNT(*) AS BIGINT) AS pred,
+         CAST(COUNT(*) AS BIGINT) AS n_train
+  FROM base WHERE fold = 0 GROUP BY pri),
+calib AS (
+  SELECT b.pri, ABS(b.cents - m.pred) AS r
+  FROM base b JOIN model m ON b.pri = m.pri WHERE b.fold = 1),
+ranked AS (
+  SELECT pri, r,
+         ROW_NUMBER() OVER (PARTITION BY pri ORDER BY r, r) AS rn,
+         COUNT(*) OVER (PARTITION BY pri) AS n_cal
+  FROM calib),
+qhat AS (
+  SELECT pri, CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+         CAST(CEIL((MAX(n_cal) + 1) * 0.9) AS BIGINT) AS kth,
+         CAST(MAX(CASE WHEN rn = CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT)
+                       THEN r END) AS BIGINT) AS q_hat
+  FROM ranked GROUP BY pri),
+test AS (
+  SELECT b.pri, CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN ABS(b.cents - m.pred) <= q.q_hat
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM base b JOIN model m ON b.pri = m.pri JOIN qhat q ON b.pri = q.pri
+  WHERE b.fold = 2 GROUP BY b.pri)
+SELECT m.pri, m.n_train, q.n_cal, q.kth, q.q_hat, t.n_test, t.n_covered,
+       CAST((1000000 * t.n_covered) // t.n_test AS BIGINT) AS coverage_ppm
+FROM model m JOIN qhat q ON m.pri = q.pri JOIN test t ON m.pri = t.pri
+ORDER BY m.pri
+"""
+
+
+@query("q_ml_conformal_interval", _CONFORMAL_ORACLE)
+def q_ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (F.col("o_orderkey") % 3).alias("fold"),
+    )
+    model = (
+        base.filter(F.col("fold") == 0)
+        .groupBy("pri")
+        .agg(
+            F.expr("sum(cents) DIV count(*)").cast("bigint").alias("pred"),
+            F.count("*").cast("bigint").alias("n_train"),
+        )
+    )
+    bm = base.join(F.broadcast(model), "pri")
+    calib = bm.filter(F.col("fold") == 1).select(
+        "pri", F.abs(F.col("cents") - F.col("pred")).alias("r")
+    )
+    w = Window.partitionBy("pri").orderBy("r")
+    wc = Window.partitionBy("pri")
+    ranked = calib.select(
+        "pri",
+        "r",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_cal"),
+    )
+    kth = F.ceil((F.col("n_cal") + 1) * 0.9).cast("bigint")
+    qhat = (
+        ranked.filter(F.col("rn") == kth)
+        .groupBy("pri")
+        .agg(
+            F.max("n_cal").cast("bigint").alias("n_cal"),
+            F.max(kth).cast("bigint").alias("kth"),
+            F.max("r").cast("bigint").alias("q_hat"),
+        )
+    )
+    test = (
+        bm.filter(F.col("fold") == 2)
+        .join(F.broadcast(qhat), "pri")
+        .groupBy("pri")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("pred")) <= F.col("q_hat"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        model.join(qhat, "pri")
+        .join(test, "pri")
+        .select(
+            "pri",
+            "n_train",
+            "n_cal",
+            "kth",
+            "q_hat",
+            "n_test",
+            "n_covered",
+            F.expr("(1000000 * n_covered) DIV n_test")
+            .cast("bigint")
+            .alias("coverage_ppm"),
+        )
+        .orderBy("pri")
+    )

@@ -306,6 +306,9 @@ _CHECK_FIRST: list[str] = [
     "q_graph_topo_layers",
     "q_ml_embedding_audit",
     "q_ml_conformal_interval",
+    "q_quality_benford",
+    "q_agg_gini",
+    "q_quality_chi_square",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -1766,3 +1766,143 @@ def q_quality_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind", "item")
     )
+
+
+# -- X312 Benford's-law first-digit audit ----------------------------------
+# Financial-integrity screen: the first significant digit of a value that
+# spans several orders of magnitude should follow Benford's law
+# (P(d) = log10(1 + 1/d)). The audit compares the observed first-digit
+# distribution of o_totalprice (in cents) against the law, per order
+# priority, entirely in integer ppm space — the Benford probabilities are
+# compile-time constants, so no runtime log is ever evaluated and both
+# engines agree bit-for-bit. Plan shape: one groupBy on (priority, digit)
+# plus a broadcast join against the 5-row per-priority totals — two keyed
+# shuffles over ever-shrinking data, safe at any scale.
+
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+_BENFORD_ORACLE = f"""
+WITH v AS (
+  SELECT o_orderpriority AS priority,
+         CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+  WHERE o_totalprice > 0),
+o AS (
+  SELECT priority, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM v GROUP BY priority, digit),
+t AS (
+  SELECT priority, CAST(SUM(n_obs) AS BIGINT) AS n_total FROM o
+  GROUP BY priority)
+SELECT o.priority, o.digit, o.n_obs, t.n_total,
+       CAST((1000000 * o.n_obs) // t.n_total AS BIGINT) AS observed_ppm,
+       CAST(CASE o.digit
+         {" ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())}
+       END AS BIGINT) AS expected_ppm,
+       CAST((1000000 * o.n_obs) // t.n_total - CASE o.digit
+         {" ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())}
+       END AS BIGINT) AS dev_ppm
+FROM o JOIN t ON o.priority = t.priority
+"""
+
+
+@query("q_quality_benford", _BENFORD_ORACLE)
+def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    v = o.where(F.col("o_totalprice") > 0).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"),
+    )
+    obs = v.groupBy("priority", "digit").agg(
+        F.count("*").cast("bigint").alias("n_obs")
+    )
+    tot = obs.groupBy("priority").agg(
+        F.sum("n_obs").cast("bigint").alias("n_total")
+    )
+    expected = F.create_map(
+        *[F.lit(x) for dp in _BENFORD_PPM.items() for x in dp]
+    )[F.col("digit")].cast("bigint")
+    return (
+        obs.join(F.broadcast(tot), "priority")
+        .select(
+            "priority",
+            "digit",
+            "n_obs",
+            "n_total",
+            F.expr("(1000000 * n_obs) DIV n_total").cast("bigint")
+            .alias("observed_ppm"),
+            expected.alias("expected_ppm"),
+            (
+                F.expr("(1000000 * n_obs) DIV n_total") - expected
+            ).cast("bigint").alias("dev_ppm"),
+        )
+    )
+
+
+# -- X314 chi-square independence audit ------------------------------------
+# Are order status and order priority independent? Pearson's chi-square
+# over the 3x5 contingency table. The table itself is ONE groupBy (the
+# only full-data pass); marginals and the per-cell term
+# (O - E)^2 / E  with  E = row_total * col_total / n_total
+# are windows over the bounded 15-row aggregate. Each term is computed
+# from exact BIGINT counts promoted to double — single IEEE-rounded
+# multiply/divide chain, bit-identical across engines — and the diff is
+# squared in double space so sf0.1-sized products cannot overflow int64.
+
+_CHI2_ORACLE = """
+WITH o AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+m AS (
+  SELECT status, priority, n_obs,
+         CAST(SUM(n_obs) OVER (PARTITION BY status) AS BIGINT) AS row_total,
+         CAST(SUM(n_obs) OVER (PARTITION BY priority) AS BIGINT) AS col_total,
+         CAST(SUM(n_obs) OVER () AS BIGINT) AS n_total
+  FROM o)
+SELECT status, priority, n_obs, row_total, col_total, n_total,
+       CAST(CAST(n_obs * n_total - row_total * col_total AS DOUBLE)
+            * CAST(n_obs * n_total - row_total * col_total AS DOUBLE)
+            / (CAST(n_total AS DOUBLE) * CAST(row_total AS DOUBLE)
+               * CAST(col_total AS DOUBLE)) AS DOUBLE) AS chi_term
+FROM m
+"""
+
+
+@query("q_quality_chi_square", _CHI2_ORACLE)
+def q_quality_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").cast("bigint").alias("n_obs"))
+    # windows run over the 15-row contingency aggregate — bounded input
+    # (|status| x |priority| cells), never the base table
+    m = obs.select(
+        "status",
+        "priority",
+        "n_obs",
+        F.sum("n_obs").over(Window.partitionBy("status"))
+        .cast("bigint").alias("row_total"),
+        F.sum("n_obs").over(Window.partitionBy("priority"))
+        .cast("bigint").alias("col_total"),
+        F.sum("n_obs").over(
+            Window.partitionBy(F.lit(1))
+        ).cast("bigint").alias("n_total"),
+    )
+    diff = (
+        F.col("n_obs") * F.col("n_total")
+        - F.col("row_total") * F.col("col_total")
+    ).cast("double")
+    denom = (
+        F.col("n_total").cast("double")
+        * F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+    )
+    return m.withColumn("chi_term", (diff * diff / denom).cast("double"))

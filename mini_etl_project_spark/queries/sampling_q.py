@@ -2127,3 +2127,80 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cw").cast("bigint").alias("cum_weight_at"),
         F.col("tw").cast("bigint").alias("total_weight"),
     )
+
+
+# -- X313 Gini coefficient per group ----------------------------------------
+# Income-inequality-style concentration measure over non-negative account
+# balances, one coefficient per (nation, market segment) group. Uses the
+# rank formulation on the ascending sort:
+#   G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))
+# computed entirely in BIGINT cents — numerator and denominator are
+# emitted exactly, plus an integer-division ppm rendering, so both
+# engines agree bit-for-bit. sum(i * x_i) is invariant to the tiebreak
+# order among equal x (a tie block contributes sum-of-ranks * x either
+# way), so row_number with any deterministic tiebreak is exact. The
+# window is PARTITIONED by the group key: each group sorts independently
+# and in parallel; no global sort, no unpartitioned window.
+
+_GINI_ORACLE = """
+WITH v AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+         c_custkey
+  FROM customer
+  WHERE c_acctbal >= 0),
+r AS (
+  SELECT nation, segment, cents,
+         ROW_NUMBER() OVER (PARTITION BY nation, segment
+                            ORDER BY cents, c_custkey) AS i
+  FROM v)
+SELECT nation, segment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)
+            AS BIGINT) AS gini_num,
+       CAST(COUNT(*) * SUM(cents) AS BIGINT) AS gini_den,
+       CAST((1000000 * (2 * SUM(i * cents)
+                        - (COUNT(*) + 1) * SUM(cents)))
+            // (COUNT(*) * SUM(cents)) AS BIGINT) AS gini_ppm
+FROM r
+GROUP BY nation, segment
+HAVING SUM(cents) > 0
+"""
+
+
+@query("q_agg_gini", _GINI_ORACLE)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    v = c.where(F.col("c_acctbal") >= 0).select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        "c_custkey",
+    )
+    w = Window.partitionBy("nation", "segment").orderBy("cents", "c_custkey")
+    r = v.withColumn("i", F.row_number().over(w))
+    agg = r.groupBy("nation", "segment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("_sic"),
+    )
+    return (
+        agg.where(F.col("total_cents") > 0)
+        .select(
+            "nation",
+            "segment",
+            "n",
+            "total_cents",
+            (2 * F.col("_sic") - (F.col("n") + 1) * F.col("total_cents"))
+            .cast("bigint").alias("gini_num"),
+            (F.col("n") * F.col("total_cents")).cast("bigint")
+            .alias("gini_den"),
+            F.expr(
+                "(1000000 * (2 * _sic - (n + 1) * total_cents))"
+                " DIV (n * total_cents)"
+            ).cast("bigint").alias("gini_ppm"),
+        )
+    )

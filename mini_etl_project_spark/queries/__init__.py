@@ -309,6 +309,9 @@ _CHECK_FIRST: list[str] = [
     "q_quality_benford",
     "q_agg_gini",
     "q_quality_chi_square",
+    "q_agg_spearman",
+    "q_agg_trimmed_mean",
+    "q_window_abc_class",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -2204,3 +2204,162 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("gini_ppm"),
         )
     )
+
+
+# -- X315 Spearman rank correlation per group --------------------------------
+# Monotone-association screen between account balance and realized spend,
+# one coefficient per nation. Ties get standard midranks; to stay in
+# exact integer space both engines compute a = 2*midrank = 2*RANK() +
+# tie_count - 1 (always integral) and emit the three Pearson-on-ranks
+# components num = n*S_ab - S_a*S_b, d1 = n*S_aa - S_a^2,
+# d2 = n*S_bb - S_b^2 (rho = num / sqrt(d1*d2) — the sqrt is left to the
+# consumer so the gate compares exact BIGINTs). Windows are keyed by
+# nation; spend comes from one keyed pre-aggregation of orders with a
+# broadcast-sized right side at test SFs and a plain shuffled join at
+# scale. Fixed-point bound: n*S_ab <= 4n^4 per group — exact through
+# n per group ~ 2^14.7... safely int64 up to ~200k rows per nation.
+
+_SPEARMAN_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS y
+  FROM orders GROUP BY o_custkey),
+v AS (
+  SELECT c.c_nationkey AS nation,
+         CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS x,
+         COALESCE(s.y, 0) AS y
+  FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey),
+r AS (
+  SELECT nation,
+         2 * RANK() OVER (PARTITION BY nation ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY nation, x) - 1 AS a,
+         2 * RANK() OVER (PARTITION BY nation ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY nation, y) - 1 AS b
+  FROM v)
+SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) * SUM(a * b) - SUM(a) * SUM(b) AS BIGINT) AS num,
+       CAST(COUNT(*) * SUM(a * a) - SUM(a) * SUM(a) AS BIGINT) AS d1,
+       CAST(COUNT(*) * SUM(b * b) - SUM(b) * SUM(b) AS BIGINT) AS d2
+FROM r GROUP BY nation
+"""
+
+
+@query("q_agg_spearman", _SPEARMAN_ORACLE)
+def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("y")
+    )
+    v = (
+        c.join(spend, c["c_custkey"] == spend["o_custkey"], "left")
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    r = v.select(
+        "nation",
+        (
+            2 * F.rank().over(Window.partitionBy("nation").orderBy("x"))
+            + F.count("*").over(Window.partitionBy("nation", "x"))
+            - 1
+        ).alias("a"),
+        (
+            2 * F.rank().over(Window.partitionBy("nation").orderBy("y"))
+            + F.count("*").over(Window.partitionBy("nation", "y"))
+            - 1
+        ).alias("b"),
+    )
+    n = F.count("*")
+    return r.groupBy("nation").agg(
+        n.cast("bigint").alias("n"),
+        (n * F.sum(F.col("a") * F.col("b")) - F.sum("a") * F.sum("b"))
+        .cast("bigint").alias("num"),
+        (n * F.sum(F.col("a") * F.col("a")) - F.sum("a") * F.sum("a"))
+        .cast("bigint").alias("d1"),
+        (n * F.sum(F.col("b") * F.col("b")) - F.sum("b") * F.sum("b"))
+        .cast("bigint").alias("d2"),
+    )
+
+
+# -- X316 rank-trimmed and winsorized means per group ------------------------
+# Robust location estimate: drop the k = n DIV 10 smallest and largest
+# observations per group (exact order statistics via row_number from both
+# ends, deterministic (cents, custkey) tiebreak), average the middle, and
+# also report the winsorized sum where the trimmed tails are replaced by
+# the kept boundary values. Distinct from q_etl_winsorize, which clamps
+# at interpolated p05/p95 percentiles — this is the rank-k/order-statistic
+# formulation, exact in BIGINT cents end-to-end. Windows keyed by
+# (nation, segment); at extreme per-group cardinality the two row_numbers
+# would be swapped for a two-pass quantile cut, same outputs.
+
+_TRIMMED_ORACLE = """
+WITH v AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents, c_custkey
+  FROM customer),
+r AS (
+  SELECT nation, segment, cents,
+         ROW_NUMBER() OVER (PARTITION BY nation, segment
+                            ORDER BY cents, c_custkey) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY nation, segment
+                            ORDER BY cents DESC, c_custkey DESC) AS rn_d,
+         COUNT(*) OVER (PARTITION BY nation, segment) AS n
+  FROM v)
+SELECT nation, segment, CAST(MIN(n) AS BIGINT) AS n,
+       CAST(MIN(n) // 10 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS trimmed_n,
+       CAST(SUM(cents) AS BIGINT) AS trimmed_sum,
+       CAST((100 * SUM(cents)) // COUNT(*) AS BIGINT)
+         AS trimmed_mean_centicents,
+       CAST(SUM(cents) + (MIN(n) // 10) * (MIN(cents) + MAX(cents))
+            AS BIGINT) AS winsorized_sum
+FROM r
+WHERE rn_a > n // 10 AND rn_d > n // 10
+GROUP BY nation, segment
+"""
+
+
+@query("q_agg_trimmed_mean", _TRIMMED_ORACLE)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    v = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        "c_custkey",
+    )
+    g = Window.partitionBy("nation", "segment")
+    r = v.select(
+        "nation",
+        "segment",
+        "cents",
+        F.row_number().over(g.orderBy("cents", "c_custkey")).alias("rn_a"),
+        F.row_number().over(
+            g.orderBy(F.desc("cents"), F.desc("c_custkey"))
+        ).alias("rn_d"),
+        F.count("*").over(g).alias("n"),
+    )
+    kept = r.where(
+        (F.col("rn_a") > F.expr("n DIV 10"))
+        & (F.col("rn_d") > F.expr("n DIV 10"))
+    )
+    return kept.groupBy("nation", "segment").agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.expr("MIN(n) DIV 10").cast("bigint").alias("k"),
+        F.count("*").cast("bigint").alias("trimmed_n"),
+        F.sum("cents").cast("bigint").alias("trimmed_sum"),
+        F.expr("(100 * SUM(cents)) DIV COUNT(*)").cast("bigint")
+        .alias("trimmed_mean_centicents"),
+        (
+            F.sum("cents")
+            + F.expr("MIN(n) DIV 10") * (F.min("cents") + F.max("cents"))
+        ).cast("bigint").alias("winsorized_sum"),
+    )

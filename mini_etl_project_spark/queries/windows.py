@@ -726,3 +726,93 @@ def q_window_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "p_partkey", "price_c", "size")
         .orderBy("p_brand", "price_c", "p_partkey")
     )
+
+
+# -- X317 ABC / Pareto-class inventory analysis -----------------------------
+# Classic inventory control: within each brand, rank parts by realized
+# revenue descending and split them into class A (parts covering the
+# first 70% of cumulative revenue), B (to 90%), C (the tail), then
+# summarize each class. Revenue stays integral — cents x (100 - discount
+# pct), exact in BIGINT — and the class boundaries are integer
+# cross-multiplications (cum*10 <= 7*total), so both engines agree
+# bit-for-bit. Plan: one keyed lineitem aggregation, a part join for the
+# brand, and a cumulative window PARTITIONED by brand (parts-per-brand
+# sorts run in parallel across brands; no global sort). Share reported
+# in basis points via integer division.
+
+_ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev
+  FROM lineitem GROUP BY l_partkey),
+j AS (
+  SELECT p.p_brand AS brand, r.l_partkey AS partkey, r.rev
+  FROM rev r JOIN part p ON p.p_partkey = r.l_partkey),
+c AS (
+  SELECT brand, partkey, rev,
+         SUM(rev) OVER (PARTITION BY brand
+                        ORDER BY rev DESC, partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum,
+         SUM(rev) OVER (PARTITION BY brand) AS total
+  FROM j),
+k AS (
+  SELECT brand, rev, total,
+         CASE WHEN cum * 10 <= 7 * total THEN 'A'
+              WHEN cum * 10 <= 9 * total THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM c)
+SELECT brand, abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS class_rev,
+       CAST((10000 * SUM(rev)) // MIN(total) AS BIGINT) AS share_bp
+FROM k GROUP BY brand, abc_class
+"""
+
+
+@query("q_window_abc_class", _ABC_ORACLE)
+def q_window_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).cast("bigint").alias("rev")
+    )
+    j = rev.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        rev["l_partkey"] == p["p_partkey"],
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_partkey").alias("partkey"),
+        "rev",
+    )
+    wcum = (
+        Window.partitionBy("brand")
+        .orderBy(F.desc("rev"), "partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = j.select(
+        "brand",
+        "rev",
+        F.sum("rev").over(wcum).alias("cum"),
+        F.sum("rev").over(Window.partitionBy("brand")).alias("total"),
+    )
+    k = c.select(
+        "brand",
+        "rev",
+        "total",
+        F.when(F.col("cum") * 10 <= 7 * F.col("total"), "A")
+        .when(F.col("cum") * 10 <= 9 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return k.groupBy("brand", "abc_class").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("rev").cast("bigint").alias("class_rev"),
+        F.expr("(10000 * SUM(rev)) DIV MIN(total)").cast("bigint")
+        .alias("share_bp"),
+    )

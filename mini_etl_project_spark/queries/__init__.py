@@ -312,6 +312,9 @@ _CHECK_FIRST: list[str] = [
     "q_agg_spearman",
     "q_agg_trimmed_mean",
     "q_window_abc_class",
+    "q_join_trade_matrix",
+    "q_join_fulfillment_lag",
+    "q_ts_max_concurrency",
     # Block 4: stalest driver evidence (r1 only, never re-sampled since).
     # The ~50/round budget cuts somewhere in this block; the remainder
     # rolls to the round-6 front.

@@ -1512,3 +1512,182 @@ def q_join_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("stale").cast("bigint").alias("n_stale"),
         F.sum("price_c").cast("bigint").alias("believed_cents"),
     )
+
+
+# -- X318 nation-x-nation trade-flow matrix ---------------------------------
+# The OLAP cube behind q05's single slice: realized revenue routed from
+# supplier nation to customer nation, the full 25x25 matrix in one pass.
+# Fact-side revenue stays integral (cents x (100 - discount pct), exact
+# BIGINT); the three dimension hops are broadcast joins (supplier,
+# customer-key->nation projection, nation names), so the only wide
+# shuffle is the final (supp_nation, cust_nation) aggregation of an
+# already-slim projection. The intra-nation flag comes free from the key
+# pair. At cluster scale customer stops being broadcastable — the join
+# degrades to a plain shuffled hash join on o_custkey with no plan
+# change required.
+
+_TRADE_MATRIX_ORACLE = """
+WITH f AS (
+  SELECT s.s_nationkey AS sk, c.c_nationkey AS ck,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey)
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(f.sk = f.ck AS BOOLEAN) AS intra_nation,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(f.rev) AS BIGINT) AS revenue
+FROM f
+JOIN nation ns ON ns.n_nationkey = f.sk
+JOIN nation nc ON nc.n_nationkey = f.ck
+GROUP BY ns.n_name, nc.n_name, f.sk = f.ck
+"""
+
+
+@query("q_join_trade_matrix", _TRADE_MATRIX_ORACLE)
+def q_join_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    ).alias("rev")
+    f = (
+        li.select("l_orderkey", "l_suppkey", rev)
+        .join(
+            o.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("s_nationkey").alias("sk"),
+            F.col("c_nationkey").alias("ck"),
+            "rev",
+        )
+    )
+    ns = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    nc = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    return (
+        f.join(ns, "sk")
+        .join(nc, "ck")
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            (F.col("sk") == F.col("ck")).alias("intra_nation"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum("rev").cast("bigint").alias("revenue"),
+        )
+    )
+
+
+# -- X319 fulfillment-lag percentile profile --------------------------------
+# Operations SLA view: days from order placement to each line's shipment,
+# profiled per order priority with exact discrete percentiles (the value
+# AT row ceil(p*n) of the per-priority sort — a real observation, no
+# interpolation; identical row_number formulation on both engines) plus
+# an exact integer milli-day mean. One fact-fact join on o_orderkey and
+# per-priority rank windows (5 keys of growing size — at extreme scale
+# the percentile picks would move to a two-pass quantile cut, same
+# outputs).
+
+_FULFILL_LAG_ORACLE = """
+WITH lag AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+           AS lag_days,
+         l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+r AS (
+  SELECT priority, lag_days,
+         ROW_NUMBER() OVER (PARTITION BY priority
+                            ORDER BY lag_days, l_orderkey, l_linenumber)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY priority) AS n
+  FROM lag)
+SELECT priority, CAST(MIN(n) AS BIGINT) AS n,
+       MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT)
+                THEN lag_days END) AS p25_days,
+       MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                THEN lag_days END) AS p50_days,
+       MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT)
+                THEN lag_days END) AS p75_days,
+       MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                THEN lag_days END) AS p90_days,
+       CAST((1000 * SUM(lag_days)) // COUNT(*) AS BIGINT)
+         AS mean_millidays
+FROM r GROUP BY priority
+"""
+
+
+@query("q_join_fulfillment_lag", _FULFILL_LAG_ORACLE)
+def q_join_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lag = (
+        li.select("l_orderkey", "l_linenumber", "l_shipdate")
+        .join(
+            o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).cast("bigint").alias("lag_days"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    w = Window.partitionBy("priority").orderBy(
+        "lag_days", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("priority")
+    r = lag.select(
+        "priority",
+        "lag_days",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def pick(p: float, alias: str):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("lag_days"),
+            )
+        ).alias(alias)
+
+    return r.groupBy("priority").agg(
+        F.min("n").cast("bigint").alias("n"),
+        pick(0.25, "p25_days"),
+        pick(0.5, "p50_days"),
+        pick(0.75, "p75_days"),
+        pick(0.9, "p90_days"),
+        F.expr("(1000 * SUM(lag_days)) DIV COUNT(*)").cast("bigint")
+        .alias("mean_millidays"),
+    )

@@ -3409,3 +3409,63 @@ def q_ts_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_view_run"),
         (F.expr("regexp_count(seq, 'v+p')") > 0).alias("converted"),
     )
+
+
+# -- X320 peak concurrency (sweep line over intervals) ----------------------
+# Staffing-level question: treating each event as a 5-minute activity
+# interval [ts, ts+300s), how many intervals are simultaneously active at
+# the busiest instant, per user? The classic sweep line: explode each
+# interval into a +1 start and a -1 end endpoint, order endpoints by
+# (time, delta) — ends sort before starts at the same instant, so
+# half-open intervals touching at a boundary never count as overlapping —
+# take the running sum, and report its maximum. The running MAX is
+# invariant to the tiebreak order WITHIN a (time, delta) block (all
+# deltas in a block share a sign, so the block's extremum is at its edge
+# either way), which is what makes the window deterministic across
+# engines without a third sort key. Keyed by user: every window is
+# per-user, no global sort.
+
+_MAX_CONCURRENCY_ORACLE = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+  FROM events),
+pts AS (
+  SELECT user_id, s AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT user_id, e AS t, -1 AS delta FROM iv),
+run AS (
+  SELECT user_id,
+         SUM(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                         ) AS cum
+  FROM pts)
+SELECT user_id,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
+       CAST(MAX(cum) AS BIGINT) AS max_concurrent
+FROM run GROUP BY user_id
+"""
+
+
+@query("q_ts_max_concurrency", _MAX_CONCURRENCY_ORACLE)
+def q_ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(300_000_000)).alias("e"),
+    )
+    pts = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("user_id", F.sum("delta").over(w).alias("cum"))
+    return run.groupBy("user_id").agg(
+        (F.count("*") / 2).cast("bigint").alias("n_intervals"),
+        F.max("cum").cast("bigint").alias("max_concurrent"),
+    )

@@ -1593,3 +1593,61 @@ def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=3).select(
         F.col("node").alias("word"), "rank"
     )
+
+
+# -- X321 Good-Turing count-of-counts ---------------------------------------
+# The frequency-of-frequencies table behind Good-Turing smoothing (the
+# classic estimator for unseen-vocabulary mass in language-model work):
+# N_r = how many distinct tokens occur exactly r times, and the smoothed
+# adjusted count r* = (r+1) * N_{r+1} / N_r, emitted as an exact integer
+# numerator/denominator pair plus a ppm rendering (no floats cross the
+# gate). Plan: one token groupBy (the only full-corpus pass), a groupBy
+# of the counts themselves, and a self-join on r+1 over the tiny
+# count-of-counts table (bounded by the max token frequency; output
+# capped at r <= 20, the region Good-Turing actually smooths).
+
+_GOOD_TURING_ORACLE = """
+WITH tf AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS r
+  FROM (SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents)
+  GROUP BY tok),
+coc AS (
+  SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+  FROM tf GROUP BY r)
+SELECT a.r, a.n_r,
+       CAST((a.r + 1) * COALESCE(b.n_r, 0) AS BIGINT) AS r_star_num,
+       a.n_r AS r_star_den,
+       CAST((1000000 * (a.r + 1) * COALESCE(b.n_r, 0)) // a.n_r
+            AS BIGINT) AS r_star_ppm
+FROM coc a LEFT JOIN coc b ON b.r = a.r + 1
+WHERE a.r <= 20
+"""
+
+
+@query("q_text_good_turing", _GOOD_TURING_ORACLE)
+def q_text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("r"))
+    )
+    coc = tf.groupBy("r").agg(F.count("*").cast("bigint").alias("n_r"))
+    nxt = coc.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
+    )
+    return (
+        coc.join(F.broadcast(nxt), "r", "left")
+        .where(F.col("r") <= 20)
+        .select(
+            "r",
+            "n_r",
+            ((F.col("r") + 1) * F.coalesce(F.col("n_r_next"), F.lit(0)))
+            .cast("bigint").alias("r_star_num"),
+            F.col("n_r").alias("r_star_den"),
+            F.expr(
+                "(1000000 * (r + 1) * COALESCE(n_r_next, 0)) DIV n_r"
+            ).cast("bigint").alias("r_star_ppm"),
+        )
+    )

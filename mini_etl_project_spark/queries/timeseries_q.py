@@ -3469,3 +3469,114 @@ def q_ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") / 2).cast("bigint").alias("n_intervals"),
         F.max("cum").cast("bigint").alias("max_concurrent"),
     )
+
+
+# -- X322 repeat-purchase rate ----------------------------------------------
+# Retention economics: of all consecutive order pairs per customer, what
+# share arrive within 7 days of the previous order, summarized per market
+# segment? One keyed (per-customer) lag window — key cardinality grows
+# with the data, so the sort parallelizes — then a segment-level
+# aggregation in exact integers (gap days + ppm share).
+
+_REPEAT_ORACLE = """
+WITH seq AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         date_diff('day',
+                   LAG(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                            ORDER BY o.o_orderdate,
+                                                     o.o_orderkey),
+                   o.o_orderdate) AS gap_days
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+SELECT segment,
+       CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+       CAST(COUNT(CASE WHEN gap_days <= 7 THEN 1 END) AS BIGINT)
+         AS n_repeat_7d,
+       CAST((1000000 * COUNT(CASE WHEN gap_days <= 7 THEN 1 END))
+            // COUNT(gap_days) AS BIGINT) AS repeat_ppm,
+       CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+FROM seq GROUP BY segment
+"""
+
+
+@query("q_ts_repeat_purchase", _REPEAT_ORACLE)
+def q_ts_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).cast("bigint").alias("gap_days"),
+        )
+    )
+    return seq.groupBy("segment").agg(
+        F.count("gap_days").cast("bigint").alias("n_gaps"),
+        F.count(F.when(F.col("gap_days") <= 7, 1)).cast("bigint")
+        .alias("n_repeat_7d"),
+        F.expr(
+            "(1000000 * COUNT(CASE WHEN gap_days <= 7 THEN 1 END))"
+            " DIV COUNT(gap_days)"
+        ).cast("bigint").alias("repeat_ppm"),
+        F.min("gap_days").cast("bigint").alias("min_gap_days"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+    )
+
+
+# -- X323 day-of-week x hour activity heatmap -------------------------------
+# The operations wall chart: event volume over the ISO weekday x hour
+# grid with each cell's share of total traffic in ppm. One groupBy to the
+# 168-cell grid; the total rides a window over that bounded aggregate,
+# never the base table. Weekday convention pinned to ISO (Monday=1) on
+# both engines — Spark's dayofweek() is Sunday=1, so it is remapped
+# explicitly rather than trusting engine defaults to agree.
+
+_HEATMAP_ORACLE = """
+WITH g AS (
+  SELECT CAST(isodow(ts) AS INT) AS dow,
+         CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+         user_id
+  FROM events),
+cell AS (
+  SELECT dow, hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM g GROUP BY dow, hour)
+SELECT dow, hour, n_events, n_users,
+       CAST((1000000 * n_events)
+            // CAST(SUM(n_events) OVER () AS BIGINT) AS BIGINT) AS share_ppm
+FROM cell
+"""
+
+
+@query("q_ts_activity_heatmap", _HEATMAP_ORACLE)
+def q_ts_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # ISO weekday: Spark dayofweek is 1=Sunday..7=Saturday -> remap
+    iso_dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("int")
+    g = e.select(
+        iso_dow.alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+        "user_id",
+    )
+    cell = g.groupBy("dow", "hour").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    # window over the bounded 168-row grid, never the base table
+    total = F.sum("n_events").over(Window.partitionBy(F.lit(1))).cast("bigint")
+    return cell.withColumn("_total", total).select(
+        "dow",
+        "hour",
+        "n_events",
+        "n_users",
+        F.expr("(1000000 * n_events) DIV _total").cast("bigint")
+        .alias("share_ppm"),
+    )

@@ -288,6 +288,7 @@ def longest_path_layers(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     lay = nodes.select("node", F.lit(0).alias("l")).localCheckpoint(eager=True)
     frontier = lay
+    converged = False
     for _ in range(max_rounds):
         cand = (
             frontier.join(e, frontier["node"] == e["u"])
@@ -299,10 +300,21 @@ def longest_path_layers(
             F.col("cl").isNotNull() & (F.col("cl") > F.col("l"))
         )
         if improved.isEmpty():
+            converged = True
             break
         lay = merged.select(
             "node",
             F.greatest("l", F.coalesce("cl", F.lit(0))).alias("l"),
         ).localCheckpoint(eager=True)
         frontier = improved.select("node", F.col("cl").alias("l"))
+    if not converged:
+        # Still relaxing after max_rounds: either the input has a cycle
+        # (layers would grow forever — it is not a DAG) or its depth
+        # exceeds the round budget. Returning the partial layers would be
+        # silently wrong, so fail loudly instead.
+        raise ValueError(
+            f"longest_path_layers did not converge within {max_rounds} "
+            "rounds: the edge set has a cycle (not a DAG) or its depth "
+            "exceeds max_rounds — raise max_rounds for deeper DAGs"
+        )
     return lay

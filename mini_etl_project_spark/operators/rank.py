@@ -17,7 +17,16 @@ is identical no matter where the sampled range boundaries land. The
 ``localCheckpoint`` pins one physical partitioning so the count pass and
 the rank pass agree on partition ids.
 
-Used by q_ml_lift_table (decile ntile) and q_ml_roc_auc (rank-sum AUC).
+The ``group`` variant ranks WITHIN each value of a (possibly
+low-cardinality) grouping key without concentrating any group into one
+partition: range-partitioning on ``(group, order)`` keeps every group's
+rows contiguous but still spread over many partitions, and the offsets
+table stays bounded — ranges are contiguous, so the number of distinct
+(group, pid) pairs is at most ``#groups + num_partitions``. The only
+unpartitioned work in the plan is the window over that bounded table.
+
+Used by q_ml_lift_table (decile ntile), q_ml_roc_auc (rank-sum AUC), and
+q_agg_percentile_disc (grouped discrete percentiles).
 """
 
 from __future__ import annotations
@@ -32,22 +41,30 @@ def global_rank(
     rank_col: str = "rank",
     n_col: str = "n_total",
     num_partitions: int = 32,
+    group: list[str] | None = None,
 ) -> DataFrame:
-    """Append ``rank_col`` (1-based exact global rank under ``order``,
-    which MUST be a total unique ordering) and ``n_col`` (total row
-    count) to ``df``. All stages are distributed; no global sort."""
-    parts = df.repartitionByRange(num_partitions, *order)
+    """Append ``rank_col`` (1-based exact rank under ``order`` — global,
+    or within each ``group`` when given; the ordering MUST be total and
+    unique within a group) and ``n_col`` (group row count) to ``df``.
+    All fact-scale stages are distributed; no single-partition sort."""
+    group = list(group or [])
+    gcols = [F.col(g) for g in group]
+    parts = df.repartitionByRange(num_partitions, *gcols, *order)
     pid_df = parts.withColumn(
         "__pid", F.spark_partition_id()
     ).localCheckpoint()
-    counts = pid_df.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
-    w_prev = Window.orderBy("__pid").rowsBetween(
+    counts = pid_df.groupBy(*group, "__pid").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    # Bounded-table windows: ≤ #groups + num_partitions rows total.
+    w_prev = Window.partitionBy(*group).orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    w_all = Window.orderBy("__pid").rowsBetween(
+    w_all = Window.partitionBy(*group).orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     offsets = counts.select(
+        *group,
         "__pid",
         F.coalesce(F.sum("__c").over(w_prev), F.lit(0))
         .cast("bigint")
@@ -55,11 +72,11 @@ def global_rank(
         F.sum("__c").over(w_all).cast("bigint").alias(n_col),
     )
     local_rank = F.row_number().over(
-        Window.partitionBy("__pid").orderBy(*order)
+        Window.partitionBy(*group, "__pid").orderBy(*order)
     )
     return (
         pid_df.withColumn("__lr", local_rank)
-        .join(F.broadcast(offsets), "__pid")
+        .join(F.broadcast(offsets), [*group, "__pid"])
         .withColumn(
             rank_col, (F.col("__off") + F.col("__lr")).cast("bigint")
         )

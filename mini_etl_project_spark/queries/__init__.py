@@ -18,6 +18,7 @@ Determinism contract (the driver hash-compares values):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,322 +67,65 @@ def _load_all() -> None:
 
 
 # The driver's correctness harness walks entries in registration order with
-# a finite per-round budget (~50 observed in round 1), so ordering is part
-# of the contract: entries that most need fresh driver evidence go first —
-# ones without a prior CORRECTNESS row, then ones whose implementation or
-# oracle changed this round, then new queries — and the long tail of
-# already-proven entries follows in stable registration order.
-_CHECK_FIRST: list[str] = [
-    # Round-5 front, block 1: the 12 queries with ZERO driver evidence
-    # (registered after the r4 correctness run; all pass the stricter
-    # local exact-value check).
-    "q_window_ignore_nulls",
-    "q_fn_try",
-    "q_agg_boolean",
-    "q_ts_time_to_convert",
-    "q_ml_lift_table",
-    "q_agg_percentile_disc",
-    "q_agg_weighted_avg",
-    "q_agg_skew_kurtosis",
-    "q_stream_ohlc",
-    "q_sql_recursive_cte",
-    "q_text_collocations",
-    "q_window_time_range",
-    # Block 2: round-4's two red rows — oracle HUGEINT outputs now CAST to
-    # BIGINT (engine values were already exactly equal); must re-prove.
-    "q_ml_kmeans",
-    "q_ts_cusum",
-    # Block 3: implementation touched this round (scale-posture rewrites:
-    # sketch top-k instead of global row_number; vocab pre-prune; lift
-    # table cutpoint bucketing) — need fresh green rows.
-    "q_agg_kmv_intersect",
-    "q_corpus_vocab_coverage",
-    # --- New round-5 queries (no driver row yet) ---
-    "q_ts_ema",
-    "q_ts_autocorr",
-    "q_ts_resample_interp",
-    "q_ts_seasonality",
-    "q_ts_session_gap",
-    "q_ml_roc_auc",
-    "q_ml_confusion",
-    "q_ml_minmax_scale",
-    "q_ml_linreg",
-    "q_agg_hll_portable",
-    "q_agg_kmv_union",
-    "q_agg_argminmax",
-    "q_agg_heavy_hitters",
-    "q_fn_binary_codec",
-    "q_fn_string_advanced",
-    "q_fn_calendar",
-    "q_text_readability",
-    "q_text_source_diversity",
-    "q_dedup_url_canonical",
-    "q_join_range_bucket",
-    "q_graph_label_prop",
-    "q_udf_arrow",
-    "q_window_rolling_median",
-    "q_etl_winsorize",
-    "q_agg_chi_square",
-    "q_graph_degree_stats",
-    "q_ts_vwap",
-    "q_ts_gap_detect",
-    "q_ts_bollinger",
-    "q_fn_struct_ops",
-    "q_fn_array_setops",
-    "q_subquery_exists",
-    "q_fn_explode_outer",
-    "q_sql_group_by_all",
-    "q_fn_map_hof",
-    "q_multimodal_route",
-    "q_agg_hll_merge",
-    "q_ml_pr_curve",
-    "q_fn_xml",
-    "q_fn_csv_inline",
-    "q_sql_parameterized",
-    "q_sql_tvf_stack",
-    "q_ps_pandas_api",
-    "q_dedup_cluster_stats",
-    "q_stream_chained_windows",
-    "q_agg_bitmap_distinct",
-    "q_fn_collation",
-    "q_udtf_analyze",
-    "q_agg_hll_native",  # rows-only by design (Datasketches internals)
-    "q_corpus_chunk_overlap",
-    "q_graph_bfs_dist",
-    "q_split_leakage_safe",
-    "q_join_spatial_grid",
-    "q_ml_knn_classify",
-    "q_fn_interval_arith",
-    "q_sql_unpivot_native",
-    "q_fn_lateral_alias",
-    "q_ts_rollup_cascade",
-    "q_ts_attribution",
-    "q_agg_hist_quantile",
-    "q_text_bpe_merges",
-    "q_sql_pivot_native",
-    "q_join_salted",
-    "q_ts_lttb_downsample",
-    "q_layout_zorder",
-    "q_sql_scripting",
-    "q_sql_udf",
-    "q_window_session_native",
-    "q_ml_kfold_cv",
-    "q_join_asof_tolerance",
-    "q_agg_listagg",
-    "q_dedup_containment",
-    "q_agg_kmv_anotb",
-    "q_stream_topk_windowed",
-    "q_quality_quarantine",
-    "q_text_sentences",
-    "q_fn_aes_roundtrip",
-    "q_setop_multiset",
-    "q_sample_systematic",
-    "q_udtf_table_arg",
-    "q_text_rake_keywords",
-    "q_ts_pattern_vshape",
-    "q_ml_ab_ztest",
-    "q_graph_kcore",
-    "q_join_fuzzy_fastss",
-    "q_fn_luhn",
-    "q_subquery_not_in_nulls",
-    "q_ts_xmr_control",
-    "q_ts_rebase_index",
-    "q_ml_subsample_ci",
-    "q_stream_join_full",
-    "q_ts_funnel_batch",
-    "q_ts_cumulative_users",
-    "q_sim_maxsim",
-    "q_agg_benford",
-    "q_agg_gini",
-    "q_corpus_bpe_encode",
-    "q_sim_mmr_select",
-    "q_ts_sax",
-    "q_etl_unit_harmonize",
-    "q_sql_order_by_all",
-    "q_agg_simpson_diversity",
-    "q_fn_email_validate",
-    "q_ts_forecast_eval",
-    "q_etl_audit_columns",
-    "q_quality_k_anonymity",
-    "q_dedup_substring_spans",
-    "q_corpus_quality_gate",
-    # --- Session-3 additions (no driver row yet) ---
-    "q_ml_ks_test",
-    "q_ml_calibration",
-    "q_ml_decision_stump",
-    "q_ts_drawdown",
-    "q_ts_pop_growth",
-    "q_fn_ipv4",
-    "q_join_cidr",
-    "q_quality_freshness",
-    "q_ml_assoc_rules",
-    "q_agg_ams_f2",
-    "q_table_delete",
-    "q_graph_link_predict",
-    "q_ml_item_cf",
-    "q_text_accent_fold",
-    "q_dedup_incremental",
-    "q_text_bigram_lm",
-    "q_udf_debounce",
-    "q_ml_pca_power",
-    "q_stream_alerts",
-    # --- Session-4 additions (no driver row yet) ---
-    "q_agg_corr_matrix",
-    "q_ml_naive_bayes",
-    "q_ts_theil_sen",
-    "q_ts_seasonal_decompose",
-    "q_graph_ppr",
-    "q_text_bm25",
-    "q_text_soundex",
-    "q_text_stem_light",
-    "q_table_update",
-    "q_ml_dbscan_grid",
-    "q_join_point_in_polygon",
-    "q_corpus_lang_balance",
-    "q_etl_schema_drift",
-    "q_ts_holt_linear",
-    "q_ts_cross_correlation",
-    "q_ml_perceptron",
-    "q_graph_cycle_detect",
-    "q_ml_linreg_multi",
-    "q_ts_binary_seg",
-    "q_window_groups_frame",
-    "q_ts_rescaled_range",
-    "q_table_ivm_update",
-    "q_ml_maxmin_seed",
-    "q_ml_mrr",
-    "q_window_topk_with_ties",
-    "q_ml_grid_isolation",
-    "q_ts_peaks",
-    "q_quality_ref_integrity",
-    "q_etl_profile_columns",
-    "q_graph_assortativity",
-    "q_graph_clustering_coeff",
-    "q_ts_hampel",
-    "q_ml_ndcg",
-    "q_ml_kaplan_meier",
-    "q_ml_boosted_stumps",
-    "q_join_scd2_asof",
-    "q_fn_uuid5",
-    "q_etl_json_flatten",
-    "q_ml_fairness",
-    "q_fn_business_days",
-    "q_agg_weighted_median",
-    "q_etl_survivorship",
-    "q_text_zipf",
-    "q_ml_pinball",
-    "q_ts_cumsum_reset",
-    "q_corpus_interleave",
-    "q_ml_best_f1",
-    # --- Session-5 additions (no driver row yet) ---
-    "q_quality_fd_violations",
-    "q_quality_l_diversity",
-    "q_sql_qualify",
-    "q_ml_cohens_kappa",
-    "q_ml_drift_tvd",
-    "q_graph_sssp",
-    "q_ts_dtw",
-    "q_er_blocking",
-    "q_ml_isotonic_pava",
-    "q_ml_stratified_ate",
-    "q_ts_mann_kendall",
-    "q_corpus_passage_dedup",
-    "q_sql_filter_clause",
-    "q_ts_wavelet_haar",
-    "q_text_textrank",
-    "q_window_rolling_regression",
-    "q_join_interval_weighted",
-    "q_ts_ema_crossover",
-    "q_etl_reconcile",
-    "q_join_bitemporal",
-    "q_etl_late_arriving_dim",
-    "q_fn_geohash",
-    "q_quality_key_discovery",
-    "q_ts_kalman",
-    "q_window_skyline",
-    "q_ts_match_recognize",
-    "q_multimodal_audio_vad",
-    "q_multimodal_patchify",
-    "q_corpus_span_corruption",
-    "q_graph_topo_layers",
-    "q_ml_embedding_audit",
-    "q_ml_conformal_interval",
-    "q_quality_benford",
-    "q_agg_gini",
-    "q_quality_chi_square",
-    "q_agg_spearman",
-    "q_agg_trimmed_mean",
-    "q_window_abc_class",
-    "q_join_trade_matrix",
-    "q_join_fulfillment_lag",
-    "q_ts_max_concurrency",
-    # Block 4: stalest driver evidence (r1 only, never re-sampled since).
-    # The ~50/round budget cuts somewhere in this block; the remainder
-    # rolls to the round-6 front.
-    "q_etl_clean_numeric",
-    "q_etl_clean_date",
-    "q_etl_impute_median",
-    "q_etl_outlier_clamp",
-    "q_etl_dedup_keyfirst",
-    "q_etl_summary",
-    "q_fn_string",
-    "q_fn_date",
-    "q_fn_datediff",
-    "q_fn_math",
-    "q_fn_conditional",
-    "q_fn_array_access",
-    "q_fn_array_agg",
-    "q_fn_json_struct",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_band",
-    "q_setop_union_all",
-    "q_setop_intersect",
-    "q_setop_except",
-    "q_agg_distinct",
-    "q_agg_approx",  # rows-only by design
-    "q_dedup_simhash",
-    "q_dedup_simhash_pairs",
-    "q_dedup_embedding_rep",
-    "q_pivot_status",
-    "q_unpivot_metrics",
-    "q_subquery_scalar",
-    "q_sql_api_topn",
-    "q_window_sliding",
-    "q_stream_dedup_count",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_region_revenue",
-    "q06_revenue_change",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    # Long tail: proven-green entries in rough flagship order.
-    "q01_pricing_summary",
-    "q_dedup_minhash_lsh",
-    "q_dedup_exact",
-    "q_corpus_pretrain",
-    "q_sim_topk_exact",
-    "q_stream_tumbling",
-    "q_stream_late_drop",
-    "q_stream_join",
-    "q_stream_sink_snapshot",
-    "q_table_merge",
-    "q_table_cdc",
-    "q_source_python_ds",
-    "q_multimodal_bytes",
-    "q_multimodal_meta",
+# a finite per-round budget (~50 observed per round), so ordering is part
+# of the contract: entries that most need fresh driver evidence go first.
+# The ordering is DATA-DRIVEN from the committed CORRECTNESS_r*.json files:
+#   1. _RECHECK — queries whose implementation changed this round (need a
+#      fresh green row even if previously sampled);
+#   2. never-driver-sampled queries, in stable registration order (new
+#      queries land here automatically);
+#   3. sampled queries, stalest evidence first (ascending latest round).
+# This can never drift: the moment the driver records a round, its file
+# re-sorts the rotation for the next one.
+
+#: Queries re-touched this round (fresh driver evidence wanted first).
+_RECHECK: list[str] = [
+    "q_agg_kmv_distinct",   # two-level (group, pid) sketch build
+    "q_agg_kmv_merge",      # two-level stage-1 per-source sketches
+    "q_agg_percentile_disc",  # grouped global_rank, no 3-key fact window
 ]
 
 
+def _driver_evidence() -> dict[str, int]:
+    """query name -> latest round with a driver CORRECTNESS row."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)", os.path.basename(f))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.load(open(f))
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _rotation_order(names: list[str]) -> list[str]:
+    evidence = _driver_evidence()
+    pos = {n: i for i, n in enumerate(names)}
+    recheck = [n for n in _RECHECK if n in pos]
+    rest = [n for n in names if n not in set(recheck)]
+    never = [n for n in rest if n not in evidence]
+    sampled = sorted(
+        (n for n in rest if n in evidence),
+        key=lambda n: (evidence[n], pos[n]),
+    )
+    return recheck + never + sampled
+
+
 def _reorder() -> None:
-    front = [n for n in _CHECK_FIRST if n in QUERIES]
-    tail = [n for n in QUERIES if n not in set(front)]
+    order = _rotation_order(list(QUERIES))
     for registry in (QUERIES, ORACLES):
-        ordered = {n: registry[n] for n in front + tail if n in registry}
+        ordered = {n: registry[n] for n in order if n in registry}
         registry.clear()
         registry.update(ordered)
 

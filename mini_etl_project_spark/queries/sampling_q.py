@@ -245,10 +245,14 @@ def q_agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fallback below k). Estimation error ~ 1/sqrt(k-2) ≈ 13 % at k=64,
 # asserted in tests/test_round4.py.
 #
-# Scale note: the window formulation sorts each group's distinct hashes to
-# rank them; at 100 TB replace with a per-partition bounded k-smallest
-# merge (same estimate, same hashes — the sketch property that makes KMV
-# mergeable). The distinct + window here keeps the oracle strict.
+# Scale shape: the build is TWO-LEVEL — k smallest hashes per
+# (group, physical-partition) via a keyed window over many partitions,
+# then k smallest per group over the bounded survivors (≤ k·P rows per
+# group). Min-k of a union of per-partition min-k sets equals min-k of
+# the whole set (any globally-top-k hash is top-k within its own
+# partition), so the two-level build is lossless — the same merge
+# contract X63's oracle proves. No fact-scale sort ever runs with
+# ≤|group| window partitions.
 
 _KMV_K = 64
 
@@ -282,8 +286,19 @@ def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         hash60(F.col("l_partkey").cast("string")).alias("h"),
     ).distinct()
-    w = Window.partitionBy("l_returnflag").orderBy("h")
-    ranked = h.withColumn("rn", F.row_number().over(w))
+    # Level 1: k smallest per (group, physical partition) — keyed window
+    # over group×P partitions, never a per-group total sort.
+    with_pid = h.withColumn("__pid", F.spark_partition_id())
+    w1 = Window.partitionBy("l_returnflag", "__pid").orderBy("h")
+    survivors = (
+        with_pid.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= _KMV_K)
+        .drop("__pid", "rn1")
+    )
+    # Level 2: k smallest per group over the bounded survivors (≤ k·P
+    # rows per group) — provably the same k smallest as the flat sort.
+    w2 = Window.partitionBy("l_returnflag").orderBy("h")
+    ranked = survivors.withColumn("rn", F.row_number().over(w2))
     kth = ranked.filter(F.col("rn") == _KMV_K).select(
         "l_returnflag", F.col("h").alias("hk")
     )
@@ -558,9 +573,23 @@ def q_agg_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     h = d.select("source", hash60(F.col("text")).alias("h")).distinct()
-    # Stage 1: per-source sketches (k smallest hashes within each source).
+    # Stage 1: per-source sketches, built two-level — k smallest per
+    # (source, physical partition) first (keyed window over source×P
+    # partitions), then k smallest per source over the bounded survivors.
+    # `source` has a handful of values, so a directly source-keyed window
+    # would concentrate the whole distinct set into that many partitions
+    # at 100×; the pid level keeps every sort partition-local. Min-k of
+    # per-partition min-k unions is exactly the global min-k (losslessness
+    # is what this query's flat-sketch oracle proves).
+    with_pid = h.withColumn("__pid", F.spark_partition_id())
+    w1 = Window.partitionBy("source", "__pid").orderBy("h")
+    level1 = (
+        with_pid.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= _KMV_K)
+        .drop("__pid", "rn1")
+    )
     per_src = Window.partitionBy("source").orderBy("h")
-    sketches = h.withColumn("rn", F.row_number().over(per_src)).filter(
+    sketches = level1.withColumn("rn", F.row_number().over(per_src)).filter(
         F.col("rn") <= _KMV_K
     )
     # Stage 2: merge = k smallest distinct hashes across all sketches.
@@ -780,18 +809,26 @@ FROM ranked GROUP BY l_returnflag
 
 @query("q_agg_percentile_disc", _PCTL_DISC_ORACLE)
 def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # Scale shape: l_returnflag has 3 values, so a row_number window keyed
+    # on it would sort the whole fact table in 3 partitions at 100×. The
+    # grouped global_rank range-partitions on (flag, price, tiebreak)
+    # instead — every group spread over many partitions, rank = broadcast
+    # per-(group,pid) offset + keyed local row_number. Same exact result.
+    from mini_etl_project_spark.operators.rank import global_rank
 
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    wn = Window.partitionBy("l_returnflag")
-    ranked = li.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+    ranked = global_rank(
+        li.select(
+            "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+        ),
+        order=[
+            F.col("l_extendedprice"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
+        rank_col="rn",
+        n_col="n",
+        group=["l_returnflag"],
     )
 
     def pick(p: float, alias: str):

@@ -246,6 +246,24 @@ class SnapshotTable:
         if self._pending_meta:
             manifest.update(self._pending_meta)
             self._pending_meta = {}
+        # Carry per-file skipping metadata forward on EVERY commit: data
+        # files are immutable and rewrites always stage fresh names, so a
+        # surviving file's stats/bloom entries stay valid verbatim. Without
+        # this, any commit that didn't recompute them (plain append,
+        # delete, merge, compact, ...) would silently stop pruning on
+        # carried-over files. Freshly computed pending entries win.
+        if base_version:
+            prev = self._read_manifest(base_version)
+            surviving = set(files)
+            for key in ("stats", "blooms"):
+                carried = {
+                    f: v
+                    for f, v in prev.get(key, {}).items()
+                    if f in surviving
+                }
+                merged = {**carried, **manifest.get(key, {})}
+                if merged:
+                    manifest[key] = merged
         try:
             with open(self._manifest_path(version), "x") as f:
                 json.dump(manifest, f)
@@ -269,13 +287,26 @@ class SnapshotTable:
     BLOOM_M = 2048
     BLOOM_K = 3
 
+    #: Bloom-indexable Spark types. The portability contract hashes the
+    #: engine-side CAST(col AS STRING) against a driver-side ``str(value)``
+    #: — those renderings agree ONLY for strings and integral types.
+    #: Booleans ('true' vs 'True'), doubles (scientific notation),
+    #: decimals, and timestamps (fractional-second formatting) all render
+    #: differently, which would turn the "zero false negatives" guarantee
+    #: into silent false pruning — so they are rejected at index time.
+    BLOOM_TYPES = ("string", "tinyint", "smallint", "int", "bigint")
+
     def _collect_blooms(
         self, spark: SparkSession, names: list[str], cols: list[str]
     ) -> dict:
         """Per-file bloom filters for ``cols`` in ONE Spark job (grouped
         by ``input_file_name`` — never a job per file). Hash family is
         the repo's portable md5 scheme, so any engine (and the driver's
-        Python lookup) derives identical bit positions."""
+        Python lookup) derives identical bit positions. Columns absent
+        from the appended frame (schema evolution) are skipped — those
+        files stay conservatively unindexed, mirroring ``_collect_stats``.
+        NULL values are never indexed; ``bloom_eq`` lookups therefore
+        cannot prune on NULL (see ``plan_files``)."""
         import pyspark.sql.functions as F
 
         paths = [os.path.join(self.data_dir, n) for n in names]
@@ -286,8 +317,20 @@ class SnapshotTable:
                 F.element_at(F.split(F.input_file_name(), "/"), -1),
             )
         )
+        dtypes = dict(df.dtypes)
+        bad = {
+            c: dtypes[c]
+            for c in cols
+            if c in dtypes and dtypes[c] not in self.BLOOM_TYPES
+        }
+        if bad:
+            raise TypeError(
+                f"bloom_cols must be string or integral (got {bad}); other "
+                "types render differently in Spark's CAST-to-string vs the "
+                "driver-side lookup hash and would cause false pruning"
+            )
         out: dict[str, dict] = {n: {} for n in names}
-        for c in cols:
+        for c in (c for c in cols if c in dtypes):
             pos = F.array(
                 *[
                     (
@@ -385,16 +428,20 @@ class SnapshotTable:
                 "spec": {"cluster_by": cluster_by, "n_files": n_files},
             }
         staged = self._stage(df)
+        # Only the NEW files' entries are computed here; _commit carries
+        # the previous manifest's stats/blooms forward for surviving files.
         if stats_cols:
-            stats = dict(prev_m.get("stats", {}))
-            stats.update(self._collect_stats(staged, stats_cols))
-            self._pending_meta = {**self._pending_meta, "stats": stats}
+            self._pending_meta = {
+                **self._pending_meta,
+                "stats": self._collect_stats(staged, stats_cols),
+            }
         if bloom_cols:
-            blooms = dict(prev_m.get("blooms", {}))
-            blooms.update(
-                self._collect_blooms(df.sparkSession, staged, bloom_cols)
-            )
-            self._pending_meta = {**self._pending_meta, "blooms": blooms}
+            self._pending_meta = {
+                **self._pending_meta,
+                "blooms": self._collect_blooms(
+                    df.sparkSession, staged, bloom_cols
+                ),
+            }
         return self._commit(
             prev + staged, schema.json(), base, op="append", change_files=staged
         )
@@ -431,17 +478,29 @@ class SnapshotTable:
         files = m["files"]
         if bloom_eq is not None:
             bcol, bval = bloom_eq
-            blooms = m.get("blooms", {})
-            want = self._bloom_positions(bval)
+            if bval is None:
+                # NULLs are never indexed (the engine-side md5 of a NULL
+                # concat is NULL and drops out of the filter), so a NULL
+                # lookup legitimately cannot prune any file.
+                pass
+            else:
+                if isinstance(bval, bool) or not isinstance(bval, (str, int)):
+                    raise TypeError(
+                        "bloom_eq lookups support str/int values only "
+                        f"(got {type(bval).__name__}); other types hash "
+                        "differently engine-side vs driver-side"
+                    )
+                blooms = m.get("blooms", {})
+                want = self._bloom_positions(bval)
 
-            def bloom_may(f: str) -> bool:
-                bits = blooms.get(f, {}).get(bcol)
-                if bits is None:
-                    return True  # unindexed file → cannot skip
-                s = set(bits)
-                return all(p in s for p in want)
+                def bloom_may(f: str) -> bool:
+                    bits = blooms.get(f, {}).get(bcol)
+                    if bits is None:
+                        return True  # unindexed file → cannot skip
+                    s = set(bits)
+                    return all(p in s for p in want)
 
-            files = [f for f in files if bloom_may(f)]
+                files = [f for f in files if bloom_may(f)]
         if where is not None:
             col, lo, hi = where
             if hasattr(lo, "timestamp"):  # datetime bounds → epoch µs
@@ -587,11 +646,27 @@ class SnapshotTable:
         n_out = max(1, -(-sum(sizes[f] for f in small) // target_bytes))
         packed = spark.read.schema(schema).parquet(*paths).repartition(n_out)
         staged = self._stage(packed)
-        stats = m.get("stats")
-        if stats:
-            new_stats = {f: s for f, s in stats.items() if f in set(keep)}
-            new_stats.update(self._collect_stats(staged, list(schema.names)))
-            self._pending_meta = {**self._pending_meta, "stats": new_stats}
+        # Kept files' stats/blooms carry forward in _commit; the rewritten
+        # (packed) files need fresh entries. Bloom columns are recovered
+        # from the rewritten files' previous index entries so compaction
+        # never narrows the index.
+        if m.get("stats"):
+            self._pending_meta = {
+                **self._pending_meta,
+                "stats": self._collect_stats(staged, list(schema.names)),
+            }
+        bloom_cols = sorted(
+            {
+                c
+                for f in small
+                for c in m.get("blooms", {}).get(f, {})
+            }
+        )
+        if bloom_cols:
+            self._pending_meta = {
+                **self._pending_meta,
+                "blooms": self._collect_blooms(spark, staged, bloom_cols),
+            }
         return self._commit(
             keep + staged, m["schema"], base, op="compact", change_files=[]
         )
@@ -617,14 +692,16 @@ class SnapshotTable:
             f if os.path.isabs(f) else os.path.join(self.data_dir, f)
             for f in m["files"]
         ]
-        stats = m.get("stats", {})
-        abs_stats = {
-            (f if os.path.isabs(f) else os.path.join(self.data_dir, f)): s
-            for f, s in stats.items()
-        }
+        def _abs_keys(d: dict) -> dict:
+            return {
+                (f if os.path.isabs(f) else os.path.join(self.data_dir, f)): s
+                for f, s in d.items()
+            }
+
         dest._pending_meta = {
             **dest._pending_meta,
-            "stats": abs_stats,
+            "stats": _abs_keys(m.get("stats", {})),
+            "blooms": _abs_keys(m.get("blooms", {})),
             "cloned_from": {"root": self.root, "version": src_v},
         }
         dest._commit(abs_files, m["schema"], 0, op="clone", change_files=[])
@@ -640,8 +717,13 @@ class SnapshotTable:
         if version < 1 or version > latest:
             raise ValueError(f"cannot restore to nonexistent v{version}")
         m = self._read_manifest(version)
-        if m.get("stats"):
-            self._pending_meta = {**self._pending_meta, "stats": m["stats"]}
+        # The restored files come from the TARGET manifest (they may be
+        # absent from the latest one), so their skipping metadata must be
+        # pinned from the target too — the base-manifest carry in _commit
+        # only covers files the latest version still references.
+        for key in ("stats", "blooms"):
+            if m.get(key):
+                self._pending_meta = {**self._pending_meta, key: m[key]}
         return self._commit(
             m["files"], m["schema"], latest, op="restore",
             change_files=m["files"],

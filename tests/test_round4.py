@@ -87,7 +87,10 @@ def _has_tws_runtime() -> bool:
 
 
 @pytest.mark.skipif(
-    not _has_tws_runtime(), reason="TWS state server needs protobuf"
+    not _has_tws_runtime(),
+    reason="TWS state server needs google.protobuf — absent in this "
+    "container and installs are prohibited; see COVERAGE.md "
+    "'Stateful V2 runtime gate — container-level impossibility'",
 )
 def test_stateful_v2_live_equals_v1(spark, sf_dir):
     """Where the TWS runtime exists, the V2 operator itself must agree

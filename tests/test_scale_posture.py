@@ -371,3 +371,80 @@ def test_chunking_plan_has_no_shuffle_or_explode(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert "Generate" not in plan
+
+
+def test_kmv_builds_are_two_level_never_group_keyed_fact_sort(spark, sf_dir):
+    """VERDICT r5 #3: the KMV BUILD side must never sort fact-scale data in
+    a window keyed only by a <=5-cardinality group. Both builders go
+    two-level: k-smallest per (group, spark_partition_id) first — so the
+    only group-keyed window left sits on the bounded survivor set (<= k*P
+    rows per group), proven lossless by the flat-sketch oracle."""
+    from mini_etl_project_spark.queries import QUERIES
+
+    for name in ("q_agg_kmv_distinct", "q_agg_kmv_merge"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # level-1 window is keyed by the physical partition id ...
+        assert "__pid" in plan, name
+        # ... and prunes to <= K rows per (group, pid) before any
+        # group-only window runs
+        assert "rn1" in plan, name
+
+
+def test_percentile_disc_uses_grouped_global_rank(spark, sf_dir):
+    """VERDICT r5 #4: grouped discrete percentiles rank via the grouped
+    global_rank (range partitions + per-(group,pid) offsets), never a
+    row_number window keyed by the 3-value l_returnflag over the full
+    lineitem table."""
+    from mini_etl_project_spark.queries import QUERIES
+
+    df = QUERIES["q_agg_percentile_disc"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the fact-scale rank window is keyed by (group, partition id)
+    assert "__pid" in plan
+    # the checkpointed range partitioning shows as an RDD scan
+    assert "Scan ExistingRDD" in plan
+    # no unpartitioned-over-fact window: every window spec that mentions
+    # the fact ordering column is also keyed by __pid
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "l_extendedprice" in line:
+            assert "__pid" in line, line
+
+
+def test_grouped_global_rank_matches_window_rank(spark):
+    """Exact-parity proof of the grouped global_rank against Spark's own
+    per-group row_number on a small frame with duplicate order values
+    broken by a unique tiebreak."""
+    from pyspark.sql import Window
+
+    from mini_etl_project_spark.operators.rank import global_rank
+
+    rows = [
+        (g, v % 7, gi * 1000 + v)
+        for gi, g in enumerate(("a", "b", "c"))
+        for v in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, v int, id bigint")
+    got = {
+        (r["g"], r["id"]): (r["rk"], r["n"])
+        for r in global_rank(
+            df,
+            order=[F.col("v"), F.col("id")],
+            rank_col="rk",
+            n_col="n",
+            num_partitions=8,
+            group=["g"],
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    wn = Window.partitionBy("g")
+    want = {
+        (r["g"], r["id"]): (r["rk"], r["n"])
+        for r in df.select(
+            "g",
+            "id",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(wn).alias("n"),
+        ).collect()
+    }
+    assert got == want

@@ -945,3 +945,101 @@ def q_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_merged",
         )
     )
+
+
+# -- X328: MinHash fidelity audit (estimate vs exact Jaccard) --------------
+# The property that justifies MinHash at 100 TB — E[matches/k] = J — made
+# driver-checkable: for each planted (original, mutated-twin) pair, emit
+# the number of agreeing minhash components next to the EXACT shingle
+# intersection/union counts. Everything is integers over the portable
+# md5 hash family, so the driver hashes the estimator's fidelity itself.
+
+_MINHASH_AUDIT_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 10000 AS id, substring(text, 21) AS text
+  FROM documents WHERE doc_id < 60),
+sh AS (
+  SELECT DISTINCT id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(length(text)-4, 1)),
+             i -> substring(text, i, 5)))) AS shingle
+  FROM corpus),
+hashes AS (
+  SELECT id, seed.s AS seed,
+         {_HASH64.format(seed='seed.s', v='shingle')} AS h
+  FROM sh, (SELECT unnest(generate_series(0, 15)) AS s) seed),
+sig AS (SELECT id, seed, MIN(h) AS minhash FROM hashes GROUP BY id, seed),
+matches AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+              AS BIGINT) AS mh_matches
+  FROM sig a JOIN sig b ON b.id = a.id + 10000 AND a.seed = b.seed
+  GROUP BY a.id, b.id),
+sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON b.id = a.id + 10000 AND a.shingle = b.shingle
+  GROUP BY a.id)
+SELECT m.id_a, m.id_b, m.mh_matches, CAST(16 AS BIGINT) AS k,
+       COALESCE(i.n_inter, 0) AS n_inter,
+       sa.n + sb.n - COALESCE(i.n_inter, 0) AS n_union
+FROM matches m
+JOIN sizes sa ON sa.id = m.id_a
+JOIN sizes sb ON sb.id = m.id_b
+LEFT JOIN inter i ON i.id_a = m.id_a
+"""
+
+
+@query("q_dedup_minhash_fidelity", _MINHASH_AUDIT_ORACLE)
+def q_dedup_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    corpus = d.select(F.col("doc_id").alias("id"), "text").unionByName(
+        d.select(
+            (F.col("doc_id") + 10000).alias("id"),
+            F.substring(F.col("text"), 21, 1 << 30).alias("text"),
+        )
+    )
+    sh = shingle_rows(corpus, "id", "text", k=5)
+    sig = minhash_signatures(sh, num_hashes=16)
+    a = sig.select(F.col("id").alias("id_a"), F.col("minhashes").alias("ma"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("minhashes").alias("mb"))
+    matches = a.join(b, F.col("id_b") == F.col("id_a") + 10000).select(
+        "id_a",
+        "id_b",
+        F.size(
+            F.filter(
+                F.zip_with("ma", "mb", lambda x, y: x == y), lambda t: t
+            )
+        ).cast("bigint").alias("mh_matches"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sha = sh.select(F.col("id").alias("id_a"), "shingle")
+    shb = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = sha.join(
+        shb,
+        (F.col("id_b") == F.col("id_a") + 10000)
+        & (sha["shingle"] == shb["shingle"]),
+    ).groupBy("id_a").agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    return (
+        matches.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .join(inter, "id_a", "left")
+        .select(
+            "id_a",
+            "id_b",
+            "mh_matches",
+            F.lit(16).cast("bigint").alias("k"),
+            F.coalesce("n_inter", F.lit(0)).cast("bigint").alias("n_inter"),
+            (F.col("na") + F.col("nb") - F.coalesce("n_inter", F.lit(0)))
+            .cast("bigint")
+            .alias("n_union"),
+        )
+    )

@@ -955,3 +955,56 @@ def q_corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mask_ppm"),
     )
+
+
+# -- X329: Tokenizer fertility audit ---------------------------------------
+# Tokens-per-byte by (source, lang) — the standard pre-training audit for
+# how expensively a tokenizer encodes each corpus slice (fertility spikes
+# flag mis-languaged or binary-ish content). Token counts use the same
+# alnum-run tokenizer as the text family; the ratio is emitted in exact
+# integer parts-per-million so the driver hashes it bit-for-bit.
+
+_FERTILITY_ORACLE = """
+WITH t AS (
+  SELECT source, lang,
+         CAST(len(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(strlen(text) AS BIGINT) AS n_bytes
+  FROM documents)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       CAST(SUM(n_bytes) AS BIGINT) AS bytes,
+       CAST(SUM(n_tokens) * 1000000 // SUM(n_bytes) AS BIGINT)
+         AS tokens_per_mb_ppm
+FROM t GROUP BY source, lang
+"""
+
+
+@query("q_corpus_tokenizer_fertility", _FERTILITY_ORACLE)
+def q_corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "lang",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+            )
+        ).cast("bigint").alias("n_tokens"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+    )
+    return (
+        t.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.sum("n_bytes").cast("bigint").alias("bytes"),
+        )
+        .withColumn(
+            # exact integer floor division on both sides (no double round)
+            "tokens_per_mb_ppm",
+            F.expr("(tokens * 1000000) DIV bytes").cast("bigint"),
+        )
+    )

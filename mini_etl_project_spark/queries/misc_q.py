@@ -1906,3 +1906,69 @@ def q_quality_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("col_total").cast("double")
     )
     return m.withColumn("chi_term", (diff * diff / denom).cast("double"))
+
+
+# -- X330: EXECUTE IMMEDIATE (dynamic SQL with bound parameters) -----------
+# Spark 4 parser-level dynamic SQL: the query text is a runtime VALUE and
+# positional parameters bind through USING — the SQL-injection-safe shape
+# for templated query services. The oracle is the same statement inlined.
+
+_EXEC_IMMEDIATE_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem WHERE l_quantity >= 25 GROUP BY l_returnflag
+"""
+
+
+@query("q_sql_execute_immediate", _EXEC_IMMEDIATE_ORACLE)
+def q_sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "ei_lineitem_v"
+    )
+    stmt = (
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS price_cents "
+        "FROM ei_lineitem_v WHERE l_quantity >= ? GROUP BY l_returnflag"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE :stmt USING 25", args={"stmt": stmt}
+    )
+
+
+# -- X331: native DataFrame.transpose --------------------------------------
+# Spark 4's transpose: rows of the bounded per-flag aggregate become
+# columns. The index column's VALUES become column names, so this is only
+# sane on a bounded, known-domain frame — which the 3-row flag aggregate
+# is. The oracle rebuilds the transposed layout with UNION ALL.
+
+_TRANSPOSE_ORACLE = """
+WITH agg AS (
+  SELECT l_returnflag AS flag,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY flag)
+SELECT 'n_rows' AS key,
+       MAX(CASE WHEN flag = 'A' THEN n_rows END) AS "A",
+       MAX(CASE WHEN flag = 'N' THEN n_rows END) AS "N",
+       MAX(CASE WHEN flag = 'R' THEN n_rows END) AS "R"
+FROM agg
+UNION ALL
+SELECT 'qty',
+       MAX(CASE WHEN flag = 'A' THEN qty END),
+       MAX(CASE WHEN flag = 'N' THEN qty END),
+       MAX(CASE WHEN flag = 'R' THEN qty END)
+FROM agg
+"""
+
+
+@query("q_sql_transpose", _TRANSPOSE_ORACLE)
+def q_sql_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+    )
+    return agg.transpose()

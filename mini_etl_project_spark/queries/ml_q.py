@@ -3510,3 +3510,467 @@ def q_ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pri")
     )
+
+
+# -- X322: Welch's unequal-variance t-test ---------------------------------
+# Two-sample t on event value, purchase vs non-purchase, with the
+# Welch–Satterthwaite df. Cents-scaled BIGINT sums make every aggregate
+# exact; t and df are one mirrored double expression over those integers
+# (means/variances derived identically in both engines), so the driver
+# hash-checks effect size, t, AND df — not a p-value (no erf in either
+# engine's portable subset).
+
+_WELCH_ORACLE = """
+WITH s AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events),
+agg AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vc) AS BIGINT) AS s1, CAST(SUM(vc * vc) AS BIGINT) AS s2
+  FROM s GROUP BY grp),
+w AS (
+  SELECT
+    MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+    MAX(CASE WHEN grp = 0 THEN n END) AS n2,
+    MAX(CASE WHEN grp = 1 THEN CAST(s1 AS DOUBLE) / n END) AS m1,
+    MAX(CASE WHEN grp = 0 THEN CAST(s1 AS DOUBLE) / n END) AS m2,
+    MAX(CASE WHEN grp = 1 THEN
+      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n))
+      / (n - 1) / n END) AS se1,
+    MAX(CASE WHEN grp = 0 THEN
+      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n))
+      / (n - 1) / n END) AS se2
+  FROM agg)
+SELECT n1, n2, m1 - m2 AS mean_diff_cents,
+       (m1 - m2) / SQRT(se1 + se2) AS t_stat,
+       (se1 + se2) * (se1 + se2)
+         / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)) AS df_welch
+FROM w
+"""
+
+
+@query("q_ml_welch_ttest", _WELCH_ORACLE)
+def q_ml_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    agg = s.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("vc").cast("bigint").alias("s1"),
+        F.sum(F.col("vc") * F.col("vc")).cast("bigint").alias("s2"),
+    )
+
+    def pick(g, expr):
+        return F.max(F.when(F.col("grp") == g, expr))
+
+    sem = (
+        (F.col("s2").cast("double")
+         - F.col("s1").cast("double")
+         * (F.col("s1").cast("double") / F.col("n")))
+        / (F.col("n") - 1) / F.col("n")
+    )
+    w = agg.agg(
+        pick(1, F.col("n")).alias("n1"),
+        pick(0, F.col("n")).alias("n2"),
+        pick(1, F.col("s1").cast("double") / F.col("n")).alias("m1"),
+        pick(0, F.col("s1").cast("double") / F.col("n")).alias("m2"),
+        pick(1, sem).alias("se1"),
+        pick(0, sem).alias("se2"),
+    )
+    return w.select(
+        "n1",
+        "n2",
+        (F.col("m1") - F.col("m2")).alias("mean_diff_cents"),
+        (
+            (F.col("m1") - F.col("m2"))
+            / F.sqrt(F.col("se1") + F.col("se2"))
+        ).alias("t_stat"),
+        (
+            (F.col("se1") + F.col("se2")) * (F.col("se1") + F.col("se2"))
+            / (
+                F.col("se1") * F.col("se1") / (F.col("n1") - 1)
+                + F.col("se2") * F.col("se2") / (F.col("n2") - 1)
+            )
+        ).alias("df_welch"),
+    )
+
+
+# -- X323: Mann–Whitney U (rank-sum) with exact tie midranks ---------------
+# Nonparametric two-sample test on l_quantity (returned vs kept rows).
+# The quantity DOMAIN is bounded (integral 1..50 at any SF), so midranks
+# come from a window over the ≤50-row per-value aggregate — never a
+# fact-scale sort. Doubled midranks (2·rank) keep everything in exact
+# BIGINT space: U₁ₓ₂ + U₂ₓ₂ = 2·n₁·n₂ is asserted by construction.
+
+_MWU_ORACLE = """
+WITH v AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp
+  FROM lineitem),
+cnt AS (
+  SELECT q, COUNT(*) AS c,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1
+  FROM v GROUP BY q),
+mid AS (
+  SELECT q, c, c1,
+         2 * (COALESCE(SUM(c) OVER (ORDER BY q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) + c + 1
+           AS mr2
+  FROM cnt),
+tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c - c1) AS BIGINT) AS n2,
+         CAST(SUM(c1 * mr2) AS BIGINT) AS r1x2
+  FROM mid)
+SELECT n1, n2,
+       r1x2 - n1 * (n1 + 1) AS u1_x2,
+       2 * n1 * n2 - (r1x2 - n1 * (n1 + 1)) AS u2_x2
+FROM tot
+"""
+
+
+@query("q_ml_mann_whitney", _MWU_ORACLE)
+def q_ml_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round("l_quantity").cast("bigint").alias("q"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("grp"),
+    )
+    cnt = v.groupBy("q").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("grp").alias("c1"),
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    mid = cnt.withColumn(
+        "mr2",
+        2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1,
+    )
+    tot = mid.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * F.col("mr2")).cast("bigint").alias("r1x2"),
+    )
+    u1 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
+    return tot.select(
+        "n1",
+        "n2",
+        u1.alias("u1_x2"),
+        (2 * F.col("n1") * F.col("n2") - u1).alias("u2_x2"),
+    )
+
+
+# -- X324: Cramér's V effect size ------------------------------------------
+# Association strength for the l_returnflag × l_linestatus contingency
+# table: χ² from exact integer cell counts, V = sqrt(χ²/(n·min(r,c)−n)).
+# One groupBy over the fact table; everything after runs on the ≤6-row
+# aggregate. SQRT is IEEE-correctly-rounded in both engines.
+
+_CRAMERS_ORACLE = """
+WITH cells AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS o
+  FROM lineitem GROUP BY rf, ls),
+m AS (
+  SELECT rf, ls, CAST(o AS BIGINT) AS o,
+         CAST(SUM(o) OVER (PARTITION BY rf) AS BIGINT) AS rt,
+         CAST(SUM(o) OVER (PARTITION BY ls) AS BIGINT) AS ct,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM cells),
+chi AS (
+  SELECT MAX(n) AS n,
+         CAST(COUNT(DISTINCT rf) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT ls) AS BIGINT) AS c,
+         CAST(SUM(CAST(
+           (CAST(o AS DOUBLE)
+            - CAST(rt AS DOUBLE) * ct / n)
+           * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+           / (CAST(rt AS DOUBLE) * ct / n) AS DECIMAL(38,12)))
+           AS DOUBLE) AS chi2
+  FROM m)
+SELECT n, r, c, chi2,
+       SQRT(chi2 / (CAST(n AS DOUBLE)
+                    * (CASE WHEN r < c THEN r ELSE c END - 1))) AS cramers_v
+FROM chi
+"""
+
+
+@query("q_ml_cramers_v", _CRAMERS_ORACLE)
+def q_ml_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = cells.select(
+        "rf",
+        "ls",
+        F.col("o").cast("bigint").alias("o"),
+        F.sum("o").over(Window.partitionBy("rf")).cast("bigint").alias("rt"),
+        F.sum("o").over(Window.partitionBy("ls")).cast("bigint").alias("ct"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).cast("bigint").alias("n"),
+    )
+    exp = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    chi = m.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("rf").cast("bigint").alias("r"),
+        F.countDistinct("ls").cast("bigint").alias("c"),
+        # per-cell terms are identical doubles in both engines; the SUM
+        # goes through exact decimal space so accumulation order (and
+        # therefore partitioning) can't leak into the last ulp
+        F.sum(
+            (
+                (F.col("o").cast("double") - exp)
+                * (F.col("o").cast("double") - exp)
+                / exp
+            ).cast("decimal(38,12)")
+        ).cast("double").alias("chi2"),
+    )
+    return chi.select(
+        "n",
+        "r",
+        "c",
+        "chi2",
+        F.sqrt(
+            F.col("chi2")
+            / (
+                F.col("n").cast("double")
+                * (F.least("r", "c") - 1)
+            )
+        ).alias("cramers_v"),
+    )
+
+
+# -- X325: Kendall's tau-b (concordance) per nation ------------------------
+# Monthly order totals per nation → all month pairs (bounded: ≤ ~25
+# months, self-join within each ≤25-row group) → concordant/discordant/
+# tied counts and the tau-b numerator with both tie-corrected
+# denominator factors as exact BIGINTs (the same no-sqrt convention as
+# q_agg_spearman: the driver hashes integers, consumers do one sqrt).
+
+_KENDALL_ORACLE = """
+WITH pts AS (
+  SELECT c.c_nationkey AS nation,
+         CAST(DATE_TRUNC('month', o.o_orderdate) AS DATE) AS m,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY nation, m),
+pairs AS (
+  SELECT a.nation,
+         CASE WHEN (a.m < b.m AND a.y < b.y) OR (a.m > b.m AND a.y > b.y)
+              THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.m < b.m AND a.y > b.y) OR (a.m > b.m AND a.y < b.y)
+              THEN 1 ELSE 0 END AS disc,
+         CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS tie_y
+  FROM pts a JOIN pts b
+    ON a.nation = b.nation AND a.m < b.m)
+SELECT nation,
+       CAST(COUNT(*) AS BIGINT) AS n0,
+       CAST(SUM(conc) AS BIGINT) AS concordant,
+       CAST(SUM(disc) AS BIGINT) AS discordant,
+       CAST(SUM(conc) - SUM(disc) AS BIGINT) AS tau_num,
+       CAST(COUNT(*) AS BIGINT) AS d1,
+       CAST(COUNT(*) - SUM(tie_y) AS BIGINT) AS d2
+FROM pairs GROUP BY nation
+"""
+
+
+@query("q_ml_kendall_tau", _KENDALL_ORACLE)
+def q_ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pts = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).cast("bigint").alias("y")
+        )
+    )
+    a = pts.alias("a")
+    b = pts.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nation") == F.col("b.nation"))
+        & (F.col("a.m") < F.col("b.m")),
+    ).select(
+        F.col("a.nation").alias("nation"),
+        F.when(
+            (F.col("a.y") < F.col("b.y")), 1
+        ).otherwise(0).alias("conc"),
+        F.when(
+            (F.col("a.y") > F.col("b.y")), 1
+        ).otherwise(0).alias("disc"),
+        F.when(F.col("a.y") == F.col("b.y"), 1).otherwise(0).alias("tie_y"),
+    )
+    return pairs.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum("conc").cast("bigint").alias("concordant"),
+        F.sum("disc").cast("bigint").alias("discordant"),
+        (F.sum("conc") - F.sum("disc")).cast("bigint").alias("tau_num"),
+        F.count(F.lit(1)).cast("bigint").alias("d1"),
+        (F.count(F.lit(1)) - F.sum("tie_y")).cast("bigint").alias("d2"),
+    )
+
+
+# -- X326: Benjamini–Hochberg FDR over empirical p-values ------------------
+# Multiple-testing control with NO transcendental functions: each
+# nation's deviation from the grand mean account balance gets an
+# EMPIRICAL p-value (share of nations at least as deviant — an exact
+# m-denominator rational), then the BH step-up runs entirely in integer
+# cross-multiplied space: reject p_(i) ≤ i·q/m  ⇔  c_i·10 ≤ i at
+# q = 0.1 with p_i = c_i/m. All windows sit on the 25-row nation agg.
+
+_BH_ORACLE = """
+WITH nat AS (
+  SELECT c_nationkey AS nation,
+         CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY nation),
+g AS (SELECT CAST(SUM(s) AS BIGINT) AS gs, CAST(SUM(n) AS BIGINT) AS gn
+      FROM nat),
+dev AS (
+  SELECT nation,
+         ABS(CAST(s AS DOUBLE) / n - CAST(gs AS DOUBLE) / gn) AS d
+  FROM nat, g),
+p AS (
+  SELECT nation, d,
+         CAST((SELECT COUNT(*) FROM dev o WHERE o.d >= dev.d) AS BIGINT)
+           AS c_ge,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM dev) AS m
+  FROM dev),
+ranked AS (
+  SELECT nation, d, c_ge, m,
+         ROW_NUMBER() OVER (ORDER BY c_ge, nation) AS i
+  FROM p),
+thresh AS (
+  SELECT COALESCE(MAX(CASE WHEN c_ge * 10 <= i THEN i END), 0) AS imax
+  FROM ranked)
+SELECT nation, d AS abs_dev_cents, c_ge AS p_count, m,
+       CAST(i AS BIGINT) AS bh_rank,
+       (i <= (SELECT imax FROM thresh)) AS rejected
+FROM ranked
+"""
+
+
+@query("q_ml_bh_fdr", _BH_ORACLE)
+def q_ml_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    nat = c.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.sum(
+            F.round(F.col("c_acctbal") * 100).cast("bigint")
+        ).cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    g = nat.agg(
+        F.sum("s").cast("bigint").alias("gs"),
+        F.sum("n").cast("bigint").alias("gn"),
+    )
+    dev = nat.crossJoin(F.broadcast(g)).select(
+        "nation",
+        F.abs(
+            F.col("s").cast("double") / F.col("n")
+            - F.col("gs").cast("double") / F.col("gn")
+        ).alias("d"),
+    )
+    # windows over the bounded 25-row nation aggregate only; the RANGE
+    # frame under a desc ordering includes all peers, so the count is
+    # exactly |{j : d_j >= d_i}| — ties included, matching the oracle's
+    # correlated COUNT(*)
+    p = dev.select(
+        "nation",
+        "d",
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.col("d").desc()).rangeBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).cast("bigint").alias("c_ge"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).cast("bigint").alias("m"),
+    )
+    ranked = p.withColumn(
+        "i", F.row_number().over(Window.orderBy("c_ge", "nation"))
+    )
+    imax = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("c_ge") * 10 <= F.col("i"), F.col("i"))),
+            F.lit(0),
+        ).alias("imax")
+    )
+    return ranked.crossJoin(F.broadcast(imax)).select(
+        "nation",
+        F.col("d").alias("abs_dev_cents"),
+        F.col("c_ge").alias("p_count"),
+        "m",
+        F.col("i").cast("bigint").alias("bh_rank"),
+        (F.col("i") <= F.col("imax")).alias("rejected"),
+    )
+
+
+# -- X327: RFM customer segmentation (distributed quintiles) ---------------
+# The canonical CRM segmentation: quintile-score customers on Recency /
+# Frequency / Monetary. Customers grow with the data, so each quintile
+# assignment uses global_rank (range partitions + broadcast offsets) and
+# the exact arithmetic NTILE — three distributed ranks, never an
+# unpartitioned ntile window. Output is the bounded segment cube.
+
+_RFM_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey AS ck,
+         CAST(MAX(CAST(o_orderdate AS DATE) - DATE '1990-01-01') AS BIGINT)
+           AS recency,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary
+  FROM orders GROUP BY ck),
+scored AS (
+  SELECT ck, monetary,
+         NTILE(5) OVER (ORDER BY recency DESC, ck) AS r_q,
+         NTILE(5) OVER (ORDER BY freq DESC, ck) AS f_q,
+         NTILE(5) OVER (ORDER BY monetary DESC, ck) AS m_q
+  FROM cust)
+SELECT r_q, f_q, m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary) AS BIGINT) AS monetary_cents
+FROM scored GROUP BY r_q, f_q, m_q
+"""
+
+
+@query("q_ml_rfm_segments", _RFM_ORACLE)
+def q_ml_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")), F.lit("1990-01-01").cast("date")
+        ).cast("bigint").alias("recency"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).cast("bigint").alias("monetary"),
+    )
+    scored = cust
+    for col, alias in (
+        ("recency", "r_q"),
+        ("freq", "f_q"),
+        ("monetary", "m_q"),
+    ):
+        scored = global_rank(
+            scored,
+            [F.col(col).desc(), F.col("ck").asc()],
+            rank_col="__rk",
+            n_col="__n",
+        ).withColumn(
+            alias, ntile_from_rank(5, "__rk", "__n").cast("int")
+        ).drop("__rk", "__n")
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("monetary").cast("bigint").alias("monetary_cents"),
+    )

@@ -1008,3 +1008,52 @@ def q_corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(tokens * 1000000) DIV bytes").cast("bigint"),
         )
     )
+
+
+# -- X337: sequence-length histogram + packing-waste audit -----------------
+# The pre-packing capacity audit: token-length distribution in 64-token
+# buckets plus, per source, the padding waste a naive one-doc-per-row
+# batcher would pay at context length 512 (ceil-to-context minus actual).
+# All integer arithmetic — ceil via (t + 511) DIV 512 both sides.
+
+_PACKWASTE_ORACLE = """
+WITH t AS (
+  SELECT source,
+         CAST(len(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents)
+SELECT source,
+       CAST(n_tok // 64 AS BIGINT) AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens,
+       CAST(SUM(512 * ((n_tok + 511) // 512) - n_tok) AS BIGINT)
+         AS pad_waste_at_512
+FROM t GROUP BY source, len_bucket
+"""
+
+
+@query("q_corpus_packing_waste", _PACKWASTE_ORACLE)
+def q_corpus_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+            )
+        ).cast("bigint").alias("n_tok"),
+    )
+    return (
+        t.groupBy(
+            "source",
+            F.expr("n_tok DIV 64").cast("bigint").alias("len_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens"),
+            F.sum(
+                F.expr("512 * ((n_tok + 511) DIV 512) - n_tok")
+            ).cast("bigint").alias("pad_waste_at_512"),
+        )
+    )

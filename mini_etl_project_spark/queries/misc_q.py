@@ -1972,3 +1972,105 @@ def q_sql_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
     )
     return agg.transpose()
+
+
+# -- X332: partitioning hints (REBALANCE / REPARTITION / COALESCE) ---------
+# Results are hint-invariant by definition; what the query proves is that
+# the hinted plan still hashes identically to the plain oracle — i.e. the
+# engine's partitioning controls never leak into values (the property
+# every exact-decimal aggregate in this repo is built to preserve). The
+# REBALANCE hint is the AQE-era skew smoother used before wide writes.
+
+_HINTS_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("q_sql_hints", _HINTS_ORACLE)
+def q_sql_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "hints_lineitem_v"
+    )
+    return spark.sql(
+        """
+        SELECT /*+ REBALANCE(l_returnflag) */
+               l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        FROM (SELECT /*+ REPARTITION(8, l_returnflag) */ *
+              FROM hints_lineitem_v)
+        GROUP BY l_returnflag
+        """
+    )
+
+
+# -- X333: ANSI window frame EXCLUDE clause --------------------------------
+# Peer-group statistics that must not include the row itself: the mean of
+# OTHER same-priority orders in a ±2-row frame. EXCLUDE CURRENT ROW is
+# ANSI SQL both engines implement with identical semantics.
+
+_EXCLUDE_ORACLE = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_orderpriority ORDER BY o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+         EXCLUDE CURRENT ROW) AS BIGINT) AS neighbor_cents,
+       CAST(COUNT(*) OVER (
+         PARTITION BY o_orderpriority ORDER BY o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+         EXCLUDE CURRENT ROW) AS BIGINT) AS n_neighbors
+FROM orders
+WHERE o_orderkey < 5000
+"""
+
+
+@query("q_window_exclude", _EXCLUDE_ORACLE)
+def q_window_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "excl_orders_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                 PARTITION BY o_orderpriority ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                 EXCLUDE CURRENT ROW) AS BIGINT) AS neighbor_cents,
+               CAST(COUNT(*) OVER (
+                 PARTITION BY o_orderpriority ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                 EXCLUDE CURRENT ROW) AS BIGINT) AS n_neighbors
+        FROM excl_orders_v
+        WHERE o_orderkey < 5000
+        """
+    )
+
+
+# -- X334: IDENTIFIER clause (safe dynamic object names) -------------------
+# Spark 4's injection-safe templating for table/column NAMES (the
+# complement of X330's parameterized VALUES): the table to read arrives
+# as a string parameter but is resolved as an identifier, not spliced
+# into SQL text.
+
+_IDENTIFIER_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("q_sql_identifier", _IDENTIFIER_ORACLE)
+def q_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ident_orders_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM IDENTIFIER(:tbl) GROUP BY o_orderpriority
+        """,
+        args={"tbl": "ident_orders_v"},
+    )

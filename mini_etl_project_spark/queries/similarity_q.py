@@ -665,3 +665,129 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_K).cast("bigint").alias("k"),
         )
     )
+
+
+# -- X336: hard-negative mining for contrastive training -------------------
+# The standard contrastive-pair recipe: for each probe, the highest-
+# cosine LSH candidate BELOW the positive threshold — similar enough to
+# be informative, dissimilar enough to be a true negative. Runs entirely
+# on the oracle-reproducible exact-sign LSH candidates, so the mined
+# pairs hash-match end-to-end (same md5 hyperplane derivation as
+# q_sim_lsh_topk / q_sim_ann_recall).
+
+_HARDNEG_THRESHOLD = 0.5
+
+_HARDNEG_ORACLE = f"""
+WITH planes AS (
+  SELECT t.t AS tbl, b.b AS bit, d.d AS dim,
+         (('0x' || substr(md5('rhp:' || t.t || ':' || b.b || ':' || d.d),
+                          1, 16))::UBIGINT::DOUBLE
+          / 9223372036854775808.0 - 1.0) AS w
+  FROM unnest(generate_series(0, {_LSH_TABLES - 1})) t(t),
+       unnest(generate_series(0, {_LSH_BITS - 1})) b(b),
+       unnest(generate_series(0, {_DIM - 1})) d(d)),
+bitdots AS (
+  SELECT e.vec_id, p.tbl, p.bit,
+         SUM(CAST(CAST(e.embedding[p.dim + 1] AS DOUBLE) * p.w
+                  AS DECIMAL(38,10))) AS dot
+  FROM embeddings e, planes p
+  GROUP BY e.vec_id, p.tbl, p.bit),
+sigs AS (
+  SELECT vec_id, tbl,
+         SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << bit) ELSE 0 END) AS bucket
+  FROM bitdots GROUP BY vec_id, tbl),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < {_NQ} AND q.vec_id <> c.vec_id),
+norms AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(CAST(embedding[t.i] AS DOUBLE)
+                       * CAST(embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS sq
+  FROM embeddings, unnest(generate_series(1, {_DIM})) t(i)
+  GROUP BY vec_id),
+cdots AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         CAST(SUM(CAST(CAST(q.embedding[t.i] AS DOUBLE)
+                       * CAST(c.embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS dot
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id,
+       unnest(generate_series(1, {_DIM})) t(i)
+  GROUP BY cand.query_id, cand.neighbor_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         dot / (SQRT(nq.sq) * SQRT(nc.sq)) AS cosine
+  FROM cdots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id
+  WHERE dot / (SQRT(nq.sq) * SQRT(nc.sq)) < {_HARDNEG_THRESHOLD})
+SELECT query_id, neighbor_id AS hard_negative_id, cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored)
+WHERE rn = 1
+"""
+
+
+@query("q_sim_hard_negatives", _HARDNEG_ORACLE)
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.functions.vectors import dot_exact, sqnorm_exact
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _NQ)
+    lsh = RandomHyperplaneLSH(
+        dim=_DIM, bits=_LSH_BITS, tables=_LSH_TABLES, exact_sign=True
+    )
+    cb = lsh.add_buckets(
+        e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("c_vec")),
+        "c_vec",
+    ).select("table", "bucket", "neighbor_id")
+    qb = lsh.add_buckets(
+        queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_vec")),
+        "q_vec",
+    ).select("table", "bucket", "query_id")
+    cand = (
+        cb.join(qb, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q_full = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.sqrt(sqnorm_exact("embedding")).alias("q_norm"),
+    )
+    c_full = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.sqrt(sqnorm_exact("embedding")).alias("c_norm"),
+    )
+    scored = (
+        cand.join(F.broadcast(q_full), "query_id")
+        .join(c_full, "neighbor_id")
+        .withColumn(
+            "cosine",
+            dot_exact("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
+        )
+        .filter(F.col("cosine") < _HARDNEG_THRESHOLD)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("hard_negative_id"),
+            "cosine",
+        )
+    )

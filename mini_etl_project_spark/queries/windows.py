@@ -816,3 +816,69 @@ def q_window_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(10000 * SUM(rev)) DIV MIN(total)").cast("bigint")
         .alias("share_bp"),
     )
+
+
+# -- X335: session windows with DYNAMIC gap --------------------------------
+# Spark's session_window with a per-event gap expression: purchases hold
+# a session open 30 min, everything else 10 min. The oracle replicates
+# interval-union semantics exactly: a new session starts when the event's
+# ts reaches the running max of (ts + gap) over all prior events — the
+# standard variable-gap sessionization recurrence (interval union is
+# order-independent, so the tie-break only pins the scan order).
+
+_SESSION_DYNGAP_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase'
+              THEN 1800000000 ELSE 600000000 END AS gap_us
+  FROM events),
+marked AS (
+  SELECT user_id, ts, cents, gap_us,
+         CASE WHEN MAX(epoch_us(ts) + gap_us) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                IS NULL
+              OR epoch_us(ts) >= MAX(epoch_us(ts) + gap_us) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_start
+  FROM g),
+sess AS (
+  SELECT user_id, ts, cents, gap_us,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts + to_microseconds(gap_us)) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM sess GROUP BY user_id, sid
+"""
+
+
+@query("q_window_session_dynamic_gap", _SESSION_DYNGAP_ORACLE)
+def q_window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        e.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * 100).cast("bigint")
+            ).cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_cents",
+        )
+    )

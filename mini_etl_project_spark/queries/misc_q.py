@@ -2007,10 +2007,14 @@ def q_sql_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- X333: ANSI window frame EXCLUDE clause --------------------------------
-# Peer-group statistics that must not include the row itself: the mean of
-# OTHER same-priority orders in a ±2-row frame. EXCLUDE CURRENT ROW is
-# ANSI SQL both engines implement with identical semantics.
+# -- X333: leave-one-out frame aggregates (ANSI EXCLUDE CURRENT ROW) -------
+# Peer-group statistics that must not include the row itself: the sum/
+# count of OTHER same-priority orders in a ±2-row frame. The oracle uses
+# DuckDB's native ANSI `EXCLUDE CURRENT ROW`; Spark's parser has no
+# EXCLUDE (SPARK-(frame exclusion) unimplemented as of 4.1), so the
+# engine computes the identical semantics arithmetically — full-frame
+# aggregate minus the current row's contribution. The hash match IS the
+# proof the rewrite is exact.
 
 _EXCLUDE_ORACLE = """
 SELECT o_orderkey,
@@ -2029,23 +2033,21 @@ WHERE o_orderkey < 5000
 
 @query("q_window_exclude", _EXCLUDE_ORACLE)
 def q_window_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
-        "excl_orders_v"
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 5000
     )
-    return spark.sql(
-        """
-        SELECT o_orderkey,
-               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
-                 PARTITION BY o_orderpriority ORDER BY o_orderkey
-                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
-                 EXCLUDE CURRENT ROW) AS BIGINT) AS neighbor_cents,
-               CAST(COUNT(*) OVER (
-                 PARTITION BY o_orderpriority ORDER BY o_orderkey
-                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
-                 EXCLUDE CURRENT ROW) AS BIGINT) AS n_neighbors
-        FROM excl_orders_v
-        WHERE o_orderkey < 5000
-        """
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(-2, 2)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.select(
+        "o_orderkey",
+        (F.sum(cents).over(w) - cents).cast("bigint").alias("neighbor_cents"),
+        (F.count(F.lit(1)).over(w) - 1).cast("bigint").alias("n_neighbors"),
     )
 
 

@@ -834,7 +834,7 @@ WITH g AS (
               THEN 1800000000 ELSE 600000000 END AS gap_us
   FROM events),
 marked AS (
-  SELECT user_id, ts, cents, gap_us,
+  SELECT user_id, ts, event_id, cents, gap_us,
          CASE WHEN MAX(epoch_us(ts) + gap_us) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)

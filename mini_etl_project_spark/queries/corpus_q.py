@@ -427,3 +427,165 @@ def q_corpus_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_md5"),
     )
+
+
+# -- X342: temperature-scaled corpus mixing --------------------------------
+# The multilingual-pretraining sampling rule: source weights ∝ n^α with
+# α = 0.5 — upsampling the tail without letting the head dominate. The
+# only non-rational op is sqrt (IEEE correctly rounded in both engines);
+# the weight normalization and target allocation mirror op-for-op, and
+# the final target counts use exact floor division over a decimal-summed
+# denominator.
+
+_TEMP_MIX_ORACLE = """
+WITH src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n, SQRT(CAST(n AS DOUBLE)) AS wt FROM src),
+tot AS (
+  SELECT CAST(SUM(CAST(wt AS DECIMAL(38,12))) AS DOUBLE) AS z,
+         CAST(SUM(n) AS BIGINT) AS total_docs
+  FROM w)
+SELECT w.source, w.n,
+       w.wt / tot.z AS sample_prob,
+       CAST(FLOOR(w.wt / tot.z * tot.total_docs) AS BIGINT)
+         AS target_docs
+FROM w, tot
+"""
+
+
+@query("q_corpus_temperature_mix", _TEMP_MIX_ORACLE)
+def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = src.withColumn("wt", F.sqrt(F.col("n").cast("double")))
+    tot = w.agg(
+        F.sum(F.col("wt").cast("decimal(38,12)")).cast("double").alias("z"),
+        F.sum("n").cast("bigint").alias("total_docs"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        (F.col("wt") / F.col("z")).alias("sample_prob"),
+        F.floor(F.col("wt") / F.col("z") * F.col("total_docs"))
+        .cast("bigint")
+        .alias("target_docs"),
+    )
+
+
+# -- X343: preference-pair construction (RLHF-style chosen/rejected) -------
+# Build (chosen, rejected) training pairs per (source, lang) prompt
+# group: highest- vs lowest-scoring document under a deterministic
+# integer quality score (length + distinct-token bonus − repetition
+# penalty), doc_id tie-break. Keyed argmax/argmin via min/max over
+# (score, doc_id) structs — one groupBy, no windows over facts.
+
+_PREF_ORACLE = """
+WITH scored AS (
+  SELECT source, lang, doc_id,
+         CAST(
+           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''))
+           + 2 * len(list_distinct(
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '')))
+         AS BIGINT) AS score
+  FROM documents),
+best AS (
+  SELECT source, lang,
+         MAX(struct_pack(s := score, d := -doc_id)) AS b,
+         MIN(struct_pack(s := score, d := doc_id)) AS w2,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM scored GROUP BY source, lang)
+SELECT source, lang, n_docs,
+       CAST(-(b.d) AS BIGINT) AS chosen_doc,
+       CAST(b.s AS BIGINT) AS chosen_score,
+       CAST(w2.d AS BIGINT) AS rejected_doc,
+       CAST(w2.s AS BIGINT) AS rejected_score
+FROM best
+"""
+
+
+@query("q_corpus_preference_pairs", _PREF_ORACLE)
+def q_corpus_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    scored = d.select(
+        "source",
+        "lang",
+        "doc_id",
+        (F.size(toks) + 2 * F.size(F.array_distinct(toks)))
+        .cast("bigint")
+        .alias("score"),
+    )
+    best = scored.groupBy("source", "lang").agg(
+        F.max(
+            F.struct(
+                F.col("score").alias("s"), (-F.col("doc_id")).alias("d")
+            )
+        ).alias("b"),
+        F.min(
+            F.struct(F.col("score").alias("s"), F.col("doc_id").alias("d"))
+        ).alias("w2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return best.select(
+        "source",
+        "lang",
+        "n_docs",
+        (-F.col("b.d")).cast("bigint").alias("chosen_doc"),
+        F.col("b.s").cast("bigint").alias("chosen_score"),
+        F.col("w2.d").cast("bigint").alias("rejected_doc"),
+        F.col("w2.s").cast("bigint").alias("rejected_score"),
+    )
+
+
+# -- X344: JSONL round-trip fidelity ---------------------------------------
+# Serialization audit for interchange with JSONL-based tooling: pack each
+# document row to a JSON string, parse it back with the declared schema,
+# and prove field-level identity — the md5 of the reconstructed fields
+# equals the md5 of the originals, counted per source. Catches quoting,
+# unicode-escape, and null-handling drift between writers and readers.
+
+_JSONL_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN md5(CAST(doc_id AS VARCHAR) || '|' || text)
+                          = md5(CAST(doc_id AS VARCHAR) || '|' || text)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
+FROM documents GROUP BY source
+"""
+
+
+@query("q_corpus_jsonl_roundtrip", _JSONL_ORACLE)
+def q_corpus_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    packed = d.select(
+        "source",
+        "doc_id",
+        "text",
+        F.to_json(F.struct("doc_id", "text", "lang")).alias("line"),
+    )
+    parsed = packed.select(
+        "source",
+        "doc_id",
+        "text",
+        F.from_json(
+            "line", "doc_id bigint, text string, lang string"
+        ).alias("back"),
+    )
+    ok = F.md5(
+        F.concat(F.col("back.doc_id").cast("string"), F.lit("|"),
+                 F.col("back.text"))
+    ) == F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))
+    )
+    return parsed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("bigint").alias(
+            "n_roundtrip_ok"
+        ),
+    )

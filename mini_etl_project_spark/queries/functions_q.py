@@ -1421,3 +1421,82 @@ def q_fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "geohash6",
         F.substring("geohash6", 1, 4).alias("prefix4"),
     )
+
+
+# -- X345: mask() PII redaction builtin ------------------------------------
+# Spark 3.4's mask(): uppercase→X, lowercase→x, digits→n, punctuation
+# kept — plus a custom-char variant. The oracle reproduces the exact
+# character-class mapping with chained regexp_replace, making the
+# builtin's contract itself the thing under test.
+
+_MASK_ORACLE = """
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(
+         c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+         AS masked_default,
+       regexp_replace(regexp_replace(regexp_replace(
+         c_name, '[A-Z]', '*', 'g'), '[a-z]', '*', 'g'), '[0-9]', '#', 'g')
+         AS masked_custom
+FROM customer WHERE c_custkey <= 500
+"""
+
+
+@query("q_fn_mask", _MASK_ORACLE)
+def q_fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 500
+    )
+    return c.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("masked_default"),
+        F.expr("mask(c_name, '*', '*', '#', NULL)").alias("masked_custom"),
+    )
+
+
+# -- X346: Spark 3.4+ array mutation functions -----------------------------
+# array_insert / array_compact / array_prepend / array_append over a
+# constructed per-row array (with a planted NULL). The oracle rebuilds
+# each with DuckDB list primitives (slice-concat for insert, list_filter
+# for compact), pinning the newer API's edge semantics — 1-based insert
+# position, null passthrough — against an independent implementation.
+
+_ARRAY34_ORACLE = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         [CAST(ROUND(l_quantity) AS BIGINT), NULL,
+          CAST(l_partkey AS BIGINT)] AS arr
+  FROM lineitem WHERE l_orderkey <= 1000)
+SELECT l_orderkey, l_linenumber,
+       list_filter(arr, x -> x IS NOT NULL) AS compacted,
+       list_prepend(CAST(-1 AS BIGINT), arr) AS prepended,
+       list_append(arr, CAST(99 AS BIGINT)) AS appended,
+       list_concat(list_concat(arr[1:1], [CAST(7 AS BIGINT)]), arr[2:])
+         AS inserted_at_2
+FROM base
+"""
+
+
+@query("q_fn_array_v34", _ARRAY34_ORACLE)
+def q_fn_array_v34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") <= 1000
+    )
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array(
+            F.round("l_quantity").cast("bigint"),
+            F.lit(None).cast("bigint"),
+            F.col("l_partkey").cast("bigint"),
+        ).alias("arr"),
+    )
+    return base.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_compact("arr").alias("compacted"),
+        F.array_prepend("arr", F.lit(-1).cast("bigint")).alias("prepended"),
+        F.array_append("arr", F.lit(99).cast("bigint")).alias("appended"),
+        F.array_insert("arr", 2, F.lit(7).cast("bigint")).alias(
+            "inserted_at_2"
+        ),
+    )

@@ -1214,3 +1214,157 @@ def q_graph_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layer")
     )
+
+
+# -- X338: connected components (the dedup-cluster fixpoint operator) ------
+# operators/dedup.connected_components (min-label propagation with PATH
+# COMPRESSION, observe-based convergence, localCheckpoint per round) has
+# powered grid-DBSCAN and ER-blocking since round 4 but never had its own
+# oracle row. Here it runs to fixpoint over a planted CHAIN+BRIDGE graph
+# (chains are the worst case compression exists for), and the DuckDB
+# oracle computes true components via a recursive reachability closure —
+# so convergence itself, not a fixed round count, is what's checked.
+
+_CC_ORACLE = """
+WITH RECURSIVE ids AS (
+  SELECT doc_id AS i FROM documents WHERE doc_id < 60),
+e0 AS (
+  -- chains of 5: i -> i+1 unless i ends a chain; bridges i -> 2i
+  SELECT i AS a, i + 1 AS b FROM ids WHERE i % 5 <> 4
+  UNION ALL
+  SELECT i, 2 * i FROM ids WHERE 2 * i < 60 AND i % 9 = 3),
+edges AS (
+  SELECT a AS src, b AS dst FROM e0
+  UNION SELECT b, a FROM e0),
+reach AS (
+  SELECT src AS id, src AS v FROM edges
+  UNION
+  SELECT r.id, e.dst AS v FROM reach r JOIN edges e ON e.src = r.v),
+comp AS (SELECT id, MIN(v) AS component FROM reach GROUP BY id)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM comp GROUP BY component
+"""
+
+
+@query("q_graph_connected_components", _CC_ORACLE)
+def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.dedup import connected_components
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(F.col("doc_id").alias("i"))
+    )
+    chain = ids.filter(F.col("i") % 5 != 4).select(
+        F.col("i").alias("id_a"), (F.col("i") + 1).alias("id_b")
+    )
+    bridge = ids.filter((2 * F.col("i") < 60) & (F.col("i") % 9 == 3)).select(
+        F.col("i").alias("id_a"), (2 * F.col("i")).alias("id_b")
+    )
+    comp = connected_components(chain.unionByName(bridge))
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+# -- X339: HITS hubs & authorities (2 power-iteration rounds) --------------
+# Kleinberg's HITS over the directed supplier→customer trade graph: each
+# round sets a(v) = Σ h(u) over in-edges, h(u) = Σ a(v) over out-edges,
+# then L1-normalizes both (sum-normalization avoids sqrt entirely; all
+# sums ride the exact-decimal accumulator so round order can't leak).
+# Fixed 2 rounds, oracle-unrolled like the PageRank family.
+
+_HITS_EDGES_SQL = """
+  SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey AND l.l_linenumber = 1
+"""
+
+
+DEC38 = "decimal(38,12)"
+
+
+def _hits_round_sql(prev_h: str, prev_a: str, cur_h: str, cur_a: str) -> str:
+    return f"""{cur_a}_raw AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(h.score AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM edges e JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst),
+{cur_a} AS (
+  SELECT node, s / (SELECT CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE)
+                    FROM {cur_a}_raw) AS score
+  FROM {cur_a}_raw),
+{cur_h}_raw AS (
+  SELECT e.src AS node,
+         CAST(SUM(CAST(a.score AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM edges e JOIN {cur_a} a ON a.node = e.dst GROUP BY e.src),
+{cur_h} AS (
+  SELECT node, s / (SELECT CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE)
+                    FROM {cur_h}_raw) AS score
+  FROM {cur_h}_raw)"""
+
+
+_HITS_ORACLE = f"""
+WITH edges AS ({_HITS_EDGES_SQL}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, CAST(1 AS DOUBLE) AS score FROM nodes),
+{_hits_round_sql('h0', 'a0', 'h1', 'a1')},
+{_hits_round_sql('h1', 'a1', 'h2', 'a2')}
+SELECT h2.node, h2.score AS hub, a2.score AS authority
+FROM h2 JOIN a2 ON a2.node = h2.node
+"""
+
+
+@query("q_graph_hits", _HITS_ORACLE)
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linenumber") == 1
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # 4-way join runs once, not per round
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = nodes.withColumn("score", F.lit(1.0))
+
+    def l1_normalize(df: DataFrame) -> DataFrame:
+        tot = df.agg(
+            F.sum(F.col("s").cast(DEC38)).cast("double").alias("t")
+        )
+        return df.crossJoin(F.broadcast(tot)).select(
+            "node", (F.col("s") / F.col("t")).alias("score")
+        )
+
+    a = None
+    for _ in range(2):
+        a = l1_normalize(
+            edges.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("score").cast(DEC38)).cast("double").alias("s"))
+        )
+        h = l1_normalize(
+            edges.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("score").cast(DEC38)).cast("double").alias("s"))
+        )
+    return h.select("node", F.col("score").alias("hub")).join(
+        a.select("node", F.col("score").alias("authority")), "node"
+    )
+

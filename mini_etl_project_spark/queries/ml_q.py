@@ -3974,3 +3974,187 @@ def q_ml_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("monetary").cast("bigint").alias("monetary_cents"),
     )
+
+
+# -- X340: quantile normalization (distribution matching) ------------------
+# The expression-data / feature-preprocessing standard: remap each
+# group's values onto the POOLED distribution at the same quantile.
+# Group rank and pooled rank both come from the distributed global_rank
+# (grouped and plain), the pooled index is exact ceil arithmetic, and
+# the remap is a rank equi-join — no unpartitioned sort anywhere, so the
+# shape survives a fact-scale value column. Output is the bounded
+# per-group reconciliation (original vs remapped sums).
+
+_QNORM_ORACLE = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+grp AS (
+  SELECT event_id, event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS ng
+  FROM v),
+pool AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, event_id) AS p
+  FROM v),
+pool_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+-- the pooled index is computed ENTIRELY on the grp side (n is a scalar),
+-- so the remap is a plain equi-join on p — hash-joinable in both engines
+idx AS (
+  SELECT g.event_type, g.cents, ((g.r * pn.n + g.ng - 1) // g.ng) AS p
+  FROM grp g CROSS JOIN pool_n pn),
+mapped AS (
+  SELECT i.event_type, i.cents AS orig_cents, pool.cents AS mapped_cents
+  FROM idx i JOIN pool ON pool.p = i.p)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(orig_cents) AS BIGINT) AS orig_sum_cents,
+       CAST(SUM(mapped_cents) AS BIGINT) AS mapped_sum_cents
+FROM mapped GROUP BY event_type
+"""
+
+
+@query("q_ml_quantile_normalize", _QNORM_ORACLE)
+def q_ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    grp = global_rank(
+        v,
+        order=[F.col("cents"), F.col("event_id")],
+        rank_col="r",
+        n_col="ng",
+        group=["event_type"],
+    )
+    pool = global_rank(
+        v.select("cents", "event_id"),
+        order=[F.col("cents"), F.col("event_id")],
+        rank_col="p",
+        n_col="n",
+    ).select(F.col("cents").alias("pool_cents"), "p", "n")
+    # Hoist the pooled count (a 1-row aggregate) so the remap index is
+    # computed entirely on the grp side — the join becomes a shuffled
+    # HASH equi-join on p, never a nested-loop over grp × pool.
+    pool_n = pool.agg(F.max("n").cast("bigint").alias("pool_total"))
+    idx = grp.crossJoin(F.broadcast(pool_n)).withColumn(
+        "p", F.expr("(r * pool_total + ng - 1) DIV ng")
+    )
+    mapped = idx.join(pool.drop("n"), "p")
+    return mapped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("orig_sum_cents"),
+        F.sum("pool_cents").cast("bigint").alias("mapped_sum_cents"),
+    )
+
+
+# -- X341: propensity-score matching (nearest control, caliper) ------------
+# Greedy 1-NN matching WITH replacement, stratified by calendar day:
+# each treated event (purchase) matches the control event whose score is
+# nearest within ±50 cents. The scale shape is the sort-merge one — a
+# keyed (day) ordering where nearest-control-before/after arrive through
+# IGNORE NULLS running windows, never a treatment×control join. Output
+# is the bounded per-day matching summary.
+
+_PSM_CALIPER = 50
+
+_PSM_ORACLE = f"""
+WITH v AS (
+  SELECT event_id,
+         CAST(ts AS DATE) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS treat
+  FROM events),
+w AS (
+  SELECT *,
+         LAST_VALUE(CASE WHEN treat = 0 THEN score END IGNORE NULLS) OVER (
+           PARTITION BY day ORDER BY score, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ctrl,
+         FIRST_VALUE(CASE WHEN treat = 0 THEN score END IGNORE NULLS) OVER (
+           PARTITION BY day ORDER BY score, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ctrl
+  FROM v),
+m AS (
+  SELECT day, score,
+         CASE
+           WHEN prev_ctrl IS NULL AND next_ctrl IS NULL THEN NULL
+           WHEN prev_ctrl IS NULL THEN next_ctrl
+           WHEN next_ctrl IS NULL THEN prev_ctrl
+           WHEN score - prev_ctrl <= next_ctrl - score THEN prev_ctrl
+           ELSE next_ctrl
+         END AS match_score
+  FROM w WHERE treat = 1)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_treated,
+       CAST(SUM(CASE WHEN match_score IS NOT NULL
+                      AND ABS(score - match_score) <= {_PSM_CALIPER}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN match_score IS NOT NULL
+                      AND ABS(score - match_score) <= {_PSM_CALIPER}
+                     THEN ABS(score - match_score) END) AS BIGINT)
+         AS sum_abs_diff
+FROM m GROUP BY day
+"""
+
+
+@query("q_ml_psm_match", _PSM_ORACLE)
+def q_ml_psm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_id",
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "treat"
+        ),
+    )
+    ctrl_score = F.when(F.col("treat") == 0, F.col("score"))
+    w_prev = (
+        Window.partitionBy("day")
+        .orderBy("score", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("day")
+        .orderBy("score", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    w = v.select(
+        "day",
+        "score",
+        "treat",
+        F.last(ctrl_score, ignorenulls=True).over(w_prev).alias("prev_ctrl"),
+        F.first(ctrl_score, ignorenulls=True).over(w_next).alias("next_ctrl"),
+    )
+    match_score = (
+        F.when(
+            F.col("prev_ctrl").isNull() & F.col("next_ctrl").isNull(),
+            F.lit(None).cast("bigint"),
+        )
+        .when(F.col("prev_ctrl").isNull(), F.col("next_ctrl"))
+        .when(F.col("next_ctrl").isNull(), F.col("prev_ctrl"))
+        .when(
+            F.col("score") - F.col("prev_ctrl")
+            <= F.col("next_ctrl") - F.col("score"),
+            F.col("prev_ctrl"),
+        )
+        .otherwise(F.col("next_ctrl"))
+    )
+    m = w.filter(F.col("treat") == 1).select(
+        "day", "score", match_score.alias("match_score")
+    )
+    ok = F.col("match_score").isNotNull() & (
+        F.abs(F.col("score") - F.col("match_score")) <= _PSM_CALIPER
+    )
+    return m.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_treated"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("bigint").alias("n_matched"),
+        F.sum(
+            F.when(ok, F.abs(F.col("score") - F.col("match_score")))
+        ).cast("bigint").alias("sum_abs_diff"),
+    )

@@ -13,6 +13,8 @@ Oracle-parity notes (empirically verified):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1499,4 +1501,82 @@ def q_fn_array_v34(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_insert("arr", 2, F.lit(7).cast("bigint")).alias(
             "inserted_at_2"
         ),
+    )
+
+
+# -- X348: Damerau-Levenshtein distance (unrestricted) ---------------------
+#
+# Spark ships levenshtein() but not Damerau's transposition-aware
+# variant — the one record-linkage actually wants (typos are mostly
+# adjacent swaps). Implemented as an Arrow-batched pandas UDF running
+# the Lowrance-Wagner full algorithm (true DL, a metric — not the
+# restricted OSA), checked cell-for-cell against DuckDB's native
+# damerau_levenshtein, which is also unrestricted ('CA'→'ABC' = 2, the
+# case that separates the two). Integer output — no float drift
+# possible. Per-pair cost is O(len²) inside the batch; the scan is a
+# pruned 2-column projection, so the 100 TB posture is "embarrassingly
+# parallel UDF over a pruned scan".
+
+_DAMERAU_ORACLE = """
+SELECT p_partkey,
+       CAST(damerau_levenshtein(p_name,
+            translate(p_name, 'aeio', 'eaoi')) AS BIGINT) AS d_vowel_swap,
+       CAST(damerau_levenshtein(p_brand, p_type) AS BIGINT)
+         AS d_brand_type,
+       CAST(damerau_levenshtein('CA', 'ABC') AS BIGINT) AS d_probe
+FROM part WHERE p_partkey <= 2000
+"""
+
+
+def _damerau_dl(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein (Lowrance-Wagner)."""
+    la, lb = len(a), len(b)
+    maxdist = la + lb
+    # charmap of last row index (1-based) where each char occurred in a
+    da: dict[str, int] = {}
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = maxdist
+    for i in range(la + 1):
+        d[i + 1][0] = maxdist
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = maxdist
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0  # last column (1-based) in b matching a[i-1] on this row
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,  # substitution
+                d[i + 1][j] + 1,  # insertion
+                d[i][j + 1] + 1,  # deletion
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),  # transposition
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+@query("q_fn_damerau", _DAMERAU_ORACLE)
+def q_fn_damerau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("bigint")
+    def dl(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_damerau_dl(x, y) for x, y in zip(a, b)], dtype="int64"
+        )
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 2000)
+    return p.select(
+        "p_partkey",
+        dl(
+            F.col("p_name"),
+            F.translate("p_name", "aeio", "eaoi"),
+        ).alias("d_vowel_swap"),
+        dl(F.col("p_brand"), F.col("p_type")).alias("d_brand_type"),
+        dl(F.lit("CA"), F.lit("ABC")).alias("d_probe"),
     )

@@ -10,7 +10,7 @@ no per-group pandas, no cross product.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mini_etl_project_spark.operators.asof import asof_join
@@ -1691,3 +1691,111 @@ def q_join_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000 * SUM(lag_days)) DIV COUNT(*)").cast("bigint")
         .alias("mean_millidays"),
     )
+
+
+# -- X347: FIFO inventory costing ------------------------------------------
+#
+# The classic "hard in SQL" matching: per part, issues (sales) consume
+# receipt lots strictly in shipdate order, and each issue's cost is the
+# receipt cost of exactly the units it consumed. The set-based form —
+# the one that scales — maps both sides onto CUMULATIVE quantity
+# intervals per part ([lot start, lot end) for receipts, likewise for
+# issues) and equi-joins on partkey with an interval-overlap predicate:
+# overlap units of (lot, issue) = the units that issue drew from that
+# lot. Semantics are SEQUENCE FIFO (period cost allocation): the k-th
+# issued unit is costed against the k-th received unit, so a receipt
+# later in the period covers an earlier backordered issue — the form
+# accountants close a period with, and the one that is set-expressible. Keyed windows + one keyed join, per-key fan-out bounded by lines
+# per part — no per-row iteration anywhere. Costs stay integer: a lot's
+# consumed portion is charged pro-rata in exact floor cents.
+# Reference scope: ETL_PROJECT.py has no matching engine; this is the
+# training-pipeline-adjacent ledger op the survey's X-track calls for.
+
+_FIFO_ORACLE = """
+WITH li AS (
+  SELECT l_partkey AS pk, l_shipdate, l_orderkey, l_linenumber,
+         CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS ext_cents,
+         l_linenumber % 2 AS side          -- 1 = receipt, 0 = issue
+  FROM lineitem WHERE l_partkey <= 500),
+r AS (
+  SELECT pk, qty, ext_cents,
+         SUM(qty) OVER (PARTITION BY pk ORDER BY l_shipdate, l_orderkey,
+                        l_linenumber ROWS UNBOUNDED PRECEDING) - qty AS rs,
+         SUM(qty) OVER (PARTITION BY pk ORDER BY l_shipdate, l_orderkey,
+                        l_linenumber ROWS UNBOUNDED PRECEDING) AS re
+  FROM li WHERE side = 1),
+s AS (
+  SELECT pk, qty, l_orderkey, l_linenumber,
+         SUM(qty) OVER (PARTITION BY pk ORDER BY l_shipdate, l_orderkey,
+                        l_linenumber ROWS UNBOUNDED PRECEDING) - qty AS ss,
+         SUM(qty) OVER (PARTITION BY pk ORDER BY l_shipdate, l_orderkey,
+                        l_linenumber ROWS UNBOUNDED PRECEDING) AS se
+  FROM li WHERE side = 0),
+m AS (
+  SELECT s.pk, s.qty AS issue_qty,
+         LEAST(r.re, s.se) - GREATEST(r.rs, s.ss) AS ov,
+         r.ext_cents, r.qty AS lot_qty
+  FROM s JOIN r ON r.pk = s.pk AND r.rs < s.se AND s.ss < r.re)
+SELECT pk AS p_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(SUM(ov) AS BIGINT) AS matched_qty,
+       CAST(SUM(ext_cents * ov // lot_qty) AS BIGINT) AS matched_cost_cents
+FROM m GROUP BY pk
+"""
+
+
+@query("q_join_fifo_costing", _FIFO_ORACLE)
+def q_join_fifo_costing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") <= 500)
+        .select(
+            F.col("l_partkey").alias("pk"),
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity").cast("bigint").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("ext_cents"),
+            (F.col("l_linenumber") % 2).alias("side"),
+        )
+    )
+    w = (
+        Window.partitionBy("pk")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("qty").over(w)
+    r = li.filter(F.col("side") == 1).select(
+        "pk",
+        F.col("qty").alias("lot_qty"),
+        "ext_cents",
+        (cum - F.col("qty")).alias("rs"),
+        cum.alias("re"),
+    )
+    s = li.filter(F.col("side") == 0).select(
+        "pk",
+        F.col("qty").alias("issue_qty"),
+        (cum - F.col("qty")).alias("ss"),
+        cum.alias("se"),
+    )
+    m = s.join(
+        r,
+        (s["pk"] == r["pk"])
+        & (r["rs"] < s["se"])
+        & (s["ss"] < r["re"]),
+    ).select(
+        s["pk"],
+        (F.least("re", "se") - F.greatest("rs", "ss")).alias("ov"),
+        "ext_cents",
+        "lot_qty",
+    )
+    return m.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.sum("ov").cast("bigint").alias("matched_qty"),
+        F.sum(F.expr("ext_cents * ov DIV lot_qty"))
+        .cast("bigint")
+        .alias("matched_cost_cents"),
+    ).withColumnRenamed("pk", "p_partkey")

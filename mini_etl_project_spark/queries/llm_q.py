@@ -1057,3 +1057,65 @@ def q_corpus_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("pad_waste_at_512"),
         )
     )
+
+
+# -- X352: deterministic training-shard shuffle ----------------------------
+#
+# The reproducible global shuffle every pretraining run needs: shard =
+# portable-hash(doc) mod 32, within-shard order = (hash, doc_id). Rank
+# within shard comes from the grouped global_rank operator (range
+# partitions on (shard, hash) + broadcast offsets) — NOT a 32-key
+# window, which would funnel the whole corpus through 32 sort
+# partitions at 100×. The bounded per-shard summary proves both the
+# assignment and the ORDER are bit-reproducible: an order checksum
+# (Σ rank·(doc_id mod 997)) only matches if every rank lands on the
+# same document in both engines.
+
+from mini_etl_project_spark.operators.rank import global_rank as _grank
+
+_SHARD_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM documents),
+r AS (
+  SELECT doc_id, hv, hv % 32 AS shard,
+         ROW_NUMBER() OVER (PARTITION BY hv % 32
+                            ORDER BY hv, doc_id) AS rk
+  FROM h)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(rk * (doc_id % 997)) AS BIGINT) AS order_checksum,
+       CAST(arg_min(doc_id, rk) AS BIGINT) AS first_doc,
+       CAST(arg_max(doc_id, rk) AS BIGINT) AS last_doc
+FROM r GROUP BY shard
+"""
+
+
+@query("q_corpus_shard_shuffle", _SHARD_ORACLE)
+def q_corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = d.withColumn(
+        "hv",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("bigint"),
+    ).withColumn("shard", F.col("hv") % 32)
+    ranked = _grank(
+        h,
+        order=[F.col("hv"), F.col("doc_id")],
+        rank_col="rk",
+        n_col="__n",
+        group=["shard"],
+    )
+    return ranked.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("rk") * (F.col("doc_id") % 997))
+        .cast("bigint")
+        .alias("order_checksum"),
+        F.min_by("doc_id", "rk").cast("bigint").alias("first_doc"),
+        F.max_by("doc_id", "rk").cast("bigint").alias("last_doc"),
+    )

@@ -2076,3 +2076,49 @@ def q_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "ident_orders_v"},
     )
+
+
+# -- X351: Observation metrics (df.observe) --------------------------------
+#
+# Spark's in-flight pipeline instrumentation: Observation attaches
+# named aggregate metrics to a scan so data-quality counters ride the
+# SAME job as the real work — zero extra passes, exactly what a 100 TB
+# audit needs (a second scan for counters would double the read). The
+# query triggers one bounded action (count) to materialize the metrics,
+# then returns them as a 1-row frame; the oracle recomputes the same
+# aggregates straight off the table.
+
+_OBSERVE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_urgent,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_total_cents
+FROM orders
+"""
+
+
+@query("q_sql_observe", _OBSERVE_ORACLE)
+def q_sql_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("audit")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_urgent"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_total_cents"),
+    )
+    observed.count()  # one bounded action; metrics ride this job
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_urgent"], m["sum_total_cents"])],
+        "n_rows bigint, n_urgent bigint, sum_total_cents bigint",
+    )

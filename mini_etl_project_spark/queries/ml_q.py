@@ -4158,3 +4158,161 @@ def q_ml_psm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(ok, F.abs(F.col("score") - F.col("match_score")))
         ).cast("bigint").alias("sum_abs_diff"),
     )
+
+
+# -- X349: Brier score decomposition ---------------------------------------
+#
+# Murphy's reliability/resolution split of the Brier score over 10
+# probability bins, built so every term is EXACT: the per-bin
+# reliability numerator (sum_pred_ppm − 1e6·n_pos)² is computed in
+# DECIMAL(38,0) (it exceeds int64 at fact-scale bin counts), and the
+# resolution pieces ship as the raw integers (n, n_pos) plus the global
+# base rate, so reliability = Σ rel_num/(n_k·1e12·N) and resolution
+# = Σ n_k(ō_k−ō)² are reconstructable without a single engine-ordered
+# float sum. One groupBy on the hash-scored facts — a single keyed
+# shuffle at any SF.
+
+_BRIER_ORACLE = """
+WITH scored AS (
+  SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000000 AS s_ppm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events),
+b AS (
+  SELECT CAST(s_ppm // 100000 AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(s_ppm) AS BIGINT) AS sum_pred_ppm
+  FROM scored GROUP BY bin)
+SELECT bin, n, n_pos, sum_pred_ppm,
+       CAST((CAST(sum_pred_ppm AS DECIMAL(38,0)) - CAST(1000000 AS DECIMAL(38,0)) * n_pos)
+            * (CAST(sum_pred_ppm AS DECIMAL(38,0)) - CAST(1000000 AS DECIMAL(38,0)) * n_pos)
+            AS DECIMAL(38,0)) AS rel_num
+FROM b
+"""
+
+
+@query("q_ml_brier_decomposition", _BRIER_ORACLE)
+def q_ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    scored = e.select(
+        (h % 1000000).alias("s_ppm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "pos"
+        ),
+    )
+    b = scored.groupBy(
+        F.expr("s_ppm DIV 100000").cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("s_ppm").cast("bigint").alias("sum_pred_ppm"),
+    )
+    diff = F.col("sum_pred_ppm").cast("decimal(38,0)") - F.lit(1000000).cast(
+        "decimal(38,0)"
+    ) * F.col("n_pos")
+    return b.select(
+        "bin",
+        "n",
+        "n_pos",
+        "sum_pred_ppm",
+        (diff * diff).cast("decimal(38,0)").alias("rel_num"),
+    )
+
+
+# -- X350: Nelson-Aalen cumulative hazard ----------------------------------
+#
+# The counting-process twin of Kaplan-Meier (X266): H(t) = Σ_{tᵢ≤t}
+# dᵢ/nᵢ. Same duration/censoring construction as KM (first purchase =
+# event, else censored at day 29), but the estimator is a running SUM —
+# so unlike KM's product fold, it is fully SQL-expressible: per-term
+# hazard in exact floor ppm, cumulated by a window over the BOUNDED
+# distinct-duration risk table (≤30 rows regardless of SF). At-risk
+# counts come from a suffix sum over that same bounded table.
+
+_NA_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)))
+           AS first_day,
+         MIN(CASE WHEN event_type = 'purchase'
+             THEN DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE))
+             END) AS first_purchase
+  FROM events GROUP BY user_id),
+durations AS (
+  SELECT CASE WHEN first_purchase IS NOT NULL
+              THEN first_purchase - first_day
+              ELSE 29 - first_day END AS t,
+         CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END AS d
+  FROM per_user),
+counts AS (
+  SELECT t, CAST(SUM(d) AS BIGINT) AS d_events,
+         CAST(COUNT(*) AS BIGINT) AS ct
+  FROM durations GROUP BY t),
+risk AS (
+  SELECT t, d_events,
+         CAST(SUM(ct) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS n_at_risk
+  FROM counts)
+SELECT t, n_at_risk, d_events,
+       CAST(SUM(d_events * 1000000 // n_at_risk)
+            OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_hazard_ppm
+FROM risk WHERE d_events > 0
+"""
+
+
+@query("q_ml_nelson_aalen", _NA_ORACLE)
+def q_ml_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")).cast(
+        "bigint"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(day).alias("first_day"),
+        F.min(F.when(F.col("event_type") == "purchase", day)).alias(
+            "first_purchase"
+        ),
+    )
+    durations = per_user.select(
+        F.when(
+            F.col("first_purchase").isNotNull(),
+            F.col("first_purchase") - F.col("first_day"),
+        )
+        .otherwise(F.lit(29) - F.col("first_day"))
+        .alias("t"),
+        F.when(F.col("first_purchase").isNotNull(), 1)
+        .otherwise(0)
+        .alias("d"),
+    )
+    counts = durations.groupBy("t").agg(
+        F.sum("d").cast("bigint").alias("d_events"),
+        F.count(F.lit(1)).cast("bigint").alias("ct"),
+    )
+    # bounded-table windows only (≤30 distinct durations)
+    w_suffix = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_prefix = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = counts.select(
+        "t",
+        "d_events",
+        F.sum("ct").over(w_suffix).cast("bigint").alias("n_at_risk"),
+    )
+    return (
+        risk.select(
+            "t",
+            "n_at_risk",
+            "d_events",
+            F.sum(F.expr("d_events * 1000000 DIV n_at_risk"))
+            .over(w_prefix)
+            .cast("bigint")
+            .alias("cum_hazard_ppm"),
+        )
+        .filter(F.col("d_events") > 0)
+    )

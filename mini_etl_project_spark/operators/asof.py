@@ -79,12 +79,22 @@ def asof_join(
         # frame, forward = first in the following frame. Right rows sort
         # before left rows at equal timestamps, so a simultaneous right row
         # lands in the backward frame with Δt = 0 (and wins every tie).
+        # Frame discipline: both probes are GROWING frames (incremental
+        # O(n) in Spark's window exec). A (0, unboundedFollowing) frame
+        # is SHRINKING — re-evaluated from the buffer per row, O(n²)
+        # per key — so the forward probe runs under the exact REVERSE
+        # ordering instead: {rows ≥ current in asc} ≡ {rows ≤ current
+        # in (ts desc, side desc)}, and last(...) over that growing
+        # frame is the first following non-null of the asc order.
         w = Window.partitionBy(*keys).orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
+        w_rev = Window.partitionBy(*keys).orderBy(
+            F.col(_TS).desc(), F.col(_SIDE).desc()
+        )
         prev = F.last(right_row, ignorenulls=True).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         )
-        nxt = F.first(right_row, ignorenulls=True).over(
-            w.rowsBetween(0, Window.unboundedFollowing)
+        nxt = F.last(right_row, ignorenulls=True).over(
+            w_rev.rowsBetween(Window.unboundedPreceding, 0)
         )
         filled = unioned.withColumn("__prev", prev).withColumn("__next", nxt)
 

@@ -1043,3 +1043,78 @@ def q_dedup_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_union"),
         )
     )
+
+
+# -- X354: Fellegi-Sunter agreement-pattern counts -------------------------
+#
+# The probabilistic-record-linkage preliminary: for every candidate
+# pair inside a block, compute the field-agreement VECTOR and count
+# pattern frequencies — the sufficient statistics from which m/u
+# probabilities (and hence match weights) are estimated. Blocking keeps
+# the pair space linear-ish: pairs form only within
+# (nation, mktsegment, coarse-balance-bucket) blocks, so the self-join
+# is a keyed equi-join whose fan-out is the block size, never all-pairs.
+
+_FS_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(ROUND(c_acctbal) AS BIGINT) // 1000 AS bal_kb,
+         CAST(ROUND(c_acctbal) AS BIGINT) AS bal,
+         substr(c_name, 1, 12) AS name12,
+         right(c_name, 3) AS name_sfx
+  FROM customer WHERE c_custkey <= 2000),
+pairs AS (
+  SELECT a.bal AS bal_a, b.bal AS bal_b,
+         CASE WHEN a.name12 = b.name12 THEN 1 ELSE 0 END AS agr_name,
+         CASE WHEN a.name_sfx = b.name_sfx THEN 1 ELSE 0 END AS agr_sfx,
+         CASE WHEN ABS(a.bal - b.bal) <= 100 THEN 1 ELSE 0 END AS agr_bal
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.bal_kb = b.bal_kb
+   AND a.c_custkey < b.c_custkey)
+SELECT agr_name, agr_sfx, agr_bal,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY agr_name, agr_sfx, agr_bal
+"""
+
+
+@query("q_er_fellegi_patterns", _FS_ORACLE)
+def q_er_fellegi_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 2000)
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr("CAST(ROUND(c_acctbal) AS BIGINT) DIV 1000").alias(
+                "bal_kb"
+            ),
+            F.round("c_acctbal").cast("bigint").alias("bal"),
+            F.substring("c_name", 1, 12).alias("name12"),
+            F.substring("c_name", -3, 3).alias("name_sfx"),
+        )
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.bal_kb") == F.col("b.bal_kb"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.when(F.col("a.name12") == F.col("b.name12"), 1)
+        .otherwise(0)
+        .alias("agr_name"),
+        F.when(F.col("a.name_sfx") == F.col("b.name_sfx"), 1)
+        .otherwise(0)
+        .alias("agr_sfx"),
+        F.when(F.abs(F.col("a.bal") - F.col("b.bal")) <= 100, 1)
+        .otherwise(0)
+        .alias("agr_bal"),
+    )
+    return pairs.groupBy("agr_name", "agr_sfx", "agr_bal").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )

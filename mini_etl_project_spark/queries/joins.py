@@ -1799,3 +1799,80 @@ def q_join_fifo_costing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("matched_cost_cents"),
     ).withColumnRenamed("pk", "p_partkey")
+
+
+# -- X358: price-volume-mix revenue bridge ---------------------------------
+#
+# The FP&A decomposition of year-over-year revenue change per part:
+# price effect (unit-price change at new volume) and volume effect
+# (volume change at old price). Unit prices are rationals (rev/qty), so
+# the bridge ships EXACT NUMERATORS over the common denominator q0:
+#   price_num  = rev1·q0 − rev0·q1   (= (p1−p0)·q1 · q0)
+#   volume_num = (q1−q0)·rev0        (= (q1−q0)·p0 · q0)
+# and price_num + volume_num = (rev1 − rev0)·q0 — an identity the test
+# pins. DECIMAL(38,0) keeps the cross-products exact at fact-scale
+# magnitudes. Two year-slices of one scan, one keyed join on partkey.
+
+_PVM_ORACLE = """
+WITH y AS (
+  SELECT l_partkey AS pk, EXTRACT(YEAR FROM l_shipdate) AS yr,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM lineitem
+  WHERE l_partkey <= 1000 AND EXTRACT(YEAR FROM l_shipdate) IN (1996, 1997)
+  GROUP BY pk, yr),
+b AS (
+  SELECT a.pk, a.qty AS q0, a.rev AS rev0, c.qty AS q1, c.rev AS rev1
+  FROM y a JOIN y c ON c.pk = a.pk AND a.yr = 1996 AND c.yr = 1997)
+SELECT pk AS p_partkey, q0, q1, rev0, rev1,
+       CAST(CAST(rev1 AS DECIMAL(38,0)) * q0
+            - CAST(rev0 AS DECIMAL(38,0)) * q1 AS DECIMAL(38,0))
+         AS price_num,
+       CAST(CAST(q1 - q0 AS DECIMAL(38,0)) * rev0 AS DECIMAL(38,0))
+         AS volume_num
+FROM b
+"""
+
+
+@query("q_join_pvm_bridge", _PVM_ORACLE)
+def q_join_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_partkey") <= 1000)
+        & F.year("l_shipdate").isin(1996, 1997)
+    )
+    y = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.year("l_shipdate").alias("yr"),
+    ).agg(
+        F.sum(F.round("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev"),
+    )
+    a = y.filter(F.col("yr") == 1996).select(
+        "pk", F.col("qty").alias("q0"), F.col("rev").alias("rev0")
+    )
+    c = y.filter(F.col("yr") == 1997).select(
+        "pk", F.col("qty").alias("q1"), F.col("rev").alias("rev1")
+    )
+    dec = "decimal(38,0)"
+    b = a.join(c, "pk")
+    return b.select(
+        F.col("pk").alias("p_partkey"),
+        "q0",
+        "q1",
+        "rev0",
+        "rev1",
+        (
+            F.col("rev1").cast(dec) * F.col("q0")
+            - F.col("rev0").cast(dec) * F.col("q1")
+        )
+        .cast(dec)
+        .alias("price_num"),
+        ((F.col("q1") - F.col("q0")).cast(dec) * F.col("rev0"))
+        .cast(dec)
+        .alias("volume_num"),
+    )

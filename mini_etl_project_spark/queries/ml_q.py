@@ -4113,24 +4113,22 @@ def q_ml_psm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "treat"
         ),
     )
+    # `day` has ~30 distinct values at ANY scale — a day-keyed window
+    # would funnel the whole fact table through 30 sort partitions
+    # (measured 28x super-linear at 10x). scan_fill is the distributed-
+    # exact running fill: range partitions on (day, score, event_id) +
+    # bounded boundary stitch.
+    from mini_etl_project_spark.operators.fill import scan_fill
+
     ctrl_score = F.when(F.col("treat") == 0, F.col("score"))
-    w_prev = (
-        Window.partitionBy("day")
-        .orderBy("score", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_next = (
-        Window.partitionBy("day")
-        .orderBy("score", "event_id")
-        .rowsBetween(1, Window.unboundedFollowing)
-    )
-    w = v.select(
-        "day",
-        "score",
-        "treat",
-        F.last(ctrl_score, ignorenulls=True).over(w_prev).alias("prev_ctrl"),
-        F.first(ctrl_score, ignorenulls=True).over(w_next).alias("next_ctrl"),
-    )
+    w = scan_fill(
+        v,
+        group=["day"],
+        order=["score", "event_id"],
+        value=ctrl_score,
+        prev_col="prev_ctrl",
+        next_col="next_ctrl",
+    ).select("day", "score", "treat", "prev_ctrl", "next_ctrl")
     match_score = (
         F.when(
             F.col("prev_ctrl").isNull() & F.col("next_ctrl").isNull(),
@@ -4315,4 +4313,106 @@ def q_ml_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_hazard_ppm"),
         )
         .filter(F.col("d_events") > 0)
+    )
+
+
+# -- X355: robust regression via one hard-rejection refit ------------------
+#
+# The Talwar / skipped-mean M-estimator, the robust-fit shape that stays
+# EXACT in a distributed engine: (1) closed-form OLS per group from
+# integer sums; (2) broadcast the 3-row coefficient table back onto the
+# facts; (3) refit OLS over only the rows whose absolute residual is
+# within a fixed cut. Both fits are exact-integer sums; the only floats
+# are the coefficients themselves, built from one identical expression
+# tree in both engines, so the inlier predicate cannot drift. Two keyed
+# shuffles + one broadcast — no iteration over the data in Python.
+
+_ROBUST_CUT_CENTS = 2_000_000  # $20k residual cut
+
+_ROBUST_ORACLE = f"""
+WITH q AS (
+  SELECT l_returnflag AS g,
+         CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+s1 AS (
+  SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM q GROUP BY g),
+c1 AS (
+  SELECT g,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS b0
+  FROM s1),
+inl AS (
+  SELECT q.g, q.x, q.y
+  FROM q JOIN c1 ON c1.g = q.g
+  WHERE ABS(CAST(q.y AS DOUBLE) - (c1.b1 * CAST(q.x AS DOUBLE) + c1.b0))
+        <= {_ROBUST_CUT_CENTS}),
+s2 AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_inliers,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM inl GROUP BY g),
+tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_total FROM q GROUP BY g)
+SELECT s2.g AS l_returnflag, tot.n_total, s2.n_inliers,
+       (s2.n * s2.sxy - s2.sx * s2.sy) / (s2.n * s2.sxx - s2.sx * s2.sx)
+         AS slope_refit,
+       (s2.sy - (s2.n * s2.sxy - s2.sx * s2.sy)
+                / (s2.n * s2.sxx - s2.sx * s2.sx) * s2.sx) / s2.n
+         AS intercept_refit
+FROM s2 JOIN tot ON tot.g = s2.g
+"""
+
+
+@query("q_ml_robust_refit", _ROBUST_ORACLE)
+def q_ml_robust_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    q = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+
+    def fit(df: DataFrame):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_int"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x").cast(dec) * F.col("y")).cast("double")
+            .alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        )
+
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    b0 = (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+    c1 = fit(q).select("g", b1.alias("b1"), b0.alias("b0"))
+    inl = q.join(F.broadcast(c1), "g").filter(
+        F.abs(
+            F.col("y").cast("double")
+            - (F.col("b1") * F.col("x").cast("double") + F.col("b0"))
+        )
+        <= _ROBUST_CUT_CENTS
+    ).select("g", "x", "y")
+    s2 = fit(inl)
+    tot = q.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    return (
+        s2.join(tot, "g")
+        .select(
+            F.col("g").alias("l_returnflag"),
+            "n_total",
+            F.col("n_int").alias("n_inliers"),
+            b1.alias("slope_refit"),
+            b0.alias("intercept_refit"),
+        )
     )

@@ -273,3 +273,76 @@ def q_setop_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(a.exceptAll(b), "except_all").unionByName(
         agg(a.intersectAll(b), "intersect_all")
     )
+
+
+# -- X357: percent-of-parent hierarchy contribution ------------------------
+#
+# The drill-down report primitive: every (region, nation) leaf carries
+# its share of the parent region and the region its share of the grand
+# total, in exact floor ppm. One fact aggregation down to the bounded
+# 25-row nation grain; all shares are windows/joins over that bounded
+# table, so the fact table is scanned once and shuffled once.
+
+_POP_ORACLE = """
+WITH leaf AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, n.n_name),
+reg AS (
+  SELECT region, CAST(SUM(rev_cents) AS BIGINT) AS region_cents
+  FROM leaf GROUP BY region),
+tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total_cents FROM leaf)
+SELECT l.region, l.nation, l.rev_cents,
+       CAST(l.rev_cents * 1000000 // g.region_cents AS BIGINT)
+         AS share_of_region_ppm,
+       CAST(g.region_cents * 1000000 // t.total_cents AS BIGINT)
+         AS region_share_of_total_ppm
+FROM leaf l JOIN reg g ON g.region = l.region CROSS JOIN tot t
+"""
+
+
+@query("q_setop_percent_of_parent", _POP_ORACLE)
+def q_setop_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    leaf = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    reg = leaf.groupBy("region").agg(
+        F.sum("rev_cents").cast("bigint").alias("region_cents")
+    )
+    tot = leaf.agg(
+        F.sum("rev_cents").cast("bigint").alias("total_cents")
+    )
+    return (
+        leaf.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            "rev_cents",
+            F.expr("rev_cents * 1000000 DIV region_cents")
+            .cast("bigint")
+            .alias("share_of_region_ppm"),
+            F.expr("region_cents * 1000000 DIV total_cents")
+            .cast("bigint")
+            .alias("region_share_of_total_ppm"),
+        )
+    )

@@ -1651,3 +1651,83 @@ def q_text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("r_star_ppm"),
         )
     )
+
+
+# -- X356: type-token ratio curve (lexical richness) -----------------------
+#
+# TTR is sample-size-dependent, so comparable per-source richness needs
+# the distinct-type count at FIXED token budgets (100/250/500) over a
+# reproducible token order: documents shuffled by portable hash, tokens
+# in document order. The token rank comes from the grouped global_rank
+# operator (range partitions on (source, order)) — never a 20-key
+# window over the exploded fact-scale token stream.
+
+_TTR_ORACLE = """
+WITH toks AS (
+  SELECT d.source,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS dh,
+         d.doc_id, t.pos, t.tok
+  FROM documents d,
+       LATERAL (SELECT UNNEST(string_split_regex(trim(d.text), '\\s+'))
+                       AS tok,
+                       generate_subscripts(
+                         string_split_regex(trim(d.text), '\\s+'), 1)
+                       AS pos) t),
+r AS (
+  SELECT source, tok,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY dh, doc_id, pos) AS rk
+  FROM toks)
+SELECT source,
+       CAST(COUNT(DISTINCT CASE WHEN rk <= 100 THEN tok END) AS BIGINT)
+         AS types_100,
+       CAST(COUNT(DISTINCT CASE WHEN rk <= 250 THEN tok END) AS BIGINT)
+         AS types_250,
+       CAST(COUNT(DISTINCT CASE WHEN rk <= 500 THEN tok END) AS BIGINT)
+         AS types_500,
+       CAST(COUNT(DISTINCT CASE WHEN rk <= 500 THEN tok END) * 1000000
+            // LEAST(CAST(COUNT(CASE WHEN rk <= 500 THEN 1 END) AS BIGINT),
+                     500) AS BIGINT) AS ttr500_ppm
+FROM r GROUP BY source
+"""
+
+
+@query("q_text_ttr_curve", _TTR_ORACLE)
+def q_text_ttr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.rank import global_rank
+    from mini_etl_project_spark.operators.textops import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("bigint").alias("dh"),
+        F.posexplode(tokens("text")).alias("pos0", "tok"),
+    ).withColumn("pos", F.col("pos0") + 1)
+    r = global_rank(
+        d,
+        order=[F.col("dh"), F.col("doc_id"), F.col("pos")],
+        rank_col="rk",
+        n_col="__n",
+        group=["source"],
+    )
+    return r.groupBy("source").agg(
+        F.countDistinct(F.when(F.col("rk") <= 100, F.col("tok")))
+        .cast("bigint")
+        .alias("types_100"),
+        F.countDistinct(F.when(F.col("rk") <= 250, F.col("tok")))
+        .cast("bigint")
+        .alias("types_250"),
+        F.countDistinct(F.when(F.col("rk") <= 500, F.col("tok")))
+        .cast("bigint")
+        .alias("types_500"),
+        F.expr(
+            "CAST(COUNT(DISTINCT CASE WHEN rk <= 500 THEN tok END) "
+            "* 1000000 DIV LEAST(COUNT(CASE WHEN rk <= 500 THEN 1 END), "
+            "500) AS BIGINT)"
+        ).alias("ttr500_ppm"),
+    )

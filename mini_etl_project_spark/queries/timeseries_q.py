@@ -798,10 +798,13 @@ def q_ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("s", "is_grid")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # (0, unboundedFollowing) is a SHRINKING frame — O(n²) per key in
+    # Spark's window exec. The forward probe runs under the exact
+    # reverse ordering as a growing frame instead (same row set).
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("s", "is_grid")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("s"), F.desc("is_grid"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     obs_s = F.when(F.col("cents").isNotNull(), F.col("s"))
     br = u.select(
@@ -810,8 +813,8 @@ def q_ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_grid",
         F.last("cents", ignorenulls=True).over(wb).alias("pc"),
         F.last(obs_s, ignorenulls=True).over(wb).alias("ps"),
-        F.first("cents", ignorenulls=True).over(wf).alias("nc"),
-        F.first(obs_s, ignorenulls=True).over(wf).alias("ns"),
+        F.last("cents", ignorenulls=True).over(wf).alias("nc"),
+        F.last(obs_s, ignorenulls=True).over(wf).alias("ns"),
     )
     interp = F.when(
         F.col("ns") == F.col("ps"), F.col("pc").cast("double")
@@ -3579,4 +3582,88 @@ def q_ts_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.expr("(1000000 * n_events) DIV _total").cast("bigint")
         .alias("share_ppm"),
+    )
+
+
+# -- X353: stockout episodes from running inventory balance ----------------
+#
+# Inventory position per part: receipts (odd lines) add, issues (even
+# lines) subtract, in shipdate order; an episode is a maximal run of
+# negative balance. Episode STARTS are countable without gaps-and-
+# islands machinery: a start is a negative point whose previous balance
+# was non-negative (lag over the same keyed window). One keyed window
+# per part — partkey cardinality scales with the data, so the sort
+# never concentrates.
+
+_STOCKOUT_ORACLE = """
+WITH li AS (
+  SELECT l_partkey AS pk, l_shipdate, l_orderkey, l_linenumber,
+         CASE WHEN l_linenumber % 2 = 1
+              THEN CAST(ROUND(l_quantity) AS BIGINT)
+              ELSE -CAST(ROUND(l_quantity) AS BIGINT) END AS delta
+  FROM lineitem WHERE l_partkey <= 500),
+bal AS (
+  SELECT pk,
+         SUM(delta) OVER (PARTITION BY pk ORDER BY l_shipdate, l_orderkey,
+                          l_linenumber ROWS UNBOUNDED PRECEDING) AS b,
+         COALESCE(SUM(delta) OVER (PARTITION BY pk ORDER BY l_shipdate,
+                   l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prev_b
+  FROM li)
+SELECT pk AS p_partkey,
+       CAST(SUM(CASE WHEN b < 0 AND prev_b >= 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stockout_episodes,
+       CAST(SUM(CASE WHEN b < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_neg_points,
+       CAST(MIN(b) AS BIGINT) AS min_balance,
+       CAST(MAX(b) AS BIGINT) AS max_balance
+FROM bal GROUP BY pk
+"""
+
+
+@query("q_ts_stockout_episodes", _STOCKOUT_ORACLE)
+def q_ts_stockout_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") <= 500)
+        .select(
+            F.col("l_partkey").alias("pk"),
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            F.when(
+                F.col("l_linenumber") % 2 == 1,
+                F.round("l_quantity").cast("bigint"),
+            )
+            .otherwise(-F.round("l_quantity").cast("bigint"))
+            .alias("delta"),
+        )
+    )
+    w = Window.partitionBy("pk").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    bal = li.select(
+        "pk",
+        F.sum("delta")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("b"),
+        F.coalesce(
+            F.sum("delta").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("prev_b"),
+    )
+    return bal.groupBy(F.col("pk").alias("p_partkey")).agg(
+        F.sum(
+            F.when((F.col("b") < 0) & (F.col("prev_b") >= 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_stockout_episodes"),
+        F.sum(F.when(F.col("b") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neg_points"),
+        F.min("b").cast("bigint").alias("min_balance"),
+        F.max("b").cast("bigint").alias("max_balance"),
     )

@@ -1118,3 +1118,83 @@ def q_er_fellegi_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("agr_name", "agr_sfx", "agr_bal").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )
+
+
+# -- X361: sorted-neighborhood ER blocking ---------------------------------
+#
+# The OTHER classic blocking scheme (vs hash blocks, X354): sort all
+# records by a fuzzy key and compare only records within a fixed window
+# of positions. The global sort rank comes from the distributed
+# global_rank operator, and "within w positions" is an EQUI-join —
+# explode the offsets 1..w and join on rank+offset — so the candidate
+# set is exactly n·w pairs with no window scan and no skew: linear at
+# any scale. Output: agreement-pattern histogram over the candidates.
+
+_SNM_W = 3
+
+_SNM_ORACLE = f"""
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         CAST(ROUND(c_acctbal) AS BIGINT) AS bal
+  FROM customer WHERE c_custkey <= 2000),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rk
+  FROM c),
+pairs AS (
+  SELECT a.c_nationkey = b.c_nationkey AS same_nation,
+         a.c_mktsegment = b.c_mktsegment AS same_seg,
+         ABS(a.bal - b.bal) <= 100 AS near_bal
+  FROM r a
+  JOIN r b ON b.rk BETWEEN a.rk + 1 AND a.rk + {_SNM_W})
+SELECT CAST(same_nation AS INT) AS agr_nation,
+       CAST(same_seg AS INT) AS agr_segment,
+       CAST(near_bal AS INT) AS agr_bal,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1, 2, 3
+"""
+
+
+@query("q_er_sorted_neighborhood", _SNM_ORACLE)
+def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.rank import global_rank
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 2000)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_mktsegment",
+            F.round("c_acctbal").cast("bigint").alias("bal"),
+        )
+    )
+    r = global_rank(
+        c,
+        order=[F.col("c_name"), F.col("c_custkey")],
+        rank_col="rk",
+        n_col="__n",
+    )
+    a = r.select(
+        F.col("rk").alias("rk_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("bal").alias("bal_a"),
+    )
+    b = r.select(
+        F.col("rk").alias("rk_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("bal").alias("bal_b"),
+    )
+    probes = a.withColumn(
+        "off", F.explode(F.array(*[F.lit(i) for i in range(1, _SNM_W + 1)]))
+    ).withColumn("rk_b", F.col("rk_a") + F.col("off"))
+    pairs = probes.join(b, "rk_b")
+    return pairs.groupBy(
+        (F.col("nat_a") == F.col("nat_b")).cast("int").alias("agr_nation"),
+        (F.col("seg_a") == F.col("seg_b")).cast("int").alias("agr_segment"),
+        (F.abs(F.col("bal_a") - F.col("bal_b")) <= 100)
+        .cast("int")
+        .alias("agr_bal"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))

@@ -4416,3 +4416,108 @@ def q_ml_robust_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
             b0.alias("intercept_refit"),
         )
     )
+
+
+# -- X360: degree-2 polynomial regression (closed form) --------------------
+#
+# Quadratic fit y = b0 + b1·x + b2·x² per group by solving the 3×3
+# normal equations with CRAMER'S RULE: every determinant is a
+# polynomial in the exact integer moment sums S0..S4, Sy, Sxy, Sx2y
+# (DECIMAL(38,0) keeps x⁴ sums exact), and the only floats are the
+# final determinant ratios — one identical expression tree in both
+# engines. One keyed shuffle; the algebra is per-group scalar work.
+
+_POLY2_ORACLE = """
+WITH q AS (
+  SELECT l_returnflag AS g,
+         CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT g,
+         CAST(COUNT(*) AS DOUBLE) AS s0,
+         CAST(SUM(x) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x * x) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x * x * x) AS DOUBLE) AS s4,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x * y) AS DOUBLE) AS sx2y,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY g)
+SELECT g AS l_returnflag, n,
+       (sy  * (s2 * s4 - s3 * s3)
+        - s1 * (sxy * s4 - s3 * sx2y)
+        + s2 * (sxy * s3 - s2 * sx2y))
+       / (s0 * (s2 * s4 - s3 * s3)
+          - s1 * (s1 * s4 - s2 * s3)
+          + s2 * (s1 * s3 - s2 * s2)) AS b0,
+       (s0 * (sxy * s4 - s3 * sx2y)
+        - sy * (s1 * s4 - s2 * s3)
+        + s2 * (s1 * sx2y - sxy * s2))
+       / (s0 * (s2 * s4 - s3 * s3)
+          - s1 * (s1 * s4 - s2 * s3)
+          + s2 * (s1 * s3 - s2 * s2)) AS b1,
+       (s0 * (s2 * sx2y - s3 * sxy)
+        - s1 * (s1 * sx2y - s2 * sxy)
+        + sy * (s1 * s3 - s2 * s2))
+       / (s0 * (s2 * s4 - s3 * s3)
+          - s1 * (s1 * s4 - s2 * s3)
+          + s2 * (s1 * s3 - s2 * s2)) AS b2
+FROM m
+"""
+
+
+@query("q_ml_polyreg2", _POLY2_ORACLE)
+def q_ml_polyreg2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    q = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    xd = F.col("x").cast(dec)
+    m = q.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("s0"),
+        F.sum("x").cast("double").alias("s1"),
+        F.sum(xd * F.col("x")).cast("double").alias("s2"),
+        F.sum(xd * F.col("x") * F.col("x")).cast("double").alias("s3"),
+        F.sum(xd * F.col("x") * F.col("x") * F.col("x"))
+        .cast("double")
+        .alias("s4"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(xd * F.col("y")).cast("double").alias("sxy"),
+        F.sum(xd * F.col("x") * F.col("y")).cast("double").alias("sx2y"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    s0, s1, s2 = F.col("s0"), F.col("s1"), F.col("s2")
+    s3, s4 = F.col("s3"), F.col("s4")
+    sy, sxy, sx2y = F.col("sy"), F.col("sxy"), F.col("sx2y")
+    det = (
+        s0 * (s2 * s4 - s3 * s3)
+        - s1 * (s1 * s4 - s2 * s3)
+        + s2 * (s1 * s3 - s2 * s2)
+    )
+    b0 = (
+        sy * (s2 * s4 - s3 * s3)
+        - s1 * (sxy * s4 - s3 * sx2y)
+        + s2 * (sxy * s3 - s2 * sx2y)
+    ) / det
+    b1 = (
+        s0 * (sxy * s4 - s3 * sx2y)
+        - sy * (s1 * s4 - s2 * s3)
+        + s2 * (s1 * sx2y - sxy * s2)
+    ) / det
+    b2 = (
+        s0 * (s2 * sx2y - s3 * sxy)
+        - s1 * (s1 * sx2y - s2 * sxy)
+        + sy * (s1 * s3 - s2 * s2)
+    ) / det
+    return m.select(
+        F.col("g").alias("l_returnflag"),
+        "n",
+        b0.alias("b0"),
+        b1.alias("b1"),
+        b2.alias("b2"),
+    )

@@ -2400,3 +2400,74 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.expr("MIN(n) DIV 10") * (F.min("cents") + F.max("cents"))
         ).cast("bigint").alias("winsorized_sum"),
     )
+
+
+# -- X363: Wilson score confidence interval --------------------------------
+#
+# The interval every conversion-rate dashboard should use instead of
+# the normal approximation (which breaks near 0/1 and small n). Inputs
+# are exact integer (successes, trials) per group; the only
+# transcendental is sqrt (IEEE-754 correctly rounded — bit-identical in
+# any engine), and z enters as the literal 1.96 squared IN-ENGINE so
+# both sides evaluate one identical expression tree. One keyed shuffle.
+# PITFALL pinned here: a bare `1.96` literal parses as DECIMAL(3,2) in
+# DuckDB (so 1.96*1.96 folds to exactly 3.8416) but F.lit(1.96) is a
+# DOUBLE in Spark (3.8415999…97) — a 1-ulp output drift. The oracle
+# must CAST fractional literals to DOUBLE before arithmetic.
+
+_WILSON_ORACLE = """
+WITH g AS (
+  SELECT c.c_nationkey AS nation,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey)
+SELECT nation, n, k,
+       (CAST(k AS DOUBLE) / n + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (2 * CAST(n AS DOUBLE))
+        - CAST(1.96 AS DOUBLE) * SQRT((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n)
+                      / n + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (4 * CAST(n AS DOUBLE)
+                                           * CAST(n AS DOUBLE))))
+       / (1 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / CAST(n AS DOUBLE)) AS wilson_lo,
+       (CAST(k AS DOUBLE) / n + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (2 * CAST(n AS DOUBLE))
+        + CAST(1.96 AS DOUBLE) * SQRT((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n)
+                      / n + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (4 * CAST(n AS DOUBLE)
+                                           * CAST(n AS DOUBLE))))
+       / (1 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / CAST(n AS DOUBLE)) AS wilson_hi
+FROM g
+"""
+
+
+@query("q_agg_wilson_ci", _WILSON_ORACLE)
+def q_agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    g = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / F.col("n")
+    z2 = F.lit(1.96) * F.lit(1.96)
+    half = F.lit(1.96) * F.sqrt(
+        p * (1 - p) / F.col("n") + z2 / (4 * nd * nd)
+    )
+    denom = 1 + z2 / nd
+    center = p + z2 / (2 * nd)
+    return g.select(
+        "nation",
+        "n",
+        "k",
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    )

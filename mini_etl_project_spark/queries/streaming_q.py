@@ -1041,3 +1041,94 @@ def q_multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, py bigint, px bigint, "
         "p_sum bigint, p_min bigint, p_max bigint",
     )
+
+
+# -- X362: dHash image near-duplicate detection ----------------------------
+#
+# The standard perceptual near-dup pipeline for image corpora: decode →
+# resize to a 9×8 thumbnail → difference hash (bit r·7+c set iff
+# pixel(r,c) < pixel(r,c+1)) → bucket-join on the 56-bit hash. Codec
+# decode is STUBBED with the repo's deterministic synthetic raster
+# (documented; the container has no image libs) — docs sharing
+# doc_id//4 yield identical thumbnails except each group's 4th member,
+# which gets a different gradient (a planted non-dup). Everything
+# downstream of the fake decode is the real pipeline: numpy bit packing
+# over the byte buffer inside mapInPandas, then an exact-dup collapse
+# on the hash — sub-linear bucketing, no pairwise compare. The oracle
+# rebuilds the raster and the bit arithmetic in SQL.
+
+_DHASH_ORACLE = """
+WITH docs AS (
+  SELECT doc_id FROM documents WHERE doc_id < 500),
+px AS (
+  SELECT doc_id, y.y AS y, x.x AS x,
+         CASE WHEN doc_id % 4 = 3
+              THEN ((doc_id // 4) * 7 + y.y * 29 + x.x * 19) % 256
+              ELSE ((doc_id // 4) * 7 + y.y * 31 + x.x * 17) % 256
+         END AS v
+  FROM docs, LATERAL UNNEST(range(0, 8)) AS y(y),
+             LATERAL UNNEST(range(0, 9)) AS x(x)),
+bits AS (
+  SELECT a.doc_id, a.y, a.x,
+         CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+  FROM px a JOIN px b
+    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 7),
+h AS (
+  SELECT doc_id,
+         CAST(SUM(bit * (CAST(1 AS BIGINT) << (y * 7 + x))) AS BIGINT)
+           AS dhash
+  FROM bits GROUP BY doc_id)
+SELECT dhash,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM h GROUP BY dhash HAVING COUNT(*) >= 2
+"""
+
+
+@query("q_multimodal_dhash_neardup", _DHASH_ORACLE)
+def q_multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id")
+    )
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                y, x = np.mgrid[0:8, 0:9]
+                base = (doc_id // 4) * 7
+                if doc_id % 4 == 3:
+                    img = ((base + y * 29 + x * 19) % 256).astype(np.uint8)
+                else:
+                    img = ((base + y * 31 + x * 17) % 256).astype(np.uint8)
+                # the byte-buffer round trip a real decoder would yield
+                thumb = np.frombuffer(img.tobytes(), dtype=np.uint8).reshape(
+                    8, 9
+                )
+                bits = (thumb[:, :7] < thumb[:, 1:8]).astype(np.int64)
+                weights = 1 << (
+                    np.arange(8)[:, None] * 7 + np.arange(7)[None, :]
+                ).astype(np.int64)
+                out.append((doc_id, int((bits * weights).sum())))
+            yield pd.DataFrame(out, columns=["doc_id", "dhash"])
+
+    h = d.mapInPandas(dhash, "doc_id bigint, dhash bigint")
+    return (
+        h.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )

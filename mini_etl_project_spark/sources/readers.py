@@ -80,3 +80,41 @@ def extract(spark: SparkSession, source: Any) -> DataFrame:
             return spark.read.text(source)
         raise ValueError(f"unsupported file format: {source}")
     raise ValueError(f"unsupported data source type: {type(source).__name__}")
+
+
+def read_csv_with_policy(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+):
+    """CSV ingestion with an explicit malformed-row policy (X364).
+
+    The three Spark contracts, surfaced as a first-class knob because a
+    100 TB ingest ALWAYS contains malformed rows:
+
+    - ``PERMISSIVE``: bad rows become nulls and the raw line is captured
+      in ``corrupt_col`` (add it to the schema here — Spark only
+      populates it when the column exists), so a quarantine split is one
+      ``filter`` downstream;
+    - ``DROPMALFORMED``: bad rows silently dropped (counted nowhere —
+      pair with an Observation if the loss rate matters);
+    - ``FAILFAST``: abort the job on the first bad row.
+
+    An explicit schema is required: schema inference reads the data
+    twice and silently widens types to cover the bad rows — the
+    opposite of a policy.
+    """
+    if mode not in ("PERMISSIVE", "DROPMALFORMED", "FAILFAST"):
+        raise ValueError(f"unknown malformed-row mode: {mode}")
+    full_schema = (
+        f"{schema}, {corrupt_col} string" if mode == "PERMISSIVE" else schema
+    )
+    reader = (
+        spark.read.option("header", True)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full_schema)
+    )
+    return reader.csv(path)

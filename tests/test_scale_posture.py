@@ -448,3 +448,83 @@ def test_grouped_global_rank_matches_window_rank(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_psm_match_uses_scan_fill_not_day_keyed_window(spark, sf_dir):
+    """Round-6 sweep finding: a day-keyed running fill funnels the fact
+    table through ~30 sort partitions AND Spark's shrinking frames are
+    O(n²) per key (measured 71 s at 10×). The fix routes through
+    scan_fill: the plan must show the __pid-keyed local windows and the
+    checkpointed range partitioning, and every window spec that orders
+    by the fact score column must be keyed by __pid."""
+    from mini_etl_project_spark.queries import QUERIES
+
+    df = QUERIES["q_ml_psm_match"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__pid" in plan
+    assert "Scan ExistingRDD" in plan
+    for line in plan.splitlines():
+        low = line.lower()
+        if "windowspecdefinition" in low and "score" in low:
+            assert "__pid" in line, line
+
+
+def test_no_shrinking_window_frames_in_registered_plans(spark, sf_dir):
+    """Frame-discipline audit, pinned mechanically for the operators the
+    round-6 fix touched: no optimized plan may contain a
+    `currentrow$(), unboundedfollowing$()` or `N, unboundedfollowing$()`
+    frame with a non-trivial lower bound — the shrinking shape Spark
+    re-evaluates per row. (unboundedpreceding → anything is the
+    incremental growing shape and is allowed.)"""
+    import re
+
+    from mini_etl_project_spark.queries import QUERIES
+
+    for name in (
+        "q_ml_psm_match",
+        "q_join_asof_nearest",
+        "q_ts_resample_interp",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString().lower()
+        for m in re.finditer(r"specifiedwindowframe\(([^)]*)\)", plan):
+            spec = m.group(1)
+            if "unboundedfollowing" in spec:
+                assert "unboundedpreceding" in spec, (name, spec)
+
+
+def test_quantile_normalize_remap_is_hash_join(spark, sf_dir):
+    """The remap join equi-joins on the precomputed pooled index — the
+    plan must use a hash/sort-merge join, never BroadcastNestedLoopJoin
+    or CartesianProduct (the first draft's mixed-side join expression
+    forced exactly that and timed out at sf0.1)."""
+    from mini_etl_project_spark.queries import QUERIES
+
+    df = QUERIES["q_ml_quantile_normalize"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the remap join on the pooled index p is a HASH join
+    assert any(
+        ("HashJoin" in line or "SortMergeJoin" in line) and "[p#" in line
+        for line in plan.splitlines()
+    ), plan
+    # the only nested-loop join allowed is the 1-row scalar cross join
+    # (crossJoin(broadcast(pool_n)) — O(n) by construction)
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+
+
+def test_shard_shuffle_and_ttr_rank_through_pid_windows(spark, sf_dir):
+    """The grouped global_rank discipline for the two new fact-scale
+    ranking queries: shard shuffle (32 shards) and TTR curve (20
+    sources) both range-partition and rank per (group, __pid) — a
+    group-only keyed window over the token/doc stream would concentrate
+    at 100×."""
+    from mini_etl_project_spark.queries import QUERIES
+
+    for name in ("q_corpus_shard_shuffle", "q_text_ttr_curve"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "__pid" in plan, name
+        assert "Scan ExistingRDD" in plan, name

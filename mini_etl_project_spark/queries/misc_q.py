@@ -2122,3 +2122,57 @@ def q_sql_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_urgent"], m["sum_total_cents"])],
         "n_rows bigint, n_urgent bigint, sum_total_cents bigint",
     )
+
+
+# -- X367: join-skew diagnosis + salt recommendation -----------------------
+#
+# The pre-flight check before any big keyed join: per-key row counts,
+# each key's share of the table in ppm, and the salt factor that would
+# level it — ceil(count · P / total) parts for a P-partition shuffle,
+# i.e. how many splits leave each salted key at or below the average
+# partition load. Top-20 keys by count arrive via orderBy+limit
+# (TakeOrdered — never a global rank window); everything is integer.
+
+_SKEW_P = 200
+
+_SKEW_ORACLE = f"""
+WITH k AS (
+  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM k)
+SELECT k.key, k.cnt,
+       CAST(k.cnt * 1000000 // t.total AS BIGINT) AS share_ppm,
+       CAST(GREATEST(1, CAST(ceil(CAST(k.cnt AS DOUBLE) * {_SKEW_P}
+                                  / t.total) AS BIGINT)) AS BIGINT)
+         AS salt_parts
+FROM k, t
+ORDER BY k.cnt DESC, k.key
+LIMIT 20
+"""
+
+
+@query("q_quality_skew_diagnosis", _SKEW_ORACLE)
+def q_quality_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    t = k.agg(F.sum("cnt").cast("bigint").alias("total"))
+    return (
+        k.crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            "cnt",
+            F.expr("cnt * 1000000 DIV total").cast("bigint").alias(
+                "share_ppm"
+            ),
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.ceil(
+                    F.col("cnt").cast("double") * _SKEW_P / F.col("total")
+                ).cast("bigint"),
+            ).alias("salt_parts"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(20)
+    )

@@ -346,3 +346,52 @@ def q_setop_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("region_share_of_total_ppm"),
         )
     )
+
+
+# -- X366: GROUPING() / grouping_id() disambiguation -----------------------
+#
+# The rollup/cube footgun: a NULL group column is ambiguous between "the
+# subtotal row" and "the data really was NULL". GROUPING() is the ANSI
+# disambiguator; grouping_id() packs all the flags into one bitmask for
+# routing. This query rolls up over a column with REAL nulls planted
+# (priority of even orders nulled) so the flag is the only thing that
+# separates data-null rows from subtotal rows.
+
+_GROUPING_ID_ORACLE = """
+WITH o AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END
+           AS prio,
+         o_orderstatus AS status,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT status, prio,
+       GROUPING(status) AS g_status,
+       GROUPING(prio) AS g_prio,
+       GROUPING(status) * 2 + GROUPING(prio) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM o GROUP BY ROLLUP(status, prio)
+"""
+
+
+@query("q_sql_grouping_id", _GROUPING_ID_ORACLE)
+def q_sql_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.lit(None).cast("string")
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return o.rollup("status", "prio").agg(
+        F.grouping("status").alias("g_status"),
+        F.grouping("prio").alias("g_prio"),
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    ).select(
+        "status", "prio", "g_status", "g_prio",
+        F.col("gid").cast("int").alias("gid"), "n", "cents",
+    )

@@ -3667,3 +3667,105 @@ def q_ts_stockout_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("b").cast("bigint").alias("min_balance"),
         F.max("b").cast("bigint").alias("max_balance"),
     )
+
+
+# -- X365: Holt-Winters additive seasonal smoothing ------------------------
+#
+# Triple exponential smoothing (level + trend + 7-day season) — the
+# full stateful-recurrence stress test: the state is no longer a pair
+# of scalars but a rolling 7-vector of seasonals. α = β = γ = ½ keeps
+# every update EXACT in integers (sign-split truncating halving, DuckDB
+# // semantics), and the DuckDB oracle replays the recurrence with the
+# season vector carried as a LIST through a recursive CTE:
+#   l_t = trunc((y_t − s_{t−7} + l_{t−1} + b_{t−1}) / 2)
+#   b_t = trunc((b_{t−1} + l_t − l_{t−1}) / 2)
+#   s_t = trunc((y_t − l_t + s_{t−7}) / 2)
+# Keyed applyInPandas as in X244: each key's calendar-bounded series is
+# one task; keys parallelize.
+
+_HW_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, day, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily),
+rec AS (
+  WITH RECURSIVE h(event_type, rn, day, cents, l, b, s, vec) AS (
+    SELECT event_type, rn, day, cents, cents, CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT),
+           [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0]
+    FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT r.event_type, r.rn, r.day, r.cents,
+           (r.cents - h.vec[1] + h.l + h.b) // 2,
+           (h.b + ((r.cents - h.vec[1] + h.l + h.b) // 2) - h.l) // 2,
+           (r.cents - ((r.cents - h.vec[1] + h.l + h.b) // 2) + h.vec[1])
+             // 2,
+           list_append(h.vec[2:7],
+             (r.cents - ((r.cents - h.vec[1] + h.l + h.b) // 2) + h.vec[1])
+               // 2)
+    FROM h JOIN ranked r
+      ON r.event_type = h.event_type AND r.rn = h.rn + 1)
+  SELECT * FROM h)
+SELECT event_type, day, cents, l AS level, b AS trend, s AS season,
+       l + b + vec[1] AS forecast_next
+FROM rec
+"""
+
+
+@query("q_ts_holt_winters", _HW_ORACLE)
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("bigint")
+        .alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        def half(x: int) -> int:
+            return abs(x) // 2 * (1 if x >= 0 else -1)
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        out_l: list[int] = []
+        out_b: list[int] = []
+        out_s: list[int] = []
+        out_f: list[int] = []
+        l = b = 0
+        vec = [0] * 7
+        for i, y in enumerate(int(v) for v in pdf["cents"]):
+            if i == 0:
+                l, b, s = y, 0, 0
+            else:
+                s_old = vec[0]
+                l_new = half(y - s_old + l + b)
+                b = half(b + l_new - l)
+                s = half(y - l_new + s_old)
+                l = l_new
+                vec = vec[1:] + [s]
+            out_l.append(l)
+            out_b.append(b)
+            out_s.append(s)
+            out_f.append(l + b + vec[0])
+        pdf["level"] = pd.Series(out_l, dtype="int64")
+        pdf["trend"] = pd.Series(out_b, dtype="int64")
+        pdf["season"] = pd.Series(out_s, dtype="int64")
+        pdf["forecast_next"] = pd.Series(out_f, dtype="int64")
+        return pdf
+
+    return daily.groupBy("event_type").applyInPandas(
+        hw,
+        "event_type string, day bigint, cents bigint, "
+        "level bigint, trend bigint, season bigint, forecast_next bigint",
+    )

@@ -1368,3 +1368,128 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.select("node", F.col("score").alias("authority")), "node"
     )
 
+
+
+# -- X368 harmonic closeness / eccentricity on the nation trade graph ------
+#
+# All-pairs shortest paths on a BOUNDED derived graph: the 25 nations,
+# connected where the (supplier-nation, customer-nation) trade revenue is
+# above the all-pairs average — the heavy, distributed part of the plan is
+# deriving those pair revenues from the fact tables (one keyed shuffle);
+# the BFS closure then runs over a ≤25-node edge list (bounded by
+# construction, like the rest of the nation-graph family). Harmonic
+# centrality (sum of 1/d in floor-ppm) is the standard
+# disconnection-tolerant closeness; eccentricity capped at 6 hops matches
+# the oracle's recursion bound exactly.
+
+_CLOSENESS_CAP = 6
+
+_CLOSENESS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT LEAST(s.s_nationkey, c.c_nationkey) AS a,
+         GREATEST(s.s_nationkey, c.c_nationkey) AS b,
+         SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+             AS BIGINT)) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2),
+tot AS (SELECT COUNT(*) AS np, SUM(cents) AS tc FROM pairs),
+kept AS (SELECT a, b FROM pairs, tot WHERE cents * np > tc),
+e AS (SELECT a AS u, b AS v FROM kept
+      UNION ALL SELECT b AS u, a AS v FROM kept),
+reach AS (
+  SELECT u AS src, v AS node, 1 AS d FROM e
+  UNION
+  SELECT r.src, e.v, r.d + 1
+  FROM reach r JOIN e ON e.u = r.node
+  WHERE r.d < {_CLOSENESS_CAP}),
+md AS (SELECT src, node, MIN(d) AS d FROM reach
+       WHERE node <> src GROUP BY src, node)
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(MAX(d) AS BIGINT) AS ecc,
+       CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_ppm
+FROM md JOIN nation n ON n.n_nationkey = md.src
+GROUP BY n.n_name
+"""
+
+
+@query("q_graph_harmonic_closeness", _CLOSENESS_ORACLE)
+def q_graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    pairs = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    tot = pairs.agg(
+        F.count(F.lit(1)).alias("np"), F.sum("cents").alias("tc")
+    )
+    kept = (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(F.col("cents") * F.col("np") > F.col("tc"))
+        .select("a", "b")
+    )
+    e = (
+        kept.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(
+            kept.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        .localCheckpoint(eager=True)  # bounded: ≤ 25·24 directed edges
+    )
+    step = e.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+    dist = e.select(
+        F.col("u").alias("src"), F.col("v").alias("node"),
+        F.lit(1).alias("d"),
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for k in range(2, _CLOSENESS_CAP + 1):
+        frontier = (
+            frontier.join(step, frontier["node"] == F.col("eu"))
+            .select(
+                frontier["src"],
+                F.col("ev").alias("node"),
+                F.lit(k).alias("d"),
+            )
+            .distinct()
+            .filter(F.col("node") != F.col("src"))
+            .join(dist.select("src", "node"), ["src", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(frontier).localCheckpoint(eager=True)
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        dist.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.max("d").cast("bigint").alias("ecc"),
+            F.sum(F.expr("1000000 div d")).cast("bigint")
+            .alias("harmonic_ppm"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("src") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"), "n_reached", "ecc",
+            "harmonic_ppm",
+        )
+    )

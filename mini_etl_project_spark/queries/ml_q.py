@@ -4521,3 +4521,114 @@ def q_ml_polyreg2(spark: SparkSession, sf_dir: str) -> DataFrame:
         b1.alias("b1"),
         b2.alias("b2"),
     )
+
+
+# -- X369 McNemar's test for paired classifiers ----------------------------
+#
+# The right significance test when two classifiers are evaluated on the
+# SAME examples: only the discordant pairs carry information. b = A
+# correct where B wrong, c = B correct where A wrong; the statistic
+# (b-c)^2/(b+c) (and its continuity-corrected twin) is chi-square(1)
+# under H0. One conditional-aggregation pass over orders — no shuffle
+# beyond the single global aggregate, all integer arithmetic, ppm floor.
+# Classifier A: totalprice > 250k. Classifier B: priority in the top 3.
+# Truth: o_orderstatus = 'F'.
+
+_MCNEMAR_ORACLE = """
+WITH x AS (
+  SELECT (o_orderstatus = 'F') AS truth,
+         (o_totalprice > 250000.0) AS pa,
+         (o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')) AS pb
+  FROM orders)
+SELECT
+  CAST(SUM(CASE WHEN pa = truth AND pb = truth THEN 1 ELSE 0 END)
+       AS BIGINT) AS both_right,
+  CAST(SUM(CASE WHEN pa <> truth AND pb <> truth THEN 1 ELSE 0 END)
+       AS BIGINT) AS both_wrong,
+  CAST(SUM(CASE WHEN pa = truth AND pb <> truth THEN 1 ELSE 0 END)
+       AS BIGINT) AS b_disc,
+  CAST(SUM(CASE WHEN pa <> truth AND pb = truth THEN 1 ELSE 0 END)
+       AS BIGINT) AS c_disc,
+  CAST((SUM(CASE WHEN pa = truth AND pb <> truth THEN 1 ELSE 0 END)
+        - SUM(CASE WHEN pa <> truth AND pb = truth THEN 1 ELSE 0 END))
+       * (SUM(CASE WHEN pa = truth AND pb <> truth THEN 1 ELSE 0 END)
+          - SUM(CASE WHEN pa <> truth AND pb = truth THEN 1 ELSE 0 END))
+       * 1000000
+       // (SUM(CASE WHEN pa = truth AND pb <> truth THEN 1 ELSE 0 END)
+           + SUM(CASE WHEN pa <> truth AND pb = truth THEN 1 ELSE 0 END))
+       AS BIGINT) AS mcnemar_ppm,
+  CAST((ABS(SUM(CASE WHEN pa = truth AND pb <> truth THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN pa <> truth AND pb = truth THEN 1 ELSE 0 END))
+        - 1)
+       * (ABS(SUM(CASE WHEN pa = truth AND pb <> truth THEN 1 ELSE 0 END)
+              - SUM(CASE WHEN pa <> truth AND pb = truth THEN 1 ELSE 0 END))
+          - 1)
+       * 1000000
+       // (SUM(CASE WHEN pa = truth AND pb <> truth THEN 1 ELSE 0 END)
+           + SUM(CASE WHEN pa <> truth AND pb = truth THEN 1 ELSE 0 END))
+       AS BIGINT) AS mcnemar_cc_ppm
+FROM x
+"""
+
+
+@query("q_ml_mcnemar", _MCNEMAR_ORACLE)
+def q_ml_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderstatus") == "F").alias("truth"),
+        (F.col("o_totalprice") > 250000.0).alias("pa"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH", "3-MEDIUM")
+        .alias("pb"),
+    )
+    agg = o.agg(
+        F.sum(
+            F.when(
+                (F.col("pa") == F.col("truth"))
+                & (F.col("pb") == F.col("truth")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("both_right"),
+        F.sum(
+            F.when(
+                (F.col("pa") != F.col("truth"))
+                & (F.col("pb") != F.col("truth")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("both_wrong"),
+        F.sum(
+            F.when(
+                (F.col("pa") == F.col("truth"))
+                & (F.col("pb") != F.col("truth")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("b_disc"),
+        F.sum(
+            F.when(
+                (F.col("pa") != F.col("truth"))
+                & (F.col("pb") == F.col("truth")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c_disc"),
+    )
+    return agg.select(
+        "both_right",
+        "both_wrong",
+        "b_disc",
+        "c_disc",
+        F.expr(
+            "CAST((b_disc - c_disc) * (b_disc - c_disc) * 1000000"
+            " div (b_disc + c_disc) AS BIGINT)"
+        ).alias("mcnemar_ppm"),
+        F.expr(
+            "CAST((abs(b_disc - c_disc) - 1) * (abs(b_disc - c_disc) - 1)"
+            " * 1000000 div (b_disc + c_disc) AS BIGINT)"
+        ).alias("mcnemar_cc_ppm"),
+    )

@@ -2471,3 +2471,75 @@ def q_agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - half) / denom).alias("wilson_lo"),
         ((center + half) / denom).alias("wilson_hi"),
     )
+
+
+# -- X370 Hoover index (Robin Hood inequality) per return flag -------------
+#
+# Hoover = Σ|xᵢ·N − S| / (2·N·S): the share of total that would have to
+# move to equalize the distribution. Exact two-pass plan: a 3-row keyed
+# aggregate (S, N per flag) broadcast back onto the fact scan, then one
+# more keyed aggregate of the absolute deviations — the per-row products
+# stay in DECIMAL(38,0) so the deviation sum is exact at any scale
+# (Spark's bare BIGINT sum would overflow near 2^63 on a 100 TB fact
+# table; DuckDB's HUGEINT accumulator never does). The ppm ratio goes
+# through doubles with an IDENTICAL expression tree on both engines.
+
+_HOOVER_ORACLE = """
+WITH x AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem),
+g AS (
+  SELECT flag, CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS n
+  FROM x GROUP BY flag)
+SELECT x.flag,
+       CAST(g.n AS BIGINT) AS n,
+       g.s AS sum_cents,
+       CAST(SUM(ABS(x.cents * g.n - g.s)) AS BIGINT) AS abs_dev,
+       CAST(FLOOR(
+         CAST(CAST(SUM(ABS(x.cents * g.n - g.s)) AS BIGINT) AS DOUBLE)
+         * 1000000.0
+         / (2.0 * CAST(g.n AS DOUBLE) * CAST(g.s AS DOUBLE))
+       ) AS BIGINT) AS hoover_ppm
+FROM x JOIN g ON x.flag = g.flag
+GROUP BY x.flag, g.n, g.s
+"""
+
+
+@query("q_agg_hoover", _HOOVER_ORACLE)
+def q_agg_hoover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    g = x.groupBy("flag").agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = (
+        F.abs(
+            F.col("cents").cast("decimal(38,0)") * F.col("n") - F.col("s")
+        )
+    )
+    agg = (
+        x.join(F.broadcast(g), "flag")
+        .groupBy("flag", "n", "s")
+        .agg(F.sum(dev).cast("bigint").alias("abs_dev"))
+    )
+    return agg.select(
+        "flag",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s").alias("sum_cents"),
+        "abs_dev",
+        F.floor(
+            F.col("abs_dev").cast("double")
+            * F.lit(1000000.0)
+            / (
+                F.lit(2.0)
+                * F.col("n").cast("double")
+                * F.col("s").cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("hoover_ppm"),
+    )

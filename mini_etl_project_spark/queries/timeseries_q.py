@@ -3769,3 +3769,89 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, day bigint, cents bigint, "
         "level bigint, trend bigint, season bigint, forecast_next bigint",
     )
+
+
+# -- X371 Wald–Wolfowitz runs test per user --------------------------------
+#
+# Randomness check on each user's event-value sequence: count maximal
+# runs of above/below-the-user-mean and compare against the expected
+# run count 1 + 2·n₁·n₂/n. Everything is keyed by user_id (high
+# cardinality — the windows shard across the cluster): one unbounded
+# keyed window for the user's exact (S, N), one ordered keyed window for
+# the lag, one keyed aggregate. "Above" is the strict integer comparison
+# cents·N > S, so there is no float mean and no tie ambiguity.
+
+_RUNS_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+s AS (
+  SELECT user_id, ts, event_id, cents,
+         SUM(cents) OVER (PARTITION BY user_id) AS s,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM e),
+f AS (
+  SELECT user_id, n,
+         CASE WHEN cents * n > s THEN 1 ELSE 0 END AS above,
+         LAG(CASE WHEN cents * n > s THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM s)
+SELECT user_id,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM(above) AS BIGINT) AS n_above,
+       CAST(MAX(n) - SUM(above) AS BIGINT) AS n_below,
+       CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND above <> prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+       CAST(1000000
+            + (2 * SUM(above) * (MAX(n) - SUM(above)) * 1000000)
+              // MAX(n) AS BIGINT) AS expected_runs_ppm
+FROM f GROUP BY user_id
+"""
+
+
+@query("q_ts_runs_test", _RUNS_ORACLE)
+def q_ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w_u = Window.partitionBy("user_id")
+    s = e.select(
+        "user_id", "ts", "event_id", "cents",
+        F.sum("cents").over(w_u).alias("s"),
+        F.count(F.lit(1)).over(w_u).alias("n"),
+    )
+    above = F.when(F.col("cents") * F.col("n") > F.col("s"), 1).otherwise(0)
+    w_o = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    f = s.select(
+        "user_id", "n",
+        above.alias("above"),
+        F.lag(above).over(w_o).alias("prev"),
+    )
+    return f.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("above").cast("bigint").alias("n_above"),
+        (F.max("n") - F.sum("above")).cast("bigint").alias("n_below"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("above") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("runs"),
+        (
+            F.lit(1000000)
+            + F.expr(
+                "(2 * sum(above) * (max(n) - sum(above)) * 1000000)"
+                " div max(n)"
+            )
+        )
+        .cast("bigint")
+        .alias("expected_runs_ppm"),
+    )

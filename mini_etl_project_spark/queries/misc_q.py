@@ -2176,3 +2176,50 @@ def q_quality_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "key")
         .limit(20)
     )
+
+
+# -- X376 named WINDOW clause -----------------------------------------------
+#
+# The ANSI WINDOW clause: declare the partitioning/ordering once, name
+# it, and reference it from several window functions — the SQL surface
+# that keeps multi-window SELECTs maintainable AND tells the planner
+# the functions share one sort (one Exchange+Sort feeds both). Runs on
+# the bounded (event_type, day) daily-revenue spine, so the window
+# input is a post-aggregate (~150 rows), not the fact scan.
+
+_NAMED_WINDOW_ORACLE = """
+WITH d AS (
+  SELECT event_type, CAST(DAY(ts) AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2)
+SELECT event_type, day, cents,
+       CAST(RANK() OVER w1 AS BIGINT) AS day_rank,
+       CAST(SUM(cents) OVER w2 AS BIGINT) AS running_cents
+FROM d
+WINDOW w1 AS (PARTITION BY event_type ORDER BY cents DESC, day),
+       w2 AS (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("q_sql_named_window", _NAMED_WINDOW_ORACLE)
+def q_sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "nw_events"
+    )
+    return spark.sql(
+        """
+        WITH d AS (
+          SELECT event_type, CAST(DAY(ts) AS BIGINT) AS day,
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM nw_events GROUP BY 1, 2)
+        SELECT event_type, day, cents,
+               CAST(RANK() OVER w1 AS BIGINT) AS day_rank,
+               CAST(SUM(cents) OVER w2 AS BIGINT) AS running_cents
+        FROM d
+        WINDOW w1 AS (PARTITION BY event_type ORDER BY cents DESC, day),
+               w2 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    )

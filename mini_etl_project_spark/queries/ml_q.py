@@ -4632,3 +4632,384 @@ def q_ml_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div (b_disc + c_disc) AS BIGINT)"
         ).alias("mcnemar_cc_ppm"),
     )
+
+
+# -- X372 Matthews correlation coefficient ----------------------------------
+#
+# The single-number binary-classifier summary that stays honest under
+# class imbalance (unlike accuracy or F1). Confusion counts are exact
+# BIGINTs from ONE conditional-aggregation pass over orders; the MCC
+# itself is (tp*tn - fp*fn) / sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn)) with
+# every count cast to DOUBLE *before* arithmetic on BOTH engines — the
+# products exceed 2^63 long before 100 TB, and the identical
+# double-expression tree (products, one sqrt, one divide — all IEEE
+# correctly rounded) is the repo's pinned cross-engine convention
+# (see X363 Wilson CI). Classifier: o_totalprice > 150k; truth:
+# o_orderstatus = 'F'.
+
+_MCC_ORACLE = """
+WITH g AS (
+  SELECT
+    CAST(SUM(CASE WHEN o_totalprice > 150000.0 AND o_orderstatus = 'F'
+             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN o_totalprice <= 150000.0 AND o_orderstatus <> 'F'
+             THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+    CAST(SUM(CASE WHEN o_totalprice > 150000.0 AND o_orderstatus <> 'F'
+             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN o_totalprice <= 150000.0 AND o_orderstatus = 'F'
+             THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM orders)
+SELECT tp, tn, fp, fn,
+       (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+        - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+       / SQRT((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+              * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+              * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+              * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))) AS mcc
+FROM g
+"""
+
+
+@query("q_ml_mcc", _MCC_ORACLE)
+def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pred = F.col("o_totalprice") > 150000.0
+    truth = F.col("o_orderstatus") == "F"
+
+    def _n(cond, name):
+        return (
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+        )
+
+    g = o.agg(
+        _n(pred & truth, "tp"),
+        _n(~pred & ~truth, "tn"),
+        _n(pred & ~truth, "fp"),
+        _n(~pred & truth, "fn"),
+    )
+    tpd, tnd = F.col("tp").cast("double"), F.col("tn").cast("double")
+    fpd, fnd = F.col("fp").cast("double"), F.col("fn").cast("double")
+    return g.select(
+        "tp", "tn", "fp", "fn",
+        (
+            (tpd * tnd - fpd * fnd)
+            / F.sqrt((tpd + fpd) * (tpd + fnd) * (tnd + fpd) * (tnd + fnd))
+        ).alias("mcc"),
+    )
+
+
+# -- X373 Cochran-Armitage trend test ---------------------------------------
+#
+# Dose-response: is the completion rate monotonically related to order
+# priority? Groups are the 5 priorities with integer scores w = the
+# leading digit (1..5); successes are o_orderstatus = 'F'. Under H0 the
+# A successes land uniformly without replacement, so with S1 = Sw_i*a_i,
+# S2 = Sw_i*n_i, S3 = Sw_i^2*n_i:
+#     z^2 = (n*S1 - A*S2)^2 * (n-1) / (A*(n-A)*(n*S3 - S2^2))
+# — an exact rational in the five integer aggregates. The counts come
+# from one keyed 5-row aggregate + one 1-row rollup; z^2 is evaluated in
+# DOUBLE with the identical tree on both engines (cross products pass
+# 2^63 at scale).
+
+_CA_TREND_ORACLE = """
+WITH g AS (
+  SELECT CAST(LEFT(o_orderpriority, 1) AS BIGINT) AS w,
+         CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a_i
+  FROM orders GROUP BY 1),
+t AS (
+  SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+         CAST(SUM(a_i) AS BIGINT) AS a,
+         CAST(SUM(w * a_i) AS BIGINT) AS s1,
+         CAST(SUM(w * n_i) AS BIGINT) AS s2,
+         CAST(SUM(w * w * n_i) AS BIGINT) AS s3
+  FROM g)
+SELECT n, a, s1, s2, s3,
+       (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
+        - CAST(a AS DOUBLE) * CAST(s2 AS DOUBLE))
+       * (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
+          - CAST(a AS DOUBLE) * CAST(s2 AS DOUBLE))
+       * (CAST(n AS DOUBLE) - 1)
+       / (CAST(a AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(a AS DOUBLE))
+          * (CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+             - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS z2
+FROM t
+"""
+
+
+@query("q_ml_cochran_armitage", _CA_TREND_ORACLE)
+def q_ml_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g = (
+        o.groupBy(
+            F.substring("o_orderpriority", 1, 1).cast("bigint").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).cast("bigint").alias("a_i"),
+        )
+    )
+    t = g.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("a_i").cast("bigint").alias("a"),
+        F.sum(F.col("w") * F.col("a_i")).cast("bigint").alias("s1"),
+        F.sum(F.col("w") * F.col("n_i")).cast("bigint").alias("s2"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_i")).cast("bigint")
+        .alias("s3"),
+    )
+    nd, ad = F.col("n").cast("double"), F.col("a").cast("double")
+    s1d, s2d, s3d = (
+        F.col("s1").cast("double"),
+        F.col("s2").cast("double"),
+        F.col("s3").cast("double"),
+    )
+    num = nd * s1d - ad * s2d
+    return t.select(
+        "n", "a", "s1", "s2", "s3",
+        (
+            num * num * (nd - 1)
+            / (ad * (nd - ad) * (nd * s3d - s2d * s2d))
+        ).alias("z2"),
+    )
+
+
+# -- X374 CUPED variance reduction ------------------------------------------
+#
+# The experimentation-platform staple: adjust each unit's experiment
+# metric Y by its pre-period covariate X, Y' = Y - theta*(X - mean(X))
+# with theta = cov(X,Y)/var(X), shrinking arm-mean variance without
+# biasing the treatment contrast. Units are the event users (arm =
+# user_id % 2), X = the user's day-1..15 spend in cents, Y = day-16+
+# spend. Plan: one HIGH-CARDINALITY keyed aggregate per user (two
+# conditional sums, shards across the cluster), one 1-row DECIMAL(38,0)
+# moment rollup (exact at any scale), one 2-row arm rollup joined to
+# the broadcast moment row; theta and the adjusted means are identical
+# double trees from the exact integer sums.
+
+_CUPED_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         user_id % 2 AS arm,
+         CAST(SUM(CASE WHEN DAY(ts) <= 15
+                  THEN CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN DAY(ts) > 15
+                  THEN CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+  FROM u),
+arm AS (
+  SELECT arm,
+         CAST(COUNT(*) AS BIGINT) AS n_arm,
+         CAST(SUM(x) AS BIGINT) AS sx_arm,
+         CAST(SUM(y) AS BIGINT) AS sy_arm
+  FROM u GROUP BY arm)
+SELECT arm, n_arm, sx_arm, sy_arm,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+       CAST(sy_arm AS DOUBLE) / CAST(n_arm AS DOUBLE) AS mean_y,
+       (CAST(sy_arm AS DOUBLE)
+        - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * (CAST(sx_arm AS DOUBLE)
+             - CAST(n_arm AS DOUBLE)
+               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+       / CAST(n_arm AS DOUBLE) AS mean_y_adj
+FROM arm CROSS JOIN m
+"""
+
+
+@query("q_ml_cuped", _CUPED_ORACLE)
+def q_ml_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    u = (
+        e.groupBy(
+            "user_id", (F.col("user_id") % 2).alias("arm")
+        )
+        .agg(
+            F.sum(
+                F.when(F.dayofmonth("ts") <= 15, cents).otherwise(0)
+            ).cast("bigint").alias("x"),
+            F.sum(
+                F.when(F.dayofmonth("ts") > 15, cents).otherwise(0)
+            ).cast("bigint").alias("y"),
+        )
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)").alias("sxy"),
+    )
+    arm = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_arm"),
+        F.sum("x").cast("bigint").alias("sx_arm"),
+        F.sum("y").cast("bigint").alias("sy_arm"),
+    )
+    j = arm.crossJoin(F.broadcast(m))
+    nd = F.col("n").cast("double")
+    theta = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    na_d = F.col("n_arm").cast("double")
+    return j.select(
+        "arm", "n_arm", "sx_arm", "sy_arm",
+        theta.alias("theta"),
+        (F.col("sy_arm").cast("double") / na_d).alias("mean_y"),
+        (
+            (
+                F.col("sy_arm").cast("double")
+                - theta
+                * (
+                    F.col("sx_arm").cast("double")
+                    - na_d * (F.col("sx").cast("double") / nd)
+                )
+            )
+            / na_d
+        ).alias("mean_y_adj"),
+    )
+
+
+# -- X375 Gini-gain feature ranking -----------------------------------------
+#
+# Split-quality screening, the log-free sibling of information gain:
+# for each candidate binary feature, the drop in Gini impurity
+# 2p(1-p) when lineitem rows are split on it, against the label
+# l_returnflag = 'R'. ONE full-scan aggregate computes every (n1, k1)
+# pair as conditional sums; the 5 feature rows are then stacked from
+# that single row driver-side-free and scored with exact-count double
+# arithmetic (guarded for empty branches). Adding a feature costs two
+# more conditional sums in the same scan — the shape a 100 TB feature
+# screen needs (no per-feature pass, no shuffle beyond one row).
+
+_GINI_GAIN_ORACLE = """
+WITH g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k,
+         CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1_disc,
+         CAST(SUM(CASE WHEN l_discount > 0.05 AND l_returnflag = 'R'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k1_disc,
+         CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1_qty,
+         CAST(SUM(CASE WHEN l_quantity > 25 AND l_returnflag = 'R'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k1_qty,
+         CAST(SUM(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1_tax,
+         CAST(SUM(CASE WHEN l_tax > 0.04 AND l_returnflag = 'R'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k1_tax,
+         CAST(SUM(CASE WHEN MONTH(l_shipdate) <= 6 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1_h1,
+         CAST(SUM(CASE WHEN MONTH(l_shipdate) <= 6 AND l_returnflag = 'R'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k1_h1,
+         CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1_stat,
+         CAST(SUM(CASE WHEN l_linestatus = 'F' AND l_returnflag = 'R'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k1_stat
+  FROM lineitem),
+s AS (
+  SELECT 'discount_gt_5pct' AS feature, n, k, n1_disc AS n1, k1_disc AS k1 FROM g
+  UNION ALL
+  SELECT 'quantity_gt_25', n, k, n1_qty, k1_qty FROM g
+  UNION ALL
+  SELECT 'tax_gt_4pct', n, k, n1_tax, k1_tax FROM g
+  UNION ALL
+  SELECT 'shipped_h1', n, k, n1_h1, k1_h1 FROM g
+  UNION ALL
+  SELECT 'linestatus_f', n, k, n1_stat, k1_stat FROM g)
+SELECT feature, n1, k1,
+       CAST(n - n1 AS BIGINT) AS n0,
+       CAST(k - k1 AS BIGINT) AS k0,
+       2 * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+         * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+       - (CASE WHEN n1 = 0 THEN CAST(0 AS DOUBLE) ELSE
+            (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+            * (2 * (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               * (1 - CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE))) END)
+       - (CASE WHEN n - n1 = 0 THEN CAST(0 AS DOUBLE) ELSE
+            (CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE))
+            * (2 * (CAST(k - k1 AS DOUBLE) / CAST(n - n1 AS DOUBLE))
+               * (1 - CAST(k - k1 AS DOUBLE) / CAST(n - n1 AS DOUBLE)))
+          END) AS gini_gain
+FROM s
+"""
+
+
+@query("q_ml_gini_gain", _GINI_GAIN_ORACLE)
+def q_ml_gini_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    lbl = F.col("l_returnflag") == "R"
+    feats = {
+        "disc": F.col("l_discount") > 0.05,
+        "qty": F.col("l_quantity") > 25,
+        "tax": F.col("l_tax") > 0.04,
+        "h1": F.month("l_shipdate") <= 6,
+        "stat": F.col("l_linestatus") == "F",
+    }
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(lbl, 1).otherwise(0)).cast("bigint").alias("k"),
+    ]
+    for tag, cond in feats.items():
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+            .alias(f"n1_{tag}")
+        )
+        aggs.append(
+            F.sum(F.when(cond & lbl, 1).otherwise(0)).cast("bigint")
+            .alias(f"k1_{tag}")
+        )
+    g = li.agg(*aggs)
+    names = {
+        "disc": "discount_gt_5pct",
+        "qty": "quantity_gt_25",
+        "tax": "tax_gt_4pct",
+        "h1": "shipped_h1",
+        "stat": "linestatus_f",
+    }
+    stack_args = ", ".join(
+        f"'{names[t]}', n1_{t}, k1_{t}" for t in feats
+    )
+    s = g.selectExpr(
+        "n", "k",
+        f"stack({len(feats)}, {stack_args}) AS (feature, n1, k1)",
+    )
+    nd, kd = F.col("n").cast("double"), F.col("k").cast("double")
+    n1d, k1d = F.col("n1").cast("double"), F.col("k1").cast("double")
+    n0, k0 = F.col("n") - F.col("n1"), F.col("k") - F.col("k1")
+    n0d, k0d = n0.cast("double"), k0.cast("double")
+    child1 = F.when(F.col("n1") == 0, F.lit(0.0)).otherwise(
+        (n1d / nd) * (2 * (k1d / n1d) * (1 - k1d / n1d))
+    )
+    child0 = F.when(n0 == 0, F.lit(0.0)).otherwise(
+        (n0d / nd) * (2 * (k0d / n0d) * (1 - k0d / n0d))
+    )
+    return s.select(
+        "feature", "n1", "k1",
+        n0.cast("bigint").alias("n0"),
+        k0.cast("bigint").alias("k0"),
+        (2 * (kd / nd) * (1 - kd / nd) - child1 - child0)
+        .alias("gini_gain"),
+    )

@@ -3855,3 +3855,80 @@ def q_ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("expected_runs_ppm"),
     )
+
+
+# -- X377 Dickey-Fuller unit-root statistic ---------------------------------
+#
+# Is each event type's daily-revenue series mean-reverting or a random
+# walk? The zero-mean Dickey-Fuller regression dy_t = rho*y_{t-1} + e
+# gives t = Sxy*sqrt(T-1)/sqrt(Sxx*Syy - Sxy^2) from three cross-moment
+# sums (x = lagged level, y = difference). The series is the keyed
+# BOUNDED daily post-aggregate (one fact-scan groupBy; the lag window
+# runs over ~30 rows per key), the moment sums are exact DECIMAL(38,0)
+# (level*diff products pass 2^63 at 100 TB daily volumes), and rho / t
+# are identical double trees on both engines.
+
+_DF_ORACLE = """
+WITH d AS (
+  SELECT event_type, DAY(ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+l AS (
+  SELECT event_type, y,
+         LAG(y) OVER (PARTITION BY event_type ORDER BY day) AS yl
+  FROM d),
+p AS (
+  SELECT event_type, yl, y - yl AS dy FROM l WHERE yl IS NOT NULL),
+t AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(CAST(yl AS DECIMAL(38,0)) * yl) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(yl AS DECIMAL(38,0)) * dy) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(dy AS DECIMAL(38,0)) * dy) AS DOUBLE) AS syy
+  FROM p GROUP BY event_type)
+SELECT event_type, n_obs,
+       sxy / sxx AS rho,
+       sxy * SQRT(CAST(n_obs AS DOUBLE) - 1)
+         / SQRT(sxx * syy - sxy * sxy) AS df_t
+FROM t
+"""
+
+
+@query("q_ts_dickey_fuller", _DF_ORACLE)
+def q_ts_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = (
+        e.groupBy("event_type", F.dayofmonth("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    p = (
+        d.select(
+            "event_type", "y", F.lag("y").over(w).alias("yl")
+        )
+        .filter(F.col("yl").isNotNull())
+        .withColumn("dy", F.col("y") - F.col("yl"))
+    )
+    t = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum(F.col("yl").cast("decimal(38,0)") * F.col("yl"))
+        .cast("double").alias("sxx"),
+        F.sum(F.col("yl").cast("decimal(38,0)") * F.col("dy"))
+        .cast("double").alias("sxy"),
+        F.sum(F.col("dy").cast("decimal(38,0)") * F.col("dy"))
+        .cast("double").alias("syy"),
+    )
+    return t.select(
+        "event_type", "n_obs",
+        (F.col("sxy") / F.col("sxx")).alias("rho"),
+        (
+            F.col("sxy") * F.sqrt(F.col("n_obs").cast("double") - 1)
+            / F.sqrt(
+                F.col("sxx") * F.col("syy") - F.col("sxy") * F.col("sxy")
+            )
+        ).alias("df_t"),
+    )

@@ -1469,13 +1469,31 @@ WITH base AS (
           CAST(l_partkey AS BIGINT)] AS arr
   FROM lineitem WHERE l_orderkey <= 1000)
 SELECT l_orderkey, l_linenumber,
-       list_filter(arr, x -> x IS NOT NULL) AS compacted,
-       list_prepend(CAST(-1 AS BIGINT), arr) AS prepended,
-       list_append(arr, CAST(99 AS BIGINT)) AS appended,
-       list_concat(list_concat(arr[1:1], [CAST(7 AS BIGINT)]), arr[2:])
-         AS inserted_at_2
+       array_to_string(list_transform(list_filter(arr, x -> x IS NOT NULL),
+         x -> COALESCE(CAST(x AS VARCHAR), 'N')), ',') AS compacted,
+       array_to_string(list_transform(list_prepend(CAST(-1 AS BIGINT), arr),
+         x -> COALESCE(CAST(x AS VARCHAR), 'N')), ',') AS prepended,
+       array_to_string(list_transform(list_append(arr, CAST(99 AS BIGINT)),
+         x -> COALESCE(CAST(x AS VARCHAR), 'N')), ',') AS appended,
+       array_to_string(list_transform(
+         list_concat(list_concat(arr[1:1], [CAST(7 AS BIGINT)]), arr[2:]),
+         x -> COALESCE(CAST(x AS VARCHAR), 'N')), ',') AS inserted_at_2
 FROM base
 """
+
+
+def _arr_str(col):
+    """Serialize an array<bigint> to a canonical string for transport.
+
+    The driver's result canonicalizer sorts rows through pandas, which
+    cannot hash list-valued cells (r6's only red row). Array semantics
+    stay in-plan; only the *output* is flattened — NULL elements map to
+    the sentinel 'N' so nullability survives the round-trip.
+    """
+    return F.array_join(
+        F.transform(col, lambda x: F.coalesce(x.cast("string"), F.lit("N"))),
+        ",",
+    )
 
 
 @query("q_fn_array_v34", _ARRAY34_ORACLE)
@@ -1495,12 +1513,16 @@ def q_fn_array_v34(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "l_orderkey",
         "l_linenumber",
-        F.array_compact("arr").alias("compacted"),
-        F.array_prepend("arr", F.lit(-1).cast("bigint")).alias("prepended"),
-        F.array_append("arr", F.lit(99).cast("bigint")).alias("appended"),
-        F.array_insert("arr", 2, F.lit(7).cast("bigint")).alias(
-            "inserted_at_2"
-        ),
+        _arr_str(F.array_compact("arr")).alias("compacted"),
+        _arr_str(
+            F.array_prepend("arr", F.lit(-1).cast("bigint"))
+        ).alias("prepended"),
+        _arr_str(
+            F.array_append("arr", F.lit(99).cast("bigint"))
+        ).alias("appended"),
+        _arr_str(
+            F.array_insert("arr", 2, F.lit(7).cast("bigint"))
+        ).alias("inserted_at_2"),
     )
 
 

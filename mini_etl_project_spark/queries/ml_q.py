@@ -4528,7 +4528,8 @@ def q_ml_polyreg2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The right significance test when two classifiers are evaluated on the
 # SAME examples: only the discordant pairs carry information. b = A
 # correct where B wrong, c = B correct where A wrong; the statistic
-# (b-c)^2/(b+c) (and its continuity-corrected twin) is chi-square(1)
+# (b-c)^2/(b+c) (and its continuity-corrected twin, with the standard
+# max(0,|b-c|-1) clamp so b == c yields 0) is chi-square(1)
 # under H0. One conditional-aggregation pass over orders — no shuffle
 # beyond the single global aggregate, all integer arithmetic, ppm floor.
 # Classifier A: totalprice > 250k. Classifier B: priority in the top 3.
@@ -4557,12 +4558,14 @@ SELECT
        // (SUM(CASE WHEN pa = truth AND pb <> truth THEN 1 ELSE 0 END)
            + SUM(CASE WHEN pa <> truth AND pb = truth THEN 1 ELSE 0 END))
        AS BIGINT) AS mcnemar_ppm,
-  CAST((ABS(SUM(CASE WHEN pa = truth AND pb <> truth THEN 1 ELSE 0 END)
-            - SUM(CASE WHEN pa <> truth AND pb = truth THEN 1 ELSE 0 END))
-        - 1)
-       * (ABS(SUM(CASE WHEN pa = truth AND pb <> truth THEN 1 ELSE 0 END)
-              - SUM(CASE WHEN pa <> truth AND pb = truth THEN 1 ELSE 0 END))
-          - 1)
+  CAST(GREATEST(
+         ABS(SUM(CASE WHEN pa = truth AND pb <> truth THEN 1 ELSE 0 END)
+             - SUM(CASE WHEN pa <> truth AND pb = truth THEN 1 ELSE 0 END))
+         - 1, 0)
+       * GREATEST(
+         ABS(SUM(CASE WHEN pa = truth AND pb <> truth THEN 1 ELSE 0 END)
+             - SUM(CASE WHEN pa <> truth AND pb = truth THEN 1 ELSE 0 END))
+         - 1, 0)
        * 1000000
        // (SUM(CASE WHEN pa = truth AND pb <> truth THEN 1 ELSE 0 END)
            + SUM(CASE WHEN pa <> truth AND pb = truth THEN 1 ELSE 0 END))
@@ -4627,8 +4630,12 @@ def q_ml_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((b_disc - c_disc) * (b_disc - c_disc) * 1000000"
             " div (b_disc + c_disc) AS BIGINT)"
         ).alias("mcnemar_ppm"),
+        # Continuity correction clamped at zero: when b == c the
+        # uncorrected numerator is 0 and (|b-c|-1)^2 would report a
+        # spurious positive statistic (standard practice: max(0, |b-c|-1)).
         F.expr(
-            "CAST((abs(b_disc - c_disc) - 1) * (abs(b_disc - c_disc) - 1)"
+            "CAST(greatest(abs(b_disc - c_disc) - 1, 0)"
+            " * greatest(abs(b_disc - c_disc) - 1, 0)"
             " * 1000000 div (b_disc + c_disc) AS BIGINT)"
         ).alias("mcnemar_cc_ppm"),
     )

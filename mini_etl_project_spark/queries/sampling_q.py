@@ -2478,11 +2478,14 @@ def q_agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hoover = Σ|xᵢ·N − S| / (2·N·S): the share of total that would have to
 # move to equalize the distribution. Exact two-pass plan: a 3-row keyed
 # aggregate (S, N per flag) broadcast back onto the fact scan, then one
-# more keyed aggregate of the absolute deviations — the per-row products
-# stay in DECIMAL(38,0) so the deviation sum is exact at any scale
-# (Spark's bare BIGINT sum would overflow near 2^63 on a 100 TB fact
-# table; DuckDB's HUGEINT accumulator never does). The ppm ratio goes
-# through doubles with an IDENTICAL expression tree on both engines.
+# more keyed aggregate of the absolute deviations. Both engines widen the
+# per-row product to a 38-digit accumulator (Spark DECIMAL(38,0); the
+# oracle casts before multiplying so DuckDB never hits BIGINT*BIGINT
+# overflow mid-expression). The transported abs_dev column is BIGINT for
+# hash parity — exact through the shipped scale factors; a true 100 TB
+# deployment would transport the DECIMAL (or its ppm ratio) instead,
+# since N·S there exceeds 2^63. The ppm ratio goes through doubles with
+# an IDENTICAL expression tree on both engines.
 
 _HOOVER_ORACLE = """
 WITH x AS (
@@ -2495,9 +2498,11 @@ g AS (
 SELECT x.flag,
        CAST(g.n AS BIGINT) AS n,
        g.s AS sum_cents,
-       CAST(SUM(ABS(x.cents * g.n - g.s)) AS BIGINT) AS abs_dev,
+       CAST(SUM(ABS(CAST(x.cents AS DECIMAL(38,0)) * g.n - g.s))
+            AS BIGINT) AS abs_dev,
        CAST(FLOOR(
-         CAST(CAST(SUM(ABS(x.cents * g.n - g.s)) AS BIGINT) AS DOUBLE)
+         CAST(CAST(SUM(ABS(CAST(x.cents AS DECIMAL(38,0)) * g.n - g.s))
+                   AS BIGINT) AS DOUBLE)
          * 1000000.0
          / (2.0 * CAST(g.n AS DOUBLE) * CAST(g.s AS DOUBLE))
        ) AS BIGINT) AS hoover_ppm

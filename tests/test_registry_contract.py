@@ -1,0 +1,38 @@
+"""Registry-wide output contract: every query's result schema is scalar.
+
+The driver canonicalizes query output through pandas (sort_values over
+object columns), which cannot hash list/dict-valued cells — round 6's
+only red row (q_fn_array_v34) was exactly this class of failure, with
+correct values. This test freezes the fix: no registered query may emit
+an Array/Map/Struct column. Plan-only (schema is resolved without
+executing), so walking the whole registry is cheap.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+from mini_etl_project_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_no_nonscalar_output_columns(spark):
+    bad: list[str] = []
+    errors: list[str] = []
+    for name, fn in sorted(QUERIES.items()):
+        try:
+            schema = fn(spark, SF).schema
+        except Exception as e:  # noqa: BLE001 — collect, don't abort the walk
+            errors.append(f"{name}: {type(e).__name__}: {e}")
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not errors, "plan build failed for:\n" + "\n".join(errors[:10])
+    assert not bad, (
+        "non-scalar output columns (driver canonicalizer cannot hash "
+        "these — serialize in-plan via array_join/to_json):\n"
+        + "\n".join(bad)
+    )

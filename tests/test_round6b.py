@@ -372,8 +372,17 @@ def test_array_v34_semantics_one_row(spark, sf_dir):
         .select("l_quantity", "l_partkey")
         .collect()[0]
     )
-    arr = [int(round(li["l_quantity"])), None, int(li["l_partkey"])]
-    assert row["compacted"] == [x for x in arr if x is not None]
-    assert row["prepended"] == [-1] + arr
-    assert row["appended"] == arr + [99]
-    assert row["inserted_at_2"] == [arr[0], 7] + arr[1:]
+    # Output is the canonical string serialization (NULL → 'N') — the
+    # driver's pandas canonicalizer cannot hash list cells, so arrays are
+    # flattened in-plan via array_join; semantics replayed on the strings.
+    from conftest import half_up
+
+    arr = [half_up(li["l_quantity"]), None, int(li["l_partkey"])]
+
+    def ser(xs):
+        return ",".join("N" if x is None else str(x) for x in xs)
+
+    assert row["compacted"] == ser([x for x in arr if x is not None])
+    assert row["prepended"] == ser([-1] + arr)
+    assert row["appended"] == ser(arr + [99])
+    assert row["inserted_at_2"] == ser([arr[0], 7] + arr[1:])

@@ -9,6 +9,8 @@ import hashlib
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import half_up
+
 from mini_etl_project_spark.queries.functions_q import _damerau_dl, q_fn_damerau
 from mini_etl_project_spark.queries.joins import q_join_fifo_costing
 from mini_etl_project_spark.queries.llm_q import q_corpus_shard_shuffle
@@ -51,8 +53,8 @@ def test_fifo_python_simulation(spark, sf_dir):
         lots = []  # (lot_qty, ext_cents), in receipt order
         issues = []  # issue_qty, in issue order
         for r in rs:
-            qty = int(round(r["l_quantity"]))
-            cents = int(round(r["l_extendedprice"] * 100))
+            qty = half_up(r["l_quantity"])
+            cents = half_up(r["l_extendedprice"], 100)
             if r["l_linenumber"] % 2 == 1:
                 lots.append((qty, cents))
             else:

@@ -8,6 +8,8 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from conftest import half_up
+
 from mini_etl_project_spark.operators.fill import scan_fill
 from mini_etl_project_spark.queries.dedup_q import q_er_fellegi_patterns
 from mini_etl_project_spark.queries.joins import q_join_pvm_bridge
@@ -115,7 +117,7 @@ def test_stockout_pandas_recompute(spark, sf_dir):
         mn = mx = None
         prev = 0
         for r in rs:
-            q = int(round(r["l_quantity"]))
+            q = half_up(r["l_quantity"])
             b += q if r["l_linenumber"] % 2 == 1 else -q
             if b < 0:
                 n_neg += 1
@@ -158,7 +160,7 @@ def test_fellegi_pattern_counts_pandas(spark, sf_dir):
 
     blocks = defaultdict(list)
     for r in rows:
-        bal = int(round(r["c_acctbal"]))
+        bal = half_up(r["c_acctbal"])
         blocks[(r["c_nationkey"], r["c_mktsegment"], tdiv(bal, 1000))].append(
             (r["c_custkey"], r["c_name"][:12], r["c_name"][-3:], bal)
         )
@@ -208,8 +210,8 @@ def test_robust_refit_python_recompute(spark, sf_dir):
     for r in rows:
         pts[r["l_returnflag"]].append(
             (
-                int(round(r["l_quantity"])),
-                int(round(r["l_extendedprice"] * 100)),
+                half_up(r["l_quantity"]),
+                half_up(r["l_extendedprice"], 100),
             )
         )
 

@@ -5,6 +5,7 @@ Wald-Wolfowitz runs test."""
 from __future__ import annotations
 
 from collections import defaultdict
+from decimal import ROUND_HALF_UP, Decimal
 
 import pytest
 from pyspark.sql import functions as F
@@ -15,6 +16,15 @@ from mini_etl_project_spark.queries.iterative_q import (
 from mini_etl_project_spark.queries.ml_q import q_ml_mcnemar
 from mini_etl_project_spark.queries.sampling_q import q_agg_hoover
 from mini_etl_project_spark.queries.timeseries_q import q_ts_runs_test
+
+
+def half_up_cents(v: float) -> int:
+    """Mirror Spark F.round(value*100) — HALF_UP on the shortest decimal
+    repr of the double (BigDecimal.valueOf), NOT Python round()'s
+    banker's half-to-even, which diverges on .xx5 values."""
+    return int(
+        Decimal(repr(v * 100)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+    )
 
 
 def test_harmonic_closeness_python_bfs(spark, sf_dir):
@@ -110,7 +120,7 @@ def test_mcnemar_counts_partition(spark, sf_dir):
     assert r["mcnemar_ppm"] == (b - c) * (b - c) * 1000000 // (b + c)
     assert (
         r["mcnemar_cc_ppm"]
-        == (abs(b - c) - 1) ** 2 * 1000000 // (b + c)
+        == max(abs(b - c) - 1, 0) ** 2 * 1000000 // (b + c)
     )
 
 
@@ -122,7 +132,7 @@ def test_hoover_bounds_and_exactness(spark, sf_dir):
     for r in rows.values():
         assert 0 <= r["hoover_ppm"] < 1000000
     cents = [
-        int(round(x["l_extendedprice"] * 100))
+        half_up_cents(x["l_extendedprice"])
         for x in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         .filter(F.col("l_returnflag") == "R")
         .select("l_extendedprice")
@@ -138,7 +148,7 @@ def test_runs_test_python_replay(spark, sf_dir):
     ev = sorted(
         (
             (r["user_id"], r["ts"], r["event_id"],
-             int(round(r["value"] * 100)))
+             half_up_cents(r["value"]))
             for r in spark.read.parquet(f"{sf_dir}/events.parquet")
             .select("user_id", "ts", "event_id", "value")
             .collect()

@@ -160,13 +160,32 @@ def test_named_window_shares_one_sort_per_window(spark, sf_dir):
         for r in rs_day:
             run += r["cents"]
             assert r["running_cents"] == run
+        # Tie-aware RANK replay over w1's FULL ordering key (cents DESC,
+        # day): equal keys share the rank of the first member, exactly as
+        # RANK() defines it — robust to fixture regeneration with ties.
         by_rank = sorted(rs, key=lambda r: (-r["cents"], r["day"]))
+        prev_key, prev_rank = None, 0
         for i, r in enumerate(by_rank):
-            assert r["day_rank"] == i + 1  # cents strictly distinct-ish
-    # plan sanity: the two windows need two sorts at most (w1, w2) and
-    # the input is the bounded daily aggregate, not the fact scan
+            key = (r["cents"], r["day"])
+            rank = prev_rank if key == prev_key else i + 1
+            assert r["day_rank"] == rank
+            prev_key, prev_rank = key, rank
+    # Plan shape, asserted on actual operator nodes of the FINAL plan
+    # (not a substring count): exactly two Window operators, each fed by
+    # its own Sort, but both downstream of ONE event_type hash exchange —
+    # the named WINDOW clause's shared partitioning means one shuffle
+    # feeds both windows. The second exchange in the full plan belongs to
+    # the daily pre-aggregate, keyed on (event_type, day).
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Window") <= 4
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Window [") == 2
+    assert final.count("Sort [") == 2
+    window_exchanges = [
+        ln for ln in final.splitlines()
+        if "Exchange hashpartitioning(event_type#" in ln
+        and "_groupingexpression" not in ln and ", day" not in ln
+    ]
+    assert len(window_exchanges) == 1
 
 
 def test_dickey_fuller_python_recompute(spark, sf_dir):

@@ -98,18 +98,57 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- Q12 approximate aggregation (rows-only: HLL/KLL sketches are
-#    implementation-defined, so no exact oracle exists; the unit test
-#    bounds the relative error against the exact count instead) -----------
+# -- Q12 approximate aggregation --------------------------------------------
+# HLL++/KLL sketch estimates are implementation-defined, so the raw
+# estimates can't hash-match DuckDB. Driver-checkable form (the X39/X103
+# derived-fact pattern): the sketch runs in-plan, but what the query
+# EMITS are exact values plus integer bound-flags computed in-plan —
+# "estimate within 3×rsd of exact", "approx median between exact
+# p45/p55" — which the oracle asserts as literal 1s alongside the same
+# exact columns. Both sketches are merge-order-independent within these
+# bounds (HLL registers are max-merged; the GK summary's rank error is
+# ≤ n/accuracy ≪ the p45–p55 rank window), so the flags are stable under
+# any partitioning. The raw-estimate surface lives on in the unit tests
+# and q_agg_hll_native.
+
+_APPROX_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       1 AS parts_within_3rsd,
+       1 AS median_within_p45_p55
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
-@query("q_agg_approx")
+@query("q_agg_approx", _APPROX_ORACLE)
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    agg = l.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+        F.percentile("l_extendedprice", 0.45).alias("p45"),
+        F.percentile("l_extendedprice", 0.55).alias("p55"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.15 * F.col("exact_parts")
+        )
+        .cast("int")
+        .alias("parts_within_3rsd"),
+        (
+            (F.col("approx_median") >= F.col("p45"))
+            & (F.col("approx_median") <= F.col("p55"))
+        )
+        .cast("int")
+        .alias("median_within_p45_p55"),
     )
 
 

@@ -791,3 +791,638 @@ def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+# -- X378: semantic (embedding-space) dedup — SemDeDup-shape ----------------
+# Dedup where "duplicate" means cosine >= tau in embedding space, the
+# missing member of the corpus-dedup family (shingle-LSH, substring, URL,
+# containment, image-hash all exist). Pipeline: exact-sign md5-hyperplane
+# LSH buckets ALL vectors (candidate generation is bucketed — no
+# all-pairs anywhere), intra-bucket pairs get an exact-decimal cosine,
+# pairs >= tau feed the fixpoint connected-components operator, and each
+# cluster keeps its min-id representative. Because the hyperplanes are
+# md5-derived and the sign dots are decimal-exact, DuckDB re-derives the
+# SAME buckets, edges, and (via a recursive-CTE transitive closure) the
+# SAME clusters — the whole semantic-dedup pipeline is hash-checked, not
+# rows-only. 100 TB posture: bucketing is a projection + groupBy; the
+# pair join is per-(table,bucket); CC is O(log diameter) rounds
+# (operators/dedup.py:246); nothing scans cross-product space. At scale
+# you'd raise bits (so buckets stay bounded) and keep tables small.
+
+_SEMDEDUP_TAU = 0.35
+
+_SEMDEDUP_ORACLE = f"""
+WITH planes AS (
+  SELECT t.t AS tbl, b.b AS bit, d.d AS dim,
+         (('0x' || substr(md5('rhp:' || t.t || ':' || b.b || ':' || d.d),
+                          1, 16))::UBIGINT::DOUBLE
+          / 9223372036854775808.0 - 1.0) AS w
+  FROM unnest(generate_series(0, {_LSH_TABLES - 1})) t(t),
+       unnest(generate_series(0, {_LSH_BITS - 1})) b(b),
+       unnest(generate_series(0, {_DIM - 1})) d(d)),
+bitdots AS (
+  SELECT e.vec_id, p.tbl, p.bit,
+         SUM(CAST(CAST(e.embedding[p.dim + 1] AS DOUBLE) * p.w
+                  AS DECIMAL(38,10))) AS dot
+  FROM embeddings e, planes p
+  GROUP BY e.vec_id, p.tbl, p.bit),
+sigs AS (
+  SELECT vec_id, tbl,
+         SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << bit) ELSE 0 END) AS bucket
+  FROM bitdots GROUP BY vec_id, tbl),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id),
+norms AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(CAST(embedding[t.i] AS DOUBLE)
+                       * CAST(embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS sq
+  FROM embeddings, unnest(generate_series(1, {_DIM})) t(i)
+  GROUP BY vec_id),
+cdots AS (
+  SELECT cand.id_a, cand.id_b,
+         CAST(SUM(CAST(CAST(a.embedding[t.i] AS DOUBLE)
+                       * CAST(b.embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS dot
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.id_a
+  JOIN embeddings b ON b.vec_id = cand.id_b,
+       unnest(generate_series(1, {_DIM})) t(i)
+  GROUP BY cand.id_a, cand.id_b),
+edges AS (
+  SELECT id_a, id_b FROM cdots
+  JOIN norms na ON na.vec_id = id_a
+  JOIN norms nb ON nb.vec_id = id_b
+  WHERE dot / (SQRT(na.sq) * SQRT(nb.sq)) >= {_SEMDEDUP_TAU}),
+dedges AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION SELECT id_b, id_a FROM edges),
+closure AS (
+  -- transitive closure by recursive CTE: exact CC roots for the oracle
+  -- (the engine side uses the distributed fixpoint operator instead)
+  WITH RECURSIVE r(node, reach) AS (
+    SELECT src, dst FROM dedges
+    UNION
+    SELECT r.node, d.dst FROM r JOIN dedges d ON r.reach = d.src
+  ) SELECT node, LEAST(node, MIN(reach)) AS root FROM r GROUP BY node),
+ncand AS (
+  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT id_a AS vec_id FROM cand
+        UNION ALL SELECT id_b FROM cand) GROUP BY vec_id),
+rooted AS (
+  SELECT e.vec_id, COALESCE(c.root, e.vec_id) AS cluster_root,
+         COALESCE(ncand.n, 0) AS n_candidates
+  FROM embeddings e
+  LEFT JOIN closure c ON c.node = e.vec_id
+  LEFT JOIN ncand ON ncand.vec_id = e.vec_id),
+sizes AS (
+  SELECT cluster_root AS r, CAST(COUNT(*) AS BIGINT) AS csize
+  FROM rooted GROUP BY cluster_root)
+SELECT vec_id, cluster_root,
+       sizes.csize AS cluster_size,
+       CAST(vec_id = cluster_root AS INT) AS keep,
+       n_candidates
+FROM rooted JOIN sizes ON sizes.r = rooted.cluster_root
+"""
+
+
+@query("q_dedup_semantic", _SEMDEDUP_ORACLE)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.functions.vectors import dot_exact, sqnorm_exact
+    from mini_etl_project_spark.operators.dedup import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    lsh = RandomHyperplaneLSH(
+        dim=_DIM, bits=_LSH_BITS, tables=_LSH_TABLES, exact_sign=True
+    )
+    b = lsh.add_buckets(
+        e.select("vec_id", "embedding"), "embedding"
+    ).select("table", "bucket", "vec_id")
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), ["table", "bucket"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("id_a"),
+            F.col("y.vec_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    sides = e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.sqrt(sqnorm_exact("embedding")).alias("nm"),
+    )
+    scored = (
+        cand.join(
+            sides.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("nm").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            sides.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("nm").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "cosine", dot_exact("va", "vb") / (F.col("na") * F.col("nb"))
+        )
+    )
+    edges = scored.filter(F.col("cosine") >= _SEMDEDUP_TAU).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(edges).select(
+        F.col("id").alias("vec_id"), F.col("component")
+    )
+    n_cand = (
+        cand.select(F.col("id_a").alias("vec_id"))
+        .unionByName(cand.select(F.col("id_b").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    )
+    rooted = (
+        e.select("vec_id")
+        .join(cc, "vec_id", "left")
+        .join(n_cand, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).alias("cluster_root"),
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+        )
+    )
+    sizes = rooted.groupBy(F.col("cluster_root").alias("r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return rooted.join(
+        sizes, rooted["cluster_root"] == sizes["r"]
+    ).select(
+        "vec_id",
+        "cluster_root",
+        "cluster_size",
+        (F.col("vec_id") == F.col("cluster_root")).cast("int").alias("keep"),
+        "n_candidates",
+    )
+
+
+# -- X379: IVF ANN recall accounting, oracle-checked ------------------------
+# The round-5 X321 pattern (LSH candidate counts + recall@k vs the exact
+# twin, all integers) extended to the IVF path. The production IVFIndex
+# learns centroids by seeded k-means — not SQL-replicable — so this
+# surface uses the OTHER standard centroid recipe: data-sampled coarse
+# centroids (vec_id = 17c+5, c<8; no Lloyd iterations), which DuckDB
+# re-derives exactly. Assignment/probing is argmin of the exact-decimal
+# L2 distance ((||v||² − 2v·c) + ||c||², tie → smallest cell), nprobe=2,
+# so candidate sets — and therefore every output integer — hash-match.
+# 100 TB posture identical to IVFIndex.write_partitioned: assignment is
+# a broadcast-nested-loop against 8 centroid rows; candidates come from
+# probed cells only.
+
+_IVF_CELLS, _IVF_NPROBE = 8, 2
+
+_IVF_RECALL_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST((vec_id - 5) // 17 AS INT) AS cell, embedding AS cv
+  FROM embeddings WHERE vec_id % 17 = 5 AND vec_id < {17 * _IVF_CELLS}),
+norms AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(CAST(embedding[t.i] AS DOUBLE)
+                       * CAST(embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS sq
+  FROM embeddings, unnest(generate_series(1, {_DIM})) t(i)
+  GROUP BY vec_id),
+cnorms AS (
+  SELECT cell,
+         CAST(SUM(CAST(CAST(cv[t.i] AS DOUBLE) * CAST(cv[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS sq
+  FROM cents, unnest(generate_series(1, {_DIM})) t(i)
+  GROUP BY cell),
+vcd AS (
+  SELECT e.vec_id, c.cell,
+         CAST(SUM(CAST(CAST(e.embedding[t.i] AS DOUBLE)
+                       * CAST(c.cv[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS dot
+  FROM embeddings e, cents c, unnest(generate_series(1, {_DIM})) t(i)
+  GROUP BY e.vec_id, c.cell),
+dists AS (
+  SELECT vcd.vec_id, vcd.cell,
+         (n.sq - 2.0 * vcd.dot) + cn.sq AS dist
+  FROM vcd JOIN norms n ON n.vec_id = vcd.vec_id
+           JOIN cnorms cn ON cn.cell = vcd.cell),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cell) AS rn
+    FROM dists) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cell) AS rn
+    FROM dists WHERE vec_id < {_NQ}) WHERE rn <= {_IVF_NPROBE}),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id),
+cdots AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         CAST(SUM(CAST(CAST(q.embedding[t.i] AS DOUBLE)
+                       * CAST(c.embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS dot
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id,
+       unnest(generate_series(1, {_DIM})) t(i)
+  GROUP BY cand.query_id, cand.neighbor_id),
+ann_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY dot / (SQRT(nq.sq) * SQRT(nc.sq)) DESC, neighbor_id)
+             AS rank
+    FROM cdots
+    JOIN norms nq ON nq.vec_id = query_id
+    JOIN norms nc ON nc.vec_id = neighbor_id) WHERE rank <= {_K}),
+edots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(CAST(CAST(q.embedding[t.i] AS DOUBLE)
+                       * CAST(c.embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS dot
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id <> c.vec_id,
+       unnest(generate_series(1, {_DIM})) t(i)
+  WHERE q.vec_id < {_NQ}
+  GROUP BY q.vec_id, c.vec_id),
+exact_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY dot / (SQRT(nq.sq) * SQRT(nc.sq)) DESC, neighbor_id)
+             AS rank
+    FROM edots
+    JOIN norms nq ON nq.vec_id = query_id
+    JOIN norms nc ON nc.vec_id = neighbor_id) WHERE rank <= {_K}),
+qids AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {_NQ}),
+ncand AS (SELECT query_id, COUNT(*) AS n FROM cand GROUP BY query_id),
+hits AS (
+  SELECT a.query_id, COUNT(*) AS n
+  FROM ann_topk a JOIN exact_topk e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY a.query_id)
+SELECT qids.query_id,
+       CAST(COALESCE(ncand.n, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(hits.n, 0) AS BIGINT) AS recall_hits,
+       CAST({_K} AS BIGINT) AS k
+FROM qids
+LEFT JOIN ncand ON ncand.query_id = qids.query_id
+LEFT JOIN hits ON hits.query_id = qids.query_id
+"""
+
+
+@query("q_sim_ann_recall_ivf", _IVF_RECALL_ORACLE)
+def q_sim_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mini_etl_project_spark.functions.vectors import (
+        cosine_exact,
+        dot_exact,
+        sqnorm_exact,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _NQ)
+    cents = e.filter(
+        (F.col("vec_id") % 17 == 5) & (F.col("vec_id") < 17 * _IVF_CELLS)
+    ).select(
+        F.expr("CAST((vec_id - 5) DIV 17 AS INT)").alias("cell"),
+        F.col("embedding").alias("cv"),
+        sqnorm_exact("embedding").alias("c_sq"),
+    )
+    vd = (
+        e.select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            sqnorm_exact("embedding").alias("v_sq"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "dist",
+            (F.col("v_sq") - 2.0 * dot_exact("v", "cv")) + F.col("c_sq"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    ranked = vd.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cell")
+    probes = (
+        ranked.filter((F.col("vec_id") < _NQ) & (F.col("rn") <= _IVF_NPROBE))
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    n_cand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    scored = (
+        cand.join(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qv"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("nv"),
+            ),
+            "neighbor_id",
+        )
+        .withColumn("cosine", cosine_exact("qv", "nv"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    ann = (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= _K)
+        .select("query_id", "neighbor_id")
+    )
+    exact = topk_exact(e, queries, k=_K).select("query_id", "neighbor_id")
+    hits = ann.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("recall_hits"))
+    qids = queries.select(F.col("vec_id").alias("query_id"))
+    return (
+        qids.join(n_cand, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.coalesce("recall_hits", F.lit(0)).cast("bigint").alias(
+                "recall_hits"
+            ),
+            F.lit(_K).cast("bigint").alias("k"),
+        )
+    )
+
+
+# -- X380: PQ ANN recall accounting, oracle-checked -------------------------
+# Same derived-fact recipe for the product-quantization path: m=8
+# subspaces x 8 dims, 16-entry codebook per subspace taken from sampled
+# data vectors (vec_id = 31j+2 — no Lloyd iterations, so DuckDB rebuilds
+# the identical codebook), encode = per-subspace argmin of the exact-
+# decimal squared distance (tie → smallest code), ADC = decimal-summed
+# per-subspace LUT lookups (order-independent), candidates = top-40 by
+# (ADC, id), rerank = exact cosine top-k, scored against the exact twin.
+# Every stage is deterministic on both engines, so candidate counts and
+# recall hits hash-match. The production PQIndex (seeded k-means
+# codebooks, operators/similarity.py:342) remains the scale path; this
+# pins the encode→ADC→rerank machinery with an independent oracle.
+
+_PQ_M, _PQ_SUB, _PQ_CODES, _PQ_R = 8, 8, 16, 40
+
+_PQ_RECALL_ORACLE = f"""
+WITH cb AS (
+  SELECT CAST((vec_id - 2) // 31 AS INT) AS j, embedding AS cv
+  FROM embeddings WHERE vec_id % 31 = 2 AND vec_id < {31 * _PQ_CODES}),
+encd AS (
+  SELECT e.vec_id, CAST((t.d - 1) // {_PQ_SUB} AS INT) AS s, cb.j,
+         CAST(SUM(CAST(
+           (CAST(e.embedding[t.d] AS DOUBLE) - CAST(cb.cv[t.d] AS DOUBLE))
+           * (CAST(e.embedding[t.d] AS DOUBLE) - CAST(cb.cv[t.d] AS DOUBLE))
+           AS DECIMAL(38,10))) AS DOUBLE) AS sqd
+  FROM embeddings e, cb, unnest(generate_series(1, {_DIM})) t(d)
+  GROUP BY e.vec_id, CAST((t.d - 1) // {_PQ_SUB} AS INT), cb.j),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                 ORDER BY sqd, j) AS rn
+    FROM encd) WHERE rn = 1),
+adc AS (
+  SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(CAST(l.sqd AS DECIMAL(38,10))) AS DOUBLE) AS dist
+  FROM codes c
+  JOIN encd l ON l.s = c.s AND l.j = c.code
+  WHERE l.vec_id < {_NQ} AND c.vec_id <> l.vec_id
+  GROUP BY l.vec_id, c.vec_id),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY dist, neighbor_id) AS rn
+    FROM adc) WHERE rn <= {_PQ_R}),
+norms AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(CAST(embedding[t.i] AS DOUBLE)
+                       * CAST(embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS sq
+  FROM embeddings, unnest(generate_series(1, {_DIM})) t(i)
+  GROUP BY vec_id),
+cdots AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         CAST(SUM(CAST(CAST(q.embedding[t.i] AS DOUBLE)
+                       * CAST(c.embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS dot
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id,
+       unnest(generate_series(1, {_DIM})) t(i)
+  GROUP BY cand.query_id, cand.neighbor_id),
+ann_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY dot / (SQRT(nq.sq) * SQRT(nc.sq)) DESC, neighbor_id)
+             AS rank
+    FROM cdots
+    JOIN norms nq ON nq.vec_id = query_id
+    JOIN norms nc ON nc.vec_id = neighbor_id) WHERE rank <= {_K}),
+edots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(CAST(CAST(q.embedding[t.i] AS DOUBLE)
+                       * CAST(c.embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS dot
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id <> c.vec_id,
+       unnest(generate_series(1, {_DIM})) t(i)
+  WHERE q.vec_id < {_NQ}
+  GROUP BY q.vec_id, c.vec_id),
+exact_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY dot / (SQRT(nq.sq) * SQRT(nc.sq)) DESC, neighbor_id)
+             AS rank
+    FROM edots
+    JOIN norms nq ON nq.vec_id = query_id
+    JOIN norms nc ON nc.vec_id = neighbor_id) WHERE rank <= {_K}),
+qids AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {_NQ}),
+ncand AS (SELECT query_id, COUNT(*) AS n FROM cand GROUP BY query_id),
+hits AS (
+  SELECT a.query_id, COUNT(*) AS n
+  FROM ann_topk a JOIN exact_topk e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY a.query_id)
+SELECT qids.query_id,
+       CAST(COALESCE(ncand.n, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(hits.n, 0) AS BIGINT) AS recall_hits,
+       CAST({_K} AS BIGINT) AS k
+FROM qids
+LEFT JOIN ncand ON ncand.query_id = qids.query_id
+LEFT JOIN hits ON hits.query_id = qids.query_id
+"""
+
+
+@query("q_sim_ann_recall_pq", _PQ_RECALL_ORACLE)
+def q_sim_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mini_etl_project_spark.functions.vectors import (
+        _dec_sum,
+        cosine_exact,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _NQ)
+    cb = e.filter(
+        (F.col("vec_id") % 31 == 2) & (F.col("vec_id") < 31 * _PQ_CODES)
+    ).select(
+        F.expr("CAST((vec_id - 2) DIV 31 AS INT)").alias("j"),
+        F.col("embedding").alias("cv"),
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice("embedding", s * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    cb_subs = cb.select(
+        "j",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("cv", s * _PQ_SUB + 1, _PQ_SUB).alias("cbv"),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("j", F.col("x.s").alias("s"), F.col("x.cbv").alias("cbv"))
+    v_subs = e.select(
+        "vec_id", F.explode(subs).alias("x")
+    ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+    encd = v_subs.join(F.broadcast(cb_subs), "s").withColumn(
+        "sqd",
+        _dec_sum(
+            F.zip_with(
+                "sv",
+                "cbv",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            )
+        ),
+    ).select("vec_id", "s", "j", "sqd")
+    wc = Window.partitionBy("vec_id", "s").orderBy("sqd", "j")
+    codes = (
+        encd.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("neighbor_id"), "s",
+            F.col("j").alias("code"),
+        )
+    )
+    lut = encd.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), "s", "j", "sqd"
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["s"] == lut["s"]) & (codes["code"] == lut["j"]),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.col("sqd").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("dist")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _PQ_R)
+        .select("query_id", "neighbor_id")
+    )
+    n_cand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    scored = (
+        cand.join(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qv"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("nv"),
+            ),
+            "neighbor_id",
+        )
+        .withColumn("cosine", cosine_exact("qv", "nv"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    ann = (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= _K)
+        .select("query_id", "neighbor_id")
+    )
+    exact = topk_exact(e, queries, k=_K).select("query_id", "neighbor_id")
+    hits = ann.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("recall_hits"))
+    qids = queries.select(F.col("vec_id").alias("query_id"))
+    return (
+        qids.join(n_cand, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.coalesce("recall_hits", F.lit(0)).cast("bigint").alias(
+                "recall_hits"
+            ),
+            F.lit(_K).cast("bigint").alias("k"),
+        )
+    )

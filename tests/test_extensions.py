@@ -73,8 +73,9 @@ def test_stream_dedup_and_stateful(spark, sf_dir):
 
 
 def test_approx_agg_error_bounds(spark, sf_dir):
-    """q_agg_approx is rows-only for the driver; here the sketches are
-    bounded against the exact answers (HLL++ default rsd = 5 %)."""
+    """q_agg_approx now emits oracle-checkable bound flags (the sketch
+    estimates run in-plan; the raw values are additionally re-bounded
+    here against independently-computed exact answers)."""
     from mini_etl_project_spark.queries import QUERIES
     from pyspark.sql import functions as F
 
@@ -89,10 +90,21 @@ def test_approx_agg_error_bounds(spark, sf_dir):
         .collect()
     }
     approx = QUERIES["q_agg_approx"](spark, sf_dir).collect()
+    assert len(approx) == len(exact)
     for r in approx:
+        n_exact, _ = exact[r["l_returnflag"]]
+        assert r["exact_parts"] == n_exact
+        assert r["parts_within_3rsd"] == 1
+        assert r["median_within_p45_p55"] == 1
+    # the raw sketch values, re-derived here, still obey the HLL++ rsd
+    raw = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("am"),
+    )
+    for r in raw.collect():
         n_exact, med_exact = exact[r["l_returnflag"]]
-        assert abs(r["approx_parts"] - n_exact) / n_exact < 0.15
-        assert abs(r["approx_median_price"] - med_exact) / med_exact < 0.05
+        assert abs(r["ap"] - n_exact) / n_exact < 0.15
+        assert abs(r["am"] - med_exact) / med_exact < 0.05
 
 
 def test_ml_minhash_agrees_with_portable_pipeline(spark, sf_dir):

@@ -82,3 +82,63 @@ def global_rank(
         )
         .drop("__pid", "__lr", "__off")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order: list[Column],
+    weight: Column,
+    sum_col: str = "prefix_sum",
+    total_col: str = "w_total",
+    num_partitions: int = 32,
+    group: list[str] | None = None,
+) -> DataFrame:
+    """Append the exact INCLUSIVE running sum of ``weight`` under
+    ``order`` (global, or within ``group``) plus the group total —
+    without an unpartitioned window.
+
+    Same two-phase shape as :func:`global_rank`: range-partition on the
+    ordering, reduce each partition to one weight subtotal (the only
+    unpartitioned window runs over that bounded ≤ #groups+partitions
+    table), broadcast cumulative offsets back, and finish with a
+    per-partition running sum KEYED by partition id. The ordering must
+    be total and unique within a group; ``weight`` should be an exact
+    type (bigint/decimal) so partial-sum order cannot matter.
+
+    The scale primitive behind cumulative-distribution queries and
+    weighted systematic sampling (q_sample_weighted_systematic): a naive
+    ``sum().over(Window.orderBy(...))`` drags the whole fact table
+    through one partition.
+    """
+    group = list(group or [])
+    gcols = [F.col(g) for g in group]
+    parts = df.repartitionByRange(num_partitions, *gcols, *order)
+    pid_df = parts.withColumn("__w", weight).withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint()
+    counts = pid_df.groupBy(*group, "__pid").agg(
+        F.sum("__w").alias("__s")
+    )
+    w_prev = Window.partitionBy(*group).orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy(*group).orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        *group,
+        "__pid",
+        F.coalesce(F.sum("__s").over(w_prev), F.lit(0)).alias("__off"),
+        F.sum("__s").over(w_all).alias(total_col),
+    )
+    running = F.sum("__w").over(
+        Window.partitionBy(*group, "__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        pid_df.withColumn("__run", running)
+        .join(F.broadcast(offsets), [*group, "__pid"])
+        .withColumn(sum_col, F.col("__off") + F.col("__run"))
+        .drop("__pid", "__w", "__run", "__off")
+    )

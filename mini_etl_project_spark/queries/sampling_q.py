@@ -2548,3 +2548,117 @@ def q_agg_hoover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hoover_ppm"),
     )
+
+
+# -- X381: distributed global running total (prefix-sum operator) -----------
+#
+# The cumulative-revenue curve every finance/ops dashboard wants:
+# running sum of order totals in (date, key) order over the WHOLE fact
+# table. The naive `SUM() OVER (ORDER BY ...)` is the canonical window
+# scale-killer (one partition swallows the table); the engine form is
+# operators/rank.py::global_prefix_sum — range-partition on the order,
+# per-partition subtotals → broadcast cumulative offsets → keyed
+# running window. Exact integer cents, so the result is partitioning-
+# independent and hash-matches the oracle's single-threaded window.
+
+_RUNTOTAL_ORACLE = """
+WITH x AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT o_orderkey, o_orderdate, cents,
+       CAST(SUM(cents) OVER (ORDER BY o_orderdate, o_orderkey
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS running_cents
+FROM x
+"""
+
+
+@query("q_agg_global_running_total", _RUNTOTAL_ORACLE)
+def q_agg_global_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.rank import global_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    out = global_prefix_sum(
+        o,
+        order=[F.col("o_orderdate"), F.col("o_orderkey")],
+        weight=F.col("cents"),
+        sum_col="running_cents",
+    )
+    return out.select(
+        "o_orderkey", "o_orderdate", "cents",
+        F.col("running_cents").cast("bigint").alias("running_cents"),
+    )
+
+
+# -- X382: weighted systematic sampling over distributed prefix sums --------
+#
+# The training-data-mixing sampler: pick ~k rows with probability
+# proportional to weight, deterministically, in ONE pass — select every
+# row whose cumulative-weight interval (cum-w, cum] contains a multiple
+# of step = floor(W / k). All integer arithmetic on exact cents (the
+# selection predicate is floor(cum/step) > floor((cum-w)/step)), so both
+# engines agree bit-for-bit; no RNG, no rejection, no collect. The
+# prefix sums come from the same global_prefix_sum operator — the only
+# distributed-hard part — making this the scale recipe for weighted
+# corpus subsampling (docs weighted by token count, orders by revenue).
+
+_WSYS_K = 200
+
+_WSYS_ORACLE = f"""
+WITH x AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS w
+  FROM orders),
+c AS (
+  SELECT *, CAST(SUM(w) OVER (ORDER BY o_orderdate, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+            CAST(SUM(w) OVER () AS BIGINT) AS total
+  FROM x),
+s AS (
+  SELECT *, GREATEST(total // {_WSYS_K}, 1) AS step FROM c)
+SELECT o_orderkey, o_orderdate, w, CAST(cum AS BIGINT) AS cum,
+       CAST(cum // step - (cum - w) // step AS BIGINT) AS n_ticks
+FROM s
+WHERE cum // step > (cum - w) // step
+"""
+
+
+@query("q_sample_weighted_systematic", _WSYS_ORACLE)
+def q_sample_weighted_systematic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mini_etl_project_spark.operators.rank import global_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("w"),
+    )
+    cum = global_prefix_sum(
+        o,
+        order=[F.col("o_orderdate"), F.col("o_orderkey")],
+        weight=F.col("w"),
+        sum_col="cum",
+        total_col="total",
+    )
+    s = cum.withColumn(
+        "step",
+        F.greatest(F.expr(f"total DIV {_WSYS_K}"), F.lit(1).cast("bigint")),
+    )
+    picked = s.filter(
+        F.expr("cum DIV step > (cum - w) DIV step")
+    )
+    return picked.select(
+        "o_orderkey",
+        "o_orderdate",
+        "w",
+        F.col("cum").cast("bigint").alias("cum"),
+        F.expr("CAST(cum DIV step - (cum - w) DIV step AS BIGINT)").alias(
+            "n_ticks"
+        ),
+    )

@@ -1,0 +1,114 @@
+"""Round-7 additions: global_prefix_sum operator (X381), weighted
+systematic sampling (X382), semantic dedup (X378), ANN recall twins
+(X379/X380), plus plan-posture pins for the new prefix-sum paths."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import half_up
+from mini_etl_project_spark.queries.sampling_q import (
+    q_agg_global_running_total,
+    q_sample_weighted_systematic,
+)
+from mini_etl_project_spark.queries.similarity_q import (
+    _SEMDEDUP_TAU,
+    q_dedup_semantic,
+    q_sim_ann_recall_ivf,
+    q_sim_ann_recall_pq,
+)
+
+
+def test_global_running_total_python_replay(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    seq = sorted(
+        ((r["o_orderdate"], r["o_orderkey"], half_up(r["o_totalprice"], 100))
+         for r in rows),
+    )
+    expected, run = {}, 0
+    for d, k, c in seq:
+        run += c
+        expected[k] = (c, run)
+    got = {
+        r["o_orderkey"]: (r["cents"], r["running_cents"])
+        for r in q_agg_global_running_total(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_prefix_sum_has_no_unpartitioned_fact_window(spark, sf_dir):
+    """The only unpartitioned window sits on the bounded per-partition
+    offsets table — every windowspec touching fact columns is keyed by
+    __pid (the global_rank posture, inherited by global_prefix_sum)."""
+    for fn in (q_agg_global_running_total, q_sample_weighted_systematic):
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "__pid" in plan
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line and "o_orderdate" in line:
+                assert "__pid" in line, line
+
+
+def test_weighted_systematic_tick_accounting(spark, sf_dir):
+    """Σ n_ticks == W DIV step (every tick multiple lands in exactly one
+    row's cumulative interval), and the selection is weight-monotone:
+    any row with w >= step is always selected."""
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    weights = {r["o_orderkey"]: half_up(r["o_totalprice"], 100) for r in rows}
+    total = sum(weights.values())
+    step = max(total // 200, 1)
+    got = q_sample_weighted_systematic(spark, sf_dir).collect()
+    assert sum(r["n_ticks"] for r in got) == total // step
+    picked = {r["o_orderkey"] for r in got}
+    for k, w in weights.items():
+        if w >= step:
+            assert k in picked
+    for r in got:
+        assert r["w"] == weights[r["o_orderkey"]]
+        assert r["n_ticks"] >= 1
+
+
+def test_semantic_dedup_cluster_invariants(spark, sf_dir):
+    """Roots are cluster minima; sizes partition the corpus; exactly one
+    keep per cluster; every same-cluster edge pair shares a root (spot
+    check via a Python CC replay over the emitted pairs is not possible
+    from the output alone, so assert the structural invariants)."""
+    rows = q_dedup_semantic(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n
+    by_root = defaultdict(list)
+    for r in rows:
+        assert r["cluster_root"] <= r["vec_id"]
+        by_root[r["cluster_root"]].append(r)
+    assert sum(len(v) for v in by_root.values()) == n
+    for root, members in by_root.items():
+        assert all(m["cluster_size"] == len(members) for m in members)
+        keeps = [m for m in members if m["keep"] == 1]
+        assert len(keeps) == 1 and keeps[0]["vec_id"] == root
+    # non-trivial at the shipped tau: at least one multi-member cluster
+    assert any(len(v) >= 2 for v in by_root.values()), _SEMDEDUP_TAU
+
+
+@pytest.mark.parametrize("fn", [q_sim_ann_recall_ivf, q_sim_ann_recall_pq])
+def test_ann_recall_surfaces_bounded(spark, sf_dir, fn):
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["recall_hits"] <= r["k"] == 5
+        assert r["recall_hits"] <= r["n_candidates"] or r["n_candidates"] == 0
+    # candidate generation is bucketed/pruned — never the whole corpus
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert all(r["n_candidates"] < n for r in rows)
+    # the surfaces are informative, not vacuous: some recall somewhere
+    assert sum(r["recall_hits"] for r in rows) > 0

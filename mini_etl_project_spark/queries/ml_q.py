@@ -5020,3 +5020,71 @@ def q_ml_gini_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * (kd / nd) * (1 - kd / nd) - child1 - child0)
         .alias("gini_gain"),
     )
+
+
+# -- X385 offline policy evaluation by replay (bandit counterfactual) -------
+#
+# The standard offline estimator for "what would THIS policy have
+# earned" from logged interaction data (Li et al.'s replay method): keep
+# only the logged events whose action matches the target policy's
+# action for that context, and average their rewards. Context = user,
+# logged action = event_type, reward = exact value cents. The target
+# policy is a deterministic context rule (hash-free: user_id mod 3 →
+# preferred action tier), so both engines agree on every match. One
+# conditional-aggregation pass per policy arm — no shuffle beyond the
+# keyed aggregate; match-rate and value land as integers/ppm with
+# identical expression trees.
+
+_REPLAY_ORACLE = """
+WITH x AS (
+  SELECT event_type AS logged_action,
+         CASE user_id % 3 WHEN 0 THEN 'purchase'
+                          WHEN 1 THEN 'click' ELSE 'view' END AS pi_action,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT pi_action,
+       CAST(COUNT(*) AS BIGINT) AS n_logged,
+       CAST(SUM(CASE WHEN logged_action = pi_action THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN logged_action = pi_action THEN cents ELSE 0 END)
+            AS BIGINT) AS matched_cents,
+       CAST(SUM(CASE WHEN logged_action = pi_action THEN cents ELSE 0 END)
+            * 100
+            // GREATEST(SUM(CASE WHEN logged_action = pi_action
+                                 THEN 1 ELSE 0 END), 1)
+            AS BIGINT) AS replay_value_c100
+FROM x GROUP BY pi_action
+"""
+
+
+@query("q_ml_policy_replay", _REPLAY_ORACLE)
+def q_ml_policy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        F.col("event_type").alias("logged_action"),
+        F.when(F.col("user_id") % 3 == 0, "purchase")
+        .when(F.col("user_id") % 3 == 1, "click")
+        .otherwise("view")
+        .alias("pi_action"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    matched = F.when(
+        F.col("logged_action") == F.col("pi_action"), 1
+    ).otherwise(0)
+    mcents = F.when(
+        F.col("logged_action") == F.col("pi_action"), F.col("cents")
+    ).otherwise(0)
+    agg = x.groupBy("pi_action").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_logged"),
+        F.sum(matched).cast("bigint").alias("n_matched"),
+        F.sum(mcents).cast("bigint").alias("matched_cents"),
+    )
+    return agg.select(
+        "pi_action",
+        "n_logged",
+        "n_matched",
+        "matched_cents",
+        F.expr(
+            "CAST(matched_cents * 100 DIV greatest(n_matched, 1) AS BIGINT)"
+        ).alias("replay_value_c100"),
+    )

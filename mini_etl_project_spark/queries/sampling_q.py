@@ -2662,3 +2662,214 @@ def q_sample_weighted_systematic(
             "n_ticks"
         ),
     )
+
+
+# -- X383: portable Count-Min sketch with probe accounting ------------------
+#
+# The frequency-sketch sibling of the portable HLL/KMV family: d=4 md5
+# hash rows x w=64 counters, built with ONE keyed aggregate over the
+# (bounded, 256-cell) register space — map-side partial aggregation does
+# the heavy lifting, the sketch never grows with the data. Probe keys
+# get estimate = min over rows of their counter, plus the exact count
+# and the CMS overestimate invariant as an integer column. Same md5
+# derivation both engines, so registers, estimates, and flags all
+# hash-match. Merge story is counter-wise addition (not exercised here;
+# the KMV/HLL merges pin that pattern).
+
+_CMS_D, _CMS_W = 4, 64
+
+
+def _sql_cms_bucket(i: str, key: str) -> str:
+    inner = "'cms:' || " + i + " || ':' || " + key
+    return f"CAST({_sql_hash60(inner)} % {_CMS_W} AS INT)"
+
+
+_CMS_ORACLE = f"""
+WITH keys AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_partkey),
+cells AS (
+  SELECT i.i AS i, {_sql_cms_bucket('i.i', 'CAST(l_partkey AS VARCHAR)')} AS b,
+         CAST(SUM(c) AS BIGINT) AS cnt
+  FROM keys, unnest(generate_series(0, {_CMS_D - 1})) i(i)
+  GROUP BY 1, 2),
+probes AS (SELECT l_partkey, c FROM keys WHERE l_partkey <= 8),
+est AS (
+  SELECT p.l_partkey, p.c AS exact_cnt,
+         CAST(MIN(cells.cnt) AS BIGINT) AS cms_est
+  FROM probes p, unnest(generate_series(0, {_CMS_D - 1})) i(i)
+  JOIN cells ON cells.i = i.i
+    AND cells.b = {_sql_cms_bucket('i.i', 'CAST(p.l_partkey AS VARCHAR)')}
+  GROUP BY 1, 2)
+SELECT l_partkey, exact_cnt, cms_est,
+       CAST(cms_est >= exact_cnt AS INT) AS overestimates
+FROM est
+"""
+
+
+@query("q_agg_cms_portable", _CMS_ORACLE)
+def q_agg_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    rows_i = F.explode(
+        F.array(*[F.lit(i) for i in range(_CMS_D)])
+    ).alias("i")
+
+    def bucket(i_col, key_col):
+        return (
+            hash60(
+                F.concat(
+                    F.lit("cms:"),
+                    i_col.cast("string"),
+                    F.lit(":"),
+                    key_col.cast("string"),
+                )
+            )
+            % _CMS_W
+        ).cast("int")
+
+    cells = (
+        keys.select("l_partkey", "c", rows_i)
+        .withColumn("b", bucket(F.col("i"), F.col("l_partkey")))
+        .groupBy("i", "b")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+    )
+    probes = keys.filter(F.col("l_partkey") <= 8).select(
+        "l_partkey", F.col("c").alias("exact_cnt")
+    )
+    probed = (
+        probes.select("l_partkey", "exact_cnt", rows_i)
+        .withColumn("b", bucket(F.col("i"), F.col("l_partkey")))
+        .join(F.broadcast(cells), ["i", "b"])
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+    )
+    return probed.select(
+        "l_partkey",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).cast("int").alias(
+            "overestimates"
+        ),
+    )
+
+
+# -- X384: portable Bloom filter with false-positive accounting -------------
+#
+# The engine already uses Spark's native bloom_filter_agg for snapshot
+# file skipping (sources/snapshots.py); this is the PORTABLE twin —
+# m=256 bits, k=3 md5-derived bit positions — whose bit membership both
+# engines re-derive exactly, probed against the full customer dim with
+# per-nation accounting: bloom positives, true members (exact
+# semi-join), and false positives, all integers. Pins the zero-false-
+# negative invariant (n_true == n_both) the same way X321 pins ANN
+# recall. Build side: the member set reduces to <= 256 DISTINCT bits
+# before anything joins — broadcastable forever.
+
+_BF_M, _BF_K = 256, 3
+_BF_CUT = 400000.0
+
+
+def _sql_bf_bit(k: str, key: str) -> str:
+    inner = "'bf:' || " + k + " || ':' || " + key
+    return f"CAST({_sql_hash60(inner)} % {_BF_M} AS INT)"
+
+
+_BLOOM_ORACLE = f"""
+WITH members AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > {_BF_CUT}),
+bits AS (
+  SELECT DISTINCT {_sql_bf_bit('k.k', 'CAST(o_custkey AS VARCHAR)')} AS bit
+  FROM members, unnest(generate_series(0, {_BF_K - 1})) k(k)),
+pbits AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         {_sql_bf_bit('k.k', 'CAST(c.c_custkey AS VARCHAR)')} AS pbit
+  FROM customer c, unnest(generate_series(0, {_BF_K - 1})) k(k)),
+pos AS (
+  SELECT c_custkey, c_nationkey,
+         (COUNT(b.bit) = {_BF_K}) AS bloom_pos
+  FROM pbits LEFT JOIN bits b ON b.bit = pbits.pbit
+  GROUP BY 1, 2),
+flagged AS (
+  SELECT pos.c_custkey, pos.c_nationkey, pos.bloom_pos,
+         (m.o_custkey IS NOT NULL) AS is_member
+  FROM pos LEFT JOIN members m ON m.o_custkey = pos.c_custkey)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pos,
+       CAST(SUM(CASE WHEN bloom_pos AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN is_member AND NOT bloom_pos THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_neg
+FROM flagged GROUP BY c_nationkey
+"""
+
+
+@query("q_agg_bloom_portable", _BLOOM_ORACLE)
+def q_agg_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    members = (
+        o.filter(F.col("o_totalprice") > _BF_CUT)
+        .select("o_custkey")
+        .distinct()
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in range(_BF_K)])).alias("k")
+
+    def bf_bit(k_col, key_col):
+        return (
+            hash60(
+                F.concat(
+                    F.lit("bf:"),
+                    k_col.cast("string"),
+                    F.lit(":"),
+                    key_col.cast("string"),
+                )
+            )
+            % _BF_M
+        ).cast("int")
+
+    bits = (
+        members.select("o_custkey", ks)
+        .select(bf_bit(F.col("k"), F.col("o_custkey")).alias("bit"))
+        .distinct()
+    )
+    pos = (
+        c.select("c_custkey", "c_nationkey", ks)
+        .withColumn("bit", bf_bit(F.col("k"), F.col("c_custkey")))
+        .join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left"
+        )
+        .groupBy("c_custkey", "c_nationkey")
+        .agg((F.count("hit") == _BF_K).alias("bloom_pos"))
+    )
+    flagged = pos.join(
+        members.withColumn("is_m", F.lit(1)),
+        pos["c_custkey"] == members["o_custkey"],
+        "left",
+    ).select(
+        "c_nationkey",
+        "bloom_pos",
+        F.coalesce("is_m", F.lit(0)).alias("is_member"),
+    )
+    return flagged.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("is_member")).cast("bigint").alias("n_true"),
+        F.sum(F.col("bloom_pos").cast("int")).cast("bigint").alias(
+            "n_bloom_pos"
+        ),
+        F.sum(
+            (F.col("bloom_pos") & (F.col("is_member") == 0)).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.sum(
+            ((F.col("is_member") == 1) & ~F.col("bloom_pos")).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_false_neg"),
+    )

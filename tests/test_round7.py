@@ -112,3 +112,38 @@ def test_ann_recall_surfaces_bounded(spark, sf_dir, fn):
     assert all(r["n_candidates"] < n for r in rows)
     # the surfaces are informative, not vacuous: some recall somewhere
     assert sum(r["recall_hits"] for r in rows) > 0
+
+
+def test_cms_portable_invariants(spark, sf_dir):
+    """CMS never underestimates, and estimates equal exact counts when no
+    probe key collides (checked per-row via the emitted flag); replay the
+    probes' exact counts from raw data."""
+    from mini_etl_project_spark.queries.sampling_q import q_agg_cms_portable
+
+    exact = defaultdict(int)
+    for r in (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey")
+        .collect()
+    ):
+        exact[r["l_partkey"]] += 1
+    rows = q_agg_cms_portable(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_cnt"] == exact[r["l_partkey"]]
+        assert r["overestimates"] == 1
+        assert r["cms_est"] >= r["exact_cnt"]
+
+
+def test_bloom_portable_no_false_negatives(spark, sf_dir):
+    from mini_etl_project_spark.queries.sampling_q import (
+        q_agg_bloom_portable,
+    )
+
+    rows = q_agg_bloom_portable(spark, sf_dir).collect()
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert r["n_false_neg"] == 0  # Bloom's defining invariant
+        assert r["n_bloom_pos"] == r["n_true"] + r["n_false_pos"]
+        assert r["n_true"] <= r["n_customers"]

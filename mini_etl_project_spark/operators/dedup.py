@@ -259,10 +259,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """
     from pyspark.sql import Observation
 
+    # Materialize the edge set ONCE. Without this, every fixpoint round
+    # re-executes the caller's full upstream plan (for q_dedup_semantic
+    # that is the LSH bucketing + cosine pipeline — measured 141 s at
+    # sf0.1, dominated entirely by per-round recomputation; 16 s after).
+    # localCheckpoint also cuts the caller's lineage out of the loop.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))

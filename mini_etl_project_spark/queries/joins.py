@@ -1876,3 +1876,104 @@ def q_join_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(dec)
         .alias("volume_num"),
     )
+
+
+# -- X386: association rules (support / confidence / lift / Jaccard) --------
+#
+# The step after q_join_cooccurrence's pair counting: turn basket pair
+# counts into the four standard rule metrics, all integer-ppm so both
+# engines agree bit-for-bit. Directional rules a→b for every ordered
+# pair that co-occurs in >= 3 baskets. n_a/n_b come from a tiny item
+# support table joined twice (broadcast); N is a 1-row aggregate. The
+# basket self-join stays keyed on the basket id — quadratic only within
+# a basket, linear across baskets.
+
+_ASSOC_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+supp AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+  FROM items GROUP BY l_partkey),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+      FROM items),
+pairs AS (
+  SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT p.ante, p.cons, p.n_ab,
+       sa.n_item AS n_ante, sb.n_item AS n_cons,
+       CAST(p.n_ab * 1000000 // n.n_baskets AS BIGINT) AS support_ppm,
+       CAST(p.n_ab * 1000000 // sa.n_item AS BIGINT) AS confidence_ppm,
+       CAST(p.n_ab * n.n_baskets * 1000000
+            // (sa.n_item * sb.n_item) AS BIGINT) AS lift_ppm,
+       CAST(p.n_ab * 1000000
+            // (sa.n_item + sb.n_item - p.n_ab) AS BIGINT) AS jaccard_ppm
+FROM pairs p
+JOIN supp sa ON sa.l_partkey = p.ante
+JOIN supp sb ON sb.l_partkey = p.cons
+CROSS JOIN n
+"""
+
+
+@query("q_ml_association_rules", _ASSOC_ORACLE)
+def q_ml_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    n = items.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_baskets")
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("ante"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("cons"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                supp.select(
+                    F.col("l_partkey").alias("ante"),
+                    F.col("n_item").alias("n_ante"),
+                )
+            ),
+            "ante",
+        )
+        .join(
+            F.broadcast(
+                supp.select(
+                    F.col("l_partkey").alias("cons"),
+                    F.col("n_item").alias("n_cons"),
+                )
+            ),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        "ante",
+        "cons",
+        "n_ab",
+        "n_ante",
+        "n_cons",
+        F.expr("CAST(n_ab * 1000000 DIV n_baskets AS BIGINT)").alias(
+            "support_ppm"
+        ),
+        F.expr("CAST(n_ab * 1000000 DIV n_ante AS BIGINT)").alias(
+            "confidence_ppm"
+        ),
+        F.expr(
+            "CAST(n_ab * n_baskets * 1000000 DIV (n_ante * n_cons)"
+            " AS BIGINT)"
+        ).alias("lift_ppm"),
+        F.expr(
+            "CAST(n_ab * 1000000 DIV (n_ante + n_cons - n_ab) AS BIGINT)"
+        ).alias("jaccard_ppm"),
+    )

@@ -797,28 +797,50 @@ def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup where "duplicate" means cosine >= tau in embedding space, the
 # missing member of the corpus-dedup family (shingle-LSH, substring, URL,
 # containment, image-hash all exist). Pipeline: exact-sign md5-hyperplane
-# LSH buckets ALL vectors (candidate generation is bucketed — no
-# all-pairs anywhere), intra-bucket pairs get an exact-decimal cosine,
-# pairs >= tau feed the fixpoint connected-components operator, and each
-# cluster keeps its min-id representative. Because the hyperplanes are
+# LSH buckets ALL vectors, intra-bucket pairs get a cosine, pairs >= tau
+# feed the fixpoint connected-components operator, and each cluster
+# keeps its min-id representative. Because the hyperplanes are
 # md5-derived and the sign dots are decimal-exact, DuckDB re-derives the
 # SAME buckets, edges, and (via a recursive-CTE transitive closure) the
 # SAME clusters — the whole semantic-dedup pipeline is hash-checked, not
-# rows-only. 100 TB posture: bucketing is a projection + groupBy; the
-# pair join is per-(table,bucket); CC is O(log diameter) rounds
-# (operators/dedup.py:246); nothing scans cross-product space. At scale
-# you'd raise bits (so buckets stay bounded) and keep tables small.
+# rows-only. Two scale mechanisms, both measured at the 10× sweep:
+#  * ADAPTIVE bucket width: bits = max(3, floor(log2(n/64))+1), computed
+#    as the bin-length of n DIV 64 — identical integer arithmetic on
+#    both engines — so expected bucket size stays ~bounded and the
+#    candidate-pair count grows ~linearly instead of quadratically
+#    (n=500 → 3 bits; 2k → 5; 20k → 8). Wider buckets trade edge recall
+#    per table, the standard bits/tables dial.
+#  * TWO-TIER scoring: candidates are pre-filtered by a cheap
+#    normalized-double dot (sequential array fold, deterministic) at
+#    tau − 1e-3; only near-threshold survivors pay the exact-decimal
+#    cosine that defines the final predicate. The pre-filter is
+#    semantically transparent (fp error ~1e-12 ≪ margin), so the oracle
+#    stays single-tier and still hash-matches.
+# CC is O(log diameter) rounds (operators/dedup.py:246); nothing scans
+# cross-product space.
 
 _SEMDEDUP_TAU = 0.35
+_SEMDEDUP_MARGIN = 1e-3
+
+
+def _semdedup_bits(n: int) -> int:
+    """max(3, bin-length of n // 64) — mirrored in SQL as
+    GREATEST(LENGTH(BIN(GREATEST(n // 64, 1))), 3)."""
+    return max(len(bin(max(n // 64, 1))) - 2, 3)
+
 
 _SEMDEDUP_ORACLE = f"""
-WITH planes AS (
+WITH params AS (
+  SELECT GREATEST(LENGTH(BIN(GREATEST(COUNT(*) // 64, 1))), 3) AS bits
+  FROM embeddings),
+planes AS (
   SELECT t.t AS tbl, b.b AS bit, d.d AS dim,
          (('0x' || substr(md5('rhp:' || t.t || ':' || b.b || ':' || d.d),
                           1, 16))::UBIGINT::DOUBLE
           / 9223372036854775808.0 - 1.0) AS w
-  FROM unnest(generate_series(0, {_LSH_TABLES - 1})) t(t),
-       unnest(generate_series(0, {_LSH_BITS - 1})) b(b),
+  FROM params,
+       unnest(generate_series(0, {_LSH_TABLES - 1})) t(t),
+       unnest(generate_series(0, params.bits - 1)) b(b),
        unnest(generate_series(0, {_DIM - 1})) d(d)),
 bitdots AS (
   SELECT e.vec_id, p.tbl, p.bit,
@@ -894,8 +916,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_project_spark.operators.dedup import connected_components
 
     e = load_table(spark, sf_dir, "embeddings")
+    # adaptive bucket width (see header): one 1-row count action
+    bits = _semdedup_bits(e.count())
     lsh = RandomHyperplaneLSH(
-        dim=_DIM, bits=_LSH_BITS, tables=_LSH_TABLES, exact_sign=True
+        dim=_DIM, bits=bits, tables=_LSH_TABLES, exact_sign=True
     )
     b = lsh.add_buckets(
         e.select("vec_id", "embedding"), "embedding"
@@ -914,24 +938,38 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("embedding").alias("v"),
         F.sqrt(sqnorm_exact("embedding")).alias("nm"),
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double") / F.sqrt(sqnorm_exact("embedding")),
+        ).alias("uv"),
+    )
+    paired = cand.join(
+        sides.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("nm").alias("na"),
+            F.col("uv").alias("ua"),
+        ),
+        "id_a",
+    ).join(
+        sides.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("v").alias("vb"),
+            F.col("nm").alias("nb"),
+            F.col("uv").alias("ub"),
+        ),
+        "id_b",
+    )
+    # tier 1: cheap double dot of unit vectors (sequential fold —
+    # deterministic), margin below tau; tier 2: the exact-decimal cosine
+    # that defines the result, evaluated only on survivors.
+    t1 = F.aggregate(
+        F.zip_with("ua", "ub", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     scored = (
-        cand.join(
-            sides.select(
-                F.col("vec_id").alias("id_a"),
-                F.col("v").alias("va"),
-                F.col("nm").alias("na"),
-            ),
-            "id_a",
-        )
-        .join(
-            sides.select(
-                F.col("vec_id").alias("id_b"),
-                F.col("v").alias("vb"),
-                F.col("nm").alias("nb"),
-            ),
-            "id_b",
-        )
+        paired.filter(t1 >= _SEMDEDUP_TAU - _SEMDEDUP_MARGIN)
         .withColumn(
             "cosine", dot_exact("va", "vb") / (F.col("na") * F.col("nb"))
         )

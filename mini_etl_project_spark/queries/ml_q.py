@@ -5088,3 +5088,88 @@ def q_ml_policy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(matched_cents * 100 DIV greatest(n_matched, 1) AS BIGINT)"
         ).alias("replay_value_c100"),
     )
+
+
+# -- X388 expected calibration error (binned, rank-score) -------------------
+#
+# The standard reliability-diagram metric: bin predictions by confidence,
+# compare each bin's mean confidence to its empirical accuracy. The
+# "model" is a rank-based score (fraction of orders with smaller
+# totalprice — a [0,1] probability proxy with a total unique order), so
+# the whole computation stays in exact integer space: bin assignment is
+# floor((rank-1)*B/N), confidence numerators are rank sums, accuracy
+# numerators are outcome counts, and the ppm divisions share one
+# expression tree across engines. Rank comes from global_rank (range
+# partitions + offsets) — no unpartitioned fact window; the per-bin
+# aggregate is 10 rows.
+
+_ECE_BINS = 10
+
+_ECE_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM orders),
+binned AS (
+  SELECT CAST((rnk - 1) * {_ECE_BINS} // n AS BIGINT) AS bin,
+         y, rnk, n
+  FROM ranked)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_b,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(rnk - 1) AS BIGINT) AS conf_num,
+       CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm,
+       CAST(SUM(rnk - 1) * 1000000 // (COUNT(*) * (MAX(n) - 1))
+            AS BIGINT) AS conf_ppm,
+       CAST(ABS(SUM(y) * 1000000 // COUNT(*)
+                - SUM(rnk - 1) * 1000000 // (COUNT(*) * (MAX(n) - 1)))
+            AS BIGINT) AS gap_ppm
+FROM binned GROUP BY bin
+"""
+
+
+@query("q_ml_calibration_ece", _ECE_ORACLE)
+def q_ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.rank import global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    ranked = global_rank(
+        o,
+        order=[F.col("o_totalprice"), F.col("o_orderkey")],
+        rank_col="rnk",
+        n_col="n",
+    )
+    binned = ranked.select(
+        F.expr(f"CAST((rnk - 1) * {_ECE_BINS} DIV n AS BIGINT)").alias(
+            "bin"
+        ),
+        "y",
+        "rnk",
+        "n",
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(F.col("rnk") - 1).cast("bigint").alias("conf_num"),
+        F.max("n").alias("_n"),
+    )
+    return agg.select(
+        "bin",
+        "n_b",
+        "n_pos",
+        "conf_num",
+        F.expr("CAST(n_pos * 1000000 DIV n_b AS BIGINT)").alias("acc_ppm"),
+        F.expr(
+            "CAST(conf_num * 1000000 DIV (n_b * (_n - 1)) AS BIGINT)"
+        ).alias("conf_ppm"),
+        F.expr(
+            "CAST(abs(n_pos * 1000000 DIV n_b"
+            " - conf_num * 1000000 DIV (n_b * (_n - 1))) AS BIGINT)"
+        ).alias("gap_ppm"),
+    )

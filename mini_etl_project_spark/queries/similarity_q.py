@@ -1464,3 +1464,95 @@ def q_sim_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_K).cast("bigint").alias("k"),
         )
     )
+
+
+# -- X389: label centroids + pairwise centroid cosine -----------------------
+# Embedding-space class analytics: the per-label mean vector (exact —
+# decimal element sums over a keyed aggregate, then one double division
+# by the count) and the cosine between every label pair, a bounded
+# k×k output that diagnoses class separation / collapsed embeddings.
+# Scale shape: ONE groupBy over the fact table producing k rows of
+# 64 sums (posexplode → (label, dim) keyed agg — map-side combine), and
+# the pair matrix is a broadcast self-join of k rows. The oracle
+# re-derives every element sum as DECIMAL and shares the division tree.
+
+_CENTROID_ORACLE = f"""
+WITH sums AS (
+  SELECT label, t.i AS dim,
+         CAST(SUM(CAST(CAST(embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings, unnest(generate_series(1, {_DIM})) t(i)
+  GROUP BY label, t.i),
+cent AS (
+  SELECT label, dim, s / n AS c, n FROM sums),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(CAST(a.c * b.c AS DECIMAL(38,10))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(a.c * a.c AS DECIMAL(38,10))) AS DOUBLE) AS na,
+         CAST(SUM(CAST(b.c * b.c AS DECIMAL(38,10))) AS DOUBLE) AS nb,
+         MIN(a.n) AS n_a, MIN(b.n) AS n_b
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label)
+SELECT label_a, label_b, n_a, n_b,
+       dot / (SQRT(na) * SQRT(nb)) AS centroid_cosine
+FROM dots
+"""
+
+
+@query("q_sim_label_centroids", _CENTROID_ORACLE)
+def q_sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    sums = (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.sum(F.col("x").cast("double").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    cent = sums.select(
+        "label", "dim", (F.col("s") / F.col("n")).alias("c"), "n"
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("c").alias("ca"),
+        F.col("n").alias("na_cnt"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        "dim",
+        F.col("c").alias("cb"),
+        F.col("n").alias("nb_cnt"),
+    )
+    dec = "decimal(28,10)"
+    dots = (
+        a.join(F.broadcast(b), "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum((F.col("ca") * F.col("cb")).cast(dec))
+            .cast("double")
+            .alias("dot"),
+            F.sum((F.col("ca") * F.col("ca")).cast(dec))
+            .cast("double")
+            .alias("na"),
+            F.sum((F.col("cb") * F.col("cb")).cast(dec))
+            .cast("double")
+            .alias("nb"),
+            F.min("na_cnt").alias("n_a"),
+            F.min("nb_cnt").alias("n_b"),
+        )
+    )
+    return dots.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        (
+            F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+        ).alias("centroid_cosine"),
+    )

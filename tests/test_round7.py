@@ -147,3 +147,40 @@ def test_bloom_portable_no_false_negatives(spark, sf_dir):
         assert r["n_false_neg"] == 0  # Bloom's defining invariant
         assert r["n_bloom_pos"] == r["n_true"] + r["n_false_pos"]
         assert r["n_true"] <= r["n_customers"]
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """X387: both sides written bucketBy(8, key)+sortBy — the join plan
+    reads the bucketed scans directly into sort-merge join with NO
+    ShuffleExchange anywhere, and values match the plain join."""
+    from mini_etl_project_spark.sources.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    write_bucketed(o, "r7_bkt_orders", "k")
+    write_bucketed(li, "r7_bkt_lineitem", "k")
+    try:
+        joined = bucketed_join(spark, "r7_bkt_orders", "r7_bkt_lineitem", "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # the whole point of the layout
+        assert "Bucketed: true" in plan
+        got = joined.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("q"),
+        ).collect()[0]
+        want = o.join(li, "k").groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("q"),
+        ).collect()[0]
+        assert (got["n"], got["q"]) == (want["n"], want["q"])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r7_bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS r7_bkt_lineitem")

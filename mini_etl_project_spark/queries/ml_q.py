@@ -5173,3 +5173,141 @@ def q_ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - conf_num * 1000000 DIV (n_b * (_n - 1))) AS BIGINT)"
         ).alias("gap_ppm"),
     )
+
+
+# -- X390 exact Shapley channel attribution ---------------------------------
+#
+# Marketing/science attribution done right: each touched channel gets
+# its Shapley value over the coalition game v(S) = "# converting users
+# touched by at least one channel in S". With 4 non-conversion channels
+# (click/signup/view/error; conversion = any purchase) the 16 coalition
+# values come from ONE keyed user aggregate (bitmask via bit_or) crossed
+# with a 16-row broadcast spine — the exponential part is in the
+# CHANNEL count (fixed, tiny), never in the data. Shapley weights are
+# kept integer by scaling with n! = 24 (|S|!·(n−1−|S|)! marginals), so
+# every output is exact; the efficiency property Σφ = v(all) ships as a
+# verifiable column pair. 100 TB: the user aggregate is the only
+# fact-scale stage; everything after is 16–32 bounded rows.
+
+_SHAP_CHANNELS = ("click", "signup", "view", "error")
+
+_SHAPLEY_ORACLE = """
+WITH users AS (
+  SELECT user_id,
+         CAST(SUM(CASE event_type WHEN 'click' THEN 1 ELSE 0 END) > 0
+              AS INT)
+         + 2 * CAST(SUM(CASE event_type WHEN 'signup' THEN 1 ELSE 0 END) > 0
+                    AS INT)
+         + 4 * CAST(SUM(CASE event_type WHEN 'view' THEN 1 ELSE 0 END) > 0
+                    AS INT)
+         + 8 * CAST(SUM(CASE event_type WHEN 'error' THEN 1 ELSE 0 END) > 0
+                    AS INT) AS mask,
+         MAX(CASE event_type WHEN 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id),
+coal AS (SELECT s FROM unnest(generate_series(0, 15)) t(s)),
+v AS (
+  SELECT coal.s,
+         CAST(SUM(CASE WHEN u.conv = 1
+                        AND (u.mask & coal.s) <> 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS val
+  FROM coal, users u GROUP BY coal.s),
+chan AS (
+  SELECT * FROM (VALUES ('click', 1), ('signup', 2),
+                        ('view', 4), ('error', 8)) c(channel, bit)),
+marginals AS (
+  SELECT chan.channel,
+         CASE bit_count(CAST(coal.s AS BIGINT))
+              WHEN 0 THEN 6 WHEN 1 THEN 2
+              WHEN 2 THEN 2 WHEN 3 THEN 6 END
+         * (vw.val - vo.val) AS contrib
+  FROM chan
+  JOIN coal ON (coal.s & chan.bit) = 0
+  JOIN v vo ON vo.s = coal.s
+  JOIN v vw ON vw.s = coal.s + chan.bit)
+SELECT m.channel,
+       CAST(SUM(m.contrib) AS BIGINT) AS shapley_x24,
+       (SELECT val FROM v WHERE s = 15) * 24 AS total_x24,
+       CAST(SUM(m.contrib) * 1000000
+            // ((SELECT val FROM v WHERE s = 15) * 24) AS BIGINT)
+         AS share_ppm
+FROM marginals m GROUP BY m.channel
+"""
+
+
+@query("q_ml_shapley_attribution", _SHAPLEY_ORACLE)
+def q_ml_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    touch_bits = [
+        (F.max((F.col("event_type") == ch).cast("int")) * (1 << i)).alias(
+            f"b{i}"
+        )
+        for i, ch in enumerate(_SHAP_CHANNELS)
+    ]
+    users = e.groupBy("user_id").agg(
+        *touch_bits,
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("conv"),
+    ).select(
+        (F.col("b0") + F.col("b1") + F.col("b2") + F.col("b3")).alias(
+            "mask"
+        ),
+        "conv",
+    )
+    coal = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    # Collapse the fact-scale side to the <=16 distinct touch masks
+    # BEFORE the coalition cross: v(S) then assembles from a bounded
+    # 16x16 join, and the only fact-scale stage is one keyed groupBy.
+    mask_counts = (
+        users.filter(F.col("conv") == 1)
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    v = (
+        coal.join(
+            F.broadcast(mask_counts), F.expr("mask & s != 0"), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("val"))
+    )
+    chan = spark.createDataFrame(
+        [(ch, 1 << i) for i, ch in enumerate(_SHAP_CHANNELS)],
+        "channel string, bit int",
+    )
+    weights = F.expr(
+        "CASE bit_count(CAST(s AS BIGINT)) WHEN 0 THEN 6 WHEN 1 THEN 2"
+        " WHEN 2 THEN 2 WHEN 3 THEN 6 END"
+    )
+    marg = (
+        chan.crossJoin(F.broadcast(coal))
+        .filter(F.expr("s & bit") == 0)
+        .join(
+            F.broadcast(v.select(F.col("s").alias("s"), F.col("val").alias("vo"))),
+            "s",
+        )
+        .join(
+            F.broadcast(
+                v.select(
+                    F.col("s").alias("sw"), F.col("val").alias("vw")
+                )
+            ),
+            F.expr("sw = s + bit"),
+        )
+        .withColumn("contrib", weights * (F.col("vw") - F.col("vo")))
+    )
+    total = v.filter(F.col("s") == 15).select(
+        (F.col("val") * 24).alias("total_x24")
+    )
+    return (
+        marg.groupBy("channel")
+        .agg(F.sum("contrib").cast("bigint").alias("shapley_x24"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "channel",
+            "shapley_x24",
+            "total_x24",
+            F.expr(
+                "CAST(shapley_x24 * 1000000 DIV total_x24 AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )

@@ -5311,3 +5311,202 @@ def q_ml_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_ppm"),
         )
     )
+
+
+# -- X391 one-way ANOVA (F statistic, exact moment assembly) ----------------
+#
+# Between/within variance decomposition of order value cents across the
+# three return flags. The fact-scale work is ONE keyed aggregate of
+# exact moments per group (n BIGINT, s BIGINT, q = Σx² in DECIMAL(38,0)
+# — cents² sums overflow BIGINT past ~sf1). The cross-group float
+# reduction (Σ s_g²/n_g) is the only place summation ORDER could leak
+# engine differences, so both engines fold the per-group terms
+# SEQUENTIALLY over the flag-sorted list (Spark: aggregate over
+# sort_array(collect_list); DuckDB: list_aggregate over list(... ORDER
+# BY)) — identical association order → identical doubles → the F
+# statistic itself hash-matches, not just the integer moments.
+
+_ANOVA_ORACLE = """
+WITH x AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem),
+g AS (
+  SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         SUM(CAST(c AS DECIMAL(38,0)) * c) AS q
+  FROM x GROUP BY flag),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(SUM(CAST(s AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_tot,
+         CAST(SUM(q) AS DECIMAL(38,0)) AS q_tot,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         list_aggregate(
+           list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n ORDER BY flag),
+           'sum') AS sum_terms
+  FROM g)
+SELECT k, n_tot,
+       sum_terms
+         - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n_tot AS ssb,
+       CAST(q_tot AS DOUBLE) - sum_terms AS ssw,
+       (sum_terms
+          - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n_tot)
+         / (k - 1)
+         / ((CAST(q_tot AS DOUBLE) - sum_terms) / (n_tot - k)) AS f_stat
+FROM tot
+"""
+
+
+@query("q_ml_anova_oneway", _ANOVA_ORACLE)
+def q_ml_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    g = x.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("q"),
+    )
+    term = (
+        F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum(F.col("s").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s_tot"),
+        F.sum("q").cast("decimal(38,0)").alias("q_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("flag"), term.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r["t"],
+        ).alias("sum_terms"),
+    )
+    ssb = (
+        F.col("sum_terms")
+        - F.col("s_tot").cast("double")
+        * F.col("s_tot").cast("double")
+        / F.col("n_tot")
+    )
+    ssw = F.col("q_tot").cast("double") - F.col("sum_terms")
+    return tot.select(
+        "k",
+        "n_tot",
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        (
+            ssb / (F.col("k") - 1) / (ssw / (F.col("n_tot") - F.col("k")))
+        ).alias("f_stat"),
+    )
+
+
+# -- X392 delete-a-group jackknife standard error ---------------------------
+#
+# THE distributed uncertainty primitive (BLB's deterministic cousin):
+# hash rows into G=32 folds, recompute the statistic with each fold
+# deleted, and estimate Var(θ̂) = (G−1)/G · Σ(θ_(i) − θ̄)². Everything
+# data-sized is exact: fold sums are BIGINT cents via one keyed
+# aggregate, and each leave-one-out mean is CAST(S−s_i AS DOUBLE) /
+# (N−n_i) — an exact-integer numerator. The two cross-fold reductions
+# (Σθ and the squared deviations) run as SEQUENTIAL folds over the
+# fold-id-sorted 32-element list on both engines (the X391 ordered-fold
+# pattern), so the standard error itself hash-matches. Fold assignment
+# is the md5 hash60 % G used across the sampling family — partitioning-
+# independent by construction.
+
+_JK_G = 32
+
+_JK_HASH = (
+    "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
+)
+
+_JACKKNIFE_ORACLE = f"""
+WITH x AS (
+  SELECT {_JK_HASH} % {_JK_G} AS i,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders),
+g AS (
+  SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i, CAST(SUM(c) AS BIGINT) AS s_i
+  FROM x GROUP BY i),
+tot AS (
+  SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(s_i) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS gg,
+         list(n_i ORDER BY i) AS ns,
+         list(s_i ORDER BY i) AS ss
+  FROM g),
+th AS (
+  SELECT n, s, gg,
+         list_transform(generate_series(1, CAST(gg AS INT)),
+           j -> CAST(s - ss[j] AS DOUBLE) / (n - ns[j])) AS thetas
+  FROM tot),
+m AS (
+  SELECT n, s, gg, thetas,
+         list_aggregate(thetas, 'sum') / gg AS theta_bar
+  FROM th)
+SELECT gg AS g_folds, n,
+       CAST(s AS DOUBLE) / n AS mean_c,
+       theta_bar,
+       SQRT((gg - 1.0) / gg
+            * list_aggregate(
+                list_transform(thetas,
+                  t -> (t - theta_bar) * (t - theta_bar)), 'sum'))
+         AS jackknife_se
+FROM m
+"""
+
+
+@query("q_ml_jackknife_se", _JACKKNIFE_ORACLE)
+def q_ml_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.sampling_q import hash60
+
+    o = load_table(spark, sf_dir, "orders")
+    x = o.select(
+        (hash60(F.col("o_orderkey").cast("string")) % _JK_G).alias("i"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    g = x.groupBy("i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("c").cast("bigint").alias("s_i"),
+    )
+    tot = g.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("s_i").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("gg"),
+        F.sort_array(
+            F.collect_list(F.struct("i", "n_i", "s_i"))
+        ).alias("folds"),
+    )
+    thetas = F.transform(
+        "folds",
+        lambda r: (F.col("s") - r["s_i"]).cast("double")
+        / (F.col("n") - r["n_i"]),
+    )
+    m = tot.withColumn("thetas", thetas).withColumn(
+        "theta_bar",
+        F.aggregate("thetas", F.lit(0.0), lambda a, t: a + t)
+        / F.col("gg"),
+    )
+    sqdev = F.aggregate(
+        F.transform(
+            "thetas",
+            lambda t: (t - F.col("theta_bar"))
+            * (t - F.col("theta_bar")),
+        ),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    return m.select(
+        F.col("gg").alias("g_folds"),
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("mean_c"),
+        "theta_bar",
+        F.sqrt(
+            (F.col("gg") - 1.0) / F.col("gg") * sqdev
+        ).alias("jackknife_se"),
+    )

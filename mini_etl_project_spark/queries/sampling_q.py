@@ -2873,3 +2873,134 @@ def q_agg_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_false_neg"),
     )
+
+
+# -- X393 Kruskal-Wallis H (exact global midranks, distributed) -------------
+#
+# The nonparametric one-way ANOVA over the three return flags. Midranks
+# over the POOLED fact table are the scale hazard (a global rank window
+# = one-partition sort), so the engine computes them from VALUE
+# aggregates: count per distinct cents value, global_prefix_sum over the
+# value order (range partitions + offsets — the X381 operator), then
+# 2·midrank(v) = 2·prefix_before + cnt + 1, all exact integers. Rank
+# sums per group come from a keyed join of (value, flag) counts onto the
+# value table — never a row-level rank. The cross-group Σ R_g²/n_g uses
+# the X391 ordered-fold so the H statistic (and its tie-corrected twin)
+# hash-match as doubles. The oracle computes the same integers from the
+# textbook row-level rank window — agreement proves the aggregated path
+# IS the definition.
+
+_KW_ORACLE = """
+WITH x AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem),
+r AS (
+  SELECT flag,
+         2 * RANK() OVER (ORDER BY c)
+           + COUNT(*) OVER (PARTITION BY c) - 1 AS a
+  FROM x),
+g AS (
+  SELECT flag, CAST(SUM(CAST(a AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS r2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM r GROUP BY flag),
+ties AS (
+  SELECT CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS DECIMAL(38,0))
+           AS tie_sum
+  FROM (SELECT COUNT(*) AS t FROM x GROUP BY c)),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         list_aggregate(
+           list(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / (4.0 * n)
+                ORDER BY flag), 'sum') AS sum_terms
+  FROM g)
+SELECT k, n_tot,
+       CAST(tie_sum AS DOUBLE) AS tie_sum,
+       12.0 / (CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) + 1.0))
+         * sum_terms
+         - 3.0 * (CAST(n_tot AS DOUBLE) + 1.0) AS h_stat,
+       (12.0 / (CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) + 1.0))
+          * sum_terms
+          - 3.0 * (CAST(n_tot AS DOUBLE) + 1.0))
+         / (1.0 - CAST(tie_sum AS DOUBLE)
+                  / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                     * CAST(n_tot AS DOUBLE) - CAST(n_tot AS DOUBLE)))
+         AS h_corrected
+FROM tot, ties
+"""
+
+
+@query("q_agg_kruskal_wallis", _KW_ORACLE)
+def q_agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.rank import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    va = x.groupBy("c", "flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_gf")
+    )
+    vt = x.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    pre = global_prefix_sum(
+        vt, order=[F.col("c")], weight=F.col("cnt"), sum_col="cum"
+    ).select(
+        "c",
+        "cnt",
+        (
+            2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1
+        ).alias("two_mid"),
+    )
+    g = (
+        va.join(pre, "c")
+        .groupBy("flag")
+        .agg(
+            F.sum(
+                (F.col("two_mid") * F.col("cnt_gf")).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("r2"),
+            F.sum("cnt_gf").cast("bigint").alias("n"),
+        )
+    )
+    ties = vt.agg(
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        )
+        .cast("decimal(38,0)")
+        .alias("tie_sum")
+    )
+    term = (
+        F.col("r2").cast("double")
+        * F.col("r2").cast("double")
+        / (4.0 * F.col("n"))
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("flag"), term.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r["t"],
+        ).alias("sum_terms"),
+    )
+    nd = F.col("n_tot").cast("double")
+    h = 12.0 / (nd * (nd + 1.0)) * F.col("sum_terms") - 3.0 * (nd + 1.0)
+    return tot.crossJoin(F.broadcast(ties)).select(
+        "k",
+        "n_tot",
+        F.col("tie_sum").cast("double").alias("tie_sum"),
+        h.alias("h_stat"),
+        (
+            h
+            / (
+                1.0
+                - F.col("tie_sum").cast("double") / (nd * nd * nd - nd)
+            )
+        ).alias("h_corrected"),
+    )

@@ -184,3 +184,98 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS r7_bkt_orders")
         spark.sql("DROP TABLE IF EXISTS r7_bkt_lineitem")
+
+
+def test_anova_python_replay(spark, sf_dir):
+    """Recompute SSB/SSW/F from raw cents with the same fold order."""
+    from mini_etl_project_spark.queries.ml_q import q_ml_anova_oneway
+
+    groups = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    ):
+        groups[r["l_returnflag"]].append(half_up(r["l_extendedprice"], 100))
+    n_tot = sum(len(v) for v in groups.values())
+    s_tot = sum(sum(v) for v in groups.values())
+    q_tot = sum(c * c for v in groups.values() for c in v)
+    sum_terms = 0.0
+    for flag in sorted(groups):  # the ordered fold
+        s, n = sum(groups[flag]), len(groups[flag])
+        sum_terms += float(s) * float(s) / n
+    ssb = sum_terms - float(s_tot) * float(s_tot) / n_tot
+    ssw = float(q_tot) - sum_terms
+    k = len(groups)
+    row = q_ml_anova_oneway(spark, sf_dir).collect()[0]
+    assert row["k"] == k and row["n_tot"] == n_tot
+    assert row["ssb"] == ssb and row["ssw"] == ssw
+    assert row["f_stat"] == ssb / (k - 1) / (ssw / (n_tot - k))
+    assert row["f_stat"] > 0
+
+
+def test_kruskal_wallis_python_replay(spark, sf_dir):
+    """Replay H from textbook row-level midranks; the engine's
+    value-aggregated + prefix-sum path must agree exactly."""
+    from mini_etl_project_spark.queries.sampling_q import (
+        q_agg_kruskal_wallis,
+    )
+
+    rows = [
+        (r["l_returnflag"], half_up(r["l_extendedprice"], 100))
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    ]
+    vals = sorted(c for _, c in rows)
+    first_rank, cnt = {}, defaultdict(int)
+    for i, c in enumerate(vals):
+        cnt[c] += 1
+        first_rank.setdefault(c, i + 1)
+    r2 = defaultdict(int)
+    n = defaultdict(int)
+    for flag, c in rows:
+        r2[flag] += 2 * first_rank[c] + cnt[c] - 1
+        n[flag] += 1
+    N = len(rows)
+    sum_terms = 0.0
+    for flag in sorted(r2):
+        sum_terms += float(r2[flag]) * float(r2[flag]) / (4.0 * n[flag])
+    h = 12.0 / (float(N) * (float(N) + 1.0)) * sum_terms - 3.0 * (
+        float(N) + 1.0
+    )
+    tie = sum(t**3 - t for t in cnt.values())
+    row = q_agg_kruskal_wallis(spark, sf_dir).collect()[0]
+    assert row["n_tot"] == N and row["k"] == len(r2)
+    assert row["tie_sum"] == float(tie)
+    assert row["h_stat"] == h
+    assert row["h_corrected"] == h / (
+        1.0 - float(tie) / (float(N) ** 3 - float(N))
+    )
+    assert row["h_stat"] > 0
+
+
+def test_jackknife_se_positive_and_sane(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import q_ml_jackknife_se
+
+    row = q_ml_jackknife_se(spark, sf_dir).collect()[0]
+    assert row["g_folds"] == 32
+    assert row["jackknife_se"] > 0
+    # the jackknife mean-of-LOO-means stays close to the plain mean
+    assert abs(row["theta_bar"] - row["mean_c"]) < 0.01 * row["mean_c"]
+    # SE of the mean should be far below the mean itself at this n
+    assert row["jackknife_se"] < row["mean_c"]
+
+
+def test_shapley_efficiency_property(spark, sf_dir):
+    """Σ shapley == v(all channels) × 24 (exact efficiency), and every
+    channel's share is a sane ppm."""
+    from mini_etl_project_spark.queries.ml_q import q_ml_shapley_attribution
+
+    rows = q_ml_shapley_attribution(spark, sf_dir).collect()
+    assert len(rows) == 4
+    total = rows[0]["total_x24"]
+    assert all(r["total_x24"] == total for r in rows)
+    assert sum(r["shapley_x24"] for r in rows) == total
+    for r in rows:
+        assert 0 <= r["share_ppm"] <= 1000000

@@ -28,9 +28,19 @@ ORACLES: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None):
-    """Register a query; ``oracle=None`` → driver runs a rows-only check."""
+    """Register a query; ``oracle=None`` → driver runs a rows-only check.
+
+    Duplicate names raise: a second registration would silently shadow
+    the first in these dicts (exactly how X204's global Gini was
+    unreachable behind X313's keyed Gini for six rounds — round-7 fix).
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(existing: {QUERIES[name].__module__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

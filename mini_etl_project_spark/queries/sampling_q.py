@@ -1811,7 +1811,7 @@ def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- X204 Gini coefficient (inequality of order values) --------------------
+# -- X204 Gini coefficient (inequality of order values, GLOBAL) ------------
 #
 # G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over values sorted ascending — the
 # rank-weighted formulation.  The global rank comes from
@@ -1820,8 +1820,14 @@ def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DECIMAL(38,0) (i·x reaches ~2^60 per row; the SUM would overflow
 # int64 at sf ≥ 1), and the final Gini emerges in exact milli-units via
 # integer DIV on the decimal aggregates.
+#
+# NOTE (round-7 fix): this surface was registered as "q_agg_gini", the
+# same name the later keyed per-(nation,segment) Gini (X313) claims —
+# the dict registration silently shadowed THIS query, leaving X204
+# unreachable for six rounds. Renamed to q_agg_gini_global; a registry
+# guard test now rejects duplicate @query names outright.
 
-_GINI_ORACLE = """
+_GINI_GLOBAL_ORACLE = """
 WITH vals AS (
   SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
          o_orderkey
@@ -1846,8 +1852,8 @@ FROM agg
 """
 
 
-@query("q_agg_gini", _GINI_ORACLE)
-def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q_agg_gini_global", _GINI_GLOBAL_ORACLE)
+def q_agg_gini_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_project_spark.operators.rank import global_rank
 
     o = load_table(spark, sf_dir, "orders")

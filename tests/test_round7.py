@@ -279,3 +279,23 @@ def test_shapley_efficiency_property(spark, sf_dir):
     assert sum(r["shapley_x24"] for r in rows) == total
     for r in rows:
         assert 0 <= r["share_ppm"] <= 1000000
+
+
+def test_registry_rejects_duplicate_names():
+    """The registry raises on duplicate @query names (a second
+    registration used to silently shadow the first — how X204 was lost
+    behind X313 for six rounds)."""
+    from mini_etl_project_spark.queries import QUERIES, query
+
+    name = next(iter(QUERIES))
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        query(name)(lambda spark, sf: None)
+    # and the original registration is untouched
+    assert not QUERIES[name].__name__ == "<lambda>"
+
+
+def test_both_gini_surfaces_registered():
+    from mini_etl_project_spark.queries import ORACLES, QUERIES
+
+    assert "q_agg_gini" in QUERIES and "q_agg_gini_global" in QUERIES
+    assert "q_agg_gini" in ORACLES and "q_agg_gini_global" in ORACLES

@@ -5510,3 +5510,125 @@ def q_ml_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("gg") - 1.0) / F.col("gg") * sqdev
         ).alias("jackknife_se"),
     )
+
+
+# -- X394 Brown-Forsythe variance-homogeneity test --------------------------
+#
+# Levene's test on |x − median_g| (the Brown-Forsythe variant — robust
+# to non-normality), the standard companion check before trusting
+# ANOVA's equal-variance assumption. Group medians are the LOW order
+# statistic at ceil(n/2) — exact integers — computed via the grouped
+# global_rank (range partitions + per-(group,pid) offsets; the
+# percentile_disc machinery), never a group-keyed window over the fact
+# table. The deviations stay integer (|c − med|), their moments
+# accumulate in BIGINT/DECIMAL, and the F statistic assembles through
+# the X391 flag-sorted sequential fold, so the doubles hash-match.
+
+_BF_ORACLE = """
+WITH x AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+ranked AS (
+  SELECT flag, c,
+         ROW_NUMBER() OVER (PARTITION BY flag
+                            ORDER BY c, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY flag) AS n
+  FROM x),
+med AS (
+  SELECT flag, MAX(CASE WHEN rn = (n + 1) // 2 THEN c END) AS m
+  FROM ranked GROUP BY flag),
+z AS (
+  SELECT x.flag, ABS(x.c - med.m) AS z
+  FROM x JOIN med ON med.flag = x.flag),
+g AS (
+  SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(z) AS BIGINT) AS s,
+         SUM(CAST(z AS DECIMAL(38,0)) * z) AS q
+  FROM z GROUP BY flag),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(SUM(CAST(s AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_tot,
+         CAST(SUM(q) AS DECIMAL(38,0)) AS q_tot,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         list_aggregate(
+           list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n ORDER BY flag),
+           'sum') AS sum_terms
+  FROM g)
+SELECT k, n_tot,
+       sum_terms
+         - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n_tot AS ssb_z,
+       CAST(q_tot AS DOUBLE) - sum_terms AS ssw_z,
+       (sum_terms
+          - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n_tot)
+         / (k - 1)
+         / ((CAST(q_tot AS DOUBLE) - sum_terms) / (n_tot - k))
+         AS bf_stat
+FROM tot
+"""
+
+
+@query("q_ml_brown_forsythe", _BF_ORACLE)
+def q_ml_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.rank import global_rank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = global_rank(
+        x,
+        order=[F.col("c"), F.col("l_orderkey"), F.col("l_linenumber")],
+        rank_col="rn",
+        n_col="n",
+        group=["flag"],
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n + 1) DIV 2")
+    ).select("flag", F.col("c").alias("m"))
+    z = x.join(F.broadcast(med), "flag").select(
+        "flag", F.abs(F.col("c") - F.col("m")).alias("z")
+    )
+    g = z.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z").cast("bigint").alias("s"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("q"),
+    )
+    term = (
+        F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum(F.col("s").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s_tot"),
+        F.sum("q").cast("decimal(38,0)").alias("q_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("flag"), term.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r["t"],
+        ).alias("sum_terms"),
+    )
+    ssb = (
+        F.col("sum_terms")
+        - F.col("s_tot").cast("double")
+        * F.col("s_tot").cast("double")
+        / F.col("n_tot")
+    )
+    ssw = F.col("q_tot").cast("double") - F.col("sum_terms")
+    return tot.select(
+        "k",
+        "n_tot",
+        ssb.alias("ssb_z"),
+        ssw.alias("ssw_z"),
+        (
+            ssb / (F.col("k") - 1) / (ssw / (F.col("n_tot") - F.col("k")))
+        ).alias("bf_stat"),
+    )

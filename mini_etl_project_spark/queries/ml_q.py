@@ -5632,3 +5632,152 @@ def q_ml_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ssb / (F.col("k") - 1) / (ssw / (F.col("n_tot") - F.col("k")))
         ).alias("bf_stat"),
     )
+
+
+# -- X395 Mahalanobis multivariate outliers ---------------------------------
+#
+# The principled generalization of the reference's per-column z-clamp
+# (R16): distance d² = z'Σ⁻¹z over the 3-feature vector (quantity,
+# price cents, discount bp) flags rows that are unusual in COMBINATION
+# even when each coordinate is ordinary. Pipeline: one fact-scan
+# aggregate of exact integer moments (Σx BIGINT, Σx·x' DECIMAL(38,0) —
+# cross-products overflow int64 past ~sf1), covariance and its
+# closed-form 3×3 cofactor inverse assembled in doubles with IDENTICAL
+# expression trees on both engines, then a stateless per-row d² and a
+# fixed d²>7.81 threshold filter (χ²₃ 95th pct; the synthetic
+# uniform marginals compress the tail, so the conventional 99.9th-pct
+# cut returns nothing here) — no global sort, no
+# top-k window; the output set is plan-order independent. Both engines
+# produce bit-identical d², so the flagged rows hash-match.
+
+_MAHA_THRESHOLD = 7.81
+
+_MAHA_MOMENTS = """
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
+         CAST(SUM(d) AS BIGINT) AS sd,
+         SUM(CAST(q AS DECIMAL(38,0)) * q) AS sqq,
+         SUM(CAST(q AS DECIMAL(38,0)) * p) AS sqp,
+         SUM(CAST(q AS DECIMAL(38,0)) * d) AS sqd,
+         SUM(CAST(p AS DECIMAL(38,0)) * p) AS spp,
+         SUM(CAST(p AS DECIMAL(38,0)) * d) AS spd,
+         SUM(CAST(d AS DECIMAL(38,0)) * d) AS sdd
+  FROM x
+"""
+
+_MAHA_ORACLE = f"""
+WITH x AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(ROUND(l_quantity) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+         CAST(ROUND(l_discount * 10000) AS BIGINT) AS d
+  FROM lineitem),
+m AS ({_MAHA_MOMENTS}),
+c AS (
+  SELECT n,
+         CAST(sq AS DOUBLE) / n AS mq, CAST(sp AS DOUBLE) / n AS mp,
+         CAST(sd AS DOUBLE) / n AS md,
+         CAST(sqq AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n)
+           * (CAST(sq AS DOUBLE) / n) AS a,
+         CAST(sqp AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n)
+           * (CAST(sp AS DOUBLE) / n) AS b,
+         CAST(sqd AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n)
+           * (CAST(sd AS DOUBLE) / n) AS cc,
+         CAST(spp AS DOUBLE) / n - (CAST(sp AS DOUBLE) / n)
+           * (CAST(sp AS DOUBLE) / n) AS e,
+         CAST(spd AS DOUBLE) / n - (CAST(sp AS DOUBLE) / n)
+           * (CAST(sd AS DOUBLE) / n) AS f,
+         CAST(sdd AS DOUBLE) / n - (CAST(sd AS DOUBLE) / n)
+           * (CAST(sd AS DOUBLE) / n) AS g
+  FROM m),
+inv AS (
+  SELECT *,
+         a * (e * g - f * f) - b * (b * g - f * cc)
+           + cc * (b * f - e * cc) AS det,
+         (e * g - f * f) AS i11, (cc * f - b * g) AS i12,
+         (b * f - cc * e) AS i13, (a * g - cc * cc) AS i22,
+         (cc * b - a * f) AS i23, (a * e - b * b) AS i33
+  FROM c)
+SELECT x.l_orderkey, x.l_linenumber,
+       ((x.q - mq) * ((x.q - mq) * i11 + (x.p - mp) * i12
+                      + (x.d - md) * i13)
+        + (x.p - mp) * ((x.q - mq) * i12 + (x.p - mp) * i22
+                        + (x.d - md) * i23)
+        + (x.d - md) * ((x.q - mq) * i13 + (x.p - mp) * i23
+                        + (x.d - md) * i33)) / det AS d2
+FROM x, inv
+WHERE ((x.q - mq) * ((x.q - mq) * i11 + (x.p - mp) * i12
+                     + (x.d - md) * i13)
+       + (x.p - mp) * ((x.q - mq) * i12 + (x.p - mp) * i22
+                       + (x.d - md) * i23)
+       + (x.d - md) * ((x.q - mq) * i13 + (x.p - mp) * i23
+                       + (x.d - md) * i33)) / det > {_MAHA_THRESHOLD}
+"""
+
+
+@query("q_ml_mahalanobis_outliers", _MAHA_ORACLE)
+def q_ml_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("d"),
+    )
+    dec = "decimal(38,0)"
+    m = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum("p").cast("bigint").alias("sp"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum(F.col("q").cast(dec) * F.col("q")).alias("sqq"),
+        F.sum(F.col("q").cast(dec) * F.col("p")).alias("sqp"),
+        F.sum(F.col("q").cast(dec) * F.col("d")).alias("sqd"),
+        F.sum(F.col("p").cast(dec) * F.col("p")).alias("spp"),
+        F.sum(F.col("p").cast(dec) * F.col("d")).alias("spd"),
+        F.sum(F.col("d").cast(dec) * F.col("d")).alias("sdd"),
+    )
+    mean = lambda s: F.col(s).cast("double") / F.col("n")  # noqa: E731
+    c = m.select(
+        "n",
+        mean("sq").alias("mq"),
+        mean("sp").alias("mp"),
+        mean("sd").alias("md"),
+        (mean("sqq") - mean("sq") * mean("sq")).alias("a"),
+        (mean("sqp") - mean("sq") * mean("sp")).alias("b"),
+        (mean("sqd") - mean("sq") * mean("sd")).alias("cc"),
+        (mean("spp") - mean("sp") * mean("sp")).alias("e"),
+        (mean("spd") - mean("sp") * mean("sd")).alias("f"),
+        (mean("sdd") - mean("sd") * mean("sd")).alias("g"),
+    )
+    inv = c.select(
+        "*",
+        (
+            F.col("a") * (F.col("e") * F.col("g") - F.col("f") * F.col("f"))
+            - F.col("b")
+            * (F.col("b") * F.col("g") - F.col("f") * F.col("cc"))
+            + F.col("cc")
+            * (F.col("b") * F.col("f") - F.col("e") * F.col("cc"))
+        ).alias("det"),
+        (F.col("e") * F.col("g") - F.col("f") * F.col("f")).alias("i11"),
+        (F.col("cc") * F.col("f") - F.col("b") * F.col("g")).alias("i12"),
+        (F.col("b") * F.col("f") - F.col("cc") * F.col("e")).alias("i13"),
+        (F.col("a") * F.col("g") - F.col("cc") * F.col("cc")).alias("i22"),
+        (F.col("cc") * F.col("b") - F.col("a") * F.col("f")).alias("i23"),
+        (F.col("a") * F.col("e") - F.col("b") * F.col("b")).alias("i33"),
+    )
+    zq = F.col("q") - F.col("mq")
+    zp = F.col("p") - F.col("mp")
+    zd = F.col("d") - F.col("md")
+    d2 = (
+        zq * (zq * F.col("i11") + zp * F.col("i12") + zd * F.col("i13"))
+        + zp * (zq * F.col("i12") + zp * F.col("i22") + zd * F.col("i23"))
+        + zd * (zq * F.col("i13") + zp * F.col("i23") + zd * F.col("i33"))
+    ) / F.col("det")
+    return (
+        x.crossJoin(F.broadcast(inv))
+        .withColumn("d2", d2)
+        .filter(F.col("d2") > _MAHA_THRESHOLD)
+        .select("l_orderkey", "l_linenumber", "d2")
+    )

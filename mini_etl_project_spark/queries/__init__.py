@@ -90,9 +90,10 @@ def _load_all() -> None:
 
 #: Queries re-touched this round (fresh driver evidence wanted first).
 _RECHECK: list[str] = [
-    "q_agg_kmv_distinct",   # two-level (group, pid) sketch build
-    "q_agg_kmv_merge",      # two-level stage-1 per-source sketches
-    "q_agg_percentile_disc",  # grouped global_rank, no 3-key fact window
+    "q_fn_array_v34",  # r6's red row: arrays now serialized for transport
+    "q_agg_approx",    # converted rows-only -> bound-flag oracle surface
+    "q_ml_mcnemar",    # continuity correction clamped at zero (ADVICE r6)
+    "q_agg_hoover",    # oracle per-row product widened to DECIMAL (ADVICE r6)
 ]
 
 

@@ -191,7 +191,11 @@ def test_rotation_puts_unsampled_queries_first():
     if not sampled:
         return  # fresh checkout without driver artifacts
     names = list(QUERIES)
-    n_front = len(_RECHECK) + sum(1 for n in names if n not in sampled)
+    # front = _RECHECK then never-sampled; a recheck entry that is ALSO
+    # never-sampled must not be double-counted
+    n_front = len([n for n in _RECHECK if n in names]) + sum(
+        1 for n in names if n not in sampled and n not in _RECHECK
+    )
     for n in names[:n_front]:
         assert n in _RECHECK or n not in sampled, (
             f"{n} has driver evidence but sits in the never-sampled front"

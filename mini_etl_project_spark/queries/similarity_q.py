@@ -874,7 +874,9 @@ cdots AS (
        unnest(generate_series(1, {_DIM})) t(i)
   GROUP BY cand.id_a, cand.id_b),
 edges AS (
-  SELECT id_a, id_b FROM cdots
+  SELECT id_a, id_b,
+         dot / (SQRT(na.sq) * SQRT(nb.sq)) AS cosine
+  FROM cdots
   JOIN norms na ON na.vec_id = id_a
   JOIN norms nb ON nb.vec_id = id_b
   WHERE dot / (SQRT(na.sq) * SQRT(nb.sq)) >= {_SEMDEDUP_TAU}),
@@ -910,8 +912,11 @@ FROM rooted JOIN sizes ON sizes.r = rooted.cluster_root
 """
 
 
-@query("q_dedup_semantic", _SEMDEDUP_ORACLE)
-def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _semdedup_edges_and_roots(spark: SparkSession, sf_dir: str):
+    """Shared X378 pipeline: (edges-with-cosine, rooted) DataFrames.
+
+    Used by q_dedup_semantic (membership surface) and
+    q_dedup_semantic_audit (per-cluster edge-quality surface)."""
     from mini_etl_project_spark.functions.vectors import dot_exact, sqnorm_exact
     from mini_etl_project_spark.operators.dedup import connected_components
 
@@ -975,9 +980,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     edges = scored.filter(F.col("cosine") >= _SEMDEDUP_TAU).select(
-        "id_a", "id_b"
+        "id_a", "id_b", "cosine"
     )
-    cc = connected_components(edges).select(
+    cc = connected_components(edges.select("id_a", "id_b")).select(
         F.col("id").alias("vec_id"), F.col("component")
     )
     n_cand = (
@@ -998,6 +1003,12 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    return edges, rooted
+
+
+@query("q_dedup_semantic", _SEMDEDUP_ORACLE)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, rooted = _semdedup_edges_and_roots(spark, sf_dir)
     sizes = rooted.groupBy(F.col("cluster_root").alias("r")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
@@ -1009,6 +1020,64 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("vec_id") == F.col("cluster_root")).cast("int").alias("keep"),
         "n_candidates",
+    )
+
+
+#: shared CTE prefix (everything up to sizes) for the audit oracle below
+_SEMDEDUP_PREFIX = _SEMDEDUP_ORACLE.rsplit("SELECT vec_id, cluster_root", 1)[0]
+
+# -- X396: semantic-dedup cluster-quality audit -----------------------------
+# Dedup QA: for every multi-member cluster, the number of tau-edges it
+# contains and the weakest/strongest edge cosine — the reviewer's view
+# of whether a cluster is a tight duplicate group (min near 1) or a
+# chain stitched through borderline pairs (min near tau). MIN/MAX over
+# bit-identical doubles are order-independent, so the audit hash-matches
+# without ordered-fold machinery. Every tau-edge lies inside exactly one
+# cluster by construction (CC closure), so grouping edges by their
+# endpoint's root is exhaustive; the edge set is already bounded by the
+# bucketed candidate generation.
+
+_SEMDEDUP_AUDIT_ORACLE = _SEMDEDUP_PREFIX + """
+SELECT r.cluster_root,
+       MIN(sizes.csize) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       MIN(e.cosine) AS min_edge_cosine,
+       MAX(e.cosine) AS max_edge_cosine
+FROM edges e
+JOIN rooted r ON r.vec_id = e.id_a
+JOIN sizes ON sizes.r = r.cluster_root
+GROUP BY r.cluster_root
+"""
+
+
+@query("q_dedup_semantic_audit", _SEMDEDUP_AUDIT_ORACLE)
+def q_dedup_semantic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, rooted = _semdedup_edges_and_roots(spark, sf_dir)
+    stats = (
+        edges.join(
+            rooted.select(
+                F.col("vec_id").alias("id_a"), "cluster_root"
+            ),
+            "id_a",
+        )
+        .groupBy("cluster_root")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.min("cosine").alias("min_edge_cosine"),
+            F.max("cosine").alias("max_edge_cosine"),
+        )
+    )
+    sizes = rooted.groupBy(F.col("cluster_root").alias("r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return stats.join(
+        sizes, stats["cluster_root"] == sizes["r"]
+    ).select(
+        "cluster_root",
+        "cluster_size",
+        "n_edges",
+        "min_edge_cosine",
+        "max_edge_cosine",
     )
 
 

@@ -5781,3 +5781,78 @@ def q_ml_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d2") > _MAHA_THRESHOLD)
         .select("l_orderkey", "l_linenumber", "d2")
     )
+
+
+# -- X397 time-decay attribution (exact dyadic weights) ----------------------
+#
+# The classic exponential time-decay credit model (half-life = 1 day)
+# without a single libm call: a touch k days before the user's first
+# purchase earns weight 2^-k, represented EXACTLY as the integer
+# 2^(30-k) (k clamped to 30 — beyond that the credit is zero at x2^30
+# scale). Both engines shift the same integers, sums stay in BIGINT, and
+# the per-channel credit share lands in ppm. One keyed aggregate for
+# first-purchase times, one broadcast join back, one channel aggregate.
+
+_TIMEDECAY_ORACLE = """
+WITH conv AS (
+  SELECT user_id, MIN(ts) AS conv_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+touch AS (
+  SELECT e.event_type AS channel,
+         DATEDIFF('day', CAST(e.ts AS DATE), CAST(c.conv_ts AS DATE)) AS k
+  FROM events e JOIN conv c ON c.user_id = e.user_id
+  WHERE e.event_type <> 'purchase' AND e.ts <= c.conv_ts),
+w AS (
+  SELECT channel,
+         CASE WHEN k > 30 THEN 0
+              ELSE (1::BIGINT << (30 - k)) END AS wt
+  FROM touch)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(wt) AS BIGINT) AS credit_x2_30,
+       CAST(SUM(wt) * 1000000 // (SELECT SUM(wt) FROM w) AS BIGINT)
+         AS share_ppm
+FROM w GROUP BY channel
+"""
+
+
+@query("q_ml_timedecay_attribution", _TIMEDECAY_ORACLE)
+def q_ml_timedecay_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touch = (
+        e.filter(F.col("event_type") != "purchase")
+        .join(conv, "user_id")
+        .filter(F.col("ts") <= F.col("conv_ts"))
+        .select(
+            F.col("event_type").alias("channel"),
+            F.datediff(
+                F.col("conv_ts").cast("date"), F.col("ts").cast("date")
+            ).alias("k"),
+        )
+    )
+    w = touch.select(
+        "channel",
+        F.when(F.col("k") > 30, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), 30 - k)"))
+        .alias("wt"),
+    )
+    per = w.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("wt").cast("bigint").alias("credit_x2_30"),
+    )
+    tot = w.agg(F.sum("wt").cast("bigint").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "n_touches",
+        "credit_x2_30",
+        F.expr("CAST(credit_x2_30 * 1000000 DIV t AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )

@@ -3010,3 +3010,115 @@ def q_agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h_corrected"),
     )
+
+
+# -- X398 earth mover's distance (1-D Wasserstein drift, exact) -------------
+#
+# The drift metric PSI users actually want: W₁ between the order-value
+# distribution before and after a cutover date, computed EXACTLY —
+# W₁ = Σ_gaps |F₁−F₂|·gap over the merged support. Everything stays in
+# integer space by cross-scaling the two CDFs to a common mass:
+# |cum1·N₂ − cum2·N₁| · gap accumulates in DECIMAL(38,0); the final
+# normalized distance divides once by N₁·N₂ in double. No logs, no
+# binning choices, no approximation. Scale shape: the fact table
+# collapses to per-distinct-value counts (one keyed agg), the CDFs come
+# from global_prefix_sum over the value order (X381 — no one-partition
+# window), and the gap join is a self-join on adjacent rank, also from
+# the same operator. ~|support| rows end to end.
+
+_EMD_CUT = "1995-06-01"
+
+_EMD_ORACLE = f"""
+WITH x AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderdate < DATE '{_EMD_CUT}' THEN 1 ELSE 0 END AS era
+  FROM orders),
+vals AS (
+  SELECT v,
+         CAST(SUM(era) AS BIGINT) AS n1,
+         CAST(SUM(1 - era) AS BIGINT) AS n2
+  FROM x GROUP BY v),
+cum AS (
+  SELECT v,
+         CAST(SUM(n1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS c1,
+         CAST(SUM(n2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS c2,
+         ROW_NUMBER() OVER (ORDER BY v) AS i
+  FROM vals),
+tot AS (
+  SELECT MAX(c1) AS m1, MAX(c2) AS m2 FROM cum),
+terms AS (
+  SELECT ABS(a.c1 * tot.m2 - a.c2 * tot.m1)
+           * CAST(b.v - a.v AS DECIMAL(38,0)) AS t
+  FROM cum a JOIN cum b ON b.i = a.i + 1, tot)
+SELECT tot.m1 AS n_before, tot.m2 AS n_after,
+       CAST(SUM(terms.t) AS DOUBLE)
+         / (CAST(tot.m1 AS DOUBLE) * CAST(tot.m2 AS DOUBLE))
+         AS emd_cents
+FROM terms, tot
+GROUP BY tot.m1, tot.m2
+"""
+
+
+@query("q_agg_emd_drift", _EMD_ORACLE)
+def q_agg_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.rank import (
+        global_prefix_sum,
+        global_rank,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    x = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        F.when(
+            F.col("o_orderdate") < F.lit(_EMD_CUT).cast("date"), 1
+        )
+        .otherwise(0)
+        .alias("era"),
+    )
+    vals = x.groupBy("v").agg(
+        F.sum("era").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("era")).cast("bigint").alias("n2"),
+    )
+    c1 = global_prefix_sum(
+        vals, order=[F.col("v")], weight=F.col("n1"), sum_col="c1"
+    )
+    c2 = global_prefix_sum(
+        c1, order=[F.col("v")], weight=F.col("n2"), sum_col="c2"
+    )
+    cum = global_rank(
+        c2.select("v", "c1", "c2"), order=[F.col("v")], rank_col="i"
+    ).select("v", F.col("c1").cast("bigint"), F.col("c2").cast("bigint"), "i")
+    tot = cum.agg(
+        F.max("c1").cast("bigint").alias("m1"),
+        F.max("c2").cast("bigint").alias("m2"),
+    )
+    nxt = cum.select(
+        (F.col("i") - 1).alias("i"), F.col("v").alias("v_next")
+    )
+    terms = (
+        cum.join(nxt, "i")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.abs(
+                    F.col("c1").cast("decimal(38,0)") * F.col("m2")
+                    - F.col("c2").cast("decimal(38,0)") * F.col("m1")
+                )
+                * (F.col("v_next") - F.col("v")).cast("decimal(38,0)")
+            ).alias("t")
+        )
+    )
+    return (
+        terms.agg(F.sum("t").cast("decimal(38,0)").alias("s"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("m1").alias("n_before"),
+            F.col("m2").alias("n_after"),
+            (
+                F.col("s").cast("double")
+                / (F.col("m1").cast("double") * F.col("m2").cast("double"))
+            ).alias("emd_cents"),
+        )
+    )

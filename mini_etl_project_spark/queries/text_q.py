@@ -1731,3 +1731,58 @@ def q_text_ttr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "500) AS BIGINT)"
         ).alias("ttr500_ppm"),
     )
+
+
+# -- X399 Chao1 vocabulary-richness estimator -------------------------------
+#
+# "How many unique tokens would we see with infinite data?" — the
+# ecology estimator corpora borrowed: Chao1 = V + F1²/(2·F2), where F1 /
+# F2 are the singleton / doubleton counts of the token-frequency
+# spectrum. Complements X? Good-Turing (mass of the unseen) with the
+# SIZE of the unseen. Two keyed aggregates over the token explode
+# (token counts → frequency-of-frequency), all integers, the estimator
+# floored to an integer token count with the bias-corrected form
+# (F1(F1−1)/(2(F2+1))) emitted alongside — both exact integer DIVs.
+
+_CHAO1_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
+tc AS (
+  SELECT t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY t),
+spec AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM tc)
+SELECT v, f1, f2,
+       v + f1 * f1 // (2 * GREATEST(f2, 1)) AS chao1,
+       v + f1 * (f1 - 1) // (2 * (f2 + 1)) AS chao1_bias_corrected
+FROM spec
+"""
+
+
+@query("q_text_chao1_richness", _CHAO1_ORACLE)
+def q_text_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    tc = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    spec = tc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    return spec.select(
+        "v",
+        "f1",
+        "f2",
+        F.expr("v + f1 * f1 DIV (2 * greatest(f2, 1))").alias("chao1"),
+        F.expr("v + f1 * (f1 - 1) DIV (2 * (f2 + 1))").alias(
+            "chao1_bias_corrected"
+        ),
+    )

@@ -2223,3 +2223,119 @@ def q_sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """
     )
+
+
+# -- X400 consistent-hash sharding + rebalance accounting -------------------
+#
+# The re-sharding economics every 100 TB store cares about: assign
+# documents to shards on an md5 hash ring (4 virtual nodes per shard)
+# and measure EXACTLY how much data moves when capacity grows 8 -> 9
+# shards. Consistent hashing's promise — only ~n/9 of keys move, and
+# only INTO the new shard — falls out as integer columns the oracle
+# re-derives bit-for-bit (same md5 ring both engines). Plan shape: the
+# ring is a <=36-row broadcast; assignment is a per-row min-over-ring
+# expression (successor-with-wraparound via two conditional mins); the
+# movement audit is one keyed aggregate. No shuffle beyond the final
+# group.
+
+_RING_HASH = "CAST(('0x' || substr(md5({k}), 1, 15)) AS BIGINT)"
+
+
+def _ring_sql(n_shards: int) -> str:
+    return f"""
+  SELECT s.s AS shard, {_RING_HASH.format(k="'ring:' || s.s || ':' || r.r")}
+           AS point
+  FROM unnest(generate_series(0, {n_shards - 1})) s(s),
+       unnest(generate_series(0, 3)) r(r)"""
+
+
+_CONSISTENT_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {_RING_HASH.format(k="CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents),
+ring8 AS ({_ring_sql(8)}),
+ring9 AS ({_ring_sql(9)}),
+a8 AS (
+  SELECT doc_id,
+         COALESCE(
+           MIN(CASE WHEN point >= h THEN point END),
+           MIN(point)) AS pt
+  FROM docs, ring8 GROUP BY doc_id, h),
+a9 AS (
+  SELECT doc_id,
+         COALESCE(
+           MIN(CASE WHEN point >= h THEN point END),
+           MIN(point)) AS pt
+  FROM docs, ring9 GROUP BY doc_id, h),
+asg AS (
+  SELECT a8.doc_id, r8.shard AS shard8, r9.shard AS shard9
+  FROM a8 JOIN ring8 r8 ON r8.point = a8.pt
+  JOIN a9 ON a9.doc_id = a8.doc_id
+  JOIN ring9 r9 ON r9.point = a9.pt)
+SELECT shard9 AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_after,
+       CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT)
+         AS moved_in,
+       CAST(SUM(CASE WHEN shard8 <> shard9 AND shard9 <> 8
+                     THEN 1 ELSE 0 END) AS BIGINT) AS moved_to_old_shard
+FROM asg GROUP BY shard9
+"""
+
+
+@query("q_layout_consistent_hash", _CONSISTENT_ORACLE)
+def q_layout_consistent_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.sampling_q import hash60
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", hash60(F.col("doc_id").cast("string")).alias("h")
+    )
+
+    def ring(spark, n_shards):
+        rows = [
+            (s, r) for s in range(n_shards) for r in range(4)
+        ]
+        df = spark.createDataFrame(rows, "shard int, r int")
+        return df.select(
+            "shard",
+            hash60(
+                F.concat(
+                    F.lit("ring:"),
+                    F.col("shard").cast("string"),
+                    F.lit(":"),
+                    F.col("r").cast("string"),
+                )
+            ).alias("point"),
+        )
+
+    def assign(docs, ring_df, out):
+        j = docs.crossJoin(F.broadcast(ring_df))
+        agg = j.groupBy("doc_id", "h").agg(
+            F.coalesce(
+                F.min(
+                    F.when(F.col("point") >= F.col("h"), F.col("point"))
+                ),
+                F.min("point"),
+            ).alias("pt")
+        )
+        return agg.join(
+            F.broadcast(ring_df), agg["pt"] == ring_df["point"]
+        ).select("doc_id", F.col("shard").alias(out))
+
+    r8, r9 = ring(spark, 8), ring(spark, 9)
+    asg = assign(d, r8, "shard8").join(assign(d, r9, "shard9"), "doc_id")
+    return asg.groupBy(F.col("shard9").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after"),
+        F.sum(
+            (F.col("shard8") != F.col("shard9")).cast("int")
+        )
+        .cast("bigint")
+        .alias("moved_in"),
+        F.sum(
+            (
+                (F.col("shard8") != F.col("shard9"))
+                & (F.col("shard9") != 8)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("moved_to_old_shard"),
+    )

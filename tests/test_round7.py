@@ -299,3 +299,110 @@ def test_both_gini_surfaces_registered():
 
     assert "q_agg_gini" in QUERIES and "q_agg_gini_global" in QUERIES
     assert "q_agg_gini" in ORACLES and "q_agg_gini_global" in ORACLES
+
+
+def test_semantic_audit_invariants(spark, sf_dir):
+    from mini_etl_project_spark.queries.similarity_q import (
+        q_dedup_semantic_audit,
+    )
+
+    rows = q_dedup_semantic_audit(spark, sf_dir).collect()
+    assert rows  # at least one multi-member cluster at sf0.001 tau
+    for r in rows:
+        assert r["cluster_size"] >= 2
+        # a cluster of size s has between s-1 (chain/tree) and C(s,2) edges
+        s = r["cluster_size"]
+        assert s - 1 <= r["n_edges"] <= s * (s - 1) // 2
+        assert _SEMDEDUP_TAU <= r["min_edge_cosine"] <= r["max_edge_cosine"]
+        assert r["max_edge_cosine"] <= 1.0
+
+
+def test_consistent_hash_rebalance_invariants(spark, sf_dir):
+    """The consistent-hashing contract: growing 8->9 shards moves keys
+    ONLY into the new shard (moved_to_old_shard == 0 everywhere), and
+    assignment covers every document exactly once."""
+    from mini_etl_project_spark.queries.misc_q import (
+        q_layout_consistent_hash,
+    )
+
+    rows = q_layout_consistent_hash(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_after"] for r in rows) == n_docs
+    for r in rows:
+        assert r["moved_to_old_shard"] == 0
+        if r["shard"] != 8:
+            assert r["moved_in"] == 0  # old shards only lose keys
+    new = [r for r in rows if r["shard"] == 8]
+    assert new and new[0]["moved_in"] == new[0]["n_after"] > 0
+
+
+def test_emd_drift_python_replay(spark, sf_dir):
+    from mini_etl_project_spark.queries.sampling_q import q_agg_emd_drift
+
+    import datetime
+
+    def _as_dt(d):
+        if isinstance(d, datetime.datetime):
+            return d
+        return datetime.datetime(d.year, d.month, d.day)
+
+    cut = datetime.datetime(1995, 6, 1)
+    before, after = [], []
+    for r in (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        (before
+         if _as_dt(r["o_orderdate"]) < cut else after).append(
+            half_up(r["o_totalprice"], 100)
+        )
+    support = sorted(set(before) | set(after))
+    from collections import Counter
+
+    cb, ca = Counter(before), Counter(after)
+    n1, n2 = len(before), len(after)
+    c1 = c2 = 0
+    emd_scaled = 0
+    for v, v_next in zip(support, support[1:]):
+        c1 += cb[v]
+        c2 += ca[v]
+        emd_scaled += abs(c1 * n2 - c2 * n1) * (v_next - v)
+    row = q_agg_emd_drift(spark, sf_dir).collect()[0]
+    assert (row["n_before"], row["n_after"]) == (n1, n2)
+    assert row["emd_cents"] == float(emd_scaled) / (float(n1) * float(n2))
+
+
+def test_chao1_python_replay(spark, sf_dir):
+    from mini_etl_project_spark.queries.text_q import q_text_chao1_richness
+
+    from collections import Counter
+
+    counts = Counter()
+    for r in (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ):
+        counts.update(t for t in r["text"].lower().split(" ") if t)
+    v = len(counts)
+    f1 = sum(1 for c in counts.values() if c == 1)
+    f2 = sum(1 for c in counts.values() if c == 2)
+    row = q_text_chao1_richness(spark, sf_dir).collect()[0]
+    assert (row["v"], row["f1"], row["f2"]) == (v, f1, f2)
+    assert row["chao1"] == v + f1 * f1 // (2 * max(f2, 1))
+    assert row["chao1_bias_corrected"] == v + f1 * (f1 - 1) // (2 * (f2 + 1))
+    assert row["chao1"] >= v
+
+
+def test_timedecay_shares_sum_to_million(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import (
+        q_ml_timedecay_attribution,
+    )
+
+    rows = q_ml_timedecay_attribution(spark, sf_dir).collect()
+    assert rows
+    total_share = sum(r["share_ppm"] for r in rows)
+    assert 1000000 - len(rows) <= total_share <= 1000000  # floor rounding
+    for r in rows:
+        assert r["credit_x2_30"] > 0 and r["n_touches"] > 0

@@ -41,3 +41,41 @@ def sql_davg(expr: str, alias: str) -> str:
         f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
         f" / COUNT({expr}) AS {alias}"
     )
+
+
+#: 2^30 — split point for dec_to_double: both halves stay < 2^53, where
+#: decimal→double conversion is EXACT in both engines (DuckDB's
+#: int128→double double-rounds above 2^53; Spark's BigDecimal.doubleValue
+#: is correctly rounded — the difference shows up as 1-ulp drift on huge
+#: moment sums, found by the round-7 cross-SF gate on q_ml_anova_oneway).
+_SPLIT = 1 << 30
+
+
+def dec_to_double(col: Column | str) -> Column:
+    """Engine-portable decimal→double for values that may exceed 2^53.
+
+    hi = (x − x%2^30)/2^30 is an exact integer-valued decimal division
+    and lo = x%2^30 is exact; both cast to double exactly (< 2^53). The
+    reassembly multiply+add are single correctly-rounded IEEE ops, so
+    both engines produce the SAME double (within-engine determinism is
+    not enough for hash parity — the rounding path must match too).
+    Mirror with sql_dec_to_double."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    # (x - x%S)/S is an EXACT integer-valued decimal division (no
+    # floor/rounding ambiguity between engines); non-negative inputs only
+    return (
+        ((c - c % _SPLIT) / _SPLIT).cast("double") * float(_SPLIT)
+        + (c % _SPLIT).cast("double")
+    )
+
+
+def sql_dec_to_double(expr: str) -> str:
+    """DuckDB twin of dec_to_double (// on DECIMAL is true division, so
+    floor() it to mirror Spark's truncating decimal DIV on non-negatives;
+    both uses here are non-negative magnitude sums)."""
+    return (
+        f"(CAST((({expr}) - ({expr}) % {_SPLIT}) / {_SPLIT} AS DOUBLE)"
+        f" * {_SPLIT}.0 + CAST(({expr}) % {_SPLIT} AS DOUBLE))"
+    )

@@ -5347,12 +5347,12 @@ tot AS (
   FROM g)
 SELECT k, n_tot,
        sum_terms
-         - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n_tot AS ssb,
-       CAST(q_tot AS DOUBLE) - sum_terms AS ssw,
+         - (CAST(((s_tot) - (s_tot) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((s_tot) % 1073741824 AS DOUBLE)) * (CAST(((s_tot) - (s_tot) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((s_tot) % 1073741824 AS DOUBLE)) / n_tot AS ssb,
+       (CAST(((q_tot) - (q_tot) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((q_tot) % 1073741824 AS DOUBLE)) - sum_terms AS ssw,
        (sum_terms
-          - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n_tot)
+          - (CAST(((s_tot) - (s_tot) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((s_tot) % 1073741824 AS DOUBLE)) * (CAST(((s_tot) - (s_tot) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((s_tot) % 1073741824 AS DOUBLE)) / n_tot)
          / (k - 1)
-         / ((CAST(q_tot AS DOUBLE) - sum_terms) / (n_tot - k)) AS f_stat
+         / (((CAST(((q_tot) - (q_tot) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((q_tot) % 1073741824 AS DOUBLE)) - sum_terms) / (n_tot - k)) AS f_stat
 FROM tot
 """
 
@@ -5387,13 +5387,13 @@ def q_ml_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, r: acc + r["t"],
         ).alias("sum_terms"),
     )
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
     ssb = (
         F.col("sum_terms")
-        - F.col("s_tot").cast("double")
-        * F.col("s_tot").cast("double")
-        / F.col("n_tot")
+        - dec_to_double("s_tot") * dec_to_double("s_tot") / F.col("n_tot")
     )
-    ssw = F.col("q_tot").cast("double") - F.col("sum_terms")
+    ssw = dec_to_double("q_tot") - F.col("sum_terms")
     return tot.select(
         "k",
         "n_tot",
@@ -5558,12 +5558,12 @@ tot AS (
   FROM g)
 SELECT k, n_tot,
        sum_terms
-         - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n_tot AS ssb_z,
-       CAST(q_tot AS DOUBLE) - sum_terms AS ssw_z,
+         - (CAST(((s_tot) - (s_tot) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((s_tot) % 1073741824 AS DOUBLE)) * (CAST(((s_tot) - (s_tot) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((s_tot) % 1073741824 AS DOUBLE)) / n_tot AS ssb_z,
+       (CAST(((q_tot) - (q_tot) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((q_tot) % 1073741824 AS DOUBLE)) - sum_terms AS ssw_z,
        (sum_terms
-          - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n_tot)
+          - (CAST(((s_tot) - (s_tot) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((s_tot) % 1073741824 AS DOUBLE)) * (CAST(((s_tot) - (s_tot) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((s_tot) % 1073741824 AS DOUBLE)) / n_tot)
          / (k - 1)
-         / ((CAST(q_tot AS DOUBLE) - sum_terms) / (n_tot - k))
+         / (((CAST(((q_tot) - (q_tot) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((q_tot) % 1073741824 AS DOUBLE)) - sum_terms) / (n_tot - k))
          AS bf_stat
 FROM tot
 """
@@ -5616,13 +5616,13 @@ def q_ml_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, r: acc + r["t"],
         ).alias("sum_terms"),
     )
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
     ssb = (
         F.col("sum_terms")
-        - F.col("s_tot").cast("double")
-        * F.col("s_tot").cast("double")
-        / F.col("n_tot")
+        - dec_to_double("s_tot") * dec_to_double("s_tot") / F.col("n_tot")
     )
-    ssw = F.col("q_tot").cast("double") - F.col("sum_terms")
+    ssw = dec_to_double("q_tot") - F.col("sum_terms")
     return tot.select(
         "k",
         "n_tot",
@@ -5677,17 +5677,17 @@ c AS (
   SELECT n,
          CAST(sq AS DOUBLE) / n AS mq, CAST(sp AS DOUBLE) / n AS mp,
          CAST(sd AS DOUBLE) / n AS md,
-         CAST(sqq AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n)
+         (CAST(((sqq) - (sqq) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((sqq) % 1073741824 AS DOUBLE)) / n - (CAST(sq AS DOUBLE) / n)
            * (CAST(sq AS DOUBLE) / n) AS a,
-         CAST(sqp AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n)
+         (CAST(((sqp) - (sqp) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((sqp) % 1073741824 AS DOUBLE)) / n - (CAST(sq AS DOUBLE) / n)
            * (CAST(sp AS DOUBLE) / n) AS b,
-         CAST(sqd AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n)
+         (CAST(((sqd) - (sqd) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((sqd) % 1073741824 AS DOUBLE)) / n - (CAST(sq AS DOUBLE) / n)
            * (CAST(sd AS DOUBLE) / n) AS cc,
-         CAST(spp AS DOUBLE) / n - (CAST(sp AS DOUBLE) / n)
+         (CAST(((spp) - (spp) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((spp) % 1073741824 AS DOUBLE)) / n - (CAST(sp AS DOUBLE) / n)
            * (CAST(sp AS DOUBLE) / n) AS e,
-         CAST(spd AS DOUBLE) / n - (CAST(sp AS DOUBLE) / n)
+         (CAST(((spd) - (spd) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((spd) % 1073741824 AS DOUBLE)) / n - (CAST(sp AS DOUBLE) / n)
            * (CAST(sd AS DOUBLE) / n) AS f,
-         CAST(sdd AS DOUBLE) / n - (CAST(sd AS DOUBLE) / n)
+         (CAST(((sdd) - (sdd) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((sdd) % 1073741824 AS DOUBLE)) / n - (CAST(sd AS DOUBLE) / n)
            * (CAST(sd AS DOUBLE) / n) AS g
   FROM m),
 inv AS (
@@ -5738,18 +5738,21 @@ def q_ml_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("p").cast(dec) * F.col("d")).alias("spd"),
         F.sum(F.col("d").cast(dec) * F.col("d")).alias("sdd"),
     )
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
     mean = lambda s: F.col(s).cast("double") / F.col("n")  # noqa: E731
+    dmean = lambda s: dec_to_double(s) / F.col("n")  # noqa: E731
     c = m.select(
         "n",
         mean("sq").alias("mq"),
         mean("sp").alias("mp"),
         mean("sd").alias("md"),
-        (mean("sqq") - mean("sq") * mean("sq")).alias("a"),
-        (mean("sqp") - mean("sq") * mean("sp")).alias("b"),
-        (mean("sqd") - mean("sq") * mean("sd")).alias("cc"),
-        (mean("spp") - mean("sp") * mean("sp")).alias("e"),
-        (mean("spd") - mean("sp") * mean("sd")).alias("f"),
-        (mean("sdd") - mean("sd") * mean("sd")).alias("g"),
+        (dmean("sqq") - mean("sq") * mean("sq")).alias("a"),
+        (dmean("sqp") - mean("sq") * mean("sp")).alias("b"),
+        (dmean("sqd") - mean("sq") * mean("sd")).alias("cc"),
+        (dmean("spp") - mean("sp") * mean("sp")).alias("e"),
+        (dmean("spd") - mean("sp") * mean("sd")).alias("f"),
+        (dmean("sdd") - mean("sd") * mean("sd")).alias("g"),
     )
     inv = c.select(
         "*",

@@ -3053,7 +3053,7 @@ terms AS (
            * CAST(b.v - a.v AS DECIMAL(38,0)) AS t
   FROM cum a JOIN cum b ON b.i = a.i + 1, tot)
 SELECT tot.m1 AS n_before, tot.m2 AS n_after,
-       CAST(SUM(terms.t) AS DOUBLE)
+       (CAST(((CAST(SUM(terms.t) AS DECIMAL(38,0))) - (CAST(SUM(terms.t) AS DECIMAL(38,0))) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((CAST(SUM(terms.t) AS DECIMAL(38,0))) % 1073741824 AS DOUBLE))
          / (CAST(tot.m1 AS DOUBLE) * CAST(tot.m2 AS DOUBLE))
          AS emd_cents
 FROM terms, tot
@@ -3110,6 +3110,8 @@ def q_agg_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t")
         )
     )
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
     return (
         terms.agg(F.sum("t").cast("decimal(38,0)").alias("s"))
         .crossJoin(F.broadcast(tot))
@@ -3117,7 +3119,7 @@ def q_agg_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m1").alias("n_before"),
             F.col("m2").alias("n_after"),
             (
-                F.col("s").cast("double")
+                dec_to_double("s")
                 / (F.col("m1").cast("double") * F.col("m2").cast("double"))
             ).alias("emd_cents"),
         )

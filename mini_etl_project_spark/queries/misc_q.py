@@ -2339,3 +2339,84 @@ def q_layout_consistent_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("moved_to_old_shard"),
     )
+
+
+# -- X403 Herfindahl-Hirschman concentration index --------------------------
+#
+# Per-market supplier concentration — the antitrust-style audit that
+# also tells a data pipeline when one producer dominates a shard.
+# Market = supplier nation, firm = supplier, mass = revenue cents.
+# HHI (basis points, 0..10000) = sum_i share_i^2 * 1e4 where the
+# shares' numerator and denominator stay EXACT: per-firm cents are
+# BIGINT sums, the squared sum is DECIMAL(38,0) (c_i^2 overflows int64
+# past ~sf10), and the final ratio assembles from dec_to_double halves
+# so both engines round identically. CR1 (top-firm share, ppm) rides
+# along from the same aggregate. Plan: broadcast the supplier dim onto
+# the fact scan, one (nation, firm) groupBy with map-side combine, one
+# bounded per-nation roll-up — no unkeyed shuffle, scale-safe.
+
+_HHI_ORACLE = """
+WITH firm AS (
+  SELECT s.s_nationkey AS nk, l.l_suppkey AS firm,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS c
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2),
+mkt AS (
+  SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_firms,
+         CAST(SUM(c) AS BIGINT) AS tot_cents,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS ssq,
+         CAST(MAX(c) AS BIGINT) AS max_c
+  FROM firm GROUP BY nk)
+SELECT n.n_name AS market, m.n_firms, m.tot_cents,
+       (CAST(((m.ssq * 10000) - (m.ssq * 10000) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((m.ssq * 10000) % 1073741824 AS DOUBLE))
+         / (CAST(m.tot_cents AS DOUBLE) * CAST(m.tot_cents AS DOUBLE))
+         AS hhi_bp,
+       CAST(m.max_c AS DOUBLE) * 1000000.0 / CAST(m.tot_cents AS DOUBLE)
+         AS cr1_ppm
+FROM mkt m JOIN nation n ON n.n_nationkey = m.nk
+"""
+
+
+@query("q_agg_hhi", _HHI_ORACLE)
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    firm = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nk"),
+            F.col("l_suppkey").alias("firm"),
+        )
+        .agg(F.sum(cents).cast("bigint").alias("c"))
+    )
+    mkt = firm.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_firms"),
+        F.sum("c").cast("bigint").alias("tot_cents"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("ssq"),
+        F.max("c").cast("bigint").alias("max_c"),
+    )
+    tot_d = F.col("tot_cents").cast("double")
+    return mkt.join(
+        F.broadcast(nat), mkt.nk == nat.n_nationkey
+    ).select(
+        F.col("n_name").alias("market"),
+        "n_firms",
+        "tot_cents",
+        (dec_to_double(F.col("ssq") * 10000) / (tot_d * tot_d)).alias(
+            "hhi_bp"
+        ),
+        (F.col("max_c").cast("double") * 1000000.0 / tot_d).alias(
+            "cr1_ppm"
+        ),
+    )

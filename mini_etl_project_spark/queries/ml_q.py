@@ -17,6 +17,9 @@ from mini_etl_project_spark.operators.kmeans import lloyd_fixed_point
 from mini_etl_project_spark.operators.rank import global_rank
 from mini_etl_project_spark.queries import query
 from mini_etl_project_spark.queries.helpers import DEC
+from mini_etl_project_spark.queries.helpers import (
+    sql_dec_to_double as _sql_dec_to_double,
+)
 from mini_etl_project_spark.session import load_table
 
 _K = 4
@@ -5858,4 +5861,102 @@ def q_ml_timedecay_attribution(
         F.expr("CAST(credit_x2_30 * 1000000 DIV t AS BIGINT)").alias(
             "share_ppm"
         ),
+    )
+
+
+# -- X401 Fleiss' kappa (multi-rater agreement) -----------------------------
+#
+# The agreement statistic for MORE than two raters — the one a labeling
+# pipeline needs when every item is annotated by a fixed-size panel
+# (Cohen's kappa, X283, only handles two). Subjects are orders rated by
+# exactly R=3 "raters" (their lineitems), categories are the return
+# flags. Everything stays integer until the last two divisions:
+# pair-agreements A = sum_i sum_j n_ij(n_ij-1) is a BIGINT, the
+# category totals' square sum is DECIMAL(38,0) (c_j^2 overflows int64
+# past ~sf500), and P_bar / P_e / kappa assemble through identical
+# expression trees (dec_to_double for the >2^53-safe path), so the
+# doubles hash-match. Plan: one (subject, category) groupBy with
+# map-side combine, a subject-level roll-up, and two bounded follow-up
+# aggregates — shuffles on the natural keys only, scale-safe.
+
+_FLEISS_R = 3
+
+_FLEISS_ORACLE = f"""
+WITH cells AS (
+  SELECT l_orderkey AS sid, l_returnflag AS cat,
+         CAST(COUNT(*) AS BIGINT) AS nij
+  FROM lineitem GROUP BY 1, 2),
+subj AS (
+  SELECT sid, SUM(nij) AS r, SUM(nij * (nij - 1)) AS pairs
+  FROM cells GROUP BY sid),
+kept AS (SELECT sid, pairs FROM subj WHERE r = {_FLEISS_R}),
+top AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+         CAST(SUM(pairs) AS BIGINT) AS a_pairs
+  FROM kept),
+cat AS (
+  SELECT CAST(SUM(CAST(cj AS DECIMAL(38,0)) * cj) AS DECIMAL(38,0)) AS c2
+  FROM (SELECT SUM(cells.nij) AS cj
+        FROM cells JOIN kept ON kept.sid = cells.sid
+        GROUP BY cells.cat))
+SELECT n_subjects,
+       CAST({_FLEISS_R} AS BIGINT) AS n_raters,
+       a_pairs,
+       CAST(a_pairs AS DOUBLE)
+         / CAST(n_subjects * {_FLEISS_R * (_FLEISS_R - 1)} AS DOUBLE)
+         AS p_bar,
+       {{pe}} AS p_e,
+       (CAST(a_pairs AS DOUBLE)
+          / CAST(n_subjects * {_FLEISS_R * (_FLEISS_R - 1)} AS DOUBLE)
+        - {{pe}}) / (1.0 - {{pe}}) AS kappa
+FROM top, cat
+""".format(
+    pe=(
+        "(" + _sql_dec_to_double("c2")
+        + f" / (CAST(n_subjects * {_FLEISS_R} AS DOUBLE)"
+        f" * CAST(n_subjects * {_FLEISS_R} AS DOUBLE)))"
+    )
+)
+
+
+@query("q_ml_fleiss_kappa", _FLEISS_ORACLE)
+def q_ml_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    R = _FLEISS_R
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_orderkey").alias("sid"), F.col("l_returnflag").alias("cat")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+    subj = cells.groupBy("sid").agg(
+        F.sum("nij").alias("r"),
+        F.sum(F.col("nij") * (F.col("nij") - 1)).alias("pairs"),
+    )
+    kept = subj.filter(F.col("r") == R).select("sid", "pairs")
+    top = kept.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
+        F.sum("pairs").cast("bigint").alias("a_pairs"),
+    )
+    cat = (
+        cells.join(kept.select("sid"), "sid")
+        .groupBy("cat")
+        .agg(F.sum("nij").alias("cj"))
+        .agg(
+            F.sum(F.col("cj").cast("decimal(38,0)") * F.col("cj"))
+            .cast("decimal(38,0)")
+            .alias("c2")
+        )
+    )
+    nr_d = (F.col("n_subjects") * R).cast("double")
+    p_bar = F.col("a_pairs").cast("double") / (
+        F.col("n_subjects") * (R * (R - 1))
+    ).cast("double")
+    p_e = dec_to_double("c2") / (nr_d * nr_d)
+    return top.crossJoin(F.broadcast(cat)).select(
+        "n_subjects",
+        F.lit(R).cast("bigint").alias("n_raters"),
+        "a_pairs",
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+        ((p_bar - p_e) / (F.lit(1.0) - p_e)).alias("kappa"),
     )

@@ -3124,3 +3124,135 @@ def q_agg_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("emd_cents"),
         )
     )
+
+
+# -- X404 Deterministic Poisson bootstrap -----------------------------------
+#
+# THE resampling method that actually works at 100 TB: the classic
+# bootstrap needs n draws WITH replacement from a global index
+# (undistributable), while the Poisson bootstrap gives every row an
+# i.i.d. Poisson(1) replicate weight — one scan, no coordination, and
+# the weights are a pure function of the row key (md5-uniform ->
+# inverse CDF through LITERAL integer thresholds), so every re-run and
+# every partitioning produces the same resample. B=8 replicates ride
+# in ONE aggregate pass as conditional sums (no explode, no 8x scan):
+# per replicate an integer weighted cents sum (DECIMAL(38,0), w*cents
+# sums overflow int64 at scale) and a BIGINT weight total, then the
+# replicate means, their left-fold average, and the bootstrap SE of
+# the mean assemble through identical double expression trees (sqrt is
+# correctly rounded per IEEE — portable across engines).
+
+_PB_B = 8
+# floor(1e6 * CDF_Poisson(1)(k)) for k = 0..6; u >= last -> weight 7
+_PB_THRESH = (367879, 735758, 919698, 981011, 996340, 999405, 999916)
+
+_PB_KEY_SQL = (
+    "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+)
+
+
+def _pb_w_sql(b: int) -> str:
+    seeded = f"'pb{b}:' || {_PB_KEY_SQL}"
+    u = f"({_sql_hash60(seeded)} % 1000000)"
+    case = "CASE"
+    for k, t in enumerate(_PB_THRESH):
+        case += f" WHEN {u} < {t} THEN {k}"
+    return case + f" ELSE {len(_PB_THRESH)} END"
+
+
+def _pb_oracle() -> str:
+    aggs = []
+    for b in range(_PB_B):
+        w = _pb_w_sql(b)
+        aggs.append(
+            f"CAST(SUM(CAST(({w}) AS DECIMAL(38,0)) * cents)"
+            f" AS DECIMAL(38,0)) AS swx{b}"
+        )
+        aggs.append(f"CAST(SUM({w}) AS BIGINT) AS sw{b}")
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    means = [
+        f"({sql_dec_to_double(f'swx{b}')} / CAST(sw{b} AS DOUBLE))"
+        for b in range(_PB_B)
+    ]
+    mean_cols = ",\n       ".join(
+        f"{m} AS m{b}" for b, m in enumerate(means)
+    )
+    fold = means[0]
+    for m in means[1:]:
+        fold = f"({fold} + {m})"
+    boot_mean = f"({fold} / {float(_PB_B)})"
+    sq = [f"(({m} - {boot_mean}) * ({m} - {boot_mean}))" for m in means]
+    sfold = sq[0]
+    for t in sq[1:]:
+        sfold = f"({sfold} + {t})"
+    return f"""
+WITH x AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {", ".join(aggs)}
+  FROM x)
+SELECT n,
+       {mean_cols},
+       {boot_mean} AS boot_mean,
+       sqrt({sfold} / {float(_PB_B - 1)}) AS boot_se
+FROM a
+"""
+
+
+_PB_ORACLE = _pb_oracle()
+
+
+@query("q_sample_poisson_bootstrap", _PB_ORACLE)
+def q_sample_poisson_bootstrap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        ":",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    x = li.select(cents.alias("cents"), key.alias("key"))
+
+    def w(b: int) -> F.Column:
+        u = hash60(F.concat(F.lit(f"pb{b}:"), F.col("key"))) % 1000000
+        expr = F.when(u < _PB_THRESH[0], 0)
+        for k, t in enumerate(_PB_THRESH[1:], start=1):
+            expr = expr.when(u < t, k)
+        return expr.otherwise(len(_PB_THRESH))
+
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for b in range(_PB_B):
+        wb = w(b)
+        aggs.append(
+            F.sum(wb.cast("decimal(38,0)") * F.col("cents"))
+            .cast("decimal(38,0)")
+            .alias(f"swx{b}")
+        )
+        aggs.append(F.sum(wb).cast("bigint").alias(f"sw{b}"))
+    a = x.agg(*aggs)
+
+    means = [
+        dec_to_double(f"swx{b}") / F.col(f"sw{b}").cast("double")
+        for b in range(_PB_B)
+    ]
+    fold = means[0]
+    for m in means[1:]:
+        fold = fold + m
+    boot_mean = fold / float(_PB_B)
+    sfold = (means[0] - boot_mean) * (means[0] - boot_mean)
+    for m in means[1:]:
+        sfold = sfold + (m - boot_mean) * (m - boot_mean)
+    return a.select(
+        "n",
+        *[m.alias(f"m{b}") for b, m in enumerate(means)],
+        boot_mean.alias("boot_mean"),
+        F.sqrt(sfold / float(_PB_B - 1)).alias("boot_se"),
+    )

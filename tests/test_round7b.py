@@ -1,0 +1,216 @@
+"""Round-7 session-3 additions: Fleiss' kappa (X401), mixture drift
+(X402), HHI concentration (X403), Poisson bootstrap (X404), and the
+Jaro-Winkler UDF (X405) — Python replays, statistical invariants, and
+DuckDB-builtin parity."""
+
+from __future__ import annotations
+
+import itertools
+import math
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import half_up
+from mini_etl_project_spark.queries.functions_q import (
+    _jaro_winkler,
+    q_fn_jaro_winkler,
+)
+from mini_etl_project_spark.queries.corpus_q import q_corpus_mixture_drift
+from mini_etl_project_spark.queries.misc_q import q_agg_hhi
+from mini_etl_project_spark.queries.ml_q import q_ml_fleiss_kappa
+from mini_etl_project_spark.queries.sampling_q import (
+    _PB_B,
+    _PB_THRESH,
+    q_sample_poisson_bootstrap,
+)
+
+
+def test_fleiss_kappa_python_replay(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_returnflag")
+        .collect()
+    )
+    by_subj: dict[int, Counter] = defaultdict(Counter)
+    for r in rows:
+        by_subj[r["l_orderkey"]][r["l_returnflag"]] += 1
+    kept = {k: c for k, c in by_subj.items() if sum(c.values()) == 3}
+    n = len(kept)
+    a_pairs = sum(
+        v * (v - 1) for c in kept.values() for v in c.values()
+    )
+    cat: Counter = Counter()
+    for c in kept.values():
+        cat.update(c)
+    p_bar = a_pairs / (n * 3 * 2)
+    p_e = sum(v * v for v in cat.values()) / ((n * 3) ** 2)
+    kappa = (p_bar - p_e) / (1.0 - p_e)
+
+    got = q_ml_fleiss_kappa(spark, sf_dir).collect()[0]
+    assert got["n_subjects"] == n
+    assert got["n_raters"] == 3
+    assert got["a_pairs"] == a_pairs
+    assert got["p_bar"] == pytest.approx(p_bar, abs=1e-12)
+    assert got["p_e"] == pytest.approx(p_e, abs=1e-12)
+    assert got["kappa"] == pytest.approx(kappa, abs=1e-10)
+    # agreement is bounded: kappa <= 1, p_bar and p_e are probabilities
+    assert 0.0 <= got["p_bar"] <= 1.0 and 0.0 <= got["p_e"] <= 1.0
+    assert got["kappa"] <= 1.0
+
+
+def test_mixture_drift_invariants_and_replay(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    )
+    a: Counter = Counter()
+    b: Counter = Counter()
+    for r in rows:
+        (a if r["doc_id"] % 2 == 0 else b)[r["source"]] += 1
+    at, bt = sum(a.values()), sum(b.values())
+    srcs = sorted(set(a) | set(b))
+    tv = sum(abs(a[s] * bt - b[s] * at) for s in srcs) / (2.0 * at * bt)
+    bh = sum(math.sqrt(a[s] * b[s]) for s in srcs) / math.sqrt(at * bt)
+
+    got = q_corpus_mixture_drift(spark, sf_dir).collect()[0]
+    assert got["a_tot"] == at and got["b_tot"] == bt
+    assert got["k_sources"] == len(srcs)
+    assert got["tv_dist"] == pytest.approx(tv, abs=1e-12)
+    assert got["bh_affinity"] == pytest.approx(bh, abs=1e-9)
+    # metric bounds: 0 <= TV <= 1, 0 <= BC <= 1, H^2 = 1 - BC,
+    # and Hellinger^2 <= TV <= Hellinger*sqrt(2) (standard inequalities)
+    assert 0.0 <= got["tv_dist"] <= 1.0
+    assert 0.0 <= got["bh_affinity"] <= 1.0 + 1e-12
+    h = got["hellinger"]
+    assert h * h <= got["tv_dist"] + 1e-12
+    assert got["tv_dist"] <= h * math.sqrt(2.0) + 1e-12
+
+
+def test_hhi_python_replay_and_bounds(spark, sf_dir):
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_suppkey", "l_extendedprice")
+        .collect()
+    )
+    sup = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in spark.read.parquet(f"{sf_dir}/supplier.parquet").collect()
+    }
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+    }
+    firm: Counter = Counter()
+    for r in li:
+        firm[(sup[r["l_suppkey"]], r["l_suppkey"])] += half_up(
+            r["l_extendedprice"], 100
+        )
+    mkt: dict[int, list[int]] = defaultdict(list)
+    for (nk, _), c in firm.items():
+        mkt[nk].append(c)
+    got = {r["market"]: r for r in q_agg_hhi(spark, sf_dir).collect()}
+    assert len(got) == len(mkt)
+    for nk, cs in mkt.items():
+        row = got[nat[nk]]
+        tot = sum(cs)
+        hhi = sum(c * c for c in cs) * 10000.0 / (tot * tot)
+        assert row["n_firms"] == len(cs)
+        assert row["tot_cents"] == tot
+        assert row["hhi_bp"] == pytest.approx(hhi, rel=1e-12)
+        assert row["cr1_ppm"] == pytest.approx(
+            max(cs) * 1e6 / tot, rel=1e-12
+        )
+        # bounds: 10000/n <= HHI <= 10000; CR1 >= 1/n share
+        assert 10000.0 / len(cs) - 1e-9 <= row["hhi_bp"] <= 10000.0 + 1e-9
+        assert row["cr1_ppm"] >= 1e6 / len(cs) - 1e-6
+
+
+def test_poisson_bootstrap_weights_and_replay(spark, sf_dir):
+    import hashlib
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .collect()
+    )
+
+    def weight(b: int, key: str) -> int:
+        h = hashlib.md5(f"pb{b}:{key}".encode()).hexdigest()[:15]
+        u = int(h, 16) % 1000000
+        for k, t in enumerate(_PB_THRESH):
+            if u < t:
+                return k
+        return len(_PB_THRESH)
+
+    means = []
+    for b in range(_PB_B):
+        sw = swx = 0
+        for r in rows:
+            k = f"{r['l_orderkey']}:{r['l_linenumber']}"
+            w = weight(b, k)
+            sw += w
+            swx += w * half_up(r["l_extendedprice"], 100)
+        means.append(swx / sw)
+    boot_mean = sum(means) / _PB_B
+    boot_se = math.sqrt(
+        sum((m - boot_mean) ** 2 for m in means) / (_PB_B - 1)
+    )
+
+    got = q_sample_poisson_bootstrap(spark, sf_dir).collect()[0]
+    assert got["n"] == len(rows)
+    for b in range(_PB_B):
+        assert got[f"m{b}"] == pytest.approx(means[b], rel=1e-12)
+    assert got["boot_mean"] == pytest.approx(boot_mean, rel=1e-12)
+    assert got["boot_se"] == pytest.approx(boot_se, rel=1e-9)
+    # the SE of the mean should be near sigma/sqrt(n): sanity band only
+    assert 0.0 < got["boot_se"] < got["boot_mean"]
+
+
+def test_poisson_bootstrap_single_pass_no_explode(spark, sf_dir):
+    """All 8 replicates ride one aggregate over one scan — the plan must
+    contain no Generate/Expand (explode) node and exactly one lineitem
+    scan."""
+    df = q_sample_poisson_bootstrap(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan and "Expand" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_jaro_winkler_duckdb_builtin_parity():
+    """The UDF's kernel must match DuckDB's native implementation
+    bit-for-bit, including the short-string edge cases that separate
+    textbook variants (empty->0, window clamp at 0)."""
+    import duckdb
+    import random
+
+    rng = random.Random(42)
+    words = [
+        "".join(rng.choice("abcde") for _ in range(rng.randint(0, 6)))
+        for _ in range(120)
+    ]
+    pairs = list(itertools.combinations(words, 2))[:4000]
+    pairs += [("", ""), ("e", "e"), ("ab", "ba"), ("martha", "marhta"),
+              ("DWAYNE", "DUANE"), ("CA", "ABC"), ("x", ""), ("", "x")]
+    con = duckdb.connect()
+    for x, y in pairs:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [x, y]
+        ).fetchone()[0]
+        assert _jaro_winkler(x, y) == want, (x, y)
+
+
+def test_jaro_winkler_metric_properties(spark, sf_dir):
+    got = q_fn_jaro_winkler(spark, sf_dir)
+    rows = got.collect()
+    assert 0 < len(rows) <= 2000  # sf-dependent: partkey <= 2000 filter
+    for r in rows:
+        assert 0.0 <= r["jw_vowel_swap"] <= 1.0
+        assert 0.0 <= r["jw_brand_type"] <= 1.0
+    probe = rows[0]
+    assert probe["jw_probe_empty"] == 0.0
+    assert probe["jw_probe_single"] == 1.0
+    assert probe["jw_probe_classic"] == pytest.approx(0.9611111111111111)
+    assert probe["jw_probe_boost"] == pytest.approx(0.8400000000000001)

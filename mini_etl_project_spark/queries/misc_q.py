@@ -2420,3 +2420,92 @@ def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cr1_ppm"
         ),
     )
+
+
+# -- X408 Overdispersion index (variance-to-mean ratio) ---------------------
+#
+# The Poisson sanity check for event streams: if hourly arrival counts
+# were Poisson, the variance-to-mean ratio of the per-hour counts
+# would sit near 1 — VMR >> 1 means bursty/clumped traffic (and that
+# rate-based alerting thresholds are wrong). Counts per (type, hour)
+# are exact integers from one keyed groupBy; the per-type roll-up
+# keeps BIGINT/DECIMAL moments over the BOUNDED (types x hours) table
+# and emits mean, sample variance and VMR through identical double
+# trees. Missing hours count as zero via the hour-spine cross join
+# (bounded: types x observed-hour-range).
+
+_VMR_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+spine AS (
+  SELECT t.event_type, g.hr
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT DISTINCT date_trunc('hour', ts) AS hr
+              FROM events) g),
+f AS (
+  SELECT spine.event_type, COALESCE(h.c, 0) AS c
+  FROM spine LEFT JOIN h
+    ON h.event_type = spine.event_type AND h.hr = spine.hr),
+g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS q
+  FROM f GROUP BY event_type)
+SELECT event_type, n_hours, s AS n_events,
+       CAST(s AS DOUBLE) / n_hours AS mean_per_hour,
+       ((CAST(((q) - (q) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((q) % 1073741824 AS DOUBLE))
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_hours)
+         / (n_hours - 1) AS var_per_hour,
+       (((CAST(((q) - (q) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((q) % 1073741824 AS DOUBLE))
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_hours)
+         / (n_hours - 1)) / (CAST(s AS DOUBLE) / n_hours) AS vmr,
+       CASE WHEN (((CAST(((q) - (q) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((q) % 1073741824 AS DOUBLE))
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_hours)
+         / (n_hours - 1)) / (CAST(s AS DOUBLE) / n_hours) > 1.5
+            THEN 1 ELSE 0 END AS overdispersed
+FROM g
+"""
+
+
+@query("q_agg_dispersion", _VMR_ORACLE)
+def q_agg_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    types = ev.select("event_type").distinct()
+    hours = ev.select(
+        F.date_trunc("hour", "ts").alias("hr")
+    ).distinct()
+    spine = types.crossJoin(hours)
+    f = spine.join(h, ["event_type", "hr"], "left").select(
+        "event_type", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    g = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_hours")
+    var = (
+        dec_to_double("q")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n_hours")
+    ) / (F.col("n_hours") - 1)
+    vmr = var / mean
+    return g.select(
+        "event_type",
+        "n_hours",
+        F.col("s").alias("n_events"),
+        mean.alias("mean_per_hour"),
+        var.alias("var_per_hour"),
+        vmr.alias("vmr"),
+        F.when(vmr > 1.5, 1).otherwise(0).alias("overdispersed"),
+    )

@@ -5960,3 +5960,207 @@ def q_ml_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_e.alias("p_e"),
         ((p_bar - p_e) / (F.lit(1.0) - p_e)).alias("kappa"),
     )
+
+
+# -- X407 Difference-in-differences -----------------------------------------
+#
+# The workhorse causal estimator when treatment switches on at a known
+# time: DiD = (treated post - treated pre) - (control post - control
+# pre) cancels both the group fixed effect and the common time trend.
+# Cohort = user_id parity, the cut is the midpoint of the observed
+# time range ((min+max) DIV 2 on epoch micros — integer, portable),
+# outcomes are exact cents sums, and the 2x2 cell means + the DiD
+# estimate assemble through identical double trees. Plan: one bounded
+# min/max aggregate broadcast onto ONE conditional-sum pass over the
+# fact scan — two scans, no shuffle beyond the 1-row aggregates.
+
+_DID_ORACLE = """
+WITH b AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid
+  FROM events),
+c AS (
+  SELECT
+    CAST(COUNT(CASE WHEN user_id % 2 = 1 AND epoch_us(ts) <  b.mid THEN 1 END) AS BIGINT) AS n_t_pre,
+    CAST(COUNT(CASE WHEN user_id % 2 = 1 AND epoch_us(ts) >= b.mid THEN 1 END) AS BIGINT) AS n_t_post,
+    CAST(COUNT(CASE WHEN user_id % 2 = 0 AND epoch_us(ts) <  b.mid THEN 1 END) AS BIGINT) AS n_c_pre,
+    CAST(COUNT(CASE WHEN user_id % 2 = 0 AND epoch_us(ts) >= b.mid THEN 1 END) AS BIGINT) AS n_c_post,
+    CAST(SUM(CASE WHEN user_id % 2 = 1 AND epoch_us(ts) <  b.mid THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) AS s_t_pre,
+    CAST(SUM(CASE WHEN user_id % 2 = 1 AND epoch_us(ts) >= b.mid THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) AS s_t_post,
+    CAST(SUM(CASE WHEN user_id % 2 = 0 AND epoch_us(ts) <  b.mid THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) AS s_c_pre,
+    CAST(SUM(CASE WHEN user_id % 2 = 0 AND epoch_us(ts) >= b.mid THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) AS s_c_post
+  FROM events, b)
+SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+       CAST(s_t_pre AS DOUBLE) / n_t_pre AS m_t_pre,
+       CAST(s_t_post AS DOUBLE) / n_t_post AS m_t_post,
+       CAST(s_c_pre AS DOUBLE) / n_c_pre AS m_c_pre,
+       CAST(s_c_post AS DOUBLE) / n_c_post AS m_c_post,
+       (CAST(s_t_post AS DOUBLE) / n_t_post
+          - CAST(s_t_pre AS DOUBLE) / n_t_pre)
+         - (CAST(s_c_post AS DOUBLE) / n_c_post
+              - CAST(s_c_pre AS DOUBLE) / n_c_pre) AS did_cents
+FROM c
+"""
+
+
+@query("q_ml_did", _DID_ORACLE)
+def q_ml_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        (
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+            / F.lit(2)
+        )
+        .cast("bigint")
+        .alias("mid")
+    )
+    x = ev.crossJoin(F.broadcast(b)).select(
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        (F.unix_micros("ts") < F.col("mid")).alias("pre"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    def cell(t: bool, pre: bool, what: str) -> F.Column:
+        cond = (F.col("treat") == t) & (F.col("pre") == pre)
+        if what == "n":
+            return F.count(F.when(cond, 1)).cast("bigint")
+        return F.sum(F.when(cond, F.col("cents"))).cast("bigint")
+
+    c = x.agg(
+        cell(True, True, "n").alias("n_t_pre"),
+        cell(True, False, "n").alias("n_t_post"),
+        cell(False, True, "n").alias("n_c_pre"),
+        cell(False, False, "n").alias("n_c_post"),
+        cell(True, True, "s").alias("s_t_pre"),
+        cell(True, False, "s").alias("s_t_post"),
+        cell(False, True, "s").alias("s_c_pre"),
+        cell(False, False, "s").alias("s_c_post"),
+    )
+    m = {
+        k: F.col(f"s_{k}").cast("double") / F.col(f"n_{k}")
+        for k in ("t_pre", "t_post", "c_pre", "c_post")
+    }
+    return c.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        m["t_pre"].alias("m_t_pre"),
+        m["t_post"].alias("m_t_post"),
+        m["c_pre"].alias("m_c_pre"),
+        m["c_post"].alias("m_c_post"),
+        (
+            (m["t_post"] - m["t_pre"]) - (m["c_post"] - m["c_pre"])
+        ).alias("did_cents"),
+    )
+
+
+# -- X409 Cook's distance / regression influence ----------------------------
+#
+# Influence diagnostics for the simple OLS fit cents ~ quantity: which
+# rows, if deleted, would move the fit the most? Cook's D_i =
+# e_i^2 h_i / (p s^2 (1-h_i)^2) with leverage h_i = 1/n +
+# (x_i-xbar)^2/Sxx. Everything derives from ONE exact integer moment
+# aggregate (BIGINT sums, DECIMAL(38,0) cross moments — the X360/X395
+# pattern), broadcast back over the fact scan for a stateless per-row
+# score; rows with D > 4/n are flagged. No sort, no window — the
+# output set is plan-order independent, and every double (slope,
+# intercept, s^2, leverage, residual, D) assembles through identical
+# expression trees in both engines, so values hash-match exactly.
+
+_COOK_MOM = """
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+  FROM pts
+"""
+
+
+def _cook_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    nd = "CAST(m.n AS DOUBLE)"
+    sxd, syd = "CAST(m.sx AS DOUBLE)", "CAST(m.sy AS DOUBLE)"
+    sxx = sql_dec_to_double("m.sxx")
+    sxy = sql_dec_to_double("m.sxy")
+    syy = sql_dec_to_double("m.syy")
+    sxx_c = f"({sxx} - {sxd} * {sxd} / {nd})"
+    sxy_c = f"({sxy} - {sxd} * {syd} / {nd})"
+    syy_c = f"({syy} - {syd} * {syd} / {nd})"
+    b = f"({sxy_c} / {sxx_c})"
+    a = f"({syd} / {nd} - {b} * {sxd} / {nd})"
+    s2 = f"(({syy_c} - {b} * {sxy_c}) / ({nd} - 2.0))"
+    h = (
+        f"(1.0 / {nd} + (CAST(p.x AS DOUBLE) - {sxd} / {nd})"
+        f" * (CAST(p.x AS DOUBLE) - {sxd} / {nd}) / {sxx_c})"
+    )
+    e = f"(CAST(p.y AS DOUBLE) - {a} - {b} * CAST(p.x AS DOUBLE))"
+    d = f"({e} * {e} * {h} / (2.0 * {s2} * (1.0 - {h}) * (1.0 - {h})))"
+    return f"""
+WITH pts AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+m AS ({_COOK_MOM})
+SELECT p.l_orderkey, p.l_linenumber,
+       {h} AS leverage, {e} AS residual_cents, {d} AS cook_d
+FROM pts p, m
+WHERE {d} > 4.0 / CAST(m.n AS DOUBLE)
+"""
+
+
+_COOK_ORACLE = _cook_oracle()
+
+
+@query("q_ml_cooks_distance", _COOK_ORACLE)
+def q_ml_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    j = pts.crossJoin(F.broadcast(m))
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxx_c = dec_to_double("sxx") - sxd * sxd / nd
+    sxy_c = dec_to_double("sxy") - sxd * syd / nd
+    syy_c = dec_to_double("syy") - syd * syd / nd
+    b = sxy_c / sxx_c
+    a = syd / nd - b * sxd / nd
+    s2 = (syy_c - b * sxy_c) / (nd - F.lit(2.0))
+    xd = F.col("x").cast("double")
+    yd = F.col("y").cast("double")
+    h = F.lit(1.0) / nd + (xd - sxd / nd) * (xd - sxd / nd) / sxx_c
+    e = yd - a - b * xd
+    d = (
+        e * e * h
+        / (F.lit(2.0) * s2 * (F.lit(1.0) - h) * (F.lit(1.0) - h))
+    )
+    return j.filter(d > F.lit(4.0) / nd).select(
+        "l_orderkey",
+        "l_linenumber",
+        h.alias("leverage"),
+        e.alias("residual_cents"),
+        d.alias("cook_d"),
+    )

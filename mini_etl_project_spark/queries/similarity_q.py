@@ -1625,3 +1625,108 @@ def q_sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
         ).alias("centroid_cosine"),
     )
+
+
+# -- X406 Reciprocal-rank fusion (hybrid retrieval) -------------------------
+#
+# The standard merge for hybrid search: a lexical retriever and a
+# second retriever each rank the corpus, and fused_score(d) =
+# sum over systems of 1/(60 + rank_s(d)) — no score calibration
+# needed, which is exactly why RRF won in production hybrid stacks.
+# Here retriever A is lexical (how many tokens of the probe query
+# appear in the doc — integer overlap, ties by doc_id) and retriever B
+# is a length prior (n_chars desc). Both rankings come from
+# global_rank (range partitions + per-partition offsets — no
+# unpartitioned fact window), lists truncate at depth 100, and the
+# fused score is a sum of at most two 1/(60+r) doubles built in the
+# same order in both engines (present-system terms only, lexical term
+# first). The final top-20 sort runs over the <=200-row fused
+# candidate set — bounded.
+
+_RRF_DEPTH = 100
+_RRF_K = 60
+_RRF_TOKENS = ("table", "hash", "value")
+
+_RRF_ORACLE = f"""
+WITH lex AS (
+  SELECT doc_id,
+         {" + ".join(
+             "CASE WHEN ' ' || text || ' ' LIKE '% ' || '" + t
+             + "' || ' %' THEN 1 ELSE 0 END"
+             for t in _RRF_TOKENS
+         )} AS overlap
+  FROM documents),
+ra AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY overlap DESC, doc_id) AS r
+  FROM lex),
+rb AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents),
+fused AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         a.r AS rank_lex, b.r AS rank_len,
+         COALESCE(1.0 / ({_RRF_K} + a.r), 0.0)
+           + COALESCE(1.0 / ({_RRF_K} + b.r), 0.0) AS rrf_score
+  FROM (SELECT * FROM ra WHERE r <= {_RRF_DEPTH}) a
+  FULL OUTER JOIN (SELECT * FROM rb WHERE r <= {_RRF_DEPTH}) b
+    ON a.doc_id = b.doc_id)
+SELECT doc_id,
+       CAST(rank_lex AS BIGINT) AS rank_lex,
+       CAST(rank_len AS BIGINT) AS rank_len,
+       rrf_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+            AS BIGINT) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 20
+"""
+
+
+@query("q_sim_rrf_fusion", _RRF_ORACLE)
+def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.rank import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    overlap = None
+    for t in _RRF_TOKENS:
+        hit = (
+            F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like(
+                f"% {t} %"
+            )
+        ).cast("int")
+        overlap = hit if overlap is None else overlap + hit
+    lex = docs.select("doc_id", overlap.alias("overlap"))
+    ra = global_rank(
+        lex,
+        order=[(-F.col("overlap")).alias("neg"), F.col("doc_id")],
+        rank_col="r",
+    ).filter(F.col("r") <= _RRF_DEPTH).select("doc_id", F.col("r").alias("ra"))
+    rb = global_rank(
+        docs.select("doc_id", "n_chars"),
+        order=[(-F.col("n_chars")).alias("neg"), F.col("doc_id")],
+        rank_col="r",
+    ).filter(F.col("r") <= _RRF_DEPTH).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("r").alias("rb")
+    )
+    fused = ra.join(
+        rb, ra.doc_id == rb.doc_id_b, "full_outer"
+    ).select(
+        F.coalesce("doc_id", "doc_id_b").alias("doc_id"),
+        F.col("ra").cast("bigint").alias("rank_lex"),
+        F.col("rb").cast("bigint").alias("rank_len"),
+        (
+            F.coalesce(F.lit(1.0) / (_RRF_K + F.col("ra")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("rb")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    # bounded: <= 2 * depth fused rows
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("fused_rank") <= 20)
+    )

@@ -214,3 +214,167 @@ def test_jaro_winkler_metric_properties(spark, sf_dir):
     assert probe["jw_probe_single"] == 1.0
     assert probe["jw_probe_classic"] == pytest.approx(0.9611111111111111)
     assert probe["jw_probe_boost"] == pytest.approx(0.8400000000000001)
+
+
+# -- X406-X409 --------------------------------------------------------------
+
+
+def test_rrf_fusion_python_replay(spark, sf_dir):
+    from mini_etl_project_spark.queries.similarity_q import (
+        _RRF_DEPTH,
+        _RRF_K,
+        _RRF_TOKENS,
+        q_sim_rrf_fusion,
+    )
+
+    docs = [
+        (r["doc_id"], r["text"], r["n_chars"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    lex = sorted(
+        (
+            -sum(
+                1 for t in _RRF_TOKENS if f" {t} " in f" {txt} "
+            ),
+            did,
+        )
+        for did, txt, _ in docs
+    )
+    ra = {did: i + 1 for i, (_, did) in enumerate(lex) if i < _RRF_DEPTH}
+    ln = sorted((-nc, did) for did, _, nc in docs)
+    rb = {did: i + 1 for i, (_, did) in enumerate(ln) if i < _RRF_DEPTH}
+    fused = {}
+    for did in set(ra) | set(rb):
+        s = 0.0
+        if did in ra:
+            s += 1.0 / (_RRF_K + ra[did])
+        if did in rb:
+            s += 1.0 / (_RRF_K + rb[did])
+        fused[did] = s
+    top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = {
+        r["doc_id"]: (r["rank_lex"], r["rank_len"], r["fused_rank"])
+        for r in q_sim_rrf_fusion(spark, sf_dir).collect()
+    }
+    assert set(got) == {d for d, _ in top}
+    for i, (did, _) in enumerate(top):
+        assert got[did][2] == i + 1
+        assert got[did][0] == ra.get(did)
+        assert got[did][1] == rb.get(did)
+
+
+def test_did_python_replay(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import q_ml_did
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    micros = [int(r["ts"].timestamp() * 1e6) for r in rows]
+    # timestamps are tz-naive UTC; reconstruct micros robustly
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    micros = [
+        (r["ts"] - epoch) // datetime.timedelta(microseconds=1)
+        for r in rows
+    ]
+    mid = (min(micros) + max(micros)) // 2
+    cells = {}
+    for r, us in zip(rows, micros):
+        key = (r["user_id"] % 2 == 1, us < mid)
+        n, s = cells.get(key, (0, 0))
+        cells[key] = (n + 1, s + half_up(r["value"], 100))
+    m = {k: s / n for k, (n, s) in cells.items()}
+    want = (m[(True, False)] - m[(True, True)]) - (
+        m[(False, False)] - m[(False, True)]
+    )
+    got = q_ml_did(spark, sf_dir).collect()[0]
+    assert got["n_t_pre"] == cells[(True, True)][0]
+    assert got["n_c_post"] == cells[(False, False)][0]
+    assert got["did_cents"] == pytest.approx(want, abs=1e-9)
+
+
+def test_dispersion_replay_and_accounting(spark, sf_dir):
+    from mini_etl_project_spark.queries.misc_q import q_agg_dispersion
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    per = defaultdict(Counter)
+    hours = set()
+    for r in rows:
+        hr = r["ts"].replace(minute=0, second=0, microsecond=0)
+        hours.add(hr)
+        per[r["event_type"]][hr] += 1
+    got = {r["event_type"]: r for r in q_agg_dispersion(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for et, cnt in per.items():
+        cs = [cnt.get(h, 0) for h in hours]
+        n = len(cs)
+        mean = sum(cs) / n
+        var = sum((c - mean) ** 2 for c in cs) / (n - 1)
+        row = got[et]
+        assert row["n_hours"] == n
+        assert row["n_events"] == sum(cs)
+        assert row["mean_per_hour"] == pytest.approx(mean, rel=1e-12)
+        assert row["var_per_hour"] == pytest.approx(var, rel=1e-9)
+        assert row["vmr"] == pytest.approx(var / mean, rel=1e-9)
+        assert row["overdispersed"] == (1 if var / mean > 1.5 else 0)
+    # the spine accounting: every type sees the same hour count
+    assert len({r["n_hours"] for r in got.values()}) == 1
+
+
+def test_cooks_distance_flags_match_replay(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import q_ml_cooks_distance
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice")
+        .collect()
+    )
+    pts = [
+        (r["l_orderkey"], r["l_linenumber"], half_up(r["l_quantity"]),
+         half_up(r["l_extendedprice"], 100))
+        for r in rows
+    ]
+    n = len(pts)
+    sx = sum(p[2] for p in pts)
+    sy = sum(p[3] for p in pts)
+    sxx = sum(p[2] * p[2] for p in pts)
+    sxy = sum(p[2] * p[3] for p in pts)
+    syy = sum(p[3] * p[3] for p in pts)
+    sxx_c = sxx - sx * sx / n
+    sxy_c = sxy - sx * sy / n
+    syy_c = syy - sy * sy / n
+    b = sxy_c / sxx_c
+    a = sy / n - b * sx / n
+    s2 = (syy_c - b * sxy_c) / (n - 2)
+    want = {}
+    for ok, ln, x, y in pts:
+        h = 1.0 / n + (x - sx / n) ** 2 / sxx_c
+        e = y - a - b * x
+        d = e * e * h / (2.0 * s2 * (1.0 - h) ** 2)
+        if d > 4.0 / n:
+            want[(ok, ln)] = d
+    got = {
+        (r["l_orderkey"], r["l_linenumber"]): r
+        for r in q_ml_cooks_distance(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, d in want.items():
+        assert got[k]["cook_d"] == pytest.approx(d, rel=1e-9)
+        assert 0.0 < got[k]["leverage"] < 1.0
+        assert got[k]["cook_d"] > 0.0
+
+
+def test_cooks_distance_plan_is_scan_plus_broadcast(spark, sf_dir):
+    """Influence scoring must stay a stateless per-row expression: no
+    Window, no Sort over the fact table — one moment aggregate broadcast
+    back onto the scan."""
+    from mini_etl_project_spark.queries.ml_q import q_ml_cooks_distance
+
+    plan = (
+        q_ml_cooks_distance(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -6139,7 +6139,12 @@ def q_ml_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("syy"),
     )
-    j = pts.crossJoin(F.broadcast(m))
+    # Fold every data-independent scalar (slope, intercept, s2, xbar,
+    # 1/n, threshold) on the 1-row moments side BEFORE the broadcast:
+    # the per-row expression shrinks from a ~100-node tree (recomputed
+    # for filter AND projection) to a handful of ops — 7.7x -> ~1x at
+    # the 10x sweep. Same operations in the same order, so every
+    # double is bit-identical to the unfactored form.
     nd = F.col("n").cast("double")
     sxd = F.col("sx").cast("double")
     syd = F.col("sy").cast("double")
@@ -6149,18 +6154,38 @@ def q_ml_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sxy_c / sxx_c
     a = syd / nd - b * sxd / nd
     s2 = (syy_c - b * sxy_c) / (nd - F.lit(2.0))
+    scalars = m.select(
+        (F.lit(1.0) / nd).alias("inv_n"),
+        (sxd / nd).alias("xbar"),
+        sxx_c.alias("sxx_c"),
+        b.alias("b"),
+        a.alias("a"),
+        s2.alias("s2"),
+        (F.lit(4.0) / nd).alias("thr"),
+    )
+    j = pts.crossJoin(F.broadcast(scalars))
     xd = F.col("x").cast("double")
     yd = F.col("y").cast("double")
-    h = F.lit(1.0) / nd + (xd - sxd / nd) * (xd - sxd / nd) / sxx_c
-    e = yd - a - b * xd
+    h = (
+        F.col("inv_n")
+        + (xd - F.col("xbar")) * (xd - F.col("xbar")) / F.col("sxx_c")
+    )
+    e = yd - F.col("a") - F.col("b") * xd
     d = (
         e * e * h
-        / (F.lit(2.0) * s2 * (F.lit(1.0) - h) * (F.lit(1.0) - h))
+        / (
+            F.lit(2.0)
+            * F.col("s2")
+            * (F.lit(1.0) - h)
+            * (F.lit(1.0) - h)
+        )
     )
-    return j.filter(d > F.lit(4.0) / nd).select(
+    scored = j.select(
         "l_orderkey",
         "l_linenumber",
         h.alias("leverage"),
         e.alias("residual_cents"),
         d.alias("cook_d"),
+        "thr",
     )
+    return scored.filter(F.col("cook_d") > F.col("thr")).drop("thr")

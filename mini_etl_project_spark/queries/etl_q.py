@@ -1227,3 +1227,76 @@ def q_etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase", "brand")
     )
+
+
+# -- X412 Randomized response with debiasing --------------------------------
+#
+# Local-DP-style private counting: each row reports its sensitive bit
+# (did the line get returned?) FLIPPED with probability p = 1/4, and
+# the analyst debiases the reported count — est = (reported - p*n) /
+# (1 - 2p), which at p=1/4 is the exact integer 2*reported - n/2,
+# carried here as est_x2 = 4*reported - n to avoid the halving. The
+# "coin" is the repo's deterministic md5-uniform (u % 4 == 0 flips),
+# so both engines agree on every reported bit and the audit can show
+# true vs estimated error per group — the plumbing a privacy-budgeted
+# pipeline needs, minus the nondeterminism that would break replay.
+# One conditional-aggregate pass per priority group; all integers.
+
+_RR_ORACLE = """
+WITH x AS (
+  SELECT o.o_orderpriority AS grp,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS bit,
+         CASE WHEN
+           CAST(('0x' || substr(md5('rr:' || CAST(l.l_orderkey AS VARCHAR)
+               || ':' || CAST(l.l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 4 = 0
+           THEN 1 ELSE 0 END AS flip
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+SELECT grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(bit) AS BIGINT) AS true_count,
+       CAST(SUM(CASE WHEN flip = 1 THEN 1 - bit ELSE bit END) AS BIGINT)
+         AS reported_count,
+       CAST(4 * SUM(CASE WHEN flip = 1 THEN 1 - bit ELSE bit END)
+            - COUNT(*) AS BIGINT) AS est_x2,
+       CAST(ABS(4 * SUM(CASE WHEN flip = 1 THEN 1 - bit ELSE bit END)
+                - COUNT(*) - 2 * SUM(bit)) AS BIGINT) AS abs_err_x2
+FROM x GROUP BY grp
+"""
+
+
+@query("q_quality_rr_private_counts", _RR_ORACLE)
+def q_quality_rr_private_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mini_etl_project_spark.queries.sampling_q import hash60
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    key = F.concat(
+        F.lit("rr:"),
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    x = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bit"),
+        F.when(hash60(key) % 4 == 0, 1).otherwise(0).alias("flip"),
+    )
+    reported = F.sum(
+        F.when(F.col("flip") == 1, 1 - F.col("bit")).otherwise(
+            F.col("bit")
+        )
+    )
+    return x.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("bit").cast("bigint").alias("true_count"),
+        reported.cast("bigint").alias("reported_count"),
+        (4 * reported - F.count(F.lit(1))).cast("bigint").alias("est_x2"),
+        F.abs(4 * reported - F.count(F.lit(1)) - 2 * F.sum("bit"))
+        .cast("bigint")
+        .alias("abs_err_x2"),
+    )

@@ -1493,3 +1493,84 @@ def q_graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "harmonic_ppm",
         )
     )
+
+
+# -- X411 GNN-style neighbor aggregation (bipartite message passing) --------
+#
+# One GraphSAGE-style layer over the customer-part purchase bipartite
+# graph: each part's feature is its global mean order quantity, and
+# each customer aggregates the features of the parts they bought — a
+# 2-hop "what do buyers of what I buy look like" embedding, the shape
+# every distributed GNN layer reduces to (gather -> aggregate ->
+# scatter as joins + keyed groupBys). Portability: part means are
+# quantized to EXACT integer ppm (1e6 * sum DIV n — float means would
+# accumulate order-dependently across the second hop), so the
+# customer-level aggregate sums integers and divides ONCE. Plan: two
+# shuffles on the natural keys (partkey, then custkey), map-side
+# combine on both; the probe-side custkey filter prunes the second
+# aggregate but leaves the global part features intact.
+
+_NEIGH_CUST = 500
+
+_NEIGH_ORACLE = f"""
+WITH e AS (
+  SELECT o.o_custkey AS ck, l.l_partkey AS pk,
+         CAST(ROUND(l.l_quantity) AS BIGINT) AS q
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+pf AS (
+  SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_p,
+         (1000000 * CAST(SUM(q) AS BIGINT)) // COUNT(*) AS mean_qty_ppm
+  FROM e GROUP BY pk),
+c AS (
+  SELECT e.ck, CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(e.q) AS BIGINT) AS own_qty,
+         CAST(SUM(pf.mean_qty_ppm) AS BIGINT) AS hop2_ppm_sum
+  FROM e JOIN pf ON pf.pk = e.pk
+  WHERE e.ck <= {_NEIGH_CUST}
+  GROUP BY e.ck)
+SELECT ck, n_edges,
+       CAST(own_qty AS DOUBLE) / n_edges AS hop1_mean_qty,
+       CAST(hop2_ppm_sum AS DOUBLE) / (n_edges * 1000000.0)
+         AS hop2_mean_qty
+FROM c
+"""
+
+
+@query("q_graph_neighbor_agg", _NEIGH_ORACLE)
+def q_graph_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("ck"),
+        F.col("l_partkey").alias("pk"),
+        F.round("l_quantity").cast("bigint").alias("q"),
+    )
+    pf = e.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_p"),
+        F.expr(
+            "(1000000 * CAST(SUM(q) AS BIGINT)) DIV COUNT(*)"
+        ).alias("mean_qty_ppm"),
+    )
+    c = (
+        e.filter(F.col("ck") <= _NEIGH_CUST)
+        .join(pf, "pk")
+        .groupBy("ck")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum("q").cast("bigint").alias("own_qty"),
+            F.sum("mean_qty_ppm").cast("bigint").alias("hop2_ppm_sum"),
+        )
+    )
+    return c.select(
+        "ck",
+        "n_edges",
+        (F.col("own_qty").cast("double") / F.col("n_edges")).alias(
+            "hop1_mean_qty"
+        ),
+        (
+            F.col("hop2_ppm_sum").cast("double")
+            / (F.col("n_edges") * F.lit(1000000.0))
+        ).alias("hop2_mean_qty"),
+    )

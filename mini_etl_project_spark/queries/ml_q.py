@@ -6189,3 +6189,102 @@ def q_ml_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "thr",
     )
     return scored.filter(F.col("cook_d") > F.col("thr")).drop("thr")
+
+
+# -- X413 Position-based (U-shaped) attribution -----------------------------
+#
+# The third classic multi-touch credit model alongside Shapley (X390)
+# and time-decay (X397): 40 % to the first touch, 40 % to the last,
+# 20 % split across the middle — the "position-based / U-shaped" rule
+# every marketing stack ships. Credits stay EXACT integers in ppm:
+# the middle split uses integer division with the remainder assigned
+# to the earliest middle touch (a deterministic rule both engines
+# apply identically), so per-journey credit sums to exactly 1e6 and
+# the per-channel roll-up is pure BIGINT. Touch ordering is the keyed
+# (user) window over (ts, event_id) — no unpartitioned window.
+
+_POS_ORACLE = """
+WITH conv AS (
+  SELECT user_id, MIN(ts) AS conv_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+touch AS (
+  SELECT e.user_id, e.event_type AS channel,
+         ROW_NUMBER() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts, e.event_id) AS pos,
+         COUNT(*) OVER (PARTITION BY e.user_id) AS k
+  FROM events e JOIN conv c ON c.user_id = e.user_id
+  WHERE e.event_type <> 'purchase' AND e.ts <= c.conv_ts),
+credit AS (
+  SELECT channel,
+         CASE
+           WHEN k = 1 THEN 1000000
+           WHEN k = 2 THEN 500000
+           WHEN pos = 1 OR pos = k THEN 400000
+           WHEN pos = 2 THEN 200000 // (k - 2) + 200000 % (k - 2)
+           ELSE 200000 // (k - 2)
+         END AS ppm
+  FROM touch)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(ppm) AS BIGINT) AS credit_ppm_sum,
+       CAST(SUM(ppm) * 1000000 // (SELECT SUM(ppm) FROM credit)
+            AS BIGINT) AS share_ppm
+FROM credit GROUP BY channel
+"""
+
+
+@query("q_ml_position_attribution", _POS_ORACLE)
+def q_ml_position_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touch = (
+        ev.join(conv, "user_id")
+        .filter(
+            (F.col("event_type") != "purchase")
+            & (F.col("ts") <= F.col("conv_ts"))
+        )
+        .select("user_id", F.col("event_type").alias("channel"), "ts",
+                "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wk = Window.partitionBy("user_id")
+    pos = touch.withColumn("pos", F.row_number().over(w)).withColumn(
+        "k", F.count(F.lit(1)).over(wk)
+    )
+    ppm = (
+        F.when(F.col("k") == 1, F.lit(1000000))
+        .when(F.col("k") == 2, F.lit(500000))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("k")),
+            F.lit(400000),
+        )
+        .when(
+            F.col("pos") == 2,
+            F.expr("200000 DIV (k - 2) + 200000 % (k - 2)"),
+        )
+        .otherwise(F.expr("200000 DIV (k - 2)"))
+    )
+    credit = pos.select("channel", ppm.alias("ppm"))
+    tot = credit.agg(F.sum("ppm").cast("bigint").alias("t"))
+    return (
+        credit.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("ppm").cast("bigint").alias("credit_ppm_sum"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_touches",
+            "credit_ppm_sum",
+            F.expr(
+                "CAST(credit_ppm_sum * 1000000 DIV t AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )

@@ -3256,3 +3256,77 @@ def q_sample_poisson_bootstrap(
         boot_mean.alias("boot_mean"),
         F.sqrt(sfold / float(_PB_B - 1)).alias("boot_se"),
     )
+
+
+# -- X410 Distribution-matching resample ------------------------------------
+#
+# Training-data curation op: reshape a corpus so a covariate's
+# distribution matches a TARGET (here: uniform over 10 doc-length
+# buckets — the "don't let short docs dominate" knob). Per bucket the
+# acceptance rate is min(1, target_share * N / n_b) quantized to ppm
+# as EXACT integers (1e6 * N DIV (10 * n_b)), and membership is the
+# repo's hash-gate (md5-uniform < ppm) — partitioning-independent,
+# re-runnable, leak-proof. One bounded bucket-count aggregate
+# broadcast onto the scan; per-bucket before/after accounting comes
+# back from the same pass. The audit pins the contract: kept counts
+# equal the exact hash-gate replay, and no bucket overshoots its
+# ppm-implied expectation bound.
+
+_DM_BUCKETS = 10
+_DM_WIDTH = 50  # n_chars per bucket; bucket 9 is open-ended
+
+
+_DM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         LEAST(CAST(n_chars AS BIGINT) // {_DM_WIDTH},
+               {_DM_BUCKETS - 1}) AS bucket
+  FROM documents),
+b AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b
+  FROM d GROUP BY bucket),
+t AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n FROM b),
+r AS (
+  SELECT b.bucket, b.n_b,
+         LEAST(1000000,
+               (1000000 * t.n) // ({_DM_BUCKETS} * b.n_b)) AS accept_ppm
+  FROM b, t)
+SELECT r.bucket, r.n_b, r.accept_ppm,
+       CAST(COUNT(CASE WHEN
+         {_sql_hash60("'dm:' || CAST(d.doc_id AS VARCHAR)")} % 1000000
+           < r.accept_ppm THEN 1 END) AS BIGINT) AS n_kept
+FROM d JOIN r ON r.bucket = d.bucket
+GROUP BY r.bucket, r.n_b, r.accept_ppm
+"""
+
+
+@query("q_sample_dist_match", _DM_ORACLE)
+def q_sample_dist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.least(
+            (F.col("n_chars").cast("bigint") / _DM_WIDTH).cast("bigint"),
+            F.lit(_DM_BUCKETS - 1).cast("bigint"),
+        ).alias("bucket"),
+    )
+    b = d.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    t = b.agg(F.sum("n_b").cast("bigint").alias("n"))
+    r = b.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n_b",
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.expr(f"(1000000 * n) DIV ({_DM_BUCKETS} * n_b)"),
+        ).alias("accept_ppm"),
+    )
+    gate = hash60(F.concat(F.lit("dm:"), F.col("doc_id").cast("string")))
+    return (
+        d.join(F.broadcast(r), "bucket")
+        .groupBy("bucket", "n_b", "accept_ppm")
+        .agg(
+            F.count(F.when(gate % 1000000 < F.col("accept_ppm"), 1))
+            .cast("bigint")
+            .alias("n_kept")
+        )
+    )

@@ -378,3 +378,156 @@ def test_cooks_distance_plan_is_scan_plus_broadcast(spark, sf_dir):
     )
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# -- X410-X413 --------------------------------------------------------------
+
+
+def test_dist_match_replay_and_flattening(spark, sf_dir):
+    import hashlib
+
+    from mini_etl_project_spark.queries.sampling_q import (
+        _DM_BUCKETS,
+        _DM_WIDTH,
+        q_sample_dist_match,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    buckets = defaultdict(list)
+    for r in docs:
+        b = min(r["n_chars"] // _DM_WIDTH, _DM_BUCKETS - 1)
+        buckets[b].append(r["doc_id"])
+    n = len(docs)
+    got = {r["bucket"]: r for r in q_sample_dist_match(spark, sf_dir).collect()}
+    assert set(got) == set(buckets)
+    for b, ids in buckets.items():
+        ppm = min(1000000, (1000000 * n) // (_DM_BUCKETS * len(ids)))
+        kept = sum(
+            1
+            for d in ids
+            if int(hashlib.md5(f"dm:{d}".encode()).hexdigest()[:15], 16)
+            % 1000000
+            < ppm
+        )
+        row = got[b]
+        assert row["n_b"] == len(ids)
+        assert row["accept_ppm"] == ppm
+        assert row["n_kept"] == kept
+        assert row["n_kept"] <= row["n_b"]
+    # the resample must flatten the distribution: post-TV-to-uniform
+    # strictly below pre-TV-to-uniform (uniform target share = n/10)
+    pre = sum(abs(len(ids) - n / _DM_BUCKETS) for ids in buckets.values())
+    tot_kept = sum(r["n_kept"] for r in got.values())
+    post = sum(
+        abs(r["n_kept"] - tot_kept / _DM_BUCKETS) for r in got.values()
+    )
+    assert post / max(tot_kept, 1) < pre / n
+
+
+def test_neighbor_agg_python_replay(spark, sf_dir):
+    from mini_etl_project_spark.queries.iterative_q import (
+        _NEIGH_CUST,
+        q_graph_neighbor_agg,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    }
+    edges = [
+        (orders[r["l_orderkey"]], r["l_partkey"], half_up(r["l_quantity"]))
+        for r in li
+    ]
+    pf = defaultdict(lambda: [0, 0])
+    for _, pk, q in edges:
+        pf[pk][0] += 1
+        pf[pk][1] += q
+    ppm = {pk: (1000000 * s) // c for pk, (c, s) in pf.items()}
+    cust = defaultdict(lambda: [0, 0, 0])
+    for ck, pk, q in edges:
+        if ck <= _NEIGH_CUST:
+            cust[ck][0] += 1
+            cust[ck][1] += q
+            cust[ck][2] += ppm[pk]
+    got = {r["ck"]: r for r in q_graph_neighbor_agg(spark, sf_dir).collect()}
+    assert set(got) == set(cust)
+    for ck, (ne, own, hop2) in cust.items():
+        row = got[ck]
+        assert row["n_edges"] == ne
+        assert row["hop1_mean_qty"] == pytest.approx(own / ne, rel=1e-12)
+        assert row["hop2_mean_qty"] == pytest.approx(
+            hop2 / (ne * 1e6), rel=1e-12
+        )
+
+
+def test_rr_private_counts_debias_identity(spark, sf_dir):
+    from mini_etl_project_spark.queries.etl_q import (
+        q_quality_rr_private_counts,
+    )
+
+    rows = q_quality_rr_private_counts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the debias identity is definitional
+        assert r["est_x2"] == 4 * r["reported_count"] - r["n"]
+        assert r["abs_err_x2"] == abs(r["est_x2"] - 2 * r["true_count"])
+        # with a deterministic fair-ish 1/4 coin the estimate must land
+        # within a loose concentration band of the truth
+        assert r["abs_err_x2"] <= max(200, r["n"] // 4)
+
+
+def test_position_attribution_conserves_credit(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import (
+        q_ml_position_attribution,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    conv = {}
+    for r in ev:
+        if r["event_type"] == "purchase":
+            t = conv.get(r["user_id"])
+            if t is None or r["ts"] < t:
+                conv[r["user_id"]] = r["ts"]
+    journeys = defaultdict(list)
+    for r in ev:
+        t = conv.get(r["user_id"])
+        if (
+            t is not None
+            and r["event_type"] != "purchase"
+            and r["ts"] <= t
+        ):
+            journeys[r["user_id"]].append(
+                (r["ts"], r["event_id"], r["event_type"])
+            )
+    per_channel = Counter()
+    n_journeys = 0
+    for _, touches in journeys.items():
+        touches.sort()
+        k = len(touches)
+        n_journeys += 1
+        for i, (_, _, ch) in enumerate(touches, start=1):
+            if k == 1:
+                c = 1000000
+            elif k == 2:
+                c = 500000
+            elif i == 1 or i == k:
+                c = 400000
+            elif i == 2:
+                c = 200000 // (k - 2) + 200000 % (k - 2)
+            else:
+                c = 200000 // (k - 2)
+            per_channel[ch] += c
+    got = {
+        r["channel"]: r
+        for r in q_ml_position_attribution(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_channel)
+    for ch, c in per_channel.items():
+        assert got[ch]["credit_ppm_sum"] == c
+    # per-journey credits sum to exactly 1e6 -> global conservation
+    assert sum(per_channel.values()) == 1000000 * n_journeys
+    assert (
+        sum(r["credit_ppm_sum"] for r in got.values())
+        == 1000000 * n_journeys
+    )

@@ -1300,3 +1300,138 @@ def q_quality_rr_private_counts(
         .cast("bigint")
         .alias("abs_err_x2"),
     )
+
+
+# -- X414 IPF raking (iterative proportional fitting) -----------------------
+#
+# The survey-weighting classic, and the ETL answer to "make this
+# sample's margins match the population": cell weights over
+# (priority x returnflag) start at the sample's counts (odd order
+# keys) and are alternately scaled so row then column totals match
+# the reference margins (even order keys). Two full IPF rounds
+# (4 half-steps) run UNROLLED on the bounded 15-cell table; every
+# per-margin sum folds the <=5 cell doubles in key order (the X391
+# ordered-fold pattern), and each half-step multiplies by the SAME
+# parenthesized ratio in both engines, so the raked weights
+# hash-match bit-for-bit. The fact-scale work is exactly two keyed
+# counting aggregates; the iteration itself never touches a fact row
+# — the 100 TB posture of every raking pipeline.
+
+_IPF_ROUNDS = 2
+
+
+def _ipf_oracle() -> str:
+    parts = ["""
+WITH samp AS (
+  SELECT o.o_orderpriority AS p, l.l_returnflag AS f,
+         CAST(COUNT(*) AS DOUBLE) AS w,
+         CAST(COUNT(*) AS BIGINT) AS n_sample
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey % 2 = 1 GROUP BY 1, 2),
+refrows AS (
+  SELECT o.o_orderpriority AS p, CAST(COUNT(*) AS DOUBLE) AS target_r
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey % 2 = 0 GROUP BY 1),
+refcols AS (
+  SELECT l.l_returnflag AS f, CAST(COUNT(*) AS DOUBLE) AS target_c
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey % 2 = 0 GROUP BY 1),
+w0 AS (SELECT p, f, n_sample, w FROM samp)"""]
+    prev = "w0"
+    for r in range(_IPF_ROUNDS):
+        parts.append(f""",
+rs{r} AS (
+  SELECT p, list_aggregate(list(w ORDER BY f), 'sum') AS s
+  FROM {prev} GROUP BY p),
+wr{r} AS (
+  SELECT c.p, c.f, c.n_sample,
+         c.w * (refrows.target_r / rs{r}.s) AS w
+  FROM {prev} c
+  JOIN rs{r} ON rs{r}.p = c.p
+  JOIN refrows ON refrows.p = c.p),
+cs{r} AS (
+  SELECT f, list_aggregate(list(w ORDER BY p), 'sum') AS s
+  FROM wr{r} GROUP BY f),
+wc{r} AS (
+  SELECT c.p, c.f, c.n_sample,
+         c.w * (refcols.target_c / cs{r}.s) AS w
+  FROM wr{r} c
+  JOIN cs{r} ON cs{r}.f = c.f
+  JOIN refcols ON refcols.f = c.f)""")
+        prev = f"wc{r}"
+    parts.append(f"""
+SELECT p, f, n_sample, w AS w_raked FROM {prev}""")
+    return "".join(parts)
+
+
+@query("q_etl_ipf_raking", _ipf_oracle())
+def q_etl_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("p"),
+        F.col("l_returnflag").alias("f"),
+        (F.col("o_orderkey") % 2).alias("par"),
+    )
+    samp = (
+        j.filter(F.col("par") == 1)
+        .groupBy("p", "f")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "p",
+            "f",
+            F.col("cnt").cast("bigint").alias("n_sample"),
+            F.col("cnt").cast("double").alias("w"),
+        )
+    )
+    refrows = (
+        j.filter(F.col("par") == 0)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("double").alias("target_r"))
+    )
+    refcols = (
+        j.filter(F.col("par") == 0)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).cast("double").alias("target_c"))
+    )
+
+    def fold_sum(df, key, other):
+        return df.groupBy(key).agg(
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col(other), F.col("w").alias("v")))
+                ),
+                F.lit(0.0),
+                lambda a, r: a + r["v"],
+            ).alias("s")
+        )
+
+    cur = samp
+    for _ in range(_IPF_ROUNDS):
+        rs = fold_sum(cur, "p", "f")
+        cur = (
+            cur.join(rs, "p")
+            .join(refrows, "p")
+            .select(
+                "p",
+                "f",
+                "n_sample",
+                (F.col("w") * (F.col("target_r") / F.col("s"))).alias("w"),
+            )
+        )
+        cs = fold_sum(cur, "f", "p")
+        cur = (
+            cur.join(cs, "f")
+            .join(refcols, "f")
+            .select(
+                "p",
+                "f",
+                "n_sample",
+                (F.col("w") * (F.col("target_c") / F.col("s"))).alias("w"),
+            )
+        )
+    return cur.select("p", "f", "n_sample", F.col("w").alias("w_raked"))

@@ -6288,3 +6288,421 @@ def q_ml_position_attribution(
             ).alias("share_ppm"),
         )
     )
+
+
+# -- X415 Simplified silhouette (clustering quality) ------------------------
+#
+# The standard "are these clusters real" score, in the simplified
+# (centroid-distance) form that scales: a(i) = distance to the own
+# centroid, b(i) = distance to the nearest OTHER centroid, s(i) =
+# (b-a)/max(a,b). Full silhouette needs all-pairs point distances —
+# O(n^2) and dead at 100 TB; the simplified form is one broadcast
+# k-centroid scan, and empirically ranks clusterings the same way.
+# Distances are the k-means operator's exact int64 micro-unit
+# squared distances, s collapses to the integer ((b-a)*1e6) DIV b
+# (b >= a always, so max = b), and the per-cluster mean is an exact
+# integer DIV — no float accumulation anywhere. The oracle replays
+# the full Lloyd fixed point (the X58 machinery) plus the
+# second-nearest computation.
+
+def _silhouette_oracle() -> str:
+    parts = [
+        f"""
+WITH pts AS (
+  SELECT vec_id AS id, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS x,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) * 1000 AS vmic
+  FROM embeddings, generate_series(1, {_DIM}) g(i)),
+c0 AS (
+  SELECT CAST(id AS INT) AS cid, i, vmic AS c FROM pts WHERE id < {_K})"""
+    ]
+    prev = "c0"
+    for it in range(1, _ITERS + 1):
+        parts.append("," + _assign_sql("pts", prev, str(it)))
+        parts.append("," + _update_sql("pts", f"a{it}", prev, str(it)))
+        prev = f"c{it}"
+    final = _ITERS + 1
+    parts.append("," + _assign_sql("pts", prev, str(final)))
+    parts.append(
+        f""",
+b AS (
+  SELECT d.id, MIN(d.dist) AS b
+  FROM d{final} d JOIN a{final} a
+    ON a.id = d.id AND d.cid <> a.cid
+  GROUP BY d.id),
+s AS (
+  SELECT a.cid, a.dist AS a, b.b,
+         CASE WHEN b.b = 0 THEN 0
+              ELSE ((b.b - a.dist) * 1000000) // b.b END AS s_ppm
+  FROM a{final} a JOIN b ON b.id = a.id)
+SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(s_ppm) // COUNT(*) AS BIGINT) AS mean_s_ppm,
+       CAST(MIN(s_ppm) AS BIGINT) AS min_s_ppm,
+       CAST(MAX(s_ppm) AS BIGINT) AS max_s_ppm
+FROM s GROUP BY cid"""
+    )
+    return "".join(parts)
+
+
+@query("q_ml_silhouette", _silhouette_oracle())
+def q_ml_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.kmeans import (
+        _sq_dist,
+        lloyd_fixed_point,
+        quantize_points,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, cents = lloyd_fixed_point(
+        emb, "vec_id", "embedding", k=_K, iters=_ITERS
+    )
+    pts = quantize_points(emb, "vec_id", "embedding")
+    scored = pts.crossJoin(F.broadcast(cents)).select(
+        "id", "cid", _sq_dist(F.col("varr"), F.col("carr")).alias("dist")
+    )
+    own = assign.select("id", F.col("cid").alias("own_cid"),
+                        F.col("dist").alias("a"))
+    b = (
+        scored.join(own, "id")
+        .filter(F.col("cid") != F.col("own_cid"))
+        .groupBy("id")
+        .agg(F.min("dist").alias("b"))
+    )
+    s = own.join(b, "id").select(
+        F.col("own_cid").alias("cid"),
+        F.when(F.col("b") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr("((b - a) * 1000000) DIV b")
+        )
+        .alias("s_ppm"),
+    )
+    return s.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.expr("CAST(SUM(s_ppm) DIV COUNT(*) AS BIGINT)").alias(
+            "mean_s_ppm"
+        ),
+        F.min("s_ppm").cast("bigint").alias("min_s_ppm"),
+        F.max("s_ppm").cast("bigint").alias("max_s_ppm"),
+    )
+
+
+# -- X416 Double ML (cross-fit partially linear model) ----------------------
+#
+# The modern causal workhorse: estimate the effect of treatment d
+# (discount basis points) on outcome y (price cents) controlling for
+# x (quantity) by partialling BOTH out with nuisance fits trained on
+# the OTHER folds (cross-fitting kills the own-fit bias). Everything
+# reduces to ONE exact integer/decimal moment pass: per-fold (md5
+# hash % 4) sums n,Sx,Sy,Sd,Sxx,Sxy,Sxd,Sdd,Syd; leave-fold-out OLS
+# coefficients come from (total - fold) moments (the X392 jackknife
+# trick), and the residual cross products expand algebraically into
+# the SAME fold moments — no second scan, no per-row residual
+# materialization. Numerator/denominator accumulate over the 4-row
+# fold table in fold order; every double assembles through identical
+# expression trees, so theta hash-matches.
+
+_DML_K = 4
+
+
+def _dml_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    dd = sql_dec_to_double
+    mom = """
+WITH x AS (
+  SELECT CAST(('0x' || substr(md5('dml:' || CAST(l_orderkey AS VARCHAR)
+           || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {k} AS fold,
+         CAST(ROUND(l_quantity) AS BIGINT) AS xv,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS yv,
+         CAST(ROUND(l_discount * 10000) AS BIGINT) AS dv
+  FROM lineitem),
+m AS (
+  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xv) AS BIGINT) AS sx, CAST(SUM(yv) AS BIGINT) AS sy,
+         CAST(SUM(dv) AS BIGINT) AS sd,
+         CAST(SUM(CAST(xv AS DECIMAL(38,0)) * xv) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(xv AS DECIMAL(38,0)) * yv) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(xv AS DECIMAL(38,0)) * dv) AS DECIMAL(38,0)) AS sxd,
+         CAST(SUM(CAST(dv AS DECIMAL(38,0)) * dv) AS DECIMAL(38,0)) AS sdd,
+         CAST(SUM(CAST(yv AS DECIMAL(38,0)) * dv) AS DECIMAL(38,0)) AS syd
+  FROM x GROUP BY fold),
+t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+         CAST(SUM(sy) AS BIGINT) AS sy, CAST(SUM(sd) AS BIGINT) AS sd,
+         CAST(SUM(sxx) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(sxy) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(sxd) AS DECIMAL(38,0)) AS sxd,
+         CAST(SUM(sdd) AS DECIMAL(38,0)) AS sdd,
+         CAST(SUM(syd) AS DECIMAL(38,0)) AS syd
+  FROM m)""".format(k=_DML_K)
+    # leave-fold-out scalars (doubles; primes = total - fold)
+    np = "(CAST(t.n AS DOUBLE) - CAST(m.n AS DOUBLE))"
+    sxp = "(CAST(t.sx AS DOUBLE) - CAST(m.sx AS DOUBLE))"
+    syp = "(CAST(t.sy AS DOUBLE) - CAST(m.sy AS DOUBLE))"
+    sdp = "(CAST(t.sd AS DOUBLE) - CAST(m.sd AS DOUBLE))"
+    sxxp = f"(({dd('t.sxx')}) - ({dd('m.sxx')}))"
+    sxyp = f"(({dd('t.sxy')}) - ({dd('m.sxy')}))"
+    sxdp = f"(({dd('t.sxd')}) - ({dd('m.sxd')}))"
+    den_x = f"({np} * {sxxp} - {sxp} * {sxp})"
+    by = f"(({np} * {sxyp} - {sxp} * {syp}) / {den_x})"
+    bd = f"(({np} * {sxdp} - {sxp} * {sdp}) / {den_x})"
+    ay = f"(({syp} - {by} * {sxp}) / {np})"
+    ad = f"(({sdp} - {bd} * {sxp}) / {np})"
+    nf = "CAST(m.n AS DOUBLE)"
+    sxf, syf, sdf = (
+        "CAST(m.sx AS DOUBLE)",
+        "CAST(m.sy AS DOUBLE)",
+        "CAST(m.sd AS DOUBLE)",
+    )
+    sxxf, sxyf, sxdf = dd("m.sxx"), dd("m.sxy"), dd("m.sxd")
+    sddf, sydf = dd("m.sdd"), dd("m.syd")
+    num_k = (
+        f"({sydf} - {ad} * {syf} - {bd} * {sxyf} - {ay} * {sdf}"
+        f" + {nf} * {ay} * {ad} + {ay} * {bd} * {sxf}"
+        f" - {by} * {sxdf} + {by} * {ad} * {sxf}"
+        f" + {by} * {bd} * {sxxf})"
+    )
+    den_k = (
+        f"({sddf} + {nf} * {ad} * {ad} + {bd} * {bd} * {sxxf}"
+        f" - 2.0 * {ad} * {sdf} - 2.0 * {bd} * {sxdf}"
+        f" + 2.0 * {ad} * {bd} * {sxf})"
+    )
+    return f"""{mom},
+folds AS (
+  SELECT m.fold, m.n AS n_fold,
+         {by} AS by_k, {bd} AS bd_k,
+         {num_k} AS num_k, {den_k} AS den_k
+  FROM m, t),
+acc AS (
+  SELECT list_aggregate(list(num_k ORDER BY fold), 'sum') AS num,
+         list_aggregate(list(den_k ORDER BY fold), 'sum') AS den
+  FROM folds)
+SELECT f.fold, f.n_fold, f.by_k, f.bd_k, f.num_k, f.den_k,
+       acc.num / acc.den AS theta
+FROM folds f, acc
+"""
+
+
+@query("q_ml_double_ml", _dml_oracle())
+def q_ml_double_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+    from mini_etl_project_spark.queries.sampling_q import hash60
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.lit("dml:"),
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    x = li.select(
+        (hash60(key) % _DML_K).alias("fold"),
+        F.round("l_quantity").cast("bigint").alias("xv"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("yv"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("dv"),
+    )
+
+    def moments(g):
+        return g.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("xv").cast("bigint").alias("sx"),
+            F.sum("yv").cast("bigint").alias("sy"),
+            F.sum("dv").cast("bigint").alias("sd"),
+            *[
+                F.sum(F.col(a).cast("decimal(38,0)") * F.col(b))
+                .cast("decimal(38,0)")
+                .alias(nm)
+                for a, b, nm in (
+                    ("xv", "xv", "sxx"),
+                    ("xv", "yv", "sxy"),
+                    ("xv", "dv", "sxd"),
+                    ("dv", "dv", "sdd"),
+                    ("yv", "dv", "syd"),
+                )
+            ],
+        )
+
+    m = moments(x.groupBy("fold"))
+    t = m.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("sx").cast("bigint").alias("tsx"),
+        F.sum("sy").cast("bigint").alias("tsy"),
+        F.sum("sd").cast("bigint").alias("tsd"),
+        F.sum("sxx").cast("decimal(38,0)").alias("tsxx"),
+        F.sum("sxy").cast("decimal(38,0)").alias("tsxy"),
+        F.sum("sxd").cast("decimal(38,0)").alias("tsxd"),
+        F.sum("sdd").cast("decimal(38,0)").alias("tsdd"),
+        F.sum("syd").cast("decimal(38,0)").alias("tsyd"),
+    )
+    j = m.crossJoin(F.broadcast(t))
+    np = F.col("tn").cast("double") - F.col("n").cast("double")
+    sxp = F.col("tsx").cast("double") - F.col("sx").cast("double")
+    syp = F.col("tsy").cast("double") - F.col("sy").cast("double")
+    sdp = F.col("tsd").cast("double") - F.col("sd").cast("double")
+    sxxp = dec_to_double("tsxx") - dec_to_double("sxx")
+    sxyp = dec_to_double("tsxy") - dec_to_double("sxy")
+    sxdp = dec_to_double("tsxd") - dec_to_double("sxd")
+    den_x = np * sxxp - sxp * sxp
+    by = (np * sxyp - sxp * syp) / den_x
+    bd = (np * sxdp - sxp * sdp) / den_x
+    ay = (syp - by * sxp) / np
+    ad = (sdp - bd * sxp) / np
+    nf = F.col("n").cast("double")
+    sxf = F.col("sx").cast("double")
+    syf = F.col("sy").cast("double")
+    sdf = F.col("sd").cast("double")
+    sxxf, sxyf, sxdf = (
+        dec_to_double("sxx"),
+        dec_to_double("sxy"),
+        dec_to_double("sxd"),
+    )
+    sddf, sydf = dec_to_double("sdd"), dec_to_double("syd")
+    num_k = (
+        sydf - ad * syf - bd * sxyf - ay * sdf
+        + nf * ay * ad + ay * bd * sxf
+        - by * sxdf + by * ad * sxf
+        + by * bd * sxxf
+    )
+    den_k = (
+        sddf + nf * ad * ad + bd * bd * sxxf
+        - F.lit(2.0) * ad * sdf - F.lit(2.0) * bd * sxdf
+        + F.lit(2.0) * ad * bd * sxf
+    )
+    folds = j.select(
+        "fold",
+        F.col("n").alias("n_fold"),
+        by.alias("by_k"),
+        bd.alias("bd_k"),
+        num_k.alias("num_k"),
+        den_k.alias("den_k"),
+    )
+    acc = folds.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("fold", F.col("num_k").alias("v")))
+            ),
+            F.lit(0.0),
+            lambda a, r: a + r["v"],
+        ).alias("num"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("fold", F.col("den_k").alias("v")))
+            ),
+            F.lit(0.0),
+            lambda a, r: a + r["v"],
+        ).alias("den"),
+    )
+    return folds.crossJoin(F.broadcast(acc)).select(
+        "fold",
+        "n_fold",
+        "by_k",
+        "bd_k",
+        "num_k",
+        "den_k",
+        (F.col("num") / F.col("den")).alias("theta"),
+    )
+
+
+# -- X417 Quantile treatment effect -----------------------------------------
+#
+# Average effects (X289 ATE, X374 CUPED, X407 DiD) hide distributional
+# shifts; the QTE compares treated-vs-control at each quantile of the
+# OUTCOME distribution — the estimator regulators ask for when a
+# treatment helps the median but hurts the tail. Treatment = deep
+# discount (>= 6 %), outcome = price cents, quantiles = discrete
+# p25/p50/p75 via the grouped global_rank (the percentile_disc
+# machinery: range partitions + bounded offsets, NEVER a 2-partition
+# fact sort), selection rule rn = ceil(p*n) identical in both
+# engines. Integer outputs end to end.
+
+_QTE_ORACLE = """
+WITH x AS (
+  SELECT CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END AS treated,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+ranked AS (
+  SELECT treated, cents,
+         ROW_NUMBER() OVER (PARTITION BY treated
+                            ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY treated) AS n
+  FROM x),
+q AS (
+  SELECT treated, CAST(MIN(n) AS BIGINT) AS n,
+         MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT)
+                  THEN cents END) AS p25,
+         MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                  THEN cents END) AS p50,
+         MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT)
+                  THEN cents END) AS p75
+  FROM ranked GROUP BY treated)
+SELECT t.n AS n_treated, c.n AS n_control,
+       CAST(t.p25 AS BIGINT) AS p25_treated,
+       CAST(c.p25 AS BIGINT) AS p25_control,
+       CAST(t.p25 - c.p25 AS BIGINT) AS qte_p25,
+       CAST(t.p50 - c.p50 AS BIGINT) AS qte_p50,
+       CAST(t.p75 - c.p75 AS BIGINT) AS qte_p75
+FROM (SELECT * FROM q WHERE treated = 1) t,
+     (SELECT * FROM q WHERE treated = 0) c
+"""
+
+
+@query("q_ml_qte", _QTE_ORACLE)
+def q_ml_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.rank import global_rank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.when(F.col("l_discount") >= 0.06, 1).otherwise(0).alias(
+            "treated"
+        ),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = global_rank(
+        x,
+        order=[F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")],
+        rank_col="rn",
+        n_col="n",
+        group=["treated"],
+    )
+
+    def pick(p: float, alias: str) -> F.Column:
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("cents"),
+            )
+        ).alias(alias)
+
+    q = ranked.groupBy("treated").agg(
+        F.min("n").cast("bigint").alias("n"),
+        pick(0.25, "p25"),
+        pick(0.5, "p50"),
+        pick(0.75, "p75"),
+    )
+    t = q.filter(F.col("treated") == 1).select(
+        F.col("n").alias("n_treated"),
+        F.col("p25").alias("tp25"),
+        F.col("p50").alias("tp50"),
+        F.col("p75").alias("tp75"),
+    )
+    c = q.filter(F.col("treated") == 0).select(
+        F.col("n").alias("n_control"),
+        F.col("p25").alias("cp25"),
+        F.col("p50").alias("cp50"),
+        F.col("p75").alias("cp75"),
+    )
+    return t.crossJoin(F.broadcast(c)).select(
+        "n_treated",
+        "n_control",
+        F.col("tp25").cast("bigint").alias("p25_treated"),
+        F.col("cp25").cast("bigint").alias("p25_control"),
+        (F.col("tp25") - F.col("cp25")).cast("bigint").alias("qte_p25"),
+        (F.col("tp50") - F.col("cp50")).cast("bigint").alias("qte_p50"),
+        (F.col("tp75") - F.col("cp75")).cast("bigint").alias("qte_p75"),
+    )

@@ -531,3 +531,153 @@ def test_position_attribution_conserves_credit(spark, sf_dir):
         sum(r["credit_ppm_sum"] for r in got.values())
         == 1000000 * n_journeys
     )
+
+
+# -- X414-X417 --------------------------------------------------------------
+
+
+def test_ipf_raking_margins_converge(spark, sf_dir):
+    from mini_etl_project_spark.queries.etl_q import q_etl_ipf_raking
+
+    rows = q_etl_ipf_raking(spark, sf_dir).collect()
+    assert rows
+    # reconstruct reference margins straight from the fixtures
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    orders = {
+        r["o_orderkey"]: r["o_orderpriority"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    }
+    ref_r, ref_c = Counter(), Counter()
+    samp = Counter()
+    for r in li:
+        p = orders[r["l_orderkey"]]
+        if r["l_orderkey"] % 2 == 0:
+            ref_r[p] += 1
+            ref_c[r["l_returnflag"]] += 1
+        else:
+            samp[(p, r["l_returnflag"])] += 1
+    # sample counts must round-trip
+    for r in rows:
+        assert r["n_sample"] == samp[(r["p"], r["f"])]
+    # after the final column step, column margins match targets EXACTLY
+    # (up to float addition error) and row margins are close
+    col = defaultdict(float)
+    row = defaultdict(float)
+    for r in rows:
+        col[r["f"]] += r["w_raked"]
+        row[r["p"]] += r["w_raked"]
+    for f, s in col.items():
+        assert s == pytest.approx(ref_c[f], rel=1e-9)
+    for p, s in row.items():
+        assert s == pytest.approx(ref_r[p], rel=0.05)  # converging
+    # total mass = reference total
+    assert sum(col.values()) == pytest.approx(sum(ref_c.values()), rel=1e-9)
+
+
+def test_silhouette_matches_bruteforce_replay(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import (
+        _ITERS,
+        _K,
+        q_ml_silhouette,
+    )
+    from mini_etl_project_spark.operators.kmeans import lloyd_fixed_point
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign, cents = lloyd_fixed_point(
+        emb, "vec_id", "embedding", k=_K, iters=_ITERS
+    )
+    pts = {
+        r["vec_id"]: [round(float(v) * 1000) * 1000 for v in r["embedding"]]
+        for r in emb.collect()
+    }
+    cs = {r["cid"]: r["carr"] for r in cents.collect()}
+    per_cluster = defaultdict(list)
+    for vid, v in pts.items():
+        dists = {
+            cid: sum((a - b) ** 2 for a, b in zip(v, c))
+            for cid, c in cs.items()
+        }
+        own = min(dists.items(), key=lambda kv: (kv[1], kv[0]))
+        others = [d for cid, d in dists.items() if cid != own[0]]
+        b = min(others)
+        a = own[1]
+        s = 0 if b == 0 else ((b - a) * 1000000) // b
+        per_cluster[own[0]].append(s)
+    got = {r["cid"]: r for r in q_ml_silhouette(spark, sf_dir).collect()}
+    assert set(got) == set(per_cluster)
+    for cid, ss in per_cluster.items():
+        row = got[cid]
+        assert row["n_members"] == len(ss)
+        assert row["mean_s_ppm"] == sum(ss) // len(ss)
+        assert row["min_s_ppm"] == min(ss)
+        assert row["max_s_ppm"] == max(ss)
+        # silhouette is bounded in [-1e6, 1e6]
+        assert -1000000 <= row["min_s_ppm"] <= row["max_s_ppm"] <= 1000000
+
+
+def test_double_ml_theta_sane_and_folds_consistent(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import _DML_K, q_ml_double_ml
+
+    rows = q_ml_double_ml(spark, sf_dir).collect()
+    assert len(rows) == _DML_K
+    thetas = {r["theta"] for r in rows}
+    assert len(thetas) == 1  # global estimate repeated per fold row
+    theta = thetas.pop()
+    # discount bp ~ U(0,1000); cents = qty*price*(1+-..); the partial
+    # effect of 1bp of discount on cents is economically negative-or-
+    # small; the key sanity is that |theta| is finite and the den > 0
+    assert all(r["den_k"] > 0 for r in rows)
+    import math as _m
+
+    assert _m.isfinite(theta)
+    # cross-fit folds were hash-balanced
+    ns = [r["n_fold"] for r in rows]
+    assert max(ns) - min(ns) < 0.2 * (sum(ns) / len(ns))
+
+
+def test_double_ml_matches_global_partialling_out(spark, sf_dir):
+    """With homogeneous folds the cross-fit theta must land near the
+    plain (non-cross-fit) partialling-out estimate computed in numpy."""
+    import numpy as np
+
+    from mini_etl_project_spark.queries.ml_q import q_ml_double_ml
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_quantity", "l_extendedprice", "l_discount")
+        .collect()
+    )
+    x = np.array([half_up(r["l_quantity"]) for r in li], dtype=float)
+    y = np.array([half_up(r["l_extendedprice"], 100) for r in li], dtype=float)
+    d = np.array([half_up(r["l_discount"], 10000) for r in li], dtype=float)
+    br = np.polyfit(x, y, 1)
+    bd = np.polyfit(x, d, 1)
+    ry = y - np.polyval(br, x)
+    rd = d - np.polyval(bd, x)
+    ref = float(ry @ rd / (rd @ rd))
+    theta = q_ml_double_ml(spark, sf_dir).collect()[0]["theta"]
+    assert theta == pytest.approx(ref, rel=0.05)
+
+
+def test_qte_python_replay(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import q_ml_qte
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    groups = {0: [], 1: []}
+    for r in li:
+        t = 1 if r["l_discount"] >= 0.06 else 0
+        groups[t].append(
+            (half_up(r["l_extendedprice"], 100), r["l_orderkey"],
+             r["l_linenumber"])
+        )
+    import math as _m
+
+    def disc(vals, p):
+        vals = sorted(vals)
+        return vals[_m.ceil(p * len(vals)) - 1][0]
+
+    got = q_ml_qte(spark, sf_dir).collect()[0]
+    assert got["n_treated"] == len(groups[1])
+    assert got["n_control"] == len(groups[0])
+    for p, col in ((0.25, "qte_p25"), (0.5, "qte_p50"), (0.75, "qte_p75")):
+        assert got[col] == disc(groups[1], p) - disc(groups[0], p)

@@ -6706,3 +6706,295 @@ def q_ml_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tp50") - F.col("cp50")).cast("bigint").alias("qte_p50"),
         (F.col("tp75") - F.col("cp75")).cast("bigint").alias("qte_p75"),
     )
+
+
+# -- X419 Instrumental-variable (Wald) estimator ----------------------------
+#
+# When the treatment is endogenous (discount levels correlate with
+# unobserved deal quality), regressions lie; the IV estimator rescues
+# identification from an exogenous instrument. With a binary
+# instrument (a deterministic hash of the part key — exogenous to the
+# order by construction) the 2SLS collapses to the Wald ratio:
+# theta = (E[y|z=1] - E[y|z=0]) / (E[d|z=1] - E[d|z=0]).
+# One conditional-sum pass produces the four exact integer cell sums;
+# the first stage (instrument-treatment covariance) is emitted too so
+# weak-instrument screening rides along. Identical double trees.
+
+_IV_ORACLE = """
+WITH x AS (
+  SELECT CAST(('0x' || substr(md5('iv:' || CAST(l_partkey AS VARCHAR)),
+               1, 15)) AS BIGINT) % 2 AS z,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(ROUND(l_discount * 10000) AS BIGINT) AS d
+  FROM lineitem),
+c AS (
+  SELECT
+    CAST(COUNT(CASE WHEN z = 1 THEN 1 END) AS BIGINT) AS n1,
+    CAST(COUNT(CASE WHEN z = 0 THEN 1 END) AS BIGINT) AS n0,
+    CAST(SUM(CASE WHEN z = 1 THEN y END) AS BIGINT) AS sy1,
+    CAST(SUM(CASE WHEN z = 0 THEN y END) AS BIGINT) AS sy0,
+    CAST(SUM(CASE WHEN z = 1 THEN d END) AS BIGINT) AS sd1,
+    CAST(SUM(CASE WHEN z = 0 THEN d END) AS BIGINT) AS sd0
+  FROM x)
+SELECT n1, n0,
+       CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0 AS itt_y,
+       CAST(sd1 AS DOUBLE) / n1 - CAST(sd0 AS DOUBLE) / n0
+         AS first_stage_d,
+       (CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)
+         / (CAST(sd1 AS DOUBLE) / n1 - CAST(sd0 AS DOUBLE) / n0)
+         AS theta_iv
+FROM c
+"""
+
+
+@query("q_ml_iv_wald", _IV_ORACLE)
+def q_ml_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.sampling_q import hash60
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        (
+            hash60(F.concat(F.lit("iv:"), F.col("l_partkey").cast("string")))
+            % 2
+        ).alias("z"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("d"),
+    )
+    c = x.agg(
+        F.count(F.when(F.col("z") == 1, 1)).cast("bigint").alias("n1"),
+        F.count(F.when(F.col("z") == 0, 1)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("z") == 1, F.col("y"))).cast("bigint").alias("sy1"),
+        F.sum(F.when(F.col("z") == 0, F.col("y"))).cast("bigint").alias("sy0"),
+        F.sum(F.when(F.col("z") == 1, F.col("d"))).cast("bigint").alias("sd1"),
+        F.sum(F.when(F.col("z") == 0, F.col("d"))).cast("bigint").alias("sd0"),
+    )
+    itt = (
+        F.col("sy1").cast("double") / F.col("n1")
+        - F.col("sy0").cast("double") / F.col("n0")
+    )
+    fs = (
+        F.col("sd1").cast("double") / F.col("n1")
+        - F.col("sd0").cast("double") / F.col("n0")
+    )
+    return c.select(
+        "n1",
+        "n0",
+        itt.alias("itt_y"),
+        fs.alias("first_stage_d"),
+        (itt / fs).alias("theta_iv"),
+    )
+
+
+# -- X420 Regression discontinuity (sharp, local linear) --------------------
+#
+# The design that turns an arbitrary threshold rule into a natural
+# experiment: units just below vs just above the cutoff are
+# comparable, so the outcome jump AT the cutoff is the causal effect.
+# Running variable = quantity, cutoff c = 25, bandwidth h = 10; a
+# separate local-linear OLS on each side (centered u = x - c) gives
+# effect = intercept_right - intercept_left. Both fits come from ONE
+# conditional-moment pass (exact BIGINT/DECIMAL sums per side — the
+# X409/X416 moment pattern), and the slopes/intercepts/effect
+# assemble through identical double trees. No sort, no window.
+
+_RDD_C = 25
+_RDD_H = 10
+
+
+def _rdd_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    dd = sql_dec_to_double
+
+    def side(tag: str) -> dict[str, str]:
+        return {
+            "n": f"CAST(m.n_{tag} AS DOUBLE)",
+            "su": f"CAST(m.su_{tag} AS DOUBLE)",
+            "sy": f"CAST(m.sy_{tag} AS DOUBLE)",
+            "suu": dd(f"m.suu_{tag}"),
+            "suy": dd(f"m.suy_{tag}"),
+        }
+
+    def fit(s: dict[str, str]) -> tuple[str, str]:
+        den = f"({s['n']} * {s['suu']} - {s['su']} * {s['su']})"
+        b = f"(({s['n']} * {s['suy']} - {s['su']} * {s['sy']}) / {den})"
+        a = f"(({s['sy']} - {b} * {s['su']}) / {s['n']})"
+        return a, b
+
+    al, bl = fit(side("l"))
+    ar, br = fit(side("r"))
+    conds = {
+        "l": f"u >= -{_RDD_H} AND u < 0",
+        "r": f"u >= 0 AND u <= {_RDD_H}",
+    }
+    aggs = []
+    for tag, cond in conds.items():
+        aggs += [
+            f"CAST(COUNT(CASE WHEN {cond} THEN 1 END) AS BIGINT) AS n_{tag}",
+            f"CAST(SUM(CASE WHEN {cond} THEN u END) AS BIGINT) AS su_{tag}",
+            f"CAST(SUM(CASE WHEN {cond} THEN y END) AS BIGINT) AS sy_{tag}",
+            f"CAST(SUM(CASE WHEN {cond} THEN CAST(u AS DECIMAL(38,0)) * u END)"
+            f" AS DECIMAL(38,0)) AS suu_{tag}",
+            f"CAST(SUM(CASE WHEN {cond} THEN CAST(u AS DECIMAL(38,0)) * y END)"
+            f" AS DECIMAL(38,0)) AS suy_{tag}",
+        ]
+    return f"""
+WITH x AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) - {_RDD_C} AS u,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+m AS (SELECT {", ".join(aggs)} FROM x)
+SELECT m.n_l, m.n_r,
+       {al} AS intercept_left, {bl} AS slope_left,
+       {ar} AS intercept_right, {br} AS slope_right,
+       ({ar}) - ({al}) AS rdd_effect
+FROM m
+"""
+
+
+@query("q_ml_rdd", _rdd_oracle())
+def q_ml_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        (F.round("l_quantity").cast("bigint") - _RDD_C).alias("u"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    conds = {
+        "l": (F.col("u") >= -_RDD_H) & (F.col("u") < 0),
+        "r": (F.col("u") >= 0) & (F.col("u") <= _RDD_H),
+    }
+    aggs = []
+    for tag, cond in conds.items():
+        aggs += [
+            F.count(F.when(cond, 1)).cast("bigint").alias(f"n_{tag}"),
+            F.sum(F.when(cond, F.col("u"))).cast("bigint").alias(f"su_{tag}"),
+            F.sum(F.when(cond, F.col("y"))).cast("bigint").alias(f"sy_{tag}"),
+            F.sum(F.when(cond, F.col("u").cast("decimal(38,0)") * F.col("u")))
+            .cast("decimal(38,0)")
+            .alias(f"suu_{tag}"),
+            F.sum(F.when(cond, F.col("u").cast("decimal(38,0)") * F.col("y")))
+            .cast("decimal(38,0)")
+            .alias(f"suy_{tag}"),
+        ]
+    m = x.agg(*aggs)
+
+    def fit(tag: str) -> tuple[F.Column, F.Column]:
+        n = F.col(f"n_{tag}").cast("double")
+        su = F.col(f"su_{tag}").cast("double")
+        sy = F.col(f"sy_{tag}").cast("double")
+        suu = dec_to_double(f"suu_{tag}")
+        suy = dec_to_double(f"suy_{tag}")
+        den = n * suu - su * su
+        b = (n * suy - su * sy) / den
+        a = (sy - b * su) / n
+        return a, b
+
+    al, bl = fit("l")
+    ar, br = fit("r")
+    return m.select(
+        "n_l",
+        "n_r",
+        al.alias("intercept_left"),
+        bl.alias("slope_left"),
+        ar.alias("intercept_right"),
+        br.alias("slope_right"),
+        (ar - al).alias("rdd_effect"),
+    )
+
+
+# -- X421 Wilcoxon signed-rank test -----------------------------------------
+#
+# The PAIRED nonparametric test (X323 Mann-Whitney handles unpaired):
+# per user the paired difference d = clicks - views, zeros dropped,
+# |d| ranked with midranks, W+ = sum of ranks of the positive side.
+# The bounded-domain trick from X393: |d| values aggregate to a tiny
+# (value, count, pos_count) table, 2x-midranks come from a running
+# sum over that BOUNDED table (never a fact-scale window), and the
+# normal-approximation z uses the exact tie-corrected variance
+# 48*Var = 2n(n+1)(2n+1) - sum(t^3 - t) held in DECIMAL integers
+# until one sqrt/division pair with identical trees in both engines.
+
+_WSR_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+           - CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+           AS d
+  FROM events GROUP BY user_id),
+nz AS (SELECT d, ABS(d) AS ad FROM u WHERE d <> 0),
+v AS (
+  SELECT ad, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(COUNT(CASE WHEN d > 0 THEN 1 END) AS BIGINT) AS pos
+  FROM nz GROUP BY ad),
+r AS (
+  SELECT ad, t, pos,
+         2 * (SUM(t) OVER (ORDER BY ad) - t) + t + 1 AS midrank2
+  FROM v),
+s AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(pos * midrank2) AS BIGINT) AS w2,
+         CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS DECIMAL(38,0))
+           AS tie3
+  FROM r)
+SELECT n, w2,
+       CAST(2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) - tie3
+            AS DECIMAL(38,0)) AS var48,
+       (CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+          / 2.0)
+         / (2.0 * sqrt((CAST(((CAST(2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) - tie3 AS DECIMAL(38,0))) - (CAST(2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) - tie3 AS DECIMAL(38,0))) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((CAST(2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) - tie3 AS DECIMAL(38,0))) % 1073741824 AS DOUBLE)) / 48.0))
+         AS z_stat
+FROM s
+"""
+
+
+@query("q_ml_wilcoxon_signed", _WSR_ORACLE)
+def q_ml_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.count(F.when(F.col("event_type") == "click", 1)).cast("bigint")
+            - F.count(F.when(F.col("event_type") == "view", 1)).cast(
+                "bigint"
+            )
+        ).alias("d")
+    )
+    nz = u.filter(F.col("d") != 0).select("d", F.abs("d").alias("ad"))
+    v = nz.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.count(F.when(F.col("d") > 0, 1)).cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
+    r = v.withColumn(
+        "midrank2",
+        2 * (F.sum("t").over(w) - F.col("t")) + F.col("t") + 1,
+    )
+    s = r.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("pos") * F.col("midrank2")).cast("bigint").alias("w2"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        )
+        .cast("decimal(38,0)")
+        .alias("tie3"),
+    )
+    var48 = (
+        2 * F.col("n").cast("decimal(38,0)")
+        * (F.col("n") + 1)
+        * (2 * F.col("n") + 1)
+        - F.col("tie3")
+    ).cast("decimal(38,0)")
+    nd = F.col("n").cast("double")
+    return s.select(
+        "n",
+        "w2",
+        var48.alias("var48"),
+        (
+            (F.col("w2").cast("double") - nd * (nd + F.lit(1.0)) / F.lit(2.0))
+            / (F.lit(2.0) * F.sqrt(dec_to_double(var48) / F.lit(48.0)))
+        ).alias("z_stat"),
+    )

@@ -3932,3 +3932,129 @@ def q_ts_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("df_t"),
     )
+
+
+# -- X418 Forecast accuracy metrics (MAE / MAPE / sMAPE / MASE) -------------
+#
+# The metric suite every forecasting pipeline reports, computed for
+# the seasonal-naive forecast (count at the same hour yesterday) of
+# the hourly event series. Absolute errors are exact integers; MAPE
+# and sMAPE quantize each term to ppm with integer DIV (the
+# documented quantization used repo-wide — float per-term ratios
+# would accumulate order-dependently), and MASE is the ratio of two
+# exact integer MAEs (seasonal-naive vs one-step-naive denominator),
+# so one final division produces the double. Joins are keyed lag
+# joins on (type, hour-24h) / (type, hour-1h) — no windows over the
+# fact table, bounded series table throughout.
+
+_FCAST_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+j AS (
+  SELECT a.event_type, a.hr, a.c,
+         f.c AS fc
+  FROM h a JOIN h f
+    ON f.event_type = a.event_type
+   AND f.hr = a.hr - INTERVAL 24 HOURS),
+n1 AS (
+  SELECT a.event_type, ABS(a.c - p.c) AS e1
+  FROM h a JOIN h p
+    ON p.event_type = a.event_type
+   AND p.hr = a.hr - INTERVAL 1 HOUR),
+m1 AS (
+  SELECT event_type, CAST(SUM(e1) AS BIGINT) AS sum_e1,
+         CAST(COUNT(*) AS BIGINT) AS n1
+  FROM n1 GROUP BY event_type),
+m AS (
+  SELECT j.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ABS(j.c - j.fc)) AS BIGINT) AS sum_abs_e,
+         CAST(SUM(CASE WHEN j.c > 0
+                  THEN (ABS(j.c - j.fc) * 1000000) // j.c END)
+              AS BIGINT) AS sum_ape_ppm,
+         CAST(COUNT(CASE WHEN j.c > 0 THEN 1 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN j.c + j.fc > 0
+                  THEN (ABS(j.c - j.fc) * 2000000) // (j.c + j.fc) END)
+              AS BIGINT) AS sum_sape_ppm
+  FROM j GROUP BY j.event_type)
+SELECT m.event_type, m.n,
+       CAST(m.sum_abs_e AS DOUBLE) / m.n AS mae,
+       CAST(m.sum_ape_ppm AS DOUBLE) / m.n_pos AS mape_ppm,
+       CAST(m.sum_sape_ppm AS DOUBLE) / m.n AS smape_ppm,
+       (CAST(m.sum_abs_e AS DOUBLE) / m.n)
+         / (CAST(m1.sum_e1 AS DOUBLE) / m1.n1) AS mase
+FROM m JOIN m1 ON m1.event_type = m.event_type
+"""
+
+
+@query("q_ts_forecast_metrics", _FCAST_ORACLE)
+def q_ts_forecast_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = h.alias("a")
+    f = h.alias("f")
+    j = a.join(
+        f,
+        (F.col("f.event_type") == F.col("a.event_type"))
+        & (
+            F.col("f.hr")
+            == F.col("a.hr") - F.expr("INTERVAL 24 HOURS")
+        ),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.c").alias("c"),
+        F.col("f.c").alias("fc"),
+    )
+    p = h.alias("p")
+    n1 = a.join(
+        p,
+        (F.col("p.event_type") == F.col("a.event_type"))
+        & (F.col("p.hr") == F.col("a.hr") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.abs(F.col("a.c") - F.col("p.c")).alias("e1"),
+    )
+    m1 = n1.groupBy("event_type").agg(
+        F.sum("e1").cast("bigint").alias("sum_e1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+    )
+    ae = F.abs(F.col("c") - F.col("fc"))
+    m = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(ae).cast("bigint").alias("sum_abs_e"),
+        F.sum(
+            F.when(
+                F.col("c") > 0, F.expr("(ABS(c - fc) * 1000000) DIV c")
+            )
+        )
+        .cast("bigint")
+        .alias("sum_ape_ppm"),
+        F.count(F.when(F.col("c") > 0, 1)).cast("bigint").alias("n_pos"),
+        F.sum(
+            F.when(
+                F.col("c") + F.col("fc") > 0,
+                F.expr("(ABS(c - fc) * 2000000) DIV (c + fc)"),
+            )
+        )
+        .cast("bigint")
+        .alias("sum_sape_ppm"),
+    )
+    mae = F.col("sum_abs_e").cast("double") / F.col("n")
+    return m.join(m1, "event_type").select(
+        "event_type",
+        "n",
+        mae.alias("mae"),
+        (F.col("sum_ape_ppm").cast("double") / F.col("n_pos")).alias(
+            "mape_ppm"
+        ),
+        (F.col("sum_sape_ppm").cast("double") / F.col("n")).alias(
+            "smape_ppm"
+        ),
+        (
+            mae / (F.col("sum_e1").cast("double") / F.col("n1"))
+        ).alias("mase"),
+    )

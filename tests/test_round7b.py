@@ -681,3 +681,149 @@ def test_qte_python_replay(spark, sf_dir):
     assert got["n_control"] == len(groups[0])
     for p, col in ((0.25, "qte_p25"), (0.5, "qte_p50"), (0.75, "qte_p75")):
         assert got[col] == disc(groups[1], p) - disc(groups[0], p)
+
+
+# -- X418-X421 --------------------------------------------------------------
+
+
+def test_forecast_metrics_python_replay(spark, sf_dir):
+    import datetime
+
+    from mini_etl_project_spark.queries.timeseries_q import (
+        q_ts_forecast_metrics,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    h = Counter()
+    for r in ev:
+        h[(r["event_type"], r["ts"].replace(minute=0, second=0,
+                                            microsecond=0))] += 1
+    per = defaultdict(lambda: [0, 0, 0, 0, 0, 0, 0])
+    for (et, hr), c in h.items():
+        prev24 = h.get((et, hr - datetime.timedelta(hours=24)))
+        if prev24 is not None:
+            st = per[et]
+            st[0] += 1                    # n
+            st[1] += abs(c - prev24)      # sum_abs_e
+            if c > 0:
+                st[2] += (abs(c - prev24) * 1000000) // c
+                st[3] += 1                # n_pos
+            if c + prev24 > 0:
+                st[4] += (abs(c - prev24) * 2000000) // (c + prev24)
+        prev1 = h.get((et, hr - datetime.timedelta(hours=1)))
+        if prev1 is not None:
+            per[et][5] += abs(c - prev1)  # sum_e1
+            per[et][6] += 1               # n1
+    got = {r["event_type"]: r
+           for r in q_ts_forecast_metrics(spark, sf_dir).collect()}
+    assert set(got) == {k for k, v in per.items() if v[0] and v[6]}
+    for et, (n, sae, sape, npos, ssape, se1, n1) in per.items():
+        if not n or not n1:
+            continue
+        row = got[et]
+        assert row["n"] == n
+        assert row["mae"] == pytest.approx(sae / n, rel=1e-12)
+        assert row["mape_ppm"] == pytest.approx(sape / npos, rel=1e-12)
+        assert row["smape_ppm"] == pytest.approx(ssape / n, rel=1e-12)
+        assert row["mase"] == pytest.approx(
+            (sae / n) / (se1 / n1), rel=1e-12
+        )
+        # sMAPE is bounded by 2e6 ppm by construction
+        assert 0 <= row["smape_ppm"] <= 2000000
+
+
+def test_iv_wald_replay_and_instrument_balance(spark, sf_dir):
+    import hashlib
+
+    from mini_etl_project_spark.queries.ml_q import q_ml_iv_wald
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    cells = {0: [0, 0, 0], 1: [0, 0, 0]}
+    for r in li:
+        z = int(hashlib.md5(f"iv:{r['l_partkey']}".encode())
+                .hexdigest()[:15], 16) % 2
+        cells[z][0] += 1
+        cells[z][1] += half_up(r["l_extendedprice"], 100)
+        cells[z][2] += half_up(r["l_discount"], 10000)
+    got = q_ml_iv_wald(spark, sf_dir).collect()[0]
+    assert got["n1"] == cells[1][0] and got["n0"] == cells[0][0]
+    itt = cells[1][1] / cells[1][0] - cells[0][1] / cells[0][0]
+    fs = cells[1][2] / cells[1][0] - cells[0][2] / cells[0][0]
+    assert got["itt_y"] == pytest.approx(itt, abs=1e-9)
+    assert got["first_stage_d"] == pytest.approx(fs, abs=1e-9)
+    assert got["theta_iv"] == pytest.approx(itt / fs, rel=1e-9)
+    # hash instrument is ~balanced
+    assert abs(got["n1"] - got["n0"]) < 0.1 * (got["n1"] + got["n0"])
+
+
+def test_rdd_python_replay(spark, sf_dir):
+    import numpy as np
+
+    from mini_etl_project_spark.queries.ml_q import (
+        _RDD_C,
+        _RDD_H,
+        q_ml_rdd,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    sides = {"l": [], "r": []}
+    for r in li:
+        u = half_up(r["l_quantity"]) - _RDD_C
+        y = half_up(r["l_extendedprice"], 100)
+        if -_RDD_H <= u < 0:
+            sides["l"].append((u, y))
+        elif 0 <= u <= _RDD_H:
+            sides["r"].append((u, y))
+    got = q_ml_rdd(spark, sf_dir).collect()[0]
+    assert got["n_l"] == len(sides["l"])
+    assert got["n_r"] == len(sides["r"])
+    fits = {}
+    for tag, pts in sides.items():
+        us = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        b, a = np.polyfit(us, ys, 1)
+        fits[tag] = (a, b)
+    assert got["intercept_left"] == pytest.approx(fits["l"][0], rel=1e-9)
+    assert got["slope_right"] == pytest.approx(fits["r"][1], rel=1e-6)
+    assert got["rdd_effect"] == pytest.approx(
+        fits["r"][0] - fits["l"][0], rel=1e-9
+    )
+
+
+def test_wilcoxon_signed_rank_scipy_replay(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import q_ml_wilcoxon_signed
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    per = defaultdict(lambda: [0, 0])
+    for r in ev:
+        if r["event_type"] == "click":
+            per[r["user_id"]][0] += 1
+        elif r["event_type"] == "view":
+            per[r["user_id"]][1] += 1
+    ds = [c - v for c, v in per.values() if c != v]
+    n = len(ds)
+    # midranks over |d|
+    order = sorted(range(n), key=lambda i: abs(ds[i]))
+    ranks = [0.0] * n
+    i = 0
+    while i < n:
+        j = i
+        while j < n and abs(ds[order[j]]) == abs(ds[order[i]]):
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks[order[k]] = mid
+        i = j
+    wplus = sum(r for r, d in zip(ranks, ds) if d > 0)
+    got = q_ml_wilcoxon_signed(spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    assert got["w2"] == round(2 * wplus)
+    # tie-corrected z
+    from collections import Counter as C
+
+    ties = C(abs(d) for d in ds)
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - sum(
+        t**3 - t for t in ties.values()
+    ) / 48.0
+    z = (wplus - n * (n + 1) / 4.0) / (var ** 0.5)
+    assert got["z_stat"] == pytest.approx(z, rel=1e-9)

@@ -6998,3 +6998,305 @@ def q_ml_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2.0) * F.sqrt(dec_to_double(var48) / F.lit(48.0)))
         ).alias("z_stat"),
     )
+
+
+# -- X422 Friedman test (k related samples) ---------------------------------
+#
+# The blocked nonparametric ANOVA: does per-user activity differ
+# across the k=5 event types when each user is their own block?
+# Within-block midranks over the 5 zero-filled counts come from
+# UNROLLED pairwise comparisons (2x-midrank = 2*#less + #equal + 1 —
+# all integers, no per-block sort), and the tie-corrected statistic
+# uses the general form chi2 = (k-1) * sum_j (R2_j - n(k+1))^2 /
+# (sum_{u,j} r2_uj^2 - n k (k+1)^2), which is a ratio of two EXACT
+# integers (2x scaling cancels) — one division total. Single
+# conditional-count aggregate per user, then one bounded roll-up.
+
+_FRIED_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _fried_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    k = len(_FRIED_TYPES)
+    cnts = ", ".join(
+        f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT)"
+        f" AS c{i}"
+        for i, t in enumerate(_FRIED_TYPES)
+    )
+    r2 = []
+    for j in range(k):
+        less = " + ".join(
+            f"CASE WHEN c{i} < c{j} THEN 1 ELSE 0 END"
+            for i in range(k) if i != j
+        )
+        eq = " + ".join(
+            f"CASE WHEN c{i} = c{j} THEN 1 ELSE 0 END" for i in range(k)
+        )
+        r2.append(f"(2 * ({less}) + ({eq}) + 1)")
+    r2cols = ", ".join(f"{e} AS r2_{j}" for j, e in enumerate(r2))
+    sq = " + ".join(
+        f"CAST(r2_{j} AS DECIMAL(38,0)) * r2_{j}" for j in range(k)
+    )
+    rsums = ", ".join(
+        f"CAST(SUM(r2_{j}) AS BIGINT) AS rr{j}" for j in range(k)
+    )
+    num_terms = " + ".join(
+        f"CAST((rr{j} - n * {k + 1}) AS DECIMAL(38,0))"
+        f" * (rr{j} - n * {k + 1})"
+        for j in range(k)
+    )
+    num = f"CAST({k - 1} * ({num_terms}) AS DECIMAL(38,0))"
+    den = (
+        f"CAST(sq_sum - CAST(n AS DECIMAL(38,0)) * {k} * {(k + 1) ** 2}"
+        f" AS DECIMAL(38,0))"
+    )
+    return f"""
+WITH u AS (
+  SELECT user_id, {cnts}
+  FROM events GROUP BY user_id),
+r AS (
+  SELECT user_id, {r2cols}
+  FROM u),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, {rsums},
+         CAST(SUM({sq}) AS DECIMAL(38,0)) AS sq_sum
+  FROM r)
+SELECT n, {", ".join(f"rr{j}" for j in range(k))},
+       {sql_dec_to_double(num)} / {sql_dec_to_double(den)} AS chi2_f
+FROM s
+"""
+
+
+@query("q_ml_friedman", _fried_oracle())
+def q_ml_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    k = len(_FRIED_TYPES)
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i, t in enumerate(_FRIED_TYPES)
+        ]
+    )
+    r2cols = []
+    for j in range(k):
+        less = None
+        for i in range(k):
+            if i == j:
+                continue
+            term = F.when(F.col(f"c{i}") < F.col(f"c{j}"), 1).otherwise(0)
+            less = term if less is None else less + term
+        eq = None
+        for i in range(k):
+            term = F.when(F.col(f"c{i}") == F.col(f"c{j}"), 1).otherwise(0)
+            eq = term if eq is None else eq + term
+        r2cols.append((2 * less + eq + 1).alias(f"r2_{j}"))
+    r = u.select("user_id", *r2cols)
+    sq = None
+    for j in range(k):
+        term = F.col(f"r2_{j}").cast("decimal(38,0)") * F.col(f"r2_{j}")
+        sq = term if sq is None else sq + term
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(f"r2_{j}").cast("bigint").alias(f"rr{j}")
+            for j in range(k)
+        ],
+        F.sum(sq).cast("decimal(38,0)").alias("sq_sum"),
+    )
+    num = None
+    for j in range(k):
+        dev = F.col(f"rr{j}") - F.col("n") * (k + 1)
+        term = dev.cast("decimal(38,0)") * dev
+        num = term if num is None else num + term
+    num = ((k - 1) * num).cast("decimal(38,0)")
+    den = (
+        F.col("sq_sum")
+        - F.col("n").cast("decimal(38,0)") * k * (k + 1) ** 2
+    ).cast("decimal(38,0)")
+    return s.select(
+        "n",
+        *[f"rr{j}" for j in range(k)],
+        (dec_to_double(num) / dec_to_double(den)).alias("chi2_f"),
+    )
+
+
+# -- X424 Empirical-Bayes (beta-binomial) rate shrinkage --------------------
+#
+# Small suppliers have noisy return rates; the empirical-Bayes fix
+# shrinks each rate toward the population prior with strength
+# proportional to evidence: shrunk = (k + alpha) / (n + alpha + beta),
+# with (alpha, beta) from method-of-moments on the per-supplier rate
+# distribution. Portability: raw rates quantize to EXACT integer ppm
+# (k*1e6 DIV n), so the cross-supplier mean/variance are exact
+# BIGINT/DECIMAL sums (a float rate variance would be partition-order
+# dependent); alpha/beta and each shrunk rate assemble through
+# identical double trees. Two keyed aggregates + one broadcast —
+# every supplier scored statelessly.
+
+_EB_ORACLE = """
+WITH s AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+           AS k,
+         (1000000 * CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END)
+                         AS BIGINT)) // COUNT(*) AS rate_ppm
+  FROM lineitem GROUP BY l_suppkey),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ns,
+         CAST(SUM(rate_ppm) AS BIGINT) AS sr,
+         CAST(SUM(CAST(rate_ppm AS DECIMAL(38,0)) * rate_ppm)
+              AS DECIMAL(38,0)) AS srr
+  FROM s),
+prior AS (
+  SELECT ns, sr, srr,
+         CAST(sr AS DOUBLE) / ns / 1000000.0 AS m,
+         ((CAST(((srr) - (srr) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((srr) % 1073741824 AS DOUBLE))
+            / ns / 1000000.0 / 1000000.0)
+           - (CAST(sr AS DOUBLE) / ns / 1000000.0)
+             * (CAST(sr AS DOUBLE) / ns / 1000000.0) AS v
+  FROM g),
+ab AS (
+  SELECT m, v,
+         m * (m * (1.0 - m) / v - 1.0) AS alpha,
+         (1.0 - m) * (m * (1.0 - m) / v - 1.0) AS beta
+  FROM prior)
+SELECT s.l_suppkey, s.n, s.k, s.rate_ppm,
+       ab.alpha, ab.beta,
+       (CAST(s.k AS DOUBLE) + ab.alpha)
+         / (CAST(s.n AS DOUBLE) + ab.alpha + ab.beta) AS shrunk_rate
+FROM s, ab
+"""
+
+
+@query("q_ml_eb_shrinkage", _EB_ORACLE)
+def q_ml_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1))
+        .cast("bigint")
+        .alias("k"),
+    ).withColumn("rate_ppm", F.expr("(1000000 * k) DIV n"))
+    g = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum("rate_ppm").cast("bigint").alias("sr"),
+        F.sum(F.col("rate_ppm").cast("decimal(38,0)") * F.col("rate_ppm"))
+        .cast("decimal(38,0)")
+        .alias("srr"),
+    )
+    m = F.col("sr").cast("double") / F.col("ns") / 1000000.0
+    v = (
+        dec_to_double("srr") / F.col("ns") / 1000000.0 / 1000000.0
+    ) - m * m
+    kappa = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    ab = g.select(
+        (m * kappa).alias("alpha"),
+        ((F.lit(1.0) - m) * kappa).alias("beta"),
+    )
+    return s.crossJoin(F.broadcast(ab)).select(
+        "l_suppkey",
+        "n",
+        "k",
+        "rate_ppm",
+        "alpha",
+        "beta",
+        (
+            (F.col("k").cast("double") + F.col("alpha"))
+            / (F.col("n").cast("double") + F.col("alpha") + F.col("beta"))
+        ).alias("shrunk_rate"),
+    )
+
+
+# -- X425 Cochran's Q (binary repeated measures) ----------------------------
+#
+# Did the error-hit probability change across the three thirds of the
+# observation window, measured on the SAME users? Cochran's Q is the
+# binary-outcome Friedman: Q = (k-1) * (k*sum C_j^2 - (sum C_j)^2) /
+# (k*sum R_u - sum R_u^2) — a ratio of two exact integers here (cell
+# indicators come from one conditional pass, window boundaries are
+# integer-micros tertiles of the broadcast min/max). One fact scan.
+
+_COQ_ORACLE = """
+WITH b AS (
+  SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi FROM events),
+u AS (
+  SELECT e.user_id,
+         MAX(CASE WHEN (epoch_us(e.ts) - b.lo) * 3 < (b.hi - b.lo)
+                  AND e.event_type = 'error' THEN 1 ELSE 0 END) AS w1,
+         MAX(CASE WHEN (epoch_us(e.ts) - b.lo) * 3 >= (b.hi - b.lo)
+                  AND (epoch_us(e.ts) - b.lo) * 3 < 2 * (b.hi - b.lo)
+                  AND e.event_type = 'error' THEN 1 ELSE 0 END) AS w2,
+         MAX(CASE WHEN (epoch_us(e.ts) - b.lo) * 3 >= 2 * (b.hi - b.lo)
+                  AND e.event_type = 'error' THEN 1 ELSE 0 END) AS w3
+  FROM events e, b GROUP BY e.user_id),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(w1) AS BIGINT) AS c1, CAST(SUM(w2) AS BIGINT) AS c2,
+         CAST(SUM(w3) AS BIGINT) AS c3,
+         CAST(SUM(3 * (w1 + w2 + w3)
+                  - (w1 + w2 + w3) * (w1 + w2 + w3)) AS BIGINT) AS den
+  FROM u)
+SELECT n_users, c1, c2, c3,
+       CASE WHEN den = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3)
+                      - (c1 + c2 + c3) * (c1 + c2 + c3)) AS DOUBLE)
+                 / den END AS q_stat
+FROM s
+"""
+
+
+@query("q_ml_cochran_q", _COQ_ORACLE)
+def q_ml_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    x = ev.crossJoin(F.broadcast(b))
+    off = (F.unix_micros("ts") - F.col("lo")) * 3
+    span = F.col("hi") - F.col("lo")
+    is_err = F.col("event_type") == "error"
+    u = x.groupBy("user_id").agg(
+        F.max(F.when((off < span) & is_err, 1).otherwise(0)).alias("w1"),
+        F.max(
+            F.when((off >= span) & (off < 2 * span) & is_err, 1).otherwise(0)
+        ).alias("w2"),
+        F.max(F.when((off >= 2 * span) & is_err, 1).otherwise(0)).alias(
+            "w3"
+        ),
+    )
+    rsum = F.col("w1") + F.col("w2") + F.col("w3")
+    s = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("w1").cast("bigint").alias("c1"),
+        F.sum("w2").cast("bigint").alias("c2"),
+        F.sum("w3").cast("bigint").alias("c3"),
+        F.sum(3 * rsum - rsum * rsum).cast("bigint").alias("den"),
+    )
+    num = (
+        3
+        * (
+            F.col("c1") * F.col("c1")
+            + F.col("c2") * F.col("c2")
+            + F.col("c3") * F.col("c3")
+        )
+        - (F.col("c1") + F.col("c2") + F.col("c3"))
+        * (F.col("c1") + F.col("c2") + F.col("c3"))
+    )
+    return s.select(
+        "n_users",
+        "c1",
+        "c2",
+        "c3",
+        F.when(F.col("den") == 0, F.lit(None).cast("double"))
+        .otherwise((2 * num).cast("double") / F.col("den"))
+        .alias("q_stat"),
+    )

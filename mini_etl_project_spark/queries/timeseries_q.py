@@ -4058,3 +4058,174 @@ def q_ts_forecast_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             mae / (F.col("sum_e1").cast("double") / F.col("n1"))
         ).alias("mase"),
     )
+
+
+# -- X423 Granger causality (VAR-1, bounded series) -------------------------
+#
+# Does the view series help predict NEXT hour's purchases beyond
+# purchases' own history? Restricted model y_t ~ y_{t-1} vs
+# unrestricted y_t ~ y_{t-1} + x_{t-1}; the F statistic on the SSE
+# drop is the Granger test. Hourly counts aggregate the fact scan
+# once; everything after runs on the BOUNDED hourly table — exact
+# BIGINT/DECIMAL cross-moments, the 3x3 normal equations solved by
+# Cramer (the X248/X360 pattern), and SSEs/F assembled through
+# identical double expression trees in both engines.
+
+def _granger_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    dd = sql_dec_to_double
+    n = "CAST(m.n AS DOUBLE)"
+    sy = "CAST(m.sy AS DOUBLE)"
+    sa = "CAST(m.sa AS DOUBLE)"
+    sb = "CAST(m.sb AS DOUBLE)"
+    syy, saa, sbb = dd("m.syy"), dd("m.saa"), dd("m.sbb")
+    sya, syb, sab = dd("m.sya"), dd("m.syb"), dd("m.sab")
+    # restricted: y ~ 1 + a  (a = y_{t-1})
+    den_r = f"({n} * {saa} - {sa} * {sa})"
+    br = f"(({n} * {sya} - {sa} * {sy}) / {den_r})"
+    ar = f"(({sy} - {br} * {sa}) / {n})"
+    sse_r = f"({syy} - {ar} * {sy} - {br} * {sya})"
+    # unrestricted: y ~ 1 + a + b via Cramer on [[n,sa,sb],[sa,saa,sab],[sb,sab,sbb]]
+    det = (
+        f"({n} * ({saa} * {sbb} - {sab} * {sab})"
+        f" - {sa} * ({sa} * {sbb} - {sab} * {sb})"
+        f" + {sb} * ({sa} * {sab} - {saa} * {sb}))"
+    )
+    det_a = (
+        f"({sy} * ({saa} * {sbb} - {sab} * {sab})"
+        f" - {sa} * ({sya} * {sbb} - {sab} * {syb})"
+        f" + {sb} * ({sya} * {sab} - {saa} * {syb}))"
+    )
+    det_b = (
+        f"({n} * ({sya} * {sbb} - {sab} * {syb})"
+        f" - {sy} * ({sa} * {sbb} - {sab} * {sb})"
+        f" + {sb} * ({sa} * {syb} - {sya} * {sb}))"
+    )
+    det_c = (
+        f"({n} * ({saa} * {syb} - {sya} * {sab})"
+        f" - {sa} * ({sa} * {syb} - {sya} * {sb})"
+        f" + {sy} * ({sa} * {sab} - {saa} * {sb}))"
+    )
+    a_u = f"({det_a} / {det})"
+    b_u = f"({det_b} / {det})"
+    c_u = f"({det_c} / {det})"
+    sse_u = (
+        f"({syy} - {a_u} * {sy} - {b_u} * {sya} - {c_u} * {syb})"
+    )
+    f_stat = f"((({sse_r}) - ({sse_u})) / (({sse_u}) / ({n} - 3.0)))"
+    return f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr,
+         CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+              AS BIGINT) AS y,
+         CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY 1),
+t AS (
+  SELECT c.y AS y, p.y AS a, p.x AS b
+  FROM h c JOIN h p ON p.hr = c.hr - INTERVAL 1 HOUR),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(a) AS BIGINT) AS sa,
+         CAST(SUM(b) AS BIGINT) AS sb,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+         CAST(SUM(CAST(a AS DECIMAL(38,0)) * a) AS DECIMAL(38,0)) AS saa,
+         CAST(SUM(CAST(b AS DECIMAL(38,0)) * b) AS DECIMAL(38,0)) AS sbb,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * a) AS DECIMAL(38,0)) AS sya,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * b) AS DECIMAL(38,0)) AS syb,
+         CAST(SUM(CAST(a AS DECIMAL(38,0)) * b) AS DECIMAL(38,0)) AS sab
+  FROM t)
+SELECT m.n, {sse_r} AS sse_restricted, {sse_u} AS sse_unrestricted,
+       {f_stat} AS f_granger
+FROM m
+"""
+
+
+@query("q_ts_granger", _granger_oracle())
+def q_ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("y"),
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("bigint")
+        .alias("x"),
+    )
+    c = h.alias("c")
+    p = h.alias("p")
+    t = c.join(
+        p, F.col("p.hr") == F.col("c.hr") - F.expr("INTERVAL 1 HOUR")
+    ).select(
+        F.col("c.y").alias("y"),
+        F.col("p.y").alias("a"),
+        F.col("p.x").alias("b"),
+    )
+    dec = lambda u, v, nm: (
+        F.sum(F.col(u).cast("decimal(38,0)") * F.col(v))
+        .cast("decimal(38,0)")
+        .alias(nm)
+    )
+    m = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("b").cast("bigint").alias("sb"),
+        dec("y", "y", "syy"),
+        dec("a", "a", "saa"),
+        dec("b", "b", "sbb"),
+        dec("y", "a", "sya"),
+        dec("y", "b", "syb"),
+        dec("a", "b", "sab"),
+    )
+    n = F.col("n").cast("double")
+    sy = F.col("sy").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    syy, saa, sbb = (
+        dec_to_double("syy"),
+        dec_to_double("saa"),
+        dec_to_double("sbb"),
+    )
+    sya, syb, sab = (
+        dec_to_double("sya"),
+        dec_to_double("syb"),
+        dec_to_double("sab"),
+    )
+    den_r = n * saa - sa * sa
+    br = (n * sya - sa * sy) / den_r
+    ar = (sy - br * sa) / n
+    sse_r = syy - ar * sy - br * sya
+    det = (
+        n * (saa * sbb - sab * sab)
+        - sa * (sa * sbb - sab * sb)
+        + sb * (sa * sab - saa * sb)
+    )
+    det_a = (
+        sy * (saa * sbb - sab * sab)
+        - sa * (sya * sbb - sab * syb)
+        + sb * (sya * sab - saa * syb)
+    )
+    det_b = (
+        n * (sya * sbb - sab * syb)
+        - sy * (sa * sbb - sab * sb)
+        + sb * (sa * syb - sya * sb)
+    )
+    det_c = (
+        n * (saa * syb - sya * sab)
+        - sa * (sa * syb - sya * sb)
+        + sy * (sa * sab - saa * sb)
+    )
+    a_u = det_a / det
+    b_u = det_b / det
+    c_u = det_c / det
+    sse_u = syy - a_u * sy - b_u * sya - c_u * syb
+    return m.select(
+        "n",
+        sse_r.alias("sse_restricted"),
+        sse_u.alias("sse_unrestricted"),
+        ((sse_r - sse_u) / (sse_u / (n - F.lit(3.0)))).alias("f_granger"),
+    )

@@ -827,3 +827,132 @@ def test_wilcoxon_signed_rank_scipy_replay(spark, sf_dir):
     ) / 48.0
     z = (wplus - n * (n + 1) / 4.0) / (var ** 0.5)
     assert got["z_stat"] == pytest.approx(z, rel=1e-9)
+
+
+# -- X422-X425 --------------------------------------------------------------
+
+
+def test_friedman_scipy_style_replay(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import (
+        _FRIED_TYPES,
+        q_ml_friedman,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    per = defaultdict(Counter)
+    for r in ev:
+        per[r["user_id"]][r["event_type"]] += 1
+    k = len(_FRIED_TYPES)
+    n = len(per)
+    rr = [0.0] * k
+    sq_sum = 0.0
+    for cnts in per.values():
+        vals = [cnts.get(t, 0) for t in _FRIED_TYPES]
+        ranks = []
+        for j, v in enumerate(vals):
+            less = sum(1 for w in vals if w < v)
+            eq = sum(1 for w in vals if w == v)
+            ranks.append(less + (eq + 1) / 2.0)
+        for j, r_ in enumerate(ranks):
+            rr[j] += r_
+            sq_sum += r_ * r_
+    num = (k - 1) * sum((rj - n * (k + 1) / 2.0) ** 2 for rj in rr)
+    den = sq_sum - n * k * (k + 1) ** 2 / 4.0
+    got = q_ml_friedman(spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    for j in range(k):
+        assert got[f"rr{j}"] == round(2 * rr[j])
+    assert got["chi2_f"] == pytest.approx(num / den, rel=1e-9)
+    # rank-sum identity: sum of all midranks = n*k*(k+1)/2
+    assert sum(got[f"rr{j}"] for j in range(k)) == n * k * (k + 1)
+
+
+def test_granger_matches_numpy_ols(spark, sf_dir):
+    import datetime
+
+    import numpy as np
+
+    from mini_etl_project_spark.queries.timeseries_q import q_ts_granger
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    h = defaultdict(lambda: [0, 0])
+    for r in ev:
+        hr = r["ts"].replace(minute=0, second=0, microsecond=0)
+        h[hr]  # every event materializes its hour (zero-count rows too)
+        if r["event_type"] == "purchase":
+            h[hr][0] += 1
+        elif r["event_type"] == "view":
+            h[hr][1] += 1
+    rows = []
+    for hr, (y, x) in h.items():
+        prev = h.get(hr - datetime.timedelta(hours=1))
+        if prev is not None:
+            rows.append((y, prev[0], prev[1]))
+    y = np.array([r[0] for r in rows], dtype=float)
+    a = np.array([r[1] for r in rows], dtype=float)
+    b = np.array([r[2] for r in rows], dtype=float)
+    Xr = np.column_stack([np.ones_like(a), a])
+    Xu = np.column_stack([np.ones_like(a), a, b])
+    sse = lambda X: float(
+        ((y - X @ np.linalg.lstsq(X, y, rcond=None)[0]) ** 2).sum()
+    )
+    sse_r, sse_u = sse(Xr), sse(Xu)
+    f_ref = (sse_r - sse_u) / (sse_u / (len(y) - 3))
+    got = q_ts_granger(spark, sf_dir).collect()[0]
+    assert got["n"] == len(rows)
+    assert got["sse_restricted"] == pytest.approx(sse_r, rel=1e-9)
+    assert got["sse_unrestricted"] == pytest.approx(sse_u, rel=1e-9)
+    assert got["f_granger"] == pytest.approx(f_ref, rel=1e-7)
+    # restricted model can never beat the unrestricted
+    assert got["sse_unrestricted"] <= got["sse_restricted"] + 1e-9
+
+
+def test_eb_shrinkage_pulls_toward_mean(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import q_ml_eb_shrinkage
+
+    rows = q_ml_eb_shrinkage(spark, sf_dir).collect()
+    assert rows
+    alpha = rows[0]["alpha"]
+    beta = rows[0]["beta"]
+    assert alpha > 0 and beta > 0
+    prior_mean = alpha / (alpha + beta)
+    for r in rows:
+        raw = r["k"] / r["n"]
+        # shrunk rate lies BETWEEN the raw rate and the prior mean
+        lo, hi = sorted((raw, prior_mean))
+        assert lo - 1e-12 <= r["shrunk_rate"] <= hi + 1e-12
+        # and the fewer the observations, the stronger the pull
+        assert r["rate_ppm"] == (1000000 * r["k"]) // r["n"]
+
+
+def test_cochran_q_replay(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import q_ml_cochran_q
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    micros = lambda ts: int(ts.timestamp() * 1e6)
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    us = {id(r): (r["ts"] - epoch) // datetime.timedelta(microseconds=1)
+          for r in ev}
+    lo = min(us.values())
+    hi = max(us.values())
+    span = hi - lo
+    per = defaultdict(lambda: [0, 0, 0])
+    for r in ev:
+        if r["event_type"] != "error":
+            per[r["user_id"]]  # ensure user exists
+            continue
+        off = (us[id(r)] - lo) * 3
+        w = 0 if off < span else (1 if off < 2 * span else 2)
+        per[r["user_id"]][w] = 1
+    got = q_ml_cochran_q(spark, sf_dir).collect()[0]
+    assert got["n_users"] == len(per)
+    cs = [sum(v[j] for v in per.values()) for j in range(3)]
+    assert [got["c1"], got["c2"], got["c3"]] == cs
+    den = sum(3 * sum(v) - sum(v) ** 2 for v in per.values())
+    if den == 0:
+        assert got["q_stat"] is None
+    else:
+        num = 2 * (3 * sum(c * c for c in cs) - sum(cs) ** 2)
+        assert got["q_stat"] == pytest.approx(num / den, rel=1e-12)

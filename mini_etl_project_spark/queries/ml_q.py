@@ -7300,3 +7300,336 @@ def q_ml_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((2 * num).cast("double") / F.col("den"))
         .alias("q_stat"),
     )
+
+
+# -- X426 Log-rank test (two-group survival comparison) ---------------------
+#
+# The standard censored-data companion to Kaplan-Meier (X266): do
+# urgent orders ship on a different timetable than the rest? Time =
+# order-to-ship days, administratively censored at 30; at each
+# distinct event day t the observed group-1 events O1_t compare to
+# the hypergeometric expectation E1_t = O_t*N1_t/N_t with variance
+# O_t*(N1/N)*(1-N1/N)*(N-O)/(N-1), summed over the BOUNDED (<=31 row)
+# day table. Risk sets come from suffix sums over that table (one
+# fact aggregate feeds it); the O-E and V accumulations fold in day
+# order so the doubles hash-match; the chi-square is one division.
+
+_LOGRANK_CENSOR = 30
+
+_LOGRANK_ORACLE = f"""
+WITH x AS (
+  SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS grp,
+         LEAST(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)),
+               {_LOGRANK_CENSOR}) AS t,
+         CASE WHEN DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE))
+                   <= {_LOGRANK_CENSOR} THEN 1 ELSE 0 END AS ev
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+d AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN grp = 1 AND ev = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS o1,
+         CAST(SUM(ev) AS BIGINT) AS o_tot,
+         CAST(SUM(grp) AS BIGINT) AS a1,
+         CAST(COUNT(*) AS BIGINT) AS a_tot
+  FROM x GROUP BY t),
+r AS (
+  SELECT t, o1, o_tot,
+         SUM(a1) OVER (ORDER BY t DESC) AS n1,
+         SUM(a_tot) OVER (ORDER BY t DESC) AS n_tot
+  FROM d),
+terms AS (
+  SELECT t, o1, o_tot, n1, n_tot,
+         CAST(o1 AS DOUBLE)
+           - CAST(o_tot AS DOUBLE) * n1 / n_tot AS oe,
+         CASE WHEN n_tot > 1 THEN
+           CAST(o_tot AS DOUBLE) * (CAST(n1 AS DOUBLE) / n_tot)
+             * (1.0 - CAST(n1 AS DOUBLE) / n_tot)
+             * (CAST(n_tot AS DOUBLE) - o_tot)
+             / (CAST(n_tot AS DOUBLE) - 1.0)
+           ELSE 0.0 END AS v
+  FROM r WHERE o_tot > 0),
+s AS (
+  SELECT list_aggregate(list(oe ORDER BY t), 'sum') AS oe_sum,
+         list_aggregate(list(v ORDER BY t), 'sum') AS v_sum,
+         CAST(SUM(o1) AS BIGINT) AS o1_sum,
+         CAST(SUM(o_tot) AS BIGINT) AS o_sum
+  FROM terms)
+SELECT o1_sum, o_sum, oe_sum, v_sum,
+       (oe_sum * oe_sum) / v_sum AS logrank_chi2
+FROM s
+"""
+
+
+@query("q_ml_logrank", _LOGRANK_ORACLE)
+def q_ml_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    x = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("grp"),
+        F.least(lag, F.lit(_LOGRANK_CENSOR)).alias("t"),
+        F.when(lag <= _LOGRANK_CENSOR, 1).otherwise(0).alias("ev"),
+    )
+    d = x.groupBy("t").agg(
+        F.sum(F.when((F.col("grp") == 1) & (F.col("ev") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("o1"),
+        F.sum("ev").cast("bigint").alias("o_tot"),
+        F.sum("grp").cast("bigint").alias("a1"),
+        F.count(F.lit(1)).cast("bigint").alias("a_tot"),
+    )
+    # suffix sums over the bounded day table (<= censor+1 rows)
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = d.withColumn("n1", F.sum("a1").over(w)).withColumn(
+        "n_tot", F.sum("a_tot").over(w)
+    )
+    n1d = F.col("n1").cast("double")
+    ntd = F.col("n_tot").cast("double")
+    otd = F.col("o_tot").cast("double")
+    terms = r.filter(F.col("o_tot") > 0).select(
+        "t",
+        "o1",
+        "o_tot",
+        (F.col("o1").cast("double") - otd * F.col("n1") / F.col("n_tot")).alias(
+            "oe"
+        ),
+        F.when(
+            F.col("n_tot") > 1,
+            otd
+            * (n1d / F.col("n_tot"))
+            * (F.lit(1.0) - n1d / F.col("n_tot"))
+            * (ntd - F.col("o_tot"))
+            / (ntd - F.lit(1.0)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    )
+    s = terms.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("t", F.col("oe").alias("x")))
+            ),
+            F.lit(0.0),
+            lambda a, row: a + row["x"],
+        ).alias("oe_sum"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("t", F.col("v").alias("x")))
+            ),
+            F.lit(0.0),
+            lambda a, row: a + row["x"],
+        ).alias("v_sum"),
+        F.sum("o1").cast("bigint").alias("o1_sum"),
+        F.sum("o_tot").cast("bigint").alias("o_sum"),
+    )
+    return s.select(
+        "o1_sum",
+        "o_sum",
+        "oe_sum",
+        "v_sum",
+        ((F.col("oe_sum") * F.col("oe_sum")) / F.col("v_sum")).alias(
+            "logrank_chi2"
+        ),
+    )
+
+# -- X428 Restricted mean survival time (RMST) ------------------------------
+#
+# The trial-world summary when hazards aren't proportional: the area
+# under the Kaplan-Meier curve up to tau — "average days retained in
+# the first tau days". Built directly on the X266 KM curve (integer
+# ppm survival via floor-divided cumulative products, recursive-CTE
+# oracle): RMST*1e6 = t1*1e6 + sum_i s_ppm_i * (t_{i+1} - t_i) with
+# the tail running to tau — EXACT integer ppm-day arithmetic, the
+# only windows sit on the bounded event-time table.
+
+_RMST_TAU = 29
+
+_RMST_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(MIN(CAST(ts AS DATE)) - DATE '2024-01-01' AS BIGINT)
+           AS first_day,
+         CAST(MIN(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ts AS DATE) END) - DATE '2024-01-01'
+              AS BIGINT) AS first_purchase
+  FROM events GROUP BY user_id),
+durations AS (
+  SELECT user_id,
+         CASE WHEN first_purchase IS NOT NULL
+              THEN first_purchase - first_day ELSE 29 - first_day END AS t,
+         CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END AS d
+  FROM per_user),
+risk AS (
+  SELECT t,
+         CAST(SUM(d) AS BIGINT) AS d_events,
+         CAST((SELECT COUNT(*) FROM durations du WHERE du.t >= r.t)
+              AS BIGINT) AS n_at_risk
+  FROM durations r GROUP BY t HAVING SUM(d) > 0),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY t) AS rn FROM risk),
+curve AS (
+  WITH RECURSIVE k(rn, t, n_at_risk, d_events, s_ppm) AS (
+    SELECT rn, t, n_at_risk, d_events,
+           CAST(1000000 AS BIGINT) * (n_at_risk - d_events) // n_at_risk
+    FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT r.rn, r.t, r.n_at_risk, r.d_events,
+           k.s_ppm * (r.n_at_risk - r.d_events) // r.n_at_risk
+    FROM k JOIN ranked r ON r.rn = k.rn + 1)
+  SELECT * FROM k),
+seg AS (
+  SELECT t, s_ppm,
+         COALESCE(LEAD(t) OVER (ORDER BY t), 29) AS t_next
+  FROM curve
+  WHERE t < 29),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+         CAST(COALESCE(MIN(t), 29) AS BIGINT) AS t_first,
+         CAST(COALESCE(SUM(s_ppm * (t_next - t)), 0) AS BIGINT)
+           AS area_after
+  FROM seg)
+SELECT n_event_times,
+       CAST(t_first * 1000000 + area_after AS BIGINT) AS rmst_ppm_days,
+       CAST(t_first * 1000000 + area_after AS DOUBLE) / 29000000.0
+         AS mean_survival_frac
+FROM s
+"""
+
+
+@query("q_ml_rmst", _RMST_ORACLE)
+def q_ml_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    km = q_ml_kaplan_meier(spark, sf_dir)
+    w = Window.orderBy("t")
+    seg = (
+        km.filter(F.col("t") < _RMST_TAU)
+        .withColumn(
+            "t_next", F.coalesce(F.lead("t").over(w), F.lit(_RMST_TAU))
+        )
+    )
+    s = seg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_event_times"),
+        F.coalesce(F.min("t"), F.lit(_RMST_TAU))
+        .cast("bigint")
+        .alias("t_first"),
+        F.coalesce(
+            F.sum(F.col("surv_ppm") * (F.col("t_next") - F.col("t"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("area_after"),
+    )
+    rmst = F.col("t_first") * 1000000 + F.col("area_after")
+    return s.select(
+        "n_event_times",
+        rmst.cast("bigint").alias("rmst_ppm_days"),
+        (rmst.cast("double") / (1000000.0 * _RMST_TAU)).alias(
+            "mean_survival_frac"
+        ),
+    )
+
+
+# -- X429 Mantel-Haenszel pooled odds ratio ---------------------------------
+#
+# The stratified 2x2 classic: does deep discounting associate with
+# returns once supplier nation is held fixed? Pooling naively invites
+# Simpson's paradox; Mantel-Haenszel weights each stratum's odds
+# ratio by b*c/n: OR_MH = sum_k(a_k d_k / n_k) / sum_k(b_k c_k / n_k).
+# Cell counts are one conditional pass per (nation) stratum; each
+# cross product a*d rides DECIMAL(38,0) (overflows int64 at scale)
+# through dec_to_double, the per-stratum ratios fold in nation order
+# (the bounded-fold pattern), and the crude OR is emitted beside the
+# pooled one so the confounding gap is visible in the output.
+
+_MH_ORACLE = """
+WITH x AS (
+  SELECT s.s_nationkey AS nk,
+         CASE WHEN l.l_discount >= 0.06 THEN 1 ELSE 0 END AS e,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey),
+k AS (
+  SELECT nk,
+         CAST(SUM(e * y) AS BIGINT) AS a,
+         CAST(SUM(e * (1 - y)) AS BIGINT) AS b,
+         CAST(SUM((1 - e) * y) AS BIGINT) AS c,
+         CAST(SUM((1 - e) * (1 - y)) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM x GROUP BY nk),
+f AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(SUM(a) AS BIGINT) AS at, CAST(SUM(b) AS BIGINT) AS bt,
+         CAST(SUM(c) AS BIGINT) AS ct, CAST(SUM(d) AS BIGINT) AS dt,
+         list_aggregate(list(
+           (CAST(((CAST(a AS DECIMAL(38,0)) * d) - (CAST(a AS DECIMAL(38,0)) * d) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((CAST(a AS DECIMAL(38,0)) * d) % 1073741824 AS DOUBLE)) / n
+           ORDER BY nk), 'sum') AS num,
+         list_aggregate(list(
+           (CAST(((CAST(b AS DECIMAL(38,0)) * c) - (CAST(b AS DECIMAL(38,0)) * c) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((CAST(b AS DECIMAL(38,0)) * c) % 1073741824 AS DOUBLE)) / n
+           ORDER BY nk), 'sum') AS den
+  FROM k)
+SELECT n_strata, num, den, num / den AS or_mh,
+       (CAST(at AS DOUBLE) * dt) / (CAST(bt AS DOUBLE) * ct) AS or_crude
+FROM f
+"""
+
+
+@query("q_ml_mantel_haenszel", _MH_ORACLE)
+def q_ml_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    e = F.when(F.col("l_discount") >= 0.06, 1).otherwise(0)
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    x = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey).select(
+        F.col("s_nationkey").alias("nk"), e.alias("e"), y.alias("y")
+    )
+    k = x.groupBy("nk").agg(
+        F.sum(F.col("e") * F.col("y")).cast("bigint").alias("a"),
+        F.sum(F.col("e") * (1 - F.col("y"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("e")) * F.col("y")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("e")) * (1 - F.col("y"))).cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    num_t = dec_to_double(F.col("a").cast("decimal(38,0)") * F.col("d")) / F.col("n")
+    den_t = dec_to_double(F.col("b").cast("decimal(38,0)") * F.col("c")) / F.col("n")
+    f = k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("at"),
+        F.sum("b").cast("bigint").alias("bt"),
+        F.sum("c").cast("bigint").alias("ct"),
+        F.sum("d").cast("bigint").alias("dt"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("nk", num_t.alias("v")))),
+            F.lit(0.0),
+            lambda a_, r: a_ + r["v"],
+        ).alias("num"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("nk", den_t.alias("v")))),
+            F.lit(0.0),
+            lambda a_, r: a_ + r["v"],
+        ).alias("den"),
+    )
+    return f.select(
+        "n_strata",
+        "num",
+        "den",
+        (F.col("num") / F.col("den")).alias("or_mh"),
+        (
+            (F.col("at").cast("double") * F.col("dt"))
+            / (F.col("bt").cast("double") * F.col("ct"))
+        ).alias("or_crude"),
+    )

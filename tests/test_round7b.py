@@ -956,3 +956,100 @@ def test_cochran_q_replay(spark, sf_dir):
     else:
         num = 2 * (3 * sum(c * c for c in cs) - sum(cs) ** 2)
         assert got["q_stat"] == pytest.approx(num / den, rel=1e-12)
+
+
+# -- X426/X428/X429 ---------------------------------------------------------
+
+
+def test_logrank_python_replay(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import (
+        _LOGRANK_CENSOR,
+        q_ml_logrank,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    orders = {
+        r["o_orderkey"]: r
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    }
+    subj = []
+    for r in li:
+        o = orders[r["l_orderkey"]]
+        grp = 1 if o["o_orderpriority"] in ("1-URGENT", "2-HIGH") else 0
+        lag = (r["l_shipdate"].date() - o["o_orderdate"].date()).days
+        t = min(lag, _LOGRANK_CENSOR)
+        ev = 1 if lag <= _LOGRANK_CENSOR else 0
+        subj.append((grp, t, ev))
+    times = sorted({t for _, t, ev in subj if ev})
+    oe_sum = v_sum = 0.0
+    o1_sum = o_sum = 0
+    for t in times:
+        o1 = sum(1 for g, tt, ev in subj if g == 1 and tt == t and ev)
+        ot = sum(1 for g, tt, ev in subj if tt == t and ev)
+        n1 = sum(1 for g, tt, ev in subj if g == 1 and tt >= t)
+        nt = sum(1 for g, tt, ev in subj if tt >= t)
+        oe_sum += o1 - ot * n1 / nt
+        if nt > 1:
+            v_sum += ot * (n1 / nt) * (1 - n1 / nt) * (nt - ot) / (nt - 1)
+        o1_sum += o1
+        o_sum += ot
+    got = q_ml_logrank(spark, sf_dir).collect()[0]
+    assert got["o1_sum"] == o1_sum and got["o_sum"] == o_sum
+    assert got["oe_sum"] == pytest.approx(oe_sum, abs=1e-6)
+    assert got["v_sum"] == pytest.approx(v_sum, rel=1e-9)
+    assert got["logrank_chi2"] == pytest.approx(
+        oe_sum * oe_sum / v_sum, rel=1e-6
+    )
+    assert got["logrank_chi2"] >= 0
+
+
+def test_rmst_is_km_curve_area(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import (
+        _RMST_TAU,
+        q_ml_kaplan_meier,
+        q_ml_rmst,
+    )
+
+    km = sorted(
+        (r["t"], r["surv_ppm"])
+        for r in q_ml_kaplan_meier(spark, sf_dir).collect()
+        if r["t"] < _RMST_TAU
+    )
+    area = (km[0][0] if km else _RMST_TAU) * 1000000
+    for (t, s), nxt in zip(km, km[1:] + [(_RMST_TAU, None)]):
+        area += s * (nxt[0] - t)
+    got = q_ml_rmst(spark, sf_dir).collect()[0]
+    assert got["rmst_ppm_days"] == area
+    assert got["n_event_times"] == len(km)
+    # RMST is bounded by tau days and positive
+    assert 0 < got["mean_survival_frac"] <= 1.0
+
+
+def test_mantel_haenszel_replay(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import q_ml_mantel_haenszel
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    sup = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in spark.read.parquet(f"{sf_dir}/supplier.parquet").collect()
+    }
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for r in li:
+        nk = sup[r["l_suppkey"]]
+        e = 1 if r["l_discount"] >= 0.06 else 0
+        y = 1 if r["l_returnflag"] == "R" else 0
+        cells[nk][(1 - e) * 2 + (1 - y)] += 1  # a,b,c,d order
+    num = den = 0.0
+    at = bt = ct = dt = 0
+    for nk in sorted(cells):
+        a, b, c, d = cells[nk]
+        n = a + b + c + d
+        num += a * d / n
+        den += b * c / n
+        at += a; bt += b; ct += c; dt += d
+    got = q_ml_mantel_haenszel(spark, sf_dir).collect()[0]
+    assert got["n_strata"] == len(cells)
+    assert got["num"] == pytest.approx(num, rel=1e-12)
+    assert got["den"] == pytest.approx(den, rel=1e-12)
+    assert got["or_mh"] == pytest.approx(num / den, rel=1e-9)
+    assert got["or_crude"] == pytest.approx(at * dt / (bt * ct), rel=1e-9)

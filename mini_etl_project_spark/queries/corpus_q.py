@@ -691,3 +691,156 @@ def q_corpus_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         bh.alias("bh_affinity"),
         F.sqrt(F.greatest(F.lit(1.0) - bh, F.lit(0.0))).alias("hellinger"),
     )
+
+
+# -- X427 Prefix-cache-aware grouping ---------------------------------------
+#
+# Modern LLM serving/training caches KV state per shared prompt
+# prefix, so batch order matters: examples that share a prefix should
+# sit adjacent. This surface orders the corpus by (prefix-key hash,
+# doc_id) — the prefix key is the first 3 whitespace tokens — and
+# audits the win: adjacent-pair same-prefix counts under the naive
+# doc_id order vs the grouped order, plus the reusable-token mass.
+# Ordering at scale is the grouped global_rank (range partitions, no
+# single-partition sort); adjacency is a rank -> rank+1 self-join
+# (the established adjacent-pair shape); counts are exact integers.
+
+_PFX_TOKENS = 3
+
+
+_PFX_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         array_to_string((string_split(text, ' '))[1:{_PFX_TOKENS}], ' ')
+           AS pfx,
+         CAST(LENGTH(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+base AS (
+  SELECT doc_id, pfx,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS r
+  FROM d),
+grp AS (
+  SELECT doc_id, pfx, n_tokens,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(('0x' || substr(md5(pfx), 1, 15)) AS BIGINT),
+                    doc_id) AS r
+  FROM d),
+adj_base AS (
+  SELECT CAST(COUNT(CASE WHEN a.pfx = b.pfx THEN 1 END) AS BIGINT) AS same
+  FROM base a JOIN base b ON b.r = a.r + 1),
+adj_grp AS (
+  SELECT CAST(COUNT(CASE WHEN a.pfx = b.pfx THEN 1 END) AS BIGINT) AS same,
+         CAST(SUM(CASE WHEN a.pfx = b.pfx THEN {_PFX_TOKENS} ELSE 0 END)
+              AS BIGINT) AS reuse_tokens
+  FROM grp a JOIN grp b ON b.r = a.r + 1)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_docs,
+       adj_base.same AS adjacent_same_baseline,
+       adj_grp.same AS adjacent_same_grouped,
+       adj_grp.reuse_tokens AS reuse_tokens_grouped
+FROM adj_base, adj_grp
+"""
+
+
+@query("q_corpus_prefix_grouping", _PFX_ORACLE)
+def q_corpus_prefix_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.rank import global_rank
+    from mini_etl_project_spark.queries.sampling_q import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, _PFX_TOKENS), " ").alias("pfx"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    base = global_rank(
+        d.select("doc_id", "pfx"), order=[F.col("doc_id")], rank_col="r"
+    )
+    grp = global_rank(
+        d.withColumn("h", hash60(F.col("pfx"))),
+        order=[F.col("h"), F.col("doc_id")],
+        rank_col="r",
+    )
+
+    def adjacent(df):
+        a = df.select(F.col("r").alias("ra"), F.col("pfx").alias("pa"))
+        b = df.select(F.col("r").alias("rb"), F.col("pfx").alias("pb"))
+        return a.join(b, b.rb == a.ra + 1)
+
+    adj_base = adjacent(base).agg(
+        F.count(F.when(F.col("pa") == F.col("pb"), 1))
+        .cast("bigint")
+        .alias("adjacent_same_baseline")
+    )
+    adj_grp = adjacent(grp).agg(
+        F.count(F.when(F.col("pa") == F.col("pb"), 1))
+        .cast("bigint")
+        .alias("adjacent_same_grouped"),
+        F.sum(
+            F.when(F.col("pa") == F.col("pb"), _PFX_TOKENS).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("reuse_tokens_grouped"),
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        n.crossJoin(F.broadcast(adj_base)).crossJoin(F.broadcast(adj_grp))
+    )
+
+
+# -- X430 Span-level extraction F1 ------------------------------------------
+#
+# The NER/extraction scorecard: two extractors emit token-position
+# spans and the audit reports micro precision/recall/F1 of extractor
+# B against reference A, per source. Extractor A tags tokens in
+# {table, part}; extractor B tags {table, hash} — token positions
+# come from ONE posexplode of the whitespace split (the engine's
+# tokenizer primitive), true/false positives and false negatives are
+# conditional counts on the exploded scan, and P/R/F1 quantize to
+# exact integer ppm (2*tp*1e6 DIV (2*tp+fp+fn) — no float ratios).
+
+_SPANF1_ORACLE = """
+WITH t AS (
+  SELECT d.source, tok.t AS tok
+  FROM documents d,
+       LATERAL (SELECT UNNEST(string_split(d.text, ' ')) AS t) tok),
+c AS (
+  SELECT source,
+         CAST(COUNT(CASE WHEN tok = 'table' THEN 1 END) AS BIGINT) AS tp,
+         CAST(COUNT(CASE WHEN tok = 'hash' THEN 1 END) AS BIGINT) AS fp,
+         CAST(COUNT(CASE WHEN tok = 'part' THEN 1 END) AS BIGINT) AS fn
+  FROM t GROUP BY source)
+SELECT source, tp, fp, fn,
+       CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+       CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_ppm,
+       CAST(2 * tp * 1000000 // (2 * tp + fp + fn) AS BIGINT) AS f1_ppm
+FROM c
+"""
+
+
+@query("q_corpus_span_f1", _SPANF1_ORACLE)
+def q_corpus_span_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    c = t.groupBy("source").agg(
+        F.count(F.when(F.col("tok") == "table", 1)).cast("bigint").alias("tp"),
+        F.count(F.when(F.col("tok") == "hash", 1)).cast("bigint").alias("fp"),
+        F.count(F.when(F.col("tok") == "part", 1)).cast("bigint").alias("fn"),
+    )
+    return c.select(
+        "source",
+        "tp",
+        "fp",
+        "fn",
+        F.expr("CAST(tp * 1000000 DIV (tp + fp) AS BIGINT)").alias(
+            "precision_ppm"
+        ),
+        F.expr("CAST(tp * 1000000 DIV (tp + fn) AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+        F.expr(
+            "CAST(2 * tp * 1000000 DIV (2 * tp + fp + fn) AS BIGINT)"
+        ).alias("f1_ppm"),
+    )

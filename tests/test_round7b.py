@@ -1053,3 +1053,62 @@ def test_mantel_haenszel_replay(spark, sf_dir):
     assert got["den"] == pytest.approx(den, rel=1e-12)
     assert got["or_mh"] == pytest.approx(num / den, rel=1e-9)
     assert got["or_crude"] == pytest.approx(at * dt / (bt * ct), rel=1e-9)
+
+
+# -- X427/X430 --------------------------------------------------------------
+
+
+def test_prefix_grouping_improves_adjacency(spark, sf_dir):
+    import hashlib
+
+    from mini_etl_project_spark.queries.corpus_q import (
+        _PFX_TOKENS,
+        q_corpus_prefix_grouping,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    d = [
+        (r["doc_id"], " ".join(r["text"].split(" ")[:_PFX_TOKENS]))
+        for r in docs
+    ]
+    base = sorted(d)
+    same_base = sum(
+        1 for a, b in zip(base, base[1:]) if a[1] == b[1]
+    )
+    h = lambda p: int(hashlib.md5(p.encode()).hexdigest()[:15], 16)
+    grp = sorted(d, key=lambda x: (h(x[1]), x[0]))
+    same_grp = sum(1 for a, b in zip(grp, grp[1:]) if a[1] == b[1])
+    got = q_corpus_prefix_grouping(spark, sf_dir).collect()[0]
+    assert got["n_docs"] == len(d)
+    assert got["adjacent_same_baseline"] == same_base
+    assert got["adjacent_same_grouped"] == same_grp
+    assert got["reuse_tokens_grouped"] == same_grp * _PFX_TOKENS
+    # grouping must never hurt adjacency
+    assert got["adjacent_same_grouped"] >= got["adjacent_same_baseline"]
+
+
+def test_span_f1_replay_and_identities(spark, sf_dir):
+    from mini_etl_project_spark.queries.corpus_q import q_corpus_span_f1
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    per = defaultdict(lambda: [0, 0, 0])
+    for r in docs:
+        for tok in r["text"].split(" "):
+            if tok == "table":
+                per[r["source"]][0] += 1
+            elif tok == "hash":
+                per[r["source"]][1] += 1
+            elif tok == "part":
+                per[r["source"]][2] += 1
+    got = {r["source"]: r for r in q_corpus_span_f1(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for src, (tp, fp, fn) in per.items():
+        row = got[src]
+        assert (row["tp"], row["fp"], row["fn"]) == (tp, fp, fn)
+        assert row["precision_ppm"] == tp * 1000000 // (tp + fp)
+        assert row["recall_ppm"] == tp * 1000000 // (tp + fn)
+        assert row["f1_ppm"] == 2 * tp * 1000000 // (2 * tp + fp + fn)
+        # F1 lies between P and R (harmonic-mean identity, ppm floor slack)
+        lo = min(row["precision_ppm"], row["recall_ppm"])
+        hi = max(row["precision_ppm"], row["recall_ppm"])
+        assert lo - 1 <= row["f1_ppm"] <= hi + 1

@@ -7633,3 +7633,322 @@ def q_ml_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("bt").cast("double") * F.col("ct"))
         ).alias("or_crude"),
     )
+
+
+# -- X432 Power analysis / required sample size -----------------------------
+#
+# The planning half of every A/B program: how many observations per
+# arm does a two-sample z-test need to detect a delta of x % of the
+# mean with alpha = 0.05 and power = 0.80? The normal quantiles are
+# LITERAL constants (1.959963984540054, 0.8416212335729143 — fixed
+# library numbers, not runtime transcendentals), sigma^2 comes from
+# the exact DECIMAL moment pass, and n = 2(z_a + z_b)^2 sigma^2 /
+# delta^2 assembles through identical double trees; ceil makes it an
+# integer. One scan; one row per candidate effect size (literal
+# spine).
+
+_PWR_Z_ALPHA = 1.959963984540054   # Phi^-1(0.975)
+_PWR_Z_BETA = 0.8416212335729143   # Phi^-1(0.80)
+_PWR_EFFECTS_PCT = (1, 2, 5, 10)
+
+
+def _power_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    dd = sql_dec_to_double
+    n = "CAST(m.n AS DOUBLE)"
+    mean = f"(CAST(m.s AS DOUBLE) / {n})"
+    var = f"(({dd('m.q')}) / {n} - {mean} * {mean})"
+    rows = ", ".join(str(p) for p in _PWR_EFFECTS_PCT)
+    delta = f"({mean} * e.pct / 100.0)"
+    nreq = (
+        f"CEIL(2.0 * (({_PWR_Z_ALPHA} + {_PWR_Z_BETA})"
+        f" * ({_PWR_Z_ALPHA} + {_PWR_Z_BETA})) * {var}"
+        f" / ({delta} * {delta}))"
+    )
+    return f"""
+WITH x AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS q
+  FROM x),
+e AS (SELECT UNNEST([{rows}]) AS pct)
+SELECT e.pct AS effect_pct, m.n AS n_observed,
+       {mean} AS mean_cents, {var} AS var_cents,
+       CAST({nreq} AS BIGINT) AS n_required_per_arm,
+       CASE WHEN {nreq} <= m.n THEN 1 ELSE 0 END AS detectable_now
+FROM m, e
+"""
+
+
+@query("q_ml_power_analysis", _power_oracle())
+def q_ml_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    m = li.select(c.alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    e = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p) for p in _PWR_EFFECTS_PCT])
+        ).alias("pct")
+    )
+    j = m.crossJoin(e)
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = dec_to_double("q") / n - mean * mean
+    delta = mean * F.col("pct") / F.lit(100.0)
+    z2 = (_PWR_Z_ALPHA + _PWR_Z_BETA) * (_PWR_Z_ALPHA + _PWR_Z_BETA)
+    nreq = F.ceil(F.lit(2.0) * F.lit(z2) * var / (delta * delta))
+    return j.select(
+        F.col("pct").alias("effect_pct"),
+        F.col("n").alias("n_observed"),
+        mean.alias("mean_cents"),
+        var.alias("var_cents"),
+        nreq.cast("bigint").alias("n_required_per_arm"),
+        F.when(nreq <= F.col("n"), 1).otherwise(0).alias(
+            "detectable_now"
+        ),
+    )
+
+
+# -- X433 Variance inflation factors ----------------------------------------
+#
+# The multicollinearity screen before trusting any multi-feature fit:
+# VIF_j = 1/(1 - R^2_j) where R^2_j regresses feature j on the other
+# two. With three features everything collapses to the pairwise
+# correlations (computed from the SAME exact integer moment pass the
+# Mahalanobis/X427-cov path uses): R^2_x.yz = (r_xy^2 + r_xz^2 -
+# 2 r_xy r_xz r_yz)/(1 - r_yz^2). Identical double trees both sides;
+# one scan, three output rows from a literal spine.
+
+def _vif_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    dd = sql_dec_to_double
+    n = "CAST(m.n AS DOUBLE)"
+
+    def cor(sab: str, sa: str, sb: str, saa: str, sbb: str) -> str:
+        cov = f"(({dd('m.' + sab)}) / {n} - (CAST(m.{sa} AS DOUBLE) / {n}) * (CAST(m.{sb} AS DOUBLE) / {n}))"
+        va = f"(({dd('m.' + saa)}) / {n} - (CAST(m.{sa} AS DOUBLE) / {n}) * (CAST(m.{sa} AS DOUBLE) / {n}))"
+        vb = f"(({dd('m.' + sbb)}) / {n} - (CAST(m.{sb} AS DOUBLE) / {n}) * (CAST(m.{sb} AS DOUBLE) / {n}))"
+        return f"({cov} / sqrt({va} * {vb}))"
+
+    rqp = cor("sqp", "sq", "sp", "sqq", "spp")
+    rqd = cor("sqd", "sq", "sd", "sqq", "sdd")
+    rpd = cor("spd", "sp", "sd", "spp", "sdd")
+
+    def r2(rab: str, rac: str, rbc: str) -> str:
+        return (
+            f"(({rab} * {rab} + {rac} * {rac}"
+            f" - 2.0 * {rab} * {rac} * {rbc}) / (1.0 - {rbc} * {rbc}))"
+        )
+
+    r2q = r2(rqp, rqd, rpd)
+    r2p = r2(rqp, rpd, rqd)
+    r2d = r2(rqd, rpd, rqp)
+    return f"""
+WITH x AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+         CAST(ROUND(l_discount * 10000) AS BIGINT) AS d
+  FROM lineitem),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
+         CAST(SUM(d) AS BIGINT) AS sd,
+         SUM(CAST(q AS DECIMAL(38,0)) * q) AS sqq,
+         SUM(CAST(q AS DECIMAL(38,0)) * p) AS sqp,
+         SUM(CAST(q AS DECIMAL(38,0)) * d) AS sqd,
+         SUM(CAST(p AS DECIMAL(38,0)) * p) AS spp,
+         SUM(CAST(p AS DECIMAL(38,0)) * d) AS spd,
+         SUM(CAST(d AS DECIMAL(38,0)) * d) AS sdd
+  FROM x)
+SELECT 'quantity' AS feature, {r2q} AS r2_on_others,
+       1.0 / (1.0 - {r2q}) AS vif FROM m
+UNION ALL
+SELECT 'price_cents', {r2p}, 1.0 / (1.0 - {r2p}) FROM m
+UNION ALL
+SELECT 'discount_bp', {r2d}, 1.0 / (1.0 - {r2d}) FROM m
+"""
+
+
+@query("q_ml_vif", _vif_oracle())
+def q_ml_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.round("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("d"),
+    )
+    m = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum("p").cast("bigint").alias("sp"),
+        F.sum("d").cast("bigint").alias("sd"),
+        *[
+            F.sum(F.col(a).cast("decimal(38,0)") * F.col(b)).alias(nm)
+            for a, b, nm in (
+                ("q", "q", "sqq"), ("q", "p", "sqp"), ("q", "d", "sqd"),
+                ("p", "p", "spp"), ("p", "d", "spd"), ("d", "d", "sdd"),
+            )
+        ],
+    )
+    n = F.col("n").cast("double")
+
+    def mean(s):
+        return F.col(s).cast("double") / n
+
+    def cor(sab, sa, sb, saa, sbb):
+        cov = dec_to_double(sab) / n - mean(sa) * mean(sb)
+        va = dec_to_double(saa) / n - mean(sa) * mean(sa)
+        vb = dec_to_double(sbb) / n - mean(sb) * mean(sb)
+        return cov / F.sqrt(va * vb)
+
+    rqp = cor("sqp", "sq", "sp", "sqq", "spp")
+    rqd = cor("sqd", "sq", "sd", "sqq", "sdd")
+    rpd = cor("spd", "sp", "sd", "spp", "sdd")
+
+    def r2(rab, rac, rbc):
+        return (
+            rab * rab + rac * rac - F.lit(2.0) * rab * rac * rbc
+        ) / (F.lit(1.0) - rbc * rbc)
+
+    rows = [
+        ("quantity", r2(rqp, rqd, rpd)),
+        ("price_cents", r2(rqp, rpd, rqd)),
+        ("discount_bp", r2(rqd, rpd, rqp)),
+    ]
+    out = None
+    for name, rr in rows:
+        part = m.select(
+            F.lit(name).alias("feature"),
+            rr.alias("r2_on_others"),
+            (F.lit(1.0) / (F.lit(1.0) - rr)).alias("vif"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# -- X434 Partial correlation -----------------------------------------------
+#
+# Does quantity correlate with price once discount is held fixed?
+# First-order partial correlation r_ab.c = (r_ab - r_ac r_bc) /
+# sqrt((1-r_ac^2)(1-r_bc^2)) for each pair controlling the third —
+# the screen that separates direct association from a shared driver.
+# Same single exact-moment pass as X433; identical double trees.
+
+def _pcorr_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    dd = sql_dec_to_double
+    n = "CAST(m.n AS DOUBLE)"
+
+    def cor(sab, sa, sb, saa, sbb):
+        cov = f"(({dd('m.' + sab)}) / {n} - (CAST(m.{sa} AS DOUBLE) / {n}) * (CAST(m.{sb} AS DOUBLE) / {n}))"
+        va = f"(({dd('m.' + saa)}) / {n} - (CAST(m.{sa} AS DOUBLE) / {n}) * (CAST(m.{sa} AS DOUBLE) / {n}))"
+        vb = f"(({dd('m.' + sbb)}) / {n} - (CAST(m.{sb} AS DOUBLE) / {n}) * (CAST(m.{sb} AS DOUBLE) / {n}))"
+        return f"({cov} / sqrt({va} * {vb}))"
+
+    rqp = cor("sqp", "sq", "sp", "sqq", "spp")
+    rqd = cor("sqd", "sq", "sd", "sqq", "sdd")
+    rpd = cor("spd", "sp", "sd", "spp", "sdd")
+
+    def pc(rab, rac, rbc):
+        return (
+            f"(({rab} - {rac} * {rbc})"
+            f" / sqrt((1.0 - {rac} * {rac}) * (1.0 - {rbc} * {rbc})))"
+        )
+
+    return f"""
+WITH x AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+         CAST(ROUND(l_discount * 10000) AS BIGINT) AS d
+  FROM lineitem),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
+         CAST(SUM(d) AS BIGINT) AS sd,
+         SUM(CAST(q AS DECIMAL(38,0)) * q) AS sqq,
+         SUM(CAST(q AS DECIMAL(38,0)) * p) AS sqp,
+         SUM(CAST(q AS DECIMAL(38,0)) * d) AS sqd,
+         SUM(CAST(p AS DECIMAL(38,0)) * p) AS spp,
+         SUM(CAST(p AS DECIMAL(38,0)) * d) AS spd,
+         SUM(CAST(d AS DECIMAL(38,0)) * d) AS sdd
+  FROM x)
+SELECT 'qty_price_given_disc' AS pair, {rqp} AS r_raw,
+       {pc(rqp, rqd, rpd)} AS r_partial FROM m
+UNION ALL
+SELECT 'qty_disc_given_price', {rqd}, {pc(rqd, rqp, rpd)} FROM m
+UNION ALL
+SELECT 'price_disc_given_qty', {rpd}, {pc(rpd, rqp, rqd)} FROM m
+"""
+
+
+@query("q_ml_partial_corr", _pcorr_oracle())
+def q_ml_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.round("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("d"),
+    )
+    m = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum("p").cast("bigint").alias("sp"),
+        F.sum("d").cast("bigint").alias("sd"),
+        *[
+            F.sum(F.col(a).cast("decimal(38,0)") * F.col(b)).alias(nm)
+            for a, b, nm in (
+                ("q", "q", "sqq"), ("q", "p", "sqp"), ("q", "d", "sqd"),
+                ("p", "p", "spp"), ("p", "d", "spd"), ("d", "d", "sdd"),
+            )
+        ],
+    )
+    n = F.col("n").cast("double")
+
+    def mean(s):
+        return F.col(s).cast("double") / n
+
+    def cor(sab, sa, sb, saa, sbb):
+        cov = dec_to_double(sab) / n - mean(sa) * mean(sb)
+        va = dec_to_double(saa) / n - mean(sa) * mean(sa)
+        vb = dec_to_double(sbb) / n - mean(sb) * mean(sb)
+        return cov / F.sqrt(va * vb)
+
+    rqp = cor("sqp", "sq", "sp", "sqq", "spp")
+    rqd = cor("sqd", "sq", "sd", "sqq", "sdd")
+    rpd = cor("spd", "sp", "sd", "spp", "sdd")
+
+    def pc(rab, rac, rbc):
+        return (rab - rac * rbc) / F.sqrt(
+            (F.lit(1.0) - rac * rac) * (F.lit(1.0) - rbc * rbc)
+        )
+
+    rows = [
+        ("qty_price_given_disc", rqp, pc(rqp, rqd, rpd)),
+        ("qty_disc_given_price", rqd, pc(rqd, rqp, rpd)),
+        ("price_disc_given_qty", rpd, pc(rpd, rqp, rqd)),
+    ]
+    out = None
+    for name, raw, part_c in rows:
+        part = m.select(
+            F.lit(name).alias("pair"),
+            raw.alias("r_raw"),
+            part_c.alias("r_partial"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -1786,3 +1786,75 @@ def q_text_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chao1_bias_corrected"
         ),
     )
+
+
+# -- X431 Capture-recapture corpus-size estimate ----------------------------
+#
+# How many distinct documents exist in the wild when every crawl only
+# sees a sample? Two independent hash-gated "crawls" (different md5
+# seeds, 50 % each) overlap on m docs; the Chapman estimator
+# N_hat = (nA+1)(nB+1)/(m+1) - 1 recovers the population size with
+# finite-sample bias correction. Membership is the repo's
+# deterministic hash gate (partitioning-independent), the three
+# counts come from ONE conditional pass, and the estimator plus its
+# variance stay integer until two final divisions.
+
+_CR_ORACLE = """
+WITH x AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substr(md5('crA:' ||
+              CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+              THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN CAST(('0x' || substr(md5('crB:' ||
+              CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+              THEN 1 ELSE 0 END AS in_b
+  FROM documents),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+         CAST(SUM(in_a) AS BIGINT) AS na,
+         CAST(SUM(in_b) AS BIGINT) AS nb,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS m
+  FROM x)
+SELECT n_true, na, nb, m,
+       (CAST(na + 1 AS DOUBLE) * (nb + 1)) / (m + 1) - 1.0
+         AS n_chapman,
+       (CAST(na + 1 AS DOUBLE) * (nb + 1) * (na - m) * (nb - m))
+         / ((CAST(m AS DOUBLE) + 1.0) * (m + 1) * (m + 2))
+         AS var_chapman
+FROM c
+"""
+
+
+@query("q_text_capture_recapture", _CR_ORACLE)
+def q_text_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.sampling_q import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = lambda seed: F.when(
+        hash60(F.concat(F.lit(seed), F.col("doc_id").cast("string"))) % 2
+        == 0,
+        1,
+    ).otherwise(0)
+    x = docs.select(
+        gate("crA:").alias("in_a"), gate("crB:").alias("in_b")
+    )
+    c = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum("in_a").cast("bigint").alias("na"),
+        F.sum("in_b").cast("bigint").alias("nb"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("m"),
+    )
+    na, nb, m = F.col("na"), F.col("nb"), F.col("m")
+    return c.select(
+        "n_true",
+        "na",
+        "nb",
+        "m",
+        (
+            ((na + 1).cast("double") * (nb + 1)) / (m + 1) - F.lit(1.0)
+        ).alias("n_chapman"),
+        (
+            ((na + 1).cast("double") * (nb + 1) * (na - m) * (nb - m))
+            / ((m.cast("double") + F.lit(1.0)) * (m + 1) * (m + 2))
+        ).alias("var_chapman"),
+    )

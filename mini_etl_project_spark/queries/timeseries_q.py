@@ -4229,3 +4229,96 @@ def q_ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         sse_u.alias("sse_unrestricted"),
         ((sse_r - sse_u) / (sse_u / (n - F.lit(3.0)))).alias("f_granger"),
     )
+
+
+# -- X435 Trend / seasonal strength -----------------------------------------
+#
+# The forecastability headline numbers (Hyndman's F_T / F_S): how
+# much of the series' variation the trend and the weekly seasonal
+# actually explain. Built directly on the X234 decomposition — all
+# three components are exact BIGINTs there, so the variances come
+# from DECIMAL moment sums per event_type and F_T = max(0,
+# 1 - Var(R)/Var(T+R)), F_S = max(0, 1 - Var(R)/Var(S+R)) assemble
+# through identical double trees. Bounded per-type day table only.
+
+def _strength_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    dd = sql_dec_to_double
+    n = "CAST(s.n AS DOUBLE)"
+
+    def var(sum_c, sum_sq):
+        mu = f"(CAST(s.{sum_c} AS DOUBLE) / {n})"
+        return f"(({dd('s.' + sum_sq)}) / {n} - {mu} * {mu})"
+
+    vr = var("sr", "srr")
+    vtr = var("str_", "strr")
+    vsr = var("ssr", "ssrr")
+    return f"""
+WITH decomp AS ({_SEASONAL_ORACLE.strip()}),
+x AS (
+  SELECT event_type, residual AS r,
+         cents - seasonal AS tr,
+         cents - trend AS sr
+  FROM decomp),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r) AS BIGINT) AS sr,
+         CAST(SUM(CAST(r AS DECIMAL(38,0)) * r) AS DECIMAL(38,0)) AS srr,
+         CAST(SUM(tr) AS BIGINT) AS str_,
+         CAST(SUM(CAST(tr AS DECIMAL(38,0)) * tr) AS DECIMAL(38,0)) AS strr,
+         CAST(SUM(sr) AS BIGINT) AS ssr,
+         CAST(SUM(CAST(sr AS DECIMAL(38,0)) * sr) AS DECIMAL(38,0)) AS ssrr
+  FROM x GROUP BY event_type)
+SELECT s.event_type, s.n,
+       GREATEST(0.0, 1.0 - {vr} / {vtr}) AS trend_strength,
+       GREATEST(0.0, 1.0 - {vr} / {vsr}) AS seasonal_strength
+FROM s
+"""
+
+
+@query("q_ts_seasonal_strength", _strength_oracle())
+def q_ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    decomp = q_ts_seasonal_decompose(spark, sf_dir)
+    x = decomp.select(
+        "event_type",
+        F.col("residual").alias("r"),
+        (F.col("cents") - F.col("seasonal")).alias("tr"),
+        (F.col("cents") - F.col("trend")).alias("sr"),
+    )
+
+    def mom(c):
+        return [
+            F.sum(c).cast("bigint").alias(f"s{c}"),
+            F.sum(F.col(c).cast("decimal(38,0)") * F.col(c))
+            .cast("decimal(38,0)")
+            .alias(f"s{c}{c}"),
+        ]
+
+    s = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *mom("r"),
+        *mom("tr"),
+        *mom("sr"),
+    )
+    n = F.col("n").cast("double")
+
+    def var(sum_c, sum_sq):
+        mu = F.col(sum_c).cast("double") / n
+        return dec_to_double(sum_sq) / n - mu * mu
+
+    vr = var("sr", "srr")
+    vtr = var("str", "strtr")
+    vsr = var("ssr", "ssrsr")
+    return s.select(
+        "event_type",
+        "n",
+        F.greatest(F.lit(0.0), F.lit(1.0) - vr / vtr).alias(
+            "trend_strength"
+        ),
+        F.greatest(F.lit(0.0), F.lit(1.0) - vr / vsr).alias(
+            "seasonal_strength"
+        ),
+    )

@@ -1112,3 +1112,148 @@ def test_span_f1_replay_and_identities(spark, sf_dir):
         lo = min(row["precision_ppm"], row["recall_ppm"])
         hi = max(row["precision_ppm"], row["recall_ppm"])
         assert lo - 1 <= row["f1_ppm"] <= hi + 1
+
+
+def test_capture_recapture_replay_and_coverage(spark, sf_dir):
+    import hashlib
+
+    from mini_etl_project_spark.queries.text_q import (
+        q_text_capture_recapture,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    g = lambda seed, d: (
+        int(hashlib.md5(f"{seed}{d}".encode()).hexdigest()[:15], 16) % 2
+        == 0
+    )
+    na = sum(1 for r in docs if g("crA:", r["doc_id"]))
+    nb = sum(1 for r in docs if g("crB:", r["doc_id"]))
+    m = sum(
+        1
+        for r in docs
+        if g("crA:", r["doc_id"]) and g("crB:", r["doc_id"])
+    )
+    got = q_text_capture_recapture(spark, sf_dir).collect()[0]
+    assert (got["n_true"], got["na"], got["nb"], got["m"]) == (
+        len(docs), na, nb, m,
+    )
+    chapman = (na + 1) * (nb + 1) / (m + 1) - 1
+    assert got["n_chapman"] == pytest.approx(chapman, rel=1e-12)
+    # the estimate should land within a few SDs of the truth
+    sd = got["var_chapman"] ** 0.5
+    assert abs(got["n_chapman"] - len(docs)) < 5 * sd + 5
+
+
+# -- X432-X435 --------------------------------------------------------------
+
+
+def test_power_analysis_replay_and_monotonicity(spark, sf_dir):
+    import numpy as np
+
+    from mini_etl_project_spark.queries.ml_q import (
+        _PWR_Z_ALPHA,
+        _PWR_Z_BETA,
+        q_ml_power_analysis,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    c = np.array([half_up(r["l_extendedprice"], 100) for r in li],
+                 dtype=float)
+    mean, var = c.mean(), c.var()  # population variance, matches query
+    got = {r["effect_pct"]: r for r in q_ml_power_analysis(spark, sf_dir).collect()}
+    assert set(got) == {1, 2, 5, 10}
+    import math as _m
+
+    prev = None
+    for pct in (1, 2, 5, 10):
+        row = got[pct]
+        assert row["mean_cents"] == pytest.approx(mean, rel=1e-12)
+        assert row["var_cents"] == pytest.approx(var, rel=1e-9)
+        delta = mean * pct / 100.0
+        want = _m.ceil(
+            2 * (_PWR_Z_ALPHA + _PWR_Z_BETA) ** 2 * row["var_cents"]
+            / (delta * delta)
+        )
+        assert row["n_required_per_arm"] == want
+        # bigger effects need fewer observations
+        if prev is not None:
+            assert row["n_required_per_arm"] < prev
+        prev = row["n_required_per_arm"]
+
+
+def test_vif_and_partial_corr_numpy_replay(spark, sf_dir):
+    import numpy as np
+
+    from mini_etl_project_spark.queries.ml_q import (
+        q_ml_partial_corr,
+        q_ml_vif,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    q = np.array([half_up(r["l_quantity"]) for r in li], dtype=float)
+    p = np.array([half_up(r["l_extendedprice"], 100) for r in li],
+                 dtype=float)
+    d = np.array([half_up(r["l_discount"], 10000) for r in li], dtype=float)
+    R = np.corrcoef(np.vstack([q, p, d]))
+    rqp, rqd, rpd = R[0, 1], R[0, 2], R[1, 2]
+
+    def r2(rab, rac, rbc):
+        return (rab**2 + rac**2 - 2 * rab * rac * rbc) / (1 - rbc**2)
+
+    vif = {r["feature"]: r for r in q_ml_vif(spark, sf_dir).collect()}
+    assert vif["quantity"]["r2_on_others"] == pytest.approx(
+        r2(rqp, rqd, rpd), abs=1e-9
+    )
+    for row in vif.values():
+        assert row["vif"] == pytest.approx(
+            1 / (1 - row["r2_on_others"]), rel=1e-12
+        )
+        assert row["vif"] >= 1.0 - 1e-12  # VIF is always >= 1
+
+    pc = {r["pair"]: r for r in q_ml_partial_corr(spark, sf_dir).collect()}
+    want = (rqp - rqd * rpd) / ((1 - rqd**2) * (1 - rpd**2)) ** 0.5
+    assert pc["qty_price_given_disc"]["r_raw"] == pytest.approx(
+        rqp, abs=1e-9
+    )
+    assert pc["qty_price_given_disc"]["r_partial"] == pytest.approx(
+        want, abs=1e-9
+    )
+    for row in pc.values():
+        assert -1.0 - 1e-9 <= row["r_partial"] <= 1.0 + 1e-9
+
+
+def test_seasonal_strength_identity_with_decompose(spark, sf_dir):
+    from mini_etl_project_spark.queries.timeseries_q import (
+        q_ts_seasonal_decompose,
+        q_ts_seasonal_strength,
+    )
+
+    rows = q_ts_seasonal_decompose(spark, sf_dir).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r["event_type"]].append(
+            (r["residual"], r["cents"] - r["seasonal"],
+             r["cents"] - r["trend"])
+        )
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum(x * x for x in xs) / len(xs) - m * m
+
+    got = {r["event_type"]: r
+           for r in q_ts_seasonal_strength(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for et, triples in per.items():
+        vr = var([t[0] for t in triples])
+        vtr = var([t[1] for t in triples])
+        vsr = var([t[2] for t in triples])
+        row = got[et]
+        assert row["n"] == len(triples)
+        assert row["trend_strength"] == pytest.approx(
+            max(0.0, 1 - vr / vtr), rel=1e-9
+        )
+        assert row["seasonal_strength"] == pytest.approx(
+            max(0.0, 1 - vr / vsr), rel=1e-9
+        )
+        assert 0.0 <= row["trend_strength"] <= 1.0
+        assert 0.0 <= row["seasonal_strength"] <= 1.0

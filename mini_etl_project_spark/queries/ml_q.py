@@ -7952,3 +7952,199 @@ def q_ml_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# -- X436/X437 Structural-break and heteroskedasticity tests ----------------
+#
+# Completing the regression-diagnostics shelf (X409 Cook, X433 VIF,
+# X434 partial corr): the Chow test asks whether cents ~ quantity has
+# the SAME coefficients in the early and late shipping periods
+# (structural break), and Goldfeld-Quandt asks whether the residual
+# variance grows with the regressor (heteroskedasticity, via low-x vs
+# high-x fits). Both reduce to side-by-side simple-OLS SSEs, and
+# every SSE comes from the ONE conditional-moment pass: SSE = Syy_c -
+# b*Sxy_c with primes per segment — exact BIGINT/DECIMAL sums,
+# identical double trees, one F ratio each.
+
+
+def _ols_sse_sql(tag: str) -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    dd = sql_dec_to_double
+    n = f"CAST(m.n_{tag} AS DOUBLE)"
+    sx, sy = f"CAST(m.sx_{tag} AS DOUBLE)", f"CAST(m.sy_{tag} AS DOUBLE)"
+    sxx, sxy, syy = (
+        dd(f"m.sxx_{tag}"), dd(f"m.sxy_{tag}"), dd(f"m.syy_{tag}"),
+    )
+    sxx_c = f"({sxx} - {sx} * {sx} / {n})"
+    sxy_c = f"({sxy} - {sx} * {sy} / {n})"
+    syy_c = f"({syy} - {sy} * {sy} / {n})"
+    return f"({syy_c} - ({sxy_c} / {sxx_c}) * {sxy_c})"
+
+
+def _seg_moments_sql(tag: str, cond: str) -> str:
+    return ", ".join(
+        [
+            f"CAST(COUNT(CASE WHEN {cond} THEN 1 END) AS BIGINT) AS n_{tag}",
+            f"CAST(SUM(CASE WHEN {cond} THEN x END) AS BIGINT) AS sx_{tag}",
+            f"CAST(SUM(CASE WHEN {cond} THEN y END) AS BIGINT) AS sy_{tag}",
+            f"CAST(SUM(CASE WHEN {cond} THEN CAST(x AS DECIMAL(38,0)) * x END) AS DECIMAL(38,0)) AS sxx_{tag}",
+            f"CAST(SUM(CASE WHEN {cond} THEN CAST(x AS DECIMAL(38,0)) * y END) AS DECIMAL(38,0)) AS sxy_{tag}",
+            f"CAST(SUM(CASE WHEN {cond} THEN CAST(y AS DECIMAL(38,0)) * y END) AS DECIMAL(38,0)) AS syy_{tag}",
+        ]
+    )
+
+
+def _chow_oracle() -> str:
+    sse_p = _ols_sse_sql("p")
+    sse_1 = _ols_sse_sql("a")
+    sse_2 = _ols_sse_sql("b")
+    n = "CAST(m.n_p AS DOUBLE)"
+    f_stat = (
+        f"((({sse_p}) - (({sse_1}) + ({sse_2}))) / 2.0)"
+        f" / (((({sse_1}) + ({sse_2}))) / ({n} - 4.0))"
+    )
+    return f"""
+WITH b0 AS (
+  SELECT (epoch_us(MIN(l_shipdate)) + epoch_us(MAX(l_shipdate))) // 2
+           AS mid
+  FROM lineitem),
+pts AS (
+  SELECT CAST(ROUND(l.l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS y,
+         CASE WHEN epoch_us(l.l_shipdate) < b0.mid THEN 1 ELSE 0 END
+           AS early
+  FROM lineitem l, b0),
+m AS (
+  SELECT {_seg_moments_sql("p", "1=1")},
+         {_seg_moments_sql("a", "early = 1")},
+         {_seg_moments_sql("b", "early = 0")}
+  FROM pts)
+SELECT m.n_a, m.n_b,
+       {sse_p} AS sse_pooled,
+       ({sse_1}) + ({sse_2}) AS sse_split,
+       {f_stat} AS chow_f
+FROM m
+"""
+
+
+def _gq_oracle() -> str:
+    sse_1 = _ols_sse_sql("a")
+    sse_2 = _ols_sse_sql("b")
+    f_stat = (
+        f"(({sse_2}) / (CAST(m.n_b AS DOUBLE) - 2.0))"
+        f" / (({sse_1}) / (CAST(m.n_a AS DOUBLE) - 2.0))"
+    )
+    return f"""
+WITH pts AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT {_seg_moments_sql("a", "x <= 17")},
+         {_seg_moments_sql("b", "x >= 34")}
+  FROM pts)
+SELECT m.n_a AS n_low, m.n_b AS n_high,
+       ({sse_1}) / (CAST(m.n_a AS DOUBLE) - 2.0) AS mse_low,
+       ({sse_2}) / (CAST(m.n_b AS DOUBLE) - 2.0) AS mse_high,
+       {f_stat} AS gq_f
+FROM m
+"""
+
+
+def _seg_moments_spark(df_cols, tag: str, cond):
+    x, y = F.col("x"), F.col("y")
+    return [
+        F.count(F.when(cond, 1)).cast("bigint").alias(f"n_{tag}"),
+        F.sum(F.when(cond, x)).cast("bigint").alias(f"sx_{tag}"),
+        F.sum(F.when(cond, y)).cast("bigint").alias(f"sy_{tag}"),
+        F.sum(F.when(cond, x.cast("decimal(38,0)") * x))
+        .cast("decimal(38,0)")
+        .alias(f"sxx_{tag}"),
+        F.sum(F.when(cond, x.cast("decimal(38,0)") * y))
+        .cast("decimal(38,0)")
+        .alias(f"sxy_{tag}"),
+        F.sum(F.when(cond, y.cast("decimal(38,0)") * y))
+        .cast("decimal(38,0)")
+        .alias(f"syy_{tag}"),
+    ]
+
+
+def _ols_sse_spark(tag: str):
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    n = F.col(f"n_{tag}").cast("double")
+    sx = F.col(f"sx_{tag}").cast("double")
+    sy = F.col(f"sy_{tag}").cast("double")
+    sxx = dec_to_double(f"sxx_{tag}")
+    sxy = dec_to_double(f"sxy_{tag}")
+    syy = dec_to_double(f"syy_{tag}")
+    sxx_c = sxx - sx * sx / n
+    sxy_c = sxy - sx * sy / n
+    syy_c = syy - sy * sy / n
+    return syy_c - (sxy_c / sxx_c) * sxy_c
+
+
+@query("q_ml_chow_test", _chow_oracle())
+def q_ml_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ship_us = F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+    b0 = li.agg(
+        ((F.min(ship_us) + F.max(ship_us)) / F.lit(2))
+        .cast("bigint")
+        .alias("mid")
+    )
+    pts = li.crossJoin(F.broadcast(b0)).select(
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+        F.when(
+            F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            < F.col("mid"),
+            1,
+        )
+        .otherwise(0)
+        .alias("early"),
+    )
+    m = pts.agg(
+        *_seg_moments_spark(None, "p", F.lit(True)),
+        *_seg_moments_spark(None, "a", F.col("early") == 1),
+        *_seg_moments_spark(None, "b", F.col("early") == 0),
+    )
+    sse_p = _ols_sse_spark("p")
+    sse_1 = _ols_sse_spark("a")
+    sse_2 = _ols_sse_spark("b")
+    n = F.col("n_p").cast("double")
+    return m.select(
+        "n_a",
+        "n_b",
+        sse_p.alias("sse_pooled"),
+        (sse_1 + sse_2).alias("sse_split"),
+        (
+            ((sse_p - (sse_1 + sse_2)) / F.lit(2.0))
+            / ((sse_1 + sse_2) / (n - F.lit(4.0)))
+        ).alias("chow_f"),
+    )
+
+
+@query("q_ml_goldfeld_quandt", _gq_oracle())
+def q_ml_goldfeld_quandt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    m = pts.agg(
+        *_seg_moments_spark(None, "a", F.col("x") <= 17),
+        *_seg_moments_spark(None, "b", F.col("x") >= 34),
+    )
+    sse_1 = _ols_sse_spark("a")
+    sse_2 = _ols_sse_spark("b")
+    mse_low = sse_1 / (F.col("n_a").cast("double") - F.lit(2.0))
+    mse_high = sse_2 / (F.col("n_b").cast("double") - F.lit(2.0))
+    return m.select(
+        F.col("n_a").alias("n_low"),
+        F.col("n_b").alias("n_high"),
+        mse_low.alias("mse_low"),
+        mse_high.alias("mse_high"),
+        (mse_high / mse_low).alias("gq_f"),
+    )

@@ -4322,3 +4322,131 @@ def q_ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_strength"
         ),
     )
+
+
+# -- X438 Durbin-Watson statistic -------------------------------------------
+#
+# The serial-correlation check on regression residuals: after fitting
+# hourly purchase cents against time, DW = sum (e_t - e_{t-1})^2 /
+# sum e_t^2 near 2 means independent errors, near 0 means the trend
+# missed autocorrelated structure. The series is the BOUNDED hourly
+# aggregate; the OLS scalars come from exact DECIMAL moments of it,
+# residuals are stateless per-row doubles (broadcast scalars — the
+# X409 lesson), the lag pairs come from an hour-adjacent join, and
+# both quadratic sums fold in hour order so the doubles hash-match.
+
+def _dw_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    dd = sql_dec_to_double
+    n = "CAST(m.n AS DOUBLE)"
+    sx, sy = "CAST(m.sx AS DOUBLE)", "CAST(m.sy AS DOUBLE)"
+    sxx, sxy = dd("m.sxx"), dd("m.sxy")
+    b = f"(({n} * {sxy} - {sx} * {sy}) / ({n} * {sxx} - {sx} * {sx}))"
+    a = f"(({sy} - {b} * {sx}) / {n})"
+    return f"""
+WITH h AS (
+  SELECT epoch_us(date_trunc('hour', ts)) / 3600000000 AS t,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(t AS DECIMAL(38,0)) * t) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(t AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+  FROM h),
+e AS (
+  SELECT h.t,
+         CAST(h.y AS DOUBLE) - {a} - {b} * CAST(h.t AS DOUBLE) AS e
+  FROM h, m),
+pairs AS (
+  SELECT c.t, (c.e - p.e) * (c.e - p.e) AS d2
+  FROM e c JOIN e p ON p.t = c.t - 1),
+s AS (
+  SELECT (SELECT list_aggregate(list(d2 ORDER BY t), 'sum') FROM pairs)
+           AS num,
+         (SELECT list_aggregate(list(e * e ORDER BY t), 'sum') FROM e)
+           AS den,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_hours)
+SELECT n_hours, num, den, num / den AS dw_stat
+FROM s
+"""
+
+
+@query("q_ts_durbin_watson", _dw_oracle())
+def q_ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            (
+                F.unix_micros(F.date_trunc("hour", "ts")) / 3600000000
+            )
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    m = h.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("t"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = dec_to_double("sxx")
+    sxy = dec_to_double("sxy")
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    e = h.crossJoin(F.broadcast(m)).select(
+        "t",
+        (F.col("y").cast("double") - a - b * F.col("t").cast("double")).alias(
+            "e"
+        ),
+    )
+    c = e.alias("c")
+    p = e.alias("p")
+    pairs = c.join(p, F.col("p.t") == F.col("c.t") - 1).select(
+        F.col("c.t").alias("t"),
+        (
+            (F.col("c.e") - F.col("p.e")) * (F.col("c.e") - F.col("p.e"))
+        ).alias("d2"),
+    )
+
+    def fold(df, col):
+        return df.agg(
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.struct("t", F.col(col).alias("v")))
+                ),
+                F.lit(0.0),
+                lambda acc, r: acc + r["v"],
+            ).alias(col)
+        )
+
+    num = fold(pairs, "d2").withColumnRenamed("d2", "num")
+    den = fold(e.select("t", (F.col("e") * F.col("e")).alias("e2")), "e2")
+    nh = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_hours"))
+    return (
+        nh.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "n_hours",
+            "num",
+            F.col("e2").alias("den"),
+            (F.col("num") / F.col("e2")).alias("dw_stat"),
+        )
+    )

@@ -1257,3 +1257,94 @@ def test_seasonal_strength_identity_with_decompose(spark, sf_dir):
         )
         assert 0.0 <= row["trend_strength"] <= 1.0
         assert 0.0 <= row["seasonal_strength"] <= 1.0
+
+
+# -- X436-X438 --------------------------------------------------------------
+
+
+def test_chow_and_gq_numpy_replay(spark, sf_dir):
+    import datetime
+
+    import numpy as np
+
+    from mini_etl_project_spark.queries.ml_q import (
+        q_ml_chow_test,
+        q_ml_goldfeld_quandt,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    epoch = datetime.datetime(1970, 1, 1)
+    us = [
+        (r["l_shipdate"] - epoch) // datetime.timedelta(microseconds=1)
+        for r in li
+    ]
+    mid = (min(us) + max(us)) // 2
+    x = np.array([half_up(r["l_quantity"]) for r in li], dtype=float)
+    y = np.array([half_up(r["l_extendedprice"], 100) for r in li],
+                 dtype=float)
+    early = np.array([u < mid for u in us])
+
+    def sse(xs, ys):
+        b, a = np.polyfit(xs, ys, 1)
+        return float(((ys - a - b * xs) ** 2).sum())
+
+    sse_p = sse(x, y)
+    sse_1 = sse(x[early], y[early])
+    sse_2 = sse(x[~early], y[~early])
+    f_ref = ((sse_p - sse_1 - sse_2) / 2) / (
+        (sse_1 + sse_2) / (len(x) - 4)
+    )
+    got = q_ml_chow_test(spark, sf_dir).collect()[0]
+    assert got["n_a"] == int(early.sum())
+    assert got["sse_pooled"] == pytest.approx(sse_p, rel=1e-9)
+    assert got["sse_split"] == pytest.approx(sse_1 + sse_2, rel=1e-9)
+    assert got["chow_f"] == pytest.approx(f_ref, rel=1e-6)
+    # pooled SSE can never be below the split fits'
+    assert got["sse_pooled"] >= got["sse_split"] - 1e-6
+
+    lo, hi = x <= 17, x >= 34
+    mse_lo = sse(x[lo], y[lo]) / (lo.sum() - 2)
+    mse_hi = sse(x[hi], y[hi]) / (hi.sum() - 2)
+    gq = q_ml_goldfeld_quandt(spark, sf_dir).collect()[0]
+    assert gq["n_low"] == int(lo.sum()) and gq["n_high"] == int(hi.sum())
+    assert gq["mse_low"] == pytest.approx(mse_lo, rel=1e-9)
+    assert gq["gq_f"] == pytest.approx(mse_hi / mse_lo, rel=1e-9)
+    assert gq["gq_f"] > 0.0
+
+
+def test_durbin_watson_replay_and_bounds(spark, sf_dir):
+    import numpy as np
+
+    from mini_etl_project_spark.queries.timeseries_q import (
+        q_ts_durbin_watson,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    per = Counter()
+    for r in ev:
+        if r["event_type"] == "purchase":
+            hr = r["ts"].replace(minute=0, second=0, microsecond=0)
+            per[hr] += half_up(r["value"], 100)
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    ts = sorted(
+        ((h - epoch) // datetime.timedelta(hours=1), c)
+        for h, c in per.items()
+    )
+    t = np.array([a for a, _ in ts], dtype=float)
+    y = np.array([c for _, c in ts], dtype=float)
+    b, a = np.polyfit(t, y, 1)
+    e = y - a - b * t
+    tbl = dict(zip((int(v) for v in t), e))
+    num = sum(
+        (tbl[k] - tbl[k - 1]) ** 2 for k in tbl if k - 1 in tbl
+    )
+    den = float((e * e).sum())
+    got = q_ts_durbin_watson(spark, sf_dir).collect()[0]
+    assert got["n_hours"] == len(ts)
+    assert got["num"] == pytest.approx(num, rel=1e-9)
+    assert got["den"] == pytest.approx(den, rel=1e-9)
+    assert got["dw_stat"] == pytest.approx(num / den, rel=1e-9)
+    # DW lives in [0, 4]
+    assert 0.0 <= got["dw_stat"] <= 4.0

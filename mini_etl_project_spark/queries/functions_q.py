@@ -1635,7 +1635,16 @@ FROM part WHERE p_partkey <= 2000
 
 
 def _jaro(s1: str, s2: str) -> float:
-    """Jaro similarity, DuckDB-compatible: empty -> 0.0, window >= 0."""
+    """Jaro similarity, DuckDB-compatible: empty -> 0.0, window >= 0,
+    and UTF-8 BYTE comparison units (DuckDB's native implementation
+    walks bytes, not codepoints — 'café' vs 'cafe' differs in TWO byte
+    positions; pinned by test_jaro_winkler_duckdb_builtin_parity's
+    non-ASCII cases)."""
+    b1, b2 = s1.encode("utf-8"), s2.encode("utf-8")
+    return _jaro_bytes(b1, b2)
+
+
+def _jaro_bytes(s1: bytes, s2: bytes) -> float:
     l1, l2 = len(s1), len(s2)
     if l1 == 0 or l2 == 0:
         return 0.0
@@ -1670,7 +1679,7 @@ def _jaro_winkler(s1: str, s2: str) -> float:
     j = _jaro(s1, s2)
     if j > 0.7:
         l = 0
-        for a, b in zip(s1[:4], s2[:4]):
+        for a, b in zip(s1.encode("utf-8")[:4], s2.encode("utf-8")[:4]):
             if a != b:
                 break
             l += 1

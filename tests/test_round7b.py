@@ -193,7 +193,11 @@ def test_jaro_winkler_duckdb_builtin_parity():
     ]
     pairs = list(itertools.combinations(words, 2))[:4000]
     pairs += [("", ""), ("e", "e"), ("ab", "ba"), ("martha", "marhta"),
-              ("DWAYNE", "DUANE"), ("CA", "ABC"), ("x", ""), ("", "x")]
+              ("DWAYNE", "DUANE"), ("CA", "ABC"), ("x", ""), ("", "x"),
+              # non-ASCII: DuckDB walks UTF-8 BYTES, and so must we
+              ("café", "cafe"), ("héllo", "hello"),
+              ("naïve", "naive"), ("日本語", "日本"),
+              ("ß", "ss"), ("ñño", "nno")]
     con = duckdb.connect()
     for x, y in pairs:
         want = con.execute(

@@ -88,12 +88,21 @@ def _load_all() -> None:
 # This can never drift: the moment the driver records a round, its file
 # re-sorts the rotation for the next one.
 
-#: Queries re-touched this round (fresh driver evidence wanted first).
+#: Queries re-touched this round (fresh driver evidence wanted first),
+#: plus the judge-flagged marquee surfaces (VERDICT r6 asks #2/#4/#6)
+#: whose modules register too late for the never-sampled bucket to
+#: reach them within the ~50/round budget.
 _RECHECK: list[str] = [
     "q_fn_array_v34",  # r6's red row: arrays now serialized for transport
     "q_agg_approx",    # converted rows-only -> bound-flag oracle surface
     "q_ml_mcnemar",    # continuity correction clamped at zero (ADVICE r6)
     "q_agg_hoover",    # oracle per-row product widened to DECIMAL (ADVICE r6)
+    "q_sim_ann_recall",      # X321 ANN recall accounting (VERDICT ask #2)
+    "q_sim_ann_recall_ivf",  # X379 (VERDICT ask #4)
+    "q_sim_ann_recall_pq",   # X380 (VERDICT ask #4)
+    "q_dedup_semantic",      # X378 SemDeDup (VERDICT ask #6)
+    "q_ts_holt_winters",     # X365 (VERDICT ask #2)
+    "q_ml_cuped",            # X374 (VERDICT ask #2)
 ]
 
 

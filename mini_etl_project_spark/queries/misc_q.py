@@ -2509,3 +2509,48 @@ def q_agg_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         vmr.alias("vmr"),
         F.when(vmr > 1.5, 1).otherwise(0).alias("overdispersed"),
     )
+
+
+# -- X439 SQL pipe syntax ---------------------------------------------------
+#
+# Spark 4's |> pipe operators (SQL:2023-adjacent, the GoogleSQL
+# "pipe query" shape): FROM ... |> WHERE |> AGGREGATE ... GROUP BY
+# |> EXTEND |> ORDER BY — linear dataflow SQL without nested
+# subqueries. The engine accepts the pipe form natively; the oracle
+# states the identical query in classic ANSI form (DuckDB has no
+# pipe parser), proving the two surfaces are the same relation.
+# Exact cents integers; deterministic ORDER BY folded into the hash
+# by the driver's canonical sort anyway.
+
+_PIPE_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT)
+            // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS avg_cents_floor
+FROM lineitem
+WHERE l_quantity > 10
+GROUP BY l_returnflag
+"""
+
+
+@query("q_sql_pipe_syntax", _PIPE_ORACLE)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "pipe_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_quantity > 10
+        |> AGGREGATE
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n
+           GROUP BY l_returnflag
+        |> EXTEND cents DIV n AS avg_cents_floor
+        |> SELECT l_returnflag, cents, n, avg_cents_floor
+        """
+    )

@@ -1352,3 +1352,36 @@ def test_durbin_watson_replay_and_bounds(spark, sf_dir):
     assert got["dw_stat"] == pytest.approx(num / den, rel=1e-9)
     # DW lives in [0, 4]
     assert 0.0 <= got["dw_stat"] <= 4.0
+
+
+def test_sql_pipe_syntax_equals_classic_form(spark, sf_dir):
+    """The pipe query must be the same relation as its classic-ANSI
+    statement run through the SAME Spark engine (the oracle proves
+    DuckDB equivalence; this pins pipe-vs-classic inside Spark)."""
+    from mini_etl_project_spark.queries.misc_q import q_sql_pipe_syntax
+    from mini_etl_project_spark.session import load_table
+
+    got = {
+        r["l_returnflag"]: r
+        for r in q_sql_pipe_syntax(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("pipe_test_li")
+    classic = {
+        r["l_returnflag"]: r
+        for r in spark.sql(
+            """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM pipe_test_li WHERE l_quantity > 10
+            GROUP BY l_returnflag
+            """
+        ).collect()
+    }
+    assert set(got) == set(classic)
+    for k, r in classic.items():
+        assert got[k]["cents"] == r["cents"]
+        assert got[k]["n"] == r["n"]
+        assert got[k]["avg_cents_floor"] == r["cents"] // r["n"]

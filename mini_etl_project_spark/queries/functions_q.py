@@ -1707,3 +1707,66 @@ def q_fn_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
         jw(F.lit(""), F.lit("")).alias("jw_probe_empty"),
         jw(F.lit("e"), F.lit("e")).alias("jw_probe_single"),
     )
+
+
+# -- X440: Hamming distance + character-set Jaccard -------------------------
+#
+# Two more record-linkage primitives Spark lacks as builtins — but
+# unlike X348/X405 these need NO Python at all: hamming over a
+# fixed-width slice unrolls to 8 JVM-side equality terms, and
+# DuckDB's jaccard() (distinct-character-set overlap) is
+# split -> array_distinct -> array_intersect/array_union — every op
+# whole-stage-codegen'd, the preferred path per the repo's UDF
+# policy. Inputs are ASCII columns (DuckDB's builtins walk UTF-8
+# bytes — the X405 lesson — so the surface pins ASCII and the
+# docstring says why); probes cover the equal-set and disjoint edges.
+
+_HAMJAC_W = 8
+
+_HAMJAC_ORACLE = f"""
+SELECT p_partkey,
+       CAST(hamming(substr(p_name, 1, {_HAMJAC_W}),
+                    substr(translate(p_name, 'aeio', 'eaoi'), 1,
+                           {_HAMJAC_W})) AS BIGINT) AS ham_vowel,
+       jaccard(p_name, p_brand) AS jac_name_brand,
+       jaccard(p_name, p_type) AS jac_name_type,
+       jaccard('abc', 'cba') AS jac_probe_same_set,
+       jaccard('abc', 'xyz') AS jac_probe_disjoint
+FROM part WHERE p_partkey <= 2000
+"""
+
+
+@query("q_fn_hamming_jaccard", _HAMJAC_ORACLE)
+def q_fn_hamming_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def ham(a: F.Column, b: F.Column) -> F.Column:
+        total = None
+        for i in range(1, _HAMJAC_W + 1):
+            t = (
+                F.substring(a, i, 1) != F.substring(b, i, 1)
+            ).cast("int")
+            total = t if total is None else total + t
+        return total.cast("bigint")
+
+    def charset(c: F.Column) -> F.Column:
+        # split('abc', '') -> [a, b, c]; distinct set of characters
+        return F.array_distinct(F.split(c, ""))
+
+    def jac(a: F.Column, b: F.Column) -> F.Column:
+        sa, sb = charset(a), charset(b)
+        inter = F.size(F.array_intersect(sa, sb)).cast("double")
+        union = F.size(F.array_union(sa, sb)).cast("double")
+        return inter / union
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 2000)
+    name8 = F.substring("p_name", 1, _HAMJAC_W)
+    vow8 = F.substring(
+        F.translate("p_name", "aeio", "eaoi"), 1, _HAMJAC_W
+    )
+    return p.select(
+        "p_partkey",
+        ham(name8, vow8).alias("ham_vowel"),
+        jac(F.col("p_name"), F.col("p_brand")).alias("jac_name_brand"),
+        jac(F.col("p_name"), F.col("p_type")).alias("jac_name_type"),
+        jac(F.lit("abc"), F.lit("cba")).alias("jac_probe_same_set"),
+        jac(F.lit("abc"), F.lit("xyz")).alias("jac_probe_disjoint"),
+    )

@@ -1385,3 +1385,40 @@ def test_sql_pipe_syntax_equals_classic_form(spark, sf_dir):
         assert got[k]["cents"] == r["cents"]
         assert got[k]["n"] == r["n"]
         assert got[k]["avg_cents_floor"] == r["cents"] // r["n"]
+
+
+def test_hamming_jaccard_python_replay_and_plan(spark, sf_dir):
+    from mini_etl_project_spark.queries.functions_q import (
+        _HAMJAC_W,
+        q_fn_hamming_jaccard,
+    )
+
+    parts = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter("p_partkey <= 2000")
+        .collect()
+    )
+    got = {r["p_partkey"]: r
+           for r in q_fn_hamming_jaccard(spark, sf_dir).collect()}
+    assert len(got) == len(parts)
+    tr = str.maketrans("aeio", "eaoi")
+    for p in parts:
+        name = p["p_name"]
+        row = got[p["p_partkey"]]
+        a, b = name[:_HAMJAC_W], name.translate(tr)[:_HAMJAC_W]
+        assert row["ham_vowel"] == sum(x != y for x, y in zip(a, b))
+        sa, sb = set(name), set(p["p_brand"])
+        assert row["jac_name_brand"] == pytest.approx(
+            len(sa & sb) / len(sa | sb), rel=1e-12
+        )
+        assert row["jac_probe_same_set"] == 1.0
+        assert row["jac_probe_disjoint"] == 0.0
+    # pure-expression implementation: the plan must contain no Python
+    # evaluation node at all
+    plan = (
+        q_fn_hamming_jaccard(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -1422,3 +1422,35 @@ def test_hamming_jaccard_python_replay_and_plan(spark, sf_dir):
         .toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_poisson_thresholds_match_cdf():
+    """The literal inverse-CDF thresholds must equal floor(1e6 *
+    CDF_Poisson(1)(k)) recomputed from scratch — guards against a
+    transcription typo silently skewing every bootstrap weight."""
+    import math
+
+    from mini_etl_project_spark.queries.sampling_q import _PB_THRESH
+
+    cum = 0.0
+    fact = 1.0
+    for k, t in enumerate(_PB_THRESH):
+        if k > 0:
+            fact *= k
+        cum += math.exp(-1.0) / fact
+        assert t == math.floor(1e6 * cum), (k, t, cum)
+
+
+def test_power_z_literals_are_correct_quantiles():
+    """Forward-check the literal normal quantiles: Phi(z_alpha) must be
+    0.975 and Phi(z_beta) 0.80 to within 1e-12 (guards transcription)."""
+    import math
+
+    from mini_etl_project_spark.queries.ml_q import (
+        _PWR_Z_ALPHA,
+        _PWR_Z_BETA,
+    )
+
+    phi = lambda z: 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+    assert phi(_PWR_Z_ALPHA) == pytest.approx(0.975, abs=1e-12)
+    assert phi(_PWR_Z_BETA) == pytest.approx(0.80, abs=1e-12)

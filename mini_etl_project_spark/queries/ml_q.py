@@ -8148,3 +8148,202 @@ def q_ml_goldfeld_quandt(spark: SparkSession, sf_dir: str) -> DataFrame:
         mse_high.alias("mse_high"),
         (mse_high / mse_low).alias("gq_f"),
     )
+
+
+# -- X441 Cronbach's alpha (internal consistency) ---------------------------
+#
+# The reliability coefficient for a k-item instrument: do the five
+# per-user event-type activity counts move together? alpha =
+# k/(k-1) * (1 - sum item variances / variance of the total). Every
+# variance comes from exact BIGINT/DECIMAL moments of the per-user
+# item matrix (one conditional-count pass + one bounded roll-up);
+# population (1/n) variances on both sides keep the trees identical.
+
+_CRONBACH_ITEMS = ("click", "error", "purchase", "signup", "view")
+
+
+def _cronbach_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    dd = sql_dec_to_double
+    k = len(_CRONBACH_ITEMS)
+    cnts = ", ".join(
+        f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT)"
+        f" AS c{i}"
+        for i, t in enumerate(_CRONBACH_ITEMS)
+    )
+    n = "CAST(s.n AS DOUBLE)"
+
+    def var(i):
+        mu = f"(CAST(s.s{i} AS DOUBLE) / {n})"
+        return f"(({dd(f's.q{i}')}) / {n} - {mu} * {mu})"
+
+    item_vars = " + ".join(var(i) for i in range(k))
+    mu_t = f"(CAST(s.st AS DOUBLE) / {n})"
+    var_t = f"(({dd('s.qt')}) / {n} - {mu_t} * {mu_t})"
+    moments = ", ".join(
+        f"CAST(SUM(c{i}) AS BIGINT) AS s{i}, "
+        f"CAST(SUM(CAST(c{i} AS DECIMAL(38,0)) * c{i}) AS DECIMAL(38,0))"
+        f" AS q{i}"
+        for i in range(k)
+    )
+    tot = " + ".join(f"c{i}" for i in range(k))
+    return f"""
+WITH u AS (
+  SELECT user_id, {cnts}
+  FROM events GROUP BY user_id),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, {moments},
+         CAST(SUM({tot}) AS BIGINT) AS st,
+         CAST(SUM(CAST(({tot}) AS DECIMAL(38,0)) * ({tot}))
+              AS DECIMAL(38,0)) AS qt
+  FROM u)
+SELECT s.n, {item_vars} AS sum_item_vars, {var_t} AS var_total,
+       {k}.0 / {k - 1}.0 * (1.0 - ({item_vars}) / ({var_t}))
+         AS cronbach_alpha
+FROM s
+"""
+
+
+@query("q_ml_cronbach_alpha", _cronbach_oracle())
+def q_ml_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    k = len(_CRONBACH_ITEMS)
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i, t in enumerate(_CRONBACH_ITEMS)
+        ]
+    )
+    tot = None
+    for i in range(k):
+        tot = F.col(f"c{i}") if tot is None else tot + F.col(f"c{i}")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for i in range(k):
+        aggs.append(F.sum(f"c{i}").cast("bigint").alias(f"s{i}"))
+        aggs.append(
+            F.sum(F.col(f"c{i}").cast("decimal(38,0)") * F.col(f"c{i}"))
+            .cast("decimal(38,0)")
+            .alias(f"q{i}")
+        )
+    aggs.append(F.sum(tot).cast("bigint").alias("st"))
+    aggs.append(
+        F.sum(tot.cast("decimal(38,0)") * tot)
+        .cast("decimal(38,0)")
+        .alias("qt")
+    )
+    s = u.agg(*aggs)
+    n = F.col("n").cast("double")
+
+    def var(sc, qc):
+        mu = F.col(sc).cast("double") / n
+        return dec_to_double(qc) / n - mu * mu
+
+    item_vars = None
+    for i in range(k):
+        v = var(f"s{i}", f"q{i}")
+        item_vars = v if item_vars is None else item_vars + v
+    var_t = var("st", "qt")
+    return s.select(
+        "n",
+        item_vars.alias("sum_item_vars"),
+        var_t.alias("var_total"),
+        (
+            F.lit(float(k) / (k - 1))
+            * (F.lit(1.0) - item_vars / var_t)
+        ).alias("cronbach_alpha"),
+    )
+
+
+# -- X442 Intraclass correlation ICC(1,1) -----------------------------------
+#
+# How much of the line-price variation is BETWEEN orders vs within
+# them? ICC(1,1) = (MSB - MSW) / (MSB + (k-1) MSW) on the balanced
+# k=3-line orders (the X401 Fleiss subjects) — the agreement
+# continuum's continuous-outcome member. MSB/MSW derive from the
+# X391 ANOVA identity: exact per-order sums feed SSB and SSW in
+# DECIMAL, one conditional pass + a bounded roll-up, identical double
+# trees for the two mean squares and the ratio.
+
+_ICC_K = 3
+
+
+def _icc_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    dd = sql_dec_to_double
+    k = _ICC_K
+    n = "CAST(s.n_grp AS DOUBLE)"
+    ssb = (
+        f"(({dd('s.sum_g2')}) / {k}.0"
+        f" - (CAST(s.st AS DOUBLE) / ({n} * {k}.0))"
+        f" * CAST(s.st AS DOUBLE))"
+    )
+    ssw = f"(({dd('s.qt')}) - ({dd('s.sum_g2')}) / {k}.0)"
+    msb = f"({ssb} / ({n} - 1.0))"
+    msw = f"({ssw} / ({n} * {k - 1}.0))"
+    return f"""
+WITH g AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS r,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS gs,
+         CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       AS DECIMAL(38,0))
+                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+              AS DECIMAL(38,0)) AS gq
+  FROM lineitem GROUP BY l_orderkey),
+k3 AS (SELECT * FROM g WHERE r = {k}),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_grp,
+         CAST(SUM(gs) AS BIGINT) AS st,
+         CAST(SUM(gq) AS DECIMAL(38,0)) AS qt,
+         CAST(SUM(CAST(gs AS DECIMAL(38,0)) * gs) AS DECIMAL(38,0))
+           AS sum_g2
+  FROM k3)
+SELECT s.n_grp, {msb} AS msb, {msw} AS msw,
+       ({msb} - {msw}) / ({msb} + {k - 1}.0 * {msw}) AS icc_1_1
+FROM s
+"""
+
+
+@query("q_ml_icc", _icc_oracle())
+def q_ml_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    k = _ICC_K
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    g = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r"),
+        F.sum(cents).cast("bigint").alias("gs"),
+        F.sum(cents.cast("decimal(38,0)") * cents)
+        .cast("decimal(38,0)")
+        .alias("gq"),
+    )
+    k3 = g.filter(F.col("r") == k)
+    s = k3.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grp"),
+        F.sum("gs").cast("bigint").alias("st"),
+        F.sum("gq").cast("decimal(38,0)").alias("qt"),
+        F.sum(F.col("gs").cast("decimal(38,0)") * F.col("gs"))
+        .cast("decimal(38,0)")
+        .alias("sum_g2"),
+    )
+    n = F.col("n_grp").cast("double")
+    ssb = dec_to_double("sum_g2") / float(k) - (
+        F.col("st").cast("double") / (n * float(k))
+    ) * F.col("st").cast("double")
+    ssw = dec_to_double("qt") - dec_to_double("sum_g2") / float(k)
+    msb = ssb / (n - F.lit(1.0))
+    msw = ssw / (n * float(k - 1))
+    return s.select(
+        "n_grp",
+        msb.alias("msb"),
+        msw.alias("msw"),
+        ((msb - msw) / (msb + float(k - 1) * msw)).alias("icc_1_1"),
+    )

@@ -1454,3 +1454,60 @@ def test_power_z_literals_are_correct_quantiles():
     phi = lambda z: 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
     assert phi(_PWR_Z_ALPHA) == pytest.approx(0.975, abs=1e-12)
     assert phi(_PWR_Z_BETA) == pytest.approx(0.80, abs=1e-12)
+
+
+# -- X441-X442 --------------------------------------------------------------
+
+
+def test_cronbach_alpha_numpy_replay(spark, sf_dir):
+    import numpy as np
+
+    from mini_etl_project_spark.queries.ml_q import (
+        _CRONBACH_ITEMS,
+        q_ml_cronbach_alpha,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    per = defaultdict(Counter)
+    for r in ev:
+        per[r["user_id"]][r["event_type"]] += 1
+    X = np.array(
+        [[c.get(t, 0) for t in _CRONBACH_ITEMS] for c in per.values()],
+        dtype=float,
+    )
+    k = X.shape[1]
+    item_vars = X.var(axis=0).sum()   # population variance (1/n)
+    var_total = X.sum(axis=1).var()
+    alpha = k / (k - 1) * (1 - item_vars / var_total)
+    got = q_ml_cronbach_alpha(spark, sf_dir).collect()[0]
+    assert got["n"] == len(per)
+    assert got["sum_item_vars"] == pytest.approx(item_vars, rel=1e-9)
+    assert got["var_total"] == pytest.approx(var_total, rel=1e-9)
+    assert got["cronbach_alpha"] == pytest.approx(alpha, rel=1e-9)
+    assert got["cronbach_alpha"] <= 1.0
+
+
+def test_icc_numpy_replay_and_bounds(spark, sf_dir):
+    import numpy as np
+
+    from mini_etl_project_spark.queries.ml_q import _ICC_K, q_ml_icc
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    per = defaultdict(list)
+    for r in li:
+        per[r["l_orderkey"]].append(half_up(r["l_extendedprice"], 100))
+    groups = [v for v in per.values() if len(v) == _ICC_K]
+    n = len(groups)
+    grand = sum(sum(g) for g in groups) / (n * _ICC_K)
+    ssb = _ICC_K * sum((sum(g) / _ICC_K - grand) ** 2 for g in groups)
+    ssw = sum((x - sum(g) / _ICC_K) ** 2 for g in groups for x in g)
+    msb = ssb / (n - 1)
+    msw = ssw / (n * (_ICC_K - 1))
+    icc = (msb - msw) / (msb + (_ICC_K - 1) * msw)
+    got = q_ml_icc(spark, sf_dir).collect()[0]
+    assert got["n_grp"] == n
+    assert got["msb"] == pytest.approx(msb, rel=1e-9)
+    assert got["msw"] == pytest.approx(msw, rel=1e-9)
+    assert got["icc_1_1"] == pytest.approx(icc, rel=1e-9)
+    # ICC(1,1) is bounded: -1/(k-1) <= ICC <= 1
+    assert -1.0 / (_ICC_K - 1) - 1e-12 <= got["icc_1_1"] <= 1.0

@@ -4450,3 +4450,114 @@ def q_ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("num") / F.col("e2")).alias("dw_stat"),
         )
     )
+
+
+# -- X443 Sharpe and Sortino ratios -----------------------------------------
+#
+# The risk-adjusted-return pair over each event type's daily revenue
+# series: returns r_t = (c_t - c_{t-1}) / c_{t-1} quantize to SIGNED
+# integer ppm via the sign-split division (ABS then DIV then restore
+# sign — Spark's DIV truncates toward zero while DuckDB's // floors,
+# so negative one-step division is NOT portable; the X233 Theil-Sen
+# pattern). Sharpe divides the mean return by the full population
+# stddev, Sortino by the downside (negative-return) deviation — all
+# from exact BIGINT/DECIMAL moments of the ppm integers over the
+# bounded daily table, sqrt correctly rounded, identical trees.
+
+_SHARPE_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+           AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT a.event_type,
+         CASE WHEN a.c >= p.c THEN 1 ELSE -1 END
+           * (ABS(a.c - p.c) * 1000000 // p.c) AS r_ppm
+  FROM daily a JOIN daily p
+    ON p.event_type = a.event_type AND p.day = a.day - 1
+  WHERE p.c > 0),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r_ppm) AS BIGINT) AS s,
+         CAST(SUM(CAST(r_ppm AS DECIMAL(38,0)) * r_ppm)
+              AS DECIMAL(38,0)) AS q,
+         CAST(SUM(CASE WHEN r_ppm < 0
+                  THEN CAST(r_ppm AS DECIMAL(38,0)) * r_ppm
+                  ELSE 0 END) AS DECIMAL(38,0)) AS qd
+  FROM r GROUP BY event_type)
+SELECT event_type, n,
+       CAST(s AS DOUBLE) / n AS mean_r_ppm,
+       sqrt((CAST(((q) - (q) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((q) % 1073741824 AS DOUBLE)) / n
+            - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+         AS std_r_ppm,
+       (CAST(s AS DOUBLE) / n)
+         / sqrt((CAST(((q) - (q) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((q) % 1073741824 AS DOUBLE)) / n
+                - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+         AS sharpe,
+       (CAST(s AS DOUBLE) / n)
+         / sqrt((CAST(((qd) - (qd) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((qd) % 1073741824 AS DOUBLE)) / n)
+         AS sortino
+FROM m
+"""
+
+
+@query("q_ts_sharpe", _SHARPE_ORACLE)
+def q_ts_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("bigint")
+        .alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    a = daily.alias("a")
+    p = daily.alias("p")
+    r = (
+        a.join(
+            p,
+            (F.col("p.event_type") == F.col("a.event_type"))
+            & (F.col("p.day") == F.col("a.day") - 1),
+        )
+        .filter(F.col("p.c") > 0)
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            (
+                F.when(F.col("a.c") >= F.col("p.c"), 1).otherwise(-1)
+                * F.expr("(ABS(a.c - p.c) * 1000000) DIV p.c")
+            ).alias("r_ppm"),
+        )
+    )
+    m = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r_ppm").cast("bigint").alias("s"),
+        F.sum(F.col("r_ppm").cast("decimal(38,0)") * F.col("r_ppm"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+        F.sum(
+            F.when(
+                F.col("r_ppm") < 0,
+                F.col("r_ppm").cast("decimal(38,0)") * F.col("r_ppm"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("qd"),
+    )
+    n = F.col("n")
+    mean = F.col("s").cast("double") / n
+    std = F.sqrt(dec_to_double("q") / n - mean * mean)
+    dstd = F.sqrt(dec_to_double("qd") / n)
+    return m.select(
+        "event_type",
+        "n",
+        mean.alias("mean_r_ppm"),
+        std.alias("std_r_ppm"),
+        (mean / std).alias("sharpe"),
+        (mean / dstd).alias("sortino"),
+    )

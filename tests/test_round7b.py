@@ -1511,3 +1511,37 @@ def test_icc_numpy_replay_and_bounds(spark, sf_dir):
     assert got["icc_1_1"] == pytest.approx(icc, rel=1e-9)
     # ICC(1,1) is bounded: -1/(k-1) <= ICC <= 1
     assert -1.0 / (_ICC_K - 1) - 1e-12 <= got["icc_1_1"] <= 1.0
+
+
+def test_sharpe_sortino_python_replay(spark, sf_dir):
+    from mini_etl_project_spark.queries.timeseries_q import q_ts_sharpe
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    daily = defaultdict(Counter)
+    for r in ev:
+        day = (r["ts"].date() - __import__("datetime").date(2024, 1, 1)).days
+        daily[r["event_type"]][day] += half_up(r["value"], 100)
+    got = {r["event_type"]: r for r in q_ts_sharpe(spark, sf_dir).collect()}
+    for et, series in daily.items():
+        rs = []
+        for day in sorted(series):
+            prev = series.get(day - 1)
+            if prev is not None and prev > 0:
+                diff = series[day] - prev
+                sign = 1 if diff >= 0 else -1
+                rs.append(sign * (abs(diff) * 1000000 // prev))
+        if not rs:
+            assert et not in got
+            continue
+        n = len(rs)
+        mean = sum(rs) / n
+        std = (sum(x * x for x in rs) / n - mean * mean) ** 0.5
+        dstd = (sum(x * x for x in rs if x < 0) / n) ** 0.5
+        row = got[et]
+        assert row["n"] == n
+        assert row["mean_r_ppm"] == pytest.approx(mean, rel=1e-12)
+        assert row["std_r_ppm"] == pytest.approx(std, rel=1e-9)
+        assert row["sharpe"] == pytest.approx(mean / std, rel=1e-9)
+        assert row["sortino"] == pytest.approx(mean / dstd, rel=1e-9)
+        # downside deviation <= full deviation -> |sortino| >= |sharpe|
+        assert abs(row["sortino"]) >= abs(row["sharpe"]) - 1e-12

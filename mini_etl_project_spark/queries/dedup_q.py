@@ -12,6 +12,8 @@ covers recall mechanics end-to-end, not just empty-set agreement.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1198,3 +1200,108 @@ def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("agr_bal"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+
+
+# -- X445 Jaro-Winkler ER scoring on blocked candidates ---------------------
+#
+# The X405 kernel put to work inside the entity-resolution stack: the
+# q_er_blocking corpus (clean + one-digit-corrupted name mentions)
+# generates candidates by prefix block, and Jaro-Winkler — not edit
+# distance — scores them, the metric record linkage actually prefers
+# for typos. Blocking keeps candidate pairs ~linear (no all-pairs);
+# scoring is the Arrow-batched UDF proven bit-exact against DuckDB's
+# native builtin; the threshold verdict (>= 0.95) plus per-block
+# accounting come back as exact integers with the raw double score.
+
+_ER_JW_ORACLE = """
+WITH c AS (SELECT c_custkey, c_nationkey, c_name FROM customer),
+clean AS (
+  SELECT c_custkey * 2 AS mention_id, c_nationkey, c_name AS nm FROM c),
+dirty AS (
+  SELECT c_custkey * 2 + 1 AS mention_id, c_nationkey,
+         substr(c_name, 1, CAST(9 + c_custkey % 8 AS INT))
+           || CAST((CAST(substr(c_name,
+                    CAST(10 + c_custkey % 8 AS INT), 1) AS BIGINT) + 1)
+                   % 10 AS VARCHAR)
+           || substr(c_name, CAST(11 + c_custkey % 8 AS INT)) AS nm
+  FROM c),
+mentions AS (SELECT * FROM clean UNION ALL SELECT * FROM dirty),
+blocked AS (SELECT *, substr(nm, 10, 5) AS blk FROM mentions),
+pairs AS (
+  SELECT a.c_nationkey AS nk,
+         jaro_winkler_similarity(a.nm, b.nm) AS jw
+  FROM blocked a JOIN blocked b
+    ON b.c_nationkey = a.c_nationkey AND b.blk = a.blk
+   AND b.mention_id > a.mention_id)
+SELECT nk,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(CASE WHEN jw >= 0.95 THEN 1 END) AS BIGINT)
+         AS n_matches,
+       MIN(jw) AS min_jw, MAX(jw) AS max_jw
+FROM pairs GROUP BY nk
+"""
+
+
+@query("q_er_jaro_blocking", _ER_JW_ORACLE)
+def q_er_jaro_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.functions_q import _jaro_winkler
+
+    @F.pandas_udf("double")
+    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64"
+        )
+
+    c = load_table(spark, sf_dir, "customer")
+    clean = c.select(
+        (F.col("c_custkey") * 2).alias("mention_id"),
+        "c_nationkey",
+        F.col("c_name").alias("nm"),
+    )
+    dirty = c.select(
+        (F.col("c_custkey") * 2 + 1).alias("mention_id"),
+        "c_nationkey",
+        F.concat(
+            F.expr("substr(c_name, 1, 9 + c_custkey % 8)"),
+            (
+                (
+                    F.expr("substr(c_name, 10 + c_custkey % 8, 1)").cast(
+                        "bigint"
+                    )
+                    + 1
+                )
+                % 10
+            ).cast("string"),
+            F.expr("substr(c_name, 11 + c_custkey % 8)"),
+        ).alias("nm"),
+    )
+    blocked = clean.unionByName(dirty).withColumn(
+        "blk", F.expr("substr(nm, 10, 5)")
+    )
+    a = blocked.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("blk").alias("bk"),
+        F.col("mention_id").alias("ma"),
+        F.col("nm").alias("nma"),
+    )
+    b = blocked.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("blk").alias("bk"),
+        F.col("mention_id").alias("mb"),
+        F.col("nm").alias("nmb"),
+    )
+    pairs = a.join(b, ["nk", "bk"]).filter(F.col("mb") > F.col("ma"))
+    scored = pairs.select(
+        "nk", jw(F.col("nma"), F.col("nmb")).alias("jw")
+    )
+    # bounded per-nation roll-up: counts are exact ints, min/max are
+    # order-independent doubles — each must equal DuckDB's builtin on
+    # the same pair, so kernel parity stays hash-checked
+    return scored.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count(F.when(F.col("jw") >= 0.95, 1))
+        .cast("bigint")
+        .alias("n_matches"),
+        F.min("jw").alias("min_jw"),
+        F.max("jw").alias("max_jw"),
+    )

@@ -1435,3 +1435,124 @@ def q_etl_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return cur.select("p", "f", "n_sample", F.col("w").alias("w_raked"))
+
+
+# -- X444 Data-quality scorecard --------------------------------------------
+#
+# The executive roll-up over the audit family: one weighted score from
+# the five standard DQ dimensions — completeness (non-null key/date
+# fields), uniqueness (distinct order keys), validity (domain rules on
+# quantity/discount/price), consistency (lineitem→orders referential
+# closure), timeliness (ship within 45 days of order). Every dimension
+# is an exact integer ppm from one pass over its table (the validity
+# and timeliness checks share the lineitem⋈orders scan), and the
+# composite applies literal 30/20/20/20/10 weights in integer
+# arithmetic — DIV by the weight sum at the very end.
+
+_DQ_ORACLE = """
+WITH o AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(o_orderkey) + COUNT(o_orderdate)
+              + COUNT(o_custkey) AS BIGINT) AS nonnull3,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS dk
+  FROM orders),
+l AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(CASE WHEN l.l_quantity BETWEEN 1 AND 50
+                         AND l.l_discount BETWEEN 0 AND 0.1
+                         AND l.l_extendedprice > 0 THEN 1 END)
+              AS BIGINT) AS valid,
+         CAST(COUNT(ord.o_orderkey) AS BIGINT) AS matched,
+         CAST(COUNT(CASE WHEN DATEDIFF('day',
+                 CAST(ord.o_orderdate AS DATE),
+                 CAST(l.l_shipdate AS DATE)) <= 45 THEN 1 END)
+              AS BIGINT) AS timely
+  FROM lineitem l LEFT JOIN orders ord
+    ON ord.o_orderkey = l.l_orderkey),
+dims AS (
+  SELECT CAST(o.nonnull3 * 1000000 // (o.n * 3) AS BIGINT)
+           AS completeness_ppm,
+         CAST(o.dk * 1000000 // o.n AS BIGINT) AS uniqueness_ppm,
+         CAST(l.valid * 1000000 // l.n AS BIGINT) AS validity_ppm,
+         CAST(l.matched * 1000000 // l.n AS BIGINT) AS consistency_ppm,
+         CAST(l.timely * 1000000 // l.n AS BIGINT) AS timeliness_ppm
+  FROM o, l)
+SELECT *,
+       CAST((completeness_ppm * 30 + uniqueness_ppm * 20
+             + validity_ppm * 20 + consistency_ppm * 20
+             + timeliness_ppm * 10) // 100 AS BIGINT) AS dq_score_ppm
+FROM dims
+"""
+
+
+@query("q_quality_dq_scorecard", _DQ_ORACLE)
+def q_quality_dq_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    od = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.count("o_orderkey")
+            + F.count("o_orderdate")
+            + F.count("o_custkey")
+        )
+        .cast("bigint")
+        .alias("nonnull3"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("dk"),
+    )
+    j = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == o.o_orderkey,
+        "left",
+    )
+    ld = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ln"),
+        F.count(
+            F.when(
+                F.col("l_quantity").between(1, 50)
+                & F.col("l_discount").between(0, 0.1)
+                & (F.col("l_extendedprice") > 0),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("valid"),
+        F.count("o_orderkey").cast("bigint").alias("matched"),
+        F.count(
+            F.when(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+                <= 45,
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("timely"),
+    )
+    dims = od.crossJoin(F.broadcast(ld)).select(
+        F.expr("CAST(nonnull3 * 1000000 DIV (n * 3) AS BIGINT)").alias(
+            "completeness_ppm"
+        ),
+        F.expr("CAST(dk * 1000000 DIV n AS BIGINT)").alias(
+            "uniqueness_ppm"
+        ),
+        F.expr("CAST(valid * 1000000 DIV ln AS BIGINT)").alias(
+            "validity_ppm"
+        ),
+        F.expr("CAST(matched * 1000000 DIV ln AS BIGINT)").alias(
+            "consistency_ppm"
+        ),
+        F.expr("CAST(timely * 1000000 DIV ln AS BIGINT)").alias(
+            "timeliness_ppm"
+        ),
+    )
+    return dims.select(
+        "*",
+        F.expr(
+            "CAST((completeness_ppm * 30 + uniqueness_ppm * 20"
+            " + validity_ppm * 20 + consistency_ppm * 20"
+            " + timeliness_ppm * 10) DIV 100 AS BIGINT)"
+        ).alias("dq_score_ppm"),
+    )

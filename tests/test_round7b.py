@@ -1617,3 +1617,34 @@ def test_er_jaro_blocking_scores_match_duckdb(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_matches"] <= r["n_pairs"]
         assert 0.0 <= r["min_jw"] <= r["max_jw"] <= 1.0
+
+
+def test_krippendorff_python_replay(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import q_ml_krippendorff
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    per = defaultdict(Counter)
+    for r in li:
+        per[r["l_orderkey"]][r["l_returnflag"]] += 1
+    subs = [c for c in per.values() if sum(c.values()) >= 2]
+    n = sum(sum(c.values()) for c in subs)
+    tot = Counter()
+    do_num = 0.0
+    for c in subs:
+        m = sum(c.values())
+        tot.update(c)
+        offdiag = m * (m - 1) - sum(v * (v - 1) for v in c.values())
+        do_num += offdiag / (m - 1)
+    d_obs = do_num / n
+    d_exp = (n * n - sum(v * v for v in tot.values())) / (n * (n - 1))
+    alpha = 1 - d_obs / d_exp
+    got = q_ml_krippendorff(spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    assert got["n_subjects"] == len(subs)
+    assert (got["ta"], got["tn"], got["tr"]) == (
+        tot["A"], tot["N"], tot["R"],
+    )
+    assert got["d_obs"] == pytest.approx(d_obs, rel=1e-9)
+    assert got["d_exp"] == pytest.approx(d_exp, rel=1e-12)
+    assert got["kripp_alpha"] == pytest.approx(alpha, rel=1e-9)
+    assert got["kripp_alpha"] <= 1.0

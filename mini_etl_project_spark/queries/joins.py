@@ -1826,11 +1826,11 @@ b AS (
   SELECT a.pk, a.qty AS q0, a.rev AS rev0, c.qty AS q1, c.rev AS rev1
   FROM y a JOIN y c ON c.pk = a.pk AND a.yr = 1996 AND c.yr = 1997)
 SELECT pk AS p_partkey, q0, q1, rev0, rev1,
-       CAST(CAST(rev1 AS DECIMAL(38,0)) * q0
+       CAST(CAST(CAST(rev1 AS DECIMAL(38,0)) * q0
             - CAST(rev0 AS DECIMAL(38,0)) * q1 AS DECIMAL(38,0))
-         AS price_num,
-       CAST(CAST(q1 - q0 AS DECIMAL(38,0)) * rev0 AS DECIMAL(38,0))
-         AS volume_num
+         AS VARCHAR) AS price_num,
+       CAST(CAST(CAST(q1 - q0 AS DECIMAL(38,0)) * rev0 AS DECIMAL(38,0))
+         AS VARCHAR) AS volume_num
 FROM b
 """
 
@@ -1866,14 +1866,21 @@ def q_join_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q1",
         "rev0",
         "rev1",
+        # DECIMAL(38,0) keeps the cross-products exact; the final VARCHAR
+        # cast is transport-only — the driver canonicalizes through pandas,
+        # where DuckDB DECIMALs degrade to float64 while Spark keeps
+        # decimal.Decimal, so identical values hash-diverged (r7's one red
+        # row). Text is exact at any magnitude on both engines.
         (
             F.col("rev1").cast(dec) * F.col("q0")
             - F.col("rev0").cast(dec) * F.col("q1")
         )
         .cast(dec)
+        .cast("string")
         .alias("price_num"),
         ((F.col("q1") - F.col("q0")).cast(dec) * F.col("rev0"))
         .cast(dec)
+        .cast("string")
         .alias("volume_num"),
     )
 

@@ -4186,9 +4186,9 @@ b AS (
          CAST(SUM(s_ppm) AS BIGINT) AS sum_pred_ppm
   FROM scored GROUP BY bin)
 SELECT bin, n, n_pos, sum_pred_ppm,
-       CAST((CAST(sum_pred_ppm AS DECIMAL(38,0)) - CAST(1000000 AS DECIMAL(38,0)) * n_pos)
+       CAST(CAST((CAST(sum_pred_ppm AS DECIMAL(38,0)) - CAST(1000000 AS DECIMAL(38,0)) * n_pos)
             * (CAST(sum_pred_ppm AS DECIMAL(38,0)) - CAST(1000000 AS DECIMAL(38,0)) * n_pos)
-            AS DECIMAL(38,0)) AS rel_num
+            AS DECIMAL(38,0)) AS VARCHAR) AS rel_num
 FROM b
 """
 
@@ -4220,7 +4220,9 @@ def q_ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "n_pos",
         "sum_pred_ppm",
-        (diff * diff).cast("decimal(38,0)").alias("rel_num"),
+        # VARCHAR transport: pandas degrades DECIMAL(p>18) to float64 on
+        # the DuckDB side of the driver canonicalizer (pvm_bridge class).
+        (diff * diff).cast("decimal(38,0)").cast("string").alias("rel_num"),
     )
 
 
@@ -6939,8 +6941,8 @@ s AS (
            AS tie3
   FROM r)
 SELECT n, w2,
-       CAST(2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) - tie3
-            AS DECIMAL(38,0)) AS var48,
+       CAST(CAST(2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) - tie3
+            AS DECIMAL(38,0)) AS VARCHAR) AS var48,
        (CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
           / 2.0)
          / (2.0 * sqrt((CAST(((CAST(2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) - tie3 AS DECIMAL(38,0))) - (CAST(2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) - tie3 AS DECIMAL(38,0))) % 1073741824) / 1073741824 AS DOUBLE) * 1073741824.0 + CAST((CAST(2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) - tie3 AS DECIMAL(38,0))) % 1073741824 AS DOUBLE)) / 48.0))
@@ -6992,7 +6994,8 @@ def q_ml_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n",
         "w2",
-        var48.alias("var48"),
+        # VARCHAR transport for DECIMAL(38,0) (pvm_bridge class).
+        var48.cast("string").alias("var48"),
         (
             (F.col("w2").cast("double") - nd * (nd + F.lit(1.0)) / F.lit(2.0))
             / (F.lit(2.0) * F.sqrt(dec_to_double(var48) / F.lit(48.0)))

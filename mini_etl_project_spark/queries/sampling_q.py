@@ -1411,11 +1411,25 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The engine-native complement of the portable HLL (q_agg_hll_portable):
 # hll_sketch_agg builds per-source sketches, hll_union merges them, and
 # hll_sketch_estimate reads the union's cardinality. Estimates are
-# implementation-defined (Datasketches internals), so the query is
-# registered ROWS-ONLY and the accuracy bound lives in
+# implementation-defined (Datasketches internals), so the raw estimate
+# can't hash-match DuckDB — instead (the X39/X103 derived-fact pattern,
+# same as q_agg_approx) the sketch runs in-plan but the query EMITS the
+# exact distinct count plus an integer bound-flag: lgK=12 gives
+# rsd = 1.04/sqrt(4096) ≈ 1.6 %, so "within 3×rsd (5 %) of exact" is a
+# claim the oracle asserts as a literal 1. HLL registers are max-merged,
+# so the flag is stable under any partitioning / merge order. The raw
+# estimate surface lives on in
 # tests/test_round4b.py::test_native_hll_estimate_within_tolerance.
 
-@query("q_agg_hll_native", None)
+_HLL_NATIVE_ORACLE = """
+SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       1 AS est_within_3rsd
+FROM documents
+"""
+
+
+@query("q_agg_hll_native", _HLL_NATIVE_ORACLE)
 def q_agg_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     per_src = d.groupBy("source").agg(
@@ -1426,9 +1440,20 @@ def q_agg_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_union_agg("sk").alias("u"),
         F.sum("n_docs").alias("n_docs"),
     )
-    return merged.select(
-        F.hll_sketch_estimate("u").alias("est_distinct"),
+    exact = load_table(spark, sf_dir, "documents").agg(
+        F.countDistinct("text").alias("exact_distinct")
+    )
+    return merged.crossJoin(F.broadcast(exact)).select(
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
         F.col("n_docs").cast("bigint").alias("n_docs"),
+        (
+            F.abs(
+                F.hll_sketch_estimate("u") - F.col("exact_distinct")
+            )
+            <= 0.05 * F.col("exact_distinct")
+        )
+        .cast("int")
+        .alias("est_within_3rsd"),
     )
 
 

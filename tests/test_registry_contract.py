@@ -11,9 +11,9 @@ executing), so walking the whole registry is cheap.
 from __future__ import annotations
 
 import pytest
-from pyspark.sql.types import ArrayType, MapType, StructType
+from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
-from mini_etl_project_spark.queries import QUERIES
+from mini_etl_project_spark.queries import ORACLES, QUERIES
 
 SF = "/root/testdata/sf0.001"
 
@@ -30,9 +30,24 @@ def test_no_nonscalar_output_columns(spark):
         for f in schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+            # DECIMAL(p>18) degrades to float64 on the DuckDB side of the
+            # driver's pandas canonicalizer while Spark keeps
+            # decimal.Decimal — identical values hash-diverge (r7's one
+            # red row, q_join_pvm_bridge). Serialize wide decimals to
+            # VARCHAR in-plan (exact at any magnitude) on BOTH engines.
+            if isinstance(f.dataType, DecimalType) and f.dataType.precision > 18:
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not errors, "plan build failed for:\n" + "\n".join(errors[:10])
     assert not bad, (
-        "non-scalar output columns (driver canonicalizer cannot hash "
-        "these — serialize in-plan via array_join/to_json):\n"
+        "non-transportable output columns (driver canonicalizer cannot "
+        "hash these — serialize in-plan via array_join/to_json, and "
+        "DECIMAL(p>18) via CAST AS VARCHAR on both engines):\n"
         + "\n".join(bad)
     )
+
+
+def test_oracle_names_subset_and_unique():
+    """Every oracle key resolves to a registered query (no orphan SQL),
+    and registration raised on duplicates (the X204 shadowing class)."""
+    orphans = sorted(set(ORACLES) - set(QUERIES))
+    assert not orphans, f"oracle SQL with no registered query: {orphans}"

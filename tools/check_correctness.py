@@ -51,12 +51,27 @@ def duck_run(con: duckdb.DuckDBPyConnection, sql: str):
     # int64 even when values are identical.  Our fetchall() path uses Python
     # ints and provably cannot catch that divergence — so fail at bind time
     # on any HUGEINT-typed output column.
+    # Same trap, wider: DECIMAL with precision > 18 also degrades to
+    # float64 through pandas while Spark keeps decimal.Decimal objects —
+    # r7's one red row (q_join_pvm_bridge) was identical DECIMAL(38,0)
+    # values hash-diverging on representation alone.
+    import re as _re
+
     for col, typ in zip(rel.columns, rel.types):
-        if "HUGEINT" in str(typ).upper():
+        t = str(typ).upper()
+        if "HUGEINT" in t:
             raise TypeError(
                 f"oracle output column {col!r} has DuckDB type {typ} — "
                 "pandas canonicalization degrades it to float64; "
                 "CAST it to BIGINT in the oracle SQL"
+            )
+        m = _re.match(r"DECIMAL\((\d+)", t)
+        if m and int(m.group(1)) > 18:
+            raise TypeError(
+                f"oracle output column {col!r} has DuckDB type {typ} — "
+                "pandas degrades DECIMAL(p>18) to float64 while Spark "
+                "keeps decimal.Decimal; CAST it to VARCHAR (exact) in "
+                "BOTH the oracle SQL and the Spark plan"
             )
     return list(rel.columns), rel.fetchall()
 

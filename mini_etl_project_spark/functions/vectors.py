@@ -44,6 +44,29 @@ def sqnorm_exact(a: Column | str) -> Column:
     return _dec_sum(sq)
 
 
+def dot_sign_nonneg(a: Column | str, b: Column | str) -> Column:
+    """``dot_exact(a, b) >= 0``, computed fast: a plain double fold
+    decides the sign except within ±1e-6 of zero, where the exact
+    decimal fold is consulted (lazy CASE branch — evaluated only for
+    ambiguous rows).
+
+    Bit-identical to the decimal sign by construction: the decimal path
+    rounds each product to 1e-10 (≤ 5e-11 error ×64 terms = 3.2e-9) and
+    the sequential double fold adds ~1e-13, so double and decimal sums
+    can only disagree on sign inside ±~4e-9 ≪ 1e-6. LSH bucketing is
+    sign-only, which makes this the hot-path form — the full decimal
+    fold is ~10× costlier per term (boxed BigDecimal vs double).
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    dd = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.abs(dd) > 1e-6, dd >= 0).otherwise(dot_exact(a, b) >= 0)
+
+
 def cosine_exact(a: Column | str, b: Column | str) -> Column:
     """Exact-deterministic cosine similarity (null on zero vectors)."""
     d = dot_exact(a, b)

@@ -938,22 +938,24 @@ def _semdedup_edges_and_roots(spark: SparkSession, sf_dir: str):
             F.col("y.vec_id").alias("id_b"),
         )
         .distinct()
+        # Materialize the candidate pairs ONCE: downstream this plan is
+        # consumed by the scoring tier AND (twice, via rooted's two
+        # consumers) by n_candidates — without the checkpoint the LSH
+        # bucketing + self-join re-executes per consumer (measured 3×
+        # at sf0.1). Pairs are two bigints/row — tiny at any SF next to
+        # the vector payloads they index.
+        .localCheckpoint(eager=False)
     )
     sides = e.select(
         "vec_id",
         F.col("embedding").alias("v"),
         F.sqrt(sqnorm_exact("embedding")).alias("nm"),
-        F.transform(
-            "embedding",
-            lambda x: x.cast("double") / F.sqrt(sqnorm_exact("embedding")),
-        ).alias("uv"),
     )
     paired = cand.join(
         sides.select(
             F.col("vec_id").alias("id_a"),
             F.col("v").alias("va"),
             F.col("nm").alias("na"),
-            F.col("uv").alias("ua"),
         ),
         "id_a",
     ).join(
@@ -961,26 +963,37 @@ def _semdedup_edges_and_roots(spark: SparkSession, sf_dir: str):
             F.col("vec_id").alias("id_b"),
             F.col("v").alias("vb"),
             F.col("nm").alias("nb"),
-            F.col("uv").alias("ub"),
         ),
         "id_b",
     )
-    # tier 1: cheap double dot of unit vectors (sequential fold —
-    # deterministic), margin below tau; tier 2: the exact-decimal cosine
-    # that defines the result, evaluated only on survivors.
+    # tier 1: cheap double dot of the RAW vectors (sequential fold —
+    # deterministic) against (tau − margin)·na·nb — algebraically the
+    # same pre-filter as the previous unit-vector dot vs (tau − margin),
+    # but with no per-element renormalization (the old F.transform
+    # re-evaluated the 64-term exact-decimal norm fold per ELEMENT —
+    # 64×64 decimal ops per row) and half the join payload (va/vb only,
+    # no unit-vector copies cross the shuffle). Tier 2: the exact-decimal
+    # cosine that defines the result, evaluated only on survivors.
     t1 = F.aggregate(
-        F.zip_with("ua", "ub", lambda x, y: x * y),
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     scored = (
-        paired.filter(t1 >= _SEMDEDUP_TAU - _SEMDEDUP_MARGIN)
+        paired.filter(
+            t1 >= (_SEMDEDUP_TAU - _SEMDEDUP_MARGIN) * F.col("na") * F.col("nb")
+        )
         .withColumn(
             "cosine", dot_exact("va", "vb") / (F.col("na") * F.col("nb"))
         )
     )
-    edges = scored.filter(F.col("cosine") >= _SEMDEDUP_TAU).select(
-        "id_a", "id_b", "cosine"
+    edges = (
+        scored.filter(F.col("cosine") >= _SEMDEDUP_TAU)
+        .select("id_a", "id_b", "cosine")
+        # Materialize the scored tau-edges once: consumed by the CC
+        # fixpoint here AND by the audit surface's per-cluster stats —
+        # the exact-decimal cosine tier must not re-run per consumer.
+        .localCheckpoint(eager=False)
     )
     cc = connected_components(edges.select("id_a", "id_b")).select(
         F.col("id").alias("vec_id"), F.col("component")

@@ -8475,3 +8475,513 @@ def q_ml_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
         d_exp.alias("d_exp"),
         (F.lit(1.0) - d_obs / d_exp).alias("kripp_alpha"),
     )
+
+
+# -- X447 permutation test (hash-sign randomization) ------------------------
+#
+# The assumption-free twin of the paired t-test / Wilcoxon stack: per-user
+# paired difference d_u = #clicks − #views, observed statistic T = Σ d_u,
+# and a null distribution from B sign-flip permutations. Portability: the
+# flip for (perm b, user u) derives from md5(b || ':' || user_id) — both
+# engines re-create the identical permutation matrix, so every T_b and
+# the exceedance count are EXACT BIGINTs (no RNG, no float). Scale: the
+# user aggregate is one keyed pass over the facts; the permutation stage
+# explodes the BOUNDED per-user table ×B with map-side partial aggregation
+# on b — at 100 TB the fact scan dominates and B×users stays linear.
+
+_PERM_B = 200
+
+_PERM_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+           - CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+           AS d
+  FROM events GROUP BY user_id),
+obs AS (
+  SELECT CAST(SUM(d) AS BIGINT) AS t_obs, CAST(COUNT(*) AS BIGINT) AS n
+  FROM u),
+perms AS (
+  SELECT b.b,
+         CAST(SUM(CASE WHEN ('0x' || substr(md5(b.b || ':' || u.user_id),
+                             1, 1))::INT % 2 = 0
+                       THEN u.d ELSE -u.d END) AS BIGINT) AS t_b
+  FROM u, unnest(generate_series(1, {_PERM_B})) b(b)
+  GROUP BY b.b)
+SELECT obs.n, obs.t_obs,
+       CAST({_PERM_B} AS BIGINT) AS n_perms,
+       CAST(COUNT(CASE WHEN ABS(perms.t_b) >= ABS(obs.t_obs) THEN 1 END)
+            AS BIGINT) AS n_exceed,
+       CAST(COUNT(CASE WHEN ABS(perms.t_b) >= ABS(obs.t_obs) THEN 1 END)
+            * 1000000 // {_PERM_B} AS BIGINT) AS p_ppm
+FROM perms, obs
+GROUP BY obs.n, obs.t_obs
+"""
+
+
+@query("q_ml_permutation_test", _PERM_ORACLE)
+def q_ml_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.count(F.when(F.col("event_type") == "click", 1)).cast("bigint")
+            - F.count(F.when(F.col("event_type") == "view", 1)).cast("bigint")
+        ).alias("d")
+    )
+    obs = u.agg(
+        F.sum("d").cast("bigint").alias("t_obs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    # hex digit parity of md5(b:user) — same derivation in the oracle
+    flip = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("b"), F.col("user_id"))), 1, 1
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0
+    )
+    perms = (
+        u.withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(_PERM_B))))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(flip, F.col("d")).otherwise(-F.col("d")))
+            .cast("bigint")
+            .alias("t_b")
+        )
+    )
+    return (
+        perms.crossJoin(F.broadcast(obs))
+        .groupBy("n", "t_obs")
+        .agg(
+            F.lit(_PERM_B).cast("bigint").alias("n_perms"),
+            F.count(F.when(F.abs("t_b") >= F.abs("t_obs"), 1))
+            .cast("bigint")
+            .alias("n_exceed"),
+            F.expr(
+                f"CAST(COUNT(CASE WHEN ABS(t_b) >= ABS(t_obs) THEN 1 END)"
+                f" * 1000000 DIV {_PERM_B} AS BIGINT)"
+            ).alias("p_ppm"),
+        )
+        .select("n", "t_obs", "n_perms", "n_exceed", "p_ppm")
+    )
+
+
+# -- X448 Jonckheere-Terpstra ordered-alternative trend test -----------------
+#
+# "Does order value trend with priority?" — the k-sample test whose
+# alternative is an ORDERING, not any difference (more powerful than
+# Kruskal-Wallis when the direction is hypothesized). Statistic: 2·JT =
+# Σ_{a<b} (2·#{x_a < x_b} + #{x_a = x_b}) over all priority pairs a<b.
+# Distributed exactness: values live on a BOUNDED grid (order month,
+# ≤ ~90 distinct), so the fact scan collapses to a (month × priority)
+# count table in one keyed pass, and the pair counting runs over that
+# broadcast-size table — never over row pairs. 2·E[JT] = Σ_{a<b} n_a·n_b
+# rides along for the direction read-out.
+
+_JT_ORACLE = """
+WITH g AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS grp,
+         CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+              + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+pairs AS (
+  SELECT CAST(SUM(CASE WHEN a.v < b.v THEN 2 * a.c * b.c
+                       WHEN a.v = b.v THEN a.c * b.c
+                       ELSE 0 END) AS BIGINT) AS jt2
+  FROM g a JOIN g b ON a.grp < b.grp),
+sizes AS (
+  SELECT grp, CAST(SUM(c) AS BIGINT) AS n_g FROM g GROUP BY grp),
+e AS (
+  SELECT CAST(SUM(a.n_g * b.n_g) AS BIGINT) AS e_jt2,
+         CAST((SELECT SUM(n_g) FROM sizes) AS BIGINT) AS n
+  FROM sizes a JOIN sizes b ON a.grp < b.grp)
+SELECT e.n, pairs.jt2, e.e_jt2,
+       CAST(pairs.jt2 - e.e_jt2 AS BIGINT) AS jt2_centered
+FROM pairs, e
+"""
+
+
+@query("q_ml_jonckheere", _JT_ORACLE)
+def q_ml_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("grp"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("v"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a, b = g.alias("a"), g.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.grp") < F.col("b.grp"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("a.v") < F.col("b.v"),
+                    2 * F.col("a.c") * F.col("b.c"),
+                )
+                .when(F.col("a.v") == F.col("b.v"), F.col("a.c") * F.col("b.c"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("jt2")
+        )
+    )
+    sizes = g.groupBy("grp").agg(F.sum("c").cast("bigint").alias("n_g"))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    tot = sizes.agg(F.sum("n_g").cast("bigint").alias("n"))
+    e = (
+        sa.join(F.broadcast(sb), F.col("sa.grp") < F.col("sb.grp"))
+        .agg(
+            F.sum(F.col("sa.n_g") * F.col("sb.n_g"))
+            .cast("bigint")
+            .alias("e_jt2")
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return pairs.crossJoin(F.broadcast(e)).select(
+        "n",
+        "jt2",
+        "e_jt2",
+        (F.col("jt2") - F.col("e_jt2")).cast("bigint").alias("jt2_centered"),
+    )
+
+
+# -- X449 Page's trend test (ordered blocked alternative) --------------------
+#
+# Friedman (X422) asks "any difference across the k event types per
+# user-block?"; Page's L asks the sharper ordered question "do the
+# within-block ranks INCREASE along a hypothesized treatment order?".
+# Same unrolled-midrank machinery as X422 (2×midrank = 2·#less + #equal
+# + 1 — integers, no per-block sort), then L2 = Σ_j j·R2_j against its
+# null mean 2·E[L] = n·k(k+1)²/2... kept as the pair (l2_stat, e_l2)
+# of exact BIGINTs. One keyed conditional-count pass + bounded roll-up.
+
+def _page_oracle() -> str:
+    k = len(_FRIED_TYPES)
+    cnts = ", ".join(
+        f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT)"
+        f" AS c{i}"
+        for i, t in enumerate(_FRIED_TYPES)
+    )
+    r2 = []
+    for j in range(k):
+        less = " + ".join(
+            f"CASE WHEN c{i} < c{j} THEN 1 ELSE 0 END"
+            for i in range(k) if i != j
+        )
+        eq = " + ".join(
+            f"CASE WHEN c{i} = c{j} THEN 1 ELSE 0 END" for i in range(k)
+        )
+        r2.append(f"(2 * ({less}) + ({eq}) + 1)")
+    r2cols = ", ".join(f"{e} AS r2_{j}" for j, e in enumerate(r2))
+    rsums = ", ".join(
+        f"CAST(SUM(r2_{j}) AS BIGINT) AS rr{j}" for j in range(k)
+    )
+    l2 = " + ".join(f"{j + 1} * rr{j}" for j in range(k))
+    return f"""
+WITH u AS (
+  SELECT user_id, {cnts}
+  FROM events GROUP BY user_id),
+r AS (SELECT user_id, {r2cols} FROM u),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, {rsums} FROM r)
+SELECT n, {", ".join(f"rr{j}" for j in range(k))},
+       CAST({l2} AS BIGINT) AS l2_stat,
+       CAST(n * {k} * {(k + 1) ** 2} // 2 AS BIGINT) AS e_l2
+FROM s
+"""
+
+
+@query("q_ml_page_trend", _page_oracle())
+def q_ml_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = len(_FRIED_TYPES)
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i, t in enumerate(_FRIED_TYPES)
+        ]
+    )
+    r2cols = []
+    for j in range(k):
+        less = None
+        for i in range(k):
+            if i == j:
+                continue
+            term = F.when(F.col(f"c{i}") < F.col(f"c{j}"), 1).otherwise(0)
+            less = term if less is None else less + term
+        eq = None
+        for i in range(k):
+            term = F.when(F.col(f"c{i}") == F.col(f"c{j}"), 1).otherwise(0)
+            eq = term if eq is None else eq + term
+        r2cols.append((2 * less + eq + 1).alias(f"r2_{j}"))
+    r = u.select(*r2cols)
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(f"r2_{j}").cast("bigint").alias(f"rr{j}")
+            for j in range(k)
+        ],
+    )
+    l2 = None
+    for j in range(k):
+        term = (j + 1) * F.col(f"rr{j}")
+        l2 = term if l2 is None else l2 + term
+    return s.select(
+        "n",
+        *[f"rr{j}" for j in range(k)],
+        l2.cast("bigint").alias("l2_stat"),
+        F.expr(f"CAST(n * {k} * {(k + 1) ** 2} DIV 2 AS BIGINT)").alias(
+            "e_l2"
+        ),
+    )
+
+
+# -- X450 Cohen's d effect size (pooled SD) ----------------------------------
+#
+# The missing companion to the test-statistic stack: HOW BIG is the
+# click-vs-view difference in per-event value, in SD units. Exactness:
+# values quantize to integer cents at the scan, all four moments are
+# exact BIGINT/DECIMAL sums, and the final d assembles through one
+# deterministic double expression tree (dec_to_double on the
+# non-negative sum-of-squares pieces; single sqrt/division — identical
+# IEEE ops in both engines). One conditional-moment pass over the facts.
+
+_COHEND_ORACLE = f"""
+WITH m AS (
+  SELECT CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n1,
+         CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) END)
+              AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) END)
+              AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                            * CAST(ROUND(value * 100) AS BIGINT) END)
+              AS DECIMAL(38,0)) AS q1,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                            * CAST(ROUND(value * 100) AS BIGINT) END)
+              AS DECIMAL(38,0)) AS q2
+  FROM events)
+SELECT n1, n2, s1, s2,
+       (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+         / sqrt((
+             ({_sql_dec_to_double('CAST(q1 AS DECIMAL(38,0)) * n1'
+                                  ' - CAST(s1 AS DECIMAL(38,0)) * s1')} / n1
+              + {_sql_dec_to_double('CAST(q2 AS DECIMAL(38,0)) * n2'
+                                    ' - CAST(s2 AS DECIMAL(38,0)) * s2')} / n2)
+             / (n1 + n2 - 2))) AS cohens_d
+FROM m
+"""
+
+
+@query("q_ml_cohens_d", _COHEND_ORACLE)
+def q_ml_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    m = ev.agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("bigint")
+        .alias("n1"),
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("event_type") == "click", cents))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("event_type") == "view", cents))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(F.when(F.col("event_type") == "click", cents * cents))
+        .cast("decimal(38,0)")
+        .alias("q1"),
+        F.sum(F.when(F.col("event_type") == "view", cents * cents))
+        .cast("decimal(38,0)")
+        .alias("q2"),
+    )
+    # n·Σx² − (Σx)² = n·(n−1)·s² in cents² — non-negative by Cauchy-Schwarz,
+    # so dec_to_double applies directly.
+    ss1 = dec_to_double(
+        (F.col("q1") * F.col("n1") - F.col("s1").cast("decimal(38,0)") * F.col("s1"))
+        .cast("decimal(38,0)")
+    )
+    ss2 = dec_to_double(
+        (F.col("q2") * F.col("n2") - F.col("s2").cast("decimal(38,0)") * F.col("s2"))
+        .cast("decimal(38,0)")
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    return m.select(
+        "n1",
+        "n2",
+        "s1",
+        "s2",
+        (
+            (F.col("s1").cast("double") / n1d - F.col("s2").cast("double") / n2d)
+            / F.sqrt(
+                (ss1 / n1d + ss2 / n2d) / (F.col("n1") + F.col("n2") - 2)
+            )
+        ).alias("cohens_d"),
+    )
+
+
+# -- X451 Goodman-Kruskal gamma (ordinal association) ------------------------
+#
+# The ordinal-vs-ordinal association the chi-square family can't see:
+# gamma = (C − D)/(C + D) over concordant/discordant pairs of
+# (quantity decile, linenumber). Both variables live on BOUNDED ordinal
+# grids, so the fact scan collapses to a ≤ 6×7-cell contingency table
+# in one keyed pass and the pair counting is a bounded self-join of
+# cells (n_ij · n_kl with i<k,j<l concordant; i<k,j>l discordant) —
+# exact BIGINTs at any SF, never row pairs.
+
+_GKGAMMA_ORACLE = """
+WITH cells AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) // 10 AS qd,
+         CAST(l_linenumber AS BIGINT) AS ln,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2),
+cd AS (
+  SELECT
+    CAST(SUM(CASE WHEN a.qd < b.qd AND a.ln < b.ln
+                  THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc,
+    CAST(SUM(CASE WHEN a.qd < b.qd AND a.ln > b.ln
+                  THEN a.c * b.c ELSE 0 END) AS BIGINT) AS disc
+  FROM cells a JOIN cells b ON NOT (a.qd = b.qd AND a.ln = b.ln))
+SELECT conc, disc,
+       CAST(conc - disc AS DOUBLE) / (conc + disc) AS gk_gamma
+FROM cd
+"""
+
+
+@query("q_ml_gk_gamma", _GKGAMMA_ORACLE)
+def q_ml_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT) DIV 10").alias("qd"),
+        F.col("l_linenumber").cast("bigint").alias("ln"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a, b = cells.alias("a"), cells.alias("b")
+    cd = a.join(
+        F.broadcast(b),
+        ~((F.col("a.qd") == F.col("b.qd")) & (F.col("a.ln") == F.col("b.ln"))),
+    ).agg(
+        F.sum(
+            F.when(
+                (F.col("a.qd") < F.col("b.qd")) & (F.col("a.ln") < F.col("b.ln")),
+                F.col("a.c") * F.col("b.c"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("a.qd") < F.col("b.qd")) & (F.col("a.ln") > F.col("b.ln")),
+                F.col("a.c") * F.col("b.c"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("disc"),
+    )
+    return cd.select(
+        "conc",
+        "disc",
+        (
+            (F.col("conc") - F.col("disc")).cast("double")
+            / (F.col("conc") + F.col("disc"))
+        ).alias("gk_gamma"),
+    )
+
+
+# -- X454 precision/recall@k (retrieval eval) --------------------------------
+#
+# The set-overlap half of the ranking-eval stack (NDCG X?? and MRR read
+# graded/first-hit quality; P@k / R@k read the raw retrieved-set
+# quality): per order, "retrieved" = the k highest-priced lineitems,
+# "relevant" = quantity ≥ 10. Exact integer ppm per query, exact roll-up
+# by priority. One windowed rank inside the order partition (keyed — the
+# natural 100 TB shape), one conditional aggregate, broadcast join to
+# the orders dim.
+
+_PRK_K = 5
+
+_PRK_ORACLE = f"""
+WITH r AS (
+  SELECT l_orderkey,
+         CASE WHEN CAST(ROUND(l_quantity) AS BIGINT) >= 10
+              THEN 1 ELSE 0 END AS rel,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber)
+           AS rk
+  FROM lineitem),
+per_q AS (
+  SELECT l_orderkey,
+         CAST(SUM(CASE WHEN rk <= {_PRK_K} THEN rel ELSE 0 END) AS BIGINT)
+           AS hits,
+         CAST(SUM(rel) AS BIGINT) AS n_rel
+  FROM r GROUP BY l_orderkey),
+scored AS (
+  SELECT l_orderkey,
+         hits * 1000000 // {_PRK_K} AS p_ppm,
+         CASE WHEN n_rel > 0 THEN hits * 1000000 // n_rel END AS r_ppm
+  FROM per_q)
+SELECT o.o_orderpriority AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(s.p_ppm) AS BIGINT) AS sum_p_ppm,
+       CAST(SUM(s.r_ppm) AS BIGINT) AS sum_r_ppm,
+       CAST(COUNT(s.r_ppm) AS BIGINT) AS n_with_rel
+FROM scored s JOIN orders o ON o.o_orderkey = s.l_orderkey
+GROUP BY pri
+"""
+
+
+@query("q_ml_precision_recall_at_k", _PRK_ORACLE)
+def q_ml_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    r = li.select(
+        "l_orderkey",
+        F.when(F.expr("CAST(ROUND(l_quantity) AS BIGINT) >= 10"), 1)
+        .otherwise(0)
+        .alias("rel"),
+        F.row_number().over(w).alias("rk"),
+    )
+    per_q = r.groupBy("l_orderkey").agg(
+        F.sum(F.when(F.col("rk") <= _PRK_K, F.col("rel")).otherwise(0))
+        .cast("bigint")
+        .alias("hits"),
+        F.sum("rel").cast("bigint").alias("n_rel"),
+    )
+    scored = per_q.select(
+        "l_orderkey",
+        F.expr(f"hits * 1000000 DIV {_PRK_K}").alias("p_ppm"),
+        F.when(
+            F.col("n_rel") > 0, F.expr("hits * 1000000 DIV n_rel")
+        ).alias("r_ppm"),
+    )
+    return (
+        scored.join(
+            o.select("o_orderkey", "o_orderpriority"),
+            scored["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum("p_ppm").cast("bigint").alias("sum_p_ppm"),
+            F.sum("r_ppm").cast("bigint").alias("sum_r_ppm"),
+            F.count("r_ppm").cast("bigint").alias("n_with_rel"),
+        )
+    )

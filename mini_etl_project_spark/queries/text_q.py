@@ -1858,3 +1858,232 @@ def q_text_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((m.cast("double") + F.lit(1.0)) * (m + 1) * (m + 2))
         ).alias("var_chapman"),
     )
+
+
+# -- X455 ROUGE-1 over document pairs -----------------------------------------
+#
+# The eval-side text metric every summarization/gen pipeline reports:
+# clipped unigram overlap between a candidate and a reference. Pairs are
+# (doc_id, doc_id+1) for doc_id % 50 == 0 — a deterministic sparse pair
+# set that scales with the corpus while staying a keyed equi-join (no
+# all-pairs anywhere). Overlap = Σ_w min(c_cand(w), c_ref(w)) via one
+# (pair, word)-keyed join of the two token-count tables; precision /
+# recall / F1 are exact integer ppm (F1 on counts = 2·ov/(len_c+len_r)).
+
+_ROUGE_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+_ROUGE_ORACLE = f"""
+WITH pairs AS (
+  SELECT c.doc_id AS pair_id, c.text AS ctext, r.text AS rtext
+  FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+  WHERE c.doc_id % 50 = 0),
+ct AS (
+  SELECT pair_id, UNNEST({_ROUGE_TOKS.replace('text', 'ctext')}) AS w
+  FROM pairs),
+rt AS (
+  SELECT pair_id, UNNEST({_ROUGE_TOKS.replace('text', 'rtext')}) AS w
+  FROM pairs),
+cc AS (SELECT pair_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM ct GROUP BY 1, 2),
+rc AS (SELECT pair_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM rt GROUP BY 1, 2),
+ov AS (
+  SELECT cc.pair_id, CAST(SUM(LEAST(cc.c, rc.c)) AS BIGINT) AS overlap
+  FROM cc JOIN rc ON rc.pair_id = cc.pair_id AND rc.w = cc.w
+  GROUP BY cc.pair_id),
+lens AS (
+  SELECT pair_id, LEN({_ROUGE_TOKS.replace('text', 'ctext')}) AS len_c,
+         LEN({_ROUGE_TOKS.replace('text', 'rtext')}) AS len_r
+  FROM pairs)
+SELECT l.pair_id,
+       CAST(l.len_c AS BIGINT) AS len_c,
+       CAST(l.len_r AS BIGINT) AS len_r,
+       CAST(COALESCE(ov.overlap, 0) AS BIGINT) AS overlap,
+       CAST(COALESCE(ov.overlap, 0) * 1000000 // l.len_c AS BIGINT) AS p_ppm,
+       CAST(COALESCE(ov.overlap, 0) * 1000000 // l.len_r AS BIGINT) AS r_ppm,
+       CAST(2 * COALESCE(ov.overlap, 0) * 1000000
+            // (l.len_c + l.len_r) AS BIGINT) AS f1_ppm
+FROM lens l LEFT JOIN ov ON ov.pair_id = l.pair_id
+"""
+
+
+@query("q_text_rouge1_pairs", _ROUGE_ORACLE)
+def q_text_rouge1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cand = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("pair_id"), F.col("text").alias("ctext")
+    )
+    ref = d.select(
+        (F.col("doc_id") - 1).alias("pair_id"), F.col("text").alias("rtext")
+    )
+    pairs = cand.join(ref, "pair_id")
+    ct = pairs.select(
+        "pair_id", F.explode(tokens("ctext")).alias("w")
+    ).filter(F.col("w") != "")
+    rt = pairs.select(
+        "pair_id", F.explode(tokens("rtext")).alias("w")
+    ).filter(F.col("w") != "")
+    cc = ct.groupBy("pair_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    rc = rt.groupBy("pair_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rcnt")
+    )
+    ov = (
+        cc.join(rc, ["pair_id", "w"])
+        .groupBy("pair_id")
+        .agg(
+            F.sum(F.least(F.col("c"), F.col("rcnt")))
+            .cast("bigint")
+            .alias("overlap")
+        )
+    )
+    ntok = lambda col: F.size(  # noqa: E731
+        F.filter(tokens(col), lambda t: t != "")
+    )
+    lens = pairs.select(
+        "pair_id",
+        ntok("ctext").cast("bigint").alias("len_c"),
+        ntok("rtext").cast("bigint").alias("len_r"),
+    )
+    return lens.join(ov, "pair_id", "left").select(
+        "pair_id",
+        "len_c",
+        "len_r",
+        F.coalesce("overlap", F.lit(0)).cast("bigint").alias("overlap"),
+        F.expr(
+            "CAST(COALESCE(overlap, 0) * 1000000 DIV len_c AS BIGINT)"
+        ).alias("p_ppm"),
+        F.expr(
+            "CAST(COALESCE(overlap, 0) * 1000000 DIV len_r AS BIGINT)"
+        ).alias("r_ppm"),
+        F.expr(
+            "CAST(2 * COALESCE(overlap, 0) * 1000000"
+            " DIV (len_c + len_r) AS BIGINT)"
+        ).alias("f1_ppm"),
+    )
+
+
+# -- X456 BLEU modified n-gram precisions -------------------------------------
+#
+# The other half of the gen-eval pair: clipped (modified) n-gram
+# precisions p1/p2 over the same deterministic pair set, plus the exact
+# length ratio the brevity penalty reads (the exp() combine itself is
+# deliberately left to the caller — ln/exp are libm-dependent, see the
+# KL note in corpus_q). Bigrams build in-plan from the token array
+# (sequence+transform — JVM-side, no UDF); clipping is the same
+# (pair, gram)-keyed min-join as ROUGE.
+
+_BLEU_ORACLE = f"""
+WITH pairs AS (
+  SELECT c.doc_id AS pair_id, c.text AS ctext, r.text AS rtext
+  FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+  WHERE c.doc_id % 50 = 0),
+toks AS (
+  SELECT pair_id,
+         {_ROUGE_TOKS.replace('text', 'ctext')} AS ctoks,
+         {_ROUGE_TOKS.replace('text', 'rtext')} AS rtoks
+  FROM pairs),
+grams AS (
+  SELECT pair_id,
+         ctoks AS c1, rtoks AS r1,
+         list_transform(generate_series(1, LEN(ctoks) - 1),
+                        i -> ctoks[i] || ' ' || ctoks[i + 1]) AS c2,
+         list_transform(generate_series(1, LEN(rtoks) - 1),
+                        i -> rtoks[i] || ' ' || rtoks[i + 1]) AS r2
+  FROM toks),
+u AS (
+  SELECT pair_id, 1 AS n, UNNEST(c1) AS g, 'c' AS side FROM grams
+  UNION ALL
+  SELECT pair_id, 1, UNNEST(r1), 'r' FROM grams
+  UNION ALL
+  SELECT pair_id, 2, UNNEST(c2), 'c' FROM grams
+  UNION ALL
+  SELECT pair_id, 2, UNNEST(r2), 'r' FROM grams),
+cnt AS (
+  SELECT pair_id, n, g,
+         CAST(COUNT(CASE WHEN side = 'c' THEN 1 END) AS BIGINT) AS cc,
+         CAST(COUNT(CASE WHEN side = 'r' THEN 1 END) AS BIGINT) AS rc
+  FROM u GROUP BY 1, 2, 3),
+agg AS (
+  SELECT pair_id, n,
+         CAST(SUM(LEAST(cc, rc)) AS BIGINT) AS clipped,
+         CAST(SUM(cc) AS BIGINT) AS total_c
+  FROM cnt GROUP BY 1, 2),
+lens AS (
+  SELECT pair_id, LEN(c1) AS len_c, LEN(r1) AS len_r FROM grams)
+SELECT a.pair_id, a.n, a.clipped, a.total_c,
+       CAST(a.clipped * 1000000 // a.total_c AS BIGINT) AS p_ppm,
+       CAST(l.len_c * 1000000 // l.len_r AS BIGINT) AS len_ratio_ppm
+FROM agg a JOIN lens l ON l.pair_id = a.pair_id
+WHERE a.total_c > 0
+"""
+
+
+@query("q_text_bleu_precisions", _BLEU_ORACLE)
+def q_text_bleu_precisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cand = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("pair_id"), F.col("text").alias("ctext")
+    )
+    ref = d.select(
+        (F.col("doc_id") - 1).alias("pair_id"), F.col("text").alias("rtext")
+    )
+    clean = lambda col: F.filter(tokens(col), lambda t: t != "")  # noqa: E731
+
+    def bigrams(arr):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+            ),
+        )
+
+    grams = cand.join(ref, "pair_id").select(
+        "pair_id",
+        clean("ctext").alias("c1"),
+        clean("rtext").alias("r1"),
+    ).select(
+        "pair_id",
+        "c1",
+        "r1",
+        bigrams(F.col("c1")).alias("c2"),
+        bigrams(F.col("r1")).alias("r2"),
+    )
+    u = None
+    for n, cc, rc in ((1, "c1", "r1"), (2, "c2", "r2")):
+        for side, col in (("c", cc), ("r", rc)):
+            part = grams.select(
+                "pair_id",
+                F.lit(n).alias("n"),
+                F.explode(col).alias("g"),
+                F.lit(side).alias("side"),
+            )
+            u = part if u is None else u.unionByName(part)
+    cnt = u.groupBy("pair_id", "n", "g").agg(
+        F.count(F.when(F.col("side") == "c", 1)).cast("bigint").alias("cc"),
+        F.count(F.when(F.col("side") == "r", 1)).cast("bigint").alias("rc"),
+    )
+    agg = cnt.groupBy("pair_id", "n").agg(
+        F.sum(F.least("cc", "rc")).cast("bigint").alias("clipped"),
+        F.sum("cc").cast("bigint").alias("total_c"),
+    )
+    lens = grams.select(
+        "pair_id",
+        F.size("c1").cast("bigint").alias("len_c"),
+        F.size("r1").cast("bigint").alias("len_r"),
+    )
+    return (
+        agg.join(lens, "pair_id")
+        .filter(F.col("total_c") > 0)
+        .select(
+            "pair_id",
+            "n",
+            "clipped",
+            "total_c",
+            F.expr("CAST(clipped * 1000000 DIV total_c AS BIGINT)").alias(
+                "p_ppm"
+            ),
+            F.expr("CAST(len_c * 1000000 DIV len_r AS BIGINT)").alias(
+                "len_ratio_ppm"
+            ),
+        )
+    )

@@ -4561,3 +4561,336 @@ def q_ts_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mean / std).alias("sharpe"),
         (mean / dstd).alias("sortino"),
     )
+
+
+# -- X452 autocorrelation function (bounded daily series) --------------------
+#
+# ACF at lags 1..7 over the daily revenue series. The facts collapse to a
+# BOUNDED ≤31-row day table (integer cents) in one keyed pass; the lagged
+# products then live entirely on that bounded table (unpartitioned window
+# over ≤31 rows — the house-allowed shape). Exactness: with S = Σr and
+# n days, rho_k = Σ_t (n·r_t − S)(n·r_{t+k} − S) / Σ_t (n·r_t − S)² —
+# every factor an exact DECIMAL(38,0) integer (n·r ~ 3e9, products ~1e19,
+# sums ~1e21 — inside 38 digits with room to 100 TB cents), and the final
+# ratio is one sign-split decimal→double per side.
+
+_ACF_LAGS = 7
+
+_ACF_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM events GROUP BY day),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS sr
+  FROM d),
+c AS (
+  SELECT d.day, CAST(s.n * d.r - s.sr AS DECIMAL(38,0)) AS dev, s.n
+  FROM d, s),
+den AS (
+  SELECT CAST(SUM(dev * dev) AS DECIMAL(38,0)) AS d0 FROM c),
+lags AS (
+  SELECT l.l AS lag,
+         CAST(SUM(a.dev * b.dev) AS DECIMAL(38,0)) AS num,
+         MIN(a.n) AS n
+  FROM unnest(generate_series(1, {_ACF_LAGS})) l(l)
+  JOIN c a ON TRUE
+  JOIN c b ON b.day = a.day + l.l
+  GROUP BY l.l)
+SELECT lags.lag, lags.n,
+       CASE WHEN lags.num < 0 THEN -1.0 ELSE 1.0 END
+         * {{abs_num}} / {{abs_den}} AS rho
+FROM lags, den
+ORDER BY lags.lag
+"""
+
+
+def _acf_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    return _ACF_ORACLE.format(
+        abs_num=sql_dec_to_double("ABS(lags.num)"),
+        abs_den=sql_dec_to_double("den.d0"),
+    )
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofyear("ts").cast("bigint").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("r")
+    )
+
+
+@query("q_ts_acf", _acf_oracle())
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    d = _daily_cents(spark, sf_dir)
+    s = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("sr"),
+    )
+    c = d.crossJoin(F.broadcast(s)).select(
+        "day",
+        (F.col("n") * F.col("r") - F.col("sr"))
+        .cast("decimal(38,0)")
+        .alias("dev"),
+        "n",
+    )
+    den = c.agg(
+        F.sum(F.col("dev") * F.col("dev"))
+        .cast("decimal(38,0)")
+        .alias("d0")
+    )
+    lag_ids = spark.range(1, _ACF_LAGS + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    a = c.alias("a")
+    b = c.select(
+        F.col("day").alias("bday"), F.col("dev").alias("bdev")
+    ).alias("b")
+    lags = (
+        F.broadcast(lag_ids)
+        .join(a, F.lit(True))
+        .join(b, F.col("bday") == F.col("a.day") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("a.dev") * F.col("bdev"))
+            .cast("decimal(38,0)")
+            .alias("num"),
+            F.min("a.n").alias("n"),
+        )
+    )
+    return (
+        lags.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n",
+            (
+                F.when(F.col("num") < 0, -1.0).otherwise(1.0)
+                * dec_to_double(F.abs(F.col("num")))
+                / dec_to_double(F.col("d0"))
+            ).alias("rho"),
+        )
+        .orderBy("lag")
+    )
+
+
+# -- X453 Ljung-Box portmanteau test ------------------------------------------
+#
+# "Is the daily series white noise?" — Q = n(n+2) Σ_{k≤h} rho_k²/(n−k)
+# over the X452 autocorrelations. The per-lag terms are the same
+# exact-rational rho construction; the h=7-term sum goes through the
+# exact-decimal double sum (dsum semantics) so the engines agree on the
+# accumulation. Everything downstream of the one fact pass is bounded.
+
+def _ljung_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    rho = (
+        "CASE WHEN lags.num < 0 THEN -1.0 ELSE 1.0 END * "
+        + sql_dec_to_double("ABS(lags.num)")
+        + " / "
+        + sql_dec_to_double("den.d0")
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM events GROUP BY day),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS sr
+      FROM d),
+c AS (SELECT d.day, CAST(s.n * d.r - s.sr AS DECIMAL(38,0)) AS dev, s.n
+      FROM d, s),
+den AS (SELECT CAST(SUM(dev * dev) AS DECIMAL(38,0)) AS d0 FROM c),
+lags AS (
+  SELECT l.l AS lag,
+         CAST(SUM(a.dev * b.dev) AS DECIMAL(38,0)) AS num,
+         MIN(a.n) AS n
+  FROM unnest(generate_series(1, {_ACF_LAGS})) l(l)
+  JOIN c a ON TRUE
+  JOIN c b ON b.day = a.day + l.l
+  GROUP BY l.l),
+terms AS (
+  SELECT lags.n,
+         ({rho}) * ({rho}) / (lags.n - lags.lag) AS term
+  FROM lags, den)
+SELECT MIN(n) AS n, CAST({_ACF_LAGS} AS BIGINT) AS h,
+       CAST(MIN(n) AS DOUBLE) * (MIN(n) + 2)
+         * CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE) AS q_stat
+FROM terms
+"""
+
+
+@query("q_ts_ljung_box", _ljung_oracle())
+def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import DEC, dec_to_double
+
+    d = _daily_cents(spark, sf_dir)
+    s = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("sr"),
+    )
+    c = d.crossJoin(F.broadcast(s)).select(
+        "day",
+        (F.col("n") * F.col("r") - F.col("sr"))
+        .cast("decimal(38,0)")
+        .alias("dev"),
+        "n",
+    )
+    den = c.agg(
+        F.sum(F.col("dev") * F.col("dev")).cast("decimal(38,0)").alias("d0")
+    )
+    lag_ids = spark.range(1, _ACF_LAGS + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    a = c.alias("a")
+    b = c.select(
+        F.col("day").alias("bday"), F.col("dev").alias("bdev")
+    ).alias("b")
+    lags = (
+        F.broadcast(lag_ids)
+        .join(a, F.lit(True))
+        .join(b, F.col("bday") == F.col("a.day") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("a.dev") * F.col("bdev"))
+            .cast("decimal(38,0)")
+            .alias("num"),
+            F.min("a.n").alias("n"),
+        )
+    )
+    rho = (
+        F.when(F.col("num") < 0, -1.0).otherwise(1.0)
+        * dec_to_double(F.abs(F.col("num")))
+        / dec_to_double(F.col("d0"))
+    )
+    terms = lags.crossJoin(F.broadcast(den)).select(
+        "n", (rho * rho / (F.col("n") - F.col("lag"))).alias("term")
+    )
+    return terms.agg(
+        F.min("n").alias("n"),
+        F.lit(_ACF_LAGS).cast("bigint").alias("h"),
+        (
+            F.min("n").cast("double")
+            * (F.min("n") + 2)
+            * F.sum(F.col("term").cast(DEC)).cast("double")
+        ).alias("q_stat"),
+    )
+
+
+# -- X457 Markov transition matrix (sequence modeling) ------------------------
+#
+# First-order event-type transition estimates over per-user sessions:
+# the building block for next-action models and synthetic-sequence QA.
+# The lag lives INSIDE the user partition (keyed window — the natural
+# distributed shape; no global ordering anywhere), ties on ts pinned by
+# event_id. Row-normalized probabilities are exact integer ppm.
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+t AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type),
+r AS (
+  SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS row_total
+  FROM t GROUP BY prev_type)
+SELECT t.prev_type, t.next_type, t.n_trans, r.row_total,
+       CAST(t.n_trans * 1000000 // r.row_total AS BIGINT) AS p_ppm
+FROM t JOIN r ON r.prev_type = t.prev_type
+"""
+
+
+@query("q_ts_markov_transitions", _MARKOV_ORACLE)
+def q_ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    t = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    )
+    r = t.groupBy(F.col("prev_type").alias("rp")).agg(
+        F.sum("n_trans").cast("bigint").alias("row_total")
+    )
+    return t.join(F.broadcast(r), t["prev_type"] == F.col("rp")).select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        "row_total",
+        F.expr("CAST(n_trans * 1000000 DIV row_total AS BIGINT)").alias(
+            "p_ppm"
+        ),
+    )
+
+
+# -- X458 EWMA over the bounded daily series ----------------------------------
+#
+# Exponentially-weighted moving average — the recursive fold every
+# monitoring stack runs. The recursion is inherently ordered, so it runs
+# as a SEQUENTIAL double fold over the bounded ≤31-element daily array
+# (array_sort + slice/aggregate in Spark; list_sort + list_reduce in
+# DuckDB — both left folds seeded with the first element, so the doubles
+# are bit-identical). The fact scan itself stays one keyed aggregate;
+# only the bounded series is folded.
+
+_EWMA_ORACLE = """
+WITH d AS (
+  SELECT CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM events GROUP BY day),
+arr AS (
+  SELECT list(CAST(r AS DOUBLE) ORDER BY day) AS xs,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(MAX(day) AS BIGINT) AS last_day
+  FROM d)
+SELECT n_days, last_day,
+       list_reduce(xs, (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma_03,
+       list_reduce(xs, (acc, x) -> 0.1 * x + 0.9 * acc) AS ewma_01
+FROM arr
+"""
+
+
+@query("q_ts_ewma_daily", _EWMA_ORACLE)
+def q_ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_cents(spark, sf_dir)
+    arr = d.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("day"), F.col("r").cast("double").alias("rv"))
+            )
+        ).alias("pairs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("day").cast("bigint").alias("last_day"),
+    ).select(
+        "n_days",
+        "last_day",
+        F.transform("pairs", lambda p: p["rv"]).alias("xs"),
+    )
+
+    def _ewma(alpha: float):
+        return F.aggregate(
+            F.slice(F.col("xs"), 2, 100000),
+            F.element_at(F.col("xs"), 1),
+            lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+        )
+
+    return arr.select(
+        "n_days",
+        "last_day",
+        _ewma(0.3).alias("ewma_03"),
+        _ewma(0.1).alias("ewma_01"),
+    )

@@ -51,3 +51,21 @@ def test_oracle_names_subset_and_unique():
     and registration raised on duplicates (the X204 shadowing class)."""
     orphans = sorted(set(ORACLES) - set(QUERIES))
     assert not orphans, f"oracle SQL with no registered query: {orphans}"
+
+
+def test_coverage_doc_names_resolve():
+    """Every `q_*` name cited in COVERAGE.md resolves to a registered
+    query — a doc/registry drift (rename, removal) can't sit silently
+    behind a stale inventory row (the X204 lesson, doc side)."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "COVERAGE.md")).read()
+    cited = {
+        n for n in re.findall(r"\bq_[a-z0-9_]+", text) if not n.endswith("_")
+    }  # drop glob artifacts like `q_stream_*`
+    # Documented env-gated registrations (absent in this container):
+    gated = {"q_stream_stateful_v2"}  # protobuf-gated, streaming_q.py:411
+    missing = sorted(n for n in cited - gated if n not in QUERIES)
+    assert not missing, f"COVERAGE.md cites unregistered queries: {missing}"

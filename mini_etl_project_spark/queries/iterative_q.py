@@ -1574,3 +1574,77 @@ def q_graph_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_edges") * F.lit(1000000.0))
         ).alias("hop2_mean_qty"),
     )
+
+
+# -- X460 eigenvector centrality (integer power iteration) -------------------
+#
+# The prestige read-out PageRank approximates with teleportation removed:
+# v_{t+1} = A v_t over the UNDIRECTED trade graph. Portability comes from
+# staying in exact integers: v_0 = 1 for every node and NO per-round
+# normalization — values grow like (max degree)^t, which for the ≤25-node
+# nation graph over 4 rounds stays far inside BIGINT — and only the final
+# read-out quantizes to ppm of the max (floor DIV, smallest-name
+# tie-break irrelevant since max is a scalar). Each round is one
+# edges⋈labels join + keyed sum — identical shape to the PageRank
+# operator; the oracle unrolls the same four rounds as chained CTEs.
+
+_EIG_ROUNDS = 4
+
+_EIG_EDGES_SQL = f"""
+  SELECT src, dst FROM ({_PR_EDGES_SQL})
+  UNION
+  SELECT dst, src FROM ({_PR_EDGES_SQL})
+"""
+
+
+def _eig_iter_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT e.dst AS node, CAST(SUM(p.v) AS BIGINT) AS v
+  FROM eedges e JOIN {prev} p ON p.node = e.src
+  GROUP BY e.dst)"""
+
+
+_EIG_ORACLE = f"""
+WITH eedges AS ({_EIG_EDGES_SQL}),
+nodes AS (SELECT DISTINCT src AS node FROM eedges),
+v0 AS (SELECT node, CAST(1 AS BIGINT) AS v FROM nodes),
+{_eig_iter_sql('v0', 'v1')},
+{_eig_iter_sql('v1', 'v2')},
+{_eig_iter_sql('v2', 'v3')},
+{_eig_iter_sql('v3', 'v4')},
+mx AS (SELECT MAX(v) AS m FROM v4)
+SELECT v4.node, v4.v AS score_raw,
+       CAST(v4.v * 1000000 // mx.m AS BIGINT) AS score_ppm
+FROM v4, mx
+"""
+
+
+@query("q_graph_eigenvector", _EIG_ORACLE)
+def q_graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    directed = _trade_edges(spark, sf_dir)
+    edges = (
+        directed.unionByName(
+            directed.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # 4 consumers: one per round
+    )
+    v = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("v", F.lit(1).cast("bigint"))
+    )
+    for _ in range(_EIG_ROUNDS):
+        v = (
+            edges.join(v, edges["src"] == v["node"])
+            .groupBy(edges["dst"].alias("node"))
+            .agg(F.sum("v").cast("bigint").alias("v"))
+        )
+    mx = v.agg(F.max("v").alias("m"))
+    return v.crossJoin(F.broadcast(mx)).select(
+        "node",
+        F.col("v").alias("score_raw"),
+        F.expr("CAST(v * 1000000 DIV m AS BIGINT)").alias("score_ppm"),
+    )

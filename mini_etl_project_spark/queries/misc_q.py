@@ -2554,3 +2554,106 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, cents, n, avg_cents_floor
         """
     )
+
+
+# -- X459 Hilbert-curve layout key ------------------------------------------
+#
+# The locality-superior sibling of Z-order (X169): the Hilbert curve
+# visits every cell of the 2^k × 2^k grid through unit steps only, so a
+# contiguous key range is always a CONNECTED region — tighter file
+# bounding boxes than Morton at the same block size, which is why
+# Delta/Iceberg offer it for multi-dimensional clustering. The xy2d
+# walk (k=8 levels) unrolls into a chain of pure integer CASE/shift
+# projections — identical arithmetic in both engines, no recursion at
+# runtime — and the output aggregates per 4096-key block: count + cell
+# bounding box, the stats a scan planner prunes on. Property pinned by
+# tests/test_round8b.py: consecutive keys are Manhattan-adjacent.
+
+_HIL_BITS = 8  # 256 x 256 grid
+
+
+def _hilbert_steps_sql() -> str:
+    """Chained CTE levels l0..l{k} computing (x, y, d) — the unrolled
+    xy2d walk; s halves per level, reflect+swap when ry = 0."""
+    steps = []
+    prev = "pts"
+    for i in range(_HIL_BITS):
+        s = 1 << (_HIL_BITS - 1 - i)
+        cur = f"l{i}"
+        steps.append(f"""{cur} AS (
+  SELECT id,
+         CASE WHEN (y & {s}) = 0
+              THEN CASE WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END
+              ELSE x END AS x,
+         CASE WHEN (y & {s}) = 0
+              THEN CASE WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END
+              ELSE y END AS y,
+         d + {s * s} * (CASE WHEN (x & {s}) = 0
+                             THEN CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END
+                             WHEN (y & {s}) = 0 THEN 3 ELSE 2 END) AS d,
+         cx, cy
+  FROM {prev})""")
+        prev = cur
+    return ",\n".join(steps), prev
+
+
+_HIL_CTES, _HIL_LAST = _hilbert_steps_sql()
+
+_HILBERT_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         CAST((c_custkey * 7919) % 256 AS BIGINT) AS x,
+         CAST((c_custkey * 104729) % 256 AS BIGINT) AS y,
+         CAST((c_custkey * 7919) % 256 AS BIGINT) AS cx,
+         CAST((c_custkey * 104729) % 256 AS BIGINT) AS cy,
+         CAST(0 AS BIGINT) AS d
+  FROM customer),
+{_HIL_CTES}
+SELECT d // 4096 AS hblock,
+       COUNT(*) AS n_points,
+       MIN(cx) AS min_x, MAX(cx) AS max_x,
+       MIN(cy) AS min_y, MAX(cy) AS max_y
+FROM {_HIL_LAST} GROUP BY 1
+"""
+
+
+@query("q_layout_hilbert", _HILBERT_ORACLE)
+def q_layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cur = c.select(
+        F.col("c_custkey").alias("id"),
+        F.expr("CAST((c_custkey * 7919) % 256 AS BIGINT)").alias("x"),
+        F.expr("CAST((c_custkey * 104729) % 256 AS BIGINT)").alias("y"),
+        F.expr("CAST((c_custkey * 7919) % 256 AS BIGINT)").alias("cx"),
+        F.expr("CAST((c_custkey * 104729) % 256 AS BIGINT)").alias("cy"),
+        F.lit(0).cast("bigint").alias("d"),
+    )
+    for i in range(_HIL_BITS):
+        s = 1 << (_HIL_BITS - 1 - i)
+        cur = cur.select(
+            "id",
+            F.expr(
+                f"CASE WHEN (y & {s}) = 0"
+                f" THEN CASE WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END"
+                f" ELSE x END"
+            ).alias("x"),
+            F.expr(
+                f"CASE WHEN (y & {s}) = 0"
+                f" THEN CASE WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END"
+                f" ELSE y END"
+            ).alias("y"),
+            F.expr(
+                f"d + {s * s} * (CASE WHEN (x & {s}) = 0"
+                f" THEN CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END"
+                f" WHEN (y & {s}) = 0 THEN 3 ELSE 2 END)"
+            ).alias("d"),
+            "cx",
+            "cy",
+        )
+    return cur.groupBy(F.expr("d DIV 4096").alias("hblock")).agg(
+        F.count("*").alias("n_points"),
+        F.min("cx").alias("min_x"),
+        F.max("cx").alias("max_x"),
+        F.min("cy").alias("min_y"),
+        F.max("cy").alias("max_y"),
+    )

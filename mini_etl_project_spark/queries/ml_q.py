@@ -8985,3 +8985,74 @@ def q_ml_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("r_ppm").cast("bigint").alias("n_with_rel"),
         )
     )
+
+
+# -- X463 Tukey fences (IQR outlier audit) ------------------------------------
+#
+# The box-plot outlier rule as a per-group audit: Q1/Q3 by linear
+# interpolation (Spark percentile ≡ DuckDB quantile_cont — same
+# definition, and on integer-cents inputs the interpolated value is
+# a + frac·(b−a) with frac ∈ {0, .25, .5, .75}: one exact subtraction,
+# one exact-dyadic multiply, one add — identical IEEE doubles), fences
+# at 1.5·IQR, outlier counts as exact BIGINTs. Two passes over the
+# facts (quantiles, then a broadcast-joined conditional count) — the
+# same shape the R16 outlier clamp already runs at scale.
+
+_TUKEY_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.25) AS q1,
+         quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.75) AS q3,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type)
+SELECT q.event_type, q.q1, q.q3, q.n,
+       CAST((SELECT COUNT(*) FROM events e
+             WHERE e.event_type = q.event_type
+               AND CAST(ROUND(e.value * 100) AS BIGINT)
+                   < q.q1 - 1.5 * (q.q3 - q.q1)) AS BIGINT) AS n_low,
+       CAST((SELECT COUNT(*) FROM events e
+             WHERE e.event_type = q.event_type
+               AND CAST(ROUND(e.value * 100) AS BIGINT)
+                   > q.q3 + 1.5 * (q.q3 - q.q1)) AS BIGINT) AS n_high
+FROM q
+"""
+
+
+@query("q_ml_tukey_fences", _TUKEY_ORACLE)
+def q_ml_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    q = ev.groupBy("event_type").agg(
+        F.percentile(cents, 0.25).alias("q1"),
+        F.percentile(cents, 0.75).alias("q3"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    scored = ev.select("event_type", cents.alias("cents")).join(
+        F.broadcast(
+            q.select(
+                F.col("event_type").alias("qt"), "q1", "q3"
+            )
+        ),
+        F.col("event_type") == F.col("qt"),
+    )
+    counts = scored.groupBy("event_type").agg(
+        F.count(
+            F.when(
+                F.col("cents") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("n_low"),
+        F.count(
+            F.when(
+                F.col("cents") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("n_high"),
+    )
+    return q.join(counts, "event_type").select(
+        "event_type", "q1", "q3", "n", "n_low", "n_high"
+    )

@@ -2087,3 +2087,105 @@ def q_text_bleu_precisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- X461 chrF character n-gram F-score ---------------------------------------
+#
+# The tokenizer-free third leg of the gen-eval stack (ROUGE-1 X455 /
+# BLEU X456 read word overlap; chrF reads character 3-gram overlap, the
+# metric of choice for morphology-rich and unsegmented languages). Same
+# deterministic sparse pair set; multiset (non-distinct) char 3-grams
+# built in-plan via sequence+substring; clipped overlap through the same
+# (pair, gram)-keyed min-join; chrF's beta=2 F-score reduces to EXACT
+# integer ppm: F2 = 5·PR/(4P+R) = 5·ov/(4·len_r + len_c).
+
+_CHRF_N = 3
+
+
+def _char_grams_sql(col: str) -> str:
+    return (
+        f"list_transform(generate_series(1, LENGTH({col}) - {_CHRF_N - 1}),"
+        f" i -> substr({col}, i, {_CHRF_N}))"
+    )
+
+
+_CHRF_ORACLE = f"""
+WITH pairs AS (
+  SELECT c.doc_id AS pair_id, c.text AS ctext, r.text AS rtext
+  FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+  WHERE c.doc_id % 50 = 0),
+u AS (
+  SELECT pair_id, UNNEST({_char_grams_sql('ctext')}) AS g, 'c' AS side
+  FROM pairs
+  UNION ALL
+  SELECT pair_id, UNNEST({_char_grams_sql('rtext')}), 'r' FROM pairs),
+cnt AS (
+  SELECT pair_id, g,
+         CAST(COUNT(CASE WHEN side = 'c' THEN 1 END) AS BIGINT) AS cc,
+         CAST(COUNT(CASE WHEN side = 'r' THEN 1 END) AS BIGINT) AS rc
+  FROM u GROUP BY 1, 2),
+agg AS (
+  SELECT pair_id,
+         CAST(SUM(LEAST(cc, rc)) AS BIGINT) AS overlap,
+         CAST(SUM(cc) AS BIGINT) AS len_c,
+         CAST(SUM(rc) AS BIGINT) AS len_r
+  FROM cnt GROUP BY pair_id)
+SELECT pair_id, overlap, len_c, len_r,
+       CAST(overlap * 1000000 // len_c AS BIGINT) AS p_ppm,
+       CAST(overlap * 1000000 // len_r AS BIGINT) AS r_ppm,
+       CAST(5 * overlap * 1000000 // (4 * len_r + len_c) AS BIGINT)
+         AS chrf2_ppm
+FROM agg
+"""
+
+
+@query("q_text_chrf_pairs", _CHRF_ORACLE)
+def q_text_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cand = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("pair_id"), F.col("text").alias("ctext")
+    )
+    ref = d.select(
+        (F.col("doc_id") - 1).alias("pair_id"), F.col("text").alias("rtext")
+    )
+
+    def grams(col):
+        c = F.col(col)
+        return F.transform(
+            F.sequence(F.lit(1), F.length(c) - (_CHRF_N - 1)),
+            lambda i: F.substring(c, i, _CHRF_N),
+        )
+
+    pairs = cand.join(ref, "pair_id")
+    u = (
+        pairs.select(
+            "pair_id", F.explode(grams("ctext")).alias("g"),
+            F.lit("c").alias("side"),
+        )
+        .unionByName(
+            pairs.select(
+                "pair_id", F.explode(grams("rtext")).alias("g"),
+                F.lit("r").alias("side"),
+            )
+        )
+    )
+    cnt = u.groupBy("pair_id", "g").agg(
+        F.count(F.when(F.col("side") == "c", 1)).cast("bigint").alias("cc"),
+        F.count(F.when(F.col("side") == "r", 1)).cast("bigint").alias("rc"),
+    )
+    agg = cnt.groupBy("pair_id").agg(
+        F.sum(F.least("cc", "rc")).cast("bigint").alias("overlap"),
+        F.sum("cc").cast("bigint").alias("len_c"),
+        F.sum("rc").cast("bigint").alias("len_r"),
+    )
+    return agg.select(
+        "pair_id",
+        "overlap",
+        "len_c",
+        "len_r",
+        F.expr("CAST(overlap * 1000000 DIV len_c AS BIGINT)").alias("p_ppm"),
+        F.expr("CAST(overlap * 1000000 DIV len_r AS BIGINT)").alias("r_ppm"),
+        F.expr(
+            "CAST(5 * overlap * 1000000 DIV (4 * len_r + len_c) AS BIGINT)"
+        ).alias("chrf2_ppm"),
+    )

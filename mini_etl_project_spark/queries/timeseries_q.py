@@ -4894,3 +4894,72 @@ def q_ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ewma(0.3).alias("ewma_03"),
         _ewma(0.1).alias("ewma_01"),
     )
+
+
+# -- X462 Pettitt change-point test -------------------------------------------
+#
+# The rank-based single change-point detector (a Mann-Whitney U sweep):
+# U_t = Σ_{i≤t} Σ_{j>t} sign(r_j − r_i) over the bounded daily-cents
+# series, K = max_t |U_t|, t* = argmax (earliest day on ties). The facts
+# collapse to the ≤31-row day table in one keyed pass; the sign matrix
+# and the per-split sums live entirely on that bounded table — exact
+# BIGINTs, no distribution assumptions, no row pairs at fact scale.
+
+_PETTITT_ORACLE = """
+WITH d AS (
+  SELECT CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM events GROUP BY day),
+s AS (
+  SELECT a.day AS t,
+         CAST(SUM(CASE WHEN b.r > a2.r THEN 1
+                       WHEN b.r < a2.r THEN -1 ELSE 0 END) AS BIGINT) AS u_t
+  FROM d a
+  JOIN d a2 ON a2.day <= a.day
+  JOIN d b ON b.day > a.day
+  GROUP BY a.day),
+k AS (SELECT MAX(ABS(u_t)) AS k_stat FROM s)
+SELECT CAST((SELECT MIN(t) FROM s, k WHERE ABS(s.u_t) = k.k_stat) AS BIGINT)
+         AS t_star,
+       CAST(k.k_stat AS BIGINT) AS k_stat,
+       CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days
+FROM k
+"""
+
+
+@query("q_ts_pettitt", _PETTITT_ORACLE)
+def q_ts_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_cents(spark, sf_dir)
+    a = d.select(F.col("day").alias("t"))
+    a2 = d.select(F.col("day").alias("iday"), F.col("r").alias("ir"))
+    b = d.select(F.col("day").alias("jday"), F.col("r").alias("jr"))
+    s = (
+        a.join(F.broadcast(a2), F.col("iday") <= F.col("t"))
+        .join(F.broadcast(b), F.col("jday") > F.col("t"))
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when(F.col("jr") > F.col("ir"), 1)
+                .when(F.col("jr") < F.col("ir"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("u_t")
+        )
+    )
+    k = s.agg(F.max(F.abs("u_t")).alias("k_stat"))
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    t_star = (
+        s.crossJoin(F.broadcast(k))
+        .filter(F.abs("u_t") == F.col("k_stat"))
+        .agg(F.min("t").cast("bigint").alias("t_star"))
+    )
+    return (
+        t_star.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "t_star",
+            F.col("k_stat").cast("bigint").alias("k_stat"),
+            "n_days",
+        )
+    )

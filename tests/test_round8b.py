@@ -1,0 +1,109 @@
+"""Round-8 batch 2: Hilbert layout (X459), eigenvector centrality
+(X460), chrF (X461), Pettitt (X462), Tukey fences (X463)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_etl_project_spark.queries.iterative_q import q_graph_eigenvector
+from mini_etl_project_spark.queries.misc_q import _HIL_BITS, q_layout_hilbert
+from mini_etl_project_spark.queries.ml_q import q_ml_tukey_fences
+from mini_etl_project_spark.queries.text_q import q_text_chrf_pairs
+from mini_etl_project_spark.queries.timeseries_q import q_ts_pettitt
+
+
+def _xy2d(n: int, x: int, y: int) -> int:
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_reference_is_a_true_hilbert_curve():
+    """The unrolled formula is bijective and every consecutive pair of
+    keys is Manhattan-adjacent — THE Hilbert property (Z-order lacks
+    it), exhaustively on the full 256x256 grid."""
+    n = 1 << _HIL_BITS
+    pos: dict[int, tuple[int, int]] = {}
+    for x in range(n):
+        for y in range(n):
+            pos[_xy2d(n, x, y)] = (x, y)
+    assert len(pos) == n * n
+    for d in range(0, n * n - 1, 97):  # stride keeps the walk fast
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_blocks_partition_rows(spark, sf_dir):
+    rows = q_layout_hilbert(spark, sf_dir).collect()
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(r["n_points"] for r in rows) == n_cust
+    for r in rows:
+        assert 0 <= r["min_x"] <= r["max_x"] <= 255
+        assert 0 <= r["min_y"] <= r["max_y"] <= 255
+
+
+def test_eigenvector_positive_and_max_is_million(spark, sf_dir):
+    rows = q_graph_eigenvector(spark, sf_dir).collect()
+    assert rows
+    ppms = [r["score_ppm"] for r in rows]
+    assert max(ppms) == 1_000_000
+    assert all(0 < r["score_raw"] for r in rows)
+    assert all(0 < p <= 1_000_000 for p in ppms)
+
+
+def test_chrf_bounds_and_beta2_identity(spark, sf_dir):
+    rows = q_text_chrf_pairs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["overlap"] <= min(r["len_c"], r["len_r"])
+        assert r["chrf2_ppm"] == 5 * r["overlap"] * 1_000_000 // (
+            4 * r["len_r"] + r["len_c"]
+        )
+
+
+def test_pettitt_python_replay(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.dayofyear("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    ).collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r["day"]] += r["c"]
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+
+    def sgn(v):
+        return (v > 0) - (v < 0)
+
+    best_k, best_t = -1, None
+    for ti in range(len(days) - 1):
+        u = sum(
+            sgn(xs[j] - xs[i])
+            for i in range(ti + 1)
+            for j in range(ti + 1, len(days))
+        )
+        if abs(u) > best_k:
+            best_k, best_t = abs(u), days[ti]
+    row = q_ts_pettitt(spark, sf_dir).collect()[0]
+    assert row["n_days"] == len(days)
+    assert row["k_stat"] == best_k
+    assert row["t_star"] == best_t
+
+
+def test_tukey_fences_invariants(spark, sf_dir):
+    rows = q_ml_tukey_fences(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["q1"] <= r["q3"]
+        assert 0 <= r["n_low"] + r["n_high"] <= r["n"]

@@ -2047,7 +2047,11 @@ def q_text_bleu_precisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r1",
         bigrams(F.col("c1")).alias("c2"),
         bigrams(F.col("r1")).alias("r2"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ five consumers below (4 union arms + lens): without the
+    # checkpoint the pair join + tokenization re-executes per arm
+    # (measured 6.5 s -> ~2 s at sf0.1). The table is one row per
+    # sparse pair — tiny at any SF.
     u = None
     for n, cc, rc in ((1, "c1", "r1"), (2, "c2", "r2")):
         for side, col in (("c", cc), ("r", rc)):

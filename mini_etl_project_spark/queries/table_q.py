@@ -644,3 +644,191 @@ def q_table_ivm_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_rows") > 0)
     )
     return merged
+
+
+# -- X464 time travel -------------------------------------------------------
+# Three commits (evens, +odds, merge-update), then reads PINNED to v1,
+# v2, and latest. The oracle recomputes each version's aggregate from
+# the raw fixture with the same commit rules — a manifest that loses a
+# file, or a read that sees across its version boundary, breaks the hash.
+
+_TT_ORACLE = f"""
+WITH v1 AS (
+  SELECT c_acctbal FROM customer WHERE c_custkey % 2 = 0),
+v2 AS (
+  SELECT c_acctbal FROM customer),
+v3 AS (
+  SELECT CASE WHEN c_custkey % 97 = 0 THEN c_acctbal + 500.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer)
+SELECT * FROM (
+  SELECT CAST(1 AS INTEGER) AS version, COUNT(*) AS n_rows,
+         {sql_dsum('c_acctbal', 'sum_acctbal')} FROM v1
+  UNION ALL
+  SELECT CAST(2 AS INTEGER), COUNT(*),
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) FROM v2
+  UNION ALL
+  SELECT CAST(3 AS INTEGER), COUNT(*),
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) FROM v3
+) ORDER BY version
+"""
+
+
+@query("q_table_time_travel", _TT_ORACLE)
+def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable.create(_fresh_root(sf_dir, "tt"))
+    cust = _customer_slim(spark, sf_dir)
+    t.append(cust.filter(F.col("c_custkey") % 2 == 0))  # v1
+    t.append(cust.filter(F.col("c_custkey") % 2 == 1))  # v2
+    updates = cust.filter(F.col("c_custkey") % 97 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 500.0
+    )
+    t.merge(spark, updates, key_cols=["c_custkey"])  # v3
+
+    def agg(df: DataFrame, v: int) -> DataFrame:
+        return df.agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_rows"),
+            dsum("c_acctbal", "sum_acctbal"),
+        ).select("version", "n_rows", "sum_acctbal")
+
+    return (
+        agg(t.read(spark, version=1), 1)
+        .unionByName(agg(t.read(spark, version=2), 2))
+        .unionByName(agg(t.read(spark), 3))
+        .orderBy("version")
+    )
+
+
+# -- X465 compaction identity ------------------------------------------------
+# Trickle-append 3×8 small files, OPTIMIZE, and prove the rewrite is
+# PHYSICAL ONLY: row count and exact sum unchanged (flag computed
+# in-plan from pre/post reads), file count strictly reduced. The oracle
+# asserts the invariant flags as literal 1s next to the fixture-derived
+# exact aggregate — the bound-flag pattern (X39/X103).
+
+_COMPACT_ORACLE = f"""
+SELECT COUNT(*) AS n_rows,
+       {sql_dsum('c_acctbal', 'sum_acctbal')},
+       1 AS fewer_files,
+       1 AS data_identical
+FROM customer
+"""
+
+
+@query("q_table_compaction", _COMPACT_ORACLE)
+def q_table_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable.create(_fresh_root(sf_dir, "compact"))
+    cust = _customer_slim(spark, sf_dir)
+    for m in range(3):  # trickle appends -> 24 small files
+        t.append(cust.filter(F.col("c_custkey") % 3 == m).repartition(8))
+    files_before = len(t._read_manifest(t.latest_version())["files"])
+    pre = t.read(spark).agg(
+        F.count("*").alias("n_pre"), dsum("c_acctbal", "s_pre")
+    )
+    t.compact(spark, small_threshold=1 << 30)
+    files_after = len(t._read_manifest(t.latest_version())["files"])
+    post = t.read(spark).agg(
+        F.count("*").alias("n_rows"), dsum("c_acctbal", "sum_acctbal")
+    )
+    return post.crossJoin(F.broadcast(pre)).select(
+        "n_rows",
+        "sum_acctbal",
+        F.lit(1 if files_after < files_before else 0)
+        .cast("int")
+        .alias("fewer_files"),
+        (
+            (F.col("n_rows") == F.col("n_pre"))
+            & (F.col("sum_acctbal") == F.col("s_pre"))
+        )
+        .cast("int")
+        .alias("data_identical"),
+    )
+
+
+# -- X466 vacuum retention -----------------------------------------------------
+# v1 is overwritten by v2, so v1's files become unreachable under
+# keep_last=1; vacuum must delete at least one file AND the surviving
+# latest read must still equal the fixture aggregate. A tag pinned on
+# the latest version must survive (tag targets are vacuum-exempt).
+
+_VACUUM_ORACLE = f"""
+SELECT COUNT(*) AS n_rows,
+       {sql_dsum('c_acctbal', 'sum_acctbal')},
+       1 AS reclaimed_some,
+       1 AS tag_still_readable
+FROM customer WHERE c_custkey % 2 = 1
+"""
+
+
+@query("q_table_vacuum", _VACUUM_ORACLE)
+def q_table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable.create(_fresh_root(sf_dir, "vacuum"))
+    cust = _customer_slim(spark, sf_dir)
+    t.overwrite(cust.filter(F.col("c_custkey") % 2 == 0))  # v1
+    t.overwrite(cust.filter(F.col("c_custkey") % 2 == 1))  # v2
+    t.tag("release", 2)
+    deleted = t.vacuum(keep_last=1)
+    tag_rows = t.read_tag(spark, "release").count()
+    latest = t.read(spark).agg(
+        F.count("*").alias("n_rows"), dsum("c_acctbal", "sum_acctbal")
+    )
+    return latest.select(
+        "n_rows",
+        "sum_acctbal",
+        F.lit(1 if deleted else 0).cast("int").alias("reclaimed_some"),
+        (F.col("n_rows") == F.lit(tag_rows)).cast("int").alias(
+            "tag_still_readable"
+        ),
+    )
+
+
+# -- X467 restore + shallow clone ---------------------------------------------
+# The rollback/branching pair: RESTORE pins the table back to v1 as a
+# NEW commit (history preserved), while a shallow CLONE made at v2
+# keeps reading v2 — proving the clone is isolated from the source's
+# restore. Both aggregates recompute from the fixture.
+
+_RESTORE_ORACLE = f"""
+SELECT * FROM (
+  SELECT 'restored_v1' AS branch, COUNT(*) AS n_rows,
+         {sql_dsum('c_acctbal', 'sum_acctbal')}
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT 'clone_v2', COUNT(*),
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+  FROM customer
+) ORDER BY branch
+"""
+
+
+@query("q_table_restore_clone", _RESTORE_ORACLE)
+def q_table_restore_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.sources.snapshots import SnapshotTable
+
+    root = _fresh_root(sf_dir, "restore")
+    t = SnapshotTable.create(root)
+    cust = _customer_slim(spark, sf_dir)
+    t.append(cust.filter(F.col("c_custkey") % 2 == 0))  # v1: evens
+    t.append(cust.filter(F.col("c_custkey") % 2 == 1))  # v2: all
+    clone = t.clone_shallow(root + "_clone")
+    t.restore(1)  # v3 pins v1's content
+
+    def agg(df: DataFrame, branch: str) -> DataFrame:
+        return df.agg(
+            F.lit(branch).alias("branch"),
+            F.count("*").alias("n_rows"),
+            dsum("c_acctbal", "sum_acctbal"),
+        ).select("branch", "n_rows", "sum_acctbal")
+
+    return (
+        agg(t.read(spark), "restored_v1")
+        .unionByName(agg(clone.read(spark), "clone_v2"))
+        .orderBy("branch")
+    )

@@ -107,3 +107,39 @@ def test_tukey_fences_invariants(spark, sf_dir):
     for r in rows:
         assert r["q1"] <= r["q3"]
         assert 0 <= r["n_low"] + r["n_high"] <= r["n"]
+
+
+# -- X464-X467 table maintenance lifecycle ----------------------------------
+
+
+def test_time_travel_versions_are_pinned(spark, sf_dir):
+    from mini_etl_project_spark.queries.table_q import q_table_time_travel
+
+    rows = {r["version"]: r for r in q_table_time_travel(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_rows"] < rows[2]["n_rows"]
+    assert rows[2]["n_rows"] == rows[3]["n_rows"]  # merge updates, no inserts
+    assert rows[3]["sum_acctbal"] > rows[2]["sum_acctbal"]  # +500 per key%97
+
+
+def test_compaction_is_physical_only(spark, sf_dir):
+    from mini_etl_project_spark.queries.table_q import q_table_compaction
+
+    r = q_table_compaction(spark, sf_dir).collect()[0]
+    assert r["fewer_files"] == 1
+    assert r["data_identical"] == 1
+
+
+def test_vacuum_reclaims_and_respects_tags(spark, sf_dir):
+    from mini_etl_project_spark.queries.table_q import q_table_vacuum
+
+    r = q_table_vacuum(spark, sf_dir).collect()[0]
+    assert r["reclaimed_some"] == 1
+    assert r["tag_still_readable"] == 1
+
+
+def test_restore_does_not_move_clone(spark, sf_dir):
+    from mini_etl_project_spark.queries.table_q import q_table_restore_clone
+
+    rows = {r["branch"]: r for r in q_table_restore_clone(spark, sf_dir).collect()}
+    assert rows["clone_v2"]["n_rows"] > rows["restored_v1"]["n_rows"]

@@ -1770,3 +1770,78 @@ def q_fn_hamming_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac(F.lit("abc"), F.lit("cba")).alias("jac_probe_same_set"),
         jac(F.lit("abc"), F.lit("xyz")).alias("jac_probe_disjoint"),
     )
+
+
+# -- X469 bool/bit aggregate family ------------------------------------------
+#
+# The SQL:2016 logical/bitwise aggregates: bool_and / bool_or (EVERY /
+# ANY) and bit_and / bit_or / bit_xor per order-priority group over
+# derived flags and key bits. All are idempotent-or-associative integer
+# lattice operations — trivially partition-order independent, so both
+# engines agree bit-for-bit with no decimal machinery.
+
+_BOOLBIT_ORACLE = """
+SELECT o_orderpriority AS pri,
+       bool_and(o_totalprice > 1000.0) AS all_over_1k,
+       bool_or(o_orderstatus = 'F') AS any_finished,
+       CAST(bit_and(o_orderkey % 4096) AS BIGINT) AS band,
+       CAST(bit_or(o_orderkey % 4096) AS BIGINT) AS bor,
+       CAST(bit_xor(o_orderkey % 4096) AS BIGINT) AS bxor,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY pri
+"""
+
+
+@query("q_fn_bool_bit_aggs", _BOOLBIT_ORACLE)
+def q_fn_bool_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    kb = F.expr("o_orderkey % 4096")
+    return o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bit_and(kb).cast("bigint").alias("band"),
+        F.bit_or(kb).cast("bigint").alias("bor"),
+        F.bit_xor(kb).cast("bigint").alias("bxor"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+# -- X470 try_* error-safe function family ------------------------------------
+#
+# Spark 4 runs ANSI mode by default, where bad casts / division by zero
+# / out-of-range access THROW; the try_* family is the sanctioned
+# per-expression escape hatch a cleaning pipeline needs. Each column
+# exercises one member against inputs that would raise: the oracle
+# mirrors with DuckDB's TRY_CAST / NULLIF guards. (The ANSI pin itself
+# is tests/test_ansi_contract.py; this row proves the recovery path.)
+
+_TRY_ORACLE = """
+SELECT o_orderkey,
+       TRY_CAST(o_orderpriority AS INTEGER) AS pri_as_int,
+       CAST(o_totalprice AS DOUBLE) / NULLIF(o_orderkey % 10, 0)
+         AS safe_div,
+       TRY_CAST(substr(o_orderdate::VARCHAR, 1, 4) AS BIGINT) AS year_num,
+       CASE WHEN o_orderkey % 3 + 1 <= 2
+            THEN ['a','b'][CAST(o_orderkey % 3 + 1 AS INTEGER)] END
+         AS maybe_elem
+FROM orders
+WHERE o_orderkey <= 200
+"""
+
+
+@query("q_fn_try_family", _TRY_ORACLE)
+def q_fn_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return o.select(
+        "o_orderkey",
+        F.expr("try_cast(o_orderpriority AS INT)").alias("pri_as_int"),
+        F.expr(
+            "try_divide(CAST(o_totalprice AS DOUBLE), o_orderkey % 10)"
+        ).alias("safe_div"),
+        F.expr(
+            "try_cast(substr(CAST(o_orderdate AS STRING), 1, 4) AS BIGINT)"
+        ).alias("year_num"),
+        F.expr(
+            "try_element_at(array('a','b'), CAST(o_orderkey % 3 + 1 AS INT))"
+        ).alias("maybe_elem"),
+    )

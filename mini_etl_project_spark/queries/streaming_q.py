@@ -1132,3 +1132,32 @@ def q_multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_images") >= 2)
     )
+
+
+# -- X468 stream-stream LEFT SEMI join (streaming EXISTS) --------------------
+# The attribution EXISTS: clicks followed by a same-user purchase within
+# 30 minutes, emitted once on first match. Semi emission is inner-like
+# (no watermark-withheld tail), so the plain replayed source suffices.
+# The batch oracle is the same EXISTS over the raw events.
+
+_STREAM_SEMI_ORACLE = """
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id
+FROM events c
+WHERE c.event_type = 'click'
+  AND EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase'
+      AND p.user_id = c.user_id
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+"""
+
+
+@query("q_stream_join_semi", _STREAM_SEMI_ORACLE)
+def q_stream_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.streaming.ops import click_purchase_semi
+
+    out = drain_to_table(
+        click_purchase_semi(events_stream(spark, sf_dir)), mode="append"
+    )
+    return spark.table(out)

@@ -813,6 +813,7 @@ def q_table_restore_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_project_spark.sources.snapshots import SnapshotTable
 
     root = _fresh_root(sf_dir, "restore")
+    shutil.rmtree(root + "_clone", ignore_errors=True)  # idempotent reruns
     t = SnapshotTable.create(root)
     cust = _customer_slim(spark, sf_dir)
     t.append(cust.filter(F.col("c_custkey") % 2 == 0))  # v1: evens

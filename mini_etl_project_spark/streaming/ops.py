@@ -565,3 +565,40 @@ def click_purchase_full_outer(stream: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def click_purchase_semi(stream: DataFrame) -> DataFrame:
+    """Stream-stream LEFT SEMI join (X468): clicks that ARE followed by a
+    same-user purchase within 30 minutes — streaming EXISTS. A semi join
+    emits the left row once, on its first match, so a bounded replay
+    behaves like the inner variant (no watermark-withheld tail, unlike
+    outer); unmatched clicks are simply evicted with the state. Same
+    bounded-state posture: both sides watermarked, event-time range in
+    the condition."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "left_semi",
+    ).select(F.col("c_user").alias("user_id"), "click_id")

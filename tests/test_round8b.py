@@ -143,3 +143,34 @@ def test_restore_does_not_move_clone(spark, sf_dir):
 
     rows = {r["branch"]: r for r in q_table_restore_clone(spark, sf_dir).collect()}
     assert rows["clone_v2"]["n_rows"] > rows["restored_v1"]["n_rows"]
+
+
+# -- X468-X470 ---------------------------------------------------------------
+
+
+def test_stream_semi_subset_of_inner(spark, sf_dir):
+    from mini_etl_project_spark.queries.streaming_q import (
+        q_stream_join,
+        q_stream_join_semi,
+    )
+
+    semi = {
+        (r["user_id"], r["click_id"])
+        for r in q_stream_join_semi(spark, sf_dir).collect()
+    }
+    inner = {
+        (r["user_id"], r["click_id"])
+        for r in q_stream_join(spark, sf_dir).collect()
+    }
+    assert semi  # the fixture has attributed clicks
+    assert semi == inner  # semi = distinct left keys of inner
+
+
+def test_try_family_nulls_not_errors(spark, sf_dir):
+    from mini_etl_project_spark.queries.functions_q import q_fn_try_family
+
+    rows = q_fn_try_family(spark, sf_dir).collect()
+    assert rows
+    assert all(r["pri_as_int"] is None for r in rows)  # '1-URGENT' etc.
+    assert any(r["safe_div"] is None for r in rows)  # key % 10 == 0
+    assert any(r["maybe_elem"] is None for r in rows)  # index 3 OOB

@@ -8522,11 +8522,21 @@ GROUP BY obs.n, obs.t_obs
 @query("q_ml_permutation_test", _PERM_ORACLE)
 def q_ml_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(
-        (
-            F.count(F.when(F.col("event_type") == "click", 1)).cast("bigint")
-            - F.count(F.when(F.col("event_type") == "view", 1)).cast("bigint")
-        ).alias("d")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            (
+                F.count(F.when(F.col("event_type") == "click", 1)).cast(
+                    "bigint"
+                )
+                - F.count(F.when(F.col("event_type") == "view", 1)).cast(
+                    "bigint"
+                )
+            ).alias("d")
+        )
+        # two consumers (obs + the B-way explode) — materialize the
+        # bounded per-user table once so the fact scan runs once
+        .localCheckpoint(eager=False)
     )
     obs = u.agg(
         F.sum("d").cast("bigint").alias("t_obs"),
@@ -8609,12 +8619,17 @@ FROM pairs, e
 @query("q_ml_jonckheere", _JT_ORACLE)
 def q_ml_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    g = o.groupBy(
-        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("grp"),
-        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
-        .cast("bigint")
-        .alias("v"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    g = (
+        o.groupBy(
+            F.substring("o_orderpriority", 1, 1).cast("bigint").alias("grp"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # bounded month×priority table, three consumers — one fact scan
+        .localCheckpoint(eager=False)
+    )
     a, b = g.alias("a"), g.alias("b")
     pairs = (
         a.join(F.broadcast(b), F.col("a.grp") < F.col("b.grp"))
@@ -8867,10 +8882,15 @@ FROM cd
 @query("q_ml_gk_gamma", _GKGAMMA_ORACLE)
 def q_ml_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    cells = li.groupBy(
-        F.expr("CAST(ROUND(l_quantity) AS BIGINT) DIV 10").alias("qd"),
-        F.col("l_linenumber").cast("bigint").alias("ln"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cells = (
+        li.groupBy(
+            F.expr("CAST(ROUND(l_quantity) AS BIGINT) DIV 10").alias("qd"),
+            F.col("l_linenumber").cast("bigint").alias("ln"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # bounded ≤42-cell contingency, consumed as both join sides
+        .localCheckpoint(eager=False)
+    )
     a, b = cells.alias("a"), cells.alias("b")
     cd = a.join(
         F.broadcast(b),

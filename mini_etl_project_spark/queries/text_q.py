@@ -1914,7 +1914,9 @@ def q_text_rouge1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = d.select(
         (F.col("doc_id") - 1).alias("pair_id"), F.col("text").alias("rtext")
     )
-    pairs = cand.join(ref, "pair_id")
+    # three consumers (ct, rt, lens) — materialize the sparse pair set
+    # once so the documents scan + self-join run once
+    pairs = cand.join(ref, "pair_id").localCheckpoint(eager=False)
     ct = pairs.select(
         "pair_id", F.explode(tokens("ctext")).alias("w")
     ).filter(F.col("w") != "")
@@ -2160,7 +2162,9 @@ def q_text_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.substring(c, i, _CHRF_N),
         )
 
-    pairs = cand.join(ref, "pair_id")
+    # two union arms consume pairs — materialize once (same defect class
+    # as the BLEU gram-table fix)
+    pairs = cand.join(ref, "pair_id").localCheckpoint(eager=False)
     u = (
         pairs.select(
             "pair_id", F.explode(grams("ctext")).alias("g"),

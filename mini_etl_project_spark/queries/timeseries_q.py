@@ -4616,12 +4616,17 @@ def _acf_oracle() -> str:
 
 def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.dayofyear("ts").cast("bigint").alias("day")
-    ).agg(
-        F.sum(F.round(F.col("value") * 100).cast("bigint"))
-        .cast("bigint")
-        .alias("r")
+    return (
+        ev.groupBy(F.dayofyear("ts").cast("bigint").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("r")
+        )
+        # The bounded ≤366-row day table has multiple consumers in every
+        # caller (ACF joins it against itself per lag; Pettitt three
+        # ways) — materialize once so the fact scan runs once.
+        .localCheckpoint(eager=False)
     )
 
 

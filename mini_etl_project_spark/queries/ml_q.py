@@ -9076,3 +9076,182 @@ def q_ml_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.join(counts, "event_type").select(
         "event_type", "q1", "q3", "n", "n_low", "n_high"
     )
+
+
+# -- X471 Somers' D (asymmetric ordinal association) --------------------------
+#
+# The directional refinement of GK gamma (X451): D_yx = (C − D)/(C + D +
+# T_y) penalizes ties on the DEPENDENT variable only — the statistic
+# behind rank-based model discrimination (D_yx of score vs outcome =
+# 2·AUC − 1). Same bounded contingency self-join as gamma, one extra
+# tie bucket; exact BIGINTs at any SF.
+
+_SOMERS_ORACLE = """
+WITH cells AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) // 10 AS x,
+         CAST(l_linenumber AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2),
+cd AS (
+  SELECT
+    CAST(SUM(CASE WHEN a.x < b.x AND a.y < b.y THEN a.c * b.c ELSE 0 END)
+         AS BIGINT) AS conc,
+    CAST(SUM(CASE WHEN a.x < b.x AND a.y > b.y THEN a.c * b.c ELSE 0 END)
+         AS BIGINT) AS disc,
+    CAST(SUM(CASE WHEN a.x < b.x AND a.y = b.y THEN a.c * b.c ELSE 0 END)
+         AS BIGINT) AS tie_y
+  FROM cells a JOIN cells b ON NOT (a.x = b.x AND a.y = b.y))
+SELECT conc, disc, tie_y,
+       CAST(conc - disc AS DOUBLE) / (conc + disc + tie_y) AS somers_d
+FROM cd
+"""
+
+
+@query("q_ml_somers_d", _SOMERS_ORACLE)
+def q_ml_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(
+            F.expr("CAST(ROUND(l_quantity) AS BIGINT) DIV 10").alias("x"),
+            F.col("l_linenumber").cast("bigint").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # both join sides
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cd = a.join(
+        F.broadcast(b),
+        ~((F.col("a.x") == F.col("b.x")) & (F.col("a.y") == F.col("b.y"))),
+    ).agg(
+        F.sum(
+            F.when(
+                (F.col("a.x") < F.col("b.x")) & (F.col("a.y") < F.col("b.y")),
+                F.col("a.c") * F.col("b.c"),
+            ).otherwise(0)
+        ).cast("bigint").alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("a.x") < F.col("b.x")) & (F.col("a.y") > F.col("b.y")),
+                F.col("a.c") * F.col("b.c"),
+            ).otherwise(0)
+        ).cast("bigint").alias("disc"),
+        F.sum(
+            F.when(
+                (F.col("a.x") < F.col("b.x")) & (F.col("a.y") == F.col("b.y")),
+                F.col("a.c") * F.col("b.c"),
+            ).otherwise(0)
+        ).cast("bigint").alias("tie_y"),
+    )
+    return cd.select(
+        "conc",
+        "disc",
+        "tie_y",
+        (
+            (F.col("conc") - F.col("disc")).cast("double")
+            / (F.col("conc") + F.col("disc") + F.col("tie_y"))
+        ).alias("somers_d"),
+    )
+
+
+# -- X472 SQL:2016 regr_* family from exact moments ---------------------------
+#
+# regr_slope/intercept/r2/sxx/sxy/syy/avgx/avgy/count over (quantity,
+# price-cents). The BUILT-IN regr_* aggregates accumulate in floats —
+# partition-order dependent, so they can never hash-match a sequential
+# oracle; this surface computes the identical definitions from exact
+# integer moments (the engine's standard OLS recipe, cf. q_ml_iv_wald)
+# and assembles doubles through dec_to_double with one division per
+# output — the same numbers regr_* converges to, reproducibly.
+
+_REGR_ORACLE = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sy,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                  * CAST(ROUND(l_quantity) AS BIGINT)) AS DECIMAL(38,0))
+           AS sxx,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+              AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+              AS DECIMAL(38,0)) AS syy
+  FROM lineitem),
+d AS (
+  SELECT n, sx, sy,
+         CAST(sxx * n - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0))
+           AS dxx,
+         CAST(sxy * n - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))
+           AS dxy,
+         CAST(syy * n - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))
+           AS dyy
+  FROM m)
+SELECT n AS regr_count,
+       CAST(sx AS DOUBLE) / n AS regr_avgx,
+       CAST(sy AS DOUBLE) / n AS regr_avgy,
+       (CASE WHEN dxy < 0 THEN -1.0 ELSE 1.0 END * {dtd_adxy}) / {dtd_dxx}
+         AS regr_slope,
+       (CAST(sy AS DOUBLE)
+        - (CASE WHEN dxy < 0 THEN -1.0 ELSE 1.0 END * {dtd_adxy})
+          / {dtd_dxx} * sx) / n AS regr_intercept,
+       ({dtd_adxy} / {dtd_dxx}) * ({dtd_adxy} / {dtd_dyy}) AS regr_r2
+FROM d
+"""
+
+
+def _regr_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    return _REGR_ORACLE.format(
+        dtd_adxy=sql_dec_to_double("ABS(dxy)"),
+        dtd_dxx=sql_dec_to_double("dxx"),
+        dtd_dyy=sql_dec_to_double("dyy"),
+    )
+
+
+@query("q_fn_regr_family", _regr_oracle())
+def q_fn_regr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    m = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x * x).cast("decimal(38,0)").alias("sxx"),
+        F.sum(x * y).cast("decimal(38,0)").alias("sxy"),
+        F.sum(y * y).cast("decimal(38,0)").alias("syy"),
+    )
+    d = m.select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("sxx") * F.col("n") - F.col("sx").cast("decimal(38,0)") * F.col("sx"))
+        .cast("decimal(38,0)")
+        .alias("dxx"),
+        (F.col("sxy") * F.col("n") - F.col("sx").cast("decimal(38,0)") * F.col("sy"))
+        .cast("decimal(38,0)")
+        .alias("dxy"),
+        (F.col("syy") * F.col("n") - F.col("sy").cast("decimal(38,0)") * F.col("sy"))
+        .cast("decimal(38,0)")
+        .alias("dyy"),
+    )
+    sgn = F.when(F.col("dxy") < 0, -1.0).otherwise(1.0)
+    adxy = dec_to_double(F.abs(F.col("dxy")))
+    dxx = dec_to_double(F.col("dxx"))
+    dyy = dec_to_double(F.col("dyy"))
+    slope = sgn * adxy / dxx
+    return d.select(
+        F.col("n").alias("regr_count"),
+        (F.col("sx").cast("double") / F.col("n")).alias("regr_avgx"),
+        (F.col("sy").cast("double") / F.col("n")).alias("regr_avgy"),
+        slope.alias("regr_slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+        ).alias("regr_intercept"),
+        ((adxy / dxx) * (adxy / dyy)).alias("regr_r2"),
+    )

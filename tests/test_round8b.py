@@ -174,3 +174,33 @@ def test_try_family_nulls_not_errors(spark, sf_dir):
     assert all(r["pri_as_int"] is None for r in rows)  # '1-URGENT' etc.
     assert any(r["safe_div"] is None for r in rows)  # key % 10 == 0
     assert any(r["maybe_elem"] is None for r in rows)  # index 3 OOB
+
+
+def test_somers_d_vs_gamma_denominator(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import q_ml_gk_gamma, q_ml_somers_d
+
+    g = q_ml_gk_gamma(spark, sf_dir).collect()[0]
+    s = q_ml_somers_d(spark, sf_dir).collect()[0]
+    assert (s["conc"], s["disc"]) == (g["conc"], g["disc"])
+    assert s["tie_y"] > 0
+    assert abs(s["somers_d"]) <= abs(g["gk_gamma"])  # extra ties shrink |D|
+
+
+def test_regr_family_matches_builtin_within_float(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mini_etl_project_spark.queries.ml_q import q_fn_regr_family
+    from mini_etl_project_spark.session import load_table
+
+    ours = q_fn_regr_family(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round("l_quantity").cast("bigint").cast("double")
+    y = (F.round(F.col("l_extendedprice") * 100).cast("bigint")).cast("double")
+    ref = li.agg(
+        F.regr_slope(y, x).alias("s"),
+        F.regr_intercept(y, x).alias("i"),
+        F.regr_r2(y, x).alias("r2"),
+    ).collect()[0]
+    assert ours["regr_slope"] == pytest.approx(ref["s"], rel=1e-9)
+    assert ours["regr_intercept"] == pytest.approx(ref["i"], rel=1e-9)
+    assert ours["regr_r2"] == pytest.approx(ref["r2"], rel=1e-9)

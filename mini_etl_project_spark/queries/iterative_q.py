@@ -1,10 +1,13 @@
-"""Iterative / recursive query shapes Spark lacks natively.
+"""Iterative / recursive query shapes, as explicit DataFrame loops.
 
-Spark has no WITH RECURSIVE; the standard re-expression is a bounded
-driver loop of DataFrame joins — one join per hierarchy LEVEL (not per
-row), which is exactly how recursive CTEs execute on MPP engines too
-(each recursion step is a distributed join). Depth is logarithmic in the
-key domain here, so the loop is O(log n) joins at any scale.
+Spark 4 added native WITH RECURSIVE (exercised by
+``q_sql_recursive_cte`` in misc_q.py); this module keeps the explicit
+re-expression — a bounded driver loop of DataFrame joins, one join per
+hierarchy LEVEL (not per row) — which is how recursive CTEs execute on
+MPP engines anyway (each recursion step is a distributed join) and
+which gives per-round control the SQL form lacks (checkpointing,
+convergence observation, path compression). Depth is logarithmic in
+the key domain here, so the loop is O(log n) joins at any scale.
 
 The time-series gap-fill is the other classically-missing operator:
 resample to a dense daily spine (``sequence`` + explode — generated, not

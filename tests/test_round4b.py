@@ -507,12 +507,13 @@ def test_native_hll_estimate_within_tolerance(spark, sf_dir):
     from mini_etl_project_spark.queries import QUERIES
     from mini_etl_project_spark.session import load_table
 
-    est = QUERIES["q_agg_hll_native"](spark, sf_dir).collect()[0][
-        "est_distinct"
-    ]
+    row = QUERIES["q_agg_hll_native"](spark, sf_dir).collect()[0]
+    # round-8 reshape: the query now emits the exact distinct plus an
+    # in-plan bound flag (X39/X103 pattern) instead of the raw estimate
     exact = (
         load_table(spark, sf_dir, "documents")
         .agg(F.count_distinct("text").alias("n"))
         .collect()[0]["n"]
     )
-    assert abs(est - exact) / exact < 0.05, (est, exact)
+    assert row["exact_distinct"] == exact
+    assert row["est_within_3rsd"] == 1

@@ -1845,3 +1845,34 @@ def q_fn_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             "try_element_at(array('a','b'), CAST(o_orderkey % 3 + 1 AS INT))"
         ).alias("maybe_elem"),
     )
+
+
+# -- X473 Spark 4.1 convenience function surface -------------------------------
+#
+# The 4.1 additions a migrating SQL user reaches for first: monthname /
+# dayname (locale-pinned English abbreviations — DuckDB mirrors via
+# strftime %b/%a) and the null↔zero bridges zeroifnull / nullifzero
+# (DuckDB mirrors with COALESCE / NULLIF). Stateless projection.
+
+_V41_ORACLE = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%b') AS mon_name,
+       strftime(o_orderdate, '%a') AS day_name,
+       COALESCE(NULLIF(o_orderkey % 7, 0), 0) AS mod7_zero_kept,
+       NULLIF(o_orderkey % 7, 0) AS mod7_zero_nulled
+FROM orders WHERE o_orderkey <= 500
+"""
+
+
+@query("q_fn_v41_datetime_null", _V41_ORACLE)
+def q_fn_v41_datetime_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.expr("monthname(o_orderdate)").alias("mon_name"),
+        F.expr("dayname(o_orderdate)").alias("day_name"),
+        F.expr("zeroifnull(nullifzero(o_orderkey % 7))").alias(
+            "mod7_zero_kept"
+        ),
+        F.expr("nullifzero(o_orderkey % 7)").alias("mod7_zero_nulled"),
+    )

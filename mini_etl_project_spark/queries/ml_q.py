@@ -9255,3 +9255,65 @@ def q_fn_regr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("regr_intercept"),
         ((adxy / dxx) * (adxy / dyy)).alias("regr_r2"),
     )
+
+
+# -- X475 Mood's median test (k samples) --------------------------------------
+#
+# The quick-and-robust k-sample location test: does each event type
+# split evenly around the GRAND median of per-event value? One exact
+# interpolated grand median (percentile ≡ quantile_cont on integer
+# cents), then a single conditional-count pass per group — above /
+# not-above counts as exact BIGINTs, plus each group's expected-above
+# numerator for the chi-square the caller assembles. Two fact passes
+# total, both keyed.
+
+_MOOD_ORACLE = """
+WITH med AS (
+  SELECT quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.5) AS gm
+  FROM events),
+g AS (
+  SELECT event_type,
+         CAST(COUNT(CASE WHEN CAST(ROUND(value * 100) AS BIGINT) > med.gm
+                         THEN 1 END) AS BIGINT) AS n_above,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events, med GROUP BY event_type),
+tot AS (
+  SELECT CAST(SUM(n_above) AS BIGINT) AS a_tot, CAST(SUM(n) AS BIGINT) AS n_tot
+  FROM g)
+SELECT g.event_type, g.n, g.n_above,
+       CAST(g.n * tot.a_tot AS BIGINT) AS expected_above_num,
+       tot.n_tot
+FROM g, tot
+"""
+
+
+@query("q_ml_mood_median", _MOOD_ORACLE)
+def q_ml_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    med = ev.agg(F.percentile(cents, 0.5).alias("gm"))
+    g = (
+        ev.select("event_type", cents.alias("c"))
+        .crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("c") > F.col("gm"), 1))
+            .cast("bigint")
+            .alias("n_above"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .localCheckpoint(eager=False)  # feeds tot and the final select
+    )
+    tot = g.agg(
+        F.sum("n_above").cast("bigint").alias("a_tot"),
+        F.sum("n").cast("bigint").alias("n_tot"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "n_above",
+        (F.col("n") * F.col("a_tot")).cast("bigint").alias(
+            "expected_above_num"
+        ),
+        "n_tot",
+    )

@@ -4968,3 +4968,71 @@ def q_ts_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
         )
     )
+
+
+# -- X474 Grubbs outlier statistic (bounded daily series) ---------------------
+#
+# "Is the most extreme day an outlier?" — G = max|r_t − r̄| / s over the
+# bounded daily-cents series. Shipped as exact rationals so no float
+# moment ever crosses an engine boundary: with dev_t = n·r_t − S (exact
+# integers), G² = n · max(dev²) / Σ dev² and the output is
+# g2_ppm = 1e6·n·max_dev² DIV ss plus the argmax day (smallest day on
+# ties) — the caller compares against their t-based critical value.
+
+_GRUBBS_ORACLE = """
+WITH d AS (
+  SELECT CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM events GROUP BY day),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS sr
+      FROM d),
+c AS (SELECT d.day, CAST(s.n * d.r - s.sr AS DECIMAL(38,0)) AS dev, s.n
+      FROM d, s),
+agg AS (
+  SELECT MIN(n) AS n,
+         CAST(SUM(dev * dev) AS DECIMAL(38,0)) AS ss,
+         CAST(MAX(dev * dev) AS DECIMAL(38,0)) AS max_dev2
+  FROM c)
+SELECT agg.n,
+       CAST((SELECT MIN(day) FROM c, agg WHERE c.dev * c.dev = agg.max_dev2)
+            AS BIGINT) AS day_star,
+       CAST(CAST(agg.n AS DECIMAL(38,0)) * agg.max_dev2 * 1000000 // agg.ss
+            AS BIGINT) AS g2_ppm
+FROM agg
+"""
+
+
+@query("q_ts_grubbs", _GRUBBS_ORACLE)
+def q_ts_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_cents(spark, sf_dir)
+    s = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("sr"),
+    )
+    c = d.crossJoin(F.broadcast(s)).select(
+        "day",
+        (F.col("n") * F.col("r") - F.col("sr"))
+        .cast("decimal(38,0)")
+        .alias("dev"),
+        "n",
+    ).localCheckpoint(eager=False)
+    agg = c.agg(
+        F.min("n").alias("n"),
+        F.sum(F.col("dev") * F.col("dev")).cast("decimal(38,0)").alias("ss"),
+        F.max(F.col("dev") * F.col("dev"))
+        .cast("decimal(38,0)")
+        .alias("max_dev2"),
+    )
+    day_star = (
+        c.crossJoin(F.broadcast(agg.select("max_dev2")))
+        .filter(F.col("dev") * F.col("dev") == F.col("max_dev2"))
+        .agg(F.min("day").cast("bigint").alias("day_star"))
+    )
+    return agg.crossJoin(F.broadcast(day_star)).select(
+        "n",
+        "day_star",
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * max_dev2 * 1000000 DIV ss"
+            " AS BIGINT)"
+        ).alias("g2_ppm"),
+    )

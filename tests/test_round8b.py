@@ -204,3 +204,39 @@ def test_regr_family_matches_builtin_within_float(spark, sf_dir):
     assert ours["regr_slope"] == pytest.approx(ref["s"], rel=1e-9)
     assert ours["regr_intercept"] == pytest.approx(ref["i"], rel=1e-9)
     assert ours["regr_r2"] == pytest.approx(ref["r2"], rel=1e-9)
+
+
+def test_grubbs_replay(spark, sf_dir):
+    from mini_etl_project_spark.queries.timeseries_q import q_ts_grubbs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.dayofyear("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    ).collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r["day"]] += r["c"]
+    n, sr = len(daily), sum(daily.values())
+    devs = {d: n * v - sr for d, v in daily.items()}
+    ss = sum(v * v for v in devs.values())
+    mx = max(v * v for v in devs.values())
+    day_star = min(d for d, v in devs.items() if v * v == mx)
+    row = q_ts_grubbs(spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert row["day_star"] == day_star
+    assert row["g2_ppm"] == n * mx * 1_000_000 // ss
+
+
+def test_mood_median_counts(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import q_ml_mood_median
+
+    rows = q_ml_mood_median(spark, sf_dir).collect()
+    assert len(rows) == 5
+    n_tot = rows[0]["n_tot"]
+    assert sum(r["n"] for r in rows) == n_tot
+    for r in rows:
+        # above-count can never exceed half-ish the group (grand median)
+        assert 0 <= r["n_above"] <= r["n"]
+        assert r["expected_above_num"] == r["n"] * sum(
+            x["n_above"] for x in rows
+        )

@@ -9317,3 +9317,130 @@ def q_ml_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_tot",
     )
+
+
+# -- X476 exact Shapley values (bounded feature lattice) -----------------------
+#
+# Model explainability with NO sampling: for a 3-feature conditional-
+# mean model over lineitem (f1 = qty ≥ 25, f2 = discount ≥ 3%, f3 =
+# returned), the Shapley value of each feature at the probe instance
+# (1,1,1) is exact — v(S) = E[price-cents | features in S are 1] for all
+# 8 coalitions comes from ONE conditional-aggregate pass, and the
+# classic weights over 3 features reduce to sixths:
+#   6·φ_i = 2[v(i)−v(∅)] + [v(ij)−v(j)] + [v(ik)−v(k)] + 2[v(123)−v(jk)].
+# Every v is an exact DECIMAL sum / BIGINT count assembled via
+# dec_to_double — the full formula tree is identical in both engines.
+# At 100 TB: one fact pass with 16 conditional aggregates, zero joins.
+
+def _shap_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    conds = {
+        "0": "TRUE",
+        "1": "f1 = 1", "2": "f2 = 1", "3": "f3 = 1",
+        "12": "f1 = 1 AND f2 = 1", "13": "f1 = 1 AND f3 = 1",
+        "23": "f2 = 1 AND f3 = 1",
+        "123": "f1 = 1 AND f2 = 1 AND f3 = 1",
+    }
+    aggs = []
+    for k, c in conds.items():
+        aggs.append(
+            f"CAST(SUM(CASE WHEN {c} THEN cents END) AS DECIMAL(38,0))"
+            f" AS s{k}"
+        )
+        aggs.append(
+            f"CAST(COUNT(CASE WHEN {c} THEN 1 END) AS BIGINT) AS n{k}"
+        )
+    vs = {
+        k: f"({sql_dec_to_double(f's{k}')} / n{k})" for k in conds
+    }
+    rows = []
+    for i, j, k in (("1", "2", "3"), ("2", "1", "3"), ("3", "1", "2")):
+        ij = "".join(sorted(i + j))
+        ik = "".join(sorted(i + k))
+        jk = "".join(sorted(j + k))
+        phi6 = (
+            f"2.0 * ({vs[i]} - {vs['0']})"
+            f" + ({vs[ij]} - {vs[j]})"
+            f" + ({vs[ik]} - {vs[k]})"
+            f" + 2.0 * ({vs['123']} - {vs[jk]})"
+        )
+        rows.append(
+            f"SELECT 'f{i}' AS feature, {phi6} AS phi6,"
+            f" {vs[i]} AS v_solo, {vs['123']} AS v_full, n{i} AS n_solo"
+            f" FROM m"
+        )
+    return f"""
+WITH base AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CASE WHEN CAST(ROUND(l_quantity) AS BIGINT) >= 25 THEN 1 ELSE 0 END AS f1,
+         CASE WHEN CAST(ROUND(l_discount * 1000) AS BIGINT) >= 30 THEN 1 ELSE 0 END AS f2,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS f3
+  FROM lineitem),
+m AS (SELECT {", ".join(aggs)} FROM base)
+{" UNION ALL ".join(rows)}
+"""
+
+
+@query("q_ml_shapley_exact", _shap_oracle())
+def q_ml_shapley_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.expr("CAST(ROUND(l_quantity) AS BIGINT) >= 25"), 1)
+        .otherwise(0)
+        .alias("f1"),
+        F.when(F.expr("CAST(ROUND(l_discount * 1000) AS BIGINT) >= 30"), 1)
+        .otherwise(0)
+        .alias("f2"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("f3"),
+    )
+    conds = {
+        "0": F.lit(True),
+        "1": F.col("f1") == 1,
+        "2": F.col("f2") == 1,
+        "3": F.col("f3") == 1,
+        "12": (F.col("f1") == 1) & (F.col("f2") == 1),
+        "13": (F.col("f1") == 1) & (F.col("f3") == 1),
+        "23": (F.col("f2") == 1) & (F.col("f3") == 1),
+        "123": (F.col("f1") == 1) & (F.col("f2") == 1) & (F.col("f3") == 1),
+    }
+    aggs = []
+    for k, c in conds.items():
+        aggs.append(
+            F.sum(F.when(c, F.col("cents")))
+            .cast("decimal(38,0)")
+            .alias(f"s{k}")
+        )
+        aggs.append(F.count(F.when(c, 1)).cast("bigint").alias(f"n{k}"))
+    m = base.agg(*aggs).localCheckpoint(eager=False)  # three row-consumers
+
+    def v(k: str):
+        return dec_to_double(F.col(f"s{k}")) / F.col(f"n{k}")
+
+    parts = []
+    for i, j, k in (("1", "2", "3"), ("2", "1", "3"), ("3", "1", "2")):
+        ij = "".join(sorted(i + j))
+        ik = "".join(sorted(i + k))
+        jk = "".join(sorted(j + k))
+        phi6 = (
+            F.lit(2.0) * (v(i) - v("0"))
+            + (v(ij) - v(j))
+            + (v(ik) - v(k))
+            + F.lit(2.0) * (v("123") - v(jk))
+        )
+        parts.append(
+            m.select(
+                F.lit(f"f{i}").alias("feature"),
+                phi6.alias("phi6"),
+                v(i).alias("v_solo"),
+                v("123").alias("v_full"),
+                F.col(f"n{i}").alias("n_solo"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -240,3 +240,22 @@ def test_mood_median_counts(spark, sf_dir):
         assert r["expected_above_num"] == r["n"] * sum(
             x["n_above"] for x in rows
         )
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    """Sum of Shapley values equals v(full) - v(empty) — the efficiency
+    axiom, checked numerically from the emitted columns plus a direct
+    v(empty) replay."""
+    from mini_etl_project_spark.queries.ml_q import q_ml_shapley_exact
+    from mini_etl_project_spark.session import load_table
+
+    rows = q_ml_shapley_exact(spark, sf_dir).collect()
+    assert {r["feature"] for r in rows} == {"f1", "f2", "f3"}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+    )
+    agg = li.agg(F.sum("c").alias("s"), F.count("c").alias("n")).collect()[0]
+    v_empty = agg["s"] / agg["n"]
+    v_full = rows[0]["v_full"]
+    total_phi = sum(r["phi6"] for r in rows) / 6.0
+    assert total_phi == pytest.approx(v_full - v_empty, rel=1e-9)

@@ -1161,3 +1161,92 @@ def q_stream_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         click_purchase_semi(events_stream(spark, sf_dir)), mode="append"
     )
     return spark.table(out)
+
+
+# -- X477 multimodal resize as an oracle surface -------------------------------
+#
+# The codec-free resize plumbing (operators/multimodal.py:241 — strided
+# byte-grid downsample through Arrow mapInPandas) promoted from
+# pytest-only to a driver-checkable row: the thumb BYTES are exact
+# (thumb[i] = raw[min(i·n // 64, n-1)]), so DuckDB re-derives them by
+# hex-pair arithmetic over encode(text) and both engines compare the
+# lowercase hex. The Spark side runs the REAL 1-batch-in/1-batch-out
+# Arrow path — this row proves the plumbing, not a re-expression.
+
+_MM_RESIZE_ORACLE = """
+WITH src AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id < 100 AND LENGTH(text) > 0)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       list_aggregate(
+         list_transform(
+           generate_series(0, 63),
+           i -> substr(hx, 2 * LEAST((i * n) // 64, n - 1) + 1, 2)),
+         'string_agg', '') AS thumb_hex,
+       CAST(8 AS INTEGER) AS out_w, CAST(8 AS INTEGER) AS out_h
+FROM src
+"""
+
+
+@query("q_multimodal_resize", _MM_RESIZE_ORACLE)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.multimodal import (
+        attach_binary,
+        resize_bytes,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & (F.length("text") > 0)
+    )
+    mm = attach_binary(d, "doc_id", "text")
+    sized = resize_bytes(mm, out_w=8, out_h=8)
+    return sized.join(
+        mm.select("doc_id", F.octet_length("payload").cast("bigint").alias("n_bytes")),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "n_bytes",
+        F.lower(F.hex("thumb")).alias("thumb_hex"),
+        "out_w",
+        "out_h",
+    )
+
+
+# -- X478 multimodal frame sampling as an oracle surface -----------------------
+#
+# The 1→N Arrow fan-out (operators/multimodal.py:270 — fixed-size frame
+# chunking, every k-th frame emitted as its own row) with the same
+# hex-pair oracle: frame fi = raw[fi·F : fi·F+F), every 4th of the
+# 16-byte frames. Proves mapInPandas row-expansion end to end.
+
+_MM_FRAMES_ORACLE = """
+WITH src AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id < 50),
+f AS (
+  SELECT doc_id, UNNEST(generate_series(0, n // 16 - 1)) AS fi, hx
+  FROM src WHERE n >= 16)
+SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+       substr(hx, 32 * fi + 1, 32) AS frame_hex
+FROM f WHERE fi % 4 = 0
+"""
+
+
+@query("q_multimodal_frame_sample", _MM_FRAMES_ORACLE)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.multimodal import (
+        attach_binary,
+        sample_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    mm = attach_binary(d, "doc_id", "text")
+    frames = sample_frames(mm, frame_bytes=16, every_k=4)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )

@@ -751,16 +751,21 @@ def q_table_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- X466 vacuum retention -----------------------------------------------------
-# v1 is overwritten by v2, so v1's files become unreachable under
-# keep_last=1; vacuum must delete at least one file AND the surviving
-# latest read must still equal the fixture aggregate. A tag pinned on
-# the latest version must survive (tag targets are vacuum-exempt).
+# Three overwrites; the FIRST version is tagged. vacuum(keep_last=1)
+# must reclaim the untagged middle version's files (≥1 deleted) while
+# the tagged v1 stays time-travelable PAST its retention age (tag
+# targets are vacuum-exempt) — the Delta-retention trade-off with the
+# tag escape hatch, both directions exercised. The tagged read's row
+# count is emitted as an in-plan equality flag against the latest read
+# (v1 = evens, v3 = odds of an odd-keyed domain ⇒ counts differ by the
+# key-parity split; the flag compares v1's count to its own re-read).
 
 _VACUUM_ORACLE = f"""
 SELECT COUNT(*) AS n_rows,
        {sql_dsum('c_acctbal', 'sum_acctbal')},
-       1 AS reclaimed_some,
-       1 AS tag_still_readable
+       CAST((SELECT COUNT(*) FROM customer WHERE c_custkey % 2 = 0)
+            AS BIGINT) AS tagged_rows,
+       1 AS reclaimed_some
 FROM customer WHERE c_custkey % 2 = 1
 """
 
@@ -771,10 +776,12 @@ def q_table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = SnapshotTable.create(_fresh_root(sf_dir, "vacuum"))
     cust = _customer_slim(spark, sf_dir)
-    t.overwrite(cust.filter(F.col("c_custkey") % 2 == 0))  # v1
-    t.overwrite(cust.filter(F.col("c_custkey") % 2 == 1))  # v2
-    t.tag("release", 2)
+    t.overwrite(cust.filter(F.col("c_custkey") % 2 == 0))  # v1: evens
+    t.tag("release", 1)
+    t.overwrite(cust)  # v2: all (untagged — vacuum bait)
+    t.overwrite(cust.filter(F.col("c_custkey") % 2 == 1))  # v3: odds
     deleted = t.vacuum(keep_last=1)
+    # v1 outlived retention ONLY because of the tag; v2 was reclaimed
     tag_rows = t.read_tag(spark, "release").count()
     latest = t.read(spark).agg(
         F.count("*").alias("n_rows"), dsum("c_acctbal", "sum_acctbal")
@@ -782,10 +789,8 @@ def q_table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "n_rows",
         "sum_acctbal",
+        F.lit(tag_rows).cast("bigint").alias("tagged_rows"),
         F.lit(1 if deleted else 0).cast("int").alias("reclaimed_some"),
-        (F.col("n_rows") == F.lit(tag_rows)).cast("int").alias(
-            "tag_still_readable"
-        ),
     )
 
 

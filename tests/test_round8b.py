@@ -134,8 +134,13 @@ def test_vacuum_reclaims_and_respects_tags(spark, sf_dir):
     from mini_etl_project_spark.queries.table_q import q_table_vacuum
 
     r = q_table_vacuum(spark, sf_dir).collect()[0]
-    assert r["reclaimed_some"] == 1
-    assert r["tag_still_readable"] == 1
+    assert r["reclaimed_some"] == 1  # untagged v2 reclaimed
+    evens = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .count()
+    )
+    assert r["tagged_rows"] == evens  # tagged v1 outlived retention
 
 
 def test_restore_does_not_move_clone(spark, sf_dir):

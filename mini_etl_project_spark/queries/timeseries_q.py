@@ -4996,8 +4996,12 @@ agg AS (
 SELECT agg.n,
        CAST((SELECT MIN(day) FROM c, agg WHERE c.dev * c.dev = agg.max_dev2)
             AS BIGINT) AS day_star,
-       CAST(CAST(agg.n AS DECIMAL(38,0)) * agg.max_dev2 * 1000000 // agg.ss
-            AS BIGINT) AS g2_ppm
+       -- HUGEINT lane: DuckDB's // on DECIMAL operands degrades to a
+       -- DOUBLE floor (off-by-one above 2^53 — caught by the sf0.001
+       -- cross-SF gate); int128 division is exact and the quotient
+       -- (≤ n·1e6) casts back to BIGINT safely.
+       CAST(CAST(agg.max_dev2 AS HUGEINT) * agg.n * 1000000
+            // CAST(agg.ss AS HUGEINT) AS BIGINT) AS g2_ppm
 FROM agg
 """
 

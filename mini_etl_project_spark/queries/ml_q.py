@@ -9218,13 +9218,16 @@ def q_fn_regr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     x = F.round("l_quantity").cast("bigint")
     y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    # products promote to DECIMAL BEFORE the sum — a long accumulator
+    # overflows on y² cents at sf0.1 already (ANSI raises; caught by the
+    # cross-SF gate), let alone at 100 TB
     m = li.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(x).cast("bigint").alias("sx"),
         F.sum(y).cast("bigint").alias("sy"),
-        F.sum(x * x).cast("decimal(38,0)").alias("sxx"),
-        F.sum(x * y).cast("decimal(38,0)").alias("sxy"),
-        F.sum(y * y).cast("decimal(38,0)").alias("syy"),
+        F.sum(x.cast("decimal(28,0)") * x).cast("decimal(38,0)").alias("sxx"),
+        F.sum(x.cast("decimal(28,0)") * y).cast("decimal(38,0)").alias("sxy"),
+        F.sum(y.cast("decimal(28,0)") * y).cast("decimal(38,0)").alias("syy"),
     )
     d = m.select(
         "n",

@@ -1651,3 +1651,100 @@ def q_graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("score_raw"),
         F.expr("CAST(v * 1000000 DIV m AS BIGINT)").alias("score_ppm"),
     )
+
+
+# -- X479 graph modularity of a node partition ---------------------------------
+#
+# Newman modularity of the REGION partition over the undirected trade
+# graph: Q = Σ_c [e_c/m − (deg_c/2m)²] — "is trade region-assortative?".
+# Everything is exact integers: m (undirected edge count), e_c
+# (intra-community edges), deg_c (community degree sums), and the
+# per-community numerator q_num_c = 4·m·e_c − deg_c² over the common
+# denominator 4m², with Q assembled by one division. The partition is a
+# dimension join (nation→region), the graph the same bounded trade
+# edges as PageRank/eigenvector.
+
+_MODULARITY_ORACLE = f"""
+WITH eedges AS (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM ({_PR_EDGES_SQL})),
+part AS (
+  SELECT n.n_name AS node, r.r_name AS community
+  FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM eedges),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT lo AS node FROM eedges UNION ALL SELECT hi FROM eedges)
+  GROUP BY node),
+cdeg AS (
+  SELECT p.community, CAST(SUM(deg.d) AS BIGINT) AS deg_sum
+  FROM deg JOIN part p ON p.node = deg.node
+  GROUP BY p.community),
+cin AS (
+  SELECT pl.community, CAST(COUNT(*) AS BIGINT) AS e_in
+  FROM eedges e
+  JOIN part pl ON pl.node = e.lo
+  JOIN part ph ON ph.node = e.hi
+  WHERE pl.community = ph.community
+  GROUP BY pl.community)
+SELECT cdeg.community,
+       COALESCE(cin.e_in, 0) AS e_in,
+       cdeg.deg_sum,
+       CAST(4 * m.m * COALESCE(cin.e_in, 0)
+            - cdeg.deg_sum * cdeg.deg_sum AS BIGINT) AS q_num,
+       CAST(4 * m.m * m.m AS BIGINT) AS q_den
+FROM cdeg LEFT JOIN cin ON cin.community = cdeg.community, m
+"""
+
+
+@query("q_graph_modularity", _MODULARITY_ORACLE)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    directed = _trade_edges(spark, sf_dir)
+    e = (
+        directed.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # m, deg, and cin all consume it
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    part = n.join(
+        r, n["n_regionkey"] == r["r_regionkey"]
+    ).select(F.col("n_name").alias("node"), F.col("r_name").alias("community"))
+    m = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    deg = (
+        e.select(F.col("lo").alias("node"))
+        .unionByName(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    cdeg = deg.join(F.broadcast(part), "node").groupBy("community").agg(
+        F.sum("d").cast("bigint").alias("deg_sum")
+    )
+    pl = part.select(F.col("node").alias("lo"), F.col("community").alias("cl"))
+    ph = part.select(F.col("node").alias("hi"), F.col("community").alias("ch"))
+    cin = (
+        e.join(F.broadcast(pl), "lo")
+        .join(F.broadcast(ph), "hi")
+        .filter(F.col("cl") == F.col("ch"))
+        .groupBy(F.col("cl").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    return (
+        cdeg.join(cin, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            F.coalesce("e_in", F.lit(0)).cast("bigint").alias("e_in"),
+            "deg_sum",
+            (
+                4 * F.col("m") * F.coalesce("e_in", F.lit(0))
+                - F.col("deg_sum") * F.col("deg_sum")
+            )
+            .cast("bigint")
+            .alias("q_num"),
+            (4 * F.col("m") * F.col("m")).cast("bigint").alias("q_den"),
+        )
+    )

@@ -9447,3 +9447,61 @@ def q_ml_shapley_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# -- X480 A/B sample-ratio-mismatch check ---------------------------------------
+#
+# The first diagnostic of any experiment readout: does the observed
+# assignment split match the design? Users hash-assign 50/50 (md5 —
+# both engines re-derive the same arms), and the SRM chi-square on the
+# 2-cell contingency is exact-rational: chi2 = (a − b)²/(a + b) for a
+# balanced design. Emitted as exact integers (a, b, (a−b)²) plus the
+# double chi2 via one division — the caller compares to 3.84 (95%).
+
+_SRM_ORACLE = """
+WITH u AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN ('0x' || substr(md5('srm:' || user_id), 1, 1))::INT % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm
+  FROM events),
+c AS (
+  SELECT CAST(COUNT(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS n_a,
+         CAST(COUNT(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT) AS n_b
+  FROM u)
+SELECT n_a, n_b,
+       CAST((n_a - n_b) * (n_a - n_b) AS BIGINT) AS diff_sq,
+       CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) AS srm_chi2
+FROM c
+"""
+
+
+@query("q_ml_ab_srm", _SRM_ORACLE)
+def q_ml_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("srm:"), F.col("user_id"))), 1, 1),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    u = ev.select("user_id").distinct().select(arm.alias("arm"))
+    c = u.agg(
+        F.count(F.when(F.col("arm") == "A", 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(F.col("arm") == "B", 1)).cast("bigint").alias("n_b"),
+    )
+    return c.select(
+        "n_a",
+        "n_b",
+        ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b")))
+        .cast("bigint")
+        .alias("diff_sq"),
+        (
+            ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b")))
+            .cast("double")
+            / (F.col("n_a") + F.col("n_b"))
+        ).alias("srm_chi2"),
+    )

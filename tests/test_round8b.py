@@ -264,3 +264,28 @@ def test_shapley_efficiency_axiom(spark, sf_dir):
     v_full = rows[0]["v_full"]
     total_phi = sum(r["phi6"] for r in rows) / 6.0
     assert total_phi == pytest.approx(v_full - v_empty, rel=1e-9)
+
+
+def test_modularity_bounds_and_identity(spark, sf_dir):
+    from mini_etl_project_spark.queries.iterative_q import q_graph_modularity
+
+    rows = q_graph_modularity(spark, sf_dir).collect()
+    assert rows
+    q_den = rows[0]["q_den"]
+    total_e_in = sum(r["e_in"] for r in rows)
+    total_deg = sum(r["deg_sum"] for r in rows)
+    m = int((q_den / 4) ** 0.5)
+    assert total_deg == 2 * m  # handshake lemma over the partition
+    assert total_e_in <= m
+    q = sum(r["q_num"] for r in rows) / q_den
+    assert -0.5 <= q <= 1.0  # modularity range
+
+
+def test_srm_balanced_within_noise(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import q_ml_ab_srm
+
+    r = q_ml_ab_srm(spark, sf_dir).collect()[0]
+    n = r["n_a"] + r["n_b"]
+    assert r["diff_sq"] == (r["n_a"] - r["n_b"]) ** 2
+    # a fair md5 coin should not be wildly skewed on the fixture
+    assert r["srm_chi2"] < 30.0, (r["n_a"], r["n_b"], n)

@@ -9505,3 +9505,115 @@ def q_ml_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a") + F.col("n_b"))
         ).alias("srm_chi2"),
     )
+
+
+# -- X481 TOST equivalence test -------------------------------------------------
+#
+# The readout A/B stacks get wrong: "are click and view values
+# EQUIVALENT within ±delta?" needs two one-sided tests, not a failed
+# difference test. Same exact integer-cents moment pass as Cohen's d
+# (X450); the margin is 5 cents; both z statistics assemble through
+# dec_to_double + a single sqrt/division — identical IEEE trees in both
+# engines. Equivalence holds when min(z_lower, -z_upper) > 1.645.
+
+_TOST_DELTA_CENTS = 5.0
+
+_TOST_ORACLE = f"""
+WITH m AS (
+  SELECT CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n1,
+         CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) END)
+              AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) END)
+              AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                            * CAST(ROUND(value * 100) AS BIGINT) END)
+              AS DECIMAL(38,0)) AS q1,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                            * CAST(ROUND(value * 100) AS BIGINT) END)
+              AS DECIMAL(38,0)) AS q2
+  FROM events),
+d AS (
+  SELECT n1, n2, s1, s2,
+         CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS diff,
+         sqrt({{ss1}} / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
+              + {{ss2}} / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))) AS se
+  FROM m)
+SELECT n1, n2, diff,
+       (diff + {_TOST_DELTA_CENTS}) / se AS z_lower,
+       (diff - {_TOST_DELTA_CENTS}) / se AS z_upper,
+       CAST(CASE WHEN (diff + {_TOST_DELTA_CENTS}) / se > 1.645
+                  AND (diff - {_TOST_DELTA_CENTS}) / se < -1.645
+                 THEN 1 ELSE 0 END AS INTEGER) AS equivalent_90
+FROM d
+"""
+
+
+def _tost_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    return _TOST_ORACLE.format(
+        ss1=sql_dec_to_double(
+            "CAST(q1 AS DECIMAL(38,0)) * n1 - CAST(s1 AS DECIMAL(38,0)) * s1"
+        ),
+        ss2=sql_dec_to_double(
+            "CAST(q2 AS DECIMAL(38,0)) * n2 - CAST(s2 AS DECIMAL(38,0)) * s2"
+        ),
+    )
+
+
+@query("q_ml_equivalence_tost", _tost_oracle())
+def q_ml_equivalence_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    m = ev.agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("bigint")
+        .alias("n1"),
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("event_type") == "click", cents))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("event_type") == "view", cents))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(F.when(F.col("event_type") == "click", cents * cents))
+        .cast("decimal(38,0)")
+        .alias("q1"),
+        F.sum(F.when(F.col("event_type") == "view", cents * cents))
+        .cast("decimal(38,0)")
+        .alias("q2"),
+    )
+    ss1 = dec_to_double(
+        (F.col("q1") * F.col("n1") - F.col("s1").cast("decimal(38,0)") * F.col("s1"))
+        .cast("decimal(38,0)")
+    )
+    ss2 = dec_to_double(
+        (F.col("q2") * F.col("n2") - F.col("s2").cast("decimal(38,0)") * F.col("s2"))
+        .cast("decimal(38,0)")
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    diff = F.col("s1").cast("double") / n1d - F.col("s2").cast("double") / n2d
+    se = F.sqrt(
+        ss1 / (n1d * F.col("n1") * (F.col("n1") - 1))
+        + ss2 / (n2d * F.col("n2") * (F.col("n2") - 1))
+    )
+    d = m.select("n1", "n2", diff.alias("diff"), se.alias("se"))
+    zl = (F.col("diff") + _TOST_DELTA_CENTS) / F.col("se")
+    zu = (F.col("diff") - _TOST_DELTA_CENTS) / F.col("se")
+    return d.select(
+        "n1",
+        "n2",
+        "diff",
+        zl.alias("z_lower"),
+        zu.alias("z_upper"),
+        ((zl > 1.645) & (zu < -1.645)).cast("int").alias("equivalent_90"),
+    )

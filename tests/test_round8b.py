@@ -289,3 +289,17 @@ def test_srm_balanced_within_noise(spark, sf_dir):
     assert r["diff_sq"] == (r["n_a"] - r["n_b"]) ** 2
     # a fair md5 coin should not be wildly skewed on the fixture
     assert r["srm_chi2"] < 30.0, (r["n_a"], r["n_b"], n)
+
+
+def test_tost_directional_consistency(spark, sf_dir):
+    from mini_etl_project_spark.queries.ml_q import (
+        q_ml_cohens_d,
+        q_ml_equivalence_tost,
+    )
+
+    t = q_ml_equivalence_tost(spark, sf_dir).collect()[0]
+    d = q_ml_cohens_d(spark, sf_dir).collect()[0]
+    assert t["n1"] == d["n1"] and t["n2"] == d["n2"]
+    assert t["z_lower"] > t["z_upper"]  # +delta shifts z up
+    # diff sign agrees with Cohen's d sign
+    assert (t["diff"] > 0) == (d["cohens_d"] > 0)

@@ -2572,7 +2572,7 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HIL_BITS = 8  # 256 x 256 grid
 
 
-def _hilbert_steps_sql() -> str:
+def _hilbert_steps_sql() -> tuple[str, str]:
     """Chained CTE levels l0..l{k} computing (x, y, d) — the unrolled
     xy2d walk; s halves per level, reflect+swap when ry = 0."""
     steps = []

@@ -8818,10 +8818,23 @@ def q_ml_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "view", cents))
         .cast("bigint")
         .alias("s2"),
-        F.sum(F.when(F.col("event_type") == "click", cents * cents))
+        # promote the product to DECIMAL before the SUM (the oracle sums
+        # into HUGEINT; a LongType sum overflows under ANSI at scale —
+        # same lane as q_fn_regr_family)
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                cents.cast("decimal(28,0)") * cents,
+            )
+        )
         .cast("decimal(38,0)")
         .alias("q1"),
-        F.sum(F.when(F.col("event_type") == "view", cents * cents))
+        F.sum(
+            F.when(
+                F.col("event_type") == "view",
+                cents.cast("decimal(28,0)") * cents,
+            )
+        )
         .cast("decimal(38,0)")
         .alias("q2"),
     )
@@ -9585,10 +9598,23 @@ def q_ml_equivalence_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "view", cents))
         .cast("bigint")
         .alias("s2"),
-        F.sum(F.when(F.col("event_type") == "click", cents * cents))
+        # promote the product to DECIMAL before the SUM (the oracle sums
+        # into HUGEINT; a LongType sum overflows under ANSI at scale —
+        # same lane as q_fn_regr_family)
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                cents.cast("decimal(28,0)") * cents,
+            )
+        )
         .cast("decimal(38,0)")
         .alias("q1"),
-        F.sum(F.when(F.col("event_type") == "view", cents * cents))
+        F.sum(
+            F.when(
+                F.col("event_type") == "view",
+                cents.cast("decimal(28,0)") * cents,
+            )
+        )
         .cast("decimal(38,0)")
         .alias("q2"),
     )

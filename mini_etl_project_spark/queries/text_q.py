@@ -1897,10 +1897,15 @@ SELECT l.pair_id,
        CAST(l.len_c AS BIGINT) AS len_c,
        CAST(l.len_r AS BIGINT) AS len_r,
        CAST(COALESCE(ov.overlap, 0) AS BIGINT) AS overlap,
-       CAST(COALESCE(ov.overlap, 0) * 1000000 // l.len_c AS BIGINT) AS p_ppm,
-       CAST(COALESCE(ov.overlap, 0) * 1000000 // l.len_r AS BIGINT) AS r_ppm,
-       CAST(2 * COALESCE(ov.overlap, 0) * 1000000
-            // (l.len_c + l.len_r) AS BIGINT) AS f1_ppm
+       CASE WHEN l.len_c > 0
+            THEN CAST(COALESCE(ov.overlap, 0) * 1000000 // l.len_c
+                      AS BIGINT) END AS p_ppm,
+       CASE WHEN l.len_r > 0
+            THEN CAST(COALESCE(ov.overlap, 0) * 1000000 // l.len_r
+                      AS BIGINT) END AS r_ppm,
+       CASE WHEN l.len_c + l.len_r > 0
+            THEN CAST(2 * COALESCE(ov.overlap, 0) * 1000000
+                      // (l.len_c + l.len_r) AS BIGINT) END AS f1_ppm
 FROM lens l LEFT JOIN ov ON ov.pair_id = l.pair_id
 """
 
@@ -1951,15 +1956,20 @@ def q_text_rouge1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "len_c",
         "len_r",
         F.coalesce("overlap", F.lit(0)).cast("bigint").alias("overlap"),
+        # empty candidate/reference: NULL ppm on both engines (ANSI Spark
+        # throws DIVIDE_BY_ZERO where DuckDB // yields NULL)
         F.expr(
-            "CAST(COALESCE(overlap, 0) * 1000000 DIV len_c AS BIGINT)"
+            "CASE WHEN len_c > 0 THEN"
+            " CAST(COALESCE(overlap, 0) * 1000000 DIV len_c AS BIGINT) END"
         ).alias("p_ppm"),
         F.expr(
-            "CAST(COALESCE(overlap, 0) * 1000000 DIV len_r AS BIGINT)"
+            "CASE WHEN len_r > 0 THEN"
+            " CAST(COALESCE(overlap, 0) * 1000000 DIV len_r AS BIGINT) END"
         ).alias("r_ppm"),
         F.expr(
-            "CAST(2 * COALESCE(overlap, 0) * 1000000"
-            " DIV (len_c + len_r) AS BIGINT)"
+            "CASE WHEN len_c + len_r > 0 THEN"
+            " CAST(2 * COALESCE(overlap, 0) * 1000000"
+            " DIV (len_c + len_r) AS BIGINT) END"
         ).alias("f1_ppm"),
     )
 
@@ -2014,7 +2024,9 @@ lens AS (
   SELECT pair_id, LEN(c1) AS len_c, LEN(r1) AS len_r FROM grams)
 SELECT a.pair_id, a.n, a.clipped, a.total_c,
        CAST(a.clipped * 1000000 // a.total_c AS BIGINT) AS p_ppm,
-       CAST(l.len_c * 1000000 // l.len_r AS BIGINT) AS len_ratio_ppm
+       CASE WHEN l.len_r > 0
+            THEN CAST(l.len_c * 1000000 // l.len_r AS BIGINT) END
+         AS len_ratio_ppm
 FROM agg a JOIN lens l ON l.pair_id = a.pair_id
 WHERE a.total_c > 0
 """
@@ -2032,8 +2044,15 @@ def q_text_bleu_precisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = lambda col: F.filter(tokens(col), lambda t: t != "")  # noqa: E731
 
     def bigrams(arr):
+        # Spark's sequence(1, stop) runs DESCENDING when stop < 1 (e.g.
+        # [1, 0] → element_at(arr, 0) throws); DuckDB's generate_series
+        # yields an empty list. Mirror the empty list for 0/1-token docs.
+        stop = F.size(arr) - 1
+        idx = F.when(stop >= 1, F.sequence(F.lit(1), stop)).otherwise(
+            F.array().cast("array<int>")
+        )
         return F.transform(
-            F.sequence(F.lit(1), F.size(arr) - 1),
+            idx,
             lambda i: F.concat_ws(
                 " ", F.element_at(arr, i), F.element_at(arr, i + 1)
             ),
@@ -2088,9 +2107,12 @@ def q_text_bleu_precisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(clipped * 1000000 DIV total_c AS BIGINT)").alias(
                 "p_ppm"
             ),
-            F.expr("CAST(len_c * 1000000 DIV len_r AS BIGINT)").alias(
-                "len_ratio_ppm"
-            ),
+            # len_r = 0 (empty reference): NULL on both engines — ANSI
+            # Spark would throw DIVIDE_BY_ZERO where DuckDB // yields NULL
+            F.expr(
+                "CASE WHEN len_r > 0"
+                " THEN CAST(len_c * 1000000 DIV len_r AS BIGINT) END"
+            ).alias("len_ratio_ppm"),
         )
     )
 
@@ -2137,8 +2159,10 @@ agg AS (
          CAST(SUM(rc) AS BIGINT) AS len_r
   FROM cnt GROUP BY pair_id)
 SELECT pair_id, overlap, len_c, len_r,
-       CAST(overlap * 1000000 // len_c AS BIGINT) AS p_ppm,
-       CAST(overlap * 1000000 // len_r AS BIGINT) AS r_ppm,
+       CASE WHEN len_c > 0
+            THEN CAST(overlap * 1000000 // len_c AS BIGINT) END AS p_ppm,
+       CASE WHEN len_r > 0
+            THEN CAST(overlap * 1000000 // len_r AS BIGINT) END AS r_ppm,
        CAST(5 * overlap * 1000000 // (4 * len_r + len_c) AS BIGINT)
          AS chrf2_ppm
 FROM agg
@@ -2157,10 +2181,15 @@ def q_text_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def grams(col):
         c = F.col(col)
-        return F.transform(
-            F.sequence(F.lit(1), F.length(c) - (_CHRF_N - 1)),
-            lambda i: F.substring(c, i, _CHRF_N),
+        # clamp: text shorter than _CHRF_N chars gets an EMPTY gram list
+        # (DuckDB's generate_series(1, len-2) is empty; Spark's
+        # sequence(1, stop<1) is a descending array whose substring(c,
+        # 0|-1, 3) rows silently diverge)
+        stop = F.length(c) - (_CHRF_N - 1)
+        idx = F.when(stop >= 1, F.sequence(F.lit(1), stop)).otherwise(
+            F.array().cast("array<int>")
         )
+        return F.transform(idx, lambda i: F.substring(c, i, _CHRF_N))
 
     # two union arms consume pairs — materialize once (same defect class
     # as the BLEU gram-table fix)
@@ -2191,8 +2220,17 @@ def q_text_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overlap",
         "len_c",
         "len_r",
-        F.expr("CAST(overlap * 1000000 DIV len_c AS BIGINT)").alias("p_ppm"),
-        F.expr("CAST(overlap * 1000000 DIV len_r AS BIGINT)").alias("r_ppm"),
+        # one-sided gram sets (text < 3 chars on one side): NULL ppm on
+        # both engines instead of ANSI DIVIDE_BY_ZERO; the chrf2
+        # denominator is >= 1 whenever the pair has any gram at all
+        F.expr(
+            "CASE WHEN len_c > 0"
+            " THEN CAST(overlap * 1000000 DIV len_c AS BIGINT) END"
+        ).alias("p_ppm"),
+        F.expr(
+            "CASE WHEN len_r > 0"
+            " THEN CAST(overlap * 1000000 DIV len_r AS BIGINT) END"
+        ).alias("r_ppm"),
         F.expr(
             "CAST(5 * overlap * 1000000 DIV (4 * len_r + len_c) AS BIGINT)"
         ).alias("chrf2_ppm"),

@@ -882,4 +882,3 @@ def q_window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cents",
         )
     )
-

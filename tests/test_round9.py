@@ -1,0 +1,123 @@
+"""Round-9 regression tests.
+
+Short/empty-document guards for the gen-eval text metrics (ROUGE X455,
+BLEU X456, chrF X461): Spark's sequence(1, stop) runs DESCENDING when
+stop < 1 while DuckDB's generate_series yields an empty list, and ANSI
+`DIV 0` throws where DuckDB `// 0` returns NULL.  These tests run the
+real query functions AND their registered oracles on a crafted corpus of
+0/1/2-token and 0/1/2-char documents and require exact equality — the
+adversarial fixtures the sf tables never contain.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.check_correctness import canon_rows, duck_run  # noqa: E402
+
+
+SHORT_DOCS = [
+    # pair (0, 1): empty candidate, normal reference
+    (0, "", "en", "web", 0),
+    (1, "the quick brown fox jumps", "en", "web", 25),
+    # pair (50, 51): 1-token candidate (no bigrams), 2-char reference
+    # (no char-3-grams)
+    (50, "hello", "en", "web", 5),
+    (51, "hi", "en", "web", 2),
+    # pair (100, 101): both empty
+    (100, "", "en", "web", 0),
+    (101, "", "en", "web", 0),
+    # pair (150, 151): 1-char candidate, 1-token reference
+    (150, "a", "en", "web", 1),
+    (151, "hello", "en", "web", 5),
+    # pair (200, 201): normal pair with real overlap (control row)
+    (200, "the cat sat on the mat", "en", "web", 22),
+    (201, "the cat lay on the mat", "en", "web", 22),
+    # unpaired filler so the modulo filter has non-pair rows to skip
+    (7, "filler text here", "en", "web", 16),
+]
+
+
+@pytest.fixture(scope="module")
+def short_doc_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("short_docs")
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in SHORT_DOCS], pa.int64()),
+            "text": pa.array([r[1] for r in SHORT_DOCS], pa.string()),
+            "lang": pa.array([r[2] for r in SHORT_DOCS], pa.string()),
+            "source": pa.array([r[3] for r in SHORT_DOCS], pa.string()),
+            "n_chars": pa.array([r[4] for r in SHORT_DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(d / "documents.parquet"))
+    return str(d)
+
+
+def _compare(spark, sf_dir, name):
+    from mini_etl_project_spark.queries import ORACLES, QUERIES
+
+    df = QUERIES[name](spark, sf_dir)
+    scols, srows = df.columns, [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    dcols, drows = duck_run(con, ORACLES[name])
+    assert sorted(scols) == sorted(dcols)
+    assert canon_rows(scols, srows) == canon_rows(dcols, drows)
+    return srows
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_text_rouge1_pairs", "q_text_bleu_precisions", "q_text_chrf_pairs"],
+)
+def test_short_docs_match_oracle_exactly(spark, short_doc_dir, name):
+    rows = _compare(spark, short_doc_dir, name)
+    # the control pair must actually survive, so the test can't pass
+    # vacuously by emitting zero rows everywhere
+    assert any(r[0] == 200 for r in rows), rows
+
+
+def test_short_docs_expected_shape(spark, short_doc_dir):
+    """Pin the semantics, not just cross-engine agreement: a 1-token
+    candidate contributes unigram rows but no bigram rows to BLEU, and
+    the empty-candidate ROUGE row carries NULL p_ppm (not a crash)."""
+    from mini_etl_project_spark.queries import QUERIES
+
+    bleu = {
+        (r["pair_id"], r["n"])
+        for r in QUERIES["q_text_bleu_precisions"](
+            spark, short_doc_dir
+        ).collect()
+    }
+    assert (50, 1) in bleu  # "hello" has a unigram
+    assert (50, 2) not in bleu  # ... but no bigram (total_c = 0 filtered)
+
+    rouge = {
+        r["pair_id"]: r
+        for r in QUERIES["q_text_rouge1_pairs"](spark, short_doc_dir).collect()
+    }
+    assert rouge[0]["p_ppm"] is None  # empty candidate: NULL, no throw
+    assert rouge[0]["r_ppm"] == 0  # 0 overlap over 5 reference tokens
+    assert rouge[100]["f1_ppm"] is None  # both empty
+    assert rouge[200]["f1_ppm"] > 0  # control pair has real overlap
+
+    chrf = {
+        r["pair_id"]: r
+        for r in QUERIES["q_text_chrf_pairs"](spark, short_doc_dir).collect()
+    }
+    assert 100 not in chrf  # no grams on either side: no row at all
+    assert chrf[50]["r_ppm"] is None  # "hi" has no char-3-grams
+    assert chrf[200]["chrf2_ppm"] > 0

@@ -49,16 +49,71 @@ def run_once(spark, name: str, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def prewarm_page_cache(sf_dir: str) -> int:
+    """Read every parquet byte once so the first timed scans hit the OS
+    page cache — round-6 measured a cold-cache first run 3.5 s over its
+    quiet band on unchanged code. Returns bytes touched."""
+    total = 0
+    try:
+        import glob
+
+        for path in glob.glob(os.path.join(sf_dir, "*.parquet")):
+            with open(path, "rb") as f:
+                while True:
+                    chunk = f.read(1 << 24)
+                    if not chunk:
+                        break
+                    total += len(chunk)
+    except OSError:
+        pass
+    return total
+
+
+def read_cpu_steal() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — hypervisor steal
+    is invisible in load average but shows directly here."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+# q06 (selective scan, untouched since round 1) quiet-host band across
+# r1-r8 quiet runs: 0.27-0.42 s. A median above the ceiling means the
+# host was contended during this run, not that the plan regressed.
+_Q06_BAND = (0.27, 0.45)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
+    prewarm_page_cache(sf_dir)
+    try:
+        load_avg = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_avg = None
+    steal0, jiff0 = read_cpu_steal()
     names = [n for n in HEADLINE if n in QUERIES]
     results: dict[str, float] = {}
     for name in names:
         run_once(spark, name, sf_dir)  # warm-up (also warms file/metadata caches)
         results[name] = round(statistics.median(run_once(spark, name, sf_dir) for _ in range(5)), 4)
     total = round(sum(results.values()), 4)
+    steal1, jiff1 = read_cpu_steal()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / (jiff1 - jiff0), 2)
+        if jiff1 > jiff0
+        else 0.0
+    )
+    q06 = results.get("q06_revenue_change")
+    contended = bool(
+        steal_pct > 2.0 or (q06 is not None and q06 > _Q06_BAND[1])
+    )
     print(
         json.dumps(
             {
@@ -67,6 +122,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                # host-condition annotation (BASELINE.md protocol): the
+                # number is only comparable across rounds on a quiet host
+                "contended": contended,
+                "steal_pct": steal_pct,
+                "load_avg_start": load_avg,
+                "q06_quiet_band": list(_Q06_BAND),
             }
         )
     )

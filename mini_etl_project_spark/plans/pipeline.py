@@ -109,12 +109,28 @@ class AutoETLPipeline:
         eager_summary: bool = True,
         cache_intermediate: bool = True,
         assume_partitioned: bool = False,
+        profile_sample_mod: int | None = None,
     ) -> None:
         self.compat = compat
         self.missing_threshold = missing_threshold
         self.outlier_z = outlier_z
         self.exact_stats = exact_stats
         self.eager_summary = eager_summary
+        # SURVEY §4.3 approx-profile switch, OFF by default (None/<=1 =
+        # exact full-scan profile, reference-parity). k >= 2: R7 type
+        # detection runs over the deterministic row sample
+        # pmod(xxhash64(all columns), k) == 0 (~1/k of rows —
+        # content-keyed, partitioning-independent), and the parse layer
+        # is then built ONLY for the columns whose detected type will
+        # read it. Every DATA decision downstream stays exact: fill
+        # values (median/mode), outlier scalars, null-ratio drops, and
+        # the rare-category threshold all read full-scan jobs; only the
+        # type decisions and the two profile-count report lines
+        # ("invalid values: N", speculation bound) become
+        # sample-extrapolated estimates. The 100x sweep measured the
+        # full-scan regex profile at 136-213 s — this is the switch that
+        # cuts it.
+        self.profile_sample_mod = profile_sample_mod
         # The degenerate-partitioning probe (ensure_parallelism) physically
         # plans the input frame (~0.8 s of driver time on expression-heavy
         # projections). Callers whose input already went through
@@ -205,10 +221,40 @@ class AutoETLPipeline:
             NC_PREFIX,
             PD_PREFIX,
             prepare_parse_frame,
+            profile_frame_and_count,
             profile_prepared_and_count,
         )
 
-        wide, parsed = prepare_parse_frame(df, compat=self.compat)
+        k = self.profile_sample_mod or 0
+        sampled_profile = k > 1
+        sample_rows = 0
+        if sampled_profile:
+            # Approx mode, job 1: profile a deterministic ~1/k row sample
+            # of the RAW frame (content-keyed hash — independent of
+            # partitioning, stable across runs). Type rules are ratio
+            # thresholds, which the sample estimates without bias;
+            # distinct counts only feed coarse bounds (<50 categorical,
+            # speculation cap) and never overcount under sampling.
+            sample = df.filter(
+                F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(k))
+                == 0
+            )
+            profiles, sample_rows = profile_frame_and_count(
+                sample, exact_distinct=False
+            )
+            if sample_rows == 0:
+                # degenerate tiny input: fall back to the exact profile
+                sampled_profile = False
+        if sampled_profile:
+            types = {c: profiles[c].logical_type for c in df.columns}
+            wide, parsed = prepare_parse_frame(
+                df,
+                compat=self.compat,
+                date_cols={c for c, t in types.items() if t == DATE},
+                numeric_cols={c for c, t in types.items() if t == NUMERIC},
+            )
+        else:
+            wide, parsed = prepare_parse_frame(df, compat=self.compat)
         if self.cache_intermediate:
             from pyspark import StorageLevel
 
@@ -224,9 +270,16 @@ class AutoETLPipeline:
             AutoETLPipeline._LIVE_CACHES.append(wide)
             self._cached_base = wide
 
-        # Job 1: profile → logical types (+ total rows, same job); the
-        # action also materializes the persisted wide frame.
-        profiles, n_rows = profile_prepared_and_count(wide, df.columns, parsed)
+        if not sampled_profile:
+            # Job 1: profile → logical types (+ total rows, same job); the
+            # action also materializes the persisted wide frame.
+            profiles, n_rows = profile_prepared_and_count(
+                wide, df.columns, parsed
+            )
+        else:
+            # exact row count arrives with the fused stats job below (the
+            # sampled profile's count covers only ~1/k of the rows)
+            n_rows = -1
         self.column_types = {c: profiles[c].logical_type for c in df.columns}
         for c in df.columns:
             self.cleaning_report[c].append(
@@ -276,18 +329,28 @@ class AutoETLPipeline:
         cat_cols = [c for c in df.columns if self.column_types[c] == CATEGORICAL]
         spec_date: list[str] = []
         spec_text: list[str] = []
+        # Under a 1/k sampled profile, a high-cardinality column's sampled
+        # distinct count is ~distinct/k (near-unique values mostly appear
+        # once), so the speculation cap scales down with it.
+        spec_bound = (
+            max(1, self._SPECULATE_MAX_DISTINCT // k)
+            if sampled_profile
+            else self._SPECULATE_MAX_DISTINCT
+        )
         for c in df.columns:
             t = self.column_types[c]
             if t in (NUMERIC, CATEGORICAL):
                 continue
-            if profiles[c].distinct > self._SPECULATE_MAX_DISTINCT:
+            if profiles[c].distinct > spec_bound:
                 continue
             (spec_date if t == DATE else spec_text).append(c)
-        null_count, text_len, medians, cat_counts, spec_top1 = (
+        null_count, text_len, medians, cat_counts, spec_top1, rows_total = (
             self._fused_stats(
                 base_df, base, profiles, cat_cols, spec_date, spec_text
             )
         )
+        if sampled_profile:
+            n_rows = rows_total  # exact, from the full-scan fused job
 
         # Finalize cleaning expressions (on top of the cleaned base:
         # whitespace collapse after trim/nullify ≡ the reference's order).
@@ -365,7 +428,15 @@ class AutoETLPipeline:
         for c in df.columns:
             t = self.column_types[c]
             if t == NUMERIC:
-                orig_na = n_rows - profiles[c].non_null
+                if sampled_profile:
+                    # raw-null count extrapolated from the 1/k sample —
+                    # the one report number the approx profile estimates
+                    orig_na = min(
+                        null_count[c],
+                        (sample_rows - profiles[c].non_null) * k,
+                    )
+                else:
+                    orig_na = n_rows - profiles[c].non_null
                 self.cleaning_report[c].append(
                     f"cleaned numeric column, invalid values: {null_count[c] - orig_na}"
                 )
@@ -499,7 +570,9 @@ class AutoETLPipeline:
     def _pre_stats_aggs(
         self, base: dict[str, Column], profiles: dict[str, ColumnProfile]
     ) -> list[Column]:
-        aggs: list[Column] = []
+        # exact row count rides for free; it replaces the profile job's
+        # count when the profile ran on a sample
+        aggs: list[Column] = [F.count(F.lit(1)).alias("__rows_total")]
         for c, expr in base.items():
             aggs.append(F.sum(expr.isNull().cast("long")).alias(f"{c}__null"))
             t = profiles[c].logical_type
@@ -517,12 +590,12 @@ class AutoETLPipeline:
     @staticmethod
     def _split_pre_stats(
         row, base: dict[str, Column]
-    ) -> tuple[dict[str, int], dict[str, float], dict[str, float]]:
+    ) -> tuple[dict[str, int], dict[str, float], dict[str, float], int]:
         d = dict(row) if isinstance(row, dict) else row.asDict()
         null_count = {c: d[f"{c}__null"] for c in base}
         text_len = {c: d[f"{c}__len"] for c in base if f"{c}__len" in d}
         medians = {c: d[f"{c}__med"] for c in base if f"{c}__med" in d}
-        return null_count, text_len, medians
+        return null_count, text_len, medians, d["__rows_total"]
 
     def _fused_stats(
         self,
@@ -544,8 +617,9 @@ class AutoETLPipeline:
         (null counts, text lengths, medians) ride an ``observe`` below the
         stack — both are computed in the same traversal of the cleaned
         base. Returns (null_count, text_len, medians, cat_counts,
-        spec_top1) where ``spec_top1`` is keyed by stack label (column
-        name, with the raw/ws variant suffix for text columns)."""
+        spec_top1, rows_total) where ``spec_top1`` is keyed by stack
+        label (column name, with the raw/ws variant suffix for text
+        columns) and ``rows_total`` is the exact row count."""
         aggs = self._pre_stats_aggs(base, profiles)
         stacked_cols: dict[str, Column] = {c: base[c] for c in cat_cols}
         for c in spec_date:
@@ -557,8 +631,10 @@ class AutoETLPipeline:
             )
         if not stacked_cols:
             row = df.agg(*aggs).collect()[0]
-            null_count, text_len, medians = self._split_pre_stats(row, base)
-            return null_count, text_len, medians, {}, {}
+            null_count, text_len, medians, rows_total = self._split_pre_stats(
+                row, base
+            )
+            return null_count, text_len, medians, {}, {}, rows_total
 
         from pyspark.sql import Observation
 
@@ -576,7 +652,9 @@ class AutoETLPipeline:
         if cat_cols:
             keep = keep | F.col(_C).isin(cat_cols)
         rows = grouped.filter(keep).collect()
-        null_count, text_len, medians = self._split_pre_stats(obs.get, base)
+        null_count, text_len, medians, rows_total = self._split_pre_stats(
+            obs.get, base
+        )
         by_col: dict[str, list[tuple[str, int]]] = {c: [] for c in cat_cols}
         spec_top1: dict[str, str] = {}
         for r in rows:
@@ -584,7 +662,7 @@ class AutoETLPipeline:
                 by_col[r[_C]].append((r[_V], r["count"]))
             if r["__rn"] == 1 and r[_C] not in by_col:
                 spec_top1[r[_C]] = r[_V]
-        return null_count, text_len, medians, by_col, spec_top1
+        return null_count, text_len, medians, by_col, spec_top1, rows_total
 
     def _category_and_mode_stats(
         self,

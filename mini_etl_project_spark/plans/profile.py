@@ -164,32 +164,52 @@ PD_PREFIX, PN_PREFIX, NC_PREFIX = "__pd__", "__pn__", "__nc__"
 
 
 def prepare_parse_frame(
-    df: DataFrame, compat: bool = True
+    df: DataFrame,
+    compat: bool = True,
+    date_cols: set[str] | None = None,
+    numeric_cols: set[str] | None = None,
 ) -> tuple[DataFrame, list[str]]:
     """Project ``df`` plus per-string-column parse layers:
     ``__pd__<c>`` (multi-format date parse — shared by the profile's
     date_ok count and the date cleaner), ``__pn__<c>`` (pd.to_numeric
     mirror — profile's numeric_ok), ``__nc__<c>`` (the full numeric
     cleaner — speculative, used iff the column types numeric).
-    Returns (wide_frame, string_columns)."""
+    Returns (wide_frame, string_columns).
+
+    TRIMMED mode (either ``date_cols`` or ``numeric_cols`` given, i.e.
+    column types already known from a sampled profile): build ONLY the
+    layer each column's cleaner will read — ``__pd__`` for date-typed
+    strings, ``__nc__`` for numeric-typed strings, nothing for
+    text/categorical strings and no ``__pn__`` anywhere (the full-scan
+    profile is the only consumer of the numeric-parse mirror). This is
+    the 100 TB lever: the regex date chain / numeric parse never run
+    over columns that won't use them."""
     from mini_etl_project_spark.functions.cleaning import (
         clean_numeric,
         guarded_try_double,
         ws_trim,
     )
 
+    trimmed = date_cols is not None or numeric_cols is not None
     exprs = [F.col(c) for c in df.columns]
     parsed: list[str] = []
     for c in df.columns:
         if df.schema[c].dataType.typeName() != "string":
             continue
-        parsed.append(c)
         s = F.col(c)
-        exprs += [
-            parse_date_multi(s).alias(PD_PREFIX + c),
-            guarded_try_double(ws_trim(s)).alias(PN_PREFIX + c),
-            clean_numeric(c, compat=compat).alias(NC_PREFIX + c),
-        ]
+        if not trimmed:
+            parsed.append(c)
+            exprs += [
+                parse_date_multi(s).alias(PD_PREFIX + c),
+                guarded_try_double(ws_trim(s)).alias(PN_PREFIX + c),
+                clean_numeric(c, compat=compat).alias(NC_PREFIX + c),
+            ]
+        elif c in (date_cols or ()):
+            parsed.append(c)
+            exprs.append(parse_date_multi(s).alias(PD_PREFIX + c))
+        elif c in (numeric_cols or ()):
+            parsed.append(c)
+            exprs.append(clean_numeric(c, compat=compat).alias(NC_PREFIX + c))
     return df.select(*exprs), parsed
 
 

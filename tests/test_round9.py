@@ -121,3 +121,97 @@ def test_short_docs_expected_shape(spark, short_doc_dir):
     assert 100 not in chrf  # no grams on either side: no row at all
     assert chrf[50]["r_ppm"] is None  # "hi" has no char-3-grams
     assert chrf[200]["chrf2_ppm"] > 0
+
+
+# -- approx-profile flag (SURVEY §4.3, VERDICT r8 ask #4) ---------------------
+
+
+def _typed_frame(spark):
+    """2,000 rows with unambiguous logical types: numeric-string, date-
+    string, categorical, text, plus planted nulls/invalids so the fill
+    and report machinery all fire."""
+    import pandas as pd
+
+    n = 2000
+    rows = {
+        "id": list(range(n)),
+        "amount": [
+            ("N/A" if i % 97 == 0 else f"{i}.25") for i in range(n)
+        ],
+        "when": [
+            ("invalid" if i % 89 == 0 else f"2023-{1 + i % 12:02d}-{1 + i % 28:02d}")
+            for i in range(n)
+        ],
+        "grade": [("A", "B", "C", None)[i % 4] for i in range(n)],
+        "note": [
+            (None if i % 41 == 0 else f"free text body number {i:05d} padding")
+            for i in range(n)
+        ],
+    }
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_approx_profile_matches_exact_pipeline(spark):
+    from mini_etl_project_spark.plans.pipeline import AutoETLPipeline
+
+    df = _typed_frame(spark)
+    exact = AutoETLPipeline(compat=True)
+    out_exact = exact.transform(df)
+    rows_exact = sorted(out_exact.collect(), key=lambda r: r["id"])
+
+    approx = AutoETLPipeline(compat=True, profile_sample_mod=4)
+    out_approx = approx.transform(df)
+    rows_approx = sorted(out_approx.collect(), key=lambda r: r["id"])
+
+    # type detection agrees on the unambiguous corpus
+    assert approx.column_types == exact.column_types
+    # the DATA is identical — fills, clamps, drops and dedup all read
+    # exact full-scan jobs regardless of the flag
+    assert out_approx.columns == out_exact.columns
+    assert rows_approx == rows_exact
+    # exact-by-design report lines agree (median fill, date conversion,
+    # drop decisions); only the sampled "invalid values" estimate may
+    # legitimately differ
+    for c in out_exact.columns:
+        e_lines = [
+            l for l in exact.cleaning_report[c] if "invalid values" not in l
+        ]
+        a_lines = [
+            l for l in approx.cleaning_report[c] if "invalid values" not in l
+        ]
+        assert a_lines == e_lines, c
+
+
+def test_approx_profile_trims_parse_layer(spark):
+    """The wide frame in approx mode must carry parse layers ONLY for
+    the columns whose detected type reads them — that projection is the
+    100 TB regex saving the flag exists for."""
+    from mini_etl_project_spark.plans.profile import prepare_parse_frame
+
+    df = _typed_frame(spark)
+    wide_full, parsed_full = prepare_parse_frame(df)
+    wide_trim, parsed_trim = prepare_parse_frame(
+        df, date_cols={"when"}, numeric_cols={"amount"}
+    )
+    assert set(parsed_full) == {"amount", "when", "grade", "note"}
+    assert set(parsed_trim) == {"amount", "when"}
+    extras_full = [c for c in wide_full.columns if c.startswith("__")]
+    extras_trim = [c for c in wide_trim.columns if c.startswith("__")]
+    assert len(extras_full) == 12  # 3 layers x 4 string cols
+    assert sorted(extras_trim) == ["__nc__amount", "__pd__when"]
+
+
+def test_approx_profile_empty_sample_falls_back(spark):
+    """A tiny frame whose 1/k hash sample is empty must fall back to the
+    exact profile instead of typing everything unknown."""
+    import pandas as pd
+
+    from mini_etl_project_spark.plans.pipeline import AutoETLPipeline
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "amount": ["7.5"]})
+    )
+    pipe = AutoETLPipeline(compat=True, profile_sample_mod=1_000_000_007)
+    out = pipe.transform(df)
+    assert out.count() == 1
+    assert pipe.column_types["amount"] == "numeric"

@@ -239,6 +239,121 @@ def q_sim_ann_ml_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml_brp_lsh(e, queries, k=_K)
 
 
+# -- X482: MLlib-BRP ANN accounting twin (VERDICT r8 ask #5) -----------------
+# The last production ANN row without an oracle-exact companion:
+# q_sim_ann_ml_brp's bucketing lives inside spark.ml (seeded Gaussian
+# hyperplanes the DuckDB oracle cannot re-derive), so unlike X321/X379/
+# X380 the candidate sets themselves aren't SQL-reproducible. The twin
+# therefore verifies the INVARIANTS any correct BRP index must satisfy,
+# all as oracle-exact integers in one row:
+#   n_queries      — probe-set cardinality (oracle: COUNT);
+#   n_returned     — must be exactly n_queries*k (corpus >> k and the
+#                    inf-threshold similarity join always yields >= k
+#                    candidates per query at every shipped SF);
+#   n_dist_bad     — returned MLlib distances re-verified against the
+#                    exact-decimal Euclidean recomputation (rel. tol.
+#                    1e-6, generous vs the ~1e-14 double-path drift);
+#   recall_floor_ok — recall@k vs the in-Spark exact Euclidean top-k
+#                    twin clears a conservative 60 % floor (measured
+#                    92-94 % at sf0.001/0.01/0.1).
+
+_BRP_RECALL_FLOOR_PPM = 600_000
+
+_BRP_ACCT_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) * {_K} AS BIGINT) AS n_returned,
+       CAST(0 AS BIGINT) AS n_dist_bad,
+       1 AS recall_floor_ok
+FROM embeddings WHERE vec_id < {_NQ}
+"""
+
+
+@query("q_sim_ann_ml_brp_acct", _BRP_ACCT_ORACLE)
+def q_sim_ann_ml_brp_acct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mini_etl_project_spark.functions.vectors import dot_exact, sqnorm_exact
+    from mini_etl_project_spark.operators.similarity import ml_brp_lsh
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _NQ)
+    # two consumers below (distance re-verify + recall hits): materialize
+    # the tiny (NQ*k-row) ANN result once so the MLlib similarity join
+    # doesn't re-execute per consumer (house pattern, see BLEU/chrF)
+    ann = (
+        ml_brp_lsh(e, queries, k=_K)
+        .select("query_id", "neighbor_id", "dist")
+        .localCheckpoint(eager=False)
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    # exact Euclidean top-k twin (NQ queries x corpus — the bounded
+    # brute-force side every accounting twin uses; X3's cosine twin
+    # ranks a different metric, so rank Euclidean here)
+    d2 = (
+        sqnorm_exact("qv") - 2 * dot_exact("qv", "cv") + sqnorm_exact("cv")
+    ).alias("d2")
+    pairs = qv.crossJoin(cv).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        pairs.select("query_id", "neighbor_id", d2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _K)
+        .select("query_id", "neighbor_id")
+    )
+    # re-verify MLlib's reported distance against the exact recomputation
+    checked = ann.join(qv, "query_id").join(cv, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        "dist",
+        F.sqrt(
+            F.greatest(
+                sqnorm_exact("qv")
+                - 2 * dot_exact("qv", "cv")
+                + sqnorm_exact("cv"),
+                F.lit(0.0),
+            )
+        ).alias("exact_dist"),
+    )
+    n_queries = queries.select(F.count(F.lit(1)).cast("bigint").alias("n"))
+    agg = checked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_returned"),
+        F.sum(
+            (
+                F.abs(F.col("dist") - F.col("exact_dist"))
+                > 1e-6 * (F.lit(1.0) + F.col("exact_dist"))
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("n_dist_bad"),
+    )
+    hit_cnt = (
+        ann.join(exact, ["query_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    return (
+        n_queries.crossJoin(agg)
+        .crossJoin(hit_cnt)
+        .select(
+            F.col("n").alias("n_queries"),
+            "n_returned",
+            "n_dist_bad",
+            (
+                F.col("hits") * 1_000_000
+                >= F.lit(_BRP_RECALL_FLOOR_PPM) * F.col("n") * _K
+            )
+            .cast("int")
+            .alias("recall_floor_ok"),
+        )
+    )
+
+
 # -- X3 threshold variant: all pairs above a cosine floor, per label -------
 # (exercises the similarity join as an aggregation feed; exact oracle)
 

@@ -89,27 +89,60 @@ def _load_all() -> None:
 # re-sorts the rotation for the next one.
 
 #: Queries re-touched this round (fresh driver evidence wanted first),
-#: plus the judge-flagged marquee surfaces (VERDICT r7 asks #1/#4/#6)
+#: plus the judge-flagged never-sampled families (VERDICT r8 ask #2)
 #: whose modules register too late for the never-sampled bucket to
 #: reach them within the ~50/round budget.
 _RECHECK: list[str] = [
-    # r7's one red row: DECIMAL(38,0) outputs now serialized as VARCHAR
-    # on both engines (VERDICT r7 ask #1)
-    "q_join_pvm_bridge",
-    # converted rows-only -> bound-flag oracle (VERDICT r7 ask #4)
-    "q_agg_hll_native",
-    # same DECIMAL(38,0) class found by the widened registry guard —
-    # rel_num / var48 now VARCHAR on both engines
-    "q_ml_brier_decomposition",
-    "q_ml_wilcoxon_signed",
-    # streaming family driver evidence (VERDICT r7 ask #6)
-    "q_stream_join_outer",
-    "q_stream_join_full",
-    "q_stream_chained_windows",
-    "q_stream_topk_windowed",
-    # un-shadowed in r7, never driver-checked under its own semantics
-    # (VERDICT r7 ask #2)
-    "q_agg_gini_global",
+    # -- round-9 implementation changes (need fresh green rows) ---------
+    # short/empty-doc guards: clamped gram builders + NULL-on-both-engines
+    # ppm divisions (ADVICE r8 medium)
+    "q_text_rouge1_pairs",
+    "q_text_bleu_precisions",
+    "q_text_chrf_pairs",
+    # squared-cents sums promoted to DECIMAL before SUM (ADVICE r8 low)
+    "q_ml_cohens_d",
+    "q_ml_equivalence_tost",
+    # CC fixpoint gained the per-round group-min broadcast — every
+    # consumer re-verified locally, driver rows wanted too
+    "q_dedup_semantic",
+    "q_dedup_semantic_audit",
+    "q_graph_connected_components",
+    "q_ml_dbscan_grid",
+    # pipeline fused-stats aggregates gained the exact row count
+    # (approx-profile plumbing; flag off in the registry entry)
+    "q_etl_pipeline_full",
+    # new this round: X482 MLlib-BRP ANN accounting twin
+    "q_sim_ann_ml_brp_acct",
+    # -- never-sampled contract-heavy families (VERDICT r8 ask #2) ------
+    # table lifecycle (X464-X467)
+    "q_table_time_travel",
+    "q_table_compaction",
+    "q_table_vacuum",
+    "q_table_restore_clone",
+    # multimodal oracle surfaces (X477-X478)
+    "q_multimodal_resize",
+    "q_multimodal_frame_sample",
+    # stream-stream semi join (X468)
+    "q_stream_join_semi",
+    # the X447-X458 stats wave (registration order puts ml_q/timeseries_q
+    # deep in the rotation; pull the family heads forward)
+    "q_ml_permutation_test",
+    "q_ml_jonckheere",
+    "q_ml_page_trend",
+    "q_ml_gk_gamma",
+    "q_ml_somers_d",
+    "q_ml_mood_median",
+    "q_ml_shapley_exact",
+    "q_ml_ab_srm",
+    "q_ml_precision_recall_at_k",
+    "q_ts_acf",
+    "q_ts_ljung_box",
+    "q_ts_markov_transitions",
+    "q_ts_ewma_daily",
+    "q_ts_pettitt",
+    "q_ml_tukey_fences",
+    "q_ts_grubbs",
+    "q_fn_regr_family",
 ]
 
 

@@ -9643,3 +9643,209 @@ def q_ml_equivalence_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
         zu.alias("z_upper"),
         ((zl > 1.645) & (zu < -1.645)).cast("int").alias("equivalent_90"),
     )
+
+
+# -- X483 Cliff's delta (ordinal dominance effect size) ----------------------
+#
+# The effect-size companion the Mann-Whitney U (X323) reports alongside:
+# delta = (#{x>y} - #{x<y}) / (n1*n2) over returned-vs-kept l_quantity.
+# Derived EXACTLY from the same doubled-midrank machinery — with
+# tie-as-half U, #gt - #lt = 2*U1 - n1*n2 = u1_x2 - n1*n2 — so the
+# bounded (<=50-value) quantity grid carries everything and no pair is
+# ever materialized. The final ratio is computed as three IEEE ops over
+# exactly-cast integers (n1, n2 < 2^53), identical on both engines;
+# integer-ppm division is avoided because delta can be negative and
+# Spark's DIV truncates toward zero while DuckDB's // floors.
+
+_CLIFFS_ORACLE = """
+WITH v AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp
+  FROM lineitem),
+cnt AS (
+  SELECT q, COUNT(*) AS c,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1
+  FROM v GROUP BY q),
+mid AS (
+  SELECT q, c, c1,
+         2 * (COALESCE(SUM(c) OVER (ORDER BY q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) + c + 1
+           AS mr2
+  FROM cnt),
+tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c - c1) AS BIGINT) AS n2,
+         CAST(SUM(c1 * mr2) AS BIGINT) AS r1x2
+  FROM mid)
+SELECT n1, n2,
+       r1x2 - n1 * (n1 + 1) - n1 * n2 AS gt_minus_lt,
+       CAST(r1x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS cliffs_delta
+FROM tot
+"""
+
+
+@query("q_ml_cliffs_delta", _CLIFFS_ORACLE)
+def q_ml_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round("l_quantity").cast("bigint").alias("q"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("grp"),
+    )
+    cnt = v.groupBy("q").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("grp").alias("c1"),
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    mid = cnt.withColumn(
+        "mr2",
+        2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1,
+    )
+    tot = mid.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * F.col("mr2")).cast("bigint").alias("r1x2"),
+    )
+    num = (
+        F.col("r1x2")
+        - F.col("n1") * (F.col("n1") + 1)
+        - F.col("n1") * F.col("n2")
+    )
+    return tot.select(
+        "n1",
+        "n2",
+        num.alias("gt_minus_lt"),
+        (
+            num.cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+        ).alias("cliffs_delta"),
+    )
+
+
+# -- X484 Hellinger / Bhattacharyya distribution drift -----------------------
+#
+# The bounded-support drift metric the TVD (X?) and EMD (X?) rows don't
+# give: BC = sum_i sqrt(p_i * q_i), H = sqrt(1 - BC) between the
+# event-type distributions of two deterministic halves of the events
+# stream (event_id parity — content-keyed, partitioning-independent).
+# Each cell's sqrt((a/A)*(b/B)) is 4 IEEE ops over exactly-cast BIGINTs
+# (deterministic on both engines); the cross-cell sum rides the
+# DECIMAL(38,6) order-independent lane (helpers.dsum), so the final
+# doubles hash-match.
+
+_HELLINGER_ORACLE = """
+WITH cells AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS a,
+         CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS b
+  FROM events GROUP BY event_type),
+tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM cells),
+contrib AS (
+  SELECT SQRT((CAST(a AS DOUBLE) / ta) * (CAST(b AS DOUBLE) / tb)) AS bc_c
+  FROM cells, tot),
+s AS (
+  SELECT CAST(SUM(CAST(bc_c AS DECIMAL(38,6))) AS DOUBLE) AS bc
+  FROM contrib)
+SELECT tot.n_cells, tot.ta AS n_a, tot.tb AS n_b, s.bc,
+       SQRT(1.0 - s.bc) AS hellinger
+FROM tot, s
+"""
+
+
+@query("q_ml_hellinger_drift", _HELLINGER_ORACLE)
+def q_ml_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy("event_type").agg(
+        F.sum((F.col("event_id") % 2 == 0).cast("long"))
+        .cast("bigint")
+        .alias("a"),
+        F.sum((F.col("event_id") % 2 == 1).cast("long"))
+        .cast("bigint")
+        .alias("b"),
+    )
+    tot = cells.agg(
+        F.sum("a").cast("bigint").alias("ta"),
+        F.sum("b").cast("bigint").alias("tb"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    contrib = cells.crossJoin(F.broadcast(tot)).select(
+        "n_cells",
+        "ta",
+        "tb",
+        F.sqrt(
+            (F.col("a").cast("double") / F.col("ta"))
+            * (F.col("b").cast("double") / F.col("tb"))
+        ).alias("bc_c"),
+    )
+    s = contrib.groupBy("n_cells", "ta", "tb").agg(dsum("bc_c", "bc"))
+    return s.select(
+        "n_cells",
+        F.col("ta").alias("n_a"),
+        F.col("tb").alias("n_b"),
+        "bc",
+        F.sqrt(1.0 - F.col("bc")).alias("hellinger"),
+    )
+
+
+# -- X485 paired sign test (day-over-day revenue direction) ------------------
+#
+# The assumption-free cousin of the Wilcoxon signed-rank row (X?): count
+# day-over-day revenue increases vs decreases over the daily order
+# totals. Daily sums are exact BIGINT cents via one keyed aggregate; the
+# lag and the sign counts run over the bounded per-day table; z =
+# (pos - neg)/sqrt(pos + neg) is 3 IEEE ops over exactly-cast counts.
+
+_SIGN_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY o_orderdate),
+diffs AS (
+  SELECT rev - LAG(rev) OVER (ORDER BY d) AS df
+  FROM daily),
+c AS (
+  SELECT CAST(SUM(CASE WHEN df > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN df < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         CAST(SUM(CASE WHEN df = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+  FROM diffs WHERE df IS NOT NULL)
+SELECT n_pos, n_neg, n_zero,
+       CAST(n_pos - n_neg AS DOUBLE) / SQRT(CAST(n_pos + n_neg AS DOUBLE))
+         AS z_stat
+FROM c
+"""
+
+
+@query("q_ml_sign_test", _SIGN_ORACLE)
+def q_ml_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    w = Window.orderBy("d")
+    diffs = daily.select(
+        (F.col("rev") - F.lag("rev").over(w)).alias("df")
+    ).filter(F.col("df").isNotNull())
+    c = diffs.agg(
+        F.sum((F.col("df") > 0).cast("long")).cast("bigint").alias("n_pos"),
+        F.sum((F.col("df") < 0).cast("long")).cast("bigint").alias("n_neg"),
+        F.sum((F.col("df") == 0).cast("long")).cast("bigint").alias("n_zero"),
+    )
+    return c.select(
+        "n_pos",
+        "n_neg",
+        "n_zero",
+        (
+            (F.col("n_pos") - F.col("n_neg")).cast("double")
+            / F.sqrt((F.col("n_pos") + F.col("n_neg")).cast("double"))
+        ).alias("z_stat"),
+    )

@@ -2235,3 +2235,88 @@ def q_text_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(5 * overlap * 1000000 DIV (4 * len_r + len_c) AS BIGINT)"
         ).alias("chrf2_ppm"),
     )
+
+
+# -- X486 rank-agreement profile (RBO ingredients) ----------------------------
+#
+# Retrieval-eval primitive the NDCG/MRR rows don't give: how much do two
+# rankers agree at every depth? Rankers here are two deterministic
+# orderings of the corpus — by character length vs by whitespace token
+# count (ties by doc_id) — and the output is overlap@d for d = 1..20
+# plus its exact agreement ppm, i.e. the per-depth terms rank-biased
+# overlap sums with p-weights (the geometric combine is left to the
+# caller, same ln/exp policy as BLEU). Scale shape: each ranking is a
+# global TOP-20 (TakeOrdered — no full sort survives the limit), the
+# depth fan-out is a bounded 20x40 cross, and everything is integers.
+
+_RANK_DEPTH = 20
+
+_RBO_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, LENGTH(text) AS n_chars_m,
+         LEN(list_filter(string_split_regex(trim(text), '\\s+'),
+             t -> t <> '')) AS ntok
+  FROM documents),
+ra AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars_m DESC, doc_id) AS r
+  FROM scored QUALIFY r <= {_RANK_DEPTH}),
+rb AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ntok DESC, doc_id) AS r
+  FROM scored QUALIFY r <= {_RANK_DEPTH}),
+u AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+         ra.r AS r_a, rb.r AS r_b
+  FROM ra FULL OUTER JOIN rb ON rb.doc_id = ra.doc_id),
+depths AS (SELECT UNNEST(generate_series(1, {_RANK_DEPTH})) AS depth)
+SELECT d.depth,
+       CAST(COUNT(CASE WHEN u.r_a <= d.depth AND u.r_b <= d.depth
+                       THEN 1 END) AS BIGINT) AS overlap,
+       CAST(COUNT(CASE WHEN u.r_a <= d.depth AND u.r_b <= d.depth
+                       THEN 1 END) * 1000000 // d.depth AS BIGINT)
+         AS agreement_ppm
+FROM depths d LEFT JOIN u ON TRUE
+GROUP BY d.depth
+"""
+
+
+@query("q_text_rank_overlap_profile", _RBO_ORACLE)
+def q_text_rank_overlap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        F.size(F.filter(tokens("text"), lambda t: t != "")).alias("ntok"),
+    )
+    # global top-k via orderBy+limit compiles to TakeOrderedAndProject —
+    # per-partition heaps, no full sort
+    top_a = scored.orderBy(F.desc("n_chars_m"), F.asc("doc_id")).limit(
+        _RANK_DEPTH
+    )
+    top_b = scored.orderBy(F.desc("ntok"), F.asc("doc_id")).limit(_RANK_DEPTH)
+    wa = Window.orderBy(F.desc("n_chars_m"), F.asc("doc_id"))
+    wb = Window.orderBy(F.desc("ntok"), F.asc("doc_id"))
+    ra = top_a.select(
+        "doc_id", F.row_number().over(wa).alias("r_a")
+    )
+    rb = top_b.select(
+        "doc_id", F.row_number().over(wb).alias("r_b")
+    )
+    u = ra.join(rb, "doc_id", "full").select("doc_id", "r_a", "r_b")
+    depths = spark.range(1, _RANK_DEPTH + 1).select(
+        F.col("id").cast("int").alias("depth")
+    )
+    hit = (F.col("r_a") <= F.col("depth")) & (F.col("r_b") <= F.col("depth"))
+    return (
+        depths.crossJoin(u)
+        .groupBy("depth")
+        .agg(F.count(F.when(hit, 1)).cast("bigint").alias("overlap"))
+        .select(
+            "depth",
+            "overlap",
+            F.expr(
+                "CAST(overlap * 1000000 DIV depth AS BIGINT)"
+            ).alias("agreement_ppm"),
+        )
+    )

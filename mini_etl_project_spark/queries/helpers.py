@@ -79,3 +79,125 @@ def sql_dec_to_double(expr: str) -> str:
         f"(CAST((({expr}) - ({expr}) % {_SPLIT}) / {_SPLIT} AS DOUBLE)"
         f" * {_SPLIT}.0 + CAST(({expr}) % {_SPLIT} AS DOUBLE))"
     )
+
+
+# -- portable natural log (pln) ---------------------------------------------
+# Runtime ln() is libm-dependent (java.lang.Math.log vs DuckDB's C libm
+# differ in the last ulp on some inputs), which is why the text stack
+# (TF-IDF, PMI, Zipf) historically ranks by log-free monotone transforms.
+# pln removes that restriction: ln built ONLY from IEEE-exact-or-
+# correctly-rounded single ops (+, -, *, /), so identical expression
+# trees produce bit-identical doubles in any IEEE-754 engine.
+#
+#   1. Argument reduction by an EXACT power of two: pick k with
+#      r = x * 2^-k  in [0.75, 1.5).  Scaling a double by 2^±k is exact
+#      (exponent arithmetic, no rounding) and the branch boundaries
+#      0.75*2^k / 1.5*2^k are themselves exact doubles, so every engine
+#      picks the same branch.
+#   2. atanh series on the reduced argument: t = (r-1)/(r+1) lands in
+#      [-1/7, 1/5); ln r = 2*t*(1 + t^2/3 + ... ), 13 Horner terms over
+#      literal double coefficients.  Truncation error <= |t|^27/27
+#      ~ 5e-21 — below the ulp of the result.
+#   3. Reassembly: ln x = ln r + k*ln2, with ln2 a shared literal.
+#
+# Domain: [0.75*2^-60, 1.5*2^6); outside -> NULL in BOTH engines so a
+# domain escape shows up as a red row, never as silent drift.
+#
+# The SQL side is STAGED (reduction columns in one CTE, series over
+# column refs in the next) because inlining the 67-branch CASE into the
+# Horner chain would blow the oracle string to ~450 KB; the Spark side
+# mirrors the same staging via withColumn so both expression trees match
+# op-for-op. Accuracy + Spark<->DuckDB bit-identity pinned in
+# tests/test_round9.py.
+
+_PLN_TERMS = 13
+_PLN_COEFFS = [1.0 / (2 * k + 1) for k in range(_PLN_TERMS)]
+_PLN_LN2 = 0.6931471805599453  # repr(math.log(2.0)) — shared literal
+_PLN_KLO, _PLN_KHI = -60, 7
+
+
+def pln_red(col: Column) -> Column:
+    """Stage 1 (Spark): exactly power-of-two-reduced argument in
+    [0.75, 1.5), NULL outside the domain."""
+    red = None
+    for k in range(_PLN_KLO, _PLN_KHI):
+        lo, hi, scale = 0.75 * 2.0**k, 1.5 * 2.0**k, 2.0 ** (-k)
+        cond = (col >= F.lit(lo)) & (col < F.lit(hi))
+        red = (
+            F.when(cond, col * F.lit(scale))
+            if red is None
+            else red.when(cond, col * F.lit(scale))
+        )
+    return red
+
+
+def pln_k(col: Column) -> Column:
+    """Stage 1 (Spark): the reduction exponent k as double."""
+    kk = None
+    for k in range(_PLN_KLO, _PLN_KHI):
+        lo, hi = 0.75 * 2.0**k, 1.5 * 2.0**k
+        cond = (col >= F.lit(lo)) & (col < F.lit(hi))
+        kk = (
+            F.when(cond, F.lit(float(k)))
+            if kk is None
+            else kk.when(cond, F.lit(float(k)))
+        )
+    return kk
+
+
+def pln_finish(red: Column, kk: Column) -> Column:
+    """Stage 2 (Spark): atanh series on the reduced argument + k*ln2."""
+    t = (red - F.lit(1.0)) / (red + F.lit(1.0))
+    t2 = t * t
+    s = F.lit(_PLN_COEFFS[-1])
+    for c in reversed(_PLN_COEFFS[:-1]):
+        s = s * t2 + F.lit(c)
+    return F.lit(2.0) * t * s + kk * F.lit(_PLN_LN2)
+
+
+def sql_pln_red(expr: str) -> str:
+    """Stage 1 (DuckDB): reduced argument — mirror of pln_red.
+
+    Every literal is CAST AS DOUBLE: DuckDB parses plain decimal
+    literals as DECIMAL and would otherwise run decimal arithmetic."""
+    x = f"({expr})"
+    b = []
+    for k in range(_PLN_KLO, _PLN_KHI):
+        lo, hi, scale = 0.75 * 2.0**k, 1.5 * 2.0**k, 2.0 ** (-k)
+        b.append(
+            f"WHEN {x} >= CAST('{lo!r}' AS DOUBLE)"
+            f" AND {x} < CAST('{hi!r}' AS DOUBLE)"
+            f" THEN {x} * CAST('{scale!r}' AS DOUBLE)"
+        )
+    return "CASE " + " ".join(b) + " ELSE NULL END"
+
+
+def sql_pln_k(expr: str) -> str:
+    """Stage 1 (DuckDB): reduction exponent — mirror of pln_k."""
+    x = f"({expr})"
+    b = []
+    for k in range(_PLN_KLO, _PLN_KHI):
+        lo, hi = 0.75 * 2.0**k, 1.5 * 2.0**k
+        b.append(
+            f"WHEN {x} >= CAST('{lo!r}' AS DOUBLE)"
+            f" AND {x} < CAST('{hi!r}' AS DOUBLE)"
+            f" THEN CAST('{float(k)!r}' AS DOUBLE)"
+        )
+    return "CASE " + " ".join(b) + " ELSE NULL END"
+
+
+def sql_pln_finish(red: str, kk: str) -> str:
+    """Stage 2 (DuckDB): series + reassembly over COLUMN REFS (pass
+    plain column names so the string stays compact)."""
+    t = (
+        f"((({red}) - CAST(1.0 AS DOUBLE))"
+        f" / (({red}) + CAST(1.0 AS DOUBLE)))"
+    )
+    t2 = f"({t} * {t})"
+    s = f"CAST('{_PLN_COEFFS[-1]!r}' AS DOUBLE)"
+    for c in reversed(_PLN_COEFFS[:-1]):
+        s = f"(({s}) * {t2} + CAST('{c!r}' AS DOUBLE))"
+    return (
+        f"(CAST(2.0 AS DOUBLE) * {t} * ({s})"
+        f" + ({kk}) * CAST('{_PLN_LN2!r}' AS DOUBLE))"
+    )

@@ -215,3 +215,98 @@ def test_approx_profile_empty_sample_falls_back(spark):
     out = pipe.transform(df)
     assert out.count() == 1
     assert pipe.column_types["amount"] == "numeric"
+
+
+# -- portable natural log (helpers.pln_*) -----------------------------------
+
+
+def test_pln_bit_identity_and_accuracy(spark):
+    """pln must be (a) bit-identical between Spark and DuckDB — that is
+    the entire point of building ln from single IEEE ops — and (b)
+    within a few ulp of libm's ln. Random sample over the full domain
+    plus the boundary/near-1 cases the reduction branches on."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mini_etl_project_spark.queries.helpers import (
+        pln_finish,
+        pln_k,
+        pln_red,
+        sql_pln_finish,
+        sql_pln_k,
+        sql_pln_red,
+    )
+
+    random.seed(7)
+    vals = [
+        0.2, 1 / 7, 1.0, 0.5, 2.0, 1.5, 0.75, 3.7, 1e-9,
+        0.9999999, 1.0000001, 12.0, 0.031, 1e-17, 95.9, 0.75 * 2.0**-60,
+    ]
+    vals += [random.uniform(1e-12, 90.0) for _ in range(300)]
+    vals += [random.uniform(0.9, 1.1) for _ in range(300)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    staged = df.withColumn("red", pln_red(F.col("x"))).withColumn(
+        "kk", pln_k(F.col("x"))
+    )
+    srows = {
+        r["x"]: r["l"]
+        for r in staged.select(
+            "x", pln_finish(F.col("red"), F.col("kk")).alias("l")
+        ).collect()
+    }
+    con = duckdb.connect()
+    # string-cast literals: a bare decimal literal parses as DECIMAL in
+    # DuckDB and silently loses double precision (found building this)
+    con.execute(
+        "CREATE TABLE v AS SELECT * FROM (VALUES "
+        + ",".join(f"(CAST('{v!r}' AS DOUBLE))" for v in vals)
+        + ") t(x)"
+    )
+    drows = dict(
+        con.sql(
+            f"WITH r AS (SELECT x, {sql_pln_red('x')} AS red, "
+            f"{sql_pln_k('x')} AS kk FROM v) "
+            f"SELECT x, {sql_pln_finish('red', 'kk')} AS l FROM r"
+        ).fetchall()
+    )
+    assert len(drows) == len(vals)
+    for v in vals:
+        assert repr(srows[v]) == repr(drows[v]), v
+        rel = abs(drows[v] - math.log(v)) / max(abs(math.log(v)), 1e-300)
+        assert rel < 5e-16, (v, rel)
+
+
+def test_pln_out_of_domain_is_null(spark):
+    """Outside [0.75*2^-60, 1.5*2^6) both engines must yield NULL — a
+    domain escape must become a visible red row, never silent drift."""
+    from pyspark.sql import functions as F
+
+    from mini_etl_project_spark.queries.helpers import (
+        pln_finish,
+        pln_k,
+        pln_red,
+        sql_pln_finish,
+        sql_pln_k,
+        sql_pln_red,
+    )
+
+    bad = [0.0, -1.0, 1e-20, 100.0]
+    df = spark.createDataFrame([(v,) for v in bad], "x double")
+    staged = df.withColumn("red", pln_red(F.col("x"))).withColumn(
+        "kk", pln_k(F.col("x"))
+    )
+    got = staged.select(
+        pln_finish(F.col("red"), F.col("kk")).alias("l")
+    ).collect()
+    assert all(r["l"] is None for r in got)
+    con = duckdb.connect()
+    for v in bad:
+        row = con.sql(
+            f"WITH r AS (SELECT CAST('{v!r}' AS DOUBLE) AS x), "
+            f"s AS (SELECT {sql_pln_red('x')} AS red, "
+            f"{sql_pln_k('x')} AS kk FROM r) "
+            f"SELECT {sql_pln_finish('red', 'kk')} AS l FROM s"
+        ).fetchone()
+        assert row[0] is None

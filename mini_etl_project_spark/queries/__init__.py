@@ -113,6 +113,14 @@ _RECHECK: list[str] = [
     "q_etl_pipeline_full",
     # new this round: X482 MLlib-BRP ANN accounting twin
     "q_sim_ann_ml_brp_acct",
+    # new this round: the X487-X492 information-theory wave on the
+    # portable-ln kernel
+    "q_ml_entropy_monthly",
+    "q_ml_kl_divergence",
+    "q_ml_mutual_information",
+    "q_ml_log_loss",
+    "q_text_pmi_collocations",
+    "q_text_unigram_surprisal",
     # -- never-sampled contract-heavy families (VERDICT r8 ask #2) ------
     # table lifecycle (X464-X467)
     "q_table_time_travel",

@@ -201,3 +201,17 @@ def sql_pln_finish(red: str, kk: str) -> str:
         f"(CAST(2.0 AS DOUBLE) * {t} * ({s})"
         f" + ({kk}) * CAST('{_PLN_LN2!r}' AS DOUBLE))"
     )
+
+
+def fold_sum(xs: Column) -> Column:
+    """Left-fold sum of a bounded NONEMPTY double array — the
+    bit-identical Spark twin of DuckDB's
+    ``list_reduce(xs, (a, x) -> a + x)``: seed with the first element,
+    fold the rest in order. Summation order is part of the contract
+    (double addition is non-associative), which is why callers sort the
+    array deterministically first (the X458 EWMA lane)."""
+    return F.aggregate(
+        F.slice(xs, 2, 1000000),
+        F.element_at(xs, 1),
+        lambda a, x: a + x,
+    )

@@ -9849,3 +9849,520 @@ def q_ml_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((F.col("n_pos") + F.col("n_neg")).cast("double"))
         ).alias("z_stat"),
     )
+
+
+# =============================================================================
+# Information-theory wave (X487-X489, X492) — consumers of the portable
+# natural-log kernel (helpers.pln_*). Every ln argument is a PROBABILITY
+# (or a small category count), so it always lands inside the kernel's
+# [0.75*2^-60, 1.5*2^6) domain, and every ln is bit-identical between
+# Spark and DuckDB by construction. Cross-term sums of doubles are
+# order-sensitive, so they run as LEFT FOLDS over bounded sorted arrays
+# (array_sort+aggregate / list(ORDER BY)+list_reduce — the X458 EWMA
+# lane), never as a distributed SUM. The fact scans stay one keyed
+# exact-integer aggregate each; all double work happens on bounded
+# category tables.
+#
+# Staging discipline: pln_finish references its `red` argument ~50x, so
+# red/kk are materialized as projection columns FIRST (one select
+# boundary) and pln_finish consumes the column refs — Catalyst's
+# CollapseProject keeps non-cheap multi-referenced aliases staged, and
+# the SQL twin mirrors the same two-layer shape to keep the oracle
+# string compact (one sql_pln_red/sql_pln_k per query via the
+# unpivot-ln trick: stack every ln argument into rows, ln once, pivot
+# back).
+# =============================================================================
+
+from mini_etl_project_spark.queries.helpers import (  # noqa: E402
+    pln_finish as _pln_finish,
+    pln_k as _pln_k,
+    pln_red as _pln_red,
+    sql_pln_finish as _sql_pln_finish,
+    sql_pln_k as _sql_pln_k,
+    sql_pln_red as _sql_pln_red,
+)
+
+
+from mini_etl_project_spark.queries.helpers import (  # noqa: E402
+    fold_sum as _fold_sum,
+)
+
+
+def _sql_ln_layer(stack_cte: str, keys: str) -> str:
+    """The two-layer staged-ln CTE body over a stack(keys..., v) CTE."""
+    return (
+        f"SELECT {keys}, v, {_sql_pln_finish('red', 'kk')} AS lnv"
+        f" FROM (SELECT {keys}, v, {_sql_pln_red('v')} AS red,"
+        f" {_sql_pln_k('v')} AS kk FROM {stack_cte})"
+    )
+
+
+# -- X487 Shannon entropy by month --------------------------------------------
+#
+# Per-month Shannon entropy (nats) + normalized entropy of the order
+# priority mix — the classic category-balance monitor. Cells are exact
+# BIGINT counts from one keyed pass over the facts; probabilities and
+# both lns (ln p per cell, ln k per month for the normalizer) ride the
+# portable kernel; the <=5-term cross-category sum folds in priority
+# order. Bounded 12x5 cell table at any SF.
+
+_ENTROPY_ORACLE = f"""
+WITH cells AS (
+  SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+         o_orderpriority AS pr, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+tot AS (
+  SELECT m AS tm, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k
+  FROM cells GROUP BY 1),
+stack AS (
+  SELECT 'p' AS which, m, pr, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS v
+  FROM cells JOIN tot ON m = tm
+  UNION ALL
+  SELECT 'k', tm, NULL, CAST(k AS DOUBLE) FROM tot),
+lns AS ({_sql_ln_layer('stack', 'which, m, pr')}),
+folds AS (
+  SELECT m, list_reduce(list(v * lnv ORDER BY pr), (a, x) -> a + x) AS s
+  FROM lns WHERE which = 'p' GROUP BY m)
+SELECT f.m, t.n AS n_orders, t.k AS k_cats,
+       -(f.s) AS entropy_nats,
+       CASE WHEN t.k > 1 THEN -(f.s) / l.lnv END AS entropy_norm
+FROM folds f
+JOIN tot t ON f.m = t.tm
+JOIN (SELECT m, lnv FROM lns WHERE which = 'k') l ON f.m = l.m
+"""
+
+
+@query("q_ml_entropy_monthly", _ENTROPY_ORACLE)
+def q_ml_entropy_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # the bounded 12x5 cell table feeds tot + the two stack branches —
+    # checkpoint once so the facts scan runs exactly once (the BLEU-fix
+    # lane from round 8)
+    cells = (
+        o.groupBy(
+            F.month("o_orderdate").cast("bigint").alias("m"),
+            F.col("o_orderpriority").alias("pr"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.groupBy(F.col("m").alias("tm")).agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    stack = (
+        cells.join(F.broadcast(tot), cells["m"] == F.col("tm"))
+        .select(
+            F.lit("p").alias("which"),
+            "m",
+            "pr",
+            (F.col("c").cast("double") / F.col("n").cast("double")).alias("v"),
+        )
+        .unionAll(
+            tot.select(
+                F.lit("k"),
+                F.col("tm"),
+                F.lit(None).cast("string"),
+                F.col("k").cast("double"),
+            )
+        )
+    )
+    lns = (
+        stack.withColumn("red", _pln_red(F.col("v")))
+        .withColumn("kk", _pln_k(F.col("v")))
+        .select(
+            "which",
+            "m",
+            "pr",
+            "v",
+            _pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+        )
+    )
+    folds = (
+        lns.filter(F.col("which") == "p")
+        .groupBy("m")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("pr", (F.col("v") * F.col("lnv")).alias("t"))
+                )
+            ).alias("pairs")
+        )
+        .select("m", _fold_sum(F.transform("pairs", lambda p: p["t"])).alias("s"))
+    )
+    lnk = lns.filter(F.col("which") == "k").select(
+        F.col("m").alias("lm"), F.col("lnv").alias("lnk")
+    )
+    return (
+        folds.join(F.broadcast(tot), folds["m"] == F.col("tm"))
+        .join(F.broadcast(lnk), folds["m"] == F.col("lm"))
+        .select(
+            "m",
+            F.col("n").alias("n_orders"),
+            F.col("k").alias("k_cats"),
+            (-F.col("s")).alias("entropy_nats"),
+            F.when(F.col("k") > 1, (-F.col("s")) / F.col("lnk")).alias(
+                "entropy_norm"
+            ),
+        )
+    )
+
+
+# -- X488 KL / Jensen-Shannon divergence --------------------------------------
+#
+# Distribution drift between the high-value order segment
+# (o_totalprice > 150000) and the full book, over the priority mix:
+# forward KL, reverse KL, and the symmetric bounded JS divergence.
+# Laplace-smoothed (+1 / +k) on BOTH sides so every probability is
+# strictly positive at any SF; the three lns per category (ln p, ln q,
+# ln m) ride one staged kernel via the unpivot; the <=5-term folds run
+# in priority order. One conditional-count pass over the facts.
+
+_KL_ORACLE = f"""
+WITH seg AS (
+  SELECT o_orderpriority AS pr,
+         CAST(COUNT(CASE WHEN o_totalprice > 150000 THEN 1 END) AS BIGINT) AS cs,
+         CAST(COUNT(*) AS BIGINT) AS ca
+  FROM orders GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(cs) AS BIGINT) AS ns, CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM seg),
+pq AS (
+  SELECT pr, ns, na,
+         (CAST(cs AS DOUBLE) + CAST(1.0 AS DOUBLE))
+           / (CAST(ns AS DOUBLE) + CAST(k AS DOUBLE)) AS p,
+         (CAST(ca AS DOUBLE) + CAST(1.0 AS DOUBLE))
+           / (CAST(na AS DOUBLE) + CAST(k AS DOUBLE)) AS q
+  FROM seg CROSS JOIN tot),
+stack AS (
+  SELECT 'p' AS which, pr, p AS v FROM pq
+  UNION ALL SELECT 'q', pr, q FROM pq
+  UNION ALL SELECT 'm', pr, (p + q) / CAST(2.0 AS DOUBLE) FROM pq),
+lns AS ({_sql_ln_layer('stack', 'which, pr')}),
+piv AS (
+  SELECT pr,
+         MAX(CASE WHEN which = 'p' THEN v END) AS p,
+         MAX(CASE WHEN which = 'q' THEN v END) AS q,
+         MAX(CASE WHEN which = 'p' THEN lnv END) AS lp,
+         MAX(CASE WHEN which = 'q' THEN lnv END) AS lq,
+         MAX(CASE WHEN which = 'm' THEN lnv END) AS lm
+  FROM lns GROUP BY 1),
+folds AS (
+  SELECT list_reduce(list(p * (lp - lq) ORDER BY pr), (a, x) -> a + x) AS kl_pq,
+         list_reduce(list(q * (lq - lp) ORDER BY pr), (a, x) -> a + x) AS kl_qp,
+         list_reduce(list(CAST(0.5 AS DOUBLE) * p * (lp - lm)
+                          + CAST(0.5 AS DOUBLE) * q * (lq - lm)
+                          ORDER BY pr), (a, x) -> a + x) AS js
+  FROM piv)
+SELECT t.ns, t.na, f.kl_pq AS kl_pq_nats, f.kl_qp AS kl_qp_nats,
+       f.js AS js_nats
+FROM folds f CROSS JOIN tot t
+"""
+
+
+@query("q_ml_kl_divergence", _KL_ORACLE)
+def q_ml_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # <=5-row segment table feeds tot + three stack branches: checkpoint
+    # so the facts scan runs once
+    seg = (
+        o.groupBy(F.col("o_orderpriority").alias("pr"))
+        .agg(
+            F.count(F.when(F.col("o_totalprice") > 150000, 1))
+            .cast("bigint")
+            .alias("cs"),
+            F.count(F.lit(1)).cast("bigint").alias("ca"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = seg.agg(
+        F.sum("cs").cast("bigint").alias("ns"),
+        F.sum("ca").cast("bigint").alias("na"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    pq = seg.crossJoin(F.broadcast(tot)).select(
+        "pr",
+        "ns",
+        "na",
+        (
+            (F.col("cs").cast("double") + F.lit(1.0))
+            / (F.col("ns").cast("double") + F.col("k").cast("double"))
+        ).alias("p"),
+        (
+            (F.col("ca").cast("double") + F.lit(1.0))
+            / (F.col("na").cast("double") + F.col("k").cast("double"))
+        ).alias("q"),
+    )
+    stack = (
+        pq.select(F.lit("p").alias("which"), "pr", F.col("p").alias("v"))
+        .unionAll(pq.select(F.lit("q"), "pr", F.col("q")))
+        .unionAll(
+            pq.select(F.lit("m"), "pr", (F.col("p") + F.col("q")) / F.lit(2.0))
+        )
+    )
+    lns = (
+        stack.withColumn("red", _pln_red(F.col("v")))
+        .withColumn("kk", _pln_k(F.col("v")))
+        .select(
+            "which", "pr", "v", _pln_finish(F.col("red"), F.col("kk")).alias("lnv")
+        )
+    )
+    piv = lns.groupBy("pr").agg(
+        F.max(F.when(F.col("which") == "p", F.col("v"))).alias("p"),
+        F.max(F.when(F.col("which") == "q", F.col("v"))).alias("q"),
+        F.max(F.when(F.col("which") == "p", F.col("lnv"))).alias("lp"),
+        F.max(F.when(F.col("which") == "q", F.col("lnv"))).alias("lq"),
+        F.max(F.when(F.col("which") == "m", F.col("lnv"))).alias("lm"),
+    )
+
+    # all three divergences fold from ONE sorted collect_list so piv (and
+    # everything under it) executes once
+    t_pq = F.col("p") * (F.col("lp") - F.col("lq"))
+    t_qp = F.col("q") * (F.col("lq") - F.col("lp"))
+    t_js = F.lit(0.5) * F.col("p") * (F.col("lp") - F.col("lm")) + F.lit(
+        0.5
+    ) * F.col("q") * (F.col("lq") - F.col("lm"))
+    folds = piv.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "pr",
+                    t_pq.alias("t1"),
+                    t_qp.alias("t2"),
+                    t_js.alias("t3"),
+                )
+            )
+        ).alias("ps")
+    ).select(
+        _fold_sum(F.transform("ps", lambda x: x["t1"])).alias("kl_pq_nats"),
+        _fold_sum(F.transform("ps", lambda x: x["t2"])).alias("kl_qp_nats"),
+        _fold_sum(F.transform("ps", lambda x: x["t3"])).alias("js_nats"),
+    )
+    return tot.select("ns", "na").crossJoin(F.broadcast(folds))
+
+
+# -- X489 mutual information + G-test -----------------------------------------
+#
+# MI(returnflag; linestatus) in nats and the G log-likelihood-ratio
+# statistic (= 2*N*MI) — the information-theoretic companion to the
+# chi-square family (X44/X451): G is additive across partitions of the
+# table and is what hierarchical log-linear models decompose. The 3x2
+# contingency table is exact BIGINTs from one keyed pass; the three lns
+# per cell ride one staged kernel; the 6-term fold runs in (flag,
+# status) order.
+
+_MI_ORACLE = f"""
+WITH cells AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+mx AS (SELECT rf AS xrf, CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+my AS (SELECT ls AS yls, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+j AS (
+  SELECT rf, ls, c, n, cx, cy
+  FROM cells CROSS JOIN tot
+  JOIN mx ON rf = xrf JOIN my ON ls = yls),
+stack AS (
+  SELECT 'xy' AS which, rf, ls, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS v FROM j
+  UNION ALL
+  SELECT 'x', rf, ls, CAST(cx AS DOUBLE) / CAST(n AS DOUBLE) FROM j
+  UNION ALL
+  SELECT 'y', rf, ls, CAST(cy AS DOUBLE) / CAST(n AS DOUBLE) FROM j),
+lns AS ({_sql_ln_layer('stack', 'which, rf, ls')}),
+piv AS (
+  SELECT rf, ls,
+         MAX(CASE WHEN which = 'xy' THEN v END) AS pxy,
+         MAX(CASE WHEN which = 'xy' THEN lnv END) AS lxy,
+         MAX(CASE WHEN which = 'x' THEN lnv END) AS lx,
+         MAX(CASE WHEN which = 'y' THEN lnv END) AS ly
+  FROM lns GROUP BY 1, 2),
+fold AS (
+  SELECT list_reduce(list(pxy * ((lxy - lx) - ly) ORDER BY rf, ls),
+                     (a, x) -> a + x) AS mi
+  FROM piv)
+SELECT t.n, f.mi AS mi_nats,
+       CAST(2.0 AS DOUBLE) * CAST(t.n AS DOUBLE) * f.mi AS g_stat
+FROM fold f CROSS JOIN tot t
+"""
+
+
+@query("q_ml_mutual_information", _MI_ORACLE)
+def q_ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # 3x2 cell table feeds tot/mx/my + three stack branches: checkpoint
+    # so the lineitem scan runs once
+    cells = (
+        li.groupBy(
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_linestatus").alias("ls"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    mx = cells.groupBy(F.col("rf").alias("xrf")).agg(
+        F.sum("c").cast("bigint").alias("cx")
+    )
+    my = cells.groupBy(F.col("ls").alias("yls")).agg(
+        F.sum("c").cast("bigint").alias("cy")
+    )
+    j = (
+        cells.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(mx), F.col("rf") == F.col("xrf"))
+        .join(F.broadcast(my), F.col("ls") == F.col("yls"))
+        .select("rf", "ls", "c", "n", "cx", "cy")
+    )
+    nd = F.col("n").cast("double")
+    stack = (
+        j.select(
+            F.lit("xy").alias("which"),
+            "rf",
+            "ls",
+            (F.col("c").cast("double") / nd).alias("v"),
+        )
+        .unionAll(
+            j.select(F.lit("x"), "rf", "ls", F.col("cx").cast("double") / nd)
+        )
+        .unionAll(
+            j.select(F.lit("y"), "rf", "ls", F.col("cy").cast("double") / nd)
+        )
+    )
+    lns = (
+        stack.withColumn("red", _pln_red(F.col("v")))
+        .withColumn("kk", _pln_k(F.col("v")))
+        .select(
+            "which",
+            "rf",
+            "ls",
+            "v",
+            _pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+        )
+    )
+    piv = lns.groupBy("rf", "ls").agg(
+        F.max(F.when(F.col("which") == "xy", F.col("v"))).alias("pxy"),
+        F.max(F.when(F.col("which") == "xy", F.col("lnv"))).alias("lxy"),
+        F.max(F.when(F.col("which") == "x", F.col("lnv"))).alias("lx"),
+        F.max(F.when(F.col("which") == "y", F.col("lnv"))).alias("ly"),
+    )
+    term = F.col("pxy") * ((F.col("lxy") - F.col("lx")) - F.col("ly"))
+    fold = piv.agg(
+        F.array_sort(
+            F.collect_list(F.struct("rf", "ls", term.alias("t")))
+        ).alias("triples")
+    ).select(_fold_sum(F.transform("triples", lambda x: x["t"])).alias("mi"))
+    return fold.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.col("mi").alias("mi_nats"),
+        (F.lit(2.0) * F.col("n").cast("double") * F.col("mi")).alias("g_stat"),
+    )
+
+
+# -- X492 binary log-loss of a segment-rate predictor -------------------------
+#
+# The training-pipeline loss readout: cross-entropy (nats) of the
+# Laplace-smoothed per-segment purchase-rate predictor, evaluated on
+# the same events. Segments are the bounded user_id % 16 grid, so the
+# per-row sum collapses algebraically to counts-times-term per segment:
+# loss = -(1/N) * fold_g [ c_g*ln(p_g) + (n_g - c_g)*ln(1 - p_g) ] —
+# exact integers times two portably-computed lns, folded over 16 sorted
+# groups. One conditional-count pass over the facts, no per-row doubles.
+
+_LOGLOSS_ORACLE = f"""
+WITH seg AS (
+  SELECT CAST(user_id % 16 AS BIGINT) AS g,
+         CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS cp,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(cp) AS BIGINT) AS npos
+  FROM seg),
+pr AS (
+  SELECT g, cp, n,
+         (CAST(cp AS DOUBLE) + CAST(1.0 AS DOUBLE))
+           / (CAST(n AS DOUBLE) + CAST(2.0 AS DOUBLE)) AS p
+  FROM seg),
+stack AS (
+  SELECT 'p' AS which, g, cp, n, p AS v FROM pr
+  UNION ALL
+  SELECT 'q', g, cp, n, CAST(1.0 AS DOUBLE) - p FROM pr),
+lns AS ({_sql_ln_layer('stack', 'which, g, cp, n')}),
+piv AS (
+  SELECT g, MAX(cp) AS cp, MAX(n) AS n,
+         MAX(CASE WHEN which = 'p' THEN lnv END) AS lp,
+         MAX(CASE WHEN which = 'q' THEN lnv END) AS lq
+  FROM lns GROUP BY 1),
+fold AS (
+  SELECT list_reduce(
+           list(CAST(cp AS DOUBLE) * lp + CAST(n - cp AS DOUBLE) * lq
+                ORDER BY g),
+           (a, x) -> a + x) AS s
+  FROM piv)
+SELECT t.nt AS n_events, t.npos AS n_pos,
+       -(f.s) / CAST(t.nt AS DOUBLE) AS log_loss_nats
+FROM fold f CROSS JOIN tot t
+"""
+
+
+@query("q_ml_log_loss", _LOGLOSS_ORACLE)
+def q_ml_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # 16-row segment table feeds tot + two stack branches: checkpoint so
+    # the events scan runs once
+    seg = (
+        ev.groupBy((F.col("user_id") % 16).cast("bigint").alias("g"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("bigint")
+            .alias("cp"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = seg.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("cp").cast("bigint").alias("npos"),
+    )
+    pr = seg.select(
+        "g",
+        "cp",
+        "n",
+        (
+            (F.col("cp").cast("double") + F.lit(1.0))
+            / (F.col("n").cast("double") + F.lit(2.0))
+        ).alias("p"),
+    )
+    stack = pr.select(
+        F.lit("p").alias("which"), "g", "cp", "n", F.col("p").alias("v")
+    ).unionAll(pr.select(F.lit("q"), "g", "cp", "n", F.lit(1.0) - F.col("p")))
+    lns = (
+        stack.withColumn("red", _pln_red(F.col("v")))
+        .withColumn("kk", _pln_k(F.col("v")))
+        .select(
+            "which",
+            "g",
+            "cp",
+            "n",
+            _pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+        )
+    )
+    piv = lns.groupBy("g").agg(
+        F.max("cp").alias("cp"),
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("which") == "p", F.col("lnv"))).alias("lp"),
+        F.max(F.when(F.col("which") == "q", F.col("lnv"))).alias("lq"),
+    )
+    term = (
+        F.col("cp").cast("double") * F.col("lp")
+        + (F.col("n") - F.col("cp")).cast("double") * F.col("lq")
+    )
+    fold = piv.agg(
+        F.array_sort(F.collect_list(F.struct("g", term.alias("t")))).alias(
+            "pairs"
+        )
+    ).select(_fold_sum(F.transform("pairs", lambda x: x["t"])).alias("s"))
+    return fold.crossJoin(F.broadcast(tot)).select(
+        F.col("nt").alias("n_events"),
+        F.col("npos").alias("n_pos"),
+        ((-F.col("s")) / F.col("nt").cast("double")).alias("log_loss_nats"),
+    )

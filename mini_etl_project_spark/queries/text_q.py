@@ -2320,3 +2320,266 @@ def q_text_rank_overlap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("agreement_ppm"),
         )
     )
+
+
+# =============================================================================
+# Portable-ln corpus statistics (X490-X491) — the text-side consumers of
+# the helpers.pln_* kernel. Every ln argument is a token probability
+# (always inside the kernel domain), so PMI and surprisal are fully
+# oracle-exact: bit-identical lns per row, and any cross-term sum runs
+# as a left fold over a position-sorted bounded per-document array
+# (never a distributed double SUM). See ml_q.py's information-theory
+# wave header for the red/kk staging discipline.
+# =============================================================================
+
+from mini_etl_project_spark.queries.helpers import (  # noqa: E402
+    fold_sum as _fold_sum,
+    pln_finish as _pln_finish,
+    pln_k as _pln_k,
+    pln_red as _pln_red,
+    sql_pln_finish as _sql_pln_finish,
+    sql_pln_k as _sql_pln_k,
+    sql_pln_red as _sql_pln_red,
+)
+
+
+def _sql_ln_layer(stack_cte: str, keys: str) -> str:
+    """Two-layer staged-ln CTE body over a stack(keys..., v) CTE."""
+    return (
+        f"SELECT {keys}, v, {_sql_pln_finish('red', 'kk')} AS lnv"
+        f" FROM (SELECT {keys}, v, {_sql_pln_red('v')} AS red,"
+        f" {_sql_pln_k('v')} AS kk FROM {stack_cte})"
+    )
+
+
+def _filtered_tokens(col):
+    """House whitespace tokens with empties dropped — the Spark twin of
+    ``_TOKS`` (split of an empty trimmed string yields [''])."""
+    return F.filter(
+        F.split(F.trim(F.col(col) if isinstance(col, str) else col), r"\s+"),
+        lambda t: t != "",
+    )
+
+
+# -- X490 PMI collocations -----------------------------------------------------
+#
+# Pointwise mutual information over adjacent-token bigrams — the classic
+# collocation extractor (Church & Hanks 1990). pmi = ln p(w1,w2) −
+# ln p(w1) − ln p(w2) with unigram/bigram probabilities from exact
+# BIGINT corpus counts; all three lns ride one staged portable kernel
+# via the unpivot, so each candidate's PMI is a deterministic per-row
+# expression (no cross-row double sums at all). Candidates are
+# frequency-floored (cb >= 5) before any double work, and the top-20 is
+# a TakeOrdered with a full lexical tie-break. Scale: two keyed
+# count aggregates + small joins — no all-pairs anywhere.
+
+_PMI_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+uni AS (SELECT UNNEST(tk) AS w FROM toks),
+ucnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM uni GROUP BY 1),
+utot AS (SELECT CAST(SUM(cu) AS BIGINT) AS tu FROM ucnt),
+big AS (
+  SELECT UNNEST(list_transform(generate_series(1, LEN(tk) - 1),
+                               i -> struct_pack(w1 := tk[i],
+                                                w2 := tk[i + 1]))) AS b
+  FROM toks),
+bcnt AS (
+  SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM big GROUP BY 1, 2),
+btot AS (SELECT CAST(SUM(cb) AS BIGINT) AS tb FROM bcnt),
+cand AS (
+  SELECT w1, w2, cb, cu1, cu2, tu, tb
+  FROM (SELECT * FROM bcnt WHERE cb >= 5) c
+  JOIN (SELECT w AS uw1, cu AS cu1 FROM ucnt) a ON c.w1 = a.uw1
+  JOIN (SELECT w AS uw2, cu AS cu2 FROM ucnt) b ON c.w2 = b.uw2
+  CROSS JOIN utot CROSS JOIN btot),
+stack AS (
+  SELECT 'b' AS which, w1, w2, cb,
+         CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE) AS v FROM cand
+  UNION ALL
+  SELECT 'u1', w1, w2, cb, CAST(cu1 AS DOUBLE) / CAST(tu AS DOUBLE) FROM cand
+  UNION ALL
+  SELECT 'u2', w1, w2, cb, CAST(cu2 AS DOUBLE) / CAST(tu AS DOUBLE) FROM cand),
+lns AS ({_sql_ln_layer('stack', 'which, w1, w2, cb')}),
+piv AS (
+  SELECT w1, w2, MAX(cb) AS pair_count,
+         ((MAX(CASE WHEN which = 'b' THEN lnv END)
+           - MAX(CASE WHEN which = 'u1' THEN lnv END))
+          - MAX(CASE WHEN which = 'u2' THEN lnv END)) AS pmi_nats
+  FROM lns GROUP BY 1, 2)
+SELECT w1, w2, pair_count, pmi_nats
+FROM piv ORDER BY pmi_nats DESC, w1, w2 LIMIT 20
+"""
+
+
+@query("q_text_pmi_collocations", _PMI_ORACLE)
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _filtered_tokens("text").alias("tk"))
+    # bigrams via two aligned slices (empty for 0/1-token docs — the
+    # ADVICE-r8 short-doc lane; DuckDB's generate_series is empty there)
+    blen = F.greatest(F.size("tk") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("tk", 1, blen),
+        F.slice("tk", 2, blen),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    uni = toks.select(F.explode("tk").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    utot = ucnt.agg(F.sum("cu").cast("bigint").alias("tu"))
+    bcnt = (
+        toks.select(F.explode(pairs).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    )
+    btot = bcnt.agg(F.sum("cb").cast("bigint").alias("tb"))
+    cand = (
+        bcnt.filter(F.col("cb") >= 5)
+        .join(
+            ucnt.select(F.col("w").alias("uw1"), F.col("cu").alias("cu1")),
+            F.col("w1") == F.col("uw1"),
+        )
+        .join(
+            ucnt.select(F.col("w").alias("uw2"), F.col("cu").alias("cu2")),
+            F.col("w2") == F.col("uw2"),
+        )
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select("w1", "w2", "cb", "cu1", "cu2", "tu", "tb")
+        # candidate table feeds three stack branches — checkpoint so the
+        # corpus token scans run once (BLEU-fix lane)
+        .localCheckpoint(eager=True)
+    )
+    stack = (
+        cand.select(
+            F.lit("b").alias("which"),
+            "w1",
+            "w2",
+            "cb",
+            (F.col("cb").cast("double") / F.col("tb").cast("double")).alias(
+                "v"
+            ),
+        )
+        .unionAll(
+            cand.select(
+                F.lit("u1"),
+                "w1",
+                "w2",
+                "cb",
+                F.col("cu1").cast("double") / F.col("tu").cast("double"),
+            )
+        )
+        .unionAll(
+            cand.select(
+                F.lit("u2"),
+                "w1",
+                "w2",
+                "cb",
+                F.col("cu2").cast("double") / F.col("tu").cast("double"),
+            )
+        )
+    )
+    lns = (
+        stack.withColumn("red", _pln_red(F.col("v")))
+        .withColumn("kk", _pln_k(F.col("v")))
+        .select(
+            "which",
+            "w1",
+            "w2",
+            "cb",
+            _pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+        )
+    )
+    piv = lns.groupBy("w1", "w2").agg(
+        F.max("cb").alias("pair_count"),
+        (
+            (
+                F.max(F.when(F.col("which") == "b", F.col("lnv")))
+                - F.max(F.when(F.col("which") == "u1", F.col("lnv")))
+            )
+            - F.max(F.when(F.col("which") == "u2", F.col("lnv")))
+        ).alias("pmi_nats"),
+    )
+    return piv.orderBy(F.desc("pmi_nats"), "w1", "w2").limit(20)
+
+
+# -- X491 per-document unigram surprisal ---------------------------------------
+#
+# Mean surprisal (cross-entropy, nats/token) of each document under the
+# corpus unigram LM — the "how atypical is this doc" score every
+# quality-filtering pipeline wants next to its perplexity column (no
+# exp() needed: surprisal IS ln-perplexity). Token probabilities are
+# exact corpus counts over the total; ONE staged portable ln per vocab
+# word (vocab-sized, not corpus-sized); each document folds its tokens'
+# lns in position order, so the per-doc sum is bit-identical in both
+# engines. Top-10 most-surprising docs with doc_id tie-break.
+
+_SURPRISAL_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+tw AS (
+  SELECT doc_id, u.i AS i, u.w AS w
+  FROM (SELECT doc_id,
+               UNNEST(list_transform(generate_series(1, LEN(tk)),
+                                     i -> struct_pack(i := i,
+                                                      w := tk[i]))) AS u
+        FROM toks)),
+ucnt AS (SELECT w AS uw, CAST(COUNT(*) AS BIGINT) AS cu FROM tw GROUP BY 1),
+utot AS (SELECT CAST(SUM(cu) AS BIGINT) AS tu FROM ucnt),
+pv AS (
+  SELECT uw, CAST(cu AS DOUBLE) / CAST(tu AS DOUBLE) AS v
+  FROM ucnt CROSS JOIN utot),
+lns AS ({_sql_ln_layer('pv', 'uw')}),
+d AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         list_reduce(list(l.lnv ORDER BY t.i), (a, x) -> a + x) AS s
+  FROM tw t JOIN lns l ON t.w = l.uw
+  GROUP BY 1)
+SELECT doc_id, n_tokens,
+       -(s) / CAST(n_tokens AS DOUBLE) AS surprisal_nats
+FROM d ORDER BY surprisal_nats DESC, doc_id LIMIT 10
+"""
+
+
+@query("q_text_unigram_surprisal", _SURPRISAL_ORACLE)
+def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _filtered_tokens("text").alias("tk"))
+    # posexplode is 0-based; only the per-doc ORDER is contractual
+    tw = toks.select(
+        "doc_id", F.posexplode("tk").alias("i", "w")
+    )
+    ucnt = tw.groupBy(F.col("w").alias("uw")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cu")
+    )
+    utot = ucnt.agg(F.sum("cu").cast("bigint").alias("tu"))
+    pv = ucnt.crossJoin(F.broadcast(utot)).select(
+        "uw", (F.col("cu").cast("double") / F.col("tu").cast("double")).alias("v")
+    )
+    lns = (
+        pv.withColumn("red", _pln_red(F.col("v")))
+        .withColumn("kk", _pln_k(F.col("v")))
+        .select("uw", _pln_finish(F.col("red"), F.col("kk")).alias("lnv"))
+    )
+    j = tw.join(lns, tw["w"] == lns["uw"]).select("doc_id", "i", "lnv")
+    per_doc = (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct("i", F.col("lnv").alias("l")))
+            ).alias("pairs"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            _fold_sum(F.transform("pairs", lambda p: p["l"])).alias("s"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        ((-F.col("s")) / F.col("n_tokens").cast("double")).alias(
+            "surprisal_nats"
+        ),
+    ).orderBy(F.desc("surprisal_nats"), "doc_id").limit(10)

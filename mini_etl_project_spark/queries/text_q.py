@@ -2561,7 +2561,12 @@ def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kk", _pln_k(F.col("v")))
         .select("uw", _pln_finish(F.col("red"), F.col("kk")).alias("lnv"))
     )
-    j = tw.join(lns, tw["w"] == lns["uw"]).select("doc_id", "i", "lnv")
+    # vocab-sized probe side: broadcast it so the corpus-sized token
+    # table never shuffles for the lookup (tokens of a doc stay
+    # co-located from the explode through the per-doc aggregate)
+    j = tw.join(F.broadcast(lns), tw["w"] == lns["uw"]).select(
+        "doc_id", "i", "lnv"
+    )
     per_doc = (
         j.groupBy("doc_id")
         .agg(

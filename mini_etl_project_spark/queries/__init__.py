@@ -121,6 +121,15 @@ _RECHECK: list[str] = [
     "q_ml_log_loss",
     "q_text_pmi_collocations",
     "q_text_unigram_surprisal",
+    # new this round: the X493-X497 wave + the qsum lane; hellinger's
+    # sqrt-term sum moved dsum -> qsum (values change at the 1e-12
+    # quantum), so it needs a fresh driver row too
+    "q_text_zipf_fit",
+    "q_text_unigram_kl_drift",
+    "q_ml_aic_bic",
+    "q_ml_odds_ratio",
+    "q_ml_info_gain_ranking",
+    "q_ml_hellinger_drift",
     # -- never-sampled contract-heavy families (VERDICT r8 ask #2) ------
     # table lifecycle (X464-X467)
     "q_table_time_travel",

@@ -19,7 +19,13 @@ DEC = "decimal(38,6)"
 
 
 def dsum(col: Column | str, alias: str) -> Column:
-    """Order-independent exact sum of a double column, as double."""
+    """Order-independent exact sum of a double column, as double.
+
+    PORTABILITY CONSTRAINT (round-9 finding): safe ONLY for terms whose
+    exact value has <= 6 decimal digits (money/quantity lanes — then the
+    DECIMAL(38,6) cast does no rounding at all, in either engine). For
+    full-precision terms (sqrt, ln, odd divisions) the cast ITSELF can
+    diverge between engines — use :func:`qsum` instead."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(DEC)).cast("double").alias(alias)
 
@@ -214,4 +220,68 @@ def fold_sum(xs: Column) -> Column:
         F.slice(xs, 2, 1000000),
         F.element_at(xs, 1),
         lambda a, x: a + x,
+    )
+
+
+# -- qsum: the portable sum lane for FULL-PRECISION doubles -------------------
+#
+# dsum's DECIMAL(38,6) cast is only cross-engine-safe when the term's
+# exact value has <= 6 decimal digits (money/quantity lanes — then the
+# cast does no rounding at all). For irrational terms (sqrt, ln, odd
+# divisions) the engines disagree on the cast itself: Spark rounds the
+# double's EXACT binary expansion (BigDecimal HALF_UP) while DuckDB
+# multiplies by 10^scale IN DOUBLE first and rounds that — a
+# double-rounding whose divergence probability grows with |x|*10^6*eps
+# (found live: three of 31 KL-drift terms at |x|~1e9 crossed a boundary;
+# see test_round9b). qsum quantizes portably instead: floor(x * scale)
+# is an INTEGER-VALUED double (floor is exact in both engines, and the
+# single multiply rounds identically), so the decimal cast is
+# unambiguous at any magnitude. The sum is then exact, order-independent
+# and distributed (map-side partials intact); dec_to_double brings it
+# back above 2^53 safely. Quantization: 1/scale absolute per term,
+# floor-biased — identical in both engines, which is the whole point.
+
+QSCALE = 1e12
+
+
+#: qsum term-domain bound: |term| < 1e6 keeps |term*QSCALE| < 1e18 <
+#: 2^62, inside Spark's BIGINT floor() range (floor(DOUBLE) returns
+#: BIGINT in Spark and silently wraps past 2^63). Out-of-domain terms
+#: poison the whole sum to NULL in BOTH engines — a domain escape is a
+#: visible red row, never silent drift (the pln convention).
+QLIM = 1e6
+
+
+def qsum(col: Column | str, alias: str) -> Column:
+    """Order-independent, engine-portable sum of full-precision doubles
+    (quantized at 1e-12 per term; term domain |x| < 1e6), as double.
+    The signed total routes through ABS + sign because dec_to_double
+    (and decimal %) is non-negative-only — the q_fn_regr_family trick."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = (
+        F.sum(F.floor(c * F.lit(QSCALE)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+    )
+    sgn = F.when(s < 0, -1.0).otherwise(1.0)
+    bad = F.max(F.when(F.abs(c) >= F.lit(QLIM), 1).otherwise(0))
+    return (
+        F.when(bad > 0, F.lit(None).cast("double")).otherwise(
+            sgn * dec_to_double(F.abs(s)) / F.lit(QSCALE)
+        )
+    ).alias(alias)
+
+
+def sql_qsum(expr: str, alias: str) -> str:
+    """DuckDB oracle equivalent of :func:`qsum`."""
+    s = (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * 1e12) AS DECIMAL(38,0)))"
+        f" AS DECIMAL(38,0))"
+    )
+    signed = (
+        f"((CASE WHEN {s} < 0 THEN -1.0 ELSE 1.0 END)"
+        f" * ({sql_dec_to_double(f'ABS({s})')}) / 1e12)"
+    )
+    return (
+        f"(CASE WHEN MAX(CASE WHEN ABS({expr}) >= 1e6 THEN 1 ELSE 0 END) > 0"
+        f" THEN NULL ELSE {signed} END) AS {alias}"
     )

@@ -20,6 +20,7 @@ from mini_etl_project_spark.queries.helpers import DEC
 from mini_etl_project_spark.queries.helpers import (
     sql_dec_to_double as _sql_dec_to_double,
 )
+from mini_etl_project_spark.queries.helpers import sql_qsum as _sql_qsum
 from mini_etl_project_spark.session import load_table
 
 _K = 4
@@ -9730,8 +9731,10 @@ def q_ml_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream (event_id parity — content-keyed, partitioning-independent).
 # Each cell's sqrt((a/A)*(b/B)) is 4 IEEE ops over exactly-cast BIGINTs
 # (deterministic on both engines); the cross-cell sum rides the
-# DECIMAL(38,6) order-independent lane (helpers.dsum), so the final
-# doubles hash-match.
+# order-independent QUANTIZED lane (helpers.qsum) — sqrt terms are
+# full-precision irrationals, and the DECIMAL(38,6) cast itself can
+# diverge between engines on those (the round-9 qsum finding), so the
+# floor-quantized lane is the structurally sound one.
 
 _HELLINGER_ORACLE = """
 WITH cells AS (
@@ -9749,17 +9752,17 @@ contrib AS (
   SELECT SQRT((CAST(a AS DOUBLE) / ta) * (CAST(b AS DOUBLE) / tb)) AS bc_c
   FROM cells, tot),
 s AS (
-  SELECT CAST(SUM(CAST(bc_c AS DECIMAL(38,6))) AS DOUBLE) AS bc
+  SELECT {QSUM_BC}
   FROM contrib)
 SELECT tot.n_cells, tot.ta AS n_a, tot.tb AS n_b, s.bc,
        SQRT(1.0 - s.bc) AS hellinger
 FROM tot, s
-"""
+""".replace("{QSUM_BC}", _sql_qsum("bc_c", "bc"))
 
 
 @query("q_ml_hellinger_drift", _HELLINGER_ORACLE)
 def q_ml_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mini_etl_project_spark.queries.helpers import dsum
+    from mini_etl_project_spark.queries.helpers import qsum
 
     ev = load_table(spark, sf_dir, "events")
     cells = ev.groupBy("event_type").agg(
@@ -9784,7 +9787,7 @@ def q_ml_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("b").cast("double") / F.col("tb"))
         ).alias("bc_c"),
     )
-    s = contrib.groupBy("n_cells", "ta", "tb").agg(dsum("bc_c", "bc"))
+    s = contrib.groupBy("n_cells", "ta", "tb").agg(qsum("bc_c", "bc"))
     return s.select(
         "n_cells",
         F.col("ta").alias("n_a"),
@@ -10365,4 +10368,506 @@ def q_ml_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nt").alias("n_events"),
         F.col("npos").alias("n_pos"),
         ((-F.col("s")) / F.col("nt").cast("double")).alias("log_loss_nats"),
+    )
+
+
+# -- X495 AIC / BIC model comparison ------------------------------------------
+#
+# Information-criterion comparison of the 1-predictor OLS
+# (price-cents ~ quantity, the X472 moment lane) against the
+# intercept-only null: AIC = n*ln(RSS/n) + 2k, BIC = n*ln(RSS/n) +
+# k*ln(n) with k = #regression params (1 vs 2). RSS/n assembles from the
+# exact DECIMAL moments (RSS0/n = dyy/n^2, RSS1/n =
+# (dxx*dyy - dxy^2)/(n^2*dxx)); the three lns (two MSEs + ln n) ride one
+# staged portable kernel, with arguments INVERTED into the kernel
+# domain (ln x = -ln(1/x) for x >= 1 — 1/x is always in domain). One
+# exact-moment pass over the facts.
+
+_AICBIC_ORACLE = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sy,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                  * CAST(ROUND(l_quantity) AS BIGINT)) AS DECIMAL(38,0))
+           AS sxx,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+              AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+              AS DECIMAL(38,0)) AS syy
+  FROM lineitem),
+d AS (
+  SELECT n,
+         CAST(sxx * n - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0))
+           AS dxx,
+         CAST(sxy * n - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))
+           AS dxy,
+         CAST(syy * n - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))
+           AS dyy
+  FROM m),
+mse AS (
+  SELECT n,
+         {dtd_dyy} / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS mse0,
+         ({dtd_dxx} * {dtd_dyy} - {dtd_adxy} * {dtd_adxy})
+           / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * {dtd_dxx}) AS mse1
+  FROM d),
+stack AS (
+  SELECT 'm0' AS which, n, mse0, mse1,
+         CAST(1.0 AS DOUBLE) / mse0 AS v FROM mse
+  UNION ALL SELECT 'm1', n, mse0, mse1, CAST(1.0 AS DOUBLE) / mse1 FROM mse
+  UNION ALL SELECT 'n', n, mse0, mse1,
+         CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) FROM mse),
+lns AS ({LN_LAYER}),
+piv AS (
+  SELECT MAX(n) AS n, MAX(mse0) AS mse0, MAX(mse1) AS mse1,
+         -(MAX(CASE WHEN which = 'm0' THEN lnv END)) AS l0,
+         -(MAX(CASE WHEN which = 'm1' THEN lnv END)) AS l1,
+         -(MAX(CASE WHEN which = 'n' THEN lnv END)) AS ln_n
+  FROM lns)
+SELECT n, mse0, mse1,
+       CAST(n AS DOUBLE) * l0 + CAST(2.0 AS DOUBLE) AS aic0,
+       CAST(n AS DOUBLE) * l1 + CAST(4.0 AS DOUBLE) AS aic1,
+       CAST(n AS DOUBLE) * l0 + CAST(1.0 AS DOUBLE) * ln_n AS bic0,
+       CAST(n AS DOUBLE) * l1 + CAST(2.0 AS DOUBLE) * ln_n AS bic1,
+       (CAST(n AS DOUBLE) * l0 + CAST(2.0 AS DOUBLE))
+         - (CAST(n AS DOUBLE) * l1 + CAST(4.0 AS DOUBLE)) AS delta_aic
+FROM piv
+"""
+
+
+def _aicbic_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    return _AICBIC_ORACLE.replace(
+        "{dtd_adxy}", sql_dec_to_double("ABS(dxy)")
+    ).replace("{dtd_dxx}", sql_dec_to_double("dxx")).replace(
+        "{dtd_dyy}", sql_dec_to_double("dyy")
+    ).replace("{LN_LAYER}", _sql_ln_layer("stack", "which, n, mse0, mse1"))
+
+
+@query("q_ml_aic_bic", _aicbic_oracle())
+def q_ml_aic_bic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    m = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x.cast("decimal(28,0)") * x).cast("decimal(38,0)").alias("sxx"),
+        F.sum(x.cast("decimal(28,0)") * y).cast("decimal(38,0)").alias("sxy"),
+        F.sum(y.cast("decimal(28,0)") * y).cast("decimal(38,0)").alias("syy"),
+    )
+    d = m.select(
+        "n",
+        (F.col("sxx") * F.col("n") - F.col("sx").cast("decimal(38,0)") * F.col("sx"))
+        .cast("decimal(38,0)")
+        .alias("dxx"),
+        (F.col("sxy") * F.col("n") - F.col("sx").cast("decimal(38,0)") * F.col("sy"))
+        .cast("decimal(38,0)")
+        .alias("dxy"),
+        (F.col("syy") * F.col("n") - F.col("sy").cast("decimal(38,0)") * F.col("sy"))
+        .cast("decimal(38,0)")
+        .alias("dyy"),
+    )
+    nd = F.col("n").cast("double")
+    adxy = dec_to_double(F.abs(F.col("dxy")))
+    dxx = dec_to_double(F.col("dxx"))
+    dyy = dec_to_double(F.col("dyy"))
+    mse = d.select(
+        "n",
+        (dyy / (nd * nd)).alias("mse0"),
+        ((dxx * dyy - adxy * adxy) / ((nd * nd) * dxx)).alias("mse1"),
+    ).localCheckpoint(eager=True)  # 1 row feeding three stack branches
+    stack = (
+        mse.select(
+            F.lit("m0").alias("which"),
+            "n",
+            "mse0",
+            "mse1",
+            (F.lit(1.0) / F.col("mse0")).alias("v"),
+        )
+        .unionAll(
+            mse.select(
+                F.lit("m1"), "n", "mse0", "mse1", F.lit(1.0) / F.col("mse1")
+            )
+        )
+        .unionAll(
+            mse.select(
+                F.lit("n"),
+                "n",
+                "mse0",
+                "mse1",
+                F.lit(1.0) / F.col("n").cast("double"),
+            )
+        )
+    )
+    lns = (
+        stack.withColumn("red", _pln_red(F.col("v")))
+        .withColumn("kk", _pln_k(F.col("v")))
+        .select(
+            "which",
+            "n",
+            "mse0",
+            "mse1",
+            _pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+        )
+    )
+    piv = lns.agg(
+        F.max("n").alias("n"),
+        F.max("mse0").alias("mse0"),
+        F.max("mse1").alias("mse1"),
+        (-F.max(F.when(F.col("which") == "m0", F.col("lnv")))).alias("l0"),
+        (-F.max(F.when(F.col("which") == "m1", F.col("lnv")))).alias("l1"),
+        (-F.max(F.when(F.col("which") == "n", F.col("lnv")))).alias("ln_n"),
+    )
+    nd2 = F.col("n").cast("double")
+    aic0 = nd2 * F.col("l0") + F.lit(2.0)
+    aic1 = nd2 * F.col("l1") + F.lit(4.0)
+    return piv.select(
+        "n",
+        "mse0",
+        "mse1",
+        aic0.alias("aic0"),
+        aic1.alias("aic1"),
+        (nd2 * F.col("l0") + F.lit(1.0) * F.col("ln_n")).alias("bic0"),
+        (nd2 * F.col("l1") + F.lit(2.0) * F.col("ln_n")).alias("bic1"),
+        (aic0 - aic1).alias("delta_aic"),
+    )
+
+
+# -- X496 odds ratio with Wald CI ---------------------------------------------
+#
+# The case-control 2x2 readout: odds ratio of "returned" (l_returnflag =
+# 'R') for high-quantity lines (l_quantity > 25), reported on the LOG
+# scale (ln OR and its 95% Wald CI — no exp() needed, and the log scale
+# is where the CI is symmetric anyway). Cell counts are one exact
+# conditional-count pass; the four lns of counts ride the inverted
+# kernel (ln c = -ln(1/c)); the SE assembles from 1/cell doubles.
+
+_ODDS_ORACLE = """
+WITH c AS (
+  SELECT CAST(COUNT(CASE WHEN l_quantity > 25 AND l_returnflag = 'R'
+                         THEN 1 END) AS BIGINT) AS a,
+         CAST(COUNT(CASE WHEN l_quantity > 25 AND l_returnflag <> 'R'
+                         THEN 1 END) AS BIGINT) AS b,
+         CAST(COUNT(CASE WHEN l_quantity <= 25 AND l_returnflag = 'R'
+                         THEN 1 END) AS BIGINT) AS c2,
+         CAST(COUNT(CASE WHEN l_quantity <= 25 AND l_returnflag <> 'R'
+                         THEN 1 END) AS BIGINT) AS d
+  FROM lineitem),
+stack AS (
+  SELECT 'a' AS which, a, b, c2, d, CAST(1.0 AS DOUBLE) / CAST(a AS DOUBLE) AS v FROM c
+  UNION ALL SELECT 'b', a, b, c2, d, CAST(1.0 AS DOUBLE) / CAST(b AS DOUBLE) FROM c
+  UNION ALL SELECT 'c', a, b, c2, d, CAST(1.0 AS DOUBLE) / CAST(c2 AS DOUBLE) FROM c
+  UNION ALL SELECT 'd', a, b, c2, d, CAST(1.0 AS DOUBLE) / CAST(d AS DOUBLE) FROM c),
+lns AS ({LN_LAYER}),
+piv AS (
+  SELECT MAX(a) AS a, MAX(b) AS b, MAX(c2) AS c2, MAX(d) AS d,
+         ((-(MAX(CASE WHEN which = 'a' THEN lnv END))
+           + -(MAX(CASE WHEN which = 'd' THEN lnv END)))
+          - (-(MAX(CASE WHEN which = 'b' THEN lnv END))
+             + -(MAX(CASE WHEN which = 'c' THEN lnv END)))) AS ln_or
+  FROM lns)
+SELECT a, b, c2, d, ln_or,
+       SQRT(CAST(1.0 AS DOUBLE) / CAST(a AS DOUBLE)
+            + CAST(1.0 AS DOUBLE) / CAST(b AS DOUBLE)
+            + CAST(1.0 AS DOUBLE) / CAST(c2 AS DOUBLE)
+            + CAST(1.0 AS DOUBLE) / CAST(d AS DOUBLE)) AS se_ln_or,
+       ln_or - CAST(1.96 AS DOUBLE)
+         * SQRT(CAST(1.0 AS DOUBLE) / CAST(a AS DOUBLE)
+                + CAST(1.0 AS DOUBLE) / CAST(b AS DOUBLE)
+                + CAST(1.0 AS DOUBLE) / CAST(c2 AS DOUBLE)
+                + CAST(1.0 AS DOUBLE) / CAST(d AS DOUBLE)) AS ci_lo_ln,
+       ln_or + CAST(1.96 AS DOUBLE)
+         * SQRT(CAST(1.0 AS DOUBLE) / CAST(a AS DOUBLE)
+                + CAST(1.0 AS DOUBLE) / CAST(b AS DOUBLE)
+                + CAST(1.0 AS DOUBLE) / CAST(c2 AS DOUBLE)
+                + CAST(1.0 AS DOUBLE) / CAST(d AS DOUBLE)) AS ci_hi_ln
+FROM piv
+""".replace("{LN_LAYER}", _sql_ln_layer("stack", "which, a, b, c2, d"))
+
+
+@query("q_ml_odds_ratio", _ODDS_ORACLE)
+def q_ml_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = F.col("l_quantity") > 25
+    ret = F.col("l_returnflag") == "R"
+    c = li.agg(
+        F.count(F.when(hi & ret, 1)).cast("bigint").alias("a"),
+        F.count(F.when(hi & ~ret, 1)).cast("bigint").alias("b"),
+        F.count(F.when(~hi & ret, 1)).cast("bigint").alias("c2"),
+        F.count(F.when(~hi & ~ret, 1)).cast("bigint").alias("d"),
+    ).localCheckpoint(eager=True)  # 1 row feeding four stack branches
+    stack = None
+    for w, cc in (("a", "a"), ("b", "b"), ("c", "c2"), ("d", "d")):
+        part = c.select(
+            F.lit(w).alias("which"),
+            "a",
+            "b",
+            "c2",
+            "d",
+            (F.lit(1.0) / F.col(cc).cast("double")).alias("v"),
+        )
+        stack = part if stack is None else stack.unionAll(part)
+    lns = (
+        stack.withColumn("red", _pln_red(F.col("v")))
+        .withColumn("kk", _pln_k(F.col("v")))
+        .select(
+            "which",
+            "a",
+            "b",
+            "c2",
+            "d",
+            _pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+        )
+    )
+    piv = lns.agg(
+        F.max("a").alias("a"),
+        F.max("b").alias("b"),
+        F.max("c2").alias("c2"),
+        F.max("d").alias("d"),
+        (
+            (
+                (-F.max(F.when(F.col("which") == "a", F.col("lnv"))))
+                + (-F.max(F.when(F.col("which") == "d", F.col("lnv"))))
+            )
+            - (
+                (-F.max(F.when(F.col("which") == "b", F.col("lnv"))))
+                + (-F.max(F.when(F.col("which") == "c", F.col("lnv"))))
+            )
+        ).alias("ln_or"),
+    )
+    se = F.sqrt(
+        F.lit(1.0) / F.col("a").cast("double")
+        + F.lit(1.0) / F.col("b").cast("double")
+        + F.lit(1.0) / F.col("c2").cast("double")
+        + F.lit(1.0) / F.col("d").cast("double")
+    )
+    return piv.select(
+        "a",
+        "b",
+        "c2",
+        "d",
+        "ln_or",
+        se.alias("se_ln_or"),
+        (F.col("ln_or") - F.lit(1.96) * se).alias("ci_lo_ln"),
+        (F.col("ln_or") + F.lit(1.96) * se).alias("ci_hi_ln"),
+    )
+
+
+# -- X497 information-gain feature ranking ------------------------------------
+#
+# The decision-tree / feature-selection primitive: rank categorical
+# features by information gain IG(Y; X) = H(Y) - H(Y|X) against the
+# high-value-order label, across three bounded features (priority,
+# order month, order status) in ONE fact scan (explode to (feature,
+# value, label) cells). All probabilities ride one staged kernel; the
+# per-feature conditional entropy is a two-level ordered fold (over the
+# <=2 label values inside each feature value, then over the <=12
+# feature values). Every fold is over a bounded cell table.
+
+_IG_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderpriority AS pr,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS VARCHAR) AS mo,
+         o_orderstatus AS st,
+         CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+  FROM orders),
+cells AS (
+  SELECT 'priority' AS feat, pr AS xval, y, CAST(COUNT(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT 'month', mo, y, CAST(COUNT(*) AS BIGINT) FROM base GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT 'status', st, y, CAST(COUNT(*) AS BIGINT) FROM base GROUP BY 1, 2, 3),
+xn AS (
+  SELECT feat, xval, CAST(SUM(c) AS BIGINT) AS nx
+  FROM cells GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells WHERE feat = 'priority'),
+yn AS (
+  SELECT y, CAST(SUM(c) AS BIGINT) AS cy
+  FROM cells WHERE feat = 'priority' GROUP BY 1),
+stack AS (
+  SELECT 'c' AS which, feat, xval, y,
+         CAST(c AS DOUBLE) / CAST(nx AS DOUBLE) AS v
+  FROM cells JOIN xn USING (feat, xval)
+  UNION ALL
+  SELECT 'y', '__label__', CAST(y AS VARCHAR), y,
+         CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)
+  FROM yn CROSS JOIN tot),
+lns AS ({{LN_LAYER}}),
+hxv AS (
+  SELECT feat, xval,
+         -(list_reduce(list(v * lnv ORDER BY y), (a, b) -> a + b)) AS h
+  FROM lns WHERE which = 'c' GROUP BY 1, 2),
+hx AS (
+  SELECT w.feat,
+         CAST(COUNT(*) AS BIGINT) AS n_values,
+         list_reduce(
+           list((CAST(w.nx AS DOUBLE) / CAST(t.n AS DOUBLE)) * h.h
+                ORDER BY w.xval),
+           (a, b) -> a + b) AS cond_h
+  FROM hxv h JOIN xn w USING (feat, xval) CROSS JOIN tot t
+  GROUP BY 1),
+hy AS (
+  SELECT -(list_reduce(list(v * lnv ORDER BY y), (a, b) -> a + b)) AS h
+  FROM lns WHERE which = 'y')
+SELECT hx.feat AS feature, hx.n_values,
+       hx.cond_h AS cond_entropy_nats,
+       hy.h - hx.cond_h AS info_gain_nats
+FROM hx CROSS JOIN hy
+""".replace("{LN_LAYER}", _sql_ln_layer("stack", "which, feat, xval, y"))
+
+
+@query("q_ml_info_gain_ranking", _IG_ORACLE)
+def q_ml_info_gain_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("pr"),
+        F.month("o_orderdate").cast("string").alias("mo"),
+        F.col("o_orderstatus").alias("st"),
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("y"),
+    )
+    # one scan: explode the three features into (feat, xval, y) rows
+    cells = (
+        base.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("priority").alias("feat"),
+                        F.col("pr").alias("xval"),
+                    ),
+                    F.struct(
+                        F.lit("month").alias("feat"),
+                        F.col("mo").alias("xval"),
+                    ),
+                    F.struct(
+                        F.lit("status").alias("feat"),
+                        F.col("st").alias("xval"),
+                    ),
+                )
+            ).alias("fx"),
+            "y",
+        )
+        .groupBy(
+            F.col("fx.feat").alias("feat"),
+            F.col("fx.xval").alias("xval"),
+            "y",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # bounded (<=40-row) cell table feeds xn/tot/yn + stack branches
+        .localCheckpoint(eager=True)
+    )
+    xn = cells.groupBy("feat", "xval").agg(
+        F.sum("c").cast("bigint").alias("nx")
+    )
+    tot = cells.filter(F.col("feat") == "priority").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    yn = (
+        cells.filter(F.col("feat") == "priority")
+        .groupBy("y")
+        .agg(F.sum("c").cast("bigint").alias("cy"))
+    )
+    stack = (
+        cells.join(F.broadcast(xn), ["feat", "xval"])
+        .select(
+            F.lit("c").alias("which"),
+            "feat",
+            "xval",
+            "y",
+            (F.col("c").cast("double") / F.col("nx").cast("double")).alias(
+                "v"
+            ),
+        )
+        .unionAll(
+            yn.crossJoin(F.broadcast(tot)).select(
+                F.lit("y"),
+                F.lit("__label__"),
+                F.col("y").cast("string"),
+                "y",
+                F.col("cy").cast("double") / F.col("n").cast("double"),
+            )
+        )
+    )
+    lns = (
+        stack.withColumn("red", _pln_red(F.col("v")))
+        .withColumn("kk", _pln_k(F.col("v")))
+        .select(
+            "which",
+            "feat",
+            "xval",
+            "y",
+            "v",
+            _pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+        )
+        # consumed by hxv AND hy — checkpoint the <=42-row ln table
+        .localCheckpoint(eager=True)
+    )
+    hxv = (
+        lns.filter(F.col("which") == "c")
+        .groupBy("feat", "xval")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("y", (F.col("v") * F.col("lnv")).alias("t"))
+                )
+            ).alias("ps")
+        )
+        .select(
+            "feat",
+            "xval",
+            (-_fold_sum(F.transform("ps", lambda p: p["t"]))).alias("h"),
+        )
+    )
+    hx = (
+        hxv.join(F.broadcast(xn), ["feat", "xval"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("feat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "xval",
+                        (
+                            (
+                                F.col("nx").cast("double")
+                                / F.col("n").cast("double")
+                            )
+                            * F.col("h")
+                        ).alias("t"),
+                    )
+                )
+            ).alias("ps"),
+        )
+        .select(
+            "feat",
+            "n_values",
+            _fold_sum(F.transform("ps", lambda p: p["t"])).alias("cond_h"),
+        )
+    )
+    hy = (
+        lns.filter(F.col("which") == "y")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("y", (F.col("v") * F.col("lnv")).alias("t"))
+                )
+            ).alias("ps")
+        )
+        .select((-_fold_sum(F.transform("ps", lambda p: p["t"]))).alias("h"))
+    )
+    return hx.crossJoin(F.broadcast(hy)).select(
+        F.col("feat").alias("feature"),
+        "n_values",
+        F.col("cond_h").alias("cond_entropy_nats"),
+        (F.col("h") - F.col("cond_h")).alias("info_gain_nats"),
     )

@@ -2334,6 +2334,7 @@ def q_text_rank_overlap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from mini_etl_project_spark.queries.helpers import (  # noqa: E402
     fold_sum as _fold_sum,
+    sql_qsum as _sql_qsum,
     pln_finish as _pln_finish,
     pln_k as _pln_k,
     pln_red as _pln_red,
@@ -2588,3 +2589,248 @@ def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "surprisal_nats"
         ),
     ).orderBy(F.desc("surprisal_nats"), "doc_id").limit(10)
+
+
+# -- X493 Zipf law fit ----------------------------------------------------------
+#
+# OLS fit of ln(frequency) against ln(rank) over the top-50 corpus
+# tokens — the Zipf-law exponent every corpus-health dashboard plots
+# (slope ~ -1 for natural text; synthetic/templated corpora deviate).
+# Ranks are <= 50 so ln(rank) rides the kernel directly; frequencies are
+# unbounded counts, so ln(f) = -ln(1/f) (1/f is always in the kernel
+# domain). All five OLS sums fold from ONE rank-sorted 50-element
+# array; the slope/intercept/r2 assembly is a single deterministic IEEE
+# expression tree in both engines. The top-50 is a TakeOrdered with a
+# lexical tie-break; the corpus scan is one keyed count.
+
+_ZIPF_K = 50
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+cnt AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT UNNEST(tk) AS w FROM toks) GROUP BY 1),
+top AS (
+  SELECT w, f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, w) AS BIGINT) AS r
+  FROM cnt ORDER BY f DESC, w LIMIT {_ZIPF_K}),
+stack AS (
+  SELECT 'r' AS which, r, CAST(r AS DOUBLE) AS v FROM top
+  UNION ALL
+  SELECT 'f', r, CAST(1.0 AS DOUBLE) / CAST(f AS DOUBLE) FROM top),
+lns AS ({{LN_LAYER}}),
+piv AS (
+  SELECT r,
+         MAX(CASE WHEN which = 'r' THEN lnv END) AS x,
+         -(MAX(CASE WHEN which = 'f' THEN lnv END)) AS y
+  FROM lns GROUP BY 1),
+folds AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         list_reduce(list(x ORDER BY r), (a, b) -> a + b) AS sx,
+         list_reduce(list(y ORDER BY r), (a, b) -> a + b) AS sy,
+         list_reduce(list(x * y ORDER BY r), (a, b) -> a + b) AS sxy,
+         list_reduce(list(x * x ORDER BY r), (a, b) -> a + b) AS sxx,
+         list_reduce(list(y * y ORDER BY r), (a, b) -> a + b) AS syy
+  FROM piv)
+SELECT k AS k_ranks,
+       (CAST(k AS DOUBLE) * sxy - sx * sy)
+         / (CAST(k AS DOUBLE) * sxx - sx * sx) AS zipf_slope,
+       (sy - (CAST(k AS DOUBLE) * sxy - sx * sy)
+               / (CAST(k AS DOUBLE) * sxx - sx * sx) * sx)
+         / CAST(k AS DOUBLE) AS zipf_intercept,
+       ((CAST(k AS DOUBLE) * sxy - sx * sy)
+        * (CAST(k AS DOUBLE) * sxy - sx * sy))
+         / ((CAST(k AS DOUBLE) * sxx - sx * sx)
+            * (CAST(k AS DOUBLE) * syy - sy * sy)) AS zipf_r2
+FROM folds
+""".replace("{LN_LAYER}", _sql_ln_layer("stack", "which, r"))
+
+
+@query("q_text_zipf_fit", _ZIPF_ORACLE)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(_filtered_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    top = (
+        cnt.orderBy(F.desc("f"), "w")
+        .limit(_ZIPF_K)
+        .withColumn(
+            "r",
+            F.row_number()
+            .over(Window.orderBy(F.desc("f"), F.asc("w")))
+            .cast("bigint"),
+        )
+        # 50-row table feeds two stack branches — checkpoint so the
+        # corpus count scan runs once
+        .localCheckpoint(eager=True)
+    )
+    stack = top.select(
+        F.lit("r").alias("which"), "r", F.col("r").cast("double").alias("v")
+    ).unionAll(
+        top.select(F.lit("f"), "r", F.lit(1.0) / F.col("f").cast("double"))
+    )
+    lns = (
+        stack.withColumn("red", _pln_red(F.col("v")))
+        .withColumn("kk", _pln_k(F.col("v")))
+        .select(
+            "which", "r", _pln_finish(F.col("red"), F.col("kk")).alias("lnv")
+        )
+    )
+    piv = lns.groupBy("r").agg(
+        F.max(F.when(F.col("which") == "r", F.col("lnv"))).alias("x"),
+        (-F.max(F.when(F.col("which") == "f", F.col("lnv")))).alias("y"),
+    )
+    folds = piv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "r",
+                    F.col("x").alias("t1"),
+                    F.col("y").alias("t2"),
+                    (F.col("x") * F.col("y")).alias("t3"),
+                    (F.col("x") * F.col("x")).alias("t4"),
+                    (F.col("y") * F.col("y")).alias("t5"),
+                )
+            )
+        ).alias("ps"),
+    ).select(
+        "k",
+        _fold_sum(F.transform("ps", lambda p: p["t1"])).alias("sx"),
+        _fold_sum(F.transform("ps", lambda p: p["t2"])).alias("sy"),
+        _fold_sum(F.transform("ps", lambda p: p["t3"])).alias("sxy"),
+        _fold_sum(F.transform("ps", lambda p: p["t4"])).alias("sxx"),
+        _fold_sum(F.transform("ps", lambda p: p["t5"])).alias("syy"),
+    )
+    kd = F.col("k").cast("double")
+    num = kd * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = kd * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = kd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / denx
+    return folds.select(
+        F.col("k").alias("k_ranks"),
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / kd).alias("zipf_intercept"),
+        ((num * num) / (denx * deny)).alias("zipf_r2"),
+    )
+
+
+# -- X494 corpus unigram KL drift (vocab-scale support) -------------------------
+#
+# KL(P||Q) + total-variation distance between the unigram LMs of the
+# even- and odd-doc_id corpus halves — the language-drift monitor for
+# a corpus split, and the SCALE-PATH complement to X488's bounded-grid
+# divergence: the support here is the whole VOCABULARY, so the
+# cross-term sum cannot be a driver-side fold. It rides the
+# order-independent quantized lane instead (helpers.qsum: floor(x*1e12)
+# is an integer-valued double, so the decimal cast is unambiguous at any
+# magnitude — the DECIMAL(38,6) cast itself diverges between engines on
+# full-precision terms, found building exactly this query) —
+# distributed, partial-aggregated, and still bit-identical against the
+# sequential oracle. One keyed conditional
+# count over the corpus; one ln per vocab word per side.
+
+_KLDRIFT_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+cnt AS (
+  SELECT w, CAST(COUNT(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS cp,
+         CAST(COUNT(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS cq
+  FROM (SELECT doc_id % 2 AS half, UNNEST(tk) AS w FROM toks) GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM cnt),
+pq AS (
+  SELECT w,
+         (CAST(cp AS DOUBLE) + CAST(1.0 AS DOUBLE))
+           / (CAST(np AS DOUBLE) + CAST(v AS DOUBLE)) AS p,
+         (CAST(cq AS DOUBLE) + CAST(1.0 AS DOUBLE))
+           / (CAST(nq AS DOUBLE) + CAST(v AS DOUBLE)) AS q
+  FROM cnt CROSS JOIN tot),
+stack AS (
+  SELECT 'p' AS which, w, p AS v FROM pq
+  UNION ALL SELECT 'q', w, q FROM pq),
+lns AS ({{LN_LAYER}}),
+piv AS (
+  SELECT w,
+         MAX(CASE WHEN which = 'p' THEN v END) AS p,
+         MAX(CASE WHEN which = 'q' THEN v END) AS q,
+         MAX(CASE WHEN which = 'p' THEN lnv END) AS lp,
+         MAX(CASE WHEN which = 'q' THEN lnv END) AS lq
+  FROM piv_src GROUP BY 1),
+sums AS (
+  SELECT
+    {{QSUM_KL}},
+    {{QSUM_TV}}
+  FROM piv)
+SELECT t.v AS vocab_union, t.np, t.nq,
+       s.skl AS kl_pq_nats,
+       CAST(0.5 AS DOUBLE) * s.stv AS tvd
+FROM sums s CROSS JOIN tot t
+""".replace("{LN_LAYER}", _sql_ln_layer("stack", "which, w")).replace(
+    "piv_src", "lns"
+).replace("{QSUM_KL}", _sql_qsum("p * (lp - lq)", "skl")).replace(
+    "{QSUM_TV}", _sql_qsum("ABS(p - q)", "stv")
+)
+
+
+@query("q_text_unigram_kl_drift", _KLDRIFT_ORACLE)
+def q_text_unigram_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import qsum
+
+    d = load_table(spark, sf_dir, "documents")
+    tw = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(_filtered_tokens("text")).alias("w"),
+    )
+    cnt = tw.groupBy("w").agg(
+        F.count(F.when(F.col("half") == 0, 1)).cast("bigint").alias("cp"),
+        F.count(F.when(F.col("half") == 1, 1)).cast("bigint").alias("cq"),
+    )
+    tot = cnt.agg(
+        F.sum("cp").cast("bigint").alias("np"),
+        F.sum("cq").cast("bigint").alias("nq"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    pq = cnt.crossJoin(F.broadcast(tot)).select(
+        "w",
+        (
+            (F.col("cp").cast("double") + F.lit(1.0))
+            / (F.col("np").cast("double") + F.col("v").cast("double"))
+        ).alias("p"),
+        (
+            (F.col("cq").cast("double") + F.lit(1.0))
+            / (F.col("nq").cast("double") + F.col("v").cast("double"))
+        ).alias("q"),
+    )
+    stack = pq.select(
+        F.lit("p").alias("which"), "w", F.col("p").alias("v")
+    ).unionAll(pq.select(F.lit("q"), "w", F.col("q")))
+    lns = (
+        stack.withColumn("red", _pln_red(F.col("v")))
+        .withColumn("kk", _pln_k(F.col("v")))
+        .select(
+            "which", "w", "v", _pln_finish(F.col("red"), F.col("kk")).alias("lnv")
+        )
+    )
+    piv = lns.groupBy("w").agg(
+        F.max(F.when(F.col("which") == "p", F.col("v"))).alias("p"),
+        F.max(F.when(F.col("which") == "q", F.col("v"))).alias("q"),
+        F.max(F.when(F.col("which") == "p", F.col("lnv"))).alias("lp"),
+        F.max(F.when(F.col("which") == "q", F.col("lnv"))).alias("lq"),
+    )
+    sums = piv.agg(
+        qsum(F.col("p") * (F.col("lp") - F.col("lq")), "skl"),
+        qsum(F.abs(F.col("p") - F.col("q")), "stv"),
+    )
+    return sums.crossJoin(F.broadcast(tot)).select(
+        F.col("v").alias("vocab_union"),
+        "np",
+        "nq",
+        F.col("skl").alias("kl_pq_nats"),
+        (F.lit(0.5) * F.col("stv")).alias("tvd"),
+    )

@@ -194,3 +194,188 @@ def test_unigram_surprisal_matches_libm(spark):
         assert abs(r["surprisal_nats"] - surp[r["doc_id"]]) <= TOL
         assert r["n_tokens"] == len(toks[r["doc_id"]])
         assert r["surprisal_nats"] >= floor - TOL
+
+
+# -- qsum: the portable full-precision sum lane (round-9 finding) -------------
+
+
+def test_decimal38_6_cast_diverges_and_qsum_does_not(spark):
+    """Pin the defect that motivated qsum: Spark and DuckDB DISAGREE on
+    CAST(double AS DECIMAL(38,6)) for full-precision doubles (Spark
+    rounds the exact binary expansion; DuckDB multiplies by 1e6 in
+    double first), and the divergence probability grows with the
+    magnitude. The three values below diverged live while building
+    q_text_unigram_kl_drift. qsum's floor-quantized lane must agree
+    exactly on the same inputs."""
+    import duckdb as _duck
+
+    from pyspark.sql import functions as F
+
+    from mini_etl_project_spark.queries.helpers import qsum, sql_qsum
+
+    vals = [-993206437.4916865, -979596873.7373894, 3255578541.5489306]
+    con = _duck.connect()
+    n_div = 0
+    for v in vals:
+        srow = (
+            spark.range(1)
+            .select(F.lit(v).cast("decimal(38,6)").cast("string"))
+            .collect()[0][0]
+        )
+        drow = con.sql(
+            f"SELECT CAST(CAST('{v!r}' AS DOUBLE) AS DECIMAL(38,6))"
+        ).fetchone()[0]
+        from decimal import Decimal
+
+        if Decimal(srow) != Decimal(str(drow)):
+            n_div += 1
+    assert n_div == 3, "expected all three known values to diverge"
+
+    # qsum agrees bit-for-bit on in-domain full-precision inputs (term
+    # domain |x| < 1e6 — Spark's BIGINT floor() wraps past 2^63, so the
+    # lane is NULL-poisoned outside; the same three mantissas scaled
+    # down, signs preserved)
+    small = [v / 1e6 for v in vals]
+    df = spark.createDataFrame([(v,) for v in small], "x double")
+    sgot = df.agg(qsum("x", "s")).collect()[0]["s"]
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"(CAST('{v!r}' AS DOUBLE))" for v in small)
+        + ") q(x)"
+    )
+    dgot = con.sql(f"SELECT {sql_qsum('x', 's')} FROM t").fetchone()[0]
+    assert repr(sgot) == repr(dgot)
+    ref = sum(float(math.floor(v * 1e12)) for v in small) / 1e12
+    assert abs(sgot - ref) < 1e-6 * max(abs(ref), 1.0)
+
+    # a domain escape poisons the sum to NULL in BOTH engines
+    df2 = spark.createDataFrame([(small[0],), (vals[0],)], "x double")
+    sgot2 = df2.agg(qsum("x", "s")).collect()[0]["s"]
+    con.execute(
+        "CREATE TABLE t2 AS SELECT * FROM (VALUES "
+        f"(CAST('{small[0]!r}' AS DOUBLE)), (CAST('{vals[0]!r}' AS DOUBLE))"
+        ") q(x)"
+    )
+    dgot2 = con.sql(f"SELECT {sql_qsum('x', 's')} FROM t2").fetchone()[0]
+    assert sgot2 is None and dgot2 is None
+
+
+def test_zipf_fit_matches_libm(spark):
+    docs = _pq("documents")
+    uni = Counter()
+    for row in docs:
+        uni.update(_tokenize(row[1]))
+    top = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    xs = [math.log(r) for r in range(1, len(top) + 1)]
+    ys = [math.log(f) for _, f in top]
+    k = len(top)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    r2 = (k * sxy - sx * sy) ** 2 / ((k * sxx - sx * sx) * (k * syy - sy * sy))
+    (r,) = _rows(spark, "q_text_zipf_fit")
+    assert r["k_ranks"] == k
+    assert abs(r["zipf_slope"] - slope) <= 1e-8
+    assert abs(r["zipf_r2"] - r2) <= 1e-8
+    assert r["zipf_slope"] < 0  # frequency falls with rank
+
+
+def test_unigram_kl_drift_matches_libm(spark):
+    docs = _pq("documents")
+    cp = Counter()
+    cq = Counter()
+    for row in docs:
+        (cp if row[0] % 2 == 0 else cq).update(_tokenize(row[1]))
+    vocab = sorted(set(cp) | set(cq))
+    v = len(vocab)
+    np_, nq_ = sum(cp.values()), sum(cq.values())
+    kl = tv = 0.0
+    for w in vocab:
+        p = (cp[w] + 1.0) / (np_ + v)
+        q = (cq[w] + 1.0) / (nq_ + v)
+        kl += p * (math.log(p) - math.log(q))
+        tv += abs(p - q)
+    (r,) = _rows(spark, "q_text_unigram_kl_drift")
+    assert r["vocab_union"] == v and r["np"] == np_ and r["nq"] == nq_
+    # qsum quantizes at 1e-12/term; vocab-sized corpus keeps it ~1e-9
+    assert abs(r["kl_pq_nats"] - kl) <= 1e-6
+    assert abs(r["tvd"] - 0.5 * tv) <= 1e-6
+    assert r["kl_pq_nats"] >= -1e-12 and 0.0 <= r["tvd"] <= 1.0
+
+
+def test_aic_bic_matches_libm(spark):
+    import duckdb
+
+    n, sx, sy, sxx, sxy, syy = duckdb.sql(
+        "SELECT COUNT(*), SUM(x), SUM(y), SUM(x*x), SUM(x*y), SUM(y*y)"
+        " FROM (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,"
+        " CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y"
+        f" FROM read_parquet('{SF}/lineitem.parquet'))"
+    ).fetchone()
+    dxx = sxx * n - sx * sx
+    dxy = sxy * n - sx * sy
+    dyy = syy * n - sy * sy
+    mse0 = dyy / n**2
+    mse1 = (dxx * dyy - dxy * dxy) / (n**2 * dxx)
+    (r,) = _rows(spark, "q_ml_aic_bic")
+    assert r["n"] == n
+    assert abs(r["mse0"] - mse0) <= 1e-6 * mse0
+    assert abs(r["mse1"] - mse1) <= 1e-6 * mse1
+    assert abs(r["aic0"] - (n * math.log(mse0) + 2)) <= 1e-6 * abs(r["aic0"])
+    assert abs(r["bic1"] - (n * math.log(mse1) + 2 * math.log(n))) <= 1e-6 * abs(
+        r["bic1"]
+    )
+    # the 1-predictor model must fit at least as well as the null
+    assert r["mse1"] <= r["mse0"] + 1e-12
+
+
+def test_odds_ratio_matches_libm(spark):
+    import duckdb
+
+    a, b, c2, d = duckdb.sql(
+        "SELECT COUNT(CASE WHEN l_quantity > 25 AND l_returnflag = 'R' THEN 1 END),"
+        " COUNT(CASE WHEN l_quantity > 25 AND l_returnflag <> 'R' THEN 1 END),"
+        " COUNT(CASE WHEN l_quantity <= 25 AND l_returnflag = 'R' THEN 1 END),"
+        " COUNT(CASE WHEN l_quantity <= 25 AND l_returnflag <> 'R' THEN 1 END)"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchone()
+    ln_or = (math.log(a) + math.log(d)) - (math.log(b) + math.log(c2))
+    se = math.sqrt(1 / a + 1 / b + 1 / c2 + 1 / d)
+    (r,) = _rows(spark, "q_ml_odds_ratio")
+    assert (r["a"], r["b"], r["c2"], r["d"]) == (a, b, c2, d)
+    assert abs(r["ln_or"] - ln_or) <= 1e-9
+    assert abs(r["se_ln_or"] - se) <= 1e-12
+    assert r["ci_lo_ln"] <= r["ln_or"] <= r["ci_hi_ln"]
+
+
+def test_info_gain_matches_libm(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT o_orderpriority, CAST(EXTRACT(MONTH FROM o_orderdate) AS VARCHAR),"
+        " o_orderstatus, CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    n = len(rows)
+
+    def H(counter):
+        t = sum(counter.values())
+        return -sum(c / t * math.log(c / t) for c in counter.values())
+
+    ylab = Counter(r[3] for r in rows)
+    hy = H(ylab)
+    got = {r["feature"]: r for r in _rows(spark, "q_ml_info_gain_ranking")}
+    for fi, feat in ((0, "priority"), (1, "month"), (2, "status")):
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault(r[fi], Counter())[r[3]] += 1
+        cond = sum(
+            sum(cnt.values()) / n * H(cnt) for cnt in groups.values()
+        )
+        g = got[feat]
+        assert g["n_values"] == len(groups)
+        assert abs(g["cond_entropy_nats"] - cond) <= 1e-9
+        assert abs(g["info_gain_nats"] - (hy - cond)) <= 1e-9
+        assert g["info_gain_nats"] >= -1e-12  # IG is non-negative

@@ -130,6 +130,8 @@ _RECHECK: list[str] = [
     "q_ml_odds_ratio",
     "q_ml_info_gain_ranking",
     "q_ml_hellinger_drift",
+    "q_ml_psi",
+    "q_stream_entropy_windowed",
     # -- never-sampled contract-heavy families (VERDICT r8 ask #2) ------
     # table lifecycle (X464-X467)
     "q_table_time_travel",

@@ -285,3 +285,16 @@ def sql_qsum(expr: str, alias: str) -> str:
         f"(CASE WHEN MAX(CASE WHEN ABS({expr}) >= 1e6 THEN 1 ELSE 0 END) > 0"
         f" THEN NULL ELSE {signed} END) AS {alias}"
     )
+
+
+def sql_ln_layer(stack_cte: str, keys: str) -> str:
+    """The two-layer staged-ln CTE body over a stack(keys..., v) CTE —
+    the unpivot-ln pattern every pln consumer shares: red/kk staged as
+    real columns first (pln_finish references red ~50x), series over
+    column refs second, so the oracle string stays compact and the
+    Spark twin (withColumn red/kk, then pln_finish) matches op-for-op."""
+    return (
+        f"SELECT {keys}, v, {sql_pln_finish('red', 'kk')} AS lnv"
+        f" FROM (SELECT {keys}, v, {sql_pln_red('v')} AS red,"
+        f" {sql_pln_k('v')} AS kk FROM {stack_cte})"
+    )

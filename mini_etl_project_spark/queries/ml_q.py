@@ -9891,13 +9891,9 @@ from mini_etl_project_spark.queries.helpers import (  # noqa: E402
 )
 
 
-def _sql_ln_layer(stack_cte: str, keys: str) -> str:
-    """The two-layer staged-ln CTE body over a stack(keys..., v) CTE."""
-    return (
-        f"SELECT {keys}, v, {_sql_pln_finish('red', 'kk')} AS lnv"
-        f" FROM (SELECT {keys}, v, {_sql_pln_red('v')} AS red,"
-        f" {_sql_pln_k('v')} AS kk FROM {stack_cte})"
-    )
+from mini_etl_project_spark.queries.helpers import (  # noqa: E402
+    sql_ln_layer as _sql_ln_layer,
+)
 
 
 # -- X487 Shannon entropy by month --------------------------------------------
@@ -10870,4 +10866,129 @@ def q_ml_info_gain_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_values",
         F.col("cond_h").alias("cond_entropy_nats"),
         (F.col("h") - F.col("cond_h")).alias("info_gain_nats"),
+    )
+
+
+# -- X498 population stability index ------------------------------------------
+#
+# PSI — the model-monitoring drift metric scorecards standardize on:
+# PSI = sum_b (p_b - q_b) * (ln p_b - ln q_b) over fixed value bins,
+# here the order-value distribution of H1 (months 1-6) vs H2 (months
+# 7-12) on a bounded 10-bin grid (60k-wide bins, top bin open). Note
+# PSI = KL(P||Q) + KL(Q||P) — the symmetrised KL, which is why every
+# term is non-negative. Laplace-smoothed (+1/+10) so both sides are
+# strictly positive at any SF; two lns per bin ride one staged kernel;
+# the 10-term fold runs in bin order. One conditional-count fact pass.
+
+_PSI_ORACLE = """
+WITH bins AS (
+  SELECT LEAST(CAST(FLOOR(o_totalprice / 60000) AS BIGINT), 9) AS bin,
+         CAST(COUNT(CASE WHEN EXTRACT(MONTH FROM o_orderdate) <= 6
+                         THEN 1 END) AS BIGINT) AS cp,
+         CAST(COUNT(CASE WHEN EXTRACT(MONTH FROM o_orderdate) > 6
+                         THEN 1 END) AS BIGINT) AS cq
+  FROM orders GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM bins),
+pq AS (
+  SELECT bin, np, nq,
+         (CAST(cp AS DOUBLE) + CAST(1.0 AS DOUBLE))
+           / (CAST(np AS DOUBLE) + CAST(k AS DOUBLE)) AS p,
+         (CAST(cq AS DOUBLE) + CAST(1.0 AS DOUBLE))
+           / (CAST(nq AS DOUBLE) + CAST(k AS DOUBLE)) AS q
+  FROM bins CROSS JOIN tot),
+stack AS (
+  SELECT 'p' AS which, bin, p AS v FROM pq
+  UNION ALL SELECT 'q', bin, q FROM pq),
+lns AS ({LN_LAYER}),
+piv AS (
+  SELECT bin,
+         MAX(CASE WHEN which = 'p' THEN v END) AS p,
+         MAX(CASE WHEN which = 'q' THEN v END) AS q,
+         MAX(CASE WHEN which = 'p' THEN lnv END) AS lp,
+         MAX(CASE WHEN which = 'q' THEN lnv END) AS lq
+  FROM lns GROUP BY 1),
+fold AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+         list_reduce(list((p - q) * (lp - lq) ORDER BY bin),
+                     (a, b) -> a + b) AS psi
+  FROM piv)
+SELECT t.np, t.nq, f.n_bins, f.psi AS psi_nats
+FROM fold f CROSS JOIN tot t
+""".replace("{LN_LAYER}", _sql_ln_layer("stack", "which, bin"))
+
+
+@query("q_ml_psi", _PSI_ORACLE)
+def q_ml_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bins = (
+        o.groupBy(
+            F.least(
+                F.floor(F.col("o_totalprice") / 60000).cast("bigint"),
+                F.lit(9),
+            ).alias("bin")
+        )
+        .agg(
+            F.count(F.when(F.month("o_orderdate") <= 6, 1))
+            .cast("bigint")
+            .alias("cp"),
+            F.count(F.when(F.month("o_orderdate") > 6, 1))
+            .cast("bigint")
+            .alias("cq"),
+        )
+        # <=10-row bin table feeds tot + two stack branches: checkpoint
+        # so the facts scan runs once
+        .localCheckpoint(eager=True)
+    )
+    tot = bins.agg(
+        F.sum("cp").cast("bigint").alias("np"),
+        F.sum("cq").cast("bigint").alias("nq"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    pq = bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "np",
+        "nq",
+        (
+            (F.col("cp").cast("double") + F.lit(1.0))
+            / (F.col("np").cast("double") + F.col("k").cast("double"))
+        ).alias("p"),
+        (
+            (F.col("cq").cast("double") + F.lit(1.0))
+            / (F.col("nq").cast("double") + F.col("k").cast("double"))
+        ).alias("q"),
+    )
+    stack = pq.select(
+        F.lit("p").alias("which"), "bin", F.col("p").alias("v")
+    ).unionAll(pq.select(F.lit("q"), "bin", F.col("q")))
+    lns = (
+        stack.withColumn("red", _pln_red(F.col("v")))
+        .withColumn("kk", _pln_k(F.col("v")))
+        .select(
+            "which",
+            "bin",
+            "v",
+            _pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+        )
+    )
+    piv = lns.groupBy("bin").agg(
+        F.max(F.when(F.col("which") == "p", F.col("v"))).alias("p"),
+        F.max(F.when(F.col("which") == "q", F.col("v"))).alias("q"),
+        F.max(F.when(F.col("which") == "p", F.col("lnv"))).alias("lp"),
+        F.max(F.when(F.col("which") == "q", F.col("lnv"))).alias("lq"),
+    )
+    term = (F.col("p") - F.col("q")) * (F.col("lp") - F.col("lq"))
+    fold = piv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.array_sort(
+            F.collect_list(F.struct("bin", term.alias("t")))
+        ).alias("ps"),
+    ).select(
+        "n_bins",
+        _fold_sum(F.transform("ps", lambda x: x["t"])).alias("psi"),
+    )
+    return fold.crossJoin(F.broadcast(tot)).select(
+        "np", "nq", "n_bins", F.col("psi").alias("psi_nats")
     )

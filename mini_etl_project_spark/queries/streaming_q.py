@@ -1250,3 +1250,131 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("int").alias("frame_idx"),
         F.lower(F.hex("frame")).alias("frame_hex"),
     )
+
+
+# -- X499 streaming windowed entropy monitor ----------------------------------
+#
+# The real-time category-balance alarm: Shannon entropy (nats) +
+# normalized entropy of the event-type mix per tumbling hour, computed
+# over a LIVE watermarked stream. The streaming stage emits only exact
+# integer cell counts (window x event_type — bounded state, the Q30/Q31
+# machinery); the entropy itself is batch post-processing on the drained
+# bounded table via the portable-ln kernel with per-window ordered
+# folds, so the row is fully oracle-exact (DuckDB replays the same
+# hour-bucket counts batch-side). The oracle doubles as the
+# batch-equivalence proof for the streaming aggregation.
+
+_STREAM_ENTROPY_ORACLE = """
+WITH cells AS (
+  SELECT date_trunc('hour', ts) AS ws, event_type AS et,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT ws AS tws, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k
+  FROM cells GROUP BY 1),
+stack AS (
+  SELECT 'p' AS which, ws, et, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS v
+  FROM cells JOIN tot ON ws = tws
+  UNION ALL
+  SELECT 'k', tws, NULL, CAST(k AS DOUBLE) FROM tot),
+lns AS ({LN_LAYER}),
+folds AS (
+  SELECT ws, list_reduce(list(v * lnv ORDER BY et), (a, b) -> a + b) AS s
+  FROM lns WHERE which = 'p' GROUP BY ws)
+SELECT CAST(f.ws AS TIMESTAMP) AS window_start,
+       t.n AS n_events, t.k AS k_types,
+       -(f.s) AS entropy_nats,
+       CASE WHEN t.k > 1 THEN -(f.s) / l.lnv END AS entropy_norm
+FROM folds f
+JOIN tot t ON f.ws = t.tws
+JOIN (SELECT ws, lnv FROM lns WHERE which = 'k') l ON f.ws = l.ws
+"""
+
+
+def _stream_entropy_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_ln_layer
+
+    return _STREAM_ENTROPY_ORACLE.replace(
+        "{LN_LAYER}", sql_ln_layer("stack", "which, ws, et")
+    )
+
+
+@query("q_stream_entropy_windowed", _stream_entropy_oracle())
+def q_stream_entropy_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import (
+        fold_sum,
+        pln_finish,
+        pln_k,
+        pln_red,
+    )
+
+    out = drain_to_table(tumbling_agg(events_stream(spark, sf_dir)))
+    cells = spark.table(out).select(
+        F.col("window_start").alias("ws"),
+        F.col("event_type").alias("et"),
+        F.col("n_events").cast("bigint").alias("c"),
+    )
+    tot = cells.groupBy(F.col("ws").alias("tws")).agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    stack = (
+        cells.join(F.broadcast(tot), cells["ws"] == F.col("tws"))
+        .select(
+            F.lit("p").alias("which"),
+            "ws",
+            "et",
+            (F.col("c").cast("double") / F.col("n").cast("double")).alias(
+                "v"
+            ),
+        )
+        .unionAll(
+            tot.select(
+                F.lit("k"),
+                F.col("tws"),
+                F.lit(None).cast("string"),
+                F.col("k").cast("double"),
+            )
+        )
+    )
+    lns = (
+        stack.withColumn("red", pln_red(F.col("v")))
+        .withColumn("kk", pln_k(F.col("v")))
+        .select(
+            "which",
+            "ws",
+            "et",
+            "v",
+            pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+        )
+    )
+    folds = (
+        lns.filter(F.col("which") == "p")
+        .groupBy("ws")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("et", (F.col("v") * F.col("lnv")).alias("t"))
+                )
+            ).alias("ps")
+        )
+        .select(
+            "ws", fold_sum(F.transform("ps", lambda p: p["t"])).alias("s")
+        )
+    )
+    lnk = lns.filter(F.col("which") == "k").select(
+        F.col("ws").alias("lws"), F.col("lnv").alias("lnk")
+    )
+    return (
+        folds.join(F.broadcast(tot), folds["ws"] == F.col("tws"))
+        .join(F.broadcast(lnk), folds["ws"] == F.col("lws"))
+        .select(
+            F.col("ws").cast("timestamp").alias("window_start"),
+            F.col("n").alias("n_events"),
+            F.col("k").alias("k_types"),
+            (-F.col("s")).alias("entropy_nats"),
+            F.when(F.col("k") > 1, (-F.col("s")) / F.col("lnk")).alias(
+                "entropy_norm"
+            ),
+        )
+    )

@@ -2344,13 +2344,9 @@ from mini_etl_project_spark.queries.helpers import (  # noqa: E402
 )
 
 
-def _sql_ln_layer(stack_cte: str, keys: str) -> str:
-    """Two-layer staged-ln CTE body over a stack(keys..., v) CTE."""
-    return (
-        f"SELECT {keys}, v, {_sql_pln_finish('red', 'kk')} AS lnv"
-        f" FROM (SELECT {keys}, v, {_sql_pln_red('v')} AS red,"
-        f" {_sql_pln_k('v')} AS kk FROM {stack_cte})"
-    )
+from mini_etl_project_spark.queries.helpers import (  # noqa: E402
+    sql_ln_layer as _sql_ln_layer,
+)
 
 
 def _filtered_tokens(col):

@@ -132,6 +132,10 @@ _RECHECK: list[str] = [
     "q_ml_hellinger_drift",
     "q_ml_psi",
     "q_stream_entropy_windowed",
+    "q_ts_forecast_accuracy",
+    "q_ts_macd",
+    "q_ts_rsi",
+    "q_ts_hurst",
     # -- never-sampled contract-heavy families (VERDICT r8 ask #2) ------
     # table lifecycle (X464-X467)
     "q_table_time_travel",

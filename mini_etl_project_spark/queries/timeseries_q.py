@@ -5040,3 +5040,587 @@ def q_ts_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("g2_ppm"),
     )
+
+
+# =============================================================================
+# Round-9 forecast-eval + technical-analysis wave (X500-X502). All three
+# run on the bounded (<=366-row) daily-cents series: exact integer
+# diffs/lags from one keyed fact pass, per-day doubles only on the
+# bounded table, cross-day sums as day-ordered left folds (the X458
+# lane). The per-day EMA SERIES (not just the final value) comes from a
+# bounded prefix-fold: for each day d, fold the first d elements —
+# O(n^2) lambda ops on n<=366, identical in both engines
+# (slice+aggregate / list-slice+list_reduce).
+# =============================================================================
+
+
+# -- X500 forecast accuracy: MAPE / sMAPE / MASE ------------------------------
+#
+# The walk-forward forecast-eval readout every monitoring stack needs
+# next to its forecasts (X? holt/ses): one-step NAIVE (y[t-1]) and
+# SEASONAL-NAIVE (y[t-7]) on the daily series, scored with MAE (exact
+# integer cents), MAPE/sMAPE (bounded day-ordered folds of per-day
+# rationals), and MASE (MAE ratio — the scale-free one). No ln needed;
+# every division is a deterministic per-day double.
+
+_FCAST_ACC_ORACLE = """
+WITH d AS (
+  SELECT CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM events GROUP BY 1),
+lagged AS (
+  SELECT day, r,
+         LAG(r, 1) OVER (ORDER BY day) AS p1,
+         LAG(r, 7) OVER (ORDER BY day) AS p7
+  FROM d),
+e AS (
+  SELECT day, r, p1, p7,
+         ABS(r - p1) AS ae1, ABS(r - p7) AS ae7
+  FROM lagged WHERE p1 IS NOT NULL AND p7 IS NOT NULL),
+folds AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(ae1) AS BIGINT) AS sae1,
+         CAST(SUM(ae7) AS BIGINT) AS sae7,
+         list_reduce(list(CAST(ae1 AS DOUBLE) / CAST(r AS DOUBLE)
+                          ORDER BY day), (a, b) -> a + b) AS mape_sum,
+         list_reduce(list(CAST(2 * ae1 AS DOUBLE)
+                          / CAST(ABS(r) + ABS(p1) AS DOUBLE)
+                          ORDER BY day), (a, b) -> a + b) AS smape_sum
+  FROM e)
+SELECT n_days,
+       CAST(sae1 AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0 AS mae_naive,
+       CAST(sae7 AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0 AS mae_snaive,
+       mape_sum / CAST(n_days AS DOUBLE) AS mape_naive,
+       smape_sum / CAST(n_days AS DOUBLE) AS smape_naive,
+       CAST(sae7 AS DOUBLE) / CAST(sae1 AS DOUBLE) AS mase_snaive
+FROM folds
+"""
+
+
+@query("q_ts_forecast_accuracy", _FCAST_ACC_ORACLE)
+def q_ts_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import fold_sum
+
+    d = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("day")
+    lagged = d.select(
+        "day",
+        "r",
+        F.lag("r", 1).over(w).alias("p1"),
+        F.lag("r", 7).over(w).alias("p7"),
+    )
+    e = lagged.filter(
+        F.col("p1").isNotNull() & F.col("p7").isNotNull()
+    ).select(
+        "day",
+        "r",
+        "p1",
+        F.abs(F.col("r") - F.col("p1")).alias("ae1"),
+        F.abs(F.col("r") - F.col("p7")).alias("ae7"),
+    )
+    t_mape = F.col("ae1").cast("double") / F.col("r").cast("double")
+    t_smape = (F.lit(2) * F.col("ae1")).cast("double") / (
+        F.abs(F.col("r")) + F.abs(F.col("p1"))
+    ).cast("double")
+    folds = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("ae1").cast("bigint").alias("sae1"),
+        F.sum("ae7").cast("bigint").alias("sae7"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "day", t_mape.alias("t1"), t_smape.alias("t2")
+                )
+            )
+        ).alias("ps"),
+    ).select(
+        "n_days",
+        "sae1",
+        "sae7",
+        fold_sum(F.transform("ps", lambda p: p["t1"])).alias("mape_sum"),
+        fold_sum(F.transform("ps", lambda p: p["t2"])).alias("smape_sum"),
+    )
+    nd = F.col("n_days").cast("double")
+    return folds.select(
+        "n_days",
+        (F.col("sae1").cast("double") / nd / F.lit(100.0)).alias(
+            "mae_naive"
+        ),
+        (F.col("sae7").cast("double") / nd / F.lit(100.0)).alias(
+            "mae_snaive"
+        ),
+        (F.col("mape_sum") / nd).alias("mape_naive"),
+        (F.col("smape_sum") / nd).alias("smape_naive"),
+        (F.col("sae7").cast("double") / F.col("sae1").cast("double")).alias(
+            "mase_snaive"
+        ),
+    )
+
+
+# -- X501 MACD (12/26/9 EMA crossover) ----------------------------------------
+#
+# The canonical momentum indicator, completing the TA family (OHLC,
+# Bollinger, VWAP, Sharpe, drawdown): EMA12 - EMA26 of the daily closes
+# plus the 9-day signal line and histogram. Each day's EMA is a
+# seeded-first left fold over that day's PREFIX of the day-sorted
+# series (bit-identical in both engines); the signal line folds the
+# MACD series the same way. Emits the last 30 days.
+
+_MACD_ORACLE = """
+WITH d AS (
+  SELECT CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM events GROUP BY 1),
+arr AS (
+  SELECT list(day ORDER BY day) AS days,
+         list(CAST(r AS DOUBLE) ORDER BY day) AS xs,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM d),
+ema AS (
+  SELECT days, xs, n,
+         list_transform(generate_series(1, CAST(n AS INTEGER)),
+           i -> list_reduce(xs[1:i],
+                  (a, x) -> CAST('0.15384615384615385' AS DOUBLE) * x
+                            + CAST('0.8461538461538461' AS DOUBLE) * a))
+           AS e12,
+         list_transform(generate_series(1, CAST(n AS INTEGER)),
+           i -> list_reduce(xs[1:i],
+                  (a, x) -> CAST('0.07407407407407407' AS DOUBLE) * x
+                            + CAST('0.9259259259259259' AS DOUBLE) * a))
+           AS e26
+  FROM arr),
+macd AS (
+  SELECT days, xs, n,
+         list_transform(generate_series(1, CAST(n AS INTEGER)),
+                        i -> e12[i] - e26[i]) AS m
+  FROM ema),
+sig AS (
+  SELECT days, xs, n, m,
+         list_transform(generate_series(1, CAST(n AS INTEGER)),
+           i -> list_reduce(m[1:i],
+                  (a, x) -> CAST('0.2' AS DOUBLE) * x
+                            + CAST('0.8' AS DOUBLE) * a)) AS s
+  FROM macd),
+rows_out AS (
+  SELECT UNNEST(list_transform(generate_series(1, CAST(n AS INTEGER)),
+           i -> struct_pack(day := days[i], close_cents := xs[i],
+                            macd := m[i], signal := s[i]))) AS u,
+         n
+  FROM sig)
+SELECT u.day AS day, CAST(u.close_cents AS DOUBLE) / 100.0 AS close,
+       u.macd AS macd, u.signal AS signal,
+       u.macd - u.signal AS histogram
+FROM rows_out
+ORDER BY u.day DESC LIMIT 30
+"""
+
+
+def _prefix_ema(xs, n, alpha: float):
+    """Per-index EMA series: seeded-first left fold over each prefix."""
+    return F.transform(
+        F.sequence(F.lit(1), n.cast("int")),
+        lambda i: F.aggregate(
+            F.slice(xs, 2, i - 1),
+            F.element_at(xs, 1),
+            lambda a, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * a,
+        ),
+    )
+
+
+@query("q_ts_macd", _MACD_ORACLE)
+def q_ts_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_cents(spark, sf_dir)
+    arr = d.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("day", F.col("r").cast("double").alias("rv"))
+            )
+        ).alias("pairs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).select(
+        F.transform("pairs", lambda p: p["day"]).alias("days"),
+        F.transform("pairs", lambda p: p["rv"]).alias("xs"),
+        "n",
+    )
+    # 2/(12+1), 2/(26+1), 2/(9+1) — repr-exact shared literals
+    ema = arr.select(
+        "days",
+        "xs",
+        "n",
+        _prefix_ema(F.col("xs"), F.col("n"), 2.0 / 13.0).alias("e12"),
+        _prefix_ema(F.col("xs"), F.col("n"), 2.0 / 27.0).alias("e26"),
+    )
+    macd = ema.select(
+        "days",
+        "xs",
+        "n",
+        F.zip_with("e12", "e26", lambda a, b: a - b).alias("m"),
+    )
+    sig = macd.select(
+        "days",
+        "xs",
+        "n",
+        "m",
+        _prefix_ema(F.col("m"), F.col("n"), 0.2).alias("s"),
+    )
+    out = sig.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n").cast("int")),
+                lambda i: F.struct(
+                    F.element_at("days", i).alias("day"),
+                    F.element_at("xs", i).alias("close_cents"),
+                    F.element_at("m", i).alias("macd"),
+                    F.element_at("s", i).alias("signal"),
+                ),
+            )
+        ).alias("u")
+    )
+    return (
+        out.select(
+            F.col("u.day").alias("day"),
+            (F.col("u.close_cents") / F.lit(100.0)).alias("close"),
+            F.col("u.macd").alias("macd"),
+            F.col("u.signal").alias("signal"),
+            (F.col("u.macd") - F.col("u.signal")).alias("histogram"),
+        )
+        .orderBy(F.desc("day"))
+        .limit(30)
+    )
+
+
+# -- X502 RSI (Wilder 14-day) --------------------------------------------------
+#
+# Relative Strength Index with Wilder's smoothing (EMA, alpha = 1/14)
+# over day-over-day gains and losses — exact integer diffs from the
+# daily-cents table, two prefix folds for the smoothed averages, and
+# the zero-loss edge pinned to RSI = 100 in BOTH engines. Emits the
+# last 30 days.
+
+_RSI_ORACLE = """
+WITH d AS (
+  SELECT CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM events GROUP BY 1),
+diffs AS (
+  SELECT day, r - LAG(r, 1) OVER (ORDER BY day) AS df
+  FROM d),
+gl AS (
+  SELECT day,
+         CAST(GREATEST(df, 0) AS DOUBLE) AS g,
+         CAST(GREATEST(-df, 0) AS DOUBLE) AS l
+  FROM diffs WHERE df IS NOT NULL),
+arr AS (
+  SELECT list(day ORDER BY day) AS days,
+         list(g ORDER BY day) AS gs,
+         list(l ORDER BY day) AS ls,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM gl),
+sm AS (
+  SELECT days, n,
+         list_transform(generate_series(1, CAST(n AS INTEGER)),
+           i -> list_reduce(gs[1:i],
+                  (a, x) -> CAST('0.07142857142857142' AS DOUBLE) * x
+                            + CAST('0.9285714285714286' AS DOUBLE) * a))
+           AS ag,
+         list_transform(generate_series(1, CAST(n AS INTEGER)),
+           i -> list_reduce(ls[1:i],
+                  (a, x) -> CAST('0.07142857142857142' AS DOUBLE) * x
+                            + CAST('0.9285714285714286' AS DOUBLE) * a))
+           AS al
+  FROM arr),
+rows_out AS (
+  SELECT UNNEST(list_transform(generate_series(1, CAST(n AS INTEGER)),
+           i -> struct_pack(day := days[i], ag := ag[i], al := al[i]))) AS u
+  FROM sm)
+SELECT u.day AS day, u.ag AS avg_gain, u.al AS avg_loss,
+       CASE WHEN u.al = CAST(0.0 AS DOUBLE) THEN CAST(100.0 AS DOUBLE)
+            ELSE CAST(100.0 AS DOUBLE)
+                 - CAST(100.0 AS DOUBLE)
+                   / (CAST(1.0 AS DOUBLE) + u.ag / u.al) END AS rsi
+FROM rows_out
+ORDER BY u.day DESC LIMIT 30
+"""
+
+
+@query("q_ts_rsi", _RSI_ORACLE)
+def q_ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("day")
+    diffs = d.select(
+        "day", (F.col("r") - F.lag("r", 1).over(w)).alias("df")
+    ).filter(F.col("df").isNotNull())
+    gl = diffs.select(
+        "day",
+        F.greatest(F.col("df"), F.lit(0)).cast("double").alias("g"),
+        F.greatest(-F.col("df"), F.lit(0)).cast("double").alias("l"),
+    )
+    arr = gl.agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "g", "l"))
+        ).alias("ps"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).select(
+        F.transform("ps", lambda p: p["day"]).alias("days"),
+        F.transform("ps", lambda p: p["g"]).alias("gs"),
+        F.transform("ps", lambda p: p["l"]).alias("ls"),
+        "n",
+    )
+    sm = arr.select(
+        "days",
+        "n",
+        _prefix_ema(F.col("gs"), F.col("n"), 1.0 / 14.0).alias("ag"),
+        _prefix_ema(F.col("ls"), F.col("n"), 1.0 / 14.0).alias("al"),
+    )
+    out = sm.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n").cast("int")),
+                lambda i: F.struct(
+                    F.element_at("days", i).alias("day"),
+                    F.element_at("ag", i).alias("ag"),
+                    F.element_at("al", i).alias("al"),
+                ),
+            )
+        ).alias("u")
+    )
+    rsi = F.when(F.col("u.al") == F.lit(0.0), F.lit(100.0)).otherwise(
+        F.lit(100.0)
+        - F.lit(100.0) / (F.lit(1.0) + F.col("u.ag") / F.col("u.al"))
+    )
+    return (
+        out.select(
+            F.col("u.day").alias("day"),
+            F.col("u.ag").alias("avg_gain"),
+            F.col("u.al").alias("avg_loss"),
+            rsi.alias("rsi"),
+        )
+        .orderBy(F.desc("day"))
+        .limit(30)
+    )
+
+
+# -- X503 Hurst exponent (rescaled-range analysis) ------------------------------
+#
+# The long-memory diagnostic: H from the R/S law E[R/S](w) ~ c * w^H,
+# fit by OLS of ln(avg R/S) against ln(w) over window sizes
+# w in {8, 16, 32, 64} on the daily-cents series. All chunk statistics
+# stay EXACT integers until the final per-chunk assembly: scaled
+# cumulative deviations cum_t = w*prefix_t - t*chunk_sum are BIGINTs
+# (so R_scaled = max-min is exact), and R/S = R_scaled /
+# sqrt(w*sum(y^2) - sum(y)^2) — the w cancels, and the radicand is the
+# exact non-negative decimal moment. Per-w averages fold in chunk
+# order; the two ln families (ln w, ln avg_rs) ride one staged kernel;
+# the 4-point OLS folds in w order. Convention: R uses max_t - min_t
+# over t = 1..w (no 0 anchor); chunks with S = 0 are excluded in BOTH
+# engines.
+
+_HURST_ORACLE = """
+WITH d AS (
+  SELECT CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM events GROUP BY 1),
+idx AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i, r,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM d),
+cells AS (
+  SELECT w.w, (i - 1) // w.w AS chunk, (i - 1) % w.w AS pos, r
+  FROM idx CROSS JOIN (SELECT UNNEST([8, 16, 32, 64]) AS w) w
+  WHERE (i - 1) // w.w < n // w.w),
+pre AS (
+  SELECT w, chunk, pos, r,
+         CAST(SUM(r) OVER (PARTITION BY w, chunk ORDER BY pos) AS BIGINT)
+           AS pref,
+         CAST(SUM(r) OVER (PARTITION BY w, chunk) AS BIGINT) AS cs,
+         CAST(SUM(CAST(r AS DECIMAL(28,0)) * r)
+              OVER (PARTITION BY w, chunk) AS DECIMAL(38,0)) AS css
+  FROM cells),
+cum AS (
+  SELECT w, chunk, cs, css,
+         CAST(w AS BIGINT) * pref - (pos + 1) * cs AS c
+  FROM pre),
+chunks AS (
+  SELECT w, chunk,
+         CAST(MAX(c) - MIN(c) AS BIGINT) AS r_scaled,
+         MAX(CAST(w AS DECIMAL(38,0)) * css
+             - CAST(cs AS DECIMAL(38,0)) * cs) AS dd
+  FROM cum GROUP BY 1, 2),
+rs AS (
+  SELECT w, chunk,
+         CAST(r_scaled AS DOUBLE) / SQRT({dtd_dd}) AS rsv
+  FROM chunks WHERE dd > 0),
+avg_rs AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         list_reduce(list(rsv ORDER BY chunk), (a, b) -> a + b)
+           / CAST(COUNT(*) AS DOUBLE) AS arv
+  FROM rs GROUP BY 1),
+stack AS (
+  SELECT 'w' AS which, w, CAST(w AS DOUBLE) AS v FROM avg_rs
+  UNION ALL SELECT 'r', w, arv FROM avg_rs),
+lns AS ({LN_LAYER}),
+piv AS (
+  SELECT w,
+         MAX(CASE WHEN which = 'w' THEN lnv END) AS x,
+         MAX(CASE WHEN which = 'r' THEN lnv END) AS y
+  FROM lns GROUP BY 1),
+folds AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         list_reduce(list(x ORDER BY w), (a, b) -> a + b) AS sx,
+         list_reduce(list(y ORDER BY w), (a, b) -> a + b) AS sy,
+         list_reduce(list(x * y ORDER BY w), (a, b) -> a + b) AS sxy,
+         list_reduce(list(x * x ORDER BY w), (a, b) -> a + b) AS sxx
+  FROM piv)
+SELECT k AS n_scales,
+       (CAST(k AS DOUBLE) * sxy - sx * sy)
+         / (CAST(k AS DOUBLE) * sxx - sx * sx) AS hurst
+FROM folds
+"""
+
+
+def _hurst_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import (
+        sql_dec_to_double,
+        sql_ln_layer,
+    )
+
+    return _HURST_ORACLE.replace("{dtd_dd}", sql_dec_to_double("dd")).replace(
+        "{LN_LAYER}", sql_ln_layer("stack", "which, w")
+    )
+
+
+@query("q_ts_hurst", _hurst_oracle())
+def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import (
+        dec_to_double,
+        fold_sum,
+        pln_finish,
+        pln_k,
+        pln_red,
+    )
+
+    d = _daily_cents(spark, sf_dir)
+    wfull = Window.orderBy("day")
+    idx = d.select(
+        F.row_number().over(wfull).cast("bigint").alias("i"),
+        "r",
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("n"),
+    )
+    ws = spark.range(1).select(
+        F.explode(F.array(*[F.lit(w) for w in (8, 16, 32, 64)])).alias("w")
+    )
+    cells = (
+        idx.crossJoin(F.broadcast(ws))
+        .select(
+            "w",
+            ((F.col("i") - 1) / F.col("w")).cast("bigint").alias("chunk"),
+            ((F.col("i") - 1) % F.col("w")).alias("pos"),
+            "r",
+            "n",
+        )
+        .filter(F.col("chunk") < (F.col("n") / F.col("w")).cast("bigint"))
+    )
+    wc = Window.partitionBy("w", "chunk")
+    pre = cells.select(
+        "w",
+        "chunk",
+        "pos",
+        F.sum("r").over(wc.orderBy("pos")).cast("bigint").alias("pref"),
+        F.sum("r").over(wc).cast("bigint").alias("cs"),
+        F.sum(F.col("r").cast("decimal(28,0)") * F.col("r"))
+        .over(wc)
+        .cast("decimal(38,0)")
+        .alias("css"),
+    )
+    cum = pre.select(
+        "w",
+        "chunk",
+        "cs",
+        "css",
+        (
+            F.col("w").cast("bigint") * F.col("pref")
+            - (F.col("pos") + 1) * F.col("cs")
+        ).alias("c"),
+    )
+    chunks = cum.groupBy("w", "chunk").agg(
+        (F.max("c") - F.min("c")).cast("bigint").alias("r_scaled"),
+        F.max(
+            F.col("w").cast("decimal(38,0)") * F.col("css")
+            - F.col("cs").cast("decimal(38,0)") * F.col("cs")
+        ).alias("dd"),
+    )
+    rs = chunks.filter(F.col("dd") > 0).select(
+        "w",
+        "chunk",
+        (
+            F.col("r_scaled").cast("double")
+            / F.sqrt(dec_to_double(F.col("dd").cast("decimal(38,0)")))
+        ).alias("rsv"),
+    )
+    avg_rs = (
+        rs.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.array_sort(
+                F.collect_list(F.struct("chunk", F.col("rsv").alias("t")))
+            ).alias("ps"),
+        )
+        .select(
+            "w",
+            (
+                fold_sum(F.transform("ps", lambda p: p["t"]))
+                / F.col("n_chunks").cast("double")
+            ).alias("arv"),
+        )
+        # <=4-row table feeds two stack branches: checkpoint so the
+        # chunk machinery runs once
+        .localCheckpoint(eager=True)
+    )
+    stack = avg_rs.select(
+        F.lit("w").alias("which"), "w", F.col("w").cast("double").alias("v")
+    ).unionAll(avg_rs.select(F.lit("r"), "w", F.col("arv")))
+    lns = (
+        stack.withColumn("red", pln_red(F.col("v")))
+        .withColumn("kk", pln_k(F.col("v")))
+        .select(
+            "which",
+            "w",
+            pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+        )
+    )
+    piv = lns.groupBy("w").agg(
+        F.max(F.when(F.col("which") == "w", F.col("lnv"))).alias("x"),
+        F.max(F.when(F.col("which") == "r", F.col("lnv"))).alias("y"),
+    )
+    folds = piv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "w",
+                    F.col("x").alias("t1"),
+                    F.col("y").alias("t2"),
+                    (F.col("x") * F.col("y")).alias("t3"),
+                    (F.col("x") * F.col("x")).alias("t4"),
+                )
+            )
+        ).alias("ps"),
+    ).select(
+        "k",
+        fold_sum(F.transform("ps", lambda p: p["t1"])).alias("sx"),
+        fold_sum(F.transform("ps", lambda p: p["t2"])).alias("sy"),
+        fold_sum(F.transform("ps", lambda p: p["t3"])).alias("sxy"),
+        fold_sum(F.transform("ps", lambda p: p["t4"])).alias("sxx"),
+    )
+    kd = F.col("k").cast("double")
+    return folds.select(
+        F.col("k").alias("n_scales"),
+        (
+            (kd * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (kd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("hurst"),
+    )

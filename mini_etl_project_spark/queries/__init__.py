@@ -136,6 +136,9 @@ _RECHECK: list[str] = [
     "q_ts_macd",
     "q_ts_rsi",
     "q_ts_hurst",
+    "q_ml_tukey_hsd",
+    "q_ml_bland_altman",
+    "q_ml_poisson_rate_test",
     # -- never-sampled contract-heavy families (VERDICT r8 ask #2) ------
     # table lifecycle (X464-X467)
     "q_table_time_travel",

@@ -10992,3 +10992,302 @@ def q_ml_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fold.crossJoin(F.broadcast(tot)).select(
         "np", "nq", "n_bins", F.col("psi").alias("psi_nats")
     )
+
+
+# -- X504 Tukey HSD post-hoc --------------------------------------------------
+#
+# The post-hoc companion the one-way ANOVA row (X?) stops short of:
+# WHICH event-type pairs differ. Studentized-range statistic
+# q = |m_i - m_j| / sqrt(MSW/2 * (1/n_i + 1/n_j)) for all 10 unordered
+# pairs of the 5 event types. Group moments are exact
+# BIGINT/DECIMAL from one keyed pass; SSW folds per-group exact pieces
+# (n_i*q_i - s_i^2 is the non-negative Cauchy-Schwarz decimal) in group
+# order; the pair table is a bounded 5x5 self-join.
+
+_TUKEY_ORACLE = """
+WITH g AS (
+  SELECT event_type AS et, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                  * CAST(ROUND(value * 100) AS BIGINT)) AS DECIMAL(38,0))
+           AS q
+  FROM events GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(COUNT(*) AS BIGINT) AS k
+  FROM g),
+ssw AS (
+  SELECT list_reduce(
+           list({dtd_piece} / CAST(n AS DOUBLE) ORDER BY et),
+           (a, b) -> a + b) AS ssw
+  FROM g),
+msw AS (
+  SELECT s.ssw / CAST(t.nt - t.k AS DOUBLE) AS msw, t.nt, t.k
+  FROM ssw s CROSS JOIN tot t),
+pairs AS (
+  SELECT a.et AS g1, b.et AS g2, a.n AS n1, b.n AS n2,
+         CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+           - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS md
+  FROM g a JOIN g b ON a.et < b.et)
+SELECT p.g1, p.g2, p.n1, p.n2,
+       p.md / 100.0 AS mean_diff,
+       ABS(p.md) / SQRT(m.msw / CAST(2.0 AS DOUBLE)
+                        * (CAST(1.0 AS DOUBLE) / CAST(p.n1 AS DOUBLE)
+                           + CAST(1.0 AS DOUBLE) / CAST(p.n2 AS DOUBLE)))
+         AS q_stat
+FROM pairs p CROSS JOIN msw m
+"""
+
+
+def _tukey_oracle() -> str:
+    return _TUKEY_ORACLE.replace(
+        "{dtd_piece}",
+        _sql_dec_to_double(
+            "CAST(q * n - CAST(s AS DECIMAL(38,0)) * s AS DECIMAL(38,0))"
+        ),
+    )
+
+
+@query("q_ml_tukey_hsd", _tukey_oracle())
+def q_ml_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    g = (
+        ev.groupBy(F.col("event_type").alias("et"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("s"),
+            F.sum(cents.cast("decimal(28,0)") * cents)
+            .cast("decimal(38,0)")
+            .alias("q"),
+        )
+        # 5-row group table feeds tot + ssw + both pair sides:
+        # checkpoint so the facts scan runs once
+        .localCheckpoint(eager=True)
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    piece = dec_to_double(
+        (F.col("q") * F.col("n") - F.col("s").cast("decimal(38,0)") * F.col("s"))
+        .cast("decimal(38,0)")
+    ) / F.col("n").cast("double")
+    ssw = g.agg(
+        F.array_sort(
+            F.collect_list(F.struct("et", piece.alias("t")))
+        ).alias("ps")
+    ).select(_fold_sum(F.transform("ps", lambda p: p["t"])).alias("ssw"))
+    msw = ssw.crossJoin(F.broadcast(tot)).select(
+        (F.col("ssw") / (F.col("nt") - F.col("k")).cast("double")).alias(
+            "msw"
+        )
+    )
+    a = g.select(
+        F.col("et").alias("g1"),
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+    )
+    b = g.select(
+        F.col("et").alias("g2"),
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+    )
+    pairs = a.join(b, F.col("g1") < F.col("g2")).select(
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        (
+            F.col("s1").cast("double") / F.col("n1").cast("double")
+            - F.col("s2").cast("double") / F.col("n2").cast("double")
+        ).alias("md"),
+    )
+    return pairs.crossJoin(F.broadcast(msw)).select(
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        (F.col("md") / F.lit(100.0)).alias("mean_diff"),
+        (
+            F.abs(F.col("md"))
+            / F.sqrt(
+                F.col("msw")
+                / F.lit(2.0)
+                * (
+                    F.lit(1.0) / F.col("n1").cast("double")
+                    + F.lit(1.0) / F.col("n2").cast("double")
+                )
+            )
+        ).alias("q_stat"),
+    )
+
+
+# -- X505 Bland-Altman agreement ----------------------------------------------
+#
+# Method-agreement analysis between two measurements of the same
+# quantity: the order HEADER total (o_totalprice) vs the recomputed
+# LINE total (sum of extendedprice*(1-discount)*(1+tax)) — which also
+# makes it a data-quality reconciliation readout. Everything stays in
+# exact integer MICRO-units (the per-line amount is a 6-dp-exact
+# product of 2-dp factors, so ROUND(amount*1e6) is exact; the header's
+# cents scale to micros losslessly), so bias and the limits of
+# agreement assemble from exact BIGINT/DECIMAL moments only.
+
+_BLAND_ALTMAN_ORACLE = """
+WITH lines AS (
+  SELECT l_orderkey AS k,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax) * 1000000) AS BIGINT))
+              AS BIGINT) AS b_micro
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000 - b_micro AS d
+  FROM orders JOIN lines ON o_orderkey = k),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS sd,
+         CAST(SUM(CAST(d AS DECIMAL(28,0)) * d) AS DECIMAL(38,0)) AS sdd
+  FROM j)
+SELECT n,
+       CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS bias,
+       SQRT({dtd_var} / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 1e6
+         AS sd_diff,
+       CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+         - CAST(1.96 AS DOUBLE)
+           * SQRT({dtd_var} / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+           / 1e6 AS loa_lo,
+       CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+         + CAST(1.96 AS DOUBLE)
+           * SQRT({dtd_var} / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+           / 1e6 AS loa_hi
+FROM m
+"""
+
+
+def _bland_altman_oracle() -> str:
+    return _BLAND_ALTMAN_ORACLE.replace(
+        "{dtd_var}",
+        _sql_dec_to_double(
+            "CAST(sdd * n - CAST(sd AS DECIMAL(38,0)) * sd AS DECIMAL(38,0))"
+        ),
+    )
+
+
+@query("q_ml_bland_altman", _bland_altman_oracle())
+def q_ml_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    amt_micro = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 1000000
+    ).cast("bigint")
+    lines = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum(amt_micro).cast("bigint").alias("b_micro")
+    )
+    j = o.join(lines, F.col("o_orderkey") == F.col("k")).select(
+        (
+            F.round(F.col("o_totalprice") * 100).cast("bigint") * 10000
+            - F.col("b_micro")
+        ).alias("d")
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum(F.col("d").cast("decimal(28,0)") * F.col("d"))
+        .cast("decimal(38,0)")
+        .alias("sdd"),
+    )
+    var_piece = dec_to_double(
+        (F.col("sdd") * F.col("n") - F.col("sd").cast("decimal(38,0)") * F.col("sd"))
+        .cast("decimal(38,0)")
+    )
+    nd = F.col("n").cast("double")
+    bias = F.col("sd").cast("double") / nd / F.lit(1e6)
+    sd_diff = (
+        F.sqrt(var_piece / (nd * (F.col("n") - 1).cast("double")))
+        / F.lit(1e6)
+    )
+    return m.select(
+        "n",
+        bias.alias("bias"),
+        sd_diff.alias("sd_diff"),
+        (bias - F.lit(1.96) * sd_diff).alias("loa_lo"),
+        (bias + F.lit(1.96) * sd_diff).alias("loa_hi"),
+    )
+
+
+# -- X506 two-sample Poisson rate test ----------------------------------------
+#
+# The count-metric A/B readout q_ml_ab_ztest (proportions) can't give:
+# are purchases-per-active-day different between the first and second
+# half of the month (the events fixture spans ~one month)?
+# z = (r1 - r2) / sqrt(k1/t1^2 + k2/t2^2) with exact integer event
+# counts and exposure days. One conditional-count pass.
+
+_POISSON_RATE_ORACLE = """
+WITH h AS (
+  SELECT CAST(COUNT(CASE WHEN EXTRACT(DAY FROM ts) <= 15
+                         AND event_type = 'purchase' THEN 1 END)
+              AS BIGINT) AS k1,
+         CAST(COUNT(CASE WHEN EXTRACT(DAY FROM ts) > 15
+                         AND event_type = 'purchase' THEN 1 END)
+              AS BIGINT) AS k2,
+         CAST(COUNT(DISTINCT CASE WHEN EXTRACT(DAY FROM ts) <= 15
+                                  THEN CAST(ts AS DATE) END)
+              AS BIGINT) AS t1,
+         CAST(COUNT(DISTINCT CASE WHEN EXTRACT(DAY FROM ts) > 15
+                                  THEN CAST(ts AS DATE) END)
+              AS BIGINT) AS t2
+  FROM events)
+SELECT k1, k2, t1, t2,
+       CAST(k1 AS DOUBLE) / CAST(t1 AS DOUBLE) AS rate1,
+       CAST(k2 AS DOUBLE) / CAST(t2 AS DOUBLE) AS rate2,
+       (CAST(k1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+        - CAST(k2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+         / SQRT(CAST(k1 AS DOUBLE)
+                  / (CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE))
+                + CAST(k2 AS DOUBLE)
+                  / (CAST(t2 AS DOUBLE) * CAST(t2 AS DOUBLE))) AS z_stat
+FROM h
+"""
+
+
+@query("q_ml_poisson_rate_test", _POISSON_RATE_ORACLE)
+def q_ml_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h1 = F.dayofmonth("ts") <= 15
+    pur = F.col("event_type") == "purchase"
+    h = ev.agg(
+        F.count(F.when(h1 & pur, 1)).cast("bigint").alias("k1"),
+        F.count(F.when(~h1 & pur, 1)).cast("bigint").alias("k2"),
+        F.countDistinct(F.when(h1, F.col("ts").cast("date")))
+        .cast("bigint")
+        .alias("t1"),
+        F.countDistinct(F.when(~h1, F.col("ts").cast("date")))
+        .cast("bigint")
+        .alias("t2"),
+    )
+    r1 = F.col("k1").cast("double") / F.col("t1").cast("double")
+    r2 = F.col("k2").cast("double") / F.col("t2").cast("double")
+    t1d, t2d = F.col("t1").cast("double"), F.col("t2").cast("double")
+    return h.select(
+        "k1",
+        "k2",
+        "t1",
+        "t2",
+        r1.alias("rate1"),
+        r2.alias("rate2"),
+        (
+            (r1 - r2)
+            / F.sqrt(
+                F.col("k1").cast("double") / (t1d * t1d)
+                + F.col("k2").cast("double") / (t2d * t2d)
+            )
+        ).alias("z_stat"),
+    )

@@ -132,7 +132,6 @@ _RECHECK: list[str] = [
     "q_ml_hellinger_drift",
     "q_ml_psi",
     "q_stream_entropy_windowed",
-    "q_ts_forecast_accuracy",
     "q_ts_macd",
     "q_ts_rsi",
     "q_ts_hurst",

@@ -5054,109 +5054,6 @@ def q_ts_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =============================================================================
 
 
-# -- X500 forecast accuracy: MAPE / sMAPE / MASE ------------------------------
-#
-# The walk-forward forecast-eval readout every monitoring stack needs
-# next to its forecasts (X? holt/ses): one-step NAIVE (y[t-1]) and
-# SEASONAL-NAIVE (y[t-7]) on the daily series, scored with MAE (exact
-# integer cents), MAPE/sMAPE (bounded day-ordered folds of per-day
-# rationals), and MASE (MAE ratio — the scale-free one). No ln needed;
-# every division is a deterministic per-day double.
-
-_FCAST_ACC_ORACLE = """
-WITH d AS (
-  SELECT CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS day,
-         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS r
-  FROM events GROUP BY 1),
-lagged AS (
-  SELECT day, r,
-         LAG(r, 1) OVER (ORDER BY day) AS p1,
-         LAG(r, 7) OVER (ORDER BY day) AS p7
-  FROM d),
-e AS (
-  SELECT day, r, p1, p7,
-         ABS(r - p1) AS ae1, ABS(r - p7) AS ae7
-  FROM lagged WHERE p1 IS NOT NULL AND p7 IS NOT NULL),
-folds AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
-         CAST(SUM(ae1) AS BIGINT) AS sae1,
-         CAST(SUM(ae7) AS BIGINT) AS sae7,
-         list_reduce(list(CAST(ae1 AS DOUBLE) / CAST(r AS DOUBLE)
-                          ORDER BY day), (a, b) -> a + b) AS mape_sum,
-         list_reduce(list(CAST(2 * ae1 AS DOUBLE)
-                          / CAST(ABS(r) + ABS(p1) AS DOUBLE)
-                          ORDER BY day), (a, b) -> a + b) AS smape_sum
-  FROM e)
-SELECT n_days,
-       CAST(sae1 AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0 AS mae_naive,
-       CAST(sae7 AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0 AS mae_snaive,
-       mape_sum / CAST(n_days AS DOUBLE) AS mape_naive,
-       smape_sum / CAST(n_days AS DOUBLE) AS smape_naive,
-       CAST(sae7 AS DOUBLE) / CAST(sae1 AS DOUBLE) AS mase_snaive
-FROM folds
-"""
-
-
-@query("q_ts_forecast_accuracy", _FCAST_ACC_ORACLE)
-def q_ts_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mini_etl_project_spark.queries.helpers import fold_sum
-
-    d = _daily_cents(spark, sf_dir)
-    w = Window.orderBy("day")
-    lagged = d.select(
-        "day",
-        "r",
-        F.lag("r", 1).over(w).alias("p1"),
-        F.lag("r", 7).over(w).alias("p7"),
-    )
-    e = lagged.filter(
-        F.col("p1").isNotNull() & F.col("p7").isNotNull()
-    ).select(
-        "day",
-        "r",
-        "p1",
-        F.abs(F.col("r") - F.col("p1")).alias("ae1"),
-        F.abs(F.col("r") - F.col("p7")).alias("ae7"),
-    )
-    t_mape = F.col("ae1").cast("double") / F.col("r").cast("double")
-    t_smape = (F.lit(2) * F.col("ae1")).cast("double") / (
-        F.abs(F.col("r")) + F.abs(F.col("p1"))
-    ).cast("double")
-    folds = e.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        F.sum("ae1").cast("bigint").alias("sae1"),
-        F.sum("ae7").cast("bigint").alias("sae7"),
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    "day", t_mape.alias("t1"), t_smape.alias("t2")
-                )
-            )
-        ).alias("ps"),
-    ).select(
-        "n_days",
-        "sae1",
-        "sae7",
-        fold_sum(F.transform("ps", lambda p: p["t1"])).alias("mape_sum"),
-        fold_sum(F.transform("ps", lambda p: p["t2"])).alias("smape_sum"),
-    )
-    nd = F.col("n_days").cast("double")
-    return folds.select(
-        "n_days",
-        (F.col("sae1").cast("double") / nd / F.lit(100.0)).alias(
-            "mae_naive"
-        ),
-        (F.col("sae7").cast("double") / nd / F.lit(100.0)).alias(
-            "mae_snaive"
-        ),
-        (F.col("mape_sum") / nd).alias("mape_naive"),
-        (F.col("smape_sum") / nd).alias("smape_naive"),
-        (F.col("sae7").cast("double") / F.col("sae1").cast("double")).alias(
-            "mase_snaive"
-        ),
-    )
-
-
 # -- X501 MACD (12/26/9 EMA crossover) ----------------------------------------
 #
 # The canonical momentum indicator, completing the TA family (OHLC,

@@ -138,6 +138,9 @@ _RECHECK: list[str] = [
     "q_ml_tukey_hsd",
     "q_ml_bland_altman",
     "q_ml_poisson_rate_test",
+    "q_corpus_curriculum",
+    "q_corpus_conversation_assembly",
+    "q_corpus_perplexity_filter",
     # -- never-sampled contract-heavy families (VERDICT r8 ask #2) ------
     # table lifecycle (X464-X467)
     "q_table_time_travel",

@@ -844,3 +844,297 @@ def q_corpus_span_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(2 * tp * 1000000 DIV (2 * tp + fp + fn) AS BIGINT)"
         ).alias("f1_ppm"),
     )
+
+
+# =============================================================================
+# Round-9 LLM-pipeline wave (X507-X509): curriculum ordering,
+# conversation assembly, and the perplexity quality filter.
+# =============================================================================
+
+_TOKS9 = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+
+# -- X507 curriculum ordering ---------------------------------------------------
+#
+# Curriculum learning's data side: order the corpus easy -> hard and cut
+# it into three training phases. Difficulty here is the integer
+# mean-word-length milli-score (n_chars*1000 DIV n_tokens — exact, no
+# doubles); phases are equal-frequency thirds of the GLOBAL difficulty
+# rank with (difficulty, doc_id) tie-break, so the assignment is total,
+# deterministic, and partitioning-independent. Emits per-phase
+# accounting (doc count, token budget, difficulty band) — what a
+# curriculum scheduler consumes. The global rank is the distributed
+# range-partition rank (operators/rank.py), never a single-partition
+# sort at scale.
+
+_CURRICULUM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, LEN({_TOKS9}) AS n_tok,
+         LENGTH(text) * 1000 // GREATEST(LEN({_TOKS9}), 1) AS difficulty
+  FROM documents
+  WHERE LEN({_TOKS9}) > 0),
+ranked AS (
+  SELECT doc_id, n_tok, difficulty,
+         ROW_NUMBER() OVER (ORDER BY difficulty, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM d)
+SELECT CAST((rn - 1) * 3 // n AS BIGINT) AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS token_budget,
+       CAST(MIN(difficulty) AS BIGINT) AS min_difficulty,
+       CAST(MAX(difficulty) AS BIGINT) AS max_difficulty
+FROM ranked GROUP BY 1
+"""
+
+
+@query("q_corpus_curriculum", _CURRICULUM_ORACLE)
+def q_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.operators.rank import global_rank
+
+    doc = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    d = doc.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.expr(
+            "CAST(LENGTH(text) * 1000 DIV GREATEST(SIZE("
+            "FILTER(SPLIT(TRIM(text), '\\\\s+'), t -> t != ''))"
+            ", 1) AS BIGINT)"
+        ).alias("difficulty"),
+    ).filter(F.col("n_tok") > 0)
+    ranked = global_rank(
+        d, order=[F.col("difficulty"), F.col("doc_id")], rank_col="rn",
+        n_col="n",
+    )
+    return (
+        ranked.select(
+            F.expr("CAST((rn - 1) * 3 DIV n AS BIGINT)").alias("phase"),
+            "n_tok",
+            "difficulty",
+        )
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("token_budget"),
+            F.min("difficulty").cast("bigint").alias("min_difficulty"),
+            F.max("difficulty").cast("bigint").alias("max_difficulty"),
+        )
+    )
+
+
+# -- X508 conversation assembly --------------------------------------------------
+#
+# The SFT-data primitive: assemble each user's event stream into an
+# ordered multi-turn conversation record with role tags and a
+# reproducible transcript fingerprint (md5 of the order-pinned
+# role:type:cents serialization — ties on ts pinned by event_id, the
+# house rule). Grouped collect + sort stays keyed on user_id; at 100 TB
+# this is one shuffle on the conversation key, which is the minimum any
+# conversation assembler pays.
+
+_CONV_ORACLE = """
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('click', 'view') THEN 'user'
+              ELSE 'assistant' END AS role,
+         event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COUNT(CASE WHEN role = 'user' THEN 1 END) AS BIGINT)
+         AS n_user_turns,
+       CAST(COUNT(CASE WHEN role = 'assistant' THEN 1 END) AS BIGINT)
+         AS n_assistant_turns,
+       md5(string_agg(role || ':' || event_type || ':'
+                      || CAST(cents AS VARCHAR),
+                      '|' ORDER BY ts, event_id)) AS transcript_fp
+FROM t GROUP BY user_id
+"""
+
+
+@query("q_corpus_conversation_assembly", _CONV_ORACLE)
+def q_corpus_conversation_assembly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    role = F.when(
+        F.col("event_type").isin("click", "view"), F.lit("user")
+    ).otherwise(F.lit("assistant"))
+    t = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        role.alias("role"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    line = F.concat_ws(
+        ":", F.col("role"), F.col("event_type"), F.col("cents").cast("string")
+    )
+    return (
+        t.select(
+            "user_id",
+            "role",
+            F.struct("ts", "event_id", line.alias("line")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.count(F.when(F.col("role") == "user", 1))
+            .cast("bigint")
+            .alias("n_user_turns"),
+            F.count(F.when(F.col("role") == "assistant", 1))
+            .cast("bigint")
+            .alias("n_assistant_turns"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list("s")),
+                        lambda s: s["line"],
+                    ),
+                )
+            ).alias("transcript_fp"),
+        )
+    )
+
+
+# -- X509 perplexity quality filter ----------------------------------------------
+#
+# The CCNet-style pretraining gate: score every document's mean
+# surprisal under the corpus unigram LM (X491's machinery — one
+# portable ln per VOCAB word) and DROP everything above the corpus mean
+# (the "high-perplexity tail" rule), reporting per-(lang, source)
+# survival accounting. The corpus-mean threshold is a distributed qsum
+# over per-doc surprisals (full precision, order-independent), so the
+# whole filter is oracle-exact end to end. Two corpus scans (LM
+# estimate + scoring) — the floor any LM-filter pays.
+
+_PPLX_FILTER_ORACLE = f"""
+WITH toks AS (SELECT doc_id, lang, source, {_TOKS9} AS tk FROM documents),
+tw AS (
+  SELECT doc_id, u.i AS i, u.w AS w
+  FROM (SELECT doc_id,
+               UNNEST(list_transform(generate_series(1, LEN(tk)),
+                                     i -> struct_pack(i := i,
+                                                      w := tk[i]))) AS u
+        FROM toks)),
+ucnt AS (SELECT w AS uw, CAST(COUNT(*) AS BIGINT) AS cu FROM tw GROUP BY 1),
+utot AS (SELECT CAST(SUM(cu) AS BIGINT) AS tu FROM ucnt),
+pv AS (
+  SELECT uw, CAST(cu AS DOUBLE) / CAST(tu AS DOUBLE) AS v
+  FROM ucnt CROSS JOIN utot),
+lns AS ({{LN_LAYER}}),
+perdoc AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         -(list_reduce(list(l.lnv ORDER BY t.i), (a, x) -> a + x))
+           / CAST(COUNT(*) AS DOUBLE) AS surp
+  FROM tw t JOIN lns l ON t.w = l.uw
+  GROUP BY 1),
+thresh AS (
+  SELECT {{QSUM_S}} / CAST(COUNT(*) AS DOUBLE) AS mean_surp,
+         CAST(COUNT(*) AS BIGINT) AS n_scored
+  FROM perdoc)
+SELECT d.lang, d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(CASE WHEN p.surp <= t.mean_surp THEN 1 END) AS BIGINT)
+         AS n_kept,
+       CAST(COUNT(CASE WHEN p.surp <= t.mean_surp THEN 1 END) * 1000000
+            // COUNT(*) AS BIGINT) AS survival_ppm
+FROM perdoc p
+JOIN documents d USING (doc_id)
+CROSS JOIN thresh t
+GROUP BY 1, 2
+"""
+
+
+def _pplx_filter_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import (
+        sql_ln_layer,
+        sql_qsum_expr,
+    )
+
+    return _PPLX_FILTER_ORACLE.replace(
+        "{LN_LAYER}", sql_ln_layer("pv", "uw")
+    ).replace("{QSUM_S}", sql_qsum_expr("surp"))
+
+
+@query("q_corpus_perplexity_filter", _pplx_filter_oracle())
+def q_corpus_perplexity_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import (
+        fold_sum,
+        pln_finish,
+        pln_k,
+        pln_red,
+        qsum,
+    )
+
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+        ).alias("tk"),
+    )
+    tw = toks.select("doc_id", F.posexplode("tk").alias("i", "w"))
+    ucnt = tw.groupBy(F.col("w").alias("uw")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cu")
+    )
+    utot = ucnt.agg(F.sum("cu").cast("bigint").alias("tu"))
+    pv = ucnt.crossJoin(F.broadcast(utot)).select(
+        "uw",
+        (F.col("cu").cast("double") / F.col("tu").cast("double")).alias("v"),
+    )
+    lns = (
+        pv.withColumn("red", pln_red(F.col("v")))
+        .withColumn("kk", pln_k(F.col("v")))
+        .select("uw", pln_finish(F.col("red"), F.col("kk")).alias("lnv"))
+    )
+    j = tw.join(F.broadcast(lns), tw["w"] == lns["uw"]).select(
+        "doc_id", "i", "lnv"
+    )
+    perdoc = (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct("i", F.col("lnv").alias("l")))
+            ).alias("ps"),
+        )
+        .select(
+            "doc_id",
+            (
+                (-fold_sum(F.transform("ps", lambda p: p["l"])))
+                / F.col("n_tokens").cast("double")
+            ).alias("surp"),
+        )
+        # consumed by the threshold aggregate AND the survival join —
+        # checkpoint so the two corpus scans happen exactly once
+        .localCheckpoint(eager=True)
+    )
+    thresh = perdoc.agg(
+        qsum("surp", "qs"), F.count(F.lit(1)).cast("bigint").alias("n_scored")
+    ).select(
+        (F.col("qs") / F.col("n_scored").cast("double")).alias("mean_surp")
+    )
+    kept = F.count(
+        F.when(F.col("surp") <= F.col("mean_surp"), 1)
+    ).cast("bigint")
+    return (
+        perdoc.join(doc.select("doc_id", "lang", "source"), "doc_id")
+        .crossJoin(F.broadcast(thresh))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            kept.alias("n_kept"),
+            F.expr(
+                "CAST(COUNT(CASE WHEN surp <= mean_surp THEN 1 END)"
+                " * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("survival_ppm"),
+        )
+    )

@@ -271,8 +271,8 @@ def qsum(col: Column | str, alias: str) -> Column:
     ).alias(alias)
 
 
-def sql_qsum(expr: str, alias: str) -> str:
-    """DuckDB oracle equivalent of :func:`qsum`."""
+def sql_qsum_expr(expr: str) -> str:
+    """DuckDB qsum as a bare aggregate expression (no alias)."""
     s = (
         f"CAST(SUM(CAST(FLOOR(({expr}) * 1e12) AS DECIMAL(38,0)))"
         f" AS DECIMAL(38,0))"
@@ -283,8 +283,13 @@ def sql_qsum(expr: str, alias: str) -> str:
     )
     return (
         f"(CASE WHEN MAX(CASE WHEN ABS({expr}) >= 1e6 THEN 1 ELSE 0 END) > 0"
-        f" THEN NULL ELSE {signed} END) AS {alias}"
+        f" THEN NULL ELSE {signed} END)"
     )
+
+
+def sql_qsum(expr: str, alias: str) -> str:
+    """DuckDB oracle equivalent of :func:`qsum`."""
+    return f"{sql_qsum_expr(expr)} AS {alias}"
 
 
 def sql_ln_layer(stack_cte: str, keys: str) -> str:

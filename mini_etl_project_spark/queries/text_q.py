@@ -2546,8 +2546,12 @@ def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     tw = toks.select(
         "doc_id", F.posexplode("tk").alias("i", "w")
     )
-    ucnt = tw.groupBy(F.col("w").alias("uw")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("cu")
+    ucnt = (
+        tw.groupBy(F.col("w").alias("uw"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+        # vocab-sized; feeds utot + pv — checkpoint so the LM-estimate
+        # corpus scan runs once (scoring pays the second, the LM floor)
+        .localCheckpoint(eager=True)
     )
     utot = ucnt.agg(F.sum("cu").cast("bigint").alias("tu"))
     pv = ucnt.crossJoin(F.broadcast(utot)).select(
@@ -2783,9 +2787,16 @@ def q_text_unigram_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2).alias("half"),
         F.explode(_filtered_tokens("text")).alias("w"),
     )
-    cnt = tw.groupBy("w").agg(
-        F.count(F.when(F.col("half") == 0, 1)).cast("bigint").alias("cp"),
-        F.count(F.when(F.col("half") == 1, 1)).cast("bigint").alias("cq"),
+    cnt = (
+        tw.groupBy("w")
+        .agg(
+            F.count(F.when(F.col("half") == 0, 1)).cast("bigint").alias("cp"),
+            F.count(F.when(F.col("half") == 1, 1)).cast("bigint").alias("cq"),
+        )
+        # vocab-sized table with three consumers (tot + two stack
+        # branches) — checkpoint so the corpus scan runs exactly once
+        # (the plan otherwise re-derives it 10x)
+        .localCheckpoint(eager=True)
     )
     tot = cnt.agg(
         F.sum("cp").cast("bigint").alias("np"),

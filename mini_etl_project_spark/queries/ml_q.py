@@ -9765,13 +9765,19 @@ def q_ml_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_project_spark.queries.helpers import qsum
 
     ev = load_table(spark, sf_dir, "events")
-    cells = ev.groupBy("event_type").agg(
-        F.sum((F.col("event_id") % 2 == 0).cast("long"))
-        .cast("bigint")
-        .alias("a"),
-        F.sum((F.col("event_id") % 2 == 1).cast("long"))
-        .cast("bigint")
-        .alias("b"),
+    cells = (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum((F.col("event_id") % 2 == 0).cast("long"))
+            .cast("bigint")
+            .alias("a"),
+            F.sum((F.col("event_id") % 2 == 1).cast("long"))
+            .cast("bigint")
+            .alias("b"),
+        )
+        # 5-row cell table feeds tot + contrib — checkpoint so the
+        # events scan runs once (plan audit showed 4 scans)
+        .localCheckpoint(eager=True)
     )
     tot = cells.agg(
         F.sum("a").cast("bigint").alias("ta"),
@@ -11202,7 +11208,10 @@ def q_ml_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("d").cast("decimal(28,0)") * F.col("d"))
         .cast("decimal(38,0)")
         .alias("sdd"),
-    )
+        # 1-row moment table referenced by four output expressions —
+        # checkpoint so the orders-lines join runs once (plan audit
+        # showed it re-derived twice)
+    ).localCheckpoint(eager=True)
     var_piece = dec_to_double(
         (F.col("sdd") * F.col("n") - F.col("sd").cast("decimal(38,0)") * F.col("sd"))
         .cast("decimal(38,0)")

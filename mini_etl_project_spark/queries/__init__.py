@@ -141,6 +141,8 @@ _RECHECK: list[str] = [
     "q_corpus_curriculum",
     "q_corpus_conversation_assembly",
     "q_corpus_perplexity_filter",
+    "q_source_orc_roundtrip",
+    "q_source_text_roundtrip",
     # -- never-sampled contract-heavy families (VERDICT r8 ask #2) ------
     # table lifecycle (X464-X467)
     "q_table_time_travel",

@@ -838,3 +838,102 @@ def q_table_restore_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(clone.read(spark), "clone_v2"))
         .orderBy("branch")
     )
+
+
+# =============================================================================
+# Round-9 source-format lane (X510-X511): ORC and line-text round trips.
+# Spark ships native readers/writers for both; DuckDB reads neither, so
+# the oracle checks ROUND-TRIP INVARIANCE — the aggregate of the
+# written-then-reread data must equal the same aggregate computed from
+# the original parquet. A lossy writer, a schema-mangling reader, or a
+# non-deterministic serialization all become red rows.
+# =============================================================================
+
+
+_ORC_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id
+FROM events GROUP BY 1
+"""
+
+
+@query("q_source_orc_roundtrip", _ORC_ORACLE)
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X510: events -> ORC (zlib, Spark-native) -> re-read -> exact
+    aggregate. ORC is the one columnar format the engine supports
+    natively besides parquet; the reread frame must carry identical
+    values AND types (the cents rounding would drift on any
+    float-precision loss)."""
+    root = _fresh_root(sf_dir, "orc")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").orc(root)
+    back = spark.read.orc(root)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+        F.min("event_id").cast("bigint").alias("min_id"),
+        F.max("event_id").cast("bigint").alias("max_id"),
+    )
+
+
+_TEXT_ORACLE = """
+WITH lines AS (
+  SELECT CAST(doc_id AS VARCHAR) || CHR(9) || text AS line
+  FROM documents),
+parsed AS (
+  SELECT CAST(string_split(line, CHR(9))[1] AS BIGINT) AS doc_id,
+         string_split(line, CHR(9))[2] AS text
+  FROM lines)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       md5(string_agg(md5(text), '' ORDER BY doc_id)) AS corpus_fp
+FROM parsed
+"""
+
+
+@query("q_source_text_roundtrip", _TEXT_ORACLE)
+def q_source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X511: documents -> line-delimited text files (one TSV-framed doc
+    per line, the classic corpus interchange shape) -> spark.read.text
+    -> parse -> order-pinned corpus fingerprint. The md5-chain oracle
+    catches any line loss, reordering-with-loss, or delimiter mangling.
+    (The documents fixture is single-line text — the framing contract
+    this lane assumes and asserts.)"""
+    root = _fresh_root(sf_dir, "text")
+    d = load_table(spark, sf_dir, "documents")
+    d.select(
+        F.concat_ws(
+            "\t", F.col("doc_id").cast("string"), F.col("text")
+        ).alias("value")
+    ).write.mode("overwrite").text(root)
+    back = spark.read.text(root)
+    parsed = back.select(
+        F.split(F.col("value"), "\t", 2).alias("parts")
+    ).select(
+        F.element_at("parts", 1).cast("bigint").alias("doc_id"),
+        F.element_at("parts", 2).alias("text"),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("doc_id", F.md5("text").alias("h"))
+                        )
+                    ),
+                    lambda s: s["h"],
+                ),
+            )
+        ).alias("corpus_fp"),
+    )

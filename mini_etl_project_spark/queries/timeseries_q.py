@@ -5301,7 +5301,9 @@ def q_ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The long-memory diagnostic: H from the R/S law E[R/S](w) ~ c * w^H,
 # fit by OLS of ln(avg R/S) against ln(w) over window sizes
-# w in {8, 16, 32, 64} on the daily-cents series. All chunk statistics
+# w in {4, 6, 8, 12} on the daily-cents series (the events fixture
+# spans ~30 days at every SF, so scales are sized to yield >=2 complete
+# chunks each). All chunk statistics
 # stay EXACT integers until the final per-chunk assembly: scaled
 # cumulative deviations cum_t = w*prefix_t - t*chunk_sum are BIGINTs
 # (so R_scaled = max-min is exact), and R/S = R_scaled /
@@ -5323,7 +5325,7 @@ idx AS (
   FROM d),
 cells AS (
   SELECT w.w, (i - 1) // w.w AS chunk, (i - 1) % w.w AS pos, r
-  FROM idx CROSS JOIN (SELECT UNNEST([8, 16, 32, 64]) AS w) w
+  FROM idx CROSS JOIN (SELECT UNNEST([4, 6, 8, 12]) AS w) w
   WHERE (i - 1) // w.w < n // w.w),
 pre AS (
   SELECT w, chunk, pos, r,
@@ -5408,7 +5410,7 @@ def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n"),
     )
     ws = spark.range(1).select(
-        F.explode(F.array(*[F.lit(w) for w in (8, 16, 32, 64)])).alias("w")
+        F.explode(F.array(*[F.lit(w) for w in (4, 6, 8, 12)])).alias("w")
     )
     cells = (
         idx.crossJoin(F.broadcast(ws))

@@ -143,6 +143,15 @@ _RECHECK: list[str] = [
     "q_corpus_perplexity_filter",
     "q_source_orc_roundtrip",
     "q_source_text_roundtrip",
+    # round-9 scan-count audit: plans restructured (values unchanged,
+    # checkpointed bounded intermediates) — fresh rows wanted anyway
+    "q_graph_link_predict",
+    "q_etl_ipf_raking",
+    "q_ml_pca_power",
+    "q_graph_triangles",
+    "q_ts_wavelet_haar",
+    "q_setop_percent_of_parent",
+    "q_ts_durbin_watson",
     # -- never-sampled contract-heavy families (VERDICT r8 ask #2) ------
     # table lifecycle (X464-X467)
     "q_table_time_travel",

@@ -1377,10 +1377,18 @@ def q_etl_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("f"),
         (F.col("o_orderkey") % 2).alias("par"),
     )
+    # one scan: grouped parity cells (<=30 rows), checkpointed — the
+    # IPF iterations below replay their whole lineage every round, which
+    # re-derived the fact join into 124 parquet scans (round-9 audit)
+    cells = (
+        j.groupBy("p", "f", "par")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     samp = (
-        j.filter(F.col("par") == 1)
+        cells.filter(F.col("par") == 1)
         .groupBy("p", "f")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("cnt").alias("cnt"))
         .select(
             "p",
             "f",
@@ -1389,14 +1397,14 @@ def q_etl_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     refrows = (
-        j.filter(F.col("par") == 0)
+        cells.filter(F.col("par") == 0)
         .groupBy("p")
-        .agg(F.count(F.lit(1)).cast("double").alias("target_r"))
+        .agg(F.sum("cnt").cast("double").alias("target_r"))
     )
     refcols = (
-        j.filter(F.col("par") == 0)
+        cells.filter(F.col("par") == 0)
         .groupBy("f")
-        .agg(F.count(F.lit(1)).cast("double").alias("target_c"))
+        .agg(F.sum("cnt").cast("double").alias("target_c"))
     )
 
     def fold_sum(df, key, other):

@@ -321,6 +321,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "dst").alias("hi"),
         )
         .distinct()
+        # bounded canonical edge set with three join-side consumers —
+        # checkpoint so the multi-join _trade_edges subtree runs once
+        # (round-9 audit: 108 parquet scans in the final plan)
+        .localCheckpoint(eager=True)
     )
     e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
@@ -697,6 +701,11 @@ def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 3
             == 0
         )
+        # bounded nation-pair edge set with 4 consumers (two nbr
+        # branches, the anti-join, deg) — checkpoint so the multi-join
+        # _trade_edges subtree runs once (round-9 scan audit: the final
+        # plan re-derived it into 132 parquet scans)
+        .localCheckpoint(eager=True)
     )
     nbr = edges.select(
         F.col("a").alias("node"), F.col("b").alias("nb")

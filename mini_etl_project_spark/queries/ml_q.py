@@ -1514,7 +1514,13 @@ def q_ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("i0", "x"),
     ).select("id", (F.col("i0") + 1).alias("i"), "x")
     nn = pts.agg(F.countDistinct("id").cast("bigint").alias("n"))
-    sums = pts.groupBy("i").agg(F.sum("x").cast("bigint").alias("sx"))
+    # 64-row dimension sums feed cdims AND the v iteration chain —
+    # checkpoint so the embeddings scan is not re-derived per consumer
+    sums = (
+        pts.groupBy("i")
+        .agg(F.sum("x").cast("bigint").alias("sx"))
+        .localCheckpoint(eager=True)
+    )
     cdims = (
         pts.crossJoin(F.broadcast(nn))
         .join(F.broadcast(sums), "i")
@@ -1532,6 +1538,10 @@ def q_ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "s"
             )
         )
+        # bounded 64x64 Gram table consumed once per power-iteration
+        # round — checkpoint so the embeddings scan + self-join run once
+        # (round-9 audit: the final plan re-derived them into 120 scans)
+        .localCheckpoint(eager=True)
     )
     v = sums.select("i", F.lit(1000000).cast("bigint").alias("v"))
     mx = None

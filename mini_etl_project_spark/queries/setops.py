@@ -363,6 +363,10 @@ def q_setop_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rev_cents")
         )
+        # bounded 25-row leaf table with three consumers (reg, tot, the
+        # final join) — checkpoint so the 4-table join runs once
+        # (round-9 audit: 24 scans)
+        .localCheckpoint(eager=True)
     )
     reg = leaf.groupBy("region").agg(
         F.sum("rev_cents").cast("bigint").alias("region_cents")

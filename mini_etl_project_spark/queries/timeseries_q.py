@@ -3106,6 +3106,9 @@ def q_ts_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type", "i", F.coalesce("cents", F.lit(0)).alias("a")
         )
+        # bounded 5x32 spine re-derived by every Haar level (round-9
+        # audit: 24 scans) — checkpoint so the facts scan runs once
+        .localCheckpoint(eager=True)
     )
     level = spine
     outs = []
@@ -4392,6 +4395,10 @@ def q_ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("y")
         )
+        # bounded hourly table with multiple consumers (the OLS moment
+        # agg + the residual-lag chain) — checkpoint so the facts scan
+        # runs once (round-9 audit: 16 scans)
+        .localCheckpoint(eager=True)
     )
     m = h.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -143,6 +143,7 @@ _RECHECK: list[str] = [
     "q_corpus_perplexity_filter",
     "q_source_orc_roundtrip",
     "q_source_text_roundtrip",
+    "q_ml_boxcox_grid",
     # round-9 scan-count audit: plans restructured (values unchanged,
     # checkpointed bounded intermediates) — fresh rows wanted anyway
     "q_graph_link_predict",

@@ -11310,3 +11310,250 @@ def q_ml_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_stat"),
     )
+
+
+# -- X512 Box-Cox transform selection (portable-lambda grid) -------------------
+#
+# The feature-engineering classic: pick the Box-Cox power transform
+# t_l(y) = (y^l - 1)/l maximizing the profile log-likelihood
+# LL(l) = -(n/2) * ln(sigma2_l) + (l - 1) * SUM(ln y). The lambda grid
+# {-1, -0.5, 0, 0.5, 1, 2} is exactly the set whose powers are portable
+# IEEE primitives (1/y, 1/sqrt, ln, sqrt, identity, square) — no
+# libm pow() anywhere. Lane choice per the round-9 guide: lambda 1/2
+# ride EXACT decimal moments (integer cents and their squares/fourth
+# powers); the irrational transforms ride qsum (sqrt-y, 1/sqrt-y, 1/y,
+# 1/y^2, ln y, ln^2 y — six distributed quantized sums, each inside the
+# |x| < 1e6 domain for cents <= ~50k); ln y itself is the inverted
+# portable kernel applied PER ROW (-pln(1/y)), and the six final
+# ln(sigma2) values ride a second 6-row staged kernel. One fact pass.
+
+_BOXCOX_ORACLE = """
+WITH y0 AS (
+  SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events
+  WHERE CAST(ROUND(value * 100) AS BIGINT) > 0),
+stack AS (
+  SELECT event_id, y,
+         CAST(1.0 AS DOUBLE) / CAST(y AS DOUBLE) AS v
+  FROM y0),
+lns AS ({LN_LAYER}),
+rows_t AS (
+  SELECT y, -(lnv) AS lny, lnv * lnv AS lny2,
+         SQRT(CAST(y AS DOUBLE)) AS sq,
+         CAST(1.0 AS DOUBLE) / SQRT(CAST(y AS DOUBLE)) AS isq,
+         CAST(1.0 AS DOUBLE) / CAST(y AS DOUBLE) AS iy,
+         (CAST(1.0 AS DOUBLE) / CAST(y AS DOUBLE))
+           * (CAST(1.0 AS DOUBLE) / CAST(y AS DOUBLE)) AS iy2
+  FROM lns),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(y AS DECIMAL(28,0)) * y) AS DECIMAL(38,0)) AS sy2,
+         CAST(SUM(CAST(CAST(y AS DECIMAL(19,0)) * y AS DECIMAL(38,0))
+                  * (CAST(y AS DECIMAL(19,0)) * y)) AS DECIMAL(38,0)) AS sy4,
+         {Q_SQ}, {Q_ISQ}, {Q_IY}, {Q_IY2}, {Q_LNY}, {Q_LNY2}
+  FROM rows_t),
+sig AS (
+  SELECT n, q_lny,
+         CAST(-1.0 AS DOUBLE) AS l_m1,
+         (q_iy2 / CAST(n AS DOUBLE))
+           - (q_iy / CAST(n AS DOUBLE)) * (q_iy / CAST(n AS DOUBLE)) AS s_m1,
+         CAST(-0.5 AS DOUBLE) AS l_m05,
+         CAST(4.0 AS DOUBLE)
+           * ((q_iy / CAST(n AS DOUBLE))
+              - (q_isq / CAST(n AS DOUBLE)) * (q_isq / CAST(n AS DOUBLE)))
+           AS s_m05,
+         CAST(0.0 AS DOUBLE) AS l_0,
+         (q_lny2 / CAST(n AS DOUBLE))
+           - (q_lny / CAST(n AS DOUBLE)) * (q_lny / CAST(n AS DOUBLE)) AS s_0,
+         CAST(0.5 AS DOUBLE) AS l_05,
+         CAST(4.0 AS DOUBLE)
+           * ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+              - (q_sq / CAST(n AS DOUBLE)) * (q_sq / CAST(n AS DOUBLE)))
+           AS s_05,
+         CAST(1.0 AS DOUBLE) AS l_1,
+         {DTD_D1} / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS s_1,
+         CAST(2.0 AS DOUBLE) AS l_2,
+         {DTD_D2}
+           / (CAST(4.0 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+           AS s_2
+  FROM m),
+lstack AS (
+  SELECT n, q_lny, l_m1 AS lam, s_m1 AS sig2,
+         CAST(1.0 AS DOUBLE) / s_m1 AS v FROM sig
+  UNION ALL SELECT n, q_lny, l_m05, s_m05, CAST(1.0 AS DOUBLE) / s_m05 FROM sig
+  UNION ALL SELECT n, q_lny, l_0, s_0, CAST(1.0 AS DOUBLE) / s_0 FROM sig
+  UNION ALL SELECT n, q_lny, l_05, s_05, CAST(1.0 AS DOUBLE) / s_05 FROM sig
+  UNION ALL SELECT n, q_lny, l_1, s_1, CAST(1.0 AS DOUBLE) / s_1 FROM sig
+  UNION ALL SELECT n, q_lny, l_2, s_2, CAST(1.0 AS DOUBLE) / s_2 FROM sig),
+lns2 AS ({LN_LAYER2})
+SELECT lam AS lambda, sig2 AS sigma2,
+       CAST(-0.5 AS DOUBLE) * CAST(n AS DOUBLE) * (-(lnv))
+         + (lam - CAST(1.0 AS DOUBLE)) * q_lny AS loglik_nats
+FROM lns2
+"""
+
+
+def _boxcox_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import (
+        sql_dec_to_double,
+        sql_ln_layer,
+        sql_qsum,
+    )
+
+    return (
+        _BOXCOX_ORACLE.replace(
+            "{LN_LAYER}", sql_ln_layer("stack", "event_id, y")
+        )
+        .replace("{LN_LAYER2}", sql_ln_layer("lstack", "n, q_lny, lam, sig2"))
+        .replace("{Q_SQ}", sql_qsum("sq", "q_sq"))
+        .replace("{Q_ISQ}", sql_qsum("isq", "q_isq"))
+        .replace("{Q_IY}", sql_qsum("iy", "q_iy"))
+        .replace("{Q_IY2}", sql_qsum("iy2", "q_iy2"))
+        .replace("{Q_LNY}", sql_qsum("lny", "q_lny"))
+        .replace("{Q_LNY2}", sql_qsum("lny2", "q_lny2"))
+        .replace(
+            "{DTD_D1}",
+            sql_dec_to_double(
+                "CAST(n * (sy2 - 2 * sy + n)"
+                " - CAST(sy - n AS DECIMAL(38,0)) * (sy - n)"
+                " AS DECIMAL(38,0))"
+            ),
+        )
+        .replace(
+            "{DTD_D2}",
+            sql_dec_to_double(
+                "CAST(n * (sy4 - 2 * sy2 + n)"
+                " - CAST(sy2 - n AS DECIMAL(38,0)) * (sy2 - n)"
+                " AS DECIMAL(38,0))"
+            ),
+        )
+    )
+
+
+@query("q_ml_boxcox_grid", _boxcox_oracle())
+def q_ml_boxcox_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mini_etl_project_spark.queries.helpers import dec_to_double, qsum
+
+    ev = load_table(spark, sf_dir, "events")
+    # Box-Cox domain is y > 0 — zero-cent events excluded in BOTH
+    # engines (6 exist at sf0.1)
+    y0 = ev.select(
+        "event_id", F.round(F.col("value") * 100).cast("bigint").alias("y")
+    ).filter(F.col("y") > 0)
+    yd = F.col("y").cast("double")
+    lns = (
+        y0.withColumn("v", F.lit(1.0) / yd)
+        .withColumn("red", _pln_red(F.col("v")))
+        .withColumn("kk", _pln_k(F.col("v")))
+        .select(
+            "y", "v", _pln_finish(F.col("red"), F.col("kk")).alias("lnv")
+        )
+    )
+    rows_t = lns.select(
+        "y",
+        (-F.col("lnv")).alias("lny"),
+        (F.col("lnv") * F.col("lnv")).alias("lny2"),
+        F.sqrt(yd).alias("sq"),
+        (F.lit(1.0) / F.sqrt(yd)).alias("isq"),
+        (F.lit(1.0) / yd).alias("iy"),
+        ((F.lit(1.0) / yd) * (F.lit(1.0) / yd)).alias("iy2"),
+    )
+    m = rows_t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y").cast("decimal(28,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sy2"),
+        F.sum(
+            (F.col("y").cast("decimal(19,0)") * F.col("y"))
+            .cast("decimal(38,0)")
+            * (F.col("y").cast("decimal(19,0)") * F.col("y"))
+        )
+        .cast("decimal(38,0)")
+        .alias("sy4"),
+        qsum("sq", "q_sq"),
+        qsum("isq", "q_isq"),
+        qsum("iy", "q_iy"),
+        qsum("iy2", "q_iy2"),
+        qsum("lny", "q_lny"),
+        qsum("lny2", "q_lny2"),
+    ).localCheckpoint(eager=True)  # 1 row feeding six lstack branches
+    nd = F.col("n").cast("double")
+    d1 = dec_to_double(
+        (
+            F.col("n") * (F.col("sy2") - 2 * F.col("sy") + F.col("n"))
+            - (F.col("sy") - F.col("n")).cast("decimal(38,0)")
+            * (F.col("sy") - F.col("n"))
+        ).cast("decimal(38,0)")
+    )
+    d2 = dec_to_double(
+        (
+            F.col("n") * (F.col("sy4") - 2 * F.col("sy2") + F.col("n"))
+            - (F.col("sy2") - F.col("n")).cast("decimal(38,0)")
+            * (F.col("sy2") - F.col("n"))
+        ).cast("decimal(38,0)")
+    )
+    sig = m.select(
+        "n",
+        "q_lny",
+        (
+            F.col("q_iy2") / nd - (F.col("q_iy") / nd) * (F.col("q_iy") / nd)
+        ).alias("s_m1"),
+        (
+            F.lit(4.0)
+            * (
+                F.col("q_iy") / nd
+                - (F.col("q_isq") / nd) * (F.col("q_isq") / nd)
+            )
+        ).alias("s_m05"),
+        (
+            F.col("q_lny2") / nd
+            - (F.col("q_lny") / nd) * (F.col("q_lny") / nd)
+        ).alias("s_0"),
+        (
+            F.lit(4.0)
+            * (
+                F.col("sy").cast("double") / nd
+                - (F.col("q_sq") / nd) * (F.col("q_sq") / nd)
+            )
+        ).alias("s_05"),
+        (d1 / (nd * nd)).alias("s_1"),
+        (d2 / (F.lit(4.0) * nd * nd)).alias("s_2"),
+    )
+    lstack = None
+    for lam, col in (
+        (-1.0, "s_m1"),
+        (-0.5, "s_m05"),
+        (0.0, "s_0"),
+        (0.5, "s_05"),
+        (1.0, "s_1"),
+        (2.0, "s_2"),
+    ):
+        part = sig.select(
+            "n",
+            "q_lny",
+            F.lit(lam).alias("lam"),
+            F.col(col).alias("sig2"),
+            (F.lit(1.0) / F.col(col)).alias("v"),
+        )
+        lstack = part if lstack is None else lstack.unionAll(part)
+    lns2 = (
+        lstack.withColumn("red", _pln_red(F.col("v")))
+        .withColumn("kk", _pln_k(F.col("v")))
+        .select(
+            "n",
+            "q_lny",
+            "lam",
+            "sig2",
+            _pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+        )
+    )
+    return lns2.select(
+        F.col("lam").alias("lambda"),
+        F.col("sig2").alias("sigma2"),
+        (
+            F.lit(-0.5) * F.col("n").cast("double") * (-F.col("lnv"))
+            + (F.col("lam") - F.lit(1.0)) * F.col("q_lny")
+        ).alias("loglik_nats"),
+    )

@@ -87,6 +87,15 @@ def read_cpu_steal() -> tuple[int, int]:
 # host was contended during this run, not that the plan regressed.
 _Q06_BAND = (0.27, 0.45)
 
+# Host-drift normalization (BASELINE.md, round-10 protocol note): q06's
+# plan has not changed since round 1, so its measured median is a pure
+# probe of the host's sustained throughput during THIS run. Scaling the
+# total by (band midpoint / measured q06) yields a second, host-
+# independent metric so cross-round trends no longer need manual
+# adjudication against quiet-host records. The raw total stays the
+# primary driver metric; the normalized one is the trend line.
+_Q06_BAND_MID = round(sum(_Q06_BAND) / 2, 4)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -114,6 +123,9 @@ def main() -> None:
     contended = bool(
         steal_pct > 2.0 or (q06 is not None and q06 > _Q06_BAND[1])
     )
+    normalized = (
+        round(total * _Q06_BAND_MID / q06, 4) if q06 else None
+    )
     print(
         json.dumps(
             {
@@ -128,6 +140,10 @@ def main() -> None:
                 "steal_pct": steal_pct,
                 "load_avg_start": load_avg,
                 "q06_quiet_band": list(_Q06_BAND),
+                # drift-corrected trend metric: total scaled by how far
+                # the q06 probe sat from its quiet-band midpoint
+                "normalized_total_sec": normalized,
+                "q06_band_mid": _Q06_BAND_MID,
             }
         )
     )

@@ -88,101 +88,18 @@ def _load_all() -> None:
 # This can never drift: the moment the driver records a round, its file
 # re-sorts the rotation for the next one.
 
-#: Queries re-touched this round (fresh driver evidence wanted first),
-#: plus the judge-flagged never-sampled families (VERDICT r8 ask #2)
-#: whose modules register too late for the never-sampled bucket to
-#: reach them within the ~50/round budget.
+#: Queries re-touched this round (fresh driver evidence wanted first).
+#: Round 10 (VERDICT r9 ask #1): the entire round-9 _RECHECK wave came
+#: back green in CORRECTNESS_r09.json, so the list empties down to the
+#: judge-flagged stream rows (ask #7: their oracles encode emission
+#: contracts, and streaming_q registers too late for the never-sampled
+#: bucket to reach them inside the ~50/round budget) — the rest of the
+#: budget goes to the never-sampled bucket in registration order.
 _RECHECK: list[str] = [
-    # -- round-9 implementation changes (need fresh green rows) ---------
-    # short/empty-doc guards: clamped gram builders + NULL-on-both-engines
-    # ppm divisions (ADVICE r8 medium)
-    "q_text_rouge1_pairs",
-    "q_text_bleu_precisions",
-    "q_text_chrf_pairs",
-    # squared-cents sums promoted to DECIMAL before SUM (ADVICE r8 low)
-    "q_ml_cohens_d",
-    "q_ml_equivalence_tost",
-    # CC fixpoint gained the per-round group-min broadcast — every
-    # consumer re-verified locally, driver rows wanted too
-    "q_dedup_semantic",
-    "q_dedup_semantic_audit",
-    "q_graph_connected_components",
-    "q_ml_dbscan_grid",
-    # pipeline fused-stats aggregates gained the exact row count
-    # (approx-profile plumbing; flag off in the registry entry)
-    "q_etl_pipeline_full",
-    # new this round: X482 MLlib-BRP ANN accounting twin
-    "q_sim_ann_ml_brp_acct",
-    # new this round: the X487-X492 information-theory wave on the
-    # portable-ln kernel
-    "q_ml_entropy_monthly",
-    "q_ml_kl_divergence",
-    "q_ml_mutual_information",
-    "q_ml_log_loss",
-    "q_text_pmi_collocations",
-    "q_text_unigram_surprisal",
-    # new this round: the X493-X497 wave + the qsum lane; hellinger's
-    # sqrt-term sum moved dsum -> qsum (values change at the 1e-12
-    # quantum), so it needs a fresh driver row too
-    "q_text_zipf_fit",
-    "q_text_unigram_kl_drift",
-    "q_ml_aic_bic",
-    "q_ml_odds_ratio",
-    "q_ml_info_gain_ranking",
-    "q_ml_hellinger_drift",
-    "q_ml_psi",
-    "q_stream_entropy_windowed",
-    "q_ts_macd",
-    "q_ts_rsi",
-    "q_ts_hurst",
-    "q_ml_tukey_hsd",
-    "q_ml_bland_altman",
-    "q_ml_poisson_rate_test",
-    "q_corpus_curriculum",
-    "q_corpus_conversation_assembly",
-    "q_corpus_perplexity_filter",
-    "q_source_orc_roundtrip",
-    "q_source_text_roundtrip",
-    "q_ml_boxcox_grid",
-    # round-9 scan-count audit: plans restructured (values unchanged,
-    # checkpointed bounded intermediates) — fresh rows wanted anyway
-    "q_graph_link_predict",
-    "q_etl_ipf_raking",
-    "q_ml_pca_power",
-    "q_graph_triangles",
-    "q_ts_wavelet_haar",
-    "q_setop_percent_of_parent",
-    "q_ts_durbin_watson",
-    # -- never-sampled contract-heavy families (VERDICT r8 ask #2) ------
-    # table lifecycle (X464-X467)
-    "q_table_time_travel",
-    "q_table_compaction",
-    "q_table_vacuum",
-    "q_table_restore_clone",
-    # multimodal oracle surfaces (X477-X478)
-    "q_multimodal_resize",
-    "q_multimodal_frame_sample",
-    # stream-stream semi join (X468)
+    # never-sampled streaming queries (VERDICT r9 ask #7) — after these
+    # two, every q_stream_* row has at least one driver-green row
     "q_stream_join_semi",
-    # the X447-X458 stats wave (registration order puts ml_q/timeseries_q
-    # deep in the rotation; pull the family heads forward)
-    "q_ml_permutation_test",
-    "q_ml_jonckheere",
-    "q_ml_page_trend",
-    "q_ml_gk_gamma",
-    "q_ml_somers_d",
-    "q_ml_mood_median",
-    "q_ml_shapley_exact",
-    "q_ml_ab_srm",
-    "q_ml_precision_recall_at_k",
-    "q_ts_acf",
-    "q_ts_ljung_box",
-    "q_ts_markov_transitions",
-    "q_ts_ewma_daily",
-    "q_ts_pettitt",
-    "q_ml_tukey_fences",
-    "q_ts_grubbs",
-    "q_fn_regr_family",
+    "q_stream_alerts",
 ]
 
 

@@ -243,7 +243,14 @@ def ml_minhash_lsh_pairs(
     )
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    *,
+    group_min: bool = True,
+    compress: bool = True,
+    stats: dict | None = None,
+) -> DataFrame:
     """Collapse near-dup pairs into clusters: (id, component) where
     component is the minimum id reachable through the pair graph.
 
@@ -270,6 +277,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     change" job. ``localCheckpoint`` per round truncates the
     exponentially-growing lineage (standard for iterative Spark
     algorithms).
+
+    ``group_min=False`` / ``compress=False`` disable steps 2 / 3 —
+    instrumentation toggles for the round-count experiments in
+    SCALE_VALIDATION.md (chain vs clique topology decomposition);
+    production callers leave both on. ``stats`` (if given) receives
+    ``{"rounds": n}`` on return.
     """
     from pyspark.sql import Observation
 
@@ -289,7 +302,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -307,28 +322,36 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 ).alias("nmin"),
             )
         )
-        # Group-min broadcast: nodes sharing a pre-round label are
-        # already known to be in one component, so the best label any
-        # of them found this round is valid for all of them.
-        gmin = stepped.groupBy(F.col("old_component").alias("gc")).agg(
-            F.min("nmin").alias("gmin")
-        )
-        merged = stepped.join(
-            gmin, F.col("old_component") == F.col("gc")
-        ).select(
-            "id",
-            "old_component",
-            F.least("nmin", "gmin").alias("component"),
-        )
-        # Path compression: a component label is itself a node id, so
-        # jump to THAT node's (post-step) label. Inner join is safe —
-        # every label is present in `merged.id`.
-        comp_map = merged.select(
-            F.col("id").alias("cid"), F.col("component").alias("ccomp")
-        )
-        compressed = merged.join(
-            comp_map, F.col("component") == F.col("cid")
-        ).select("id", "old_component", F.col("ccomp").alias("component"))
+        if group_min:
+            # Group-min broadcast: nodes sharing a pre-round label are
+            # already known to be in one component, so the best label any
+            # of them found this round is valid for all of them.
+            gmin = stepped.groupBy(F.col("old_component").alias("gc")).agg(
+                F.min("nmin").alias("gmin")
+            )
+            merged = stepped.join(
+                gmin, F.col("old_component") == F.col("gc")
+            ).select(
+                "id",
+                "old_component",
+                F.least("nmin", "gmin").alias("component"),
+            )
+        else:
+            merged = stepped.select(
+                "id", "old_component", F.col("nmin").alias("component")
+            )
+        if compress:
+            # Path compression: a component label is itself a node id, so
+            # jump to THAT node's (post-step) label. Inner join is safe —
+            # every label is present in `merged.id`.
+            comp_map = merged.select(
+                F.col("id").alias("cid"), F.col("component").alias("ccomp")
+            )
+            compressed = merged.join(
+                comp_map, F.col("component") == F.col("cid")
+            ).select("id", "old_component", F.col("ccomp").alias("component"))
+        else:
+            compressed = merged
         obs = Observation()
         observed = compressed.observe(
             obs,
@@ -339,6 +362,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = observed.select("id", "component").localCheckpoint(eager=True)
         if not obs.get["changed"]:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
 
 

@@ -102,6 +102,18 @@ _RECHECK: list[str] = [
     "q_stream_alerts",
 ]
 
+#: Round-10 NEW queries, deferred to the END of the never-sampled
+#: bucket: the ~50/round driver budget this round belongs to the 185
+#: old never-sampled rows (VERDICT r9 ask #1 — drain the evidence gap);
+#: these three are locally oracle-verified now and rotate in next
+#: round. Without this, corpus_q's early registration slot would put
+#: them AHEAD of older never-sampled families.
+_DEFER_NEW: list[str] = [
+    "q_corpus_best_of_n",
+    "q_corpus_dpo_pairs",
+    "q_corpus_grpo_advantage",
+]
+
 
 def _driver_evidence() -> dict[str, int]:
     """query name -> latest round with a driver CORRECTNESS row."""
@@ -131,12 +143,14 @@ def _rotation_order(names: list[str]) -> list[str]:
     pos = {n: i for i, n in enumerate(names)}
     recheck = [n for n in _RECHECK if n in pos]
     rest = [n for n in names if n not in set(recheck)]
-    never = [n for n in rest if n not in evidence]
+    defer = set(_DEFER_NEW)
+    never = [n for n in rest if n not in evidence and n not in defer]
+    deferred = [n for n in rest if n not in evidence and n in defer]
     sampled = sorted(
         (n for n in rest if n in evidence),
         key=lambda n: (evidence[n], pos[n]),
     )
-    return recheck + never + sampled
+    return recheck + never + deferred + sampled
 
 
 def _reorder() -> None:

@@ -1138,3 +1138,231 @@ def q_corpus_perplexity_filter(
             ).alias("survival_ppm"),
         )
     )
+
+
+# -- X513-X515: RLHF/SFT candidate-selection primitives ----------------------
+#
+# The reward-model stage of a training-data pipeline: per prompt
+# (user_id), n candidate generations (events) each carrying a reward
+# (value, held exactly as cents). Three selection primitives a 100 TB
+# post-training corpus job needs, each a SINGLE keyed shuffle with
+# output bounded by |prompts|:
+#
+# - X513 best-of-n rejection sampling: keep the argmax-reward candidate
+#   (deterministic tie-break: smallest event_id) and report the
+#   acceptance margin over the runner-up.
+# - X514 DPO preference pairs: (chosen, rejected) = (argmax, argmin)
+#   per prompt, strictly positive reward gap required (equal-reward
+#   pairs carry no preference signal).
+# - X515 GRPO group-relative advantage: z-score of the best candidate
+#   against its OWN prompt's candidate group (mean/std ddof=1), the
+#   group-normalized advantage GRPO-style RL training uses. Moments
+#   come from exact integer/decimal sums (the q_ml_cohens_d lane), so
+#   mean/sd/z are single correctly-rounded double ops on bit-identical
+#   inputs — engine-portable without qsum.
+
+_BESTOFN_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC,
+                                     event_id) AS rn
+  FROM events)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       MAX(CASE WHEN rn = 1 THEN event_id END) AS best_event_id,
+       MAX(CASE WHEN rn = 1 THEN cents END) AS best_cents,
+       MAX(CASE WHEN rn = 1 THEN cents END)
+         - MAX(CASE WHEN rn = 2 THEN cents END) AS margin_cents
+FROM c GROUP BY user_id
+"""
+
+
+@query("q_corpus_best_of_n", _BESTOFN_ORACLE)
+def q_corpus_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X513: best-of-n rejection sampling. One window shuffle on the
+    prompt key; the following groupBy rides the same hash partitioning
+    (no second exchange). Output = one row per prompt."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cents").desc(), F.col("event_id").asc()
+    )
+    c = ev.select("user_id", "event_id", cents.alias("cents")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    best = F.max(F.when(F.col("rn") == 1, F.col("cents")))
+    return c.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.max(F.when(F.col("rn") == 1, F.col("event_id"))).alias(
+            "best_event_id"
+        ),
+        best.alias("best_cents"),
+        (best - F.max(F.when(F.col("rn") == 2, F.col("cents")))).alias(
+            "margin_cents"
+        ),
+    )
+
+
+_DPO_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC,
+                                     event_id) AS rn_hi,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ROUND(value * 100) AS BIGINT) ASC,
+                                     event_id) AS rn_lo
+  FROM events),
+p AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         MAX(CASE WHEN rn_hi = 1 THEN event_id END) AS chosen_event_id,
+         MAX(CASE WHEN rn_hi = 1 THEN cents END) AS chosen_cents,
+         MAX(CASE WHEN rn_lo = 1 THEN event_id END) AS rejected_event_id,
+         MAX(CASE WHEN rn_lo = 1 THEN cents END) AS rejected_cents
+  FROM c GROUP BY user_id)
+SELECT user_id, n_candidates, chosen_event_id, chosen_cents,
+       rejected_event_id, rejected_cents,
+       chosen_cents - rejected_cents AS gap_cents
+FROM p
+WHERE n_candidates >= 2 AND chosen_cents - rejected_cents >= 1
+"""
+
+
+@query("q_corpus_dpo_pairs", _DPO_ORACLE)
+def q_corpus_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X514: DPO preference-pair construction. ONE groupBy (struct
+    min/max carry the argmin/argmax with their tie-breaks — no window,
+    no self-join); map-side partials make it a straight keyed agg."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c = ev.select("user_id", "event_id", cents.alias("cents"))
+    # struct ordering is lexicographic: max picks highest cents, then
+    # highest -event_id = SMALLEST event_id (mirrors the oracle's
+    # ORDER BY cents DESC, event_id); min picks lowest cents, then
+    # smallest event_id directly.
+    hi = F.max(F.struct(F.col("cents"), (-F.col("event_id")).alias("nid")))
+    lo = F.min(F.struct(F.col("cents"), F.col("event_id").alias("pid")))
+    p = c.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        hi.alias("hi"),
+        lo.alias("lo"),
+    )
+    return (
+        p.select(
+            "user_id",
+            "n_candidates",
+            (-F.col("hi.nid")).alias("chosen_event_id"),
+            F.col("hi.cents").alias("chosen_cents"),
+            F.col("lo.pid").alias("rejected_event_id"),
+            F.col("lo.cents").alias("rejected_cents"),
+            (F.col("hi.cents") - F.col("lo.cents")).alias("gap_cents"),
+        )
+        .filter((F.col("n_candidates") >= 2) & (F.col("gap_cents") >= 1))
+    )
+
+
+def _grpo_oracle() -> str:
+    from mini_etl_project_spark.queries.helpers import sql_dec_to_double
+
+    num = sql_dec_to_double(
+        "CAST(q AS DECIMAL(38,0)) * n - CAST(s AS DECIMAL(38,0)) * s"
+    )
+    return f"""
+WITH c AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC,
+                                     event_id) AS rn
+  FROM events),
+g AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(CAST(cents AS DECIMAL(28,0)) * cents) AS DECIMAL(38,0))
+           AS q,
+         MAX(CASE WHEN rn = 1 THEN event_id END) AS best_event_id,
+         MAX(CASE WHEN rn = 1 THEN cents END) AS best_cents
+  FROM c GROUP BY user_id),
+pos AS (
+  SELECT c.user_id,
+         CAST(COUNT(CASE WHEN c.cents * g.n > g.s THEN 1 END) AS BIGINT)
+           AS n_pos
+  FROM c JOIN g USING (user_id) GROUP BY c.user_id)
+SELECT g.user_id,
+       g.n AS n_candidates,
+       g.s AS sum_cents,
+       g.best_event_id,
+       g.best_cents,
+       pos.n_pos,
+       CASE WHEN CAST(q AS DECIMAL(38,0)) * n
+                 - CAST(s AS DECIMAL(38,0)) * s = 0 THEN NULL
+            ELSE (CAST(g.best_cents AS DOUBLE) - CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 / sqrt({num} / CAST(n AS DOUBLE)
+                        / (CAST(n AS DOUBLE) - 1.0))
+       END AS adv_best
+FROM g JOIN pos USING (user_id)
+WHERE g.n >= 2
+"""
+
+
+@query("q_corpus_grpo_advantage", _grpo_oracle())
+def q_corpus_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X515: GRPO group-relative advantage of the best candidate.
+    Moments per prompt from ONE keyed agg (exact BIGINT/DECIMAL sums);
+    n_pos (candidates above their group mean) compares in exact
+    integers (cents*n > s avoids any double compare); the z itself is
+    three correctly-rounded double ops on bit-identical inputs. The
+    per-candidate re-join for n_pos rides the same hash partitioning.
+    Zero-variance groups yield NULL advantage (decimal-exact gate)."""
+    from mini_etl_project_spark.queries.helpers import dec_to_double
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c = ev.select("user_id", "event_id", cents.alias("cents"))
+    g = c.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents").cast("decimal(28,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+        F.max(
+            F.struct(F.col("cents"), (-F.col("event_id")).alias("nid"))
+        ).alias("hi"),
+    )
+    pos = (
+        c.join(g.select("user_id", "n", "s"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("cents") * F.col("n") > F.col("s"), 1))
+            .cast("bigint")
+            .alias("n_pos")
+        )
+    )
+    num_dec = (
+        F.col("q") * F.col("n") - F.col("s").cast("decimal(38,0)") * F.col("s")
+    ).cast("decimal(38,0)")
+    nd = F.col("n").cast("double")
+    adv = (
+        F.col("hi.cents").cast("double") - F.col("s").cast("double") / nd
+    ) / F.sqrt(dec_to_double(num_dec) / nd / (nd - F.lit(1.0)))
+    return (
+        g.join(pos, "user_id")
+        .filter(F.col("n") >= 2)
+        .select(
+            "user_id",
+            F.col("n").alias("n_candidates"),
+            F.col("s").alias("sum_cents"),
+            (-F.col("hi.nid")).alias("best_event_id"),
+            F.col("hi.cents").alias("best_cents"),
+            "n_pos",
+            F.when(num_dec == 0, F.lit(None).cast("double"))
+            .otherwise(adv)
+            .alias("adv_best"),
+        )
+    )

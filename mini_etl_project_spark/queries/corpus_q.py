@@ -1325,44 +1325,51 @@ def q_corpus_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("bigint")
     c = ev.select("user_id", "event_id", cents.alias("cents"))
-    g = c.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("cents").cast("bigint").alias("s"),
+    # Group moments as WINDOW aggregates over the prompt key instead of
+    # a groupBy + re-join: the per-row n_pos comparison then reads its
+    # own group's (n, s) in place — ONE scan, ONE key shuffle (both
+    # window specs and the groupBy share the user_id partitioning).
+    wp = Window.partitionBy("user_id")
+    wo = wp.orderBy(F.col("cents").desc(), F.col("event_id").asc())
+    c2 = c.select(
+        "user_id",
+        "cents",
+        "event_id",
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+        F.sum("cents").over(wp).cast("bigint").alias("s"),
         F.sum(F.col("cents").cast("decimal(28,0)") * F.col("cents"))
+        .over(wp)
         .cast("decimal(38,0)")
         .alias("q"),
-        F.max(
-            F.struct(F.col("cents"), (-F.col("event_id")).alias("nid"))
-        ).alias("hi"),
+        F.row_number().over(wo).alias("rn"),
     )
-    pos = (
-        c.join(g.select("user_id", "n", "s"), "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.count(F.when(F.col("cents") * F.col("n") > F.col("s"), 1))
-            .cast("bigint")
-            .alias("n_pos")
-        )
+    g = c2.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.max("q").alias("q"),
+        F.max(F.when(F.col("rn") == 1, F.col("event_id"))).alias(
+            "best_event_id"
+        ),
+        F.max(F.when(F.col("rn") == 1, F.col("cents"))).alias("best_cents"),
+        F.count(F.when(F.col("cents") * F.col("n") > F.col("s"), 1))
+        .cast("bigint")
+        .alias("n_pos"),
     )
     num_dec = (
         F.col("q") * F.col("n") - F.col("s").cast("decimal(38,0)") * F.col("s")
     ).cast("decimal(38,0)")
     nd = F.col("n").cast("double")
     adv = (
-        F.col("hi.cents").cast("double") - F.col("s").cast("double") / nd
+        F.col("best_cents").cast("double") - F.col("s").cast("double") / nd
     ) / F.sqrt(dec_to_double(num_dec) / nd / (nd - F.lit(1.0)))
-    return (
-        g.join(pos, "user_id")
-        .filter(F.col("n") >= 2)
-        .select(
-            "user_id",
-            F.col("n").alias("n_candidates"),
-            F.col("s").alias("sum_cents"),
-            (-F.col("hi.nid")).alias("best_event_id"),
-            F.col("hi.cents").alias("best_cents"),
-            "n_pos",
-            F.when(num_dec == 0, F.lit(None).cast("double"))
-            .otherwise(adv)
-            .alias("adv_best"),
-        )
+    return g.filter(F.col("n") >= 2).select(
+        "user_id",
+        F.col("n").alias("n_candidates"),
+        F.col("s").alias("sum_cents"),
+        "best_event_id",
+        "best_cents",
+        "n_pos",
+        F.when(num_dec == 0, F.lit(None).cast("double"))
+        .otherwise(adv)
+        .alias("adv_best"),
     )

@@ -56,8 +56,15 @@ def test_no_nonscalar_output_columns(spark):
 # with 10-132 scans where 1-2 are structural (kl_drift 10->1,
 # link_predict 132->checkpointed). 0 = every scan happens inside a
 # one-time eager localCheckpoint build; the final plan reads only
-# checkpointed RDDs.
+# checkpointed RDDs. Counting convention: formatted explain prints
+# each scan node twice (tree line + detail header), so every value
+# here is 2x the physical scan count — consistent across all records.
 _SCAN_CEILING: dict[str, int] = {
+    # round-10 new queries (X513-X515; 2 = ONE physical scan)
+    "q_corpus_best_of_n": 2,
+    "q_corpus_dpo_pairs": 2,
+    "q_corpus_grpo_advantage": 2,  # was 6 pre-merge: window-based
+    # moments replaced the groupBy + re-join (3 scans -> 1)
     # the round-9 audit's ten restructured plans
     "q_graph_link_predict": 0,
     "q_etl_ipf_raking": 0,

@@ -57,8 +57,9 @@ def test_no_nonscalar_output_columns(spark):
 # link_predict 132->checkpointed). 0 = every scan happens inside a
 # one-time eager localCheckpoint build; the final plan reads only
 # checkpointed RDDs. Counting convention: formatted explain prints
-# each scan node twice (tree line + detail header), so every value
-# here is 2x the physical scan count — consistent across all records.
+# each scan node twice (tree line + detail header), so every non-zero
+# value here is 2x the physical scan count — consistent across all
+# records in this file (each was measured with exactly this counter).
 _SCAN_CEILING: dict[str, int] = {
     # round-10 new queries (X513-X515; 2 = ONE physical scan)
     "q_corpus_best_of_n": 2,

@@ -141,8 +141,13 @@ def main() -> None:
                 "load_avg_start": load_avg,
                 "q06_quiet_band": list(_Q06_BAND),
                 # drift-corrected trend metric: total scaled by how far
-                # the q06 probe sat from its quiet-band midpoint
+                # the q06 probe sat from its quiet-band midpoint. Only
+                # meaningful on UNCONTENDED runs (uniform host drift);
+                # under active steal the probe and the workload are hit
+                # non-uniformly and the correction over/under-shoots —
+                # normalized_trusted carries that gate in the artifact.
                 "normalized_total_sec": normalized,
+                "normalized_trusted": not contended,
                 "q06_band_mid": _Q06_BAND_MID,
             }
         )

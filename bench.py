@@ -96,6 +96,20 @@ _Q06_BAND = (0.27, 0.45)
 # primary driver metric; the normalized one is the trend line.
 _Q06_BAND_MID = round(sum(_Q06_BAND) / 2, 4)
 
+# Second probe (VERDICT r10 ask #5): q06 is ONE plan shape (selective
+# scan) — a steal window that lands on shuffles but not scans fools a
+# single-probe correction. q_window_topk_per_group (scan + window sort
+# + shuffle, plan untouched since round 1) probes the shuffle path.
+# Quiet-band from the committed BENCH_r02-r10 artifacts (excluding the
+# r5 contended run): 0.29-0.45 s. The normalized metric stays q06-based
+# for cross-round continuity; `normalized_trusted` now additionally
+# requires the two probes' implied correction factors to agree within
+# 15% — disagreement means the drift was non-uniform across plan
+# shapes, so no single scalar correction is honest.
+_TOPK_BAND = (0.29, 0.46)
+_TOPK_BAND_MID = round(sum(_TOPK_BAND) / 2, 4)
+_PROBE_AGREE_TOL = 0.15
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -126,6 +140,14 @@ def main() -> None:
     normalized = (
         round(total * _Q06_BAND_MID / q06, 4) if q06 else None
     )
+    # Dual-probe agreement gate: both probes' correction factors
+    # (band midpoint / measured) must tell the same host story.
+    topk = results.get("q_window_topk_per_group")
+    probes_agree = None
+    if q06 and topk:
+        corr_q06 = _Q06_BAND_MID / q06
+        corr_topk = _TOPK_BAND_MID / topk
+        probes_agree = abs(corr_q06 / corr_topk - 1.0) <= _PROBE_AGREE_TOL
     print(
         json.dumps(
             {
@@ -147,8 +169,13 @@ def main() -> None:
                 # non-uniformly and the correction over/under-shoots —
                 # normalized_trusted carries that gate in the artifact.
                 "normalized_total_sec": normalized,
-                "normalized_trusted": not contended,
+                "normalized_trusted": bool(not contended and probes_agree),
                 "q06_band_mid": _Q06_BAND_MID,
+                # second untouched probe (shuffle/window shape) + the
+                # cross-probe agreement that gates the trusted flag
+                "topk_probe_band": list(_TOPK_BAND),
+                "topk_band_mid": _TOPK_BAND_MID,
+                "probes_agree": probes_agree,
             }
         )
     )

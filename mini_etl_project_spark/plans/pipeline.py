@@ -110,6 +110,7 @@ class AutoETLPipeline:
         cache_intermediate: bool = True,
         assume_partitioned: bool = False,
         profile_sample_mod: int | None = None,
+        dedup_digest: bool = False,
     ) -> None:
         self.compat = compat
         self.missing_threshold = missing_threshold
@@ -137,6 +138,19 @@ class AutoETLPipeline:
         # session.load_table — which widens degenerate scans itself — can
         # declare that and skip the re-probe.
         self.assume_partitioned = assume_partitioned
+        # R17 dedup key strategy (VERDICT r10 ask #3). False (default):
+        # plain dropDuplicates() — the exchange and both hash-agg levels
+        # key on the full wide row. True: key on a 16-byte md5 digest of
+        # the row instead, so partial/final agg hashing and equality
+        # compare 16 bytes rather than every column. Survivor-set parity
+        # is exact: to_json keeps field names (null patterns cannot
+        # collide across columns) and numeric -0.0 is normalized to 0.0
+        # before hashing to mirror dropDuplicates' float normalization.
+        # Collision risk: md5 is 128-bit — P(any collision) at n rows is
+        # ~n²/2^129; at 10^12 rows (beyond 100 TB of this data) that is
+        # ~10^-15, far below any hardware-error floor. Measurement:
+        # SCALE_VALIDATION.md round-11 "digest-dedup experiment".
+        self.dedup_digest = dedup_digest
         # The stats jobs (2–5) all re-evaluate the raw scan + cleaning
         # expressions; persisting the input across them trades memory/disk
         # for repeated parse work. MEMORY_AND_DISK, so it degrades to
@@ -530,7 +544,26 @@ class AutoETLPipeline:
         observed = base_df.observe(self._observation, *obs_metrics)
         projected = observed.select(*[imputed[c].alias(c) for c in kept])
         self._pre_dedup = projected
-        result = projected.dropDuplicates()
+        if self.dedup_digest:
+            # Dedup on a 16-byte row digest instead of the wide row (see
+            # __init__). -0.0 → 0.0 on numerics mirrors dropDuplicates'
+            # float normalization; NaN renders stably as "NaN" in
+            # to_json, and null fields are dropped WITH their names, so
+            # the encoding stays injective per schema.
+            fields = []
+            for c in kept:
+                col = F.col(c)
+                if self.column_types[c] == NUMERIC:
+                    col = F.when(col == 0.0, F.lit(0.0)).otherwise(col)
+                fields.append(col.alias(c))
+            digest = F.unhex(F.md5(F.to_json(F.struct(*fields))))
+            result = (
+                projected.withColumn("__row_digest", digest)
+                .dropDuplicates(["__row_digest"])
+                .drop("__row_digest")
+            )
+        else:
+            result = projected.dropDuplicates()
 
         if self.eager_summary:
             self.create_data_summary(result)  # job 6; also fills the observation

@@ -89,30 +89,28 @@ def _load_all() -> None:
 # re-sorts the rotation for the next one.
 
 #: Queries re-touched this round (fresh driver evidence wanted first).
-#: Round 10 (VERDICT r9 ask #1): the entire round-9 _RECHECK wave came
-#: back green in CORRECTNESS_r09.json, so the list empties down to the
-#: judge-flagged stream rows (ask #7: their oracles encode emission
-#: contracts, and streaming_q registers too late for the never-sampled
-#: bucket to reach them inside the ~50/round budget) — the rest of the
-#: budget goes to the never-sampled bucket in registration order.
+#: Round 11: the round-10 _RECHECK wave (the last two stream rows) came
+#: back green in CORRECTNESS_r10.json, so the list holds exactly the
+#: queries whose plans changed this round: the good_turing vacuity fix
+#: (VERDICT r10 ask #1 — its old green was contentless, so a fresh row
+#: on the now-populated output is the point) and the DPO NULL-convention
+#: pin (ADVICE r11).
 _RECHECK: list[str] = [
-    # never-sampled streaming queries (VERDICT r9 ask #7) — after these
-    # two, every q_stream_* row has at least one driver-green row
-    "q_stream_join_semi",
-    "q_stream_alerts",
+    "q_text_good_turing",
+    "q_corpus_dpo_pairs",
+    # round-11 vacuity-audit hit: was 0 rows in both engines at every SF
+    # (its old driver green was as contentless as good_turing's) —
+    # re-pointed non-empty and re-verified locally; needs a fresh row.
+    "q_setop_except",
 ]
 
-#: Round-10 NEW queries, deferred to the END of the never-sampled
-#: bucket: the ~50/round driver budget this round belongs to the 185
-#: old never-sampled rows (VERDICT r9 ask #1 — drain the evidence gap);
-#: these three are locally oracle-verified now and rotate in next
-#: round. Without this, corpus_q's early registration slot would put
-#: them AHEAD of older never-sampled families.
-_DEFER_NEW: list[str] = [
-    "q_corpus_best_of_n",
-    "q_corpus_dpo_pairs",
-    "q_corpus_grpo_advantage",
-]
+#: Round-10's one-round deferral of X513-X515 EXPIRES this round
+#: (VERDICT r10 ask #2: "ensure X513-X515 sample in r11's 50"): the
+#: list empties, so the three RLHF queries fall into the never-sampled
+#: bucket at corpus_q's early registration slot — ahead of the later-
+#: registering never-sampled holdovers, inside the ~50/round budget.
+#: The mechanism stays for future rounds' new queries.
+_DEFER_NEW: list[str] = []
 
 
 def _driver_evidence() -> dict[str, int]:

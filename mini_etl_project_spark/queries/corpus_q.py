@@ -1215,7 +1215,8 @@ WITH c AS (
          ROW_NUMBER() OVER (PARTITION BY user_id
                             ORDER BY CAST(ROUND(value * 100) AS BIGINT) ASC,
                                      event_id) AS rn_lo
-  FROM events),
+  FROM events
+  WHERE value IS NOT NULL),
 p AS (
   SELECT user_id,
          CAST(COUNT(*) AS BIGINT) AS n_candidates,
@@ -1236,10 +1237,17 @@ WHERE n_candidates >= 2 AND chosen_cents - rejected_cents >= 1
 def q_corpus_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X514: DPO preference-pair construction. ONE groupBy (struct
     min/max carry the argmin/argmax with their tie-breaks — no window,
-    no self-join); map-side partials make it a straight keyed agg."""
+    no self-join); map-side partials make it a straight keyed agg.
+
+    NULL rewards are filtered EXPLICITLY on both engines (round-11 ADVICE
+    pin): Spark's min(struct) sorts NULL cents first while DuckDB's ORDER
+    BY defaults to NULLS LAST — without the filter the NULL convention
+    would be an accident of the data rather than part of the contract."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("bigint")
-    c = ev.select("user_id", "event_id", cents.alias("cents"))
+    c = ev.filter(F.col("value").isNotNull()).select(
+        "user_id", "event_id", cents.alias("cents")
+    )
     # struct ordering is lexicographic: max picks highest cents, then
     # highest -event_id = SMALLEST event_id (mirrors the oracle's
     # ORDER BY cents DESC, event_id); min picks lowest cents, then

@@ -58,10 +58,19 @@ def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- Q19 except ------------------------------------------------------------
 
+# Ordering customers outside the BUILDING segment. The original
+# direction (customers EXCEPT ordering custkeys) was round-11's vacuity
+# audit hit: in this synthetic data EVERY customer has an order at every
+# SF, so the query returned 0 rows in both engines and its green row
+# proved nothing (the q_text_good_turing class, VERDICT r10 ask #1).
+# This direction is structurally non-empty at any SF (only ~1/5 of
+# customers are BUILDING) and still exercises EXCEPT's set semantics:
+# the left side is a multiset (one custkey per order) that EXCEPT must
+# dedup.
 _EXCEPT_ORACLE = """
-SELECT c_custkey AS custkey FROM customer
-EXCEPT
 SELECT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 """
 
 
@@ -70,8 +79,10 @@ def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     # subtract = EXCEPT (set semantics), vs exceptAll = EXCEPT ALL (multiset)
-    return c.select(F.col("c_custkey").alias("custkey")).subtract(
-        o.select(F.col("o_custkey").alias("custkey"))
+    return o.select(F.col("o_custkey").alias("custkey")).subtract(
+        c.filter(F.col("c_mktsegment") == "BUILDING").select(
+            F.col("c_custkey").alias("custkey")
+        )
     )
 
 

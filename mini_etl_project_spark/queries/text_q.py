@@ -1603,8 +1603,17 @@ def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # numerator/denominator pair plus a ppm rendering (no floats cross the
 # gate). Plan: one token groupBy (the only full-corpus pass), a groupBy
 # of the counts themselves, and a self-join on r+1 over the tiny
-# count-of-counts table (bounded by the max token frequency; output
-# capped at r <= 20, the region Good-Turing actually smooths).
+# count-of-counts table (bounded by the max token frequency). The output
+# cap is DATA-RELATIVE: the 20 LOWEST FREQUENCY RANKS PRESENT (rank of r
+# within the distinct frequencies, not r's value) — the low-frequency
+# region Good-Turing actually smooths at whatever the corpus's frequency
+# floor and spacing are. A fixed "r <= 20" cap was round 10's one audit
+# finding: sf0.01's minimum token frequency is 26, so the query returned
+# 0 rows in BOTH engines and its oracle green was contentless (VERDICT
+# r10 "vacuous gate rows"); a value-relative "r <= min(r)+19" still
+# yields 1 row there because frequencies are sparse above the floor.
+# The rank is computed on the bounded count-of-counts table (a window
+# over ≤ max-frequency distinct rows — never the fact scale).
 
 _GOOD_TURING_ORACLE = """
 WITH tf AS (
@@ -1621,25 +1630,38 @@ SELECT a.r, a.n_r,
        CAST((1000000 * (a.r + 1) * COALESCE(b.n_r, 0)) // a.n_r
             AS BIGINT) AS r_star_ppm
 FROM coc a LEFT JOIN coc b ON b.r = a.r + 1
-WHERE a.r <= 20
+QUALIFY ROW_NUMBER() OVER (ORDER BY a.r) <= 20
 """
 
 
 @query("q_text_good_turing", _GOOD_TURING_ORACLE)
 def q_text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     tf = (
         d.select(F.explode(tokens("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("r"))
     )
-    coc = tf.groupBy("r").agg(F.count("*").cast("bigint").alias("n_r"))
+    # coc is bounded (one row per distinct token frequency) and consumed
+    # twice (join left side, the r+1 shift) — checkpoint it so the
+    # full-corpus token pass happens exactly once.
+    coc = (
+        tf.groupBy("r")
+        .agg(F.count("*").cast("bigint").alias("n_r"))
+        .localCheckpoint(eager=True)
+    )
     nxt = coc.select(
         (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
     )
+    # Rank window over the tiny checkpointed coc, never the fact scale.
+    rank_w = Window.orderBy("r")
     return (
         coc.join(F.broadcast(nxt), "r", "left")
-        .where(F.col("r") <= 20)
+        .withColumn("__rk", F.row_number().over(rank_w))
+        .where(F.col("__rk") <= 20)
+        .drop("__rk")
         .select(
             "r",
             "n_r",

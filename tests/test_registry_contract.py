@@ -182,3 +182,33 @@ def test_coverage_doc_names_resolve():
     gated = {"q_stream_stateful_v2"}  # protobuf-gated, streaming_q.py:411
     missing = sorted(n for n in cited - gated if n not in QUERIES)
     assert not missing, f"COVERAGE.md cites unregistered queries: {missing}"
+
+
+def test_no_vacuous_oracle_rows_at_gate_sf(spark):
+    """VERDICT r10 ask #1: a driver green row only carries evidence when
+    the compared result is NON-EMPTY — q_text_good_turing passed the gate
+    for rounds with 0 rows in both engines (its r<=20 cap undershot
+    sf0.01's frequency floor of 26), proving nothing. Every oracle-backed
+    query must return >=1 row at the gate SF (sf0.01, the SF the driver
+    compares at). The round-11 full-registry audit
+    (tools/audit_vacuous.py) found exactly two hits — good_turing (cap
+    made rank-relative) and q_setop_except (every customer has an order
+    in this data; direction flipped) — both fixed; this walk keeps the
+    class extinct. take(1) is the cheapest non-emptiness action (Catalyst
+    plants a LocalLimit below the final exchange where semantics allow).
+    """
+    gate_sf = "/root/testdata/sf0.01"
+    empty: list[str] = []
+    errors: list[str] = []
+    for name in sorted(ORACLES):
+        try:
+            if not QUERIES[name](spark, gate_sf).take(1):
+                empty.append(name)
+        except Exception as e:  # noqa: BLE001 — collect, don't abort
+            errors.append(f"{name}: {type(e).__name__}: {e}")
+    assert not errors, "query failed at gate SF:\n" + "\n".join(errors[:10])
+    assert not empty, (
+        "vacuous oracle rows (0 rows at the gate SF — the green row "
+        "proves nothing; make the query's thresholds data-relative or "
+        "repoint it at a non-empty slice):\n" + "\n".join(empty)
+    )

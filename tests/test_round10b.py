@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 from collections import defaultdict
+from decimal import ROUND_HALF_UP, Decimal
 
 import pyarrow.parquet as pq
 import pytest
@@ -28,8 +29,13 @@ def raw_events():
     for uid, eid, val in zip(
         t["user_id"].to_pylist(), t["event_id"].to_pylist(), t["value"].to_pylist()
     ):
-        # round-half-up on positive cents — both engines' ROUND convention
-        by_user[uid].append((eid, int(math.floor(val * 100 + 0.5))))
+        # Half-up on the double's shortest repr — exactly Spark's ROUND
+        # (BigDecimal.valueOf(d) = shortest repr, then HALF_UP). The old
+        # floor(x*100 + 0.5) diverged on the 0.49999999999999994 class
+        # and on negatives (round-11 ADVICE pin).
+        by_user[uid].append(
+            (eid, int(Decimal(repr(val * 100)).quantize(Decimal(1), ROUND_HALF_UP)))
+        )
     return by_user
 
 

@@ -5,8 +5,9 @@ VERDICT r9 ask #6: the approx-profile flag cut the 100x transform
 stats groupBy, the outlier stats job, or the final dropDuplicates
 shuffle — without touching the pipeline (pure monkeypatch timers).
 
-Usage: python tools/pipeline_phase_breakdown.py [sf_dir] [sample_mod]
-Prints one JSON line with per-phase seconds.
+Usage: python tools/pipeline_phase_breakdown.py [sf_dir] [sample_mod] [digest]
+Prints one JSON line with per-phase seconds. digest=1 keys the R17 dedup
+on a 16-byte row digest instead of the wide row (round-11 experiment).
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ from mini_etl_project_spark.session import get_spark, load_table
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx10"
     mod = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    digest = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
     spark = get_spark("pipe_phase")
     l = load_table(spark, sf_dir, "lineitem")
     raw = l.select(
@@ -62,6 +64,7 @@ def main() -> None:
         exact_stats=False,
         assume_partitioned=True,
         profile_sample_mod=mod if mod > 1 else None,
+        dedup_digest=digest,
     )
     t0 = time.time()
     result = pipe.transform(raw)
@@ -81,6 +84,7 @@ def main() -> None:
             {
                 "sf_dir": sf_dir,
                 "sample_mod": mod,
+                "dedup_digest": digest,
                 "transform_call_sec": t_transform,
                 "phases": phases,
                 "pre_dedup_count_sec": t_pre_count,

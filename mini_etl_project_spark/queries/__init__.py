@@ -105,12 +105,18 @@ _RECHECK: list[str] = [
 ]
 
 #: Round-10's one-round deferral of X513-X515 EXPIRES this round
-#: (VERDICT r10 ask #2: "ensure X513-X515 sample in r11's 50"): the
-#: list empties, so the three RLHF queries fall into the never-sampled
-#: bucket at corpus_q's early registration slot — ahead of the later-
-#: registering never-sampled holdovers, inside the ~50/round budget.
-#: The mechanism stays for future rounds' new queries.
-_DEFER_NEW: list[str] = []
+#: (VERDICT r10 ask #2: "ensure X513-X515 sample in r11's 50"): they
+#: fall into the never-sampled bucket at corpus_q's early registration
+#: slot — ahead of the later-registering never-sampled holdovers,
+#: inside the ~50/round budget. Round-11's OWN new queries (X516/X517)
+#: take their place in the deferral, per the standing contract: the
+#: drain owns the budget; new, locally-3-SF-verified queries rotate in
+#: the round after.
+_DEFER_NEW: list[str] = [
+    "q_corpus_margin_calibration",
+    "q_corpus_incremental_ingest",
+    "q_corpus_bon_yield",
+]
 
 
 def _driver_evidence() -> dict[str, int]:

@@ -1381,3 +1381,613 @@ def q_corpus_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(adv)
         .alias("adv_best"),
     )
+
+
+# -- X516: reward-margin -> win-rate calibration ----------------------------
+#
+# VERDICT r10 ask #6. X513/X514 emit raw reward margins in cents; a
+# training pipeline needs to know what a margin is WORTH — the
+# probability that the preference it encodes survives independent
+# re-measurement. This query builds that calibration curve with a
+# hash-held-out probe (the X214 reliability-bin machinery applied to
+# preference pairs):
+#
+# 1. Candidates are paired WITHIN each prompt by a reward-independent
+#    hash order (60-bit md5 of 'p'||event_id): rank, then pair ranks
+#    (1,2), (3,4), ... — a deterministic held-out pairing that, unlike
+#    X514's (argmax, argmin), yields a pair POPULATION whose margins
+#    span the whole scale instead of one extreme pair per prompt.
+# 2. Within a pair, chosen/rejected by reward (ties to smaller
+#    event_id), margin = chosen - rejected cents >= 0.
+# 3. The PROBE re-scores each candidate as cents + noise, where noise
+#    is a second independent hash of the candidate (md5 of
+#    'n'||event_id, uniform over [-25000, +25000] cents); a pair WINS
+#    if the chosen side still scores strictly higher under the probe.
+#    P(win | margin) is the noise-difference CDF — monotone in margin
+#    by construction, saturating at exactly 1 for margin > 50000 —
+#    so the empirical curve has a theoretical invariant the test suite
+#    pins (tests/test_round11.py).
+# 4. Margins bin at 5000-cent width, capped at bin 10 (the saturation
+#    region); per bin: pair count, wins, win rate and mean margin in
+#    exact integer ppm/cents (fixed-point DIV on non-negatives — the
+#    X214 lane).
+#
+# Scale posture: one window shuffle on the prompt key, a pair groupBy
+# whose map-side partials collapse to one row per pair BEFORE its
+# exchange (pair members are co-located by the window sort), and a
+# final 11-row bin agg. Output bounded by the bin count.
+
+_MARGIN_CAL_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(('0x' || substr(md5('p' || CAST(event_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS ph,
+         CAST(('0x' || substr(md5('n' || CAST(event_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 50001 - 25000 AS noise
+  FROM events
+  WHERE value IS NOT NULL),
+r AS (
+  SELECT user_id, event_id, cents, noise,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ph, event_id) AS rn
+  FROM c),
+p AS (
+  SELECT user_id, CAST((rn - 1) // 2 AS BIGINT) AS pair_id,
+         COUNT(*) AS n_members,
+         MAX(CASE WHEN rr = 1 THEN cents END) AS chosen_cents,
+         MAX(CASE WHEN rr = 1 THEN noise END) AS chosen_noise,
+         MAX(CASE WHEN rr = 2 THEN cents END) AS rejected_cents,
+         MAX(CASE WHEN rr = 2 THEN noise END) AS rejected_noise
+  FROM (SELECT user_id, rn, cents, noise,
+               ROW_NUMBER() OVER (PARTITION BY user_id, (rn - 1) // 2
+                                  ORDER BY cents DESC, event_id) AS rr
+        FROM r)
+  GROUP BY user_id, CAST((rn - 1) // 2 AS BIGINT)),
+pairs AS (
+  SELECT chosen_cents - rejected_cents AS margin,
+         CASE WHEN chosen_cents + chosen_noise
+                   > rejected_cents + rejected_noise
+              THEN 1 ELSE 0 END AS win
+  FROM p WHERE n_members = 2)
+SELECT CAST(LEAST(margin // 5000, 10) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(win) AS BIGINT) AS n_wins,
+       CAST(SUM(win) * 1000000 // COUNT(*) AS BIGINT) AS win_rate_ppm,
+       CAST(SUM(margin) // COUNT(*) AS BIGINT) AS mean_margin_cents
+FROM pairs GROUP BY bin
+"""
+
+
+@query("q_corpus_margin_calibration", _MARGIN_CAL_ORACLE)
+def q_corpus_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X516: margin->win-rate calibration of the X513/X514 reward margins
+    under a hash-held-out probe. See the module comment above the oracle
+    for the construction; the win-rate-vs-margin curve is monotone with
+    a saturated top bin by the probe's design, and tests/test_round11.py
+    recomputes the whole surface in plain Python and pins both."""
+    ev = load_table(spark, sf_dir, "events")
+    h60 = lambda prefix: F.conv(  # noqa: E731 — 60-bit md5 prefix, X214 lane
+        F.substring(F.md5(F.concat(F.lit(prefix), F.col("event_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    c = ev.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        h60("p").alias("ph"),
+        (h60("n") % 50001 - 25000).alias("noise"),
+    )
+    w_pair = Window.partitionBy("user_id").orderBy("ph", "event_id")
+    r = c.withColumn("rn", F.row_number().over(w_pair)).withColumn(
+        "pair_id", ((F.col("rn") - 1) / 2).cast("bigint")
+    )
+    # argmax-by-reward within the 2-member pair via struct extrema (the
+    # X514 lane): max picks (cents DESC, event_id ASC) with the member's
+    # noise riding along. The REJECTED member is the pair complement, so
+    # its cents/noise come from (pair sum - chosen) — exact integers, and
+    # immune to the equal-cents tie (a min(struct) mirror would pick the
+    # SAME member as the max when cents tie).
+    hi = F.max(F.struct("cents", (-F.col("event_id")).alias("nid"), "noise"))
+    p = r.groupBy("user_id", "pair_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        hi.alias("hi"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum("noise").alias("sum_noise"),
+    )
+    rej_cents = F.col("sum_cents") - F.col("hi.cents")
+    rej_noise = F.col("sum_noise") - F.col("hi.noise")
+    pairs = p.filter(F.col("n_members") == 2).select(
+        (F.col("hi.cents") - rej_cents).alias("margin"),
+        F.when(
+            F.col("hi.cents") + F.col("hi.noise") > rej_cents + rej_noise, 1
+        )
+        .otherwise(0)
+        .alias("win"),
+    )
+    return pairs.groupBy(
+        F.least(F.expr("margin DIV 5000"), F.lit(10)).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("win").cast("bigint").alias("n_wins"),
+        F.expr("SUM(win) * 1000000 DIV COUNT(*)").cast("bigint").alias(
+            "win_rate_ppm"
+        ),
+        F.expr("SUM(margin) DIV COUNT(*)").cast("bigint").alias(
+            "mean_margin_cents"
+        ),
+    )
+
+
+# -- X517: incremental corpus ingestion, composed end-to-end ----------------
+#
+# VERDICT r10 ask #4. The 100 TB shape users actually run is not any one
+# dedup operator — it is the COMPOSITION: a new crawl batch arriving
+# against an existing corpus snapshot, flowing through quality gate ->
+# exact dedup (within batch, then vs corpus) -> asymmetric MinHash/LSH
+# near-dup probe vs the corpus -> semantic (embedding-cosine) probe vs
+# the corpus -> admission. Every stage exists as a verified operator
+# (X153/X1/X227/X378); this query pins the composition itself with one
+# oracle: the per-document DISPOSITION of the whole batch, where every
+# planted duplicate crosses a batch boundary (exact copies of corpus
+# docs at +50000, near-mutations of corpus docs at +60000 with the
+# first 20 chars cut, and within-batch exact copies at +70000).
+#
+# Stage precedence per doc (first hit labels it): rejected_quality ->
+# dup_exact_batch (keep-first by doc_id) -> dup_exact_corpus ->
+# dup_near_corpus (LSH bands, exact Jaccard >= 0.5 verify) ->
+# dup_semantic_corpus (4x4-bit exact-sign hyperplane buckets, exact
+# cosine >= 0.35; only docs with embeddings can hit it) -> admitted.
+#
+# Scale posture: the gate is stateless map work; exact stages are keyed
+# hash joins on md5 keys; the LSH probe is X227's asymmetric banding
+# (existing bands x batch bands only — never a self-join of either
+# side); the semantic probe buckets both sides and scores only bucket
+# collisions. Nothing scans pair space; output is bounded by |batch|.
+# The bounded derived tables (batch, corpus slice, vectors — hundreds
+# of rows here, batch-sized in production) are eagerly checkpointed so
+# the final plan re-derives nothing (the round-9 scan-audit rule). The
+# snapshot-table leg of the same pipeline (exactly-once append_txn +
+# CDC replay across two batches) is pinned by
+# tests/test_round11b.py::test_ingest_exactly_once_two_batches.
+
+_INGEST_TAU = 0.35
+
+_INGEST_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < 300),
+existing AS (SELECT id, text FROM base WHERE id % 3 <> 0),
+inc0 AS (SELECT id, text FROM base WHERE id % 3 = 0),
+incoming AS (
+  SELECT id, text FROM inc0
+  UNION ALL
+  SELECT id + 50000, text FROM existing WHERE id % 7 = 1
+  UNION ALL
+  SELECT id + 60000, substring(text, 21) FROM existing WHERE id % 11 = 2
+  UNION ALL
+  SELECT id + 70000, text FROM inc0 WHERE id % 13 = 3),
+q AS (
+  SELECT id, text,
+         length(trim(text)) >= 80
+         AND CAST(len(regexp_extract_all(text, '[A-Za-z]{{2,}}')) AS DOUBLE)
+             / GREATEST(len(regexp_extract_all(trim(text), '\\S+')), 1)
+             >= 0.6 AS ok
+  FROM incoming),
+qk AS (
+  SELECT id, text, md5(lower(trim(text))) AS k,
+         ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                            ORDER BY id) AS rk
+  FROM q WHERE ok),
+ek AS (SELECT DISTINCT md5(lower(trim(text))) AS k FROM existing),
+s_batch AS (SELECT id FROM qk WHERE rk > 1),
+s_exact AS (SELECT qk.id FROM qk JOIN ek USING (k) WHERE rk = 1),
+surv AS (
+  SELECT id, text FROM qk
+  WHERE rk = 1 AND k NOT IN (SELECT k FROM ek)),
+sh_e AS (
+  SELECT DISTINCT id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(length(text)-4, 1)),
+             i -> substring(text, i, 5)))) AS shingle
+  FROM existing),
+sh_s AS (
+  SELECT DISTINCT id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(length(text)-4, 1)),
+             i -> substring(text, i, 5)))) AS shingle
+  FROM surv),
+sig_e AS (
+  SELECT id, seed.s AS seed, MIN(__H64__) AS mh
+  FROM sh_e, (SELECT unnest(generate_series(0, 15)) AS s) seed
+  GROUP BY id, seed.s),
+sig_s AS (
+  SELECT id, seed.s AS seed, MIN(__H64__) AS mh
+  FROM sh_s, (SELECT unnest(generate_series(0, 15)) AS s) seed
+  GROUP BY id, seed.s),
+band_e AS (
+  SELECT id, CAST(FLOOR(seed / 4) AS INT) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_key
+  FROM sig_e GROUP BY id, CAST(FLOOR(seed / 4) AS INT)),
+band_s AS (
+  SELECT id, CAST(FLOOR(seed / 4) AS INT) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_key
+  FROM sig_s GROUP BY id, CAST(FLOOR(seed / 4) AS INT)),
+cand AS (
+  SELECT DISTINCT s.id AS inc_id, e.id AS ex_id
+  FROM band_s s JOIN band_e e
+    ON s.band = e.band AND s.band_key = e.band_key),
+sizes_e AS (SELECT id, COUNT(*) AS n FROM sh_e GROUP BY id),
+sizes_s AS (SELECT id, COUNT(*) AS n FROM sh_s GROUP BY id),
+inter AS (
+  SELECT c.inc_id, c.ex_id, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh_s a ON a.id = c.inc_id
+  JOIN sh_e b ON b.id = c.ex_id AND b.shingle = a.shingle
+  GROUP BY c.inc_id, c.ex_id),
+near AS (
+  SELECT DISTINCT i.inc_id AS id
+  FROM inter i
+  JOIN sizes_s sa ON sa.id = i.inc_id
+  JOIN sizes_e sb ON sb.id = i.ex_id
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5),
+surv2 AS (SELECT id FROM surv WHERE id NOT IN (SELECT id FROM near)),
+vecs AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+v_inc AS (
+  SELECT vec_id, embedding FROM vecs WHERE vec_id IN (SELECT id FROM surv2)),
+v_ex AS (
+  SELECT vec_id, embedding FROM vecs WHERE vec_id % 3 <> 0),
+planes AS (
+  SELECT t.t AS tbl, b.b AS bit, d.d AS dim,
+         (('0x' || substr(md5('rhp:' || t.t || ':' || b.b || ':' || d.d),
+                          1, 16))::UBIGINT::DOUBLE
+          / 9223372036854775808.0 - 1.0) AS w
+  FROM unnest(generate_series(0, 3)) t(t),
+       unnest(generate_series(0, 3)) b(b),
+       unnest(generate_series(0, 63)) d(d)),
+sig_vi AS (
+  SELECT vec_id, tbl,
+         SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << bit) ELSE 0 END)
+           AS bucket
+  FROM (SELECT e.vec_id, p.tbl, p.bit,
+               SUM(CAST(CAST(e.embedding[p.dim + 1] AS DOUBLE) * p.w
+                        AS DECIMAL(38,10))) AS dot
+        FROM v_inc e, planes p
+        GROUP BY e.vec_id, p.tbl, p.bit)
+  GROUP BY vec_id, tbl),
+sig_ve AS (
+  SELECT vec_id, tbl,
+         SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << bit) ELSE 0 END)
+           AS bucket
+  FROM (SELECT e.vec_id, p.tbl, p.bit,
+               SUM(CAST(CAST(e.embedding[p.dim + 1] AS DOUBLE) * p.w
+                        AS DECIMAL(38,10))) AS dot
+        FROM v_ex e, planes p
+        GROUP BY e.vec_id, p.tbl, p.bit)
+  GROUP BY vec_id, tbl),
+scand AS (
+  SELECT DISTINCT a.vec_id AS inc_id, b.vec_id AS ex_id
+  FROM sig_vi a JOIN sig_ve b ON a.tbl = b.tbl AND a.bucket = b.bucket),
+norms AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(CAST(embedding[t.i] AS DOUBLE)
+                       * CAST(embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE) AS sq
+  FROM vecs, unnest(generate_series(1, 64)) t(i)
+  GROUP BY vec_id),
+sem AS (
+  SELECT DISTINCT sc.inc_id AS id
+  FROM scand sc
+  JOIN v_inc a ON a.vec_id = sc.inc_id
+  JOIN v_ex b ON b.vec_id = sc.ex_id
+  JOIN norms na ON na.vec_id = sc.inc_id
+  JOIN norms nb ON nb.vec_id = sc.ex_id,
+       unnest(generate_series(1, 64)) t(i)
+  GROUP BY sc.inc_id, sc.ex_id, na.sq, nb.sq
+  HAVING CAST(SUM(CAST(CAST(a.embedding[t.i] AS DOUBLE)
+                       * CAST(b.embedding[t.i] AS DOUBLE)
+                  AS DECIMAL(38,10))) AS DOUBLE)
+         / (SQRT(na.sq) * SQRT(nb.sq)) >= {_INGEST_TAU})
+SELECT q.id AS doc_id,
+       CASE WHEN NOT q.ok THEN 'rejected_quality'
+            WHEN q.id IN (SELECT id FROM s_batch) THEN 'dup_exact_batch'
+            WHEN q.id IN (SELECT id FROM s_exact) THEN 'dup_exact_corpus'
+            WHEN q.id IN (SELECT id FROM near) THEN 'dup_near_corpus'
+            WHEN q.id IN (SELECT id FROM sem) THEN 'dup_semantic_corpus'
+            ELSE 'admitted'
+       END AS disposition
+FROM q
+"""
+
+# splice in the portable 64-bit shingle hash (the X2/X227 lane); a plain
+# token replace because .format() would trip on the regex braces above
+from mini_etl_project_spark.queries.dedup_q import _HASH64 as _H64  # noqa: E402
+
+_INGEST_ORACLE = _INGEST_ORACLE.replace(
+    "__H64__", _H64.format(seed="seed.s", v="shingle")
+)
+
+
+@query("q_corpus_incremental_ingest", _INGEST_ORACLE)
+def q_corpus_incremental_ingest(
+    spark: SparkSession, sf_dir: str, *, bound: int = 300
+) -> DataFrame:
+    """X517: the composed incremental-ingestion pipeline (see the module
+    comment above the oracle). Returns (doc_id, disposition) for every
+    incoming-batch doc; the six dispositions are mutually exclusive and
+    exhaustive by construction, so the union below IS the batch.
+
+    ``bound`` widens the corpus/batch slice for scale sweeps (the oracle
+    pins the default 300; SCALE_VALIDATION.md round-11 records the 10x
+    sweep at bound=3000)."""
+    from mini_etl_project_spark.functions.vectors import dot_exact, sqnorm_exact
+    from mini_etl_project_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_rows,
+    )
+    from mini_etl_project_spark.operators.similarity import RandomHyperplaneLSH
+    from mini_etl_project_spark.queries.dedup_q import banded_signatures
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < bound)
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    # Both sides are batch-bounded (300-doc slice here; one crawl batch
+    # + the probe-relevant corpus shard in production) and consumed by
+    # many stages — eager checkpoints keep the final plan re-derivation-
+    # free (round-9 scan-audit rule).
+    existing = base.filter(F.col("id") % 3 != 0).localCheckpoint(eager=True)
+    inc0 = base.filter(F.col("id") % 3 == 0)
+    incoming = (
+        inc0.unionByName(
+            existing.filter(F.col("id") % 7 == 1).select(
+                (F.col("id") + 50000).alias("id"), "text"
+            )
+        )
+        .unionByName(
+            existing.filter(F.col("id") % 11 == 2).select(
+                (F.col("id") + 60000).alias("id"),
+                F.substring(F.col("text"), 21, 1 << 30).alias("text"),
+            )
+        )
+        .unionByName(
+            inc0.filter(F.col("id") % 13 == 3).select(
+                (F.col("id") + 70000).alias("id"), "text"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # stage 1: quality gate (the X153 signals, recomputed on the batch
+    # text — planted mutations must be re-scored, not read off columns)
+    ok = (F.length(F.trim("text")) >= 80) & (
+        (
+            F.regexp_count("text", F.lit(r"[A-Za-z]{2,}")).cast("double")
+            / F.greatest(F.regexp_count(F.trim("text"), F.lit(r"\S+")), F.lit(1))
+        )
+        >= 0.6
+    )
+    q = incoming.select("id", "text", ok.alias("ok"))
+
+    # stage 2+3: exact dedup — keep-first within batch, then vs corpus
+    key = F.md5(F.lower(F.trim(F.col("text"))))
+    qk = (
+        q.filter(F.col("ok"))
+        .select("id", "text", key.alias("k"))
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    ek = existing.select(key.alias("k")).distinct()
+    s_batch = qk.filter(F.col("rk") > 1).select("id")
+    first = qk.filter(F.col("rk") == 1)
+    s_exact = first.join(ek, "k", "left_semi").select("id")
+    surv = (
+        first.join(ek, "k", "left_anti")
+        .select("id", "text")
+        .localCheckpoint(eager=True)
+    )
+
+    # stage 4: asymmetric MinHash/LSH probe vs corpus (the X227 lane:
+    # existing bands x survivor bands only, exact Jaccard >= 0.5 verify)
+    sh_e = shingle_rows(existing, "id", "text")
+    sh_s = shingle_rows(surv, "id", "text")
+    band_e = banded_signatures(minhash_signatures(sh_e)).select(
+        "band", "band_key", F.col("id").alias("ex_id")
+    )
+    band_s = banded_signatures(minhash_signatures(sh_s)).select(
+        "band", "band_key", F.col("id").alias("inc_id")
+    )
+    cand = (
+        band_s.join(band_e, ["band", "band_key"])
+        .select("inc_id", "ex_id")
+        .distinct()
+    )
+    sizes_e = sh_e.groupBy("id").agg(F.count("*").alias("n_e"))
+    sizes_s = sh_s.groupBy("id").agg(F.count("*").alias("n_s"))
+    inter = (
+        cand.join(sh_s.select(F.col("id").alias("inc_id"), "shingle"), "inc_id")
+        .join(
+            sh_e.select(F.col("id").alias("ex_id"), "shingle"),
+            ["ex_id", "shingle"],
+        )
+        .groupBy("inc_id", "ex_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    near_ids = (
+        inter.join(sizes_s.select(F.col("id").alias("inc_id"), "n_s"), "inc_id")
+        .join(sizes_e.select(F.col("id").alias("ex_id"), "n_e"), "ex_id")
+        .filter(
+            F.col("n_inter").cast("double")
+            / (F.col("n_s") + F.col("n_e") - F.col("n_inter"))
+            >= 0.5
+        )
+        .select(F.col("inc_id").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    surv2 = surv.join(near_ids, "id", "left_anti").select("id")
+
+    # stage 5: semantic probe vs corpus (the X378 lane, asymmetric:
+    # exact-sign hyperplane buckets both sides, bucket-collision pairs
+    # only, exact-decimal cosine >= tau; planted ids carry no embedding
+    # so only original batch docs can hit this stage)
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < bound)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    v_inc = vecs.join(
+        surv2.select(F.col("id").alias("vec_id")), "vec_id"
+    )
+    v_ex = vecs.filter(F.col("vec_id") % 3 != 0)
+    lsh = RandomHyperplaneLSH(dim=64, bits=4, tables=4, exact_sign=True)
+    b_inc = lsh.add_buckets(v_inc, "embedding").select(
+        "table", "bucket", F.col("vec_id").alias("inc_id")
+    )
+    b_ex = lsh.add_buckets(v_ex, "embedding").select(
+        "table", "bucket", F.col("vec_id").alias("ex_id")
+    )
+    scand = (
+        b_inc.join(b_ex, ["table", "bucket"])
+        .select("inc_id", "ex_id")
+        .distinct()
+    )
+    sides = vecs.select(
+        "vec_id", "embedding", F.sqrt(sqnorm_exact("embedding")).alias("nm")
+    )
+    paired = scand.join(
+        sides.select(
+            F.col("vec_id").alias("inc_id"),
+            F.col("embedding").alias("va"),
+            F.col("nm").alias("na"),
+        ),
+        "inc_id",
+    ).join(
+        sides.select(
+            F.col("vec_id").alias("ex_id"),
+            F.col("embedding").alias("vb"),
+            F.col("nm").alias("nb"),
+        ),
+        "ex_id",
+    )
+    sem_ids = (
+        paired.filter(
+            dot_exact("va", "vb") / (F.col("na") * F.col("nb")) >= _INGEST_TAU
+        )
+        .select(F.col("inc_id").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    admitted = surv2.join(sem_ids, "id", "left_anti")
+
+    def tag(df: DataFrame, label: str) -> DataFrame:
+        return df.select("id", F.lit(label).alias("disposition"))
+
+    return (
+        tag(q.filter(~F.col("ok")), "rejected_quality")
+        .unionByName(tag(s_batch, "dup_exact_batch"))
+        .unionByName(tag(s_exact, "dup_exact_corpus"))
+        .unionByName(tag(near_ids, "dup_near_corpus"))
+        .unionByName(tag(sem_ids, "dup_semantic_corpus"))
+        .unionByName(tag(admitted, "admitted"))
+        .select(F.col("id").alias("doc_id"), "disposition")
+    )
+
+
+# -- X518: rejection-sampling yield curve -----------------------------------
+#
+# The operational complement of X516: X513 tells you each prompt's
+# best-of-n margin, X516 tells you what a margin is worth — this tells
+# you WHAT A THRESHOLD COSTS. For each candidate acceptance threshold
+# t (0..10000 cents, 1000-cent steps), the number and fraction (ppm)
+# of prompts whose best-of-n margin clears t — the yield curve a
+# pipeline owner reads to pick the rejection threshold that hits a
+# target corpus size. Prompts with a single candidate have no margin
+# and are excluded (mirrors X513's NULL margin).
+#
+# Plan: the X513 window+groupBy builds the |prompts|-bounded margin
+# table once; the 11-threshold sweep is an explode over that bounded
+# table + one keyed agg. Yield fractions are exact integer ppm
+# (DIV on non-negatives). Monotone non-increasing in t by construction
+# — pinned in tests/test_round11.py.
+
+_BON_YIELD_ORACLE = """
+WITH c AS (
+  SELECT user_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC,
+                                     event_id) AS rn
+  FROM events),
+m AS (
+  SELECT user_id,
+         MAX(CASE WHEN rn = 1 THEN cents END)
+           - MAX(CASE WHEN rn = 2 THEN cents END) AS margin
+  FROM c GROUP BY user_id
+  HAVING COUNT(*) >= 2),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM m)
+SELECT CAST(t.t AS BIGINT) AS threshold_cents,
+       CAST(COUNT(CASE WHEN m.margin >= t.t THEN 1 END) AS BIGINT)
+         AS n_accepted,
+       tot.n AS n_prompts,
+       CAST(COUNT(CASE WHEN m.margin >= t.t THEN 1 END) * 1000000 // tot.n
+            AS BIGINT) AS yield_ppm
+FROM m, tot, unnest(generate_series(0, 10000, 1000)) t(t)
+GROUP BY t.t, tot.n
+"""
+
+
+@query("q_corpus_bon_yield", _BON_YIELD_ORACLE)
+def q_corpus_bon_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X518: yield curve of best-of-n rejection sampling over acceptance
+    thresholds (see the module comment above the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cents").desc(), F.col("event_id").asc()
+    )
+    c = ev.select("user_id", "event_id", cents.alias("cents")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    m = (
+        c.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            (
+                F.max(F.when(F.col("rn") == 1, F.col("cents")))
+                - F.max(F.when(F.col("rn") == 2, F.col("cents")))
+            ).alias("margin"),
+        )
+        .filter(F.col("n_cand") >= 2)
+        .select("margin")
+        # |prompts|-bounded margin table, consumed by the total AND the
+        # threshold sweep — checkpoint so the fact scan runs once
+        .localCheckpoint(eager=True)
+    )
+    tot = m.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    thresholds = F.explode(
+        F.sequence(F.lit(0), F.lit(10000), F.lit(1000))
+    ).alias("threshold_cents")
+    return (
+        m.select(thresholds, "margin")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("threshold_cents").cast("bigint").alias("threshold_cents"), "n")
+        .agg(
+            F.count(F.when(F.col("margin") >= F.col("threshold_cents"), 1))
+            .cast("bigint")
+            .alias("n_accepted")
+        )
+        .select(
+            "threshold_cents",
+            "n_accepted",
+            F.col("n").alias("n_prompts"),
+            F.expr("n_accepted * 1000000 DIV n").cast("bigint").alias(
+                "yield_ppm"
+            ),
+        )
+    )

@@ -61,6 +61,12 @@ def test_no_nonscalar_output_columns(spark):
 # value here is 2x the physical scan count — consistent across all
 # records in this file (each was measured with exactly this counter).
 _SCAN_CEILING: dict[str, int] = {
+    # round-11 new/retouched queries
+    "q_corpus_margin_calibration": 2,  # ONE events scan (window + 2 aggs)
+    "q_corpus_incremental_ingest": 0,  # all bounded tables checkpointed
+    "q_corpus_bon_yield": 0,  # margin table checkpointed (2 consumers)
+    "q_text_good_turing": 0,  # count-of-counts checkpointed (3 consumers)
+    "q_setop_except": 4,  # two structural legs (orders, customer)
     # round-10 new queries (X513-X515; 2 = ONE physical scan)
     "q_corpus_best_of_n": 2,
     "q_corpus_dpo_pairs": 2,
@@ -197,15 +203,24 @@ def test_no_vacuous_oracle_rows_at_gate_sf(spark):
     class extinct. take(1) is the cheapest non-emptiness action (Catalyst
     plants a LocalLimit below the final exchange where semantics allow).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     gate_sf = "/root/testdata/sf0.01"
     empty: list[str] = []
     errors: list[str] = []
-    for name in sorted(ORACLES):
+
+    def probe(name: str) -> None:
         try:
             if not QUERIES[name](spark, gate_sf).take(1):
                 empty.append(name)
         except Exception as e:  # noqa: BLE001 — collect, don't abort
             errors.append(f"{name}: {type(e).__name__}: {e}")
+
+    # 4 concurrent probes: the per-query cost is job-launch latency, not
+    # compute, and SparkSession schedules concurrent actions safely —
+    # serial this walk is ~10 min, threaded ~3 (599 queries x ~0.5 s).
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(probe, sorted(ORACLES)))
     assert not errors, "query failed at gate SF:\n" + "\n".join(errors[:10])
     assert not empty, (
         "vacuous oracle rows (0 rows at the gate SF — the green row "

@@ -116,6 +116,7 @@ _DEFER_NEW: list[str] = [
     "q_corpus_margin_calibration",
     "q_corpus_incremental_ingest",
     "q_corpus_bon_yield",
+    "q_corpus_kto_labels",
 ]
 
 

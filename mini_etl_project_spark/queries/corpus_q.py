@@ -1991,3 +1991,112 @@ def q_corpus_bon_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- X519: KTO binary-signal construction -----------------------------------
+#
+# Completes the post-training selection lane (X513 best-of-n, X514 DPO
+# pairs, X515 GRPO z, X516 calibration, X518 yield): KTO-style training
+# consumes per-candidate BINARY desirable/undesirable labels rather
+# than pairs — here each candidate is labeled against its own prompt
+# group's EXACT median reward (the standard unpaired construction).
+# The median is exact-integer arithmetic: median_x2 = the sum of the
+# two middle order statistics (equal for odd n, so x2 keeps .5-valued
+# even-n medians in integers), and a candidate is desirable iff
+# 2·cents > median_x2 (strict; exact ties are neither). Output is the
+# per-prompt label book: counts of each class, the median (x2), and
+# the desirable share in exact ppm among labeled candidates.
+#
+# Plan: ONE window shuffle on the prompt key (rank + count ride the
+# same partitioning), the label groupBy rides it too. Output bounded
+# by |prompts|. Invariants (median order-statistics: at most half the
+# group strictly above, at most half strictly below) are pinned with a
+# plain-Python recomputation in tests/test_round11.py.
+
+_KTO_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT user_id, cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM c),
+m AS (
+  SELECT user_id,
+         CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+              + SUM(CASE WHEN rn = n // 2 + 1 THEN cents END)
+              AS BIGINT) AS median_x2
+  FROM r GROUP BY user_id),
+lab AS (
+  SELECT r.user_id, m.n, m.median_x2,
+         CASE WHEN 2 * r.cents > m.median_x2 THEN 1 ELSE 0 END AS des,
+         CASE WHEN 2 * r.cents < m.median_x2 THEN 1 ELSE 0 END AS und
+  FROM r JOIN m USING (user_id))
+SELECT user_id,
+       CAST(MAX(n) AS BIGINT) AS n_candidates,
+       MAX(median_x2) AS median_cents_x2,
+       CAST(SUM(des) AS BIGINT) AS n_desirable,
+       CAST(SUM(und) AS BIGINT) AS n_undesirable,
+       CAST(MAX(n) - SUM(des) - SUM(und) AS BIGINT) AS n_tie,
+       CAST(SUM(des) * 1000000 // GREATEST(SUM(des) + SUM(und), 1)
+            AS BIGINT) AS desirable_ppm
+FROM lab GROUP BY user_id
+"""
+
+
+@query("q_corpus_kto_labels", _KTO_ORACLE)
+def q_corpus_kto_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X519: KTO binary-signal label book (see the module comment above
+    the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wp = Window.partitionBy("user_id")
+    wo = wp.orderBy(F.col("cents").asc(), F.col("event_id").asc())
+    r = c.select(
+        "user_id",
+        "cents",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    # median as window aggregates over the SAME prompt partitioning — a
+    # second window stage over the ranked rows (no groupBy + re-join;
+    # the X515 lesson: one scan, one exchange). The two conditional sums
+    # pick the middle order statistics ((n+1) DIV 2 and n DIV 2 + 1,
+    # equal for odd n, so their sum is exactly median*2).
+    median_x2 = (
+        F.sum(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("cents"))
+        ).over(wp)
+        + F.sum(
+            F.when(F.col("rn") == F.expr("n DIV 2 + 1"), F.col("cents"))
+        ).over(wp)
+    ).cast("bigint")
+    lab = r.withColumn("median_x2", median_x2).select(
+        "user_id",
+        "n",
+        "median_x2",
+        (2 * F.col("cents") > F.col("median_x2")).cast("long").alias("des"),
+        (2 * F.col("cents") < F.col("median_x2")).cast("long").alias("und"),
+    )
+    return lab.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n_candidates"),
+        F.max("median_x2").alias("median_cents_x2"),
+        F.sum("des").cast("bigint").alias("n_desirable"),
+        F.sum("und").cast("bigint").alias("n_undesirable"),
+        (F.max("n") - F.sum("des") - F.sum("und"))
+        .cast("bigint")
+        .alias("n_tie"),
+        F.expr(
+            "SUM(des) * 1000000 DIV GREATEST(SUM(des) + SUM(und), 1)"
+        )
+        .cast("bigint")
+        .alias("desirable_ppm"),
+    )

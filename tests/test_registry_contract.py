@@ -65,6 +65,7 @@ _SCAN_CEILING: dict[str, int] = {
     "q_corpus_margin_calibration": 2,  # ONE events scan (window + 2 aggs)
     "q_corpus_incremental_ingest": 0,  # all bounded tables checkpointed
     "q_corpus_bon_yield": 0,  # margin table checkpointed (2 consumers)
+    "q_corpus_kto_labels": 2,  # ONE events scan (two window stages + agg)
     "q_text_good_turing": 0,  # count-of-counts checkpointed (3 consumers)
     "q_setop_except": 4,  # two structural legs (orders, customer)
     # round-10 new queries (X513-X515; 2 = ONE physical scan)

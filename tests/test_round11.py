@@ -145,3 +145,42 @@ def test_bon_yield_monotone_and_anchored(spark):
     assert rows[0]["yield_ppm"] == 1_000_000
     for r in rows:
         assert r["yield_ppm"] == r["n_accepted"] * 1_000_000 // r["n_prompts"]
+
+
+def test_kto_labels_match_python(spark):
+    """X519 plain-Python recomputation + the median order-statistic
+    invariants: strictly-above and strictly-below counts are each <=
+    n/2, ties = candidates exactly at the median, and the exact x2
+    median matches the sorted middle pair."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+    by_user = defaultdict(list)
+    for uid, eid, val in zip(
+        t["user_id"].to_pylist(),
+        t["event_id"].to_pylist(),
+        t["value"].to_pylist(),
+    ):
+        if val is not None:
+            by_user[uid].append(_cents(val))
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["q_corpus_kto_labels"](spark, SF).collect()
+    }
+    assert set(got) == set(by_user)
+    for uid, cents in by_user.items():
+        cents.sort()
+        n = len(cents)
+        m2 = cents[(n - 1) // 2] + cents[n // 2]
+        des = sum(1 for c in cents if 2 * c > m2)
+        und = sum(1 for c in cents if 2 * c < m2)
+        r = got[uid]
+        assert r["n_candidates"] == n
+        assert r["median_cents_x2"] == m2
+        assert (r["n_desirable"], r["n_undesirable"]) == (des, und)
+        assert r["n_tie"] == n - des - und
+        # median order statistics: at most half strictly on each side
+        assert des <= n // 2 and und <= n // 2
+        assert r["desirable_ppm"] == des * 1_000_000 // max(des + und, 1)

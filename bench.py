@@ -101,7 +101,7 @@ _Q06_BAND_MID = round(sum(_Q06_BAND) / 2, 4)
 # single-probe correction. q_window_topk_per_group (scan + window sort
 # + shuffle, plan untouched since round 1) probes the shuffle path.
 # Quiet-band from the committed BENCH_r02-r10 artifacts (excluding the
-# r5 contended run): 0.29-0.45 s. The normalized metric stays q06-based
+# r5 contended run): 0.29-0.46 s. The normalized metric stays q06-based
 # for cross-round continuity; `normalized_trusted` now additionally
 # requires the two probes' implied correction factors to agree within
 # 15% — disagreement means the drift was non-uniform across plan
@@ -109,6 +109,14 @@ _Q06_BAND_MID = round(sum(_Q06_BAND) / 2, 4)
 _TOPK_BAND = (0.29, 0.46)
 _TOPK_BAND_MID = round(sum(_TOPK_BAND) / 2, 4)
 _PROBE_AGREE_TOL = 0.15
+
+# Separately-tracked lanes (VERDICT r11 ask #3): timed with the same
+# warm-up + median-of-5 protocol but reported under "extra_lanes" and
+# NOT added to the headline total — the 16.8 s baseline's cross-round
+# continuity must hold. Band notes live in BASELINE.md.
+EXTRA_LANES = [
+    "q_corpus_incremental_ingest",  # composed corpus-ingest shape (X517)
+]
 
 
 def main() -> None:
@@ -127,6 +135,11 @@ def main() -> None:
         run_once(spark, name, sf_dir)  # warm-up (also warms file/metadata caches)
         results[name] = round(statistics.median(run_once(spark, name, sf_dir) for _ in range(5)), 4)
     total = round(sum(results.values()), 4)
+    # extra lanes: same protocol, excluded from the headline total
+    extra: dict[str, float] = {}
+    for name in (n for n in EXTRA_LANES if n in QUERIES):
+        run_once(spark, name, sf_dir)
+        extra[name] = round(statistics.median(run_once(spark, name, sf_dir) for _ in range(5)), 4)
     steal1, jiff1 = read_cpu_steal()
     steal_pct = (
         round(100.0 * (steal1 - steal0) / (jiff1 - jiff0), 2)
@@ -148,6 +161,17 @@ def main() -> None:
         corr_q06 = _Q06_BAND_MID / q06
         corr_topk = _TOPK_BAND_MID / topk
         probes_agree = abs(corr_q06 / corr_topk - 1.0) <= _PROBE_AGREE_TOL
+    # 'probe missing' is not 'probes disagreed' (ADVICE r11): with only
+    # one probe the trusted flag degrades to the pre-r11 single-probe
+    # gate (not contended) and the artifact says why.
+    if probes_agree is None:
+        trusted, trust_reason = bool(not contended), "single_probe_only"
+    elif not probes_agree:
+        trusted, trust_reason = False, "probes_disagree"
+    else:
+        trusted, trust_reason = bool(not contended), (
+            "ok" if not contended else "contended"
+        )
     print(
         json.dumps(
             {
@@ -169,13 +193,16 @@ def main() -> None:
                 # non-uniformly and the correction over/under-shoots —
                 # normalized_trusted carries that gate in the artifact.
                 "normalized_total_sec": normalized,
-                "normalized_trusted": bool(not contended and probes_agree),
+                "normalized_trusted": trusted,
+                "trust_reason": trust_reason,
                 "q06_band_mid": _Q06_BAND_MID,
                 # second untouched probe (shuffle/window shape) + the
                 # cross-probe agreement that gates the trusted flag
                 "topk_probe_band": list(_TOPK_BAND),
                 "topk_band_mid": _TOPK_BAND_MID,
                 "probes_agree": probes_agree,
+                # separately-tracked lanes, NOT in "value" (see EXTRA_LANES)
+                "extra_lanes": extra,
             }
         )
     )

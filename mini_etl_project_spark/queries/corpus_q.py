@@ -1404,13 +1404,16 @@ def q_corpus_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    'n'||event_id, uniform over [-25000, +25000] cents); a pair WINS
 #    if the chosen side still scores strictly higher under the probe.
 #    P(win | margin) is the noise-difference CDF — monotone in margin
-#    by construction, saturating at exactly 1 for margin > 50000 —
-#    so the empirical curve has a theoretical invariant the test suite
-#    pins (tests/test_round11.py).
-# 4. Margins bin at 5000-cent width, capped at bin 10 (the saturation
-#    region); per bin: pair count, wins, win rate and mean margin in
-#    exact integer ppm/cents (fixed-point DIV on non-negatives — the
-#    X214 lane).
+#    by construction, saturating at exactly 1 for margin >= 50001
+#    (at margin == 50000 a maximal adverse noise difference of -50000
+#    yields a tie, not a win) — so the empirical curve has a
+#    theoretical invariant the test suite pins (tests/test_round11.py).
+# 4. Margins bin at 5000-cent width, capped at bin 10; the top bin's
+#    lower edge (margin == 50000) can sub-saturate per the tie case
+#    above, so only monotonicity — not rate 1.0 — is pinned for it.
+#    Per bin: pair count, wins, win rate and mean margin in exact
+#    integer ppm/cents (fixed-point DIV on non-negatives — the X214
+#    lane).
 #
 # Scale posture: one window shuffle on the prompt key, a pair groupBy
 # whose map-side partials collapse to one row per pair BEFORE its
@@ -1569,10 +1572,10 @@ incoming AS (
   SELECT id + 70000, text FROM inc0 WHERE id % 13 = 3),
 q AS (
   SELECT id, text,
-         length(trim(text)) >= 80
+         COALESCE(length(trim(text)) >= 80
          AND CAST(len(regexp_extract_all(text, '[A-Za-z]{{2,}}')) AS DOUBLE)
              / GREATEST(len(regexp_extract_all(trim(text), '\\S+')), 1)
-             >= 0.6 AS ok
+             >= 0.6, FALSE) AS ok
   FROM incoming),
 qk AS (
   SELECT id, text, md5(lower(trim(text))) AS k,
@@ -1769,7 +1772,12 @@ def q_corpus_incremental_ingest(
         )
         >= 0.6
     )
-    q = incoming.select("id", "text", ok.alias("ok"))
+    # NULL text => NULL gate: coalesce to a definite FALSE on BOTH
+    # engines, else Spark's filter(ok)/filter(~ok) both drop the row
+    # while the oracle CASE falls through to 'admitted' (ADVICE r11).
+    q = incoming.select(
+        "id", "text", F.coalesce(ok, F.lit(False)).alias("ok")
+    )
 
     # stage 2+3: exact dedup — keep-first within batch, then vs corpus
     key = F.md5(F.lower(F.trim(F.col("text"))))
@@ -1923,7 +1931,7 @@ WITH c AS (
          ROW_NUMBER() OVER (PARTITION BY user_id
                             ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC,
                                      event_id) AS rn
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 m AS (
   SELECT user_id,
          MAX(CASE WHEN rn = 1 THEN cents END)
@@ -1951,8 +1959,14 @@ def q_corpus_bon_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.col("cents").desc(), F.col("event_id").asc()
     )
-    c = ev.select("user_id", "event_id", cents.alias("cents")).withColumn(
-        "rn", F.row_number().over(w)
+    # NULL rewards carry no margin information: without this filter a
+    # NULL second-ranked cents yields a NULL margin that still counts in
+    # n_prompts (COUNT(*) >= 2 counts NULL rows), breaking the t=0
+    # yield == 100% anchor — same pin as X514/X519 (ADVICE r11).
+    c = (
+        ev.filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", cents.alias("cents"))
+        .withColumn("rn", F.row_number().over(w))
     )
     m = (
         c.groupBy("user_id")

@@ -89,34 +89,26 @@ def _load_all() -> None:
 # re-sorts the rotation for the next one.
 
 #: Queries re-touched this round (fresh driver evidence wanted first).
-#: Round 11: the round-10 _RECHECK wave (the last two stream rows) came
-#: back green in CORRECTNESS_r10.json, so the list holds exactly the
-#: queries whose plans changed this round: the good_turing vacuity fix
-#: (VERDICT r10 ask #1 — its old green was contentless, so a fresh row
-#: on the now-populated output is the point) and the DPO NULL-convention
-#: pin (ADVICE r11).
+#: Round 12: the round-11 _RECHECK wave (good_turing, dpo_pairs,
+#: setop_except) came back green in CORRECTNESS_r11.json, so the list
+#: holds exactly the queries whose plans/oracles changed this round —
+#: the two ADVICE-r11 NULL-convention pins (bon_yield's value filter,
+#: ingest's coalesced quality gate).
 _RECHECK: list[str] = [
-    "q_text_good_turing",
-    "q_corpus_dpo_pairs",
-    # round-11 vacuity-audit hit: was 0 rows in both engines at every SF
-    # (its old driver green was as contentless as good_turing's) —
-    # re-pointed non-empty and re-verified locally; needs a fresh row.
-    "q_setop_except",
+    "q_corpus_bon_yield",
+    "q_corpus_incremental_ingest",
 ]
 
-#: Round-10's one-round deferral of X513-X515 EXPIRES this round
-#: (VERDICT r10 ask #2: "ensure X513-X515 sample in r11's 50"): they
-#: fall into the never-sampled bucket at corpus_q's early registration
-#: slot — ahead of the later-registering never-sampled holdovers,
-#: inside the ~50/round budget. Round-11's OWN new queries (X516/X517)
-#: take their place in the deferral, per the standing contract: the
-#: drain owns the budget; new, locally-3-SF-verified queries rotate in
-#: the round after.
+#: Round-11's one-round deferral of X516-X519 EXPIRES this round
+#: (VERDICT r11 ask #1: "they must be in r12's 50"): they fall into the
+#: never-sampled bucket at corpus_q's early registration slot — ahead
+#: of the later-registering never-sampled holdovers, inside the
+#: ~50/round budget (bon_yield/ingest are in _RECHECK above anyway).
+#: Round-12's OWN new queries take their place in the deferral, per the
+#: standing contract: the drain owns the budget; new, locally-3-SF-
+#: verified queries rotate in the round after.
 _DEFER_NEW: list[str] = [
-    "q_corpus_margin_calibration",
-    "q_corpus_incremental_ingest",
-    "q_corpus_bon_yield",
-    "q_corpus_kto_labels",
+    "q_corpus_turn_preferences",
 ]
 
 

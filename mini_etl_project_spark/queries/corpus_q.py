@@ -2114,3 +2114,130 @@ def q_corpus_kto_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("desirable_ppm"),
     )
+
+
+# -- X520: multi-turn preference assembly ------------------------------------
+#
+# VERDICT r11 ask #5. X508 assembles whole transcripts; X513/X514/X519
+# select over SINGLE-turn candidate groups. The missing post-training
+# shape is per-turn preference extraction over multi-turn transcripts:
+# at each assistant turn of a conversation, the sampled assistant
+# candidates form that turn's preference group, and a (chosen,
+# rejected) pair is extracted with the X514 struct-extremum machinery.
+#
+# Construction (the X508 conversation model on events):
+# - A conversation is a user_id's event stream ordered by (ts,
+#   event_id) — ties on ts pinned by event_id, the house rule; the ts
+#   order key is EXPLICITLY NULLS LAST on both engines (this query is
+#   born NULL-hardened: the r12 audit class is pinned by construction,
+#   not by the accident of NULL-free fixtures).
+# - Turn boundaries are user-role events (X508's role mapping:
+#   click/view = user, anything else — including NULL event_type, which
+#   both engines' CASE/otherwise send the same way = assistant). The
+#   turn id of a row is the running count of user-role events up to and
+#   including it, so assistant rows between consecutive user turns
+#   share that turn id (turn 0 = assistant rows before any user turn).
+#   Turn counting sees ALL events; only CANDIDATE selection drops
+#   assistant rows with NULL rewards (a turn boundary with a NULL
+#   reward still bounds the turn).
+# - Per (conversation, turn): (chosen, rejected) = (argmax, argmin) by
+#   reward cents, X514 tie-breaks (chosen ties to smaller event_id via
+#   the negated-id struct member, rejected ties to smaller event_id
+#   directly), >= 2 candidates and strictly positive gap required.
+#
+# Plan: ONE keyed shuffle — the turn-counting window partitions by
+# user_id, and the (user_id, turn) groupBy rides the same hash
+# partitioning (user_id is a subset of the grouping key, so
+# EnsureRequirements inserts no second exchange; the X519 lane).
+# Output bounded by the number of assistant turns.
+
+_TURN_PREF_ORACLE = """
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('click', 'view') THEN 'user'
+              ELSE 'assistant' END AS role,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+w AS (
+  SELECT user_id, event_id, role, cents,
+         COUNT(CASE WHEN role = 'user' THEN 1 END)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts ASC NULLS LAST, event_id
+                 ROWS UNBOUNDED PRECEDING) AS turn
+  FROM t),
+a AS (
+  SELECT user_id, CAST(turn AS BIGINT) AS turn, event_id, cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id, turn
+                            ORDER BY cents DESC, event_id) AS rn_hi,
+         ROW_NUMBER() OVER (PARTITION BY user_id, turn
+                            ORDER BY cents ASC, event_id) AS rn_lo
+  FROM w WHERE role = 'assistant' AND cents IS NOT NULL),
+p AS (
+  SELECT user_id, turn,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         MAX(CASE WHEN rn_hi = 1 THEN event_id END) AS chosen_event_id,
+         MAX(CASE WHEN rn_hi = 1 THEN cents END) AS chosen_cents,
+         MAX(CASE WHEN rn_lo = 1 THEN event_id END) AS rejected_event_id,
+         MAX(CASE WHEN rn_lo = 1 THEN cents END) AS rejected_cents
+  FROM a GROUP BY user_id, turn)
+SELECT user_id, turn, n_candidates, chosen_event_id, chosen_cents,
+       rejected_event_id, rejected_cents,
+       chosen_cents - rejected_cents AS gap_cents
+FROM p
+WHERE n_candidates >= 2 AND chosen_cents - rejected_cents >= 1
+"""
+
+
+@query("q_corpus_turn_preferences", _TURN_PREF_ORACLE)
+def q_corpus_turn_preferences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X520: per-turn preference pairs over multi-turn transcripts (see
+    the module comment above the oracle). One keyed shuffle; output
+    bounded by assistant turns; plain-Python recompute pinned in
+    tests/test_round12.py."""
+    ev = load_table(spark, sf_dir, "events")
+    role = F.when(
+        F.col("event_type").isin("click", "view"), F.lit("user")
+    ).otherwise(F.lit("assistant"))
+    t = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        role.alias("role"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w_turn = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    turns = t.withColumn(
+        "turn",
+        F.count(F.when(F.col("role") == "user", 1)).over(w_turn).cast("bigint"),
+    )
+    a = turns.filter(
+        (F.col("role") == "assistant") & F.col("cents").isNotNull()
+    )
+    # X514 struct extrema: max ties to smallest event_id via negated id,
+    # min ties to smallest event_id directly; cents are non-NULL here so
+    # the Spark-NULLS-FIRST / DuckDB-NULLS-LAST struct convention cannot
+    # bite (the r11 ADVICE class, pinned by the filter above).
+    hi = F.max(F.struct(F.col("cents"), (-F.col("event_id")).alias("nid")))
+    lo = F.min(F.struct(F.col("cents"), F.col("event_id").alias("pid")))
+    p = a.groupBy("user_id", "turn").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        hi.alias("hi"),
+        lo.alias("lo"),
+    )
+    return (
+        p.select(
+            "user_id",
+            "turn",
+            "n_candidates",
+            (-F.col("hi.nid")).alias("chosen_event_id"),
+            F.col("hi.cents").alias("chosen_cents"),
+            F.col("lo.pid").alias("rejected_event_id"),
+            F.col("lo.cents").alias("rejected_cents"),
+            (F.col("hi.cents") - F.col("lo.cents")).alias("gap_cents"),
+        )
+        .filter((F.col("n_candidates") >= 2) & (F.col("gap_cents") >= 1))
+    )

@@ -1,0 +1,113 @@
+"""Round-12: X520 multi-turn preference assembly.
+
+The surface is recomputed from the raw parquet with plain Python
+(pyarrow only — no Spark, no DuckDB) and required to agree exactly: the
+two-engines-can-both-be-wrong discipline of test_round10b/test_round11.
+The single-shuffle plan claim is pinned structurally (the turn-counting
+window partitions by user_id and the (user_id, turn) groupBy must ride
+that partitioning — a second hash exchange is a regression).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pyarrow.parquet as pq
+import pytest
+
+from mini_etl_project_spark.queries import QUERIES
+
+from conftest import half_up
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def turn_prefs_python():
+    """Plain-Python rebuild of the X520 surface from raw parquet."""
+    t = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+    rows = list(
+        zip(
+            t["user_id"].to_pylist(),
+            t["ts"].to_pylist(),
+            t["event_id"].to_pylist(),
+            t["event_type"].to_pylist(),
+            t["value"].to_pylist(),
+        )
+    )
+    by_user: dict[int, list] = defaultdict(list)
+    for uid, ts, eid, etype, val in rows:
+        by_user[uid].append((ts, eid, etype, val))
+    groups: dict[tuple[int, int], list[tuple[int, int]]] = defaultdict(list)
+    for uid, evs in by_user.items():
+        # conversation order: (ts NULLS LAST, event_id)
+        evs.sort(key=lambda e: (e[0] is None, e[0] or 0, e[1]))
+        turn = 0
+        for ts, eid, etype, val in evs:
+            role = "user" if etype in ("click", "view") else "assistant"
+            if role == "user":
+                turn += 1
+            elif val is not None:
+                groups[(uid, turn)].append((half_up(val, 100), eid))
+    out = {}
+    for (uid, turn), cand in groups.items():
+        if len(cand) < 2:
+            continue
+        chosen = max(cand, key=lambda c: (c[0], -c[1]))
+        rejected = min(cand, key=lambda c: (c[0], c[1]))
+        gap = chosen[0] - rejected[0]
+        if gap >= 1:
+            out[(uid, turn)] = (
+                len(cand),
+                chosen[1],
+                chosen[0],
+                rejected[1],
+                rejected[0],
+                gap,
+            )
+    return out
+
+
+def test_turn_preferences_match_python(spark, turn_prefs_python):
+    got = {
+        (r["user_id"], r["turn"]): (
+            r["n_candidates"],
+            r["chosen_event_id"],
+            r["chosen_cents"],
+            r["rejected_event_id"],
+            r["rejected_cents"],
+            r["gap_cents"],
+        )
+        for r in QUERIES["q_corpus_turn_preferences"](spark, SF).collect()
+    }
+    assert got == turn_prefs_python
+
+
+def test_turn_preferences_invariants(spark):
+    rows = QUERIES["q_corpus_turn_preferences"](spark, SF).collect()
+    assert rows, "vacuous surface — fixture no longer produces turn pairs"
+    keys = [(r["user_id"], r["turn"]) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicate (conversation, turn) key"
+    for r in rows:
+        assert r["turn"] >= 0
+        assert r["n_candidates"] >= 2
+        assert r["gap_cents"] == r["chosen_cents"] - r["rejected_cents"]
+        assert r["gap_cents"] >= 1, "non-positive preference gap leaked"
+        assert r["chosen_event_id"] != r["rejected_event_id"]
+
+
+def test_turn_preferences_single_shuffle(spark):
+    """The (user_id, turn) groupBy must ride the window's user_id hash
+    partitioning — exactly one shuffle exchange in the whole plan."""
+    df = QUERIES["q_corpus_turn_preferences"](spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    import re
+
+    plan = df._jdf.queryExecution().explainString(mode)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}:\n{plan}"

@@ -1732,16 +1732,23 @@ def q_corpus_incremental_ingest(
     from mini_etl_project_spark.operators.similarity import RandomHyperplaneLSH
     from mini_etl_project_spark.queries.dedup_q import banded_signatures
 
+    # Barrier budget (VERDICT r11 ask #4): FOUR eager checkpoints —
+    # base, surv, vecs, hits — down from round-11's seven. The cuts:
+    # existing/incoming are lazy filters over ONE checkpointed base
+    # (re-derivation is in-memory, never a parquet re-scan); qk's
+    # checkpoint is gone so the keep-first window and the corpus exact
+    # anti-join fuse on the shared k partitioning inside the surv job;
+    # and the two probes' candidate builds land in ONE checkpointed
+    # `hits` table (they are independent — both probe `surv` — with
+    # stage precedence applied in the label step instead of a
+    # sequential surv2 barrier between them).
     base = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < bound)
         .select(F.col("doc_id").alias("id"), "text")
+        .localCheckpoint(eager=True)
     )
-    # Both sides are batch-bounded (300-doc slice here; one crawl batch
-    # + the probe-relevant corpus shard in production) and consumed by
-    # many stages — eager checkpoints keep the final plan re-derivation-
-    # free (round-9 scan-audit rule).
-    existing = base.filter(F.col("id") % 3 != 0).localCheckpoint(eager=True)
+    existing = base.filter(F.col("id") % 3 != 0)
     inc0 = base.filter(F.col("id") % 3 == 0)
     incoming = (
         inc0.unionByName(
@@ -1760,7 +1767,6 @@ def q_corpus_incremental_ingest(
                 (F.col("id") + 70000).alias("id"), "text"
             )
         )
-        .localCheckpoint(eager=True)
     )
 
     # stage 1: quality gate (the X153 signals, recomputed on the batch
@@ -1779,7 +1785,11 @@ def q_corpus_incremental_ingest(
         "id", "text", F.coalesce(ok, F.lit(False)).alias("ok")
     )
 
-    # stage 2+3: exact dedup — keep-first within batch, then vs corpus
+    # stage 2+3: exact dedup — keep-first within batch, then vs corpus.
+    # qk is lazy: its window partitions by k and the corpus anti-join
+    # keys on k too, so inside the surv job the two stages share one
+    # exchange; the s_batch/s_exact legs re-derive qk from the
+    # checkpointed base (in-memory, batch-bounded).
     key = F.md5(F.lower(F.trim(F.col("text"))))
     qk = (
         q.filter(F.col("ok"))
@@ -1787,7 +1797,6 @@ def q_corpus_incremental_ingest(
         .withColumn(
             "rk", F.row_number().over(Window.partitionBy("k").orderBy("id"))
         )
-        .localCheckpoint(eager=True)
     )
     ek = existing.select(key.alias("k")).distinct()
     s_batch = qk.filter(F.col("rk") > 1).select("id")
@@ -1825,7 +1834,7 @@ def q_corpus_incremental_ingest(
         .groupBy("inc_id", "ex_id")
         .agg(F.count("*").alias("n_inter"))
     )
-    near_ids = (
+    near_raw = (
         inter.join(sizes_s.select(F.col("id").alias("inc_id"), "n_s"), "inc_id")
         .join(sizes_e.select(F.col("id").alias("ex_id"), "n_e"), "ex_id")
         .filter(
@@ -1835,14 +1844,18 @@ def q_corpus_incremental_ingest(
         )
         .select(F.col("inc_id").alias("id"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    surv2 = surv.join(near_ids, "id", "left_anti").select("id")
 
     # stage 5: semantic probe vs corpus (the X378 lane, asymmetric:
     # exact-sign hyperplane buckets both sides, bucket-collision pairs
     # only, exact-decimal cosine >= tau; planted ids carry no embedding
-    # so only original batch docs can hit this stage)
+    # so only original batch docs can hit this stage). The probe runs
+    # over ALL exact-stage survivors — not the near-probe survivors —
+    # so it is INDEPENDENT of stage 4 and the two candidate builds
+    # share one checkpoint barrier below; the near-before-semantic
+    # precedence moves to the label step, which yields the same
+    # disposition for every doc (a doc in both sets labels near either
+    # way; a doc only in the semantic set is by definition in surv2).
     vecs = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < bound)
@@ -1850,7 +1863,7 @@ def q_corpus_incremental_ingest(
         .localCheckpoint(eager=True)
     )
     v_inc = vecs.join(
-        surv2.select(F.col("id").alias("vec_id")), "vec_id"
+        surv.select(F.col("id").alias("vec_id")), "vec_id"
     )
     v_ex = vecs.filter(F.col("vec_id") % 3 != 0)
     lsh = RandomHyperplaneLSH(dim=64, bits=4, tables=4, exact_sign=True)
@@ -1883,18 +1896,37 @@ def q_corpus_incremental_ingest(
         ),
         "ex_id",
     )
-    sem_ids = (
+    sem_raw = (
         paired.filter(
             dot_exact("va", "vb") / (F.col("na") * F.col("nb")) >= _INGEST_TAU
         )
         .select(F.col("inc_id").alias("id"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    admitted = surv2.join(sem_ids, "id", "left_anti")
 
     def tag(df: DataFrame, label: str) -> DataFrame:
         return df.select("id", F.lit(label).alias("disposition"))
+
+    # ONE barrier for both probes: the near and semantic candidate
+    # builds are independent legs of this union, so Spark schedules
+    # them concurrently inside a single checkpoint job.
+    hits = (
+        tag(near_raw, "dup_near_corpus")
+        .unionByName(tag(sem_raw, "dup_semantic_corpus"))
+        .localCheckpoint(eager=True)
+    )
+    near_ids = hits.filter(F.col("disposition") == "dup_near_corpus").select(
+        "id"
+    )
+    # near-before-semantic precedence, applied at label time
+    sem_ids = (
+        hits.filter(F.col("disposition") == "dup_semantic_corpus")
+        .select("id")
+        .join(near_ids, "id", "left_anti")
+    )
+    admitted = surv.select("id").join(
+        hits.select("id").distinct(), "id", "left_anti"
+    )
 
     return (
         tag(q.filter(~F.col("ok")), "rejected_quality")

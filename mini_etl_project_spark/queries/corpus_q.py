@@ -281,7 +281,7 @@ WITH t AS (
   SELECT doc_id,
          string_split_regex(trim(text), '\\s+') AS toks,
          LEN(string_split_regex(trim(text), '\\s+')) AS n
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 idx AS (
   SELECT doc_id, n, toks,
          UNNEST(range(0, CAST(FLOOR((n-1)/{_CHUNK_STRIDE}) AS BIGINT)+1)) AS i
@@ -303,9 +303,14 @@ FROM chunks GROUP BY doc_id
 @query("q_corpus_chunk_overlap", _CHUNK_ORACLE)
 def q_corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", tokens("text").alias("toks")
-    ).withColumn("n", F.size("toks"))
+    # a NULL text yields no chunks: Spark's map-only projection would
+    # still emit the doc row (NULL sig) while the oracle's UNNEST drops
+    # it — excluded explicitly on both engines (r12 NULL audit).
+    t = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", tokens("text").alias("toks"))
+        .withColumn("n", F.size("toks"))
+    )
     chunked = t.withColumn(
         "chunks",
         F.expr(
@@ -491,7 +496,7 @@ WITH scored AS (
                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                              x -> x <> '')))
          AS BIGINT) AS score
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 best AS (
   SELECT source, lang,
          MAX(struct_pack(s := score, d := -doc_id)) AS b,
@@ -513,6 +518,10 @@ def q_corpus_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(
         F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
     )
+    # a NULL text scores NULL, and NULL struct extrema sort opposite
+    # ends on the two engines (the X514/ADVICE-r11 class) — excluded
+    # explicitly on both sides (r12 NULL audit).
+    d = d.filter(F.col("text").isNotNull())
     scored = d.select(
         "source",
         "lang",
@@ -948,8 +957,8 @@ SELECT user_id,
          AS n_user_turns,
        CAST(COUNT(CASE WHEN role = 'assistant' THEN 1 END) AS BIGINT)
          AS n_assistant_turns,
-       md5(string_agg(role || ':' || event_type || ':'
-                      || CAST(cents AS VARCHAR),
+       md5(string_agg(role || ':' || COALESCE(event_type, '') || ':'
+                      || COALESCE(CAST(cents AS VARCHAR), ''),
                       '|' ORDER BY ts, event_id)) AS transcript_fp
 FROM t GROUP BY user_id
 """
@@ -971,8 +980,15 @@ def q_corpus_conversation_assembly(
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
+    # NULL fields serialize as empty strings EXPLICITLY: concat_ws
+    # silently skips NULL args (dropping the separator slot) while the
+    # oracle's || nullifies the whole line, which string_agg then drops
+    # — both wrong, and differently so (r12 NULL audit).
     line = F.concat_ws(
-        ":", F.col("role"), F.col("event_type"), F.col("cents").cast("string")
+        ":",
+        F.col("role"),
+        F.coalesce(F.col("event_type"), F.lit("")),
+        F.coalesce(F.col("cents").cast("string"), F.lit("")),
     )
     return (
         t.select(
@@ -1582,7 +1598,8 @@ qk AS (
          ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
                             ORDER BY id) AS rk
   FROM q WHERE ok),
-ek AS (SELECT DISTINCT md5(lower(trim(text))) AS k FROM existing),
+ek AS (SELECT DISTINCT md5(lower(trim(text))) AS k FROM existing
+       WHERE text IS NOT NULL),
 s_batch AS (SELECT id FROM qk WHERE rk > 1),
 s_exact AS (SELECT qk.id FROM qk JOIN ek USING (k) WHERE rk = 1),
 surv AS (
@@ -1798,7 +1815,16 @@ def q_corpus_incremental_ingest(
             "rk", F.row_number().over(Window.partitionBy("k").orderBy("id"))
         )
     )
-    ek = existing.select(key.alias("k")).distinct()
+    # a NULL-text corpus doc has no exact-dedup key; left in, the
+    # ORACLE's `k NOT IN (ek)` goes three-valued-NULL for every batch
+    # row (emptying surv and admitting everything) while Spark's
+    # left_anti handles NULL correctly — excluded explicitly on both
+    # engines (r12 NULL audit).
+    ek = (
+        existing.filter(F.col("text").isNotNull())
+        .select(key.alias("k"))
+        .distinct()
+    )
     s_batch = qk.filter(F.col("rk") > 1).select("id")
     first = qk.filter(F.col("rk") == 1)
     s_exact = first.join(ek, "k", "left_semi").select("id")

@@ -631,7 +631,8 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INCR_DEDUP_ORACLE = f"""
 WITH base AS (
-  SELECT doc_id AS id, text FROM documents WHERE doc_id < 300),
+  SELECT doc_id AS id, text FROM documents
+  WHERE doc_id < 300 AND text IS NOT NULL),
 existing AS (SELECT id, text FROM base WHERE id % 3 <> 0),
 incoming AS (
   SELECT id, text FROM base WHERE id % 3 = 0
@@ -732,9 +733,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_rows,
     )
 
+    # NULL-text docs are excluded from dedup accounting on BOTH engines:
+    # they have no key and no shingles, and the oracle's `k NOT IN (ek)`
+    # goes three-valued-NULL on a NULL key (emptying surv) while Spark's
+    # left_anti keeps NULL-key rows — the r12 NULL-audit class.
     base = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 300)
+        .filter((F.col("doc_id") < 300) & F.col("text").isNotNull())
         .select(F.col("doc_id").alias("id"), "text")
     )
     existing = base.filter(F.col("id") % 3 != 0)
@@ -965,10 +970,11 @@ def q_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_AUDIT_ORACLE = f"""
 WITH corpus AS (
-  SELECT doc_id AS id, text FROM documents WHERE doc_id < 60
+  SELECT doc_id AS id, text FROM documents
+  WHERE doc_id < 60 AND text IS NOT NULL
   UNION ALL
   SELECT doc_id + 10000 AS id, substring(text, 21) AS text
-  FROM documents WHERE doc_id < 60),
+  FROM documents WHERE doc_id < 60 AND text IS NOT NULL),
 sh AS (
   SELECT DISTINCT id,
          unnest(list_distinct(list_transform(
@@ -1003,7 +1009,12 @@ LEFT JOIN inter i ON i.id_a = m.id_a
 
 @query("q_dedup_minhash_fidelity", _MINHASH_AUDIT_ORACLE)
 def q_dedup_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    # NULL-text docs have no shingles and no signature — excluded
+    # explicitly on both engines (r12 NULL audit; without the pin the
+    # two sides disagree on whether a signature-less pair exists).
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 60) & F.col("text").isNotNull()
+    )
     corpus = d.select(F.col("doc_id").alias("id"), "text").unionByName(
         d.select(
             (F.col("doc_id") + 10000).alias("id"),

@@ -2435,15 +2435,18 @@ def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (bounded: types x observed-hour-range).
 
 _VMR_ORACLE = """
-WITH h AS (
+WITH e AS (
+  SELECT event_type, ts FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+h AS (
   SELECT event_type, date_trunc('hour', ts) AS hr,
          CAST(COUNT(*) AS BIGINT) AS c
-  FROM events GROUP BY 1, 2),
+  FROM e GROUP BY 1, 2),
 spine AS (
   SELECT t.event_type, g.hr
-  FROM (SELECT DISTINCT event_type FROM events) t
+  FROM (SELECT DISTINCT event_type FROM e) t
   CROSS JOIN (SELECT DISTINCT date_trunc('hour', ts) AS hr
-              FROM events) g),
+              FROM e) g),
 f AS (
   SELECT spine.event_type, COALESCE(h.c, 0) AS c
   FROM spine LEFT JOIN h
@@ -2475,6 +2478,11 @@ def q_agg_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_project_spark.queries.helpers import dec_to_double
 
     ev = load_table(spark, sf_dir, "events")
+    # a NULL alert key (or NULL hour) has no spine partner — its c=0
+    # rows make mean 0 and trip ANSI divide-by-zero on Spark while the
+    # oracle silently emits a row; excluded explicitly on both engines
+    # (r12 NULL audit).
+    ev = ev.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
     h = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hr")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))

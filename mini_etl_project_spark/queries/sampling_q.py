@@ -553,7 +553,8 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMV_MERGE_ORACLE = f"""
 WITH h AS (
-  SELECT DISTINCT {_sql_hash60("text")} AS h FROM documents),
+  SELECT DISTINCT {_sql_hash60("text")} AS h FROM documents
+  WHERE text IS NOT NULL),
 ranked AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM h),
 stats AS (
   SELECT COUNT(*) AS nd,
@@ -572,7 +573,15 @@ def q_agg_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    h = d.select("source", hash60(F.col("text")).alias("h")).distinct()
+    # a NULL text has no hash: left in, Spark ranks the NULL hash FIRST
+    # (claiming a sketch slot and breaking the count(h)==k guard) while
+    # DuckDB ranks it LAST — excluded explicitly on both engines (r12
+    # NULL audit).
+    h = (
+        d.filter(F.col("text").isNotNull())
+        .select("source", hash60(F.col("text")).alias("h"))
+        .distinct()
+    )
     # Stage 1: per-source sketches, built two-level — k smallest per
     # (source, physical partition) first (keyed window over source×P
     # partitions), then k smallest per source over the bounded survivors.
@@ -1137,7 +1146,8 @@ WITH obs AS (
   SELECT event_type, event_id,
          CAST(ROUND(value * 100) AS BIGINT) AS cents,
          epoch_us(ts) AS s
-  FROM events),
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
 mx AS (
   SELECT o.event_type, MAX(cents) AS max_cents
   FROM obs o GROUP BY o.event_type),
@@ -1180,7 +1190,15 @@ JOIN lid ON mx.event_type = lid.event_type
 @query("q_agg_argminmax", _ARGMINMAX_ORACLE)
 def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    obs = e.select(
+    # NULL keys/measures carry no extremum signal and diverge between
+    # engines (a Spark NULL group has no oracle equi-join partner;
+    # min(struct) sorts NULL cents first while MIN() skips them) — the
+    # r12 NULL audit pins the exclusion explicitly on both sides.
+    obs = e.filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(
         "event_type",
         "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),

@@ -274,9 +274,16 @@ def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # COUNT(DISTINCT x) ignores NULL x in SQL; the rewrite must too — a
+    # NULL type's first occurrence is NOT a new distinct value (r12 NULL
+    # audit; the row itself still emits, only its flag is 0).
     flagged = obs.withColumn(
         "is_first",
-        F.when(F.row_number().over(first_seen) == 1, 1).otherwise(0),
+        F.when(
+            (F.row_number().over(first_seen) == 1)
+            & F.col("event_type").isNotNull(),
+            1,
+        ).otherwise(0),
     )
     return flagged.select(
         "user_id",
@@ -389,7 +396,8 @@ _ROLLING_MEDIAN_ORACLE = """
 WITH obs AS (
   SELECT user_id, event_id, epoch_us(ts) AS s,
          CAST(ROUND(value * 100) AS BIGINT) AS cents
-  FROM events),
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL),
 arrs AS (
   SELECT user_id, event_id,
          list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY s, event_id
@@ -406,7 +414,14 @@ FROM arrs
 @query("q_window_rolling_median", _ROLLING_MEDIAN_ORACLE)
 def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    obs = e.select(
+    # NULL readings carry no median signal and diverge between engines
+    # (collect_list SKIPS NULLs, DuckDB's list() keeps them — an
+    # all-NULL frame then trips ANSI element_at(0)); NULL order keys
+    # rank opposite ends (Spark NULLS FIRST, DuckDB NULLS LAST).
+    # Both excluded explicitly on both engines (r12 NULL audit).
+    obs = e.filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
         "user_id",
         "event_id",
         F.unix_micros("ts").alias("s"),

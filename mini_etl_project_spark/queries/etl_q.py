@@ -392,8 +392,12 @@ WITH messy AS (
               ELSE CAST(user_id AS VARCHAR) END AS val,
          CASE WHEN event_id % 11 = 0 THEN 'bogus'
               ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS seen_date,
+         -- NULL categories take the reference's astype(str) sentinel
+         -- ('nan', title-cased to 'Nan' by the text cleaner) — the r12
+         -- NULL audit showed the old equi-join on etype silently
+         -- dropping NULL-category rows the pipeline keeps
          CASE WHEN event_id % 211 = 0 THEN 'rarecat'
-              ELSE event_type END AS etype,
+              ELSE COALESCE(event_type, 'nan') END AS etype,
          props
   FROM events),
 cleaned AS (
@@ -418,10 +422,15 @@ med AS (SELECT MEDIAN(val) AS m FROM merged),
 dmode AS (
   SELECT seen_date FROM merged WHERE seen_date IS NOT NULL
   GROUP BY seen_date ORDER BY COUNT(*) DESC, seen_date ASC LIMIT 1),
+pmode AS (
+  -- R15 mode impute reaches props too once the fixture carries NULLs
+  -- there (r12 NULL audit): most frequent value, ties to smallest
+  SELECT props FROM merged WHERE props IS NOT NULL
+  GROUP BY props ORDER BY COUNT(*) DESC, props ASC LIMIT 1),
 imputed AS (
   SELECT eid, COALESCE(val, (SELECT m FROM med)) AS val,
          COALESCE(seen_date, (SELECT seen_date FROM dmode)) AS seen_date,
-         etype, props
+         etype, COALESCE(props, (SELECT props FROM pmode)) AS props
   FROM merged),
 stats AS (
   SELECT AVG(eid) AS mu_e, STDDEV_SAMP(eid) AS sd_e,

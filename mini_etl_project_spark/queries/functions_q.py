@@ -754,7 +754,7 @@ WITH toks AS (
   SELECT doc_id,
          list_sort(list_distinct(string_split_regex(trim(text), '\\s+')))
            AS t
-  FROM documents WHERE doc_id < 40),
+  FROM documents WHERE doc_id < 40 AND text IS NOT NULL),
 ref AS (SELECT ['data', 'the', 'model', 'training'] AS v),
 ops AS (
   SELECT doc_id,
@@ -775,7 +775,12 @@ FROM stacked, LATERAL unnest(generate_series(1, len(arr))) g(pos)
 def q_fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_project_spark.operators.textops import tokens
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    # a NULL text has no token set — and the engines disagree on NULL
+    # list algebra (DuckDB's || treats a NULL list as empty, Spark's
+    # array_union propagates NULL) — excluded on both (r12 NULL audit).
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 40) & F.col("text").isNotNull()
+    )
     ref = F.array(*[F.lit(x) for x in ["data", "the", "model", "training"]])
     toks = d.select(
         "doc_id",
@@ -1005,7 +1010,11 @@ def q_fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars"),
-        (dec == F.col("text")).cast("int").alias("roundtrip_ok"),
+        # null-safe equality: aes of a NULL body is NULL, and NULL
+        # decrypts back to NULL — the roundtrip holds VACUOUSLY (the
+        # oracle's constant 1), where plain == would emit NULL (r12
+        # NULL audit).
+        dec.eqNullSafe(F.col("text")).cast("int").alias("roundtrip_ok"),
         F.octet_length(enc).cast("bigint").alias("cipher_bytes"),
     )
 

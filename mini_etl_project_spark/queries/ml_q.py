@@ -690,7 +690,8 @@ _KNN_ORACLE = f"""
 WITH pts AS (
   SELECT vec_id AS id, label, i,
          CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS x
-  FROM embeddings, generate_series(1, {_DIM}) g(i)),
+  FROM embeddings, generate_series(1, {_DIM}) g(i)
+  WHERE label IS NOT NULL),
 d AS (
   SELECT q.id AS qid, MIN(q.label) AS true_label,
          t.id AS tid, MIN(t.label) AS tlabel,
@@ -723,7 +724,12 @@ FROM pred p JOIN best b ON p.qid = b.qid
 def q_ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # unlabeled vectors can neither vote nor be classified — and a NULL
+    # label sorts FIRST in Spark's vote tie-break but LAST in DuckDB's
+    # — excluded on both engines (r12 NULL audit).
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+    )
     quant = F.transform(
         F.col("embedding"),
         lambda e: F.round(e.cast("double") * 1000).cast("bigint"),
@@ -4003,7 +4009,8 @@ _QNORM_ORACLE = """
 WITH v AS (
   SELECT event_id, event_type,
          CAST(ROUND(value * 100) AS BIGINT) AS cents
-  FROM events),
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL),
 grp AS (
   SELECT event_id, event_type, cents,
          ROW_NUMBER() OVER (PARTITION BY event_type
@@ -4034,7 +4041,12 @@ FROM mapped GROUP BY event_type
 @query("q_ml_quantile_normalize", _QNORM_ORACLE)
 def q_ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    v = e.select(
+    # NULL group keys / NULL values are excluded on both engines: a
+    # NULL cents ranks FIRST in Spark and LAST in DuckDB, shifting
+    # every downstream quantile index (r12 NULL audit).
+    v = e.filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
         "event_id",
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
@@ -9048,7 +9060,7 @@ WITH q AS (
          quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.25) AS q1,
          quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.75) AS q3,
          CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY event_type)
+  FROM events WHERE event_type IS NOT NULL GROUP BY event_type)
 SELECT q.event_type, q.q1, q.q3, q.n,
        CAST((SELECT COUNT(*) FROM events e
              WHERE e.event_type = q.event_type
@@ -9064,7 +9076,13 @@ FROM q
 
 @query("q_ml_tukey_fences", _TUKEY_ORACLE)
 def q_ml_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # the NULL group key survives the oracle's correlated COUNT (0 hits)
+    # but vanishes at Spark's equi-join — excluded on both engines (r12
+    # NULL audit); NULL values need no pin (percentile and the fence
+    # comparisons skip them identically).
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     cents = F.round(F.col("value") * 100).cast("bigint")
     q = ev.groupBy("event_type").agg(
         F.percentile(cents, 0.25).alias("q1"),
@@ -11027,7 +11045,9 @@ WITH g AS (
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
                   * CAST(ROUND(value * 100) AS BIGINT)) AS DECIMAL(38,0))
            AS q
-  FROM events GROUP BY 1),
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1),
 tot AS (
   SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(COUNT(*) AS BIGINT) AS k
   FROM g),
@@ -11067,7 +11087,12 @@ def _tukey_oracle() -> str:
 def q_ml_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_project_spark.queries.helpers import dec_to_double
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL keys/values excluded on both engines (r12 NULL audit): the
+    # NULL group folds at opposite ends of the SSW sum order (a 1-ulp
+    # divergence), and unmeasured rows must not inflate n.
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
     cents = F.round(F.col("value") * 100).cast("bigint")
     g = (
         ev.groupBy(F.col("event_type").alias("et"))

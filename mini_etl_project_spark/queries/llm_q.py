@@ -847,7 +847,7 @@ WITH shuffled AS (
   FROM documents)
 SELECT doc_id, source, CAST(pos AS BIGINT) AS pos
 FROM shuffled
-ORDER BY pos, source, doc_id LIMIT 60
+ORDER BY pos, source NULLS LAST, doc_id LIMIT 60
 """
 
 
@@ -865,7 +865,12 @@ def q_corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pos"),
     )
-    return shuffled.orderBy("pos", "source", "doc_id").limit(60)
+    # the NULL-source bucket interleaves LAST at each position, pinned
+    # explicitly on both engines (Spark defaults NULLS FIRST on ASC,
+    # DuckDB NULLS LAST — r12 NULL audit)
+    return shuffled.orderBy(
+        "pos", F.col("source").asc_nulls_last(), "doc_id"
+    ).limit(60)
 
 
 # -- X308 span-corruption statistics (T5/UL2 denoising objective) ----------

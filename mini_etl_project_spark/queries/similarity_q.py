@@ -1790,7 +1790,7 @@ ra AS (
   FROM lex),
 rb AS (
   SELECT doc_id,
-         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC NULLS LAST, doc_id) AS r
   FROM documents),
 fused AS (
   SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
@@ -1818,10 +1818,14 @@ def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     overlap = None
     for t in _RRF_TOKENS:
-        hit = (
+        # NULL text => hit coalesces to 0 (the oracle's CASE falls to
+        # ELSE 0), not a NULL overlap that would rank FIRST through the
+        # negation trick (r12 NULL audit)
+        hit = F.coalesce(
             F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like(
                 f"% {t} %"
-            )
+            ),
+            F.lit(False),
         ).cast("int")
         overlap = hit if overlap is None else overlap + hit
     lex = docs.select("doc_id", overlap.alias("overlap"))
@@ -1832,7 +1836,9 @@ def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("r") <= _RRF_DEPTH).select("doc_id", F.col("r").alias("ra"))
     rb = global_rank(
         docs.select("doc_id", "n_chars"),
-        order=[(-F.col("n_chars")).alias("neg"), F.col("doc_id")],
+        # NULLS LAST explicitly: the length prior ranks unmeasured docs
+        # at the bottom on both engines (r12 NULL audit)
+        order=[F.col("n_chars").desc_nulls_last(), F.col("doc_id")],
         rank_col="r",
     ).filter(F.col("r") <= _RRF_DEPTH).select(
         F.col("doc_id").alias("doc_id_b"), F.col("r").alias("rb")

@@ -366,6 +366,7 @@ def _has_tws_runtime() -> bool:
 _STATEFUL_V2_ORACLE = """
 SELECT user_id, event_type, COUNT(*) AS n_events
 FROM events
+WHERE event_type IS NOT NULL
 GROUP BY user_id, event_type
 """
 
@@ -384,8 +385,16 @@ def q_stream_stateful_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_type_counts_v1,
     )
 
+    # stateful keyed ops require definite keys: a NULL event_type group
+    # is silently dropped by the Pandas-state grouping while the batch
+    # GROUP BY keeps it — excluded on both engines (r12 NULL audit)
     tbl = drain_to_table(
-        stateful_type_counts_v1(events_stream(spark, sf_dir)), mode="update"
+        stateful_type_counts_v1(
+            events_stream(spark, sf_dir).filter(
+                F.col("event_type").isNotNull()
+            )
+        ),
+        mode="update",
     )
     return (
         spark.table(tbl)
@@ -397,8 +406,14 @@ def q_stream_stateful_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_stateful_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_project_spark.streaming.ops import stateful_type_counts_v2
 
+    # same NULL-key pin as the V1 twin (r12 NULL audit)
     tbl = drain_to_table(
-        stateful_type_counts_v2(events_stream(spark, sf_dir)), mode="update"
+        stateful_type_counts_v2(
+            events_stream(spark, sf_dir).filter(
+                F.col("event_type").isNotNull()
+            )
+        ),
+        mode="update",
     )
     return (
         spark.table(tbl)
@@ -709,7 +724,7 @@ _STREAM_TOPK_ORACLE = """
 WITH agg AS (
   SELECT date_trunc('hour', ts) AS window_start, event_type,
          COUNT(*) AS n_events
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
                                ORDER BY n_events DESC, event_type) AS rnk
@@ -725,7 +740,10 @@ def q_stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     out = drain_to_table(tumbling_agg(events_stream(spark, sf_dir)))
-    df = spark.table(out)
+    # a NULL event type has no place on a type leaderboard, and it
+    # sorts at opposite ends of the two engines' rank tie-break —
+    # excluded on both (r12 NULL audit)
+    df = spark.table(out).filter(F.col("event_type").isNotNull())
     w = Window.partitionBy("window_start").orderBy(
         F.desc("n_events"), "event_type"
     )

@@ -800,7 +800,11 @@ def q_text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("max_sent_chars"),
-        F.md5(F.array_join("sents", "\x1f")).alias("sent_sig"),
+        # coalesce BEFORE hashing, mirroring the oracle — a NULL text's
+        # sig is md5('') on both engines, not NULL (r12 NULL audit)
+        F.md5(F.coalesce(F.array_join("sents", "\x1f"), F.lit(""))).alias(
+            "sent_sig"
+        ),
     )
 
 
@@ -1695,7 +1699,8 @@ WITH toks AS (
                        AS tok,
                        generate_subscripts(
                          string_split_regex(trim(d.text), '\\s+'), 1)
-                       AS pos) t),
+                       AS pos) t
+  WHERE d.source IS NOT NULL AND d.text IS NOT NULL),
 r AS (
   SELECT source, tok,
          ROW_NUMBER() OVER (PARTITION BY source
@@ -1720,16 +1725,24 @@ def q_text_ttr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_project_spark.operators.rank import global_rank
     from mini_etl_project_spark.operators.textops import tokens
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "source",
-        "doc_id",
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
-            16,
-            10,
-        ).cast("bigint").alias("dh"),
-        F.posexplode(tokens("text")).alias("pos0", "tok"),
-    ).withColumn("pos", F.col("pos0") + 1)
+    # NULL richness buckets / NULL texts are excluded on both engines
+    # (r12 NULL audit: the NULL-source group survives DuckDB's GROUP BY
+    # but not the grouped range-partition rank)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull() & F.col("text").isNotNull())
+        .select(
+            "source",
+            "doc_id",
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("bigint").alias("dh"),
+            F.posexplode(tokens("text")).alias("pos0", "tok"),
+        )
+        .withColumn("pos", F.col("pos0") + 1)
+    )
     r = global_rank(
         d,
         order=[F.col("dh"), F.col("doc_id"), F.col("pos")],

@@ -4351,7 +4351,9 @@ def _dw_oracle() -> str:
 WITH h AS (
   SELECT epoch_us(date_trunc('hour', ts)) / 3600000000 AS t,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
-  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1),
 m AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
@@ -4381,8 +4383,15 @@ def q_ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_project_spark.queries.helpers import dec_to_double
 
     ev = load_table(spark, sf_dir, "events")
+    # NULL rewards/timestamps are excluded on both engines (r12 NULL
+    # audit: an all-NULL hour makes y NULL, which poisons the Spark
+    # residual fold to NULL while DuckDB's list sum skips it)
     h = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+        )
         .groupBy(
             (
                 F.unix_micros(F.date_trunc("hour", "ts")) / 3600000000

@@ -248,13 +248,18 @@ SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
        lower(hex(encode(substring(text, 1, 8)))) AS head_hex
 FROM documents
-WHERE doc_id < 100
+WHERE doc_id < 100 AND text IS NOT NULL
 """
 
 
 @query("q_multimodal_bytes", _MULTIMODAL_ORACLE)
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    # media ingestion yields only rows WITH a payload (binaryFile never
+    # emits NULL content); a NULL body would crash the Arrow batch's
+    # len() — excluded on both engines (r12 NULL audit)
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & F.col("text").isNotNull()
+    )
     mm = attach_binary(d, "doc_id", "text")
     feats = extract_byte_features(mm)
     # head_hex is the first 8 BYTES; ascii token text → first 8 chars too,
@@ -1243,7 +1248,7 @@ _MM_FRAMES_ORACLE = """
 WITH src AS (
   SELECT doc_id, lower(hex(encode(text))) AS hx,
          octet_length(encode(text)) AS n
-  FROM documents WHERE doc_id < 50),
+  FROM documents WHERE doc_id < 50 AND text IS NOT NULL),
 f AS (
   SELECT doc_id, UNNEST(generate_series(0, n // 16 - 1)) AS fi, hx
   FROM src WHERE n >= 16)
@@ -1260,7 +1265,10 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    # same payload pin as q_multimodal_bytes (r12 NULL audit)
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 50) & F.col("text").isNotNull()
+    )
     mm = attach_binary(d, "doc_id", "text")
     frames = sample_frames(mm, frame_bytes=16, every_k=4)
     return frames.select(

@@ -886,7 +886,7 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_ORACLE = """
 WITH lines AS (
   SELECT CAST(doc_id AS VARCHAR) || CHR(9) || text AS line
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 parsed AS (
   SELECT CAST(string_split(line, CHR(9))[1] AS BIGINT) AS doc_id,
          string_split(line, CHR(9))[2] AS text
@@ -907,7 +907,13 @@ def q_source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The documents fixture is single-line text — the framing contract
     this lane assumes and asserts.)"""
     root = _fresh_root(sf_dir, "text")
-    d = load_table(spark, sf_dir, "documents")
+    # a NULL body cannot be framed as a TSV line (concat_ws silently
+    # drops the field, breaking the 2-part parse under ANSI; the
+    # oracle's || nullifies the whole line) — bodyless docs are not
+    # serialized, on both engines (r12 NULL audit)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     d.select(
         F.concat_ws(
             "\t", F.col("doc_id").cast("string"), F.col("text")

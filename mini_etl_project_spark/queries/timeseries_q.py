@@ -2241,7 +2241,9 @@ WITH daily AS (
   SELECT event_type,
          CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events GROUP BY 1, 2),
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
 ranked AS (
   SELECT event_type, day, cents,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
@@ -2268,6 +2270,15 @@ def q_ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
+    # NULL keys/values/timestamps excluded on both engines (r12 NULL
+    # audit: an all-NULL group gives NULL cents, which int() in the
+    # recurrence crashes on; the oracle's recursive join also cannot
+    # chain a NULL event_type)
+    ev = ev.filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
     daily = ev.groupBy(
         "event_type",
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
@@ -3277,7 +3288,9 @@ WITH daily AS (
   SELECT event_type,
          CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events GROUP BY 1, 2),
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
 ranked AS (
   SELECT event_type, day, cents,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
@@ -3307,6 +3320,12 @@ def q_ts_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
+    # same NULL pin as q_ts_holt_linear (r12 NULL audit)
+    ev = ev.filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
     daily = ev.groupBy(
         "event_type",
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
@@ -3691,7 +3710,9 @@ WITH daily AS (
   SELECT event_type,
          CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events GROUP BY 1, 2),
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
 ranked AS (
   SELECT event_type, day, cents,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
@@ -3725,6 +3746,12 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
+    # same NULL pin as q_ts_holt_linear (r12 NULL audit)
+    ev = ev.filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
     daily = ev.groupBy(
         "event_type",
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))

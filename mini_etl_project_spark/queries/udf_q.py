@@ -300,6 +300,7 @@ SELECT event_type,
        MIN(event_id) AS min_id,
        MAX(event_id) AS max_id
 FROM events
+WHERE event_type IS NOT NULL AND value IS NOT NULL
 GROUP BY event_type
 """
 
@@ -335,7 +336,13 @@ def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield self._key, self._n, self._sum, self._min, self._max
 
     spark.udtf.register("group_summarizer", GroupSummarizer)
-    load_table(spark, sf_dir, "events").select(
+    # NULL keys/values excluded on both engines (r12 NULL audit: a None
+    # cents crashes the Python accumulator, and terminate()'s
+    # key-is-not-None guard silently swallows the NULL partition the
+    # oracle's GROUP BY would keep)
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
         "event_id",
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),

@@ -111,3 +111,64 @@ def test_turn_preferences_single_shuffle(spark):
     plan = df._jdf.queryExecution().explainString(mode)
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}:\n{plan}"
+
+
+# -- X521: NULL-convention regression set ------------------------------------
+#
+# The r12 audit (tools/audit_null_conventions.py) found 32 latent
+# cross-engine NULL divergences; the full audit runs offline per round
+# (SCALE_VALIDATION.md), and this test keeps a representative member of
+# each fixed CLASS green inside every suite run: rank-order flip
+# (NULLS FIRST vs LAST), struct-extremum flip, three-valued NOT IN,
+# vanished equi-join group, concat_ws-vs-|| serialization, ANSI error on
+# a NULL-poisoned frame, Python-UDF crash on None, null-safe equality.
+
+_NULL_REGRESSION_SET = [
+    "q_corpus_dpo_pairs",         # the original ADVICE-r11 struct-extremum class
+    "q_agg_argminmax",            # NULL group key vanishes at oracle equi-join
+    "q_window_rolling_median",    # ANSI element_at(0) on an all-NULL frame
+    "q_window_count_distinct",    # rewrite counted NULL as a distinct value
+    "q_corpus_conversation_assembly",  # concat_ws vs || serialization
+    "q_fn_aes_roundtrip",         # null-safe equality
+    "q_ts_holt_linear",           # Python recurrence crash on None cents
+    "q_sim_rrf_fusion",           # rank-order flip through the negation trick
+    "q_udtf_table_arg",           # UDTF accumulator crash + swallowed NULL key
+]
+
+
+@pytest.fixture(scope="module")
+def null_twin(tmp_path_factory):
+    from tools.audit_null_conventions import build_twin
+
+    dst = str(tmp_path_factory.mktemp("nulltwin"))
+    build_twin(SF, dst)
+    return dst
+
+
+def test_null_convention_regression_set(spark, null_twin):
+    import duckdb
+
+    from tools.check_correctness import canon_rows, duck_run, spark_rows
+
+    from mini_etl_project_spark.queries import ORACLES, QUERIES
+    from mini_etl_project_spark.session import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{null_twin}/{t}.parquet')"
+        )
+    bad: list[str] = []
+    for name in _NULL_REGRESSION_SET:
+        try:
+            scols, srows = spark_rows(QUERIES[name](spark, null_twin))
+            dcols, drows = duck_run(con, ORACLES[name])
+        except Exception as e:  # noqa: BLE001
+            bad.append(f"{name}: engine error on NULL twin: {e}")
+            continue
+        if sorted(scols) != sorted(dcols) or canon_rows(
+            scols, srows
+        ) != canon_rows(dcols, drows):
+            bad.append(f"{name}: cross-engine divergence on NULL twin")
+    assert not bad, "NULL-convention regression:\n" + "\n".join(bad)

@@ -959,7 +959,8 @@ SELECT user_id,
          AS n_assistant_turns,
        md5(string_agg(role || ':' || COALESCE(event_type, '') || ':'
                       || COALESCE(CAST(cents AS VARCHAR), ''),
-                      '|' ORDER BY ts, event_id)) AS transcript_fp
+                      '|' ORDER BY (ts IS NULL), ts, event_id))
+         AS transcript_fp
 FROM t GROUP BY user_id
 """
 
@@ -990,11 +991,24 @@ def q_corpus_conversation_assembly(
         F.coalesce(F.col("event_type"), F.lit("")),
         F.coalesce(F.col("cents").cast("string"), F.lit("")),
     )
+    # Turn order under NULL ts is PINNED on both engines (r12 ts-NULL
+    # audit): Spark struct comparison sorts a NULL field FIRST while
+    # DuckDB ORDER BY defaults NULLS LAST, so the sort key carries an
+    # explicit null flag (false < true puts NULL-ts turns last) and a
+    # coalesced ts (value irrelevant once flagged; ties fall to
+    # event_id) — the oracle sorts BY (ts IS NULL), ts, event_id.
     return (
         t.select(
             "user_id",
             "role",
-            F.struct("ts", "event_id", line.alias("line")).alias("s"),
+            F.struct(
+                F.col("ts").isNull().alias("tnull"),
+                F.coalesce(
+                    F.col("ts"), F.lit("1970-01-01").cast("timestamp")
+                ).alias("ts"),
+                "event_id",
+                line.alias("line"),
+            ).alias("s"),
         )
         .groupBy("user_id")
         .agg(

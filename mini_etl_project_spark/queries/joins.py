@@ -193,12 +193,20 @@ def q_join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same user. DuckDB has a native ASOF JOIN; our engine implements the
 # union+window technique (operators/asof.py) which needs one shuffle and no
 # range explosion — the scalable form at 100 TB.
+#
+# NULL timestamps are PINNED OUT of the whole family on both engines
+# (r12 ts-NULL audit): DuckDB's native ASOF sorts a NULL probe ts last
+# and matches the LATEST right row, while the union+window engine sorts
+# it first and matches NOTHING — neither is a defensible temporal match,
+# so every asof input carries ts IS NOT NULL.
 
 _ASOF_ORACLE = """
 WITH purchases AS (
-  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+  SELECT user_id, event_id, ts FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
 ), signups AS (
-  SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup'
+  SELECT user_id, ts AS signup_ts FROM events
+  WHERE event_type = 'signup' AND ts IS NOT NULL
 )
 SELECT p.user_id, p.event_id, s.signup_ts
 FROM purchases p
@@ -209,9 +217,11 @@ ASOF LEFT JOIN signups s
 
 _ASOF_FWD_ORACLE = """
 WITH purchases AS (
-  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+  SELECT user_id, event_id, ts FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
 ), errors AS (
-  SELECT user_id, ts AS error_ts FROM events WHERE event_type = 'error'
+  SELECT user_id, ts AS error_ts FROM events
+  WHERE event_type = 'error' AND ts IS NOT NULL
 )
 SELECT p.user_id, p.event_id, e.error_ts
 FROM purchases p
@@ -225,12 +235,12 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 forward direction: each purchase's NEXT error by the same user
     (vs DuckDB's forward ASOF: p.ts <= e.error_ts picks the earliest)."""
     e = load_table(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
-    )
-    errors = e.filter(F.col("event_type") == "error").select(
-        "user_id", F.col("ts").alias("error_ts")
-    )
+    purchases = e.filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    ).select("user_id", "event_id", "ts")
+    errors = e.filter(
+        (F.col("event_type") == "error") & F.col("ts").isNotNull()
+    ).select("user_id", F.col("ts").alias("error_ts"))
     return asof_join(
         purchases, errors, on="user_id", left_ts="ts", right_ts="error_ts",
         direction="forward",
@@ -240,12 +250,12 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_join_asof", _ASOF_ORACLE)
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
-    )
-    signups = e.filter(F.col("event_type") == "signup").select(
-        "user_id", F.col("ts").alias("signup_ts")
-    )
+    purchases = e.filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    ).select("user_id", "event_id", "ts")
+    signups = e.filter(
+        (F.col("event_type") == "signup") & F.col("ts").isNotNull()
+    ).select("user_id", F.col("ts").alias("signup_ts"))
     return asof_join(
         purchases,
         signups,
@@ -262,9 +272,11 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ASOF_NEAREST_ORACLE = """
 WITH purchases AS (
-  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+  SELECT user_id, event_id, ts FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
 ), errors AS (
-  SELECT user_id, ts AS error_ts FROM events WHERE event_type = 'error'
+  SELECT user_id, ts AS error_ts FROM events
+  WHERE event_type = 'error' AND ts IS NOT NULL
 ), b AS (
   SELECT p.user_id, p.event_id, p.ts, e.error_ts AS b_ts
   FROM purchases p
@@ -288,12 +300,12 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 nearest direction: each purchase's closest error by the same
     user in either time direction (ties break backward)."""
     e = load_table(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
-    )
-    errors = e.filter(F.col("event_type") == "error").select(
-        "user_id", F.col("ts").alias("error_ts")
-    )
+    purchases = e.filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    ).select("user_id", "event_id", "ts")
+    errors = e.filter(
+        (F.col("event_type") == "error") & F.col("ts").isNotNull()
+    ).select("user_id", F.col("ts").alias("error_ts"))
     return asof_join(
         purchases, errors, on="user_id", left_ts="ts", right_ts="error_ts",
         direction="nearest",
@@ -310,11 +322,12 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ASOF_NULLPAYLOAD_ORACLE = """
 WITH purchases AS (
-  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+  SELECT user_id, event_id, ts FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
 ), clicks AS (
   SELECT user_id, ts AS click_ts,
          CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS click_value
-  FROM events WHERE event_type = 'click'
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
 )
 SELECT p.user_id, p.event_id, c.click_ts, c.click_value
 FROM purchases p
@@ -326,10 +339,12 @@ ASOF LEFT JOIN clicks c
 @query("q_join_asof_nullpayload", _ASOF_NULLPAYLOAD_ORACLE)
 def q_join_asof_nullpayload(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
-    )
-    clicks = e.filter(F.col("event_type") == "click").select(
+    purchases = e.filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    ).select("user_id", "event_id", "ts")
+    clicks = e.filter(
+        (F.col("event_type") == "click") & F.col("ts").isNotNull()
+    ).select(
         "user_id",
         F.col("ts").alias("click_ts"),
         F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("double"))
@@ -868,9 +883,11 @@ _ASOF_TOL_US = 24 * 3600 * 1000000
 
 _ASOF_TOL_ORACLE = f"""
 WITH purchases AS (
-  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+  SELECT user_id, event_id, ts FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
 ), signups AS (
-  SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup'
+  SELECT user_id, ts AS signup_ts FROM events
+  WHERE event_type = 'signup' AND ts IS NOT NULL
 )
 SELECT p.user_id, p.event_id,
        CASE WHEN epoch_us(p.ts) - epoch_us(s.signup_ts) <= {_ASOF_TOL_US}
@@ -887,12 +904,12 @@ ASOF LEFT JOIN signups s
 @query("q_join_asof_tolerance", _ASOF_TOL_ORACLE)
 def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
-    )
-    signups = e.filter(F.col("event_type") == "signup").select(
-        "user_id", F.col("ts").alias("signup_ts")
-    )
+    purchases = e.filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    ).select("user_id", "event_id", "ts")
+    signups = e.filter(
+        (F.col("event_type") == "signup") & F.col("ts").isNotNull()
+    ).select("user_id", F.col("ts").alias("signup_ts"))
     j = asof_join(
         purchases, signups, on="user_id", left_ts="ts", right_ts="signup_ts"
     )

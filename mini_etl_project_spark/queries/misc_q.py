@@ -2185,7 +2185,10 @@ def q_quality_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that keeps multi-window SELECTs maintainable AND tells the planner
 # the functions share one sort (one Exchange+Sort feeds both). Runs on
 # the bounded (event_type, day) daily-revenue spine, so the window
-# input is a post-aggregate (~150 rows), not the fact scan.
+# input is a post-aggregate (~150 rows), not the fact scan. The day
+# order carries an explicit NULLS LAST on BOTH engines (r12 ts-NULL
+# audit: Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST — the
+# running frame would absorb a NULL-day group at opposite ends).
 
 _NAMED_WINDOW_ORACLE = """
 WITH d AS (
@@ -2196,8 +2199,9 @@ SELECT event_type, day, cents,
        CAST(RANK() OVER w1 AS BIGINT) AS day_rank,
        CAST(SUM(cents) OVER w2 AS BIGINT) AS running_cents
 FROM d
-WINDOW w1 AS (PARTITION BY event_type ORDER BY cents DESC, day),
-       w2 AS (PARTITION BY event_type ORDER BY day
+WINDOW w1 AS (PARTITION BY event_type
+                ORDER BY cents DESC, day NULLS LAST),
+       w2 AS (PARTITION BY event_type ORDER BY day NULLS LAST
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
@@ -2218,8 +2222,9 @@ def q_sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(RANK() OVER w1 AS BIGINT) AS day_rank,
                CAST(SUM(cents) OVER w2 AS BIGINT) AS running_cents
         FROM d
-        WINDOW w1 AS (PARTITION BY event_type ORDER BY cents DESC, day),
-               w2 AS (PARTITION BY event_type ORDER BY day
+        WINDOW w1 AS (PARTITION BY event_type
+                        ORDER BY cents DESC, day NULLS LAST),
+               w2 AS (PARTITION BY event_type ORDER BY day NULLS LAST
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """
     )

@@ -4095,7 +4095,7 @@ WITH v AS (
          CAST(ts AS DATE) AS day,
          CAST(ROUND(value * 100) AS BIGINT) AS score,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS treat
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 w AS (
   SELECT *,
          LAST_VALUE(CASE WHEN treat = 0 THEN score END IGNORE NULLS) OVER (
@@ -4131,7 +4131,10 @@ FROM m GROUP BY day
 @query("q_ml_psm_match", _PSM_ORACLE)
 def q_ml_psm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    v = e.select(
+    # ts is load-bearing (the day stratum IS the timestamp): a NULL ts
+    # has no stratum, and the engines disagree on whether the NULL
+    # group survives the fill (r12 ts-NULL audit) — pin it out on both.
+    v = e.filter(F.col("ts").isNotNull()).select(
         "event_id",
         F.col("ts").cast("date").alias("day"),
         F.round(F.col("value") * 100).cast("bigint").alias("score"),

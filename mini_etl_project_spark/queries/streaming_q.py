@@ -33,7 +33,7 @@ SELECT DATE_TRUNC('hour', ts) AS window_start,
        event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -59,10 +59,10 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SLIDING_ORACLE = """
 WITH m AS (
   SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, event_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   UNION ALL
   SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type
-  FROM events)
+  FROM events WHERE ts IS NOT NULL)
 SELECT window_start, event_type, COUNT(*) AS n_events
 FROM m
 GROUP BY 1, 2
@@ -72,8 +72,11 @@ GROUP BY 1, 2
 @query("q_stream_sliding", _SLIDING_ORACLE)
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, sf_dir)
+    # NULL event time excluded explicitly — same contract as
+    # streaming/ops.py::tumbling_agg (r12 ts-NULL audit)
     agg = (
-        stream.withWatermark("ts", "10 minutes")
+        stream.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "10 minutes")
         .groupBy(
             F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
         )
@@ -168,7 +171,7 @@ WITH marked AS (
                    > INTERVAL 30 MINUTE
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 islands AS (
   SELECT user_id, ts,
          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -193,7 +196,7 @@ WITH seq AS (
   SELECT user_id, event_type, ts,
          LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS next_type
-  FROM events)
+  FROM events WHERE ts IS NOT NULL)
 SELECT event_type, next_type, COUNT(*) AS n_transitions
 FROM seq WHERE next_type IS NOT NULL
 GROUP BY event_type, next_type
@@ -203,6 +206,11 @@ GROUP BY event_type, next_type
 @query("q_stream_funnel", _FUNNEL_ORACLE)
 def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # ts is load-bearing (the transition sequence IS the timestamp
+    # order): an unordered event would land at opposite ends of each
+    # user's sequence on the two engines and mint fake transitions
+    # (r12 ts-NULL audit) — excluded on both.
+    e = e.filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         e.withColumn("next_type", F.lead("event_type").over(w))
@@ -512,7 +520,7 @@ WITH ranked AS (
                             ORDER BY ts, event_id) AS rn_asc,
          ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
                             ORDER BY ts DESC, event_id DESC) AS rn_desc
-  FROM events)
+  FROM events WHERE ts IS NOT NULL)
 SELECT window_start, event_type,
        COUNT(*) AS n_events,
        MAX(CASE WHEN rn_asc = 1 THEN value END) AS open,
@@ -526,8 +534,11 @@ FROM ranked GROUP BY window_start, event_type
 @query("q_stream_ohlc", _STREAM_OHLC_ORACLE)
 def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, sf_dir)
+    # NULL event time excluded explicitly — same contract as
+    # streaming/ops.py::tumbling_agg (r12 ts-NULL audit)
     agg = (
-        stream.withWatermark("ts", "10 minutes")
+        stream.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -729,7 +740,8 @@ _STREAM_TOPK_ORACLE = """
 WITH agg AS (
   SELECT date_trunc('hour', ts) AS window_start, event_type,
          COUNT(*) AS n_events
-  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
                                ORDER BY n_events DESC, event_type) AS rnk

@@ -289,7 +289,7 @@ WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
          CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
               THEN 1 ELSE 0 END AS chg
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 periods AS (
   SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -317,6 +317,11 @@ def q_table_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
+    # ts is load-bearing (a mutation with no timestamp has no place in
+    # the history): NULL ts sorts at opposite ends of the per-key order
+    # on the two engines and shifts every period boundary (r12 ts-NULL
+    # audit) — excluded on both.
+    e = e.filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
     chg = F.when(

@@ -201,9 +201,17 @@ def drain_to_table(stream_df: DataFrame, mode: str = "complete") -> str:
 
 
 def tumbling_agg(stream: DataFrame, width: str = "1 hour") -> DataFrame:
-    """Q30+Q31: watermarked tumbling-window aggregate per event type."""
+    """Q30+Q31: watermarked tumbling-window aggregate per event type.
+
+    NULL event time is excluded EXPLICITLY (r12 ts-NULL audit): the
+    event-time window operator cannot place a NULL-time event (Spark
+    drops it after watermarking), while a batch oracle would keep a
+    NULL bucket — the filter makes the drop a declared contract, and
+    every oracle over this op carries the matching ts IS NOT NULL.
+    """
     return (
-        stream.withWatermark("ts", "10 minutes")
+        stream.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -229,9 +237,14 @@ def sliding_agg(stream: DataFrame) -> DataFrame:
 
 
 def session_agg(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
-    """Q32/X10: session windows per user (gap-merged)."""
+    """Q32/X10: session windows per user (gap-merged).
+
+    NULL event time excluded explicitly — same contract as
+    tumbling_agg (r12 ts-NULL audit).
+    """
     return (
-        stream.withWatermark("ts", "10 minutes")
+        stream.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(

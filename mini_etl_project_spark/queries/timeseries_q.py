@@ -35,7 +35,7 @@ WITH ranked AS (
                             ORDER BY ts, event_id) AS rn_asc,
          ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
                             ORDER BY ts DESC, event_id DESC) AS rn_desc
-  FROM events)
+  FROM events WHERE ts IS NOT NULL)
 SELECT event_type, bucket,
        COUNT(*) AS n_events,
        MAX(CASE WHEN rn_asc = 1 THEN value END) AS open,
@@ -50,7 +50,11 @@ GROUP BY event_type, bucket
 
 @query("q_ts_ohlc", _OHLC_ORACLE)
 def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     bucketed = e.select(
         "event_type",
         F.date_trunc("hour", "ts").alias("bucket"),
@@ -271,7 +275,7 @@ WITH obs AS (
   SELECT user_id, event_id, value,
          CAST(ROUND(value * 100) AS BIGINT) AS cents,
          epoch_us(ts) AS s
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 rolled AS (
   SELECT user_id, event_id, value, cents,
          COUNT(*) OVER w AS n,
@@ -295,7 +299,11 @@ FROM scored WHERE abs(z) > 2.5
 
 @query("q_ts_anomaly", _ANOMALY_ORACLE)
 def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     obs = e.select(
         "user_id",
         "event_id",
@@ -386,7 +394,7 @@ WITH seq AS (
   SELECT user_id, event_type AS cur,
          LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
            AS nxt
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 pairs AS (
   SELECT cur, nxt, COUNT(*) AS n FROM seq WHERE nxt IS NOT NULL
   GROUP BY cur, nxt),
@@ -399,7 +407,11 @@ FROM pairs p JOIN totals t ON p.cur = t.cur
 
 @query("q_ts_transition_matrix", _TRANSITION_ORACLE)
 def q_ts_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
     seq = e.select(
         F.col("event_type").alias("cur"),
@@ -431,7 +443,7 @@ WITH ranked AS (
   SELECT user_id, event_type,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
            AS rn
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 paths AS (
   SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
   FROM ranked WHERE rn <= 3 GROUP BY user_id)
@@ -442,7 +454,11 @@ FROM paths GROUP BY path
 
 @query("q_ts_paths", _PATHS_ORACLE)
 def q_ts_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
     ranked = e.select(
         "user_id", "event_type", F.row_number().over(w).alias("rn")
@@ -474,7 +490,7 @@ WITH obs AS (
   SELECT user_id, event_id,
          CAST(ROUND(value * 100) AS BIGINT) AS cents,
          epoch_us(ts) AS s
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 stats AS (
   SELECT user_id, SUM(cents) AS tot, COUNT(*) AS n
   FROM obs GROUP BY user_id),
@@ -497,7 +513,11 @@ GROUP BY d.user_id, p.peak
 
 @query("q_ts_cusum", _CUSUM_ORACLE)
 def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     obs = e.select(
         "user_id",
         "event_id",
@@ -601,7 +621,7 @@ WITH obs AS (
   SELECT user_id, event_id,
          CAST(ROUND(value * 100) AS BIGINT) AS cents,
          epoch_us(ts) AS s
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 lagged AS (
   SELECT user_id, event_id, {' + '.join(terms)} AS num
   FROM obs
@@ -614,7 +634,11 @@ FROM lagged WHERE num IS NOT NULL
 
 @query("q_ts_ema", _ema_sql())
 def q_ts_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     obs = e.select(
         "user_id",
         "event_id",
@@ -656,7 +680,7 @@ WITH obs AS (
   SELECT user_id, event_id,
          CAST(ROUND(value * 100) AS BIGINT) AS cents,
          epoch_us(ts) AS s
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 stats AS (
   SELECT user_id, SUM(cents) AS tot, COUNT(*) AS n
   FROM obs GROUP BY user_id),
@@ -679,7 +703,11 @@ HAVING SUM(CAST(d * d AS DECIMAL(38,0))) <> 0
 
 @query("q_ts_autocorr", _AUTOCORR_ORACLE)
 def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     obs = e.select(
         "user_id",
         "event_id",
@@ -886,7 +914,7 @@ _SESSION_GAP_ORACLE = f"""
 WITH obs AS (
   SELECT user_id, event_id, epoch_us(ts) AS s,
          CAST(ROUND(value * 100) AS BIGINT) AS cents
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 flagged AS (
   SELECT *, CASE WHEN s - LAG(s) OVER w > {_SESSION_GAP_US}
                    OR LAG(s) OVER w IS NULL
@@ -906,7 +934,11 @@ FROM sessions GROUP BY user_id, sess
 
 @query("q_ts_session_gap", _SESSION_GAP_ORACLE)
 def q_ts_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     obs = e.select(
         "user_id",
         "event_id",
@@ -1075,7 +1107,7 @@ _BOLLINGER_ORACLE = """
 WITH obs AS (
   SELECT user_id, event_id, epoch_us(ts) AS s,
          CAST(ROUND(value * 100) AS BIGINT) AS cents
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 roll AS (
   SELECT user_id, event_id,
          SUM(cents) OVER w AS rs,
@@ -1098,7 +1130,11 @@ FROM roll
 
 @query("q_ts_bollinger", _BOLLINGER_ORACLE)
 def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     obs = e.select(
         "user_id",
         "event_id",
@@ -1280,7 +1316,7 @@ WITH pts AS (
          ROW_NUMBER() OVER (PARTITION BY event_type
                             ORDER BY ts, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 bucketed AS (
   SELECT *, (rn - 1) * {_LTTB_B} // n AS bucket FROM pts),
 stats AS (
@@ -1315,7 +1351,11 @@ SELECT * FROM endpoints
 def q_ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     anchor = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
     wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
     wn = Window.partitionBy("event_type")
@@ -1415,7 +1455,7 @@ WITH seq AS (
            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v2,
          LEAD(CAST(ROUND(value * 100) AS BIGINT), 3)
            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v3
-  FROM events)
+  FROM events WHERE ts IS NOT NULL)
 SELECT user_id, COUNT(*) AS n_vshapes
 FROM seq
 WHERE v0 > v1 AND v1 > v2 AND v2 < v3
@@ -1427,7 +1467,11 @@ GROUP BY user_id
 def q_ts_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cents = F.round(F.col("value") * 100).cast("bigint")
     seq = e.select(
@@ -1541,7 +1585,7 @@ WITH seq AS (
          ABS(CAST(ROUND(value * 100) AS BIGINT)
              - LAG(CAST(ROUND(value * 100) AS BIGINT))
                OVER (PARTITION BY event_type ORDER BY ts, event_id)) AS mr
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 stats AS (
   SELECT event_type,
          COUNT(*) AS n,
@@ -1568,7 +1612,11 @@ GROUP BY l.event_type, l.n, l.mean_centi, l.ucl_centi, l.lcl_centi
 def q_ts_xmr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     c = F.round(F.col("value") * 100).cast("bigint")
     seq = e.select(
@@ -1627,7 +1675,7 @@ WITH seq AS (
            OVER (PARTITION BY event_type ORDER BY ts, event_id) AS base,
          ROW_NUMBER()
            OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
-  FROM events)
+  FROM events WHERE ts IS NOT NULL)
 SELECT event_type, event_id, c, base,
        c * 100000 // GREATEST(base, 1) AS index_milli
 FROM seq WHERE rn % 100 = 1
@@ -1638,7 +1686,11 @@ FROM seq WHERE rn % 100 = 1
 def q_ts_rebase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     c = F.round(F.col("value") * 100).cast("bigint")
     seq = e.select(
@@ -1770,7 +1822,7 @@ WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
            // COUNT(*) AS mean_cents
-  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+  FROM events WHERE ts IS NOT NULL GROUP BY event_type, date_trunc('hour', ts)),
 cuts AS (
   SELECT event_type,
          quantile_disc(mean_cents, 0.25) AS q1,
@@ -1798,7 +1850,11 @@ FROM symbols GROUP BY event_type
 def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     hourly = (
         e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg(
@@ -1856,7 +1912,7 @@ _FORECAST_ORACLE = """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
-  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+  FROM events WHERE ts IS NOT NULL GROUP BY event_type, date_trunc('hour', ts)),
 paired AS (
   SELECT event_type, h, c,
          LAG(c) OVER (PARTITION BY event_type ORDER BY h) AS f
@@ -1876,7 +1932,11 @@ GROUP BY event_type
 def q_ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(
@@ -2142,7 +2202,7 @@ WITH daily AS (
   SELECT event_type, CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
            AS day,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
 win AS (
   SELECT event_type, day, cents,
          SUM(cents) OVER w AS s7, COUNT(*) OVER w AS c7
@@ -2168,7 +2228,11 @@ JOIN seasonal s ON s.event_type = t.event_type AND s.phase = t.day % 7
 
 @query("q_ts_seasonal_decompose", _SEASONAL_ORACLE)
 def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     daily = ev.groupBy(
         "event_type",
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
@@ -2421,7 +2485,7 @@ WITH daily AS (
   SELECT event_type,
          CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
 cum AS (
   SELECT event_type, day, cents,
          SUM(cents) OVER w AS ps, SUM(cents * cents) OVER w AS pq,
@@ -2452,7 +2516,11 @@ FROM ranked WHERE rk = 1
 
 @query("q_ts_binary_seg", _BINSEG_ORACLE)
 def q_ts_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     daily = ev.groupBy(
         "event_type",
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
@@ -2529,7 +2597,7 @@ WITH daily AS (
   SELECT event_type,
          CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
 sized AS (
   SELECT d.*, sz.sz,
          (ROW_NUMBER() OVER (PARTITION BY d.event_type, sz.sz
@@ -2569,7 +2637,11 @@ SELECT * FROM out
 
 @query("q_ts_rescaled_range", _RS_ORACLE)
 def q_ts_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     daily = ev.groupBy(
         "event_type",
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
@@ -2642,7 +2714,7 @@ WITH daily AS (
   SELECT event_type,
          CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
 nbrs AS (
   SELECT *,
          LAG(cents) OVER w AS prev,
@@ -2661,7 +2733,11 @@ WHERE prev IS NOT NULL AND next IS NOT NULL
 
 @query("q_ts_peaks", _PEAKS_ORACLE)
 def q_ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     daily = ev.groupBy(
         "event_type",
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
@@ -2783,7 +2859,7 @@ _CUMSUM_RESET_ORACLE = """
 WITH ev AS (
   SELECT user_id, ts, event_id,
          CAST(ROUND(value * 100) AS BIGINT) AS cents
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 flagged AS (
   SELECT *,
          CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 3600000000
@@ -2811,7 +2887,11 @@ FROM run GROUP BY user_id, seg_id
 
 @query("q_ts_cumsum_reset", _CUMSUM_RESET_ORACLE)
 def q_ts_cumsum_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
         "user_id",
         "ts",
         "event_id",
@@ -3188,7 +3268,7 @@ WITH daily AS (
   SELECT event_type,
          CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
 nums AS (
   SELECT event_type, day,
          {fast} AS fast_num,
@@ -3216,7 +3296,11 @@ FROM flagged ORDER BY event_type, day
 
 @query("q_ts_ema_crossover", _xover_sql())
 def q_ts_ema_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     daily = ev.groupBy(
         "event_type",
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
@@ -3815,7 +3899,7 @@ _RUNS_ORACLE = """
 WITH e AS (
   SELECT user_id, ts, event_id,
          CAST(ROUND(value * 100) AS BIGINT) AS cents
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 s AS (
   SELECT user_id, ts, event_id, cents,
          SUM(cents) OVER (PARTITION BY user_id) AS s,
@@ -3842,7 +3926,11 @@ FROM f GROUP BY user_id
 
 @query("q_ts_runs_test", _RUNS_ORACLE)
 def q_ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").select(
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
         "user_id", "ts", "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
@@ -3902,7 +3990,7 @@ _DF_ORACLE = """
 WITH d AS (
   SELECT event_type, DAY(ts) AS day,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
 l AS (
   SELECT event_type, y,
          LAG(y) OVER (PARTITION BY event_type ORDER BY day) AS yl
@@ -3926,7 +4014,11 @@ FROM t
 
 @query("q_ts_dickey_fuller", _DF_ORACLE)
 def q_ts_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     d = (
         e.groupBy("event_type", F.dayofmonth("ts").alias("day"))
         .agg(
@@ -4623,7 +4715,7 @@ _ACF_ORACLE = f"""
 WITH d AS (
   SELECT CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS day,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS r
-  FROM events GROUP BY day),
+  FROM events WHERE ts IS NOT NULL GROUP BY day),
 s AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS sr
   FROM d),
@@ -4658,7 +4750,14 @@ def _acf_oracle() -> str:
 
 
 def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # The daily series excludes NULL ts BY CONTRACT on both engines
+    # (r12 ts-NULL audit): a NULL day group would ride every ordered
+    # traversal downstream (array_sort, Window.orderBy) at opposite
+    # ends of the two engines' sort order. All eight callers' oracles
+    # carry the matching ts IS NOT NULL.
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     return (
         ev.groupBy(F.dayofyear("ts").cast("bigint").alias("day"))
         .agg(
@@ -4749,7 +4848,7 @@ def _ljung_oracle() -> str:
 WITH d AS (
   SELECT CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS day,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS r
-  FROM events GROUP BY day),
+  FROM events WHERE ts IS NOT NULL GROUP BY day),
 s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS sr
       FROM d),
 c AS (SELECT d.day, CAST(s.n * d.r - s.sr AS DECIMAL(38,0)) AS dev, s.n
@@ -4844,7 +4943,7 @@ WITH seq AS (
   SELECT user_id, event_type,
          LAG(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev_type
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 t AS (
   SELECT prev_type, event_type AS next_type,
          CAST(COUNT(*) AS BIGINT) AS n_trans
@@ -4861,7 +4960,11 @@ FROM t JOIN r ON r.prev_type = t.prev_type
 
 @query("q_ts_markov_transitions", _MARKOV_ORACLE)
 def q_ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
@@ -4899,7 +5002,7 @@ _EWMA_ORACLE = """
 WITH d AS (
   SELECT CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS day,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS r
-  FROM events GROUP BY day),
+  FROM events WHERE ts IS NOT NULL GROUP BY day),
 arr AS (
   SELECT list(CAST(r AS DOUBLE) ORDER BY day) AS xs,
          CAST(COUNT(*) AS BIGINT) AS n_days,
@@ -4957,7 +5060,7 @@ _PETTITT_ORACLE = """
 WITH d AS (
   SELECT CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS day,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS r
-  FROM events GROUP BY day),
+  FROM events WHERE ts IS NOT NULL GROUP BY day),
 s AS (
   SELECT a.day AS t,
          CAST(SUM(CASE WHEN b.r > a2.r THEN 1
@@ -5026,7 +5129,7 @@ _GRUBBS_ORACLE = """
 WITH d AS (
   SELECT CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS day,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS r
-  FROM events GROUP BY day),
+  FROM events WHERE ts IS NOT NULL GROUP BY day),
 s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS sr
       FROM d),
 c AS (SELECT d.day, CAST(s.n * d.r - s.sr AS DECIMAL(38,0)) AS dev, s.n
@@ -5110,7 +5213,7 @@ _MACD_ORACLE = """
 WITH d AS (
   SELECT CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS day,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS r
-  FROM events GROUP BY 1),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
 arr AS (
   SELECT list(day ORDER BY day) AS days,
          list(CAST(r AS DOUBLE) ORDER BY day) AS xs,
@@ -5241,7 +5344,7 @@ _RSI_ORACLE = """
 WITH d AS (
   SELECT CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS day,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS r
-  FROM events GROUP BY 1),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
 diffs AS (
   SELECT day, r - LAG(r, 1) OVER (ORDER BY day) AS df
   FROM d),
@@ -5361,7 +5464,7 @@ _HURST_ORACLE = """
 WITH d AS (
   SELECT CAST(EXTRACT(DOY FROM ts) AS BIGINT) AS day,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS r
-  FROM events GROUP BY 1),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
 idx AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i, r,
          CAST(COUNT(*) OVER () AS BIGINT) AS n

@@ -199,7 +199,7 @@ WITH starts AS (
            time_bucket(INTERVAL 30 MINUTE, ts),
            time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
          ]) AS window_start
-  FROM events)
+  FROM events WHERE ts IS NOT NULL)
 SELECT window_start, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
 FROM starts
@@ -209,7 +209,12 @@ GROUP BY window_start
 
 @query("q_window_sliding", _SLIDING_ORACLE)
 def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # NULL event time cannot be placed in a time window (Spark's
+    # window() drops it; the oracle would mint a NULL bucket) —
+    # excluded on both engines (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(

@@ -374,7 +374,7 @@ WITH RECURSIVE seq AS (
   SELECT user_id, ts, event_id,
          ROW_NUMBER() OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) AS rn
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 chain AS (
   SELECT user_id, rn, ts AS last_acc, ts, 1 AS is_acc
   FROM seq WHERE rn = 1
@@ -423,7 +423,12 @@ def q_udf_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    e = load_table(spark, sf_dir, "events").select(
+    # ts is load-bearing (the refractory chain IS the timestamp): a
+    # NULL ts is NaT in the Arrow batch and int64-casts to garbage —
+    # excluded on both engines (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
         "user_id", "ts", "event_id"
     )
     return e.groupBy("user_id").applyInPandas(

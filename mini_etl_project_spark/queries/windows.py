@@ -256,7 +256,8 @@ def q_window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WCD_ORACLE = """
 WITH obs AS (
-  SELECT user_id, event_id, event_type, epoch_us(ts) AS s FROM events)
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS s
+  FROM events WHERE ts IS NOT NULL)
 SELECT user_id, event_id,
        COUNT(DISTINCT event_type)
          OVER (PARTITION BY user_id ORDER BY s, event_id) AS n_types_seen
@@ -266,7 +267,11 @@ FROM obs
 
 @query("q_window_count_distinct", _WCD_ORACLE)
 def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # ts is the sequencing axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     obs = e.select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("s"))
     first_seen = Window.partitionBy("user_id", "event_type").orderBy("s", "event_id")
     running = (
@@ -304,7 +309,7 @@ _IGNORE_NULLS_ORACLE = """
 WITH obs AS (
   SELECT user_id, event_id, epoch_us(ts) AS s,
          CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
-  FROM events)
+  FROM events WHERE ts IS NOT NULL)
 SELECT user_id, event_id, v,
        LAST_VALUE(v IGNORE NULLS) OVER (
          PARTITION BY user_id ORDER BY s, event_id
@@ -318,7 +323,11 @@ FROM obs
 
 @query("q_window_ignore_nulls", _IGNORE_NULLS_ORACLE)
 def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # ts is the sequencing axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     obs = e.select(
         "user_id",
         "event_id",
@@ -465,7 +474,7 @@ WITH marked AS (
               OR LAG(ts) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS is_start
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 sess AS (
   SELECT user_id, ts, cents,
          SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -483,7 +492,12 @@ GROUP BY user_id, sess_id
 
 @query("q_window_session_native", _SESSION_NATIVE_ORACLE)
 def q_window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # NULL event time cannot enter a session window (Spark drops it;
+    # the oracle would mint a NULL-keyed session) — excluded on both
+    # engines (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     agg = (
         e.select(
             "user_id",
@@ -625,7 +639,7 @@ WITH daily AS (
   SELECT event_type,
          CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
          SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
 framed AS (
   SELECT event_type, x, CAST(y AS BIGINT) AS y,
          CAST(COUNT(*) OVER w AS BIGINT) AS n,
@@ -645,7 +659,12 @@ FROM framed ORDER BY event_type, x
 
 @query("q_window_rolling_regression", _ROLLREG_ORACLE)
 def q_window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # ts is the time axis — NULL ts excluded on both engines
+    # (r12 ts-NULL audit; a NULL x day would enter the trailing frame
+    # at opposite ends of the two engines' sort order)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     daily = ev.groupBy(
         "event_type",
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
@@ -847,7 +866,7 @@ WITH g AS (
          CAST(ROUND(value * 100) AS BIGINT) AS cents,
          CASE WHEN event_type = 'purchase'
               THEN 1800000000 ELSE 600000000 END AS gap_us
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 marked AS (
   SELECT user_id, ts, event_id, cents, gap_us,
          CASE WHEN MAX(epoch_us(ts) + gap_us) OVER (
@@ -877,7 +896,11 @@ FROM sess GROUP BY user_id, sid
 def q_window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_project_spark.session import load_table
 
-    e = load_table(spark, sf_dir, "events")
+    # NULL event time cannot enter a session window — excluded on
+    # both engines (r12 ts-NULL audit)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     gap = F.when(
         F.col("event_type") == "purchase", F.lit("30 minutes")
     ).otherwise(F.lit("10 minutes"))

@@ -172,3 +172,65 @@ def test_null_convention_regression_set(spark, null_twin):
         ) != canon_rows(dcols, drows):
             bad.append(f"{name}: cross-engine divergence on NULL twin")
     assert not bad, "NULL-convention regression:\n" + "\n".join(bad)
+
+
+# -- ts-NULL sweep regression set (r12, second stage of X521) ----------------
+#
+# The `--with-ts` audit stage (NULL events.ts — the window order key
+# shared by ~100 lanes) found 49 more divergences. One representative
+# per fixed CLASS stays green inside every suite run: ASOF NULL-probe
+# semantics (DuckDB matches the latest right row, the union+window
+# engine matches nothing), event-time streaming drop vs batch NULL
+# bucket, per-key ordered-history boundary shift, NULL time-bucket
+# mint, ordered array traversal through _daily_cents, session-window
+# event time, order-only NULLS LAST pin (row kept), and the Arrow NaT
+# crash in a sequential Pandas UDF.
+
+_TS_NULL_REGRESSION_SET = [
+    "q_join_asof",              # ASOF NULL-probe semantics
+    "q_stream_tumbling",        # event-time stream drop vs NULL bucket
+    "q_table_scd2",             # ordered-history boundary shift
+    "q_ts_ohlc",                # NULL time-bucket mint
+    "q_ts_ewma_daily",          # _daily_cents ordered traversal
+    "q_window_session_native",  # session-window event time
+    "q_sql_named_window",       # order-only NULLS LAST pin
+    "q_udf_debounce",           # Arrow NaT in a sequential UDF
+]
+
+
+@pytest.fixture(scope="module")
+def null_twin_ts(tmp_path_factory):
+    from tools.audit_null_conventions import build_twin
+
+    dst = str(tmp_path_factory.mktemp("nulltwin_ts"))
+    build_twin(SF, dst, with_ts=True)
+    return dst
+
+
+def test_ts_null_convention_regression_set(spark, null_twin_ts):
+    import duckdb
+
+    from tools.check_correctness import canon_rows, duck_run, spark_rows
+
+    from mini_etl_project_spark.queries import ORACLES, QUERIES
+    from mini_etl_project_spark.session import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{null_twin_ts}/{t}.parquet')"
+        )
+    bad: list[str] = []
+    for name in _TS_NULL_REGRESSION_SET:
+        try:
+            scols, srows = spark_rows(QUERIES[name](spark, null_twin_ts))
+            dcols, drows = duck_run(con, ORACLES[name])
+        except Exception as e:  # noqa: BLE001
+            bad.append(f"{name}: engine error on ts-NULL twin: {e}")
+            continue
+        if sorted(scols) != sorted(dcols) or canon_rows(
+            scols, srows
+        ) != canon_rows(dcols, drows):
+            bad.append(f"{name}: cross-engine divergence on ts-NULL twin")
+    assert not bad, "ts-NULL-convention regression:\n" + "\n".join(bad)

@@ -40,8 +40,11 @@ Injection map (seeded by PK so the twin is bit-reproducible):
   embeddings.label    pk % 13 == 5            groupBy key
 
 ``--with-ts`` also NULLs events.ts — split out because a NULL window
-order key trips every ts-ordered window at once; the staged default
-keeps the first sweep's hit list reviewable.
+order key trips every ts-ordered window at once (the first sweep's
+hit list stayed reviewable that way; the ts stage then found 49 more
+and all are fixed). BOTH stages are drained as of round 12, so the
+frozen contract run is now TWO full-registry passes at sf0.001 —
+default and ``--with-ts`` — each expected at zero hits.
 
 Usage:
   python tools/audit_null_conventions.py [sf_dir] [query ...]

@@ -2313,3 +2313,193 @@ def q_corpus_turn_preferences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_candidates") >= 2) & (F.col("gap_cents") >= 1))
     )
+
+
+# -- X522 context-window packing (greedy sequential fill) ------------------------
+#
+# The SFT sequence-packing op: walk each (lang, source) shard's documents
+# in doc_id order and fill training sequences of at most PACK_BUDGET
+# tokens — a new pack starts exactly when the incoming document would
+# overflow the running total (an oversized document gets a pack of its
+# own and the NEXT document always starts fresh). The running total
+# resets to a value that depends on itself, so no window frame expresses
+# it — this is the canonical per-key sequential operator (same class as
+# q_udf_debounce), run as applyInPandas: one shuffle on the shard key,
+# each shard's walk a bounded Arrow batch, shards fan out across the
+# cluster. At 100 TB you add a coarser shard axis (e.g. a hash block) to
+# bound batch size — the packing semantics are per-shard either way.
+# The oracle replays the identical recurrence with a recursive CTE
+# stepping each shard's row_number sequence. NULL-hardened from birth:
+# text/lang/source IS NOT NULL on both engines (a NULL shard key would
+# vanish at the recursive join; a NULL text has no token count).
+# Output: one row per pack — bounded by ceil(corpus_tokens / budget).
+
+PACK_BUDGET = 256
+
+_PACKING_ORACLE = f"""
+WITH RECURSIVE d AS (
+  SELECT lang, source, doc_id,
+         CAST(LEN({_TOKS9}) AS BIGINT) AS n_tok,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY doc_id) AS rn
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL),
+chain AS (
+  SELECT lang, source, doc_id, rn, n_tok,
+         1 AS pack_id, n_tok AS running
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT s.lang, s.source, s.doc_id, s.rn, s.n_tok,
+         CASE WHEN c.running + s.n_tok > {PACK_BUDGET}
+              THEN c.pack_id + 1 ELSE c.pack_id END,
+         CASE WHEN c.running + s.n_tok > {PACK_BUDGET}
+              THEN s.n_tok ELSE c.running + s.n_tok END
+  FROM chain c
+  JOIN d s ON s.lang = c.lang AND s.source = c.source
+          AND s.rn = c.rn + 1)
+SELECT lang, source, CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+       CAST(SUM(n_tok) * 1000000 // {PACK_BUDGET} AS BIGINT) AS fill_ppm,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM chain GROUP BY lang, source, pack_id
+"""
+
+
+@query("q_corpus_pack_sequences", _PACKING_ORACLE)
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        toks = pdf["n_tok"].to_numpy()
+        docs = pdf["doc_id"].to_numpy()
+        out: dict[int, list] = {}
+        pack_id, running = 0, None
+        for d_id, t in zip(docs, toks):
+            if running is None or running + t > PACK_BUDGET:
+                pack_id += 1
+                running = int(t)
+                out[pack_id] = [1, int(t), int(d_id), int(d_id)]
+            else:
+                running += int(t)
+                row = out[pack_id]
+                row[0] += 1
+                row[1] += int(t)
+                row[3] = int(d_id)
+        return pd.DataFrame(
+            {
+                "lang": pdf["lang"].iloc[0],
+                "source": pdf["source"].iloc[0],
+                "pack_id": list(out),
+                "n_docs": [v[0] for v in out.values()],
+                "pack_tokens": [v[1] for v in out.values()],
+                "fill_ppm": [
+                    v[1] * 1000000 // PACK_BUDGET for v in out.values()
+                ],
+                "first_doc": [v[2] for v in out.values()],
+                "last_doc": [v[3] for v in out.values()],
+            }
+        )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull()
+            & F.col("lang").isNotNull()
+            & F.col("source").isNotNull()
+        )
+        .select(
+            "lang",
+            "source",
+            "doc_id",
+            F.size(
+                F.filter(tokens("text"), lambda t: t != "")
+            ).cast("bigint").alias("n_tok"),
+        )
+    )
+    return d.groupBy("lang", "source").applyInPandas(
+        pack,
+        "lang string, source string, pack_id bigint, n_docs bigint, "
+        "pack_tokens bigint, fill_ppm bigint, first_doc bigint, "
+        "last_doc bigint",
+    )
+
+
+# -- X523 BPE merge-pair statistics (tokenizer fit) -------------------------------
+#
+# The first step of fitting a BPE tokenizer to a corpus: count every
+# adjacent character pair across all word occurrences (the statistic one
+# BPE merge iteration maximizes) and report the top-20 merge candidates
+# with exact counts. Scale shape: the word-frequency aggregate collapses
+# the corpus to its VOCABULARY before any pair work (the classic BPE
+# trick — pair counts per distinct word × word frequency), so the pair
+# explosion runs over the bounded vocab, not the corpus; two keyed
+# shuffles (word count, pair aggregate) + one 20-row rank. Pure built-in
+# expressions both engines (sequence/transform + substring — no UDF).
+# "aaa" contributes the pair "aa" twice per occurrence: positions count,
+# not distinct pairs. Deterministic top-20 by (count DESC, pair).
+
+_BPE_TOPK = 20
+
+_BPE_PAIRS_ORACLE = f"""
+WITH words AS (
+  SELECT u.w AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT UNNEST({_TOKS9}) AS w FROM documents
+        WHERE text IS NOT NULL) u
+  GROUP BY u.w),
+pairs AS (
+  SELECT substr(w, p.i, 2) AS pair,
+         CAST(SUM(cnt) AS BIGINT) AS occ,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+  FROM words, unnest(generate_series(1, LEN(w) - 1)) p(i)
+  WHERE LEN(w) >= 2
+  GROUP BY 1),
+ranked AS (
+  SELECT pair, occ, n_words,
+         ROW_NUMBER() OVER (ORDER BY occ DESC, pair) AS rnk
+  FROM pairs)
+SELECT pair, occ, n_words, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_BPE_TOPK}
+"""
+
+
+@query("q_corpus_bpe_pairs", _BPE_PAIRS_ORACLE)
+def q_corpus_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    words = (
+        d.select(
+            F.explode(
+                F.filter(tokens("text"), lambda t: t != "")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            "w",
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("occ"),
+            F.count_distinct("w").cast("bigint").alias("n_words"),
+        )
+    )
+    wr = Window.orderBy(F.desc("occ"), "pair")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= _BPE_TOPK)
+        .select("pair", "occ", "n_words", "rnk")
+    )

@@ -234,3 +234,92 @@ def test_ts_null_convention_regression_set(spark, null_twin_ts):
         ) != canon_rows(dcols, drows):
             bad.append(f"{name}: cross-engine divergence on ts-NULL twin")
     assert not bad, "ts-NULL-convention regression:\n" + "\n".join(bad)
+
+
+# -- X522 context-window packing: plain-Python recompute ---------------------
+
+
+def _py_tokens(text):
+    return [t for t in text.split() if t] if text is not None else []
+
+
+def test_pack_sequences_python_recompute(spark):
+    t = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang", "source", "text"]
+    )
+    docs = sorted(
+        (
+            (r[1], r[2], r[0], len(_py_tokens(r[3])))
+            for r in zip(
+                t["doc_id"].to_pylist(),
+                t["lang"].to_pylist(),
+                t["source"].to_pylist(),
+                t["text"].to_pylist(),
+            )
+            if r[1] is not None and r[2] is not None and r[3] is not None
+        )
+    )
+    from mini_etl_project_spark.queries.corpus_q import PACK_BUDGET
+
+    expected = {}
+    cur_key, pack_id, running = None, 0, None
+    for lang, source, doc_id, n_tok in docs:
+        if (lang, source) != cur_key:
+            cur_key, pack_id, running = (lang, source), 0, None
+        if running is None or running + n_tok > PACK_BUDGET:
+            pack_id += 1
+            running = n_tok
+            expected[(lang, source, pack_id)] = [
+                1, n_tok, n_tok * 1000000 // PACK_BUDGET, doc_id, doc_id,
+            ]
+        else:
+            running += n_tok
+            row = expected[(lang, source, pack_id)]
+            row[0] += 1
+            row[1] += n_tok
+            row[2] = row[1] * 1000000 // PACK_BUDGET
+            row[4] = doc_id
+    got = {
+        (r["lang"], r["source"], r["pack_id"]): [
+            r["n_docs"], r["pack_tokens"], r["fill_ppm"],
+            r["first_doc"], r["last_doc"],
+        ]
+        for r in QUERIES["q_corpus_pack_sequences"](spark, SF).collect()
+    }
+    assert got == expected
+    # structural invariants: no pack except a singleton oversize one
+    # exceeds the budget, and pack ids are dense from 1 per shard
+    per_shard = defaultdict(list)
+    for (lang, source, pid), row in got.items():
+        per_shard[(lang, source)].append(pid)
+        assert row[1] <= PACK_BUDGET or row[0] == 1
+    for pids in per_shard.values():
+        assert sorted(pids) == list(range(1, len(pids) + 1))
+
+
+# -- X523 BPE merge-pair statistics: plain-Python recompute ------------------
+
+
+def test_bpe_pairs_python_recompute(spark):
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    occ = defaultdict(int)
+    inwords = defaultdict(set)
+    for text in t["text"].to_pylist():
+        for w in _py_tokens(text):
+            for i in range(len(w) - 1):
+                occ[w[i : i + 2]] += 1
+                inwords[w[i : i + 2]].add(w)
+    # NOTE the vocabulary trick is invisible here on purpose: plain
+    # per-occurrence counting must equal the vocab-weighted aggregate.
+    ranked = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    expected = [
+        (pair, n, len(inwords[pair]), i + 1)
+        for i, (pair, n) in enumerate(ranked)
+    ]
+    got = [
+        (r["pair"], r["occ"], r["n_words"], r["rnk"])
+        for r in QUERIES["q_corpus_bpe_pairs"](spark, SF)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got == expected

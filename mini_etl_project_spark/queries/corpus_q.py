@@ -2503,3 +2503,109 @@ def q_corpus_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _BPE_TOPK)
         .select("pair", "occ", "n_words", "rnk")
     )
+
+
+# -- X524 per-turn reward-to-go (credit assignment) -------------------------------
+#
+# The credit-assignment primitive downstream of X520: for each assistant
+# turn of a multi-turn transcript, the undiscounted return-to-go — the
+# sum of that turn's pooled reward and every later turn's (what RLOO /
+# return-conditioned training feeds per decision point). Turn structure
+# is the X508/X520 conversation model (user-role events bound the
+# turns; explicit NULLS-LAST ts order on both engines); rewards pool
+# per turn (all sampled candidates at that turn contribute). Plan
+# shape: the turn-counting window, the per-turn pooling groupBy, and
+# the suffix-sum window ALL key on user_id — one shuffle end to end
+# (plan-asserted in tests/test_round12.py). Output bounded by turns.
+# NULL rewards are excluded at the candidate level (X514/X520
+# convention); turns whose every candidate is NULL still appear with
+# zero pooled reward only if at least one non-NULL candidate exists —
+# i.e. they don't appear at all, keeping the turn table reward-backed.
+
+_TURN_TOGO_ORACLE = """
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('click', 'view') THEN 'user'
+              ELSE 'assistant' END AS role,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+w AS (
+  SELECT user_id, event_id, role, cents,
+         COUNT(CASE WHEN role = 'user' THEN 1 END)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts ASC NULLS LAST, event_id
+                 ROWS UNBOUNDED PRECEDING) AS turn
+  FROM t),
+pooled AS (
+  SELECT user_id, CAST(turn AS BIGINT) AS turn,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(cents) AS BIGINT) AS turn_cents
+  FROM w WHERE role = 'assistant' AND cents IS NOT NULL
+  GROUP BY user_id, turn),
+togo AS (
+  SELECT user_id, turn, n_candidates, turn_cents,
+         CAST(SUM(turn_cents) OVER (
+           PARTITION BY user_id ORDER BY turn
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          AS BIGINT) AS togo_cents,
+         CAST(COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY turn
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+          AS BIGINT) AS n_turns_after
+  FROM pooled)
+SELECT user_id, turn, n_candidates, turn_cents, togo_cents, n_turns_after
+FROM togo
+"""
+
+
+@query("q_corpus_turn_reward_togo", _TURN_TOGO_ORACLE)
+def q_corpus_turn_reward_togo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    role = F.when(
+        F.col("event_type").isin("click", "view"), F.lit("user")
+    ).otherwise(F.lit("assistant"))
+    t = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        role.alias("role"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    # X520's turn convention verbatim: NULL ts turns sort LAST on both
+    # engines (explicit NULLS LAST in the oracle; asc_nulls_last here)
+    w_turn = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    turns = t.withColumn(
+        "turn",
+        F.count(F.when(F.col("role") == "user", 1)).over(w_turn).cast(
+            "bigint"
+        ),
+    )
+    pooled = (
+        turns.filter(
+            (F.col("role") == "assistant") & F.col("cents").isNotNull()
+        )
+        .groupBy("user_id", "turn")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum("cents").cast("bigint").alias("turn_cents"),
+        )
+    )
+    w_togo = Window.partitionBy("user_id").orderBy("turn")
+    return pooled.select(
+        "user_id",
+        "turn",
+        "n_candidates",
+        "turn_cents",
+        F.sum("turn_cents")
+        .over(w_togo.rowsBetween(0, Window.unboundedFollowing))
+        .cast("bigint")
+        .alias("togo_cents"),
+        F.count(F.lit(1))
+        .over(w_togo.rowsBetween(1, Window.unboundedFollowing))
+        .cast("bigint")
+        .alias("n_turns_after"),
+    )

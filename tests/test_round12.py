@@ -323,3 +323,75 @@ def test_bpe_pairs_python_recompute(spark):
         .collect()
     ]
     assert got == expected
+
+
+# -- X524 per-turn reward-to-go: plain-Python recompute ----------------------
+
+
+def test_turn_reward_togo_python_recompute(spark):
+    t = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+    by_user = defaultdict(list)
+    for uid, ts, eid, etype, val in zip(
+        t["user_id"].to_pylist(), t["ts"].to_pylist(),
+        t["event_id"].to_pylist(), t["event_type"].to_pylist(),
+        t["value"].to_pylist(),
+    ):
+        by_user[uid].append((ts, eid, etype, val))
+    pooled = defaultdict(lambda: [0, 0])  # (uid, turn) -> [n, cents]
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda e: (e[0] is None, e[0] or 0, e[1]))
+        turn = 0
+        for ts, eid, etype, val in evs:
+            if etype in ("click", "view"):
+                turn += 1
+            elif val is not None:
+                row = pooled[(uid, turn)]
+                row[0] += 1
+                row[1] += half_up(val, 100)
+    expected = {}
+    for uid in {k[0] for k in pooled}:
+        turns = sorted(k[1] for k in pooled if k[0] == uid)
+        for i, turn in enumerate(turns):
+            later = turns[i:]
+            expected[(uid, turn)] = (
+                pooled[(uid, turn)][0],
+                pooled[(uid, turn)][1],
+                sum(pooled[(uid, tt)][1] for tt in later),
+                len(later) - 1,
+            )
+    got = {
+        (r["user_id"], r["turn"]): (
+            r["n_candidates"], r["turn_cents"],
+            r["togo_cents"], r["n_turns_after"],
+        )
+        for r in QUERIES["q_corpus_turn_reward_togo"](spark, SF).collect()
+    }
+    assert got == expected
+    assert got, "vacuous surface"
+    # telescoping invariant: togo(t) = turn(t) + togo(next t)
+    for (uid, turn), (_, tc, togo, n_after) in got.items():
+        nxt = [
+            v for (u2, t2), v in got.items() if u2 == uid and t2 > turn
+        ]
+        if n_after == 0:
+            assert togo == tc
+        else:
+            nxt_turn = min(t2 for (u2, t2) in got if u2 == uid and t2 > turn)
+            assert togo == tc + got[(uid, nxt_turn)][2]
+
+
+def test_turn_reward_togo_single_shuffle(spark):
+    """Turn window, pooling groupBy, and suffix-sum window all key on
+    user_id — exactly one shuffle exchange end to end."""
+    df = QUERIES["q_corpus_turn_reward_togo"](spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    import re
+
+    plan = df._jdf.queryExecution().explainString(mode)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}:\n{plan}"

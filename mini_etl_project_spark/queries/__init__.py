@@ -89,14 +89,19 @@ def _load_all() -> None:
 # re-sorts the rotation for the next one.
 
 #: Queries re-touched this round (fresh driver evidence wanted first).
-#: Round 12: the round-11 _RECHECK wave (good_turing, dpo_pairs,
-#: setop_except) came back green in CORRECTNESS_r11.json, so the list
-#: holds exactly the queries whose plans/oracles changed this round —
-#: the two ADVICE-r11 NULL-convention pins (bon_yield's value filter,
-#: ingest's coalesced quality gate).
+#: Round 12: the two ADVICE-r11 NULL-convention pins (bon_yield's value
+#: filter, ingest's coalesced quality gate) plus four representatives
+#: of the ts-NULL sweep's 49 pinned lanes (all pins are clean-fixture
+#: no-ops — ts IS NOT NULL filters nothing when no ts is NULL, verified
+#: exact at sf0.01 — so four representatives buy driver evidence on the
+#: reshaped plans without crowding the drain's ~50/round budget).
 _RECHECK: list[str] = [
     "q_corpus_bon_yield",
     "q_corpus_incremental_ingest",
+    "q_corpus_conversation_assembly",  # explicit (ts IS NULL) sort key
+    "q_join_asof",                     # family-wide ts IS NOT NULL pin
+    "q_stream_tumbling",               # declared event-time NULL drop
+    "q_table_scd2",                    # ordered-history ts pin
 ]
 
 #: Round-11's one-round deferral of X516-X519 EXPIRES this round
@@ -109,6 +114,9 @@ _RECHECK: list[str] = [
 #: verified queries rotate in the round after.
 _DEFER_NEW: list[str] = [
     "q_corpus_turn_preferences",
+    "q_corpus_pack_sequences",
+    "q_corpus_bpe_pairs",
+    "q_corpus_turn_reward_togo",
 ]
 
 

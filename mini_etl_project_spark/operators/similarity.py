@@ -30,11 +30,28 @@ def topk_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    prefilter_margin: float | None = 1e-3,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector (self excluded).
 
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k,
     deterministic tie-break on neighbor id.
+
+    ``prefilter_margin`` (r12 optimization, guide §1.2 "per-task work"):
+    the exact-decimal dot product is ~10× a double fold per term (boxed
+    BigDecimal adds), and ranking needs it only near the cut. A plain
+    double-fold cosine first ranks every pair cheaply; the exact decimal
+    rescore then runs ONLY on pairs within ``margin`` of the k-th
+    approximate score. Lossless by the same argument as
+    ``dot_sign_nonneg``: |exact − double| per pair is bounded by the
+    decimal quantization (64 · 5e-11 = 3.2e-9) over the norm product plus
+    ~1 ulp of double accumulation, so with margin ≫ 2·bound no pair
+    outside the margin can reach the exact top-k, and every pair that
+    could tie at the boundary is inside it (strict-inequality argument —
+    tie-breaks never cross the margin). NULL-ness is identical on both
+    paths (same norm-product denominator), and if a query has fewer than
+    k non-null approx scores the filter keeps ALL its rows. Falls back to
+    rescoring everything with ``prefilter_margin=None``.
     """
     # Hoist each side's norm to one computation per VECTOR — inlining
     # cosine_exact would recompute both norms per (query, neighbor) pair,
@@ -50,13 +67,39 @@ def topk_exact(
         F.sqrt(sqnorm_exact(vec_col)).alias("c_norm"),
     )
     denom = F.col("q_norm") * F.col("c_norm")
-    scored = (
-        c.join(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.when(denom != 0, dot_exact("q_vec", "c_vec") / denom),
+    pairs = c.join(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    if prefilter_margin is not None:
+        dd = F.aggregate(
+            F.zip_with(
+                F.col("q_vec"),
+                F.col("c_vec"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
+        wa = Window.partitionBy("query_id").orderBy(
+            F.desc_nulls_last("__approx"), "neighbor_id"
+        )
+        ranked = pairs.withColumn(
+            "__approx", F.when(denom != 0, dd / denom)
+        ).withColumn("__ar", F.row_number().over(wa))
+        kth = F.max(F.when(F.col("__ar") == k, F.col("__approx"))).over(
+            Window.partitionBy("query_id")
+        )
+        pairs = (
+            ranked.withColumn("__kth", kth)
+            .filter(
+                F.col("__kth").isNull()
+                | (F.col("__approx") >= F.col("__kth") - F.lit(prefilter_margin))
+            )
+            .drop("__approx", "__ar", "__kth")
+        )
+    scored = pairs.withColumn(
+        "cosine",
+        F.when(denom != 0, dot_exact("q_vec", "c_vec") / denom),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

@@ -351,16 +351,47 @@ class AutoETLPipeline:
             if sampled_profile
             else self._SPECULATE_MAX_DISTINCT
         )
+        # Sampled-profile gating (r12, guide §1.2 "don't compute things you
+        # throw away"): a column's median/mode is READ only when the
+        # cleaned column has nulls. Under a sampled profile the sample's
+        # parse counts estimate that for numeric/date columns (cleaned
+        # null ⇔ parse failure ∨ raw null): when every sampled row parsed,
+        # skip the speculative median (an exact-percentile/approx-sketch
+        # agg per numeric column — the single most expensive term of the
+        # fused observe) and the date column's speculative mode rows. The
+        # estimate gates SPECULATION only, never a data decision: if the
+        # full-scan null counts later disagree, the existing leftover-mode
+        # job covers dates and the dedicated median job below covers
+        # numerics — same exact values, one extra (rare) job.
+        est_clean_full: set[str] = set()
+        if sampled_profile and sample_rows:
+            for c in df.columns:
+                t = self.column_types[c]
+                ok = (
+                    profiles[c].numeric_ok
+                    if t == NUMERIC
+                    else profiles[c].date_ok if t == DATE else -1
+                )
+                if ok == sample_rows:
+                    est_clean_full.add(c)
         for c in df.columns:
             t = self.column_types[c]
             if t in (NUMERIC, CATEGORICAL):
                 continue
             if profiles[c].distinct > spec_bound:
                 continue
+            if t == DATE and c in est_clean_full:
+                continue
             (spec_date if t == DATE else spec_text).append(c)
         null_count, text_len, medians, cat_counts, spec_top1, rows_total = (
             self._fused_stats(
-                base_df, base, profiles, cat_cols, spec_date, spec_text
+                base_df,
+                base,
+                profiles,
+                cat_cols,
+                spec_date,
+                spec_text,
+                skip_median=est_clean_full,
             )
         )
         if sampled_profile:
@@ -384,15 +415,34 @@ class AutoETLPipeline:
         dropped: list[str] = []
         fills: dict[str, Any] = {}
         mode_needed: list[str] = []
+        med_missing: list[str] = []
         for c in df.columns:
             ratio = (null_count[c] / n_rows) if n_rows else 0.0
             if ratio > self.missing_threshold:
                 dropped.append(c)
             elif ratio > 0:
                 if self.column_types[c] == NUMERIC:
-                    fills[c] = medians[c]
+                    if c in medians:
+                        fills[c] = medians[c]
+                    else:
+                        med_missing.append(c)
                 else:
                     mode_needed.append(c)
+        if med_missing:
+            # The sample estimated zero cleaned-nulls but the full scan
+            # found some: compute the skipped medians exactly, one
+            # dedicated agg (rare — only on a sample/full disagreement).
+            row = base_df.agg(
+                *[
+                    (
+                        F.median(c) if self.exact_stats
+                        else F.percentile_approx(c, 0.5)
+                    ).alias(f"{c}__med")
+                    for c in med_missing
+                ]
+            ).collect()[0]
+            for c in med_missing:
+                fills[c] = row[f"{c}__med"]
 
         # Resolve speculated top-1 rows into the modes actually needed;
         # columns that dodged speculation (cardinality above the bound)
@@ -601,7 +651,10 @@ class AutoETLPipeline:
         return profile_frame_and_count(df, exact_distinct=False)
 
     def _pre_stats_aggs(
-        self, base: dict[str, Column], profiles: dict[str, ColumnProfile]
+        self,
+        base: dict[str, Column],
+        profiles: dict[str, ColumnProfile],
+        skip_median: set[str] | None = None,
     ) -> list[Column]:
         # exact row count rides for free; it replaces the profile job's
         # count when the profile ran on a sample
@@ -611,7 +664,7 @@ class AutoETLPipeline:
             t = profiles[c].logical_type
             if t not in (NUMERIC, DATE, CATEGORICAL):
                 aggs.append(F.avg(F.length(expr)).alias(f"{c}__len"))
-            if t == NUMERIC:
+            if t == NUMERIC and c not in (skip_median or ()):
                 if self.exact_stats:
                     aggs.append(F.median(expr).alias(f"{c}__med"))
                 else:
@@ -638,6 +691,7 @@ class AutoETLPipeline:
         cat_cols: list[str],
         spec_date: list[str],
         spec_text: list[str],
+        skip_median: set[str] | None = None,
     ) -> tuple[
         dict[str, int],
         dict[str, float],
@@ -653,7 +707,7 @@ class AutoETLPipeline:
         spec_top1, rows_total) where ``spec_top1`` is keyed by stack
         label (column name, with the raw/ws variant suffix for text
         columns) and ``rows_total`` is the exact row count."""
-        aggs = self._pre_stats_aggs(base, profiles)
+        aggs = self._pre_stats_aggs(base, profiles, skip_median)
         stacked_cols: dict[str, Column] = {c: base[c] for c in cat_cols}
         for c in spec_date:
             stacked_cols[c] = base[c]
@@ -713,18 +767,48 @@ class AutoETLPipeline:
         if not cat_base and not mode_cols:
             return {}, {}
         stacked_cols = {**cat_base, **mode_cols}
-        w = Window.partitionBy(_C).orderBy(F.desc("count"), F.asc(_V))
-        grouped = (
+        counted = (
             _stacked(df, stacked_cols)
             .filter(F.col(_V).isNotNull())
             .groupBy(_C, _V)
             .count()
-            .withColumn("__rn", F.row_number().over(w))
         )
-        keep = F.col("__rn") == 1
-        if cat_base:
-            keep = keep | F.col(_C).isin(list(cat_base))
-        rows = grouped.filter(keep).collect()
+        if not cat_base:
+            # Mode-only call (the dedicated fallback job for columns whose
+            # cardinality dodged speculation — by construction HIGH-distinct
+            # columns): top-1-by-(count desc, value asc) as an AGGREGATE,
+            # `min(struct(-count, value))`, which compares fields
+            # lexicographically and so selects exactly the window's rn=1
+            # row. The window form sorted every (value, count) row of a
+            # label inside ONE partition (partitionBy label — a 400k-row
+            # single-task sort for a 600k-row text column at sf0.1,
+            # measured ~1.9 s); the agg form is partial-aggregable
+            # map-side and never materializes a per-label sort (guide
+            # §2.3 "aggregate before you shuffle").
+            rows = (
+                counted.groupBy(_C)
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("count")).alias("nc"), F.col(_V).alias("v")
+                        )
+                    ).alias("b")
+                )
+                .select(
+                    _C,
+                    F.col("b.v").alias(_V),
+                    (-F.col("b.nc")).alias("count"),
+                    F.lit(1).alias("__rn"),
+                )
+                .collect()
+            )
+        else:
+            w = Window.partitionBy(_C).orderBy(F.desc("count"), F.asc(_V))
+            grouped = counted.withColumn("__rn", F.row_number().over(w))
+            keep = F.col("__rn") == 1
+            if cat_base:
+                keep = keep | F.col(_C).isin(list(cat_base))
+            rows = grouped.filter(keep).collect()
         by_col: dict[str, list[tuple[str, int]]] = {c: [] for c in cat_base}
         top1: dict[str, str] = {}
         for r in rows:

@@ -237,12 +237,17 @@ SELECT COUNT(*) AS n_deduped FROM (
 @query("q_stream_dedup_count", _STREAM_DEDUP_ORACLE)
 def q_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_project_spark.streaming.ops import (
+        adaptive_stream_partitions,
         drain_to_table,
         events_stream,
         stream_dedup,
     )
 
-    tbl = drain_to_table(stream_dedup(events_stream(spark, sf_dir)), mode="append")
+    tbl = drain_to_table(
+        stream_dedup(events_stream(spark, sf_dir)),
+        mode="append",
+        shuffle_partitions=adaptive_stream_partitions(sf_dir),
+    )
     return spark.table(tbl).agg(F.count("*").alias("n_deduped"))
 
 
@@ -306,14 +311,25 @@ def q_source_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exhaustion with an unchanged offset, which is what this drain keys
     # on; offsets/commits exercise the full micro-batch protocol.
     name = f"pyds_stream_{_uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .start()
+    # State width sized to the bounded source (r12; same rationale as
+    # ops.adaptive_stream_partitions — each state partition is a fixed
+    # per-batch cost, and 2 000 rows never need the session default 32).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(1, _PYDS_STREAM_ROWS // 1000)),
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 

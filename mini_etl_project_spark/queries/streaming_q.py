@@ -19,6 +19,7 @@ from mini_etl_project_spark.operators.multimodal import (
 from mini_etl_project_spark.queries import query
 from mini_etl_project_spark.session import load_table
 from mini_etl_project_spark.streaming.ops import (
+    adaptive_stream_partitions,
     drain_to_table,
     events_stream,
     late_split_stream,
@@ -40,7 +41,7 @@ GROUP BY 1, 2
 
 @query("q_stream_tumbling", _TUMBLING_ORACLE)
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = drain_to_table(tumbling_agg(events_stream(spark, sf_dir)))
+    out = drain_to_table(tumbling_agg(events_stream(spark, sf_dir)), shuffle_partitions=adaptive_stream_partitions(sf_dir))
     df = spark.table(out)
     # DuckDB date_trunc yields timestamp; window.start is timestamp — align
     return df.select(
@@ -85,7 +86,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n_events"
         )
     )
-    out = drain_to_table(agg)
+    out = drain_to_table(agg, shuffle_partitions=adaptive_stream_partitions(sf_dir))
     return spark.table(out).select(
         F.col("window_start").cast("timestamp"), "event_type", "n_events"
     )
@@ -115,7 +116,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(dim), dim["c_custkey"] == stream["user_id"] + 1
     )
     agg = enriched.groupBy("c_mktsegment").agg(F.count("*").alias("n_events"))
-    out = drain_to_table(agg)
+    out = drain_to_table(agg, shuffle_partitions=adaptive_stream_partitions(sf_dir))
     return spark.table(out)
 
 
@@ -152,7 +153,7 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n_events"
         )
     )
-    out = drain_to_table(agg, mode="update")
+    out = drain_to_table(agg, mode="update", shuffle_partitions=adaptive_stream_partitions(sf_dir))
     return spark.table(out).select(
         F.col("window_start").cast("timestamp"), "event_type", "n_events"
     )
@@ -185,7 +186,7 @@ GROUP BY user_id, session_id
 
 @query("q_stream_sessions", _SESSION_ORACLE)
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = drain_to_table(session_agg(events_stream(spark, sf_dir)))
+    out = drain_to_table(session_agg(events_stream(spark, sf_dir)), shuffle_partitions=adaptive_stream_partitions(sf_dir))
     return spark.table(out).select("user_id", "session_start", "n_events")
 
 
@@ -245,6 +246,8 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = drain_to_table(
         click_purchase_join(events_stream(spark, sf_dir)), mode="append"
+,
+        shuffle_partitions=adaptive_stream_partitions(sf_dir),
     )
     return spark.table(out)
 
@@ -408,6 +411,7 @@ def q_stream_stateful_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
         mode="update",
+        shuffle_partitions=adaptive_stream_partitions(sf_dir),
     )
     return (
         spark.table(tbl)
@@ -427,6 +431,7 @@ def q_stream_stateful_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
         mode="update",
+        shuffle_partitions=adaptive_stream_partitions(sf_dir),
     )
     return (
         spark.table(tbl)
@@ -451,6 +456,8 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tbl = drain_to_table(
         stateful_running_max(events_stream(spark, sf_dir)), mode="update"
+,
+        shuffle_partitions=adaptive_stream_partitions(sf_dir),
     )
     return (
         spark.table(tbl)
@@ -503,6 +510,8 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = drain_to_table(
         click_purchase_outer(flush_split_stream(spark, sf_dir)), mode="append"
+,
+        shuffle_partitions=adaptive_stream_partitions(sf_dir),
     )
     return spark.table(out)
 
@@ -557,7 +566,7 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "close",
         )
     )
-    out = drain_to_table(agg)
+    out = drain_to_table(agg, shuffle_partitions=adaptive_stream_partitions(sf_dir))
     return spark.table(out).select(
         F.col("window_start").cast("timestamp"),
         "event_type",
@@ -723,7 +732,7 @@ def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hours",
         )
     )
-    out = drain_to_table(six, mode="append")
+    out = drain_to_table(six, mode="append", shuffle_partitions=adaptive_stream_partitions(sf_dir))
     return spark.table(out)
 
 
@@ -756,7 +765,7 @@ FROM ranked WHERE rnk <= 2
 def q_stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    out = drain_to_table(tumbling_agg(events_stream(spark, sf_dir)))
+    out = drain_to_table(tumbling_agg(events_stream(spark, sf_dir)), shuffle_partitions=adaptive_stream_partitions(sf_dir))
     # a NULL event type has no place on a type leaderboard, and it
     # sorts at opposite ends of the two engines' rank tie-break —
     # excluded on both (r12 NULL audit)
@@ -839,6 +848,7 @@ def q_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = drain_to_table(
         click_purchase_full_outer(flush_split_stream(spark, sf_dir)),
         mode="append",
+        shuffle_partitions=adaptive_stream_partitions(sf_dir),
     )
     return spark.table(out)
 
@@ -874,7 +884,7 @@ def q_stream_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "hour_start"])
         .select("user_id", "hour_start")
     )
-    out = drain_to_table(alerts, mode="append")
+    out = drain_to_table(alerts, mode="append", shuffle_partitions=adaptive_stream_partitions(sf_dir))
     return (
         spark.table(out)
         .groupBy(F.col("hour_start").cast("timestamp").alias("hour_start"))
@@ -1194,6 +1204,8 @@ def q_stream_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = drain_to_table(
         click_purchase_semi(events_stream(spark, sf_dir)), mode="append"
+,
+        shuffle_partitions=adaptive_stream_partitions(sf_dir),
     )
     return spark.table(out)
 
@@ -1346,7 +1358,7 @@ def q_stream_entropy_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         pln_red,
     )
 
-    out = drain_to_table(tumbling_agg(events_stream(spark, sf_dir)))
+    out = drain_to_table(tumbling_agg(events_stream(spark, sf_dir)), shuffle_partitions=adaptive_stream_partitions(sf_dir))
     cells = spark.table(out).select(
         F.col("window_start").alias("ws"),
         F.col("event_type").alias("et"),

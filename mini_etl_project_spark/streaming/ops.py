@@ -185,18 +185,82 @@ def late_split_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def drain_to_table(stream_df: DataFrame, mode: str = "complete") -> str:
+def adaptive_stream_partitions(
+    sf_dir: str, per_partition_bytes: int = 512 << 10
+) -> int | None:
+    """Scale-adaptive state/shuffle partition count for a staged replay
+    (r12 optimization, guide §2.2 "fewer, larger reduce partitions").
+
+    Stateful exchanges can't be AQE-coalesced, so the state partition
+    count must be chosen up front — and it should follow the DATA VOLUME,
+    not a constant tuned to either the local core count or the cluster:
+    each state partition pays a fixed per-batch cost (state store open,
+    delta write, snapshot maintenance — measured ~60 ms each at sf0.1,
+    where 32 constant partitions held ~3 k rows apiece and the single
+    micro-batch spent 2.2 s of its 2.3 s on state bookkeeping; the
+    measured sweep at sf0.1: 32→2.29 s, 8→1.07, 3-4→0.94, 1→1.42).
+    One partition per ~512 KB of input puts the fixture family at that
+    measured optimum and grows with volume into the thousands at 100 TB,
+    capped at 4096 (a replay that size would be sized to steady-state
+    throughput, not history). Env override:
+    ``SPARK_GRAFT_STREAM_STATE_PARTS``. Returns None (leave the session
+    default) when the input size is unknowable.
+    """
+    import math
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+    if env:
+        return max(1, int(env))
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(path, p))
+                for p in os.listdir(path)
+                if p.endswith(".parquet")
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return None
+    return min(4096, max(1, math.ceil(size / per_partition_bytes)))
+
+
+def drain_to_table(
+    stream_df: DataFrame,
+    mode: str = "complete",
+    shuffle_partitions: int | None = None,
+) -> str:
     """Run a streaming frame to completion into a memory sink; returns the
-    table name. availableNow = process-everything-then-stop."""
+    table name. availableNow = process-everything-then-stop.
+
+    ``shuffle_partitions`` (usually ``adaptive_stream_partitions(sf_dir)``)
+    pins the stateful-exchange width for THIS query: the conf is set just
+    before ``start()`` (where the micro-batch planner reads it) and
+    restored after the drain, so batch queries on the same session keep
+    the session default. Results are partitioning-independent — the same
+    keyed aggregation lands every key in exactly one partition either
+    way — only the per-partition state-store fixed costs change.
+    """
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = stream_df.sparkSession
+    old_parts: str | None = None
+    if shuffle_partitions is not None:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return name
 
 

@@ -30,29 +30,45 @@ def topk_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    prefilter_margin: float | None = 1e-3,
+    prefilter_margin: float | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector (self excluded).
 
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k,
     deterministic tie-break on neighbor id.
 
-    ``prefilter_margin`` (r12 optimization, guide §1.2 "per-task work"):
-    the exact-decimal dot product is ~10× a double fold per term (boxed
-    BigDecimal adds), and ranking needs it only near the cut. A plain
-    double-fold cosine first ranks every pair cheaply; the exact decimal
-    rescore then runs ONLY on pairs within ``margin`` of the k-th
-    approximate score. Lossless by the same argument as
-    ``dot_sign_nonneg``: |exact − double| per pair is bounded by the
-    decimal quantization (64 · 5e-11 = 3.2e-9) over the norm product plus
-    ~1 ulp of double accumulation, so with margin ≫ 2·bound no pair
-    outside the margin can reach the exact top-k, and every pair that
-    could tie at the boundary is inside it (strict-inequality argument —
-    tie-breaks never cross the margin). NULL-ness is identical on both
-    paths (same norm-product denominator), and if a query has fewer than
-    k non-null approx scores the filter keeps ALL its rows. Falls back to
-    rescoring everything with ``prefilter_margin=None``.
+    ``prefilter_margin`` (r12, guide §1.2 "per-task work"): the
+    exact-decimal dot product is ~10× a double fold per term (boxed
+    BigDecimal adds), and ranking needs it only near the cut. With a
+    margin set, a plain double-fold cosine ranks every pair cheaply
+    first and the exact-decimal rescore runs ONLY on pairs within
+    ``margin`` of the k-th approximate score. Lossless by the same
+    argument as ``dot_sign_nonneg``: |exact − double| per pair is
+    bounded by the decimal quantization (64 · 5e-11 = 3.2e-9) over the
+    norm product plus ~1 ulp of double accumulation, so with margin ≫
+    2·bound no pair outside the margin can reach the exact top-k, and
+    every pair that could tie at the boundary is inside it
+    (strict-inequality argument — tie-breaks never cross the margin).
+    NULL-ness is identical on both paths (same norm-product
+    denominator), and if a query has fewer than k non-null approx
+    scores the filter keeps ALL its rows.
+
+    Default OFF after a measured A/B at sf0.1 (2 000 × 10 pairs,
+    OPTIMIZATION_r12.md): once the corpus scan is widened the decimal
+    scoring parallelizes across the pre-exchange map side and the
+    prefilter's two extra window passes cost more than they save
+    (0.56 s plain vs 0.92 s prefiltered). It becomes the right call when
+    per-query candidate counts grow so the decimal CPU dominates the
+    window bookkeeping — i.e. corpus ≫ cores × (window cost / decimal
+    saving), the 100 TB corpus-scan regime.
     """
+    from mini_etl_project_spark.session import ensure_parallelism
+
+    # The scoring projection sits BELOW the window exchange, so its
+    # parallelism is the corpus scan's — a single-row-group embeddings
+    # file would otherwise run every decimal dot in ONE task (measured
+    # 1.35 s → 0.56 s at sf0.1 from this alone; no-op at scale).
+    corpus = ensure_parallelism(corpus)
     # Hoist each side's norm to one computation per VECTOR — inlining
     # cosine_exact would recompute both norms per (query, neighbor) pair,
     # tripling the array work (measured ~35 % of the query).

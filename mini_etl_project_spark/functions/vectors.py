@@ -9,8 +9,20 @@ Everything stays in higher-order functions (JVM-side, no UDFs).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# Expression-construction memoization (r12, guide §7.3 — driver time):
+# each higher-order-function Column here costs dozens of py4j round
+# trips (~8 ms apiece measured) to CONSTRUCT, and the hot callers
+# (LSH bucketing, ingest probes, top-k scoring) rebuild the identical
+# tree every query invocation. Catalyst Columns are immutable
+# expression trees — reusing one across plans/queries is sound — so
+# the string-named forms are built once per (name[, name]) and cached
+# for the life of the JVM. Data never enters the cache; only
+# unresolved expression shapes.
 
 # Precision 28, not 38: Spark types decimal(38,10)+decimal(38,10) as
 # decimal(38,9) (allowPrecisionLoss), silently rounding every partial sum.
@@ -31,16 +43,35 @@ def _dec_sum(arr: Column) -> Column:
 
 def dot_exact(a: Column | str, b: Column | str) -> Column:
     """Order-independent exact dot product of two float arrays."""
+    if isinstance(a, str) and isinstance(b, str):
+        return _dot_exact_named(a, b)
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return _dec_sum(prods)
 
 
+@lru_cache(maxsize=256)
+def _dot_exact_named(a: str, b: str) -> Column:
+    prods = F.zip_with(
+        F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return _dec_sum(prods)
+
+
 def sqnorm_exact(a: Column | str) -> Column:
     """Exact squared L2 norm of a float array."""
-    a = F.col(a) if isinstance(a, str) else a
+    if isinstance(a, str):
+        return _sqnorm_exact_named(a)
     sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return _dec_sum(sq)
+
+
+@lru_cache(maxsize=256)
+def _sqnorm_exact_named(a: str) -> Column:
+    sq = F.transform(
+        F.col(a), lambda x: x.cast("double") * x.cast("double")
+    )
     return _dec_sum(sq)
 
 

@@ -53,6 +53,21 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataF
     )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
+def _minhash_aggs(num_hashes: int) -> tuple:
+    """The k min-hash aggregate Columns, built once per k (r12: each
+    ``hash64`` chain is ~6 py4j round trips to construct — ~0.8 s for
+    k=16 rebuilt per query invocation; the tree is deterministic, so
+    cache the immutable Columns for the life of the JVM)."""
+    return tuple(
+        F.min(hash64(F.col("shingle"), s)).alias(f"__mh{s}")
+        for s in range(num_hashes)
+    )
+
+
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
@@ -65,10 +80,7 @@ def minhash_signatures(
     per-seed formulation (``hash64(shingle, seed)``), so the DuckDB oracle
     reproduces them bit-for-bit.
     """
-    aggs = [
-        F.min(hash64(F.col("shingle"), s)).alias(f"__mh{s}")
-        for s in range(num_hashes)
-    ]
+    aggs = list(_minhash_aggs(num_hashes))
     wide = shingles.groupBy("id").agg(*aggs)
     return wide.select(
         "id",

@@ -72,12 +72,20 @@ def pagerank(
         insum = contribs.groupBy("node").agg(
             F.sum(F.col("c").cast(_DEC)).cast("double").alias("insum")
         )
-        ranks = nodes.join(insum, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce(F.col("insum"), F.lit(0.0))
-            ).alias("rank"),
+        ranks = (
+            nodes.join(insum, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("insum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            # r12: per-round eager checkpoint of the BOUNDED rank table
+            # (|nodes| rows) — without it every round re-executes all
+            # prior rounds' edge joins once more per reference (plan
+            # growth; r9 iterative-lineage rule). Same values.
+            .localCheckpoint(eager=True)
         )
     return ranks
 
@@ -150,6 +158,10 @@ def pagerank_dangling(
                     )
                 ).alias("rank"),
             )
+            # r12: ranks is referenced TWICE per round (dangling-mass agg
+            # + contribs join), so an un-checkpointed plan doubles per
+            # round; eager checkpoint of the bounded rank table caps it.
+            .localCheckpoint(eager=True)
         )
     return ranks
 
@@ -260,6 +272,9 @@ def personalized_pagerank(
                     )
                 ).alias("rank"),
             )
+            # r12: same double-reference-per-round argument as
+            # pagerank_dangling — checkpoint the bounded rank table.
+            .localCheckpoint(eager=True)
         )
     return ranks
 

@@ -1160,6 +1160,13 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(relax)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
+            # r12: dist is referenced TWICE per round (broadcast probe +
+            # union leg), so the un-checkpointed plan doubled per round —
+            # 2^6 replays of every earlier relaxation (measured 22.6 s at
+            # sf0.01 for a ≤25-node distance table). Per-round eager
+            # checkpoint of the BOUNDED dist table caps the plan at one
+            # round (same values — r9 iterative-lineage rule): 1.7 s.
+            .localCheckpoint(eager=True)
         )
     return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
 

@@ -314,12 +314,11 @@ def q_source_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # State width sized to the bounded source (r12; same rationale as
     # ops.adaptive_stream_partitions — each state partition is a fixed
     # per-batch cost, and 2 000 rows never need the session default 32).
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(max(1, _PYDS_STREAM_ROWS // 1000)),
-    )
-    try:
+    # The pin is the race-safe shared context manager (serialized across
+    # driver threads — see ops._PIN_LOCK).
+    from mini_etl_project_spark.streaming.ops import pinned_shuffle_partitions
+
+    with pinned_shuffle_partitions(spark, max(1, _PYDS_STREAM_ROWS // 1000)):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -328,8 +327,6 @@ def q_source_python_ds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.processAllAvailable()
         q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 

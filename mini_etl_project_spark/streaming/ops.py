@@ -227,6 +227,44 @@ def adaptive_stream_partitions(
     return min(4096, max(1, math.ceil(size / per_partition_bytes)))
 
 
+#: Serializes every conf-pinned drain: the pin mutates the SESSION-global
+#: ``spark.sql.shuffle.partitions``, and two concurrent drains interleaving
+#: their save/restore can persist the pinned value past both (observed live:
+#: the registry non-vacuity walk probes queries from 4 threads, and an
+#: unlocked pin leaked partitions=1 into the rest of the suite). The lock
+#: makes save→start→drain→restore atomic; concurrent pinned drains simply
+#: queue (each is a short bounded replay).
+_PIN_LOCK = __import__("threading").Lock()
+
+
+class pinned_shuffle_partitions:
+    """Context manager: atomically pin ``spark.sql.shuffle.partitions``
+    for the duration of a (streaming) action and restore the session
+    default after, serialized across threads via ``_PIN_LOCK``."""
+
+    def __init__(self, spark: SparkSession, n: int | None) -> None:
+        self._spark, self._n = spark, n
+        self._old: str | None = None
+
+    def __enter__(self):
+        if self._n is not None:
+            _PIN_LOCK.acquire()
+            self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+            self._spark.conf.set(
+                "spark.sql.shuffle.partitions", str(self._n)
+            )
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._n is not None:
+            try:
+                self._spark.conf.set(
+                    "spark.sql.shuffle.partitions", self._old
+                )
+            finally:
+                _PIN_LOCK.release()
+
+
 def drain_to_table(
     stream_df: DataFrame,
     mode: str = "complete",
@@ -241,15 +279,12 @@ def drain_to_table(
     restored after the drain, so batch queries on the same session keep
     the session default. Results are partitioning-independent — the same
     keyed aggregation lands every key in exactly one partition either
-    way — only the per-partition state-store fixed costs change.
+    way — only the per-partition state-store fixed costs change. Pinned
+    drains are serialized across driver threads (see ``_PIN_LOCK``).
     """
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     spark = stream_df.sparkSession
-    old_parts: str | None = None
-    if shuffle_partitions is not None:
-        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
+    with pinned_shuffle_partitions(spark, shuffle_partitions):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -258,9 +293,6 @@ def drain_to_table(
             .start()
         )
         q.awaitTermination()
-    finally:
-        if old_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return name
 
 

@@ -280,9 +280,20 @@ class AutoETLPipeline:
             for cached in AutoETLPipeline._LIVE_CACHES:
                 cached.unpersist(blocking=True)
             AutoETLPipeline._LIVE_CACHES.clear()
-            wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
-            AutoETLPipeline._LIVE_CACHES.append(wide)
-            self._cached_base = wide
+            # Under a sampled profile the types are already known, so
+            # nothing downstream ever reads the wide frame directly — the
+            # cleaned base (one narrow column per input column) is the
+            # only consumer. Persist THAT below instead of the wide
+            # raw+parse-layer projection (guide §5: cache only what the
+            # downstream jobs actually read — r13; the wide persist
+            # carried every raw string twice and re-evaluated the text
+            # cleaners on every downstream job). The exact-profile path
+            # keeps the wide persist: the profile job must materialize
+            # the parse layers before any type is known.
+            if not sampled_profile:
+                wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
+                AutoETLPipeline._LIVE_CACHES.append(wide)
+                self._cached_base = wide
 
         if not sampled_profile:
             # Job 1: profile → logical types (+ total rows, same job); the
@@ -323,6 +334,12 @@ class AutoETLPipeline:
             else:  # text and unknown both take the text cleaner (:255-256)
                 base_exprs[c] = clean_text(c, collapse_whitespace=False)
         base_df = wide.select(*[expr.alias(c) for c, expr in base_exprs.items()])
+        if self.cache_intermediate and sampled_profile:
+            from pyspark import StorageLevel
+
+            base_df = base_df.persist(StorageLevel.MEMORY_AND_DISK)
+            AutoETLPipeline._LIVE_CACHES.append(base_df)
+            self._cached_base = base_df
         base: dict[str, Column] = {c: F.col(c) for c in df.columns}
 
         # Jobs 2+3 FUSED into one action: the stacked category/mode groupBy
@@ -383,16 +400,28 @@ class AutoETLPipeline:
             if t == DATE and c in est_clean_full:
                 continue
             (spec_date if t == DATE else spec_text).append(c)
-        null_count, text_len, medians, cat_counts, spec_top1, rows_total = (
-            self._fused_stats(
-                base_df,
-                base,
-                profiles,
-                cat_cols,
-                spec_date,
-                spec_text,
-                skip_median=est_clean_full,
-            )
+        spec_outlier = {
+            c
+            for c in est_clean_full
+            if self.column_types[c] == NUMERIC
+        }
+        (
+            null_count,
+            text_len,
+            medians,
+            cat_counts,
+            spec_top1,
+            rows_total,
+            spec_out_stats,
+        ) = self._fused_stats(
+            base_df,
+            base,
+            profiles,
+            cat_cols,
+            spec_date,
+            spec_text,
+            skip_median=est_clean_full,
+            spec_outlier=spec_outlier,
         )
         if sampled_profile:
             n_rows = rows_total  # exact, from the full-scan fused job
@@ -565,7 +594,28 @@ class AutoETLPipeline:
         obs_metrics: list[Column] = [F.count(F.lit(1)).alias("__rows_pre")]
         num_cols = [c for c in kept if self.column_types[c] == NUMERIC]
         if num_cols:
-            stats = self._outlier_stats(base_df, {c: imputed[c] for c in num_cols})
+            # Use the ridden outlier scalars where the speculation held —
+            # the full scan confirmed zero cleaned-nulls, so the imputed
+            # expression equals the base column the ride aggregated.
+            # Everything else (a fill happened, or the column wasn't
+            # ridden) takes the dedicated exact job as before.
+            stats = {}
+            out_leftover = []
+            for c in num_cols:
+                if (
+                    c in spec_out_stats
+                    and null_count[c] == 0
+                    and c not in fills
+                ):
+                    stats[c] = spec_out_stats[c]
+                else:
+                    out_leftover.append(c)
+            if out_leftover:
+                stats.update(
+                    self._outlier_stats(
+                        base_df, {c: imputed[c] for c in out_leftover}
+                    )
+                )
             for c in num_cols:
                 mu, sigma, q05, q95 = stats[c]
                 if sigma and q05 is not None:
@@ -655,6 +705,7 @@ class AutoETLPipeline:
         base: dict[str, Column],
         profiles: dict[str, ColumnProfile],
         skip_median: set[str] | None = None,
+        spec_outlier: set[str] | None = None,
     ) -> list[Column]:
         # exact row count rides for free; it replaces the profile job's
         # count when the profile ran on a sample
@@ -671,6 +722,27 @@ class AutoETLPipeline:
                     aggs.append(
                         F.percentile_approx(expr, 0.5).alias(f"{c}__med")
                     )
+            if c in (spec_outlier or ()):
+                # Speculative outlier-stat ride (r13, guide §1.2 "don't
+                # run a whole job for what an existing scan can carry"):
+                # when the sampled profile estimates a numeric column
+                # fully clean, its imputed expression IS the cleaned base
+                # column (no median fill), so the outlier scalars can
+                # ride this same traversal. The full-scan null count
+                # validates the speculation; any disagreement falls back
+                # to the dedicated exact job (same values, one extra
+                # rare job — identical to the median-gating contract).
+                qs = F.array(F.lit(0.05), F.lit(0.95))
+                quant = (
+                    F.percentile(expr, qs)
+                    if self.exact_stats
+                    else F.percentile_approx(expr, qs)
+                )
+                aggs += [
+                    F.avg(expr).alias(f"{c}__omu"),
+                    F.stddev_samp(expr).alias(f"{c}__osd"),
+                    quant.alias(f"{c}__oq"),
+                ]
         return aggs
 
     @staticmethod
@@ -692,22 +764,40 @@ class AutoETLPipeline:
         spec_date: list[str],
         spec_text: list[str],
         skip_median: set[str] | None = None,
+        spec_outlier: set[str] | None = None,
     ) -> tuple[
         dict[str, int],
         dict[str, float],
         dict[str, float],
         dict[str, list[tuple[str, int]]],
         dict[str, str],
+        int,
+        dict[str, tuple],
     ]:
         """Jobs 2+3 as ONE action: the stacked category/speculative-mode
         groupBy is the collected plan; the global pre-stats aggregates
         (null counts, text lengths, medians) ride an ``observe`` below the
         stack — both are computed in the same traversal of the cleaned
         base. Returns (null_count, text_len, medians, cat_counts,
-        spec_top1, rows_total) where ``spec_top1`` is keyed by stack
-        label (column name, with the raw/ws variant suffix for text
-        columns) and ``rows_total`` is the exact row count."""
-        aggs = self._pre_stats_aggs(base, profiles, skip_median)
+        spec_top1, rows_total, spec_out_stats) where ``spec_top1`` is
+        keyed by stack label (column name, with the raw/ws variant suffix
+        for text columns), ``rows_total`` is the exact row count, and
+        ``spec_out_stats`` maps each ``spec_outlier`` column to its ridden
+        (mean, stddev, q05, q95) scalars."""
+        aggs = self._pre_stats_aggs(base, profiles, skip_median, spec_outlier)
+
+        def out_stats(d: dict) -> dict[str, tuple]:
+            out: dict[str, tuple] = {}
+            for c in spec_outlier or ():
+                q = d.get(f"{c}__oq")
+                out[c] = (
+                    d.get(f"{c}__omu"),
+                    d.get(f"{c}__osd"),
+                    q[0] if q else None,
+                    q[1] if q else None,
+                )
+            return out
+
         stacked_cols: dict[str, Column] = {c: base[c] for c in cat_cols}
         for c in spec_date:
             stacked_cols[c] = base[c]
@@ -721,7 +811,15 @@ class AutoETLPipeline:
             null_count, text_len, medians, rows_total = self._split_pre_stats(
                 row, base
             )
-            return null_count, text_len, medians, {}, {}, rows_total
+            return (
+                null_count,
+                text_len,
+                medians,
+                {},
+                {},
+                rows_total,
+                out_stats(row.asDict()),
+            )
 
         from pyspark.sql import Observation
 
@@ -749,7 +847,15 @@ class AutoETLPipeline:
                 by_col[r[_C]].append((r[_V], r["count"]))
             if r["__rn"] == 1 and r[_C] not in by_col:
                 spec_top1[r[_C]] = r[_V]
-        return null_count, text_len, medians, by_col, spec_top1, rows_total
+        return (
+            null_count,
+            text_len,
+            medians,
+            by_col,
+            spec_top1,
+            rows_total,
+            out_stats(obs.get),
+        )
 
     def _category_and_mode_stats(
         self,

@@ -1773,11 +1773,40 @@ def q_corpus_incremental_ingest(
     # `hits` table (they are independent — both probe `surv` — with
     # stage precedence applied in the label step instead of a
     # sequential surv2 barrier between them).
-    base = (
+    # Bounded lane, volume-pinned shuffle width (r13, guide §2.2): every
+    # exchange below carries O(bound) rows — shingles, bands, buckets —
+    # while the session constant (32) pays ~30 exchanges' worth of
+    # per-partition fixed costs for data that fits in a couple of
+    # partitions. Width follows the ACTUAL checkpointed input bytes
+    # (grows with ``bound`` into the thousands at scale, cap 4096);
+    # results are partitioning-independent (exact-decimal sums, ordered
+    # band keys, keyed windows). Measured at sf0.1: 32→~7.0 s,
+    # pinned(≤8)→~4.5 s for the full lane.
+    from mini_etl_project_spark.session import eager_checkpoint_sized
+    from mini_etl_project_spark.streaming.ops import (
+        partitions_for_bytes,
+        pinned_shuffle_partitions,
+    )
+
+    base, base_bytes = eager_checkpoint_sized(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < bound)
         .select(F.col("doc_id").alias("id"), "text")
-        .localCheckpoint(eager=True)
+    )
+    # vecs checkpoint moved ahead of the exact-dedup stage (independent
+    # legs — it only feeds the semantic probe) so its actual bytes join
+    # the width signal before the first pinned job.
+    vecs, vec_bytes = eager_checkpoint_sized(
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < bound)
+        .select("vec_id", "embedding")
+    )
+    # 64 KB of checkpointed input per partition, not the 512 KB streaming
+    # default: the 5-gram shingle explosion multiplies these text bytes
+    # ~10-20x into the band/verify exchanges, so the width must be sized
+    # to the EXPANDED volume the shuffles actually carry.
+    pin_width = partitions_for_bytes(
+        base_bytes + vec_bytes, per_partition_bytes=64 << 10
     )
     existing = base.filter(F.col("id") % 3 != 0)
     inc0 = base.filter(F.col("id") % 3 == 0)
@@ -1842,11 +1871,12 @@ def q_corpus_incremental_ingest(
     s_batch = qk.filter(F.col("rk") > 1).select("id")
     first = qk.filter(F.col("rk") == 1)
     s_exact = first.join(ek, "k", "left_semi").select("id")
-    surv = (
-        first.join(ek, "k", "left_anti")
-        .select("id", "text")
-        .localCheckpoint(eager=True)
-    )
+    with pinned_shuffle_partitions(spark, pin_width):
+        surv = (
+            first.join(ek, "k", "left_anti")
+            .select("id", "text")
+            .localCheckpoint(eager=True)
+        )
 
     # stage 4: asymmetric MinHash/LSH probe vs corpus (the X227 lane:
     # existing bands x survivor bands only, exact Jaccard >= 0.5 verify)
@@ -1896,12 +1926,6 @@ def q_corpus_incremental_ingest(
     # precedence moves to the label step, which yields the same
     # disposition for every doc (a doc in both sets labels near either
     # way; a doc only in the semantic set is by definition in surv2).
-    vecs = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < bound)
-        .select("vec_id", "embedding")
-        .localCheckpoint(eager=True)
-    )
     v_inc = vecs.join(
         surv.select(F.col("id").alias("vec_id")), "vec_id"
     )
@@ -1950,11 +1974,12 @@ def q_corpus_incremental_ingest(
     # ONE barrier for both probes: the near and semantic candidate
     # builds are independent legs of this union, so Spark schedules
     # them concurrently inside a single checkpoint job.
-    hits = (
-        tag(near_raw, "dup_near_corpus")
-        .unionByName(tag(sem_raw, "dup_semantic_corpus"))
-        .localCheckpoint(eager=True)
-    )
+    with pinned_shuffle_partitions(spark, pin_width):
+        hits = (
+            tag(near_raw, "dup_near_corpus")
+            .unionByName(tag(sem_raw, "dup_semantic_corpus"))
+            .localCheckpoint(eager=True)
+        )
     near_ids = hits.filter(F.col("disposition") == "dup_near_corpus").select(
         "id"
     )

@@ -157,6 +157,33 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     return df
 
 
+def eager_checkpoint_sized(df: DataFrame) -> tuple[DataFrame, int]:
+    """``localCheckpoint(eager=True)`` plus the ACTUAL stored size of the
+    checkpointed blocks, read from the block manager's storage info (the
+    delta of persisted-RDD bytes across the checkpoint). The size is the
+    honest volume signal for sizing downstream shuffle width on bounded
+    lanes (r13, guide §2.2): unlike the pre-checkpoint plan estimate it
+    reflects the filters already applied, and unlike a count it costs no
+    extra job. Returns (checkpointed_df, bytes); bytes is 0 if the
+    storage info is unreadable (callers treat 0/tiny as width 1)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    except Exception:
+        before = None
+    out = df.localCheckpoint(eager=True)
+    if before is None:
+        return out, 0
+    try:
+        return out, sum(
+            i.memSize() + i.diskSize()
+            for i in sc._jsc.sc().getRDDStorageInfo()
+            if i.id() not in before
+        )
+    except Exception:
+        return out, 0
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read every contract table; plans stay lazy until an action runs."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -206,25 +206,64 @@ def adaptive_stream_partitions(
     ``SPARK_GRAFT_STREAM_STATE_PARTS``. Returns None (leave the session
     default) when the input size is unknowable.
     """
-    import math
     import os
 
     env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS")
     if env:
-        return max(1, int(env))
-    path = os.path.join(sf_dir, "events.parquet")
+        # A malformed override must not take every streaming query down
+        # with a ValueError — fall through to the computed path instead
+        # (ADVICE r12).
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    size = input_bytes(os.path.join(sf_dir, "events.parquet"))
+    if size is None:
+        return None
+    return partitions_for_bytes(size, per_partition_bytes)
+
+
+def partitions_for_bytes(
+    n_bytes: int, per_partition_bytes: int = 512 << 10
+) -> int:
+    """Volume-following partition width: one partition per
+    ``per_partition_bytes`` of input, clamped to [1, 4096] (the same
+    sizing rule as ``adaptive_stream_partitions`` — see its docstring
+    for the measured fixed-cost rationale)."""
+    import math
+
+    return min(4096, max(1, math.ceil(n_bytes / per_partition_bytes)))
+
+
+def input_bytes(path: str) -> int | None:
+    """Total bytes under ``path`` (file or directory of parts),
+    storage-agnostic: the local filesystem is tried first (the common
+    dev path), then the Hadoop FileSystem of the active session — so at
+    real scale (object storage, HDFS) the volume signal comes from the
+    file index instead of silently degrading to the session default
+    (VERDICT r12 ask #8). Returns None when the size is unknowable."""
+    import os
+
     try:
         if os.path.isdir(path):
-            size = sum(
+            return sum(
                 os.path.getsize(os.path.join(path, p))
                 for p in os.listdir(path)
                 if p.endswith(".parquet")
             )
-        else:
-            size = os.path.getsize(path)
+        return os.path.getsize(path)
     except OSError:
+        pass
+    spark = SparkSession.getActiveSession()
+    if spark is None:
         return None
-    return min(4096, max(1, math.ceil(size / per_partition_bytes)))
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.getContentSummary(hpath).getLength()
+    except Exception:
+        return None
 
 
 #: Serializes every conf-pinned drain: the pin mutates the SESSION-global
@@ -239,8 +278,18 @@ _PIN_LOCK = __import__("threading").Lock()
 
 class pinned_shuffle_partitions:
     """Context manager: atomically pin ``spark.sql.shuffle.partitions``
-    for the duration of a (streaming) action and restore the session
-    default after, serialized across threads via ``_PIN_LOCK``."""
+    for the duration of a (streaming or bounded-batch) action and restore
+    the session default after, serialized across threads via
+    ``_PIN_LOCK``.
+
+    Residual interference class (ADVICE r12, documented contract): the
+    pin mutates the session-global conf, so a concurrent UNPINNED query
+    planned on another driver thread during a pinned drain sees the
+    pinned width. That changes only its partition count — never results
+    (every query here is partitioning-independent by the exact-decimal
+    design) — and the production posture is one driver thread per
+    session. Conf-sensitive concurrent work should take this same lock
+    (all pinned call sites do)."""
 
     def __init__(self, spark: SparkSession, n: int | None) -> None:
         self._spark, self._n = spark, n
@@ -249,10 +298,18 @@ class pinned_shuffle_partitions:
     def __enter__(self):
         if self._n is not None:
             _PIN_LOCK.acquire()
-            self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
-            self._spark.conf.set(
-                "spark.sql.shuffle.partitions", str(self._n)
-            )
+            try:
+                self._old = self._spark.conf.get(
+                    "spark.sql.shuffle.partitions"
+                )
+                self._spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(self._n)
+                )
+            except BaseException:
+                # A failed conf get/set (e.g. stopped session) must not
+                # leave the lock held forever (ADVICE r12).
+                _PIN_LOCK.release()
+                raise
         return self
 
     def __exit__(self, *exc) -> None:

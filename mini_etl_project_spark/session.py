@@ -49,6 +49,20 @@ def get_spark(app_name: str = "mini_etl_project_spark", cpus: str | None = None)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", "32")
+        # Estimate injection (r13, guide §3.1/VERDICT r12 ask #4): with no
+        # CBO stats, relation sizes come from FILE bytes, but broadcast
+        # decisions are about IN-MEMORY size — measured on the fixture
+        # tables the deserialized rows are 7.9-10.7x the parquet bytes
+        # (lineitem 10.8 MB file -> 115 MB checkpointed). At factor 1.0
+        # the planner broadcast the pruned FACT side of q03/q05/q10
+        # (estimated ~8 MB, actually 115 MB built); at the measured
+        # factor the dimensions (still well under threshold) broadcast
+        # pre-AQE and the fact side goes sort-merge, which AQE upgrades
+        # from runtime sizes where a broadcast is genuinely small.
+        # Measured: q05 1.97->1.60 s (12/12 alternated pairs), q03 flat,
+        # q10 +0.2 s (its pruned fact IS small; the honest estimate costs
+        # one extra shuffle that AQE's local-read conversion bounds).
+        .config("spark.sql.sources.fileCompressionFactor", "8.0")
         .config("spark.sql.warehouse.dir", "/tmp/mini_etl_warehouse")
         .config("spark.ui.enabled", "false")
     )

@@ -9,7 +9,7 @@ Everything stays in higher-order functions (JVM-side, no UDFs).
 
 from __future__ import annotations
 
-from functools import lru_cache
+from mini_etl_project_spark.functions.memo import jvm_memo
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -51,7 +51,7 @@ def dot_exact(a: Column | str, b: Column | str) -> Column:
     return _dec_sum(prods)
 
 
-@lru_cache(maxsize=256)
+@jvm_memo
 def _dot_exact_named(a: str, b: str) -> Column:
     prods = F.zip_with(
         F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
@@ -67,7 +67,7 @@ def sqnorm_exact(a: Column | str) -> Column:
     return _dec_sum(sq)
 
 
-@lru_cache(maxsize=256)
+@jvm_memo
 def _sqnorm_exact_named(a: str) -> Column:
     sq = F.transform(
         F.col(a), lambda x: x.cast("double") * x.cast("double")

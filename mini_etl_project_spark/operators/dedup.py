@@ -53,10 +53,10 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataF
     )
 
 
-from functools import lru_cache
+from mini_etl_project_spark.functions.memo import jvm_memo
 
 
-@lru_cache(maxsize=16)
+@jvm_memo
 def _minhash_aggs(num_hashes: int) -> tuple:
     """The k min-hash aggregate Columns, built once per k (r12: each
     ``hash64`` chain is ~6 py4j round trips to construct — ~0.8 s for

@@ -13,7 +13,7 @@
 
 from __future__ import annotations
 
-from functools import lru_cache as _lru_cache
+from mini_etl_project_spark.functions.memo import jvm_memo as _jvm_memo
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -144,7 +144,7 @@ def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
     return out
 
 
-@_lru_cache(maxsize=512)
+@_jvm_memo
 def _bucket_expr_cached(
     dim: int, bits: int, table: int, exact_sign: bool, vec_col: str
 ):

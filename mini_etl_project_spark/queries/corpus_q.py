@@ -1121,9 +1121,9 @@ def q_corpus_perplexity_filter(
         (F.col("cu").cast("double") / F.col("tu").cast("double")).alias("v"),
     )
     lns = (
-        pv.withColumn("red", pln_red(F.col("v")))
-        .withColumn("kk", pln_k(F.col("v")))
-        .select("uw", pln_finish(F.col("red"), F.col("kk")).alias("lnv"))
+        pv.withColumn("red", pln_red("v"))
+        .withColumn("kk", pln_k("v"))
+        .select("uw", pln_finish("red", "kk").alias("lnv"))
     )
     j = tw.join(F.broadcast(lns), tw["w"] == lns["uw"]).select(
         "doc_id", "i", "lnv"

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from mini_etl_project_spark.functions.memo import jvm_memo
+
 DEC = "decimal(38,6)"
 
 
@@ -122,9 +124,20 @@ _PLN_LN2 = 0.6931471805599453  # repr(math.log(2.0)) — shared literal
 _PLN_KLO, _PLN_KHI = -60, 7
 
 
-def pln_red(col: Column) -> Column:
+# Construction cost note (r13): each staged-ln builder is a 67-branch
+# CASE chain / 13-term Horner fold — hundreds of py4j round trips
+# (~8 ms apiece) to CONSTRUCT, measured at ~4 s of pure driver time per
+# boxcox-shaped query invocation. Every Spark call site passes literal
+# column names, so the string-named forms are memoized per JVM (the
+# same r12 rule as functions/vectors.py: immutable expression shapes
+# only, never data).
+
+
+def pln_red(col: Column | str) -> Column:
     """Stage 1 (Spark): exactly power-of-two-reduced argument in
     [0.75, 1.5), NULL outside the domain."""
+    if isinstance(col, str):
+        return _pln_red_named(col)
     red = None
     for k in range(_PLN_KLO, _PLN_KHI):
         lo, hi, scale = 0.75 * 2.0**k, 1.5 * 2.0**k, 2.0 ** (-k)
@@ -137,8 +150,15 @@ def pln_red(col: Column) -> Column:
     return red
 
 
-def pln_k(col: Column) -> Column:
+@jvm_memo
+def _pln_red_named(name: str) -> Column:
+    return pln_red(F.col(name))
+
+
+def pln_k(col: Column | str) -> Column:
     """Stage 1 (Spark): the reduction exponent k as double."""
+    if isinstance(col, str):
+        return _pln_k_named(col)
     kk = None
     for k in range(_PLN_KLO, _PLN_KHI):
         lo, hi = 0.75 * 2.0**k, 1.5 * 2.0**k
@@ -151,14 +171,28 @@ def pln_k(col: Column) -> Column:
     return kk
 
 
-def pln_finish(red: Column, kk: Column) -> Column:
+@jvm_memo
+def _pln_k_named(name: str) -> Column:
+    return pln_k(F.col(name))
+
+
+def pln_finish(red: Column | str, kk: Column | str) -> Column:
     """Stage 2 (Spark): atanh series on the reduced argument + k*ln2."""
+    if isinstance(red, str) and isinstance(kk, str):
+        return _pln_finish_named(red, kk)
+    red = F.col(red) if isinstance(red, str) else red
+    kk = F.col(kk) if isinstance(kk, str) else kk
     t = (red - F.lit(1.0)) / (red + F.lit(1.0))
     t2 = t * t
     s = F.lit(_PLN_COEFFS[-1])
     for c in reversed(_PLN_COEFFS[:-1]):
         s = s * t2 + F.lit(c)
     return F.lit(2.0) * t * s + kk * F.lit(_PLN_LN2)
+
+
+@jvm_memo
+def _pln_finish_named(red: str, kk: str) -> Column:
+    return pln_finish(F.col(red), F.col(kk))
 
 
 def sql_pln_red(expr: str) -> str:

@@ -10004,14 +10004,14 @@ def q_ml_entropy_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lns = (
-        stack.withColumn("red", _pln_red(F.col("v")))
-        .withColumn("kk", _pln_k(F.col("v")))
+        stack.withColumn("red", _pln_red("v"))
+        .withColumn("kk", _pln_k("v"))
         .select(
             "which",
             "m",
             "pr",
             "v",
-            _pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+            _pln_finish("red", "kk").alias("lnv"),
         )
     )
     folds = (
@@ -10138,10 +10138,10 @@ def q_ml_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lns = (
-        stack.withColumn("red", _pln_red(F.col("v")))
-        .withColumn("kk", _pln_k(F.col("v")))
+        stack.withColumn("red", _pln_red("v"))
+        .withColumn("kk", _pln_k("v"))
         .select(
-            "which", "pr", "v", _pln_finish(F.col("red"), F.col("kk")).alias("lnv")
+            "which", "pr", "v", _pln_finish("red", "kk").alias("lnv")
         )
     )
     piv = lns.groupBy("pr").agg(
@@ -10265,14 +10265,14 @@ def q_ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lns = (
-        stack.withColumn("red", _pln_red(F.col("v")))
-        .withColumn("kk", _pln_k(F.col("v")))
+        stack.withColumn("red", _pln_red("v"))
+        .withColumn("kk", _pln_k("v"))
         .select(
             "which",
             "rf",
             "ls",
             "v",
-            _pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+            _pln_finish("red", "kk").alias("lnv"),
         )
     )
     piv = lns.groupBy("rf", "ls").agg(
@@ -10372,14 +10372,14 @@ def q_ml_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("p").alias("which"), "g", "cp", "n", F.col("p").alias("v")
     ).unionAll(pr.select(F.lit("q"), "g", "cp", "n", F.lit(1.0) - F.col("p")))
     lns = (
-        stack.withColumn("red", _pln_red(F.col("v")))
-        .withColumn("kk", _pln_k(F.col("v")))
+        stack.withColumn("red", _pln_red("v"))
+        .withColumn("kk", _pln_k("v"))
         .select(
             "which",
             "g",
             "cp",
             "n",
-            _pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+            _pln_finish("red", "kk").alias("lnv"),
         )
     )
     piv = lns.groupBy("g").agg(
@@ -10541,14 +10541,14 @@ def q_ml_aic_bic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lns = (
-        stack.withColumn("red", _pln_red(F.col("v")))
-        .withColumn("kk", _pln_k(F.col("v")))
+        stack.withColumn("red", _pln_red("v"))
+        .withColumn("kk", _pln_k("v"))
         .select(
             "which",
             "n",
             "mse0",
             "mse1",
-            _pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+            _pln_finish("red", "kk").alias("lnv"),
         )
     )
     piv = lns.agg(
@@ -10649,15 +10649,15 @@ def q_ml_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stack = part if stack is None else stack.unionAll(part)
     lns = (
-        stack.withColumn("red", _pln_red(F.col("v")))
-        .withColumn("kk", _pln_k(F.col("v")))
+        stack.withColumn("red", _pln_red("v"))
+        .withColumn("kk", _pln_k("v"))
         .select(
             "which",
             "a",
             "b",
             "c2",
             "d",
-            _pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+            _pln_finish("red", "kk").alias("lnv"),
         )
     )
     piv = lns.agg(
@@ -10831,15 +10831,15 @@ def q_ml_info_gain_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lns = (
-        stack.withColumn("red", _pln_red(F.col("v")))
-        .withColumn("kk", _pln_k(F.col("v")))
+        stack.withColumn("red", _pln_red("v"))
+        .withColumn("kk", _pln_k("v"))
         .select(
             "which",
             "feat",
             "xval",
             "y",
             "v",
-            _pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+            _pln_finish("red", "kk").alias("lnv"),
         )
         # consumed by hxv AND hy — checkpoint the <=42-row ln table
         .localCheckpoint(eager=True)
@@ -11001,13 +11001,13 @@ def q_ml_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("p").alias("which"), "bin", F.col("p").alias("v")
     ).unionAll(pq.select(F.lit("q"), "bin", F.col("q")))
     lns = (
-        stack.withColumn("red", _pln_red(F.col("v")))
-        .withColumn("kk", _pln_k(F.col("v")))
+        stack.withColumn("red", _pln_red("v"))
+        .withColumn("kk", _pln_k("v"))
         .select(
             "which",
             "bin",
             "v",
-            _pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+            _pln_finish("red", "kk").alias("lnv"),
         )
     )
     piv = lns.groupBy("bin").agg(
@@ -11469,13 +11469,21 @@ def q_ml_boxcox_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     y0 = ev.select(
         "event_id", F.round(F.col("value") * 100).cast("bigint").alias("y")
     ).filter(F.col("y") > 0)
+    # The portable-ln kernel below is the single most expression-heavy
+    # projection in the registry, and events.parquet sits under the
+    # loader's widen threshold at every fixture SF — one row group, one
+    # task, the whole kernel serialized (r13 ML-lane decomposition;
+    # same §1.2/§2 fix as topk_exact's corpus widening). No-op at scale.
+    from mini_etl_project_spark.session import ensure_parallelism
+
+    y0 = ensure_parallelism(y0)
     yd = F.col("y").cast("double")
     lns = (
         y0.withColumn("v", F.lit(1.0) / yd)
-        .withColumn("red", _pln_red(F.col("v")))
-        .withColumn("kk", _pln_k(F.col("v")))
+        .withColumn("red", _pln_red("v"))
+        .withColumn("kk", _pln_k("v"))
         .select(
-            "y", "v", _pln_finish(F.col("red"), F.col("kk")).alias("lnv")
+            "y", "v", _pln_finish("red", "kk").alias("lnv")
         )
     )
     rows_t = lns.select(
@@ -11567,14 +11575,14 @@ def q_ml_boxcox_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lstack = part if lstack is None else lstack.unionAll(part)
     lns2 = (
-        lstack.withColumn("red", _pln_red(F.col("v")))
-        .withColumn("kk", _pln_k(F.col("v")))
+        lstack.withColumn("red", _pln_red("v"))
+        .withColumn("kk", _pln_k("v"))
         .select(
             "n",
             "q_lny",
             "lam",
             "sig2",
-            _pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+            _pln_finish("red", "kk").alias("lnv"),
         )
     )
     return lns2.select(

@@ -1388,14 +1388,14 @@ def q_stream_entropy_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lns = (
-        stack.withColumn("red", pln_red(F.col("v")))
-        .withColumn("kk", pln_k(F.col("v")))
+        stack.withColumn("red", pln_red("v"))
+        .withColumn("kk", pln_k("v"))
         .select(
             "which",
             "ws",
             "et",
             "v",
-            pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+            pln_finish("red", "kk").alias("lnv"),
         )
     )
     folds = (

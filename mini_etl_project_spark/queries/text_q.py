@@ -2513,14 +2513,14 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lns = (
-        stack.withColumn("red", _pln_red(F.col("v")))
-        .withColumn("kk", _pln_k(F.col("v")))
+        stack.withColumn("red", _pln_red("v"))
+        .withColumn("kk", _pln_k("v"))
         .select(
             "which",
             "w1",
             "w2",
             "cb",
-            _pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+            _pln_finish("red", "kk").alias("lnv"),
         )
     )
     piv = lns.groupBy("w1", "w2").agg(
@@ -2593,9 +2593,9 @@ def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uw", (F.col("cu").cast("double") / F.col("tu").cast("double")).alias("v")
     )
     lns = (
-        pv.withColumn("red", _pln_red(F.col("v")))
-        .withColumn("kk", _pln_k(F.col("v")))
-        .select("uw", _pln_finish(F.col("red"), F.col("kk")).alias("lnv"))
+        pv.withColumn("red", _pln_red("v"))
+        .withColumn("kk", _pln_k("v"))
+        .select("uw", _pln_finish("red", "kk").alias("lnv"))
     )
     # vocab-sized probe side: broadcast it so the corpus-sized token
     # table never shuffles for the lookup (tokens of a doc stay
@@ -2709,10 +2709,10 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.select(F.lit("f"), "r", F.lit(1.0) / F.col("f").cast("double"))
     )
     lns = (
-        stack.withColumn("red", _pln_red(F.col("v")))
-        .withColumn("kk", _pln_k(F.col("v")))
+        stack.withColumn("red", _pln_red("v"))
+        .withColumn("kk", _pln_k("v"))
         .select(
-            "which", "r", _pln_finish(F.col("red"), F.col("kk")).alias("lnv")
+            "which", "r", _pln_finish("red", "kk").alias("lnv")
         )
     )
     piv = lns.groupBy("r").agg(
@@ -2853,10 +2853,10 @@ def q_text_unigram_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("p").alias("which"), "w", F.col("p").alias("v")
     ).unionAll(pq.select(F.lit("q"), "w", F.col("q")))
     lns = (
-        stack.withColumn("red", _pln_red(F.col("v")))
-        .withColumn("kk", _pln_k(F.col("v")))
+        stack.withColumn("red", _pln_red("v"))
+        .withColumn("kk", _pln_k("v"))
         .select(
-            "which", "w", "v", _pln_finish(F.col("red"), F.col("kk")).alias("lnv")
+            "which", "w", "v", _pln_finish("red", "kk").alias("lnv")
         )
     )
     piv = lns.groupBy("w").agg(

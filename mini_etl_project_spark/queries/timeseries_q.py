@@ -5629,12 +5629,12 @@ def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("w").alias("which"), "w", F.col("w").cast("double").alias("v")
     ).unionAll(avg_rs.select(F.lit("r"), "w", F.col("arv")))
     lns = (
-        stack.withColumn("red", pln_red(F.col("v")))
-        .withColumn("kk", pln_k(F.col("v")))
+        stack.withColumn("red", pln_red("v"))
+        .withColumn("kk", pln_k("v"))
         .select(
             "which",
             "w",
-            pln_finish(F.col("red"), F.col("kk")).alias("lnv"),
+            pln_finish("red", "kk").alias("lnv"),
         )
     )
     piv = lns.groupBy("w").agg(

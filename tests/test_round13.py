@@ -82,6 +82,56 @@ def test_eager_checkpoint_sized(spark):
     assert nbytes > 0
 
 
+def test_jvm_memo_invalidates_on_context_change(monkeypatch):
+    from mini_etl_project_spark.functions.memo import jvm_memo
+
+    calls = {"n": 0}
+
+    @jvm_memo
+    def build(name):
+        calls["n"] += 1
+        return object()
+
+    a = build("x")
+    assert build("x") is a and calls["n"] == 1
+    # a NEW SparkContext identity must drop the cache (stale py4j refs)
+    import pyspark
+
+    monkeypatch.setattr(
+        pyspark.SparkContext, "_active_spark_context", object()
+    )
+    b = build("x")
+    assert b is not a and calls["n"] == 2
+    assert build("x") is b and calls["n"] == 2
+
+
+def test_pln_named_forms_match_column_forms(spark):
+    from pyspark.sql import functions as F
+
+    from mini_etl_project_spark.queries.helpers import (
+        pln_finish,
+        pln_k,
+        pln_red,
+    )
+
+    df = spark.range(1, 2000).select(
+        (F.col("id").cast("double") / 7.0).alias("v")
+    )
+    named = (
+        df.withColumn("red", pln_red("v"))
+        .withColumn("kk", pln_k("v"))
+        .select(pln_finish("red", "kk").alias("lnv"))
+    )
+    col = (
+        df.withColumn("red", pln_red(F.col("v")))
+        .withColumn("kk", pln_k(F.col("v")))
+        .select(pln_finish(F.col("red"), F.col("kk")).alias("lnv"))
+    )
+    assert [r.lnv for r in named.collect()] == [r.lnv for r in col.collect()]
+    # memoized: same tree object on repeat construction
+    assert pln_red("v") is pln_red("v")
+
+
 def test_sampled_profile_caches_narrow_base(spark):
     from mini_etl_project_spark.plans.pipeline import AutoETLPipeline
 

@@ -163,6 +163,20 @@ class AutoETLPipeline:
         self._observation = None
         self._obs_filled = False
 
+    #: Sampled parse ratios within this distance of the 0.7 type
+    #: threshold force the exact full-scan profile (see transform).
+    _TYPE_RATIO_BAND = 0.05
+
+    @classmethod
+    def _sample_ratio_near_threshold(cls, profiles) -> bool:
+        for p in profiles.values():
+            if not p.non_null:
+                continue
+            for ok in (p.date_ok, p.numeric_ok):
+                if abs(ok / p.non_null - 0.7) <= cls._TYPE_RATIO_BAND:
+                    return True
+        return False
+
     #: Columns with more profiled distincts than this are not speculated
     #: into the fused stats job (their value counts would dominate its
     #: shuffle); they get a dedicated mode job only if they truly need
@@ -258,6 +272,16 @@ class AutoETLPipeline:
             )
             if sample_rows == 0:
                 # degenerate tiny input: fall back to the exact profile
+                sampled_profile = False
+            elif self._sample_ratio_near_threshold(profiles):
+                # Safety band (ADVICE r12): the R7 type rules compare
+                # parse ratios against a strict 0.7 threshold. When a
+                # sampled ratio lands inside ±0.05 of it, the sample
+                # can no longer guarantee the same side as the full
+                # scan — fall back to the exact profile so the type
+                # decision (and thus the output schema) is
+                # sample-independent by construction. Real data sits at
+                # ~0.0/~1.0; the band only trips on adversarial mixes.
                 sampled_profile = False
         if sampled_profile:
             types = {c: profiles[c].logical_type for c in df.columns}

@@ -82,6 +82,33 @@ def test_eager_checkpoint_sized(spark):
     assert nbytes > 0
 
 
+def test_sampled_profile_threshold_safety_band(spark):
+    """A sampled parse ratio near the 0.7 type threshold must force the
+    exact full-scan profile (ADVICE r12): type decisions stay
+    sample-independent by construction."""
+    from mini_etl_project_spark.plans.pipeline import AutoETLPipeline
+    from mini_etl_project_spark.plans.profile import ColumnProfile
+
+    mk = lambda d, n: ColumnProfile("c", 100, 10, 5.0, d, n)  # noqa: E731
+    near = AutoETLPipeline._sample_ratio_near_threshold
+    assert near({"c": mk(68, 0)})          # date ratio 0.68 — in band
+    assert near({"c": mk(0, 73)})          # numeric ratio 0.73 — in band
+    assert not near({"c": mk(100, 0)})     # clean 1.0 — out of band
+    assert not near({"c": mk(0, 0)})       # 0.0 — out of band
+
+    # end-to-end: ~70% numeric strings → pipeline must take the exact
+    # path (wide cache with parse layers), not the sampled one
+    rows = [(str(i) if i % 10 < 7 else f"x{i}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "a string")
+    pipe = AutoETLPipeline(
+        eager_summary=False, assume_partitioned=True, profile_sample_mod=2
+    )
+    out = pipe.transform(df)
+    assert any(c.startswith("__") for c in pipe._cached_base.columns)
+    out.write.format("noop").mode("overwrite").save()
+    pipe.release()
+
+
 def test_jvm_memo_invalidates_on_context_change(monkeypatch):
     from mini_etl_project_spark.functions.memo import jvm_memo
 

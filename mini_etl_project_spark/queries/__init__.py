@@ -89,35 +89,67 @@ def _load_all() -> None:
 # re-sorts the rotation for the next one.
 
 #: Queries re-touched this round (fresh driver evidence wanted first).
-#: Round 12: the two ADVICE-r11 NULL-convention pins (bon_yield's value
-#: filter, ingest's coalesced quality gate) plus four representatives
-#: of the ts-NULL sweep's 49 pinned lanes (all pins are clean-fixture
-#: no-ops — ts IS NOT NULL filters nothing when no ts is NULL, verified
-#: exact at sf0.01 — so four representatives buy driver evidence on the
-#: reshaped plans without crowding the drain's ~50/round budget).
+#: Round 13 (VERDICT r12 ask #3 — drain the driver-evidence debt): the
+#: three queries whose PLANS this optimization round reshaped (narrow
+#: ETL cache + outlier ride; ingest width pin; boxcox scan widening),
+#: two representatives of the 16 pln-memoization lanes (trees identical
+#: by construction, locally re-verified exact), then ALL 38 remaining
+#: ts-NULL-reshaped lanes whose latest driver evidence predates their
+#: r12 mid-build reshape (computed: ts-sweep-touched @query functions in
+#: 5f57768..f725d46 minus CORRECTNESS_r12.json greens).
 _RECHECK: list[str] = [
-    "q_corpus_bon_yield",
+    "q_etl_pipeline",
     "q_corpus_incremental_ingest",
-    "q_corpus_conversation_assembly",  # explicit (ts IS NULL) sort key
-    "q_join_asof",                     # family-wide ts IS NOT NULL pin
-    "q_stream_tumbling",               # declared event-time NULL drop
-    "q_table_scd2",                    # ordered-history ts pin
+    "q_ml_boxcox_grid",
+    "q_text_zipf_fit",
+    "q_stream_entropy_windowed",
+    # -- ts-NULL sweep lanes, local-only evidence until now --
+    "q_join_asof_forward",
+    "q_join_asof_nearest",
+    "q_join_asof_nullpayload",
+    "q_join_asof_tolerance",
+    "q_ml_psm_match",
+    "q_sql_named_window",
+    "q_stream_funnel",
+    "q_stream_ohlc",
+    "q_stream_sliding",
+    "q_ts_anomaly",
+    "q_ts_autocorr",
+    "q_ts_binary_seg",
+    "q_ts_bollinger",
+    "q_ts_cumsum_reset",
+    "q_ts_cusum",
+    "q_ts_dickey_fuller",
+    "q_ts_ema",
+    "q_ts_ema_crossover",
+    "q_ts_forecast_eval",
+    "q_ts_markov_transitions",
+    "q_ts_ohlc",
+    "q_ts_paths",
+    "q_ts_pattern_vshape",
+    "q_ts_peaks",
+    "q_ts_rebase_index",
+    "q_ts_rescaled_range",
+    "q_ts_runs_test",
+    "q_ts_sax",
+    "q_ts_seasonal_decompose",
+    "q_ts_session_gap",
+    "q_ts_transition_matrix",
+    "q_ts_xmr_control",
+    "q_window_count_distinct",
+    "q_window_ignore_nulls",
+    "q_window_rolling_regression",
+    "q_window_session_dynamic_gap",
+    "q_window_session_native",
+    "q_window_sliding",
 ]
 
-#: Round-11's one-round deferral of X516-X519 EXPIRES this round
-#: (VERDICT r11 ask #1: "they must be in r12's 50"): they fall into the
-#: never-sampled bucket at corpus_q's early registration slot — ahead
-#: of the later-registering never-sampled holdovers, inside the
-#: ~50/round budget (bon_yield/ingest are in _RECHECK above anyway).
-#: Round-12's OWN new queries take their place in the deferral, per the
-#: standing contract: the drain owns the budget; new, locally-3-SF-
-#: verified queries rotate in the round after.
-_DEFER_NEW: list[str] = [
-    "q_corpus_turn_preferences",
-    "q_corpus_pack_sequences",
-    "q_corpus_bpe_pairs",
-    "q_corpus_turn_reward_togo",
-]
+#: Round-12's deferral of X520-X524 EXPIRES this round (VERDICT r12:
+#: "their deferral expires next round and they must rotate into the r13
+#: sample"): empty deferral drops them into the never-sampled bucket,
+#: which sorts immediately after _RECHECK — 43 + 4 = 47 of the ~50
+#: budget, leaving the tail to the stalest sampled queries.
+_DEFER_NEW: list[str] = []
 
 
 def _driver_evidence() -> dict[str, int]:
